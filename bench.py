@@ -1,0 +1,67 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed twice per timing convention? No -- once, after
+a warmup query primes the JVM/session; per-query time is wall-clock
+from action start to `count()`-style materialization (collect of the
+small result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from commoncrawl_crawler_spark.session import build_session
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    spark = build_session(app_name="ccspark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # warmup: touch every table once so JVM/classloading/parquet footer
+    # reads don't land in the first measured query
+    from commoncrawl_crawler_spark.sources import TABLES, load_table
+
+    for t in TABLES:
+        try:
+            load_table(spark, t, sf_dir).count()
+        except Exception:
+            pass
+
+    times: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        times[name] = round(time.monotonic() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""Aggregation operators (SURVEY.md section 2.4).
+
+The reference implements every aggregation as a sort-based MapReduce
+reducer with an optional combiner (util/JobBuilder.java:165,
+hadoop/mergeutils/SpillValueCombiner.java:33). Here each one is a
+declarative `groupBy().agg()` -- Catalyst plans partial (map-side)
+plus final HashAggregate automatically, which is the combiner the
+reference had to hand-wire, and AQE coalesces post-shuffle partitions.
+
+Scale notes: all aggregations here shuffle once on the grouping key.
+Distinct counts offer both exact (`countDistinct`, a second shuffle)
+and approximate (`approx_count_distinct`, HLL, single-pass map-side
+partials) variants -- the reference used 2^28-element Bloom filters
+for the same approximate-distinct trade
+(crawlstats/StatsAggregationReducer.java:44-49).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """Flagship grouped-aggregate scan (TPC-H Q1 shape).
+
+    Mirrors the reference's per-group tally reducers (count / sum /
+    avg per key, e.g. crawlstats/StatsAggregationReducer.java:67-119)
+    on the synthetic lineitem table. One shuffle on a low-cardinality
+    key; map-side partial aggregation does almost all the work, so
+    this scales linearly with input bytes.
+    """
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                3,
+            ).alias("sum_charge"),
+            # averages derived from the rounded sums: once the rounded
+            # sum agrees across engines the division is bit-identical,
+            # immune to float-summation-order half-boundary flips
+            F.round(F.round(F.sum("l_quantity"), 3) / F.count(F.lit(1)), 6).alias(
+                "avg_qty"
+            ),
+            F.round(
+                F.round(F.sum("l_extendedprice"), 3) / F.count(F.lit(1)), 6
+            ).alias("avg_price"),
+            F.round(F.round(F.sum("l_discount"), 3) / F.count(F.lit(1)), 6).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def stats_aggregation(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-group conditional tallies + exact distinct count.
+
+    Shape of crawlstats/StatsAggregationMapper.java:82-158 +
+    StatsAggregationReducer.java:67-119 (per root-domain: url count,
+    crawled count, HTTP-200 count, distinct subdomains) recast over
+    orders-per-market-segment: order count, open/filled counts via
+    `sum(when(...))`, distinct customers.
+
+    `countDistinct` is exact (two-phase shuffle); see
+    `stats_aggregation_approx` for the HLL single-shuffle variant the
+    reference's Bloom filter approximates.
+    """
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias(
+                "open_count"
+            ),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "filled_count"
+            ),
+            F.countDistinct("o_custkey").alias("distinct_customers"),
+            F.round(F.sum("o_totalprice"), 3).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def stats_aggregation_approx(orders: DataFrame) -> DataFrame:
+    """Approximate-distinct variant (HLL), single shuffle.
+
+    The scale path: the reference burned a 2^28-element, 10-hash Bloom
+    filter per reducer for approximate distinct subdomains
+    (StatsAggregationReducer.java:44-49); `approx_count_distinct`
+    gives the same answer class with mergeable sketches and no
+    second shuffle. Not oracle-hash-matched (estimator differs from
+    DuckDB's) -- correctness is bounded-error, tested in pytest.
+    """
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def group_count(df: DataFrame, key: str) -> DataFrame:
+    """groupBy().count() -- DomainURLCounter shape
+    (domainmeta/DomainURLCounter.java:41)."""
+    return df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt")).orderBy(key)
+
+
+def count_having(events: DataFrame) -> DataFrame:
+    """Frequency count keeping groups with count > 1 (HAVING).
+
+    TypeAndRelStatsCollector + DropUniqueEntriesReducer shape
+    (crawlstats/TypeAndRelStatsCollectorStep.java:125-152): count link
+    type/rel attribute frequencies, drop singletons.
+    """
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .orderBy("user_id", "event_type")
+    )
+
+
+def two_level_aggregation(events: DataFrame) -> DataFrame:
+    """Monthly histogram then per-key summary.
+
+    Blogs posts-per-month shape (blogs/postfrequency/
+    AggregateStatsByMonth.java:49,119 then GroupByDomainStep.java:49):
+    level 1 groups by (user, year, month); level 2 summarizes the
+    monthly counts per user (min/max/avg/count). Two shuffles, the
+    second over strictly fewer rows; at 100 TB the level-1 output is
+    already small relative to input so the second shuffle is cheap.
+    """
+    monthly = events.groupBy(
+        "user_id",
+        F.year("ts").cast("int").alias("yr"),
+        F.month("ts").cast("int").alias("mo"),
+    ).agg(F.count(F.lit(1)).alias("monthly_cnt"))
+    return (
+        monthly.groupBy("user_id")
+        .agg(
+            F.min("monthly_cnt").alias("min_monthly"),
+            F.max("monthly_cnt").alias("max_monthly"),
+            F.round(F.avg("monthly_cnt"), 6).alias("avg_monthly"),
+            F.count(F.lit(1)).alias("months_active"),
+            F.sum("monthly_cnt").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def latest_record_per_key(events: DataFrame) -> DataFrame:
+    """Last-writer-wins merge: newest event per user.
+
+    The dedupe mapper keeps the latest crawl attempt per URL
+    (deduper/Stage1Mapper.java:118-128) and the domain-stats merge is
+    last-writer-wins (crawlstats/MergeNewDomainStatsStep.java:68-80).
+    `max_by` over a deterministic (ts, event_id) tiebreak does it in
+    one shuffle with map-side partials -- no window sort needed.
+    """
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by("event_id", key).alias("last_event_id"),
+            F.max_by("event_type", key).alias("last_event_type"),
+            F.max_by("value", key).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def time_window_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling-window counter rollup (batch form).
+
+    CrawlerStats time-series shape (statscollector/statscollector.jr:
+    3-69, TimeSeriesDataFile.java:164-208): 60+ counters per
+    (timestamp bucket, crawler) served by windowed reads. Expressed as
+    date_trunc bucketing; the streaming twin lives in
+    streaming/events.py using `window()` + watermark.
+    """
+    return (
+        events.groupBy(
+            F.to_date(F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+            F.round(F.round(F.sum("value"), 3) / F.count(F.lit(1)), 6).alias(
+                "avg_value"
+            ),
+            F.countDistinct("user_id").alias("distinct_users"),
+        )
+        .orderBy("day", "event_type")
+    )
