@@ -17,12 +17,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from commoncrawl_crawler_spark.operators import aggregates
+from pyspark.sql import functions as F
+
+from commoncrawl_crawler_spark.operators import (
+    aggregates,
+    filters,
+    joins,
+    setops,
+    windows,
+)
 from commoncrawl_crawler_spark.sources import load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
+
+
+def _blocked_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1", "src2"))
+        .select(F.col("source").alias("blocked_source"))
+        .distinct()
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -51,6 +68,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "agg_time_window_rollup": lambda s, d: aggregates.time_window_rollup(
             _t(s, d, "events")
+        ),
+        "join_tagged_full_outer": lambda s, d: joins.tagged_full_outer_join(
+            _t(s, d, "orders"), _t(s, d, "customer")
+        ),
+        "join_broadcast_dim": lambda s, d: joins.broadcast_dim_join(
+            _t(s, d, "lineitem"), _t(s, d, "part"), _t(s, d, "supplier")
+        ),
+        "join_semi_whitelist": lambda s, d: joins.semi_join_whitelist(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        # subtrahend restricted to high-value orders so the anti side
+        # is non-empty at every sf (every customer has *some* order)
+        "join_anti_blocklist": lambda s, d: joins.anti_join_blocklist(
+            _t(s, d, "customer"),
+            _t(s, d, "orders").filter(F.col("o_totalprice") > 200000),
+        ),
+        "join_multiway": lambda s, d: joins.multiway_join(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "nation"),
+            _t(s, d, "region"),
+        ),
+        "join_point_lookup": lambda s, d: joins.point_lookup_join(
+            _t(s, d, "lineitem"), _t(s, d, "orders")
+        ),
+        "filter_regex_scan": lambda s, d: filters.regex_scan(_t(s, d, "documents")),
+        "filter_text_grep": lambda s, d: filters.text_grep(_t(s, d, "documents")),
+        "filter_category": lambda s, d: filters.category_filter(_t(s, d, "events")),
+        "filter_classify": lambda s, d: filters.conditional_classify(
+            _t(s, d, "customer")
+        ),
+        "filter_projection_rekey": lambda s, d: filters.projection_rekey(
+            _t(s, d, "events")
+        ),
+        "filter_blocklist": lambda s, d: filters.blocklist_filter(
+            _t(s, d, "documents"), _blocked_sources(s, d)
+        ),
+        "filter_range_predicate": lambda s, d: filters.range_predicate(
+            _t(s, d, "lineitem")
+        ),
+        "win_topk_per_group": lambda s, d: windows.topk_per_group(
+            _t(s, d, "lineitem")
+        ),
+        "win_secondary_sort_rank": lambda s, d: windows.secondary_sort_rank(
+            _t(s, d, "orders")
+        ),
+        "win_first_row_per_key": lambda s, d: windows.first_row_per_key(
+            _t(s, d, "events")
+        ),
+        "win_segment_packing": lambda s, d: windows.segment_packing(
+            _t(s, d, "orders")
+        ),
+        "win_round_robin": lambda s, d: windows.round_robin_assignment(
+            _t(s, d, "documents")
+        ),
+        "win_paginate": lambda s, d: windows.paginate(
+            _t(s, d, "customer"),
+            "c_acctbal",
+            ascending=False,
+            offset=40,
+            page_size=20,
+            tiebreak="c_custkey",
+        ),
+        "setop_union_tagged": lambda s, d: setops.union_tagged(
+            _t(s, d, "orders").filter(F.col("o_orderstatus") == "O"),
+            _t(s, d, "orders").filter(F.col("o_orderstatus") == "F"),
+        ),
+        "setop_distinct": lambda s, d: setops.distinct_rows(_t(s, d, "orders")),
+        "setop_except": lambda s, d: setops.except_keys(
+            _t(s, d, "customer"),
+            _t(s, d, "orders").filter(F.col("o_totalprice") > 200000),
+        ),
+        "setop_intersect": lambda s, d: setops.intersect_keys(
+            _t(s, d, "customer"), _t(s, d, "orders")
         ),
     }
 
@@ -131,5 +223,178 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS distinct_users
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "join_tagged_full_outer": """
+            WITH order_stats AS (
+                SELECT o_custkey, count(*) AS order_count,
+                       round(sum(o_totalprice), 3) AS total_spent
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT coalesce(c_custkey, o_custkey) AS custkey,
+                   c_name AS name,
+                   c_mktsegment AS mktsegment,
+                   coalesce(order_count, 0) AS order_count,
+                   coalesce(total_spent, 0.0) AS total_spent
+            FROM customer FULL OUTER JOIN order_stats
+              ON c_custkey = o_custkey
+            ORDER BY custkey
+        """,
+        "join_broadcast_dim": """
+            SELECT p_brand, s_name,
+                   count(*) AS line_count,
+                   round(sum(l_extendedprice), 3) AS revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY p_brand, s_name ORDER BY p_brand, s_name
+        """,
+        "join_semi_whitelist": """
+            SELECT * FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "join_anti_blocklist": """
+            SELECT * FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+            )
+            ORDER BY c_custkey
+        """,
+        "join_multiway": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue,
+                   count(*) AS line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "join_point_lookup": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 350000
+            )
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "filter_regex_scan": """
+            SELECT * FROM documents
+            WHERE regexp_matches(source, '^src1[0-9]$')
+            ORDER BY doc_id
+        """,
+        "filter_text_grep": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE contains(text, 'data') ORDER BY doc_id
+        """,
+        "filter_category": """
+            SELECT * FROM events
+            WHERE event_type IN ('click', 'purchase') ORDER BY event_id
+        """,
+        "filter_classify": """
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   CASE WHEN c_acctbal < 0 THEN 'delinquent'
+                        WHEN c_acctbal > 7500 THEN 'premium'
+                        ELSE 'standard' END AS tier
+            FROM customer ORDER BY c_custkey
+        """,
+        "filter_projection_rekey": """
+            SELECT event_type || '#' || CAST(user_id AS VARCHAR) AS composite_key,
+                   event_id, value
+            FROM events ORDER BY event_id
+        """,
+        "filter_blocklist": """
+            SELECT * FROM documents
+            WHERE source NOT IN ('src0', 'src1', 'src2')
+            ORDER BY doc_id
+        """,
+        "filter_range_predicate": """
+            SELECT round(sum(l_extendedprice * l_discount), 3) AS revenue,
+                   count(*) AS matched_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '2024-01-01'
+              AND l_shipdate < TIMESTAMP '2025-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
+        """,
+        "win_topk_per_group": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+                SELECT l_orderkey, l_linenumber, l_extendedprice,
+                       row_number() OVER (
+                           PARTITION BY l_orderkey
+                           ORDER BY l_extendedprice DESC, l_linenumber
+                       ) AS rn
+                FROM lineitem
+            ) WHERE rn <= 3 ORDER BY l_orderkey, rn
+        """,
+        "win_secondary_sort_rank": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   rank() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS price_rank
+            FROM orders ORDER BY o_custkey, price_rank, o_orderkey
+        """,
+        "win_first_row_per_key": """
+            SELECT user_id, event_type, event_id, ts FROM (
+                SELECT user_id, event_type, event_id, ts,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1 ORDER BY user_id, event_type
+        """,
+        "win_segment_packing": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 3) AS running_total,
+                   CAST(floor(round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 3) / 500000.0) AS INT) AS segment_id
+            FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "win_round_robin": """
+            SELECT doc_id, lang,
+                   CAST((row_number() OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                   ) - 1) % 8 AS BIGINT) AS bucket
+            FROM documents ORDER BY doc_id
+        """,
+        "win_paginate": """
+            SELECT * FROM customer
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 20 OFFSET 40
+        """,
+        "setop_union_tagged": """
+            SELECT o_orderkey, o_totalprice, 'open' AS src
+            FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, 'filled' AS src
+            FROM orders WHERE o_orderstatus = 'F'
+            ORDER BY o_orderkey, src
+        """,
+        "setop_distinct": """
+            SELECT DISTINCT o_custkey, o_orderpriority
+            FROM orders ORDER BY o_custkey, o_orderpriority
+        """,
+        "setop_except": """
+            SELECT c_custkey AS custkey FROM customer
+            EXCEPT ALL
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE o_totalprice > 200000
+            ORDER BY custkey
+        """,
+        "setop_intersect": """
+            SELECT c_custkey AS custkey FROM customer
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders
+            ORDER BY custkey
         """,
     }

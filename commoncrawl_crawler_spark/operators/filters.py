@@ -1,0 +1,101 @@
+"""Filter / projection operators (SURVEY.md section 2.2).
+
+The reference fuses filters into hand-written mappers (e.g.
+deduper/Stage1Mapper.java:68-182 drops robots.txt/bad-mime rows
+before the shuffle). Declaratively, every predicate here is pushed by
+Catalyst through projects and joins into the parquet scan
+(`PushedFilters` in .explain), and only referenced columns are read
+(`ReadSchema`) -- the two optimizations the reference implemented by
+hand in every mapper, for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def regex_scan(documents: DataFrame, pattern: str = "^src1[0-9]$") -> DataFrame:
+    """Distributed regex scan -- the reference's domain-pattern query
+    (queryserver/index/DatabaseIndexV2.java:961-1028 runs
+    Pattern.matches over a full index scan) and RegExFilter pipeline
+    step (pipelineV3/RegExFilter.java:1-76)."""
+    return documents.filter(F.col("source").rlike(pattern)).orderBy("doc_id")
+
+
+def text_grep(documents: DataFrame, needle: str = "data") -> DataFrame:
+    """Distributed grep: rows whose text contains a literal --
+    TextBytesQuery (domainmeta/TextBytesQuery.java:41-52)."""
+    return documents.filter(F.col("text").contains(needle)).select(
+        "doc_id", "lang", "source", "n_chars"
+    ).orderBy("doc_id")
+
+
+def category_filter(
+    events: DataFrame, allowed: tuple[str, ...] = ("click", "purchase")
+) -> DataFrame:
+    """Accept/reject by a normalized category set -- MimeTypeFilter
+    shape (util/MimeTypeFilter.java, used deduper/Stage1Mapper.java:142)."""
+    return events.filter(F.col("event_type").isin(*allowed)).orderBy("event_id")
+
+
+def conditional_classify(customer: DataFrame) -> DataFrame:
+    """Rule-based row classifier -- ClassifyDomains
+    (domainmeta/crawlstats/ClassifyDomains.java:52-59) as a
+    `when/otherwise` expression chain (stays in codegen)."""
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.when(F.col("c_acctbal") < 0, "delinquent")
+        .when(F.col("c_acctbal") > 7500, "premium")
+        .otherwise("standard")
+        .alias("tier"),
+    ).orderBy("c_custkey")
+
+
+def projection_rekey(events: DataFrame) -> DataFrame:
+    """Key<->value inversion + synthesized key -- InverseMapper usage
+    (iptohost/QuantcastIPListStep.java:73) and KeyTransformer re-key
+    steps (crawllistgen/ShardSubDomainMetadataStep.java:68-80).
+    Synthesizes a composite partition key the way CrawlDBKey packs
+    (domainHash, urlHash) (CrawlDBKey.java:84-110)."""
+    return events.select(
+        F.concat_ws("#", F.col("event_type"), F.col("user_id").cast("string")).alias(
+            "composite_key"
+        ),
+        F.col("event_id"),
+        F.col("value"),
+    ).orderBy("event_id")
+
+
+def blocklist_filter(
+    documents: DataFrame, blocked_sources: DataFrame
+) -> DataFrame:
+    """Pattern blocklist for generated rows -- URLFilter
+    (crawllistgen/URLFilter.java:19) with the list broadcast, an
+    anti-join instead of a per-row in-memory trie."""
+    return documents.join(
+        F.broadcast(blocked_sources),
+        documents.source == blocked_sources.blocked_source,
+        "left_anti",
+    ).orderBy("doc_id")
+
+
+def range_predicate(lineitem: DataFrame) -> DataFrame:
+    """Range + equality predicate combination pushed to the scan
+    (TPC-H Q6 shape) -- the filter-before-shuffle discipline of
+    Stage1Mapper.java:70-87 expressed declaratively."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("2024-01-01"))
+            & (F.col("l_shipdate") < F.lit("2025-01-01"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 3).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("matched_lines"),
+        )
+    )

@@ -1,0 +1,154 @@
+"""Join operators (SURVEY.md section 2.3).
+
+The reference has exactly one generic join algorithm -- the
+reduce-side tagged union join (util/JoinMapper.java:45,
+util/JoinValue.java:37-52) -- plus map-side broadcast lookups
+(crawlstats/StatsAggregationMapper.java:71-78) and shard-aligned
+merge joins (crawllistgen/PartitionJoinInputFormat.java). Here every
+one is a declarative `join` and Catalyst + AQE pick the physical
+strategy (broadcast-hash vs sort-merge vs shuffled-hash), which is
+the decision the reference hard-coded per job.
+
+Scale notes:
+- Dimension tables (region/nation/supplier ~ the reference's
+  quantcast rank list and super-domain sets) are broadcast
+  explicitly with `F.broadcast` -- no shuffle of the fact side.
+- Fact-fact joins shuffle both sides on the key; AQE's skew-join
+  splitting handles hot keys (the reference hand-built super-domain
+  partition schemes for the same problem, PartitionUtils.java:60-85).
+- Semi/anti joins never materialize payload columns of the filter
+  side, and Spark plans them as broadcast when small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tagged_full_outer_join(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Reduce-side tagged union join, both sides kept.
+
+    util/JoinMapper.java:45 tags each row with its source and the
+    reducer sees all tags per key; a full-outer join expresses that
+    directly -- the 'tags' become nullable column groups. Customers
+    with no orders and (hypothetically) orders with no customer both
+    survive.
+    """
+    order_stats = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.round(F.sum("o_totalprice"), 3).alias("total_spent"),
+    )
+    return (
+        customer.join(
+            order_stats, customer.c_custkey == order_stats.o_custkey, "full_outer"
+        )
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.coalesce(F.col("order_count"), F.lit(0)).alias("order_count"),
+            F.coalesce(F.col("total_spent"), F.lit(0.0)).alias("total_spent"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def broadcast_dim_join(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """Map-side hash join with small dimensions broadcast.
+
+    The reference loaded the 1M-row quantcast rank list into every
+    mapper (StatsAggregationMapper.java:71-78 'side file'); Spark's
+    equivalent is an explicit broadcast hint so the 100 TB fact scan
+    streams past an in-memory hash table -- zero fact-side shuffle
+    until the final small aggregation.
+    """
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            F.round(F.sum("l_extendedprice"), 3).alias("revenue"),
+        )
+        .orderBy("p_brand", "s_name")
+    )
+
+
+def semi_join_whitelist(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Keep rows whose key exists in another table (whitelist).
+
+    Quantcast whitelist intersection shape
+    (iptohost/QuantcastWhitelistByIPReducer.java:41). `left_semi`
+    reads no payload from the filter side.
+    """
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).orderBy("c_custkey")
+
+
+def anti_join_blocklist(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Drop rows whose key exists in another table (blocklist).
+
+    BlockedDomainList / NonSuperSubdomainCollectorStep shape
+    (crawllistgen/BlockedDomainList.java;
+    crawlstats/NonSuperSubdomainCollectorStep.java:58,205).
+    """
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).orderBy("c_custkey")
+
+
+def multiway_join(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """N-way join chain ending in a grouped rollup (TPC-H Q5 shape).
+
+    JoinDomainMetadataStep folds all domain-metadata outputs into one
+    row via an N-way reduce-side join (crawlstats/
+    JoinDomainMetadataStep.java:39,71-89). Declared as a join chain,
+    Catalyst reorders and broadcasts the dimension legs; only
+    orders x lineitem shuffles at scale.
+    """
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def point_lookup_join(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Bulk point-lookup: map a key list onto a big table.
+
+    The query server's bulk URLFP -> metadata index-seek join
+    (queryserver/index/DatabaseIndexV2.java:260-366). Expressed as a
+    join of the probe set against the fact table; Catalyst broadcasts
+    the probe side, and parquet min/max stats prune row groups the
+    probe keys cannot hit.
+    """
+    probes = orders.filter(F.col("o_totalprice") > 350000).select("o_orderkey")
+    return (
+        lineitem.join(F.broadcast(probes), lineitem.l_orderkey == probes.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
