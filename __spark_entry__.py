@@ -21,15 +21,22 @@ from pyspark.sql import functions as F
 
 from commoncrawl_crawler_spark.operators import (
     aggregates,
+    dedup,
     filters,
     joins,
     setops,
+    similarity,
+    textstats,
     windows,
 )
+from commoncrawl_crawler_spark.shipping import ensure_shipped
 from commoncrawl_crawler_spark.sources import load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # ship the package to Python workers (pandas UDFs) even when the
+    # driving process was launched outside the repo directory
+    ensure_shipped(spark)
     return load_table(spark, name, sf_dir)
 
 
@@ -144,6 +151,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_intersect": lambda s, d: setops.intersect_keys(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
+        "dedup_exact": lambda s, d: dedup.exact_duplicates(_t(s, d, "documents")),
+        "dedup_normalized": lambda s, d: dedup.normalized_duplicates(
+            _t(s, d, "documents")
+        ),
+        "dedup_cross_source": lambda s, d: dedup.cross_source_duplicates(
+            _t(s, d, "documents")
+        ),
+        # sketch-based: hashing not SQL-expressible -> rows-only check;
+        # blocking guarantees + thresholds are pytest-verified instead
+        "dedup_simhash_lsh": lambda s, d: dedup.simhash_candidate_pairs(
+            _t(s, d, "documents"), hamming_k=3
+        ),
+        "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(
+            _t(s, d, "documents"), jaccard_threshold=0.8
+        ),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
+            _t(s, d, "documents"), threshold=0.95
+        ),
+        "dedup_embedding_cosine": lambda s, d: dedup.embedding_near_duplicates(
+            _t(s, d, "embeddings"), cosine_threshold=0.35
+        ),
+        "sim_brute_force_topk": lambda s, d: similarity.brute_force_topk(
+            _t(s, d, "embeddings"),
+            _t(s, d, "embeddings")
+            .filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("probe_id"), "embedding"),
+            k=5,
+        ),
+        "sim_label_centroids": lambda s, d: similarity.pairwise_label_centroids(
+            _t(s, d, "embeddings")
+        ),
+        "text_document_profile": lambda s, d: textstats.document_profile(
+            _t(s, d, "documents")
+        ),
+        "text_language_profile": lambda s, d: textstats.language_profile(
+            _t(s, d, "documents")
+        ),
+        "text_token_stats": lambda s, d: textstats.token_stats_by_source(
+            _t(s, d, "documents")
+        ),
+        "text_fingerprint": lambda s, d: textstats.fingerprint_documents(
+            _t(s, d, "documents")
+        ).select("doc_id", "md5_sig"),
     }
 
 
@@ -396,5 +446,141 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT o_custkey AS custkey FROM orders
             ORDER BY custkey
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS sig,
+                   count(*) AS dup_count,
+                   min(doc_id) AS canonical_doc,
+                   max(doc_id) AS max_doc,
+                   count(DISTINCT source) AS distinct_sources
+            FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY sig
+        """,
+        "dedup_normalized": """
+            SELECT md5(array_to_string(
+                       list_sort(list_distinct(regexp_split_to_array(trim(text), '\\s+'))),
+                       ' ')) AS sig,
+                   count(*) AS dup_count,
+                   min(doc_id) AS canonical_doc
+            FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY sig
+        """,
+        "dedup_cross_source": """
+            WITH sigs AS (
+                SELECT md5(array_to_string(
+                           list_sort(list_distinct(regexp_split_to_array(trim(text), '\\s+'))),
+                           ' ')) AS sig,
+                       source
+                FROM documents
+            )
+            SELECT sig, count(DISTINCT source) AS source_count,
+                   count(*) AS dup_count
+            FROM sigs GROUP BY sig
+            HAVING count(DISTINCT source) > 1 ORDER BY sig
+        """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       CAST(floor(n_chars / 64) AS BIGINT) AS lb,
+                       list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tokens
+                FROM documents
+            )
+            SELECT * FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       round(len(list_intersect(a.tokens, b.tokens))
+                             / len(list_distinct(list_concat(a.tokens, b.tokens))), 6)
+                           AS jaccard
+                FROM toks a JOIN toks b
+                  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.95 ORDER BY doc_a, doc_b
+        """,
+        "dedup_embedding_cosine": """
+            SELECT * FROM (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       round(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.35 ORDER BY vec_a, vec_b
+        """,
+        "sim_brute_force_topk": """
+            WITH probes AS (
+                SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id < 10
+            ), scored AS (
+                SELECT p.probe_id, e.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(p.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])), 4) AS cosine
+                FROM embeddings e CROSS JOIN probes p
+                WHERE e.vec_id <> p.probe_id
+            ), ranked AS (
+                SELECT probe_id, vec_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY probe_id ORDER BY cosine DESC, vec_id
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT probe_id, vec_id, cosine, rnk FROM ranked
+            WHERE rnk <= 5 ORDER BY probe_id, rnk
+        """,
+        "sim_label_centroids": """
+            WITH expl AS (
+                SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                       unnest(embedding) AS val
+                FROM embeddings
+            ), per_pos AS (
+                SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6) AS mean_val
+                FROM expl GROUP BY 1, 2
+            )
+            SELECT label,
+                   round(sum(mean_val * mean_val), 4) AS centroid_sq_norm,
+                   count(*) AS dims
+            FROM per_pos GROUP BY label ORDER BY label
+        """,
+        "text_document_profile": """
+            SELECT doc_id, lang,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                       AS tokens,
+                   length(regexp_replace(text, '[^\\w]', '', 'g')) AS word_chars,
+                   round(length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   length(text) AS chars
+            FROM documents ORDER BY doc_id
+        """,
+        "text_language_profile": """
+            WITH scores AS (
+                SELECT doc_id, lang,
+                       len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|a)\\b')) AS s_en,
+                       len(regexp_extract_all(lower(text), '\\b(?:der|die|und|das|ist)\\b')) AS s_de,
+                       len(regexp_extract_all(lower(text), '\\b(?:le|la|et|les|des)\\b')) AS s_fr,
+                       len(regexp_extract_all(lower(text), '\\b(?:el|la|de|que|los)\\b')) AS s_es
+                FROM documents
+            ), pred AS (
+                SELECT doc_id, lang,
+                       CASE
+                         WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                         WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                         WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                         WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                         ELSE 'und' END AS pred_lang
+                FROM scores
+            )
+            SELECT lang, pred_lang, count(*) AS cnt
+            FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+        """,
+        "text_token_stats": """
+            WITH toks AS (
+                SELECT source,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                           AS tokens
+                FROM documents
+            )
+            SELECT source, count(*) AS docs, sum(tokens) AS total_tokens,
+                   min(tokens) AS min_tokens, max(tokens) AS max_tokens
+            FROM toks GROUP BY source ORDER BY source
+        """,
+        "text_fingerprint": """
+            SELECT doc_id, md5(text) AS md5_sig FROM documents ORDER BY doc_id
         """,
     }

@@ -1,0 +1,304 @@
+"""URL scalar functions (SURVEY.md section 2.8).
+
+The reference's URL layer is ~2,500 LoC of Java + native C++
+(util/URLUtils.java:67-155,545; util/GoogleURL.java;
+util/SessionIDURLNormalizer.java; tests URLUtils.java:972,1117) plus
+a Rabin fingerprint generator (util/FPGenerator.java) producing the
+URLFPV2 key (protocol.jr:54-72: domainHash, urlHash,
+rootDomainHash).
+
+This module re-implements the *capabilities* from public knowledge:
+RFC 3986 parsing via urllib, a public-suffix-style root-domain rule,
+and Rabin fingerprinting from the published algorithm (M. O. Rabin,
+"Fingerprinting by random polynomials", 1981; Broder, "Some
+applications of Rabin's fingerprinting method", 1993). No reference
+code is copied.
+
+Two tiers:
+- `*_expr` Column expressions -- JVM-side, whole-stage-codegen
+  friendly; the hot path for 100 TB scans.
+- `canonicalize_url` / `url_fingerprint` Python kernels wrapped as
+  pandas UDFs -- full-fidelity parsing for edge cases, Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from urllib.parse import urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------------------
+# canonicalization (util/URLUtils.java:67-155 semantics, re-derived)
+# ---------------------------------------------------------------------------
+
+# session-id query parameters stripped during canonicalization
+# (util/SessionIDURLNormalizer.java strips these token families)
+SESSION_PARAMS = (
+    "jsessionid",
+    "phpsessid",
+    "sessionid",
+    "session_id",
+    "sid",
+    "aspsessionid",
+    "cfid",
+    "cftoken",
+    "utm_source",
+    "utm_medium",
+    "utm_campaign",
+    "utm_term",
+    "utm_content",
+)
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
+
+
+def canonicalize_url(url: str | None) -> str | None:
+    """Canonical form: lowercase scheme+host, strip fragment, strip
+    default port, drop session-id params, '/' default path, strip
+    trailing '?', collapse leading 'www.' is NOT applied (the
+    reference keeps www distinct and analyzes the prefix separately,
+    WWWPrefixStatsCollectorStep.java:51)."""
+    if url is None:
+        return None
+    url = url.strip()
+    if not url:
+        return None
+    if "://" not in url:
+        url = "http://" + url
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower().rstrip(".")
+    if not host:
+        return None
+    port = None
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    netloc = host
+    if port is not None and port != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    # drop ;jsessionid=... path params (semicolon matrix params)
+    low = path.lower()
+    if ";jsessionid=" in low:
+        path = path[: low.index(";jsessionid=")]
+    query = "&".join(
+        kv
+        for kv in parts.query.split("&")
+        if kv and kv.split("=", 1)[0].lower() not in SESSION_PARAMS
+    )
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+# common two-level public suffixes; a production deployment swaps in
+# the full Mozilla public-suffix list (the reference embeds one in
+# util/TLDNamesCollection.java). Subset keeps the rule honest.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk",
+    "org.uk",
+    "ac.uk",
+    "gov.uk",
+    "co.jp",
+    "ne.jp",
+    "or.jp",
+    "com.au",
+    "net.au",
+    "org.au",
+    "com.br",
+    "com.cn",
+    "com.mx",
+    "co.in",
+    "co.nz",
+    "co.kr",
+    "co.za",
+    "com.ar",
+    "com.tr",
+    "com.tw",
+)
+
+
+def root_domain(host: str | None) -> str | None:
+    """eTLD+1 extraction (util/URLUtils.java:737 capability)."""
+    if not host:
+        return None
+    host = host.lower().rstrip(".")
+    labels = host.split(".")
+    if len(labels) <= 2:
+        return host
+    if ".".join(labels[-2:]) in TWO_LEVEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+# ---------------------------------------------------------------------------
+# Rabin fingerprint (public algorithm; replaces util/FPGenerator.java)
+# ---------------------------------------------------------------------------
+
+# degree-64 irreducible polynomial over GF(2); x^64 term implicit.
+# 0x000000000000001B = x^64 + x^4 + x^3 + x + 1 (a standard choice for
+# CRC-64-ECMA-style arithmetic; any irreducible degree-64 poly works
+# for fingerprint uniqueness guarantees)
+RABIN_POLY = 0x000000000000001B
+
+
+def _build_rabin_table(poly: int = RABIN_POLY) -> list[int]:
+    table = []
+    for b in range(256):
+        v = b << 56
+        for _ in range(8):
+            if v & (1 << 63):
+                v = ((v << 1) ^ poly) & 0xFFFFFFFFFFFFFFFF
+            else:
+                v = (v << 1) & 0xFFFFFFFFFFFFFFFF
+        table.append(v)
+    return table
+
+
+_RABIN_TABLE = _build_rabin_table()
+
+
+def rabin_fp64(data: bytes | str | None) -> int | None:
+    """64-bit Rabin fingerprint of a byte string (signed int64 range,
+    matching Spark LongType)."""
+    if data is None:
+        return None
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    fp = 0
+    for byte in data:
+        fp = (((fp << 8) & 0xFFFFFFFFFFFFFFFF) ^ _RABIN_TABLE[(fp >> 56) ^ byte]) & 0xFFFFFFFFFFFFFFFF
+    # two's-complement into signed 64-bit for LongType
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def url_fingerprint(url: str | None) -> tuple[int, int, int] | None:
+    """URLFPV2 (protocol.jr:54-72): (domain_hash, url_hash,
+    root_domain_hash) over the canonical URL."""
+    canon = canonicalize_url(url)
+    if canon is None:
+        return None
+    host = urlsplit(canon).hostname or ""
+    root = root_domain(host) or host
+    return (rabin_fp64(host), rabin_fp64(canon), rabin_fp64(root))
+
+
+# ---------------------------------------------------------------------------
+# pandas UDFs (Arrow-batched) for the full-fidelity kernels
+# ---------------------------------------------------------------------------
+
+
+# pandas_udf parses its DDL return type against the active session,
+# so the UDF objects are built lazily (first use) and cached.
+
+
+@lru_cache(maxsize=None)
+def _canonicalize_udf():
+    @pandas_udf("string")
+    def _udf(urls: pd.Series) -> pd.Series:
+        return urls.map(canonicalize_url)
+
+    return _udf
+
+
+def canonicalize_url_udf(col):
+    return _canonicalize_udf()(col)
+
+
+@lru_cache(maxsize=None)
+def _root_domain_udf():
+    @pandas_udf("string")
+    def _udf(hosts: pd.Series) -> pd.Series:
+        return hosts.map(root_domain)
+
+    return _udf
+
+
+def root_domain_udf(col):
+    return _root_domain_udf()(col)
+
+
+@lru_cache(maxsize=None)
+def _rabin_fp64_udf():
+    @pandas_udf("long")
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(rabin_fp64).astype("Int64")
+
+    return _udf
+
+
+def rabin_fp64_udf(col):
+    return _rabin_fp64_udf()(col)
+
+
+@lru_cache(maxsize=None)
+def _url_fingerprint_udf():
+    @pandas_udf("struct<domain_hash:long,url_hash:long,root_domain_hash:long>")
+    def _udf(urls: pd.Series) -> pd.DataFrame:
+        fps = urls.map(url_fingerprint)
+        return pd.DataFrame(
+            {
+                "domain_hash": fps.map(lambda t: t[0] if t else None),
+                "url_hash": fps.map(lambda t: t[1] if t else None),
+                "root_domain_hash": fps.map(lambda t: t[2] if t else None),
+            }
+        )
+
+    return _udf
+
+
+def url_fingerprint_udf(col):
+    return _url_fingerprint_udf()(col)
+
+
+# ---------------------------------------------------------------------------
+# Column-expression tier (JVM-side; the 100 TB hot path)
+# ---------------------------------------------------------------------------
+
+
+def canonicalize_url_expr(col: Column) -> Column:
+    """Codegen-friendly approximate canonicalizer: lowercase
+    scheme/host, strip fragment, strip default :80/:443, strip
+    session/utm params. Covers the common-case rules without leaving
+    the JVM; route edge-case traffic through canonicalize_url_udf."""
+    c = F.trim(col)
+    # lowercase scheme+authority, preserve path case
+    c = F.concat(
+        F.lower(F.regexp_extract(c, r"^([^/]*//[^/]*)", 1)),
+        F.regexp_replace(c, r"^[^/]*//[^/]*", ""),
+    )
+    c = F.regexp_replace(c, r"#.*$", "")  # fragment
+    c = F.regexp_replace(c, r"^(https?://[^/:]+):(?:80|443)(/|$)", r"$1$2")
+    sess = "|".join(SESSION_PARAMS)
+    c = F.regexp_replace(c, rf"(?i)[?&](?:{sess})=[^&]*", "")
+    c = F.regexp_replace(c, r"\?&", "?")
+    c = F.regexp_replace(c, r"[?&]$", "")
+    return c
+
+
+def ip_to_int_expr(col: Column) -> Column:
+    """Dotted-quad -> int32-ish long (util/IPAddressUtils.java
+    capability) as pure arithmetic -- no UDF."""
+    p = F.split(col, r"\.")
+    return (
+        p.getItem(0).cast("long") * 16777216
+        + p.getItem(1).cast("long") * 65536
+        + p.getItem(2).cast("long") * 256
+        + p.getItem(3).cast("long")
+    )
+
+
+def int_to_ip_expr(col: Column) -> Column:
+    return F.concat_ws(
+        ".",
+        (col / 16777216).cast("long") % 256,
+        (col / 65536).cast("long") % 256,
+        (col / 256).cast("long") % 256,
+        col.cast("long") % 256,
+    )

@@ -1,0 +1,324 @@
+"""Deduplication operators (SURVEY.md section 2.9 + training-data tier).
+
+The reference's dedupe stack:
+- exact dupes by content MD5 (fuzzydedupe/CrossDomainDupesReducer.java:49
+  groups by content signature),
+- near-dupes by 64-bit SimHash with C(6,3)=20-key LSH blocking
+  (deduper/Stage1Mapper.java:187-207, DeduperUtils.java:201,271) and
+  pairwise hamming <= K within blocks (Stage1Reducer.java:51),
+- match-set union across blocks (SetUnionFinder,
+  DeduperUtils.java:728-917) = connected components.
+
+This module adds the modern tiers a 100 TB training-data pipeline
+needs: MinHash-LSH, token-set Jaccard, and embedding-cosine near-dup.
+
+Scale shape of every LSH path: per-doc sketch (Arrow-batched pandas
+UDF or Column expr) -> explode band keys -> groupBy band (one
+shuffle; bands are high-cardinality so no skew) -> pairwise verify
+only within buckets (quadratic only in tiny candidate groups) ->
+iterative connected components over the surviving match edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import hashing
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact-dup groups by content signature (MD5 over text --
+    ParserMapper.java:828-832's signature, CrossDomainDupesReducer's
+    grouping). Returns one row per duplicated signature."""
+    return (
+        documents.groupBy(F.md5(F.col("text")).alias("sig"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.countDistinct("source").alias("distinct_sources"),
+        )
+        .filter(F.col("dup_count") > 1)
+        .orderBy("sig")
+    )
+
+
+def normalized_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact-dup groups over a *normalized* signature: md5 of the
+    sorted distinct token set. Catches reordered/repeated-word
+    near-identical documents that raw-byte MD5 misses -- the level of
+    normalization the reference applies via URL canonicalization
+    before fingerprinting, applied to content."""
+    sig = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))),
+        )
+    )
+    return (
+        documents.groupBy(sig.alias("sig"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("dup_count") > 1)
+        .orderBy("sig")
+    )
+
+
+def cross_source_duplicates(documents: DataFrame) -> DataFrame:
+    """Cross-domain dupe stats: per signature, how many distinct
+    sources share it (fuzzydedupe/CrossDomainDupesReducer.java:49 +
+    FindBadIPsFromDupes capability: colocated-spam detection).
+    Uses the normalized token-set signature (raw-byte dupes don't
+    exist in the synthetic corpus; token-set dupes do)."""
+    sig = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))),
+        )
+    )
+    return (
+        documents.groupBy(sig.alias("sig"))
+        .agg(
+            F.countDistinct("source").alias("source_count"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .filter(F.col("source_count") > 1)
+        .orderBy("sig")
+    )
+
+
+def simhash_candidate_pairs(
+    documents: DataFrame, hamming_k: int = 3
+) -> DataFrame:
+    """SimHash LSH near-dup candidate pairs.
+
+    Pipeline (mirrors Stage1Mapper/Stage1Reducer semantics):
+    simhash (pandas UDF) -> 20 band keys (pure Column expr,
+    simhash_bands_expr) -> explode -> self-join per (pattern, key)
+    bucket -> hamming <= k verify via bit_count (JVM) -> distinct
+    pairs. Hamming <= 3 guarantees a shared band (C(6,3) blocking).
+    """
+    sh = documents.select(
+        "doc_id", hashing.simhash64_udf(F.col("text")).alias("simhash")
+    )
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(hashing.simhash_bands_expr(F.col("simhash"))).alias("band"),
+    ).select("doc_id", "simhash", "band.pattern", "band.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pattern") == F.col("b.pattern"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hashing.hamming_distance_expr(
+                F.col("a.simhash"), F.col("b.simhash")
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_k)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact token-Jaccard verify.
+
+    Sketch -> band signature slices -> bucket join -> verify with the
+    true token-set Jaccard (array_intersect/union sizes, JVM-side).
+    The verify step makes LSH false positives harmless; false-negative
+    rate is controlled by (bands, rows-per-band).
+    """
+    rows_per_band = num_hashes // bands
+    mh = documents.select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
+        hashing.minhash_udf(F.col("text"), num_hashes).alias("sig"),
+    )
+    banded = mh.select(
+        "doc_id",
+        "tokens",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "tokens", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.tokens").alias("tokens_a"),
+            F.col("b.tokens").alias("tokens_b"),
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("tokens_a"), F.col("tokens_b")))
+    union = F.size(F.array_union(F.col("tokens_a"), F.col("tokens_b")))
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.4, length_band: int = 64
+) -> DataFrame:
+    """Exact token-set Jaccard similarity join with length blocking.
+
+    The non-sketch baseline: block by (lang, length band) so the
+    quadratic pairwise stays within small buckets, then compute exact
+    Jaccard with JVM array ops. At 100 TB you'd use minhash_lsh_pairs;
+    this is the oracle-friendly exact twin.
+    """
+    toks = documents.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / length_band).alias("lb"),
+        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens")))
+    union = F.size(F.array_union(F.col("a.tokens"), F.col("b.tokens")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, cosine_threshold: float = 0.95, band: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked.
+
+    Cosine via zip_with + aggregate (JVM higher-order functions, no
+    Python). Blocking on `label` keeps the self-join linear-ish; the
+    unblocked scale path is similarity.ann_lsh_topk.
+    """
+    # double math: float32 accumulation would diverge from the
+    # DuckDB oracle and loses precision at high dimensionality
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a, b = e.alias("a"), e.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    norm_a = F.sqrt(dot(F.col("a.embedding"), F.col("a.embedding")))
+    norm_b = F.sqrt(dot(F.col("b.embedding"), F.col("b.embedding")))
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (norm_a * norm_b)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    SetUnionFinder capability (DeduperUtils.java:728-917,
+    Stage2Reducer.java:39-56): merge overlapping match sets into
+    components. Each iteration joins labels across edges and keeps
+    the min; converges in O(diameter) rounds. localCheckpoint every
+    round truncates lineage (the reference's FS checkpoint,
+    PageRankUtils.java:120-143, plays the same role).
+
+    edges: (src, dst) long columns. Returns (node, component).
+    """
+    sym = (
+        edges.select(F.col("src"), F.col("dst"))
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .union(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        # neighbor-min pass: each node adopts min(own, neighbors')
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neighbor_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("node")

@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (training-data tier).
+
+Approximate-nearest-neighbor surface for an `array<float>` embedding
+column: brute-force cosine top-k as the exact baseline, and a
+random-hyperplane LSH bucketed variant as the scale path (Charikar
+2002 rounding scheme -- same family the reference's SimHash uses for
+text, applied to vectors).
+
+Scale shape: brute force is a broadcast probe-set x full scan (one
+pass, no shuffle of the big side, top-k heap per probe via window);
+LSH replaces the full scan with a bucket equi-join, trading recall
+for a ~2^bits fan-in reduction. Dot products run as JVM higher-order
+functions (zip_with/aggregate); the LSH projection is a numpy matmul
+in an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine_expr(x, y):
+    return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, probes: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe vector.
+
+    probes: (probe_id, embedding). Broadcast the probe side, scan the
+    corpus once, window top-k per probe. Excludes self-matches by id.
+    """
+    e = embeddings.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("corpus_emb"),
+    )
+    p = probes.select(
+        F.col("probe_id"),
+        F.col("embedding").cast("array<double>").alias("probe_emb"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("probe_emb"), F.col("corpus_emb")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("probe_id", "rnk")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim).astype(np.float64)
+
+
+def lsh_buckets_udf(dim: int, bits: int = 8, n_tables: int = 8, seed: int = 7):
+    """Multi-table random-hyperplane signatures: for each of L tables,
+    a sign-bit pack of H_l @ v, tagged with the table id so buckets
+    from different tables never collide. One numpy matmul per Arrow
+    batch. Returns array<long> of length n_tables.
+
+    Multiple tables are the standard recall lever (Indyk-Motwani
+    LSH): candidate recall = 1 - (1 - p^bits)^n_tables, with
+    p = 1 - theta/pi per hyperplane.
+    """
+    planes = _hyperplanes(dim, bits * n_tables, seed)  # [L*b, dim]
+
+    @pandas_udf("array<long>")
+    def _udf(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy())  # [batch, dim]
+        signs = (mat @ planes.T) > 0  # [batch, L*b]
+        signs = signs.reshape(len(mat), n_tables, bits)
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        codes = signs @ weights  # [batch, L]
+        # tag with table index in high bits so tables don't collide
+        tagged = codes + (np.arange(n_tables, dtype=np.int64) << 32)
+        return pd.Series(list(tagged))
+
+    return _udf
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k: candidates share >= 1 of the probe's L LSH buckets,
+    then exact cosine re-rank. Recall < 1 by design; measured against
+    brute_force_topk in tests (raise n_tables / lower bits for
+    recall, the reverse for throughput)."""
+    bucket = lsh_buckets_udf(dim, bits, n_tables, seed)
+    e = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("corpus_emb"),
+        F.explode(bucket(F.col("embedding"))).alias("bucket"),
+    )
+    p = probes.select(
+        "probe_id",
+        F.col("embedding").cast("array<double>").alias("probe_emb"),
+        F.explode(bucket(F.col("embedding"))).alias("bucket"),
+    )
+    scored = (
+        e.join(F.broadcast(p), "bucket")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("probe_emb"), F.col("corpus_emb")), 4).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates(["probe_id", "vec_id"])
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("probe_id", "rnk")
+    )
+
+
+def pairwise_label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid + dispersion -- the aggregate shape used to
+    build IVF coarse quantizers (centroid table broadcast at query
+    time). Pure JVM: element-wise array aggregation via
+    posexplode + groupBy position."""
+    n_dim = F.size(F.col("embedding"))
+    exploded = embeddings.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    per_pos = exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 6).alias("mean_val")
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.round(F.sum(F.col("mean_val") * F.col("mean_val")), 4).alias(
+                "centroid_sq_norm"
+            ),
+            F.count(F.lit(1)).alias("dims"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,189 @@
+"""Unit tests for the scalar function library.
+
+The reference embeds its vectors in production files (URL table at
+URLUtils.java:972,1117; simhash asserts DeduperUtils.java:955-1050);
+we write our own table-driven vectors for the re-derived semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from commoncrawl_crawler_spark.functions import hashing, text, urls
+
+# table-driven canonicalization vectors (style of URLUtils.java:972)
+CANON_CASES = [
+    ("HTTP://Example.COM/Path", "http://example.com/Path"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),
+    ("http://example.com/a#frag", "http://example.com/a"),
+    ("http://example.com", "http://example.com/"),
+    ("example.com/x", "http://example.com/x"),
+    ("http://example.com/a?jsessionid=abc&q=1", "http://example.com/a?q=1"),
+    ("http://example.com/a?PHPSESSID=zz", "http://example.com/a"),
+    ("http://example.com/a;jsessionid=xyz", "http://example.com/a"),
+    ("http://example.com/a?utm_source=x&k=v", "http://example.com/a?k=v"),
+    ("http://EXAMPLE.com./a", "http://example.com/a"),
+    ("", None),
+    (None, None),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CANON_CASES)
+def test_canonicalize_url(raw, expected):
+    assert urls.canonicalize_url(raw) == expected
+
+
+ROOT_CASES = [
+    ("www.example.com", "example.com"),
+    ("a.b.example.co.uk", "example.co.uk"),
+    ("example.com", "example.com"),
+    ("com", "com"),
+    ("deep.sub.domain.example.org", "example.org"),
+    (None, None),
+]
+
+
+@pytest.mark.parametrize("host,expected", ROOT_CASES)
+def test_root_domain(host, expected):
+    assert urls.root_domain(host) == expected
+
+
+def test_rabin_fp64_deterministic_and_distinct():
+    a = urls.rabin_fp64("http://example.com/")
+    assert a == urls.rabin_fp64("http://example.com/")
+    assert a != urls.rabin_fp64("http://example.org/")
+    assert urls.rabin_fp64("") == 0
+    assert urls.rabin_fp64(None) is None
+    # signed-64 range (Spark LongType)
+    vals = [urls.rabin_fp64(f"u{i}") for i in range(200)]
+    assert all(-(1 << 63) <= v < (1 << 63) for v in vals)
+    assert len(set(vals)) == 200
+
+
+def test_url_fingerprint_struct():
+    fp = urls.url_fingerprint("https://a.b.Example.com/x?sid=1")
+    assert fp is not None
+    domain_hash, url_hash, root_hash = fp
+    # same root domain across subdomains
+    fp2 = urls.url_fingerprint("https://c.Example.com/y")
+    assert fp2[2] == root_hash
+    assert fp2[0] != domain_hash
+
+
+def test_simhash_similarity_property():
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "lazzy")
+    far = "completely different content about spark aggregation engines " * 5
+    h0, h1, h2 = (hashing.simhash64(t) for t in (base, near, far))
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(h0, h1) < 12  # near-dup stays close
+    assert ham(h0, h2) > 20  # unrelated stays far
+    assert hashing.simhash64(base) == h0  # deterministic
+
+
+def test_minhash_jaccard_estimate():
+    a = "spark dataframe engine with catalyst optimizer " * 4
+    b = "spark dataframe engine with tungsten optimizer " * 4
+    c = "unrelated text about web crawling and arc files " * 4
+    sa, sb, sc = (hashing.minhash_signature(t, num_hashes=128) for t in (a, b, c))
+    sim_ab = sum(x == y for x, y in zip(sa, sb)) / 128
+    sim_ac = sum(x == y for x, y in zip(sa, sc)) / 128
+    assert sim_ab > 0.5
+    assert sim_ac < 0.2
+
+
+def test_simhash_bands_collision_property(spark):
+    """Hashes within hamming<=3 must share >=1 of the 20 band keys
+    (the C(6,3) blocking guarantee, DeduperUtils.java:201)."""
+    h = hashing.simhash64("some document text for banding " * 3)
+    h_near = h ^ 0b101  # flip 2 bits -> hamming 2
+    h_far = h ^ ((1 << 1) | (1 << 12) | (1 << 23) | (1 << 34) | (1 << 45) | (1 << 56))
+    df = spark.createDataFrame(
+        [Row(id=1, sh=h), Row(id=2, sh=h_near), Row(id=3, sh=h_far)]
+    )
+    bands = df.select(
+        "id", F.explode(hashing.simhash_bands_expr(F.col("sh"))).alias("band")
+    ).select("id", "band.pattern", "band.key")
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.pattern") == F.col("b.pattern"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select("a.id", "b.id")
+        .distinct()
+        .collect()
+    )
+    matched = {(r[0], r[1]) for r in pairs}
+    assert (1, 2) in matched  # hamming-2 pair must collide
+    assert (1, 3) not in matched  # 6 spread bits -> every block differs
+
+
+def test_hamming_expr(spark):
+    df = spark.createDataFrame([Row(a=0b1011, b=0b0010)])
+    got = df.select(hashing.hamming_distance_expr(F.col("a"), F.col("b")).alias("h"))
+    assert got.collect()[0].h == 2  # 1011 XOR 0010 = 1001 -> 2 set bits
+
+
+def test_ip_conversion_roundtrip(spark):
+    df = spark.createDataFrame([Row(ip="192.168.1.10"), Row(ip="8.8.8.8")])
+    out = df.select(
+        "ip",
+        urls.ip_to_int_expr(F.col("ip")).alias("as_int"),
+    ).select("ip", "as_int", urls.int_to_ip_expr(F.col("as_int")).alias("back"))
+    for r in out.collect():
+        assert r.ip == r.back
+    as_int = {r.ip: r.as_int for r in out.collect()}
+    assert as_int["8.8.8.8"] == 8 * 16777216 + 8 * 65536 + 8 * 256 + 8
+
+
+def test_text_exprs(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the quick brown fox and the lazy dog"),
+            Row(t="der hund und die katze ist das"),
+            Row(t=""),
+            Row(t="!!! ??? ;;;"),
+        ]
+    )
+    out = df.select(
+        "t",
+        text.token_count_expr(F.col("t")).alias("tokens"),
+        text.punct_ratio_expr(F.col("t")).alias("punct"),
+        text.langid_scores_expr(F.col("t")).alias("lang"),
+        text.quality_score_expr(F.col("t")).alias("q"),
+    ).collect()
+    by_text = {r.t: r for r in out}
+    assert by_text["the quick brown fox and the lazy dog"].tokens == 8
+    assert by_text["the quick brown fox and the lazy dog"].lang == "en"
+    assert by_text["der hund und die katze ist das"].lang == "de"
+    assert by_text[""].tokens == 0
+    assert by_text["!!! ??? ;;;"].punct > 0.5
+    assert by_text["the quick brown fox and the lazy dog"].q > by_text["!!! ??? ;;;"].q
+
+
+def test_char_ngrams_expr(spark):
+    df = spark.createDataFrame([Row(t="abcdef")])
+    grams = df.select(text.char_ngrams_expr(F.col("t"), 4).alias("g")).collect()[0].g
+    assert grams == ["abcd", "bcde", "cdef"]
+
+
+def test_canonicalize_udf_matches_kernel(spark):
+    raws = [c[0] for c in CANON_CASES if c[0]]
+    df = spark.createDataFrame([Row(u=r) for r in raws])
+    got = {
+        r.u: r.c
+        for r in df.select(
+            "u", urls.canonicalize_url_udf(F.col("u")).alias("c")
+        ).collect()
+    }
+    for raw in raws:
+        assert got[raw] == urls.canonicalize_url(raw), raw
