@@ -23,6 +23,7 @@ from commoncrawl_crawler_spark.operators import (
     aggregates,
     dedup,
     filters,
+    graph,
     joins,
     setops,
     similarity,
@@ -47,6 +48,124 @@ def _blocked_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("source").alias("blocked_source"))
         .distinct()
     )
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.link_graph_edges(_t(spark, sf_dir, "lineitem"))
+
+
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sparse subgraph (rare high-price lines) so components are
+    # non-trivial; the full graph collapses to one giant component
+    return graph.link_graph_edges(
+        _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 95000)
+    )
+
+
+# ---- generated oracle SQL for the graph family -----------------------
+
+_EDGES_CTE = """
+edges AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem{flt}
+        UNION ALL
+        SELECT l_partkey + 1000000 AS src, l_suppkey AS dst
+        FROM lineitem WHERE l_linenumber = 1{andflt}
+    )
+),
+nodes AS (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+outdeg AS (SELECT src, count(*) AS out_cnt FROM edges GROUP BY src)
+"""
+
+
+def _edges_cte(price_min: float | None = None) -> str:
+    flt = f" WHERE l_extendedprice > {price_min}" if price_min else ""
+    andflt = f" AND l_extendedprice > {price_min}" if price_min else ""
+    return _EDGES_CTE.format(flt=flt, andflt=andflt)
+
+
+def _pagerank_sql(iterations: int = 3) -> str:
+    # fixed-point bigint ranks (1.0 == 1e6) with truncating division:
+    # exact integer math -> engine- and order-independent results
+    sql = (
+        "WITH "
+        + _edges_cte()
+        + ", r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_i FROM nodes)"
+    )
+    for i in range(1, iterations + 1):
+        sql += f""",
+r{i} AS (
+    SELECT n.node,
+           CAST(150000 + (coalesce(s.recv, 0) * 85) // 100 AS BIGINT) AS rank_i
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank_i // d.out_cnt) AS recv
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN outdeg d ON e.src = d.src
+        GROUP BY e.dst
+    ) s ON n.node = s.node
+)"""
+    return sql + (
+        f"\nSELECT node, round(rank_i / 1000000.0, 6) AS rank"
+        f" FROM r{iterations} ORDER BY node"
+    )
+
+
+def _pagerank_rootavg_sql(iterations: int = 2) -> str:
+    sql = (
+        "WITH "
+        + _edges_cte()
+        + """,
+super_roots AS (
+    SELECT root FROM (
+        SELECT node % 97 AS root, count(DISTINCT node) AS node_count
+        FROM nodes GROUP BY 1
+    ) WHERE node_count > 25
+),
+edge_w AS (
+    SELECT e.src, e.dst, d.out_cnt, e.src % 97 AS src_root,
+           (e.src % 97) IN (SELECT root FROM super_roots) AS is_super
+    FROM edges e JOIN outdeg d ON e.src = d.src
+),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_i FROM nodes)"""
+    )
+    for i in range(1, iterations + 1):
+        sql += f""",
+r{i} AS (
+    SELECT n.node,
+           CAST(150000 + (coalesce(s.recv, 0) * 85) // 100 AS BIGINT) AS rank_i
+    FROM nodes n LEFT JOIN (
+        SELECT dst AS node,
+               sum(CASE WHEN is_super THEN ssum ELSE ssum // cnt END) AS recv
+        FROM (
+            SELECT e.dst, e.src_root, e.is_super,
+                   sum(r.rank_i // e.out_cnt) AS ssum,
+                   count(*) AS cnt
+            FROM edge_w e JOIN r{i - 1} r ON e.src = r.node
+            GROUP BY 1, 2, 3
+        ) GROUP BY dst
+    ) s ON n.node = s.node
+)"""
+    return sql + (
+        f"\nSELECT node, round(rank_i / 1000000.0, 6) AS rank"
+        f" FROM r{iterations} ORDER BY node"
+    )
+
+
+_CC_SQL = (
+    "WITH RECURSIVE "
+    + _edges_cte(95000.0)
+    + """,
+und AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+lp(node, comp) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT u.b, lp.comp FROM lp JOIN und u ON lp.node = u.a WHERE lp.comp < u.b
+)
+SELECT node, min(comp) AS comp FROM lp GROUP BY node ORDER BY node"""
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -171,6 +290,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_near_duplicates(
             _t(s, d, "embeddings"), cosine_threshold=0.35
+        ),
+        "graph_link_edges": lambda s, d: _edges(s, d).orderBy(
+            "src", "dst", "link_type"
+        ),
+        "graph_inverse_links": lambda s, d: graph.inverse_links(_edges(s, d)),
+        "graph_degree_stats": lambda s, d: graph.degree_stats(_edges(s, d)),
+        "graph_pagerank": lambda s, d: graph.pagerank(_edges(s, d), iterations=3),
+        "graph_pagerank_rootavg": lambda s, d: graph.pagerank_root_averaged(
+            _edges(s, d),
+            super_roots=graph.super_domains(_edges(s, d), threshold=25),
+            iterations=2,
+        ),
+        "graph_connected_components": lambda s, d: graph.connected_components(
+            _cc_edges(s, d)
+        ),
+        "graph_domain_rank": lambda s, d: graph.domain_rank(_edges(s, d)),
+        "graph_super_domains": lambda s, d: graph.super_domains(
+            _edges(s, d), threshold=25
         ),
         "sim_brute_force_topk": lambda s, d: similarity.brute_force_topk(
             _t(s, d, "embeddings"),
@@ -446,6 +583,65 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT o_custkey AS custkey FROM orders
             ORDER BY custkey
+        """,
+        "graph_link_edges": """
+            SELECT src, dst, link_type FROM (
+                SELECT DISTINCT l_suppkey AS src,
+                       l_partkey + 1000000 AS dst,
+                       'supplies' AS link_type
+                FROM lineitem
+                UNION ALL
+                SELECT DISTINCT l_partkey + 1000000 AS src,
+                       l_suppkey AS dst,
+                       'returns' AS link_type
+                FROM lineitem WHERE l_linenumber = 1
+            ) ORDER BY src, dst, link_type
+        """,
+        "graph_inverse_links": "WITH "
+        + _edges_cte()
+        + """
+            SELECT dst, count(DISTINCT src) AS inlink_count,
+                   array_to_string(list_sort(list(DISTINCT src))[1:100], ',')
+                       AS src_sample
+            FROM edges GROUP BY dst ORDER BY dst
+        """,
+        "graph_degree_stats": "WITH "
+        + _edges_cte()
+        + """
+            SELECT node, sum(outd) AS out_degree, sum(ind) AS in_degree FROM (
+                SELECT src AS node, 1 AS outd, 0 AS ind FROM edges
+                UNION ALL
+                SELECT dst AS node, 0 AS outd, 1 AS ind FROM edges
+            ) GROUP BY node ORDER BY node
+        """,
+        "graph_pagerank": _pagerank_sql(iterations=3),
+        "graph_pagerank_rootavg": _pagerank_rootavg_sql(iterations=2),
+        "graph_connected_components": _CC_SQL,
+        "graph_domain_rank": "WITH "
+        + _edges_cte()
+        + """,
+            e AS (
+                SELECT DISTINCT src, dst, (src % 97 = dst % 97) AS same_root
+                FROM edges
+            ),
+            counts AS (
+                SELECT dst,
+                       sum(CASE WHEN same_root THEN 1 ELSE 0 END) AS same_cnt,
+                       sum(CASE WHEN same_root THEN 0 ELSE 1 END) AS diff_cnt
+                FROM e GROUP BY dst
+            )
+            SELECT dst, same_cnt, diff_cnt,
+                   round(least(sqrt(pow(ln(same_cnt + 1) * 0.2, 2)
+                                    + pow(ln(diff_cnt + 1), 2)), 14.0)
+                         / 14.0 * 10.0, 6) AS domain_rank
+            FROM counts ORDER BY dst
+        """,
+        "graph_super_domains": "WITH "
+        + _edges_cte()
+        + """
+            SELECT node % 97 AS root, count(DISTINCT node) AS node_count
+            FROM nodes GROUP BY 1 HAVING count(DISTINCT node) > 25
+            ORDER BY root
         """,
         "dedup_exact": """
             SELECT md5(text) AS sig,

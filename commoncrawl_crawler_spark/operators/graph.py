@@ -1,0 +1,336 @@
+"""Link-graph operators: edge emit, inverse links, PageRank, components.
+
+Reference surface (SURVEY.md section 2.9):
+- LinkGraphDataEmitter (mapred/ec2/postprocess/crawldb/
+  LinkGraphDataEmitter.java:50,100-160): parse records -> typed edge
+  rows. Here: `select`/`unionByName`/`distinct` over the fact table.
+- InverseLinkDBWriterV3 (mapred/pipelineV1/InverseLinkDBWriterV3.java:69):
+  invert outlinks -> per-target inlink lists with sample caps. Here:
+  `groupBy(dst).agg(collect_set ... slice)`.
+- PageRank BSP service (service/pagerank/slave/PageRankUtils.java:
+  2332-2531): scatter rank/outdeg, gather with damping
+  `0.15 + 0.85 * sum` (finalizePageRank :300-313) and optional
+  per-root-domain source *averaging* (anti-nepotism, :2438-2500).
+  Here: an iterative DataFrame loop with localCheckpoint() to
+  truncate lineage -- the 6,619-LoC custom BSP engine collapses into
+  joins + aggregations Catalyst plans per iteration.
+- SetUnionFinder (mapred/ec2/postprocess/deduper/DeduperUtils.java:
+  728-917): connected components via union-find. Here: min-label
+  propagation to a fixpoint.
+- GenerateRankReducer (mapred/pipelineV3/domainmeta/rank/
+  GenDomainRankStep.java:56-110): closed-form domain rank over
+  same-root vs cross-root inlink counts.
+- IdSuperDomainsStep (mapred/pipelineV3/domainmeta/rank/
+  IdSuperDomainsStep.java:53-112): mega-domain detection for skew
+  handling -> broadcast set.
+
+Scale posture: edges/ranks shuffle on node id only; every iteration
+is one shuffle (join on src is co-partitioned with the prior
+iteration's output under AQE); localCheckpoint() bounds plan growth
+so iteration 20 plans as cheaply as iteration 1. The synthetic
+"root domain" of a node is `node % 97` (stand-in for
+rootDomainHash; the reference derives it from eTLD+1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+ROOT_MOD = 97  # synthetic rootDomainHash: node % ROOT_MOD
+PART_OFFSET = 1_000_000  # part node ids live in their own id space
+SAMPLE_CAP = 100  # CrawlDBMergingReducer.java:94 truncation cap
+
+
+def root_of(col):
+    """Synthetic root-domain of a node id (URLUtils.java:737 analog)."""
+    return col % ROOT_MOD
+
+
+def link_graph_edges(lineitem: DataFrame) -> DataFrame:
+    """Typed, deduped edge table derived from the fact table.
+
+    Mirrors LinkGraphDataEmitter: every source record row becomes
+    typed edges; forward `supplies` edges supplier->part, plus
+    `returns` back-edges part->supplier for first line numbers so the
+    graph has cycles (the real link graph is cyclic).
+    """
+    fwd = lineitem.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + PART_OFFSET).alias("dst"),
+        F.lit("supplies").alias("link_type"),
+    )
+    back = lineitem.filter(F.col("l_linenumber") == 1).select(
+        (F.col("l_partkey") + PART_OFFSET).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+        F.lit("returns").alias("link_type"),
+    )
+    return fwd.unionByName(back).distinct()
+
+
+def graph_nodes(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def inverse_links(edges: DataFrame) -> DataFrame:
+    """Per-target inlink summary with a capped, sorted source sample.
+
+    InverseLinkDBWriterV3.java:69,361-757 built this as a 2-phase
+    custom-comparator MapReduce; one groupBy suffices. The sample list
+    is sorted then sliced to SAMPLE_CAP (deterministic truncation, as
+    CrawlDBMergingReducer.java:94 caps externally-referenced URLs),
+    and string-joined so oracle comparison is order-exact.
+    """
+    return (
+        edges.groupBy("dst")
+        .agg(
+            F.countDistinct("src").alias("inlink_count"),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_set("src")), 1, SAMPLE_CAP),
+            ).alias("src_sample"),
+        )
+        .orderBy("dst")
+    )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Out/in degree per node in one shuffle (union then aggregate)."""
+    tagged = edges.select(
+        F.col("src").alias("node"), F.lit(1).alias("outd"), F.lit(0).alias("ind")
+    ).unionByName(
+        edges.select(
+            F.col("dst").alias("node"), F.lit(0).alias("outd"), F.lit(1).alias("ind")
+        )
+    )
+    return (
+        tagged.groupBy("node")
+        .agg(F.sum("outd").alias("out_degree"), F.sum("ind").alias("in_degree"))
+        .orderBy("node")
+    )
+
+
+RANK_SCALE = 1_000_000  # fixed-point rank scale (1.0 == 1e6)
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Iterative PageRank: rank = 0.15 + 0.85 * sum(in contributions).
+
+    PageRankUtils.java:300-313 (finalizePageRank). No dangling-mass
+    redistribution -- the reference doesn't do it either.
+
+    Ranks are fixed-point bigints (RANK_SCALE = 1e6) with truncating
+    division, so every iteration is exact integer arithmetic: the
+    result is bit-identical regardless of partitioning, summation
+    order, or engine -- float PageRank is not reproducible across
+    cluster layouts, fixed-point is. Quantization error per step is
+    < out_cnt / RANK_SCALE, i.e. < 1e-3 even for 1000-outlink hubs.
+
+    Scale: one join+agg per iteration; ranks are checkpointed each
+    iteration (plan/lineage truncation) -- at cluster scale swap
+    localCheckpoint for reliable checkpoint on HDFS/S3.
+    """
+    base_i = (damp_den - damp_num) * RANK_SCALE // damp_den  # 0.15
+    nodes = graph_nodes(edges)
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
+    # fuse static per-edge divisor once: contribution = rank(src)/out_cnt(src)
+    edge_w = edges.join(out_deg, "src").select("src", "dst", "out_cnt")
+
+    ranks = nodes.withColumn("rank_i", F.lit(RANK_SCALE).cast("long"))
+    for _ in range(iterations):
+        contribs = (
+            edge_w.join(ranks, edge_w["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank_i DIV out_cnt")).alias("recv"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_i).cast("long")
+                    + F.expr(f"(coalesce(recv, 0) * {damp_num}) DIV {damp_den}")
+                ).alias("rank_i"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node", F.round(F.col("rank_i") / RANK_SCALE, 6).alias("rank")
+    ).orderBy("node")
+
+
+def pagerank_root_averaged(
+    edges: DataFrame,
+    super_roots: DataFrame | None = None,
+    iterations: int = 2,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """PageRank with per-root-domain source averaging (anti-nepotism).
+
+    PageRankUtils.java:2438-2500: contributions from sources that
+    share a root domain are *averaged*, not summed, before the
+    cross-root sum -- unless the root is a designated super-domain
+    (blogspot-like), which keeps plain summation. `super_roots` is a
+    small DataFrame(root) broadcast into the loop. Same fixed-point
+    discipline as `pagerank` (the average is a truncating sum/count).
+    """
+    base_i = (damp_den - damp_num) * RANK_SCALE // damp_den
+    nodes = graph_nodes(edges)
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
+    edge_w = edges.join(out_deg, "src").select(
+        "src", "dst", "out_cnt", root_of(F.col("src")).alias("src_root")
+    )
+    if super_roots is not None:
+        edge_w = edge_w.join(
+            F.broadcast(super_roots.select(F.col("root").alias("src_root"))
+                        .withColumn("is_super", F.lit(True))),
+            "src_root",
+            "left",
+        ).withColumn("is_super", F.coalesce(F.col("is_super"), F.lit(False)))
+    else:
+        edge_w = edge_w.withColumn("is_super", F.lit(False))
+
+    ranks = nodes.withColumn("rank_i", F.lit(RANK_SCALE).cast("long"))
+    for _ in range(iterations):
+        per_root = (
+            edge_w.join(ranks, edge_w["src"] == ranks["node"])
+            .withColumn("contrib", F.expr("rank_i DIV out_cnt"))
+            .groupBy("dst", "src_root", "is_super")
+            .agg(
+                F.sum("contrib").alias("ssum"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+        )
+        contribs = per_root.groupBy("dst").agg(
+            F.sum(
+                F.when(F.col("is_super"), F.col("ssum")).otherwise(
+                    F.expr("ssum DIV cnt")
+                )
+            ).alias("recv")
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_i).cast("long")
+                    + F.expr(f"(coalesce(recv, 0) * {damp_num}) DIV {damp_den}")
+                ).alias("rank_i"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node", F.round(F.col("rank_i") / RANK_SCALE, 6).alias("rank")
+    ).orderBy("node")
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Undirected connected components by min-label propagation.
+
+    SetUnionFinder (DeduperUtils.java:728-917) does this with an
+    in-memory union-find over match sets; distributed, each node
+    repeatedly adopts the minimum label among itself and its
+    neighbors until a fixpoint. Converges in O(diameter) rounds --
+    the reference's match-set graphs are tiny-diameter, as are web
+    link graphs after LSH blocking.
+
+    Scale: each round is one shuffle (groupBy node); labels are
+    checkpointed; convergence check is a cheap aggregate on the
+    changed-count rather than a full comparison join.
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = graph_nodes(und).withColumn("comp", F.col("node"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            und.join(labels, und["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.orderBy("node")
+
+
+def component_sizes(labels: DataFrame) -> DataFrame:
+    return (
+        labels.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy("comp")
+    )
+
+
+def domain_rank(edges: DataFrame) -> DataFrame:
+    """Closed-form domain rank from same-root vs cross-root inlinks.
+
+    GenDomainRankStep.java:56-110 (GenerateRankReducer):
+    rank = min(sqrt((ln(same)*0.2)^2 + ln(diff)^2), 14) / 14 * 10
+    over *deduped* inlink edges, where `same` counts inlinks whose
+    source shares the target's root domain. ln(x+1) guards empty
+    counts (the reference skips zero groups; +1 keeps totality).
+    """
+    e = edges.select(
+        "src",
+        "dst",
+        (root_of(F.col("src")) == root_of(F.col("dst"))).alias("same_root"),
+    ).distinct()
+    counts = e.groupBy("dst").agg(
+        F.sum(F.when(F.col("same_root"), 1).otherwise(0)).alias("same_cnt"),
+        F.sum(F.when(F.col("same_root"), 0).otherwise(1)).alias("diff_cnt"),
+    )
+    score = F.sqrt(
+        F.pow(F.log(F.col("same_cnt") + 1) * 0.2, 2)
+        + F.pow(F.log(F.col("diff_cnt") + 1), 2)
+    )
+    return counts.select(
+        "dst",
+        "same_cnt",
+        "diff_cnt",
+        F.round(F.least(score, F.lit(14.0)) / 14.0 * 10.0, 6).alias("domain_rank"),
+    ).orderBy("dst")
+
+
+def super_domains(edges: DataFrame, threshold: int = 25) -> DataFrame:
+    """Roots owning more than `threshold` distinct nodes -> skew set.
+
+    IdSuperDomainsStep.java:53-112 / GenSuperDomainListStep.java:47:
+    identify mega-domains whose subdomain fan-out would skew any
+    root-domain-keyed shuffle; downstream these keep subdomain-level
+    partition keys (PartitionUtils.java:60-85) -- in Spark terms, the
+    salting list. The output is small by construction: broadcast it.
+    """
+    return (
+        graph_nodes(edges)
+        .select(root_of(F.col("node")).alias("root"), F.col("node"))
+        .groupBy("root")
+        .agg(F.countDistinct("node").alias("node_count"))
+        .filter(F.col("node_count") > threshold)
+        .orderBy("root")
+    )

@@ -1,0 +1,96 @@
+"""Graph operator semantics on hand-built tiny graphs.
+
+Oracle parity (test_oracle_parity) checks engine agreement; these
+check the *algorithms* against hand-computed expectations, modeled on
+the reference's embedded asserts (DeduperUtils.java:955-1050 for
+union-find; PageRankUtils finalizePageRank damping).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from commoncrawl_crawler_spark.operators import graph
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(s, d, "t") for s, d in pairs], "src long, dst long, link_type string"
+    )
+
+
+def test_connected_components_two_islands(spark):
+    # {1-2-3} and {10-11}, 20 isolated-by-self? (no: nodes come from edges)
+    labels = graph.connected_components(
+        _edges_df(spark, [(1, 2), (2, 3), (10, 11)])
+    )
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_chain_converges(spark):
+    # long chain needs multiple label-propagation rounds
+    chain = [(i, i + 1) for i in range(1, 12)]
+    labels = graph.connected_components(_edges_df(spark, chain))
+    comps = {r["comp"] for r in labels.collect()}
+    assert comps == {1}
+
+
+def test_pagerank_sink_gets_all_rank(spark):
+    # 1 -> 3, 2 -> 3: after one iteration rank(3) = 0.15 + 0.85*(1+1)
+    ranks = graph.pagerank(_edges_df(spark, [(1, 3), (2, 3)]), iterations=1)
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert got[1] == pytest.approx(0.15)
+    assert got[2] == pytest.approx(0.15)
+    assert got[3] == pytest.approx(0.15 + 0.85 * 2.0)
+
+
+def test_pagerank_split_outdegree(spark):
+    # 1 -> {2,3}: each target receives rank/2
+    ranks = graph.pagerank(_edges_df(spark, [(1, 2), (1, 3)]), iterations=1)
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert got[2] == pytest.approx(0.15 + 0.85 * 0.5)
+    assert got[3] == pytest.approx(0.15 + 0.85 * 0.5)
+
+
+def test_pagerank_root_averaging_dampens_nepotism(spark):
+    # targets 200 and 201: 200 receives from 3 sources sharing one root
+    # (97, 194, 291 are all ==0 mod 97 -> averaged to one contribution);
+    # 201 receives from 3 sources in distinct roots (summed).
+    same_root_sources = [(97, 200), (194, 200), (291, 200)]
+    cross_root_sources = [(1, 201), (2, 201), (3, 201)]
+    edges = _edges_df(spark, same_root_sources + cross_root_sources)
+    ranks = graph.pagerank_root_averaged(edges, iterations=1)
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert got[200] == pytest.approx(0.15 + 0.85 * 1.0)  # avg of three 1.0s
+    assert got[201] == pytest.approx(0.15 + 0.85 * 3.0)  # plain sum
+
+
+def test_pagerank_super_root_keeps_sum(spark):
+    same_root_sources = [(97, 200), (194, 200), (291, 200)]
+    edges = _edges_df(spark, same_root_sources)
+    super_roots = spark.createDataFrame([(0,)], "root long")
+    ranks = graph.pagerank_root_averaged(
+        edges, super_roots=super_roots, iterations=1
+    )
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert got[200] == pytest.approx(0.15 + 0.85 * 3.0)
+
+
+def test_inverse_links_caps_sample(spark):
+    edges = _edges_df(spark, [(s, 999) for s in range(1, 150)])
+    row = graph.inverse_links(edges).collect()[0]
+    assert row["inlink_count"] == 149
+    sample = row["src_sample"].split(",")
+    assert len(sample) == graph.SAMPLE_CAP
+    assert sample[0] == "1" and sample[-1] == "100"  # sorted, truncated
+
+
+def test_domain_rank_monotone_in_cross_root_links(spark):
+    # dst 500: 1 cross-root inlink; dst 501: 30 cross-root inlinks
+    edges = _edges_df(
+        spark, [(1, 500)] + [(i, 501) for i in range(1, 31)]
+    )
+    got = {r["dst"]: r["domain_rank"] for r in graph.domain_rank(edges).collect()}
+    assert got[501] > got[500] > 0
+    assert got[501] <= 10.0  # capped scale
