@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from commoncrawl_crawler_spark.operators import (
     aggregates,
+    crawldb,
+    crawllist,
     dedup,
     filters,
     graph,
@@ -31,7 +33,7 @@ from commoncrawl_crawler_spark.operators import (
     windows,
 )
 from commoncrawl_crawler_spark.shipping import ensure_shipped
-from commoncrawl_crawler_spark.sources import load_table
+from commoncrawl_crawler_spark.sources import archive, ingest, load_table, sinks
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -154,6 +156,49 @@ r{i} AS (
     )
 
 
+# batch merge semantics; also the oracle for the incremental split
+# (merging two capped sorted sample lists and re-capping equals the
+# cap of the full list, since each side keeps its smallest 100)
+_CRAWLDB_MERGE_SQL = """
+WITH typed AS (
+    SELECT user_id AS key, event_id AS record_id, ts, value,
+           CASE WHEN event_type IN ('click', 'purchase') THEN 11
+                WHEN event_type = 'view' THEN 12
+                WHEN event_type = 'signup' THEN 14
+                ELSE 15 END AS record_type
+    FROM events
+),
+status AS (
+    SELECT key, record_id AS last_attempt_id, ts AS last_attempt_ts,
+           round(value, 6) AS last_attempt_value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY key ORDER BY ts DESC, record_id DESC
+        ) AS rn
+        FROM typed WHERE record_type = 11
+    ) WHERE rn = 1
+),
+agg AS (
+    SELECT key,
+           sum(CASE WHEN record_type = 11 THEN 1 ELSE 0 END) AS attempt_count,
+           sum(CASE WHEN record_type = 12 THEN 1 ELSE 0 END) AS html_link_count,
+           sum(CASE WHEN record_type = 14 THEN 1 ELSE 0 END) AS rss_link_count,
+           min(CASE WHEN record_type IN (12, 13, 14) THEN ts END)
+               AS earliest_link_date,
+           max(CASE WHEN record_type IN (12, 13, 14) THEN ts END)
+               AS latest_link_date,
+           coalesce(array_to_string(
+               list_sort(list(record_id) FILTER (record_type = 15))[1:100], ','
+           ), '') AS source_samples
+    FROM typed GROUP BY key
+)
+SELECT a.key, a.attempt_count, s.last_attempt_id, s.last_attempt_ts,
+       s.last_attempt_value, a.html_link_count, a.rss_link_count,
+       a.earliest_link_date, a.latest_link_date, a.source_samples
+FROM agg a LEFT JOIN status s ON a.key = s.key
+ORDER BY a.key
+"""
+
 _CC_SQL = (
     "WITH RECURSIVE "
     + _edges_cte(95000.0)
@@ -166,6 +211,74 @@ lp(node, comp) AS (
 )
 SELECT node, min(comp) AS comp FROM lp GROUP BY node ORDER BY node"""
 )
+
+
+def _scratch(tag: str, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"{tempfile.gettempdir()}/ccspark_{tag}_{h}"
+
+
+def _archive_roundtrip(s: SparkSession, d: str) -> DataFrame:
+    """documents -> ccarc gzip-member archives -> parse back (identity)."""
+    tmp = _scratch("arc", d)
+    docs = _t(s, d, "documents").select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    archive.write_archive(docs, tmp, rotate_bytes=1 << 20)
+    rd = archive.read_archive(s, tmp)
+    return rd.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("text"),
+    ).orderBy("doc_id")
+
+
+def _csv_roundtrip(s: SparkSession, d: str) -> DataFrame:
+    """documents -> tab-separated rank list -> schema'd csv read."""
+    tmp = _scratch("csv", d)
+    (
+        _t(s, d, "documents")
+        .select(F.col("doc_id").cast("int").alias("rank"), F.col("source"))
+        .write.mode("overwrite")
+        .csv(tmp, sep="\t")
+    )
+    return ingest.read_rank_list(s, tmp).orderBy("rank")
+
+
+def _timeseries_tail(s: SparkSession, d: str) -> DataFrame:
+    """events -> day-partitioned parquet log -> pruned tail read."""
+    tmp = _scratch("ts", d)
+    ev = _t(s, d, "events").select("event_id", "user_id", "event_type", "value", "ts")
+    sinks.write_timeseries(ev, tmp, mode="overwrite")
+    return (
+        sinks.read_timeseries_tail(s, tmp, days=1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            "ts",
+        )
+        .orderBy("event_id")
+    )
+
+
+def _multi_sink_readback(s: SparkSession, d: str) -> DataFrame:
+    """one cached documents scan -> three pruned sinks -> read one back."""
+    tmp = _scratch("msink", d)
+    docs = _t(s, d, "documents")
+    sinks.write_multi_sink(
+        docs,
+        {
+            "meta": (["doc_id", "lang", "source"], f"{tmp}/meta"),
+            "text": (["doc_id", "text"], f"{tmp}/text"),
+            "stats": (["doc_id", "n_chars"], f"{tmp}/stats"),
+        },
+    )
+    return s.read.parquet(f"{tmp}/meta").orderBy("doc_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -291,6 +404,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_near_duplicates(
             _t(s, d, "embeddings"), cosine_threshold=0.35
         ),
+        "crawldb_merge": lambda s, d: crawldb.merge_crawldb_from_events(
+            _t(s, d, "events")
+        ),
+        # incremental merge of a time-split must equal the batch merge
+        # (counts add, min/max compose, capped samples re-cap exactly)
+        "crawldb_incremental_merge": lambda s, d: crawldb.incremental_merge(
+            crawldb.merge_crawldb_from_events(
+                _t(s, d, "events").filter(F.col("ts") < "2024-01-15")
+            ),
+            crawldb.typed_records_from_events(
+                _t(s, d, "events").filter(F.col("ts") >= "2024-01-15")
+            ),
+        ),
+        "crawllist_generate": lambda s, d: crawllist.generate_crawl_list(
+            _t(s, d, "orders")
+        ),
+        "source_archive_roundtrip": _archive_roundtrip,
+        "source_csv_import": _csv_roundtrip,
+        "source_timeseries_tail": _timeseries_tail,
+        "source_multi_sink": _multi_sink_readback,
         "graph_link_edges": lambda s, d: _edges(s, d).orderBy(
             "src", "dst", "link_type"
         ),
@@ -583,6 +716,47 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT o_custkey AS custkey FROM orders
             ORDER BY custkey
+        """,
+        "crawllist_generate": """
+            WITH capped AS (
+                SELECT o_custkey, o_orderkey, o_orderpriority, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderpriority ASC, o_totalprice DESC,
+                                    o_orderkey ASC
+                       ) AS host_rank
+                FROM orders
+                QUALIFY host_rank <= 5
+            ),
+            bucketed AS (
+                SELECT *, o_custkey % 8 AS bucket FROM capped
+            )
+            SELECT o_custkey, o_orderkey, o_orderpriority,
+                   round(o_totalprice, 3) AS o_totalprice, host_rank, bucket,
+                   CAST(floor((row_number() OVER (
+                       PARTITION BY bucket
+                       ORDER BY o_custkey ASC, host_rank ASC, o_orderkey ASC
+                   ) - 1) / 250) AS INT) AS segment_id
+            FROM bucketed
+            ORDER BY o_custkey, host_rank
+        """,
+        "crawldb_merge": _CRAWLDB_MERGE_SQL,
+        "crawldb_incremental_merge": _CRAWLDB_MERGE_SQL,
+        "source_archive_roundtrip": """
+            SELECT doc_id, text FROM documents ORDER BY doc_id
+        """,
+        "source_csv_import": """
+            SELECT CAST(doc_id AS INT) AS rank, source AS domain
+            FROM documents ORDER BY rank
+        """,
+        "source_timeseries_tail": """
+            SELECT event_id, user_id, event_type, round(value, 6) AS value, ts
+            FROM events
+            WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+            ORDER BY event_id
+        """,
+        "source_multi_sink": """
+            SELECT doc_id, lang, source FROM documents ORDER BY doc_id
         """,
         "graph_link_edges": """
             SELECT src, dst, link_type FROM (

@@ -1,0 +1,113 @@
+"""Crawl-list generation: per-host caps, bundles, segment packing.
+
+Reference (SURVEY.md section 2.5):
+- CrawlListKey secondary sort (mapred/pipelineV3/crawllistgen/
+  CrawlListKey.java:51-66): per-domain ordering (type asc, rank desc)
+  via composite-key shuffle. Here: a Window spec.
+- BundleGenerator (NewGenBundlesStep.java:179,358-465): streams
+  sorted per-domain URLs, caps URLs per host
+  (SEGMENT_URLS_PER_HOST=200, mapred/segmenter/Segmenter.java:49),
+  assigns round-robin crawler/bucket ids. Here: row_number <= cap +
+  pmod bucket.
+- SegmenterReducer (mapred/segmenter/SegmenterReducer.java:54): packs
+  bundles into segments of 10k-500k URLs (Segmenter.java:47-48).
+  Here: per-bucket row_number -> floor((rn-1)/size). Packing runs
+  *within* each crawler bucket, never over a global ordering -- a
+  global row_number would serialize the whole dataset through one
+  window partition; per-bucket windows keep all 1000 executors busy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+URLS_PER_HOST = 200  # Segmenter.java:49
+SEGMENT_MIN = 10_000  # Segmenter.java:47
+SEGMENT_MAX = 500_000  # Segmenter.java:48
+
+
+def per_host_cap(
+    df: DataFrame,
+    host_col: str,
+    order_by: list[Column],
+    cap: int = URLS_PER_HOST,
+    rank_col: str = "host_rank",
+) -> DataFrame:
+    """Keep the top-`cap` rows per host under the crawl-list ordering.
+
+    NewGenBundlesStep politeness cap: no host contributes more than
+    `cap` URLs to a segment. One shuffle on host.
+    """
+    w = Window.partitionBy(host_col).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= cap
+    )
+
+
+def assign_buckets(df: DataFrame, host_col: str, n_buckets: int) -> DataFrame:
+    """Stable crawler/bucket affinity: same host -> same crawler.
+
+    The reference assigns bundles round-robin to crawler ids
+    (NewGenBundlesStep.java:576-640); hash-mod gives the same
+    load-spreading without coordination state.
+    """
+    return df.withColumn("bucket", F.pmod(F.col(host_col), F.lit(n_buckets)))
+
+
+def pack_segments(
+    df: DataFrame,
+    order_by: list[Column],
+    segment_size: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Pack each bucket's ordered rows into fixed-size segments."""
+    w = Window.partitionBy(bucket_col).orderBy(*order_by)
+    rn = F.row_number().over(w)
+    return df.withColumn(
+        "segment_id", F.floor((rn - 1) / F.lit(segment_size)).cast("int")
+    )
+
+
+def generate_crawl_list(
+    orders: DataFrame,
+    cap: int = 5,
+    n_buckets: int = 8,
+    segment_size: int = 250,
+) -> DataFrame:
+    """Full crawl-list pipeline over the orders table.
+
+    host=o_custkey, rank=(priority asc, totalprice desc) -- the
+    CrawlListKey discipline (domain, type asc, rank0 desc). Output is
+    one row per kept URL with its host rank, crawler bucket, and
+    segment id. Caps shrunk to fit the synthetic tables (~15
+    orders/customer); the production constants are module consts.
+    """
+    capped = per_host_cap(
+        orders,
+        "o_custkey",
+        [
+            F.col("o_orderpriority").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        ],
+        cap=cap,
+    )
+    bucketed = assign_buckets(capped, "o_custkey", n_buckets)
+    packed = pack_segments(
+        bucketed,
+        [
+            F.col("o_custkey").asc(),
+            F.col("host_rank").asc(),
+            F.col("o_orderkey").asc(),
+        ],
+        segment_size,
+    )
+    return packed.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 3).alias("o_totalprice"),
+        "host_rank",
+        "bucket",
+        "segment_id",
+    ).orderBy("o_custkey", "host_rank")

@@ -1,0 +1,52 @@
+"""Text-shaped ingest: rank-list CSV and pattern-extracted logs.
+
+Reference (SURVEY.md section 2.1):
+- ImportQuantcastStep (mapred/pipelineV3/domainmeta/quantcast/
+  ImportQuantcastStep.java:57): whitespace-separated "rank domain"
+  top-1M list -> keyed records. Here: `spark.read.csv` with an
+  explicit schema (never inferSchema at scale -- it double-reads).
+- DNSFailuresCollectorStep (…/crawlstats/DNSFailuresCollectorStep
+  .java:183): regex-parse failure log lines. Here: `spark.read.text`
+  + `regexp_extract` columns, all JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+RANK_LIST_SCHEMA = StructType(
+    [
+        StructField("rank", IntegerType()),
+        StructField("domain", StringType()),
+    ]
+)
+
+
+def read_rank_list(
+    spark: SparkSession, path: str, sep: str = "\t", comment: str = "#"
+) -> DataFrame:
+    """Quantcast-style (rank, domain) list with junk-line tolerance."""
+    df = spark.read.csv(path, schema=RANK_LIST_SCHEMA, sep=sep, comment=comment)
+    return df.filter(F.col("rank").isNotNull() & F.col("domain").isNotNull())
+
+
+LOG_PATTERN = r"^(\S+) (\S+) (\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}) (.*)$"
+
+
+def read_failure_log(spark: SparkSession, path: str) -> DataFrame:
+    """Parse '<level> <domain> <iso-ts> <message>' log lines.
+
+    Lines that don't match yield empty-string groups and are dropped,
+    mirroring the reference's skip-on-parse-failure counters.
+    """
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.regexp_extract("value", LOG_PATTERN, 1).alias("level"),
+        F.regexp_extract("value", LOG_PATTERN, 2).alias("domain"),
+        F.to_timestamp(
+            F.regexp_extract("value", LOG_PATTERN, 3), "yyyy-MM-dd'T'HH:mm:ss"
+        ).alias("ts"),
+        F.regexp_extract("value", LOG_PATTERN, 4).alias("message"),
+    )
+    return parsed.filter(F.col("level") != "")
