@@ -27,11 +27,15 @@ from commoncrawl_crawler_spark.operators import (
     filters,
     graph,
     joins,
+    multimodal,
+    sessions,
     setops,
     similarity,
     textstats,
     windows,
 )
+from commoncrawl_crawler_spark.plans import query_api
+from commoncrawl_crawler_spark.streaming import jobs as streaming_jobs
 from commoncrawl_crawler_spark.shipping import ensure_shipped
 from commoncrawl_crawler_spark.sources import archive, ingest, load_table, sinks
 
@@ -281,6 +285,48 @@ def _multi_sink_readback(s: SparkSession, d: str) -> DataFrame:
     return s.read.parquet(f"{tmp}/meta").orderBy("doc_id")
 
 
+_STREAM_SINK_SEQ = [0]
+
+
+def _stream_sink_name(tag: str) -> str:
+    _STREAM_SINK_SEQ[0] += 1
+    return f"ccspark_{tag}_{_STREAM_SINK_SEQ[0]}"
+
+
+def _query_domain_list(s: SparkSession, d: str) -> DataFrame:
+    server = query_api.QueryServer(s, _scratch("qcache_v1", d))
+    return server.domain_list_query(
+        query_api.domain_stats_from_documents(_t(s, d, "documents")),
+        pattern="^src[0-9]$",
+        info=query_api.ClientQueryInfo(
+            sort_field="doc_count",
+            ascending=False,
+            offset=2,
+            page_size=5,
+            tiebreak="domain",
+        ),
+    )
+
+
+def _stream_windowed_stats(s: SparkSession, d: str) -> DataFrame:
+    out = streaming_jobs.run_available_now(
+        streaming_jobs.windowed_event_stats(streaming_jobs.read_events_stream(s, d)),
+        _stream_sink_name("winstats"),
+    )
+    return out.orderBy("day", "event_type")
+
+
+def _stream_distinct_pairs(s: SparkSession, d: str) -> DataFrame:
+    out = streaming_jobs.run_available_now(
+        streaming_jobs.streaming_distinct_pairs(
+            streaming_jobs.read_events_stream(s, d)
+        ),
+        _stream_sink_name("dedup"),
+        output_mode="append",
+    )
+    return out.orderBy("user_id", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return aggregates.pricing_summary(_t(spark, "/root/testdata/sf0.001", "lineitem"))
@@ -419,6 +465,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "crawllist_generate": lambda s, d: crawllist.generate_crawl_list(
             _t(s, d, "orders")
+        ),
+        "mm_content_stats": lambda s, d: multimodal.content_stats(
+            multimodal.media_from_documents(_t(s, d, "documents"))
+        ),
+        "mm_frame_sample": lambda s, d: multimodal.frame_sample(
+            multimodal.media_from_documents(_t(s, d, "documents")), frame_bytes=64
+        ).select("media_id", "frame_idx", "frame_len").orderBy(
+            "media_id", "frame_idx"
+        ),
+        # codec output is python-defined (byte histogram): rows-only
+        # check here; exact semantics are pytest-verified
+        "mm_decode_fake": lambda s, d: multimodal.decode_media(
+            multimodal.media_from_documents(_t(s, d, "documents")), codec="fake16"
+        ),
+        "query_domain_list": _query_domain_list,
+        "query_url_detail": lambda s, d: query_api.QueryServer(
+            s, _scratch("qcache_v1", d)
+        ).url_detail_query(_t(s, d, "orders"), "o_orderkey", 100),
+        "stream_windowed_stats": _stream_windowed_stats,
+        "stream_distinct_pairs": _stream_distinct_pairs,
+        "sessionize_events": lambda s, d: sessions.sessionize(
+            _t(s, d, "events"), gap_minutes=60
         ),
         "source_archive_roundtrip": _archive_roundtrip,
         "source_csv_import": _csv_roundtrip,
@@ -742,6 +810,68 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawldb_merge": _CRAWLDB_MERGE_SQL,
         "crawldb_incremental_merge": _CRAWLDB_MERGE_SQL,
+        "mm_content_stats": """
+            SELECT doc_id AS media_id, 'fake/blob' AS mime,
+                   CAST(length(text) AS BIGINT) AS content_len,
+                   md5(text) AS content_md5
+            FROM documents ORDER BY media_id
+        """,
+        "mm_frame_sample": """
+            WITH expanded AS (
+                SELECT doc_id AS media_id,
+                       CAST(length(text) AS BIGINT) AS len,
+                       unnest(generate_series(
+                           1, CAST(ceil(length(text) / 64.0) AS BIGINT)
+                       )) AS gs
+                FROM documents WHERE length(text) > 0
+            )
+            SELECT media_id, CAST(gs - 1 AS INT) AS frame_idx,
+                   least(64, len - (gs - 1) * 64) AS frame_len
+            FROM expanded ORDER BY media_id, frame_idx
+        """,
+        "query_domain_list": """
+            WITH domains AS (
+                SELECT source AS domain, count(*) AS doc_count,
+                       sum(n_chars) AS total_chars,
+                       count(DISTINCT lang) AS lang_count
+                FROM documents GROUP BY 1
+            )
+            SELECT * FROM domains WHERE regexp_matches(domain, '^src[0-9]$')
+            ORDER BY doc_count DESC, domain ASC LIMIT 5 OFFSET 2
+        """,
+        "query_url_detail": """
+            SELECT * FROM orders WHERE o_orderkey = 100
+        """,
+        "stream_windowed_stats": """
+            SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt,
+                   round(sum(value), 3) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "stream_distinct_pairs": """
+            SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id, event_type
+        """,
+        "sessionize_events": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 3600000000
+                            THEN 1 ELSE 0 END AS boundary
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            ids AS (
+                SELECT *, sum(boundary) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING
+                ) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, min(ts) AS session_start,
+                   max(ts) AS session_end, count(*) AS n_events,
+                   round(sum(value), 3) AS sum_value
+            FROM ids GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "source_archive_roundtrip": """
             SELECT doc_id, text FROM documents ORDER BY doc_id
         """,

@@ -1,0 +1,97 @@
+"""Structured Streaming jobs: windowed stats, stream dedup, sessions.
+
+Reference (SURVEY.md section 2.10): the reference's incremental
+surface is (a) crawler-stats RPC pushes appended to
+TimeSeriesDataFile logs with tail-windowed queries
+(service/statscollector/statscollector.jr:148,
+util/TimeSeriesDataFile.java:164-208), (b) the crawl-history Bloom
+service answering "seen this URL?" over a checkpointed filter
+(protocol.jr:1075-1104, service/crawlhistory/). It has no watermarks
+or late-data semantics -- Structured Streaming adds them.
+
+All jobs take a streaming DataFrame and return transformed streaming
+DataFrames; `run_available_now` drains whatever input exists and
+terminates (the batch-parity harness). On a cluster the same code
+tails an object-store prefix or Kafka topic continuously; nothing
+here is local-mode-specific except the memory sink used by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table as if its rows were arriving files.
+
+    Schema comes from a batch peek (streams require explicit
+    schemas); the testdata's TIMESTAMP(NANOS) arrives as long under
+    nanosAsLong and is truncated to microseconds exactly as the batch
+    loader does, so streaming and batch agree row-for-row.
+    """
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file-stream source requires a directory: stream the parent
+    # with a glob filter (a real deployment tails a prefix of files)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def windowed_event_stats(stream: DataFrame, window: str = "1 day") -> DataFrame:
+    """Tumbling-window per-type stats with a late-data watermark.
+
+    The crawler-stats rollup (CrawlerStatsQuery.java:64,506) as a
+    streaming aggregate. The 1-day watermark bounds state: windows
+    older than (max event time - 1 day) finalize and evict.
+    """
+    return (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("day"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def streaming_distinct_pairs(stream: DataFrame) -> DataFrame:
+    """Streaming dedup: the crawl-history 'seen?' service.
+
+    `dropDuplicates` over the projected key set keeps exactly the
+    distinct pairs; with a watermark the state store evicts old keys
+    (the reference checkpointed a Bloom filter per crawl number for
+    the same purpose -- bulkItemQuery/bulkUpdateHistory).
+    Projecting only the key columns makes the surviving-row choice
+    immaterial, so the result is deterministic.
+    """
+    return stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def run_available_now(
+    df: DataFrame, sink_table: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain all available input through the streaming plan, then
+    return the sink as a batch DataFrame (test/batch-parity path)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(sink_table)

@@ -1,0 +1,82 @@
+"""Query-server cache behavior + stateful streaming sessionization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commoncrawl_crawler_spark.operators import sessions
+from commoncrawl_crawler_spark.plans import query_api
+from commoncrawl_crawler_spark.sources import load_table
+from commoncrawl_crawler_spark.streaming import jobs
+
+
+def _domains(spark, sf):
+    return query_api.domain_stats_from_documents(
+        load_table(spark, "documents", sf)
+    )
+
+
+def test_query_cache_written_once_and_reused(spark, tmp_path, sf_smoke):
+    server = query_api.QueryServer(spark, str(tmp_path))
+    info = query_api.ClientQueryInfo(
+        sort_field="doc_count", ascending=False, page_size=3, tiebreak="domain"
+    )
+    qid = query_api.canonical_query_id(
+        "domain_list",
+        {"pattern": "^src.*", "sort": "doc_count", "asc": False,
+         "tiebreak": "domain"},
+    )
+    assert not server.cached_results_available(qid)
+    first = server.domain_list_query(_domains(spark, sf_smoke), "^src.*", info)
+    first.collect()
+    assert server.cached_results_available(qid)
+    # second call with a different page must reuse the cached parquet
+    page2 = query_api.ClientQueryInfo(
+        sort_field="doc_count", ascending=False, offset=3, page_size=3,
+        tiebreak="domain",
+    )
+    second = server.domain_list_query(_domains(spark, sf_smoke), "^src.*", page2)
+    # pages are disjoint and ordered
+    a = [r["domain"] for r in first.collect()]
+    b = [r["domain"] for r in second.collect()]
+    assert not set(a) & set(b)
+
+
+def test_pagination_matches_full_sort(spark, tmp_path, sf_smoke):
+    server = query_api.QueryServer(spark, str(tmp_path))
+    full = (
+        _domains(spark, sf_smoke)
+        .filter(F.col("domain").rlike("^src.*"))
+        .orderBy(F.col("doc_count").desc(), F.col("domain"))
+        .collect()
+    )
+    pages = []
+    for off in range(0, len(full) + 3, 3):
+        info = query_api.ClientQueryInfo(
+            sort_field="doc_count", ascending=False, offset=off, page_size=3,
+            tiebreak="domain",
+        )
+        pages += server.domain_list_query(
+            _domains(spark, sf_smoke), "^src.*", info
+        ).collect()
+    assert [r["domain"] for r in pages] == [r["domain"] for r in full]
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_smoke):
+    batch = sessions.sessionize(
+        load_table(spark, "events", sf_smoke), gap_minutes=60
+    ).collect()
+    stream = jobs.read_events_stream(spark, sf_smoke)
+    streamed = jobs.run_available_now(
+        sessions.sessionize_stateful(stream, gap_minutes=60),
+        "ccspark_test_sessions",
+        output_mode="update",
+    ).collect()
+
+    def key(rows):
+        return sorted(
+            (r["user_id"], r["session_id"], r["n_events"], r["sum_value"])
+            for r in rows
+        )
+
+    assert key(streamed) == key(batch)
