@@ -34,6 +34,7 @@ from commoncrawl_crawler_spark.operators import (
     textstats,
     windows,
 )
+from commoncrawl_crawler_spark.functions import headers as hdr, html as htmlfn
 from commoncrawl_crawler_spark.plans import query_api
 from commoncrawl_crawler_spark.streaming import jobs as streaming_jobs
 from commoncrawl_crawler_spark.shipping import ensure_shipped
@@ -327,6 +328,66 @@ def _stream_distinct_pairs(s: SparkSession, d: str) -> DataFrame:
     return out.orderBy("user_id", "event_type")
 
 
+def _fn_parse_headers(s: SparkSession, d: str) -> DataFrame:
+    """Synthesize header blobs from order columns, parse them back
+    with the JVM-side header expressions (roundtrip identity)."""
+    blob = F.concat(
+        F.lit("Content-Type: text/html; charset=utf-8\r\n"),
+        F.lit("Content-Length: "),
+        F.col("o_orderkey").cast("string"),
+        F.lit("\r\nCache-Control: public, max-age="),
+        F.col("o_custkey").cast("string"),
+        F.lit("\r\nX-Priority: "),
+        F.col("o_orderpriority"),
+    )
+    return (
+        _t(s, d, "orders")
+        .select("o_orderkey", blob.alias("blob"))
+        .select(
+            "o_orderkey",
+            hdr.content_type_expr(F.col("blob")).alias("content_type"),
+            hdr.content_length_expr(F.col("blob")).alias("content_length"),
+            hdr.max_age_expr(F.col("blob")).alias("max_age"),
+            hdr.header_expr(F.col("blob"), "x-priority").alias("x_priority"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _fn_extract_links(s: SparkSession, d: str) -> DataFrame:
+    """Synthesize HTML per document, run the link/title extractor,
+    explode the typed link array (ParserMapper bundle shape)."""
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title></head><body><a href="http://'),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">anchor '),
+        F.col("lang"),
+        F.lit('</a><iframe src="http://frame.'),
+        F.col("source"),
+        F.lit('.net"></iframe></body></html>'),
+    )
+    parsed = (
+        _t(s, d, "documents")
+        .select("doc_id", html.alias("html"))
+        .select(
+            "doc_id",
+            htmlfn.extract_title_udf(F.col("html")).alias("title"),
+            F.explode(htmlfn.extract_links_udf(F.col("html"))).alias("link"),
+        )
+    )
+    return parsed.select(
+        "doc_id",
+        "title",
+        F.col("link.url").alias("url"),
+        F.col("link.link_type").alias("link_type"),
+        F.col("link.anchor").alias("anchor"),
+    ).orderBy("doc_id", "link_type", "url")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return aggregates.pricing_summary(_t(spark, "/root/testdata/sf0.001", "lineitem"))
@@ -466,6 +527,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawllist_generate": lambda s, d: crawllist.generate_crawl_list(
             _t(s, d, "orders")
         ),
+        "fn_parse_headers": _fn_parse_headers,
+        "fn_extract_links": _fn_extract_links,
+        "fn_json_props": lambda s, d: (
+            _t(s, d, "events")
+            .select(
+                F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+                "value",
+            )
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("value"), 3).alias("sum_value"),
+            )
+            .orderBy("k")
+        ),
         "mm_content_stats": lambda s, d: multimodal.content_stats(
             multimodal.media_from_documents(_t(s, d, "documents"))
         ),
@@ -516,6 +592,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("vec_id") < 10)
             .select(F.col("vec_id").alias("probe_id"), "embedding"),
             k=5,
+        ),
+        # iterative kmeans quantizer -> rows-only check; recall vs
+        # brute force is pytest-gated (test_ivf_metrics)
+        "sim_ivf_topk": lambda s, d: similarity.ivf_topk(
+            _t(s, d, "embeddings"),
+            _t(s, d, "embeddings")
+            .filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("probe_id"), "embedding"),
+            k=5,
+            n_probe=2,
+            n_cells=8,
         ),
         "sim_label_centroids": lambda s, d: similarity.pairwise_label_centroids(
             _t(s, d, "embeddings")
@@ -810,6 +897,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawldb_merge": _CRAWLDB_MERGE_SQL,
         "crawldb_incremental_merge": _CRAWLDB_MERGE_SQL,
+        "fn_parse_headers": """
+            SELECT o_orderkey, 'text/html' AS content_type,
+                   o_orderkey AS content_length,
+                   o_custkey AS max_age,
+                   o_orderpriority AS x_priority
+            FROM orders ORDER BY o_orderkey
+        """,
+        "fn_extract_links": """
+            WITH links AS (
+                SELECT doc_id, 'Doc ' || doc_id AS title,
+                       'http://' || source || '.example.com/' || doc_id AS url,
+                       'a' AS link_type,
+                       'anchor ' || lang AS anchor
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 'Doc ' || doc_id AS title,
+                       'http://frame.' || source || '.net' AS url,
+                       'frame' AS link_type,
+                       '' AS anchor
+                FROM documents
+            )
+            SELECT * FROM links ORDER BY doc_id, link_type, url
+        """,
+        "fn_json_props": """
+            SELECT CAST(props->>'$.k' AS INT) AS k, count(*) AS cnt,
+                   round(sum(value), 3) AS sum_value
+            FROM events GROUP BY k ORDER BY k
+        """,
         "mm_content_stats": """
             SELECT doc_id AS media_id, 'fake/blob' AS mime,
                    CAST(length(text) AS BIGINT) AS content_len,

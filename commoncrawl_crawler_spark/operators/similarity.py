@@ -146,6 +146,128 @@ def lsh_topk(
     )
 
 
+def kmeans_cells(
+    embeddings: DataFrame, k: int = 16, iterations: int = 3
+) -> DataFrame:
+    """Deterministic k-means-lite coarse quantizer: (vec_id, cell).
+
+    Seeds are the k lowest vec_ids (reproducible without RNG state);
+    each iteration broadcasts the centroid table, assigns every
+    vector to its max-cosine centroid, and recomputes centroids.
+    This is the IVF training step (Jegou et al. 2011); k and
+    iterations stay small because cells only need to be
+    locality-preserving, not optimal.
+    """
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).localCheckpoint(eager=False)
+    centroids = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("vec_id"))
+            .alias("cell"),
+            F.col("emb").alias("centroid"),
+        )
+    )
+    assign = None
+    for _ in range(iterations):
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cell_cos").desc(), F.col("cell")
+        )
+        assign = (
+            e.crossJoin(F.broadcast(centroids))
+            .withColumn("cell_cos", cosine_expr(F.col("emb"), F.col("centroid")))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cell", "emb")
+            .localCheckpoint(eager=False)
+        )
+        centroids = (
+            assign.select("cell", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("cs")
+            )
+            .select("cell", F.transform("cs", lambda s: s["m"]).alias("centroid"))
+        )
+    return assign.select("vec_id", "cell")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    cells: DataFrame | None = None,
+    n_cells: int = 16,
+) -> DataFrame:
+    """IVF-style ANN: coarse cells -> probe nearest n_probe cells ->
+    exact re-rank inside them.
+
+    The inverted-file layout (Jegou et al. 2011, "Product
+    quantization for nearest neighbor search" -- the IVF part, no PQ):
+    corpus vectors are bucketed by a coarse cell id (kmeans_cells by
+    default, or any caller-provided (vec_id, cell) assignment), a
+    tiny centroid table is broadcast, each probe picks its n_probe
+    closest centroids, and the exact cosine scan touches only those
+    cells: ~n_probe/n_cells of the corpus instead of all of it.
+    Recall < 1 by design; measured against brute_force_topk in tests.
+    """
+    if cells is None:
+        cells = kmeans_cells(embeddings, k=n_cells)
+    e = embeddings.join(cells, "vec_id").select(
+        "vec_id",
+        "cell",
+        F.col("embedding").cast("array<double>").alias("corpus_emb"),
+    )
+    # centroid table: tiny by construction (one row per cell)
+    exploded = e.select("cell", F.posexplode("corpus_emb").alias("pos", "val"))
+    centroids = (
+        exploded.groupBy("cell", "pos")
+        .agg(F.avg("val").alias("mean_val"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("cs"))
+        .select("cell", F.transform("cs", lambda s: s["mean_val"]).alias("centroid"))
+    )
+    p = probes.select(
+        "probe_id", F.col("embedding").cast("array<double>").alias("probe_emb")
+    )
+    # probe -> its n_probe nearest cells (broadcast the centroid table)
+    cell_rank = Window.partitionBy("probe_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell")
+    )
+    probe_cells = (
+        p.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "cell_cos", cosine_expr(F.col("probe_emb"), F.col("centroid"))
+        )
+        .withColumn("crk", F.row_number().over(cell_rank))
+        .filter(F.col("crk") <= n_probe)
+        .select("probe_id", "probe_emb", "cell")
+    )
+    scored = (
+        e.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("probe_emb"), F.col("corpus_emb")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("probe_id", "rnk")
+    )
+
+
 def pairwise_label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid + dispersion -- the aggregate shape used to
     build IVF coarse quantizers (centroid table broadcast at query

@@ -1,0 +1,93 @@
+"""Pipeline DAG driver: dependency-ordered, idempotent batch steps.
+
+Reference (SURVEY.md section 3.2): CrawlPipelineTask
+(mapred/pipelineV3/CrawlPipelineTask.java:42,331-349) runs an
+ordered list of CrawlPipelineSteps; a step executes only if its
+output directory (keyed by database timestamp) does not already
+exist (CrawlPipelineStep.java:133-136,185-217) -- restart-safe
+incremental pipelines.
+
+Spark-first: a step is a function (spark, inputs) -> DataFrame whose
+output is written as parquet under <workdir>/<step>; the _SUCCESS
+marker is the completion check (atomic-commit, so a crashed step
+re-runs). Catalyst plans each step; the driver is plain topological
+ordering -- no scheduler machinery needed because Spark handles all
+intra-step parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class PipelineStep:
+    """One named step; `build` receives the outputs of its deps as
+    DataFrames keyed by step name."""
+
+    name: str
+    build: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+    deps: tuple[str, ...] = ()
+
+
+@dataclass
+class PipelineTask:
+    """Dependency-ordered step runner with output-exists skipping."""
+
+    workdir: str
+    steps: list[PipelineStep] = field(default_factory=list)
+
+    def add(self, step: PipelineStep) -> "PipelineTask":
+        self.steps.append(step)
+        return self
+
+    def _out(self, name: str) -> str:
+        return os.path.join(self.workdir, name)
+
+    def is_complete(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._out(name), "_SUCCESS"))
+
+    def _toposort(self) -> list[PipelineStep]:
+        by_name = {s.name: s for s in self.steps}
+        seen: dict[str, int] = {}  # 0=visiting, 1=done
+        order: list[PipelineStep] = []
+
+        def visit(name: str) -> None:
+            state = seen.get(name)
+            if state == 1:
+                return
+            if state == 0:
+                raise ValueError(f"dependency cycle through step {name!r}")
+            seen[name] = 0
+            for d in by_name[name].deps:
+                if d not in by_name:
+                    raise ValueError(f"step {name!r} depends on unknown {d!r}")
+                visit(d)
+            seen[name] = 1
+            order.append(by_name[name])
+
+        for s in self.steps:
+            visit(s.name)
+        return order
+
+    def run(self, spark: SparkSession) -> dict[str, DataFrame]:
+        """Run incomplete steps in dependency order; return all step
+        outputs (read back from parquet, so lineage is truncated at
+        step boundaries exactly like the reference's HDFS handoffs).
+        Returns the executed step names in `self.last_executed`."""
+        outputs: dict[str, DataFrame] = {}
+        executed: list[str] = []
+        for step in self._toposort():
+            path = self._out(step.name)
+            if not self.is_complete(step.name):
+                dep_outputs = {d: outputs[d] for d in step.deps}
+                df = step.build(spark, dep_outputs)
+                df.write.mode("overwrite").parquet(path)
+                executed.append(step.name)
+            outputs[step.name] = spark.read.parquet(path)
+        self.last_executed = executed
+        return outputs

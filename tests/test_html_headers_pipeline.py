@@ -1,0 +1,116 @@
+"""HTML extractor, header expressions, and pipeline DAG semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from commoncrawl_crawler_spark.functions import headers as hdr, html as htmlfn
+from commoncrawl_crawler_spark.plans.pipeline import PipelineStep, PipelineTask
+
+HTML = """
+<html><head>
+  <title> The <b>Page</b> Title </title>
+  <meta name="Description" content="a test page">
+  <meta http-equiv="refresh" content="5;url=http://redirect.example/next">
+</head><body>
+  <a href="http://a.example/1" rel="nofollow">first <i>link</i></a>
+  <A HREF='http://b.example/2'>second</A>
+  <iframe src="http://frame.example/f"></iframe>
+</body></html>
+"""
+
+
+def test_extract_links_all_types():
+    links = htmlfn.extract_links(HTML)
+    by_type = {}
+    for url, t, anchor in links:
+        by_type.setdefault(t, []).append((url, anchor))
+    assert ("http://a.example/1", "first link") in by_type["a"]
+    assert ("http://b.example/2", "second") in by_type["a"]
+    assert by_type["frame"] == [("http://frame.example/f", "")]
+    assert by_type["meta_refresh"] == [("http://redirect.example/next", "")]
+
+
+def test_extract_title_strips_tags():
+    assert htmlfn.extract_title(HTML) == "The Page Title"
+    assert htmlfn.extract_title("") is None
+    assert htmlfn.extract_title("<p>no title</p>") is None
+
+
+def test_extract_meta_tags_lowercases_names():
+    assert htmlfn.extract_meta_tags(HTML) == {"description": "a test page"}
+
+
+def test_header_expressions(spark):
+    blob = (
+        "HTTP-Status: ignored\r\n"
+        "Content-Type: Application/JSON; charset=utf-8\r\n"
+        "Content-Length: 1234\r\n"
+        "Cache-Control: private, max-age=600\r\n"
+        "Last-Modified: Tue, 02 Jan 2024 10:30:00 GMT"
+    )
+    df = spark.createDataFrame([(blob,)], "blob string").select(
+        hdr.content_type_expr(F.col("blob")).alias("ct"),
+        hdr.content_length_expr(F.col("blob")).alias("cl"),
+        hdr.max_age_expr(F.col("blob")).alias("ma"),
+        hdr.http_date_expr(F.col("blob")).alias("lm"),
+        hdr.status_code_expr(F.lit("HTTP/1.1 404 Not Found")).alias("sc"),
+    )
+    row = df.collect()[0]
+    assert row["ct"] == "application/json"
+    assert row["cl"] == 1234
+    assert row["ma"] == 600
+    assert row["lm"].year == 2024 and row["lm"].hour == 10
+    assert row["sc"] == 404
+
+
+def test_pipeline_runs_in_dependency_order_and_skips(spark, tmp_path):
+    calls = []
+
+    def step(name, deps=()):
+        def build(s, dep_outputs):
+            calls.append(name)
+            if deps:
+                df = dep_outputs[deps[0]]
+                return df.withColumn(name, F.lit(1))
+            return s.range(3).toDF("id")
+
+        return PipelineStep(name, build, deps)
+
+    task = (
+        PipelineTask(str(tmp_path))
+        .add(step("c", ("b",)))  # registered out of order on purpose
+        .add(step("a"))
+        .add(step("b", ("a",)))
+    )
+    out = task.run(spark)
+    assert calls == ["a", "b", "c"]  # toposorted
+    assert task.last_executed == ["a", "b", "c"]
+    assert set(out) == {"a", "b", "c"}
+    assert out["c"].columns == ["id", "b", "c"]
+
+    # second run: everything complete -> nothing re-executes
+    calls.clear()
+    task2 = (
+        PipelineTask(str(tmp_path))
+        .add(step("a"))
+        .add(step("b", ("a",)))
+        .add(step("c", ("b",)))
+    )
+    task2.run(spark)
+    assert calls == []
+    assert task2.last_executed == []
+
+
+def test_pipeline_cycle_detection(spark, tmp_path):
+    def noop(s, deps):
+        return s.range(1)
+
+    task = (
+        PipelineTask(str(tmp_path))
+        .add(PipelineStep("x", noop, ("y",)))
+        .add(PipelineStep("y", noop, ("x",)))
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        task.run(spark)
