@@ -1,0 +1,75 @@
+"""Physical-plan quality gates: the 100 TB posture, asserted.
+
+These tests pin the optimizer behaviors the engine's scale story
+depends on (SURVEY.md section 4): predicate pushdown reaching the
+parquet scan, column pruning, broadcast joins for dimension tables,
+and partial (map-side) aggregation. A regression here means a plan
+that still passes correctness but would fall over at cluster scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def _plan(spark, sf, name) -> str:
+    df = QUERIES[name](spark, sf)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_range_predicate_pushes_filters_to_scan(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "filter_range_predicate")
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # filter reached parquet
+    assert "LessThan(l_shipdate" in plan
+    # column pruning: the scan reads only the 4 needed of 11 columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 4, m.group(1)
+
+
+def test_pricing_summary_prunes_columns_and_partial_aggregates(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "agg_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_orderkey" not in m.group(1)  # pruned
+    # partial + final HashAggregate (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "join_broadcast_dim")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact
+
+
+def test_multiway_join_broadcasts_small_sides(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "join_multiway")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation/region at minimum
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_joins_stay_semi(spark, sf_smoke):
+    semi = _plan(spark, sf_smoke, "join_semi_whitelist")
+    anti = _plan(spark, sf_smoke, "join_anti_blocklist")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_point_lookup_pushes_in_filter(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "query_url_detail")
+    assert re.search(r"PushedFilters:.*EqualTo\(o_orderkey,100\)", plan)
+
+
+def test_lsh_band_join_is_hash_join_on_bucket(spark, sf_smoke):
+    """The dedup band self-join must be an equi-join (hash/SMJ), not a
+    nested-loop -- a BroadcastNestedLoopJoin here would be quadratic
+    in the corpus."""
+    plan = _plan(spark, sf_smoke, "dedup_minhash_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
