@@ -38,7 +38,14 @@ from commoncrawl_crawler_spark.functions import headers as hdr, html as htmlfn
 from commoncrawl_crawler_spark.plans import query_api
 from commoncrawl_crawler_spark.streaming import jobs as streaming_jobs
 from commoncrawl_crawler_spark.shipping import ensure_shipped
-from commoncrawl_crawler_spark.sources import archive, ingest, load_table, sinks
+from commoncrawl_crawler_spark.operators import bloom
+from commoncrawl_crawler_spark.sources import (
+    archive,
+    ingest,
+    load_table,
+    sinks,
+    xmlsource,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -218,17 +225,23 @@ SELECT node, min(comp) AS comp FROM lp GROUP BY node ORDER BY node"""
 )
 
 
-def _scratch(tag: str, sf_dir: str) -> str:
+def _scratch(tag: str, sf_dir: str, fresh: bool = False) -> str:
     import hashlib
+    import shutil
     import tempfile
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return f"{tempfile.gettempdir()}/ccspark_{tag}_{h}"
+    path = f"{tempfile.gettempdir()}/ccspark_{tag}_{h}"
+    if fresh:
+        # custom (non-Spark) writers append files; stale chunks from a
+        # previous run with different partitioning would duplicate rows
+        shutil.rmtree(path, ignore_errors=True)
+    return path
 
 
 def _archive_roundtrip(s: SparkSession, d: str) -> DataFrame:
     """documents -> ccarc gzip-member archives -> parse back (identity)."""
-    tmp = _scratch("arc", d)
+    tmp = _scratch("arc", d, fresh=True)
     docs = _t(s, d, "documents").select(
         F.col("doc_id").cast("string").alias("key"),
         F.encode("text", "UTF-8").alias("payload"),
@@ -268,6 +281,22 @@ def _timeseries_tail(s: SparkSession, d: str) -> DataFrame:
             "ts",
         )
         .orderBy("event_id")
+    )
+
+
+def _xml_roundtrip(s: SparkSession, d: str) -> DataFrame:
+    """documents -> wiki-style XML chunks -> regex record parse."""
+    tmp = _scratch("xml", d, fresh=True)
+    docs = _t(s, d, "documents").select(
+        F.col("doc_id").alias("page_id"),
+        F.col("source").alias("title"),
+        F.col("text"),
+    )
+    xmlsource.write_xml_pages(docs, tmp)
+    return (
+        xmlsource.read_xml_pages(s, tmp)
+        .select("page_id", "title", "text")
+        .orderBy("page_id")
     )
 
 
@@ -564,6 +593,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": lambda s, d: sessions.sessionize(
             _t(s, d, "events"), gap_minutes=60
         ),
+        "source_xml_roundtrip": _xml_roundtrip,
+        # bloom FP set is deterministic but not SQL-expressible ->
+        # rows-only check; no-false-negative property is pytest-gated
+        # candidates = seen custkeys + provably-unseen shifted keys:
+        # the filter must drop (almost) all of the first group and
+        # pass (almost) all of the second
+        "bloom_frontier_filter": lambda s, d: bloom.bloom_drop_seen(
+            _t(s, d, "customer")
+            .select(F.col("c_custkey").alias("key"))
+            .unionByName(
+                _t(s, d, "customer").select(
+                    (F.col("c_custkey") + 100_000_000).alias("key")
+                )
+            ),
+            _t(s, d, "orders").select(F.col("o_custkey").alias("key")),
+            "key",
+        ).orderBy("key"),
         "source_archive_roundtrip": _archive_roundtrip,
         "source_csv_import": _csv_roundtrip,
         "source_timeseries_tail": _timeseries_tail,
@@ -989,6 +1035,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_archive_roundtrip": """
             SELECT doc_id, text FROM documents ORDER BY doc_id
+        """,
+        "source_xml_roundtrip": """
+            SELECT doc_id AS page_id, source AS title, text
+            FROM documents ORDER BY page_id
         """,
         "source_csv_import": """
             SELECT CAST(doc_id AS INT) AS rank, source AS domain

@@ -1,0 +1,122 @@
+"""Bloom membership, string matchers, XML source, bucketed joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commoncrawl_crawler_spark.functions import matchers
+from commoncrawl_crawler_spark.operators import bloom
+from commoncrawl_crawler_spark.sources import bucketed, load_table, xmlsource
+
+
+# ---- bloom -----------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    history = spark.range(0, 1000).select(F.col("id").alias("key"))
+    kept = bloom.bloom_keep_seen(history, history, "key")
+    assert kept.count() == 1000  # every member must pass
+
+
+def test_bloom_drop_seen_fp_rate_bounded(spark):
+    history = spark.range(0, 1000).select(F.col("id").alias("key"))
+    new = spark.range(1000, 3000).select(F.col("id").alias("key"))
+    survived = bloom.bloom_drop_seen(new, history, "key", fpp=0.01).count()
+    # 2000 new keys; FP drop rate should be near 1%, assert < 5%
+    assert survived >= 1900
+
+
+def test_bloom_deterministic(spark):
+    history = spark.range(0, 500).select(F.col("id").alias("key"))
+    b1 = bloom.build_bloom(history, "key")
+    b2 = bloom.build_bloom(history, "key")
+    assert b1.bits == b2.bits and b1.k == b2.k
+
+
+# ---- matchers --------------------------------------------------------
+
+
+def test_prefix_suffix_matchers(spark):
+    df = spark.createDataFrame(
+        [("http://a.com/x",), ("https://b.org/y",), ("ftp://c.net/z",)],
+        "url string",
+    )
+    out = df.select(
+        "url",
+        matchers.matches_any_prefix(F.col("url"), ["http://", "https://"]).alias(
+            "is_http"
+        ),
+        matchers.matches_any_suffix(F.col("url"), ["/x", "/z"]).alias("xz"),
+    ).collect()
+    assert [r["is_http"] for r in out] == [True, True, False]
+    assert [r["xz"] for r in out] == [True, False, True]
+
+
+def test_longest_prefix_match_trie_semantics(spark):
+    df = spark.createDataFrame([("abcde",), ("abx",), ("zzz",)], "s string")
+    out = df.select(
+        matchers.longest_prefix_match(F.col("s"), ["a", "ab", "abcd"]).alias("m")
+    ).collect()
+    assert [r["m"] for r in out] == ["abcd", "ab", None]
+
+
+def test_domain_suffix_match(spark):
+    df = spark.createDataFrame(
+        [("blog.example.com",), ("example.com",), ("notexample.com",)],
+        "host string",
+    )
+    out = df.select(
+        matchers.domain_suffix_match(F.col("host"), ["example.com"]).alias("m")
+    ).collect()
+    assert [r["m"] for r in out] == [True, True, False]
+
+
+# ---- xml source ------------------------------------------------------
+
+
+def test_xml_roundtrip(spark, tmp_path, sf_smoke):
+    docs = (
+        load_table(spark, "documents", sf_smoke)
+        .limit(50)
+        .select(
+            F.col("doc_id").alias("page_id"),
+            F.concat(F.lit("T<"), F.col("source"), F.lit(">&")).alias("title"),
+            F.col("text"),
+        )
+    )
+    n = xmlsource.write_xml_pages(docs, str(tmp_path / "xml"))
+    assert n == 50
+    back = xmlsource.read_xml_pages(spark, str(tmp_path / "xml"))
+    got = {r["page_id"]: (r["title"], r["text"]) for r in back.collect()}
+    want = {r["page_id"]: (r["title"], r["text"]) for r in docs.collect()}
+    assert got == want  # escaping roundtrips, including <, >, &
+
+
+# ---- bucketed join ---------------------------------------------------
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path, sf_smoke):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, "orders", sf_smoke)
+        customer = load_table(spark, "customer", sf_smoke)
+        bucketed.write_bucketed(
+            orders.withColumnRenamed("o_custkey", "custkey"),
+            "t_orders_b",
+            "custkey",
+        )
+        bucketed.write_bucketed(
+            customer.withColumnRenamed("c_custkey", "custkey"),
+            "t_customer_b",
+            "custkey",
+        )
+        joined = bucketed.bucketed_join(spark, "t_orders_b", "t_customer_b", "custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
