@@ -34,7 +34,11 @@ from commoncrawl_crawler_spark.operators import (
     textstats,
     windows,
 )
-from commoncrawl_crawler_spark.functions import headers as hdr, html as htmlfn
+from commoncrawl_crawler_spark.functions import (
+    headers as hdr,
+    html as htmlfn,
+    urls as urlfn,
+)
 from commoncrawl_crawler_spark.plans import query_api
 from commoncrawl_crawler_spark.streaming import jobs as streaming_jobs
 from commoncrawl_crawler_spark.shipping import ensure_shipped
@@ -556,6 +560,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawllist_generate": lambda s, d: crawllist.generate_crawl_list(
             _t(s, d, "orders")
         ),
+        "fn_url_canonicalize": lambda s, d: (
+            _t(s, d, "documents")
+            .select(
+                "doc_id",
+                F.concat(
+                    F.lit("HTTP://WWW."),
+                    F.upper(F.col("source")),
+                    F.lit(".Example.COM:80/Page/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("?utm_source=feed&ID="),
+                    F.col("doc_id").cast("string"),
+                    F.lit("&jsessionid=abc123#sec1"),
+                ).alias("raw_url"),
+            )
+            .select(
+                "doc_id",
+                urlfn.canonicalize_url_udf(F.col("raw_url")).alias("canonical"),
+            )
+            .orderBy("doc_id")
+        ),
+        "fn_url_root_domain": lambda s, d: (
+            _t(s, d, "documents")
+            .select(
+                "doc_id",
+                F.concat(F.lit("news.blogs."), F.col("source"), F.lit(".co.uk"))
+                .alias("host_uk"),
+                F.concat(F.lit("cdn."), F.col("source"), F.lit(".example.com"))
+                .alias("host_com"),
+            )
+            .select(
+                "doc_id",
+                urlfn.root_domain_udf(F.col("host_uk")).alias("root_uk"),
+                urlfn.root_domain_udf(F.col("host_com")).alias("root_com"),
+            )
+            .orderBy("doc_id")
+        ),
+        "fn_ip_roundtrip": lambda s, d: (
+            _t(s, d, "customer")
+            .select(
+                "c_custkey",
+                F.concat_ws(
+                    ".",
+                    (F.col("c_custkey") % 223 + 1).cast("string"),
+                    (F.col("c_custkey") % 256).cast("string"),
+                    (F.col("c_custkey") * 7 % 256).cast("string"),
+                    (F.col("c_custkey") * 13 % 256).cast("string"),
+                ).alias("ip"),
+            )
+            .select(
+                "c_custkey",
+                "ip",
+                urlfn.ip_to_int_expr(F.col("ip")).alias("ip_int"),
+                urlfn.int_to_ip_expr(urlfn.ip_to_int_expr(F.col("ip"))).alias(
+                    "ip_back"
+                ),
+            )
+            .orderBy("c_custkey")
+        ),
         "fn_parse_headers": _fn_parse_headers,
         "fn_extract_links": _fn_extract_links,
         "fn_json_props": lambda s, d: (
@@ -943,6 +1005,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawldb_merge": _CRAWLDB_MERGE_SQL,
         "crawldb_incremental_merge": _CRAWLDB_MERGE_SQL,
+        "fn_url_canonicalize": """
+            SELECT doc_id,
+                   'http://www.' || lower(source) || '.example.com/Page/'
+                       || doc_id || '?ID=' || doc_id AS canonical
+            FROM documents ORDER BY doc_id
+        """,
+        "fn_url_root_domain": """
+            SELECT doc_id,
+                   source || '.co.uk' AS root_uk,
+                   'example.com' AS root_com
+            FROM documents ORDER BY doc_id
+        """,
+        "fn_ip_roundtrip": """
+            SELECT c_custkey,
+                   (c_custkey % 223 + 1) || '.' || (c_custkey % 256) || '.'
+                       || (c_custkey * 7 % 256) || '.'
+                       || (c_custkey * 13 % 256) AS ip,
+                   (c_custkey % 223 + 1) * 16777216
+                       + (c_custkey % 256) * 65536
+                       + (c_custkey * 7 % 256) * 256
+                       + (c_custkey * 13 % 256) AS ip_int,
+                   (c_custkey % 223 + 1) || '.' || (c_custkey % 256) || '.'
+                       || (c_custkey * 7 % 256) || '.'
+                       || (c_custkey * 13 % 256) AS ip_back
+            FROM customer ORDER BY c_custkey
+        """,
         "fn_parse_headers": """
             SELECT o_orderkey, 'text/html' AS content_type,
                    o_orderkey AS content_length,
