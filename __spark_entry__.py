@@ -538,6 +538,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(
             _t(s, d, "documents"), jaccard_threshold=0.8
         ),
+        # full two-stage dedupe (LSH -> verify -> union): sketch-based
+        # -> rows-only; component semantics oracle-gated via
+        # graph_connected_components, cluster sanity pytest-gated
+        "dedup_simhash_clusters": lambda s, d: dedup.simhash_clusters(
+            _t(s, d, "documents"), hamming_k=3
+        ),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             _t(s, d, "documents"), threshold=0.95
         ),

@@ -295,6 +295,31 @@ def embedding_near_duplicates(
     )
 
 
+def simhash_clusters(
+    documents: DataFrame, hamming_k: int = 3, max_iterations: int = 20
+) -> DataFrame:
+    """The reference's full two-stage dedupe: LSH candidate pairs ->
+    hamming verify -> match-set union (Stage1Mapper/Stage1Reducer +
+    Stage2Reducer/SetUnionFinder, SURVEY.md 2.9). Returns
+    (doc_id, cluster) where cluster is the minimum doc_id of the
+    near-duplicate component; singleton docs map to themselves."""
+    pairs = simhash_candidate_pairs(documents, hamming_k=hamming_k).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs, max_iterations=max_iterations).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    return (
+        documents.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
