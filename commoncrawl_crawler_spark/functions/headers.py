@@ -33,8 +33,20 @@ def parse_headers_expr(col: Column) -> Column:
 
 
 def header_expr(col: Column, name: str) -> Column:
-    """One header value (name given lower-case)."""
-    return parse_headers_expr(col).getItem(name)
+    """One header value (name given lower-case), NULL if absent.
+
+    Single-field extraction is a direct case-insensitive multiline
+    regexp -- one codegen'd scan of the blob, an order of magnitude
+    cheaper than building the full map per field (Catalyst's
+    projection collapse re-inlines a hoisted map into every consumer,
+    so the map path cannot be shared across getters anyway). Use
+    parse_headers_expr when a consumer genuinely needs all headers.
+    """
+    import re as _re
+
+    pat = rf"(?im)^{_re.escape(name)}:[ \t]*([^\r\n]*)"
+    v = F.regexp_extract(col, pat, 1)
+    return F.when(v != "", F.trim(v))
 
 
 def status_code_expr(status_line: Column) -> Column:

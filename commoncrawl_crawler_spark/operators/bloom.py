@@ -95,18 +95,20 @@ def build_bloom(
     m_bits, k = optimal_params(expected_items, fpp)
     hashed = df.select(F.xxhash64(F.col(col)).alias("h"))
 
-    def _partition_bits(rows):
+    def _partition_bits(batches):
+        # Arrow-batched (no per-row Python): one bitmap per partition
         arr = np.zeros(m_bits // 8, dtype=np.uint8)
-        vals = np.fromiter((r["h"] for r in rows), dtype=np.int64)
-        if len(vals):
-            idx = _indexes(vals.astype(np.uint64), m_bits, k).ravel()
-            np.bitwise_or.at(arr, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
-        yield arr.tobytes()
+        for pdf in batches:
+            vals = pdf["h"].to_numpy(dtype=np.int64)
+            if len(vals):
+                idx = _indexes(vals.astype(np.uint64), m_bits, k).ravel()
+                np.bitwise_or.at(arr, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bits": [arr.tobytes()]})
 
-    parts = hashed.rdd.mapPartitions(_partition_bits).collect()
+    parts = hashed.mapInPandas(_partition_bits, "bits binary").collect()
     merged = np.zeros(m_bits // 8, dtype=np.uint8)
     for p in parts:
-        merged |= np.frombuffer(p, dtype=np.uint8)
+        merged |= np.frombuffer(bytes(p["bits"]), dtype=np.uint8)
     return Bloom(merged.tobytes(), m_bits, k)
 
 
