@@ -190,18 +190,24 @@ def minhash_lsh_pairs(
         "doc_id",
         F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
     ).localCheckpoint(eager=False)
+    # |a ∪ b| = |a| + |b| - |a ∩ b| exactly (distinct sets, integer
+    # math) -- array_union would redo the intersection work per pair
     inter = F.size(F.array_intersect(F.col("tokens_a"), F.col("tokens_b")))
-    union = F.size(F.array_union(F.col("tokens_a"), F.col("tokens_b")))
+    union = F.col("n_a") + F.col("n_b") - inter
     return (
         pairs.join(
             toks.select(
-                F.col("doc_id").alias("doc_a"), F.col("tokens").alias("tokens_a")
+                F.col("doc_id").alias("doc_a"),
+                F.col("tokens").alias("tokens_a"),
+                F.size("tokens").alias("n_a"),
             ),
             "doc_a",
         )
         .join(
             toks.select(
-                F.col("doc_id").alias("doc_b"), F.col("tokens").alias("tokens_b")
+                F.col("doc_id").alias("doc_b"),
+                F.col("tokens").alias("tokens_b"),
+                F.size("tokens").alias("n_b"),
             ),
             "doc_b",
         )
@@ -228,8 +234,10 @@ def ngram_jaccard_pairs(
         F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
     )
     a, b = toks.alias("a"), toks.alias("b")
+    # |a ∪ b| = |a| + |b| - |a ∩ b| (distinct sets): one array op per
+    # pair instead of two
     inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens")))
-    union = F.size(F.array_union(F.col("a.tokens"), F.col("b.tokens")))
+    union = F.size(F.col("a.tokens")) + F.size(F.col("b.tokens")) - inter
     return (
         a.join(
             b,

@@ -1,0 +1,76 @@
+"""End-to-end pipeline: real operators composed through PipelineTask.
+
+The domain-metadata lifecycle (SURVEY.md section 3.2) in miniature:
+  edges  -> link_graph_edges(lineitem)
+  rank   -> domain_rank(edges)           (depends on edges)
+  stats  -> stats_aggregation            (independent branch)
+  final  -> rank x top-stats join        (depends on rank, stats)
+Re-running the task must skip every completed step (idempotent
+restart, CrawlPipelineStep.isComplete analog) yet serve identical
+outputs from the parquet handoffs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commoncrawl_crawler_spark.operators import aggregates, graph
+from commoncrawl_crawler_spark.plans.pipeline import PipelineStep, PipelineTask
+from commoncrawl_crawler_spark.sources import load_table
+
+
+def _build_task(workdir: str, sf: str, log: list) -> PipelineTask:
+    def edges(s, deps):
+        log.append("edges")
+        return graph.link_graph_edges(load_table(s, "lineitem", sf))
+
+    def rank(s, deps):
+        log.append("rank")
+        return graph.domain_rank(deps["edges"])
+
+    def stats(s, deps):
+        log.append("stats")
+        return aggregates.stats_aggregation(
+            load_table(s, "orders", sf), load_table(s, "customer", sf)
+        )
+
+    def final(s, deps):
+        log.append("final")
+        top = deps["rank"].orderBy(F.desc("domain_rank"), "dst").limit(10)
+        return top.crossJoin(
+            deps["stats"].agg(F.sum("order_count").alias("total_orders"))
+        )
+
+    return (
+        PipelineTask(workdir)
+        .add(PipelineStep("final", final, ("rank", "stats")))
+        .add(PipelineStep("edges", edges))
+        .add(PipelineStep("rank", rank, ("edges",)))
+        .add(PipelineStep("stats", stats))
+    )
+
+
+def test_domain_metadata_pipeline_end_to_end(spark, tmp_path, sf_smoke):
+    log: list = []
+    task = _build_task(str(tmp_path), sf_smoke, log)
+    out = task.run(spark)
+
+    assert log.index("edges") < log.index("rank") < log.index("final")
+    assert log.index("stats") < log.index("final")
+    final_rows = out["final"].collect()
+    assert len(final_rows) == 10
+    assert all(r["total_orders"] > 0 for r in final_rows)
+    # rank output matches running the operator directly (parquet
+    # handoff is lossless)
+    direct = graph.domain_rank(
+        graph.link_graph_edges(load_table(spark, "lineitem", sf_smoke))
+    )
+    assert sorted(map(tuple, out["rank"].collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # restart: nothing re-executes, outputs still served
+    log2: list = []
+    again = _build_task(str(tmp_path), sf_smoke, log2).run(spark)
+    assert log2 == []
+    assert again["final"].count() == 10
