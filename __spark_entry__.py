@@ -30,6 +30,7 @@ from commoncrawl_crawler_spark.operators import (
     multimodal,
     sessions,
     setops,
+    skew,
     similarity,
     textstats,
     windows,
@@ -511,6 +512,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             page_size=20,
             tiebreak="c_custkey",
         ),
+        # salted two-phase agg/join must equal their plain equivalents
+        "skew_salted_count": lambda s, d: skew.salted_count_by_key(
+            _t(s, d, "orders"), "o_orderpriority", "o_orderkey"
+        ),
+        "skew_salted_join": lambda s, d: skew.salted_join(
+            _t(s, d, "orders").select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.col("o_custkey").alias("c_custkey"),
+            ),
+            _t(s, d, "customer").select("c_custkey", "c_mktsegment"),
+            "c_custkey",
+            "o_orderkey",
+        ).select(
+            "o_orderkey", "c_custkey", "c_mktsegment", "o_orderstatus"
+        ).orderBy("o_orderkey"),
+        "text_quality_buckets": lambda s, d: textstats.quality_buckets(
+            _t(s, d, "documents")
+        ),
         "setop_union_tagged": lambda s, d: setops.union_tagged(
             _t(s, d, "orders").filter(F.col("o_orderstatus") == "O"),
             _t(s, d, "orders").filter(F.col("o_orderstatus") == "F"),
@@ -960,6 +980,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM customer
             ORDER BY c_acctbal DESC, c_custkey
             LIMIT 20 OFFSET 40
+        """,
+        "skew_salted_count": """
+            SELECT o_orderpriority, count(*) AS cnt
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "skew_salted_join": """
+            SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment,
+                   o_orderstatus
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
+        """,
+        "text_quality_buckets": """
+            WITH q AS (
+                SELECT lang,
+                       round((
+                           (CASE WHEN length(text) BETWEEN 50 AND 20000
+                                 THEN 1.0 ELSE 0.3 END)
+                         + (CASE WHEN round(length(regexp_replace(text,
+                                     '[\\w\\s]', '', 'g'))
+                                     / greatest(length(text), 1), 6) < 0.2
+                                 THEN 1.0 ELSE 0.4 END)
+                         + (CASE WHEN len(regexp_extract_all(lower(text),
+                                     '\\b(?:the|and|of|to|a)\\b')) > 0
+                                 THEN 1.0 ELSE 0.5 END)
+                       ) / 3, 6) AS qv
+                FROM documents
+            )
+            SELECT lang, round(qv, 2) AS q_bucket, count(*) AS cnt
+            FROM q GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "setop_union_tagged": """
             SELECT o_orderkey, o_totalprice, 'open' AS src
