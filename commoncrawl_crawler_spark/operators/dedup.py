@@ -344,6 +344,8 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         edges.select(F.col("src"), F.col("dst"))
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)  # joined every round; without
+        # this each iteration replays the upstream LSH pipeline
     )
     labels = (
         sym.select(F.col("src").alias("node"))

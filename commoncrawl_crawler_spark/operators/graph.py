@@ -139,10 +139,16 @@ def pagerank(
     localCheckpoint for reliable checkpoint on HDFS/S3.
     """
     base_i = (damp_den - damp_num) * RANK_SCALE // damp_den  # 0.15
-    nodes = graph_nodes(edges)
+    # checkpoint the loop-invariant tables once: without this every
+    # iteration replays the source scan + distinct + degree join
+    nodes = graph_nodes(edges).localCheckpoint(eager=False)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
     # fuse static per-edge divisor once: contribution = rank(src)/out_cnt(src)
-    edge_w = edges.join(out_deg, "src").select("src", "dst", "out_cnt")
+    edge_w = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", "out_cnt")
+        .localCheckpoint(eager=False)
+    )
 
     ranks = nodes.withColumn("rank_i", F.lit(RANK_SCALE).cast("long"))
     for _ in range(iterations):
@@ -184,7 +190,7 @@ def pagerank_root_averaged(
     discipline as `pagerank` (the average is a truncating sum/count).
     """
     base_i = (damp_den - damp_num) * RANK_SCALE // damp_den
-    nodes = graph_nodes(edges)
+    nodes = graph_nodes(edges).localCheckpoint(eager=False)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
     edge_w = edges.join(out_deg, "src").select(
         "src", "dst", "out_cnt", root_of(F.col("src")).alias("src_root")
@@ -198,6 +204,8 @@ def pagerank_root_averaged(
         ).withColumn("is_super", F.coalesce(F.col("is_super"), F.lit(False)))
     else:
         edge_w = edge_w.withColumn("is_super", F.lit(False))
+    # loop-invariant: materialize once, not once per iteration
+    edge_w = edge_w.localCheckpoint(eager=False)
 
     ranks = nodes.withColumn("rank_i", F.lit(RANK_SCALE).cast("long"))
     for _ in range(iterations):
@@ -253,6 +261,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=False)  # joined every round
     )
     labels = graph_nodes(und).withColumn("comp", F.col("node"))
     for _ in range(max_iterations):
