@@ -81,6 +81,28 @@ def streaming_distinct_pairs(stream: DataFrame) -> DataFrame:
     )
 
 
+def run_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain available input into a parquet sink with a checkpoint dir
+    -- the production shape: exactly-once via checkpointed offsets +
+    file-commit protocol; restartable from `checkpoint`. (The
+    reference's crawl-history service checkpointed per crawl number
+    for the same restart guarantee.)"""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     df: DataFrame, sink_table: str, output_mode: str = "complete"
 ) -> DataFrame:

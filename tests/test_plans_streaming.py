@@ -62,6 +62,22 @@ def test_pagination_matches_full_sort(spark, tmp_path, sf_smoke):
     assert [r["domain"] for r in pages] == [r["domain"] for r in full]
 
 
+def test_parquet_sink_checkpointed_exactly_once(spark, tmp_path, sf_smoke):
+    """File sink + checkpoint: draining twice must not duplicate rows
+    (offsets are committed in the checkpoint, so run 2 sees no new
+    input)."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for _ in range(2):
+        stream = jobs.read_events_stream(spark, sf_smoke).select(
+            "event_id", "user_id", "ts"
+        )
+        jobs.run_to_parquet(stream, out, ckpt)
+    from commoncrawl_crawler_spark.sources import load_table
+
+    n_expected = load_table(spark, "events", sf_smoke).count()
+    assert spark.read.parquet(out).count() == n_expected
+
+
 def test_stateful_sessionize_matches_batch(spark, sf_smoke):
     batch = sessions.sessionize(
         load_table(spark, "events", sf_smoke), gap_minutes=60
