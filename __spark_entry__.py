@@ -449,6 +449,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_time_window_rollup": lambda s, d: aggregates.time_window_rollup(
             _t(s, d, "events")
         ),
+        "agg_value_percentiles": lambda s, d: aggregates.value_percentiles(
+            _t(s, d, "events")
+        ),
+        "agg_moving_daily_avg": lambda s, d: aggregates.moving_daily_average(
+            _t(s, d, "events")
+        ),
+        "agg_status_rollup": lambda s, d: aggregates.status_rollup(
+            _t(s, d, "orders")
+        ),
         "join_tagged_full_outer": lambda s, d: joins.tagged_full_outer_join(
             _t(s, d, "orders"), _t(s, d, "customer")
         ),
@@ -832,6 +841,33 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS distinct_users
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "agg_value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   count(*) AS cnt
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "agg_moving_daily_avg": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       round(sum(value), 3) AS day_total
+                FROM events GROUP BY 1
+            )
+            SELECT day, day_total,
+                   round(avg(day_total) OVER (
+                       ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                       AND CURRENT ROW
+                   ), 6) AS avg_7d
+            FROM daily ORDER BY day
+        """,
+        "agg_status_rollup": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                   round(sum(o_totalprice), 3) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """,
         "join_tagged_full_outer": """
             WITH order_stats AS (

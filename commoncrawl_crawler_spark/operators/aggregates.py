@@ -209,3 +209,68 @@ def time_window_rollup(events: DataFrame) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per group (p50/p95).
+
+    Beyond the reference (it had only count/sum/min/max/avg); Spark's
+    `percentile` and DuckDB's `quantile_cont` share the continuous
+    interpolation definition, so results oracle-match after rounding.
+    Exact percentiles shuffle the group's values; at 100 TB switch to
+    `approx_percentile` (t-digest, map-side partials) the same way
+    countDistinct degrades to approx_count_distinct.
+    """
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def moving_daily_average(events: DataFrame, days: int = 7) -> DataFrame:
+    """Per-day totals with a trailing N-day moving average.
+
+    The time-series smoothing pass the crawler-stats UI applied
+    client-side (CrawlerStatsQuery served raw points); expressed as a
+    range-frame window over the daily rollup -- the rollup shrinks
+    data to O(days) first, so the window cost is trivial at any scale.
+    """
+    from pyspark.sql import Window
+
+    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value"), 3).alias("day_total")
+    )
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-(days - 1) * 86400, 0)
+    )
+    return daily.select(
+        "day",
+        "day_total",
+        F.round(F.avg("day_total").over(w), 6).alias(f"avg_{days}d"),
+    ).orderBy("day")
+
+
+def status_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP totals: (status, priority) -> status -> grand total.
+
+    The reference computed multi-level totals with separate jobs per
+    level (AggregateStatsByMonth then GroupByDomain); `rollup` emits
+    every level from one shuffle with map-side partials.
+    """
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 3).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
