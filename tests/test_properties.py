@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) over the pure scalar kernels.
+
+The reference's embedded asserts (URLUtils.java table, DeduperUtils
+main()) pin examples; these pin *invariants* over generated inputs.
+All kernels under test are pure Python/numpy, so the suite runs
+without a Spark session and stays fast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from commoncrawl_crawler_spark.functions import hashing, urls
+from commoncrawl_crawler_spark.operators import bloom
+from commoncrawl_crawler_spark.sources.archive import _iter_members, _member_bytes
+
+SETTLE = settings(max_examples=100, derandomize=True, deadline=None)
+
+host_labels = st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=8)
+    .filter(lambda s: not s.startswith("-") and not s.endswith("-")),
+    min_size=1,
+    max_size=4,
+)
+
+
+@SETTLE
+@given(
+    labels=host_labels,
+    path=st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789/_-.",
+        max_size=20,
+    ),
+)
+def test_canonicalize_idempotent(labels, path):
+    url = "HTTP://" + ".".join(labels) + "/" + path
+    once = urls.canonicalize_url(url)
+    if once is not None:
+        assert urls.canonicalize_url(once) == once  # fixpoint
+        assert "#" not in once
+        host = once.split("://", 1)[1].split("/", 1)[0]
+        assert host == host.lower()
+
+
+@SETTLE
+@given(labels=host_labels)
+def test_root_domain_is_suffix_with_bounded_labels(labels):
+    host = ".".join(labels)
+    root = urls.root_domain(host)
+    assert root is not None
+    assert host.endswith(root)
+    n = len(root.split("."))
+    assert n <= 3
+    if ".".join(root.split(".")[-2:]) not in urls.TWO_LEVEL_SUFFIXES:
+        assert n <= 2
+
+
+@SETTLE
+@given(text=st.text(max_size=500))
+def test_simhash_deterministic_int64(text):
+    a = hashing.simhash64(text)
+    assert a == hashing.simhash64(text)
+    assert -(1 << 63) <= a < (1 << 63)
+
+
+@SETTLE
+@given(text=st.text(min_size=1, max_size=300))
+def test_minhash_identical_texts_full_match(text):
+    a = hashing.minhash_signature(text, num_hashes=32)
+    b = hashing.minhash_signature(text, num_hashes=32)
+    assert a == b
+    assert len(a) == 32
+
+
+@SETTLE
+@given(text=st.text(min_size=4, max_size=300))
+def test_shingle_ids_count(text):
+    n_bytes = len(text.encode("utf-8"))
+    ids = hashing._shingle_ids(text)
+    expected = max(1, n_bytes - hashing.SHINGLE_SIZE + 1)
+    assert len(ids) == expected
+
+
+@SETTLE
+@given(
+    keys=st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=200)
+)
+def test_bloom_kernel_no_false_negatives(keys):
+    arr = np.array(keys or [0], dtype=np.int64)
+    m_bits, k = bloom.optimal_params(len(arr), 0.01)
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    idx = bloom._indexes(arr.astype(np.uint64), m_bits, k).ravel()
+    np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    b = bloom.Bloom(bits.tobytes(), m_bits, k)
+    assert b.might_contain_np(arr).all()
+
+
+@SETTLE
+@given(
+    items=st.lists(
+        st.tuples(st.text(alphabet="abc123", min_size=1, max_size=10), st.binary(max_size=200)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_archive_members_roundtrip(items):
+    blob = b"".join(_member_bytes(k, v) for k, v in items)
+    got = [(k, payload) for _, k, payload in _iter_members(blob)]
+    assert got == items
+
+
+@SETTLE
+@given(n=st.integers(min_value=1, max_value=10**9), fpp=st.floats(0.001, 0.2))
+def test_bloom_sizing_monotone(n, fpp):
+    m, k = bloom.optimal_params(n, fpp)
+    assert m % 64 == 0 and m >= 64 and k >= 1
+    m2, _ = bloom.optimal_params(n, fpp / 2)
+    assert m2 >= m  # stricter fpp never shrinks the filter
