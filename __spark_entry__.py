@@ -725,6 +725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_connected_components": lambda s, d: graph.connected_components(
             _cc_edges(s, d)
         ),
+        "graph_component_sizes": lambda s, d: graph.component_sizes(
+            graph.connected_components(_cc_edges(s, d))
+        ),
         "graph_domain_rank": lambda s, d: graph.domain_rank(_edges(s, d)),
         "graph_super_domains": lambda s, d: graph.super_domains(
             _edges(s, d), threshold=25
@@ -1265,6 +1268,19 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(iterations=3),
         "graph_pagerank_rootavg": _pagerank_rootavg_sql(iterations=2),
         "graph_connected_components": _CC_SQL,
+        "graph_component_sizes": (
+            "WITH RECURSIVE "
+            + _edges_cte(95000.0)
+            + """,
+und AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+lp(node, comp) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT u.b, lp.comp FROM lp JOIN und u ON lp.node = u.a WHERE lp.comp < u.b
+),
+labels AS (SELECT node, min(comp) AS comp FROM lp GROUP BY node)
+SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
+        ),
         "graph_domain_rank": "WITH "
         + _edges_cte()
         + """,

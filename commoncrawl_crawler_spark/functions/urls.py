@@ -278,6 +278,9 @@ def canonicalize_url_expr(col: Column) -> Column:
     sess = "|".join(SESSION_PARAMS)
     c = F.regexp_replace(c, rf"(?i)[?&](?:{sess})=[^&]*", "")
     c = F.regexp_replace(c, r"\?&", "?")
+    # stripping a leading '?param' leaves the next param dangling on
+    # '&': promote the first '&' to '?' when no '?' precedes it
+    c = F.regexp_replace(c, r"^([^?]*)&", "$1?")
     c = F.regexp_replace(c, r"[?&]$", "")
     return c
 

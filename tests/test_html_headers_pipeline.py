@@ -42,6 +42,47 @@ def test_extract_meta_tags_lowercases_names():
     assert htmlfn.extract_meta_tags(HTML) == {"description": "a test page"}
 
 
+def test_meta_tags_udf_and_full_header_map(spark):
+    df = spark.createDataFrame([(HTML,)], "html string")
+    row = df.select(
+        htmlfn.extract_meta_tags_udf(F.col("html")).alias("meta")
+    ).collect()[0]
+    assert row["meta"] == {"description": "a test page"}
+
+    blob = "Content-Type: text/html\r\nX-Custom: v1"
+    hdf = spark.createDataFrame([(blob,)], "blob string")
+    m = hdf.select(hdr.parse_headers_expr(F.col("blob")).alias("h")).collect()[0][
+        "h"
+    ]
+    assert m == {"content-type": "text/html", "x-custom": "v1"}
+
+
+def test_canonicalize_expr_matches_udf_on_common_cases(spark):
+    """The JVM expression tier must agree with the full-fidelity UDF
+    on the common-case rules it implements (scheme/host lowering,
+    fragment/default-port/session-param stripping)."""
+    urls_in = [
+        ("HTTP://Example.COM:80/Path?a=1#frag",),
+        ("https://Host.Org:443/x?utm_source=f&b=2",),
+        ("http://plain.net/path",),
+    ]
+    from commoncrawl_crawler_spark.functions import urls as urlfn
+
+    df = spark.createDataFrame(urls_in, "u string").select(
+        urlfn.canonicalize_url_expr(F.col("u")).alias("expr"),
+        urlfn.canonicalize_url_udf(F.col("u")).alias("udf"),
+    )
+    for r in df.collect():
+        assert r["expr"] == r["udf"], (r["expr"], r["udf"])
+
+
+def test_get_or_create_reuses_active_session(spark):
+    from commoncrawl_crawler_spark.session import get_or_create
+
+    assert get_or_create(spark) is spark
+    assert get_or_create(None) is spark  # active session reused
+
+
 def test_header_expressions(spark):
     blob = (
         "HTTP-Status: ignored\r\n"
