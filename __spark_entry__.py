@@ -38,6 +38,7 @@ from commoncrawl_crawler_spark.operators import (
 from commoncrawl_crawler_spark.functions import (
     headers as hdr,
     html as htmlfn,
+    numeric,
     urls as urlfn,
 )
 from commoncrawl_crawler_spark.plans import query_api
@@ -664,7 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("k")
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
-                F.round(F.sum("value"), 3).alias("sum_value"),
+                numeric.dsum("value").alias("sum_value"),
             )
             .orderBy("k")
         ),
@@ -772,16 +773,25 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (views pre-registered)."""
     return {
         "agg_pricing_summary": """
+            WITH d AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(l_quantity AS DECIMAL(15,2)) AS qty,
+                       CAST(l_extendedprice AS DECIMAL(15,2)) AS ep,
+                       CAST(l_discount AS DECIMAL(4,2)) AS disc,
+                       CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS dm,
+                       CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS tm
+                FROM lineitem
+            )
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 3) AS sum_qty,
-                   round(sum(l_extendedprice), 3) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 3) AS sum_charge,
-                   round(round(sum(l_quantity), 3) / count(*), 6) AS avg_qty,
-                   round(round(sum(l_extendedprice), 3) / count(*), 6) AS avg_price,
-                   round(round(sum(l_discount), 3) / count(*), 6) AS avg_disc,
+                   CAST(round(sum(qty), 3) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(ep), 3) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(ep * dm), 3) AS DOUBLE) AS sum_disc_price,
+                   CAST(round(sum(ep * dm * tm), 3) AS DOUBLE) AS sum_charge,
+                   round(CAST(round(sum(qty), 3) AS DOUBLE) / count(*), 6) AS avg_qty,
+                   round(CAST(round(sum(ep), 3) AS DOUBLE) / count(*), 6) AS avg_price,
+                   round(CAST(round(sum(disc), 3) AS DOUBLE) / count(*), 6) AS avg_disc,
                    count(*) AS count_order
-            FROM lineitem
+            FROM d
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
@@ -791,7 +801,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_count,
                    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS filled_count,
                    count(DISTINCT o_custkey) AS distinct_customers,
-                   round(sum(o_totalprice), 3) AS total_price
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(15,2))), 3) AS DOUBLE) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
@@ -839,8 +849,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(ts AS DATE) AS day,
                    event_type,
                    count(*) AS cnt,
-                   round(sum(value), 3) AS sum_value,
-                   round(round(sum(value), 3) / count(*), 6) AS avg_value,
+                   CAST(round(sum(CAST(value AS DECIMAL(15,2))), 3) AS DOUBLE) AS sum_value,
+                   round(CAST(round(sum(CAST(value AS DECIMAL(15,2))), 3) AS DOUBLE) / count(*), 6) AS avg_value,
                    count(DISTINCT user_id) AS distinct_users
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
@@ -855,19 +865,20 @@ def oracle_sql() -> dict[str, str]:
         "agg_moving_daily_avg": """
             WITH daily AS (
                 SELECT CAST(ts AS DATE) AS day,
-                       round(sum(value), 3) AS day_total
+                       round(sum(CAST(value AS DECIMAL(15,2))), 3) AS day_total_dec
                 FROM events GROUP BY 1
             )
-            SELECT day, day_total,
-                   round(avg(day_total) OVER (
-                       ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
-                       AND CURRENT ROW
-                   ), 6) AS avg_7d
-            FROM daily ORDER BY day
+            SELECT day, CAST(day_total_dec AS DOUBLE) AS day_total,
+                   round(CAST(sum(day_total_dec) OVER w AS DOUBLE)
+                         / count(*) OVER w, 6) AS avg_7d
+            FROM daily
+            WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY day
         """,
         "agg_status_rollup": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-                   round(sum(o_totalprice), 3) AS total
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(15,2))), 3) AS DOUBLE) AS total
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -875,7 +886,7 @@ def oracle_sql() -> dict[str, str]:
         "join_tagged_full_outer": """
             WITH order_stats AS (
                 SELECT o_custkey, count(*) AS order_count,
-                       round(sum(o_totalprice), 3) AS total_spent
+                       CAST(round(sum(CAST(o_totalprice AS DECIMAL(15,2))), 3) AS DOUBLE) AS total_spent
                 FROM orders GROUP BY o_custkey
             )
             SELECT coalesce(c_custkey, o_custkey) AS custkey,
@@ -890,7 +901,7 @@ def oracle_sql() -> dict[str, str]:
         "join_broadcast_dim": """
             SELECT p_brand, s_name,
                    count(*) AS line_count,
-                   round(sum(l_extendedprice), 3) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,2))), 3) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             JOIN supplier ON l_suppkey = s_suppkey
@@ -910,7 +921,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "join_multiway": """
             SELECT r_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                       * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 3) AS DOUBLE) AS revenue,
                    count(*) AS line_count
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -958,7 +970,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "filter_range_predicate": """
-            SELECT round(sum(l_extendedprice * l_discount), 3) AS revenue,
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                       * CAST(l_discount AS DECIMAL(4,2))), 3) AS DOUBLE) AS revenue,
                    count(*) AS matched_lines
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '2024-01-01'
@@ -996,17 +1009,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "win_segment_packing": """
             SELECT o_custkey, o_orderkey,
-                   round(sum(o_totalprice) OVER (
-                       PARTITION BY o_custkey
-                       ORDER BY o_orderdate, o_orderkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ), 3) AS running_total,
-                   CAST(floor(round(sum(o_totalprice) OVER (
-                       PARTITION BY o_custkey
-                       ORDER BY o_orderdate, o_orderkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ), 3) / 500000.0) AS INT) AS segment_id
-            FROM orders ORDER BY o_custkey, o_orderkey
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER w, 3)
+                        AS DOUBLE) AS running_total,
+                   CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER w * 100
+                        AS BIGINT) // 50000000 AS INT) AS segment_id
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY o_custkey, o_orderkey
         """,
         "win_round_robin": """
             SELECT doc_id, lang,
@@ -1150,7 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fn_json_props": """
             SELECT CAST(props->>'$.k' AS INT) AS k, count(*) AS cnt,
-                   round(sum(value), 3) AS sum_value
+                   CAST(round(sum(CAST(value AS DECIMAL(15,2))), 3) AS DOUBLE) AS sum_value
             FROM events GROUP BY k ORDER BY k
         """,
         "mm_content_stats": """
@@ -1187,7 +1198,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_windowed_stats": """
             SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt,
-                   round(sum(value), 3) AS sum_value
+                   CAST(round(sum(CAST(value AS DECIMAL(15,2))), 3) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "stream_distinct_pairs": """
@@ -1212,7 +1223,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_id, min(ts) AS session_start,
                    max(ts) AS session_end, count(*) AS n_events,
-                   round(sum(value), 3) AS sum_value
+                   CAST(round(sum(CAST(value AS DECIMAL(15,2))), 3) AS DOUBLE) AS sum_value
             FROM ids GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "source_archive_roundtrip": """
@@ -1388,11 +1399,15 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
                        unnest(embedding) AS val
                 FROM embeddings
             ), per_pos AS (
-                SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6) AS mean_val
+                SELECT label, pos,
+                       round(CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)
+                             / count(*), 6) AS mean_val
                 FROM expl GROUP BY 1, 2
             )
             SELECT label,
-                   round(sum(mean_val * mean_val), 4) AS centroid_sq_norm,
+                   CAST(round(sum(CAST(mean_val AS DECIMAL(12,6))
+                        * CAST(mean_val AS DECIMAL(12,6))), 4) AS DOUBLE)
+                       AS centroid_sq_norm,
                    count(*) AS dims
             FROM per_pos GROUP BY label ORDER BY label
         """,

@@ -20,6 +20,17 @@ from commoncrawl_crawler_spark.session import build_session
 
 
 def main() -> None:
+    # The result JSON must be the ONLY line on stdout. The Spark JVM is
+    # a child process that inherits fd 1 and writes launcher/ivy/log
+    # chatter to it, so a sys.stdout-level redirect is not enough:
+    # duplicate the real stdout, then point fd 1 at stderr at the OS
+    # level BEFORE the JVM starts.
+    import sys
+
+    real_stdout = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
@@ -49,17 +60,17 @@ def main() -> None:
         times[name] = round(time.monotonic() - t0, 4)
 
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+        }
     )
+    os.write(real_stdout, (line + "\n").encode())
+    os.close(real_stdout)
     spark.stop()
 
 

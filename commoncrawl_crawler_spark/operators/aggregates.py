@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from commoncrawl_crawler_spark.functions.numeric import MONEY, PCT, dec, dsum, dsum_expr
+
 
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
     """Flagship grouped-aggregate scan (TPC-H Q1 shape).
@@ -29,32 +31,26 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
     key; map-side partial aggregation does almost all the work, so
     this scales linearly with input bytes.
     """
+    # exact decimal factors: sums are order-independent (see
+    # functions/numeric.py); (1 +/- pct) recast to PCT so neither
+    # engine crosses the 38-digit precision-loss threshold
+    ep = dec("l_extendedprice")
+    disc_mult = (F.lit(1) - dec("l_discount", PCT)).cast(PCT)
+    tax_mult = (F.lit(1) + dec("l_tax", PCT)).cast(PCT)
     return (
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                3,
-            ).alias("sum_charge"),
-            # averages derived from the rounded sums: once the rounded
-            # sum agrees across engines the division is bit-identical,
-            # immune to float-summation-order half-boundary flips
-            F.round(F.round(F.sum("l_quantity"), 3) / F.count(F.lit(1)), 6).alias(
-                "avg_qty"
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_expr(ep * disc_mult).alias("sum_disc_price"),
+            dsum_expr(ep * disc_mult * tax_mult).alias("sum_charge"),
+            # averages derived from the deterministic rounded sums:
+            # identical double inputs -> bit-identical division
+            F.round(dsum("l_quantity") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(dsum("l_extendedprice") / F.count(F.lit(1)), 6).alias(
+                "avg_price"
             ),
-            F.round(
-                F.round(F.sum("l_extendedprice"), 3) / F.count(F.lit(1)), 6
-            ).alias("avg_price"),
-            F.round(F.round(F.sum("l_discount"), 3) / F.count(F.lit(1)), 6).alias(
+            F.round(dsum("l_discount", dt=PCT) / F.count(F.lit(1)), 6).alias(
                 "avg_disc"
             ),
             F.count(F.lit(1)).alias("count_order"),
@@ -88,7 +84,7 @@ def stats_aggregation(orders: DataFrame, customer: DataFrame) -> DataFrame:
                 "filled_count"
             ),
             F.countDistinct("o_custkey").alias("distinct_customers"),
-            F.round(F.sum("o_totalprice"), 3).alias("total_price"),
+            dsum("o_totalprice").alias("total_price"),
         )
         .orderBy("c_mktsegment")
     )
@@ -201,10 +197,8 @@ def time_window_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 3).alias("sum_value"),
-            F.round(F.round(F.sum("value"), 3) / F.count(F.lit(1)), 6).alias(
-                "avg_value"
-            ),
+            dsum("value").alias("sum_value"),
+            F.round(dsum("value") / F.count(F.lit(1)), 6).alias("avg_value"),
             F.countDistinct("user_id").alias("distinct_users"),
         )
         .orderBy("day", "event_type")
@@ -242,8 +236,11 @@ def moving_daily_average(events: DataFrame, days: int = 7) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # the daily total stays an exact decimal through the window sum so
+    # the moving average is order-independent too; only the two output
+    # columns drop to double
     daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.round(F.sum("value"), 3).alias("day_total")
+        F.round(F.sum(dec("value")), 3).alias("_day_total_dec")
     )
     w = (
         Window.orderBy(F.col("day").cast("timestamp").cast("long"))
@@ -251,8 +248,12 @@ def moving_daily_average(events: DataFrame, days: int = 7) -> DataFrame:
     )
     return daily.select(
         "day",
-        "day_total",
-        F.round(F.avg("day_total").over(w), 6).alias(f"avg_{days}d"),
+        F.col("_day_total_dec").cast("double").alias("day_total"),
+        F.round(
+            F.sum("_day_total_dec").over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias(f"avg_{days}d"),
     ).orderBy("day")
 
 
@@ -267,7 +268,7 @@ def status_rollup(orders: DataFrame) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("o_totalprice"), 3).alias("total"),
+            dsum("o_totalprice").alias("total"),
         )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),

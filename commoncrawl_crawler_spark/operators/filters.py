@@ -93,9 +93,17 @@ def range_predicate(lineitem: DataFrame) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 3).alias(
-                "revenue"
-            ),
+            # exact decimal product/sum: order-independent, see
+            # functions/numeric.py
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(15,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                ),
+                3,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("matched_lines"),
         )
     )

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from commoncrawl_crawler_spark.functions.numeric import PCT, dec, dsum, dsum_expr
+
 
 def tagged_full_outer_join(orders: DataFrame, customer: DataFrame) -> DataFrame:
     """Reduce-side tagged union join, both sides kept.
@@ -36,7 +38,7 @@ def tagged_full_outer_join(orders: DataFrame, customer: DataFrame) -> DataFrame:
     """
     order_stats = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("order_count"),
-        F.round(F.sum("o_totalprice"), 3).alias("total_spent"),
+        dsum("o_totalprice").alias("total_spent"),
     )
     return (
         customer.join(
@@ -70,7 +72,7 @@ def broadcast_dim_join(
         .groupBy("p_brand", "s_name")
         .agg(
             F.count(F.lit(1)).alias("line_count"),
-            F.round(F.sum("l_extendedprice"), 3).alias("revenue"),
+            dsum("l_extendedprice").alias("revenue"),
         )
         .orderBy("p_brand", "s_name")
     )
@@ -122,8 +124,9 @@ def multiway_join(
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+            dsum_expr(
+                dec("l_extendedprice")
+                * (F.lit(1) - dec("l_discount", PCT)).cast(PCT)
             ).alias("revenue"),
             F.count(F.lit(1)).alias("line_count"),
         )

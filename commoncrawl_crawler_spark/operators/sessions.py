@@ -46,7 +46,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 3).alias("sum_value"),
+            # exact decimal sum (order-independent; functions/numeric.py)
+            F.round(F.sum(F.col("value").cast("decimal(15,2)")), 3)
+            .cast("double")
+            .alias("sum_value"),
         )
         .orderBy("user_id", "session_id")
     )

@@ -277,15 +277,23 @@ def pairwise_label_centroids(embeddings: DataFrame) -> DataFrame:
     exploded = embeddings.select(
         "label", F.posexplode(F.col("embedding")).alias("pos", "val")
     )
+    # mean from an exact decimal sum (order-independent; see
+    # functions/numeric.py); float32 -> decimal(18,9) is a per-value
+    # deterministic rounding, never an exact tie (5e-10 is not dyadic)
     per_pos = exploded.groupBy("label", "pos").agg(
-        F.round(F.avg("val"), 6).alias("mean_val")
+        F.round(
+            F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_val")
     )
+    # rounded-6 means are exact as decimal(12,6): the squared-norm sum
+    # is exact too, so round(.,4) can't flip on accumulation order
+    mv = F.col("mean_val").cast("decimal(12,6)")
     return (
         per_pos.groupBy("label")
         .agg(
-            F.round(F.sum(F.col("mean_val") * F.col("mean_val")), 4).alias(
-                "centroid_sq_norm"
-            ),
+            F.round(F.sum(mv * mv), 4).cast("double").alias("centroid_sq_norm"),
             F.count(F.lit(1)).alias("dims"),
         )
         .orderBy("label")

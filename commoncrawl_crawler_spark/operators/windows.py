@@ -77,13 +77,18 @@ def segment_packing(orders: DataFrame, segment_size: float = 500000.0) -> DataFr
         .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # exact decimal running sum: deterministic under any partitioning,
+    # and floor() at a segment boundary can't flip on float jitter
+    run_dec = F.sum(F.col("o_totalprice").cast("decimal(15,2)")).over(w)
+    seg_cents = int(round(segment_size * 100))
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 3).alias("running_total"),
-        F.floor(
-            F.round(F.sum("o_totalprice").over(w), 3) / F.lit(segment_size)
-        ).cast("int").alias("segment_id"),
+        F.round(run_dec, 3).cast("double").alias("running_total"),
+        ((run_dec * 100).cast("bigint") / F.lit(seg_cents))
+        .cast("bigint")
+        .cast("int")
+        .alias("segment_id"),
     ).orderBy("o_custkey", "o_orderkey")
 
 

@@ -40,6 +40,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     DuckDB applies, so oracle comparisons agree.
     """
     base = sf_dir or DEFAULT_SF_DIR
+    # nanosAsLong is a runtime SQL conf: set it here, not only at session
+    # build, so an externally-built SparkSession (e.g. a driving harness)
+    # can read TIMESTAMP(NANOS) parquet without PARQUET_TYPE_ILLEGAL.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # non-modifiable in some deployments; fall through to read
     df = spark.read.parquet(f"{base}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":

@@ -55,7 +55,10 @@ def windowed_event_stats(stream: DataFrame, window: str = "1 day") -> DataFrame:
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 3).alias("sum_value"),
+            # exact decimal sum (order-independent; functions/numeric.py)
+            F.round(F.sum(F.col("value").cast("decimal(15,2)")), 3)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("win.start").cast("date").alias("day"),
