@@ -23,8 +23,11 @@ Two tiers:
 
 from __future__ import annotations
 
+import re
 from functools import lru_cache
 from urllib.parse import urlsplit, urlunsplit
+
+from commoncrawl_crawler_spark.functions import psl
 
 import pandas as pd
 from pyspark.sql import Column, functions as F
@@ -54,11 +57,33 @@ SESSION_PARAMS = (
 
 _DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
 
+# path-embedded session-id shapes (behavior of
+# util/SessionIDURLNormalizer.java re-expressed as regexes over the
+# assembled URL; the id-length/charset constraints mirror its
+# hex-32 / alnum-26 checks)
+_SESSION_PATH_PATTERNS = (
+    (re.compile(r"(?i)^(.*php.*)/oscsid/[0-9a-f]{16,40}$"), r"\1"),
+    (
+        re.compile(
+            r"(?i)^(.*)[/;.+-]phpsessid[=./+-]"
+            r"(?:[0-9a-f]{32}|[0-9a-z]{26})(?![0-9a-z])(.*)$"
+        ),
+        r"\1\2",
+    ),
+    (re.compile(r"(?i)^(.*/)sessions/[0-9a-f]{16,40}/(.*)$"), r"\1\2"),
+    (re.compile(r"(?i)^(.*)/session_id/[0-9a-z]{16,40}(/.*|$)"), r"\1\2"),
+    (re.compile(r"(?i)^(.*)--session_id\.[0-9]+(.*)$"), r"\1\2"),
+)
+
 
 def canonicalize_url(url: str | None) -> str | None:
-    """Canonical form: lowercase scheme+host, strip fragment, strip
-    default port, drop session-id params, '/' default path, strip
-    trailing '?', collapse leading 'www.' is NOT applied (the
+    """Canonical form (util/URLUtils.java:79-143 semantics re-derived):
+    lowercase scheme+host, strip trailing host dot, strip the scheme's
+    own default port, truncate the path at its first ';' (matrix
+    params, e.g. ;jsessionid=...), drop session-id query params and
+    path-embedded session-id segments, '/' default path, and drop the
+    fragment UNLESS it starts with '!' (the AJAX-crawl convention the
+    reference stirs back in). Leading 'www.' is NOT collapsed (the
     reference keeps www distinct and analyzes the prefix separately,
     WWWPrefixStatsCollectorStep.java:51)."""
     if url is None:
@@ -85,56 +110,36 @@ def canonicalize_url(url: str | None) -> str | None:
     if port is not None and port != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"
     path = parts.path or "/"
-    # drop ;jsessionid=... path params (semicolon matrix params)
-    low = path.lower()
-    if ";jsessionid=" in low:
-        path = path[: low.index(";jsessionid=")]
+    # truncate at the first ';': matrix params (jsessionid and friends)
+    # never survive canonicalization in the reference
+    if ";" in path:
+        path = path[: path.index(";")] or "/"
     query = "&".join(
         kv
         for kv in parts.query.split("&")
         if kv and kv.split("=", 1)[0].lower() not in SESSION_PARAMS
     )
-    return urlunsplit((scheme, netloc, path, query, ""))
-
-
-# common two-level public suffixes; a production deployment swaps in
-# the full Mozilla public-suffix list (the reference embeds one in
-# util/TLDNamesCollection.java). Subset keeps the rule honest.
-TWO_LEVEL_SUFFIXES = (
-    "co.uk",
-    "org.uk",
-    "ac.uk",
-    "gov.uk",
-    "co.jp",
-    "ne.jp",
-    "or.jp",
-    "com.au",
-    "net.au",
-    "org.au",
-    "com.br",
-    "com.cn",
-    "com.mx",
-    "co.in",
-    "co.nz",
-    "co.kr",
-    "co.za",
-    "com.ar",
-    "com.tr",
-    "com.tw",
-)
+    # fragments are dropped except the #! AJAX-crawl convention
+    frag = parts.fragment if parts.fragment.startswith("!") else ""
+    out = urlunsplit((scheme, netloc, path, query, frag))
+    for pat, repl in _SESSION_PATH_PATTERNS:
+        out = pat.sub(repl, out)
+    return out
 
 
 def root_domain(host: str | None) -> str | None:
-    """eTLD+1 extraction (util/URLUtils.java:737 capability)."""
+    """eTLD+1 extraction (util/URLUtils.java:737 capability) against
+    the public-suffix table in functions/psl.py: longest-suffix match
+    with wildcard and exception rules, so co.uk / com.au / github.io
+    class hosts all root correctly."""
     if not host:
         return None
     host = host.lower().rstrip(".")
     labels = host.split(".")
-    if len(labels) <= 2:
+    sl = psl.suffix_label_count(labels)
+    if len(labels) <= sl:
         return host
-    if ".".join(labels[-2:]) in TWO_LEVEL_SUFFIXES:
-        return ".".join(labels[-3:])
-    return ".".join(labels[-2:])
+    return ".".join(labels[-(sl + 1) :])
 
 
 # ---------------------------------------------------------------------------
@@ -273,8 +278,13 @@ def canonicalize_url_expr(col: Column) -> Column:
         F.lower(F.regexp_extract(c, r"^([^/]*//[^/]*)", 1)),
         F.regexp_replace(c, r"^[^/]*//[^/]*", ""),
     )
-    c = F.regexp_replace(c, r"#.*$", "")  # fragment
-    c = F.regexp_replace(c, r"^(https?://[^/:]+):(?:80|443)(/|$)", r"$1$2")
+    c = F.regexp_replace(c, r"#(?!!).*$", "")  # fragment (keep #!)
+    # strip only the scheme's OWN default port: http:443 / https:80
+    # are real non-default ports and must survive
+    c = F.regexp_replace(c, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/:]+):443(/|$)", r"$1$2")
+    # matrix params: truncate the path at its first ';' (before any ?)
+    c = F.regexp_replace(c, r"^([^?]*?);[^?]*", r"$1")
     sess = "|".join(SESSION_PARAMS)
     c = F.regexp_replace(c, rf"(?i)[?&](?:{sess})=[^&]*", "")
     c = F.regexp_replace(c, r"\?&", "?")

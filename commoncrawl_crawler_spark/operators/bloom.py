@@ -10,9 +10,13 @@ StatsAggregationReducer sizes one at 2^28 elements x 10 hashes
 
 Engine-owned implementation (Spark's df.stat.bloomFilter stays on
 the JVM driver and can't ship into Python workers):
-- build: one `mapPartitions` pass computes a per-partition numpy bit
-  array; partitions OR-reduce treewise on the driver -- the same
-  one-pass, shuffle-free shape at any scale.
+- build: one `mapInPandas` pass computes a per-partition numpy bit
+  array, emitted as fixed-size CHUNK shards (all-zero chunks
+  skipped); shards OR-merge executor-side via a groupBy(chunk_id)
+  shuffle, so the driver receives exactly one filter's worth of
+  bytes (m/8) no matter how many partitions the input has. At the
+  reference's 2^28-element sizing that is one ~320 MB filter on the
+  driver instead of one per partition.
 - probe: the packed bit array broadcasts once per executor inside an
   Arrow-batched pandas UDF; membership for a whole batch is pure
   vectorized numpy.
@@ -81,34 +85,73 @@ class Bloom:
         return (arr[idx >> 3] & (1 << (idx & 7).astype(np.uint8))).all(axis=1)
 
 
-def build_bloom(
-    df: DataFrame,
-    col: str,
-    expected_items: int | None = None,
-    fpp: float = 0.01,
-) -> Bloom:
-    """One-pass distributed build over xxhash64(col) (the URL-FP
-    analog; pass an actual fingerprint column to match reference
-    semantics exactly)."""
-    if expected_items is None:
-        expected_items = df.count()
-    m_bits, k = optimal_params(expected_items, fpp)
+#: shard size for the executor-side merge; 4 MiB keeps any single
+#: shuffle row comfortably under frame limits at 2^28-element sizing
+CHUNK_BYTES = 4 << 20
+
+
+def _merged_chunk_rows(
+    df: DataFrame, col: str, m_bits: int, k: int, chunk_bytes: int
+) -> list:
+    """Distributed bit-set + executor-side OR-merge.
+
+    Each input partition builds its bitmap locally (vectorized, one
+    Arrow pass), slices it into fixed chunks, and emits only NONZERO
+    chunks. A groupBy(chunk_id) OR-merges shards on executors; the
+    rows collected here total at most m_bits/8 bytes -- the driver
+    never holds per-partition bitmaps."""
+    n_bytes = m_bits // 8
     hashed = df.select(F.xxhash64(F.col(col)).alias("h"))
 
-    def _partition_bits(batches):
-        # Arrow-batched (no per-row Python): one bitmap per partition
-        arr = np.zeros(m_bits // 8, dtype=np.uint8)
+    def _partition_chunks(batches):
+        arr = np.zeros(n_bytes, dtype=np.uint8)
         for pdf in batches:
             vals = pdf["h"].to_numpy(dtype=np.int64)
             if len(vals):
                 idx = _indexes(vals.astype(np.uint64), m_bits, k).ravel()
                 np.bitwise_or.at(arr, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
-        yield pd.DataFrame({"bits": [arr.tobytes()]})
+        for cid in range(0, n_bytes, chunk_bytes):
+            chunk = arr[cid : cid + chunk_bytes]
+            if chunk.any():
+                yield pd.DataFrame(
+                    {"chunk_id": [cid // chunk_bytes], "bits": [chunk.tobytes()]}
+                )
 
-    parts = hashed.mapInPandas(_partition_bits, "bits binary").collect()
-    merged = np.zeros(m_bits // 8, dtype=np.uint8)
-    for p in parts:
-        merged |= np.frombuffer(bytes(p["bits"]), dtype=np.uint8)
+    def _or_chunks(key, pdf):
+        acc = np.frombuffer(bytes(pdf["bits"].iloc[0]), dtype=np.uint8).copy()
+        for b in pdf["bits"].iloc[1:]:
+            acc |= np.frombuffer(bytes(b), dtype=np.uint8)
+        return pd.DataFrame({"chunk_id": [key[0]], "bits": [acc.tobytes()]})
+
+    shards = hashed.mapInPandas(_partition_chunks, "chunk_id int, bits binary")
+    return (
+        shards.groupBy("chunk_id")
+        .applyInPandas(_or_chunks, "chunk_id int, bits binary")
+        .collect()
+    )
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    chunk_bytes: int = CHUNK_BYTES,
+) -> Bloom:
+    """One-pass distributed build over xxhash64(col) (the URL-FP
+    analog; pass an actual fingerprint column to match reference
+    semantics exactly). Merge happens executor-side per chunk; driver
+    memory is bounded by one filter (m/8 bytes) at any partition
+    count."""
+    if expected_items is None:
+        expected_items = df.count()
+    m_bits, k = optimal_params(expected_items, fpp)
+    n_bytes = m_bits // 8
+    merged = np.zeros(n_bytes, dtype=np.uint8)
+    for row in _merged_chunk_rows(df, col, m_bits, k, chunk_bytes):
+        off = row["chunk_id"] * chunk_bytes
+        chunk = np.frombuffer(bytes(row["bits"]), dtype=np.uint8)
+        merged[off : off + len(chunk)] |= chunk
     return Bloom(merged.tobytes(), m_bits, k)
 
 
@@ -130,7 +173,7 @@ def bloom_drop_seen(
     """Frontier dedup: drop candidates (probably) present in history.
     No join, no shuffle of candidates; ~fpp of new rows are lost to
     false positives -- the crawl-frontier tradeoff the reference made."""
-    bloom = build_bloom(history, col)
+    bloom = build_bloom(history, col, fpp=fpp)
     probe = might_contain_udf(bloom)
     return candidates.filter(~probe(F.xxhash64(F.col(col))))
 
@@ -140,6 +183,6 @@ def bloom_keep_seen(
 ) -> DataFrame:
     """Re-crawl selection: keep candidates already in history
     (superset of the true intersection by ~fpp)."""
-    bloom = build_bloom(history, col)
+    bloom = build_bloom(history, col, fpp=fpp)
     probe = might_contain_udf(bloom)
     return candidates.filter(probe(F.xxhash64(F.col(col))))

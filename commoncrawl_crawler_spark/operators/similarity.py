@@ -146,55 +146,62 @@ def lsh_topk(
     )
 
 
+def _argmax_cell(cents: list[list[float]]):
+    """Map-only max-cosine cell assignment against driver-resident
+    centroids (1-indexed; ties break toward the lower cell via
+    argmax-first-occurrence). Arrow-batched numpy matmul: one
+    (batch x dim) @ (dim x k) product per batch -- the embedding-tier
+    kernel shape, vs. a k*dim-literal Catalyst expression tree whose
+    codegen time dwarfs the data at any batch size."""
+    C = np.asarray(cents, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    @pandas_udf("int")
+    def assign(embs: pd.Series) -> pd.Series:
+        X = np.asarray(embs.tolist(), dtype=np.float64)
+        if X.size == 0:
+            return pd.Series([], dtype="int32")
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        return pd.Series((np.argmax(Xn @ Cn.T, axis=1) + 1).astype("int32"))
+
+    return assign
+
+
 def kmeans_cells(
-    embeddings: DataFrame, k: int = 16, iterations: int = 3
+    embeddings: DataFrame,
+    k: int = 16,
+    iterations: int = 3,
+    train_sample: int = 8192,
 ) -> DataFrame:
     """Deterministic k-means-lite coarse quantizer: (vec_id, cell).
 
-    Seeds are the k lowest vec_ids (reproducible without RNG state);
-    each iteration broadcasts the centroid table, assigns every
-    vector to its max-cosine centroid, and recomputes centroids.
-    This is the IVF training step (Jegou et al. 2011); k and
-    iterations stay small because cells only need to be
-    locality-preserving, not optimal.
+    IVF practice at scale (Jegou et al. 2011; FAISS trains the coarse
+    quantizer the same way): Lloyd's iterations run driver-side on a
+    bounded deterministic sample -- the k x dim centroid matrix is tiny
+    at any corpus size -- and the full corpus is then assigned in ONE
+    distributed map (Arrow-batched matmul), with no per-iteration
+    cluster jobs at all. Seeds are the k lowest vec_ids and the sample
+    is the train_sample lowest vec_ids: reproducible without RNG
+    state. Assignment: max cosine; centroid: element-wise mean of raw
+    member vectors; empty cells keep their previous centroid.
     """
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).localCheckpoint(eager=False)
-    centroids = (
-        e.orderBy("vec_id")
-        .limit(k)
-        .select(
-            F.row_number()
-            .over(Window.orderBy("vec_id"))
-            .alias("cell"),
-            F.col("emb").alias("centroid"),
-        )
     )
-    assign = None
+    sample = e.orderBy("vec_id").limit(train_sample).collect()
+    X = np.asarray([r.emb for r in sample], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    C = X[:k].copy()
     for _ in range(iterations):
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("cell_cos").desc(), F.col("cell")
-        )
-        assign = (
-            e.crossJoin(F.broadcast(centroids))
-            .withColumn("cell_cos", cosine_expr(F.col("emb"), F.col("centroid")))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "cell", "emb")
-            .localCheckpoint(eager=False)
-        )
-        centroids = (
-            assign.select("cell", F.posexplode("emb").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("cs")
-            )
-            .select("cell", F.transform("cs", lambda s: s["m"]).alias("centroid"))
-        )
-    return assign.select("vec_id", "cell")
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        a = np.argmax(Xn @ Cn.T, axis=1)
+        for i in range(k):
+            members = X[a == i]
+            if len(members):
+                C[i] = members.mean(axis=0)
+    return e.withColumn(
+        "cell", _argmax_cell([list(c) for c in C])(F.col("emb"))
+    ).select("vec_id", "cell")
 
 
 def ivf_topk(
@@ -219,10 +226,16 @@ def ivf_topk(
     """
     if cells is None:
         cells = kmeans_cells(embeddings, k=n_cells)
-    e = embeddings.join(cells, "vec_id").select(
-        "vec_id",
-        "cell",
-        F.col("embedding").cast("array<double>").alias("corpus_emb"),
+    # checkpoint: e feeds both the centroid table and the candidate
+    # scan -- without it the cell-assignment UDF lineage runs twice
+    e = (
+        embeddings.join(cells, "vec_id")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("embedding").cast("array<double>").alias("corpus_emb"),
+        )
+        .localCheckpoint(eager=False)
     )
     # centroid table: tiny by construction (one row per cell)
     exploded = e.select("cell", F.posexplode("corpus_emb").alias("pos", "val"))

@@ -33,6 +33,35 @@ def test_bloom_deterministic(spark):
     assert b1.bits == b2.bits and b1.k == b2.k
 
 
+def test_bloom_merge_is_driver_memory_bounded(spark):
+    # 32 input partitions must NOT mean 32 full bitmaps on the driver:
+    # the executor-side chunk merge collects at most m/8 bytes total,
+    # independent of partition count, and partition count must not
+    # change the result either
+    history = spark.range(0, 2000).repartition(32).select(F.col("id").alias("key"))
+    m_bits, k = bloom.optimal_params(2000, 0.01)
+    chunk = 256  # force many chunks so the shard path is exercised
+    rows = bloom._merged_chunk_rows(history, "key", m_bits, k, chunk)
+    assert sum(len(bytes(r["bits"])) for r in rows) <= m_bits // 8
+    assert len({r["chunk_id"] for r in rows}) == len(rows)  # one row/chunk
+    b_many = bloom.build_bloom(history, "key", expected_items=2000, chunk_bytes=chunk)
+    b_one = bloom.build_bloom(
+        history.coalesce(1), "key", expected_items=2000, chunk_bytes=chunk
+    )
+    assert b_many.bits == b_one.bits
+
+
+def test_bloom_fpp_forwarded(spark):
+    # a looser fpp must produce a smaller filter through the public
+    # drop/keep wrappers (regression: fpp was silently ignored)
+    history = spark.range(0, 1000).select(F.col("id").alias("key"))
+    m_tight, _ = bloom.optimal_params(1000, 0.001)
+    m_loose, _ = bloom.optimal_params(1000, 0.2)
+    assert m_loose < m_tight
+    b = bloom.build_bloom(history, "key", fpp=0.2)
+    assert len(b.bits) == m_loose // 8
+
+
 # ---- matchers --------------------------------------------------------
 
 

@@ -36,6 +36,85 @@ def test_canonicalize_url(raw, expected):
     assert urls.canonicalize_url(raw) == expected
 
 
+# the reference's own golden table, ported verbatim
+# (util/URLUtils.java:1117 CanonicalizationTestCase[])
+REFERENCE_GOLDEN_CASES = [
+    ("http://foo.bar.com.#?", "http://foo.bar.com/"),
+    (
+        "http://foo.bar.com./;msg1234FDF FDFDFDF FDFD?param1=test",
+        "http://foo.bar.com/?param1=test",
+    ),
+    ("http://foo.bar.com./;msg1234FDF FDFDFDF FDFD", "http://foo.bar.com/"),
+    (
+        "http://foo.bar.com/subpath/;msg1234FDF FDFDFDF FDFD",
+        "http://foo.bar.com/subpath/",
+    ),
+    (
+        "http://foo.bar.com/subpath/;msg1234FDF FDFDFDF FDFD?param=1",
+        "http://foo.bar.com/subpath/?param=1",
+    ),
+    ("http://foo.bar.com.#REF=24242", "http://foo.bar.com/"),
+    (
+        "http://www.lakeshorelearning.com/order/onlineOrder.jsp;jsessionid="
+        "KxMMpRGgPpC1ktZ1pJJCZF1MmmFxZHPnyrNJhBmWJGHkhcL5Hd4p!-617247554!NONE"
+        "?FOLDER%3C%3Efolder_id=2534374302096766"
+        "&ASSORTMENT%3C%3East_id=1408474395181113&bmUID=1257311436941",
+        "http://www.lakeshorelearning.com/order/onlineOrder.jsp"
+        "?FOLDER%3C%3Efolder_id=2534374302096766"
+        "&ASSORTMENT%3C%3East_id=1408474395181113&bmUID=1257311436941",
+    ),
+    (
+        "http://www.emeraldinsight.com/Insight/menuNavigation.do;jsessionid="
+        "A17FC93E864C2F8B3709F63558BA69DB?hdAction=InsightHome",
+        "http://www.emeraldinsight.com/Insight/menuNavigation.do"
+        "?hdAction=InsightHome",
+    ),
+]
+
+
+@pytest.mark.parametrize("raw,expected", REFERENCE_GOLDEN_CASES)
+def test_canonicalize_reference_golden_table(raw, expected):
+    assert urls.canonicalize_url(raw) == expected
+
+
+# session-id shapes from util/SessionIDURLNormalizer.java's comments
+SESSION_PATH_CASES = [
+    (
+        "http://www.bearcountryuk.com/index.php/cPath/50/Accessories"
+        "/osCsid/4d4b2659aa5f1a39d907d315cf0a5209",
+        "http://www.bearcountryuk.com/index.php/cPath/50/Accessories",
+    ),
+    (
+        "http://www.minshuku-web.com/catalog/869"
+        "/PHPSESSID/96bc0d2490b3ce6206d04c1ed7ccfb26.html",
+        "http://www.minshuku-web.com/catalog/869.html",
+    ),
+    (
+        "http://ifshinviolins.com/sessions/dd603a0a691faeb744db3f72212ca888/store",
+        "http://ifshinviolins.com/store",
+    ),
+    (
+        "http://www.reinke.com/index.html"
+        "/session_id/d606e74935a60c04d9989082b2fb624d/screen/interesting_links",
+        "http://www.reinke.com/index.html/screen/interesting_links",
+    ),
+    (
+        "http://www.iboats.com/Tanks/dm/cart_id.726334728--category_id.238165"
+        "--session_id.729524783--view_id.238165",
+        "http://www.iboats.com/Tanks/dm/cart_id.726334728"
+        "--category_id.238165--view_id.238165",
+    ),
+    # the AJAX-crawl #! fragment survives canonicalization
+    ("http://example.com/page#!state=1", "http://example.com/page#!state=1"),
+    ("http://example.com/page#plain", "http://example.com/page"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", SESSION_PATH_CASES)
+def test_canonicalize_session_id_paths(raw, expected):
+    assert urls.canonicalize_url(raw) == expected
+
+
 ROOT_CASES = [
     ("www.example.com", "example.com"),
     ("a.b.example.co.uk", "example.co.uk"),
@@ -43,6 +122,24 @@ ROOT_CASES = [
     ("com", "com"),
     ("deep.sub.domain.example.org", "example.org"),
     (None, None),
+    # public-suffix table coverage (functions/psl.py; reference
+    # util/TLDNamesCollection.java + URLUtils.testRootDomainExtractor)
+    ("www.shop.example.com.au", "example.com.au"),
+    ("user.github.io", "user.github.io"),
+    ("deep.user.github.io", "user.github.io"),
+    ("myapp.blogspot.com", "myapp.blogspot.com"),
+    ("www.ret.gov.au", "ret.gov.au"),
+    ("www.ne.jp", "www.ne.jp"),
+    ("foo.ac.jp", "foo.ac.jp"),
+    ("bochi.aichi.jp", "bochi.aichi.jp"),
+    ("x.bochi.aichi.jp", "bochi.aichi.jp"),
+    ("city.k12.ca.us", "k12.ca.us"),
+    ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+    # wildcard TLD: every direct child of .ck is a suffix...
+    ("shop.biz.ck", "shop.biz.ck"),
+    # ...except the !www.ck exception rule
+    ("www.ck", "www.ck"),
+    ("sub.www.ck", "www.ck"),
 ]
 
 
