@@ -231,6 +231,111 @@ SELECT node, min(comp) AS comp FROM lp GROUP BY node ORDER BY node"""
 )
 
 
+# ---- md5-twin LSH oracle SQL (mirrors operators/dedup.py md5_* tier;
+# md5 / hex-parse / bit_count / xor agree bit-for-bit across engines)
+
+_MD5_TOKS_CTE = """
+tp AS (
+    SELECT doc_id, generate_subscripts(v, 1) AS pos, unnest(v) AS t1
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS v
+          FROM documents)
+),
+tpf AS (SELECT * FROM tp WHERE t1 <> ''),
+toks AS (
+    SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               t1 || ' ' || lead(t1, 1) OVER w || ' ' || lead(t1, 2) OVER w AS tok
+        FROM tpf WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE tok IS NOT NULL
+)"""
+
+
+def _md5_simhash_cte(bits: int = 60, bands: int = 4, band_bits: int = 15) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    bitsum = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    mask = (1 << band_bits) - 1
+    bandsarr = ", ".join(
+        f"(sketch >> {i * band_bits}) & {mask}" for i in range(bands)
+    )
+    return f"""{_MD5_TOKS_CTE},
+hs AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT) AS h FROM toks),
+s AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id),
+sk AS (SELECT doc_id, {bitsum} AS sketch FROM s),
+bnd0 AS (SELECT doc_id, sketch, generate_subscripts(v, 1) AS pos, unnest(v) AS band
+         FROM (SELECT doc_id, sketch, list_value({bandsarr}) AS v FROM sk)),
+bnd AS (SELECT doc_id, sketch, pos, band FROM (
+            SELECT *, count(*) OVER (PARTITION BY pos, band) AS bsz FROM bnd0
+        ) WHERE bsz <= 1000),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                x.sketch AS sk_a, y.sketch AS sk_b
+         FROM bnd x JOIN bnd y
+           ON x.pos = y.pos AND x.band = y.band AND x.doc_id < y.doc_id)"""
+
+
+def _md5_simhash_pairs_sql(hamming_k: int = 6) -> str:
+    return f"""
+WITH {_md5_simhash_cte()}
+SELECT doc_a, doc_b, bit_count(xor(sk_a, sk_b)) AS hamming
+FROM cand WHERE bit_count(xor(sk_a, sk_b)) <= {hamming_k}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _md5_simhash_clusters_sql(hamming_k: int = 6) -> str:
+    return f"""
+WITH RECURSIVE {_md5_simhash_cte()},
+pairs AS (SELECT doc_a, doc_b FROM cand
+          WHERE bit_count(xor(sk_a, sk_b)) <= {hamming_k}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+lp(node, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT u.b, lp.comp FROM lp JOIN und u ON lp.node = u.a WHERE lp.comp < u.b
+)
+SELECT node AS doc_id, min(comp) AS cluster FROM lp GROUP BY node ORDER BY doc_id
+"""
+
+
+def _md5_minhash_pairs_sql(perms: int = 16, min_matching: int = 13) -> str:
+    mins = ", ".join(
+        f"min(CAST(('0x' || substr(md5('{p}:' || tok),1,15)) AS BIGINT)) AS m{p}"
+        for p in range(perms)
+    )
+    bandsarr = ", ".join(
+        f"CAST(m{2 * i} AS VARCHAR) || '_' || CAST(m{2 * i + 1} AS VARCHAR)"
+        for i in range(perms // 2)
+    )
+    matching = " + ".join(
+        f"(CASE WHEN a.m{p} = c.m{p} THEN 1 ELSE 0 END)" for p in range(perms)
+    )
+    return f"""
+WITH {_MD5_TOKS_CTE},
+sig AS (SELECT doc_id, {mins} FROM toks GROUP BY doc_id),
+bnd0 AS (SELECT doc_id, generate_subscripts(v, 1) AS pos, unnest(v) AS bkey
+         FROM (SELECT doc_id, list_value({bandsarr}) AS v FROM sig)),
+bnd AS (SELECT doc_id, pos, bkey FROM (
+            SELECT *, count(*) OVER (PARTITION BY pos, bkey) AS bsz FROM bnd0
+        ) WHERE bsz <= 1000),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bnd x JOIN bnd y
+           ON x.pos = y.pos AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+scored AS (SELECT doc_a, doc_b, {matching} AS matching
+           FROM cand JOIN sig a ON cand.doc_a = a.doc_id
+                     JOIN sig c ON cand.doc_b = c.doc_id)
+SELECT doc_a, doc_b, matching,
+       round(matching / {float(perms)}, 6) AS est_jaccard
+FROM scored WHERE matching >= {min_matching}
+ORDER BY doc_a, doc_b
+"""
+
+
 def _scratch(tag: str, sf_dir: str, fresh: bool = False) -> str:
     import hashlib
     import shutil
@@ -423,6 +528,71 @@ def _fn_extract_links(s: SparkSession, d: str) -> DataFrame:
     ).orderBy("doc_id", "link_type", "url")
 
 
+def _fn_extract_feeds(s: SparkSession, d: str) -> DataFrame:
+    """Synthesize an RSS feed (even doc_ids) or ATOM feed (odd) per
+    document, parse into typed items (ParserMapper.java:685
+    parseFeedDocument shape), explode."""
+    did = F.col("doc_id").cast("string")
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>Feed '),
+        F.col("source"),
+        F.lit("</title><item><title>Post "),
+        did,
+        F.lit("</title><link>http://"),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        did,
+        F.lit("</link><guid>g"),
+        did,
+        F.lit("</guid><pubDate>Mon, 01 Jan 2024</pubDate><description>d "),
+        F.col("lang"),
+        F.lit("</description></item><item><title>Extra "),
+        did,
+        F.lit("</title><link>http://"),
+        F.col("source"),
+        F.lit(".example.com/x/"),
+        did,
+        F.lit("</link></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>AF</title>'),
+        F.lit("<entry><title>Entry "),
+        did,
+        F.lit('</title><link rel="alternate" href="http://'),
+        F.col("source"),
+        F.lit(".example.net/e/"),
+        did,
+        F.lit('"/><id>a'),
+        did,
+        F.lit("</id><updated>2024-01-02T00:00:00Z</updated>"),
+        F.lit("<author><name>au "),
+        F.col("lang"),
+        F.lit("</name></author><summary>s "),
+        F.col("lang"),
+        F.lit("</summary></entry></feed>"),
+    )
+    content = F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom)
+    parsed = (
+        _t(s, d, "documents")
+        .select("doc_id", content.alias("content"))
+        .select(
+            "doc_id",
+            F.explode(htmlfn.extract_feed_items_udf(F.col("content"))).alias(
+                "item"
+            ),
+        )
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("item.title").alias("title"),
+        F.col("item.url").alias("url"),
+        F.col("item.item_id").alias("item_id"),
+        F.col("item.published").alias("published"),
+        F.col("item.author").alias("author"),
+        F.col("item.summary").alias("summary"),
+    ).orderBy("doc_id", "url")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return aggregates.pricing_summary(_t(spark, "/root/testdata/sf0.001", "lineitem"))
@@ -560,19 +730,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_source": lambda s, d: dedup.cross_source_duplicates(
             _t(s, d, "documents")
         ),
-        # sketch-based: hashing not SQL-expressible -> rows-only check;
-        # blocking guarantees + thresholds are pytest-verified instead
-        "dedup_simhash_lsh": lambda s, d: dedup.simhash_candidate_pairs(
-            _t(s, d, "documents"), hamming_k=3
+        # md5-twin LSH tier (operators/dedup.py md5_*): the same
+        # banded sketch->bucket-join->verify structure as the numpy
+        # splitmix kernels (which stay the perf path, pytest-gated),
+        # but built on md5 so the full candidate set hash-matches a
+        # DuckDB oracle
+        "dedup_simhash_lsh": lambda s, d: dedup.md5_simhash_pairs(
+            _t(s, d, "documents"), hamming_k=6
         ),
-        "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(
-            _t(s, d, "documents"), jaccard_threshold=0.8
+        "dedup_minhash_lsh": lambda s, d: dedup.md5_minhash_pairs(
+            _t(s, d, "documents"), min_matching=13
         ),
-        # full two-stage dedupe (LSH -> verify -> union): sketch-based
-        # -> rows-only; component semantics oracle-gated via
-        # graph_connected_components, cluster sanity pytest-gated
-        "dedup_simhash_clusters": lambda s, d: dedup.simhash_clusters(
-            _t(s, d, "documents"), hamming_k=3
+        "dedup_simhash_clusters": lambda s, d: dedup.md5_simhash_clusters(
+            _t(s, d, "documents"), hamming_k=6
         ),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             _t(s, d, "documents"), threshold=0.95
@@ -656,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "fn_parse_headers": _fn_parse_headers,
         "fn_extract_links": _fn_extract_links,
+        "fn_extract_feeds": _fn_extract_feeds,
         "fn_json_props": lambda s, d: (
             _t(s, d, "events")
             .select(
@@ -1159,6 +1330,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM links ORDER BY doc_id, link_type, url
         """,
+        "fn_extract_feeds": """
+            WITH rss1 AS (
+                SELECT doc_id,
+                       'Post ' || doc_id AS title,
+                       'http://' || source || '.example.com/p/' || doc_id AS url,
+                       'g' || doc_id AS item_id,
+                       'Mon, 01 Jan 2024' AS published,
+                       CAST(NULL AS VARCHAR) AS author,
+                       'd ' || lang AS summary
+                FROM documents WHERE doc_id % 2 = 0
+            ), rss2 AS (
+                SELECT doc_id,
+                       'Extra ' || doc_id,
+                       'http://' || source || '.example.com/x/' || doc_id,
+                       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+                FROM documents WHERE doc_id % 2 = 0
+            ), atom AS (
+                SELECT doc_id,
+                       'Entry ' || doc_id,
+                       'http://' || source || '.example.net/e/' || doc_id,
+                       'a' || doc_id,
+                       '2024-01-02T00:00:00Z',
+                       'au ' || lang,
+                       's ' || lang
+                FROM documents WHERE doc_id % 2 = 1
+            )
+            SELECT * FROM (
+                SELECT * FROM rss1
+                UNION ALL SELECT * FROM rss2
+                UNION ALL SELECT * FROM atom
+            ) ORDER BY doc_id, url
+        """,
         "fn_json_props": """
             SELECT CAST(props->>'$.k' AS INT) AS k, count(*) AS cnt,
                    CAST(round(sum(CAST(value AS DECIMAL(15,2))), 3) AS DOUBLE) AS sum_value
@@ -1347,6 +1551,9 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             FROM sigs GROUP BY sig
             HAVING count(DISTINCT source) > 1 ORDER BY sig
         """,
+        "dedup_simhash_lsh": _md5_simhash_pairs_sql(hamming_k=6),
+        "dedup_minhash_lsh": _md5_minhash_pairs_sql(min_matching=13),
+        "dedup_simhash_clusters": _md5_simhash_clusters_sql(hamming_k=6),
         "dedup_ngram_jaccard": """
             WITH toks AS (
                 SELECT doc_id, lang,

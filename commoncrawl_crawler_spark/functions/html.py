@@ -1,8 +1,12 @@
-"""HTML parsing: link extraction, title, meta tags (SURVEY.md 2.8).
+"""HTML + feed parsing: links, title, meta tags, RSS/ATOM items
+(SURVEY.md 2.8).
 
 Reference: ParserMapper.java:340-733 + util/HTMLDomUtils.java +
 the vendored Dapper DOM parser (~3,000 LoC) extract <a>/<frame>/
-meta-refresh links, titles, and meta tags from crawled HTML.
+meta-refresh links, titles, and meta tags from crawled HTML; feed
+documents are parsed into typed items at ParserMapper.java:685
+(parseFeedDocument -> rssFeedToJson/atomFeedToJson), feeding the
+RSS/ATOM link types of the crawl DB (operators/crawldb.py:38-40).
 
 Here: a regex-based extractor in an Arrow-batched pandas UDF. A
 production deployment swaps the inner function for lxml/selectolax
@@ -18,6 +22,7 @@ SequenceFiles, ParserOutputFormat.java:60-96).
 from __future__ import annotations
 
 import re
+import xml.etree.ElementTree as ET
 from functools import lru_cache
 
 import pandas as pd
@@ -73,6 +78,137 @@ def extract_meta_tags(html: str | None) -> dict[str, str]:
     if not html:
         return {}
     return {m.group(1).lower(): m.group(2) for m in _META_TAG.finditer(html)}
+
+
+# ---------------------------------------------------------------------------
+# RSS / ATOM feeds (ParserMapper.java:685 parseFeedDocument capability)
+# ---------------------------------------------------------------------------
+
+FEED_ITEMS_TYPE = (
+    "array<struct<title:string,url:string,item_id:string,"
+    "published:string,author:string,summary:string>>"
+)
+
+
+def _local(tag: str) -> str:
+    """Namespace-agnostic local tag name ('{ns}title' -> 'title')."""
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def detect_feed_type(content: str | None) -> str | None:
+    """'rss' (incl. RDF), 'atom', or None -- the Channel-vs-Feed
+    dispatch of parseFeedDocument."""
+    if not content:
+        return None
+    head = content[:1024].lower()
+    if "<rss" in head or "<rdf" in head:
+        return "rss"
+    if "<feed" in head:
+        return "atom"
+    return None
+
+
+def extract_feed_items(
+    content: str | None,
+) -> list[tuple[str | None, ...]]:
+    """Typed feed items: (title, url, item_id, published, author,
+    summary) per <item> (RSS) or <entry> (ATOM). Unparsable XML
+    yields [] -- the reference increments a counter and moves on
+    (EXCEPTION_DURING_FEED_PARSE)."""
+    ftype = detect_feed_type(content)
+    if ftype is None:
+        return []
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError:
+        return []
+    want = "item" if ftype == "rss" else "entry"
+    items = []
+    for el in root.iter():
+        if _local(el.tag) != want:
+            continue
+        f: dict[str, str] = {}
+        for ch in el:
+            name = _local(ch.tag)
+            text = (ch.text or "").strip()
+            if name == "link":
+                if ftype == "atom":
+                    # rel defaults to 'alternate'; first alternate wins
+                    if ch.get("rel", "alternate") == "alternate":
+                        f.setdefault("url", ch.get("href", ""))
+                elif text:
+                    f.setdefault("url", text)
+            elif name == "title":
+                f.setdefault("title", text)
+            elif name in ("guid", "id"):
+                f.setdefault("item_id", text)
+            elif name in ("pubdate", "published", "updated", "date"):
+                f.setdefault("published", text)
+            elif name in ("author", "creator"):
+                nm = text
+                for sub in ch:
+                    if _local(sub.tag) == "name":
+                        nm = (sub.text or "").strip()
+                f.setdefault("author", nm)
+            elif name in ("description", "summary", "content"):
+                f.setdefault("summary", text)
+        items.append(
+            tuple(
+                f.get(k)
+                for k in (
+                    "title",
+                    "url",
+                    "item_id",
+                    "published",
+                    "author",
+                    "summary",
+                )
+            )
+        )
+    return items
+
+
+def extract_feed_links(
+    content: str | None,
+) -> list[tuple[str, str, str]]:
+    """Feed items as typed links (url, link_type, anchor=title) so
+    they flow into the link graph beside <a>/frame links -- the
+    RSS/ATOM link emission of LinkGraphDataEmitter (link types
+    TYPE_ATOM_LINK/TYPE_RSS_LINK, operators/crawldb.py:39-40)."""
+    ftype = detect_feed_type(content)
+    if ftype is None:
+        return []
+    return [
+        (item[1], f"{ftype}_item", item[0] or "")
+        for item in extract_feed_items(content)
+        if item[1]
+    ]
+
+
+@lru_cache(maxsize=None)
+def _feed_items_udf():
+    @pandas_udf(FEED_ITEMS_TYPE)
+    def _udf(content: pd.Series) -> pd.Series:
+        return content.map(extract_feed_items)
+
+    return _udf
+
+
+def extract_feed_items_udf(col: Column) -> Column:
+    return _feed_items_udf()(col)
+
+
+@lru_cache(maxsize=None)
+def _feed_links_udf():
+    @pandas_udf(LINKS_TYPE)
+    def _udf(content: pd.Series) -> pd.Series:
+        return content.map(extract_feed_links)
+
+    return _udf
+
+
+def extract_feed_links_udf(col: Column) -> Column:
+    return _feed_links_udf()(col)
 
 
 @lru_cache(maxsize=None)

@@ -21,7 +21,7 @@ iterative connected components over the surviving match edges.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import hashing
 
@@ -89,8 +89,24 @@ def cross_source_duplicates(documents: DataFrame) -> DataFrame:
     )
 
 
+def _cap_buckets(bands: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Drop rows in LSH buckets larger than `cap`.
+
+    One degenerate band key (constant sketch from boilerplate or empty
+    documents) makes the within-bucket join quadratic; the reference
+    bounds per-group work the same way (Stage1 groups are capped by
+    construction). The window count shuffles on the same key the
+    bucket join needs, so it adds no extra exchange."""
+    w = Window.partitionBy(*key_cols)
+    return (
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= cap)
+        .drop("_bsz")
+    )
+
+
 def simhash_candidate_pairs(
-    documents: DataFrame, hamming_k: int = 3
+    documents: DataFrame, hamming_k: int = 3, max_bucket: int = 1000
 ) -> DataFrame:
     """SimHash LSH near-dup candidate pairs.
 
@@ -99,6 +115,7 @@ def simhash_candidate_pairs(
     simhash_bands_expr) -> explode -> self-join per (pattern, key)
     bucket -> hamming <= k verify via bit_count (JVM) -> distinct
     pairs. Hamming <= 3 guarantees a shared band (C(6,3) blocking).
+    Buckets above max_bucket are dropped (degenerate-band guard).
     """
     sh = documents.select(
         "doc_id", hashing.simhash64_udf(F.col("text")).alias("simhash")
@@ -114,6 +131,7 @@ def simhash_candidate_pairs(
         # sketch UDF twice (Spark doesn't CSE across join branches)
         .localCheckpoint(eager=False)
     )
+    bands = _cap_buckets(bands, ["pattern", "key"], max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -140,6 +158,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.5,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact token-Jaccard verify.
 
@@ -176,6 +195,7 @@ def minhash_lsh_pairs(
         # minhash UDF twice (no CSE across join branches)
         .localCheckpoint(eager=False)
     )
+    banded = _cap_buckets(banded, ["bucket"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -382,3 +402,219 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         if changed == 0:
             break
     return labels.orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# md5-twin sketch tier: LSH with a cross-engine-replayable hash
+# ---------------------------------------------------------------------------
+#
+# The numpy splitmix64 sketch kernels above are the performance path,
+# but no oracle engine can replay them. This tier builds the SAME
+# LSH structure (sketch -> bands -> bucket join -> in-bucket verify ->
+# components) from md5 -- the one hash Spark and DuckDB both expose
+# with identical output -- entirely as JVM Column expressions, so the
+# full candidate-pair set is hash-checkable against a SQL oracle.
+# Shapes mirror deduper/Stage1Mapper.java:187-207 (banded blocking)
+# and Stage1Reducer.java:51 (verify within block).
+
+from functools import reduce as _reduce
+from operator import add as _add
+
+
+def _md5_tokens(documents: DataFrame) -> DataFrame:
+    """(doc_id, tok) distinct lowercase 3-token shingles.
+
+    Shingles, not unigrams: documents sharing a vocabulary but not
+    phrasing must not collide (unigram sketches put ~10% of all doc
+    pairs in the same LSH buckets on same-domain corpora; shingles
+    drop that to the true near-dup rate). Same choice as the
+    reference's text shingling (DeduperUtils.java sketch build)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+            "pos", "t1"
+        ),
+    ).filter(F.col("t1") != "")
+    return (
+        toks.withColumn("t2", F.lead("t1", 1).over(w))
+        .withColumn("t3", F.lead("t1", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        # F.concat propagates NULL (unlike concat_ws), matching the
+        # oracle's `||` semantics
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("t1"), F.lit(" "), F.col("t2"), F.lit(" "), F.col("t3")
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+
+
+_H60 = "CAST(conv(substring(md5({v}),1,15),16,10) AS BIGINT)"
+
+
+def md5_simhash_sketches(documents: DataFrame, bits: int = 60) -> DataFrame:
+    """60-bit simhash from md5 token hashes (15 hex chars keeps the
+    value positive in any engine's signed 64-bit). One shuffle: a
+    groupBy with `bits` conditional-sum partials -- no UDF."""
+    hs = _md5_tokens(documents).withColumn("h", F.expr(_H60.format(v="tok")))
+    aggs = [
+        F.sum(F.expr(f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END")).alias(
+            f"s{b}"
+        )
+        for b in range(bits)
+    ]
+    sketch = _reduce(
+        _add,
+        [
+            F.expr(f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+            for b in range(bits)
+        ],
+    )
+    return hs.groupBy("doc_id").agg(*aggs).select("doc_id", sketch.alias("sketch"))
+
+
+def md5_simhash_pairs(
+    documents: DataFrame,
+    hamming_k: int = 6,
+    bands: int = 4,
+    band_bits: int = 15,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded-LSH candidate pairs + hamming verify over the md5
+    simhash: (doc_a, doc_b, hamming). Bucket equi-join on
+    (band index, band value); verify touches only co-bucketed pairs."""
+    # eager: the band self-join reads the sketch table twice in one job;
+    # a lazy checkpoint would compute the 60-agg pipeline twice
+    sk = md5_simhash_sketches(documents).localCheckpoint(eager=True)
+    mask = (1 << band_bits) - 1
+    band_arr = F.array(
+        *[F.expr(f"(sketch >> {i * band_bits}) & {mask}") for i in range(bands)]
+    )
+    b = sk.select("doc_id", "sketch", F.posexplode(band_arr).alias("pos", "band"))
+    b = _cap_buckets(b, ["pos", "band"], max_bucket)
+    cand = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.pos") == F.col("y.pos"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.sketch").alias("sk_a"),
+            F.col("y.sketch").alias("sk_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sk_a ^ sk_b)"))
+        .filter(F.col("hamming") <= hamming_k)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def md5_minhash_signatures(documents: DataFrame, perms: int = 16) -> DataFrame:
+    """Minhash signature: per permutation p, min over tokens of
+    md5(p || ':' || token). One groupBy with `perms` min partials."""
+    toks = _md5_tokens(documents)
+    aggs = [
+        F.min(F.expr(_H60.format(v=f"concat('{p}:', tok)"))).alias(f"m{p}")
+        for p in range(perms)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def md5_minhash_pairs(
+    documents: DataFrame,
+    perms: int = 16,
+    min_matching: int = 13,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded minhash LSH (bands of 2 rows) + signature-agreement
+    verify: (doc_a, doc_b, matching, est_jaccard). est_jaccard =
+    matching/perms is the standard minhash similarity estimate."""
+    sig = md5_minhash_signatures(documents, perms).localCheckpoint(eager=True)
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.col(f"m{2 * i}").cast("string"),
+                F.col(f"m{2 * i + 1}").cast("string"),
+            )
+            for i in range(perms // 2)
+        ]
+    )
+    b = sig.select("doc_id", F.posexplode(band_arr).alias("pos", "bkey"))
+    b = _cap_buckets(b, ["pos", "bkey"], max_bucket)
+    cand = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.pos") == F.col("y.pos"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{p}").alias(f"a{p}") for p in range(perms)],
+    )
+    c = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{p}").alias(f"b{p}") for p in range(perms)],
+    )
+    matching = _reduce(
+        _add,
+        [
+            F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+            for p in range(perms)
+        ],
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(c, "doc_b")
+        .withColumn("matching", matching)
+        .filter(F.col("matching") >= min_matching)
+        .select(
+            "doc_a",
+            "doc_b",
+            "matching",
+            F.round(F.col("matching") / F.lit(float(perms)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def md5_simhash_clusters(
+    documents: DataFrame, hamming_k: int = 6, max_iterations: int = 20
+) -> DataFrame:
+    """Two-stage dedupe over the md5 simhash: LSH pairs -> min-label
+    connected components; singletons cluster to themselves
+    (Stage2Reducer/SetUnionFinder shape, fully oracle-checkable)."""
+    pairs = md5_simhash_pairs(documents, hamming_k=hamming_k).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs, max_iterations=max_iterations).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    return (
+        documents.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
+        )
+        .orderBy("doc_id")
+    )

@@ -155,3 +155,61 @@ def test_pipeline_cycle_detection(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="cycle"):
         task.run(spark)
+
+
+# ---- RSS/ATOM feeds (ParserMapper.java:685 capability) ---------------
+
+
+RSS_DOC = """<rss version="2.0"><channel><title>Blog</title>
+<item><title>First</title><link>http://ex.com/1</link><guid>g1</guid>
+<pubDate>Mon, 01 Jan 2024</pubDate><description>hello</description></item>
+<item><title>Second</title><link>http://ex.com/2</link></item>
+</channel></rss>"""
+
+ATOM_DOC = """<feed xmlns="http://www.w3.org/2005/Atom"><title>AF</title>
+<entry><title>E1</title><link rel="alternate" href="http://ex.net/a"/>
+<id>idA</id><updated>2024-01-02T00:00:00Z</updated>
+<author><name>alice</name></author><summary>sum</summary></entry>
+<entry><title>E2</title><link rel="enclosure" href="http://ex.net/file.mp3"/>
+<link href="http://ex.net/b"/><id>idB</id></entry>
+</feed>"""
+
+
+def test_detect_feed_type():
+    assert htmlfn.detect_feed_type(RSS_DOC) == "rss"
+    assert htmlfn.detect_feed_type(ATOM_DOC) == "atom"
+    assert htmlfn.detect_feed_type("<html><body>x</body></html>") is None
+    assert htmlfn.detect_feed_type(None) is None
+
+
+def test_extract_rss_items():
+    items = htmlfn.extract_feed_items(RSS_DOC)
+    assert len(items) == 2
+    title, url, item_id, published, author, summary = items[0]
+    assert (title, url, item_id) == ("First", "http://ex.com/1", "g1")
+    assert published == "Mon, 01 Jan 2024" and summary == "hello"
+    assert author is None
+    assert items[1][0] == "Second" and items[1][2] is None
+
+
+def test_extract_atom_items():
+    items = htmlfn.extract_feed_items(ATOM_DOC)
+    assert len(items) == 2
+    assert items[0][:3] == ("E1", "http://ex.net/a", "idA")
+    assert items[0][4] == "alice" and items[0][5] == "sum"
+    # rel=enclosure must not win over the (default alternate) link
+    assert items[1][1] == "http://ex.net/b"
+
+
+def test_feed_links_typed():
+    links = htmlfn.extract_feed_links(RSS_DOC)
+    assert [(u, t) for u, t, _ in links] == [
+        ("http://ex.com/1", "rss_item"),
+        ("http://ex.com/2", "rss_item"),
+    ]
+    assert links[0][2] == "First"  # anchor carries the item title
+    assert htmlfn.extract_feed_links("<not-xml") == []
+
+
+def test_malformed_feed_yields_empty():
+    assert htmlfn.extract_feed_items("<rss><channel><item></rss>") == []

@@ -106,3 +106,33 @@ def test_udf_queries_survive_foreign_cwd(spark, sf_correct):
     ensure_shipped(spark)
     docs = load_table(spark, "documents", sf_correct)
     assert dedup.simhash_candidate_pairs(docs, hamming_k=3).count() > 0
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpora(spark):
+    # 3000 identical docs put every band row in ONE bucket: without
+    # the cap the bucket join is ~9M pairs; with it the bucket drops
+    # and the query stays linear. A planted near-dup pair in a small
+    # bucket must still come through.
+    import time
+
+    rows = [Row(doc_id=i, text="the same boilerplate text " * 10) for i in range(3000)]
+    base = " ".join(f"unique{i} token{i * 7 % 13}" for i in range(40))
+    rows += [
+        Row(doc_id=9001, text=base + " ending alpha"),
+        Row(doc_id=9002, text=base + " ending beta"),
+    ]
+    docs = spark.createDataFrame(rows)
+    t0 = time.monotonic()
+    got = dedup.md5_simhash_pairs(docs, hamming_k=10, max_bucket=100).collect()
+    elapsed = time.monotonic() - t0
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert (9001, 9002) in pairs  # small-bucket pair survives
+    assert all(a >= 9000 for a, _ in pairs)  # degenerate bucket dropped
+    assert elapsed < 60, f"degenerate corpus took {elapsed:.0f}s"
+
+
+def test_numpy_lsh_bucket_cap(spark):
+    rows = [Row(doc_id=i, text="identical words everywhere " * 8) for i in range(500)]
+    docs = spark.createDataFrame(rows)
+    got = dedup.simhash_candidate_pairs(docs, hamming_k=3, max_bucket=50).collect()
+    assert got == []  # every bucket oversized -> dropped, no blowup
