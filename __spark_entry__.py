@@ -593,6 +593,65 @@ def _fn_extract_feeds(s: SparkSession, d: str) -> DataFrame:
     ).orderBy("doc_id", "url")
 
 
+def _crawldb_blekko_merge(s: SparkSession, d: str) -> DataFrame:
+    """External-metadata merge (CrawlDBBlekkoMerge): synthesize
+    'rank=R rank10=R10 status' lines (some malformed, some absent)
+    and merge them into a URL-keyed db projection."""
+    did = F.col("doc_id").cast("string")
+    db = _t(s, d, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/p/"), did
+        ).alias("url"),
+    )
+    lines = (
+        db.filter(F.col("doc_id") % 4 != 0)
+        .select(
+            "url",
+            F.when(F.col("doc_id") % 7 == 0, F.lit("malformed junk"))
+            .otherwise(
+                F.concat(
+                    F.lit("rank="),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".5 rank10="),
+                    (F.col("doc_id") % 10).cast("string"),
+                    F.lit(" "),
+                    F.when(
+                        F.col("doc_id") % 3 == 0, F.lit("crawled")
+                    ).otherwise(F.lit("redir")),
+                )
+            )
+            .alias("metadata"),
+        )
+    )
+    return crawldb.blekko_merge(db, lines).orderBy("doc_id")
+
+
+def _crawllist_wikipedia_partition(s: SparkSession, d: str) -> DataFrame:
+    """Wikipedia URL set -> md5-sharded, rank-joined crawl input
+    (PartitionWikipediaUrlsStep shape)."""
+    did = F.col("doc_id").cast("string")
+    docs = _t(s, d, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("http://en.wikipedia.org/wiki/"),
+            F.col("source"),
+            F.lit("_"),
+            did,
+        ).alias("url")
+    )
+    ranks = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.concat(
+            F.lit("http://en.wikipedia.org/wiki/"),
+            F.col("source"),
+            F.lit("_"),
+            did,
+        ).alias("url"),
+        ((F.col("doc_id") % 100) / F.lit(10.0)).alias("rank"),
+    )
+    return crawllist.partition_wikipedia_urls(pages, ranks, n_partitions=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return aggregates.pricing_summary(_t(spark, "/root/testdata/sf0.001", "lineitem"))
@@ -766,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawllist_generate": lambda s, d: crawllist.generate_crawl_list(
             _t(s, d, "orders")
         ),
+        "crawldb_blekko_merge": _crawldb_blekko_merge,
+        "crawllist_wikipedia_partition": _crawllist_wikipedia_partition,
         "fn_url_canonicalize": lambda s, d: (
             _t(s, d, "documents")
             .select(
@@ -1281,6 +1342,60 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawldb_merge": _CRAWLDB_MERGE_SQL,
         "crawldb_incremental_merge": _CRAWLDB_MERGE_SQL,
+        "crawldb_blekko_merge": """
+            WITH db AS (
+                SELECT doc_id,
+                       'http://' || source || '.example.com/p/' || doc_id AS url
+                FROM documents
+            ), lines AS (
+                SELECT url,
+                       CASE WHEN doc_id % 7 = 0 THEN 'malformed junk'
+                            ELSE 'rank=' || CAST(doc_id % 50 AS VARCHAR)
+                                 || '.5 rank10=' || CAST(doc_id % 10 AS VARCHAR)
+                                 || ' '
+                                 || CASE WHEN doc_id % 3 = 0 THEN 'crawled'
+                                         ELSE 'redir' END
+                       END AS metadata
+                FROM db WHERE doc_id % 4 <> 0
+            ), meta AS (
+                SELECT url,
+                       CAST(regexp_extract(metadata,
+                            '^rank=([0-9.]*)\\s*rank10=([0-9.]*) *([^\\s]*)', 1)
+                            AS DOUBLE) AS rank,
+                       CAST(regexp_extract(metadata,
+                            '^rank=([0-9.]*)\\s*rank10=([0-9.]*) *([^\\s]*)', 2)
+                            AS DOUBLE) AS rank10,
+                       regexp_extract(metadata,
+                            '^rank=([0-9.]*)\\s*rank10=([0-9.]*) *([^\\s]*)', 3)
+                            AS status
+                FROM lines
+                WHERE regexp_extract(metadata,
+                      '^rank=([0-9.]*)\\s*rank10=([0-9.]*) *([^\\s]*)', 1) <> ''
+            )
+            SELECT db.doc_id, db.url, meta.rank, meta.rank10, meta.status,
+                   (meta.status = 'crawled') AS crawled
+            FROM db LEFT JOIN meta ON db.url = meta.url
+            ORDER BY db.doc_id
+        """,
+        "crawllist_wikipedia_partition": """
+            WITH pages AS (
+                SELECT DISTINCT
+                       'http://en.wikipedia.org/wiki/' || source || '_' || doc_id
+                           AS url
+                FROM documents
+            ), ranks AS (
+                SELECT 'http://en.wikipedia.org/wiki/' || source || '_' || doc_id
+                           AS url,
+                       (doc_id % 100) / 10.0 AS rank
+                FROM documents WHERE doc_id % 3 <> 0
+            )
+            SELECT CAST(('0x' || substr(md5(p.url), 1, 15)) AS BIGINT) % 8
+                       AS shard,
+                   p.url,
+                   coalesce(r.rank, 0.0) AS rank
+            FROM pages p LEFT JOIN ranks r ON p.url = r.url
+            ORDER BY shard, rank DESC, p.url
+        """,
         "fn_url_canonicalize": """
             SELECT doc_id,
                    'http://www.' || lower(source) || '.example.com/Page/'

@@ -203,3 +203,56 @@ def incremental_merge(previous_merged: DataFrame, new_typed: DataFrame) -> DataF
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# external-metadata (Blekko-style) import + merge
+# ---------------------------------------------------------------------------
+
+#: "rank=<float> rank10=<float> <status>" -- CrawlDBBlekkoMerge.java:86
+#: METADATA_PATTERN
+BLEKKO_METADATA_PATTERN = r"^rank=([0-9.]*)\s*rank10=([0-9.]*) *([^\s]*)"
+
+
+def blekko_metadata_import(lines: DataFrame) -> DataFrame:
+    """Parse external per-URL metadata lines into typed columns.
+
+    CrawlDBBlekkoMerge.java:46,85-121 (BlekkoURLMetadataToJSONMapper):
+    each line is "rank=R rank10=R10 status" keyed by URL; rows whose
+    metadata doesn't match the pattern are dropped (BAD_METADATA
+    counter). `crawled` mirrors the status == 'crawled' test.
+
+    lines: (url string, metadata string). Pure regexp_extract -- stays
+    in whole-stage codegen at any scale.
+    """
+    rank = F.regexp_extract(F.col("metadata"), BLEKKO_METADATA_PATTERN, 1)
+    rank10 = F.regexp_extract(F.col("metadata"), BLEKKO_METADATA_PATTERN, 2)
+    status = F.regexp_extract(F.col("metadata"), BLEKKO_METADATA_PATTERN, 3)
+    return (
+        lines.select(
+            "url",
+            rank.alias("_rank"),
+            rank10.alias("_rank10"),
+            status.alias("status"),
+        )
+        .filter(F.col("_rank") != "")
+        .select(
+            "url",
+            F.col("_rank").cast("double").alias("rank"),
+            F.col("_rank10").cast("double").alias("rank10"),
+            "status",
+            (F.col("status") == F.lit("crawled")).alias("crawled"),
+        )
+    )
+
+
+def blekko_merge(crawldb: DataFrame, metadata_lines: DataFrame) -> DataFrame:
+    """Merge parsed external metadata into the crawl DB by URL key
+    (the 'import' op of CrawlDBBlekkoMerge: shard by key, reduce-side
+    merge into the matching DB record). Left join keeps DB records
+    with no metadata; rank columns arrive null there.
+
+    crawldb: must carry a 'url' column; all its columns survive.
+    """
+    meta = blekko_metadata_import(metadata_lines)
+    return crawldb.join(meta, "url", "left")

@@ -111,3 +111,37 @@ def generate_crawl_list(
         "bucket",
         "segment_id",
     ).orderBy("o_custkey", "host_rank")
+
+
+#: md5-derived 60-bit key: the cross-engine URL-hash partitioner
+#: (fingerprint-shard analog of CrawlDBKey's domain-hash sharding)
+_MD5_KEY = "CAST(conv(substring(md5(url),1,15),16,10) AS BIGINT)"
+
+
+def partition_wikipedia_urls(
+    pages: DataFrame, rank_metadata: DataFrame, n_partitions: int = 8
+) -> DataFrame:
+    """Wikipedia/DBPedia URL list -> sharded, rank-joined crawl input.
+
+    PartitionWikipediaUrlsStep.java:199,268: parse the external URL
+    set, canonicalize, key by URL fingerprint, shard, and reduce-side
+    join per-root-domain rank metadata before crawl-list emission
+    (JoinRootDomainMetadataEmitLinkKeyReducer). Here the shard id is
+    an md5-derived hash mod n (deterministic in any engine), the rank
+    join is a plain equi-join Catalyst can broadcast, and rows order
+    rank-desc within shard (CrawlListKey discipline).
+
+    pages: (url string); rank_metadata: (url string, rank double).
+    """
+    keyed = pages.select(
+        "url", F.expr(f"pmod({_MD5_KEY}, {n_partitions})").alias("shard")
+    ).distinct()
+    return (
+        keyed.join(rank_metadata, "url", "left")
+        .select(
+            "shard",
+            "url",
+            F.coalesce(F.col("rank"), F.lit(0.0)).alias("rank"),
+        )
+        .orderBy("shard", F.col("rank").desc(), "url")
+    )
