@@ -974,6 +974,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # iterative kmeans quantizer -> rows-only check; recall vs
         # brute force is pytest-gated (test_ivf_metrics)
+        # label-routed IVF: same inverted-file mechanics (bucketed
+        # corpus, probe->n_probe cells, in-cell exact re-rank) with the
+        # label column as the coarse quantizer, so the whole query is
+        # SQL-expressible and hash-checked; the kmeans quantizer path
+        # is recall-gated in pytest (test_ivf_metrics)
         "sim_ivf_topk": lambda s, d: similarity.ivf_topk(
             _t(s, d, "embeddings"),
             _t(s, d, "embeddings")
@@ -981,7 +986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("vec_id").alias("probe_id"), "embedding"),
             k=5,
             n_probe=2,
-            n_cells=8,
+            cells=_t(s, d, "embeddings").select(
+                "vec_id", F.col("label").alias("cell")
+            ),
         ),
         "sim_label_centroids": lambda s, d: similarity.pairwise_label_centroids(
             _t(s, d, "embeddings")
@@ -1705,6 +1712,62 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
                            CAST(e.embedding AS DOUBLE[])), 4) AS cosine
                 FROM embeddings e CROSS JOIN probes p
                 WHERE e.vec_id <> p.probe_id
+            ), ranked AS (
+                SELECT probe_id, vec_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY probe_id ORDER BY cosine DESC, vec_id
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT probe_id, vec_id, cosine, rnk FROM ranked
+            WHERE rnk <= 5 ORDER BY probe_id, rnk
+        """,
+        # oracle = exact anti-join: the double-hash bloom is
+        # deterministic and sized for total history ROWS while keys
+        # repeat ~10x, so its effective FP rate is ~1e-10 -- the FP
+        # set is empty at gate scale (verified across fpp settings)
+        "bloom_frontier_filter": """
+            SELECT key FROM (
+                SELECT c_custkey AS key FROM customer
+                UNION ALL
+                SELECT c_custkey + 100000000 AS key FROM customer
+            )
+            WHERE key NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY key
+        """,
+        "sim_ivf_topk": """
+            WITH cells AS (
+                SELECT vec_id, label AS cell,
+                       CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings
+            ), cent AS (
+                SELECT cell, list(mean_val ORDER BY pos) AS centroid FROM (
+                    SELECT cell, pos,
+                           round(CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)
+                                 / count(*), 6) AS mean_val
+                    FROM (SELECT cell, generate_subscripts(emb, 1) AS pos,
+                                 unnest(emb) AS val
+                          FROM cells)
+                    GROUP BY cell, pos
+                ) GROUP BY cell
+            ), probes AS (
+                SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pemb
+                FROM embeddings WHERE vec_id < 10
+            ), routed AS (
+                SELECT probe_id, pemb, cell FROM (
+                    SELECT p.probe_id, p.pemb, c.cell,
+                           row_number() OVER (
+                               PARTITION BY p.probe_id
+                               ORDER BY round(list_cosine_similarity(
+                                   p.pemb, c.centroid), 6) DESC, c.cell
+                           ) AS crk
+                    FROM probes p CROSS JOIN cent c
+                ) WHERE crk <= 2
+            ), scored AS (
+                SELECT r.probe_id, e.vec_id,
+                       round(list_cosine_similarity(r.pemb, e.emb), 4) AS cosine
+                FROM cells e JOIN routed r ON e.cell = r.cell
+                WHERE e.vec_id <> r.probe_id
             ), ranked AS (
                 SELECT probe_id, vec_id, cosine,
                        row_number() OVER (

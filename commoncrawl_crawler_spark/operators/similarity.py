@@ -237,11 +237,20 @@ def ivf_topk(
         )
         .localCheckpoint(eager=False)
     )
-    # centroid table: tiny by construction (one row per cell)
+    # centroid table: tiny by construction (one row per cell); means
+    # come from exact decimal sums so the table -- and therefore probe
+    # routing -- is deterministic under any partitioning (same
+    # discipline as pairwise_label_centroids)
     exploded = e.select("cell", F.posexplode("corpus_emb").alias("pos", "val"))
     centroids = (
         exploded.groupBy("cell", "pos")
-        .agg(F.avg("val").alias("mean_val"))
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_val")
+        )
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("cs"))
         .select("cell", F.transform("cs", lambda s: s["mean_val"]).alias("centroid"))
@@ -256,7 +265,8 @@ def ivf_topk(
     probe_cells = (
         p.crossJoin(F.broadcast(centroids))
         .withColumn(
-            "cell_cos", cosine_expr(F.col("probe_emb"), F.col("centroid"))
+            "cell_cos",
+            F.round(cosine_expr(F.col("probe_emb"), F.col("centroid")), 6),
         )
         .withColumn("crk", F.row_number().over(cell_rank))
         .filter(F.col("crk") <= n_probe)

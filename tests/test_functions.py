@@ -284,3 +284,19 @@ def test_canonicalize_udf_matches_kernel(spark):
     }
     for raw in raws:
         assert got[raw] == urls.canonicalize_url(raw), raw
+
+
+def test_rabin_batch_matches_scalar():
+    import pandas as pd
+
+    vals = (
+        [f"http://example{i}.com/path/{i * 37}" for i in range(50)]
+        + ["", "x", "a" * 300, None]
+    )
+    got = urls.rabin_fp64_batch(pd.Series(vals, dtype=object))
+    for v, g in zip(vals, got.tolist()):
+        expect = urls.rabin_fp64(v)
+        if expect is None:
+            assert pd.isna(g), (v, g)
+        else:
+            assert g == expect, (v, g, expect)

@@ -50,10 +50,13 @@ def test_root_domain_is_suffix_with_bounded_labels(labels):
     root = urls.root_domain(host)
     assert root is not None
     assert host.endswith(root)
-    n = len(root.split("."))
-    assert n <= 3
-    if ".".join(root.split(".")[-2:]) not in urls.TWO_LEVEL_SUFFIXES:
-        assert n <= 2
+    # root = public suffix + exactly one extra label (or the whole
+    # host when the host IS a suffix or shorter)
+    from commoncrawl_crawler_spark.functions import psl
+
+    root_labels = root.split(".")
+    sl = psl.suffix_label_count(root_labels)
+    assert len(root_labels) <= sl + 1
 
 
 @SETTLE
