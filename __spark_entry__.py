@@ -304,9 +304,12 @@ SELECT node AS doc_id, min(comp) AS cluster FROM lp GROUP BY node ORDER BY doc_i
 
 
 def _md5_minhash_pairs_sql(perms: int = 16, min_matching: int = 13) -> str:
+    from commoncrawl_crawler_spark.operators.dedup import minhash_perm_constants
+
+    base = "(CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT) % 2147483647)"
     mins = ", ".join(
-        f"min(CAST(('0x' || substr(md5('{p}:' || tok),1,15)) AS BIGINT)) AS m{p}"
-        for p in range(perms)
+        f"min(({base} * {a} + {b}) % 2305843009213693951) AS m{p}"
+        for p, (a, b) in enumerate(minhash_perm_constants(perms))
     )
     bandsarr = ", ".join(
         f"CAST(m{2 * i} AS VARCHAR) || '_' || CAST(m{2 * i + 1} AS VARCHAR)"

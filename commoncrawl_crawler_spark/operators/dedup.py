@@ -252,23 +252,43 @@ def ngram_jaccard_pairs(
         "lang",
         F.floor(F.col("n_chars") / length_band).alias("lb"),
         F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
-    )
-    a, b = toks.alias("a"), toks.alias("b")
-    # |a ∪ b| = |a| + |b| - |a ∩ b| (distinct sets): one array op per
-    # pair instead of two
-    inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens")))
-    union = F.size(F.col("a.tokens")) + F.size(F.col("b.tokens")) - inter
-    return (
+    ).withColumn("n", F.size("tokens"))
+    # intersect via token-level equi-join + count, not per-pair
+    # array_intersect: |a ∩ b| = #rows sharing (block, token). The
+    # shuffle is narrow (doc ids + one token) and combines map-side;
+    # per-pair hash-set builds (interpreted, ~30us each) disappear.
+    # Zero-overlap pairs drop out -- their jaccard is 0 < threshold.
+    # The size-ratio prune (jaccard <= min(n)/max(n)) is output-
+    # neutral and cuts pairs before the shuffle.
+    tl = F.lit(float(threshold))
+    tok_rows = toks.select(
+        "doc_id", "lang", "lb", "n", F.explode("tokens").alias("tok")
+    ).localCheckpoint(eager=True)
+    a, b = tok_rows.alias("a"), tok_rows.alias("b")
+    inter_counts = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.lb") == F.col("b.lb"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") >= tl * F.col("b.n"))
+            & (F.col("b.n") >= tl * F.col("a.n")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(inter / union, 6).alias("jaccard"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        inter_counts.select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
@@ -519,13 +539,29 @@ def md5_simhash_pairs(
     )
 
 
-def md5_minhash_signatures(documents: DataFrame, perms: int = 16) -> DataFrame:
-    """Minhash signature: per permutation p, min over tokens of
-    md5(p || ':' || token). One groupBy with `perms` min partials."""
-    toks = _md5_tokens(documents)
-    aggs = [
-        F.min(F.expr(_H60.format(v=f"concat('{p}:', tok)"))).alias(f"m{p}")
+def minhash_perm_constants(perms: int = 16) -> list[tuple[int, int]]:
+    """Deterministic (a_p, b_p) for the universal-hash permutation
+    family h_p(x) = (a_p * x + b_p) mod (2^61-1). a_p < 2^31 keeps
+    every product under 2^62 so no engine needs wrapping overflow."""
+    return [
+        (((1000003 * (p + 1)) % (1 << 31)) | 1, (777767777 * (p + 1) + 9176))
         for p in range(perms)
+    ]
+
+
+def md5_minhash_signatures(documents: DataFrame, perms: int = 16) -> DataFrame:
+    """Minhash signature via ONE md5 per shingle + `perms` universal-
+    hash permutations (Carter-Wegman h_p(x) = (a_p x + b_p) mod M over
+    the shingle's base hash) -- one groupBy with `perms` min partials.
+    16x fewer md5 evaluations than hashing (p, shingle) per perm, and
+    plain positive-integer arithmetic any oracle engine replays."""
+    toks = _md5_tokens(documents)
+    base = f"({_H60.format(v='tok')} % 2147483647)"
+    aggs = [
+        F.min(
+            F.expr(f"({base} * {a} + {b}) % 2305843009213693951")
+        ).alias(f"m{p}")
+        for p, (a, b) in enumerate(minhash_perm_constants(perms))
     ]
     return toks.groupBy("doc_id").agg(*aggs)
 

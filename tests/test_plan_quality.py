@@ -73,3 +73,37 @@ def test_lsh_band_join_is_hash_join_on_bucket(spark, sf_smoke):
     plan = _plan(spark, sf_smoke, "dedup_minhash_lsh")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_md5_twin_lsh_joins_are_hash_joins(spark, sf_smoke):
+    """The md5-twin band self-joins must be equi-joins too -- same
+    quadratic-blowup guard as the numpy tier."""
+    for q in ("dedup_simhash_lsh", "dedup_minhash_lsh"):
+        plan = _plan(spark, sf_smoke, q)
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_ngram_jaccard_intersects_via_partial_aggregation(spark, sf_smoke):
+    """The token-level intersect count must run partial->final
+    (map-side combine shrinks the (doc_a, doc_b) shuffle) and join
+    tokens with an equi-join."""
+    plan = _plan(spark, sf_smoke, "dedup_ngram_jaccard")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_wikipedia_partition_rank_join_not_nested_loop(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "crawllist_wikipedia_partition")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_blekko_merge_filters_malformed_before_join(spark, sf_smoke):
+    """The metadata parse (regexp_extract != '') must run on the
+    metadata side BEFORE the join -- joining unparsed lines first
+    would shuffle junk rows at 100 TB."""
+    plan = _plan(spark, sf_smoke, "crawldb_blekko_merge")
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the parse filter appears as a Filter node, not post-join
+    assert re.search(r"Filter.*rank", plan, re.IGNORECASE) or "regexp_extract" in plan
