@@ -300,43 +300,58 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, label-blocked.
 
-    Cosine via zip_with + aggregate (JVM higher-order functions, no
-    Python). Blocking on `label` keeps the self-join linear-ish; the
+    One Arrow-batched `applyInPandas` per label block: normalize the
+    block's matrix once, one BLAS matmul yields every pairwise cosine
+    (float64 -- float32 accumulation would diverge from the oracle).
+    Per-pair interpreted higher-order folds cost ~dim lambda evals x
+    |pairs|; the matmul does the same flops vectorized, ~5x faster at
+    sf0.1. Blocking on `label` keeps the self-join linear-ish; the
     unblocked scale path is similarity.ann_lsh_topk.
+
+    Parity: the UDF emits RAW cosines and keeps every pair within one
+    rounding step of the threshold; the authoritative round(4) +
+    threshold filter stay JVM-side, so Spark's HALF_UP rounding -- not
+    numpy's banker's rounding -- decides the output, matching the SQL
+    oracle's round().
     """
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    import numpy as np
+    import pandas as pd
+
+    # keep any pair that could round up to the threshold; the exact
+    # filter on round(cos, 4) runs in Spark below
+    raw_floor = float(cosine_threshold) - 5e-5
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine_raw": []})
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((x * x).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        # dot-then-divide (not normalize-then-dot): the same algebraic
+        # form as cosine(a,b) = a.b / (|a||b|) used by the SQL oracle
+        sims = (x @ x.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= raw_floor
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cosine_raw": sims[ia[keep], ib[keep]],
+            }
         )
 
-    # double math: float32 accumulation would diverge from the
-    # DuckDB oracle and loses precision at high dimensionality.
-    # norms are hoisted to per-ROW columns: computing them inside the
-    # pair expression would redo each norm once per candidate pair
-    # (norm work x |pairs| instead of x |rows|)
-    emb = F.col("embedding").cast("array<double>")
-    e = embeddings.select(
-        "vec_id",
-        "label",
-        emb.alias("embedding"),
-        F.sqrt(dot(emb, emb)).alias("norm"),
-    )
-    a, b = e.alias("a"), e.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
+    pairs = (
+        embeddings.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        .groupBy("label")
+        .applyInPandas(block_pairs, "vec_a long, vec_b long, cosine_raw double")
     )
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 4).alias("cosine"),
+        pairs.select(
+            "vec_a", "vec_b", F.round(F.col("cosine_raw"), 4).alias("cosine")
         )
         .filter(F.col("cosine") >= cosine_threshold)
         .orderBy("vec_a", "vec_b")
