@@ -1008,6 +1008,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": lambda s, d: textstats.fingerprint_documents(
             _t(s, d, "documents")
         ).select("doc_id", "md5_sig"),
+        "dedup_winnow_pairs": lambda s, d: dedup.winnow_candidate_pairs(
+            _t(s, d, "documents")
+        ),
+        "text_regex_tokens": lambda s, d: textstats.regex_token_profile(
+            _t(s, d, "documents")
+        ),
+        "text_winnow_fingerprint": lambda s, d: textstats.winnow_fingerprint_rows(
+            _t(s, d, "documents")
+        ),
+        "text_quality_signals": lambda s, d: textstats.quality_signals(
+            _t(s, d, "documents")
+        ),
     }
 
 
@@ -1845,5 +1857,94 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
         """,
         "text_fingerprint": """
             SELECT doc_id, md5(text) AS md5_sig FROM documents ORDER BY doc_id
+        """,
+        "text_regex_tokens": """
+            WITH per_doc AS (
+                SELECT lang, length(text) AS chars,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                           AS ws_tokens,
+                       len(regexp_extract_all(text,
+                           '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'))
+                           AS bpe_tokens
+                FROM documents
+            )
+            SELECT lang, count(*) AS docs, sum(ws_tokens) AS ws_tokens,
+                   sum(bpe_tokens) AS bpe_tokens,
+                   round(sum(chars) / sum(bpe_tokens), 6) AS chars_per_bpe_token
+            FROM per_doc GROUP BY lang ORDER BY lang
+        """,
+        "text_winnow_fingerprint": """
+            WITH g AS (
+                SELECT doc_id,
+                       [CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)
+                        FOR i IN range(1, greatest(length(text) - 7, 1) + 1)] AS h
+                FROM documents
+            ), w AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(
+                           CASE WHEN len(h) >= 4 THEN
+                               [list_aggregate(h[j:j+3], 'min')
+                                FOR j IN range(1, len(h) - 4 + 2)]
+                           ELSE [list_aggregate(h, 'min')] END
+                       )) AS fps
+                FROM g
+            )
+            SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp
+        """,
+        "dedup_winnow_pairs": """
+            WITH g AS (
+                SELECT doc_id,
+                       [CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)
+                        FOR i IN range(1, greatest(length(text) - 7, 1) + 1)] AS h
+                FROM documents
+            ), wn AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(
+                           CASE WHEN len(h) >= 4 THEN
+                               [list_aggregate(h[j:j+3], 'min')
+                                FOR j IN range(1, len(h) - 4 + 2)]
+                           ELSE [list_aggregate(h, 'min')] END
+                       )) AS fps
+                FROM g
+            ), e AS (
+                SELECT doc_id, unnest(fps) AS fp FROM wn
+            ), capped AS (
+                SELECT doc_id, fp FROM (
+                    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS bsz FROM e
+                ) WHERE bsz <= 1000
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+            FROM capped a JOIN capped b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
+            ORDER BY doc_a, doc_b
+        """,
+        "text_quality_signals": """
+            WITH sig AS (
+                SELECT doc_id, lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                           AS n_tok,
+                       len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                           AS n_distinct,
+                       length(regexp_replace(text, '[^\\w]', '', 'g')) AS wc,
+                       len(regexp_extract_all(lower(text),
+                           '\\b(?:the|and|of|to|a)\\b')) AS stops
+                FROM documents
+            ), r AS (
+                SELECT doc_id, lang, n_tok,
+                       round((n_tok - n_distinct) / greatest(n_tok, 1), 6)
+                           AS dup_token_frac,
+                       round(wc / greatest(n_tok, 1), 6) AS mean_word_len,
+                       round(stops / greatest(n_tok, 1), 6) AS stop_frac
+                FROM sig
+            )
+            SELECT doc_id, lang, n_tok, dup_token_frac, mean_word_len, stop_frac,
+                   (n_tok >= 10 AND n_tok <= 100000
+                    AND mean_word_len >= 2 AND mean_word_len <= 12
+                    AND dup_token_frac < 0.6) AS gopher_keep
+            FROM r ORDER BY doc_id
         """,
     }

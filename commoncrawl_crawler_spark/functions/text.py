@@ -10,7 +10,12 @@ twin so the DuckDB oracle can verify it.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, functions as F
+from pyspark.sql.functions import pandas_udf
 
 # tiny per-language stopword marker sets for the n-gram/stopword
 # language heuristic; production swaps in fastText or CLD3 (not
@@ -96,6 +101,61 @@ def char_ngrams_expr(col: Column, n: int = 4) -> Column:
         F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1))),
         lambda i: col.substr(i, F.lit(n)),
     )
+
+
+# GPT-2-style pretokenizer subset: contraction suffixes, space-glued
+# letter runs, digit runs, symbol runs, whitespace. No lookaround, so
+# Java regex (Spark) and RE2 (DuckDB oracle) agree on every match.
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count_expr(col: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pretokenizer
+    regex. The whitespace count (token_count_expr) undercounts what a
+    subword tokenizer bills for punctuation-heavy text; this is the
+    standard cheap estimator of "LLM tokens" without a vocab file."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def winnow_fingerprints_expr(col: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every char k-gram, slide a w-hash window, keep
+    each window's minimum, distinct+sort the kept hashes. Any shared
+    substring of length >= k + w - 1 is guaranteed to share a
+    fingerprint -- the rolling-hash selection the reference's MD5
+    whole-document signature (ParserMapper.java:828-832) cannot give.
+
+    Arrow-batched pandas UDF (numpy sliding-window min), NOT nested
+    transform() exprs: referencing the k-gram hash array inside a
+    lambda re-inlines -- and re-evaluates -- the whole md5 subtree per
+    window position (O(n^2 * w) md5 calls per document). Hashes are
+    the md5->60-bit-bigint form both engines share, so the selected
+    fingerprint sets oracle-match exactly.
+    """
+    @pandas_udf("array<long>")
+    def winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            n = max(len(t) - (k - 1), 1)
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+                    for i in range(n)
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+            if n >= w:
+                kept = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+            else:
+                kept = hs.min(keepdims=True)
+            out.append(np.unique(kept))  # sorted ascending, deduped
+        return pd.Series(out)
+
+    return winnow(col)
 
 
 def doc_fingerprint_expr(col: Column) -> Column:

@@ -554,6 +554,56 @@ def md5_simhash_pairs(
     )
 
 
+def winnow_candidate_pairs(
+    documents: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints
+    (Schleimer et al. SIGMOD'03; kernel in functions/text.py).
+
+    Two documents sharing any substring of length >= k+w-1 share a
+    fingerprint, so the fingerprint equi-join IS the candidate
+    generator -- the same block-join-verify shape as the simhash /
+    minhash tiers but keyed on content substrings rather than sketch
+    bands, which makes it exact for contiguous plagiarism-style
+    overlap. `min_shared` filters drive-by single-gram collisions.
+
+    Scale: explode (doc, fp), cap degenerate fingerprint buckets
+    (boilerplate), equi-join on fp, count shared fps per pair with
+    partial aggregation. Fingerprints are ~1/w of k-grams per doc, so
+    the exploded table is a fraction of a full shingle index.
+    """
+    from ..functions import text as textfns
+
+    fps = documents.select(
+        "doc_id",
+        F.explode(
+            textfns.winnow_fingerprints_expr(F.col("text"), k=k, w=w)
+        ).alias("fp"),
+    )
+    # checkpoint: Catalyst does not CSE across self-join branches --
+    # without this the winnow UDF runs twice
+    fps = _cap_buckets(fps, ["fp"], max_bucket).localCheckpoint(eager=True)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def minhash_perm_constants(perms: int = 16) -> list[tuple[int, int]]:
     """Deterministic (a_p, b_p) for the universal-hash permutation
     family h_p(x) = (a_p * x + b_p) mod (2^61-1). a_p < 2^31 keeps

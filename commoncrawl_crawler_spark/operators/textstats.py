@@ -65,6 +65,71 @@ def token_stats_by_source(documents: DataFrame) -> DataFrame:
     )
 
 
+def regex_token_profile(documents: DataFrame) -> DataFrame:
+    """Per-language whitespace vs BPE-ish token accounting -- the
+    "how many LLM tokens is this corpus" report. Sums are exact
+    bigints, so the ratio is deterministic under any partitioning."""
+    per_doc = documents.select(
+        "lang",
+        F.length("text").alias("chars"),
+        text.token_count_expr(F.col("text")).alias("ws_tokens"),
+        text.bpe_token_count_expr(F.col("text")).alias("bpe_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+            F.round(
+                F.sum("chars") / F.sum("bpe_tokens"), 6
+            ).alias("chars_per_bpe_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+def winnow_fingerprint_rows(documents: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """One row per (doc_id, winnowing fingerprint). The exploded form
+    is what a fingerprint-index join consumes: two documents sharing
+    any >= k+w-1-char substring share at least one row here."""
+    fps = documents.select(
+        "doc_id",
+        text.winnow_fingerprints_expr(F.col("text"), k=k, w=w).alias("fps"),
+    )
+    return fps.select("doc_id", F.explode("fps").alias("fp")).orderBy("doc_id", "fp")
+
+
+def quality_signals(documents: DataFrame) -> DataFrame:
+    """Gopher-style per-document repetition/shape signals (public
+    Rae et al. 2021 recipe): token count, duplicate-token fraction,
+    mean word length, stopword fraction, and the resulting keep/drop
+    flag. Every value is per-row IEEE arithmetic -- deterministic and
+    oracle-replayable."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = text.token_count_expr(F.col("text"))
+    wc = text.word_chars_expr(F.col("text"))
+    stops = text.stopword_count_expr(F.col("text"))
+    sig = documents.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        F.round(
+            (n_tok - F.size(F.array_distinct(toks))) / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("dup_token_frac"),
+        F.round(wc / F.greatest(n_tok, F.lit(1)), 6).alias("mean_word_len"),
+        F.round(stops / F.greatest(n_tok, F.lit(1)), 6).alias("stop_frac"),
+    )
+    keep = (
+        (F.col("n_tok") >= 10)
+        & (F.col("n_tok") <= 100000)
+        & (F.col("mean_word_len") >= 2)
+        & (F.col("mean_word_len") <= 12)
+        & (F.col("dup_token_frac") < 0.6)
+    )
+    return sig.withColumn("gopher_keep", keep).orderBy("doc_id")
+
+
 def fingerprint_documents(documents: DataFrame) -> DataFrame:
     """Deterministic content fingerprints: md5 (exact-dup signature,
     ParserMapper.java:828-832) + xxhash64 (cheap 64-bit)."""

@@ -273,6 +273,52 @@ def test_char_ngrams_expr(spark):
     assert grams == ["abcd", "bcde", "cdef"]
 
 
+def test_bpe_token_count_expr(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="hello world"),          # ["hello", " world"] = 2
+            Row(t="it's 42 degrees!!"),    # it, 's, " 42", " degrees", "!!" = 5
+            Row(t=""),
+        ]
+    )
+    out = {
+        r.t: r.n
+        for r in df.select(
+            "t", text.bpe_token_count_expr(F.col("t")).alias("n")
+        ).collect()
+    }
+    assert out["hello world"] == 2
+    assert out["it's 42 degrees!!"] == 5
+    assert out[""] == 0
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """Schleimer et al. guarantee: documents sharing a substring of
+    length >= k + w - 1 (= 11 here) share at least one fingerprint;
+    identical docs share all of them."""
+    shared = "commonrun99"  # 11 chars = k + w - 1
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, t="aaaa " + shared + " bbbb"),
+            Row(doc_id=2, t="cccc " + shared + " dddd"),
+            Row(doc_id=3, t="totally different words here"),
+            Row(doc_id=4, t="totally different words here"),
+        ]
+    )
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", text.winnow_fingerprints_expr(F.col("t")).alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared >=k+w-1 substring must share a fingerprint"
+    assert fps[3] == fps[4], "identical docs share identical fingerprint sets"
+    assert not (fps[1] & fps[3]), "disjoint text should not collide"
+    # fingerprints are the md5->60-bit form, sorted ascending
+    for s in fps.values():
+        assert all(0 <= v < (1 << 60) for v in s)
+
+
 def test_canonicalize_udf_matches_kernel(spark):
     raws = [c[0] for c in CANON_CASES if c[0]]
     df = spark.createDataFrame([Row(u=r) for r in raws])
