@@ -1014,7 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_regex_tokens": lambda s, d: textstats.regex_token_profile(
             _t(s, d, "documents")
         ),
-        "text_winnow_fingerprint": lambda s, d: textstats.winnow_fingerprint_rows(
+        "text_winnow_fingerprint": lambda s, d: textstats.winnow_fingerprint_profile(
             _t(s, d, "documents")
         ),
         "text_quality_signals": lambda s, d: textstats.quality_signals(
@@ -1889,14 +1889,18 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
                            ELSE [list_aggregate(h, 'min')] END
                        )) AS fps
                 FROM g
+            ), e AS (
+                SELECT doc_id, unnest(fps) AS fp FROM w
             )
-            SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp
+            SELECT doc_id, count(*) AS n_fps, bit_xor(fp) AS fp_xor,
+                   min(fp) AS fp_min, max(fp) AS fp_max
+            FROM e GROUP BY doc_id ORDER BY doc_id
         """,
         "dedup_winnow_pairs": """
             WITH g AS (
                 SELECT doc_id,
-                       [CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)
-                        FOR i IN range(1, greatest(length(text) - 7, 1) + 1)] AS h
+                       [CAST(('0x' || substr(md5(substr(text, i, 16)), 1, 15)) AS BIGINT)
+                        FOR i IN range(1, greatest(length(text) - 15, 1) + 1)] AS h
                 FROM documents
             ), wn AS (
                 SELECT doc_id,
@@ -1918,7 +1922,7 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             FROM capped a JOIN capped b
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
-            HAVING count(*) >= 2
+            HAVING count(*) >= 3
             ORDER BY doc_a, doc_b
         """,
         "text_quality_signals": """

@@ -556,9 +556,9 @@ def md5_simhash_pairs(
 
 def winnow_candidate_pairs(
     documents: DataFrame,
-    k: int = 8,
+    k: int = 16,
     w: int = 4,
-    min_shared: int = 2,
+    min_shared: int = 3,
     max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup candidate pairs from shared winnowing fingerprints
@@ -569,7 +569,9 @@ def winnow_candidate_pairs(
     generator -- the same block-join-verify shape as the simhash /
     minhash tiers but keyed on content substrings rather than sketch
     bands, which makes it exact for contiguous plagiarism-style
-    overlap. `min_shared` filters drive-by single-gram collisions.
+    overlap. k=16 (shared run >= k+w-1 = 19 chars, ~3 words) because
+    8-char grams collide on every common word pair in running text;
+    `min_shared` filters drive-by collisions.
 
     Scale: explode (doc, fp), cap degenerate fingerprint buckets
     (boilerplate), equi-join on fp, count shared fps per pair with

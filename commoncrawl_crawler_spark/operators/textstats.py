@@ -100,6 +100,30 @@ def winnow_fingerprint_rows(documents: DataFrame, k: int = 8, w: int = 4) -> Dat
     return fps.select("doc_id", F.explode("fps").alias("fp")).orderBy("doc_id", "fp")
 
 
+def winnow_fingerprint_profile(documents: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Per-document checksum of the winnowing fingerprint SET:
+    count + bit_xor + min + max. Verifies the whole selected set
+    (any added/dropped/changed fingerprint flips the xor) while
+    returning one row per document instead of ~len/w -- the form a
+    100 TB fingerprint audit would materialize."""
+    rows = documents.select(
+        "doc_id",
+        F.explode(
+            text.winnow_fingerprints_expr(F.col("text"), k=k, w=w)
+        ).alias("fp"),
+    )
+    return (
+        rows.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.expr("bit_xor(fp)").alias("fp_xor"),
+            F.min("fp").alias("fp_min"),
+            F.max("fp").alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def quality_signals(documents: DataFrame) -> DataFrame:
     """Gopher-style per-document repetition/shape signals (public
     Rae et al. 2021 recipe): token count, duplicate-token fraction,
