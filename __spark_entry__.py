@@ -1020,6 +1020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_signals": lambda s, d: textstats.quality_signals(
             _t(s, d, "documents")
         ),
+        "text_training_manifest": lambda s, d: textstats.training_manifest(
+            _t(s, d, "documents")
+        ),
     }
 
 
@@ -1950,5 +1953,39 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
                     AND mean_word_len >= 2 AND mean_word_len <= 12
                     AND dup_token_frac < 0.6) AS gopher_keep
             FROM r ORDER BY doc_id
+        """,
+        "text_training_manifest": """
+            WITH sig AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                           AS n_tok,
+                       len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                           AS n_distinct,
+                       length(regexp_replace(text, '[^\\w]', '', 'g')) AS wc
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n_tok,
+                       round((n_tok - n_distinct) / greatest(n_tok, 1), 6)
+                           AS dup_token_frac,
+                       round(wc / greatest(n_tok, 1), 6) AS mean_word_len
+                FROM sig
+            ), keepf AS (
+                SELECT doc_id, n_tok,
+                       (n_tok >= 10 AND n_tok <= 100000
+                        AND mean_word_len >= 2 AND mean_word_len <= 12
+                        AND dup_token_frac < 0.6) AS gopher_keep
+                FROM r
+            ), canon AS (
+                SELECT doc_id, lang, source, length(text) AS chars,
+                       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                           AS rn
+                FROM documents
+            )
+            SELECT c.lang, c.source, count(*) AS docs, sum(k.n_tok) AS tokens,
+                   sum(c.chars) AS chars
+            FROM canon c JOIN keepf k ON c.doc_id = k.doc_id
+            WHERE c.rn = 1 AND k.gopher_keep
+            GROUP BY c.lang, c.source ORDER BY c.lang, c.source
         """,
     }

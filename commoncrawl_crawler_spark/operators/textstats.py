@@ -154,6 +154,38 @@ def quality_signals(documents: DataFrame) -> DataFrame:
     return sig.withColumn("gopher_keep", keep).orderBy("doc_id")
 
 
+def training_manifest(documents: DataFrame) -> DataFrame:
+    """End-to-end corpus-cleaning manifest: exact-dedup (canonical =
+    lowest doc_id per md5 signature), Gopher-style keep filter
+    (quality_signals' flag), then per-(lang, source) accounting of
+    what survives. The closing report of every training-data
+    pipeline; every value is an exact bigint so the rollup is
+    deterministic under any partitioning."""
+    from pyspark.sql import Window
+
+    keep = quality_signals(documents).select("doc_id", "n_tok", "gopher_keep")
+    canon = documents.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+        ),
+    )
+    survivors = (
+        canon.filter(F.col("rn") == 1)
+        .join(keep, "doc_id")
+        .filter(F.col("gopher_keep"))
+    )
+    return (
+        survivors.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def fingerprint_documents(documents: DataFrame) -> DataFrame:
     """Deterministic content fingerprints: md5 (exact-dup signature,
     ParserMapper.java:828-832) + xxhash64 (cheap 64-bit)."""
