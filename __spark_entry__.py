@@ -921,6 +921,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_url_detail": lambda s, d: query_api.QueryServer(
             s, _scratch("qcache_v1", d)
         ).url_detail_query(_t(s, d, "orders"), "o_orderkey", 100),
+        "query_inverse_links": lambda s, d: query_api.QueryServer(
+            s, _scratch("qcache_v1", d)
+        ).inverse_links_query(
+            graph.inverse_links(_edges(s, d)),
+            root=7,
+            info=query_api.ClientQueryInfo(
+                sort_field="inlink_count",
+                ascending=False,
+                offset=0,
+                page_size=10,
+                tiebreak="dst",
+            ),
+        ),
         "stream_windowed_stats": _stream_windowed_stats,
         "stream_distinct_pairs": _stream_distinct_pairs,
         "sessionize_events": lambda s, d: sessions.sessionize(
@@ -1539,6 +1552,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "query_url_detail": """
             SELECT * FROM orders WHERE o_orderkey = 100
+        """,
+        "query_inverse_links": "WITH "
+        + _edges_cte()
+        + """
+            , inv AS (
+                SELECT dst, count(DISTINCT src) AS inlink_count,
+                       array_to_string(list_sort(list(DISTINCT src))[1:100], ',')
+                           AS src_sample
+                FROM edges GROUP BY dst
+            )
+            SELECT dst, inlink_count, src_sample FROM inv
+            WHERE dst % 97 = 7
+            ORDER BY inlink_count DESC, dst ASC LIMIT 10 OFFSET 0
         """,
         "stream_windowed_stats": """
             SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt,

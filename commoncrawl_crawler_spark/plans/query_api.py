@@ -122,6 +122,39 @@ class QueryServer:
         cached = self._materialize(qid, filtered.orderBy(*order))
         return self._paginate(cached, info)
 
+    def inverse_links_query(
+        self, inverse: DataFrame, root: int, info: ClientQueryInfo
+    ) -> DataFrame:
+        """getInverseLinksByDomain: the inverse-link rows whose target
+        belongs to one root domain, as a sorted page.
+
+        Reference: QueryServerFE.java:111-118 registers
+        /getInverseLinksByDomain.jsp over URLLinksQuery; the shard scan
+        + merge-sort becomes a cached filter+sort with offset/limit
+        pages (same shape as domain_list_query). The root filter is
+        the synthetic rootDomainHash (operators/graph.root_of)."""
+        from ..operators.graph import ROOT_MOD
+
+        qid = canonical_query_id(
+            "inverse_links",
+            {
+                "root": root,
+                "sort": info.sort_field,
+                "asc": info.ascending,
+                "tiebreak": info.tiebreak,
+            },
+        )
+        filtered = inverse.filter((F.col("dst") % ROOT_MOD) == root)
+        order = [
+            F.col(info.sort_field).asc()
+            if info.ascending
+            else F.col(info.sort_field).desc()
+        ]
+        if info.tiebreak:
+            order.append(F.col(info.tiebreak).asc())
+        cached = self._materialize(qid, filtered.orderBy(*order))
+        return self._paginate(cached, info)
+
     def url_detail_query(self, table: DataFrame, key_col: str, key) -> DataFrame:
         """Point lookup (URLLinksQuery's index seek analog).
 

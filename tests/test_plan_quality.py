@@ -107,3 +107,18 @@ def test_blekko_merge_filters_malformed_before_join(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
     # the parse filter appears as a Filter node, not post-join
     assert re.search(r"Filter.*rank", plan, re.IGNORECASE) or "regexp_extract" in plan
+
+
+def test_winnow_pair_join_is_hash_join_with_partial_agg(spark, sf_smoke):
+    """Fingerprint candidate pairs: equi-join on fp (never nested
+    loop) and the shared-fp count aggregates partial->final."""
+    plan = _plan(spark, sf_smoke, "dedup_winnow_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_training_manifest_aggregates_partially(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "text_training_manifest")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
