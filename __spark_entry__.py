@@ -471,6 +471,38 @@ def _stream_distinct_pairs(s: SparkSession, d: str) -> DataFrame:
     return out.orderBy("user_id", "event_type")
 
 
+def _stream_sessionize(s: SparkSession, d: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState),
+    drained via availableNow. Update-mode re-emits a (user, session)
+    row per micro-batch as the session extends; the max() fold keeps
+    the final state (sessions only grow). The oracle is the batch
+    sessionize SQL minus the float stat -- boundaries, ids, and
+    counts are exact, so the gate is deterministic. Gated on a
+    deterministic 1-in-5 user sample: sessions are per-user
+    independent, and the state-store cost is per-group Python
+    overhead, so the sample verifies identical semantics at 20% of
+    the wall time."""
+    out = streaming_jobs.run_available_now(
+        sessions.sessionize_stateful(
+            streaming_jobs.read_events_stream(s, d).filter(
+                F.col("user_id") % 5 == 0
+            ),
+            gap_minutes=60,
+        ),
+        _stream_sink_name("sess"),
+        output_mode="update",
+    )
+    return (
+        out.groupBy("user_id", "session_id")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.max("n_events").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
 def _fn_parse_headers(s: SparkSession, d: str) -> DataFrame:
     """Synthesize header blobs from order columns, parse them back
     with the JVM-side header expressions (roundtrip identity)."""
@@ -939,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": lambda s, d: sessions.sessionize(
             _t(s, d, "events"), gap_minutes=60
         ),
+        "stream_sessionize": _stream_sessionize,
         "source_xml_roundtrip": _xml_roundtrip,
         # bloom FP set is deterministic but not SQL-expressible ->
         # rows-only check; no-false-negative property is pytest-gated
@@ -1594,6 +1627,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, min(ts) AS session_start,
                    max(ts) AS session_end, count(*) AS n_events,
                    CAST(round(sum(CAST(value AS DECIMAL(15,2))), 3) AS DOUBLE) AS sum_value
+            FROM ids GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "stream_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 3600000000
+                            THEN 1 ELSE 0 END AS boundary
+                FROM events WHERE user_id % 5 = 0
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            ids AS (
+                SELECT *, sum(boundary) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING
+                ) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, min(ts) AS session_start,
+                   max(ts) AS session_end, count(*) AS n_events
             FROM ids GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "source_archive_roundtrip": """
