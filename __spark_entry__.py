@@ -999,11 +999,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_inverse_links": lambda s, d: graph.inverse_links(_edges(s, d)),
         "graph_degree_stats": lambda s, d: graph.degree_stats(_edges(s, d)),
         "graph_pagerank": lambda s, d: graph.pagerank(_edges(s, d), iterations=3),
-        "graph_pagerank_rootavg": lambda s, d: graph.pagerank_root_averaged(
-            _edges(s, d),
-            super_roots=graph.super_domains(_edges(s, d), threshold=25),
-            iterations=2,
-        ),
+        # one shared, checkpointed edge table: super_domains and the
+        # rank loop otherwise each re-run the scan + union + distinct
+        "graph_pagerank_rootavg": lambda s, d: (
+            lambda e: graph.pagerank_root_averaged(
+                e, super_roots=graph.super_domains(e, threshold=25), iterations=2
+            )
+        )(_edges(s, d).localCheckpoint(eager=False)),
         "graph_connected_components": lambda s, d: graph.connected_components(
             _cc_edges(s, d)
         ),
