@@ -1,0 +1,100 @@
+"""Deterministic corpus sampling operators (training-data tier).
+
+A 100 TB corpus pipeline downsamples constantly -- uniform rate
+sampling for evaluation splits, and per-group quotas so a handful of
+mega-domains don't dominate the training mix (the reference bounds
+per-domain work the same way: BundleGenerator caps urls-per-host,
+crawllistgen/PartitionUtils.java:60-85 splits super-domains).
+
+Everything here is hash-threshold based, NOT `df.sample()`:
+
+- Deterministic: the same row always lands in the same split, on any
+  cluster size, any partitioning, any Spark version -- md5 is the
+  engine-neutral hash (same value in DuckDB/Trino/Snowflake), so the
+  sample is reproducible outside Spark too.
+- Map-only: uniform sampling applies a per-row predicate -- no
+  shuffle, fully pushed into the scan stage.
+- Per-group quotas are one shuffle (window by group) -- same cost
+  shape as the reference's per-host top-k (BundleGenerator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.column import Column
+
+
+def _md5_bucket(key: Column, buckets: int = 1000) -> Column:
+    """Engine-neutral uniform bucket in [0, buckets): first 60 bits
+    of md5(key) mod buckets. Matches DuckDB
+    ``CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % buckets``."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate_per_mille: int, buckets: int = 1000
+) -> DataFrame:
+    """Keep rows whose md5 bucket of `key_col` < rate_per_mille.
+
+    Map-only deterministic sampling: the filter rides the scan stage
+    (no shuffle, no RNG state), and the kept set is stable across
+    reruns and engines -- the property an eval/train split needs.
+    """
+    return df.filter(_md5_bucket(F.col(key_col), buckets) < rate_per_mille)
+
+
+def stratified_sample_report(
+    documents: DataFrame, rate_per_mille: int = 200
+) -> DataFrame:
+    """Gate query: deterministic sample of documents + per-(lang,
+    source) accounting of kept vs total -- the report a pipeline
+    emits to prove a split is unbiased across strata."""
+    kept = (_md5_bucket(F.col("doc_id"), 1000) < rate_per_mille).cast("bigint")
+    return (
+        documents.select("lang", "source", kept.alias("kept"), "n_chars")
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("kept").alias("kept_docs"),
+            F.count(F.lit(1)).alias("total_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept") == 1, F.col("n_chars"))), F.lit(0)
+            ).alias("kept_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def group_quota_sample(
+    df: DataFrame, group_cols: list[str], key_col: str, quota: int
+) -> DataFrame:
+    """At most `quota` rows per group, chosen by md5-hash order.
+
+    The anti-dominance operator: a domain with 10^9 pages and one
+    with 10^3 both contribute <= quota rows, and WHICH rows is a
+    deterministic pseudo-random choice (hash order), not "first by
+    storage order". One shuffle on the group key; AQE splits skewed
+    groups. Reference analog: BundleGenerator's urls-per-host cap,
+    except the reference keeps list order while this keeps a seeded
+    random subset -- the right choice for training data.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(_md5_bucket(F.col(key_col), 1 << 30), F.col(key_col))
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
+def source_quota_report(documents: DataFrame, quota: int = 20) -> DataFrame:
+    """Gate query: per-source quota sample of documents, returned as
+    the kept (doc_id, source) pairs so the oracle checks the exact
+    chosen set, not just counts."""
+    return (
+        group_quota_sample(documents, ["source"], "doc_id", quota)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
