@@ -60,15 +60,36 @@ def main() -> None:
         times[name] = round(time.monotonic() - t0, 4)
 
     total = round(sum(times.values()), 4)
-    line = json.dumps(
-        {
+    # Full per-query detail goes to stderr (driver logs); the stdout JSON
+    # line must stay under the harness's 2000-char tail buffer or it is
+    # truncated and never parsed. Compact encoding + fold the fastest
+    # queries into an "other" bucket until the line fits.
+    print(json.dumps({"full_queries": times}), file=sys.stderr)
+
+    def encode(qdict: dict[str, float], folded: int, other: float) -> str:
+        payload = {
             "metric": "total_query_wall_sec",
             "value": total,
             "unit": "sec",
-            "queries": times,
+            "queries": {k: round(v, 2) for k, v in qdict.items()},
             "sf": sf,
+            "n_queries": len(times),
         }
-    )
+        if folded:
+            payload["queries"]["other"] = round(other, 2)
+            payload["n_folded"] = folded
+        return json.dumps(payload, separators=(",", ":"))
+
+    by_time = sorted(times.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = dict(by_time)
+    folded, other = 0, 0.0
+    line = encode(kept, folded, other)
+    while len(line) > 1800 and kept:
+        name, t = by_time[len(kept) - 1]
+        kept.pop(name)
+        folded += 1
+        other += t
+        line = encode(kept, folded, other)
     os.write(real_stdout, (line + "\n").encode())
     os.close(real_stdout)
     spark.stop()

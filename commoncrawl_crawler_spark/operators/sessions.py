@@ -32,10 +32,13 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user gap sessions with stable ids and per-session stats."""
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag(F.unix_micros(F.col("ts"))).over(w)
-    is_boundary = (
-        prev_ts.isNull() | ((F.unix_micros(F.col("ts")) - prev_ts) > gap_us)
-    ).cast("long")
+    # unix_micros requires TIMESTAMP (with zone); ts may arrive as
+    # TIMESTAMP_NTZ (Spark 4.x native nanos read). The cast shifts
+    # both lag and current identically, so gap differences are exact
+    # under any session timezone.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_ts = F.lag(ts_us).over(w)
+    is_boundary = (prev_ts.isNull() | ((ts_us - prev_ts) > gap_us)).cast("long")
     wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -52,9 +52,10 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
-        # testdata writes TIMESTAMP(NANOS) parquet, which Spark rejects
-        # by default; read as long and convert in sources.tables.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # TIMESTAMP(NANOS) parquet reads natively as TIMESTAMP_NTZ on
+        # Spark 4.x; sources.tables normalizes ts for any session, so
+        # no legacy conf is needed here (and local tests exercise the
+        # same read path an externally-built session takes).
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

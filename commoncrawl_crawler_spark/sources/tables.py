@@ -34,25 +34,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one named parquet table from a scale-factor directory.
 
-    Nanosecond-precision parquet timestamps (events.ts) are read as
-    long (spark.sql.legacy.parquet.nanosAsLong) and truncated to
-    microsecond TimestampType here -- the same ns->us truncation
-    DuckDB applies, so oracle comparisons agree.
+    Nanosecond-precision parquet timestamps (events.ts) are
+    normalized to microsecond TIMESTAMP_NTZ -- the same ns->us
+    truncation and no-timezone semantics DuckDB applies, so oracle
+    comparisons agree regardless of which SparkSession confs the
+    caller set:
+
+    - Spark 4.x default: TIMESTAMP(NANOS) parquet arrives natively
+      as TIMESTAMP_NTZ (already truncated to us) -- kept as is.
+    - nanosAsLong sessions: arrives as bigint ns -- integer DIV
+      (ns magnitudes ~1.7e18 exceed double's 2^53 mantissa, so float
+      division would be off by +-1us), then cast to NTZ.
+    - Legacy LTZ sessions: cast to NTZ (exact under UTC).
     """
     base = sf_dir or DEFAULT_SF_DIR
-    # nanosAsLong is a runtime SQL conf: set it here, not only at session
-    # build, so an externally-built SparkSession (e.g. a driving harness)
-    # can read TIMESTAMP(NANOS) parquet without PARQUET_TYPE_ILLEGAL.
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # non-modifiable in some deployments; fall through to read
     df = spark.read.parquet(f"{base}/{name}.parquet")
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            # integer DIV: ns magnitudes (~1.7e18) exceed double's 2^53
-            # mantissa, so float division would be off by ±1us
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if field.name != "ts":
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
+            )
+        elif kind == "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

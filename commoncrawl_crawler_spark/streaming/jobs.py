@@ -39,7 +39,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
     return stream
 
 
@@ -50,6 +52,11 @@ def windowed_event_stats(stream: DataFrame, window: str = "1 day") -> DataFrame:
     streaming aggregate. The 1-day watermark bounds state: windows
     older than (max event time - 1 day) finalize and evict.
     """
+    # watermarks require TIMESTAMP (with zone); ts may arrive as
+    # TIMESTAMP_NTZ (Spark 4.x native nanos read) -- cast is exact
+    # under the UTC sessions this engine builds.
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         stream.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
