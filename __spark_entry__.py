@@ -1071,6 +1071,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_training_manifest": lambda s, d: textstats.training_manifest(
             _t(s, d, "documents")
         ),
+        "text_redact_pii": lambda s, d: textstats.redact_pii(
+            _t(s, d, "documents")
+        ),
+        "text_stratified_sample": lambda s, d: textstats.stratified_sample(
+            _t(s, d, "documents"), rate_pct=10
+        ),
+        "text_vocabulary": lambda s, d: textstats.vocabulary(
+            _t(s, d, "documents"), top_n=100
+        ),
     }
     # The correctness harness gates the FIRST 50 entries in insertion
     # order (CORRECTNESS_r01/r02 each contain exactly the leading 50).
@@ -2139,5 +2148,43 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             FROM canon c JOIN keepf k ON c.doc_id = k.doc_id
             WHERE c.rn = 1 AND k.gopher_keep
             GROUP BY c.lang, c.source ORDER BY c.lang, c.source
+        """,
+        # PII patterns kept to syntax with identical Java-regex /
+        # RE2 semantics; DuckDB regexp_replace needs the 'g' flag
+        # (Spark's is global by default)
+        "text_redact_pii": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                       AS n_ips,
+                   len(regexp_extract_all(text, '[0-9]{9,}')) AS n_longnums,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IP>', 'g'),
+                       '[0-9]{9,}', '<NUM>', 'g')) AS redacted_sig
+            FROM documents ORDER BY doc_id
+        """,
+        "text_stratified_sample": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 10
+            ORDER BY doc_id
+        """,
+        "text_vocabulary": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                           AS token
+                FROM documents
+            ), f AS (SELECT * FROM toks WHERE token <> '')
+            SELECT token, count(DISTINCT doc_id) AS doc_freq,
+                   count(*) AS term_freq
+            FROM f GROUP BY token
+            ORDER BY doc_freq DESC, term_freq DESC, token ASC LIMIT 100
         """,
     }

@@ -194,3 +194,88 @@ def fingerprint_documents(documents: DataFrame) -> DataFrame:
         text.md5_signature_expr(F.col("text")).alias("md5_sig"),
         text.doc_fingerprint_expr(F.col("text")).alias("xx64_sig"),
     ).orderBy("doc_id")
+
+
+# Patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB oracle): classes, bounded repeats,
+# word boundaries. No backrefs or lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_LONGNUM = r"[0-9]{9,}"
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """Scrub emails / IPv4s / long digit runs (id-number shaped) from
+    document text -- standard training-corpus hygiene before a dump
+    leaves the pipeline. Pure Column exprs (regexp_replace chains stay
+    in whole-stage codegen); the result row carries match counts and
+    an md5 of the redacted text, not the text itself, so the audit
+    output is narrow at any corpus size.
+
+    Replacement order matters: emails first (their local part may
+    contain digits), then IPv4 (octets are <=3 digits so the long-num
+    pass cannot eat them), then bare long digit runs.
+    """
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_LONGNUM,
+        "<NUM>",
+    )
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_IPV4), F.lit(0))).alias(
+            "n_ips"
+        ),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(PII_LONGNUM), F.lit(0))
+        ).alias("n_longnums"),
+        F.md5(redacted).alias("redacted_sig"),
+    ).orderBy("doc_id")
+
+
+def stratified_sample(documents: DataFrame, rate_pct: int = 10) -> DataFrame:
+    """Deterministic stratified downsample: keep ~rate_pct% of each
+    document id's md5-hash bucket. Hash-mod sampling (not rand()) so
+    the SAME rows are kept on every engine, run, and cluster layout --
+    reproducible corpus subsets are what make ablation experiments
+    comparable. A pure filter: no shuffle, fully pushdown-friendly,
+    and the kept set is stable under repartitioning at any scale.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    return (
+        documents.filter(bucket < rate_pct)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def vocabulary(documents: DataFrame, top_n: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-N lowercase whitespace tokens by
+    document frequency (with total term frequency). The classic
+    tokenizer-training / stopword-mining pass. Explode shuffles one
+    row per token occurrence but both counts partial-aggregate
+    map-side, and the top-N is a TakeOrderedAndProject, so the full
+    sorted vocabulary never materializes.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("term_freq"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.asc("token"))
+        .limit(top_n)
+    )

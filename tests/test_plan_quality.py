@@ -122,3 +122,21 @@ def test_training_manifest_aggregates_partially(spark, sf_smoke):
     plan = _plan(spark, sf_smoke, "text_training_manifest")
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_pure_filter_no_shuffle(spark, sf_smoke):
+    """Hash-mod sampling must stay a scan+filter: no Exchange before
+    the (ordering-only) sort, so the kept set costs one pass."""
+    plan = _plan(spark, sf_smoke, "text_stratified_sample")
+    body = plan.split("== Physical Plan ==")[-1]
+    before_sort = body.split("Sort", 1)[0]
+    assert "Exchange" not in before_sort
+    assert "HashAggregate" not in body
+
+
+def test_vocabulary_topn_is_take_ordered(spark, sf_smoke):
+    """Top-N vocabulary must not materialize the full sorted token
+    table: TakeOrderedAndProject with partial->final aggregation."""
+    plan = _plan(spark, sf_smoke, "text_vocabulary")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
