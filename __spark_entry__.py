@@ -949,6 +949,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_fake": lambda s, d: multimodal.decode_media(
             multimodal.media_from_documents(_t(s, d, "documents")), codec="fake16"
         ),
+        # real container decoders: Spark parses actual RIFF/netpbm
+        # bytes; the oracle recomputes expected features from the
+        # synthesizer definition
+        "mm_decode_wav": lambda s, d: multimodal.decode_wav(
+            multimodal.synthesize_wav(_t(s, d, "documents"))
+        ).orderBy("media_id"),
+        "mm_decode_ppm": lambda s, d: multimodal.decode_ppm(
+            multimodal.synthesize_ppm(_t(s, d, "documents"))
+        ).orderBy("media_id"),
+        # real nearest-neighbor thumbnailer over the real PPM decode;
+        # thumb_md5 is audit-only (not SQL-expressible), so the gate
+        # compares the sampled-pixel sum the oracle can recompute
+        "mm_resize_ppm": lambda s, d: multimodal.resize_ppm(
+            multimodal.synthesize_ppm(_t(s, d, "documents")), width=4, height=3
+        )
+        .select("media_id", "width", "height", "sum_thumb")
+        .orderBy("media_id"),
         "query_domain_list": _query_domain_list,
         "query_url_detail": lambda s, d: query_api.QueryServer(
             s, _scratch("qcache_v1", d)
@@ -1079,6 +1096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_vocabulary": lambda s, d: textstats.vocabulary(
             _t(s, d, "documents"), top_n=100
+        ),
+        "join_asof": lambda s, d: joins.asof_join_events(_t(s, d, "events")),
+        "join_range_bucketed": lambda s, d: joins.campaign_window_stats(
+            _t(s, d, "events"), n_campaigns=20
         ),
     }
     # The correctness harness gates the FIRST 50 entries in insertion
@@ -1318,6 +1339,45 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey FROM orders WHERE o_totalprice > 350000
             )
             ORDER BY l_orderkey, l_linenumber
+        """,
+        # Spark expresses as-of via the merge-union window trick;
+        # DuckDB's native ASOF JOIN is the independent oracle
+        "join_asof": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ), s0 AS (
+                SELECT user_id, ts, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id, ts ORDER BY event_id DESC
+                       ) AS rn
+                FROM events WHERE event_type = 'signup'
+            ), signups AS (
+                SELECT user_id, ts, event_id, value FROM s0 WHERE rn = 1
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   s.event_id AS asof_event_id,
+                   s.value AS asof_value
+            FROM clicks c ASOF LEFT JOIN signups s
+              ON c.user_id = s.user_id AND c.ts >= s.ts
+            ORDER BY c.event_id
+        """,
+        # Spark buckets intervals by day into an equi-join + bounds
+        # filter; the oracle is the plain inequality join
+        "join_range_bucketed": """
+            WITH campaigns AS (
+                SELECT event_id AS campaign_id, ts AS start_ts,
+                       ts + INTERVAL 3 DAY AS end_ts
+                FROM events WHERE event_type = 'signup'
+                ORDER BY ts, event_id LIMIT 20
+            )
+            SELECT campaign_id, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(round(sum(CAST(value AS DECIMAL(15,2))), 3) AS DOUBLE)
+                       AS sum_value
+            FROM campaigns c JOIN events e
+              ON e.ts >= c.start_ts AND e.ts < c.end_ts
+            GROUP BY campaign_id ORDER BY campaign_id
         """,
         "filter_regex_scan": """
             SELECT * FROM documents
@@ -1649,6 +1709,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, CAST(gs - 1 AS INT) AS frame_idx,
                    least(64, len - (gs - 1) * 64) AS frame_len
             FROM expanded ORDER BY media_id, frame_idx
+        """,
+        # Spark DECODES real RIFF bytes; the oracle recomputes the
+        # expected amplitude features from the synthesizer formula
+        # (sample[i] = (doc_id*7 + i*13) % 256, n = 1024 + doc_id % 1024)
+        "mm_decode_wav": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       [(doc_id*7 + i*13) % 256
+                        FOR i IN range(0, 1024 + doc_id % 1024)] AS l
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(8 AS INT) AS bits,
+                   CAST(1 AS INT) AS channels,
+                   CAST(len(l) AS BIGINT) AS n_samples,
+                   CAST(list_sum(l) AS BIGINT) AS sum_amp,
+                   CAST(list_sum([x*x FOR x IN l]) AS BIGINT) AS sum_sq,
+                   CAST(list_min(l) AS INT) AS min_amp,
+                   CAST(list_max(l) AS INT) AS max_amp
+            FROM s ORDER BY media_id
+        """,
+        # pixel p = (doc_id*3 + p*5) % 256 over w*h*3 RGB bytes,
+        # w = 8 + doc_id % 9, h = 6 + doc_id % 7
+        "mm_decode_ppm": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+                FROM documents
+            ), px AS (
+                SELECT media_id, w, h,
+                       [(media_id*3 + p*5) % 256
+                        FOR p IN range(0, w*h*3)] AS l,
+                       [p FOR p IN range(0, w*h*3)] AS idx
+                FROM s
+            )
+            SELECT media_id,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(list_sum([(media_id*3 + p*5) % 256
+                        FOR p IN range(0, w*h*3) IF p % 3 = 0]) AS BIGINT) AS sum_r,
+                   CAST(list_sum([(media_id*3 + p*5) % 256
+                        FOR p IN range(0, w*h*3) IF p % 3 = 1]) AS BIGINT) AS sum_g,
+                   CAST(list_sum([(media_id*3 + p*5) % 256
+                        FOR p IN range(0, w*h*3) IF p % 3 = 2]) AS BIGINT) AS sum_b,
+                   CAST(list_min(l) AS INT) AS min_px,
+                   CAST(list_max(l) AS INT) AS max_px
+            FROM px ORDER BY media_id
+        """,
+        # nearest-neighbor sample: src pixel (y*h//3, x*w//4), flat
+        # index (src_y*w + src_x)*3 + c, value (mid*3 + p*5) % 256
+        "mm_resize_ppm": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+                FROM documents
+            ), grid AS (
+                SELECT media_id, w, h, ty.y AS y, tx.x AS x, tc.c AS c
+                FROM s, range(0, 3) ty(y), range(0, 4) tx(x),
+                     range(0, 3) tc(c)
+            )
+            SELECT media_id, CAST(4 AS INT) AS width,
+                   CAST(3 AS INT) AS height,
+                   CAST(sum((media_id*3
+                        + (((y*h)//3*w + (x*w)//4)*3 + c)*5) % 256)
+                        AS BIGINT) AS sum_thumb
+            FROM grid GROUP BY media_id ORDER BY media_id
         """,
         "query_domain_list": """
             WITH domains AS (

@@ -127,6 +127,23 @@ def incremental_merge(previous_merged: DataFrame, new_typed: DataFrame) -> DataF
     here we fold directly with a full-outer join + column merges
     (one shuffle on the merge key, broadcast-free, AQE-friendly).
     """
+    return fold_merged(previous_merged, merge_crawldb(new_typed))
+
+
+def incremental_merge_bucketed(
+    spark, previous_table: str, delta_table: str
+) -> DataFrame:
+    """Shuffle-free nightly merge: both inputs are tables bucketed on
+    `key` with the same bucket count (sources/bucketed.py), so the
+    full-outer fold joins with NO Exchange on either side -- the
+    100 TB posture SCALE.md describes, where the multi-TB mergeDB
+    never reshuffles. Plan-asserted in tests."""
+    return fold_merged(spark.table(previous_table), spark.table(delta_table))
+
+
+def fold_merged(previous_merged: DataFrame, new_merged: DataFrame) -> DataFrame:
+    """Fold two merged-shape CrawlDB tables into one (the column
+    merges of CrawlDBMergingReducer re-applied at the merged level)."""
     p = previous_merged.select(
         "key",
         F.col("attempt_count").alias("p_attempt_count"),
@@ -139,7 +156,7 @@ def incremental_merge(previous_merged: DataFrame, new_typed: DataFrame) -> DataF
         F.col("latest_link_date").alias("p_latest_link_date"),
         F.col("source_samples").alias("p_source_samples"),
     )
-    n = merge_crawldb(new_typed)
+    n = new_merged
     new_wins = (F.col("last_attempt_ts") > F.col("p_last_attempt_ts")) | (
         (F.col("last_attempt_ts") == F.col("p_last_attempt_ts"))
         & (F.col("last_attempt_id") >= F.col("p_last_attempt_id"))

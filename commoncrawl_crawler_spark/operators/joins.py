@@ -155,3 +155,138 @@ def point_lookup_join(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Point-in-time (as-of) join: for each left row, the latest right
+    row with right.ts <= left.ts on the same key (inclusive).
+
+    Spark has no native ASOF JOIN; a naive inequality join explodes to
+    a range product. The scale-correct expression is the merge-union:
+    tag both sides, union, ONE shuffle on the key, sort by (ts, side)
+    within key, and carry the latest right payload forward with
+    last(ignorenulls) over a running window. Cost is a single
+    key-partitioned sort regardless of how many right rows each left
+    row spans -- the same discipline as the reference's shard-merge
+    joins (MultiFileMergeUtils), re-expressed as a window.
+
+    Right rows order before left rows at equal ts (side 0 < 1), so
+    ties are inclusive, matching DuckDB's `ASOF JOIN ... ON l.ts >=
+    r.ts` semantics (the driver gate's oracle). The right side must be
+    unique per (key, ts) for a deterministic winner -- gate wrappers
+    dedupe with max-event_id per (key, ts).
+    """
+    from pyspark.sql import Window
+
+    rcols = [c for c in right.columns if c not in (key, ts)]
+    r2 = right.select(
+        key,
+        ts,
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in rcols]).alias("_r"),
+    )
+    l2 = left.withColumn("_side", F.lit(1))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("_asof", F.last("_r", ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in rcols],
+    )
+    return out
+
+
+def asof_join_events(events: DataFrame) -> DataFrame:
+    """Gate wrapper: join every click to the user's latest signup at
+    or before the click (point-in-time user state -- the classic
+    feature-store lookup shape)."""
+    from pyspark.sql import Window
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    return (
+        asof_join(clicks, signups, key="user_id", ts="ts")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "asof_event_id",
+            "asof_value",
+        )
+        .orderBy("event_id")
+    )
+
+
+def interval_bucket_join(
+    events: DataFrame, intervals: DataFrame, bucket: str = "1 day"
+) -> DataFrame:
+    """Range (interval containment) join, bucketized: events whose ts
+    falls in [start_ts, end_ts).
+
+    A raw inequality join is a nested-loop range product. The scale
+    path buckets time: each interval explodes to the days it covers
+    (bounded fan-out), events map to their day, and the join becomes
+    an EQUI-join on the day bucket followed by an exact bounds filter
+    -- hash-joinable, AQE-skew-splittable, and the fan-out is
+    len(interval)/bucket rows instead of |events| x |intervals|.
+    `intervals` needs (interval_id, start_ts, end_ts).
+    """
+    c_days = intervals.select(
+        "interval_id",
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                F.to_date("start_ts"),
+                F.to_date("end_ts"),
+            )
+        ).alias("_day"),
+    )
+    e = events.withColumn("_day", F.to_date(F.col("ts")))
+    return e.join(F.broadcast(c_days), "_day").filter(
+        (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts"))
+    )
+
+
+def campaign_window_stats(events: DataFrame, n_campaigns: int = 20) -> DataFrame:
+    """Gate wrapper: the 20 earliest signups open 3-day campaign
+    windows; aggregate the events each window contains."""
+    from ..functions.numeric import dsum
+
+    campaigns = (
+        events.filter(F.col("event_type") == "signup")
+        .orderBy("ts", "event_id")
+        .limit(n_campaigns)
+        .select(
+            F.col("event_id").alias("interval_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("end_ts"),
+        )
+    )
+    joined = interval_bucket_join(events, campaigns)
+    return (
+        joined.groupBy(F.col("interval_id").alias("campaign_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("campaign_id")
+    )

@@ -106,17 +106,22 @@ def frame_sample(
 def decode_media(media: DataFrame, codec: str = "real") -> DataFrame:
     """Decode binary payloads to dense arrays.
 
-    codec="real" is STUBBED: the container has no PIL/ffmpeg, so it
-    raises immediately (wire in the real library here in production).
-    codec="fake16" is the deterministic stand-in: a 16-bin byte
-    histogram, normalized -- enough to exercise every downstream
-    consumer (ANN, dedup, clustering) with real batch mechanics.
+    Real decoders implemented in this module (pure numpy/stdlib, no
+    external codec libraries): `decode_wav` (RIFF/WAVE PCM chunk
+    walker) and `decode_ppm` (netpbm P6 header parser). codec="real"
+    here still raises for compressed formats (jpeg/png/mp3/mp4 need
+    PIL/ffmpeg -- wire them into the same mapInPandas contract in
+    production). codec="fake16" is the deterministic stand-in: a
+    16-bin byte histogram, normalized -- enough to exercise every
+    downstream consumer (ANN, dedup, clustering) with real batch
+    mechanics.
     """
     if codec == "real":
         raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present "
-            "in this environment; use codec='fake16' for the deterministic "
-            "test codec"
+            "compressed-format decoding (jpeg/png/mp3/mp4) requires "
+            "image/audio libraries not present in this environment; use "
+            "decode_wav / decode_ppm for the real container-format "
+            "decoders, or codec='fake16' for the deterministic test codec"
         )
     if codec != "fake16":
         raise ValueError(f"unknown codec {codec!r}")
@@ -146,6 +151,262 @@ def decode_media(media: DataFrame, codec: str = "real") -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(_decode, schema)
+
+
+# ---- real container-format codecs (WAV / PPM) ---------------------
+#
+# These are genuine byte-level parsers (RIFF chunk walk, netpbm
+# header tokenizer) running vectorized per Arrow batch -- the same
+# mapInPandas contract a PIL/ffmpeg decode would use. The paired
+# synthesize_* harnesses emit deterministic media so the decode
+# output is oracle-checkable: Spark DECODES the actual bytes while
+# the oracle recomputes the expected features from the generator
+# definition -- a real end-to-end proof of the parser.
+
+WAV_FEATURES = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_amp", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("min_amp", IntegerType()),
+        StructField("max_amp", IntegerType()),
+    ]
+)
+
+PPM_FEATURES = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("min_px", IntegerType()),
+        StructField("max_px", IntegerType()),
+    ]
+)
+
+
+def synthesize_wav(documents: DataFrame) -> DataFrame:
+    """Deterministic 8-bit mono PCM WAV per document: n_samples =
+    1024 + doc_id % 1024, sample[i] = (doc_id*7 + i*13) % 256,
+    sample_rate 8000. Real RIFF/WAVE container bytes."""
+    import struct
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                n = 1024 + mid % 1024
+                i = np.arange(n, dtype=np.int64)
+                samples = ((mid * 7 + i * 13) % 256).astype(np.uint8)
+                header = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + n)
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+                    + b"data"
+                    + struct.pack("<I", n)
+                )
+                ids.append(mid)
+                blobs.append(header + samples.tobytes())
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return documents.select("doc_id").mapInPandas(_synth, schema)
+
+
+def parse_wav_bytes(blob: bytes) -> tuple[int, int, int, np.ndarray]:
+    """RIFF/WAVE container parse -> (rate, bits, channels, samples).
+
+    Walks arbitrary chunks with word alignment (real encoders emit
+    LIST/INFO chunks between fmt and data), so the parser is not
+    coupled to the synthesizer's minimal layout."""
+    if blob[0:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt = data = None
+    off = 12
+    while off + 8 <= len(blob):
+        cid = blob[off : off + 4]
+        sz = int.from_bytes(blob[off + 4 : off + 8], "little")
+        body = blob[off + 8 : off + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        off += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if bits != 8:
+        raise ValueError(f"only 8-bit PCM supported, got {bits}")
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    return rate, bits, channels, arr
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """Real RIFF/WAVE decode: walk chunks (fmt /data with word
+    alignment), read PCM params, extract 8-bit samples, reduce to
+    integer amplitude features (exact under any partitioning)."""
+    _parse = parse_wav_bytes
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in WAV_FEATURES.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                rate, bits, channels, arr = _parse(bytes(blob))
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(rate)
+                rows["bits"].append(bits)
+                rows["channels"].append(channels)
+                rows["n_samples"].append(len(arr))
+                rows["sum_amp"].append(int(arr.sum()))
+                rows["sum_sq"].append(int((arr * arr).sum()))
+                rows["min_amp"].append(int(arr.min()))
+                rows["max_amp"].append(int(arr.max()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(_decode, WAV_FEATURES)
+
+
+def synthesize_ppm(documents: DataFrame) -> DataFrame:
+    """Deterministic P6 PPM per document: width = 8 + doc_id % 9,
+    height = 6 + doc_id % 7, flat RGB byte p = (doc_id*3 + p*5) % 256.
+    Real netpbm container bytes (binary P6 with ASCII header)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 9, 6 + mid % 7
+                p = np.arange(w * h * 3, dtype=np.int64)
+                pixels = ((mid * 3 + p * 5) % 256).astype(np.uint8)
+                header = f"P6\n{w} {h}\n255\n".encode("ascii")
+                ids.append(mid)
+                blobs.append(header + pixels.tobytes())
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return documents.select("doc_id").mapInPandas(_synth, schema)
+
+
+def parse_ppm_bytes(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """netpbm P6 header parse -> (width, height, flat RGB array).
+
+    Tokenizes per the spec: any whitespace separates header fields
+    and # starts a comment running to end-of-line, so files written
+    by real tools (which often embed a creator comment) parse too."""
+    if blob[0:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    idx, vals = 2, []
+    while len(vals) < 3:
+        while blob[idx] in b" \t\r\n":
+            idx += 1
+        if blob[idx : idx + 1] == b"#":
+            while blob[idx] not in b"\r\n":
+                idx += 1
+            continue
+        j = idx
+        while blob[j] not in b" \t\r\n":
+            j += 1
+        vals.append(int(blob[idx:j]))
+        idx = j
+    idx += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    arr = np.frombuffer(blob, dtype=np.uint8, offset=idx, count=w * h * 3)
+    return w, h, arr.astype(np.int64)
+
+
+def decode_ppm(media: DataFrame) -> DataFrame:
+    """Real netpbm P6 decode: tokenize the ASCII header (whitespace
+    and # comments per the spec), then per-channel integer sums over
+    the RGB frame."""
+    _parse = parse_ppm_bytes
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PPM_FEATURES.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, arr = _parse(bytes(blob))
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(arr[0::3].sum()))
+                rows["sum_g"].append(int(arr[1::3].sum()))
+                rows["sum_b"].append(int(arr[2::3].sum()))
+                rows["min_px"].append(int(arr.min()))
+                rows["max_px"].append(int(arr.max()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(_decode, PPM_FEATURES)
+
+
+def resize_ppm(media: DataFrame, width: int = 4, height: int = 3) -> DataFrame:
+    """REAL image resize: decode P6 PPM, nearest-neighbor sample to
+    (width x height), and reduce the thumbnail to integer channel
+    sums + an md5 of the re-encoded PPM bytes (narrow audit row).
+
+    Nearest neighbor: source pixel (floor(y*H/height), floor(x*W/width))
+    -- one numpy fancy-index per image, no interpolation libraries.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "sum_thumb": [],
+                "thumb_md5": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, arr = parse_ppm_bytes(bytes(blob))
+                img = arr.reshape(h, w, 3)
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                thumb = img[ys][:, xs]  # nearest-neighbor sample
+                tbytes = thumb.astype(np.uint8).tobytes()
+                out = f"P6\n{width} {height}\n255\n".encode("ascii") + tbytes
+                rows["media_id"].append(int(mid))
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["sum_thumb"].append(int(thumb.sum()))
+                rows["thumb_md5"].append(hashlib.md5(out).hexdigest())
+            yield pd.DataFrame(rows)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("sum_thumb", LongType()),
+            StructField("thumb_md5", StringType()),
+        ]
+    )
+    return media.select("media_id", "content").mapInPandas(_resize, schema)
 
 
 RESIZE_SCHEMA = StructType(

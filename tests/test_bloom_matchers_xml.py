@@ -149,3 +149,37 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path, sf_smoke):
         )
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_incremental_merge_bucketed_is_shuffle_free(spark, tmp_path, sf_smoke):
+    """The nightly CrawlDB merge posture at 100 TB: previous mergeDB
+    and the delta both bucketed on key -> the full-outer fold joins
+    with no Exchange, and matches the unbucketed incremental merge."""
+    from commoncrawl_crawler_spark.operators import crawldb
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        events = load_table(spark, "events", sf_smoke)
+        typed = crawldb.typed_records_from_events(events)
+        old = typed.filter("record_id % 2 = 0")
+        new = typed.filter("record_id % 2 = 1")
+        prev_merged = crawldb.merge_crawldb(old)
+        delta_merged = crawldb.merge_crawldb(new)
+        bucketed.write_bucketed(prev_merged, "t_prev_m", "key")
+        bucketed.write_bucketed(delta_merged, "t_delta_m", "key")
+
+        folded = crawldb.incremental_merge_bucketed(spark, "t_prev_m", "t_delta_m")
+        body = folded._jdf.queryExecution().executedPlan().toString()
+        # the final orderBy's rangepartitioning Exchange is inherent to a
+        # global sort; the join itself must not hash-shuffle either side
+        assert "Exchange hashpartitioning" not in body, body[:2000]
+
+        want = {tuple(r) for r in crawldb.incremental_merge(prev_merged, new).collect()}
+        got = {tuple(r) for r in folded.collect()}
+        assert got == want
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS t_prev_m")
+        spark.sql("DROP TABLE IF EXISTS t_delta_m")

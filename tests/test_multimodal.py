@@ -72,3 +72,72 @@ def test_resize_stub_fixed_shape(spark, sf_smoke):
     ).collect()
     assert all(len(bytes(r["thumb"])) == 32 for r in thumbs)
     assert all(r["width"] == 8 and r["height"] == 4 for r in thumbs)
+
+
+def test_wav_parser_handles_extra_chunks_and_padding():
+    """The chunk walker must skip unknown chunks (real encoders emit
+    LIST/INFO) and honor word alignment for odd-size chunk bodies."""
+    import struct
+
+    samples = bytes(range(100))
+    odd_chunk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+    body = (
+        b"WAVE"
+        + odd_chunk
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 44100, 44100, 1, 8)
+        + b"data"
+        + struct.pack("<I", len(samples))
+        + samples
+    )
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, bits, channels, arr = multimodal.parse_wav_bytes(blob)
+    assert (rate, bits, channels) == (44100, 8, 1)
+    assert arr.tolist() == list(range(100))
+
+
+def test_wav_parser_rejects_garbage():
+    with pytest.raises(ValueError):
+        multimodal.parse_wav_bytes(b"OggS" + b"\x00" * 64)
+    with pytest.raises(ValueError):  # RIFF but no data chunk
+        multimodal.parse_wav_bytes(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_ppm_parser_handles_header_comments():
+    pixels = bytes(range(2 * 2 * 3))
+    blob = b"P6\n# creator: some-tool\n2 2\n255\n" + pixels
+    w, h, arr = multimodal.parse_ppm_bytes(blob)
+    assert (w, h) == (2, 2)
+    assert arr.tolist() == list(range(12))
+
+
+def test_ppm_parser_rejects_garbage():
+    with pytest.raises(ValueError):
+        multimodal.parse_ppm_bytes(b"P5\n2 2\n255\n" + b"\x00" * 4)
+
+
+def test_wav_roundtrip_decode_matches_formula(spark, sf_smoke):
+    docs = load_table(spark, "documents", sf_smoke).limit(5)
+    rows = multimodal.decode_wav(multimodal.synthesize_wav(docs)).collect()
+    assert len(rows) == 5
+    for r in rows:
+        mid, n = r["media_id"], r["n_samples"]
+        assert n == 1024 + mid % 1024
+        i = np.arange(n, dtype=np.int64)
+        expect = (mid * 7 + i * 13) % 256
+        assert r["sum_amp"] == int(expect.sum())
+        assert r["sum_sq"] == int((expect * expect).sum())
+        assert r["sample_rate"] == 8000
+
+
+def test_ppm_roundtrip_decode_matches_formula(spark, sf_smoke):
+    docs = load_table(spark, "documents", sf_smoke).limit(5)
+    rows = multimodal.decode_ppm(multimodal.synthesize_ppm(docs)).collect()
+    for r in rows:
+        mid = r["media_id"]
+        w, h = 8 + mid % 9, 6 + mid % 7
+        assert (r["width"], r["height"]) == (w, h)
+        p = np.arange(w * h * 3, dtype=np.int64)
+        vals = (mid * 3 + p * 5) % 256
+        assert r["sum_r"] == int(vals[0::3].sum())
+        assert r["sum_b"] == int(vals[2::3].sum())

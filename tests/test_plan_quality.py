@@ -140,3 +140,21 @@ def test_vocabulary_topn_is_take_ordered(spark, sf_smoke):
     plan = _plan(spark, sf_smoke, "text_vocabulary")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_asof_join_is_single_shuffle_window_not_range_join(spark, sf_smoke):
+    """As-of must be the merge-union window: one hash Exchange on the
+    key for the window sort, and no nested-loop range product."""
+    plan = _plan(spark, sf_smoke, "join_asof")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_range_join_buckets_to_equi_join(spark, sf_smoke):
+    """Interval containment must join on the day bucket (hash join),
+    never as a nested-loop inequality join."""
+    plan = _plan(spark, sf_smoke, "join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
