@@ -471,6 +471,26 @@ def _stream_distinct_pairs(s: SparkSession, d: str) -> DataFrame:
     return out.orderBy("user_id", "event_type")
 
 
+def _stream_asof(s: SparkSession, d: str) -> DataFrame:
+    """Stateful streaming as-of join (applyInPandasWithState), drained
+    via availableNow. Each click row is emitted exactly once with the
+    user's latest at-or-before signup; the oracle is the same DuckDB
+    native ASOF JOIN SQL as the batch join_asof gate, restricted to
+    the deterministic 1-in-3 user sample the stream processes."""
+    out = streaming_jobs.run_available_now(
+        streaming_jobs.streaming_asof_join(
+            streaming_jobs.read_events_stream(s, d).filter(
+                F.col("user_id") % 3 == 0
+            )
+        ),
+        _stream_sink_name("asof"),
+        output_mode="update",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "asof_event_id", "asof_value"
+    ).orderBy("event_id")
+
+
 def _stream_sessionize(s: SparkSession, d: str) -> DataFrame:
     """Stateful streaming sessionization (applyInPandasWithState),
     drained via availableNow. Update-mode re-emits a (user, session)
@@ -1098,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), top_n=100
         ),
         "join_asof": lambda s, d: joins.asof_join_events(_t(s, d, "events")),
+        "stream_asof": _stream_asof,
         "join_range_bucketed": lambda s, d: joins.campaign_window_stats(
             _t(s, d, "events"), n_campaigns=20
         ),
@@ -1352,6 +1373,26 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY user_id, ts ORDER BY event_id DESC
                        ) AS rn
                 FROM events WHERE event_type = 'signup'
+            ), signups AS (
+                SELECT user_id, ts, event_id, value FROM s0 WHERE rn = 1
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   s.event_id AS asof_event_id,
+                   s.value AS asof_value
+            FROM clicks c ASOF LEFT JOIN signups s
+              ON c.user_id = s.user_id AND c.ts >= s.ts
+            ORDER BY c.event_id
+        """,
+        "stream_asof": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click' AND user_id % 3 = 0
+            ), s0 AS (
+                SELECT user_id, ts, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id, ts ORDER BY event_id DESC
+                       ) AS rn
+                FROM events WHERE event_type = 'signup' AND user_id % 3 = 0
             ), signups AS (
                 SELECT user_id, ts, event_id, value FROM s0 WHERE rn = 1
             )

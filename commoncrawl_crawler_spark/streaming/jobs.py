@@ -127,3 +127,100 @@ def run_available_now(
     )
     q.awaitTermination()
     return df.sparkSession.table(sink_table)
+
+
+def streaming_asof_join(
+    stream: DataFrame, probe_type: str = "click", ref_type: str = "signup"
+) -> DataFrame:
+    """Streaming point-in-time (as-of) join: emit each probe event
+    with the latest reference event at or before it for the same
+    user -- the feature-store lookup as a stateful stream.
+
+    Per-user state holds the newest reference row seen so far
+    (id, value), so probes in later micro-batches join correctly
+    without re-reading history. Within a batch the fold is
+    vectorized: sort by (ts, ref-before-probe, event_id), forward-
+    fill the reference columns, emit probe rows. References at equal
+    ts sort before probes (inclusive >= semantics, matching DuckDB's
+    ASOF JOIN and operators/joins.asof_join); among same-ts
+    references the highest event_id wins, matching the batch gate's
+    dedupe. Assumes event-time-ordered batch arrival (the availableNow
+    file-drain and any log-ordered source satisfy this; the
+    reference's incremental history appends were equally ordered).
+    """
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("asof_event_id", LongType()),
+            StructField("asof_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("sig_id", LongType()),
+            StructField("sig_value", DoubleType()),
+        ]
+    )
+
+    def _fn(
+        key: tuple, pdfs: _It[pd.DataFrame], state: GroupState
+    ) -> _It[pd.DataFrame]:
+        (user_id,) = key
+        df = pd.concat(list(pdfs))
+        df = df[df["event_type"].isin([probe_type, ref_type])]
+        if df.empty:
+            yield pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in out_schema.fields}
+            )
+            return
+        df = df.assign(_probe=(df["event_type"] == probe_type).astype("int8"))
+        df = df.sort_values(["ts", "_probe", "event_id"])
+        is_ref = df["_probe"].to_numpy() == 0
+        sig_id = pd.Series(
+            np.where(is_ref, df["event_id"], np.nan), index=df.index
+        ).ffill()
+        sig_val = pd.Series(
+            np.where(is_ref, df["value"], np.nan), index=df.index
+        ).ffill()
+        if state.exists:  # seed rows before the first in-batch reference
+            prev_id, prev_val = state.get
+            sig_id = sig_id.fillna(prev_id)
+            sig_val = sig_val.fillna(prev_val)
+        probes = df["_probe"] == 1
+        out = pd.DataFrame(
+            {
+                "event_id": df.loc[probes, "event_id"],
+                "user_id": user_id,
+                "ts": df.loc[probes, "ts"],
+                "asof_event_id": sig_id[probes],
+                "asof_value": sig_val[probes],
+            }
+        )
+        if is_ref.any():
+            last = np.flatnonzero(is_ref)[-1]
+            state.update(
+                (
+                    int(df["event_id"].iloc[last]),
+                    float(df["value"].iloc[last]),
+                )
+            )
+        yield out
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

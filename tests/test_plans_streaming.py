@@ -96,3 +96,77 @@ def test_stateful_sessionize_matches_batch(spark, sf_smoke):
         )
 
     assert key(streamed) == key(batch)
+
+
+def test_streaming_asof_matches_batch(spark, sf_smoke):
+    """The stateful streaming as-of join must emit exactly what the
+    batch merge-union window as-of produces."""
+    from commoncrawl_crawler_spark.operators import joins
+
+    batch = joins.asof_join_events(load_table(spark, "events", sf_smoke)).collect()
+    streamed = jobs.run_available_now(
+        jobs.streaming_asof_join(jobs.read_events_stream(spark, sf_smoke)),
+        "ccspark_test_asof",
+        output_mode="update",
+    ).collect()
+
+    def key(rows):
+        return sorted(
+            (r["event_id"], r["user_id"], r["asof_event_id"], r["asof_value"])
+            for r in rows
+        )
+
+    assert key(streamed) == key(batch)
+
+
+def test_streaming_asof_state_carries_across_batches(spark, tmp_path):
+    """A reference event in batch 1 must join probes in batch 2 via
+    the state store (one file per micro-batch forces two batches)."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    b1 = pd.DataFrame(
+        {
+            "event_id": [1],
+            "ts": [base],
+            "user_id": [7],
+            "event_type": ["signup"],
+            "value": [42.0],
+            "props": ["{}"],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "event_id": [2, 3],
+            "ts": [base + pd.Timedelta(hours=1), base + pd.Timedelta(hours=2)],
+            "user_id": [7, 7],
+            "event_type": ["click", "click"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(b1), src / "f1.parquet", coerce_timestamps="us"
+    )
+    pq.write_table(
+        pa.Table.from_pandas(b2), src / "f2.parquet", coerce_timestamps="us"
+    )
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = jobs.run_available_now(
+        jobs.streaming_asof_join(stream),
+        "ccspark_test_asof_2b",
+        output_mode="update",
+    ).collect()
+    got = {r["event_id"]: r["asof_event_id"] for r in out}
+    assert got == {2: 1, 3: 1}  # batch-2 probes see the batch-1 signup
