@@ -70,15 +70,41 @@ def _blocked_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The edge table is a derived artifact every graph operator consumes
+# (the reference materialized its link DB once and pointed every
+# downstream job at it -- LinkGraphDataEmitter output). Deriving it
+# per query would re-run the union+distinct shuffle 8x; materialize
+# once per (session, sf_dir) with a checkpoint and share. Keyed by
+# applicationId so a restarted session never sees stale lineage.
+_EDGE_CACHE: dict = {}
+
+
+def _cached(spark: SparkSession, tag: str, sf_dir: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, tag, sf_dir)
+    if key not in _EDGE_CACHE:
+        _EDGE_CACHE[key] = build().localCheckpoint(eager=True)
+    return _EDGE_CACHE[key]
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return graph.link_graph_edges(_t(spark, sf_dir, "lineitem"))
+    return _cached(
+        spark,
+        "edges",
+        sf_dir,
+        lambda: graph.link_graph_edges(_t(spark, sf_dir, "lineitem")),
+    )
 
 
 def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sparse subgraph (rare high-price lines) so components are
     # non-trivial; the full graph collapses to one giant component
-    return graph.link_graph_edges(
-        _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 95000)
+    return _cached(
+        spark,
+        "cc_edges",
+        sf_dir,
+        lambda: graph.link_graph_edges(
+            _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 95000)
+        ),
     )
 
 
