@@ -478,6 +478,26 @@ def _query_domain_list(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _query_domain_resort(s: SparkSession, d: str) -> DataFrame:
+    """Re-sort by a different selected field (ClientQueryInfo.sortByMetric
+    analog, queryserver.jr:50-62): same filter as query_domain_list but
+    ordered by total_chars ascending -- a distinct canonical query id,
+    so it materializes its own cached result rather than re-sorting the
+    other gate's page."""
+    server = query_api.QueryServer(s, _scratch("qcache_v1", d))
+    return server.domain_list_query(
+        query_api.domain_stats_from_documents(_t(s, d, "documents")),
+        pattern="^src[0-9]$",
+        info=query_api.ClientQueryInfo(
+            sort_field="total_chars",
+            ascending=True,
+            offset=0,
+            page_size=5,
+            tiebreak="domain",
+        ),
+    )
+
+
 def _stream_windowed_stats(s: SparkSession, d: str) -> DataFrame:
     out = streaming_jobs.run_available_now(
         streaming_jobs.windowed_event_stats(streaming_jobs.read_events_stream(s, d)),
@@ -1013,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("media_id", "width", "height", "sum_thumb")
         .orderBy("media_id"),
         "query_domain_list": _query_domain_list,
+        "query_domain_resort": _query_domain_resort,
         "query_url_detail": lambda s, d: query_api.QueryServer(
             s, _scratch("qcache_v1", d)
         ).url_detail_query(_t(s, d, "orders"), "o_orderkey", 100),
@@ -1852,6 +1873,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM domains WHERE regexp_matches(domain, '^src[0-9]$')
             ORDER BY doc_count DESC, domain ASC LIMIT 5 OFFSET 2
+        """,
+        "query_domain_resort": """
+            WITH domains AS (
+                SELECT source AS domain, count(*) AS doc_count,
+                       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                       count(DISTINCT lang) AS lang_count
+                FROM documents GROUP BY 1
+            )
+            SELECT * FROM domains WHERE regexp_matches(domain, '^src[0-9]$')
+            ORDER BY total_chars ASC, domain ASC LIMIT 5 OFFSET 0
         """,
         "query_url_detail": """
             SELECT * FROM orders WHERE o_orderkey = 100
