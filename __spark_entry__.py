@@ -80,7 +80,12 @@ _EDGE_CACHE: dict = {}
 
 
 def _cached(spark: SparkSession, tag: str, sf_dir: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, tag, sf_dir)
+    app = spark.sparkContext.applicationId
+    # evict entries from stopped sessions: their checkpointed
+    # DataFrames are unreachable and would pin JVM references forever
+    for k in [k for k in _EDGE_CACHE if k[0] != app]:
+        del _EDGE_CACHE[k]
+    key = (app, tag, sf_dir)
     if key not in _EDGE_CACHE:
         _EDGE_CACHE[key] = build().localCheckpoint(eager=True)
     return _EDGE_CACHE[key]

@@ -183,6 +183,12 @@ def asof_join(
     """
     from pyspark.sql import Window
 
+    reserved = {"_side", "_r", "_asof"}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join left side must not contain reserved columns {clash}"
+        )
     rcols = [c for c in right.columns if c not in (key, ts)]
     r2 = right.select(
         key,
@@ -260,7 +266,11 @@ def interval_bucket_join(
         ).alias("_day"),
     )
     e = events.withColumn("_day", F.to_date(F.col("ts")))
-    return e.join(F.broadcast(c_days), "_day").filter(
+    # no forced broadcast: Catalyst/AQE broadcasts small interval
+    # tables on its own (the gate's 20x4 rows always qualify), while a
+    # large intervals table stays shuffle-hash-joinable and AQE
+    # skew-splittable -- a broadcast hint would pin it driver-side
+    return e.join(c_days, "_day").filter(
         (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts"))
     )
 

@@ -317,23 +317,30 @@ def parse_ppm_bytes(blob: bytes) -> tuple[int, int, np.ndarray]:
     by real tools (which often embed a creator comment) parse too."""
     if blob[0:2] != b"P6":
         raise ValueError("not a P6 PPM")
-    idx, vals = 2, []
+    n, idx, vals = len(blob), 2, []
     while len(vals) < 3:
-        while blob[idx] in b" \t\r\n":
+        while idx < n and blob[idx] in b" \t\r\n":
             idx += 1
+        if idx >= n:
+            raise ValueError("truncated PPM header")
         if blob[idx : idx + 1] == b"#":
-            while blob[idx] not in b"\r\n":
+            while idx < n and blob[idx] not in b"\r\n":
                 idx += 1
             continue
         j = idx
-        while blob[j] not in b" \t\r\n":
+        while j < n and blob[j] not in b" \t\r\n":
             j += 1
-        vals.append(int(blob[idx:j]))
+        try:
+            vals.append(int(blob[idx:j]))
+        except ValueError:
+            raise ValueError(f"bad PPM header token {blob[idx:j]!r}") from None
         idx = j
     idx += 1  # exactly one whitespace byte after maxval
     w, h, maxval = vals
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
+    if n - idx < w * h * 3:
+        raise ValueError("truncated PPM pixel data")
     arr = np.frombuffer(blob, dtype=np.uint8, offset=idx, count=w * h * 3)
     return w, h, arr.astype(np.int64)
 

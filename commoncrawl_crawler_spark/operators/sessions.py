@@ -32,17 +32,21 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user gap sessions with stable ids and per-session stats."""
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # unix_micros requires TIMESTAMP (with zone); ts may arrive as
-    # TIMESTAMP_NTZ (Spark 4.x native nanos read). The cast shifts
-    # both lag and current identically, so gap differences are exact
-    # under any session timezone.
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    prev_ts = F.lag(ts_us).over(w)
-    is_boundary = (prev_ts.isNull() | ((ts_us - prev_ts) > gap_us)).cast("long")
+    # timestampdiff is wall-clock arithmetic, defined for both
+    # TIMESTAMP and TIMESTAMP_NTZ inputs -- unlike an NTZ->LTZ cast
+    # plus unix_micros, it cannot shift across DST transitions in a
+    # non-UTC session, so gaps match the oracle's naive arithmetic
+    # under any session timezone. Both windows sort identically, so
+    # lag and the cumulative sum share one shuffle.
+    with_prev = events.withColumn("_prev_ts", F.lag("ts").over(w))
+    is_boundary = (
+        F.col("_prev_ts").isNull()
+        | (F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)") > gap_us)
+    ).cast("long")
     wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    with_ids = events.withColumn("session_id", F.sum(is_boundary).over(wcum))
+    with_ids = with_prev.withColumn("session_id", F.sum(is_boundary).over(wcum))
     return (
         with_ids.groupBy("user_id", "session_id")
         .agg(

@@ -54,13 +54,31 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             continue
         kind = field.dataType.simpleString()
         if kind == "bigint":
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
-            )
+            df = df.withColumn("ts", ntz_from_epoch_micros(F.expr("ts DIV 1000")))
         elif kind == "timestamp":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            # unix_micros extracts the instant tz-independently; the
+            # NTZ wall clock is then built by exact decimal-interval
+            # arithmetic (an LTZ->NTZ cast would render in the
+            # caller's session timezone instead)
+            df = df.withColumn("ts", ntz_from_epoch_micros(F.unix_micros("ts")))
     return df
+
+
+def ntz_from_epoch_micros(micros) -> F.Column:
+    """Epoch microseconds -> TIMESTAMP_NTZ at the UTC wall clock,
+    independent of spark.sql.session.timeZone.
+
+    The interval seconds argument is exact DECIMAL (no double
+    rounding, no 2^53 mantissa limit), and TIMESTAMP_NTZ + interval
+    is pure wall-clock arithmetic -- so the result equals DuckDB's
+    naive rendering of the same epoch under ANY session timezone.
+    """
+    from pyspark.sql import Column
+
+    m = micros if isinstance(micros, Column) else F.col(micros)
+    secs = (m.cast("decimal(20,0)") / F.lit(1_000_000)).cast("decimal(18,6)")
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return epoch + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs)
 
 
 def load_tables(

@@ -39,8 +39,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
+        from ..sources.tables import ntz_from_epoch_micros
+
         stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+            "ts", ntz_from_epoch_micros(F.expr("ts DIV 1000"))
         )
     return stream
 
@@ -144,9 +146,12 @@ def streaming_asof_join(
     ts sort before probes (inclusive >= semantics, matching DuckDB's
     ASOF JOIN and operators/joins.asof_join); among same-ts
     references the highest event_id wins, matching the batch gate's
-    dedupe. Assumes event-time-ordered batch arrival (the availableNow
-    file-drain and any log-ordered source satisfy this; the
-    reference's incremental history appends were equally ordered).
+    dedupe. With event-time-ordered batch arrival (the availableNow
+    file-drain, any log-ordered source) results equal the batch
+    as-of exactly; for out-of-order arrival the state keeps the
+    NEWEST reference and probes older than it emit null rather than
+    joining a future reference -- exact late-data replay needs a
+    batch backfill, as with any single-pass state design.
     """
     from collections.abc import Iterator as _It
 
@@ -174,6 +179,7 @@ def streaming_asof_join(
         [
             StructField("sig_id", LongType()),
             StructField("sig_value", DoubleType()),
+            StructField("sig_ts_us", LongType()),
         ]
     )
 
@@ -190,17 +196,26 @@ def streaming_asof_join(
             return
         df = df.assign(_probe=(df["event_type"] == probe_type).astype("int8"))
         df = df.sort_values(["ts", "_probe", "event_id"])
-        is_ref = df["_probe"].to_numpy() == 0
-        sig_id = pd.Series(
-            np.where(is_ref, df["event_id"], np.nan), index=df.index
-        ).ffill()
-        sig_val = pd.Series(
-            np.where(is_ref, df["value"], np.nan), index=df.index
-        ).ffill()
+        is_ref_s = df["_probe"].eq(0)
+        is_ref = is_ref_s.to_numpy()
+        # nullable Int64 (not float64 via np.where): event ids >= 2^53
+        # would silently lose precision in a float round-trip
+        sig_id = df["event_id"].astype("Int64").where(is_ref_s).ffill()
+        sig_val = df["value"].where(is_ref_s).ffill()
+        from_state = sig_id.isna()
         if state.exists:  # seed rows before the first in-batch reference
-            prev_id, prev_val = state.get
+            prev_id, prev_val, prev_ts_us = state.get
             sig_id = sig_id.fillna(prev_id)
             sig_val = sig_val.fillna(prev_val)
+            # out-of-order guard: a probe older than the stored
+            # reference must NOT be joined to that future reference --
+            # emit null (matching ASOF semantics over the history this
+            # operator has seen; exact late-data replay needs a batch
+            # backfill, as any single-pass state design does)
+            ts_ns = df["ts"].astype("datetime64[ns]").astype("int64")
+            late = from_state & (ts_ns < prev_ts_us * 1000)
+            sig_id = sig_id.mask(late)
+            sig_val = sig_val.mask(late)
         probes = df["_probe"] == 1
         out = pd.DataFrame(
             {
@@ -213,12 +228,14 @@ def streaming_asof_join(
         )
         if is_ref.any():
             last = np.flatnonzero(is_ref)[-1]
-            state.update(
-                (
-                    int(df["event_id"].iloc[last]),
-                    float(df["value"].iloc[last]),
-                )
-            )
+            new_id = int(df["event_id"].iloc[last])
+            new_val = float(df["value"].iloc[last])
+            new_ts_us = int(df["ts"].iloc[last].value) // 1000
+            if state.exists and state.get[2] is not None:
+                # keep the newer reference if this batch's refs are older
+                if new_ts_us < state.get[2]:
+                    new_id, new_val, new_ts_us = state.get
+            state.update((new_id, new_val, new_ts_us))
         yield out
 
     return stream.groupBy("user_id").applyInPandasWithState(

@@ -141,3 +141,12 @@ def test_ppm_roundtrip_decode_matches_formula(spark, sf_smoke):
         vals = (mid * 3 + p * 5) % 256
         assert r["sum_r"] == int(vals[0::3].sum())
         assert r["sum_b"] == int(vals[2::3].sum())
+
+
+def test_ppm_parser_rejects_truncated_input():
+    with pytest.raises(ValueError):  # header cut before maxval
+        multimodal.parse_ppm_bytes(b"P6\n2 2")
+    with pytest.raises(ValueError):  # comment running to end of buffer
+        multimodal.parse_ppm_bytes(b"P6\n# no newline after this")
+    with pytest.raises(ValueError):  # pixel frame shorter than w*h*3
+        multimodal.parse_ppm_bytes(b"P6\n2 2\n255\n" + b"\x00" * 5)

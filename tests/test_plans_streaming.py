@@ -170,3 +170,50 @@ def test_streaming_asof_state_carries_across_batches(spark, tmp_path):
     ).collect()
     got = {r["event_id"]: r["asof_event_id"] for r in out}
     assert got == {2: 1, 3: 1}  # batch-2 probes see the batch-1 signup
+
+
+def test_streaming_asof_out_of_order_probe_gets_null(spark, tmp_path):
+    """A probe older than the stored reference must emit null, never
+    join the future reference (single-pass state contract)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    b1 = pd.DataFrame(
+        {
+            "event_id": [10],
+            "ts": [base],
+            "user_id": [7],
+            "event_type": ["signup"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    )
+    b2 = pd.DataFrame(  # probe BEFORE the stored signup's event time
+        {
+            "event_id": [11],
+            "ts": [base - pd.Timedelta(hours=1)],
+            "user_id": [7],
+            "event_type": ["click"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    )
+    src = tmp_path / "ooo_stream"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pandas(b1), src / "f1.parquet", coerce_timestamps="us")
+    pq.write_table(pa.Table.from_pandas(b2), src / "f2.parquet", coerce_timestamps="us")
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = jobs.run_available_now(
+        jobs.streaming_asof_join(stream),
+        "ccspark_test_asof_ooo",
+        output_mode="update",
+    ).collect()
+    rows = {r["event_id"]: r["asof_event_id"] for r in out}
+    assert rows == {11: None}
