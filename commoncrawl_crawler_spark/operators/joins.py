@@ -183,13 +183,14 @@ def asof_join(
     """
     from pyspark.sql import Window
 
-    reserved = {"_side", "_r", "_asof"}
+    rcols = [c for c in right.columns if c not in (key, ts)]
+    reserved = {"_side", "_r", "_asof"} | {f"asof_{c}" for c in rcols}
     clash = reserved & set(left.columns)
     if clash:
         raise ValueError(
-            f"asof_join left side must not contain reserved columns {clash}"
+            f"asof_join left side must not contain reserved or "
+            f"output-colliding columns {sorted(clash)}"
         )
-    rcols = [c for c in right.columns if c not in (key, ts)]
     r2 = right.select(
         key,
         ts,

@@ -337,6 +337,8 @@ def parse_ppm_bytes(blob: bytes) -> tuple[int, int, np.ndarray]:
         idx = j
     idx += 1  # exactly one whitespace byte after maxval
     w, h, maxval = vals
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
     if n - idx < w * h * 3:

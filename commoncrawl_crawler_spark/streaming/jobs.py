@@ -38,12 +38,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    kind = dict(stream.dtypes).get("ts")
+    if kind in ("bigint", "timestamp"):
         from ..sources.tables import ntz_from_epoch_micros
 
-        stream = stream.withColumn(
-            "ts", ntz_from_epoch_micros(F.expr("ts DIV 1000"))
+        micros = (
+            F.expr("ts DIV 1000") if kind == "bigint" else F.unix_micros("ts")
         )
+        # same normalization as sources.tables.load_table, so stream
+        # and batch agree row-for-row under any session timezone
+        stream = stream.withColumn("ts", ntz_from_epoch_micros(micros))
     return stream
 
 
@@ -189,33 +193,44 @@ def streaming_asof_join(
         (user_id,) = key
         df = pd.concat(list(pdfs))
         df = df[df["event_type"].isin([probe_type, ref_type])]
+        df = df[["event_id", "ts", "event_type", "value"]]
         if df.empty:
             yield pd.DataFrame(
                 {f.name: pd.Series(dtype="object") for f in out_schema.fields}
             )
             return
+        if state.exists:
+            # re-inject the stored reference as a VIRTUAL ROW at its
+            # original event time: every downstream rule (ffill pick,
+            # equal-ts max-id tiebreak, probes-before-it get null)
+            # then follows from the one sort, instead of a separate
+            # seed/guard path that can disagree with it
+            prev_id, prev_val, prev_ts_us = state.get
+            if prev_ts_us is None:  # legacy 2-field state: sort first
+                virt_ts = df["ts"].min() - pd.Timedelta(microseconds=1)
+            else:
+                virt_ts = pd.Timestamp(prev_ts_us * 1000)
+            df = pd.concat(
+                [
+                    df,
+                    pd.DataFrame(
+                        {
+                            "event_id": [prev_id],
+                            "ts": [virt_ts],
+                            "event_type": [ref_type],
+                            "value": [prev_val],
+                        }
+                    ),
+                ]
+            )
         df = df.assign(_probe=(df["event_type"] == probe_type).astype("int8"))
-        df = df.sort_values(["ts", "_probe", "event_id"])
+        df = df.sort_values(["ts", "_probe", "event_id"]).reset_index(drop=True)
         is_ref_s = df["_probe"].eq(0)
         is_ref = is_ref_s.to_numpy()
         # nullable Int64 (not float64 via np.where): event ids >= 2^53
         # would silently lose precision in a float round-trip
         sig_id = df["event_id"].astype("Int64").where(is_ref_s).ffill()
         sig_val = df["value"].where(is_ref_s).ffill()
-        from_state = sig_id.isna()
-        if state.exists:  # seed rows before the first in-batch reference
-            prev_id, prev_val, prev_ts_us = state.get
-            sig_id = sig_id.fillna(prev_id)
-            sig_val = sig_val.fillna(prev_val)
-            # out-of-order guard: a probe older than the stored
-            # reference must NOT be joined to that future reference --
-            # emit null (matching ASOF semantics over the history this
-            # operator has seen; exact late-data replay needs a batch
-            # backfill, as any single-pass state design does)
-            ts_ns = df["ts"].astype("datetime64[ns]").astype("int64")
-            late = from_state & (ts_ns < prev_ts_us * 1000)
-            sig_id = sig_id.mask(late)
-            sig_val = sig_val.mask(late)
         probes = df["_probe"] == 1
         out = pd.DataFrame(
             {
@@ -227,15 +242,17 @@ def streaming_asof_join(
             }
         )
         if is_ref.any():
+            # the newest reference in sort order -- which includes the
+            # virtual state row, so the state can only move forward
+            # and equal-ts ties keep the max event_id
             last = np.flatnonzero(is_ref)[-1]
-            new_id = int(df["event_id"].iloc[last])
-            new_val = float(df["value"].iloc[last])
-            new_ts_us = int(df["ts"].iloc[last].value) // 1000
-            if state.exists and state.get[2] is not None:
-                # keep the newer reference if this batch's refs are older
-                if new_ts_us < state.get[2]:
-                    new_id, new_val, new_ts_us = state.get
-            state.update((new_id, new_val, new_ts_us))
+            state.update(
+                (
+                    int(df["event_id"].iloc[last]),
+                    float(df["value"].iloc[last]),
+                    int(df["ts"].iloc[last].value) // 1000,
+                )
+            )
         yield out
 
     return stream.groupBy("user_id").applyInPandasWithState(

@@ -144,6 +144,8 @@ def test_ppm_roundtrip_decode_matches_formula(spark, sf_smoke):
 
 
 def test_ppm_parser_rejects_truncated_input():
+    with pytest.raises(ValueError):  # negative dims must not underflow
+        multimodal.parse_ppm_bytes(b"P6\n-1 2\n255\n" + b"\x00" * 100)
     with pytest.raises(ValueError):  # header cut before maxval
         multimodal.parse_ppm_bytes(b"P6\n2 2")
     with pytest.raises(ValueError):  # comment running to end of buffer

@@ -217,3 +217,85 @@ def test_streaming_asof_out_of_order_probe_gets_null(spark, tmp_path):
     ).collect()
     rows = {r["event_id"]: r["asof_event_id"] for r in out}
     assert rows == {11: None}
+
+
+def _two_batch_stream(spark, tmp_path, name, b1, b2):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / name
+    src.mkdir()
+    pq.write_table(pa.Table.from_pandas(b1), src / "f1.parquet", coerce_timestamps="us")
+    pq.write_table(pa.Table.from_pandas(b2), src / "f2.parquet", coerce_timestamps="us")
+    schema = spark.read.parquet(str(src)).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+
+def test_streaming_asof_late_ref_does_not_shadow_newer_state(spark, tmp_path):
+    """A late-arriving older reference must not capture probes that the
+    stored (newer) reference should win -- the virtual state row
+    participates in the same sort as in-batch rows."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    mk = lambda ids, tss, types, vals: pd.DataFrame(
+        {
+            "event_id": ids,
+            "ts": tss,
+            "user_id": [7] * len(ids),
+            "event_type": types,
+            "value": vals,
+            "props": ["{}"] * len(ids),
+        }
+    )
+    b1 = mk([5], [base], ["signup"], [5.0])  # newest ref -> state
+    b2 = mk(  # late ref (older ts) + probe after both
+        [3, 9],
+        [base - pd.Timedelta(hours=1), base + pd.Timedelta(hours=1)],
+        ["signup", "click"],
+        [3.0, 0.0],
+    )
+    out = jobs.run_available_now(
+        jobs.streaming_asof_join(
+            _two_batch_stream(spark, tmp_path, "late_ref", b1, b2)
+        ),
+        "ccspark_test_asof_late",
+        output_mode="update",
+    ).collect()
+    got = {r["event_id"]: r["asof_event_id"] for r in out}
+    assert got == {9: 5}  # stored id=5 at 12:00 wins over late id=3 at 11:00
+
+
+def test_streaming_asof_equal_ts_tiebreak_across_batches(spark, tmp_path):
+    """Equal-ts references split across micro-batches keep the max
+    event_id, matching the batch gate's dedupe."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    mk = lambda ids, tss, types, vals: pd.DataFrame(
+        {
+            "event_id": ids,
+            "ts": tss,
+            "user_id": [7] * len(ids),
+            "event_type": types,
+            "value": vals,
+            "props": ["{}"] * len(ids),
+        }
+    )
+    b1 = mk([5], [base], ["signup"], [5.0])
+    b2 = mk(  # same-ts ref with LOWER id, then a probe
+        [3, 9], [base, base + pd.Timedelta(hours=1)], ["signup", "click"], [3.0, 0.0]
+    )
+    out = jobs.run_available_now(
+        jobs.streaming_asof_join(
+            _two_batch_stream(spark, tmp_path, "tie_ref", b1, b2)
+        ),
+        "ccspark_test_asof_tie",
+        output_mode="update",
+    ).collect()
+    got = {r["event_id"]: r["asof_event_id"] for r in out}
+    assert got == {9: 5}  # max event_id wins the equal-ts tie
