@@ -901,13 +901,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # but built on md5 so the full candidate set hash-matches a
         # DuckDB oracle
         "dedup_simhash_lsh": lambda s, d: dedup.md5_simhash_pairs(
-            _t(s, d, "documents"), hamming_k=6
+            _t(s, d, "documents"), hamming_k=3
         ),
         "dedup_minhash_lsh": lambda s, d: dedup.md5_minhash_pairs(
             _t(s, d, "documents"), min_matching=13
         ),
         "dedup_simhash_clusters": lambda s, d: dedup.md5_simhash_clusters(
-            _t(s, d, "documents"), hamming_k=6
+            _t(s, d, "documents"), hamming_k=3
         ),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             _t(s, d, "documents"), threshold=0.95
@@ -2078,9 +2078,9 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             FROM sigs GROUP BY sig
             HAVING count(DISTINCT source) > 1 ORDER BY sig
         """,
-        "dedup_simhash_lsh": _md5_simhash_pairs_sql(hamming_k=6),
+        "dedup_simhash_lsh": _md5_simhash_pairs_sql(hamming_k=3),
         "dedup_minhash_lsh": _md5_minhash_pairs_sql(min_matching=13),
-        "dedup_simhash_clusters": _md5_simhash_clusters_sql(hamming_k=6),
+        "dedup_simhash_clusters": _md5_simhash_clusters_sql(hamming_k=3),
         "dedup_ngram_jaccard": """
             WITH toks AS (
                 SELECT doc_id, lang,

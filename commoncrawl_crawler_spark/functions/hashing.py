@@ -86,14 +86,39 @@ def _minhash_family(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _token_ids(text: str) -> np.ndarray:
+    """Distinct whitespace-token hashes of one document as uint64[n]
+    (crc32 per token, then splitmix64 diffusion). Matches the token
+    unit of the exact Jaccard verify in operators/dedup.py, so a
+    MinHash over these ids estimates exactly the similarity the
+    verify thresholds."""
+    import zlib
+
+    toks = set(text.split())
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in toks),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    return _splitmix64(arr)
+
+
 def minhash_signature(
-    text: str | None, num_hashes: int = 64, shingle: int = SHINGLE_SIZE
+    text: str | None,
+    num_hashes: int = 64,
+    shingle: int = SHINGLE_SIZE,
+    unit: str = "char",
 ) -> list[int] | None:
     """MinHash signature via the (a*x+b) mod p universal-hash family
-    over vectorized shingle ids."""
+    over vectorized shingle ids. unit="char" hashes character
+    shingles (SimHash.java's unit); unit="token" hashes distinct
+    whitespace tokens, the estimator matching a token-set Jaccard
+    verify."""
     if text is None:
         return None
-    ids = _shingle_ids(text, shingle)
+    ids = _token_ids(text) if unit == "token" else _shingle_ids(text, shingle)
     if len(ids) == 0:
         return [0] * num_hashes
     ids = np.unique(ids) & np.uint64(0x7FFFFFFFFFFFFFFF)
@@ -122,16 +147,18 @@ def simhash64_udf(col):
 
 
 @lru_cache(maxsize=None)
-def _minhash_udf(num_hashes: int = 64):
+def _minhash_udf(num_hashes: int = 64, unit: str = "char"):
     @pandas_udf("array<long>")
     def _udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: minhash_signature(t, num_hashes=num_hashes))
+        return texts.map(
+            lambda t: minhash_signature(t, num_hashes=num_hashes, unit=unit)
+        )
 
     return _udf
 
 
-def minhash_udf(col, num_hashes: int = 64):
-    return _minhash_udf(num_hashes)(col)
+def minhash_udf(col, num_hashes: int = 64, unit: str = "char"):
+    return _minhash_udf(num_hashes, unit)(col)
 
 
 def hamming_distance_expr(a: Column, b: Column) -> Column:

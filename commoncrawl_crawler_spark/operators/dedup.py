@@ -106,7 +106,10 @@ def _cap_buckets(bands: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
 
 
 def simhash_candidate_pairs(
-    documents: DataFrame, hamming_k: int = 3, max_bucket: int = 1000
+    documents: DataFrame,
+    hamming_k: int = 3,
+    max_bucket: int = 1000,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """SimHash LSH near-dup candidate pairs.
 
@@ -114,9 +117,18 @@ def simhash_candidate_pairs(
     simhash (pandas UDF) -> 20 band keys (pure Column expr,
     simhash_bands_expr) -> explode -> self-join per (pattern, key)
     bucket -> hamming <= k verify via bit_count (JVM) -> distinct
-    pairs. Hamming <= 3 guarantees a shared band (C(6,3) blocking).
-    Buckets above max_bucket are dropped (degenerate-band guard).
+    pairs. Hamming <= 3 guarantees a shared band (C(6,3) blocking:
+    <= 3 dirty blocks leave 3 clean ones, which form one of the 20
+    patterns); higher hamming_k is only partial recall and must be
+    opted into. Buckets above max_bucket are dropped
+    (degenerate-band guard).
     """
+    if hamming_k > 3 and not allow_partial_recall:
+        raise ValueError(
+            f"hamming_k={hamming_k} exceeds the C(6,3) blocking "
+            "guarantee (<= 3); pass allow_partial_recall=True to accept "
+            "missed spread-bit pairs"
+        )
     sh = documents.select(
         "doc_id", hashing.simhash64_udf(F.col("text")).alias("simhash")
     )
@@ -164,8 +176,12 @@ def minhash_lsh_pairs(
 
     Sketch -> band signature slices -> bucket join -> verify with the
     true token-set Jaccard (array_intersect/union sizes, JVM-side).
-    The verify step makes LSH false positives harmless; false-negative
-    rate is controlled by (bands, rows-per-band).
+    The sketch hashes the SAME distinct-whitespace-token unit the
+    verify measures (unit="token"), so the false-negative rate really
+    is the (bands, rows-per-band) S-curve of the thresholded Jaccard
+    -- a char-shingle sketch would gate candidates on a different
+    similarity than the one verified. False positives are harmless
+    (exact verify).
     """
     rows_per_band = num_hashes // bands
     # band rows carry ONLY (doc_id, band, bucket): token arrays must
@@ -173,7 +189,10 @@ def minhash_lsh_pairs(
     # to the (far smaller) surviving candidate-pair set afterwards
     banded = (
         documents.select(
-            "doc_id", hashing.minhash_udf(F.col("text"), num_hashes).alias("sig")
+            "doc_id",
+            hashing.minhash_udf(F.col("text"), num_hashes, unit="token").alias(
+                "sig"
+            ),
         )
         .select(
             "doc_id",
@@ -320,9 +339,14 @@ def embedding_near_duplicates(
     # keep any pair that could round up to the threshold; the exact
     # filter on round(cos, 4) runs in Spark below
     raw_floor = float(cosine_threshold) - 5e-5
+    # degenerate-block guard, same rationale as _cap_buckets on the
+    # LSH tiers: one coarse label covering the corpus would build an
+    # m x m cosine matrix in a single task (320 GB at m=200k) -- drop
+    # oversized blocks rather than OOM; refine the blocking instead
+    max_block = 100_000
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
+        if len(pdf) < 2 or len(pdf) > max_block:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine_raw": []})
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
@@ -513,14 +537,28 @@ def md5_simhash_sketches(documents: DataFrame, bits: int = 60) -> DataFrame:
 
 def md5_simhash_pairs(
     documents: DataFrame,
-    hamming_k: int = 6,
+    hamming_k: int = 3,
     bands: int = 4,
     band_bits: int = 15,
     max_bucket: int = 1000,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate pairs + hamming verify over the md5
     simhash: (doc_a, doc_b, hamming). Bucket equi-join on
-    (band index, band value); verify touches only co-bucketed pairs."""
+    (band index, band value); verify touches only co-bucketed pairs.
+
+    Recall guarantee: with `bands` bands, a pair is guaranteed a
+    shared bucket only when hamming <= bands - 1 (pigeonhole: some
+    band is untouched). A hamming_k above that silently drops pairs
+    whose differing bits spread across every band, so it is rejected
+    unless `allow_partial_recall` opts in (the reference's own verify
+    threshold is <= 3 for the same reason, Stage1Reducer.java:51)."""
+    if hamming_k > bands - 1 and not allow_partial_recall:
+        raise ValueError(
+            f"hamming_k={hamming_k} exceeds the {bands}-band blocking "
+            f"guarantee (<= {bands - 1}); pass allow_partial_recall=True "
+            "to accept missed spread-bit pairs"
+        )
     # eager: the band self-join reads the sketch table twice in one job;
     # a lazy checkpoint would compute the 60-agg pipeline twice
     sk = md5_simhash_sketches(documents).localCheckpoint(eager=True)
@@ -701,7 +739,7 @@ def md5_minhash_pairs(
 
 
 def md5_simhash_clusters(
-    documents: DataFrame, hamming_k: int = 6, max_iterations: int = 20
+    documents: DataFrame, hamming_k: int = 3, max_iterations: int = 20
 ) -> DataFrame:
     """Two-stage dedupe over the md5 simhash: LSH pairs -> min-label
     connected components; singletons cluster to themselves

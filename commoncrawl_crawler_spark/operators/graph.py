@@ -79,18 +79,32 @@ def inverse_links(edges: DataFrame) -> DataFrame:
     """Per-target inlink summary with a capped, sorted source sample.
 
     InverseLinkDBWriterV3.java:69,361-757 built this as a 2-phase
-    custom-comparator MapReduce; one groupBy suffices. The sample list
-    is sorted then sliced to SAMPLE_CAP (deterministic truncation, as
-    CrawlDBMergingReducer.java:94 caps externally-referenced URLs),
-    and string-joined so oracle comparison is order-exact.
+    custom-comparator MapReduce; one groupBy suffices. The sample is
+    capped DURING collection (as CrawlDBMergingReducer.java:94 caps
+    externally-referenced URLs): a row_number window on the same dst
+    key marks the SAMPLE_CAP smallest sources, and collect_list keeps
+    only those, so the aggregation buffer is bounded at SAMPLE_CAP
+    entries even for a 10M-inlink mega-target -- a post-hoc
+    sort_array(collect_set(...)) would buffer the full source set on
+    exactly the skewed keys that matter at 100 TB. The window sorts on
+    the key the groupBy shuffles anyway, so no extra exchange.
     """
+    from pyspark.sql import Window
+
+    distinct = edges.select("dst", "src").distinct()
+    w = Window.partitionBy("dst").orderBy("src")
+    ranked = distinct.withColumn("_rn", F.row_number().over(w))
     return (
-        edges.groupBy("dst")
+        ranked.groupBy("dst")
         .agg(
-            F.countDistinct("src").alias("inlink_count"),
+            F.count(F.lit(1)).alias("inlink_count"),
             F.concat_ws(
                 ",",
-                F.slice(F.sort_array(F.collect_set("src")), 1, SAMPLE_CAP),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_rn") <= SAMPLE_CAP, F.col("src"))
+                    )
+                ),
             ).alias("src_sample"),
         )
         .orderBy("dst")

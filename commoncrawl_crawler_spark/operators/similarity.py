@@ -88,6 +88,8 @@ def lsh_buckets_udf(dim: int, bits: int = 8, n_tables: int = 8, seed: int = 7):
 
     @pandas_udf("array<long>")
     def _udf(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="object")
         mat = np.stack(embs.to_numpy())  # [batch, dim]
         signs = (mat @ planes.T) > 0  # [batch, L*b]
         signs = signs.reshape(len(mat), n_tables, bits)
@@ -189,6 +191,10 @@ def kmeans_cells(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     sample = e.orderBy("vec_id").limit(train_sample).collect()
+    if not sample:
+        raise ValueError(
+            "kmeans_cells: embeddings table is empty; cannot train cells"
+        )
     X = np.asarray([r.emb for r in sample], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
     C = X[:k].copy()
@@ -292,11 +298,10 @@ def ivf_topk(
 
 
 def pairwise_label_centroids(embeddings: DataFrame) -> DataFrame:
-    """Per-label centroid + dispersion -- the aggregate shape used to
-    build IVF coarse quantizers (centroid table broadcast at query
-    time). Pure JVM: element-wise array aggregation via
-    posexplode + groupBy position."""
-    n_dim = F.size(F.col("embedding"))
+    """Per-label centroid summary (squared norm of the element-wise
+    mean, plus dimension count) -- the aggregate shape used to audit
+    IVF coarse quantizers. Pure JVM: element-wise array aggregation
+    via posexplode + groupBy position."""
     exploded = embeddings.select(
         "label", F.posexplode(F.col("embedding")).alias("pos", "val")
     )

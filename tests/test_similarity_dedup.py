@@ -65,7 +65,7 @@ def test_simhash_lsh_finds_planted_near_dup(spark):
             Row(doc_id=3, text=far),
         ]
     )
-    pairs = dedup.simhash_candidate_pairs(docs, hamming_k=6).collect()
+    pairs = dedup.simhash_candidate_pairs(docs, hamming_k=6, allow_partial_recall=True).collect()
     found = {(r.doc_a, r.doc_b) for r in pairs}
     assert (1, 2) in found
     assert (1, 3) not in found and (2, 3) not in found
@@ -123,7 +123,7 @@ def test_lsh_bucket_cap_bounds_degenerate_corpora(spark):
     ]
     docs = spark.createDataFrame(rows)
     t0 = time.monotonic()
-    got = dedup.md5_simhash_pairs(docs, hamming_k=10, max_bucket=100).collect()
+    got = dedup.md5_simhash_pairs(docs, hamming_k=10, max_bucket=100, allow_partial_recall=True).collect()
     elapsed = time.monotonic() - t0
     pairs = {(r["doc_a"], r["doc_b"]) for r in got}
     assert (9001, 9002) in pairs  # small-bucket pair survives
