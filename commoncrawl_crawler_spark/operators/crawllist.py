@@ -48,10 +48,20 @@ def assign_buckets(df: DataFrame, host_col: str, n_buckets: int) -> DataFrame:
     """Stable crawler/bucket affinity: same host -> same crawler.
 
     The reference assigns bundles round-robin to crawler ids
-    (NewGenBundlesStep.java:576-640); hash-mod gives the same
-    load-spreading without coordination state.
+    (NewGenBundlesStep.java:576-640). Numeric keys mod directly
+    (oracle-replicable); string hostnames hash through md5 first --
+    a bare cast-to-bigint mod would throw CAST_INVALID_INPUT under
+    ANSI mode (Spark 4 default) on any real hostname. The md5-bucket
+    form is the same engine-independent construction the stratified
+    sampler uses, so DuckDB oracles can replay it.
     """
-    return df.withColumn("bucket", F.pmod(F.col(host_col), F.lit(n_buckets)))
+    if dict(df.dtypes).get(host_col) == "string":
+        key = F.conv(F.substring(F.md5(F.col(host_col)), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+    else:
+        key = F.col(host_col)
+    return df.withColumn("bucket", F.pmod(key, F.lit(n_buckets)))
 
 
 def pack_segments(

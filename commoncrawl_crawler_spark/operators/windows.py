@@ -78,17 +78,18 @@ def segment_packing(orders: DataFrame, segment_size: float = 500000.0) -> DataFr
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # exact decimal running sum: deterministic under any partitioning,
-    # and floor() at a segment boundary can't flip on float jitter
+    # and floor() at a segment boundary can't flip on float jitter.
+    # The segment id divides in DECIMAL (floor of an exact quotient):
+    # a bigint/bigint `/` would evaluate in double, whose 2^53
+    # mantissa could flip a boundary once cents exceed ~4.5e15
     run_dec = F.sum(F.col("o_totalprice").cast("decimal(15,2)")).over(w)
     seg_cents = int(round(segment_size * 100))
+    cents = (run_dec * 100).cast("decimal(20,0)")
     return orders.select(
         "o_custkey",
         "o_orderkey",
         F.round(run_dec, 3).cast("double").alias("running_total"),
-        ((run_dec * 100).cast("bigint") / F.lit(seg_cents))
-        .cast("bigint")
-        .cast("int")
-        .alias("segment_id"),
+        F.floor(cents / F.lit(seg_cents)).cast("int").alias("segment_id"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
@@ -118,7 +119,16 @@ def paginate(
     229-264, sort spec queryserver.jr:50-62). `offset().limit()` on a
     sorted plan; Spark executes as TakeOrderedAndProject (a top-k
     heap, no global sort materialization) for small offset+limit.
+
+    ALWAYS pass a unique `tiebreak` when sort_col can tie: each page
+    is a separate job, and a distributed sort orders tied rows
+    arbitrarily per run, so untied consecutive pages can duplicate
+    and drop rows across the boundary. With no tiebreak given, the
+    remaining columns are appended as a deterministic fallback order.
     """
     col = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
-    order = [col] + ([F.col(tiebreak)] if tiebreak else [])
+    if tiebreak:
+        order = [col, F.col(tiebreak)]
+    else:
+        order = [col] + [F.col(c) for c in df.columns if c != sort_col]
     return df.orderBy(*order).offset(offset).limit(page_size)

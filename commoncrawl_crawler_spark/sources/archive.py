@@ -82,9 +82,20 @@ def write_archive(
 
     One writer per input partition (no shuffle, no driver funnel);
     files rotate at `rotate_bytes` like ArcFileWriter.java:565.
-    Returns the number of archive files written.
+    Returns the number of archive files written. Keys containing
+    whitespace are rejected up front: the member header is
+    space-delimited, so such a key would write an archive the reader
+    cannot parse (corruption detected only at read time otherwise).
+    Local-filesystem path semantics: on a multi-node cluster point
+    `path` at a shared mount, or swap the open() for an fsspec/Hadoop
+    filesystem handle -- the partition-writer contract is unchanged.
     """
     os.makedirs(path, exist_ok=True)
+    bad = df.filter(F.col(key_col).cast("string").rlike(r"\s")).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"archive keys must not contain whitespace: {bad[0][0]!r}"
+        )
     rows = df.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(payload_col).cast("binary").alias("payload"),

@@ -44,9 +44,13 @@ def read_failure_log(spark: SparkSession, path: str) -> DataFrame:
     parsed = lines.select(
         F.regexp_extract("value", LOG_PATTERN, 1).alias("level"),
         F.regexp_extract("value", LOG_PATTERN, 2).alias("domain"),
-        F.to_timestamp(
-            F.regexp_extract("value", LOG_PATTERN, 3), "yyyy-MM-dd'T'HH:mm:ss"
+        # try_to_timestamp: a digit-matching but calendar-invalid ts
+        # (2024-02-30) must skip the LINE, not abort the job under
+        # ANSI mode (Spark 4 default)
+        F.try_to_timestamp(
+            F.regexp_extract("value", LOG_PATTERN, 3),
+            F.lit("yyyy-MM-dd'T'HH:mm:ss"),
         ).alias("ts"),
         F.regexp_extract("value", LOG_PATTERN, 4).alias("message"),
     )
-    return parsed.filter(F.col("level") != "")
+    return parsed.filter((F.col("level") != "") & F.col("ts").isNotNull())

@@ -54,9 +54,10 @@ def read_timeseries_tail(spark: SparkSession, path: str, days: int = 1) -> DataF
     filter is resolved against the partition index, so a year-long
     log with a 1-day tail scans one directory.
     """
-    all_days = [
-        r["day"]
-        for r in spark.read.parquet(path).select("day").distinct().collect()
-    ]
-    keep = sorted(all_days)[-days:]
-    return spark.read.parquet(path).filter(F.col("day").isin(keep)).drop("day")
+    df = spark.read.parquet(path)
+    # max over the partition-derived column needs only the file
+    # listing (no data pages); a distinct() over all days would
+    # enumerate the full history every tail read
+    latest = df.select(F.max("day").alias("m")).collect()[0]["m"]
+    cutoff = F.date_sub(F.lit(latest), days - 1)
+    return df.filter(F.col("day") >= cutoff).drop("day")

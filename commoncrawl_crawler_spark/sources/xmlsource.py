@@ -106,11 +106,22 @@ def write_xml_pages(df: DataFrame, path: str) -> int:
         fname = os.path.join(path, f"chunk-{idx:05d}.xml")
         buf = ["<mediawiki>"]
         for r in rows:
-            buf.append(
-                "<page><id>%d</id><title>%s</title>"
-                "<text>%s</text></page>"
-                % (r["page_id"], _esc(r["title"]), _esc(r["text"]))
+            if r["page_id"] is None:
+                continue  # an id-less page cannot be addressed back
+            # parse_pages emits None for absent tags; omit the element
+            # so the roundtrip returns None again (an empty element
+            # would turn None into '')
+            title = (
+                "<title>%s</title>" % _esc(r["title"])
+                if r["title"] is not None
+                else ""
             )
+            text = (
+                "<text>%s</text>" % _esc(r["text"])
+                if r["text"] is not None
+                else ""
+            )
+            buf.append("<page><id>%d</id>%s%s</page>" % (r["page_id"], title, text))
             n += 1
         buf.append("</mediawiki>")
         if n:
