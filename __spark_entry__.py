@@ -1015,10 +1015,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("media_id", "frame_idx", "frame_len").orderBy(
             "media_id", "frame_idx"
         ),
-        # codec output is python-defined (byte histogram): rows-only
-        # check here; exact semantics are pytest-verified
-        "mm_decode_fake": lambda s, d: multimodal.decode_media(
-            multimodal.media_from_documents(_t(s, d, "documents")), codec="fake16"
+        # fake16 codec runs through the real mapInPandas decode; the
+        # gate explodes the 16-bin histogram to scalar rows so the
+        # driver canonicalizer can sort/hash it (array columns are
+        # unhashable in its pandas sort), and the oracle recomputes
+        # each byte's high nibble from hex(encode(text))
+        "mm_decode_fake": lambda s, d: (
+            multimodal.decode_media(
+                multimodal.media_from_documents(_t(s, d, "documents")),
+                codec="fake16",
+            )
+            .select(
+                "media_id", "n_bytes", F.posexplode("features").alias("bin_idx", "bin_value")
+            )
+            .select(
+                "media_id",
+                "bin_idx",
+                F.round("bin_value", 6).alias("bin_value"),
+                "n_bytes",
+            )
+            .orderBy("media_id", "bin_idx")
         ),
         # real container decoders: Spark parses actual RIFF/netpbm
         # bytes; the oracle recomputes expected features from the
@@ -1789,6 +1805,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS content_len,
                    md5(text) AS content_md5
             FROM documents ORDER BY media_id
+        """,
+        # Spark decodes the UTF-8 payload bytes in mapInPandas; the
+        # oracle recovers each byte's high nibble from the hex dump
+        # (byte i -> hex chars 2i+1..2i+2, 1-based) and normalizes the
+        # 16-bin count the same way (count / n_bytes, round 6)
+        "mm_decode_fake": """
+            WITH b AS (
+                SELECT doc_id AS media_id,
+                       hex(encode(text)) AS hx,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                FROM documents
+            ), nibs AS (
+                SELECT media_id, n_bytes,
+                       unnest([strpos('0123456789ABCDEF',
+                                      substr(hx, 2*i + 1, 1)) - 1
+                               FOR i IN range(0, CAST(n_bytes AS INT))])
+                           AS bin_idx
+                FROM b
+            ), counts AS (
+                SELECT media_id, bin_idx, count(*) AS c
+                FROM nibs GROUP BY media_id, bin_idx
+            )
+            SELECT b.media_id, CAST(t.bin_idx AS INT) AS bin_idx,
+                   round(CASE WHEN b.n_bytes = 0 THEN 0.0
+                         ELSE coalesce(c.c, 0) / CAST(b.n_bytes AS DOUBLE)
+                         END, 6) AS bin_value,
+                   b.n_bytes
+            FROM b CROSS JOIN range(0, 16) t(bin_idx)
+            LEFT JOIN counts c
+              ON c.media_id = b.media_id AND c.bin_idx = t.bin_idx
+            ORDER BY 1, 2
         """,
         "mm_frame_sample": """
             WITH expanded AS (

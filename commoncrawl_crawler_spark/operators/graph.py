@@ -86,12 +86,21 @@ def inverse_links(edges: DataFrame) -> DataFrame:
     only those, so the aggregation buffer is bounded at SAMPLE_CAP
     entries even for a 10M-inlink mega-target -- a post-hoc
     sort_array(collect_set(...)) would buffer the full source set on
-    exactly the skewed keys that matter at 100 TB. The window sorts on
-    the key the groupBy shuffles anyway, so no extra exchange.
+    exactly the skewed keys that matter at 100 TB. Null sources are
+    dropped up front (a null edge is not an inlink, and excluding it
+    keeps count(1)-over-distinct == countDistinct(src)). One explicit
+    repartition(dst) feeds dedup, window, and groupBy: hash
+    partitioning on dst satisfies the clustering requirement of all
+    three, so the plan carries a single exchange.
     """
     from pyspark.sql import Window
 
-    distinct = edges.select("dst", "src").distinct()
+    distinct = (
+        edges.select("dst", "src")
+        .filter(F.col("src").isNotNull())
+        .repartition("dst")
+        .distinct()
+    )
     w = Window.partitionBy("dst").orderBy("src")
     ranked = distinct.withColumn("_rn", F.row_number().over(w))
     return (

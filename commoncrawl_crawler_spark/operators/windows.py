@@ -124,11 +124,31 @@ def paginate(
     is a separate job, and a distributed sort orders tied rows
     arbitrarily per run, so untied consecutive pages can duplicate
     and drop rows across the boundary. With no tiebreak given, the
-    remaining columns are appended as a deterministic fallback order.
+    remaining *orderable* columns are appended as a deterministic
+    fallback order (map-typed columns, which Spark cannot sort, are
+    skipped rather than raising AnalysisException).
     """
     col = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
     if tiebreak:
         order = [col, F.col(tiebreak)]
     else:
-        order = [col] + [F.col(c) for c in df.columns if c != sort_col]
+        order = [col] + [
+            F.col(f.name)
+            for f in df.schema.fields
+            if f.name != sort_col and _orderable(f.dataType)
+        ]
     return df.orderBy(*order).offset(offset).limit(page_size)
+
+
+def _orderable(dt) -> bool:
+    """Spark sort keys must be orderable: maps are not, and arrays /
+    structs are only as orderable as their element/field types."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True

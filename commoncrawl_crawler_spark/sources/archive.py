@@ -34,6 +34,7 @@ from __future__ import annotations
 import gzip
 import io
 import os
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -50,6 +51,7 @@ from pyspark.sql.types import (
 
 MAGIC = b"ccarc/1"
 DEFAULT_ROTATE_BYTES = 64 * 1024 * 1024  # size rotation like ArcFileWriter
+_WS_RE = re.compile(r"\s")
 
 READ_SCHEMA = StructType(
     [
@@ -83,19 +85,16 @@ def write_archive(
     One writer per input partition (no shuffle, no driver funnel);
     files rotate at `rotate_bytes` like ArcFileWriter.java:565.
     Returns the number of archive files written. Keys containing
-    whitespace are rejected up front: the member header is
-    space-delimited, so such a key would write an archive the reader
-    cannot parse (corruption detected only at read time otherwise).
+    whitespace are rejected: the member header is space-delimited, so
+    such a key would write an archive the reader cannot parse. The
+    check runs inside the single write pass (raised from the executor,
+    surfaced as the job error) -- no separate validation job
+    recomputing the upstream pipeline.
     Local-filesystem path semantics: on a multi-node cluster point
     `path` at a shared mount, or swap the open() for an fsspec/Hadoop
     filesystem handle -- the partition-writer contract is unchanged.
     """
     os.makedirs(path, exist_ok=True)
-    bad = df.filter(F.col(key_col).cast("string").rlike(r"\s")).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"archive keys must not contain whitespace: {bad[0][0]!r}"
-        )
     rows = df.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(payload_col).cast("binary").alias("payload"),
@@ -107,6 +106,11 @@ def write_archive(
         size = 0
         rotation = 0
         for row in it:
+            if _WS_RE.search(row["key"] or ""):
+                raise ValueError(
+                    "archive keys must not contain whitespace: "
+                    f"{row['key']!r}"
+                )
             member = _member_bytes(row["key"], bytes(row["payload"] or b""))
             if out is None or size + len(member) > rotate_bytes:
                 if out is not None:

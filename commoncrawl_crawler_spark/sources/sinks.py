@@ -48,16 +48,24 @@ def write_timeseries(
 
 
 def read_timeseries_tail(spark: SparkSession, path: str, days: int = 1) -> DataFrame:
-    """Read only the latest `days` partitions (tail read).
+    """Read only the latest `days` *present* partitions (tail read).
 
-    Partition pruning keeps this O(tail), not O(history): the `day`
-    filter is resolved against the partition index, so a year-long
-    log with a 1-day tail scans one directory.
+    Semantics: the last `days` distinct partition days that exist in
+    the log -- a gap-day log with days=3 still returns 3 partitions
+    (TimeSeriesDataFile tail reads are record-count-oriented, not
+    calendar-oriented). The day set comes from the partition
+    *listing* (Hadoop FileSystem.listStatus on day= directories), so
+    this is O(partition count) metadata work with zero data pages
+    read; the subsequent isin filter partition-prunes the scan.
     """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    all_days = sorted(
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and st.getPath().getName().startswith("day=")
+    )
+    keep = all_days[-days:] if days > 0 else []
     df = spark.read.parquet(path)
-    # max over the partition-derived column needs only the file
-    # listing (no data pages); a distinct() over all days would
-    # enumerate the full history every tail read
-    latest = df.select(F.max("day").alias("m")).collect()[0]["m"]
-    cutoff = F.date_sub(F.lit(latest), days - 1)
-    return df.filter(F.col("day") >= cutoff).drop("day")
+    return df.filter(F.col("day").isin(keep)).drop("day")

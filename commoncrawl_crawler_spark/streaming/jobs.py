@@ -58,11 +58,19 @@ def windowed_event_stats(stream: DataFrame, window: str = "1 day") -> DataFrame:
     streaming aggregate. The 1-day watermark bounds state: windows
     older than (max event time - 1 day) finalize and evict.
     """
-    # watermarks require TIMESTAMP (with zone); ts may arrive as
-    # TIMESTAMP_NTZ (Spark 4.x native nanos read) -- cast is exact
-    # under the UTC sessions this engine builds.
+    # Watermarks require TIMESTAMP, but a bare NTZ->TIMESTAMP cast
+    # makes window boundaries follow spark.sql.session.timeZone. Fix:
+    # from_utc_timestamp(cast(ts), session_tz) cancels the offset the
+    # cast introduced, yielding a UTC instant that carries the NTZ
+    # wall time -- window arithmetic on it is then tz-independent, and
+    # to_utc_timestamp on win.start inverts the shift so the rendered
+    # day is too. (Only a DST transition exactly at midnight could
+    # perturb this by one day; no tz schedules one.)
+    tz = F.current_timezone()
     if dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        stream = stream.withColumn(
+            "ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz)
+        )
     return (
         stream.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
@@ -74,7 +82,7 @@ def windowed_event_stats(stream: DataFrame, window: str = "1 day") -> DataFrame:
             .alias("sum_value"),
         )
         .select(
-            F.col("win.start").cast("date").alias("day"),
+            F.to_utc_timestamp(F.col("win.start"), tz).cast("date").alias("day"),
             "event_type",
             "cnt",
             "sum_value",
