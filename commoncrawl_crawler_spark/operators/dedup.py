@@ -408,59 +408,21 @@ def simhash_clusters(
 
 
 def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
-    """Connected components by iterative min-label propagation.
-
+    """Merge overlapping match sets into components -- the
     SetUnionFinder capability (DeduperUtils.java:728-917,
-    Stage2Reducer.java:39-56): merge overlapping match sets into
-    components. Each iteration joins labels across edges and keeps
-    the min; converges in O(diameter) rounds. localCheckpoint every
-    round truncates lineage (the reference's FS checkpoint,
-    PageRankUtils.java:120-143, plays the same role).
+    Stage2Reducer.java:39-56).
 
-    edges: (src, dst) long columns. Returns (node, component).
+    Delegates to the shared large-star/small-star contraction in
+    operators/graph.py (O(log n) rounds, convergence folded into each
+    round's own job); this module only renames the label column to
+    the deduper's vocabulary. edges: (src, dst) long columns.
+    Returns (node, component).
     """
-    sym = (
-        edges.select(F.col("src"), F.col("dst"))
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=False)  # joined every round; without
-        # this each iteration replays the upstream LSH pipeline
+    from .graph import connected_components as _graph_cc
+
+    return _graph_cc(edges, max_iterations=max_iterations).select(
+        "node", F.col("comp").alias("component")
     )
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .union(sym.select(F.col("dst").alias("node")))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
-    for _ in range(max_iterations):
-        # neighbor-min pass: each node adopts min(own, neighbors')
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("component").alias("neighbor_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neighbor_component"), F.col("component")),
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.orderBy("node")
 
 
 # ---------------------------------------------------------------------------

@@ -264,51 +264,123 @@ def pagerank_root_averaged(
     ).orderBy("node")
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
-    """Undirected connected components by min-label propagation.
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: connect every strictly-larger neighbor of u to the
+    minimum of u's closed neighborhood. Output edges are (larger ->
+    smaller) by construction."""
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least(F.col("mn"), F.col("src")).alias("m"))
+    )
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
 
-    SetUnionFinder (DeduperUtils.java:728-917) does this with an
-    in-memory union-find over match sets; distributed, each node
-    repeatedly adopts the minimum label among itself and its
-    neighbors until a fixpoint. Converges in O(diameter) rounds --
-    the reference's match-set graphs are tiny-diameter, as are web
-    link graphs after LSH blocking.
 
-    Scale: each round is one shuffle (groupBy node); labels are
-    checkpointed; convergence check is a cheap aggregate on the
-    changed-count rather than a full comparison join.
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: within each node's smaller-or-equal neighborhood,
+    rewire every member (and the node itself) to the minimum."""
+    d = e.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    m = d.groupBy("src").agg(F.min("dst").alias("m"))
+    return (
+        d.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(m.select("src", F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _star_contraction(
+    edges: DataFrame, max_iterations: int
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    'Connected Components in MapReduce and Beyond'): converges in
+    O(log n) rounds regardless of graph diameter, vs O(diameter) for
+    min-label propagation -- the difference between 5 and 500 rounds
+    on long-chain link graphs at 100x scale.
+
+    Convergence detection is folded into each round's own
+    materialization job via an Observation (row count + order-
+    independent xxhash64 sum): when the edge-set fingerprint repeats,
+    the star graph is a fixpoint -- no separate comparison job.
+
+    Returns (star_edges, rounds): star_edges point every non-root
+    node at its component minimum.
     """
-    und = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    from pyspark.sql import Observation
+
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=False)  # joined every round
+        .localCheckpoint(eager=True)
     )
-    labels = graph_nodes(und).withColumn("comp", F.col("node"))
+    prev_sig = None
+    rounds = 0
     for _ in range(max_iterations):
-        neighbor_min = (
-            und.join(labels, und["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
-                    "comp"
-                ),
-                (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
+        obs = Observation()
+        e = (
+            _small_star(_large_star(e))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                # decimal(38,0) sum: ANSI-safe (a long sum of 64-bit
+                # hashes overflows), order-independent, exact
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
+        rounds += 1
+        sig = (obs.get["n"], obs.get["h"])
+        if sig == prev_sig:
             break
-    return labels.orderBy("node")
+        prev_sig = sig
+    return e, rounds
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Undirected connected components; labels are component minima.
+
+    The reference merges overlapping match sets with an in-memory
+    union-find (SetUnionFinder, DeduperUtils.java:728-917); the
+    distributed equivalent here is large-star/small-star contraction
+    (see _star_contraction) rather than min-label propagation, so
+    rounds scale with log(n), not graph diameter. Returns
+    (node, comp); singletons (nodes with no surviving edge) label
+    themselves.
+    """
+    stars, rounds = _star_contraction(edges, max_iterations)
+    connected_components.last_rounds = rounds
+    # at fixpoint each non-root has exactly one star edge; the min()
+    # is a safety net for a max_iterations bailout, not a real reduce
+    parents = stars.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("parent")
+    )
+    return (
+        graph_nodes(edges)
+        .join(parents, "node", "left")
+        .select("node", F.coalesce("parent", F.col("node")).alias("comp"))
+        .orderBy("node")
+    )
 
 
 def component_sizes(labels: DataFrame) -> DataFrame:

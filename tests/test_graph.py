@@ -29,11 +29,21 @@ def test_connected_components_two_islands(spark):
 
 
 def test_connected_components_chain_converges(spark):
-    # long chain needs multiple label-propagation rounds
-    chain = [(i, i + 1) for i in range(1, 12)]
+    # a 64-node chain has diameter 63: min-label propagation would need
+    # ~63 rounds; star contraction must finish in O(log n)
+    chain = [(i, i + 1) for i in range(1, 64)]
     labels = graph.connected_components(_edges_df(spark, chain))
     comps = {r["comp"] for r in labels.collect()}
     assert comps == {1}
+    assert graph.connected_components.last_rounds <= 10
+
+
+def test_connected_components_handles_self_loops_and_dups(spark):
+    labels = graph.connected_components(
+        _edges_df(spark, [(5, 5), (1, 2), (2, 1), (2, 3)])
+    )
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5}
 
 
 def test_pagerank_sink_gets_all_rank(spark):
