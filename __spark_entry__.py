@@ -928,6 +928,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _t(s, d, "events").filter(F.col("ts") >= "2024-01-15")
             ),
         ),
+        # full-fidelity merged record: nested crawl_stats[] built per
+        # CrawlDBMergingReducer, flattened to scalar rows for the gate
+        "crawldb_merge_full": lambda s, d: crawldb.merged_full_flat(
+            crawldb.merge_crawldb_full(
+                crawldb.full_status_records_from_events(_t(s, d, "events")),
+                crawldb.full_link_records_from_events(_t(s, d, "events")),
+            )
+        ),
         "crawllist_generate": lambda s, d: crawllist.generate_crawl_list(
             _t(s, d, "orders")
         ),
@@ -1659,6 +1667,152 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawldb_merge": _CRAWLDB_MERGE_SQL,
         "crawldb_incremental_merge": _CRAWLDB_MERGE_SQL,
+        # full-fidelity merged record: replay the synthesis residues +
+        # the reducer's latest-attempt-wins summary rules in SQL
+        "crawldb_merge_full": """
+            WITH st AS (
+                SELECT user_id AS key, event_id AS eid,
+                       1700000000000 + event_id AS attempt_time,
+                       (event_id % 11 = 0) AS is_fail,
+                       CASE WHEN event_id % 11 = 0 THEN NULL
+                            WHEN event_id % 7 = 0 THEN 301
+                            WHEN event_id % 5 = 0 THEN 404
+                            ELSE 200 END AS http_result
+                FROM events WHERE event_type IN ('click', 'purchase')
+            ), st2 AS (
+                SELECT *,
+                       (NOT is_fail AND http_result BETWEEN 200 AND 299) AS is2,
+                       (NOT is_fail AND http_result BETWEEN 300 AND 399) AS is3,
+                       CASE WHEN NOT is_fail AND http_result BETWEEN 200 AND 299
+                            THEN CASE WHEN eid % 3 = 0 THEN 'feed'
+                                      ELSE 'html' END END AS parsed_as
+                FROM st
+            ), det AS (
+                SELECT key, eid, attempt_time, is_fail, is2, is3,
+                       (is2 AND parsed_as = 'html') AS ish,
+                       CASE WHEN NOT is_fail THEN http_result END
+                           AS detail_http_result,
+                       CASE WHEN NOT is_fail THEN
+                            CAST(eid % 223 + 1 AS VARCHAR) || '.'
+                            || CAST(eid % 256 AS VARCHAR) || '.'
+                            || CAST(eid * 7 % 256 AS VARCHAR) || '.'
+                            || CAST(eid * 13 % 256 AS VARCHAR) END AS server_ip,
+                       CASE WHEN NOT is_fail
+                            THEN 1700000000000 + eid - eid % 3600 END
+                           AS http_date,
+                       CASE WHEN NOT is_fail
+                            THEN 1700000000000 + eid - eid % 3600 - eid % 86400
+                            END AS last_modified,
+                       CASE WHEN NOT is_fail
+                            THEN substr(md5(CAST(eid AS VARCHAR)), 1, 8) END
+                           AS etag,
+                       CASE WHEN is2 THEN CAST(eid % 9973 AS INT) END
+                           AS content_len,
+                       CASE WHEN is2 THEN
+                            CASE WHEN parsed_as = 'feed'
+                                 THEN 'application/atom+xml'
+                                 ELSE 'text/html' END END AS mime_type,
+                       CASE WHEN is2 THEN md5(CAST(eid AS VARCHAR)) END AS md5,
+                       CASE WHEN is2
+                            THEN (eid % 100000) * 2654435761 END AS text_simhash,
+                       parsed_as AS detail_parsed_as,
+                       CASE WHEN is2 THEN 'title-' || CAST(eid AS VARCHAR) END
+                           AS title,
+                       CASE WHEN is2 AND parsed_as = 'html'
+                            THEN CAST(eid % 10 AS INT) END AS intra_domain_links,
+                       CASE WHEN is2 AND parsed_as = 'html'
+                            THEN CAST(eid % 7 AS INT) END AS intra_root_links,
+                       CASE WHEN is2 AND parsed_as = 'html'
+                            THEN CAST(eid % 13 AS INT) END AS inter_domain_links,
+                       CASE WHEN is3
+                            THEN 'http://redirect.example.com/'
+                                 || CAST(eid AS VARCHAR) END
+                           AS detail_redirect_url,
+                       CASE WHEN is_fail THEN TRUE END AS fetch_failed,
+                       CASE WHEN is_fail THEN 'IOException' END
+                           AS failure_reason,
+                       CASE WHEN is_fail
+                            THEN 'detail-' || CAST(eid AS VARCHAR) END
+                           AS failure_detail,
+                       CASE WHEN is2 AND parsed_as = 'html' THEN
+                            ['http://ext' || CAST((eid + i) % 50 AS VARCHAR)
+                             || '.example.com/p' || CAST(i AS VARCHAR)
+                             FOR i IN range(0, CAST(eid % 4 AS INT) + 1)]
+                            END AS ext_hrefs
+                FROM st2
+            ), summary AS (
+                SELECT key,
+                       count(*) AS attempt_count,
+                       max(attempt_time) AS latest_attempt,
+                       arg_max(CASE WHEN NOT is_fail AND detail_http_result
+                                         IS NOT NULL
+                                    THEN detail_http_result END,
+                               CASE WHEN NOT is_fail AND detail_http_result
+                                         IS NOT NULL
+                                    THEN attempt_time END) AS http_result,
+                       max(CASE WHEN is2 THEN attempt_time END)
+                           AS latest_crawl,
+                       CAST(sum(CASE WHEN is2 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS crawl_count,
+                       arg_max(CASE WHEN is2 THEN detail_parsed_as END,
+                               CASE WHEN is2 THEN attempt_time END)
+                           AS parsed_as,
+                       arg_max(CASE WHEN is3 THEN detail_redirect_url END,
+                               CASE WHEN is3 THEN attempt_time END)
+                           AS redirect_url,
+                       arg_max(CASE WHEN is2 THEN ext_hrefs END,
+                               CASE WHEN is2 THEN attempt_time END)
+                           AS ext_list
+                FROM det GROUP BY key
+            ), linksrc AS (
+                SELECT user_id AS key, event_id AS eid,
+                       (event_id % 3 = 0) AS is_internal,
+                       CASE WHEN event_type = 'view' THEN
+                            CASE WHEN event_id % 2 = 0 THEN 'html:a:nofollow'
+                                 ELSE 'html:a' END
+                            ELSE 'rss:link' END AS type_and_rel,
+                       1700000000000 + event_id - 500 AS http_date
+                FROM events WHERE event_type IN ('view', 'signup')
+            ), linksum AS (
+                SELECT key,
+                       CAST(sum(CASE WHEN is_internal THEN 1 ELSE 0 END)
+                            AS BIGINT) AS int_src_count,
+                       CAST(sum(CASE WHEN is_internal THEN 0 ELSE 1 END)
+                            AS BIGINT) AS ext_src_count,
+                       min(http_date) AS earliest_date,
+                       max(http_date) AS latest_date,
+                       array_to_string(
+                           list_sort(list_distinct(list(type_and_rel)))[1:5],
+                           ',') AS type_and_rels
+                FROM linksrc GROUP BY key
+            ), keys AS (
+                SELECT key FROM summary UNION SELECT key FROM linksum
+            )
+            SELECT k.key, d.attempt_time, d.detail_http_result, d.server_ip,
+                   d.http_date, d.last_modified, d.etag, d.content_len,
+                   d.mime_type, d.md5, d.text_simhash, d.detail_parsed_as,
+                   d.title, d.intra_domain_links, d.intra_root_links,
+                   d.inter_domain_links, d.detail_redirect_url,
+                   d.fetch_failed, d.failure_reason, d.failure_detail,
+                   s.attempt_count, s.latest_attempt, s.http_result,
+                   s.latest_crawl, s.crawl_count, s.parsed_as, s.redirect_url,
+                   CASE WHEN s.key IS NULL THEN ''
+                        ELSE coalesce(array_to_string(
+                            list_sort(list_distinct(s.ext_list))[1:100], ','),
+                            '') END AS ext_urls,
+                   CASE WHEN s.key IS NULL THEN NULL
+                        ELSE coalesce(len(list_distinct(s.ext_list)) > 100,
+                                      FALSE) END AS ext_urls_truncated,
+                   l.int_src_count, l.ext_src_count, l.earliest_date,
+                   l.latest_date,
+                   CASE WHEN l.key IS NULL THEN ''
+                        ELSE l.type_and_rels END AS type_and_rels
+            FROM keys k
+            LEFT JOIN summary s ON k.key = s.key
+            LEFT JOIN linksum l ON k.key = l.key
+            LEFT JOIN det d ON k.key = d.key
+            ORDER BY k.key, d.attempt_time
+        """,
         "crawldb_blekko_merge": """
             WITH db AS (
                 SELECT doc_id,

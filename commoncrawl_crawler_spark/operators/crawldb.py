@@ -223,6 +223,331 @@ def fold_merged(previous_merged: DataFrame, new_merged: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# full-fidelity merged record (CrawlDBCommon JSON schema)
+# ---------------------------------------------------------------------------
+#
+# The simplified merge above keeps the merge *discipline*; this tier
+# reproduces the reference's merged-record *shape*: a nested
+# per-attempt crawl_stats[] array plus the summary / link_status
+# sub-records of CrawlDBCommon.java:9-76, built with the exact update
+# rules of CrawlDBMergingReducer.java:791-1010 (detail-record
+# construction per disposition/status class) and :906-946
+# (latest-attempt-wins summary evolution). Records arrive at the
+# reference reducer in attempt_time order (CrawlDBKey sorts on the
+# timestamp component), so "latest attempt when processed" folds to
+# max_by(attempt_time) aggregates here -- one shuffle, no stateful
+# reducer. Set-valued outputs (typeAndRels, ext_urls) are canonicalized
+# sorted: the reference iterates a HashSet, whose order is undefined,
+# so sorted order is the deterministic representative of the same set.
+
+MAX_TYPE_SAMPLES = 5  # CrawlDBMergingReducer.java:88
+MAX_EXT_URLS = 100  # CrawlDBMergingReducer.java:94
+
+
+def full_status_records_from_events(events: DataFrame) -> DataFrame:
+    """Synthesize crawl-status JSON records (the reducer's
+    KEY_TYPE_CRAWL_STATUS input) deterministically from events.
+
+    Dispositions/status classes are spread by event_id residues:
+    %11 -> fetch failure, else %7 -> 3xx redirect, else %5 -> 404,
+    else 200 (html or feed by %3). All derived fields are pure column
+    arithmetic so a SQL oracle can replay them exactly.
+    """
+    eid = F.col("event_id")
+    is_fail = eid % 11 == 0
+    http = (
+        F.when(is_fail, F.lit(None).cast("int"))
+        .when(eid % 7 == 0, F.lit(301))
+        .when(eid % 5 == 0, F.lit(404))
+        .otherwise(F.lit(200))
+    )
+    attempt_time = (F.lit(1_700_000_000_000) + eid).alias("attempt_time")
+    is_2xx = ~is_fail & (http >= 200) & (http <= 299)
+    is_3xx = ~is_fail & (http >= 300) & (http <= 399)
+    parsed_as = F.when(
+        is_2xx, F.when(eid % 3 == 0, F.lit("feed")).otherwise(F.lit("html"))
+    )
+    return events.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("user_id").alias("key"),
+        attempt_time,
+        F.when(is_fail, F.lit("FAILURE")).otherwise(F.lit("SUCCESS")).alias(
+            "disposition"
+        ),
+        http.alias("http_result"),
+        F.when(
+            ~is_fail,
+            F.concat_ws(
+                ".",
+                (eid % 223 + 1).cast("string"),
+                (eid % 256).cast("string"),
+                (eid * 7 % 256).cast("string"),
+                (eid * 13 % 256).cast("string"),
+            ),
+        ).alias("server_ip"),
+        F.when(is_2xx, (eid % 9973).cast("int")).alias("content_len"),
+        F.when(
+            is_2xx,
+            F.when(parsed_as == "feed", F.lit("application/atom+xml")).otherwise(
+                F.lit("text/html")
+            ),
+        ).alias("mime_type"),
+        F.when(is_2xx, F.md5(eid.cast("string"))).alias("md5"),
+        F.when(is_2xx, (eid % 100_000) * 2_654_435_761).alias("text_simhash"),
+        parsed_as.alias("parsed_as"),
+        F.when(is_2xx, F.concat(F.lit("title-"), eid.cast("string"))).alias(
+            "title"
+        ),
+        F.when(
+            is_3xx,
+            F.concat(F.lit("http://redirect.example.com/"), eid.cast("string")),
+        ).alias("target_url"),
+        F.when(is_fail, F.lit("IOException")).alias("failure_reason"),
+        F.when(
+            is_fail, F.concat(F.lit("detail-"), eid.cast("string"))
+        ).alias("failure_detail"),
+        F.when(~is_fail, F.lit(1_700_000_000_000) + eid - eid % 3600).alias(
+            "http_date"
+        ),
+        F.when(
+            ~is_fail, F.lit(1_700_000_000_000) + eid - eid % 3600 - eid % 86400
+        ).alias("http_last_modified"),
+        F.when(~is_fail, F.substring(F.md5(eid.cast("string")), 1, 8)).alias(
+            "etag"
+        ),
+        F.when(is_2xx & (parsed_as == "html"), (eid % 10).cast("int")).alias(
+            "intra_domain_links"
+        ),
+        F.when(is_2xx & (parsed_as == "html"), (eid % 7).cast("int")).alias(
+            "intra_root_links"
+        ),
+        F.when(is_2xx & (parsed_as == "html"), (eid % 13).cast("int")).alias(
+            "inter_domain_links"
+        ),
+        F.when(
+            is_2xx & (parsed_as == "html"),
+            F.transform(
+                F.sequence(F.lit(0), (eid % 4).cast("int")),
+                lambda i: F.concat(
+                    F.lit("http://ext"),
+                    ((eid + i) % 50).cast("string"),
+                    F.lit(".example.com/p"),
+                    i.cast("string"),
+                ),
+            ),
+        ).alias("ext_hrefs"),
+    )
+
+
+def full_link_records_from_events(events: DataFrame) -> DataFrame:
+    """Synthesize incoming-link records (KEY_TYPE_HTML_LINK /
+    KEY_TYPE_RSS_LINK input): per-link source locality, type:rel
+    string, and source-header date."""
+    eid = F.col("event_id")
+    return events.filter(F.col("event_type").isin("view", "signup")).select(
+        F.col("user_id").alias("key"),
+        (eid % 3 == 0).alias("is_internal"),
+        F.when(
+            F.col("event_type") == "view",
+            F.when(eid % 2 == 0, F.lit("html:a:nofollow")).otherwise(
+                F.lit("html:a")
+            ),
+        )
+        .otherwise(F.lit("rss:link"))
+        .alias("type_and_rel"),
+        (F.lit(1_700_000_000_000) + eid - 500).alias("http_date"),
+    )
+
+
+def _crawl_detail_struct():
+    """Per-attempt crawl detail struct -- the JSON object built by
+    crawlDetailRecordFromCrawlStatusRecord (CrawlDBMergingReducer.java:
+    791-876): attempt_time always; server_ip/http_result/date headers
+    on SUCCESS; content fields on 2xx; redirect_url on 3xx;
+    fetch_failed + reason/detail on failure."""
+    fail = F.col("disposition") != "SUCCESS"
+    http = F.col("http_result")
+    is_2xx = ~fail & (http >= 200) & (http <= 299)
+    is_3xx = ~fail & (http >= 300) & (http <= 399)
+    return F.struct(
+        F.col("attempt_time"),
+        F.when(~fail, http).alias("http_result"),
+        F.when(~fail, F.col("server_ip")).alias("server_ip"),
+        F.when(~fail, F.col("http_date")).alias("date"),
+        F.when(~fail, F.col("http_last_modified")).alias("last_modified"),
+        F.when(~fail, F.col("etag")).alias("etag"),
+        F.when(is_2xx, F.col("content_len")).alias("content_len"),
+        F.when(is_2xx, F.col("mime_type")).alias("mime_type"),
+        F.when(is_2xx, F.col("md5")).alias("md5"),
+        F.when(is_2xx, F.col("text_simhash")).alias("text_simhash"),
+        F.when(is_2xx, F.col("parsed_as")).alias("parsed_as"),
+        F.when(is_2xx, F.col("title")).alias("title"),
+        F.when(is_2xx, F.col("intra_domain_links")).alias("intra_domain_links"),
+        F.when(is_2xx, F.col("intra_root_links")).alias("intra_root_links"),
+        F.when(is_2xx, F.col("inter_domain_links")).alias("inter_domain_links"),
+        F.when(is_3xx, F.col("target_url")).alias("redirect_url"),
+        F.when(fail, F.lit(True)).alias("fetch_failed"),
+        F.when(fail, F.col("failure_reason")).alias("failure_reason"),
+        F.when(fail, F.col("failure_detail")).alias("failure_detail"),
+    )
+
+
+def merge_crawldb_full(
+    status_records: DataFrame, link_records: DataFrame
+) -> DataFrame:
+    """Full-shape CrawlDB merge: one nested record per key.
+
+    Output: (key, crawl_status struct, link_status struct) where
+    crawl_status = {attempt_count, latest_attempt, http_result,
+    latest_crawl, crawl_count, parsed_as, redirect_url, ext_urls,
+    ext_urls_truncated, crawl_stats: array<detail struct>} and
+    link_status = {int_src_count, ext_src_count, earliest_date,
+    latest_date, typeAndRels: array<string>} -- the JSON layout of
+    CrawlDBCommon.java:9-76 as Spark nested types.
+
+    Summary evolution rules (CrawlDBMergingReducer.java:906-946),
+    folded to aggregates because records reach the reference reducer
+    in attempt_time order:
+    - http_result: from the newest non-failed attempt carrying one
+    - latest_crawl / crawl_count: newest / count of 2xx attempts
+    - parsed_as: from the newest 2xx attempt
+    - redirect_url: from the newest 3xx attempt (a later 2xx does NOT
+      clear it -- the reference never removes the property)
+    - ext_urls: the newest link-carrying 2xx attempt's external hrefs
+      (extHrefs is only replaced when fresh content has a links
+      array), sorted, capped at 100 with a truncation flag
+      (flushCurrentRecord, :1055-1060)
+    """
+    fail = F.col("disposition") != "SUCCESS"
+    http = F.col("http_result")
+    is_2xx = ~fail & (http >= 200) & (http <= 299)
+    is_3xx = ~fail & (http >= 300) & (http <= 399)
+    t = F.col("attempt_time")
+
+    detailed = status_records.withColumn("detail", _crawl_detail_struct())
+    summary = detailed.groupBy("key").agg(
+        F.count(F.lit(1)).alias("attempt_count"),
+        F.max(t).alias("latest_attempt"),
+        F.max_by(
+            F.when(~fail & http.isNotNull(), http),
+            F.when(~fail & http.isNotNull(), t),
+        ).alias("http_result"),
+        F.max(F.when(is_2xx, t)).alias("latest_crawl"),
+        F.sum(is_2xx.cast("int")).alias("crawl_count"),
+        F.max_by(F.when(is_2xx, F.col("parsed_as")), F.when(is_2xx, t)).alias(
+            "parsed_as"
+        ),
+        F.max_by(F.when(is_3xx, F.col("target_url")), F.when(is_3xx, t)).alias(
+            "redirect_url"
+        ),
+        # newest attempt that actually carried content links: feed /
+        # linkless attempts do NOT clear extHrefs in the reference
+        # (updateLinkStatsFromHTMLContent only clears when a links
+        # array is present), so null-href attempts are skipped
+        F.max_by(
+            F.when(is_2xx & F.col("ext_hrefs").isNotNull(), F.col("ext_hrefs")),
+            F.when(is_2xx & F.col("ext_hrefs").isNotNull(), t),
+        ).alias("_ext_hrefs"),
+        F.sort_array(F.collect_list("detail")).alias("crawl_stats"),
+    )
+    ext_set = F.array_sort(F.array_distinct(F.coalesce("_ext_hrefs", F.array())))
+    summary = summary.select(
+        "key",
+        F.struct(
+            "attempt_count",
+            "latest_attempt",
+            "http_result",
+            "latest_crawl",
+            "crawl_count",
+            "parsed_as",
+            "redirect_url",
+            F.slice(ext_set, 1, MAX_EXT_URLS).alias("ext_urls"),
+            (F.size(ext_set) > MAX_EXT_URLS).alias("ext_urls_truncated"),
+            "crawl_stats",
+        ).alias("crawl_status"),
+    )
+
+    linksum = (
+        link_records.groupBy("key")
+        .agg(
+            F.sum(F.col("is_internal").cast("int")).alias("int_src_count"),
+            F.sum((~F.col("is_internal")).cast("int")).alias("ext_src_count"),
+            F.min("http_date").alias("earliest_date"),
+            F.max("http_date").alias("latest_date"),
+            F.slice(
+                F.array_sort(F.collect_set("type_and_rel")), 1, MAX_TYPE_SAMPLES
+            ).alias("typeAndRels"),
+        )
+        .select(
+            "key",
+            F.struct(
+                "int_src_count",
+                "ext_src_count",
+                "earliest_date",
+                "latest_date",
+                "typeAndRels",
+            ).alias("link_status"),
+        )
+    )
+    return summary.join(linksum, "key", "full_outer").orderBy("key")
+
+
+def merged_full_flat(merged: DataFrame) -> DataFrame:
+    """Oracle-checkable projection of the nested merged record: one
+    row per (key, attempt) via explode_outer (keys with only link
+    records keep a row with null attempt fields); arrays rendered as
+    sorted CSV strings. Scalar-only output -- the harness canonicalizer
+    cannot sort array columns."""
+    cs = F.col("crawl_status")
+    ls = F.col("link_status")
+    d = F.col("d")
+    return (
+        merged.select(
+            "key",
+            cs,
+            ls,
+            F.explode_outer(cs.getField("crawl_stats")).alias("d"),
+        )
+        .select(
+            "key",
+            d.getField("attempt_time").alias("attempt_time"),
+            d.getField("http_result").alias("detail_http_result"),
+            d.getField("server_ip").alias("server_ip"),
+            d.getField("date").alias("http_date"),
+            d.getField("last_modified").alias("last_modified"),
+            d.getField("etag").alias("etag"),
+            d.getField("content_len").alias("content_len"),
+            d.getField("mime_type").alias("mime_type"),
+            d.getField("md5").alias("md5"),
+            d.getField("text_simhash").alias("text_simhash"),
+            d.getField("parsed_as").alias("detail_parsed_as"),
+            d.getField("title").alias("title"),
+            d.getField("intra_domain_links").alias("intra_domain_links"),
+            d.getField("intra_root_links").alias("intra_root_links"),
+            d.getField("inter_domain_links").alias("inter_domain_links"),
+            d.getField("redirect_url").alias("detail_redirect_url"),
+            d.getField("fetch_failed").alias("fetch_failed"),
+            d.getField("failure_reason").alias("failure_reason"),
+            d.getField("failure_detail").alias("failure_detail"),
+            cs.getField("attempt_count").alias("attempt_count"),
+            cs.getField("latest_attempt").alias("latest_attempt"),
+            cs.getField("http_result").alias("http_result"),
+            cs.getField("latest_crawl").alias("latest_crawl"),
+            cs.getField("crawl_count").alias("crawl_count"),
+            cs.getField("parsed_as").alias("parsed_as"),
+            cs.getField("redirect_url").alias("redirect_url"),
+            F.concat_ws(",", cs.getField("ext_urls")).alias("ext_urls"),
+            cs.getField("ext_urls_truncated").alias("ext_urls_truncated"),
+            ls.getField("int_src_count").alias("int_src_count"),
+            ls.getField("ext_src_count").alias("ext_src_count"),
+            ls.getField("earliest_date").alias("earliest_date"),
+            ls.getField("latest_date").alias("latest_date"),
+            F.concat_ws(",", ls.getField("typeAndRels")).alias("type_and_rels"),
+        )
+        .orderBy("key", "attempt_time")
+    )
+
+
+# ---------------------------------------------------------------------------
 # external-metadata (Blekko-style) import + merge
 # ---------------------------------------------------------------------------
 
