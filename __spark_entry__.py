@@ -758,6 +758,56 @@ def _crawllist_wikipedia_partition(s: SparkSession, d: str) -> DataFrame:
     return crawllist.partition_wikipedia_urls(pages, ranks, n_partitions=8)
 
 
+def _crawllist_filtered_generate(s: SparkSession, d: str) -> DataFrame:
+    """Crawl-list URLs annotated by the named filter chain
+    (PageRankBoost + CrawlRateOverride + ReCrawlTimeModifier)."""
+    from commoncrawl_crawler_spark.operators import crawlfilters
+
+    o = F.col("o_orderkey")
+    urls = _t(s, d, "orders").select(
+        o.alias("key"),
+        F.concat(F.lit("d"), (o % 20).cast("string"), F.lit(".com")).alias(
+            "root_domain"
+        ),
+        F.concat(
+            F.when(o % 3 == 0, F.lit("shop.")).otherwise(F.lit("www.")),
+            F.lit("d"),
+            (o % 20).cast("string"),
+            F.lit(".com"),
+        ).alias("domain"),
+        F.when(o % 10 == 0, F.lit("/"))
+        .when(o % 10 == 1, F.lit("/index.html"))
+        .otherwise(F.concat(F.lit("/p/"), (o % 100).cast("string")))
+        .alias("path"),
+    )
+    boost = crawlfilters.rules_df(
+        s,
+        [
+            ("*", "", "/p/[0-9]+", 2.0),
+            ("d3.com", "", ".*", 1.5),
+            ("d15.com", "www\\..*", "/p/1[0-9]", 1.0),
+        ],
+    )
+    rate = crawlfilters.rules_df(
+        s,
+        [
+            ("d3.com", "*", "*", 50.0),
+            ("d7.com", "shop\\..*", "*", 1000.0),
+            ("d3.com", "*", "/p/.*", 25.0),
+        ],
+    )
+    recrawl = crawlfilters.rules_df(
+        s,
+        [
+            ("*", "", "(^/$)|(^/index\\.[^/]*$)", 86400.0),
+            ("d9.com", "", ".*", 3600.0),
+        ],
+    )
+    return crawlfilters.apply_crawl_filters(urls, boost, rate, recrawl).orderBy(
+        "key"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return aggregates.pricing_summary(_t(spark, "/root/testdata/sf0.001", "lineitem"))
@@ -941,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "crawldb_blekko_merge": _crawldb_blekko_merge,
         "crawllist_wikipedia_partition": _crawllist_wikipedia_partition,
+        "crawllist_filtered_generate": _crawllist_filtered_generate,
         "fn_url_canonicalize": lambda s, d: (
             _t(s, d, "documents")
             .select(
@@ -1851,6 +1902,73 @@ def oracle_sql() -> dict[str, str]:
                    (meta.status = 'crawled') AS crawled
             FROM db LEFT JOIN meta ON db.url = meta.url
             ORDER BY db.doc_id
+        """,
+        # named crawler filters: full-match regex semantics
+        # (regexp_full_match = Java matches()); boost SUMS matching
+        # rules, rate/recrawl take the MIN
+        "crawllist_filtered_generate": """
+            WITH urls AS (
+                SELECT o_orderkey AS key,
+                       'd' || CAST(o_orderkey % 20 AS VARCHAR) || '.com'
+                           AS root_domain,
+                       CASE WHEN o_orderkey % 3 = 0 THEN 'shop.'
+                            ELSE 'www.' END
+                           || 'd' || CAST(o_orderkey % 20 AS VARCHAR)
+                           || '.com' AS domain,
+                       CASE WHEN o_orderkey % 10 = 0 THEN '/'
+                            WHEN o_orderkey % 10 = 1 THEN '/index.html'
+                            ELSE '/p/' || CAST(o_orderkey % 100 AS VARCHAR)
+                       END AS path
+                FROM orders
+            ), boost_rules(root_domain, domain_regex, path_regex, val) AS (
+                VALUES ('*', '', '/p/[0-9]+', 2.0),
+                       ('d3.com', '', '.*', 1.5),
+                       ('d15.com', 'www\\..*', '/p/1[0-9]', 1.0)
+            ), rate_rules(root_domain, domain_regex, path_regex, val) AS (
+                VALUES ('d3.com', '*', '*', 50.0),
+                       ('d7.com', 'shop\\..*', '*', 1000.0),
+                       ('d3.com', '*', '/p/.*', 25.0)
+            ), recrawl_rules(root_domain, domain_regex, path_regex, val) AS (
+                VALUES ('*', '', '(^/$)|(^/index\\.[^/]*$)', 86400.0),
+                       ('d9.com', '', '.*', 3600.0)
+            ), bm AS (
+                SELECT u.key, round(sum(r.val), 6) AS pagerank_boost
+                FROM urls u JOIN boost_rules r
+                  ON (r.root_domain IN ('*', '.*')
+                      OR r.root_domain = u.root_domain)
+                 AND (r.domain_regex = ''
+                      OR regexp_full_match(u.domain, r.domain_regex))
+                 AND regexp_full_match(u.path, r.path_regex)
+                GROUP BY u.key
+            ), rm AS (
+                SELECT u.key, CAST(min(r.val) AS INT) AS crawl_rate_override
+                FROM urls u JOIN rate_rules r
+                  ON (r.root_domain IN ('*', '.*')
+                      OR r.root_domain = u.root_domain)
+                 AND (r.domain_regex IN ('', '*')
+                      OR regexp_full_match(u.domain, r.domain_regex))
+                 AND (r.path_regex = '*'
+                      OR regexp_full_match(u.path, r.path_regex))
+                GROUP BY u.key
+            ), tm AS (
+                SELECT u.key,
+                       CAST(min(r.val) AS BIGINT) AS modified_recrawl_time
+                FROM urls u JOIN recrawl_rules r
+                  ON (r.root_domain IN ('*', '.*')
+                      OR r.root_domain = u.root_domain)
+                 AND (r.domain_regex = ''
+                      OR regexp_full_match(u.domain, r.domain_regex))
+                 AND regexp_full_match(u.path, r.path_regex)
+                GROUP BY u.key
+            )
+            SELECT u.key, u.root_domain, u.domain, u.path,
+                   bm.pagerank_boost, rm.crawl_rate_override,
+                   tm.modified_recrawl_time
+            FROM urls u
+            LEFT JOIN bm ON u.key = bm.key
+            LEFT JOIN rm ON u.key = rm.key
+            LEFT JOIN tm ON u.key = tm.key
+            ORDER BY u.key
         """,
         "crawllist_wikipedia_partition": """
             WITH pages AS (

@@ -1,0 +1,130 @@
+"""Named crawler filters vs the reference's embedded test vectors.
+
+PageRankBoostFilter.testFilter (PageRankBoostFilter.java:90-100),
+CrawlRateOverrideFilter testInputs/main (:96-170), and the recrawl
+filter's min-fold (ReCrawlTimeModifierFilter.java:104-135), expressed
+over explicit URL rows.
+"""
+
+from __future__ import annotations
+
+from commoncrawl_crawler_spark.operators import crawlfilters
+
+URL_SCHEMA = "key long, root_domain string, domain string, path string"
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, URL_SCHEMA)
+
+
+def _by_key(df, col):
+    return {r["key"]: r[col] for r in df.collect()}
+
+
+def test_pagerank_boost_sums_all_matching_rules(spark):
+    # the reference's own vectors: global '.*' boost 2.0 applies
+    # everywhere; per-root path rules ADD on top
+    rules = crawlfilters.rules_df(
+        spark,
+        [
+            ("*", "", ".*", 2.0),
+            ("google.com", "", "/foobar/.*", 1.0),
+            ("twitter.com", "", "/[^/]*", 1.0),
+        ],
+    )
+    urls = _urls(
+        spark,
+        [
+            (1, "google.com", "www.google.com", "/foobar/zzzz"),
+            (2, "twitter.com", "twitter.com", "/foobar"),
+            (3, "twitter.com", "twitter.com", "/a/b"),  # path rule misses
+            (4, "other.com", "other.com", "/x"),  # only global
+        ],
+    )
+    got = _by_key(crawlfilters.pagerank_boost_filter(urls, rules), "pagerank_boost")
+    assert got == {1: 3.0, 2: 3.0, 3: 2.0, 4: 2.0}
+
+
+def test_pagerank_boost_domain_regex_is_full_match(spark):
+    rules = crawlfilters.rules_df(
+        spark, [("a.com", "www\\..*", ".*", 1.0)]
+    )
+    urls = _urls(
+        spark,
+        [
+            (1, "a.com", "www.a.com", "/"),
+            (2, "a.com", "xwww.a.com", "/"),  # prefix must anchor
+        ],
+    )
+    got = _by_key(crawlfilters.pagerank_boost_filter(urls, rules), "pagerank_boost")
+    assert got == {1: 1.0, 2: None}  # no match -> NoAction -> null
+
+
+def test_crawl_rate_min_matching_rule_wins(spark):
+    # the reference walks rules rate-ascending and stops at the first
+    # match: a /p/ URL on d3.com hits both rules -> 25
+    rules = crawlfilters.rules_df(
+        spark,
+        [
+            ("d3.com", "*", "*", 50.0),
+            ("d3.com", "*", "/p/.*", 25.0),
+            ("yahoo.com", "shopping\\.yahoo\\.com", "*", 50.0),
+        ],
+    )
+    urls = _urls(
+        spark,
+        [
+            (1, "d3.com", "www.d3.com", "/p/7"),
+            (2, "d3.com", "www.d3.com", "/other"),
+            (3, "yahoo.com", "shopping.yahoo.com", "/x"),
+            (4, "yahoo.com", "mail.yahoo.com", "/x"),  # subdomain literal
+            (5, "unlisted.com", "www.unlisted.com", "/"),
+        ],
+    )
+    got = _by_key(
+        crawlfilters.crawl_rate_override_filter(urls, rules),
+        "crawl_rate_override",
+    )
+    assert got == {1: 25, 2: 50, 3: 50, 4: None, 5: None}
+
+
+def test_recrawl_time_min_fold_on_index_pages(spark):
+    rules = crawlfilters.rules_df(
+        spark,
+        [
+            ("*", "", "(^/$)|(^/index\\.[^/]*$)", 86400.0),
+            ("twitter.com", "", "/[^/]*", 3600.0),
+        ],
+    )
+    urls = _urls(
+        spark,
+        [
+            (1, "google.com", "google.com", "/"),
+            (2, "kotay.com", "kotay.com", "/index.html"),
+            (3, "kotay.com", "kotay.com", "/index.php"),
+            (4, "twitter.com", "twitter.com", "/foobar"),
+            (5, "twitter.com", "twitter.com", "/"),  # both rules -> min
+            (6, "google.com", "google.com", "/deep/page"),
+        ],
+    )
+    got = _by_key(
+        crawlfilters.recrawl_time_modifier_filter(urls, rules),
+        "modified_recrawl_time",
+    )
+    assert got == {1: 86400, 2: 86400, 3: 86400, 4: 3600, 5: 3600, 6: None}
+
+
+def test_filter_chain_composes(spark):
+    urls = _urls(spark, [(1, "d3.com", "www.d3.com", "/p/7")])
+    out = crawlfilters.apply_crawl_filters(
+        urls,
+        boost_rules=crawlfilters.rules_df(spark, [("*", "", "/p/.*", 2.0)]),
+        rate_rules=crawlfilters.rules_df(spark, [("d3.com", "*", "*", 50.0)]),
+        recrawl_rules=crawlfilters.rules_df(
+            spark, [("d3.com", "", ".*", 3600.0)]
+        ),
+    ).collect()[0]
+    assert out["pagerank_boost"] == 2.0
+    assert out["crawl_rate_override"] == 50
+    assert out["modified_recrawl_time"] == 3600
+    # one row out per row in: annotation, not fan-out
