@@ -1,33 +1,36 @@
 """Charset detection / transcode-to-UTF-8 (SURVEY.md section 2.8).
 
 Reference: util/CharsetUtils.java (~300 LoC) detects the encoding of
-fetched bytes and transcodes to UTF-8 before parsing
-(ParserMapper.java uses it on every document).
+fetched bytes (Mozilla nsDetector, then ICU, :259-310) and transcodes
+to UTF-8 before parsing (ParserMapper uses it on every document).
 
-Tiered implementation:
-1. Deterministic heuristic ladder (DEFAULT): BOM sniff, strict-UTF-8
-   trial decode, else Latin-1 (which never fails) -- the decision
-   ladder browsers applied pre-HTML5. Deterministic matters more than
-   clever here: a detector whose answer depends on an installed
-   library's version would make the same 100 TB corpus transcode
-   differently across executors or releases.
-2. `charset_normalizer` statistical detection, opt-in via
-   use_library=True (it also misguesses short Latin-1 strings as
-   UTF-16, so it is consulted only when the ladder falls through to
-   Latin-1 and the caller asked for it).
+Tiered implementation (DEFAULT = all tiers):
+1. BOM sniff, then strict-UTF-8 trial decode -- exact, deterministic.
+2. `charset_normalizer` statistical detection, accepted ONLY for
+   multi-byte families (Shift-JIS/CP932, EUC-JP, GBK/GB18030, Big5,
+   EUC-KR/CP949, UTF-16/32): those have structural signatures a
+   detector identifies reliably -- the reference's Mozilla/ICU
+   detectors played the same role.
+3. Latin-1 otherwise. Single-byte charsets are statistically
+   near-indistinguishable (the detector labels French Latin-1 as
+   Baltic cp1257); latin-1 is the byte-preserving deterministic
+   choice, so the same 100 TB corpus transcodes identically across
+   executors, releases, and detector versions.
 
-Both run inside one Arrow-batched kernel.
+Pass use_library=False to pin the pure ladder (tier 2 skipped).
+All kernels run Arrow-batched.
 """
 
 from __future__ import annotations
 
+import codecs
 from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
 
-try:  # production tier; absent in this container
+try:  # detection tier; the ladder below works without it
     from charset_normalizer import from_bytes as _cn_from_bytes
 except ImportError:  # pragma: no cover - environment-dependent
     _cn_from_bytes = None
@@ -40,8 +43,46 @@ _BOMS = (
     (b"\xfe\xff", "utf-16-be"),
 )
 
+#: detector verdicts we trust: CJK multi-byte encodings with
+#: structural signatures (codecs-canonical names). Single-byte
+#: detections are rejected in favor of the deterministic latin-1
+#: fallback, and UTF-16/32 verdicts are NOT trusted either -- real
+#: UTF-16/32 documents carry a BOM (caught by tier 1), while BOM-less
+#: short Latin-1 strings routinely misdetect as utf_16_be.
+_TRUSTED_DETECTIONS = frozenset(
+    {
+        "cp932",
+        "shift_jis",
+        "shift_jis_2004",
+        "euc_jp",
+        "gb18030",
+        "gbk",
+        "gb2312",
+        "big5",
+        "big5hkscs",
+        "euc_kr",
+        "cp949",
+        "johab",
+    }
+)
 
-def detect_charset(data: bytes | None, use_library: bool = False) -> str | None:
+
+def _library_detect(data: bytes) -> str | None:
+    """Tier-2 detection: a multi-byte verdict from charset_normalizer,
+    or None when the library is absent / unsure / says single-byte."""
+    if _cn_from_bytes is None:
+        return None
+    best = _cn_from_bytes(bytes(data)).best()
+    if best is None:
+        return None
+    try:
+        canonical = codecs.lookup(best.encoding).name
+    except LookupError:  # pragma: no cover - unknown codec name
+        return None
+    return best.encoding if canonical in _TRUSTED_DETECTIONS else None
+
+
+def detect_charset(data: bytes | None, use_library: bool = True) -> str | None:
     """Best-guess charset name for one byte string."""
     if data is None:
         return None
@@ -55,19 +96,19 @@ def detect_charset(data: bytes | None, use_library: bool = False) -> str | None:
         return "utf-8" if any(b >= 0x80 for b in data) else "ascii"
     except UnicodeDecodeError:
         pass
-    if use_library and _cn_from_bytes is not None:
-        best = _cn_from_bytes(bytes(data)).best()
-        if best is not None:
-            return best.encoding
+    if use_library:
+        detected = _library_detect(bytes(data))
+        if detected is not None:
+            return detected
     return "latin-1"
 
 
-def to_utf8(data: bytes | None) -> str | None:
+def to_utf8(data: bytes | None, use_library: bool = True) -> str | None:
     """Transcode bytes to a UTF-8 string via the detected charset.
     latin-1 never raises, so this is total for non-null input."""
     if data is None:
         return None
-    enc = detect_charset(data) or "latin-1"
+    enc = detect_charset(data, use_library=use_library) or "latin-1"
     try:
         return bytes(data).decode(enc, errors="replace")
     except (LookupError, UnicodeDecodeError):  # pragma: no cover
