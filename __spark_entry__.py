@@ -100,6 +100,33 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the tokenize window+distinct (two shuffles) feeds BOTH the
+    # simhash sketch and the minhash signature builds; materialize once
+    # per (session, sf) like the edge table above
+    return _cached(
+        spark,
+        "md5_tokens",
+        sf_dir,
+        lambda: dedup._md5_tokens(_t(spark, sf_dir, "documents")),
+    )
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the LSH pair table is consumed verbatim by dedup_simhash_lsh and
+    # as the edge input of dedup_simhash_clusters; build it once
+    return _cached(
+        spark,
+        "simhash_pairs",
+        sf_dir,
+        lambda: dedup.md5_simhash_pairs(
+            _t(spark, sf_dir, "documents"),
+            hamming_k=3,
+            tokens=_md5_tokens(spark, sf_dir),
+        ),
+    )
+
+
 def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sparse subgraph (rare high-price lines) so components are
     # non-trivial; the full graph collapses to one giant component
@@ -950,14 +977,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # splitmix kernels (which stay the perf path, pytest-gated),
         # but built on md5 so the full candidate set hash-matches a
         # DuckDB oracle
-        "dedup_simhash_lsh": lambda s, d: dedup.md5_simhash_pairs(
-            _t(s, d, "documents"), hamming_k=3
-        ),
+        "dedup_simhash_lsh": lambda s, d: _simhash_pairs(s, d),
         "dedup_minhash_lsh": lambda s, d: dedup.md5_minhash_pairs(
-            _t(s, d, "documents"), min_matching=13
+            _t(s, d, "documents"), min_matching=13, tokens=_md5_tokens(s, d)
         ),
         "dedup_simhash_clusters": lambda s, d: dedup.md5_simhash_clusters(
-            _t(s, d, "documents"), hamming_k=3
+            _t(s, d, "documents"), hamming_k=3, pairs=_simhash_pairs(s, d)
         ),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             _t(s, d, "documents"), threshold=0.95
@@ -1255,67 +1280,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
     }
     # The correctness harness gates the FIRST 50 entries in insertion
-    # order (CORRECTNESS_r01/r02 each contain exactly the leading 50).
-    # Rotate coverage across rounds: families never checked in rounds
-    # 1-2 go first, then the four queries whose oracles were fixed this
-    # round, then representatives of the families already hash-matched
-    # in CORRECTNESS_r02 (the full local sweep for every entry lives in
-    # CORRECTNESS_SELF_r03.txt, produced by tools/check_all_oracles.py).
+    # order (CORRECTNESS_r01..r03 each contain exactly the leading 50).
+    # Round-4 rotation: (a) the 13 queries never driver-validated in any
+    # prior round (incl. the two new round-4 gates and the fixed
+    # mm_decode_fake), (b) the three queries whose implementation was
+    # rewritten this round (large-star/small-star CC, chunk-shard bloom
+    # probe), (c) the stalest queries — last green in CORRECTNESS_r02.
+    # Deferred to round 5 (all r2-green, code unchanged): setop_*,
+    # dedup_exact, dedup_normalized, filter_text_grep, win_round_robin,
+    # skew_salted_count. The full local sweep for every entry lives in
+    # CORRECTNESS_SELF_r04.txt (tools/check_all_oracles.py).
     priority = [
-        # never checked in r1/r2: fn_*, mm_*, query_*, stream_*,
-        # sessionize, sources, bloom, graph_*, sim_*, text_*, winnow
-        "fn_url_root_domain",
-        "fn_ip_roundtrip",
-        "fn_parse_headers",
-        "fn_extract_links",
-        "fn_extract_feeds",
-        "fn_json_props",
-        "mm_content_stats",
-        "mm_frame_sample",
+        # (a) never driver-validated
         "mm_decode_fake",
-        "query_domain_list",
-        "query_url_detail",
-        "query_inverse_links",
-        "stream_windowed_stats",
-        "stream_distinct_pairs",
-        "sessionize_events",
-        "stream_sessionize",
-        "source_xml_roundtrip",
-        "bloom_frontier_filter",
-        "source_archive_roundtrip",
-        "source_csv_import",
-        "source_timeseries_tail",
-        "source_multi_sink",
-        "graph_link_edges",
-        "graph_inverse_links",
-        "graph_degree_stats",
-        "graph_pagerank",
-        "graph_pagerank_rootavg",
+        "crawldb_merge_full",
+        "crawllist_filtered_generate",
+        "mm_decode_wav",
+        "mm_decode_ppm",
+        "mm_resize_ppm",
+        "query_domain_resort",
+        "text_redact_pii",
+        "text_stratified_sample",
+        "text_vocabulary",
+        "join_asof",
+        "stream_asof",
+        "join_range_bucketed",
+        # (b) rewritten this round
         "graph_connected_components",
         "graph_component_sizes",
-        "graph_domain_rank",
-        "graph_super_domains",
-        "sim_brute_force_topk",
-        "sim_ivf_topk",
-        "sim_label_centroids",
-        "text_document_profile",
-        "text_language_profile",
-        "text_token_stats",
-        "text_fingerprint",
-        "dedup_winnow_pairs",
-        "text_regex_tokens",
-        "text_winnow_fingerprint",
-        "text_quality_signals",
-        "text_training_manifest",
-        # oracle dtype fixes this round (DuckDB HUGEINT sums)
-        "agg_stats_aggregation",
-        "agg_two_level",
-        "crawldb_merge",
-        "crawldb_incremental_merge",
-        # representatives of families green in CORRECTNESS_r02
-        "agg_pricing_summary",
-        "join_multiway",
-        "dedup_minhash_lsh",
+        "bloom_frontier_filter",
+        # (c) last green in r2
+        "agg_group_count",
+        "agg_count_having",
+        "agg_latest_per_key",
+        "agg_time_window_rollup",
+        "agg_value_percentiles",
+        "agg_moving_daily_avg",
+        "agg_status_rollup",
+        "join_tagged_full_outer",
+        "join_broadcast_dim",
+        "join_semi_whitelist",
+        "join_anti_blocklist",
+        "join_point_lookup",
+        "filter_regex_scan",
+        "filter_category",
+        "filter_classify",
+        "filter_projection_rekey",
+        "filter_blocklist",
+        "filter_range_predicate",
+        "win_topk_per_group",
+        "win_secondary_sort_rank",
+        "win_first_row_per_key",
+        "win_segment_packing",
+        "win_paginate",
+        "skew_salted_join",
+        "text_quality_buckets",
+        "dedup_cross_source",
+        "dedup_simhash_lsh",
+        "dedup_simhash_clusters",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+        "crawllist_generate",
+        "crawldb_blekko_merge",
+        "crawllist_wikipedia_partition",
+        "fn_url_canonicalize",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})

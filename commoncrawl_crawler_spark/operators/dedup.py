@@ -476,11 +476,18 @@ def _md5_tokens(documents: DataFrame) -> DataFrame:
 _H60 = "CAST(conv(substring(md5({v}),1,15),16,10) AS BIGINT)"
 
 
-def md5_simhash_sketches(documents: DataFrame, bits: int = 60) -> DataFrame:
+def md5_simhash_sketches(
+    documents: DataFrame, bits: int = 60, tokens: DataFrame | None = None
+) -> DataFrame:
     """60-bit simhash from md5 token hashes (15 hex chars keeps the
     value positive in any engine's signed 64-bit). One shuffle: a
-    groupBy with `bits` conditional-sum partials -- no UDF."""
-    hs = _md5_tokens(documents).withColumn("h", F.expr(_H60.format(v="tok")))
+    groupBy with `bits` conditional-sum partials -- no UDF.
+
+    `tokens`: optionally inject a pre-materialized _md5_tokens table so
+    a query server amortizes the tokenize window+distinct (two
+    shuffles) across the simhash and minhash tiers."""
+    toks = tokens if tokens is not None else _md5_tokens(documents)
+    hs = toks.withColumn("h", F.expr(_H60.format(v="tok")))
     aggs = [
         F.sum(F.expr(f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END")).alias(
             f"s{b}"
@@ -504,6 +511,7 @@ def md5_simhash_pairs(
     band_bits: int = 15,
     max_bucket: int = 1000,
     allow_partial_recall: bool = False,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs + hamming verify over the md5
     simhash: (doc_a, doc_b, hamming). Bucket equi-join on
@@ -523,7 +531,9 @@ def md5_simhash_pairs(
         )
     # eager: the band self-join reads the sketch table twice in one job;
     # a lazy checkpoint would compute the 60-agg pipeline twice
-    sk = md5_simhash_sketches(documents).localCheckpoint(eager=True)
+    sk = md5_simhash_sketches(documents, tokens=tokens).localCheckpoint(
+        eager=True
+    )
     mask = (1 << band_bits) - 1
     band_arr = F.array(
         *[F.expr(f"(sketch >> {i * band_bits}) & {mask}") for i in range(bands)]
@@ -616,13 +626,15 @@ def minhash_perm_constants(perms: int = 16) -> list[tuple[int, int]]:
     ]
 
 
-def md5_minhash_signatures(documents: DataFrame, perms: int = 16) -> DataFrame:
+def md5_minhash_signatures(
+    documents: DataFrame, perms: int = 16, tokens: DataFrame | None = None
+) -> DataFrame:
     """Minhash signature via ONE md5 per shingle + `perms` universal-
     hash permutations (Carter-Wegman h_p(x) = (a_p x + b_p) mod M over
     the shingle's base hash) -- one groupBy with `perms` min partials.
     16x fewer md5 evaluations than hashing (p, shingle) per perm, and
     plain positive-integer arithmetic any oracle engine replays."""
-    toks = _md5_tokens(documents)
+    toks = tokens if tokens is not None else _md5_tokens(documents)
     base = f"({_H60.format(v='tok')} % 2147483647)"
     aggs = [
         F.min(
@@ -638,11 +650,14 @@ def md5_minhash_pairs(
     perms: int = 16,
     min_matching: int = 13,
     max_bucket: int = 1000,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Banded minhash LSH (bands of 2 rows) + signature-agreement
     verify: (doc_a, doc_b, matching, est_jaccard). est_jaccard =
     matching/perms is the standard minhash similarity estimate."""
-    sig = md5_minhash_signatures(documents, perms).localCheckpoint(eager=True)
+    sig = md5_minhash_signatures(documents, perms, tokens=tokens).localCheckpoint(
+        eager=True
+    )
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -701,12 +716,21 @@ def md5_minhash_pairs(
 
 
 def md5_simhash_clusters(
-    documents: DataFrame, hamming_k: int = 3, max_iterations: int = 20
+    documents: DataFrame,
+    hamming_k: int = 3,
+    max_iterations: int = 20,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """Two-stage dedupe over the md5 simhash: LSH pairs -> min-label
-    connected components; singletons cluster to themselves
-    (Stage2Reducer/SetUnionFinder shape, fully oracle-checkable)."""
-    pairs = md5_simhash_pairs(documents, hamming_k=hamming_k).select(
+    """Two-stage dedupe over the md5 simhash: LSH pairs -> star-
+    contraction connected components; singletons cluster to themselves
+    (Stage2Reducer/SetUnionFinder shape, fully oracle-checkable).
+
+    `pairs`: optionally inject the (doc_a, doc_b, ...) output of
+    md5_simhash_pairs, already materialized -- a query server running
+    both the pair and cluster queries amortizes the whole LSH join."""
+    if pairs is None:
+        pairs = md5_simhash_pairs(documents, hamming_k=hamming_k)
+    pairs = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(pairs, max_iterations=max_iterations).select(
