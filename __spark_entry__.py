@@ -1237,6 +1237,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_label_centroids": lambda s, d: similarity.pairwise_label_centroids(
             _t(s, d, "embeddings")
         ),
+        # md5-derived hyperplanes + integer-quantized sign decisions:
+        # the full multi-table LSH candidate set hash-matches the
+        # oracle (the numpy-plane lsh_topk stays the perf path,
+        # recall-gated in pytest)
+        "sim_lsh_topk": lambda s, d: similarity.md5_lsh_topk(
+            _t(s, d, "embeddings"),
+            _t(s, d, "embeddings")
+            .filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("probe_id"), "embedding"),
+            k=5,
+        ),
         "text_document_profile": lambda s, d: textstats.document_profile(
             _t(s, d, "documents")
         ),
@@ -1305,7 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof",
         "stream_asof",
         "join_range_bucketed",
-        # (b) rewritten this round
+        # (b) new or rewritten this round
+        "sim_lsh_topk",
         "graph_connected_components",
         "graph_component_sizes",
         "bloom_frontier_filter",
@@ -1324,7 +1336,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_point_lookup",
         "filter_regex_scan",
         "filter_category",
-        "filter_classify",
         "filter_projection_rekey",
         "filter_blocklist",
         "filter_range_predicate",
@@ -1960,7 +1971,8 @@ def oracle_sql() -> dict[str, str]:
                 VALUES ('*', '', '(^/$)|(^/index\\.[^/]*$)', 86400.0),
                        ('d9.com', '', '.*', 3600.0)
             ), bm AS (
-                SELECT u.key, round(sum(r.val), 6) AS pagerank_boost
+                SELECT u.key,
+                       CAST(round(sum(r.val), 6) AS DOUBLE) AS pagerank_boost
                 FROM urls u JOIN boost_rules r
                   ON (r.root_domain IN ('*', '.*')
                       OR r.root_domain = u.root_domain)
@@ -2524,6 +2536,53 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
                        round(list_cosine_similarity(r.pemb, e.emb), 4) AS cosine
                 FROM cells e JOIN routed r ON e.cell = r.cell
                 WHERE e.vec_id <> r.probe_id
+            ), ranked AS (
+                SELECT probe_id, vec_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY probe_id ORDER BY cosine DESC, vec_id
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT probe_id, vec_id, cosine, rnk FROM ranked
+            WHERE rnk <= 5 ORDER BY probe_id, rnk
+        """,
+        "sim_lsh_topk": """
+            WITH signs AS (
+                SELECT tt.t, bb.b, dd.d,
+                       CASE WHEN CAST('0x' || substr(md5(
+                                'hp_' || tt.t || '_' || bb.b || '_' || dd.d
+                            ), 1, 15) AS BIGINT) % 2 = 1
+                            THEN 1 ELSE -1 END AS s
+                FROM (SELECT unnest(range(8)) AS t) tt,
+                     (SELECT unnest(range(6)) AS b) bb,
+                     (SELECT unnest(range(64)) AS d) dd
+            ), qv AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) - 1 AS d,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                                  + 0.5) AS BIGINT) AS q
+                FROM embeddings
+            ), dots AS (
+                SELECT qv.vec_id, signs.t, signs.b, sum(qv.q * signs.s) AS dot
+                FROM qv JOIN signs ON qv.d = signs.d
+                GROUP BY qv.vec_id, signs.t, signs.b
+            ), bk AS (
+                SELECT vec_id, t,
+                       sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << b
+                                ELSE 0 END) + t * 4294967296 AS bucket
+                FROM dots GROUP BY vec_id, t
+            ), cand AS (
+                SELECT DISTINCT p.vec_id AS probe_id, e.vec_id
+                FROM bk e JOIN bk p ON e.bucket = p.bucket
+                WHERE p.vec_id < 10 AND e.vec_id <> p.vec_id
+            ), scored AS (
+                SELECT c.probe_id, c.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(pe.embedding AS DOUBLE[]),
+                           CAST(ee.embedding AS DOUBLE[])), 4) AS cosine
+                FROM cand c
+                JOIN embeddings pe ON pe.vec_id = c.probe_id
+                JOIN embeddings ee ON ee.vec_id = c.vec_id
             ), ranked AS (
                 SELECT probe_id, vec_id, cosine,
                        row_number() OVER (

@@ -148,6 +148,158 @@ def lsh_topk(
     )
 
 
+def md5_hyperplane_signs(
+    dim: int, bits: int, n_tables: int
+) -> dict[tuple[int, int], list[int]]:
+    """Deterministic +-1 hyperplane components from md5: component
+    (t, b, d) is the low-bit parity of md5("hp_t_b_d")'s leading 15
+    hex chars. md5 is the one hash every engine evaluates identically,
+    so an oracle can re-derive the exact planes from SQL -- the same
+    trick the md5 simhash/minhash dedupe twins use."""
+    import hashlib
+
+    return {
+        (t, b): [
+            1
+            if int(
+                hashlib.md5(f"hp_{t}_{b}_{d}".encode()).hexdigest()[:15], 16
+            )
+            % 2
+            == 1
+            else -1
+            for d in range(dim)
+        ]
+        for t in range(n_tables)
+        for b in range(bits)
+    }
+
+
+_QUANT = 1_000_000.0  # fixed-point scale: sign decisions become exact
+
+
+def _quantize(emb):
+    # floor(v*1e6 + 0.5) as bigint: the per-bit dot product is then
+    # integer arithmetic, so its SIGN is independent of summation order
+    # and engine float quirks (the float dot's last ulp is not). floor
+    # instead of round() because engines disagree on .5 ties (HALF_UP
+    # vs half-even vs away-from-zero); floor(x+0.5) is one definition
+    # every engine evaluates identically
+    return F.transform(
+        emb.cast("array<double>"),
+        lambda v: F.floor(v * F.lit(_QUANT) + F.lit(0.5)).cast("bigint"),
+    )
+
+
+def md5_lsh_buckets_udf(dim: int, bits: int, n_tables: int):
+    """array<long> of n_tables md5-plane bucket keys per vector --
+    the fast path. One int64 numpy matmul per Arrow batch: quantize
+    floor(v*1e6+0.5) to int64, dot against the +-1 sign matrix in
+    integer arithmetic (exact, order-independent), sign-bit pack, tag
+    with the table id. Bit-identical to md5_lsh_buckets_from_quantized
+    (asserted in tests) and therefore to the SQL oracle, without the
+    48-aggregate Catalyst expression tree whose analysis time dwarfs
+    the data at any row count."""
+    signs = md5_hyperplane_signs(dim, bits, n_tables)
+    S = np.array(
+        [signs[(t, b)] for t in range(n_tables) for b in range(bits)],
+        dtype=np.int64,
+    )  # [n_tables*bits, dim]
+
+    @pandas_udf("array<long>")
+    def _udf(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="object")
+        X = np.asarray(embs.tolist(), dtype=np.float64)
+        Q = np.floor(X * _QUANT + 0.5).astype(np.int64)
+        dots = Q @ S.T  # exact int64, [batch, n_tables*bits]
+        pos = (dots > 0).reshape(len(Q), n_tables, bits)
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        codes = pos @ weights + (np.arange(n_tables, dtype=np.int64) << 32)
+        return pd.Series(list(codes))
+
+    return _udf
+
+
+def md5_lsh_buckets_from_quantized(
+    qcol, dim: int, bits: int, n_tables: int
+):
+    """Reference implementation of the md5-plane bucket keys as pure
+    Column expressions (zip_with/aggregate) -- semantically the
+    oracle's SQL, kept as the parity anchor for md5_lsh_buckets_udf.
+    Bucket = sign-bit pack of the per-hyperplane integer dots, tagged
+    with the table id in the high bits."""
+    signs = md5_hyperplane_signs(dim, bits, n_tables)
+    buckets = []
+    for t in range(n_tables):
+        terms = []
+        for b in range(bits):
+            sarr = F.array(*[F.lit(s) for s in signs[(t, b)]])
+            dot = F.aggregate(
+                F.zip_with(qcol, sarr, lambda x, s: x * s),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            terms.append(
+                F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            )
+        bucket = sum(terms[1:], terms[0]) + F.lit(t * (1 << 32))
+        buckets.append(bucket.cast("bigint"))
+    return F.array(*buckets)
+
+
+def md5_lsh_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    dim: int = 64,
+    k: int = 5,
+    bits: int = 6,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Hash-checkable ANN: multi-table random-hyperplane LSH candidate
+    generation + exact cosine re-rank, with md5-derived planes and
+    integer-quantized sign decisions so a SQL oracle replays the exact
+    candidate set (lsh_topk with numpy planes stays the perf path,
+    recall-gated in pytest).
+
+    Scale shape: bucket computation is a per-row projection (no
+    shuffle), the probe side broadcasts, and the only join is a bucket
+    equi-join -- the corpus is never shuffled or cross-joined.
+    Reference parity: SimHash-style Charikar rounding applied to
+    vectors (the reference's SimHash.java computes the same sign-bit
+    pack over token hashes)."""
+    bucket = md5_lsh_buckets_udf(dim, bits, n_tables)
+    e = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("corpus_emb"),
+        F.explode(bucket(F.col("embedding"))).alias("bucket"),
+    )
+    p = probes.select(
+        "probe_id",
+        F.col("embedding").cast("array<double>").alias("probe_emb"),
+        F.explode(bucket(F.col("embedding"))).alias("bucket"),
+    )
+    scored = (
+        e.join(F.broadcast(p), "bucket")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(
+                cosine_expr(F.col("probe_emb"), F.col("corpus_emb")), 4
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["probe_id", "vec_id"])
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("probe_id", "rnk")
+    )
+
+
 def _argmax_cell(cents: list[list[float]]):
     """Map-only max-cosine cell assignment against driver-resident
     centroids (1-indexed; ties break toward the lower cell via

@@ -43,6 +43,56 @@ def test_lsh_topk_recall_on_near_dups(spark, planted_embeddings):
     assert recall >= 0.9, f"recall {recall}"
 
 
+def test_md5_lsh_topk_recall_and_determinism(spark, planted_embeddings):
+    """The md5-twin LSH (oracle-checkable planes) must also recover
+    planted near-dups, and its bucket keys must be bit-stable across
+    partitionings (integer quantization removes float-order effects)."""
+    probes = planted_embeddings.filter(F.col("vec_id") >= 1000).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    bf = {
+        (r.probe_id, r.vec_id)
+        for r in similarity.brute_force_topk(planted_embeddings, probes, 1).collect()
+    }
+    ls = {
+        (r.probe_id, r.vec_id)
+        for r in similarity.md5_lsh_topk(
+            planted_embeddings, probes, dim=64, k=1
+        ).collect()
+    }
+    recall = len(bf & ls) / len(bf)
+    assert recall >= 0.9, f"recall {recall}"
+    # the fast numpy-int64 path must equal the Column-expr reference
+    # (which is the oracle's SQL) and be stable under repartitioning
+    udf = similarity.md5_lsh_buckets_udf(64, 6, 8)
+
+    def buckets(df, ref=False):
+        col = (
+            similarity.md5_lsh_buckets_from_quantized(
+                similarity._quantize(F.col("embedding")), 64, 6, 8
+            )
+            if ref
+            else udf(F.col("embedding"))
+        )
+        return {
+            (r.vec_id, tuple(r.bks))
+            for r in df.select("vec_id", col.alias("bks")).collect()
+        }
+
+    fast = buckets(planted_embeddings)
+    assert fast == buckets(planted_embeddings, ref=True)
+    assert fast == buckets(planted_embeddings.repartition(13))
+
+
+def test_md5_hyperplane_signs_are_balanced():
+    """Sanity: md5 parity gives ~50/50 +-1 components (a skewed plane
+    family would collapse every vector into few buckets)."""
+    signs = similarity.md5_hyperplane_signs(64, 6, 8)
+    flat = [s for arr in signs.values() for s in arr]
+    frac = sum(1 for s in flat if s == 1) / len(flat)
+    assert 0.45 < frac < 0.55, frac
+
+
 def test_brute_force_topk_exact(spark, planted_embeddings):
     probes = planted_embeddings.filter(F.col("vec_id") == 1000).select(
         F.col("vec_id").alias("probe_id"), "embedding"
