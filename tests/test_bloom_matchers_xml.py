@@ -35,24 +35,21 @@ def test_bloom_deterministic(spark):
 
 def test_bloom_merge_is_driver_memory_bounded(spark):
     # 32 input partitions must NOT mean 32 full bitmaps on the driver:
-    # the executor-side chunk merge collects at most m/8 bytes total,
-    # independent of partition count, and partition count must not
-    # change the result either
+    # the executor-side word merge collects at most m/8 bytes of
+    # payload total, independent of partition count, and partition
+    # count must not change the result either
     history = spark.range(0, 2000).repartition(32).select(F.col("id").alias("key"))
     m_bits, k = bloom.optimal_params(2000, 0.01)
-    chunk = 256  # force many chunks so the shard path is exercised
-    rows = bloom._chunk_shards(history, "key", m_bits, k, chunk).collect()
-    assert sum(len(bytes(r["bits"])) for r in rows) <= m_bits // 8
-    assert len({r["chunk_id"] for r in rows}) == len(rows)  # one row/chunk
-    b_many = bloom.build_bloom(history, "key", expected_items=2000, chunk_bytes=chunk)
-    b_one = bloom.build_bloom(
-        history.coalesce(1), "key", expected_items=2000, chunk_bytes=chunk
-    )
+    rows = bloom._word_shards(history, "key", m_bits, k).collect()
+    assert len(rows) * 8 <= m_bits // 8
+    assert len({r["word_id"] for r in rows}) == len(rows)  # one row/word
+    b_many = bloom.build_bloom(history, "key", expected_items=2000)
+    b_one = bloom.build_bloom(history.coalesce(1), "key", expected_items=2000)
     assert b_many.bits == b_one.bits
 
 
 def test_bloom_distributed_probe_equals_closure_probe(spark):
-    # the chunk-shard join probe and the in-closure numpy probe compute
+    # the word-shard join probe and the in-closure numpy probe compute
     # the SAME k bit indexes over the SAME merged bitmap, so their
     # survivor sets must be identical (including false positives)
     history = spark.range(0, 1000).select(F.col("id").alias("key"))
@@ -76,7 +73,7 @@ def test_bloom_distributed_probe_equals_closure_probe(spark):
 
 def test_bloom_auto_dispatch_by_filter_size(spark, monkeypatch):
     # above DRIVER_FILTER_MAX_BYTES the probe must auto-select the
-    # chunk-shard join (no Bloom object built on the driver)
+    # word-shard join (no Bloom object built on the driver)
     history = spark.range(0, 500).select(F.col("id").alias("key"))
     new = spark.range(400, 700).select(F.col("id").alias("key"))
 
