@@ -1298,9 +1298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rewritten this round (large-star/small-star CC, chunk-shard bloom
     # probe), (c) the stalest queries — last green in CORRECTNESS_r02.
     # Deferred to round 5 (all r2-green, code unchanged): setop_*,
-    # dedup_exact, dedup_normalized, filter_text_grep, win_round_robin,
-    # skew_salted_count. The full local sweep for every entry lives in
-    # CORRECTNESS_SELF_r04.txt (tools/check_all_oracles.py).
+    # dedup_exact, dedup_normalized, filter_text_grep, filter_classify,
+    # win_round_robin, skew_salted_count. The full local sweep for
+    # every entry lives in CORRECTNESS_SELF_r04.txt
+    # (tools/check_all_oracles.py).
     priority = [
         # (a) never driver-validated
         "mm_decode_fake",

@@ -158,3 +158,22 @@ def test_range_join_buckets_to_equi_join(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_md5_lsh_ann_broadcasts_probes_no_cartesian(spark, sf_smoke):
+    """sim_lsh_topk's only join must be a broadcast hash join on the
+    bucket key (probe side broadcast); the corpus is never
+    cross-joined or sort-merge shuffled, so the plan scales with the
+    corpus linearly."""
+    plan = _plan(spark, sf_smoke, "sim_lsh_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_distributed_probe_is_anti_join(spark, sf_smoke):
+    """bloom_frontier_filter (distributed=True) must filter via a
+    LeftAnti join against the matched-hash set -- not an outer join
+    that materializes a boolean on every candidate row."""
+    plan = _plan(spark, sf_smoke, "bloom_frontier_filter")
+    assert "LeftAnti" in plan
