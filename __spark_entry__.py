@@ -397,6 +397,41 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _contamination_sql(n: int = 5, min_shared: int = 3) -> str:
+    """Mirror of textstats.contamination_check: n-token shingle windows
+    via a lead() chain (|| propagates NULL in DuckDB like F.concat)."""
+    chain = " || ' ' || ".join(
+        ["t1"] + [f"lead(t1, {i}) OVER w" for i in range(1, n)]
+    )
+    return f"""
+        WITH tp AS (
+            SELECT doc_id, generate_subscripts(v, 1) AS pos, unnest(v) AS t1
+            FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS v
+                  FROM documents)
+        ), tpf AS (SELECT * FROM tp WHERE t1 <> ''),
+        sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id, {chain} AS s
+                FROM tpf WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ) WHERE s IS NOT NULL
+        ),
+        bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+        hits AS (
+            SELECT t.doc_id, count(*) AS shared_ngrams
+            FROM sh t JOIN bench b ON t.s = b.s
+            WHERE t.doc_id % 37 <> 0
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.shared_ngrams, 0) AS BIGINT) AS shared_ngrams,
+               coalesce(h.shared_ngrams, 0) >= {min_shared} AS contaminated
+        FROM documents d
+        LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 37 <> 0
+        ORDER BY d.doc_id
+    """
+
+
 def _scratch(tag: str, sf_dir: str, fresh: bool = False) -> str:
     import hashlib
     import shutil
@@ -1284,6 +1319,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocabulary": lambda s, d: textstats.vocabulary(
             _t(s, d, "documents"), top_n=100
         ),
+        # decontamination: deterministic 1-in-37 doc split plays the
+        # held-out benchmark suite
+        "text_contamination_check": lambda s, d: textstats.contamination_check(
+            _t(s, d, "documents").filter(F.col("doc_id") % 37 != 0),
+            _t(s, d, "documents").filter(F.col("doc_id") % 37 == 0),
+            n=5,
+            min_shared=3,
+        ),
         "join_asof": lambda s, d: joins.asof_join_events(_t(s, d, "events")),
         "stream_asof": _stream_asof,
         "join_range_bucketed": lambda s, d: joins.campaign_window_stats(
@@ -1299,8 +1342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # probe), (c) the stalest queries — last green in CORRECTNESS_r02.
     # Deferred to round 5 (all r2-green, code unchanged): setop_*,
     # dedup_exact, dedup_normalized, filter_text_grep, filter_classify,
-    # win_round_robin, skew_salted_count. The full local sweep for
-    # every entry lives in CORRECTNESS_SELF_r04.txt
+    # filter_category, win_round_robin, skew_salted_count. The full
+    # local sweep for every entry lives in CORRECTNESS_SELF_r04.txt
     # (tools/check_all_oracles.py).
     priority = [
         # (a) never driver-validated
@@ -1319,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range_bucketed",
         # (b) new or rewritten this round
         "sim_lsh_topk",
+        "text_contamination_check",
         "graph_connected_components",
         "graph_component_sizes",
         "bloom_frontier_filter",
@@ -1336,7 +1380,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti_blocklist",
         "join_point_lookup",
         "filter_regex_scan",
-        "filter_category",
         "filter_projection_rekey",
         "filter_blocklist",
         "filter_range_predicate",
@@ -2815,6 +2858,7 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
                        AS BIGINT) % 100 < 10
             ORDER BY doc_id
         """,
+        "text_contamination_check": _contamination_sql(n=5, min_shared=3),
         "text_vocabulary": """
             WITH toks AS (
                 SELECT doc_id,

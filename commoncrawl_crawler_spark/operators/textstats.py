@@ -279,3 +279,67 @@ def vocabulary(documents: DataFrame, top_n: int = 100) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.asc("token"))
         .limit(top_n)
     )
+
+
+def _token_shingles(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, sh) distinct lowercase n-token shingles via a per-doc
+    position window (same construction as the dedup tier's 3-token
+    shingles; F.concat propagates the trailing NULLs off the end of
+    each document so partial windows drop)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("pos", "t0"),
+    ).filter(F.col("t0") != "")
+    parts = [F.col("t0")]
+    for i in range(1, n):
+        parts.extend([F.lit(" "), F.lead("t0", i).over(w)])
+    return (
+        toks.select("doc_id", F.concat(*parts).alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .distinct()
+    )
+
+
+def contamination_check(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Train/benchmark overlap scan (decontamination): per training
+    document, the number of distinct n-token shingles it shares with
+    ANY benchmark document, and a contaminated flag at >= min_shared.
+    The standard eval-leakage pass (GPT-3 appendix C / Gopher's 13-gram
+    decontamination use the same shape; n is a parameter because token
+    units differ).
+
+    Scale shape: both shingle sets are per-doc distinct, and the
+    benchmark side collapses to a DISTINCT shingle set, so the join
+    fan-out per training shingle is at most 1 -- a linear equi-join
+    (broadcast when the benchmark is small, which real benchmark
+    suites are) followed by a partial-aggregating count. Nothing
+    quadratic, no UDF; at 100 TB hash the shingle to a bigint first
+    (md5/xxhash both sides) to shrink the shuffle payload.
+    """
+    tr = _token_shingles(documents, n)
+    be = _token_shingles(benchmark, n).select("sh").distinct()
+    hits = (
+        tr.join(be, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("shared_ngrams", F.lit(0)).alias("shared_ngrams"),
+            (F.coalesce("shared_ngrams", F.lit(0)) >= min_shared).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )

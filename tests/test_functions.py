@@ -346,3 +346,30 @@ def test_rabin_batch_matches_scalar():
             assert pd.isna(g), (v, g)
         else:
             assert g == expect, (v, g, expect)
+
+
+def test_contamination_check_flags_copied_benchmark_text(spark):
+    """A training doc containing a benchmark doc's text verbatim must
+    flag contaminated; disjoint text must report zero shared shingles;
+    the threshold separates drive-by phrase overlap from real leakage."""
+    from commoncrawl_crawler_spark.operators import textstats
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="intro words " + bench_text + " outro words"),
+            Row(doc_id=2, text="completely unrelated corpus material here now"),
+            # shares only one 5-gram window's worth -> below min_shared=3
+            Row(doc_id=3, text="quick brown fox jumps over nothing else at all"),
+        ]
+    )
+    bench = spark.createDataFrame([Row(doc_id=100, text=bench_text)])
+    out = {
+        r.doc_id: (r.shared_ngrams, r.contaminated)
+        for r in textstats.contamination_check(
+            train, bench, n=5, min_shared=3
+        ).collect()
+    }
+    assert out[1][1] is True and out[1][0] >= 3
+    assert out[2] == (0, False)
+    assert out[3][1] is False
