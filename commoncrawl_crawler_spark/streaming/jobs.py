@@ -128,18 +128,39 @@ def run_to_parquet(
 
 
 def run_available_now(
-    df: DataFrame, sink_table: str, output_mode: str = "complete"
+    df: DataFrame,
+    sink_table: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain all available input through the streaming plan, then
-    return the sink as a batch DataFrame (test/batch-parity path)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    return the sink as a batch DataFrame (test/batch-parity path).
+
+    `state_partitions` scopes spark.sql.shuffle.partitions around the
+    drain: a streaming query pins its state-store partition count at
+    the FIRST checkpoint, so this is the one place to size it. State
+    tasks carry per-partition store open/commit cost every micro-batch
+    -- size to key-throughput (small for these bounded gates; hundreds
+    on a production firehose), independent of the batch shuffle
+    default. Results are partition-count independent; pass None to
+    inherit the session default. Restored after the drain (queries in
+    a session run sequentially here)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(sink_table)
 
 
