@@ -158,6 +158,18 @@ outdeg AS (SELECT src, count(*) AS out_cnt FROM edges GROUP BY src)
 """
 
 
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the star-contraction labels feed both the component listing and
+    # the size rollup; run the iterative contraction once per
+    # (session, sf)
+    return _cached(
+        spark,
+        "cc_labels",
+        sf_dir,
+        lambda: graph.connected_components(_cc_edges(spark, sf_dir)),
+    )
+
+
 def _edges_cte(price_min: float | None = None) -> str:
     flt = f" WHERE l_extendedprice > {price_min}" if price_min else ""
     andflt = f" AND l_extendedprice > {price_min}" if price_min else ""
@@ -1234,11 +1246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 e, super_roots=graph.super_domains(e, threshold=25), iterations=2
             )
         )(_edges(s, d).localCheckpoint(eager=False)),
-        "graph_connected_components": lambda s, d: graph.connected_components(
-            _cc_edges(s, d)
-        ),
+        "graph_connected_components": lambda s, d: _cc_labels(s, d),
         "graph_component_sizes": lambda s, d: graph.component_sizes(
-            graph.connected_components(_cc_edges(s, d))
+            _cc_labels(s, d)
         ),
         "graph_domain_rank": lambda s, d: graph.domain_rank(_edges(s, d)),
         "graph_super_domains": lambda s, d: graph.super_domains(

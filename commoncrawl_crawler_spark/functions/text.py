@@ -134,20 +134,37 @@ def winnow_fingerprints_expr(col: Column, k: int = 8, w: int = 4) -> Column:
     """
     @pandas_udf("array<long>")
     def winnow(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
         out = []
         for t in texts:
             if t is None:
                 out.append(None)
                 continue
             n = max(len(t) - (k - 1), 1)
-            hs = np.fromiter(
-                (
-                    int(hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+            b = t.encode("utf-8")
+            # first 15 hex chars == (first 8 digest bytes as big-endian
+            # int) >> 4; parsing digest bytes skips the hexdigest
+            # string round-trip. ASCII docs (the common case) gram over
+            # a memoryview of the encoded bytes -- zero-copy slices and
+            # one encode per doc; multi-byte docs keep exact CHAR-gram
+            # semantics (what the oracle's substr() does) by slicing
+            # the str.
+            if len(b) == len(t):
+                mv = memoryview(b)
+                it = (
+                    from_bytes(md5(mv[i : i + k]).digest()[:8], "big") >> 4
                     for i in range(n)
-                ),
-                dtype=np.int64,
-                count=n,
-            )
+                )
+            else:
+                it = (
+                    from_bytes(
+                        md5(t[i : i + k].encode("utf-8")).digest()[:8], "big"
+                    )
+                    >> 4
+                    for i in range(n)
+                )
+            hs = np.fromiter(it, dtype=np.int64, count=n)
             if n >= w:
                 kept = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
             else:
