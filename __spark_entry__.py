@@ -373,6 +373,41 @@ SELECT node AS doc_id, min(comp) AS cluster FROM lp GROUP BY node ORDER BY doc_i
 """
 
 
+def _cluster_reps_sql(hamming_k: int = 3) -> str:
+    """cluster_representatives over the md5-simhash clustering: the
+    clusters CTE plus proven-parity token counting and a per-cluster
+    rank/size window."""
+    return f"""
+WITH RECURSIVE {_md5_simhash_cte()},
+pairs AS (SELECT doc_a, doc_b FROM cand
+          WHERE bit_count(xor(sk_a, sk_b)) <= {hamming_k}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+lp(node, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT u.b, lp.comp FROM lp JOIN und u ON lp.node = u.a WHERE lp.comp < u.b
+),
+comp AS (SELECT node AS doc_id, min(comp) AS cluster FROM lp GROUP BY node),
+tok AS (SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   AS tokens
+        FROM documents),
+r AS (
+    SELECT c.cluster, c.doc_id, t.tokens,
+           row_number() OVER (
+               PARTITION BY c.cluster ORDER BY t.tokens DESC, c.doc_id
+           ) AS rnk,
+           count(*) OVER (PARTITION BY c.cluster) AS cluster_size
+    FROM comp c JOIN tok t ON c.doc_id = t.doc_id
+)
+SELECT cluster, doc_id AS rep_doc_id, tokens AS rep_tokens,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM r WHERE rnk = 1 ORDER BY cluster
+"""
+
+
 def _md5_minhash_pairs_sql(perms: int = 16, min_matching: int = 13) -> str:
     from commoncrawl_crawler_spark.operators.dedup import minhash_perm_constants
 
@@ -1031,6 +1066,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_clusters": lambda s, d: dedup.md5_simhash_clusters(
             _t(s, d, "documents"), hamming_k=3, pairs=_simhash_pairs(s, d)
         ),
+        # post-cluster canonical selection (keep best, drop the rest)
+        "dedup_cluster_representatives": lambda s, d: dedup.cluster_representatives(
+            _t(s, d, "documents"),
+            clusters=dedup.md5_simhash_clusters(
+                _t(s, d, "documents"), hamming_k=3, pairs=_simhash_pairs(s, d)
+            ),
+        ),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             _t(s, d, "documents"), threshold=0.95
         ),
@@ -1352,9 +1394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # probe), (c) the stalest queries — last green in CORRECTNESS_r02.
     # Deferred to round 5 (all r2-green, code unchanged): setop_*,
     # dedup_exact, dedup_normalized, filter_text_grep, filter_classify,
-    # filter_category, win_round_robin, skew_salted_count. The full
-    # local sweep for every entry lives in CORRECTNESS_SELF_r04.txt
-    # (tools/check_all_oracles.py).
+    # filter_category, filter_projection_rekey, win_round_robin,
+    # skew_salted_count. The full local sweep for every entry lives in
+    # CORRECTNESS_SELF_r04.txt (tools/check_all_oracles.py).
     priority = [
         # (a) never driver-validated
         "mm_decode_fake",
@@ -1373,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new or rewritten this round
         "sim_lsh_topk",
         "text_contamination_check",
+        "dedup_cluster_representatives",
         "graph_connected_components",
         "graph_component_sizes",
         "bloom_frontier_filter",
@@ -1390,7 +1433,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti_blocklist",
         "join_point_lookup",
         "filter_regex_scan",
-        "filter_projection_rekey",
         "filter_blocklist",
         "filter_range_predicate",
         "win_topk_per_group",
@@ -2498,6 +2540,7 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
         "dedup_simhash_lsh": _md5_simhash_pairs_sql(hamming_k=3),
         "dedup_minhash_lsh": _md5_minhash_pairs_sql(min_matching=13),
         "dedup_simhash_clusters": _md5_simhash_clusters_sql(hamming_k=3),
+        "dedup_cluster_representatives": _cluster_reps_sql(hamming_k=3),
         "dedup_ngram_jaccard": """
             WITH toks AS (
                 SELECT doc_id, lang,

@@ -745,3 +745,44 @@ def md5_simhash_clusters(
         )
         .orderBy("doc_id")
     )
+
+
+def cluster_representatives(
+    documents: DataFrame,
+    clusters: DataFrame | None = None,
+    hamming_k: int = 3,
+) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: keep the
+    highest-token-count member (doc_id tiebreak) with the cluster
+    size -- the 'keep best, drop the rest' step every dedup pipeline
+    runs after clustering (the reference's dupe sets keep one URL per
+    match set the same way; Stage2Reducer emits the set, the consumer
+    picks the representative).
+
+    One shuffle on cluster (window rank + size share the partition);
+    token counting is the proven-parity Column expression. `clusters`:
+    optionally inject a precomputed (doc_id, cluster) labeling."""
+    from ..functions.text import token_count_expr
+
+    if clusters is None:
+        clusters = md5_simhash_clusters(documents, hamming_k=hamming_k)
+    scored = documents.select(
+        "doc_id", token_count_expr(F.col("text")).alias("tokens")
+    )
+    j = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("tokens"), F.asc("doc_id")
+    )
+    ws = Window.partitionBy("cluster")
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(ws))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("tokens").alias("rep_tokens"),
+            "cluster_size",
+        )
+        .orderBy("cluster")
+    )

@@ -32,3 +32,27 @@ def test_clusters_cover_all_docs_at_smoke(spark, sf_smoke):
     assert clusters.count() == docs.count()
     # cluster id is always the component minimum -> cluster <= doc_id
     assert clusters.filter(F.col("cluster") > F.col("doc_id")).count() == 0
+
+
+def test_cluster_representatives_keep_best(spark):
+    """The representative is the highest-token member (doc_id break);
+    singletons represent themselves with size 1."""
+    from pyspark.sql import Row
+    from commoncrawl_crawler_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=3, text="unrelated totally different content"),
+        ]
+    )
+    clusters = spark.createDataFrame(
+        [Row(doc_id=1, cluster=1), Row(doc_id=2, cluster=1), Row(doc_id=3, cluster=3)]
+    )
+    out = {
+        r.cluster: (r.rep_doc_id, r.rep_tokens, r.cluster_size)
+        for r in dedup.cluster_representatives(docs, clusters=clusters).collect()
+    }
+    assert out[1] == (2, 5, 2)  # longer member wins
+    assert out[3] == (3, 4, 1)  # singleton represents itself
