@@ -28,6 +28,7 @@ from commoncrawl_crawler_spark.operators import (
     graph,
     joins,
     multimodal,
+    sampling,
     sessions,
     setops,
     skew,
@@ -1373,6 +1374,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # decontamination: deterministic 1-in-37 doc split plays the
         # held-out benchmark suite
+        # mixture planning: weights derived deterministically from the
+        # source name so the plan is parameter-free and replayable
+        "text_mixture_plan": lambda s, d: sampling.mixture_plan(
+            _t(s, d, "documents"),
+            _t(s, d, "documents")
+            .select("source")
+            .distinct()
+            .select(
+                "source",
+                ((F.length("source") % 3) + 1).cast("double").alias("weight"),
+            ),
+            token_budget=25000,
+        ),
         "text_contamination_check": lambda s, d: textstats.contamination_check(
             _t(s, d, "documents").filter(F.col("doc_id") % 37 != 0),
             _t(s, d, "documents").filter(F.col("doc_id") % 37 == 0),
@@ -1395,8 +1409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Deferred to round 5 (all r2-green, code unchanged): setop_*,
     # dedup_exact, dedup_normalized, filter_text_grep, filter_classify,
     # filter_category, filter_projection_rekey, win_round_robin,
-    # skew_salted_count. The full local sweep for every entry lives in
-    # CORRECTNESS_SELF_r04.txt (tools/check_all_oracles.py).
+    # skew_salted_count, agg_moving_daily_avg. The full local sweep for
+    # every entry lives in CORRECTNESS_SELF_r04.txt
+    # (tools/check_all_oracles.py).
     priority = [
         # (a) never driver-validated
         "mm_decode_fake",
@@ -1416,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk",
         "text_contamination_check",
         "dedup_cluster_representatives",
+        "text_mixture_plan",
         "graph_connected_components",
         "graph_component_sizes",
         "bloom_frontier_filter",
@@ -1425,7 +1441,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_latest_per_key",
         "agg_time_window_rollup",
         "agg_value_percentiles",
-        "agg_moving_daily_avg",
         "agg_status_rollup",
         "join_tagged_full_outer",
         "join_broadcast_dim",
@@ -2912,6 +2927,35 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             ORDER BY doc_id
         """,
         "text_contamination_check": _contamination_sql(n=5, min_shared=3),
+        "text_mixture_plan": """
+            WITH avail AS (
+                SELECT source, count(*) AS docs,
+                       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text),
+                                                               '\\s+')) END)
+                            AS BIGINT) AS available_tokens
+                FROM documents GROUP BY source
+            ), w AS (
+                SELECT source, CAST(length(source) % 3 + 1 AS DOUBLE) AS weight
+                FROM (SELECT DISTINCT source FROM documents)
+            ), wt AS (SELECT sum(weight) AS _wt FROM w),
+            j AS (
+                SELECT a.source, a.docs, a.available_tokens,
+                       coalesce(w.weight, 0) AS weight, wt._wt
+                FROM avail a LEFT JOIN w USING (source) CROSS JOIN wt
+            ), t AS (
+                SELECT *, CAST(floor(25000.0 * weight / _wt) AS BIGINT)
+                              AS target_tokens
+                FROM j
+            )
+            SELECT source, docs, available_tokens,
+                   round(weight, 6) AS weight, target_tokens,
+                   round(least(1.0, target_tokens
+                               / greatest(available_tokens, 1)), 6)
+                       AS sampling_rate,
+                   least(target_tokens, available_tokens) AS expected_tokens
+            FROM t ORDER BY source
+        """,
         "text_vocabulary": """
             WITH toks AS (
                 SELECT doc_id,

@@ -98,3 +98,69 @@ def source_quota_report(documents: DataFrame, quota: int = 20) -> DataFrame:
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")
     )
+
+
+def mixture_plan(
+    documents: DataFrame,
+    weights: DataFrame,
+    token_budget: int,
+) -> DataFrame:
+    """Training-mix planner: per source, the token inventory and the
+    deterministic sampling rate that hits a target token budget split
+    by mixture weights (the DoReMi / Chinchilla-style source-weighting
+    step every pretraining data pipeline runs before sampling).
+
+    weights: (source, weight). target_tokens = floor(budget * w / sum(w));
+    sampling_rate = min(1, target/available) -- a source smaller than
+    its allocation contributes everything it has (expected = min of
+    the two), and the surplus is visible as rate 1.0 rows. One
+    groupBy(source) over the corpus plus a broadcast weight join;
+    token counts are exact bigints, so the plan is reproducible on any
+    partitioning. Feed the rates to hash_sample for the actual
+    map-only draw.
+    """
+    from ..functions.text import token_count_expr
+
+    avail = documents.groupBy("source").agg(
+        F.sum(token_count_expr(F.col("text")).cast("long")).alias(
+            "available_tokens"
+        ),
+        F.count(F.lit(1)).alias("docs"),
+    )
+    wtot = weights.agg(F.sum("weight").alias("_wt"))
+    j = (
+        avail.join(F.broadcast(weights), "source", "left")
+        .crossJoin(F.broadcast(wtot))
+        .select(
+            "source",
+            "docs",
+            "available_tokens",
+            F.coalesce("weight", F.lit(0.0)).alias("weight"),
+            "_wt",
+        )
+    )
+    target = F.floor(
+        F.lit(float(token_budget)) * F.col("weight") / F.col("_wt")
+    ).cast("long")
+    return (
+        j.withColumn("target_tokens", target)
+        .select(
+            "source",
+            "docs",
+            "available_tokens",
+            F.round("weight", 6).alias("weight"),
+            "target_tokens",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("target_tokens")
+                    / F.greatest(F.col("available_tokens"), F.lit(1)),
+                ),
+                6,
+            ).alias("sampling_rate"),
+            F.least(F.col("target_tokens"), F.col("available_tokens")).alias(
+                "expected_tokens"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -373,3 +373,32 @@ def test_contamination_check_flags_copied_benchmark_text(spark):
     assert out[1][1] is True and out[1][0] >= 3
     assert out[2] == (0, False)
     assert out[3][1] is False
+
+
+def test_mixture_plan_budget_and_caps(spark):
+    """Rates cap at 1.0 when a source is smaller than its allocation;
+    expected tokens = min(target, available); unweighted sources get
+    rate 0."""
+    from commoncrawl_crawler_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="big", text="w " * 50) for i in range(10)]
+        + [Row(doc_id=100 + i, source="tiny", text="w w") for i in range(2)]
+        + [Row(doc_id=200, source="unweighted", text="x y z")]
+    )
+    weights = spark.createDataFrame(
+        [Row(source="big", weight=1.0), Row(source="tiny", weight=1.0)]
+    )
+    out = {
+        r.source: r.asDict()
+        for r in sampling.mixture_plan(docs, weights, token_budget=200).collect()
+    }
+    assert out["big"]["available_tokens"] == 500
+    assert out["big"]["target_tokens"] == 100
+    assert out["big"]["sampling_rate"] == 0.2
+    assert out["big"]["expected_tokens"] == 100
+    # tiny has 4 tokens but a 100-token allocation: rate caps at 1.0
+    assert out["tiny"]["sampling_rate"] == 1.0
+    assert out["tiny"]["expected_tokens"] == 4
+    assert out["unweighted"]["sampling_rate"] == 0.0
+    assert out["unweighted"]["expected_tokens"] == 0
