@@ -1216,6 +1216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_wav": lambda s, d: multimodal.decode_wav(
             multimodal.synthesize_wav(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # frame -> feature: exact-integer windowed energy over the
+        # real WAV decode
+        "mm_audio_energy": lambda s, d: multimodal.audio_frame_energy(
+            multimodal.synthesize_wav(_t(s, d, "documents")), frame=256
+        ),
         "mm_decode_ppm": lambda s, d: multimodal.decode_ppm(
             multimodal.synthesize_ppm(_t(s, d, "documents"))
         ).orderBy("media_id"),
@@ -1409,9 +1414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Deferred to round 5 (all r2-green, code unchanged): setop_*,
     # dedup_exact, dedup_normalized, filter_text_grep, filter_classify,
     # filter_category, filter_projection_rekey, win_round_robin,
-    # skew_salted_count, agg_moving_daily_avg. The full local sweep for
-    # every entry lives in CORRECTNESS_SELF_r04.txt
-    # (tools/check_all_oracles.py).
+    # skew_salted_count, agg_moving_daily_avg, win_first_row_per_key.
+    # The full local sweep for every entry lives in
+    # CORRECTNESS_SELF_r04.txt (tools/check_all_oracles.py).
     priority = [
         # (a) never driver-validated
         "mm_decode_fake",
@@ -1432,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination_check",
         "dedup_cluster_representatives",
         "text_mixture_plan",
+        "mm_audio_energy",
         "graph_connected_components",
         "graph_component_sizes",
         "bloom_frontier_filter",
@@ -1452,7 +1458,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_range_predicate",
         "win_topk_per_group",
         "win_secondary_sort_rank",
-        "win_first_row_per_key",
         "win_segment_packing",
         "win_paginate",
         "skew_salted_join",
@@ -2280,6 +2285,26 @@ def oracle_sql() -> dict[str, str]:
         # Spark DECODES real RIFF bytes; the oracle recomputes the
         # expected amplitude features from the synthesizer formula
         # (sample[i] = (doc_id*7 + i*13) % 256, n = 1024 + doc_id % 1024)
+        "mm_audio_energy": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       [(doc_id*7 + i*13) % 256
+                        FOR i IN range(0, 1024 + doc_id % 1024)] AS l
+                FROM documents
+            ), x AS (
+                SELECT media_id, generate_subscripts(l, 1) - 1 AS i,
+                       unnest(l) AS v
+                FROM s
+            )
+            SELECT media_id,
+                   CAST(i // 256 AS INT) AS frame_idx,
+                   CAST(count(*) AS INT) AS n,
+                   CAST(sum(v) AS BIGINT) AS sum_amp,
+                   CAST(sum(v*v) AS BIGINT) AS sum_sq,
+                   CAST(max(v) AS INT) AS peak
+            FROM x GROUP BY media_id, i // 256
+            ORDER BY media_id, frame_idx
+        """,
         "mm_decode_wav": """
             WITH s AS (
                 SELECT doc_id AS media_id,

@@ -282,6 +282,58 @@ def decode_wav(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_decode, WAV_FEATURES)
 
 
+AUDIO_FRAME_FEATURES = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n", IntegerType()),
+        StructField("sum_amp", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def audio_frame_energy(media: DataFrame, frame: int = 256) -> DataFrame:
+    """Windowed audio features over the real WAV decode: split the PCM
+    stream into fixed frames and emit per-frame exact-integer energy
+    (count, amplitude sum, sum of squares, peak) -- the frame ->
+    feature shape of every audio ML front end (RMS/VAD/fingerprint),
+    with integer sums so results are bit-identical under any
+    partitioning. One vectorized reduceat per document; the frame
+    table is the narrow exploded form a 100 TB audio pipeline feeds to
+    downstream aggregation."""
+    _parse = parse_wav_bytes
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_FRAME_FEATURES.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                _, _, _, arr = _parse(bytes(blob))
+                n = len(arr)
+                if n == 0:
+                    continue
+                idx = np.arange(0, n, frame)
+                sums = np.add.reduceat(arr, idx)
+                sqs = np.add.reduceat(arr * arr, idx)
+                peaks = np.maximum.reduceat(arr, idx)
+                counts = np.diff(np.append(idx, n))
+                for f in range(len(idx)):
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(f)
+                    rows["n"].append(int(counts[f]))
+                    rows["sum_amp"].append(int(sums[f]))
+                    rows["sum_sq"].append(int(sqs[f]))
+                    rows["peak"].append(int(peaks[f]))
+            yield pd.DataFrame(rows)
+
+    return (
+        media.select("media_id", "content")
+        .mapInPandas(_frames, AUDIO_FRAME_FEATURES)
+        .orderBy("media_id", "frame_idx")
+    )
+
+
 def synthesize_ppm(documents: DataFrame) -> DataFrame:
     """Deterministic P6 PPM per document: width = 8 + doc_id % 9,
     height = 6 + doc_id % 7, flat RGB byte p = (doc_id*3 + p*5) % 256.

@@ -152,3 +152,30 @@ def test_ppm_parser_rejects_truncated_input():
         multimodal.parse_ppm_bytes(b"P6\n# no newline after this")
     with pytest.raises(ValueError):  # pixel frame shorter than w*h*3
         multimodal.parse_ppm_bytes(b"P6\n2 2\n255\n" + b"\x00" * 5)
+
+
+def test_audio_frame_energy_exact_frames(spark):
+    """Frames tile the PCM stream exactly: counts sum to n_samples,
+    the last partial frame keeps its true length, and per-frame sums
+    match a numpy reference."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=3, text="x"), Row(doc_id=7, text="y")]
+    )
+    media = multimodal.synthesize_wav(docs)
+    out = multimodal.audio_frame_energy(media, frame=256).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_media.items():
+        n = 1024 + mid % 1024
+        ref = (mid * 7 + np.arange(n) * 13) % 256
+        assert sum(r.n for r in rows) == n
+        assert [r.frame_idx for r in rows] == list(range(len(rows)))
+        for r in rows:
+            seg = ref[r.frame_idx * 256 : r.frame_idx * 256 + r.n]
+            assert r.sum_amp == int(seg.sum())
+            assert r.sum_sq == int((seg * seg).sum())
+            assert r.peak == int(seg.max())
