@@ -27,6 +27,7 @@ from commoncrawl_crawler_spark.operators import (
     filters,
     graph,
     joins,
+    corpus,
     multimodal,
     sampling,
     sessions,
@@ -406,6 +407,72 @@ r AS (
 SELECT cluster, doc_id AS rep_doc_id, tokens AS rep_tokens,
        CAST(cluster_size AS BIGINT) AS cluster_size
 FROM r WHERE rnk = 1 ORDER BY cluster
+"""
+
+
+def _corpus_build_sql(
+    benchmark_mod: int = 37,
+    min_tokens: int = 20,
+    hamming_k: int = 3,
+    n: int = 5,
+    min_shared: int = 3,
+) -> str:
+    """Composed corpus-hygiene oracle: clusters -> representatives ->
+    decontamination -> quality floor -> per-source manifest.
+    Contamination CTEs are c-prefixed to avoid colliding with the
+    simhash tokenizer CTE names."""
+    chain = " || ' ' || ".join(
+        ["t1"] + [f"lead(t1, {i}) OVER w" for i in range(1, n)]
+    )
+    return f"""
+WITH RECURSIVE {_md5_simhash_cte()},
+pairs AS (SELECT doc_a, doc_b FROM cand
+          WHERE bit_count(xor(sk_a, sk_b)) <= {hamming_k}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+lp(node, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT u.b, lp.comp FROM lp JOIN und u ON lp.node = u.a WHERE lp.comp < u.b
+),
+comp AS (SELECT node AS doc_id, min(comp) AS cluster FROM lp GROUP BY node),
+tok AS (SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   AS tokens
+        FROM documents),
+r AS (
+    SELECT c.cluster, c.doc_id, t.tokens,
+           row_number() OVER (
+               PARTITION BY c.cluster ORDER BY t.tokens DESC, c.doc_id
+           ) AS rnk
+    FROM comp c JOIN tok t ON c.doc_id = t.doc_id
+),
+reps AS (SELECT doc_id FROM r WHERE rnk = 1),
+ctp AS (SELECT doc_id, generate_subscripts(v, 1) AS pos, unnest(v) AS t1
+        FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS v
+              FROM documents)),
+ctpf AS (SELECT * FROM ctp WHERE t1 <> ''),
+csh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, {chain} AS s
+            FROM ctpf WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE s IS NOT NULL),
+cbench AS (SELECT DISTINCT s FROM csh WHERE doc_id % {benchmark_mod} = 0),
+contaminated AS (
+    SELECT t.doc_id FROM csh t JOIN cbench b ON t.s = b.s
+    WHERE t.doc_id % {benchmark_mod} <> 0
+    GROUP BY t.doc_id HAVING count(*) >= {min_shared}
+),
+kept AS (
+    SELECT d.doc_id, d.source, t.tokens
+    FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+    WHERE d.doc_id % {benchmark_mod} <> 0
+      AND d.doc_id IN (SELECT doc_id FROM reps)
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND t.tokens >= {min_tokens}
+)
+SELECT source, count(*) AS docs, CAST(sum(tokens) AS BIGINT) AS tokens
+FROM kept GROUP BY source ORDER BY source
 """
 
 
@@ -1067,6 +1134,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_clusters": lambda s, d: dedup.md5_simhash_clusters(
             _t(s, d, "documents"), hamming_k=3, pairs=_simhash_pairs(s, d)
         ),
+        # the composed hygiene pipeline: clusters -> representatives ->
+        # decontamination -> quality floor -> per-source manifest, as
+        # ONE Catalyst plan (operators/corpus.py)
+        "pipeline_corpus_build": lambda s, d: corpus.corpus_build_manifest(
+            _t(s, d, "documents"),
+            clusters=dedup.md5_simhash_clusters(
+                _t(s, d, "documents"), hamming_k=3, pairs=_simhash_pairs(s, d)
+            ),
+        ),
         # post-cluster canonical selection (keep best, drop the rest)
         "dedup_cluster_representatives": lambda s, d: dedup.cluster_representatives(
             _t(s, d, "documents"),
@@ -1414,7 +1490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Deferred to round 5 (all r2-green, code unchanged): setop_*,
     # dedup_exact, dedup_normalized, filter_text_grep, filter_classify,
     # filter_category, filter_projection_rekey, win_round_robin,
-    # skew_salted_count, agg_moving_daily_avg, win_first_row_per_key.
+    # skew_salted_count, agg_moving_daily_avg, win_first_row_per_key,
+    # agg_status_rollup.
     # The full local sweep for every entry lives in
     # CORRECTNESS_SELF_r04.txt (tools/check_all_oracles.py).
     priority = [
@@ -1438,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_representatives",
         "text_mixture_plan",
         "mm_audio_energy",
+        "pipeline_corpus_build",
         "graph_connected_components",
         "graph_component_sizes",
         "bloom_frontier_filter",
@@ -1447,7 +1525,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_latest_per_key",
         "agg_time_window_rollup",
         "agg_value_percentiles",
-        "agg_status_rollup",
         "join_tagged_full_outer",
         "join_broadcast_dim",
         "join_semi_whitelist",
@@ -2581,6 +2658,7 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
         "dedup_minhash_lsh": _md5_minhash_pairs_sql(min_matching=13),
         "dedup_simhash_clusters": _md5_simhash_clusters_sql(hamming_k=3),
         "dedup_cluster_representatives": _cluster_reps_sql(hamming_k=3),
+        "pipeline_corpus_build": _corpus_build_sql(),
         "dedup_ngram_jaccard": """
             WITH toks AS (
                 SELECT doc_id, lang,

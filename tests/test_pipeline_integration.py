@@ -74,3 +74,45 @@ def test_domain_metadata_pipeline_end_to_end(spark, tmp_path, sf_smoke):
     again = _build_task(str(tmp_path), sf_smoke, log2).run(spark)
     assert log2 == []
     assert again["final"].count() == 10
+
+
+def test_corpus_build_manifest_composition(spark):
+    """The composed hygiene chain drops benchmark docs, contaminated
+    docs, non-representative cluster members, and under-floor docs --
+    and nothing else."""
+    from pyspark.sql import Row
+    from commoncrawl_crawler_spark.operators import corpus
+
+    long_txt = " ".join(f"w{i}" for i in range(30))
+    # doc 0: benchmark (0 % 5 == 0); doc 6 copies it -> contaminated
+    # docs 2,3: near-dup cluster, 3 longer -> 3 is representative
+    # doc 4: under the 20-token floor
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, source="s0", text=long_txt),
+            Row(doc_id=6, source="s1", text=long_txt + " tail tail2"),
+            Row(doc_id=2, source="s1", text=" ".join(f"a{i}" for i in range(25))),
+            Row(doc_id=3, source="s2", text=" ".join(f"a{i}" for i in range(28))),
+            Row(doc_id=4, source="s3", text="too short"),
+            Row(doc_id=7, source="s3", text=" ".join(f"b{i}" for i in range(22))),
+        ]
+    )
+    clusters = spark.createDataFrame(
+        [
+            Row(doc_id=0, cluster=0),
+            Row(doc_id=6, cluster=6),
+            Row(doc_id=2, cluster=2),
+            Row(doc_id=3, cluster=2),
+            Row(doc_id=4, cluster=4),
+            Row(doc_id=7, cluster=7),
+        ]
+    )
+    out = {
+        r.source: (r.docs, r.tokens)
+        for r in corpus.corpus_build_manifest(
+            docs, benchmark_mod=5, min_tokens=20, clusters=clusters
+        ).collect()
+    }
+    # survivors: doc 3 (cluster rep, 28 tokens), doc 7 (22 tokens).
+    # dropped: 0 (benchmark), 6 (contaminated), 2 (non-rep), 4 (short)
+    assert out == {"s2": (1, 28), "s3": (1, 22)}
