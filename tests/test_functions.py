@@ -402,3 +402,40 @@ def test_mixture_plan_budget_and_caps(spark):
     assert out["tiny"]["expected_tokens"] == 4
     assert out["unweighted"]["sampling_rate"] == 0.0
     assert out["unweighted"]["expected_tokens"] == 0
+
+
+def test_winnow_multibyte_text_uses_char_gram_semantics(spark):
+    """The ASCII byte-slicing fast path and the char-slicing fallback
+    must select identical fingerprints; non-ASCII text must gram over
+    CHARACTERS (what the SQL oracle's substr does), not bytes."""
+    import hashlib
+
+    # mixed corpus: pure ASCII, latin-1 accents, CJK
+    rows = [
+        Row(doc_id=1, t="plain ascii running text with words"),
+        Row(doc_id=2, t="café au lait déjà vu àéîõü " * 3),
+        Row(doc_id=3, t="日本語のテキストです。これはテストです。" * 2),
+        Row(doc_id=4, t="mixed ascii と 日本語 café content here"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.doc_id: list(r.fps)
+        for r in df.select(
+            "doc_id", text.winnow_fingerprints_expr(F.col("t"), k=8, w=4).alias("fps")
+        ).collect()
+    }
+
+    def ref(t, k=8, w=4):
+        n = max(len(t) - (k - 1), 1)
+        hs = [
+            int(hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+            for i in range(n)
+        ]
+        if n >= w:
+            kept = [min(hs[i : i + w]) for i in range(n - w + 1)]
+        else:
+            kept = [min(hs)]
+        return sorted(set(kept))
+
+    for r in rows:
+        assert got[r.doc_id] == ref(r.t), f"doc {r.doc_id}"

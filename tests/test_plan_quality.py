@@ -177,3 +177,21 @@ def test_bloom_distributed_probe_is_anti_join(spark, sf_smoke):
     that materializes a boolean on every candidate row."""
     plan = _plan(spark, sf_smoke, "bloom_frontier_filter")
     assert "LeftAnti" in plan
+
+
+def test_contamination_join_no_cartesian(spark, sf_smoke):
+    """text_contamination_check's shingle join must be a hash join
+    (benchmark side broadcastable), never a cartesian/nested-loop."""
+    plan = _plan(spark, sf_smoke, "text_contamination_check")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_build_keep_sets_are_semi_anti_joins(spark, sf_smoke):
+    """pipeline_corpus_build must intersect its keep/drop sets with
+    LeftSemi/LeftAnti joins on doc_id -- not outer joins that
+    materialize flags on the full corpus."""
+    plan = _plan(spark, sf_smoke, "pipeline_corpus_build")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
