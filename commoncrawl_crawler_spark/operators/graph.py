@@ -276,12 +276,15 @@ def _large_star(e: DataFrame) -> DataFrame:
         .agg(F.min("dst").alias("mn"))
         .select("src", F.least(F.col("mn"), F.col("src")).alias("m"))
     )
+    # no distinct here: small_star (always applied next) dedups its
+    # own output, and its min-aggregate is duplicate-insensitive -- a
+    # distinct would spend a full shuffle per round to shrink an
+    # intermediate the next aggregate absorbs anyway
     return (
         sym.join(m, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
