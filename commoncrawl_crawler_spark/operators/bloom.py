@@ -85,21 +85,55 @@ class Bloom:
         return (arr[idx >> 3] & (1 << (idx & 7).astype(np.uint8))).all(axis=1)
 
 
+#: above this per-task bitmap size the local-bitmap build is the wrong
+#: shape (a 10B-URL filter is ~12 GB -- one dense numpy array PER TASK
+#: would OOM every executor); switch to per-bit rows with no task-local
+#: state, trading task memory for a k-rows-per-key shuffle
+TASK_BITMAP_MAX_BYTES = 256 << 20
+
+
 def _word_shards(df: DataFrame, col: str, m_bits: int, k: int) -> DataFrame:
     """Distributed bit-set + executor-side OR-merge -> one row per
     nonzero 64-bit word: (word_id int, w long).
 
-    Each input partition builds its bitmap locally (vectorized, one
-    Arrow pass) and emits only its NONZERO words; a JVM-side
-    groupBy(word_id).agg(bit_or) merges shards -- no second Python
-    stage, and the shuffle is proportional to the bits actually set
-    (a chunk/page granularity would shuffle partitions x full-filter
-    bytes once the filter is dense). The result is a DATAFRAME: the
-    closure path collects it (at most m/8 bytes of payload reach the
-    driver), the distributed path joins against it and no bitmap ever
-    leaves the cluster."""
+    Two strategies by filter size:
+    - m/8 <= TASK_BITMAP_MAX_BYTES: each input partition builds its
+      bitmap locally (vectorized, one Arrow pass) and emits only its
+      NONZERO words -- shuffle is proportional to bits actually set,
+      task memory to the filter size.
+    - above: no task-local bitmap at all -- each key explodes to its
+      k (word_id, bit) rows JVM-side from the index-UDF output and a
+      groupBy(word_id).agg(bit_or) folds them. Task memory is O(batch),
+      shuffle is k rows/key (partial aggregation combines map-side),
+      so a 12 GB filter builds without any executor holding it.
+
+    Both merge with a JVM bit_or; results are identical (asserted in
+    tests). The result is a DATAFRAME: the closure path collects it
+    (at most m/8 bytes of payload reach the driver), the distributed
+    path joins against it and no bitmap ever leaves the cluster."""
     n_words = m_bits // 64
     hashed = df.select(F.xxhash64(F.col(col)).alias("h"))
+
+    if m_bits // 8 > TASK_BITMAP_MAX_BYTES:
+
+        @pandas_udf("array<long>")
+        def _idx_udf(hs: pd.Series) -> pd.Series:
+            idx = _indexes(
+                hs.to_numpy(dtype=np.int64).astype(np.uint64), m_bits, k
+            )
+            return pd.Series(list(idx))
+
+        bits = hashed.select(F.explode(_idx_udf("h")).alias("bit_idx"))
+        return (
+            bits.select(
+                F.expr("CAST(bit_idx DIV 64 AS INT)").alias("word_id"),
+                F.expr("CAST(1 AS BIGINT) << CAST(bit_idx % 64 AS INT)").alias(
+                    "w"
+                ),
+            )
+            .groupBy("word_id")
+            .agg(F.expr("bit_or(w)").alias("w"))
+        )
 
     def _partition_words(batches):
         arr = np.zeros(n_words, dtype=np.uint64)

@@ -218,3 +218,24 @@ def test_incremental_merge_bucketed_is_shuffle_free(spark, tmp_path, sf_smoke):
         )
         spark.sql("DROP TABLE IF EXISTS t_prev_m")
         spark.sql("DROP TABLE IF EXISTS t_delta_m")
+
+
+def test_bloom_bit_row_build_equals_bitmap_build(spark, monkeypatch):
+    """The no-task-bitmap (per-bit-row) build path must produce the
+    exact same merged word table -- and therefore the same survivor
+    set -- as the local-bitmap path."""
+    history = spark.range(0, 1500).select(F.col("id").alias("key"))
+    new = spark.range(1000, 3000).select(F.col("id").alias("key"))
+    m_bits, k = bloom.optimal_params(1500, 0.01)
+    bitmap_words = {
+        (r["word_id"], r["w"])
+        for r in bloom._word_shards(history, "key", m_bits, k).collect()
+    }
+    monkeypatch.setattr(bloom, "TASK_BITMAP_MAX_BYTES", 0)
+    bitrow_words = {
+        (r["word_id"], r["w"])
+        for r in bloom._word_shards(history, "key", m_bits, k).collect()
+    }
+    assert bitmap_words == bitrow_words
+    survivors = bloom.bloom_drop_seen(new, history, "key", distributed=True)
+    assert 1400 <= survivors.count() <= 1500  # ~1500 new keys survive
