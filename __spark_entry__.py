@@ -447,6 +447,7 @@ r AS (
                PARTITION BY c.cluster ORDER BY t.tokens DESC, c.doc_id
            ) AS rnk
     FROM comp c JOIN tok t ON c.doc_id = t.doc_id
+    WHERE c.doc_id % {benchmark_mod} <> 0
 ),
 reps AS (SELECT doc_id FROM r WHERE rnk = 1),
 ctp AS (SELECT doc_id, generate_subscripts(v, 1) AS pos, unnest(v) AS t1
@@ -3043,9 +3044,10 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
                 FROM (SELECT DISTINCT source FROM documents)
             ), wt AS (SELECT sum(weight) AS _wt FROM w),
             j AS (
-                SELECT a.source, a.docs, a.available_tokens,
+                SELECT source, coalesce(a.docs, 0) AS docs,
+                       coalesce(a.available_tokens, 0) AS available_tokens,
                        coalesce(w.weight, 0) AS weight, wt._wt
-                FROM avail a LEFT JOIN w USING (source) CROSS JOIN wt
+                FROM avail a FULL JOIN w USING (source) CROSS JOIN wt
             ), t AS (
                 SELECT *, CAST(floor(25000.0 * weight / _wt) AS BIGINT)
                               AS target_tokens

@@ -58,6 +58,19 @@ def _indexes(vals: np.ndarray, m_bits: int, k: int) -> np.ndarray:
         )
 
 
+def _index_array_udf(m_bits: int, k: int):
+    """array<long> of the k bit indexes for a hash column -- the ONE
+    index derivation both the build and the probe use (a drifted copy
+    would set and test different bit positions)."""
+
+    @pandas_udf("array<long>")
+    def _udf(hs: pd.Series) -> pd.Series:
+        idx = _indexes(hs.to_numpy(dtype=np.int64).astype(np.uint64), m_bits, k)
+        return pd.Series(list(idx))
+
+    return _udf
+
+
 def optimal_params(expected_items: int, fpp: float) -> tuple[int, int]:
     """(m_bits, k) for a target false-positive rate (standard bloom
     sizing: m = -n ln p / ln^2 2, k = m/n ln 2 -- BloomCalculations
@@ -115,18 +128,14 @@ def _word_shards(df: DataFrame, col: str, m_bits: int, k: int) -> DataFrame:
     hashed = df.select(F.xxhash64(F.col(col)).alias("h"))
 
     if m_bits // 8 > TASK_BITMAP_MAX_BYTES:
-
-        @pandas_udf("array<long>")
-        def _idx_udf(hs: pd.Series) -> pd.Series:
-            idx = _indexes(
-                hs.to_numpy(dtype=np.int64).astype(np.uint64), m_bits, k
-            )
-            return pd.Series(list(idx))
-
-        bits = hashed.select(F.explode(_idx_udf("h")).alias("bit_idx"))
+        idx_udf = _index_array_udf(m_bits, k)
+        bits = hashed.select(F.explode(idx_udf("h")).alias("bit_idx"))
         return (
             bits.select(
-                F.expr("CAST(bit_idx DIV 64 AS INT)").alias("word_id"),
+                # BIGINT: a >16 GiB filter exceeds 2^31 words -- an INT
+                # word_id would overflow at exactly the scale this path
+                # exists for
+                F.expr("bit_idx DIV 64").alias("word_id"),
                 F.expr("CAST(1 AS BIGINT) << CAST(bit_idx % 64 AS INT)").alias(
                     "w"
                 ),
@@ -150,12 +159,12 @@ def _word_shards(df: DataFrame, col: str, m_bits: int, k: int) -> DataFrame:
         if len(nz):
             yield pd.DataFrame(
                 {
-                    "word_id": nz.astype(np.int32),
+                    "word_id": nz.astype(np.int64),
                     "w": arr[nz].view(np.int64),
                 }
             )
 
-    shards = hashed.mapInPandas(_partition_words, "word_id int, w long")
+    shards = hashed.mapInPandas(_partition_words, "word_id long, w long")
     return shards.groupBy("word_id").agg(F.expr("bit_or(w)").alias("w"))
 
 
@@ -179,9 +188,11 @@ def build_bloom(
         wid = np.array([r["word_id"] for r in rows], dtype=np.int64)
         wv = np.array([r["w"] for r in rows], dtype=np.int64).view(np.uint64)
         merged[wid] = wv
-    # little-endian word bytes reproduce the bit-i -> byte i>>3 /
-    # bit i&7 layout might_contain_np indexes
-    return Bloom(merged.tobytes(), m_bits, k)
+    # EXPLICIT little-endian word bytes reproduce the bit-i ->
+    # byte i>>3 / bit i&7 layout might_contain_np indexes; native-order
+    # tobytes() would flip the byte layout on a big-endian host (and a
+    # Bloom pickles across hosts)
+    return Bloom(merged.astype("<u8").tobytes(), m_bits, k)
 
 
 def might_contain_udf(bloom: Bloom) -> Column:
@@ -220,21 +231,16 @@ def _seen_by_word_join(
     so a missing word row means bit=0 (left join). The probe shuffles
     k small rows per distinct candidate and the word table once;
     candidate payload columns never shuffle."""
-
-    @pandas_udf("array<long>")
-    def _idx_udf(hashes: pd.Series) -> pd.Series:
-        idx = _indexes(
-            hashes.to_numpy(dtype=np.int64).astype(np.uint64), m_bits, k
-        )
-        return pd.Series(list(idx))
-
+    idx_udf = _index_array_udf(m_bits, k)
     probes = (
         candidates.select(F.xxhash64(F.col(col)).alias("h"))
         .distinct()
-        .select("h", F.explode(_idx_udf("h")).alias("bit_idx"))
+        .select("h", F.explode(idx_udf("h")).alias("bit_idx"))
         .select(
             "h",
-            F.expr("CAST(bit_idx DIV 64 AS INT)").alias("word_id"),
+            # BIGINT word_id: must match the shard table's width (and
+            # >2^31 words is exactly the big-filter regime)
+            F.expr("bit_idx DIV 64").alias("word_id"),
             F.expr("CAST(bit_idx % 64 AS INT)").alias("bit_off"),
         )
     )
@@ -271,29 +277,6 @@ def _seen_hash_set(
     words = _word_shards(history, col, m_bits, k)
     seen = _seen_by_word_join(candidates, col, words, m_bits, k)
     return seen.filter(F.col("_seen")).select("h")
-
-
-def _seen_column(
-    candidates: DataFrame,
-    history: DataFrame,
-    col: str,
-    fpp: float,
-    distributed: bool | None,
-) -> DataFrame:
-    """candidates + boolean '_seen' column, via whichever probe shape
-    fits the filter size (explicit `distributed` overrides)."""
-    n, m_bits, k, distributed = _resolve_probe(history, fpp, distributed)
-    if not distributed:
-        bloom = build_bloom(history, col, expected_items=n, fpp=fpp)
-        probe = might_contain_udf(bloom)
-        return candidates.withColumn("_seen", probe(F.xxhash64(F.col(col))))
-    seen_h = _seen_hash_set(candidates, history, col, m_bits, k)
-    return (
-        candidates.withColumn("h", F.xxhash64(F.col(col)))
-        .join(seen_h.withColumn("_seen", F.lit(True)), "h", "left")
-        .drop("h")
-        .withColumn("_seen", F.coalesce("_seen", F.lit(False)))
-    )
 
 
 def _filtered(

@@ -37,8 +37,11 @@ def corpus_build_manifest(
     the full hygiene chain:
 
     1. train/benchmark split on doc_id % benchmark_mod,
-    2. keep only each near-dup cluster's canonical representative
-       (highest token count),
+    2. keep only each near-dup cluster's canonical representative --
+       selected among the cluster's TRAIN members (clusters are
+       labeled over the full corpus so benchmark near-dups still
+       merge sets, but a benchmark doc must never be the reason a
+       clean training doc is dropped),
     3. drop documents contaminated by the benchmark split
        (>= min_shared shared n-gram shingles),
     4. drop documents under the min_tokens quality floor.
@@ -50,9 +53,11 @@ def corpus_build_manifest(
     train = documents.filter(~is_bench)
     bench = documents.filter(is_bench)
 
-    reps = dedup.cluster_representatives(
-        documents, clusters=clusters, hamming_k=hamming_k
-    ).select(F.col("rep_doc_id").alias("doc_id"))
+    if clusters is None:
+        clusters = dedup.md5_simhash_clusters(documents, hamming_k=hamming_k)
+    reps = dedup.cluster_representatives(train, clusters=clusters).select(
+        F.col("rep_doc_id").alias("doc_id")
+    )
     contaminated = (
         textstats.contamination_check(
             train,

@@ -113,11 +113,14 @@ def mixture_plan(
     weights: (source, weight). target_tokens = floor(budget * w / sum(w));
     sampling_rate = min(1, target/available) -- a source smaller than
     its allocation contributes everything it has (expected = min of
-    the two), and the surplus is visible as rate 1.0 rows. One
-    groupBy(source) over the corpus plus a broadcast weight join;
-    token counts are exact bigints, so the plan is reproducible on any
-    partitioning. Feed the rates to hash_sample for the actual
-    map-only draw.
+    the two), and the surplus is visible as rate 1.0 rows. The join is
+    FULL outer: a weighted source with no documents still emits a
+    docs=0 / expected_tokens=0 row, so a budget shortfall (its weight
+    still sits in the normalizer) is visible in the plan instead of
+    silently vanishing. One groupBy(source) over the corpus plus a
+    tiny weight join; token counts are exact bigints, so the plan is
+    reproducible on any partitioning. Feed the rates to hash_sample
+    for the actual map-only draw.
     """
     from ..functions.text import token_count_expr
 
@@ -129,12 +132,14 @@ def mixture_plan(
     )
     wtot = weights.agg(F.sum("weight").alias("_wt"))
     j = (
-        avail.join(F.broadcast(weights), "source", "left")
+        avail.join(weights, "source", "full")
         .crossJoin(F.broadcast(wtot))
         .select(
             "source",
-            "docs",
-            "available_tokens",
+            F.coalesce("docs", F.lit(0)).alias("docs"),
+            F.coalesce("available_tokens", F.lit(0)).alias(
+                "available_tokens"
+            ),
             F.coalesce("weight", F.lit(0.0)).alias("weight"),
             "_wt",
         )

@@ -90,9 +90,17 @@ def write_archive(
     check runs inside the single write pass (raised from the executor,
     surfaced as the job error) -- no separate validation job
     recomputing the upstream pipeline.
+
+    Write is job-atomic the way Hadoop's file-commit protocol is:
+    partitions write `.ccarc.tmp` files and the driver renames them to
+    `.ccarc` only after every partition succeeded, so a failed job
+    (e.g. one invalid key in the last partition) leaves NO
+    reader-visible archives -- readers glob `*.ccarc` and never see
+    temps. Task retries overwrite their own deterministic temp names.
     Local-filesystem path semantics: on a multi-node cluster point
-    `path` at a shared mount, or swap the open() for an fsspec/Hadoop
-    filesystem handle -- the partition-writer contract is unchanged.
+    `path` at a shared mount, or swap the open()/rename for an
+    fsspec/Hadoop filesystem handle -- the partition-writer contract
+    is unchanged.
     """
     os.makedirs(path, exist_ok=True)
     rows = df.select(
@@ -100,8 +108,8 @@ def write_archive(
         F.col(payload_col).cast("binary").alias("payload"),
     )
 
-    def _write_partition(idx: int, it: Iterator) -> Iterator[int]:
-        written = 0
+    def _write_partition(idx: int, it: Iterator) -> Iterator[str]:
+        names: list[str] = []
         out = None
         size = 0
         rotation = 0
@@ -115,18 +123,25 @@ def write_archive(
             if out is None or size + len(member) > rotate_bytes:
                 if out is not None:
                     out.close()
-                fname = os.path.join(path, f"part-{idx:05d}-{rotation:03d}.ccarc")
-                out = open(fname, "wb")
+                fname = f"part-{idx:05d}-{rotation:03d}.ccarc"
+                out = open(os.path.join(path, fname + ".tmp"), "wb")
+                names.append(fname)
                 rotation += 1
-                written += 1
                 size = 0
             out.write(member)
             size += len(member)
         if out is not None:
             out.close()
-        yield written
+        yield from names
 
-    return sum(rows.rdd.mapPartitionsWithIndex(_write_partition).collect())
+    names = rows.rdd.mapPartitionsWithIndex(_write_partition).collect()
+    # every partition succeeded: commit by rename (atomic per file on a
+    # POSIX/HDFS filesystem)
+    for fname in names:
+        os.replace(
+            os.path.join(path, fname + ".tmp"), os.path.join(path, fname)
+        )
+    return len(names)
 
 
 def _iter_members(content: bytes) -> Iterator[tuple[int, str, bytes]]:

@@ -62,9 +62,15 @@ def read_timeseries_tail(spark: SparkSession, path: str, days: int = 1) -> DataF
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     all_days = sorted(
-        st.getPath().getName().split("=", 1)[1]
+        day
         for st in fs.listStatus(jpath)
-        if st.isDirectory() and st.getPath().getName().startswith("day=")
+        if st.isDirectory()
+        and st.getPath().getName().startswith("day=")
+        # null-ts rows land in day=__HIVE_DEFAULT_PARTITION__, which
+        # sorts AFTER every real date ('_' > '9') and would both eat a
+        # tail slot and match nothing in the date-typed isin filter
+        for day in [st.getPath().getName().split("=", 1)[1]]
+        if day != "__HIVE_DEFAULT_PARTITION__"
     )
     keep = all_days[-days:] if days > 0 else []
     df = spark.read.parquet(path)

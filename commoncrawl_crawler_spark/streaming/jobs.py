@@ -67,10 +67,18 @@ def windowed_event_stats(stream: DataFrame, window: str = "1 day") -> DataFrame:
     # day is too. (Only a DST transition exactly at midnight could
     # perturb this by one day; no tz schedules one.)
     tz = F.current_timezone()
-    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+    shifted = dict(stream.dtypes).get("ts") == "timestamp_ntz"
+    if shifted:
         stream = stream.withColumn(
             "ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz)
         )
+    # the un-shift must mirror the forward shift exactly: for plain
+    # TIMESTAMP input no shift was applied, so win.start renders in
+    # session time as before
+    day = (
+        F.to_utc_timestamp(F.col("win.start"), tz) if shifted
+        else F.col("win.start")
+    )
     return (
         stream.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
@@ -82,7 +90,7 @@ def windowed_event_stats(stream: DataFrame, window: str = "1 day") -> DataFrame:
             .alias("sum_value"),
         )
         .select(
-            F.to_utc_timestamp(F.col("win.start"), tz).cast("date").alias("day"),
+            day.cast("date").alias("day"),
             "event_type",
             "cnt",
             "sum_value",

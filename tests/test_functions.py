@@ -387,17 +387,28 @@ def test_mixture_plan_budget_and_caps(spark):
         + [Row(doc_id=200, source="unweighted", text="x y z")]
     )
     weights = spark.createDataFrame(
-        [Row(source="big", weight=1.0), Row(source="tiny", weight=1.0)]
+        [
+            Row(source="big", weight=1.0),
+            Row(source="tiny", weight=1.0),
+            # weighted source with NO documents: must still emit a
+            # visible shortfall row (its weight stays in the
+            # normalizer), not silently vanish
+            Row(source="ghost", weight=2.0),
+        ]
     )
     out = {
         r.source: r.asDict()
         for r in sampling.mixture_plan(docs, weights, token_budget=200).collect()
     }
+    assert out["ghost"]["docs"] == 0
+    assert out["ghost"]["available_tokens"] == 0
+    assert out["ghost"]["target_tokens"] == 100  # floor(200*2/4)
+    assert out["ghost"]["expected_tokens"] == 0
     assert out["big"]["available_tokens"] == 500
-    assert out["big"]["target_tokens"] == 100
-    assert out["big"]["sampling_rate"] == 0.2
-    assert out["big"]["expected_tokens"] == 100
-    # tiny has 4 tokens but a 100-token allocation: rate caps at 1.0
+    assert out["big"]["target_tokens"] == 50  # floor(200*1/4)
+    assert out["big"]["sampling_rate"] == 0.1
+    assert out["big"]["expected_tokens"] == 50
+    # tiny has 4 tokens but a 50-token allocation: rate caps at 1.0
     assert out["tiny"]["sampling_rate"] == 1.0
     assert out["tiny"]["expected_tokens"] == 4
     assert out["unweighted"]["sampling_rate"] == 0.0

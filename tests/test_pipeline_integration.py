@@ -95,6 +95,11 @@ def test_corpus_build_manifest_composition(spark):
             Row(doc_id=3, source="s2", text=" ".join(f"a{i}" for i in range(28))),
             Row(doc_id=4, source="s3", text="too short"),
             Row(doc_id=7, source="s3", text=" ".join(f"b{i}" for i in range(22))),
+            # doc 8 clusters with the LARGER benchmark doc 0: the
+            # representative must be chosen among train members, so 8
+            # survives (a benchmark doc must never evict a clean
+            # training doc)
+            Row(doc_id=8, source="s4", text=" ".join(f"c{i}" for i in range(21))),
         ]
     )
     clusters = spark.createDataFrame(
@@ -105,6 +110,7 @@ def test_corpus_build_manifest_composition(spark):
             Row(doc_id=3, cluster=2),
             Row(doc_id=4, cluster=4),
             Row(doc_id=7, cluster=7),
+            Row(doc_id=8, cluster=0),
         ]
     )
     out = {
@@ -113,6 +119,8 @@ def test_corpus_build_manifest_composition(spark):
             docs, benchmark_mod=5, min_tokens=20, clusters=clusters
         ).collect()
     }
-    # survivors: doc 3 (cluster rep, 28 tokens), doc 7 (22 tokens).
-    # dropped: 0 (benchmark), 6 (contaminated), 2 (non-rep), 4 (short)
-    assert out == {"s2": (1, 28), "s3": (1, 22)}
+    # survivors: doc 3 (cluster rep, 28 tokens), doc 7 (22 tokens),
+    # doc 8 (train rep of cluster 0 despite benchmark doc 0 being
+    # longer). dropped: 0 (benchmark), 6 (contaminated), 2 (non-rep),
+    # 4 (short)
+    assert out == {"s2": (1, 28), "s3": (1, 22), "s4": (1, 21)}

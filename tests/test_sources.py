@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import zlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from commoncrawl_crawler_spark.sources import archive, ingest, sinks
@@ -95,3 +97,52 @@ def test_timeseries_tail_prunes_to_latest_days(spark, tmp_path, sf_smoke):
     tail = sinks.read_timeseries_tail(spark, str(tmp_path / "log"), days=2)
     days = {r[0] for r in tail.select(F.to_date("ts")).distinct().collect()}
     assert len(days) == 2
+
+
+def test_timeseries_tail_ignores_null_day_partition(spark, tmp_path):
+    """A null-ts row writes day=__HIVE_DEFAULT_PARTITION__; the tail
+    listing must skip it (it sorts after every real date and matches
+    nothing in the date-typed filter) so days=1 still returns the
+    latest REAL day."""
+    from pyspark.sql import Row
+    from commoncrawl_crawler_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [
+            Row(key="a", ts="2024-01-01 10:00:00", value=1),
+            Row(key="b", ts="2024-01-02 10:00:00", value=2),
+            Row(key="c", ts=None, value=3),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "ts_log")
+    sinks.write_timeseries(df, path)
+    got = sinks.read_timeseries_tail(spark, path, days=1).collect()
+    assert [r.key for r in got] == ["b"]
+    got2 = sinks.read_timeseries_tail(spark, path, days=2).collect()
+    assert sorted(r.key for r in got2) == ["a", "b"]
+
+
+def test_write_archive_failed_job_leaves_no_visible_archives(spark, tmp_path):
+    """One invalid key anywhere must leave ZERO reader-visible .ccarc
+    files -- the commit is a driver-side rename after every partition
+    succeeded (a consumer globbing *.ccarc must never see a partial
+    corpus from a failed job)."""
+    import glob
+    from pyspark.sql import Row
+
+    bad = spark.createDataFrame(
+        [Row(key=f"k{i}", payload=bytes([i])) for i in range(50)]
+        + [Row(key="has space", payload=b"x")]
+    ).repartition(4)
+    path = str(tmp_path / "atomic")
+    with pytest.raises(Exception, match="whitespace"):
+        archive.write_archive(bad, path)
+    assert glob.glob(f"{path}/*.ccarc") == []
+    # a successful write commits and leaves no temps behind
+    good = spark.createDataFrame(
+        [Row(key=f"k{i}", payload=bytes([i])) for i in range(50)]
+    ).repartition(4)
+    n = archive.write_archive(good, path)
+    assert n >= 1
+    assert glob.glob(f"{path}/*.ccarc.tmp") == []
+    assert len(glob.glob(f"{path}/*.ccarc")) == n
