@@ -548,6 +548,73 @@ def _contamination_sql(n: int = 5, min_shared: int = 3) -> str:
     """
 
 
+_FILTERED_GENERATE_SQL = """
+            WITH urls AS (
+                SELECT o_orderkey AS key,
+                       'd' || CAST(o_orderkey % 20 AS VARCHAR) || '.com'
+                           AS root_domain,
+                       CASE WHEN o_orderkey % 3 = 0 THEN 'shop.'
+                            ELSE 'www.' END
+                           || 'd' || CAST(o_orderkey % 20 AS VARCHAR)
+                           || '.com' AS domain,
+                       CASE WHEN o_orderkey % 10 = 0 THEN '/'
+                            WHEN o_orderkey % 10 = 1 THEN '/index.html'
+                            ELSE '/p/' || CAST(o_orderkey % 100 AS VARCHAR)
+                       END AS path
+                FROM orders
+            ), boost_rules(root_domain, domain_regex, path_regex, val) AS (
+                VALUES ('*', '', '/p/[0-9]+', 2.0),
+                       ('d3.com', '', '.*', 1.5),
+                       ('d15.com', 'www\\..*', '/p/1[0-9]', 1.0)
+            ), rate_rules(root_domain, domain_regex, path_regex, val) AS (
+                VALUES ('d3.com', '*', '*', 50.0),
+                       ('d7.com', 'shop\\..*', '*', 1000.0),
+                       ('d3.com', '*', '/p/.*', 25.0)
+            ), recrawl_rules(root_domain, domain_regex, path_regex, val) AS (
+                VALUES ('*', '', '(^/$)|(^/index\\.[^/]*$)', 86400.0),
+                       ('d9.com', '', '.*', 3600.0)
+            ), bm AS (
+                SELECT u.key,
+                       CAST(round(sum(r.val), 6) AS DOUBLE) AS pagerank_boost
+                FROM urls u JOIN boost_rules r
+                  ON (r.root_domain IN ('*', '.*')
+                      OR r.root_domain = u.root_domain)
+                 AND (r.domain_regex = ''
+                      OR regexp_full_match(u.domain, r.domain_regex))
+                 AND regexp_full_match(u.path, r.path_regex)
+                GROUP BY u.key
+            ), rm AS (
+                SELECT u.key, CAST(min(r.val) AS INT) AS crawl_rate_override
+                FROM urls u JOIN rate_rules r
+                  ON (r.root_domain IN ('*', '.*')
+                      OR r.root_domain = u.root_domain)
+                 AND (r.domain_regex IN ('', '*')
+                      OR regexp_full_match(u.domain, r.domain_regex))
+                 AND (r.path_regex = '*'
+                      OR regexp_full_match(u.path, r.path_regex))
+                GROUP BY u.key
+            ), tm AS (
+                SELECT u.key,
+                       CAST(min(r.val) AS BIGINT) AS modified_recrawl_time
+                FROM urls u JOIN recrawl_rules r
+                  ON (r.root_domain IN ('*', '.*')
+                      OR r.root_domain = u.root_domain)
+                 AND (r.domain_regex = ''
+                      OR regexp_full_match(u.domain, r.domain_regex))
+                 AND regexp_full_match(u.path, r.path_regex)
+                GROUP BY u.key
+            )
+            SELECT u.key, u.root_domain, u.domain, u.path,
+                   bm.pagerank_boost, rm.crawl_rate_override,
+                   tm.modified_recrawl_time
+            FROM urls u
+            LEFT JOIN bm ON u.key = bm.key
+            LEFT JOIN rm ON u.key = rm.key
+            LEFT JOIN tm ON u.key = tm.key
+            ORDER BY u.key
+        """
+
+
 def _scratch(tag: str, sf_dir: str, fresh: bool = False) -> str:
     import hashlib
     import shutil
@@ -1184,6 +1251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawldb_blekko_merge": _crawldb_blekko_merge,
         "crawllist_wikipedia_partition": _crawllist_wikipedia_partition,
         "crawllist_filtered_generate": _crawllist_filtered_generate,
+        # per-host politeness fetch plan over the filtered crawl list
+        "crawllist_politeness": lambda s, d: crawllist.politeness_schedule(
+            _crawllist_filtered_generate(s, d)
+        ),
         "fn_url_canonicalize": lambda s, d: (
             _t(s, d, "documents")
             .select(
@@ -1492,7 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_exact, dedup_normalized, filter_text_grep, filter_classify,
     # filter_category, filter_projection_rekey, win_round_robin,
     # skew_salted_count, agg_moving_daily_avg, win_first_row_per_key,
-    # agg_status_rollup.
+    # agg_status_rollup, win_secondary_sort_rank.
     # The full local sweep for every entry lives in
     # CORRECTNESS_SELF_r04.txt (tools/check_all_oracles.py).
     priority = [
@@ -1517,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mixture_plan",
         "mm_audio_energy",
         "pipeline_corpus_build",
+        "crawllist_politeness",
         "graph_connected_components",
         "graph_component_sizes",
         "bloom_frontier_filter",
@@ -1535,7 +1607,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_blocklist",
         "filter_range_predicate",
         "win_topk_per_group",
-        "win_secondary_sort_rank",
         "win_segment_packing",
         "win_paginate",
         "skew_salted_join",
@@ -2139,70 +2210,23 @@ def oracle_sql() -> dict[str, str]:
         # named crawler filters: full-match regex semantics
         # (regexp_full_match = Java matches()); boost SUMS matching
         # rules, rate/recrawl take the MIN
-        "crawllist_filtered_generate": """
-            WITH urls AS (
-                SELECT o_orderkey AS key,
-                       'd' || CAST(o_orderkey % 20 AS VARCHAR) || '.com'
-                           AS root_domain,
-                       CASE WHEN o_orderkey % 3 = 0 THEN 'shop.'
-                            ELSE 'www.' END
-                           || 'd' || CAST(o_orderkey % 20 AS VARCHAR)
-                           || '.com' AS domain,
-                       CASE WHEN o_orderkey % 10 = 0 THEN '/'
-                            WHEN o_orderkey % 10 = 1 THEN '/index.html'
-                            ELSE '/p/' || CAST(o_orderkey % 100 AS VARCHAR)
-                       END AS path
-                FROM orders
-            ), boost_rules(root_domain, domain_regex, path_regex, val) AS (
-                VALUES ('*', '', '/p/[0-9]+', 2.0),
-                       ('d3.com', '', '.*', 1.5),
-                       ('d15.com', 'www\\..*', '/p/1[0-9]', 1.0)
-            ), rate_rules(root_domain, domain_regex, path_regex, val) AS (
-                VALUES ('d3.com', '*', '*', 50.0),
-                       ('d7.com', 'shop\\..*', '*', 1000.0),
-                       ('d3.com', '*', '/p/.*', 25.0)
-            ), recrawl_rules(root_domain, domain_regex, path_regex, val) AS (
-                VALUES ('*', '', '(^/$)|(^/index\\.[^/]*$)', 86400.0),
-                       ('d9.com', '', '.*', 3600.0)
-            ), bm AS (
-                SELECT u.key,
-                       CAST(round(sum(r.val), 6) AS DOUBLE) AS pagerank_boost
-                FROM urls u JOIN boost_rules r
-                  ON (r.root_domain IN ('*', '.*')
-                      OR r.root_domain = u.root_domain)
-                 AND (r.domain_regex = ''
-                      OR regexp_full_match(u.domain, r.domain_regex))
-                 AND regexp_full_match(u.path, r.path_regex)
-                GROUP BY u.key
-            ), rm AS (
-                SELECT u.key, CAST(min(r.val) AS INT) AS crawl_rate_override
-                FROM urls u JOIN rate_rules r
-                  ON (r.root_domain IN ('*', '.*')
-                      OR r.root_domain = u.root_domain)
-                 AND (r.domain_regex IN ('', '*')
-                      OR regexp_full_match(u.domain, r.domain_regex))
-                 AND (r.path_regex = '*'
-                      OR regexp_full_match(u.path, r.path_regex))
-                GROUP BY u.key
-            ), tm AS (
-                SELECT u.key,
-                       CAST(min(r.val) AS BIGINT) AS modified_recrawl_time
-                FROM urls u JOIN recrawl_rules r
-                  ON (r.root_domain IN ('*', '.*')
-                      OR r.root_domain = u.root_domain)
-                 AND (r.domain_regex = ''
-                      OR regexp_full_match(u.domain, r.domain_regex))
-                 AND regexp_full_match(u.path, r.path_regex)
-                GROUP BY u.key
+        "crawllist_filtered_generate": _FILTERED_GENERATE_SQL,
+        "crawllist_politeness": f"""
+            WITH fg AS ({_FILTERED_GENERATE_SQL}),
+            slotted AS (
+                SELECT key, domain,
+                       CAST(row_number() OVER (
+                           PARTITION BY domain
+                           ORDER BY pagerank_boost DESC NULLS LAST, key
+                       ) AS INT) AS slot,
+                       CAST(coalesce(crawl_rate_override, 500) AS BIGINT)
+                           AS interval_ms
+                FROM fg
             )
-            SELECT u.key, u.root_domain, u.domain, u.path,
-                   bm.pagerank_boost, rm.crawl_rate_override,
-                   tm.modified_recrawl_time
-            FROM urls u
-            LEFT JOIN bm ON u.key = bm.key
-            LEFT JOIN rm ON u.key = rm.key
-            LEFT JOIN tm ON u.key = tm.key
-            ORDER BY u.key
+            SELECT key, domain, slot, interval_ms,
+                   CAST((slot - 1) * interval_ms AS BIGINT)
+                       AS scheduled_offset_ms
+            FROM slotted ORDER BY key
         """,
         "crawllist_wikipedia_partition": """
             WITH pages AS (

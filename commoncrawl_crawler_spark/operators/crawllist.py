@@ -155,3 +155,46 @@ def partition_wikipedia_urls(
         )
         .orderBy("shard", F.col("rank").desc(), "url")
     )
+
+
+def politeness_schedule(
+    urls: DataFrame,
+    host_col: str = "domain",
+    priority_col: str = "pagerank_boost",
+    rate_col: str = "crawl_rate_override",
+    key_col: str = "key",
+    default_interval_ms: int = 500,
+) -> DataFrame:
+    """Per-host serialized fetch plan -- the crawler's politeness
+    model (one connection per host, rate-limited) as a window:
+    slot = fetch order within the host (priority desc, nulls last,
+    key tiebreak) and scheduled_offset_ms = (slot-1) * interval,
+    where interval is the URL's crawl-rate override when a filter set
+    one (crawlfilters.crawl_rate_override_filter) else the default.
+
+    Reference semantics: the crawler fetches one URL per host at a
+    time and CrawlRateOverrideFilter modulates the per-host delay
+    (service/crawler/filters/CrawlRateOverrideFilter.java:76-140);
+    the schedule column is what its fetch queue computes implicitly.
+    One shuffle on host; exact integer arithmetic, so the plan is
+    reproducible on any partitioning.
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc_nulls_last(priority_col), F.asc(key_col)
+    )
+    interval = F.coalesce(
+        F.col(rate_col).cast("long"), F.lit(default_interval_ms).cast("long")
+    )
+    return (
+        urls.withColumn("slot", F.row_number().over(w))
+        .select(
+            key_col,
+            host_col,
+            "slot",
+            interval.alias("interval_ms"),
+            ((F.col("slot") - 1) * interval).cast("long").alias(
+                "scheduled_offset_ms"
+            ),
+        )
+        .orderBy(key_col)
+    )

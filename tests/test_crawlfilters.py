@@ -128,3 +128,27 @@ def test_filter_chain_composes(spark):
     assert out["crawl_rate_override"] == 50
     assert out["modified_recrawl_time"] == 3600
     # one row out per row in: annotation, not fan-out
+
+
+def test_politeness_schedule_serializes_per_host(spark):
+    """Slots are 1..n per host in priority order (nulls last), and
+    offsets step by the URL's rate override (default 500ms)."""
+    from pyspark.sql import Row
+    from commoncrawl_crawler_spark.operators import crawllist
+
+    urls = spark.createDataFrame(
+        [
+            Row(key=1, domain="a.com", pagerank_boost=2.0, crawl_rate_override=None),
+            Row(key=2, domain="a.com", pagerank_boost=None, crawl_rate_override=None),
+            Row(key=3, domain="a.com", pagerank_boost=5.0, crawl_rate_override=None),
+            Row(key=4, domain="b.com", pagerank_boost=None, crawl_rate_override=100),
+            Row(key=5, domain="b.com", pagerank_boost=None, crawl_rate_override=100),
+        ]
+    )
+    out = {r.key: r for r in crawllist.politeness_schedule(urls).collect()}
+    # a.com priority order: key 3 (5.0), key 1 (2.0), key 2 (null last)
+    assert (out[3].slot, out[1].slot, out[2].slot) == (1, 2, 3)
+    assert out[2].scheduled_offset_ms == 2 * 500
+    # b.com: rate override 100ms steps
+    assert (out[4].slot, out[5].slot) == (1, 2)
+    assert out[5].scheduled_offset_ms == 100
