@@ -1372,6 +1372,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_ppm": lambda s, d: multimodal.decode_ppm(
             multimodal.synthesize_ppm(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # tile -> feature: per-row-band, per-channel pixel stats over
+        # the real PPM decode
+        "mm_image_bands": lambda s, d: multimodal.image_band_stats(
+            multimodal.synthesize_ppm(_t(s, d, "documents")), band_h=4
+        ),
         # real nearest-neighbor thumbnailer over the real PPM decode;
         # thumb_md5 is audit-only (not SQL-expressible), so the gate
         # compares the sampled-pixel sum the oracle can recompute
@@ -1563,7 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_exact, dedup_normalized, filter_text_grep, filter_classify,
     # filter_category, filter_projection_rekey, win_round_robin,
     # skew_salted_count, agg_moving_daily_avg, win_first_row_per_key,
-    # agg_status_rollup, win_secondary_sort_rank.
+    # agg_status_rollup, win_secondary_sort_rank, win_segment_packing.
     # The full local sweep for every entry lives in
     # CORRECTNESS_SELF_r04.txt (tools/check_all_oracles.py).
     priority = [
@@ -1587,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_representatives",
         "text_mixture_plan",
         "mm_audio_energy",
+        "mm_image_bands",
         "pipeline_corpus_build",
         "crawllist_politeness",
         "graph_connected_components",
@@ -1607,7 +1613,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_blocklist",
         "filter_range_predicate",
         "win_topk_per_group",
-        "win_segment_packing",
         "win_paginate",
         "skew_salted_join",
         "text_quality_buckets",
@@ -2427,6 +2432,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pixel p = (doc_id*3 + p*5) % 256 over w*h*3 RGB bytes,
         # w = 8 + doc_id % 9, h = 6 + doc_id % 7
+        "mm_image_bands": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+                FROM documents
+            ), px AS (
+                SELECT media_id, w, generate_subscripts(l, 1) - 1 AS p,
+                       unnest(l) AS v
+                FROM (SELECT media_id, w,
+                             [(media_id*3 + q*5) % 256
+                              FOR q IN range(0, w*h*3)] AS l
+                      FROM s)
+            )
+            SELECT media_id,
+                   CAST(((p // 3) // w) // 4 AS INT) AS band,
+                   CAST(p % 3 AS INT) AS channel,
+                   CAST(count(*) AS INT) AS n,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   CAST(min(v) AS INT) AS min_v,
+                   CAST(max(v) AS INT) AS max_v
+            FROM px GROUP BY media_id, ((p // 3) // w) // 4, p % 3
+            ORDER BY media_id, band, channel
+        """,
         "mm_decode_ppm": """
             WITH s AS (
                 SELECT doc_id AS media_id,

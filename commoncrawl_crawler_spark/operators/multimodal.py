@@ -423,6 +423,55 @@ def decode_ppm(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_decode, PPM_FEATURES)
 
 
+IMAGE_BAND_FEATURES = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("band", IntegerType()),
+        StructField("channel", IntegerType()),
+        StructField("n", IntegerType()),
+        StructField("sum_v", LongType()),
+        StructField("min_v", IntegerType()),
+        StructField("max_v", IntegerType()),
+    ]
+)
+
+
+def image_band_stats(media: DataFrame, band_h: int = 4) -> DataFrame:
+    """Per-row-band, per-channel pixel stats over the real PPM decode
+    -- the tile -> feature shape of image ML front ends (patch
+    embedding, banding/letterbox detection), with exact integer sums
+    so results are bit-identical under any partitioning. The image
+    analog of audio_frame_energy: decode once, emit the narrow
+    (media, band, channel) feature table downstream aggregation
+    consumes."""
+    _parse = parse_ppm_bytes
+
+    def _bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in IMAGE_BAND_FEATURES.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, arr = _parse(bytes(blob))
+                img = arr.reshape(h, w, 3)
+                for b in range((h + band_h - 1) // band_h):
+                    seg = img[b * band_h : (b + 1) * band_h]
+                    for c in range(3):
+                        ch = seg[:, :, c].astype(np.int64)
+                        rows["media_id"].append(int(mid))
+                        rows["band"].append(b)
+                        rows["channel"].append(c)
+                        rows["n"].append(int(ch.size))
+                        rows["sum_v"].append(int(ch.sum()))
+                        rows["min_v"].append(int(ch.min()))
+                        rows["max_v"].append(int(ch.max()))
+            yield pd.DataFrame(rows)
+
+    return (
+        media.select("media_id", "content")
+        .mapInPandas(_bands, IMAGE_BAND_FEATURES)
+        .orderBy("media_id", "band", "channel")
+    )
+
+
 def resize_ppm(media: DataFrame, width: int = 4, height: int = 3) -> DataFrame:
     """REAL image resize: decode P6 PPM, nearest-neighbor sample to
     (width x height), and reduce the thumbnail to integer channel

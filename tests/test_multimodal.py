@@ -179,3 +179,29 @@ def test_audio_frame_energy_exact_frames(spark):
             assert r.sum_amp == int(seg.sum())
             assert r.sum_sq == int((seg * seg).sum())
             assert r.peak == int(seg.max())
+
+
+def test_image_band_stats_tile_exactness(spark):
+    """Bands tile the image rows exactly (partial last band keeps its
+    true height) and per-band channel sums match a numpy reference."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=2, text="x"), Row(doc_id=5, text="y")])
+    media = multimodal.synthesize_ppm(docs)
+    out = multimodal.image_band_stats(media, band_h=4).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_media.items():
+        w, h = 8 + mid % 9, 6 + mid % 7
+        p = np.arange(w * h * 3)
+        img = ((mid * 3 + p * 5) % 256).reshape(h, w, 3)
+        n_bands = (h + 3) // 4
+        assert len(rows) == n_bands * 3
+        for r in rows:
+            seg = img[r.band * 4 : r.band * 4 + 4, :, r.channel]
+            assert r.n == seg.size
+            assert r.sum_v == int(seg.sum())
+            assert r.min_v == int(seg.min())
+            assert r.max_v == int(seg.max())
