@@ -588,10 +588,10 @@ _FILTERED_GENERATE_SQL = """
                 FROM urls u JOIN rate_rules r
                   ON (r.root_domain IN ('*', '.*')
                       OR r.root_domain = u.root_domain)
-                 AND (r.domain_regex IN ('', '*')
-                      OR regexp_full_match(u.domain, r.domain_regex))
-                 AND (r.path_regex = '*'
-                      OR regexp_full_match(u.path, r.path_regex))
+                 AND (CASE WHEN r.domain_regex IN ('', '*') THEN TRUE
+                      ELSE regexp_full_match(u.domain, r.domain_regex) END)
+                 AND (CASE WHEN r.path_regex = '*' THEN TRUE
+                      ELSE regexp_full_match(u.path, r.path_regex) END)
                 GROUP BY u.key
             ), tm AS (
                 SELECT u.key,
