@@ -3107,8 +3107,9 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             )
             SELECT source, docs, available_tokens,
                    round(weight, 6) AS weight, target_tokens,
-                   round(least(1.0, target_tokens
-                               / greatest(available_tokens, 1)), 6)
+                   round(CASE WHEN available_tokens = 0 THEN 0.0
+                         ELSE least(1.0, target_tokens
+                                    / greatest(available_tokens, 1)) END, 6)
                        AS sampling_rate,
                    least(target_tokens, available_tokens) AS expected_tokens
             FROM t ORDER BY source

@@ -107,7 +107,7 @@ TASK_BITMAP_MAX_BYTES = 256 << 20
 
 def _word_shards(df: DataFrame, col: str, m_bits: int, k: int) -> DataFrame:
     """Distributed bit-set + executor-side OR-merge -> one row per
-    nonzero 64-bit word: (word_id int, w long).
+    nonzero 64-bit word: (word_id long, w long).
 
     Two strategies by filter size:
     - m/8 <= TASK_BITMAP_MAX_BYTES: each input partition builds its

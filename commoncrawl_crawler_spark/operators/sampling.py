@@ -155,11 +155,15 @@ def mixture_plan(
             "available_tokens",
             F.round("weight", 6).alias("weight"),
             "target_tokens",
+            # an empty source samples at 0.0, not 1.0: the shortfall
+            # row exists to be visible to rate consumers/alerting
             F.round(
-                F.least(
-                    F.lit(1.0),
-                    F.col("target_tokens")
-                    / F.greatest(F.col("available_tokens"), F.lit(1)),
+                F.when(F.col("available_tokens") == 0, F.lit(0.0)).otherwise(
+                    F.least(
+                        F.lit(1.0),
+                        F.col("target_tokens")
+                        / F.greatest(F.col("available_tokens"), F.lit(1)),
+                    )
                 ),
                 6,
             ).alias("sampling_rate"),

@@ -92,11 +92,13 @@ def write_archive(
     recomputing the upstream pipeline.
 
     Write is job-atomic the way Hadoop's file-commit protocol is:
-    partitions write `.ccarc.tmp` files and the driver renames them to
-    `.ccarc` only after every partition succeeded, so a failed job
-    (e.g. one invalid key in the last partition) leaves NO
-    reader-visible archives -- readers glob `*.ccarc` and never see
-    temps. Task retries overwrite their own deterministic temp names.
+    each task ATTEMPT writes `.ccarc.<attempt>.tmp` files (attempt-
+    unique, so a speculative or zombie attempt can never interleave
+    bytes with a retry's file) and the driver renames the successful
+    attempts' temps to `.ccarc` only after every partition succeeded.
+    A failed job leaves NO reader-visible archives -- readers glob
+    `*.ccarc` and never see temps -- and all temp files are removed on
+    both success and failure.
     Local-filesystem path semantics: on a multi-node cluster point
     `path` at a shared mount, or swap the open()/rename for an
     fsspec/Hadoop filesystem handle -- the partition-writer contract
@@ -108,8 +110,12 @@ def write_archive(
         F.col(payload_col).cast("binary").alias("payload"),
     )
 
-    def _write_partition(idx: int, it: Iterator) -> Iterator[str]:
-        names: list[str] = []
+    def _write_partition(idx: int, it: Iterator) -> Iterator[tuple]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        names: list[tuple] = []
         out = None
         size = 0
         rotation = 0
@@ -124,8 +130,9 @@ def write_archive(
                 if out is not None:
                     out.close()
                 fname = f"part-{idx:05d}-{rotation:03d}.ccarc"
-                out = open(os.path.join(path, fname + ".tmp"), "wb")
-                names.append(fname)
+                tmp = f"{fname}.{attempt}.tmp"
+                out = open(os.path.join(path, tmp), "wb")
+                names.append((fname, tmp))
                 rotation += 1
                 size = 0
             out.write(member)
@@ -134,13 +141,25 @@ def write_archive(
             out.close()
         yield from names
 
-    names = rows.rdd.mapPartitionsWithIndex(_write_partition).collect()
-    # every partition succeeded: commit by rename (atomic per file on a
-    # POSIX/HDFS filesystem)
-    for fname in names:
-        os.replace(
-            os.path.join(path, fname + ".tmp"), os.path.join(path, fname)
-        )
+    def _sweep_temps() -> None:
+        for leftover in os.listdir(path):
+            if leftover.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(path, leftover))
+                except OSError:
+                    pass
+
+    try:
+        names = rows.rdd.mapPartitionsWithIndex(_write_partition).collect()
+    except Exception:
+        _sweep_temps()
+        raise
+    # every partition succeeded: commit the SUCCESSFUL attempts' temps
+    # by rename (atomic per file on a POSIX/HDFS filesystem), then
+    # sweep any stale temps from failed/zombie attempts
+    for fname, tmp in names:
+        os.replace(os.path.join(path, tmp), os.path.join(path, fname))
+    _sweep_temps()
     return len(names)
 
 

@@ -67,18 +67,18 @@ def windowed_event_stats(stream: DataFrame, window: str = "1 day") -> DataFrame:
     # day is too. (Only a DST transition exactly at midnight could
     # perturb this by one day; no tz schedules one.)
     tz = F.current_timezone()
-    shifted = dict(stream.dtypes).get("ts") == "timestamp_ntz"
-    if shifted:
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
         stream = stream.withColumn(
             "ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz)
         )
-    # the un-shift must mirror the forward shift exactly: for plain
-    # TIMESTAMP input no shift was applied, so win.start renders in
-    # session time as before
-    day = (
-        F.to_utc_timestamp(F.col("win.start"), tz) if shifted
-        else F.col("win.start")
-    )
+    # day is ALWAYS the UTC rendering of the window start, so the
+    # output is session-timezone-independent for BOTH input kinds:
+    # for NTZ input this inverts the forward shift above (yielding the
+    # NTZ wall date); for plain TIMESTAMP input the windows are
+    # UTC-midnight-aligned and this renders their true UTC date (a
+    # session-local rendering would move events within the tz offset
+    # of midnight to a different day depending on the session)
+    day = F.to_utc_timestamp(F.col("win.start"), tz)
     return (
         stream.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))

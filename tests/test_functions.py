@@ -403,6 +403,7 @@ def test_mixture_plan_budget_and_caps(spark):
     assert out["ghost"]["docs"] == 0
     assert out["ghost"]["available_tokens"] == 0
     assert out["ghost"]["target_tokens"] == 100  # floor(200*2/4)
+    assert out["ghost"]["sampling_rate"] == 0.0  # empty, not "fully sampled"
     assert out["ghost"]["expected_tokens"] == 0
     assert out["big"]["available_tokens"] == 500
     assert out["big"]["target_tokens"] == 50  # floor(200*1/4)
