@@ -1530,6 +1530,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocabulary": lambda s, d: textstats.vocabulary(
             _t(s, d, "documents"), top_n=100
         ),
+        # RAG/embedding preprocessing: overlapping token windows
+        "text_chunking": lambda s, d: textstats.chunk_documents(
+            _t(s, d, "documents"), chunk_tokens=64, overlap=16
+        ),
         # decontamination: deterministic 1-in-37 doc split plays the
         # held-out benchmark suite
         # mixture planning: weights derived deterministically from the
@@ -1568,7 +1572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_exact, dedup_normalized, filter_text_grep, filter_classify,
     # filter_category, filter_projection_rekey, win_round_robin,
     # skew_salted_count, agg_moving_daily_avg, win_first_row_per_key,
-    # agg_status_rollup, win_secondary_sort_rank, win_segment_packing.
+    # agg_status_rollup, win_secondary_sort_rank, win_segment_packing,
+    # agg_group_count.
     # The full local sweep for every entry lives in
     # CORRECTNESS_SELF_r04.txt (tools/check_all_oracles.py).
     priority = [
@@ -1593,13 +1598,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mixture_plan",
         "mm_audio_energy",
         "mm_image_bands",
+        "text_chunking",
         "pipeline_corpus_build",
         "crawllist_politeness",
         "graph_connected_components",
         "graph_component_sizes",
         "bloom_frontier_filter",
         # (c) last green in r2
-        "agg_group_count",
         "agg_count_having",
         "agg_latest_per_key",
         "agg_time_window_rollup",
@@ -3083,6 +3088,30 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             ORDER BY doc_id
         """,
         "text_contamination_check": _contamination_sql(n=5, min_shared=3),
+        "text_chunking": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, toks,
+                       CASE WHEN len(toks) <= 64 THEN 1
+                            ELSE CAST((len(toks) - 64 + 48 - 1) // 48 AS INT)
+                                 + 1 END AS n_chunks
+                FROM t
+            ), e AS (
+                SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_idx
+                FROM c
+            )
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   CAST(len(list_slice(toks, chunk_idx*48 + 1,
+                                       chunk_idx*48 + 64)) AS INT)
+                       AS n_tokens,
+                   array_to_string(list_slice(toks, chunk_idx*48 + 1,
+                                              chunk_idx*48 + 64), ' ')
+                       AS chunk_text
+            FROM e ORDER BY doc_id, chunk_idx
+        """,
         "text_mixture_plan": """
             WITH avail AS (
                 SELECT source, count(*) AS docs,

@@ -343,3 +343,50 @@ def contamination_check(
         )
         .orderBy("doc_id")
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Fixed-size overlapping token windows per document -- the
+    chunking step every RAG / embedding pipeline runs before encoding:
+    (doc_id, chunk_idx, n_tokens, chunk_text).
+
+    Pure Column expressions (split -> sequence -> posexplode -> slice
+    -> array_join): no UDF, whole-stage codegen end-to-end, and the
+    chunk count is exact integer arithmetic so the output is identical
+    on any engine. Scale shape: the explode multiplies rows by
+    ~n/stride but each output row carries only its own window's text
+    -- the full token array never shuffles (chunking happens in the
+    scan stage's projection).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.expr(
+            f"CAST((size(split(trim(text), '\\\\s+')) - {chunk_tokens} "
+            f"+ {stride} - 1) DIV {stride} AS INT) + 1"
+        )
+    )
+    with_idx = documents.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+            "chunk_idx", "_i"
+        ),
+    )
+    window = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return (
+        with_idx.select(
+            "doc_id",
+            "chunk_idx",
+            F.size(window).alias("n_tokens"),
+            F.array_join(window, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -451,3 +451,23 @@ def test_winnow_multibyte_text_uses_char_gram_semantics(spark):
 
     for r in rows:
         assert got[r.doc_id] == ref(r.t), f"doc {r.doc_id}"
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """Chunks tile with the configured overlap; the final partial
+    chunk keeps its true length; short docs yield exactly one chunk."""
+    from commoncrawl_crawler_spark.operators import textstats
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=words), Row(doc_id=2, text="a b c")]
+    )
+    out = textstats.chunk_documents(df, chunk_tokens=40, overlap=10).collect()
+    d1 = [r for r in out if r.doc_id == 1]
+    d2 = [r for r in out if r.doc_id == 2]
+    # 100 tokens, window 40, stride 30 -> chunks at 0,30,60 (covers to 100)
+    assert [r.chunk_idx for r in d1] == [0, 1, 2]
+    assert [r.n_tokens for r in d1] == [40, 40, 40]
+    assert d1[1].chunk_text.split()[0] == "w30"  # overlap of 10
+    assert d1[2].chunk_text.split()[-1] == "w99"  # tail covered
+    assert len(d2) == 1 and d2[0].n_tokens == 3
