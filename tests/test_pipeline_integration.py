@@ -124,3 +124,44 @@ def test_corpus_build_manifest_composition(spark):
     # longer). dropped: 0 (benchmark), 6 (contaminated), 2 (non-rep),
     # 4 (short)
     assert out == {"s2": (1, 28), "s3": (1, 22), "s4": (1, 21)}
+
+
+def test_gate_output_invariants(spark, sf_smoke):
+    """Cross-cutting invariants on real gate outputs (cheap whole-
+    pipeline sanity beyond per-query oracles)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # chunking: chunks tile every document's tokens -- the last chunk
+    # ends exactly at the doc's token count, consecutive chunks start
+    # stride apart
+    chunks = qs["text_chunking"](spark, sf_smoke).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        # every chunk except the last is full-size
+        assert all(r.n_tokens == 64 for r in rows[:-1])
+        assert 1 <= rows[-1].n_tokens <= 64
+
+    # politeness: offsets strictly increase with slot within a host
+    pol = qs["crawllist_politeness"](spark, sf_smoke).collect()
+    by_host = {}
+    for r in pol:
+        by_host.setdefault(r.domain, []).append(r)
+    for host, rows in by_host.items():
+        rows.sort(key=lambda r: r.slot)
+        assert [r.slot for r in rows] == list(range(1, len(rows) + 1))
+        offs = [r.scheduled_offset_ms for r in rows]
+        assert offs == sorted(offs) and offs[0] == 0
+
+    # audio frames: per-media frame counts tile n_samples exactly
+    frames = qs["mm_audio_energy"](spark, sf_smoke).collect()
+    per_media = {}
+    for r in frames:
+        per_media[r.media_id] = per_media.get(r.media_id, 0) + r.n
+    for mid, total in per_media.items():
+        assert total == 1024 + mid % 1024
