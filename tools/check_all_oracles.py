@@ -56,9 +56,16 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    # CHECK_MASTER / CHECK_PARTS let reproducibility sweeps vary the
+    # execution layout (e.g. CHECK_PARTS=3 CHECK_MASTER=local[4]):
+    # every hash-gated result must be identical under any of them
+    import os as _os
+
+    master = _os.environ.get("CHECK_MASTER", "local[8]")
+    parts = _os.environ.get("CHECK_PARTS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(master)
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.driver.memory", "8g")
         .appName("oracle-check-all")
         .getOrCreate()
