@@ -129,6 +129,23 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the iterative star-contraction over the LSH pair graph is the
+    # single most expensive shared stage (multiple jobs); its label
+    # table feeds dedup_simhash_clusters, pipeline_corpus_build, and
+    # dedup_cluster_representatives -- run it once per (session, sf)
+    return _cached(
+        spark,
+        "simhash_clusters",
+        sf_dir,
+        lambda: dedup.md5_simhash_clusters(
+            _t(spark, sf_dir, "documents"),
+            hamming_k=3,
+            pairs=_simhash_pairs(spark, sf_dir),
+        ),
+    )
+
+
 def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sparse subgraph (rare high-price lines) so components are
     # non-trivial; the full graph collapses to one giant component
@@ -1199,24 +1216,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda s, d: dedup.md5_minhash_pairs(
             _t(s, d, "documents"), min_matching=13, tokens=_md5_tokens(s, d)
         ),
-        "dedup_simhash_clusters": lambda s, d: dedup.md5_simhash_clusters(
-            _t(s, d, "documents"), hamming_k=3, pairs=_simhash_pairs(s, d)
-        ),
+        "dedup_simhash_clusters": lambda s, d: _simhash_clusters(s, d),
         # the composed hygiene pipeline: clusters -> representatives ->
         # decontamination -> quality floor -> per-source manifest, as
         # ONE Catalyst plan (operators/corpus.py)
         "pipeline_corpus_build": lambda s, d: corpus.corpus_build_manifest(
             _t(s, d, "documents"),
-            clusters=dedup.md5_simhash_clusters(
-                _t(s, d, "documents"), hamming_k=3, pairs=_simhash_pairs(s, d)
-            ),
+            clusters=_simhash_clusters(s, d),
         ),
         # post-cluster canonical selection (keep best, drop the rest)
         "dedup_cluster_representatives": lambda s, d: dedup.cluster_representatives(
             _t(s, d, "documents"),
-            clusters=dedup.md5_simhash_clusters(
-                _t(s, d, "documents"), hamming_k=3, pairs=_simhash_pairs(s, d)
-            ),
+            clusters=_simhash_clusters(s, d),
         ),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             _t(s, d, "documents"), threshold=0.95
