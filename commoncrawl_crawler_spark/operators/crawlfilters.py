@@ -87,12 +87,77 @@ def _matching_pairs(
     return paired.filter(domain_ok & path_ok).select(key, "value")
 
 
+#: rule tables at or under this row count compile to Column
+#: expressions (the reference's filter files are KB-sized; a table
+#: bigger than this signals a generated rule set -> join path)
+COMPILE_MAX_RULES = 512
+
+
+def _compiled_match_values(
+    rules: DataFrame, wildcard_path: bool
+) -> Column | None:
+    """array<double> of every matching rule's value, evaluated row-wise
+    as ONE Column expression (no join, no shuffle over the URL table).
+
+    Only safe for bounded rule tables: returns None when the table
+    exceeds COMPILE_MAX_RULES and the caller must fall back to the
+    broadcast-join path. Each regex lands in the plan as a LITERAL
+    pattern, so the JVM compiles it once per task instead of once per
+    (url x rule) row as the join path's pattern-column rlike does.
+    """
+    rows = rules.limit(COMPILE_MAX_RULES + 1).collect()
+    if len(rows) > COMPILE_MAX_RULES:
+        return None
+    conds = []
+    for r in rows:
+        root, dre, pre, val = (
+            r["root_domain"],
+            r["domain_regex"],
+            r["path_regex"],
+            r["value"],
+        )
+        cond = (
+            F.lit(True)
+            if root in _GLOBAL_ROOTS
+            else F.col("root_domain") == F.lit(root)
+        )
+        domain_skip = dre == "" or (wildcard_path and dre == "*")
+        if not domain_skip:
+            cond = cond & F.col("domain").rlike(f"^(?:{dre})$")
+        if not (wildcard_path and pre == "*"):
+            cond = cond & F.col("path").rlike(f"^(?:{pre})$")
+        conds.append(F.when(cond, F.lit(float(val))))
+    if not conds:
+        return F.lit(None).cast("array<double>")
+    # when() without otherwise -> null for non-matches; strip them so
+    # the fold sees exactly the matching values
+    return F.filter(F.array(*conds), lambda x: x.isNotNull())
+
+
+def _fold_matches(
+    urls: DataFrame, vals: Column, out_col: str, fold: str
+) -> DataFrame:
+    matched = F.size(vals) > 0
+    if fold == "sum":
+        agg = F.round(
+            F.aggregate(vals, F.lit(0.0), lambda a, x: a + x), 6
+        )
+    elif fold == "min_int":
+        agg = F.array_min(vals).cast("int")
+    else:
+        agg = F.array_min(vals).cast("long")
+    return urls.withColumn(out_col, F.when(matched, agg))
+
+
 def pagerank_boost_filter(
     urls: DataFrame, rules: DataFrame, key: str = "key"
 ) -> DataFrame:
     """+ pagerank_boost: SUM of every matching rule's boost (the
     reference += per rule); null when no rule matched (Filter_NoAction
     leaves the metadata untouched)."""
+    vals = _compiled_match_values(rules, wildcard_path=False)
+    if vals is not None:
+        return _fold_matches(urls, vals, "pagerank_boost", "sum")
     boosts = (
         _matching_pairs(urls, rules, key, wildcard_path=False)
         .groupBy(key)
@@ -106,6 +171,9 @@ def crawl_rate_override_filter(
 ) -> DataFrame:
     """+ crawl_rate_override: the minimum matching rate (the reference
     walks rules rate-ascending and stops at the first match)."""
+    vals = _compiled_match_values(rules, wildcard_path=True)
+    if vals is not None:
+        return _fold_matches(urls, vals, "crawl_rate_override", "min_int")
     rates = (
         _matching_pairs(urls, rules, key, wildcard_path=True)
         .groupBy(key)
@@ -119,6 +187,9 @@ def recrawl_time_modifier_filter(
 ) -> DataFrame:
     """+ modified_recrawl_time: MIN over matching rules (the reference
     folds Math.min across global and per-root matches)."""
+    vals = _compiled_match_values(rules, wildcard_path=False)
+    if vals is not None:
+        return _fold_matches(urls, vals, "modified_recrawl_time", "min_long")
     times = (
         _matching_pairs(urls, rules, key, wildcard_path=False)
         .groupBy(key)

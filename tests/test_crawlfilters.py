@@ -152,3 +152,62 @@ def test_politeness_schedule_serializes_per_host(spark):
     # b.com: rate override 100ms steps
     assert (out[4].slot, out[5].slot) == (1, 2)
     assert out[5].scheduled_offset_ms == 100
+
+
+def test_compiled_and_join_paths_agree(spark, monkeypatch):
+    """The compiled-expression fast path and the broadcast-join
+    fallback are the same operator: identical output on a rule set
+    exercising global roots, empty-domain skips, '*' wildcards, and
+    multi-rule folds."""
+    rules_boost = crawlfilters.rules_df(
+        spark,
+        [("*", "", "/p/.*", 2.0), ("a.com", "www\\..*", ".*", 1.5)],
+    )
+    rules_rate = crawlfilters.rules_df(
+        spark,
+        [("a.com", "*", "*", 50.0), ("a.com", "*", "/p/.*", 25.0)],
+    )
+    rules_recrawl = crawlfilters.rules_df(
+        spark, [("*", "", "(^/$)", 86400.0), ("b.com", "", ".*", 3600.0)]
+    )
+    urls = _urls(
+        spark,
+        [
+            (1, "a.com", "www.a.com", "/p/7"),
+            (2, "a.com", "shop.a.com", "/p/9"),
+            (3, "b.com", "b.com", "/"),
+            (4, "c.com", "c.com", "/x"),
+        ],
+    )
+
+    def run():
+        return sorted(
+            crawlfilters.apply_crawl_filters(
+                urls, rules_boost, rules_rate, rules_recrawl
+            ).collect(),
+            key=lambda r: r["key"],
+        )
+
+    compiled = run()
+    monkeypatch.setattr(crawlfilters, "COMPILE_MAX_RULES", 0)
+    joined = run()
+    assert compiled == joined
+    assert compiled[0]["pagerank_boost"] == 3.5  # both rules fold
+
+
+def test_compiled_filter_chain_is_shuffle_free(spark):
+    """Bounded rule tables compile to Column expressions: the whole
+    three-filter chain must plan without any Exchange over the URL
+    table (at 100 TB the URL side never shuffles for KB-sized rules)."""
+    urls = _urls(spark, [(1, "a.com", "www.a.com", "/p/7")])
+    out = crawlfilters.apply_crawl_filters(
+        urls,
+        boost_rules=crawlfilters.rules_df(spark, [("*", "", "/p/.*", 2.0)]),
+        rate_rules=crawlfilters.rules_df(spark, [("a.com", "*", "*", 50.0)]),
+        recrawl_rules=crawlfilters.rules_df(
+            spark, [("a.com", "", ".*", 3600.0)]
+        ),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
