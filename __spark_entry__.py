@@ -1542,6 +1542,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), top_n=100
         ),
         # RAG/embedding preprocessing: overlapping token windows
+        # corpus-level paragraph dedup (CCNet discipline) over
+        # token-window paragraphs; drops cross-document boilerplate
+        "text_paragraph_dedup": lambda s, d: textstats.paragraph_dedup(
+            textstats.chunk_documents(
+                _t(s, d, "documents"), chunk_tokens=4, overlap=0
+            ).select(
+                "doc_id",
+                F.col("chunk_idx").alias("para_idx"),
+                F.col("chunk_text").alias("para_text"),
+            ),
+            max_doc_freq=2,
+        ),
+        # Gopher-style within-document n-gram repetition signals
+        "text_repetition_signals": lambda s, d: textstats.repetition_signals(
+            _t(s, d, "documents"), n=2
+        ),
+        # mean word surprisal under the corpus unigram distribution
+        "text_unigram_surprisal": lambda s, d: textstats.unigram_logprob_scores(
+            _t(s, d, "documents")
+        ),
         "text_chunking": lambda s, d: textstats.chunk_documents(
             _t(s, d, "documents"), chunk_tokens=64, overlap=16
         ),
@@ -1610,6 +1630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_energy",
         "mm_image_bands",
         "text_chunking",
+        "text_paragraph_dedup",
+        "text_repetition_signals",
+        "text_unigram_surprisal",
         "pipeline_corpus_build",
         "crawllist_politeness",
         "graph_connected_components",
@@ -1627,10 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_point_lookup",
         "filter_regex_scan",
         "filter_blocklist",
-        "filter_range_predicate",
         "win_topk_per_group",
-        "win_paginate",
-        "skew_salted_join",
         "text_quality_buckets",
         "dedup_cross_source",
         "dedup_simhash_lsh",
@@ -3099,6 +3119,101 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             ORDER BY doc_id
         """,
         "text_contamination_check": _contamination_sql(n=5, min_shared=3),
+        "text_paragraph_dedup": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, toks,
+                       CASE WHEN len(toks) <= 4 THEN 1
+                            ELSE CAST((len(toks) - 4 + 4 - 1) // 4 AS INT)
+                                 + 1 END AS n_chunks
+                FROM t
+            ), e AS (
+                SELECT doc_id, toks, unnest(range(n_chunks)) AS idx FROM c
+            ), p AS (
+                SELECT doc_id, CAST(idx AS INT) AS para_idx,
+                       array_to_string(
+                           list_slice(toks, idx*4 + 1, idx*4 + 4), ' '
+                       ) AS para_text
+                FROM e
+            ), f AS (
+                SELECT md5(lower(trim(para_text))) AS sig,
+                       count(DISTINCT doc_id) AS doc_freq
+                FROM p GROUP BY 1
+            ), j AS (
+                SELECT p.*, f.doc_freq
+                FROM p JOIN f ON md5(lower(trim(p.para_text))) = f.sig
+            )
+            SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
+                   CAST(sum(CASE WHEN doc_freq > 2 THEN 1 ELSE 0 END)
+                        AS INT) AS n_dropped,
+                   coalesce(string_agg(
+                       CASE WHEN doc_freq <= 2 THEN para_text END,
+                       ' ' ORDER BY para_idx), '') AS clean_text
+            FROM j GROUP BY doc_id ORDER BY doc_id
+        """,
+        "text_repetition_signals": """
+            WITH t AS (
+                SELECT doc_id, length(text) AS chars,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id, chars,
+                       array_to_string(list_slice(toks, i, i + 1), ' ')
+                           AS gram
+                FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1))
+                          AS u(i)
+            ), pg AS (
+                SELECT doc_id, chars, gram, count(*) AS cnt
+                FROM g GROUP BY 1, 2, 3
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY cnt DESC, gram DESC
+                ) AS rn
+                FROM pg
+            ), a AS (
+                SELECT doc_id, CAST(sum(cnt) AS INT) AS n_grams,
+                       CAST(count(*) AS INT) AS distinct_grams,
+                       round(CAST(sum((cnt - 1) * length(gram)) AS DOUBLE)
+                             / greatest(max(chars), 1), 6)
+                           AS dup_gram_char_frac,
+                       max(chars) AS chars
+                FROM pg GROUP BY doc_id
+            )
+            SELECT a.doc_id, n_grams, distinct_grams, r.gram AS top_gram,
+                   round(CAST(r.cnt * length(r.gram) AS DOUBLE)
+                         / greatest(a.chars, 1), 6) AS top_gram_char_frac,
+                   dup_gram_char_frac
+            FROM a JOIN r ON a.doc_id = r.doc_id AND r.rn = 1
+            ORDER BY a.doc_id
+        """,
+        "text_unigram_surprisal": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS word
+                FROM documents
+            ), w2 AS (SELECT * FROM w WHERE word <> ''),
+            v AS (SELECT word, count(*) AS cnt FROM w2 GROUP BY word),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM w2),
+            sc AS (
+                SELECT word,
+                       CAST(round(-log2(cnt / total), 6)
+                            AS DECIMAL(18,6)) AS lp
+                FROM v CROSS JOIN tot
+            ), a AS (
+                SELECT doc_id, CAST(count(*) AS INT) AS n_tok,
+                       CAST(sum(lp) * 1000000 AS BIGINT) AS sm
+                FROM w2 JOIN sc USING (word)
+                GROUP BY doc_id
+            )
+            SELECT doc_id, n_tok,
+                   CAST((2 * sm + n_tok) // (2 * n_tok) AS DOUBLE)
+                       / 1000000.0 AS mean_surprisal_bits
+            FROM a ORDER BY doc_id
+        """,
         "text_chunking": """
             WITH t AS (
                 SELECT doc_id,

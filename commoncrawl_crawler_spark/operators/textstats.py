@@ -390,3 +390,177 @@ def chunk_documents(
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+def paragraph_dedup(
+    paragraphs: DataFrame,
+    max_doc_freq: int = 2,
+    id_col: str = "doc_id",
+    idx_col: str = "para_idx",
+    text_col: str = "para_text",
+) -> DataFrame:
+    """Corpus-level paragraph dedup (the CCNet discipline): a
+    paragraph whose normalized hash appears in MORE than
+    `max_doc_freq` distinct documents is boilerplate (nav bars,
+    cookie banners, license blurbs) and is dropped from every
+    document; the survivors re-concatenate in original order.
+
+    Input is (id, idx, text) paragraph rows -- split upstream however
+    the corpus defines paragraphs (newline split, token windows via
+    chunk_documents, HTML block elements).
+
+    Scale shape: exactly two shuffles over the paragraph table -- a
+    partial-agg groupBy on the normalized md5 (corpus paragraph
+    frequency; linear, no joins wider than the paragraph table) and
+    the reassembly groupBy on doc id. Matches CCNet's sharded-hash
+    dedup; no driver-side state.
+
+    Output: (doc_id, n_paras, n_dropped, clean_text).
+    """
+    sig = F.md5(F.lower(F.trim(F.col(text_col))))
+    p = paragraphs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(idx_col).alias("_idx"),
+        F.col(text_col).alias("_text"),
+        sig.alias("_sig"),
+    )
+    freq = p.groupBy("_sig").agg(
+        F.countDistinct("doc_id").alias("_doc_freq")
+    )
+    keep = F.col("_doc_freq") <= max_doc_freq
+    return (
+        p.join(freq, "_sig")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_paras"),
+            F.sum(F.when(~keep, 1).otherwise(0))
+            .cast("int")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("_idx", "_text"))
+                        )
+                    ),
+                    lambda s: s["_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repetition_signals(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Within-document n-gram repetition (the Gopher repetition
+    rules): the fraction of characters claimed by the single most
+    frequent word n-gram, and the fraction of characters in repeated
+    n-gram occurrences beyond each gram's first (the published
+    dup-n-gram approximation -- overlaps are not de-overlapped).
+
+    Scale shape: the gram explode multiplies rows by ~tokens/doc but
+    each row carries only its own gram text; one partial-agg groupBy
+    on (doc_id, gram) then one on doc_id. No joins, no windows over
+    the corpus.
+
+    Output: (doc_id, n_grams, distinct_grams, top_gram,
+    top_gram_char_frac, dup_gram_char_frac) -- top-gram ties break to
+    the lexicographically greatest gram (max over (count, gram)).
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # guard: sequence(1, 0) DESCENDS in Spark ([1, 0]), so a doc with
+    # fewer than n tokens must map to an explicit empty gram array
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = documents.select(
+        "doc_id",
+        F.length("text").alias("_chars"),
+        F.explode(grams).alias("gram"),
+    )
+    per_gram = g.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.first("_chars").alias("_chars")
+    )
+    top = F.max(F.struct(F.col("_cnt"), F.col("gram")))
+    chars = F.first("_chars")
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("_cnt").cast("int").alias("n_grams"),
+            F.count(F.lit(1)).cast("int").alias("distinct_grams"),
+            top["gram"].alias("top_gram"),
+            F.round(
+                top["_cnt"]
+                * F.length(top["gram"])
+                / F.greatest(chars, F.lit(1)),
+                6,
+            ).alias("top_gram_char_frac"),
+            F.round(
+                F.sum((F.col("_cnt") - 1) * F.length("gram"))
+                / F.greatest(chars, F.lit(1)),
+                6,
+            ).alias("dup_gram_char_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
+    """Per-document mean word surprisal under the corpus's own
+    unigram distribution -- the classic cheap quality/outlier signal
+    (a doc of rare words scores high, boilerplate scores low), the
+    poor man's KenLM perplexity filter.
+
+    Two linear passes: corpus word counts (partial-agg groupBy; Zipf
+    makes the vocabulary table orders of magnitude smaller than the
+    corpus) and a word->count equi-join back. The vocabulary side is
+    what Spark's AQE will broadcast when it fits.
+
+    Float parity: each distinct word's surprisal is rounded to 6
+    decimals ONCE (per vocabulary row, not per occurrence), summed as
+    DECIMAL(18,6) (exact, order-independent), and the mean is taken
+    in INTEGER micro-bits with half-up rounding -- sum/count can land
+    exactly on a half-way decimal (seen at sf0.1: 166.956167/34 =
+    4.9104755) where double round() legitimately differs across
+    engines; integer arithmetic cannot.
+
+    Output: (doc_id, n_tok, mean_surprisal_bits).
+    """
+    words = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "word"
+        ),
+    ).filter(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("_cnt"))
+    # corpus total as a broadcast 1-row table: stays lazy, one plan,
+    # no driver-side action
+    total = words.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.round(-F.log2(F.col("_cnt") / F.col("_total")), 6)
+        .cast("decimal(18,6)")
+        .alias("_lp"),
+    )
+    return (
+        words.join(scored, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tok"),
+            (F.sum("_lp") * 1000000).cast("bigint").alias("_sm"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            (
+                F.expr("(2 * _sm + n_tok) DIV (2 * n_tok)").cast("double")
+                / F.lit(1000000.0)
+            ).alias("mean_surprisal_bits"),
+        )
+        .orderBy("doc_id")
+    )

@@ -471,3 +471,83 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert d1[1].chunk_text.split()[0] == "w30"  # overlap of 10
     assert d1[2].chunk_text.split()[-1] == "w99"  # tail covered
     assert len(d2) == 1 and d2[0].n_tokens == 3
+
+
+def test_paragraph_dedup_drops_boilerplate_keeps_order(spark):
+    from commoncrawl_crawler_spark.operators import textstats
+
+    # "COOKIE banner" appears in 3 docs (> max_doc_freq=2) -> dropped
+    # everywhere; per-doc unique paragraphs survive in original order
+    rows = [
+        (1, 0, "unique alpha"),
+        (1, 1, "cookie banner"),
+        (1, 2, "unique beta"),
+        (2, 0, "Cookie Banner"),  # case-insensitive normalization
+        (2, 1, "only in two"),
+        (3, 0, "cookie banner"),
+        (3, 1, "only in two"),
+        (4, 0, "cookie banner"),  # every paragraph dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, para_idx int, para_text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.paragraph_dedup(df, max_doc_freq=2).collect()
+    }
+    assert out[1]["clean_text"] == "unique alpha unique beta"
+    assert (out[1]["n_paras"], out[1]["n_dropped"]) == (3, 1)
+    assert out[2]["clean_text"] == "only in two"  # freq 2 == max -> kept
+    assert out[3]["clean_text"] == "only in two"
+    assert out[4]["clean_text"] == ""  # fully-boilerplate doc stays, empty
+    assert out[4]["n_dropped"] == 1
+
+
+def test_repetition_signals_gopher_fractions(spark):
+    from commoncrawl_crawler_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # "a b" x3, "b a" x2
+            (2, "x"),  # single token: no 2-grams -> no output row
+            (3, "p q"),  # one gram, no repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.repetition_signals(df, n=2).collect()
+    }
+    assert 2 not in out  # sequence(1,0) guard: no phantom grams
+    r1 = out[1]
+    assert (r1["n_grams"], r1["distinct_grams"]) == (5, 2)
+    assert r1["top_gram"] == "a b"
+    # chars=11; top: 3 occurrences x len("a b")=3 -> 9/11
+    assert abs(r1["top_gram_char_frac"] - round(9 / 11, 6)) < 1e-9
+    # beyond-first occurrences: (3-1)*3 + (2-1)*3 = 9 -> 9/11
+    assert abs(r1["dup_gram_char_frac"] - round(9 / 11, 6)) < 1e-9
+    assert out[3]["dup_gram_char_frac"] == 0.0
+
+
+def test_unigram_surprisal_rare_words_score_higher(spark):
+    from commoncrawl_crawler_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the zebra"), (3, "zebra quark")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.unigram_logprob_scores(df).collect()
+    }
+    # corpus: the x5, zebra x2, quark x1 of 8 words
+    assert out[1]["n_tok"] == 4
+    assert (
+        out[1]["mean_surprisal_bits"]
+        < out[2]["mean_surprisal_bits"]
+        < out[3]["mean_surprisal_bits"]
+    )
+    import math
+
+    exp = -math.log2(5 / 8)
+    assert abs(out[1]["mean_surprisal_bits"] - round(exp, 6)) < 2e-6
