@@ -29,6 +29,7 @@ from commoncrawl_crawler_spark.operators import (
     joins,
     corpus,
     multimodal,
+    robots,
     sampling,
     sessions,
     setops,
@@ -1020,6 +1021,59 @@ def _crawllist_wikipedia_partition(s: SparkSession, d: str) -> DataFrame:
     return crawllist.partition_wikipedia_urls(pages, ranks, n_partitions=8)
 
 
+def _robots_evaluate(s: SparkSession, d: str) -> DataFrame:
+    """Synthesize per-host robots.txt blobs (three stanza shapes:
+    agent-specific with clear + allow-before-disallow ordering,
+    consecutive-UA wildcard, and no-matching-stanza), parse with the
+    distributed RobotRulesParser, and evaluate URL verdicts."""
+    o = F.col("o_orderkey")
+    i = (o % 20).cast("int")
+    host = F.concat(F.lit("d"), i.cast("string"), F.lit(".com"))
+    path = (
+        F.when(o % 10 == 0, F.lit("/"))
+        .when(o % 10 == 1, F.lit("/p/1"))
+        .when(o % 10 == 2, F.lit("/p/15"))
+        .when(o % 10 == 3, F.lit("/p/7"))
+        .when(o % 10 == 4, F.lit("/private/a"))
+        .when(o % 10 == 5, F.lit("/private/"))
+        .otherwise(F.concat(F.lit("/page/"), (o % 50).cast("string")))
+    )
+    urls = _t(s, d, "orders").select(
+        o.alias("key"), host.alias("host"), path.alias("path")
+    )
+    hi = F.col("_i")
+    blob = (
+        F.when(
+            hi % 3 == 0,
+            F.concat(
+                F.lit(
+                    "# generated\nUser-agent: crawlerbot\n"
+                    "Disallow: /never/\nDisallow:\n"
+                    "Allow: /p/1\nDisallow: /p/\n"
+                    "Crawl-Delay: 7\nCrawl-Delay: "
+                ),
+                hi.cast("string"),
+                F.lit("\nUser-agent: *\nDisallow: /\n"),
+            ),
+        )
+        .when(
+            hi % 3 == 1,
+            F.lit(
+                "User-agent: otherbot\nUser-agent: *\n"
+                "Disallow: /private/\n"
+            ),
+        )
+        .otherwise(F.lit("User-agent: nobodyelse\nDisallow: /\n"))
+    )
+    blobs = (
+        urls.select(F.col("host"), F.expr("CAST(substring(host, 2, length(host) - 5) AS INT)").alias("_i"))
+        .distinct()
+        .select("host", blob.alias("content"))
+    )
+    rules = robots.parse_robot_rules(blobs, ["crawlerbot"])
+    return robots.robots_allowed(urls, rules).orderBy("key")
+
+
 def _crawllist_filtered_generate(s: SparkSession, d: str) -> DataFrame:
     """Crawl-list URLs annotated by the named filter chain
     (PageRankBoost + CrawlRateOverride + ReCrawlTimeModifier)."""
@@ -1262,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawldb_blekko_merge": _crawldb_blekko_merge,
         "crawllist_wikipedia_partition": _crawllist_wikipedia_partition,
         "crawllist_filtered_generate": _crawllist_filtered_generate,
+        # distributed robots.txt parse + URL verdict evaluation
+        "robots_evaluate": _robots_evaluate,
         # per-host politeness fetch plan over the filtered crawl list
         "crawllist_politeness": lambda s, d: crawllist.politeness_schedule(
             _crawllist_filtered_generate(s, d)
@@ -1633,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_paragraph_dedup",
         "text_repetition_signals",
         "text_unigram_surprisal",
+        "robots_evaluate",
         "pipeline_corpus_build",
         "crawllist_politeness",
         "graph_connected_components",
@@ -1651,7 +1708,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_regex_scan",
         "filter_blocklist",
         "win_topk_per_group",
-        "text_quality_buckets",
         "dedup_cross_source",
         "dedup_simhash_lsh",
         "dedup_simhash_clusters",
@@ -3119,6 +3175,40 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             ORDER BY doc_id
         """,
         "text_contamination_check": _contamination_sql(n=5, min_shared=3),
+        # closed-form independent derivation of the synthesized
+        # robots semantics (stronger than re-implementing the window
+        # machinery: first-match-wins in file order, allow-before-
+        # disallow ordering, cleared prefixes, last crawl-delay wins,
+        # unmatched stanza -> allow-all)
+        "robots_evaluate": """
+            WITH u AS (
+                SELECT o_orderkey AS key,
+                       CAST(o_orderkey % 20 AS INT) AS i,
+                       'd' || CAST(o_orderkey % 20 AS VARCHAR) || '.com'
+                           AS host,
+                       CASE WHEN o_orderkey % 10 = 0 THEN '/'
+                            WHEN o_orderkey % 10 = 1 THEN '/p/1'
+                            WHEN o_orderkey % 10 = 2 THEN '/p/15'
+                            WHEN o_orderkey % 10 = 3 THEN '/p/7'
+                            WHEN o_orderkey % 10 = 4 THEN '/private/a'
+                            WHEN o_orderkey % 10 = 5 THEN '/private/'
+                            ELSE '/page/' ||
+                                 CAST(o_orderkey % 50 AS VARCHAR)
+                       END AS path
+                FROM orders
+            )
+            SELECT key, host, path,
+                   CASE WHEN i % 3 = 0 THEN
+                            CASE WHEN starts_with(path, '/p/1') THEN TRUE
+                                 WHEN starts_with(path, '/p/') THEN FALSE
+                                 ELSE TRUE END
+                        WHEN i % 3 = 1 THEN
+                            NOT starts_with(path, '/private/')
+                        ELSE TRUE END AS allowed,
+                   CASE WHEN i % 3 = 0 THEN CAST(i AS BIGINT) * 1000
+                        ELSE CAST(-1 AS BIGINT) END AS crawl_delay_ms
+            FROM u ORDER BY key
+        """,
         "text_paragraph_dedup": """
             WITH t AS (
                 SELECT doc_id,

@@ -1,0 +1,267 @@
+"""robots.txt parsing + allow/deny evaluation, relationally.
+
+Re-expresses the reference's Nutch-lineage RobotRulesParser
+(service/crawler/RobotRulesParser.java:171-419) as DataFrame ops: the
+per-file line scan becomes posexplode + window functions (stanza
+grouping via lag-over-line-number), stanza selection becomes an
+argmin over (agent precedence, stanza order), and isAllowed's
+first-matching-prefix walk (RobotRulesParser.java:162-186) becomes a
+min_by over matching rule ordinals. One robots blob is KB-sized but a
+100 TB crawl holds ~100M of them -- parsing them as one distributed
+plan (instead of a per-host driver loop) is the point: every window
+here partitions by host, so the whole parse is one shuffle on host
+and each host's handful of lines sorts in-memory.
+
+Fidelity notes, mirrored deliberately:
+- stanza ties break to the EARLIEST stanza (the reference only
+  replaces bestRulesSoFar on strictly-smaller precedence);
+- Disallow paths are percent-decoded, Allow paths are NOT (the
+  reference's Allow branch skips URLDecoder -- :357-392);
+- an empty 'Disallow:'/'Allow:' clears every prefix accumulated so
+  far in the stanza (:369-375);
+- Crawl-Delay is seconds -> milliseconds, last parseable line wins,
+  -1 when absent;
+- no matching stanza -> no rules -> everything allowed (EMPTY_RULES);
+  a 403-forbidden robots fetch is representable as the single rule
+  ('', allowed=false), which prefix-matches every path
+  (getForbidAllRules, :435-439).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _agent_precedence(spark, agents: list[str]) -> DataFrame:
+    """(token, prec): configured names by list order; '*' appended
+    with precedence len(agents) when not explicitly configured
+    (RobotRulesParser.setRobotNames)."""
+    rows = [(a.lower(), i) for i, a in enumerate(agents)]
+    if "*" not in (a.lower() for a in agents):
+        rows.append(("*", len(agents)))
+    return spark.createDataFrame(rows, "token string, prec int")
+
+
+def _directive_lines(robots: DataFrame, host_col: str, content_col: str):
+    """(host, ln, kind, value, stanza) for every directive line; only
+    lines inside a stanza (after the first User-agent) survive."""
+    w = Window.partitionBy("host").orderBy("ln")
+    d = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(content_col), "[\n\r]+")).alias(
+            "ln", "raw"
+        ),
+    ).select(
+        "host",
+        "ln",
+        F.when(d.rlike("(?i)^user-agent:"), "ua")
+        .when(d.rlike("(?i)^disallow:"), "dis")
+        .when(d.rlike("(?i)^allow:"), "allow")
+        .when(d.rlike("(?i)^crawl-delay:"), "delay")
+        .alias("kind"),
+        F.trim(
+            F.expr(
+                "substring(trim(regexp_replace(raw, '#.*', '')), "
+                "instr(trim(regexp_replace(raw, '#.*', '')), ':') + 1)"
+            )
+        ).alias("value"),
+    ).filter(F.col("kind").isNotNull())
+    # a UA line opens a NEW stanza unless the previous directive line
+    # was also UA (consecutive UA lines share one header block --
+    # the reference's doneAgents flag)
+    new_stanza = (F.col("kind") == "ua") & (
+        F.coalesce(F.lag("kind").over(w) != "ua", F.lit(True))
+    )
+    return (
+        lines.withColumn(
+            "stanza",
+            F.sum(new_stanza.cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("stanza") >= 1)
+    )
+
+
+def parse_robot_rules(
+    robots: DataFrame,
+    agents: list[str],
+    host_col: str = "host",
+    content_col: str = "content",
+) -> DataFrame:
+    """Parse robots.txt blobs into the selected stanza's rule rows.
+
+    robots: one row per host -- (host, content). agents: the crawler
+    names we advertise, highest precedence first.
+
+    Returns (host, rule_ord, prefix, allowed, crawl_delay_ms,
+    explicit_mention): rule_ord orders first-match evaluation; a host
+    whose matched stanza has zero surviving prefixes still emits one
+    row with NULL rule_ord/prefix so crawl_delay_ms and
+    explicit_mention survive; a host with no matching stanza emits
+    nothing (= allow-all).
+    """
+    spark = robots.sparkSession
+    n_agents = len(agents)
+    lines = _directive_lines(robots, host_col, content_col)
+
+    # ---- stanza selection: argmin (agent precedence, stanza) ------
+    prec = _agent_precedence(spark, agents)
+    ua_tokens = (
+        lines.filter(F.col("kind") == "ua")
+        .select(
+            "host",
+            "stanza",
+            F.explode(F.split(F.lower("value"), r"\s+")).alias("token"),
+        )
+        .join(F.broadcast(prec), "token")
+    )
+    stanza_meta = ua_tokens.groupBy("host", "stanza").agg(
+        F.min("prec").alias("precedence"),
+        F.max(
+            ((F.col("token") != "*") & (F.col("prec") < n_agents)).cast(
+                "int"
+            )
+        ).alias("_explicit"),
+    )
+    best = (
+        stanza_meta.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy("precedence", "stanza")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "host",
+            "stanza",
+            (F.col("_explicit") == 1).alias("explicit_mention"),
+        )
+    )
+
+    in_best = lines.join(best, ["host", "stanza"])
+
+    # ---- rule rows with empty-rule clearing -----------------------
+    rul = in_best.filter(F.col("kind").isin("dis", "allow"))
+    clear_w = Window.partitionBy("host", "stanza")
+    last_clear = F.max(
+        F.when(F.col("value") == "", F.col("ln"))
+    ).over(clear_w)
+    surviving = (
+        rul.withColumn("_clear_ln", last_clear)
+        .filter(
+            (F.col("value") != "")
+            & (
+                F.col("_clear_ln").isNull()
+                | (F.col("ln") > F.col("_clear_ln"))
+            )
+        )
+        .select(
+            "host",
+            "ln",
+            # reference quirk: Disallow percent-decodes, Allow does not
+            F.when(
+                F.col("kind") == "dis",
+                F.coalesce(
+                    F.expr("try_url_decode(value)"), F.col("value")
+                ),
+            )
+            .otherwise(F.col("value"))
+            .alias("prefix"),
+            (F.col("kind") == "allow").alias("allowed"),
+        )
+        .withColumn(
+            "rule_ord",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy("ln")
+            ),
+        )
+    )
+
+    # ---- per-host crawl delay (last parseable line wins) ----------
+    delay = (
+        in_best.filter(F.col("kind") == "delay")
+        .withColumn("_secs", F.expr("try_cast(value AS BIGINT)"))
+        .filter(F.col("_secs").isNotNull())
+        .groupBy("host")
+        .agg((F.max_by("_secs", "ln") * 1000).alias("crawl_delay_ms"))
+    )
+
+    return (
+        best.join(surviving, "host", "left")
+        .join(delay, "host", "left")
+        .select(
+            "host",
+            "rule_ord",
+            "prefix",
+            "allowed",
+            F.coalesce("crawl_delay_ms", F.lit(-1)).alias(
+                "crawl_delay_ms"
+            ),
+            "explicit_mention",
+        )
+        .orderBy("host", "rule_ord")
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Annotate URLs with the robots verdict: + allowed (first
+    matching prefix's polarity, default true), + crawl_delay_ms.
+
+    The verdict computes per DISTINCT (host, path) -- the rule join
+    fans out only by matching-rules-per-host (file-size bounded), the
+    URL payload columns never enter the join. isAllowed semantics:
+    empty path tests as '/', the tested path is percent-decoded, and
+    rule order is first-match-wins (min_by over rule_ord).
+    """
+    path_norm = F.when(
+        F.col(path_col).isNull() | (F.col(path_col) == ""), F.lit("/")
+    ).otherwise(F.col(path_col))
+    probe = (
+        urls.select(
+            F.col(host_col).alias("host"), path_norm.alias("_path")
+        )
+        .distinct()
+        .withColumn(
+            "_dec",
+            F.coalesce(F.expr("try_url_decode(_path)"), F.col("_path")),
+        )
+    )
+    rule_rows = rules.filter(F.col("prefix").isNotNull()).select(
+        "host", "rule_ord", "prefix", "allowed"
+    )
+    verdict = (
+        probe.join(rule_rows, "host")
+        .filter(F.col("_dec").startswith(F.col("prefix")))
+        .groupBy("host", "_path")
+        .agg(F.min_by("allowed", "rule_ord").alias("_verdict"))
+        .select(
+            F.col("host").alias("_vhost"),
+            F.col("_path").alias("_vpath"),
+            "_verdict",
+        )
+    )
+    host_meta = rules.groupBy("host").agg(
+        F.max("crawl_delay_ms").alias("_delay")
+    ).select(F.col("host").alias("_mhost"), "_delay")
+    out = (
+        urls.withColumn("_path", path_norm)
+        .join(
+            verdict,
+            (F.col(host_col) == F.col("_vhost"))
+            & (F.col("_path") == F.col("_vpath")),
+            "left",
+        )
+        .join(host_meta, F.col(host_col) == F.col("_mhost"), "left")
+    )
+    return out.select(
+        *[F.col(c) for c in urls.columns],
+        F.coalesce("_verdict", F.lit(True)).alias("allowed"),
+        F.coalesce("_delay", F.lit(-1)).alias("crawl_delay_ms"),
+    )
