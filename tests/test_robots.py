@@ -158,3 +158,134 @@ def test_disallow_percent_decodes_allow_does_not(spark):
         [(1, "a.com", "/c%20d/x")],  # tested path decodes before match
     )
     assert out[1]["allowed"] is False
+
+
+# ---------------------------------------------------------------------------
+# differential test: pure-Python model of the reference state machine
+# (RobotRulesParser.java:297-419) vs the distributed plan, over seeded
+# random blobs covering stanza/clear/delay/precedence interactions
+# ---------------------------------------------------------------------------
+
+import re as _re
+from urllib.parse import unquote_plus as _unquote
+
+
+def _model(content: str, agents: list[str]):
+    """Line-for-line port of parseRules + isAllowed semantics."""
+    names = {a.lower(): i for i, a in enumerate(agents)}
+    if "*" not in names:
+        names["*"] = len(agents)
+    n_cfg = len(agents)
+    NO = float("inf")
+    best = None  # (prec, rules, delay, explicit)
+    best_prec = NO
+    cur_rules, cur_prec, cur_delay, cur_explicit = [], NO, -1, False
+    add_rules = done_agents = False
+    for line in _re.split(r"[\n\r]+", content):
+        h = line.find("#")
+        if h >= 0:
+            line = line[:h]
+        line = line.strip()
+        low = line.lower()
+        if low.startswith("user-agent:"):
+            if done_agents:
+                if cur_prec < best_prec:
+                    best_prec = cur_prec
+                    best = (cur_rules, cur_delay, cur_explicit)
+                cur_rules, cur_prec = [], NO
+                cur_delay, cur_explicit = -1, False
+                add_rules = False
+            done_agents = False
+            for tok in line[line.index(":") + 1 :].strip().split():
+                t = tok.lower()
+                if t in names:
+                    p = names[t]
+                    if t != "*" and p < n_cfg:
+                        cur_explicit = True
+                    if p < cur_prec and p < best_prec:
+                        cur_prec = p
+            if cur_prec < best_prec:
+                add_rules = True
+        elif low.startswith("disallow:") or low.startswith("allow:"):
+            done_agents = True
+            allowed = low.startswith("allow:")
+            path = line[line.index(":") + 1 :].strip()
+            if add_rules:
+                if path == "":
+                    cur_rules = []
+                else:
+                    if not allowed:  # only Disallow decodes
+                        try:
+                            path = _unquote(path)
+                        except Exception:
+                            pass
+                    cur_rules.append((path, allowed))
+        elif low.startswith("crawl-delay:"):
+            done_agents = True
+            if add_rules:
+                v = line[line.index(":") + 1 :].strip()
+                try:
+                    cur_delay = int(v) * 1000
+                except ValueError:
+                    pass
+    if cur_prec < best_prec:
+        best = (cur_rules, cur_delay, cur_explicit)
+    if best is None:
+        return None
+    return best
+
+
+def _model_allowed(rules, path):
+    if not path:
+        path = "/"
+    try:
+        path = _unquote(path)
+    except Exception:
+        pass
+    for prefix, allowed in rules:
+        if path.startswith(prefix):
+            return allowed
+    return True
+
+
+def test_differential_random_blobs(spark):
+    import random
+
+    rng = random.Random(20260814)
+    toks = ["crawlerbot", "otherbot", "*", "me", "CrawlerBot"]
+    paths = ["/a", "/a/b", "/p/1", "", "/x%20y", "/", "/deep/q"]
+    delays = ["3", "0", "-2", "xx", ""]
+
+    def line():
+        k = rng.randrange(7)
+        if k <= 1:
+            n = rng.randrange(1, 3)
+            return "User-agent: " + " ".join(rng.choice(toks) for _ in range(n))
+        if k <= 3:
+            return "Disallow: " + rng.choice(paths)
+        if k == 4:
+            return "Allow: " + rng.choice(paths)
+        if k == 5:
+            return "Crawl-Delay: " + rng.choice(delays)
+        return rng.choice(["# comment", "", "junk line", "Sitemap: /s.xml"])
+
+    blobs = [
+        (f"h{i}.com", "\n".join(line() for _ in range(rng.randrange(2, 14))))
+        for i in range(60)
+    ]
+    agents = ["crawlerbot"]
+    test_paths = ["/a/b/c", "/p/1", "/x y/z", "/q", ""]
+    urls = [
+        (i * 10 + j, host, p)
+        for i, (host, _) in enumerate(blobs)
+        for j, p in enumerate(test_paths)
+    ]
+    got = _verdicts(spark, blobs, agents, urls)
+    for i, (host, content) in enumerate(blobs):
+        m = _model(content, agents)
+        exp_delay = m[1] if m else -1
+        for j, p in enumerate(test_paths):
+            exp = _model_allowed(m[0], p) if m else True
+            r = got[i * 10 + j]
+            assert r["allowed"] == exp, (host, p, content)
+            assert r["crawl_delay_ms"] == exp_delay, (host, content)
