@@ -195,3 +195,37 @@ def test_corpus_build_keep_sets_are_semi_anti_joins(spark, sf_smoke):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_signals_no_joins_partial_agg(spark, sf_smoke):
+    """text_repetition_signals is explode -> two groupBys: any join in
+    the plan means the gram table started shuffling against itself."""
+    plan = _plan(spark, sf_smoke, "text_repetition_signals")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_paragraph_dedup_two_linear_shuffles(spark, sf_smoke):
+    """text_paragraph_dedup's scale posture is exactly the frequency
+    groupBy (on the paragraph md5) and the reassembly groupBy (on
+    doc_id) -- a cartesian or nested-loop means the rule join
+    degenerated."""
+    plan = _plan(spark, sf_smoke, "text_paragraph_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_surprisal_vocab_joins_hash(spark, sf_smoke):
+    """The vocabulary re-join must be a hash join; the 1-row corpus
+    total must broadcast (no shuffle for a scalar)."""
+    plan = _plan(spark, sf_smoke, "text_unigram_surprisal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_robots_rule_join_no_cartesian(spark, sf_smoke):
+    """robots_evaluate: the rules-side join fans out only by matching
+    rules per host (equi-join on host); the parse windows partition by
+    host. Nested-loop or cartesian means the host key got lost."""
+    plan = _plan(spark, sf_smoke, "robots_evaluate")
+    assert "CartesianProduct" not in plan
