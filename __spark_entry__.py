@@ -1618,6 +1618,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal": lambda s, d: textstats.unigram_logprob_scores(
             _t(s, d, "documents")
         ),
+        # weighted reservoir (A-ES) per-source corpus subsample
+        "text_weighted_sample": lambda s, d: sampling.weighted_quota_sample(
+            _t(s, d, "documents").select(
+                "doc_id", "source", F.col("n_chars").cast("double").alias("w")
+            ),
+            group_cols=["source"],
+            key_col="doc_id",
+            weight_col="w",
+            quota=25,
+        ).orderBy("source", "doc_id"),
         "text_chunking": lambda s, d: textstats.chunk_documents(
             _t(s, d, "documents"), chunk_tokens=64, overlap=16
         ),
@@ -1689,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_paragraph_dedup",
         "text_repetition_signals",
         "text_unigram_surprisal",
+        "text_weighted_sample",
         "robots_evaluate",
         "pipeline_corpus_build",
         "crawllist_politeness",
@@ -3208,6 +3219,26 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
                    CASE WHEN i % 3 = 0 THEN CAST(i AS BIGINT) * 1000
                         ELSE CAST(-1 AS BIGINT) END AS crawl_delay_ms
             FROM u ORDER BY key
+        """,
+        "text_weighted_sample": """
+            WITH b AS (
+                SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+                       (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT)
+                        % 1073741824 + 1) / 1073741825.0 AS u
+                FROM documents WHERE n_chars > 0
+            ), p AS (
+                SELECT doc_id, source, w,
+                       round(-ln(u) / w, 6) AS _priority
+                FROM b
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY _priority, doc_id
+                ) AS rn
+                FROM p
+            )
+            SELECT doc_id, source, w, _priority
+            FROM r WHERE rn <= 25 ORDER BY source, doc_id
         """,
         "text_paragraph_dedup": """
             WITH t AS (

@@ -173,3 +173,42 @@ def mixture_plan(
         )
         .orderBy("source")
     )
+
+
+def weighted_quota_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    quota: int,
+) -> DataFrame:
+    """At most `quota` rows per group, weighted WITHOUT replacement:
+    inclusion probability scales with `weight_col` (Efraimidis-
+    Spirakis A-ES: keep the k smallest -ln(u)/w). The quality-weighted
+    corpus subsample every training pipeline draws -- long/high-score
+    documents are favored, but every positive-weight row has a chance.
+
+    Deterministic and engine-exact: u derives from md5(key) (no RNG
+    state, stable across reruns/partitionings/engines) and the
+    priority is rounded to 6 decimals BEFORE the per-group ranking so
+    a last-ulp ln() difference in another engine cannot reorder the
+    selection; ties break on the key. Rows with weight <= 0 or null
+    are never sampled (zero weight = zero probability).
+
+    One shuffle on the group key, top-k via the rank window -- the
+    same shape as group_quota_sample. Adds `_priority` (the rounded
+    cost) to the output for auditability.
+    """
+    m = 1 << 30
+    u = (_md5_bucket(F.col(key_col), m) + 1) / F.lit(float(m + 1))
+    cost = F.round(-F.log(u) / F.col(weight_col), 6)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_priority"), F.col(key_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_priority", cost)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )

@@ -551,3 +551,37 @@ def test_unigram_surprisal_rare_words_score_higher(spark):
 
     exp = -math.log2(5 / 8)
     assert abs(out[1]["mean_surprisal_bits"] - round(exp, 6)) < 2e-6
+
+
+def test_weighted_quota_sample_aes_model_and_bias(spark):
+    """weighted_quota_sample must (a) reproduce the exact A-ES
+    selection computed by a Python model with the same md5-derived
+    uniforms, and (b) favor heavy rows: with weights 100 vs 1, the
+    selected set skews overwhelmingly heavy."""
+    import hashlib
+    import math
+
+    from commoncrawl_crawler_spark.operators import sampling
+
+    m = 1 << 30
+    rows = [
+        (k, "g", 100.0 if k % 2 == 0 else 1.0) for k in range(400)
+    ] + [(1000, "g", 0.0), (1001, "g", None)]  # never sampled
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    out = sampling.weighted_quota_sample(
+        df, group_cols=["source"], key_col="doc_id", weight_col="w", quota=40
+    ).collect()
+    got = sorted(r["doc_id"] for r in out)
+
+    def cost(k, w):
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        u = (h % m + 1) / (m + 1)
+        return (round(-math.log(u) / w, 6), k)
+
+    model = sorted(
+        (k for k, _, w in rows if w), key=lambda k: cost(k, 100.0 if k % 2 == 0 else 1.0)
+    )[:40]
+    assert got == sorted(model)
+    assert 1000 not in got and 1001 not in got
+    heavy = sum(1 for k in got if k % 2 == 0)
+    assert heavy >= 35  # 100:1 weights -> overwhelmingly heavy picks
