@@ -1670,7 +1670,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # filter_category, filter_projection_rekey, win_round_robin,
     # skew_salted_count, agg_moving_daily_avg, win_first_row_per_key,
     # agg_status_rollup, win_secondary_sort_rank, win_segment_packing,
-    # agg_group_count.
+    # agg_group_count — plus, displaced by the 6 new round-4b gates
+    # (paragraph dedup, repetition signals, unigram surprisal,
+    # weighted sample, robots, plus the earlier 3-gate batch):
+    # filter_range_predicate, win_paginate, skew_salted_join,
+    # text_quality_buckets, fn_url_canonicalize — all r2-green with
+    # dedicated pytest/plan gates. The priority list below is exactly
+    # the 50 gated entries.
     # The full local sweep for every entry lives in
     # CORRECTNESS_SELF_r04.txt (tools/check_all_oracles.py).
     priority = [
@@ -1727,7 +1733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawllist_generate",
         "crawldb_blekko_merge",
         "crawllist_wikipedia_partition",
-        "fn_url_canonicalize",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})

@@ -116,6 +116,11 @@ def _compiled_match_values(
             r["path_regex"],
             r["value"],
         )
+        if val is None:
+            # a null-value rule contributes nothing to sum/min in the
+            # join path (aggregates skip nulls) -- skip it here too
+            # rather than crashing on float(None)
+            continue
         cond = (
             F.lit(True)
             if root in _GLOBAL_ROOTS

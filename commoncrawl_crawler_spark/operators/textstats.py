@@ -467,6 +467,10 @@ def repetition_signals(documents: DataFrame, n: int = 2) -> DataFrame:
     Output: (doc_id, n_grams, distinct_grams, top_gram,
     top_gram_char_frac, dup_gram_char_frac) -- top-gram ties break to
     the lexicographically greatest gram (max over (count, gram)).
+    Documents with fewer than n tokens have no n-grams and emit no
+    row (join the result back to the corpus when a full roster is
+    needed); the same holds in the SQL oracle, so the contract is
+    explicit, not an engine accident.
     """
     toks = F.split(F.trim(F.col("text")), r"\s+")
     # guard: sequence(1, 0) DESCENDS in Spark ([1, 0]), so a doc with
@@ -538,9 +542,11 @@ def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
         ),
     ).filter(F.col("word") != "")
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("_cnt"))
-    # corpus total as a broadcast 1-row table: stays lazy, one plan,
+    # corpus total = sum of vocabulary counts: derives from the
+    # already-aggregated ~vocab-sized table instead of a third full
+    # pass over the exploded token table; stays lazy, one plan,
     # no driver-side action
-    total = words.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    total = vocab.agg(F.sum("_cnt").cast("double").alias("_total"))
     scored = vocab.crossJoin(F.broadcast(total)).select(
         "word",
         F.round(-F.log2(F.col("_cnt") / F.col("_total")), 6)

@@ -167,7 +167,16 @@ def test_disallow_percent_decodes_allow_does_not(spark):
 # ---------------------------------------------------------------------------
 
 import re as _re
-from urllib.parse import unquote_plus as _unquote
+from urllib.parse import unquote_plus as _unquote_plus
+
+
+def _unquote(s: str) -> str:
+    """Java URLDecoder semantics: an INVALID percent escape raises,
+    and the caller keeps the raw string -- python's unquote_plus
+    never raises and would partially decode mixed strings instead."""
+    if _re.search(r"%(?![0-9A-Fa-f]{2})", s):
+        raise ValueError(s)
+    return _unquote_plus(s)
 
 
 def _model(content: str, agents: list[str]):
@@ -253,7 +262,7 @@ def test_differential_random_blobs(spark):
 
     rng = random.Random(20260814)
     toks = ["crawlerbot", "otherbot", "*", "me", "CrawlerBot"]
-    paths = ["/a", "/a/b", "/p/1", "", "/x%20y", "/", "/deep/q"]
+    paths = ["/a", "/a/b", "/p/1", "", "/x%20y", "/", "/deep/q", "/x%zz"]
     delays = ["3", "0", "-2", "xx", ""]
 
     def line():
@@ -274,7 +283,7 @@ def test_differential_random_blobs(spark):
         for i in range(60)
     ]
     agents = ["crawlerbot"]
-    test_paths = ["/a/b/c", "/p/1", "/x y/z", "/q", ""]
+    test_paths = ["/a/b/c", "/p/1", "/x y/z", "/q", "", "/x%zz/t"]
     urls = [
         (i * 10 + j, host, p)
         for i, (host, _) in enumerate(blobs)
