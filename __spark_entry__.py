@@ -1070,7 +1070,13 @@ def _robots_evaluate(s: SparkSession, d: str) -> DataFrame:
         .distinct()
         .select("host", blob.alias("content"))
     )
-    rules = robots.parse_robot_rules(blobs, ["crawlerbot"])
+    # the parsed rule table is consumed three times inside
+    # robots_allowed (rule rows, host meta, verdict join) and is tiny
+    # (rules-per-host is robots-file-size bounded): materialize once
+    # so the parse windows run once and AQE can broadcast the joins
+    rules = robots.parse_robot_rules(blobs, ["crawlerbot"]).localCheckpoint(
+        eager=False
+    )
     return robots.robots_allowed(urls, rules).orderBy("key")
 
 
