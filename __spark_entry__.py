@@ -1324,6 +1324,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawllist_filtered_generate": _crawllist_filtered_generate,
         # distributed robots.txt parse + URL verdict evaluation
         "robots_evaluate": _robots_evaluate,
+        # composed: robots verdicts + crawl-delay drive the per-host
+        # politeness fetch plan (disallowed URLs never enter a slot;
+        # a host's Crawl-Delay becomes its fetch interval)
+        "pipeline_robots_fetch_plan": lambda s, d: crawllist.politeness_schedule(
+            _robots_evaluate(s, d)
+            .filter(F.col("allowed"))
+            .select(
+                "key",
+                "host",
+                F.lit(0).alias("prio"),
+                F.when(
+                    F.col("crawl_delay_ms") >= 0, F.col("crawl_delay_ms")
+                ).alias("rate"),
+            ),
+            host_col="host",
+            priority_col="prio",
+            rate_col="rate",
+        ),
         # per-host politeness fetch plan over the filtered crawl list
         "crawllist_politeness": lambda s, d: crawllist.politeness_schedule(
             _crawllist_filtered_generate(s, d)
@@ -1713,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal",
         "text_weighted_sample",
         "robots_evaluate",
+        "pipeline_robots_fetch_plan",
         "pipeline_corpus_build",
         "crawllist_politeness",
         "graph_connected_components",
@@ -1738,7 +1757,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine",
         "crawllist_generate",
         "crawldb_blekko_merge",
-        "crawllist_wikipedia_partition",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -3250,6 +3268,51 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             )
             SELECT doc_id, source, w, _priority
             FROM r WHERE rn <= 25 ORDER BY source, doc_id
+        """,
+        "pipeline_robots_fetch_plan": """
+            WITH u AS (
+                SELECT o_orderkey AS key,
+                       CAST(o_orderkey % 20 AS INT) AS i,
+                       'd' || CAST(o_orderkey % 20 AS VARCHAR) || '.com'
+                           AS host,
+                       CASE WHEN o_orderkey % 10 = 0 THEN '/'
+                            WHEN o_orderkey % 10 = 1 THEN '/p/1'
+                            WHEN o_orderkey % 10 = 2 THEN '/p/15'
+                            WHEN o_orderkey % 10 = 3 THEN '/p/7'
+                            WHEN o_orderkey % 10 = 4 THEN '/private/a'
+                            WHEN o_orderkey % 10 = 5 THEN '/private/'
+                            ELSE '/page/' ||
+                                 CAST(o_orderkey % 50 AS VARCHAR)
+                       END AS path
+                FROM orders
+            ), v AS (
+                SELECT key, host,
+                       CASE WHEN i % 3 = 0 THEN
+                                CASE WHEN starts_with(path, '/p/1')
+                                         THEN TRUE
+                                     WHEN starts_with(path, '/p/')
+                                         THEN FALSE
+                                     ELSE TRUE END
+                            WHEN i % 3 = 1 THEN
+                                NOT starts_with(path, '/private/')
+                            ELSE TRUE END AS allowed,
+                       CASE WHEN i % 3 = 0 THEN CAST(i AS BIGINT) * 1000
+                            ELSE CAST(-1 AS BIGINT) END AS cdm
+                FROM u
+            ), a AS (SELECT key, host, cdm FROM v WHERE allowed),
+            r AS (
+                SELECT key, host,
+                       row_number() OVER (
+                           PARTITION BY host ORDER BY key
+                       ) AS slot,
+                       CASE WHEN cdm >= 0 THEN cdm
+                            ELSE CAST(500 AS BIGINT) END AS interval_ms
+                FROM a
+            )
+            SELECT key, host, CAST(slot AS INT) AS slot, interval_ms,
+                   CAST((slot - 1) * interval_ms AS BIGINT)
+                       AS scheduled_offset_ms
+            FROM r ORDER BY key
         """,
         "text_paragraph_dedup": """
             WITH t AS (
