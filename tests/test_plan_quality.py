@@ -229,3 +229,30 @@ def test_robots_rule_join_no_cartesian(spark, sf_smoke):
     host. Nested-loop or cartesian means the host key got lost."""
     plan = _plan(spark, sf_smoke, "robots_evaluate")
     assert "CartesianProduct" not in plan
+
+
+def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
+    """Blanket sweep over EVERY gated query's physical plan: no
+    CartesianProduct anywhere, and BroadcastNestedLoopJoin only in
+    the queries that legitimately broadcast a probe/scalar side (ANN
+    scans, the 1-row corpus-total and weight tables). A new query
+    that sneaks in a cartesian fails here even before anyone writes
+    it a dedicated plan test."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from plan_census import census
+
+    rows = census(spark, sf_smoke)
+    errors = {n: r["error"] for n, r in rows.items() if "error" in r}
+    assert not errors, errors
+    cartesian = [n for n, r in rows.items() if r["cartesian_products"]]
+    assert cartesian == [], cartesian
+    bnlj_ok = {
+        "sim_brute_force_topk",  # broadcast probe x scan (by design)
+        "sim_ivf_topk",  # broadcast probe x routed scan
+        "text_mixture_plan",  # 1-row weight-total broadcast
+        "text_unigram_surprisal",  # 1-row corpus-total broadcast
+    }
+    bnlj = {n for n, r in rows.items() if r["broadcast_nested_loop_joins"]}
+    assert bnlj <= bnlj_ok, bnlj - bnlj_ok
