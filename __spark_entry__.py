@@ -785,6 +785,27 @@ def _stream_distinct_pairs(s: SparkSession, d: str) -> DataFrame:
     return out.orderBy("user_id", "event_type")
 
 
+def _stream_static_enrich(s: SparkSession, d: str) -> DataFrame:
+    """Stream-static join: the events stream enriches against the
+    customer dimension (user_id == c_custkey), then rolls up per
+    market segment with the exact-decimal sum discipline."""
+    dim = _t(s, d, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = streaming_jobs.stream_static_enrich(
+        streaming_jobs.read_events_stream(s, d), dim, on="user_id"
+    )
+    agg = joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("events"),
+        numeric.dsum("value").alias("total_value"),
+    )
+    out = streaming_jobs.run_available_now(
+        agg, _stream_sink_name("enrich"), output_mode="complete"
+    )
+    return out.orderBy("segment")
+
+
 def _stream_asof(s: SparkSession, d: str) -> DataFrame:
     """Stateful streaming as-of join (applyInPandasWithState), drained
     via availableNow. Each click row is emitted exactly once with the
@@ -1496,6 +1517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "stream_windowed_stats": _stream_windowed_stats,
         "stream_distinct_pairs": _stream_distinct_pairs,
+        # stream-static join: micro-batches enrich against the
+        # customer dim snapshot (stateless inner join, dim broadcast)
+        "stream_static_enrich": _stream_static_enrich,
         "sessionize_events": lambda s, d: sessions.sessionize(
             _t(s, d, "events"), gap_minutes=60
         ),
@@ -1732,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_weighted_sample",
         "robots_evaluate",
         "pipeline_robots_fetch_plan",
+        "stream_static_enrich",
         "pipeline_corpus_build",
         "crawllist_politeness",
         "graph_connected_components",
@@ -1756,7 +1781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard",
         "dedup_embedding_cosine",
         "crawllist_generate",
-        "crawldb_blekko_merge",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -3268,6 +3292,14 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             )
             SELECT doc_id, source, w, _priority
             FROM r WHERE rn <= 25 ORDER BY source, doc_id
+        """,
+        "stream_static_enrich": """
+            SELECT c.c_mktsegment AS segment,
+                   count(*) AS events,
+                   CAST(round(sum(CAST(e.value AS DECIMAL(15,2))), 3)
+                        AS DOUBLE) AS total_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1 ORDER BY 1
         """,
         "pipeline_robots_fetch_plan": """
             WITH u AS (

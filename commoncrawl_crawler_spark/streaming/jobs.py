@@ -295,3 +295,22 @@ def streaming_asof_join(
     return stream.groupBy("user_id").applyInPandasWithState(
         _fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, on: str
+) -> DataFrame:
+    """Stream-static inner join: every micro-batch joins against the
+    CURRENT snapshot of the batch-side table (Spark re-plans the
+    static side per batch, so a refreshed dimension is picked up
+    without restarting the query). The streaming analog of the
+    reference's crawler joining each fetched batch against its
+    in-memory metadata maps.
+
+    The dimension is hint-broadcast: a stream-static join must never
+    shuffle the unbounded side on the join key -- at production rates
+    the stream is the 100 TB side and the dimension is the KB-GB
+    side. No watermark needed: inner stream-static joins are
+    stateless (each batch joins independently; no cross-batch
+    buffering)."""
+    return stream.join(F.broadcast(dim), on)

@@ -299,3 +299,53 @@ def test_streaming_asof_equal_ts_tiebreak_across_batches(spark, tmp_path):
     ).collect()
     got = {r["event_id"]: r["asof_event_id"] for r in out}
     assert got == {9: 5}  # max event_id wins the equal-ts tie
+
+
+def test_stream_static_enrich_matches_batch_and_broadcasts(spark, sf_smoke):
+    """The stream-static join drained via availableNow must equal the
+    batch join + rollup exactly, and the static dimension must enter
+    the plan as a broadcast (the stream side never shuffles on the
+    join key)."""
+    from pyspark.sql import functions as F
+    from commoncrawl_crawler_spark.functions import numeric
+
+    dim = load_table(spark, "customer", sf_smoke).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = jobs.stream_static_enrich(
+        jobs.read_events_stream(spark, sf_smoke), dim, on="user_id"
+    )
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("events"),
+        numeric.dsum("value").alias("total_value"),
+    )
+    streamed = jobs.run_available_now(
+        agg, "ccspark_test_enrich", output_mode="complete"
+    ).collect()
+
+    batch = (
+        load_table(spark, "events", sf_smoke)
+        .join(dim, "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            numeric.dsum("value").alias("total_value"),
+        )
+        .collect()
+    )
+
+    def key(rows):
+        return sorted(
+            (r["segment"], r["events"], r["total_value"]) for r in rows
+        )
+
+    assert key(streamed) == key(batch)
+    # a pre-start streaming frame has no executedPlan; the same
+    # builder over the batch table exercises the identical join shape
+    batch_shape = jobs.stream_static_enrich(
+        load_table(spark, "events", sf_smoke), dim, on="user_id"
+    )
+    plan = batch_shape._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
