@@ -806,6 +806,19 @@ def _stream_static_enrich(s: SparkSession, d: str) -> DataFrame:
     return out.orderBy("segment")
 
 
+def _stream_stream_attribution(s: SparkSession, d: str) -> DataFrame:
+    """Stream-stream inner join (state on both sides): every click
+    attributed to same-user purchases within 12 hours."""
+    out = streaming_jobs.run_available_now(
+        streaming_jobs.stream_stream_attribution(
+            streaming_jobs.read_events_stream(s, d), window_minutes=720
+        ),
+        _stream_sink_name("ssattr"),
+        output_mode="append",
+    )
+    return out.orderBy("click_id", "purchase_id")
+
+
 def _stream_asof(s: SparkSession, d: str) -> DataFrame:
     """Stateful streaming as-of join (applyInPandasWithState), drained
     via availableNow. Each click row is emitted exactly once with the
@@ -1520,6 +1533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream-static join: micro-batches enrich against the
         # customer dim snapshot (stateless inner join, dim broadcast)
         "stream_static_enrich": _stream_static_enrich,
+        # stream-stream join: watermarked state on both sides
+        "stream_stream_attribution": _stream_stream_attribution,
         "sessionize_events": lambda s, d: sessions.sessionize(
             _t(s, d, "events"), gap_minutes=60
         ),
@@ -1757,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_evaluate",
         "pipeline_robots_fetch_plan",
         "stream_static_enrich",
+        "stream_stream_attribution",
         "pipeline_corpus_build",
         "crawllist_politeness",
         "graph_connected_components",
@@ -1780,7 +1796,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_clusters",
         "dedup_ngram_jaccard",
         "dedup_embedding_cosine",
-        "crawllist_generate",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -3292,6 +3307,16 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             )
             SELECT doc_id, source, w, _priority
             FROM r WHERE rn <= 25 ORDER BY source, doc_id
+        """,
+        "stream_stream_attribution": """
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                   c.user_id,
+                   (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 720 MINUTE
+            ORDER BY click_id, purchase_id
         """,
         "stream_static_enrich": """
             SELECT c.c_mktsegment AS segment,

@@ -314,3 +314,66 @@ def stream_static_enrich(
     stateless (each batch joins independently; no cross-batch
     buffering)."""
     return stream.join(F.broadcast(dim), on)
+
+
+def stream_stream_attribution(
+    stream: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "10 days",
+) -> DataFrame:
+    """Stream-stream inner join with event-time range: every click is
+    attributed to each same-user purchase within `window_minutes`
+    after it -- the canonical two-unbounded-sides join (state on BOTH
+    sides, bounded by the watermark + range condition, per the
+    Structured Streaming join contract).
+
+    `watermark` is the lateness SLA: state for rows older than
+    max(event time) - watermark is evicted, so a purchase arriving
+    later than that after its click is silently dropped -- set it to
+    the pipeline's real lateness bound. The availableNow drain of a
+    bounded input equals the batch range join whenever no input
+    arrives later than the watermark allows (the parity test splits
+    input in event-time order to honor that).
+    """
+    # watermarks require TIMESTAMP (not NTZ); a uniform cast shifts
+    # both sides identically under any session timezone, and the
+    # output carries only comparisons and the gap -- tz-invariant
+    ts = F.col("ts").cast("timestamp")
+    c = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            ts.alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            ts.alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        # elapsed whole seconds via integer epoch-micros: engines
+        # disagree on timestamp "difference in seconds" (boundary
+        # crossings vs floored elapsed); integer floor-div does not
+        F.expr(
+            "(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000"
+        ).alias("gap_s"),
+    )

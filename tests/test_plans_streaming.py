@@ -349,3 +349,112 @@ def test_stream_static_enrich_matches_batch_and_broadcasts(spark, sf_smoke):
     plan = batch_shape._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _write_event_files(tmp_path, batches):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import os
+    import time
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        f = src / f"f{i}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(df), f, coerce_timestamps="us"
+        )
+        # the file source orders batches by modification time: space
+        # the stamps so quick successive writes cannot scramble order
+        os.utime(f, (time.time() + i * 10, time.time() + i * 10))
+    return src
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_smoke):
+    """availableNow drain of the watermarked stream-stream join must
+    equal the batch range join (single-file source: no eviction)."""
+    from pyspark.sql import functions as F
+
+    streamed = jobs.run_available_now(
+        jobs.stream_stream_attribution(
+            jobs.read_events_stream(spark, sf_smoke), window_minutes=720
+        ),
+        "ccspark_test_ssattr",
+        output_mode="append",
+    ).collect()
+    e = load_table(spark, "events", sf_smoke)
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 720 MINUTES")),
+        )
+        .select("click_id", "purchase_id")
+        .collect()
+    )
+    assert sorted((r["click_id"], r["purchase_id"]) for r in streamed) == sorted(
+        (r["click_id"], r["purchase_id"]) for r in batch
+    )
+
+
+def test_stream_stream_join_state_spans_batches(spark, tmp_path):
+    """A click in batch 1 joins a purchase arriving in batch 2 (both
+    sides keep state); a purchase later than the watermark allows is
+    dropped from the result."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    b1 = [
+        (1, base, 7, "click", 0.0, "{}"),
+    ]
+    b2 = [
+        (2, base + pd.Timedelta(minutes=10), 7, "purchase", 1.0, "{}"),
+        # advance the watermark far past the click...
+        (3, base + pd.Timedelta(days=30), 8, "click", 0.0, "{}"),
+    ]
+    # the global watermark is the MIN across both legs' watermarks and
+    # lags one batch, so TWO spacer batches must advance the purchase
+    # leg past the click before eviction is visible
+    b3 = [
+        (5, base + pd.Timedelta(days=30, hours=1), 8, "purchase", 1.0, "{}"),
+    ]
+    b4 = [
+        (6, base + pd.Timedelta(days=30, hours=2), 9, "purchase", 1.0, "{}"),
+    ]
+    b5 = [
+        # in-window for click 1 by event time, but 30 days late by
+        # arrival -- beyond the lateness SLA, state already evicted
+        (4, base + pd.Timedelta(minutes=20), 7, "purchase", 1.0, "{}"),
+    ]
+    src = _write_event_files(tmp_path, [b1, b2, b3, b4, b5])
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = jobs.run_available_now(
+        jobs.stream_stream_attribution(
+            stream, window_minutes=30, watermark="1 hour"
+        ),
+        "ccspark_test_ssattr_2b",
+        output_mode="append",
+    ).collect()
+    pairs = sorted((r["click_id"], r["purchase_id"]) for r in out)
+    assert (1, 2) in pairs  # cross-batch state join
+    assert (1, 4) not in pairs  # evicted by the watermark
