@@ -190,6 +190,37 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared closed-form derivation of the synthesized robots semantics
+#: (consumed by the robots_evaluate and pipeline_robots_fetch_plan
+#: oracles -- one definition so the two cannot drift)
+_ROBOTS_VERDICT_CTE = """
+u AS (
+    SELECT o_orderkey AS key,
+           CAST(o_orderkey % 20 AS INT) AS i,
+           'd' || CAST(o_orderkey % 20 AS VARCHAR) || '.com' AS host,
+           CASE WHEN o_orderkey % 10 = 0 THEN '/'
+                WHEN o_orderkey % 10 = 1 THEN '/p/1'
+                WHEN o_orderkey % 10 = 2 THEN '/p/15'
+                WHEN o_orderkey % 10 = 3 THEN '/p/7'
+                WHEN o_orderkey % 10 = 4 THEN '/private/a'
+                WHEN o_orderkey % 10 = 5 THEN '/private/'
+                ELSE '/page/' || CAST(o_orderkey % 50 AS VARCHAR)
+           END AS path
+    FROM orders
+), v AS (
+    SELECT key, host, path,
+           CASE WHEN i % 3 = 0 THEN
+                    CASE WHEN starts_with(path, '/p/1') THEN TRUE
+                         WHEN starts_with(path, '/p/') THEN FALSE
+                         ELSE TRUE END
+                WHEN i % 3 = 1 THEN NOT starts_with(path, '/private/')
+                ELSE TRUE END AS allowed,
+           CASE WHEN i % 3 = 0 THEN CAST(i AS BIGINT) * 1000
+                ELSE CAST(-1 AS BIGINT) END AS cdm
+    FROM u
+)"""
+
+
 def _edges_cte(price_min: float | None = None) -> str:
     flt = f" WHERE l_extendedprice > {price_min}" if price_min else ""
     andflt = f" AND l_extendedprice > {price_min}" if price_min else ""
@@ -1733,13 +1764,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # filter_category, filter_projection_rekey, win_round_robin,
     # skew_salted_count, agg_moving_daily_avg, win_first_row_per_key,
     # agg_status_rollup, win_secondary_sort_rank, win_segment_packing,
-    # agg_group_count — plus, displaced by the 6 new round-4b gates
+    # agg_group_count — plus, displaced by the 9 new round-4b gates
     # (paragraph dedup, repetition signals, unigram surprisal,
-    # weighted sample, robots, plus the earlier 3-gate batch):
-    # filter_range_predicate, win_paginate, skew_salted_join,
-    # text_quality_buckets, fn_url_canonicalize — all r2-green with
-    # dedicated pytest/plan gates. The priority list below is exactly
-    # the 50 gated entries.
+    # weighted sample, robots evaluate, robots fetch plan,
+    # stream-static enrich, stream-stream attribution, and the
+    # shared-cluster rewiring): filter_range_predicate, win_paginate,
+    # skew_salted_join, text_quality_buckets, fn_url_canonicalize,
+    # crawldb_blekko_merge, crawllist_generate,
+    # crawllist_wikipedia_partition — all r2/r3-green with dedicated
+    # pytest/plan gates. The priority list below is exactly the 50
+    # gated entries.
     # The full local sweep for every entry lives in
     # CORRECTNESS_SELF_r04.txt (tools/check_all_oracles.py).
     priority = [
@@ -3259,34 +3293,10 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
         # machinery: first-match-wins in file order, allow-before-
         # disallow ordering, cleared prefixes, last crawl-delay wins,
         # unmatched stanza -> allow-all)
-        "robots_evaluate": """
-            WITH u AS (
-                SELECT o_orderkey AS key,
-                       CAST(o_orderkey % 20 AS INT) AS i,
-                       'd' || CAST(o_orderkey % 20 AS VARCHAR) || '.com'
-                           AS host,
-                       CASE WHEN o_orderkey % 10 = 0 THEN '/'
-                            WHEN o_orderkey % 10 = 1 THEN '/p/1'
-                            WHEN o_orderkey % 10 = 2 THEN '/p/15'
-                            WHEN o_orderkey % 10 = 3 THEN '/p/7'
-                            WHEN o_orderkey % 10 = 4 THEN '/private/a'
-                            WHEN o_orderkey % 10 = 5 THEN '/private/'
-                            ELSE '/page/' ||
-                                 CAST(o_orderkey % 50 AS VARCHAR)
-                       END AS path
-                FROM orders
-            )
-            SELECT key, host, path,
-                   CASE WHEN i % 3 = 0 THEN
-                            CASE WHEN starts_with(path, '/p/1') THEN TRUE
-                                 WHEN starts_with(path, '/p/') THEN FALSE
-                                 ELSE TRUE END
-                        WHEN i % 3 = 1 THEN
-                            NOT starts_with(path, '/private/')
-                        ELSE TRUE END AS allowed,
-                   CASE WHEN i % 3 = 0 THEN CAST(i AS BIGINT) * 1000
-                        ELSE CAST(-1 AS BIGINT) END AS crawl_delay_ms
-            FROM u ORDER BY key
+        "robots_evaluate": f"""
+            WITH {_ROBOTS_VERDICT_CTE}
+            SELECT key, host, path, allowed, cdm AS crawl_delay_ms
+            FROM v ORDER BY key
         """,
         "text_weighted_sample": """
             WITH b AS (
@@ -3326,37 +3336,9 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY 1 ORDER BY 1
         """,
-        "pipeline_robots_fetch_plan": """
-            WITH u AS (
-                SELECT o_orderkey AS key,
-                       CAST(o_orderkey % 20 AS INT) AS i,
-                       'd' || CAST(o_orderkey % 20 AS VARCHAR) || '.com'
-                           AS host,
-                       CASE WHEN o_orderkey % 10 = 0 THEN '/'
-                            WHEN o_orderkey % 10 = 1 THEN '/p/1'
-                            WHEN o_orderkey % 10 = 2 THEN '/p/15'
-                            WHEN o_orderkey % 10 = 3 THEN '/p/7'
-                            WHEN o_orderkey % 10 = 4 THEN '/private/a'
-                            WHEN o_orderkey % 10 = 5 THEN '/private/'
-                            ELSE '/page/' ||
-                                 CAST(o_orderkey % 50 AS VARCHAR)
-                       END AS path
-                FROM orders
-            ), v AS (
-                SELECT key, host,
-                       CASE WHEN i % 3 = 0 THEN
-                                CASE WHEN starts_with(path, '/p/1')
-                                         THEN TRUE
-                                     WHEN starts_with(path, '/p/')
-                                         THEN FALSE
-                                     ELSE TRUE END
-                            WHEN i % 3 = 1 THEN
-                                NOT starts_with(path, '/private/')
-                            ELSE TRUE END AS allowed,
-                       CASE WHEN i % 3 = 0 THEN CAST(i AS BIGINT) * 1000
-                            ELSE CAST(-1 AS BIGINT) END AS cdm
-                FROM u
-            ), a AS (SELECT key, host, cdm FROM v WHERE allowed),
+        "pipeline_robots_fetch_plan": f"""
+            WITH {_ROBOTS_VERDICT_CTE},
+            a AS (SELECT key, host, cdm FROM v WHERE allowed),
             r AS (
                 SELECT key, host,
                        row_number() OVER (
