@@ -585,3 +585,76 @@ def test_weighted_quota_sample_aes_model_and_bias(spark):
     assert 1000 not in got and 1001 not in got
     heavy = sum(1 for k in got if k % 2 == 0)
     assert heavy >= 35  # 100:1 weights -> overwhelmingly heavy picks
+
+
+def test_text_ops_differential_random_corpus(spark):
+    """Seeded-random corpus differential: paragraph_dedup and
+    repetition_signals must agree with independent pure-Python models
+    (the DuckDB oracles share the relational formulation; these models
+    do not)."""
+    import hashlib
+    import random
+    from collections import Counter
+
+    from commoncrawl_crawler_spark.operators import textstats
+
+    rng = random.Random(20260814)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "y"]
+    paras = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 5)))
+        for _ in range(12)
+    ]
+    docs, prows = [], []
+    for d in range(40):
+        n = rng.randrange(1, 7)
+        ps = [rng.choice(paras) for _ in range(n)]
+        docs.append((d, " ".join(ps)))
+        prows += [(d, i, p) for i, p in enumerate(ps)]
+
+    # ---- paragraph_dedup vs model ---------------------------------
+    pdf = spark.createDataFrame(
+        prows, "doc_id long, para_idx int, para_text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in textstats.paragraph_dedup(pdf, max_doc_freq=3).collect()
+    }
+    freq = Counter()
+    per_doc = {}
+    for d, i, p in prows:
+        per_doc.setdefault(d, []).append((i, p))
+    for p in {(d, hashlib.md5(p.lower().strip().encode()).hexdigest())
+              for d, _, p in prows}:
+        freq[p[1]] += 1
+    for d, items in per_doc.items():
+        kept = [
+            p
+            for _, p in sorted(items)
+            if freq[hashlib.md5(p.lower().strip().encode()).hexdigest()] <= 3
+        ]
+        r = got[d]
+        assert r["n_paras"] == len(items)
+        assert r["n_dropped"] == len(items) - len(kept)
+        assert r["clean_text"] == " ".join(kept), d
+
+    # ---- repetition_signals vs model ------------------------------
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    rep = {
+        r["doc_id"]: r
+        for r in textstats.repetition_signals(ddf, n=2).collect()
+    }
+    for d, text in docs:
+        toks = text.split()
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        if not grams:
+            assert d not in rep
+            continue
+        c = Counter(grams)
+        top_cnt, top = max(((v, g) for g, v in c.items()))
+        r = rep[d]
+        assert (r["n_grams"], r["distinct_grams"]) == (len(grams), len(c))
+        assert r["top_gram"] == top
+        chars = max(len(text), 1)
+        assert abs(r["top_gram_char_frac"] - round(top_cnt * len(top) / chars, 6)) < 1e-9
+        dup = sum((v - 1) * len(g) for g, v in c.items())
+        assert abs(r["dup_gram_char_frac"] - round(dup / chars, 6)) < 1e-9
