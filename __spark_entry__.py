@@ -1086,11 +1086,15 @@ def _crawllist_wikipedia_partition(s: SparkSession, d: str) -> DataFrame:
     return crawllist.partition_wikipedia_urls(pages, ranks, n_partitions=8)
 
 
-def _robots_evaluate(s: SparkSession, d: str) -> DataFrame:
-    """Synthesize per-host robots.txt blobs (three stanza shapes:
-    agent-specific with clear + allow-before-disallow ordering,
-    consecutive-UA wildcard, and no-matching-stanza), parse with the
-    distributed RobotRulesParser, and evaluate URL verdicts."""
+def _robots_verdicts(s: SparkSession, d: str) -> DataFrame:
+    """Unsorted robots verdict set: synthesize per-host robots.txt
+    blobs (three stanza shapes: agent-specific with clear +
+    allow-before-disallow ordering, consecutive-UA wildcard, and
+    no-matching-stanza), parse with the distributed RobotRulesParser,
+    and evaluate URL verdicts. No ORDER BY here -- the composed
+    fetch-plan gate repartitions on host immediately, and an inner
+    global sort would be a wasted full shuffle+sort of every verdict
+    row at scale."""
     o = F.col("o_orderkey")
     i = (o % 20).cast("int")
     host = F.concat(F.lit("d"), i.cast("string"), F.lit(".com"))
@@ -1142,7 +1146,11 @@ def _robots_evaluate(s: SparkSession, d: str) -> DataFrame:
     rules = robots.parse_robot_rules(blobs, ["crawlerbot"]).localCheckpoint(
         eager=False
     )
-    return robots.robots_allowed(urls, rules).orderBy("key")
+    return robots.robots_allowed(urls, rules)
+
+
+def _robots_evaluate(s: SparkSession, d: str) -> DataFrame:
+    return _robots_verdicts(s, d).orderBy("key")
 
 
 def _crawllist_filtered_generate(s: SparkSession, d: str) -> DataFrame:
@@ -1393,7 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # politeness fetch plan (disallowed URLs never enter a slot;
         # a host's Crawl-Delay becomes its fetch interval)
         "pipeline_robots_fetch_plan": lambda s, d: crawllist.politeness_schedule(
-            _robots_evaluate(s, d)
+            _robots_verdicts(s, d)
             .filter(F.col("allowed"))
             .select(
                 "key",

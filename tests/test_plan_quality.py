@@ -226,9 +226,26 @@ def test_unigram_surprisal_vocab_joins_hash(spark, sf_smoke):
 def test_robots_rule_join_no_cartesian(spark, sf_smoke):
     """robots_evaluate: the rules-side join fans out only by matching
     rules per host (equi-join on host); the parse windows partition by
-    host. Nested-loop or cartesian means the host key got lost."""
-    plan = _plan(spark, sf_smoke, "robots_evaluate")
+    host. Nested-loop or cartesian means the host key got lost.
+
+    The gate localCheckpoints the rule table (truncating lineage), so
+    this builds the UNcheckpointed parse+verdict plan directly --
+    otherwise the parse half would be invisible to the assertion."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_crawler_spark.operators import robots
+
+    urls = QUERIES["robots_evaluate"](spark, sf_smoke).select("key", "host", "path")
+    blobs = urls.select(
+        "host", F.lit("User-agent: *\nDisallow: /x\n").alias("content")
+    ).distinct()
+    full = robots.robots_allowed(
+        urls, robots.parse_robot_rules(blobs, ["crawlerbot"])
+    )
+    plan = full._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+    gate_plan = _plan(spark, sf_smoke, "robots_evaluate")
+    assert "CartesianProduct" not in gate_plan
 
 
 def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
@@ -238,15 +255,19 @@ def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
     scans, the 1-row corpus-total and weight tables). A new query
     that sneaks in a cartesian fails here even before anyone writes
     it a dedicated plan test."""
+    import pathlib
     import sys
 
-    sys.path.insert(0, "tools")
+    sys.path.insert(
+        0, str(pathlib.Path(__file__).resolve().parent.parent / "tools")
+    )
     from plan_census import census
 
     rows = census(spark, sf_smoke)
     errors = {n: r["error"] for n, r in rows.items() if "error" in r}
     assert not errors, errors
-    cartesian = [n for n, r in rows.items() if r["cartesian_products"]]
+    counted = {n: r for n, r in rows.items() if "skipped" not in r}
+    cartesian = [n for n, r in counted.items() if r["cartesian_products"]]
     assert cartesian == [], cartesian
     bnlj_ok = {
         "sim_brute_force_topk",  # broadcast probe x scan (by design)
@@ -254,5 +275,7 @@ def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
         "text_mixture_plan",  # 1-row weight-total broadcast
         "text_unigram_surprisal",  # 1-row corpus-total broadcast
     }
-    bnlj = {n for n, r in rows.items() if r["broadcast_nested_loop_joins"]}
+    bnlj = {
+        n for n, r in counted.items() if r["broadcast_nested_loop_joins"]
+    }
     assert bnlj <= bnlj_ok, bnlj - bnlj_ok

@@ -11,12 +11,28 @@ Usage:
     PYTHONPATH=/root/repo python tools/plan_census.py \
         /root/testdata/sf0.001 [out.json]
 
-Census is plan-only: every query is planned (executedPlan), never
-executed, so the full 120-query census runs in seconds. Caveat:
-under AQE the pre-execution plan is `AdaptiveSparkPlan
-isFinalPlan=false`, so codegen_spans undercounts (codegen stages
-materialize per query stage at runtime) — treat it as a floor; the
-join/exchange/cartesian counts are exact for the initial plan.
+Scope and caveats, stated precisely:
+- Streaming gates (`stream_*`) are SKIPPED: their builders drain an
+  availableNow query and return the memory sink, so the "plan" would
+  be just the sink scan — zero visibility into the streaming join
+  itself (those joins are covered by dedicated parity/plan tests in
+  tests/test_plans_streaming.py). Skipped rows carry a `skipped`
+  marker so absence is visible, not silent.
+- A few batch builders have side effects (archive/multi-sink gates
+  write scratch files while constructing the frame); the census
+  tolerates that — "plan-only" refers to the RETURNED frame never
+  being executed.
+- `shuffle_exchanges` counts hash/range/single-partition exchanges
+  only; BroadcastExchange and ReusedExchange are separate columns,
+  so an SMJ→broadcast conversion shows as -1 shuffle +1 broadcast
+  instead of netting out to zero.
+- Under AQE the pre-execution plan is `AdaptiveSparkPlan
+  isFinalPlan=false`, so codegen_spans undercounts (codegen stages
+  materialize per query stage at runtime) — treat it as a floor.
+- Gates that `localCheckpoint` an intermediate (the robots rule
+  table) truncate lineage, so the census sees only the post-
+  checkpoint half; the pre-checkpoint parse plan is pinned by its
+  own operator-level test.
 """
 
 from __future__ import annotations
@@ -27,7 +43,9 @@ import sys
 
 
 FEATURES = {
-    "exchanges": r"Exchange",
+    "shuffle_exchanges": r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+    "broadcast_exchanges": r"BroadcastExchange",
+    "reused_exchanges": r"ReusedExchange",
     "broadcast_hash_joins": r"BroadcastHashJoin",
     "sort_merge_joins": r"SortMergeJoin",
     "shuffled_hash_joins": r"ShuffledHashJoin",
@@ -42,6 +60,9 @@ def census(spark, sf_dir: str) -> dict:
 
     out = {}
     for name, fn in entry.queries().items():
+        if name.startswith("stream_"):
+            out[name] = {"skipped": "streaming drain (see parity tests)"}
+            continue
         try:
             plan = (
                 fn(spark, sf_dir)
@@ -71,12 +92,24 @@ def main() -> int:
         rows = census(spark, sf_dir)
     finally:
         spark.stop()
+    counted = {
+        n: r
+        for n, r in rows.items()
+        if "error" not in r and "skipped" not in r
+    }
     totals = {
-        k: sum(r.get(k, 0) for r in rows.values() if "error" not in r)
+        k: sum(r.get(k, 0) for r in counted.values())
         for k in list(FEATURES) + ["codegen_spans"]
     }
     errors = [n for n, r in rows.items() if "error" in r]
-    doc = {"sf_dir": sf_dir, "totals": totals, "errors": errors, "queries": rows}
+    skipped = [n for n, r in rows.items() if "skipped" in r]
+    doc = {
+        "sf_dir": sf_dir,
+        "totals": totals,
+        "errors": errors,
+        "skipped": skipped,
+        "queries": rows,
+    }
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     print(json.dumps({"totals": totals, "n": len(rows), "errors": errors}))
