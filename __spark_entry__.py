@@ -1720,6 +1720,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal": lambda s, d: textstats.unigram_logprob_scores(
             _t(s, d, "documents")
         ),
+        # concat-then-chunk training-sequence packing layout
+        "text_pack_sequences": lambda s, d: textstats.pack_sequences(
+            _t(s, d, "documents"), seq_len=256
+        ),
         # weighted reservoir (A-ES) per-source corpus subsample
         "text_weighted_sample": lambda s, d: sampling.weighted_quota_sample(
             _t(s, d, "documents").select(
@@ -1811,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_signals",
         "text_unigram_surprisal",
         "text_weighted_sample",
+        "text_pack_sequences",
         "robots_evaluate",
         "pipeline_robots_fetch_plan",
         "stream_static_enrich",
@@ -1837,7 +1842,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_lsh",
         "dedup_simhash_clusters",
         "dedup_ngram_jaccard",
-        "dedup_embedding_cosine",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -3305,6 +3309,28 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             WITH {_ROBOTS_VERDICT_CTE}
             SELECT key, host, path, allowed, cdm AS crawl_delay_ms
             FROM v ORDER BY key
+        """,
+        "text_pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+')) END
+                           AS n_tok
+                FROM documents
+            ), t2 AS (SELECT * FROM t WHERE n_tok > 0),
+            c AS (
+                SELECT doc_id, n_tok,
+                       sum(n_tok) OVER (ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS e
+                FROM t2
+            )
+            SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+                   CAST(e - n_tok AS BIGINT) AS start_offset,
+                   CAST((e - n_tok) // 256 AS BIGINT) AS first_seq,
+                   CAST((e - 1) // 256 AS BIGINT) AS last_seq,
+                   CAST((e - n_tok) % 256 AS INT) AS start_in_seq
+            FROM c ORDER BY doc_id
         """,
         "text_weighted_sample": """
             WITH b AS (

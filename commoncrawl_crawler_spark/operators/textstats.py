@@ -570,3 +570,50 @@ def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def pack_sequences(
+    documents: DataFrame, seq_len: int = 2048
+) -> DataFrame:
+    """Sequence-packing layout for LLM training: documents
+    concatenate into one global token stream (doc_id order) that is
+    chunked into fixed `seq_len` training sequences; each document
+    reports where it landed. The concat-then-chunk discipline --
+    documents SPAN sequence boundaries rather than padding them --
+    is what most pretraining pipelines ship.
+
+    Pure integer window arithmetic: one global cumulative sum over
+    token counts (a running-total window), then DIV/MOD assignment.
+    Exact on any engine and partitioning. At 100 TB the single
+    unbounded window is the honest cost of a GLOBAL packing order;
+    shard it (e.g. per source) by calling per partition of the
+    corpus, exactly like distributed pretraining shards its data
+    files.
+
+    Output: (doc_id, n_tok, start_offset, first_seq, last_seq,
+    start_in_seq) -- offsets are 0-based global token positions;
+    empty documents (0 tokens) are dropped (they occupy no tokens).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count_expr
+
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = documents.select(
+        "doc_id", token_count_expr(F.col("text")).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    cum = toks.withColumn("_end", F.sum("n_tok").over(w))
+    start = (F.col("_end") - F.col("n_tok")).cast("long")
+    return cum.select(
+        "doc_id",
+        "n_tok",
+        start.alias("start_offset"),
+        F.expr(f"(_end - n_tok) DIV {seq_len}").alias("first_seq"),
+        F.expr(f"(_end - 1) DIV {seq_len}").alias("last_seq"),
+        F.expr(f"(_end - n_tok) % {seq_len}").cast("int").alias(
+            "start_in_seq"
+        ),
+    ).orderBy("doc_id")

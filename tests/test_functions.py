@@ -658,3 +658,37 @@ def test_text_ops_differential_random_corpus(spark):
         assert abs(r["top_gram_char_frac"] - round(top_cnt * len(top) / chars, 6)) < 1e-9
         dup = sum((v - 1) * len(g) for g, v in c.items())
         assert abs(r["dup_gram_char_frac"] - round(dup / chars, 6)) < 1e-9
+
+
+def test_pack_sequences_concat_then_chunk(spark):
+    """Hand-computed packing: docs of 3/5/4 tokens into seq_len=4 --
+    doc 2 spans the seq 0/1 boundary, doc 3 spans 1/2; empty docs
+    occupy no tokens and emit no row."""
+    from commoncrawl_crawler_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),  # tokens 0-2 -> seq 0
+            (2, "d e f g h"),  # tokens 3-7 -> seqs 0..1
+            (3, "i j k l"),  # tokens 8-11 -> seqs 2..2
+            (4, ""),  # empty: dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.pack_sequences(df, seq_len=4).collect()
+    }
+    assert 4 not in out
+    assert (out[1]["start_offset"], out[1]["first_seq"], out[1]["last_seq"],
+            out[1]["start_in_seq"]) == (0, 0, 0, 0)
+    assert (out[2]["start_offset"], out[2]["first_seq"], out[2]["last_seq"],
+            out[2]["start_in_seq"]) == (3, 0, 1, 3)
+    assert (out[3]["start_offset"], out[3]["first_seq"], out[3]["last_seq"],
+            out[3]["start_in_seq"]) == (8, 2, 2, 0)
+    # global invariant: offsets tile the token stream with no gaps
+    rows = sorted(out.values(), key=lambda r: r["start_offset"])
+    pos = 0
+    for r in rows:
+        assert r["start_offset"] == pos
+        pos += r["n_tok"]
