@@ -104,7 +104,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _md5_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the tokenize window+distinct (two shuffles) feeds BOTH the
+    # the shingle build (narrow projection + distinct) feeds BOTH the
     # simhash sketch and the minhash signature builds; materialize once
     # per (session, sf) like the edge table above
     return _cached(

@@ -450,27 +450,30 @@ def _md5_tokens(documents: DataFrame) -> DataFrame:
     pairs in the same LSH buckets on same-domain corpora; shingles
     drop that to the true near-dup rate). Same choice as the
     reference's text shingling (DeduperUtils.java sketch build)."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    toks = documents.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
-            "pos", "t1"
-        ),
-    ).filter(F.col("t1") != "")
-    return (
-        toks.withColumn("t2", F.lead("t1", 1).over(w))
-        .withColumn("t3", F.lead("t1", 2).over(w))
-        .filter(F.col("t3").isNotNull())
-        # F.concat propagates NULL (unlike concat_ws), matching the
-        # oracle's `||` semantics
-        .select(
-            "doc_id",
-            F.concat(
-                F.col("t1"), F.lit(" "), F.col("t2"), F.lit(" "), F.col("t3")
-            ).alias("tok"),
-        )
-        .distinct()
+    # shingles as a narrow array projection (slice inside the scan
+    # stage) -- the previous lead()-window formulation shuffled and
+    # sorted the ENTIRE exploded token table (corpus x ~200 rows at
+    # the 100 TB design point) just to pair adjacent tokens; only the
+    # closing distinct shuffles now. The token array is HOISTED into
+    # its own projection: inlined, the split+filter re-evaluates per
+    # shingle index (Catalyst duplicates the subexpression into every
+    # lambda use) -- measured 4-6x slower
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
     )
+    base = documents.select("doc_id", arr.alias("_arr"))
+    # guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
+    # explicit empty shingle array
+    shingles = F.when(
+        F.size("_arr") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_arr") - 2),
+            lambda i: F.array_join(F.slice(F.col("_arr"), i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        "doc_id", F.explode(shingles).alias("tok")
+    ).distinct()
 
 
 _H60 = "CAST(conv(substring(md5({v}),1,15),16,10) AS BIGINT)"
@@ -484,7 +487,7 @@ def md5_simhash_sketches(
     groupBy with `bits` conditional-sum partials -- no UDF.
 
     `tokens`: optionally inject a pre-materialized _md5_tokens table so
-    a query server amortizes the tokenize window+distinct (two
+    a query server amortizes the shingle build + distinct (one
     shuffles) across the simhash and minhash tiers."""
     toks = tokens if tokens is not None else _md5_tokens(documents)
     hs = toks.withColumn("h", F.expr(_H60.format(v="tok")))
