@@ -472,19 +472,26 @@ def repetition_signals(documents: DataFrame, n: int = 2) -> DataFrame:
     needed); the same holds in the SQL oracle, so the contract is
     explicit, not an engine accident.
     """
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # token array hoisted into its own projection: inlined into the
+    # transform lambda, Catalyst re-evaluates the split per gram
+    # index (quadratic in document length)
+    base = documents.select(
+        "doc_id",
+        F.length("text").alias("_chars"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("_toks"),
+    )
     # guard: sequence(1, 0) DESCENDS in Spark ([1, 0]), so a doc with
     # fewer than n tokens must map to an explicit empty gram array
     grams = F.when(
-        F.size(toks) >= n,
+        F.size("_toks") >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = documents.select(
+    g = base.select(
         "doc_id",
-        F.length("text").alias("_chars"),
+        "_chars",
         F.explode(grams).alias("gram"),
     )
     per_gram = g.groupBy("doc_id", "gram").agg(
