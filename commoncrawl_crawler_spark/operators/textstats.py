@@ -282,25 +282,25 @@ def vocabulary(documents: DataFrame, top_n: int = 100) -> DataFrame:
 
 
 def _token_shingles(documents: DataFrame, n: int) -> DataFrame:
-    """(doc_id, sh) distinct lowercase n-token shingles via a per-doc
-    position window (same construction as the dedup tier's 3-token
-    shingles; F.concat propagates the trailing NULLs off the end of
-    each document so partial windows drop)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    toks = documents.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("pos", "t0"),
-    ).filter(F.col("t0") != "")
-    parts = [F.col("t0")]
-    for i in range(1, n):
-        parts.extend([F.lit(" "), F.lead("t0", i).over(w)])
-    return (
-        toks.select("doc_id", F.concat(*parts).alias("sh"))
-        .filter(F.col("sh").isNotNull())
-        .distinct()
+    """(doc_id, sh) distinct lowercase n-token shingles as a narrow
+    array projection (same construction as the dedup tier's 3-token
+    shingles): no window shuffle over the exploded token table, and
+    the token array is hoisted into its own projection so the split
+    is not re-evaluated per shingle index."""
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
     )
+    base = documents.select("doc_id", arr.alias("_arr"))
+    shingles = F.when(
+        F.size("_arr") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_arr") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("_arr"), i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        "doc_id", F.explode(shingles).alias("sh")
+    ).distinct()
 
 
 def contamination_check(
