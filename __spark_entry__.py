@@ -1720,6 +1720,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal": lambda s, d: textstats.unigram_logprob_scores(
             _t(s, d, "documents")
         ),
+        # top-k TF-IDF keywords per document (exact-decimal ranking)
+        "text_tfidf_keywords": lambda s, d: textstats.tfidf_keywords(
+            _t(s, d, "documents"), top_k=3
+        ),
         # concat-then-chunk training-sequence packing layout
         "text_pack_sequences": lambda s, d: textstats.pack_sequences(
             _t(s, d, "documents"), seq_len=256
@@ -1816,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal",
         "text_weighted_sample",
         "text_pack_sequences",
+        "text_tfidf_keywords",
         "robots_evaluate",
         "pipeline_robots_fetch_plan",
         "stream_static_enrich",
@@ -1841,7 +1846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_source",
         "dedup_simhash_lsh",
         "dedup_simhash_clusters",
-        "dedup_ngram_jaccard",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -3309,6 +3313,40 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             WITH {_ROBOTS_VERDICT_CTE}
             SELECT key, host, path, allowed, cdm AS crawl_delay_ms
             FROM v ORDER BY key
+        """,
+        "text_tfidf_keywords": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS token
+                FROM documents
+            ), w2 AS (SELECT * FROM w WHERE token <> ''),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM w2 GROUP BY doc_id, token
+            ),
+            df AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY token),
+            nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            idf AS (
+                SELECT token,
+                       CAST(round(ln(n / dfreq), 6) AS DECIMAL(18,6))
+                           AS idf
+                FROM df CROSS JOIN nd
+            ),
+            sc AS (
+                SELECT t.doc_id, t.token, CAST(t.tf AS BIGINT) AS tf,
+                       CAST(t.tf * i.idf AS DECIMAL(28,6)) AS score
+                FROM tf t JOIN idf i USING (token)
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, token
+                ) AS rn
+                FROM sc
+            )
+            SELECT doc_id, token, tf, CAST(score AS DOUBLE) AS tfidf
+            FROM r WHERE rn <= 3
+            ORDER BY doc_id, tfidf DESC, token
         """,
         "text_pack_sequences": """
             WITH t AS (

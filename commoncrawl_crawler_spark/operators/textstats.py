@@ -624,3 +624,61 @@ def pack_sequences(
             "start_in_seq"
         ),
     ).orderBy("doc_id")
+
+
+def tfidf_keywords(documents: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-k TF-IDF keywords per document -- the classic corpus
+    keyword extractor (and the scoring backbone of every inverted-
+    index ranker).
+
+    Engine-exact selection: idf = ln(N/df) is rounded to 6 decimals
+    ONCE per vocabulary row and multiplied by the integer term
+    frequency as DECIMAL, so scores are exact decimal products and
+    the per-document ranking (score desc, token asc) cannot be
+    reordered by float summation or a last-ulp ln() difference.
+
+    Scale shape: term frequencies are one partial-agg groupBy over
+    (doc, token); document frequencies aggregate the same table again
+    (Zipf-small vocabulary out); the vocabulary re-join broadcasts.
+    No windows over the corpus -- only over each document's term list.
+
+    Output: (doc_id, token, tf, tfidf).
+    """
+    from pyspark.sql import Window
+
+    words = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "token"
+        ),
+    ).filter(F.col("token") != "")
+    tf = words.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = documents.select("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        F.round(F.log(F.col("_n") / F.col("_df")), 6)
+        .cast("decimal(18,6)")
+        .alias("_idf"),
+    )
+    scored = tf.join(idf, "token").withColumn(
+        "tfidf", (F.col("tf") * F.col("_idf")).cast("decimal(28,6)")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.col("tfidf").cast("double").alias("tfidf"),
+        )
+        .orderBy("doc_id", F.desc("tfidf"), "token")
+    )

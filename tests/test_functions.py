@@ -692,3 +692,32 @@ def test_pack_sequences_concat_then_chunk(spark):
     for r in rows:
         assert r["start_offset"] == pos
         pos += r["n_tok"]
+
+
+def test_tfidf_keywords_ranking(spark):
+    """Hand-computed tf-idf: a corpus-wide word scores idf=0 and never
+    beats a distinctive word; ranking ties break on token."""
+    import math
+
+    from commoncrawl_crawler_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "common zebra zebra common common"),
+            (2, "common quark common"),
+            (3, "common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.tfidf_keywords(df, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: zebra (tf=2, idf=ln(3)) beats common (idf=0)
+    assert by_doc[1][0]["token"] == "zebra"
+    assert abs(by_doc[1][0]["tfidf"] - round(2 * round(math.log(3), 6), 6)) < 1e-9
+    # doc 3: only 'common', idf 0 -> score 0 but still listed
+    assert [r["token"] for r in by_doc[3]] == ["common"]
+    assert by_doc[3][0]["tfidf"] == 0.0
+    # every doc emits at most top_k rows
+    assert all(len(v) <= 2 for v in by_doc.values())
