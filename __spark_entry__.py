@@ -1720,6 +1720,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal": lambda s, d: textstats.unigram_logprob_scores(
             _t(s, d, "documents")
         ),
+        # PMI word-association pairs over top-vocab co-occurrence
+        "text_pmi_pairs": lambda s, d: textstats.pmi_pairs(
+            _t(s, d, "documents"), top_vocab=20, min_pair_docs=5
+        ),
         # top-k TF-IDF keywords per document (exact-decimal ranking)
         "text_tfidf_keywords": lambda s, d: textstats.tfidf_keywords(
             _t(s, d, "documents"), top_k=3
@@ -1821,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_weighted_sample",
         "text_pack_sequences",
         "text_tfidf_keywords",
+        "text_pmi_pairs",
         "robots_evaluate",
         "pipeline_robots_fetch_plan",
         "stream_static_enrich",
@@ -1845,7 +1850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_topk_per_group",
         "dedup_cross_source",
         "dedup_simhash_lsh",
-        "dedup_simhash_clusters",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -3313,6 +3317,43 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             WITH {_ROBOTS_VERDICT_CTE}
             SELECT key, host, path, allowed, cdm AS crawl_delay_ms
             FROM v ORDER BY key
+        """,
+        "text_pmi_pairs": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS token
+                FROM documents
+            ), w2 AS (SELECT * FROM w WHERE token <> ''),
+            v0 AS (
+                SELECT token, count(DISTINCT doc_id) AS doc_freq,
+                       count(*) AS term_freq
+                FROM w2 GROUP BY token
+            ),
+            v AS (
+                SELECT token, doc_freq FROM v0
+                ORDER BY doc_freq DESC, term_freq DESC, token LIMIT 20
+            ),
+            t AS (SELECT DISTINCT doc_id, token FROM w2),
+            tv AS (
+                SELECT t.doc_id, t.token, v.doc_freq
+                FROM t JOIN v USING (token)
+            ),
+            nd AS (SELECT count(*) AS n FROM documents),
+            p AS (
+                SELECT a.token AS token_a, b.token AS token_b,
+                       a.doc_freq AS dfa, b.doc_freq AS dfb,
+                       count(*) AS pair_docs
+                FROM tv a JOIN tv b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2, 3, 4
+                HAVING count(*) >= 5
+            )
+            SELECT token_a, token_b, CAST(pair_docs AS BIGINT) AS pair_docs,
+                   round(ln(CAST(n * pair_docs AS DOUBLE)
+                            / (dfa * dfb)), 6) AS pmi
+            FROM p CROSS JOIN nd
+            ORDER BY pmi DESC, token_a, token_b
         """,
         "text_tfidf_keywords": """
             WITH w AS (

@@ -682,3 +682,69 @@ def tfidf_keywords(documents: DataFrame, top_k: int = 3) -> DataFrame:
         )
         .orderBy("doc_id", F.desc("tfidf"), "token")
     )
+
+
+def pmi_pairs(
+    documents: DataFrame,
+    top_vocab: int = 50,
+    min_pair_docs: int = 2,
+) -> DataFrame:
+    """Pointwise mutual information over within-document
+    co-occurrence -- the classic word-association miner (collocation
+    discovery, phrase induction).
+
+    pmi(a,b) = ln(N * df_ab / (df_a * df_b)) over DOCUMENT
+    frequencies; positive = the words co-occur more than independence
+    predicts.
+
+    Scale discipline: the pair space is restricted to the top
+    `top_vocab` corpus tokens BEFORE pairing (broadcast semi join),
+    so the per-document pair fan-out is bounded by top_vocab^2 -- the
+    unrestricted self-join would be quadratic in per-document
+    vocabulary. The ln is applied to an exact integer ratio and
+    rounded to 6 decimals, so ordering and values are engine-exact.
+
+    Output: (token_a, token_b, pair_docs, pmi), token_a < token_b,
+    pmi-descending with a token tiebreak.
+    """
+    vocab = vocabulary(documents, top_n=top_vocab).select(
+        "token", F.col("doc_freq").alias("_df")
+    )
+    toks = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                )
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .join(F.broadcast(vocab), "token")
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).alias("_n"))
+    a = toks.select(
+        "doc_id", F.col("token").alias("token_a"), F.col("_df").alias("_dfa")
+    )
+    b = toks.select(
+        "doc_id", F.col("token").alias("token_b"), F.col("_df").alias("_dfb")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "_dfa", "_dfb")
+        .agg(F.count(F.lit(1)).alias("pair_docs"))
+        .filter(F.col("pair_docs") >= min_pair_docs)
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("_n") * F.col("pair_docs"))
+            / (F.col("_dfa") * F.col("_dfb"))
+        ),
+        6,
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select("token_a", "token_b", "pair_docs", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "token_a", "token_b")
+    )

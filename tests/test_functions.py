@@ -721,3 +721,34 @@ def test_tfidf_keywords_ranking(spark):
     assert by_doc[3][0]["tfidf"] == 0.0
     # every doc emits at most top_k rows
     assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_pmi_pairs_association_direction(spark):
+    """PMI sign check: tokens engineered to always co-occur score
+    positive; tokens that never do are absent; independence scores
+    ~ln(1)=0."""
+    import math
+
+    from commoncrawl_crawler_spark.operators import textstats
+
+    rows = []
+    # 'salt pepper' always together (10 docs); 'oil' alone (10 docs);
+    # 'water' in every doc (independent of the rest)
+    for d in range(10):
+        rows.append((d, "salt pepper water"))
+    for d in range(10, 20):
+        rows.append((d, "oil water"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["token_a"], r["token_b"]): r
+        for r in textstats.pmi_pairs(
+            df, top_vocab=10, min_pair_docs=2
+        ).collect()
+    }
+    # salt+pepper: df=10 each, pair=10, N=20 -> pmi = ln(20*10/100) = ln 2
+    assert abs(out[("pepper", "salt")]["pmi"] - round(math.log(2), 6)) < 1e-9
+    # water co-occurs with salt in 10 of 20 docs; water df=20 ->
+    # ln(20*10/(10*20)) = 0 (independence)
+    assert out[("salt", "water")]["pmi"] == 0.0
+    # oil never meets salt
+    assert ("oil", "salt") not in out
