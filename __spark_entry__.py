@@ -1720,6 +1720,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal": lambda s, d: textstats.unigram_logprob_scores(
             _t(s, d, "documents")
         ),
+        # BM25 lexical ranking against a fixed bag-of-terms query
+        "text_bm25_rank": lambda s, d: textstats.bm25_scores(
+            _t(s, d, "documents"),
+            terms=["spark", "window", "batch"],
+            top_k=25,
+        ),
         # PMI word-association pairs over top-vocab co-occurrence
         "text_pmi_pairs": lambda s, d: textstats.pmi_pairs(
             _t(s, d, "documents"), top_vocab=20, min_pair_docs=5
@@ -1826,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences",
         "text_tfidf_keywords",
         "text_pmi_pairs",
+        "text_bm25_rank",
         "robots_evaluate",
         "pipeline_robots_fetch_plan",
         "stream_static_enrich",
@@ -1849,7 +1856,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_blocklist",
         "win_topk_per_group",
         "dedup_cross_source",
-        "dedup_simhash_lsh",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -3317,6 +3323,58 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             WITH {_ROBOTS_VERDICT_CTE}
             SELECT key, host, path, allowed, cdm AS crawl_delay_ms
             FROM v ORDER BY key
+        """,
+        "text_bm25_rank": """
+            WITH tq AS (
+                SELECT unnest(['spark', 'window', 'batch']) AS term
+            ),
+            d AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+')) END
+                           AS dlen
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS term
+                FROM documents
+            ),
+            wt AS (SELECT w.doc_id, w.term FROM w JOIN tq USING (term)),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM wt GROUP BY 1, 2
+            ),
+            st AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(dlen) AS DOUBLE) / count(*) AS avglen
+                FROM d
+            ),
+            dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+            idf AS (
+                SELECT term, avglen,
+                       CAST(floor(ln((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+                                  * 1e6 + 0.5) AS BIGINT) AS idf_u
+                FROM dfq CROSS JOIN st
+            ),
+            c AS (
+                SELECT t.doc_id,
+                       i.idf_u * CAST(floor(
+                           (t.tf * (1.2 + 1))
+                           / (t.tf + 1.2 * (1 - 0.75
+                                            + 0.75 * d.dlen / i.avglen))
+                           * 1e6 + 0.5) AS BIGINT) AS contrib
+                FROM tf t
+                JOIN idf i USING (term)
+                JOIN d ON t.doc_id = d.doc_id
+            ),
+            s AS (
+                SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS sc
+                FROM c GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(sc AS DOUBLE) / 1e12 AS bm25
+            FROM s ORDER BY sc DESC, doc_id LIMIT 25
         """,
         "text_pmi_pairs": """
             WITH w AS (

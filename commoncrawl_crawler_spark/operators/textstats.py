@@ -748,3 +748,81 @@ def pmi_pairs(
         .select("token_a", "token_b", "pair_docs", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "token_a", "token_b")
     )
+
+
+def bm25_scores(
+    documents: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranking of documents against a bag-of-terms query -- the
+    default lexical scorer of every web search stack (and what the
+    reference's query server would have run had it ranked by content
+    rather than URL metadata).
+
+    score(d) = sum over query terms of
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len/avglen))
+
+    Engine-exact discipline: idf (the Robertson log((N-df+0.5)/
+    (df+0.5)+1) form, always positive) and each term's saturation
+    factor are quantized to integer micro-units via floor(x*1e6+0.5)
+    -- round(double, 6) is NOT engine-stable near half boundaries
+    (Spark rounds the shortest decimal repr, DuckDB multiplies then
+    std::rounds; observed 1e-6 flips), floor(x+0.5) is one definition
+    every engine evaluates identically. Products and sums then happen
+    in exact BIGINT, so both the scores and the (score desc, doc_id)
+    ranking are bit-identical on any engine and partitioning.
+
+    Scale shape: the terms list broadcasts; only matching (doc, term)
+    rows survive the explode (a semi-join-shaped filter in the scan);
+    per-doc lengths ride along; one partial-agg groupBy per doc then
+    a global top-k (TakeOrdered).
+    """
+    from pyspark.sql import Window
+
+    spark = documents.sparkSession
+    tdf = spark.createDataFrame([(t.lower(),) for t in terms], "term string")
+    words = documents.select(
+        "doc_id",
+        text.token_count_expr(F.col("text")).alias("_len"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    ).join(F.broadcast(tdf), "term")
+    tf = words.groupBy("doc_id", "term", "_len").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = documents.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (
+            F.sum(text.token_count_expr(F.col("text")))
+            / F.count(F.lit(1))
+        ).alias("_avglen"),
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf_raw = F.log(
+        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "_avglen",
+        F.floor(idf_raw * 1e6 + 0.5).cast("bigint").alias("_idf_u"),
+    )
+    sat_raw = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("_len") / F.col("_avglen"))
+    )
+    sat_u = F.floor(sat_raw * 1e6 + 0.5).cast("bigint")
+    contrib = tf.join(idf, "term").select(
+        "doc_id", (F.col("_idf_u") * sat_u).alias("_c")
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("_c").alias("_s"))
+        .select(
+            "doc_id", (F.col("_s").cast("double") / F.lit(1e12)).alias("bm25")
+        )
+        .orderBy(F.desc("_s"), "doc_id")
+        .limit(top_k)
+    )

@@ -752,3 +752,29 @@ def test_pmi_pairs_association_direction(spark):
     assert out[("salt", "water")]["pmi"] == 0.0
     # oil never meets salt
     assert ("oil", "salt") not in out
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 sanity: a doc with more query-term hits outranks one with
+    fewer; the length normalization penalizes padding; docs with no
+    query terms are absent."""
+    from commoncrawl_crawler_spark.operators import textstats
+
+    pad = " filler" * 50
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark window"),
+            (2, "spark window"),
+            (3, "spark window" + pad),  # same hits, much longer
+            (4, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.bm25_scores(
+        df, terms=["spark", "window"], top_k=10
+    ).collect()
+    ranks = {r["doc_id"]: i for i, r in enumerate(out)}
+    scores = {r["doc_id"]: r["bm25"] for r in out}
+    assert 4 not in ranks
+    assert ranks[1] < ranks[2] < ranks[3]
+    assert scores[2] > scores[3] > 0
