@@ -227,6 +227,40 @@ def _edges_cte(price_min: float | None = None) -> str:
     return _EDGES_CTE.format(flt=flt, andflt=andflt)
 
 
+def _hits_sql(iterations: int = 2) -> str:
+    """HITS unrolled for a fixed iteration count -- exact bigint
+    sums, mirroring graph.hits_scores."""
+    sql = (
+        "WITH "
+        + _edges_cte()
+        + ", h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes)"
+    )
+    for i in range(1, iterations + 1):
+        sql += f""",
+a{i} AS (
+    SELECT n.node, CAST(coalesce(s.a, 0) AS BIGINT) AS auth
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(h.hub) AS a
+        FROM edges e JOIN h{i-1} h ON e.src = h.node GROUP BY e.dst
+    ) s USING (node)
+),
+h{i} AS (
+    SELECT n.node, CAST(coalesce(s.h, 0) AS BIGINT) AS hub
+    FROM nodes n LEFT JOIN (
+        SELECT e.src AS node, sum(a.auth) AS h
+        FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+    ) s USING (node)
+)"""
+    sql += f"""
+SELECT n.node, a.auth, h.hub
+FROM nodes n
+JOIN a{iterations} a USING (node)
+JOIN h{iterations} h USING (node)
+ORDER BY n.node
+"""
+    return sql
+
+
 def _pagerank_sql(iterations: int = 3) -> str:
     # fixed-point bigint ranks (1.0 == 1e6) with truncating division:
     # exact integer math -> engine- and order-independent results
@@ -1720,6 +1754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal": lambda s, d: textstats.unigram_logprob_scores(
             _t(s, d, "documents")
         ),
+        # HITS hubs/authorities (fixed iterations, exact integers)
+        "graph_hits": lambda s, d: graph.hits_scores(
+            _edges(s, d), iterations=2
+        ),
         # BM25 lexical ranking against a fixed bag-of-terms query
         "text_bm25_rank": lambda s, d: textstats.bm25_scores(
             _t(s, d, "documents"),
@@ -1844,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawllist_politeness",
         "graph_connected_components",
         "graph_component_sizes",
+        "graph_hits",
         "bloom_frontier_filter",
         # (c) last green in r2
         "agg_count_having",
@@ -1858,7 +1897,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_regex_scan",
         "filter_blocklist",
         "win_topk_per_group",
-        "dedup_cross_source",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -2871,6 +2909,7 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY node ORDER BY node
         """,
         "graph_pagerank": _pagerank_sql(iterations=3),
+        "graph_hits": _hits_sql(iterations=2),
         "graph_pagerank_rootavg": _pagerank_rootavg_sql(iterations=2),
         "graph_connected_components": _CC_SQL,
         "graph_component_sizes": (

@@ -441,3 +441,55 @@ def super_domains(edges: DataFrame, threshold: int = 25) -> DataFrame:
         .filter(F.col("node_count") > threshold)
         .orderBy("root")
     )
+
+
+def hits_scores(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) for a FIXED iteration
+    count in exact integer arithmetic: starting from all-ones,
+    auth_{i+1}(v) = sum of hub_i over in-neighbors and
+    hub_{i+1}(v) = sum of auth_{i+1} over out-neighbors. Skipping the
+    per-iteration norm keeps every score an exact bigint -- the
+    RANKING is identical to normalized HITS (normalization is a
+    positive scalar per iteration), and exactness makes the result
+    bit-stable under any partitioning/engine, the same fixed-point
+    discipline as the PageRank tier. Normalize downstream if absolute
+    scores are needed.
+
+    One join+groupBy pair per iteration over the (deduped) edge set;
+    the edge table should be checkpointed by the caller when iterated
+    many times (see pagerank). Returns (node, auth, hub).
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.withColumn("hub", F.lit(1).cast("bigint"))
+    auth = None
+    for _ in range(iterations):
+        auth = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = (
+            nodes.join(auth, nodes["node"] == auth["dst"], "left")
+            .select(
+                "node", F.coalesce("auth", F.lit(0)).cast("bigint").alias("auth")
+            )
+        )
+        hub = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = nodes.join(hub, nodes["node"] == hub["src"], "left").select(
+            "node", F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub")
+        )
+    return (
+        nodes.join(auth, "node")
+        .join(hub, "node")
+        .select("node", "auth", "hub")
+        .orderBy("node")
+    )

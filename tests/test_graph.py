@@ -104,3 +104,22 @@ def test_domain_rank_monotone_in_cross_root_links(spark):
     got = {r["dst"]: r["domain_rank"] for r in graph.domain_rank(edges).collect()}
     assert got[501] > got[500] > 0
     assert got[501] <= 10.0  # capped scale
+
+
+def test_hits_two_iterations_hand_graph(spark):
+    """Hand graph: hub points at two authorities; iteration math
+    checked exactly (auth1 = indegree, hub1 = sum of neighbor auth1,
+    auth2 = sum of in-hub1)."""
+    from commoncrawl_crawler_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in graph.hits_scores(edges, iterations=2).collect()}
+    # auth1: 10->2, 20->1; hub1: 1 -> auth1(10)+auth1(20)=3, 2 -> 2
+    # auth2: 10 -> hub1(1)+hub1(2)=5, 20 -> hub1(1)=3
+    assert (out[10]["auth"], out[20]["auth"]) == (5, 3)
+    # hub2: 1 -> auth2(10)+auth2(20)=8, 2 -> auth2(10)=5
+    assert (out[1]["hub"], out[2]["hub"]) == (8, 5)
+    # pure hubs have zero authority and vice versa
+    assert out[1]["auth"] == 0 and out[10]["hub"] == 0
