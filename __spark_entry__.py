@@ -1754,6 +1754,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal": lambda s, d: textstats.unigram_logprob_scores(
             _t(s, d, "documents")
         ),
+        # per-node triangle counts over the co-purchase part graph
+        # (truncated at max_degree -- the power-law hub discipline)
+        "graph_triangles": lambda s, d: graph.triangle_counts(
+            (lambda li: (
+                li.alias("a").join(
+                    li.alias("b"),
+                    (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+                ).select(
+                    F.col("a.l_partkey").alias("src"),
+                    F.col("b.l_partkey").alias("dst"),
+                )
+            ))(_t(s, d, "lineitem").select("l_orderkey", "l_partkey")),
+            max_degree=100,
+        ),
         # HITS hubs/authorities (fixed iterations, exact integers)
         "graph_hits": lambda s, d: graph.hits_scores(
             _edges(s, d), iterations=2
@@ -1883,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_connected_components",
         "graph_component_sizes",
         "graph_hits",
+        "graph_triangles",
         "bloom_frontier_filter",
         # (c) last green in r2
         "agg_count_having",
@@ -1896,7 +1912,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_point_lookup",
         "filter_regex_scan",
         "filter_blocklist",
-        "win_topk_per_group",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -2910,6 +2925,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_sql(iterations=3),
         "graph_hits": _hits_sql(iterations=2),
+        "graph_triangles": """
+            WITH cp AS (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            ),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                FROM cp WHERE src <> dst
+            ),
+            deg AS (
+                SELECT n FROM (
+                    SELECT n, count(*) AS d FROM (
+                        SELECT a AS n FROM und
+                        UNION ALL SELECT b FROM und
+                    ) GROUP BY n
+                ) WHERE d <= 100
+            ),
+            u AS (
+                SELECT und.a, und.b FROM und
+                JOIN deg da ON und.a = da.n
+                JOIN deg db ON und.b = db.n
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM u e1
+                JOIN u e2 ON e1.b = e2.a
+                JOIN u e3 ON e1.a = e3.a AND e2.b = e3.b
+            )
+            SELECT node, count(*) AS triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY node ORDER BY node
+        """,
         "graph_pagerank_rootavg": _pagerank_rootavg_sql(iterations=2),
         "graph_connected_components": _CC_SQL,
         "graph_component_sizes": (

@@ -123,3 +123,25 @@ def test_hits_two_iterations_hand_graph(spark):
     assert (out[1]["hub"], out[2]["hub"]) == (8, 5)
     # pure hubs have zero authority and vice versa
     assert out[1]["auth"] == 0 and out[10]["hub"] == 0
+
+
+def test_triangle_counts_hand_graph_and_cap(spark):
+    """K4 minus one edge: nodes 1-2-3 and 2-3-4 form two triangles;
+    capping degree to 2 removes the two degree-3 hubs and with them
+    every triangle."""
+    from commoncrawl_crawler_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    out = {r["node"]: r["triangles"] for r in graph.triangle_counts(edges).collect()}
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+    assert sum(out.values()) % 3 == 0  # 3 participations per triangle
+    capped = graph.triangle_counts(edges, max_degree=2).collect()
+    assert capped == []
+    # duplicate + reversed edges must not inflate counts
+    edges2 = edges.unionByName(
+        spark.createDataFrame([(2, 1), (3, 1)], "src long, dst long")
+    )
+    out2 = {r["node"]: r["triangles"] for r in graph.triangle_counts(edges2).collect()}
+    assert out2 == out
