@@ -1754,6 +1754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal": lambda s, d: textstats.unigram_logprob_scores(
             _t(s, d, "documents")
         ),
+        # keyword-in-context snippets (search-hit rendering)
+        "query_snippets": lambda s, d: query_api.keyword_snippets(
+            _t(s, d, "documents"), term="spark", width=25
+        ),
         # per-node triangle counts over the co-purchase part graph
         # (truncated at max_degree -- the power-law hub discipline)
         "graph_triangles": lambda s, d: graph.triangle_counts(
@@ -1899,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_component_sizes",
         "graph_hits",
         "graph_triangles",
+        "query_snippets",
         "bloom_frontier_filter",
         # (c) last green in r2
         "agg_count_having",
@@ -1911,7 +1916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti_blocklist",
         "join_point_lookup",
         "filter_regex_scan",
-        "filter_blocklist",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -2925,6 +2929,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_sql(iterations=3),
         "graph_hits": _hits_sql(iterations=2),
+        "query_snippets": """
+            WITH m AS (
+                SELECT doc_id,
+                       strpos(lower(text), 'spark') AS pos, text
+                FROM documents
+            )
+            SELECT doc_id, CAST(pos AS INT) AS pos,
+                   substring(text, greatest(pos - 25, 1),
+                             pos - greatest(pos - 25, 1) + 5 + 25)
+                       AS snippet
+            FROM m WHERE pos > 0 ORDER BY doc_id
+        """,
         "graph_triangles": """
             WITH cp AS (
                 SELECT a.l_partkey AS src, b.l_partkey AS dst

@@ -173,3 +173,33 @@ def domain_stats_from_documents(documents: DataFrame) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("lang").alias("lang_count"),
     )
+
+
+def keyword_snippets(
+    documents: DataFrame, term: str, width: int = 30
+) -> DataFrame:
+    """Keyword-in-context snippets: for every document containing
+    `term` (case-insensitive), the match position and a +-width-char
+    window around the FIRST occurrence -- what a query server renders
+    under each search hit.
+
+    Pure Column expressions (instr + substring) evaluated in the scan
+    stage; documents without the term are filtered before any
+    projection work. Positions are 1-based (SQL instr convention);
+    the window clips at document edges by substring semantics.
+    """
+    pos = F.instr(F.lower(F.col("text")), term.lower())
+    start = F.greatest(pos - width, F.lit(1))
+    return (
+        documents.select("doc_id", pos.alias("pos"), "text")
+        .filter(F.col("pos") > 0)
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(
+                f"substring(text, greatest(pos - {width}, 1), "
+                f"pos - greatest(pos - {width}, 1) + {len(term)} + {width})"
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+    )

@@ -458,3 +458,29 @@ def test_stream_stream_join_state_spans_batches(spark, tmp_path):
     pairs = sorted((r["click_id"], r["purchase_id"]) for r in out)
     assert (1, 2) in pairs  # cross-batch state join
     assert (1, 4) not in pairs  # evicted by the watermark
+
+
+def test_keyword_snippets_window_clipping(spark):
+    """Snippet edges: match at position 1 clips left; the window
+    always spans match start - width .. match end + width inside the
+    document; non-matching docs are absent."""
+    df = spark.createDataFrame(
+        [
+            (1, "needle at the very start of this document body"),
+            (2, "x" * 40 + " needle " + "y" * 40),
+            (3, "no match here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in query_api.keyword_snippets(df, "needle", width=10).collect()
+    }
+    assert 3 not in out
+    assert out[1]["pos"] == 1
+    assert out[1]["snippet"] == "needle at the ve"  # 6 + 10 chars
+    r2 = out[2]
+    assert r2["pos"] == 42
+    # 10-char window left of the match start (9 x's + the space),
+    # the 6-char term, then 10 chars right (the space + 9 y's)
+    assert r2["snippet"] == "x" * 9 + " needle " + "y" * 9
