@@ -230,6 +230,8 @@ def _edges_cte(price_min: float | None = None) -> str:
 def _hits_sql(iterations: int = 2) -> str:
     """HITS unrolled for a fixed iteration count -- exact bigint
     sums, mirroring graph.hits_scores."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
     sql = (
         "WITH "
         + _edges_cte()
@@ -3520,8 +3522,9 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
                 HAVING count(*) >= 5
             )
             SELECT token_a, token_b, CAST(pair_docs AS BIGINT) AS pair_docs,
-                   round(ln(CAST(n * pair_docs AS DOUBLE)
-                            / (dfa * dfb)), 6) AS pmi
+                   CAST(floor(ln(CAST(n * pair_docs AS DOUBLE)
+                                 / (dfa * dfb)) * 1e6 + 0.5) AS BIGINT)
+                       / 1e6 AS pmi
             FROM p CROSS JOIN nd
             ORDER BY pmi DESC, token_a, token_b
         """,
@@ -3540,22 +3543,23 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
             idf AS (
                 SELECT token,
-                       CAST(round(ln(n / dfreq), 6) AS DECIMAL(18,6))
-                           AS idf
+                       CAST(floor(ln(n / dfreq) * 1e6 + 0.5) AS BIGINT)
+                           AS idf_u
                 FROM df CROSS JOIN nd
             ),
             sc AS (
                 SELECT t.doc_id, t.token, CAST(t.tf AS BIGINT) AS tf,
-                       CAST(t.tf * i.idf AS DECIMAL(28,6)) AS score
+                       t.tf * i.idf_u AS score_u
                 FROM tf t JOIN idf i USING (token)
             ),
             r AS (
                 SELECT *, row_number() OVER (
-                    PARTITION BY doc_id ORDER BY score DESC, token
+                    PARTITION BY doc_id ORDER BY score_u DESC, token
                 ) AS rn
                 FROM sc
             )
-            SELECT doc_id, token, tf, CAST(score AS DOUBLE) AS tfidf
+            SELECT doc_id, token, tf,
+                   CAST(score_u AS DOUBLE) / 1e6 AS tfidf
             FROM r WHERE rn <= 3
             ORDER BY doc_id, tfidf DESC, token
         """,

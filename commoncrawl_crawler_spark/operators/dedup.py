@@ -450,30 +450,16 @@ def _md5_tokens(documents: DataFrame) -> DataFrame:
     pairs in the same LSH buckets on same-domain corpora; shingles
     drop that to the true near-dup rate). Same choice as the
     reference's text shingling (DeduperUtils.java sketch build)."""
-    # shingles as a narrow array projection (slice inside the scan
-    # stage) -- the previous lead()-window formulation shuffled and
+    # delegates to the generic narrow-projection shingle build (the
+    # contamination tier shares the identical construction; one
+    # implementation keeps the dedup and contamination token units
+    # from silently diverging). vs the old lead()-window formulation
+    # this shuffles nothing but the closing distinct -- the window
     # sorted the ENTIRE exploded token table (corpus x ~200 rows at
-    # the 100 TB design point) just to pair adjacent tokens; only the
-    # closing distinct shuffles now. The token array is HOISTED into
-    # its own projection: inlined, the split+filter re-evaluates per
-    # shingle index (Catalyst duplicates the subexpression into every
-    # lambda use) -- measured 4-6x slower
-    arr = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
-    )
-    base = documents.select("doc_id", arr.alias("_arr"))
-    # guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
-    # explicit empty shingle array
-    shingles = F.when(
-        F.size("_arr") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_arr") - 2),
-            lambda i: F.array_join(F.slice(F.col("_arr"), i, 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return base.select(
-        "doc_id", F.explode(shingles).alias("tok")
-    ).distinct()
+    # the 100 TB design point) just to pair adjacent tokens.
+    from .textstats import _token_shingles
+
+    return _token_shingles(documents, 3).withColumnRenamed("sh", "tok")
 
 
 _H60 = "CAST(conv(substring(md5({v}),1,15),16,10) AS BIGINT)"

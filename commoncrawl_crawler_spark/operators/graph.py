@@ -459,6 +459,8 @@ def hits_scores(edges: DataFrame, iterations: int = 2) -> DataFrame:
     the edge table should be checkpointed by the caller when iterated
     many times (see pagerank). Returns (node, auth, hub).
     """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
     e = edges.select("src", "dst").distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -487,11 +489,11 @@ def hits_scores(edges: DataFrame, iterations: int = 2) -> DataFrame:
         hub = nodes.join(hub, nodes["node"] == hub["src"], "left").select(
             "node", F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub")
         )
-    return (
-        nodes.join(auth, "node")
-        .join(hub, "node")
-        .select("node", "auth", "hub")
-        .orderBy("node")
+    # auth and hub each already carry every node (left joins against
+    # the node set), so joining them directly avoids a redundant
+    # third join
+    return auth.join(hub, "node").select("node", "auth", "hub").orderBy(
+        "node"
     )
 
 

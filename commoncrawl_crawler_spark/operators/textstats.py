@@ -659,17 +659,20 @@ def tfidf_keywords(documents: DataFrame, top_k: int = 3) -> DataFrame:
     n_docs = documents.select("doc_id").agg(
         F.count(F.lit(1)).cast("double").alias("_n")
     )
+    # idf quantized to integer micro-units via floor(x*1e6+0.5):
+    # round(double, 6) is not engine-stable near half boundaries (see
+    # bm25_scores); the score is then an exact bigint product
     idf = df_.crossJoin(F.broadcast(n_docs)).select(
         "token",
-        F.round(F.log(F.col("_n") / F.col("_df")), 6)
-        .cast("decimal(18,6)")
-        .alias("_idf"),
+        F.floor(F.log(F.col("_n") / F.col("_df")) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("_idf_u"),
     )
     scored = tf.join(idf, "token").withColumn(
-        "tfidf", (F.col("tf") * F.col("_idf")).cast("decimal(28,6)")
+        "_score_u", F.col("tf") * F.col("_idf_u")
     )
     w = Window.partitionBy("doc_id").orderBy(
-        F.desc("tfidf"), F.asc("token")
+        F.desc("_score_u"), F.asc("token")
     )
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -678,9 +681,9 @@ def tfidf_keywords(documents: DataFrame, top_k: int = 3) -> DataFrame:
             "doc_id",
             "token",
             "tf",
-            F.col("tfidf").cast("double").alias("tfidf"),
+            (F.col("_score_u").cast("double") / F.lit(1e6)).alias("tfidf"),
         )
-        .orderBy("doc_id", F.desc("tfidf"), "token")
+        .orderBy("doc_id", F.desc("_score_u"), "token")
     )
 
 
@@ -701,8 +704,12 @@ def pmi_pairs(
     `top_vocab` corpus tokens BEFORE pairing (broadcast semi join),
     so the per-document pair fan-out is bounded by top_vocab^2 -- the
     unrestricted self-join would be quadratic in per-document
-    vocabulary. The ln is applied to an exact integer ratio and
-    rounded to 6 decimals, so ordering and values are engine-exact.
+    vocabulary. The ln of the exact integer ratio is quantized to
+    integer micro-units via floor(x*1e6+0.5) (round(double, 6) is not
+    engine-stable near half boundaries; floor is -- see bm25_scores),
+    so ordering and values are engine-exact. Negative PMI quantizes
+    with the same definition (floor rounds half-up toward +inf on
+    both engines).
 
     Output: (token_a, token_b, pair_docs, pmi), token_a < token_b,
     pmi-descending with a token tiebreak.
@@ -736,16 +743,28 @@ def pmi_pairs(
         .agg(F.count(F.lit(1)).alias("pair_docs"))
         .filter(F.col("pair_docs") >= min_pair_docs)
     )
-    pmi = F.round(
+    pmi_u = F.floor(
         F.log(
             (F.col("_n") * F.col("pair_docs"))
             / (F.col("_dfa") * F.col("_dfb"))
-        ),
-        6,
-    )
+        )
+        * 1e6
+        + 0.5
+    ).cast("bigint")
     return (
         pairs.crossJoin(F.broadcast(n_docs))
-        .select("token_a", "token_b", "pair_docs", pmi.alias("pmi"))
+        .select(
+            "token_a",
+            "token_b",
+            "pair_docs",
+            pmi_u.alias("_pmi_u"),
+        )
+        .select(
+            "token_a",
+            "token_b",
+            "pair_docs",
+            (F.col("_pmi_u").cast("double") / F.lit(1e6)).alias("pmi"),
+        )
         .orderBy(F.desc("pmi"), "token_a", "token_b")
     )
 
@@ -780,10 +799,13 @@ def bm25_scores(
     per-doc lengths ride along; one partial-agg groupBy per doc then
     a global top-k (TakeOrdered).
     """
-    from pyspark.sql import Window
-
     spark = documents.sparkSession
-    tdf = spark.createDataFrame([(t.lower(),) for t in terms], "term string")
+    # dedupe: a repeated query term would double tf INSIDE the
+    # saturation ratio (not add a second contribution), silently
+    # breaking the BM25 formula
+    tdf = spark.createDataFrame(
+        sorted({(t.lower(),) for t in terms}), "term string"
+    )
     words = documents.select(
         "doc_id",
         text.token_count_expr(F.col("text")).alias("_len"),

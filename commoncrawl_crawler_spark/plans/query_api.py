@@ -189,7 +189,6 @@ def keyword_snippets(
     the window clips at document edges by substring semantics.
     """
     pos = F.instr(F.lower(F.col("text")), term.lower())
-    start = F.greatest(pos - width, F.lit(1))
     return (
         documents.select("doc_id", pos.alias("pos"), "text")
         .filter(F.col("pos") > 0)
