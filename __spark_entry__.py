@@ -1756,6 +1756,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal": lambda s, d: textstats.unigram_logprob_scores(
             _t(s, d, "documents")
         ),
+        # local clustering coefficients over the co-purchase graph
+        "graph_clustering_coeff": lambda s, d: graph.clustering_coefficients(
+            (lambda li: (
+                li.alias("a").join(
+                    li.alias("b"),
+                    (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+                ).select(
+                    F.col("a.l_partkey").alias("src"),
+                    F.col("b.l_partkey").alias("dst"),
+                )
+            ))(_t(s, d, "lineitem").select("l_orderkey", "l_partkey")),
+            max_degree=100,
+        ),
         # keyword-in-context snippets (search-hit rendering)
         "query_snippets": lambda s, d: query_api.keyword_snippets(
             _t(s, d, "documents"), term="spark", width=25
@@ -1907,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_component_sizes",
         "graph_hits",
         "graph_triangles",
+        "graph_clustering_coeff",
         "query_snippets",
         "bloom_frontier_filter",
         # (c) last green in r2
@@ -1919,7 +1934,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi_whitelist",
         "join_anti_blocklist",
         "join_point_lookup",
-        "filter_regex_scan",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -2933,6 +2947,59 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_sql(iterations=3),
         "graph_hits": _hits_sql(iterations=2),
+        "graph_clustering_coeff": """
+            WITH cp AS (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            ),
+            und0 AS (
+                SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                FROM cp WHERE src <> dst
+            ),
+            k AS (
+                SELECT n FROM (
+                    SELECT n, count(*) AS d FROM (
+                        SELECT a AS n FROM und0
+                        UNION ALL SELECT b FROM und0
+                    ) GROUP BY n
+                ) WHERE d <= 100
+            ),
+            u AS (
+                SELECT und0.a, und0.b FROM und0
+                JOIN k ka ON und0.a = ka.n
+                JOIN k kb ON und0.b = kb.n
+            ),
+            d2 AS (
+                SELECT n, count(*) AS d FROM (
+                    SELECT a AS n FROM u UNION ALL SELECT b FROM u
+                ) GROUP BY n
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM u e1
+                JOIN u e2 ON e1.b = e2.a
+                JOIN u e3 ON e1.a = e3.a AND e2.b = e3.b
+            ),
+            tcnt AS (
+                SELECT node, count(*) AS t FROM (
+                    SELECT x AS node FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri
+                ) GROUP BY node
+            )
+            SELECT d2.n AS node, CAST(d2.d AS BIGINT) AS degree,
+                   CAST(coalesce(t, 0) AS BIGINT) AS triangles,
+                   CASE WHEN d2.d >= 2 THEN
+                       CAST(floor(2.0 * coalesce(t, 0)
+                                  / (d2.d * (d2.d - 1)) * 1e6 + 0.5)
+                            AS BIGINT) / 1e6
+                   ELSE 0.0 END AS coefficient
+            FROM d2 LEFT JOIN tcnt ON d2.n = tcnt.node
+            ORDER BY node
+        """,
         "query_snippets": """
             WITH m AS (
                 SELECT doc_id,

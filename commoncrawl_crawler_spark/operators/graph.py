@@ -558,3 +558,71 @@ def triangle_counts(edges: DataFrame, max_degree: int | None = None) -> DataFram
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
     return per_node.orderBy("node")
+
+
+def clustering_coefficients(
+    edges: DataFrame, max_degree: int | None = None
+) -> DataFrame:
+    """Local clustering coefficient per node: 2*triangles / (d*(d-1))
+    over the (optionally degree-truncated) undirected simple graph --
+    the per-node community-density signal that separates organic link
+    neighborhoods from spam farms (whose coefficient approaches 1).
+
+    Degrees and triangles both come from the SAME truncated graph, so
+    the ratio is well-defined. The coefficient is an exact rational
+    of bigints quantized via floor(x*1e6+0.5) -- engine- and
+    partitioning-exact. Nodes with d < 2 have no possible triangle
+    and emit coefficient 0.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    if max_degree is not None:
+        deg = deg.filter(F.col("degree") <= max_degree)
+        kept = deg.select("node")
+        und = (
+            und.join(kept.withColumnRenamed("node", "a"), "a")
+            .join(kept.withColumnRenamed("node", "b"), "b")
+            .select("a", "b")
+        )
+        # degrees recompute on the truncated graph so the ratio's
+        # denominator matches the graph the triangles came from
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionByName(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+    tri = triangle_counts(und.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.floor(
+            (2.0 * F.coalesce(F.col("triangles"), F.lit(0)))
+            / (F.col("degree") * (F.col("degree") - 1))
+            * 1e6
+            + 0.5
+        ).cast("bigint")
+        .cast("double")
+        / 1e6,
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            coeff.alias("coefficient"),
+        )
+        .orderBy("node")
+    )

@@ -145,3 +145,20 @@ def test_triangle_counts_hand_graph_and_cap(spark):
     )
     out2 = {r["node"]: r["triangles"] for r in graph.triangle_counts(edges2).collect()}
     assert out2 == out
+
+
+def test_clustering_coefficients_hand_graph(spark):
+    """K4-minus-one-edge: degree-2 corners have coefficient 1 (their
+    single wedge closes), degree-3 centers 2/3; nodes below degree 2
+    emit 0."""
+    from commoncrawl_crawler_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r for r in graph.clustering_coefficients(edges).collect()}
+    assert (out[1]["degree"], out[1]["coefficient"]) == (2, 1.0)
+    assert (out[2]["degree"], out[2]["coefficient"]) == (3, 0.666667)
+    assert out[5]["degree"] == 1 and out[5]["coefficient"] == 0.0
+    assert out[5]["triangles"] == 0
