@@ -964,6 +964,51 @@ def _fn_parse_headers(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _fn_parse_cookies(s: SparkSession, d: str) -> DataFrame:
+    """Synthesize Set-Cookie lines across the parser's behavior
+    classes (named, nameless+secure, multi-equals, quoted-with-
+    semicolon + domain/max-age, invalid whitespace), parse with the
+    Chromium-lineage expression, flatten to scalar columns."""
+    o = F.col("o_orderkey")
+    line = (
+        F.when(
+            o % 5 == 0,
+            F.concat(
+                F.lit("sid="), o.cast("string"),
+                F.lit("; Path=/a; Secure; HttpOnly"),
+            ),
+        )
+        .when(o % 5 == 1, F.lit("BLAHHH; path=/; secure;"))
+        .when(o % 5 == 2, F.lit("  A=== BC  ;;;   httponly"))
+        .when(
+            o % 5 == 3,
+            F.concat(
+                F.lit('token="zz;pp" ; domain=.d'),
+                (o % 20).cast("string"),
+                F.lit(".com; max-age="),
+                (o % 999).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("   "))
+    )
+    parsed = (
+        _t(s, d, "orders")
+        .select(o.alias("key"), line.alias("line"))
+        .select("key", hdr.parse_set_cookie_expr(F.col("line")).alias("p"))
+    )
+    return parsed.select(
+        "key",
+        F.col("p.valid").alias("valid"),
+        F.col("p.name").alias("name"),
+        F.col("p.value").alias("value"),
+        F.col("p.path").alias("path"),
+        F.col("p.domain").alias("domain"),
+        F.col("p.max_age").alias("max_age"),
+        F.col("p.secure").alias("secure"),
+        F.col("p.httponly").alias("httponly"),
+    ).orderBy("key")
+
+
 def _fn_extract_links(s: SparkSession, d: str) -> DataFrame:
     """Synthesize HTML per document, run the link/title extractor,
     explode the typed link array (ParserMapper bundle shape)."""
@@ -1514,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("c_custkey")
         ),
         "fn_parse_headers": _fn_parse_headers,
+        "fn_parse_cookies": _fn_parse_cookies,
         "fn_extract_links": _fn_extract_links,
         "fn_extract_feeds": _fn_extract_feeds,
         "fn_json_props": lambda s, d: (
@@ -1924,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles",
         "graph_clustering_coeff",
         "query_snippets",
+        "fn_parse_cookies",
         "bloom_frontier_filter",
         # (c) last green in r2
         "agg_count_having",
@@ -1934,7 +1981,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_broadcast_dim",
         "join_semi_whitelist",
         "join_anti_blocklist",
-        "join_point_lookup",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -2948,6 +2994,80 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_sql(iterations=3),
         "graph_hits": _hits_sql(iterations=2),
+        # independent relational reimplementation of the Chromium
+        # ParsedCookie semantics (no terminators/overlong lines in
+        # the synthesized set, so cut == line)
+        "fn_parse_cookies": """
+            WITH s AS (
+                SELECT o_orderkey AS key,
+                       CASE WHEN o_orderkey % 5 = 0 THEN
+                                'sid=' || CAST(o_orderkey AS VARCHAR)
+                                || '; Path=/a; Secure; HttpOnly'
+                            WHEN o_orderkey % 5 = 1 THEN
+                                'BLAHHH; path=/; secure;'
+                            WHEN o_orderkey % 5 = 2 THEN
+                                '  A=== BC  ;;;   httponly'
+                            WHEN o_orderkey % 5 = 3 THEN
+                                'token="zz;pp" ; domain=.d'
+                                || CAST(o_orderkey % 20 AS VARCHAR)
+                                || '.com; max-age='
+                                || CAST(o_orderkey % 999 AS VARCHAR)
+                            ELSE '   ' END AS line
+                FROM orders
+            ),
+            c AS (
+                SELECT key, trim(line) <> '' AS valid,
+                       list_slice(str_split(line, ';'), 1, 16) AS parts
+                FROM s
+            ),
+            f AS (SELECT key, valid, parts, parts[1] AS p0 FROM c),
+            fv AS (
+                SELECT key, valid, parts,
+                       CASE WHEN strpos(p0, '=') > 0 THEN
+                           trim(regexp_extract(p0, '^([^=]*)=', 1))
+                       ELSE '' END AS name,
+                       CASE WHEN strpos(p0, '=') > 0 THEN
+                           trim(regexp_replace(p0, '^[^=]*=', ''))
+                       ELSE trim(p0) END AS value
+                FROM f
+            ),
+            a AS (
+                SELECT key, valid, name, value,
+                       list_transform(
+                           list_slice(parts, 2, 16),
+                           p -> struct_pack(
+                               n := lower(trim(
+                                   CASE WHEN strpos(p, '=') > 0 THEN
+                                       regexp_extract(p, '^([^=]*)=', 1)
+                                   ELSE p END)),
+                               v := CASE WHEN strpos(p, '=') > 0 THEN
+                                       trim(regexp_replace(p,
+                                                           '^[^=]*=', ''))
+                                   ELSE '' END
+                           )
+                       ) AS attrs
+                FROM fv
+            )
+            SELECT key, valid,
+                   CASE WHEN valid THEN name END AS name,
+                   CASE WHEN valid THEN value END AS value,
+                   CASE WHEN valid THEN
+                       list_filter(attrs, x -> x.n = 'path')[1].v
+                   END AS path,
+                   CASE WHEN valid THEN
+                       list_filter(attrs, x -> x.n = 'domain')[1].v
+                   END AS domain,
+                   CASE WHEN valid THEN
+                       list_filter(attrs, x -> x.n = 'max-age')[1].v
+                   END AS max_age,
+                   CASE WHEN valid THEN
+                       len(list_filter(attrs, x -> x.n = 'secure')) > 0
+                   END AS secure,
+                   CASE WHEN valid THEN
+                       len(list_filter(attrs, x -> x.n = 'httponly')) > 0
+                   END AS httponly
+            FROM a ORDER BY key
+        """,
         "graph_clustering_coeff": """
             WITH cp AS (
                 SELECT a.l_partkey AS src, b.l_partkey AS dst

@@ -79,3 +79,90 @@ def http_date_expr(col: Column, name: str = "last-modified") -> Column:
     session.build_session pins it."""
     datepart = F.regexp_replace(header_expr(col, name), r"^[A-Za-z]{3},\s*", "")
     return F.to_timestamp(datepart, "dd MMM yyyy HH:mm:ss 'GMT'")
+
+
+def parse_set_cookie_expr(col: Column) -> Column:
+    """Set-Cookie line -> struct(valid, name, value, path, domain,
+    expires, max_age, secure, httponly) with the reference's
+    Chromium-lineage ParsedCookie semantics
+    (util/HttpCookieUtils.java:120-280 + embedded vectors :330-560):
+
+    - cut at the first CR/LF/NUL terminator; >4096 chars or an
+      all-whitespace line is invalid (fields null);
+    - at most 16 token/value pairs; split at ';' EVEN INSIDE quoted
+      values (the IE/Safari behavior the reference chose: A="B;C"
+      parses as value \'"B\');
+    - the name is everything before the FIRST '=' ("A=== BC" ->
+      value "== BC"); a first pair with no '=' is a nameless value
+      ("BLAHHH; secure" -> name '', value 'BLAHHH'), later pairs with
+      no '=' are valueless attributes ('secure');
+    - attribute names are case-insensitive (lowered), first
+      occurrence wins; whitespace trims around every token and value.
+
+    All Column expressions; the parts array re-evaluates per consumer
+    (a handful of small-string splits per row -- not the quadratic
+    per-element lambda re-evaluation the shingle builds hoist around).
+    """
+    cut = F.when(
+        F.length(col) <= 4096,
+        F.regexp_extract(col, "^[^\\n\\r\\x00]*", 0),
+    )
+    parts = F.slice(F.split(cut, ";", -1), 1, 16)
+    p0 = F.element_at(parts, 1)
+    has_eq0 = F.instr(p0, "=") > 0
+    name = F.when(
+        has_eq0, F.trim(F.regexp_extract(p0, "^([^=]*)=", 1))
+    ).otherwise(F.lit(""))
+    value = F.when(
+        has_eq0, F.trim(F.regexp_replace(p0, "^[^=]*=", ""))
+    ).otherwise(F.trim(p0))
+
+    def _attr(p):
+        has_eq = F.instr(p, "=") > 0
+        return F.struct(
+            F.lower(
+                F.trim(
+                    F.when(
+                        has_eq, F.regexp_extract(p, "^([^=]*)=", 1)
+                    ).otherwise(p)
+                )
+            ).alias("n"),
+            F.when(has_eq, F.trim(F.regexp_replace(p, "^[^=]*=", "")))
+            .otherwise(F.lit(""))
+            .alias("v"),
+        )
+
+    attrs = F.transform(F.slice(parts, 2, 15), _attr)
+
+    def _lookup(attr_name):
+        # F.get is null-on-out-of-bounds even under ANSI mode
+        # (element_at throws on the empty filter result)
+        return F.get(
+            F.filter(attrs, lambda a: a["n"] == attr_name), 0
+        )["v"]
+
+    def _flag(attr_name):
+        return F.exists(attrs, lambda a: a["n"] == attr_name)
+
+    valid = cut.isNotNull() & (F.trim(cut) != "")
+    out = F.struct(
+        valid.alias("valid"),
+        name.alias("name"),
+        value.alias("value"),
+        _lookup("path").alias("path"),
+        _lookup("domain").alias("domain"),
+        _lookup("expires").alias("expires"),
+        _lookup("max-age").alias("max_age"),
+        _flag("secure").alias("secure"),
+        _flag("httponly").alias("httponly"),
+    )
+    invalid = F.struct(
+        F.lit(False).alias("valid"),
+        *[
+            F.lit(None).cast("string").alias(c)
+            for c in ("name", "value", "path", "domain", "expires", "max_age")
+        ],
+        F.lit(None).cast("boolean").alias("secure"),
+        F.lit(None).cast("boolean").alias("httponly"),
+    )
+    return F.when(valid, out).otherwise(invalid)

@@ -122,3 +122,80 @@ def test_udfs_roundtrip(spark):
         "latin": ("latin-1", "café"),
         "ascii": ("ascii", "plain"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Set-Cookie parsing vs the reference's embedded Chromium vectors
+# (util/HttpCookieUtils.java:330-560)
+# ---------------------------------------------------------------------------
+
+
+def _cookie(spark, line):
+    from pyspark.sql import functions as F
+    from commoncrawl_crawler_spark.functions import headers as hdr
+
+    return (
+        spark.createDataFrame([(line,)], "c string")
+        .select(hdr.parse_set_cookie_expr(F.col("c")).alias("p"))
+        .collect()[0]["p"]
+    )
+
+
+def test_cookie_reference_vectors(spark):
+    p = _cookie(spark, "a=b")
+    assert (p["valid"], p["name"], p["value"], p["secure"]) == (
+        True, "a", "b", False,
+    )
+    # quoted-value cases: split-at-';'-inside-quotes (IE/Safari)
+    for inp, expected in [
+        ('"zzz "  ', '"zzz "'),
+        ('"zz;pp" ;', '"zz'),
+        ('"zzz "   "ppp" ', '"zzz "   "ppp"'),
+        ('A"B', 'A"B'),
+    ]:
+        p = _cookie(spark, f'aBc={inp} ; path="/"  ; httponly ')
+        assert p["valid"] and not p["secure"] and p["httponly"]
+        assert (p["name"], p["value"], p["path"]) == ("aBc", expected, '"/"')
+    # nameless + attribute case-insensitivity
+    p = _cookie(spark, "BLAHHH; Path=/; sECuRe; httpONLY")
+    assert (p["name"], p["value"], p["path"]) == ("", "BLAHHH", "/")
+    assert p["secure"] and p["httponly"]
+    p = _cookie(spark, '"BLA\\"HHH"; path=/; secure;')
+    assert (p["name"], p["value"]) == ("", '"BLA\\"HHH"')
+    # missing name / missing value / whitespace / multiple equals
+    p = _cookie(spark, "=ABC")
+    assert (p["name"], p["value"]) == ("", "ABC")
+    p = _cookie(spark, "ABC=;  path = /wee")
+    assert (p["name"], p["value"], p["path"]) == ("ABC", "", "/wee")
+    p = _cookie(spark, "  A  = BC  ;secure;;;   httponly")
+    assert (p["name"], p["value"]) == ("A", "BC")
+    assert p["secure"] and p["httponly"] and p["path"] is None
+    p = _cookie(spark, "  A=== BC  ;secure;;;   httponly")
+    assert (p["name"], p["value"]) == ("A", "== BC")
+    # trailing whitespace + expires with embedded comma
+    p = _cookie(
+        spark,
+        "ANCUUID=zohNumRKgI0oxyhSsV3Z7D  ; "
+        "expires=Sun, 18-Apr-2027 21:06:29 GMT ; path=/  ;  ",
+    )
+    assert p["value"] == "zohNumRKgI0oxyhSsV3Z7D"
+    assert p["expires"] == "Sun, 18-Apr-2027 21:06:29 GMT"
+    assert p["path"] == "/"
+
+
+def test_cookie_limits_and_terminators(spark):
+    # kMaxPairs = 16: 15 ';' then 'secure' is pair 16 (kept); one
+    # more ';' pushes it to pair 17 (dropped)
+    p = _cookie(spark, ";" * 15 + "secure")
+    assert p["valid"] and p["secure"]
+    p = _cookie(spark, ";" * 15 + ";secure")
+    assert p["valid"] and not p["secure"]
+    # kMaxCookieSize = 4096: exactly at the limit is valid, over is not
+    assert _cookie(spark, "a" * 4096)["valid"]
+    assert not _cookie(spark, "a" * 4097)["valid"]
+    assert not _cookie(spark, "    ")["valid"]
+    assert not _cookie(spark, "")["valid"]
+    # CR/LF terminate the parse
+    for term in ("\r", "\n"):
+        p = _cookie(spark, f"AAA=BB{term}ZYX")
+        assert (p["name"], p["value"]) == ("AAA", "BB")
