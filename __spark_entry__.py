@@ -1909,22 +1909,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # filter_category, filter_projection_rekey, win_round_robin,
     # skew_salted_count, agg_moving_daily_avg, win_first_row_per_key,
     # agg_status_rollup, win_secondary_sort_rank, win_segment_packing,
-    # agg_group_count — plus, displaced by the 16 new round-4b gates
+    # agg_group_count — plus, displaced by the 17 new round-4b gates
     # (paragraph dedup, repetition signals, unigram surprisal,
     # weighted sample, sequence packing, tf-idf keywords, PMI pairs,
     # BM25 rank, robots evaluate, robots fetch plan, stream-static
     # enrich, stream-stream attribution, HITS, triangle counts,
-    # clustering coefficients, keyword snippets):
+    # clustering coefficients, keyword snippets, Set-Cookie parse):
     # filter_range_predicate, win_paginate, skew_salted_join,
     # text_quality_buckets, fn_url_canonicalize, crawldb_blekko_merge,
     # crawllist_generate, crawllist_wikipedia_partition,
     # dedup_ngram_jaccard, dedup_embedding_cosine, dedup_simhash_lsh,
     # dedup_simhash_clusters, dedup_cross_source, win_topk_per_group,
-    # filter_blocklist, filter_regex_scan — all r2/r3-green with
-    # dedicated pytest/plan gates (and the dedup tier's shared tables
-    # feed still-gated queries, so its code paths stay
-    # driver-exercised). The priority list below is exactly the 50
-    # gated entries.
+    # filter_blocklist, filter_regex_scan, join_point_lookup — all
+    # r2/r3-green with dedicated pytest/plan gates (and the dedup
+    # tier's shared tables feed still-gated queries, so its code
+    # paths stay driver-exercised). The priority list below is
+    # exactly the 50 gated entries.
     # The full local sweep for every entry lives in
     # CORRECTNESS_SELF_r04.txt (tools/check_all_oracles.py).
     priority = [
