@@ -134,27 +134,45 @@ def parse_set_cookie_expr(col: Column) -> Column:
 
     attrs = F.transform(F.slice(parts, 2, 15), _attr)
 
-    def _lookup(attr_name):
-        # F.get is null-on-out-of-bounds even under ANSI mode
-        # (element_at throws on the empty filter result)
-        return F.get(
-            F.filter(attrs, lambda a: a["n"] == attr_name), 0
-        )["v"]
+    # ONE traversal folds every attribute lookup: per-attribute
+    # filter/exists consumers would re-evaluate the attrs transform
+    # once each (7x per row -- measured as the dominant cost)
+    def _acc_field(acc, a, key, field):
+        return F.coalesce(
+            acc[field], F.when(a["n"] == key, a["v"])
+        ).alias(field)
 
-    def _flag(attr_name):
-        return F.exists(attrs, lambda a: a["n"] == attr_name)
+    folded = F.aggregate(
+        attrs,
+        F.struct(
+            F.lit(None).cast("string").alias("path"),
+            F.lit(None).cast("string").alias("domain"),
+            F.lit(None).cast("string").alias("expires"),
+            F.lit(None).cast("string").alias("max_age"),
+            F.lit(False).alias("secure"),
+            F.lit(False).alias("httponly"),
+        ),
+        lambda acc, a: F.struct(
+            _acc_field(acc, a, "path", "path"),
+            _acc_field(acc, a, "domain", "domain"),
+            _acc_field(acc, a, "expires", "expires"),
+            _acc_field(acc, a, "max-age", "max_age"),
+            (acc["secure"] | (a["n"] == "secure")).alias("secure"),
+            (acc["httponly"] | (a["n"] == "httponly")).alias("httponly"),
+        ),
+    )
 
     valid = cut.isNotNull() & (F.trim(cut) != "")
     out = F.struct(
         valid.alias("valid"),
         name.alias("name"),
         value.alias("value"),
-        _lookup("path").alias("path"),
-        _lookup("domain").alias("domain"),
-        _lookup("expires").alias("expires"),
-        _lookup("max-age").alias("max_age"),
-        _flag("secure").alias("secure"),
-        _flag("httponly").alias("httponly"),
+        folded["path"].alias("path"),
+        folded["domain"].alias("domain"),
+        folded["expires"].alias("expires"),
+        folded["max_age"].alias("max_age"),
+        folded["secure"].alias("secure"),
+        folded["httponly"].alias("httponly"),
     )
     invalid = F.struct(
         F.lit(False).alias("valid"),
