@@ -147,6 +147,28 @@ def _simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parts sharing an order -- the triangle-bearing graph (the
+    # supplier-part graph is bipartite); consumed by both the
+    # triangle and clustering-coefficient gates
+    def build():
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        return (
+            li.alias("a")
+            .join(
+                li.alias("b"),
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+        )
+
+    return _cached(spark, "copurchase_edges", sf_dir, build)
+
+
 def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sparse subgraph (rare high-price lines) so components are
     # non-trivial; the full graph collapses to one giant component
@@ -1804,17 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # local clustering coefficients over the co-purchase graph
         "graph_clustering_coeff": lambda s, d: graph.clustering_coefficients(
-            (lambda li: (
-                li.alias("a").join(
-                    li.alias("b"),
-                    (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                    & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-                ).select(
-                    F.col("a.l_partkey").alias("src"),
-                    F.col("b.l_partkey").alias("dst"),
-                )
-            ))(_t(s, d, "lineitem").select("l_orderkey", "l_partkey")),
-            max_degree=100,
+            _copurchase_edges(s, d), max_degree=100
         ),
         # keyword-in-context snippets (search-hit rendering)
         "query_snippets": lambda s, d: query_api.keyword_snippets(
@@ -1823,17 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-node triangle counts over the co-purchase part graph
         # (truncated at max_degree -- the power-law hub discipline)
         "graph_triangles": lambda s, d: graph.triangle_counts(
-            (lambda li: (
-                li.alias("a").join(
-                    li.alias("b"),
-                    (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                    & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-                ).select(
-                    F.col("a.l_partkey").alias("src"),
-                    F.col("b.l_partkey").alias("dst"),
-                )
-            ))(_t(s, d, "lineitem").select("l_orderkey", "l_partkey")),
-            max_degree=100,
+            _copurchase_edges(s, d), max_degree=100
         ),
         # HITS hubs/authorities (fixed iterations, exact integers)
         "graph_hits": lambda s, d: graph.hits_scores(
