@@ -164,6 +164,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.l_partkey").alias("src"),
                 F.col("b.l_partkey").alias("dst"),
             )
+            # distinct BEFORE the checkpoint: both consumers dedup
+            # immediately, so checkpointing the raw self-join would
+            # store (and re-shuffle) the larger multiset twice
+            .distinct()
         )
 
     return _cached(spark, "copurchase_edges", sf_dir, build)
@@ -3018,7 +3022,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ),
             c AS (
-                SELECT key, trim(line) <> '' AS valid,
+                SELECT key, trim(line, ' ' || chr(9)) <> '' AS valid,
                        list_slice(str_split(line, ';'), 1, 16) AS parts
                 FROM s
             ),
@@ -3026,11 +3030,11 @@ def oracle_sql() -> dict[str, str]:
             fv AS (
                 SELECT key, valid, parts,
                        CASE WHEN strpos(p0, '=') > 0 THEN
-                           trim(regexp_extract(p0, '^([^=]*)=', 1))
+                           trim(regexp_extract(p0, '^([^=]*)=', 1), ' ' || chr(9))
                        ELSE '' END AS name,
                        CASE WHEN strpos(p0, '=') > 0 THEN
-                           trim(regexp_replace(p0, '^[^=]*=', ''))
-                       ELSE trim(p0) END AS value
+                           trim(regexp_replace(p0, '^[^=]*=', ''), ' ' || chr(9))
+                       ELSE trim(p0, ' ' || chr(9)) END AS value
                 FROM f
             ),
             a AS (
@@ -3041,10 +3045,10 @@ def oracle_sql() -> dict[str, str]:
                                n := lower(trim(
                                    CASE WHEN strpos(p, '=') > 0 THEN
                                        regexp_extract(p, '^([^=]*)=', 1)
-                                   ELSE p END)),
+                                   ELSE p END, ' ' || chr(9))),
                                v := CASE WHEN strpos(p, '=') > 0 THEN
                                        trim(regexp_replace(p,
-                                                           '^[^=]*=', ''))
+                                                           '^[^=]*=', ''), ' ' || chr(9))
                                    ELSE '' END
                            )
                        ) AS attrs
@@ -3054,13 +3058,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN valid THEN name END AS name,
                    CASE WHEN valid THEN value END AS value,
                    CASE WHEN valid THEN
-                       list_filter(attrs, x -> x.n = 'path')[1].v
+                       list_filter(attrs, x -> x.n = 'path')[-1].v
                    END AS path,
                    CASE WHEN valid THEN
-                       list_filter(attrs, x -> x.n = 'domain')[1].v
+                       list_filter(attrs, x -> x.n = 'domain')[-1].v
                    END AS domain,
                    CASE WHEN valid THEN
-                       list_filter(attrs, x -> x.n = 'max-age')[1].v
+                       list_filter(attrs, x -> x.n = 'max-age')[-1].v
                    END AS max_age,
                    CASE WHEN valid THEN
                        len(list_filter(attrs, x -> x.n = 'secure')) > 0

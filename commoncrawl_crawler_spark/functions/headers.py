@@ -96,13 +96,20 @@ def parse_set_cookie_expr(col: Column) -> Column:
       value "== BC"); a first pair with no '=' is a nameless value
       ("BLAHHH; secure" -> name '', value 'BLAHHH'), later pairs with
       no '=' are valueless attributes ('secure');
-    - attribute names are case-insensitive (lowered), first
-      occurrence wins; whitespace trims around every token and value.
+    - attribute names are case-insensitive (lowered); a repeated
+      attribute keeps the LAST occurrence (SetupAttributes overwrites
+      the index on every match); whitespace = space AND TAB (the
+      reference's kWhitespace) trims around every token and value.
 
     All Column expressions; the parts array re-evaluates per consumer
     (a handful of small-string splits per row -- not the quadratic
     per-element lambda re-evaluation the shingle builds hoist around).
     """
+    def _wtrim(c):
+        # the reference's kWhitespace is " \t"; F.trim strips spaces
+        # only, so tab-padded tokens/values would diverge
+        return F.btrim(c, F.lit(" \t"))
+
     cut = F.when(
         F.length(col) <= 4096,
         F.regexp_extract(col, "^[^\\n\\r\\x00]*", 0),
@@ -111,23 +118,23 @@ def parse_set_cookie_expr(col: Column) -> Column:
     p0 = F.element_at(parts, 1)
     has_eq0 = F.instr(p0, "=") > 0
     name = F.when(
-        has_eq0, F.trim(F.regexp_extract(p0, "^([^=]*)=", 1))
+        has_eq0, _wtrim(F.regexp_extract(p0, "^([^=]*)=", 1))
     ).otherwise(F.lit(""))
     value = F.when(
-        has_eq0, F.trim(F.regexp_replace(p0, "^[^=]*=", ""))
-    ).otherwise(F.trim(p0))
+        has_eq0, _wtrim(F.regexp_replace(p0, "^[^=]*=", ""))
+    ).otherwise(_wtrim(p0))
 
     def _attr(p):
         has_eq = F.instr(p, "=") > 0
         return F.struct(
             F.lower(
-                F.trim(
+                _wtrim(
                     F.when(
                         has_eq, F.regexp_extract(p, "^([^=]*)=", 1)
                     ).otherwise(p)
                 )
             ).alias("n"),
-            F.when(has_eq, F.trim(F.regexp_replace(p, "^[^=]*=", "")))
+            F.when(has_eq, _wtrim(F.regexp_replace(p, "^[^=]*=", "")))
             .otherwise(F.lit(""))
             .alias("v"),
         )
@@ -138,8 +145,10 @@ def parse_set_cookie_expr(col: Column) -> Column:
     # filter/exists consumers would re-evaluate the attrs transform
     # once each (7x per row -- measured as the dominant cost)
     def _acc_field(acc, a, key, field):
+        # LAST occurrence wins (the reference overwrites the
+        # attribute index on every match)
         return F.coalesce(
-            acc[field], F.when(a["n"] == key, a["v"])
+            F.when(a["n"] == key, a["v"]), acc[field]
         ).alias(field)
 
     folded = F.aggregate(
@@ -162,7 +171,7 @@ def parse_set_cookie_expr(col: Column) -> Column:
         ),
     )
 
-    valid = cut.isNotNull() & (F.trim(cut) != "")
+    valid = cut.isNotNull() & (_wtrim(cut) != "")
     out = F.struct(
         valid.alias("valid"),
         name.alias("name"),

@@ -514,14 +514,7 @@ def triangle_counts(edges: DataFrame, max_degree: int | None = None) -> DataFram
     triangle, plus the caller can sum(triangles)/3 for the global
     count.
     """
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    und = _canonical_undirected(edges)
     if max_degree is not None:
         deg = (
             und.select(F.col("a").alias("n"))
@@ -534,6 +527,23 @@ def triangle_counts(edges: DataFrame, max_degree: int | None = None) -> DataFram
         und = und.join(
             deg.withColumnRenamed("n", "a"), "a"
         ).join(deg.withColumnRenamed("n", "b"), "b").select("a", "b")
+    return _triangles_per_node(und)
+
+
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _triangles_per_node(und: DataFrame) -> DataFrame:
+    """Wedge-close over an ALREADY canonical (a<b, distinct)
+    undirected edge set."""
     e1 = und.alias("e1")
     e2 = und.alias("e2")
     e3 = und.alias("e3")
@@ -574,14 +584,7 @@ def clustering_coefficients(
     partitioning-exact. Nodes with d < 2 have no possible triangle
     and emit coefficient 0.
     """
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    und = _canonical_undirected(edges)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
@@ -604,7 +607,9 @@ def clustering_coefficients(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
         )
-    tri = triangle_counts(und.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    # und is already canonical -- skip triangle_counts' re-
+    # canonicalize+distinct shuffle over the same data
+    tri = _triangles_per_node(und)
     coeff = F.when(
         F.col("degree") >= 2,
         F.floor(

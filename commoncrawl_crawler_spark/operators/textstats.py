@@ -631,11 +631,12 @@ def tfidf_keywords(documents: DataFrame, top_k: int = 3) -> DataFrame:
     keyword extractor (and the scoring backbone of every inverted-
     index ranker).
 
-    Engine-exact selection: idf = ln(N/df) is rounded to 6 decimals
-    ONCE per vocabulary row and multiplied by the integer term
-    frequency as DECIMAL, so scores are exact decimal products and
-    the per-document ranking (score desc, token asc) cannot be
-    reordered by float summation or a last-ulp ln() difference.
+    Engine-exact selection: idf quantizes to integer micro-units
+    ONCE per vocabulary row via floor(ln(N/df)*1e6+0.5) and
+    multiplies the integer term frequency as exact BIGINTs, so the
+    per-document ranking (score desc, token asc) cannot be reordered
+    by float summation, a last-ulp ln() difference, or the
+    half-boundary instability of round(double, 6).
 
     Scale shape: term frequencies are one partial-agg groupBy over
     (doc, token); document frequencies aggregate the same table again
@@ -757,13 +758,7 @@ def pmi_pairs(
             "token_a",
             "token_b",
             "pair_docs",
-            pmi_u.alias("_pmi_u"),
-        )
-        .select(
-            "token_a",
-            "token_b",
-            "pair_docs",
-            (F.col("_pmi_u").cast("double") / F.lit(1e6)).alias("pmi"),
+            (pmi_u.cast("double") / F.lit(1e6)).alias("pmi"),
         )
         .orderBy(F.desc("pmi"), "token_a", "token_b")
     )

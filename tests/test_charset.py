@@ -199,3 +199,18 @@ def test_cookie_limits_and_terminators(spark):
     for term in ("\r", "\n"):
         p = _cookie(spark, f"AAA=BB{term}ZYX")
         assert (p["name"], p["value"]) == ("AAA", "BB")
+
+
+def test_cookie_duplicate_attribute_last_wins_and_tabs(spark):
+    """Reference fidelity beyond the embedded vectors: a repeated
+    attribute keeps the LAST occurrence (SetupAttributes overwrites
+    the index on every match), and the reference's whitespace set is
+    space AND TAB."""
+    p = _cookie(spark, "a=b; path=/x; path=/y")
+    assert p["path"] == "/y"
+    # tab-only line: the parser seeks past " \t" to end -> invalid
+    assert not _cookie(spark, "\t \t")["valid"]
+    # tabs trim around values and attribute names
+    p = _cookie(spark, "A=B\t; \tsecure\t")
+    assert (p["name"], p["value"]) == ("A", "B")
+    assert p["secure"]
