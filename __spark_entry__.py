@@ -755,6 +755,57 @@ def _archive_roundtrip(s: SparkSession, d: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _arc_v1_roundtrip(s: SparkSession, d: str) -> DataFrame:
+    """documents -> real ARC v1 archives (filedesc:// member + per-record
+    `URL IP ts14 mime length` metalines, util/ArcFileWriter.java:850-975)
+    -> ArcFileBuilder-equivalent parse back. Verifies the full header
+    surface: metaline tokens, TIMESTAMP14 parse, record length, and the
+    reference's verbatim after-colon header values."""
+    tmp = _scratch("arcv1", d, fresh=True)
+    did = F.col("doc_id")
+    docs = _t(s, d, "documents").select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/doc/"),
+            did.cast("string"),
+        ).alias("url"),
+        F.format_string(
+            "10.%d.%d.%d", did % 200, (did / 200).cast("long") % 200, did % 250
+        ).alias("ip"),
+        F.format_string(
+            "201203%02d%02d%02d%02d",
+            did % 28 + 1, did % 24, did % 60, (did * 7) % 60,
+        ).alias("ts14"),
+        F.lit("text/html").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.array(
+            F.struct(
+                F.lit("x-doc").alias("key"), did.cast("string").alias("value")
+            ),
+            F.struct(F.lit("lang").alias("key"), F.col("lang").alias("value")),
+        ).alias("headers"),
+    )
+    archive.write_arc_v1(docs, tmp)
+    rd = archive.read_arc_v1(s, tmp)
+    xdoc = F.get(F.filter("headers", lambda h: h["key"] == F.lit("x-doc")), 0)
+    lang = F.get(F.filter("headers", lambda h: h["key"] == F.lit("lang")), 0)
+    return (
+        rd.select(
+            # the reference keeps after-colon values verbatim (leading
+            # space included, ArcFileReader.java:744-747) -> ltrim here
+            F.ltrim(xdoc["value"]).cast("long").alias("doc_id"),
+            "url",
+            "ip",
+            "archive_date",
+            "fetch_epoch_ms",
+            "mime",
+            "record_length",
+            F.ltrim(lang["value"]).alias("lang"),
+            F.decode("payload", "UTF-8").alias("text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _csv_roundtrip(s: SparkSession, d: str) -> DataFrame:
     """documents -> tab-separated rank list -> schema'd csv read."""
     tmp = _scratch("csv", d)
@@ -1722,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             distributed=True,
         ).orderBy("key"),
         "source_archive_roundtrip": _archive_roundtrip,
+        "source_arc_v1_roundtrip": _arc_v1_roundtrip,
         "source_csv_import": _csv_roundtrip,
         "source_timeseries_tail": _timeseries_tail,
         "source_multi_sink": _multi_sink_readback,
@@ -2963,6 +3015,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_archive_roundtrip": """
             SELECT doc_id, text FROM documents ORDER BY doc_id
+        """,
+        # identity oracle: every read-back column is recomputable from
+        # the documents row that produced the ARC record. record_length
+        # = header bytes ("x-doc: <id>\r\nlang: <lang>\r\n\r\n" = 19 +
+        # len(id) + len(lang)) + payload bytes (strlen = BYTES in
+        # DuckDB, matching the UTF-8 encode on the Spark side).
+        "source_arc_v1_roundtrip": """
+            SELECT doc_id,
+                   'http://' || source || '.example.com/doc/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   printf('10.%d.%d.%d', doc_id % 200,
+                          (doc_id // 200) % 200, doc_id % 250) AS ip,
+                   printf('201203%02d%02d%02d%02d', doc_id % 28 + 1,
+                          doc_id % 24, doc_id % 60,
+                          (doc_id * 7) % 60) AS archive_date,
+                   epoch_ms(strptime(printf('201203%02d%02d%02d%02d',
+                          doc_id % 28 + 1, doc_id % 24, doc_id % 60,
+                          (doc_id * 7) % 60), '%Y%m%d%H%M%S'))
+                       AS fetch_epoch_ms,
+                   'text/html' AS mime,
+                   19 + length(CAST(doc_id AS VARCHAR)) + strlen(lang)
+                       + strlen(text) AS record_length,
+                   lang, text
+            FROM documents ORDER BY doc_id
         """,
         "source_xml_roundtrip": """
             SELECT doc_id AS page_id, source AS title, text

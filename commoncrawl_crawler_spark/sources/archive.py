@@ -42,6 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     LongType,
     StringType,
@@ -53,9 +54,44 @@ MAGIC = b"ccarc/1"
 DEFAULT_ROTATE_BYTES = 64 * 1024 * 1024  # size rotation like ArcFileWriter
 _WS_RE = re.compile(r"\s")
 
+# --- real ARC v1 constants (util/ArcFileWriter.java:83-104) ---
+ARC_MAGIC = "filedesc://"
+ARC_SUFFIX = ".arc.gz"
+# {8,0,'L','X',4,0,0,0,0,0}: the IA 'LX' gzip extra field the writer
+# splices into the filedesc member (ArcFileWriter.java:93,1220-1232)
+ARC_GZIP_EXTRA_FIELD = bytes([8, 0, ord("L"), ord("X"), 4, 0, 0, 0, 0, 0])
+_ARC_LINES_2_3 = "\n1 0 CommonCrawl\nURL IP-address Archive-date Content-type Archive-length\n"
+
 READ_SCHEMA = StructType(
     [
         StructField("key", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("archive_path", StringType()),
+        StructField("member_offset", LongType()),
+    ]
+)
+
+ARC_READ_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("ip", StringType()),
+        StructField("archive_date", StringType()),  # raw TIMESTAMP14
+        StructField("fetch_epoch_ms", LongType()),  # parsed; 0 if invalid
+        StructField("mime", StringType()),
+        StructField("record_length", LongType()),
+        StructField(
+            "headers",
+            # ArcFileHeaderItem: colon-less lines are value-only items
+            # (ArcFileReader.java:755-760), so key is nullable
+            ArrayType(
+                StructType(
+                    [
+                        StructField("key", StringType()),
+                        StructField("value", StringType()),
+                    ]
+                )
+            ),
+        ),
         StructField("payload", BinaryType()),
         StructField("archive_path", StringType()),
         StructField("member_offset", LongType()),
@@ -212,3 +248,275 @@ def read_archive(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return files.select("path", "content").mapInPandas(_parse, READ_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real ARC v1 compatibility (the 2008-2012 CommonCrawl wire format)
+# ---------------------------------------------------------------------------
+#
+# Record layout (util/ArcFileWriter.java:850-885,958-975):
+#
+#   file      := filedesc-member record-member ...
+#   filedesc  := gzip+LX( "filedesc://<name> 0.0.0.0 <ts14> text/plain
+#                 <len(lines23)>" lines23 "\n" )
+#   lines23   := "\n1 0 CommonCrawl\nURL IP-address Archive-date
+#                 Content-type Archive-length\n"
+#   record    := gzip( metaline headers "\r\n" content "\n" )
+#   metaline  := "<url> <ip> <ts14> <mime> <record-length>\n"   (5 tokens,
+#                 validated by METADATA_LINE_PATTERN, :99-102)
+#   headers   := HTTP headers, each line "\r\n"-terminated; the extra
+#                 "\r\n" forms the CRLF-CRLF terminator the reader's
+#                 state machine scans for (ArcFileReader.java:557-600)
+#   record-length = len(headers incl. blank line) + len(content)
+#
+# The reader below mirrors ArcFileBuilder (ArcFileReader.java:514-800):
+# metaline tokenized on spaces (first 5 tokens), TIMESTAMP14 parse
+# failure -> epoch 0, header lines split at the FIRST colon with the
+# after-colon remainder kept VERBATIM (leading space included); a line
+# with no colon (or colon-at-end) becomes a value-only header item.
+
+
+def _ts14_ms(ts14: str) -> int:
+    """TIMESTAMP14 -> epoch millis; 0 on parse failure like
+    ArcFileReader.java:699-709 (UTC: the engine pins sessions to UTC
+    where the reference used JVM-default-zone SimpleDateFormat)."""
+    import calendar
+    import time as _time
+
+    try:
+        st = _time.strptime(ts14, "%Y%m%d%H%M%S")
+        return calendar.timegm(st) * 1000
+    except ValueError:
+        return 0
+
+
+def _gzip_bytes(data: bytes) -> bytes:
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(data)
+    return buf.getvalue()
+
+
+def _gzip_with_lx(data: bytes) -> bytes:
+    """Gzip with the IA 'LX' extra field spliced after the 10-byte
+    header: FLG bit 2 (FEXTRA) set, OS byte -> 3/unix
+    (ArcFileWriter.java:1205-1232)."""
+    raw = bytearray(_gzip_bytes(data))
+    if raw[3] != 0:
+        raise ValueError("unexpected non-zero GZIP FLG header")
+    raw[3] = 4
+    raw[9] = 3
+    return bytes(raw[:10]) + ARC_GZIP_EXTRA_FIELD + bytes(raw[10:])
+
+
+def _arc_filedesc_member(filename: str, ts14: str) -> bytes:
+    lines23 = _ARC_LINES_2_3
+    record_length = len(lines23.encode("ISO-8859-1"))
+    header = (
+        f"{ARC_MAGIC}{filename} 0.0.0.0 {ts14} text/plain "
+        f"{record_length}{lines23}\n"
+    )
+    return _gzip_with_lx(header.encode("ISO-8859-1"))
+
+
+def _arc_record_member(
+    url: str,
+    ip: str,
+    ts14: str,
+    mime: str,
+    header_lines: list[tuple[str | None, str]],
+    payload: bytes,
+) -> bytes:
+    hdr = (
+        "".join(
+            (f"{k}: {v}" if k is not None else v) + "\r\n"
+            for k, v in header_lines
+        )
+        + "\r\n"
+    ).encode("utf-8")
+    record_length = len(hdr) + len(payload)
+    metaline = f"{url} {ip} {ts14} {mime} {record_length}\n"
+    if _WS_RE.search(url) or _WS_RE.search(ip) or _WS_RE.search(mime):
+        # METADATA_LINE_PATTERN: 5 \S+ tokens -- embedded whitespace
+        # would produce a metaline the reader mis-tokenizes
+        raise ValueError(f"ARC metaline fields must not contain whitespace: {metaline!r}")
+    return _gzip_bytes(metaline.encode("utf-8") + hdr + payload + b"\n")
+
+
+def write_arc_v1(
+    df: DataFrame,
+    path: str,
+    file_ts14: str = "20080101000000",
+    rotate_bytes: int = DEFAULT_ROTATE_BYTES,
+) -> int:
+    """Write rows as real ARC v1 archives (one writer per partition,
+    rotation at `rotate_bytes` like ArcFileWriter MAX_SIZE, each file
+    opened with its filedesc:// member).
+
+    Expects columns: url, ip, ts14 (string), mime, payload (binary)
+    and optionally headers (array<struct<key,value>>). `file_ts14`
+    pins the filedesc timestamp (the reference stamps wall-clock,
+    ArcFileWriter.java:1006 -- parameterized here so output bytes are
+    deterministic). Commit protocol identical to write_archive:
+    attempt-unique temps renamed by the driver after job success.
+    """
+    os.makedirs(path, exist_ok=True)
+    cols = ["url", "ip", "ts14", "mime", "payload"]
+    has_headers = "headers" in df.columns
+    if has_headers:
+        cols.append("headers")
+    rows = df.select(*cols)
+
+    def _write_partition(idx: int, it: Iterator) -> Iterator[tuple]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        names: list[tuple] = []
+        out = None
+        size = 0
+        rotation = 0
+        for row in it:
+            hdrs = []
+            if has_headers and row["headers"] is not None:
+                hdrs = [(h["key"], h["value"]) for h in row["headers"]]
+            member = _arc_record_member(
+                row["url"],
+                row["ip"],
+                row["ts14"],
+                row["mime"],
+                hdrs,
+                bytes(row["payload"] or b""),
+            )
+            if out is None or size + len(member) > rotate_bytes:
+                if out is not None:
+                    out.close()
+                fname = f"{idx:05d}-{rotation:03d}{ARC_SUFFIX}"
+                tmp = f"{fname}.{attempt}.tmp"
+                out = open(os.path.join(path, tmp), "wb")
+                filedesc = _arc_filedesc_member(fname, file_ts14)
+                out.write(filedesc)
+                names.append((fname, tmp))
+                rotation += 1
+                size = len(filedesc)
+            out.write(member)
+            size += len(member)
+        if out is not None:
+            out.close()
+        yield from names
+
+    def _sweep_temps() -> None:
+        for leftover in os.listdir(path):
+            if leftover.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(path, leftover))
+                except OSError:
+                    pass
+
+    try:
+        names = rows.rdd.mapPartitionsWithIndex(_write_partition).collect()
+    except Exception:
+        _sweep_temps()
+        raise
+    for fname, tmp in names:
+        os.replace(os.path.join(path, tmp), os.path.join(path, fname))
+    _sweep_temps()
+    return len(names)
+
+
+def _parse_arc_member(data: bytes) -> tuple | None:
+    """One decompressed ARC member -> (url, ip, ts14, epoch_ms, mime,
+    record_length, headers, payload), or None for the filedesc member."""
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise ValueError("ARC member without metaline terminator")
+    metaline = data[:nl].decode("ascii", errors="replace")
+    if metaline.startswith(ARC_MAGIC):
+        return None
+    # first five space-delimited tokens (StringTokenizer semantics:
+    # runs of separators collapse; ArcFileReader.java:678-724)
+    toks = metaline.split()
+    url = toks[0] if len(toks) > 0 else None
+    ip = toks[1] if len(toks) > 1 else None
+    ts14 = toks[2] if len(toks) > 2 else None
+    mime = toks[3] if len(toks) > 3 else None
+    try:
+        record_length = int(toks[4]) if len(toks) > 4 else None
+    except ValueError:
+        record_length = None
+    body = data[nl + 1 :]
+    # CRLF-CRLF header terminator (ArcFileReader.java:557-581)
+    hdr_end = body.find(b"\r\n\r\n")
+    if hdr_end < 0:
+        hdr_bytes, content = b"", body
+    else:
+        hdr_bytes = body[: hdr_end + 4]
+        content = body[hdr_end + 4 :]
+    # the writer appends one LINE_SEPARATOR after the content
+    # (ArcFileWriter.java:883); prefer the metaline record length to
+    # recover the exact payload, fall back to stripping that byte
+    if record_length is not None and 0 <= record_length - len(hdr_bytes) <= len(content):
+        content = content[: record_length - len(hdr_bytes)]
+    elif content.endswith(b"\n"):
+        content = content[:-1]
+    headers = []
+    for line in hdr_bytes.decode("utf-8", errors="replace").split("\r\n"):
+        if not line:
+            continue
+        colon = line.find(":")
+        if colon != -1 and colon != len(line) - 1:
+            # after-colon remainder kept verbatim (leading space and
+            # all), matching ArcFileReader.java:744-747
+            headers.append({"key": line[:colon], "value": line[colon + 1 :]})
+        else:
+            headers.append({"key": None, "value": line})
+    return (
+        url,
+        ip,
+        ts14,
+        _ts14_ms(ts14) if ts14 is not None else 0,
+        mime,
+        record_length,
+        headers,
+        content,
+    )
+
+
+def read_arc_v1(spark: SparkSession, path: str) -> DataFrame:
+    """Read real ARC v1 archives into typed rows.
+
+    Same execution shape as read_archive: binaryFile lists whole
+    (rotation-capped) archives, one task each; the gzip-member walk +
+    ArcFileBuilder-equivalent parse runs as an Arrow-batched
+    mapInPandas. filedesc:// members are skipped (they describe the
+    file, not a document)."""
+    files = spark.read.format("binaryFile").load(f"{path}/*{ARC_SUFFIX}")
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in ARC_READ_SCHEMA.fields}
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                content = bytes(blob)
+                pos = 0
+                while pos < len(content):
+                    d = zlib.decompressobj(wbits=31)
+                    data = d.decompress(content[pos:])
+                    if not d.eof:
+                        raise ValueError(f"truncated ARC member at offset {pos}")
+                    rec = _parse_arc_member(data)
+                    if rec is not None:
+                        (url, ip, ts14, ms, mime, rlen, hdrs, payload) = rec
+                        out["url"].append(url)
+                        out["ip"].append(ip)
+                        out["archive_date"].append(ts14)
+                        out["fetch_epoch_ms"].append(ms)
+                        out["mime"].append(mime)
+                        out["record_length"].append(rlen)
+                        out["headers"].append(hdrs)
+                        out["payload"].append(payload)
+                        out["archive_path"].append(fpath)
+                        out["member_offset"].append(pos)
+                    pos = len(content) - len(d.unused_data)
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(_parse, ARC_READ_SCHEMA)

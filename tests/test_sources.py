@@ -146,3 +146,153 @@ def test_write_archive_failed_job_leaves_no_visible_archives(spark, tmp_path):
     assert n >= 1
     assert glob.glob(f"{path}/*.ccarc.tmp") == []
     assert len(glob.glob(f"{path}/*.ccarc")) == n
+
+
+# --- real ARC v1 compatibility (util/ArcFileWriter.java:850-885,
+# ArcFileReader.java:514-800) ---
+
+
+def _golden_arc_file(tmp_path):
+    """Hand-assemble an ARC v1 file byte-for-byte per the reference
+    writer's layout: filedesc member with the IA LX extra field, then
+    records gzip(metaline + headers + CRLF + content + LF)."""
+    import gzip as _gzip
+    import io as _io
+
+    def gz(b):
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(b)
+        return buf.getvalue()
+
+    lines23 = (
+        "\n1 0 CommonCrawl\n"
+        "URL IP-address Archive-date Content-type Archive-length\n"
+    )
+    filedesc = (
+        f"filedesc://golden.arc.gz 0.0.0.0 20080401120000 text/plain "
+        f"{len(lines23)}{lines23}\n"
+    ).encode()
+    fd = bytearray(gz(filedesc))
+    fd[3], fd[9] = 4, 3
+    fd = bytes(fd[:10]) + archive.ARC_GZIP_EXTRA_FIELD + bytes(fd[10:])
+
+    hdr1 = b"Content-Type: text/html\r\nx-commoncrawl-Signature: abc\r\n\r\n"
+    body1 = b"<html>hello</html>"
+    meta1 = (
+        f"http://example.com/a 1.2.3.4 20080401120500 text/html "
+        f"{len(hdr1) + len(body1)}\n"
+    ).encode()
+    rec1 = gz(meta1 + hdr1 + body1 + b"\n")
+
+    # header pathologies: colon-less line, colon-at-end line, bad ts14
+    hdr2 = b"HTTP/1.1 200 OK\r\nX-Empty:\r\nServer: nginx\r\n\r\n"
+    body2 = b"payload\nwith\nnewlines\n"
+    meta2 = (
+        f"http://ex.org/b 5.6.7.8 notatimestamp no-type "
+        f"{len(hdr2) + len(body2)}\n"
+    ).encode()
+    rec2 = gz(meta2 + hdr2 + body2 + b"\n")
+
+    p = tmp_path / "golden.arc.gz"
+    p.write_bytes(fd + rec1 + rec2)
+    return str(tmp_path), len(fd), len(fd) + len(rec1)
+
+
+def test_arc_v1_golden_member_parse(spark, tmp_path):
+    d, off1, off2 = _golden_arc_file(tmp_path)
+    rows = (
+        archive.read_arc_v1(spark, d).orderBy("member_offset").collect()
+    )
+    assert len(rows) == 2  # filedesc member skipped
+    r1, r2 = rows
+    assert r1["url"] == "http://example.com/a"
+    assert r1["ip"] == "1.2.3.4"
+    assert r1["archive_date"] == "20080401120500"
+    # 2008-04-01T12:05:00Z
+    assert r1["fetch_epoch_ms"] == 1207051500000
+    assert r1["mime"] == "text/html"
+    assert bytes(r1["payload"]) == b"<html>hello</html>"
+    assert r1["member_offset"] == off1
+    hdrs = {h["key"]: h["value"] for h in r1["headers"]}
+    # after-colon remainder kept verbatim (leading space included)
+    assert hdrs["Content-Type"] == " text/html"
+    assert hdrs["x-commoncrawl-Signature"] == " abc"
+
+    assert r2["fetch_epoch_ms"] == 0  # invalid TIMESTAMP14 -> epoch 0
+    assert r2["member_offset"] == off2
+    # payload with embedded newlines survives via record_length
+    assert bytes(r2["payload"]) == b"payload\nwith\nnewlines\n"
+    items = list(r2["headers"])
+    # colon-less status line -> value-only item; colon-at-end too
+    assert items[0]["key"] is None and items[0]["value"] == "HTTP/1.1 200 OK"
+    assert items[1]["key"] is None and items[1]["value"] == "X-Empty:"
+    assert items[2]["key"] == "Server" and items[2]["value"] == " nginx"
+
+
+def test_arc_v1_write_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "arcv1")
+    df = spark.createDataFrame(
+        [
+            (
+                f"http://site{i}.com/p",
+                f"10.0.0.{i}",
+                f"200804011205{i:02d}",
+                "text/html",
+                f"content-{i}".encode(),
+                [("x-doc", str(i))],
+            )
+            for i in range(25)
+        ],
+        "url string, ip string, ts14 string, mime string, "
+        "payload binary, headers array<struct<key:string,value:string>>",
+    )
+    n = archive.write_arc_v1(df, path)
+    assert n >= 1
+    back = archive.read_arc_v1(spark, path).collect()
+    assert len(back) == 25
+    by_url = {r["url"]: r for r in back}
+    for i in range(25):
+        r = by_url[f"http://site{i}.com/p"]
+        assert bytes(r["payload"]) == f"content-{i}".encode()
+        assert r["ip"] == f"10.0.0.{i}"
+        assert r["archive_date"] == f"200804011205{i:02d}"
+        hdrs = {h["key"]: h["value"] for h in r["headers"]}
+        assert hdrs["x-doc"] == f" {i}"  # written "k: v", read verbatim
+
+
+def test_arc_v1_rotation_writes_filedesc_per_file(spark, tmp_path):
+    import zlib as _zlib
+
+    path = str(tmp_path / "arcv1")
+    df = spark.createDataFrame(
+        [
+            (f"http://s/{i}", "1.1.1.1", "20080401000000", "text/plain",
+             bytes(200))
+            for i in range(30)
+        ],
+        "url string, ip string, ts14 string, mime string, payload binary",
+    ).coalesce(1)
+    n = archive.write_arc_v1(df, path, rotate_bytes=600)
+    assert n > 1
+    import os as _os
+
+    for fname in _os.listdir(path):
+        with open(_os.path.join(path, fname), "rb") as f:
+            blob = f.read()
+        d = _zlib.decompressobj(wbits=31)
+        first = d.decompress(blob)
+        assert first.startswith(b"filedesc://" + fname.encode())
+
+
+def test_arc_v1_rejects_whitespace_metaline_fields(spark, tmp_path):
+    path = str(tmp_path / "arcv1")
+    df = spark.createDataFrame(
+        [("http://a b.com/", "1.1.1.1", "20080401000000", "text/plain", b"x")],
+        "url string, ip string, ts14 string, mime string, payload binary",
+    )
+    with pytest.raises(Exception, match="whitespace"):
+        archive.write_arc_v1(df, path)
+    import os as _os
+
+    assert not [f for f in _os.listdir(path) if f.endswith(".arc.gz")]
