@@ -3877,8 +3877,11 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
                         % 1073741824 + 1) / 1073741825.0 AS u
                 FROM documents WHERE n_chars > 0
             ), p AS (
+                -- micro-unit quantization (floor(x*1e6+0.5)), the
+                -- engine-stable discipline round(x, 6) is not
                 SELECT doc_id, source, w,
-                       round(-ln(u) / w, 6) AS _priority
+                       CAST(floor((-ln(u) / w) * 1000000 + 0.5)
+                            AS BIGINT) AS _priority
                 FROM b
             ), r AS (
                 SELECT *, row_number() OVER (

@@ -121,6 +121,12 @@ def _compiled_match_values(
             # join path (aggregates skip nulls) -- skip it here too
             # rather than crashing on float(None)
             continue
+        if dre is None or pre is None:
+            # mirror the join path's null-propagation: rlike against a
+            # NULL pattern column is NULL, so the rule never matches.
+            # f-string interpolation would instead bake the literal
+            # pattern '^(?:None)$' (matching the string 'None').
+            continue
         cond = (
             F.lit(True)
             if root in _GLOBAL_ROOTS

@@ -443,7 +443,9 @@ def super_domains(edges: DataFrame, threshold: int = 25) -> DataFrame:
     )
 
 
-def hits_scores(edges: DataFrame, iterations: int = 2) -> DataFrame:
+def hits_scores(
+    edges: DataFrame, iterations: int = 2, rescale_bits: int = 0
+) -> DataFrame:
     """HITS hubs & authorities (Kleinberg) for a FIXED iteration
     count in exact integer arithmetic: starting from all-ones,
     auth_{i+1}(v) = sum of hub_i over in-neighbors and
@@ -454,6 +456,19 @@ def hits_scores(edges: DataFrame, iterations: int = 2) -> DataFrame:
     bit-stable under any partitioning/engine, the same fixed-point
     discipline as the PageRank tier. Normalize downstream if absolute
     scores are needed.
+
+    Overflow bound: unnormalized scores grow by at most
+    (max_in_degree x max_out_degree) per full iteration, so they fit
+    bigint while 2 * iterations * log2(max_degree) < 63 -- e.g. 4
+    iterations are safe up to ~250k-degree hubs, 2 iterations to
+    ~2e9. The engine's sessions run ANSI mode (Spark 4 default,
+    session.py), so exceeding the bound RAISES an arithmetic-overflow
+    error rather than silently wrapping. For deeper iteration counts
+    on hub-heavy graphs pass `rescale_bits` > 0: both vectors are
+    integer-right-shifted by that many bits between iterations (a
+    shared positive scale, so the ranking is preserved except where
+    floor-division merges near-ties -- document as approximate when
+    used).
 
     One join+groupBy pair per iteration over the (deduped) edge set;
     the edge table should be checkpointed by the caller when iterated
@@ -489,6 +504,13 @@ def hits_scores(edges: DataFrame, iterations: int = 2) -> DataFrame:
         hub = nodes.join(hub, nodes["node"] == hub["src"], "left").select(
             "node", F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub")
         )
+        if rescale_bits > 0:
+            auth = auth.select(
+                "node", F.shiftright("auth", rescale_bits).alias("auth")
+            )
+            hub = hub.select(
+                "node", F.shiftright("hub", rescale_bits).alias("hub")
+            )
     # auth and hub each already carry every node (left joins against
     # the node set), so joining them directly avoids a redundant
     # third join

@@ -19,8 +19,11 @@ Fidelity notes, mirrored deliberately:
   reference's Allow branch skips URLDecoder -- :357-392);
 - an empty 'Disallow:'/'Allow:' clears every prefix accumulated so
   far in the stanza (:369-375);
-- Crawl-Delay is seconds -> milliseconds, last parseable line wins,
-  -1 when absent;
+- Crawl-Delay is seconds -> milliseconds; the last NON-EMPTY line
+  wins and an unparseable value RESETS the delay to -1 (the
+  reference calls setCrawlDelay even when Long.parseLong throws,
+  :402-411 -- so 'Crawl-Delay: abc' after 'Crawl-Delay: 5' yields
+  -1, and '2.5' is -1, not a truncated 2); -1 when absent;
 - no matching stanza -> no rules -> everything allowed (EMPTY_RULES);
   a 403-forbidden robots fetch is representable as the single rule
   ('', allowed=false), which prefix-matches every path
@@ -179,13 +182,27 @@ def parse_robot_rules(
         )
     )
 
-    # ---- per-host crawl delay (last parseable line wins) ----------
+    # ---- per-host crawl delay: last NON-EMPTY line wins; a value
+    # Long.parseLong rejects (non-integer, overflow) resets to -1
+    # because the reference sets the delay before checking the parse
+    # succeeded (RobotRulesParser.java:402-411) ----------------------
     delay = (
-        in_best.filter(F.col("kind") == "delay")
-        .withColumn("_secs", F.expr("try_cast(value AS BIGINT)"))
-        .filter(F.col("_secs").isNotNull())
+        in_best.filter((F.col("kind") == "delay") & (F.col("value") != ""))
         .groupBy("host")
-        .agg((F.max_by("_secs", "ln") * 1000).alias("crawl_delay_ms"))
+        .agg(F.max_by("value", "ln").alias("_v"))
+        .select(
+            "host",
+            F.coalesce(
+                F.when(
+                    # strict Long.parseLong gate: optional sign +
+                    # digits only ('2.5' -> -1, not 2); try_cast still
+                    # returns NULL on bigint overflow -> coalesce -1
+                    F.col("_v").rlike("^[+-]?[0-9]+$"),
+                    F.expr("try_cast(_v AS BIGINT)") * 1000,
+                ),
+                F.lit(-1),
+            ).alias("crawl_delay_ms"),
+        )
     )
 
     return (

@@ -190,18 +190,22 @@ def weighted_quota_sample(
 
     Deterministic and engine-exact: u derives from md5(key) (no RNG
     state, stable across reruns/partitionings/engines) and the
-    priority is rounded to 6 decimals BEFORE the per-group ranking so
-    a last-ulp ln() difference in another engine cannot reorder the
-    selection; ties break on the key. Rows with weight <= 0 or null
-    are never sampled (zero weight = zero probability).
+    priority is quantized to integer MICRO-UNITS (floor(x*1e6+0.5))
+    BEFORE the per-group ranking so a last-ulp ln() difference in
+    another engine cannot reorder the selection -- round(double, 6)
+    is NOT engine-stable near half boundaries (see the bm25/tfidf
+    float-parity notes); ties break on the key. Rows with weight <= 0
+    or null are never sampled (zero weight = zero probability).
 
     One shuffle on the group key, top-k via the rank window -- the
-    same shape as group_quota_sample. Adds `_priority` (the rounded
-    cost) to the output for auditability.
+    same shape as group_quota_sample. Adds `_priority` (the micro-unit
+    cost, bigint) to the output for auditability.
     """
     m = 1 << 30
     u = (_md5_bucket(F.col(key_col), m) + 1) / F.lit(float(m + 1))
-    cost = F.round(-F.log(u) / F.col(weight_col), 6)
+    cost = F.floor((-F.log(u) / F.col(weight_col)) * 1e6 + F.lit(0.5)).cast(
+        "long"
+    )
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("_priority"), F.col(key_col)
     )

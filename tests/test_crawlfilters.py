@@ -161,7 +161,16 @@ def test_compiled_and_join_paths_agree(spark, monkeypatch):
     multi-rule folds."""
     rules_boost = crawlfilters.rules_df(
         spark,
-        [("*", "", "/p/.*", 2.0), ("a.com", "www\\..*", ".*", 1.5)],
+        [
+            ("*", "", "/p/.*", 2.0),
+            ("a.com", "www\\..*", ".*", 1.5),
+            # NULL regex fields: rlike(NULL pattern) is NULL in the
+            # join path, so these rules never match -- the compiled
+            # path must not bake a literal '^(?:None)$' pattern
+            # (url 5's domain is the string 'None' to catch that)
+            ("*", None, ".*", 100.0),
+            ("*", "", None, 200.0),
+        ],
     )
     rules_rate = crawlfilters.rules_df(
         spark,
@@ -177,6 +186,7 @@ def test_compiled_and_join_paths_agree(spark, monkeypatch):
             (2, "a.com", "shop.a.com", "/p/9"),
             (3, "b.com", "b.com", "/"),
             (4, "c.com", "c.com", "/x"),
+            (5, "n.com", "None", "None"),
         ],
     )
 

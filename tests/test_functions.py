@@ -576,7 +576,9 @@ def test_weighted_quota_sample_aes_model_and_bias(spark):
     def cost(k, w):
         h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
         u = (h % m + 1) / (m + 1)
-        return (round(-math.log(u) / w, 6), k)
+        # micro-unit quantization, matching the engine-stable
+        # floor(x*1e6+0.5) discipline (round(x,6) is not)
+        return (math.floor((-math.log(u) / w) * 1e6 + 0.5), k)
 
     model = sorted(
         (k for k, _, w in rows if w), key=lambda k: cost(k, 100.0 if k % 2 == 0 else 1.0)

@@ -91,6 +91,34 @@ def test_consecutive_ua_lines_share_stanza_and_delay_last_wins(spark):
     assert rules["b.com"]["explicit_mention"] is False  # '*' matched
 
 
+def test_unparseable_crawl_delay_resets_to_minus_one(spark):
+    """RobotRulesParser.java:402-411 calls setCrawlDelay even when
+    Long.parseLong throws: a non-empty bad value after a valid one
+    RESETS the delay; a decimal is rejected (not truncated); an EMPTY
+    value is skipped entirely (no set)."""
+    cases = [
+        # last non-empty line 'xx' -> reset to -1
+        ("r1.com", "User-agent: *\nCrawl-Delay: 5\nCrawl-Delay: xx\n", -1),
+        # '2.5' would be try_cast-truncated to 2 -- must be -1
+        ("r2.com", "User-agent: *\nCrawl-Delay: 2.5\n", -1),
+        # empty value is NOT a set: the earlier 5 survives
+        ("r3.com", "User-agent: *\nCrawl-Delay: 5\nCrawl-Delay:\n", 5000),
+        # signs pass the strict parse like Long.parseLong
+        ("r4.com", "User-agent: *\nCrawl-Delay: -2\n", -2000),
+        ("r5.com", "User-agent: *\nCrawl-Delay: +3\n", 3000),
+        # bigint overflow throws in Java -> -1
+        ("r6.com", "User-agent: *\nCrawl-Delay: 99999999999999999999\n", -1),
+    ]
+    rules = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in _rules(
+            spark, [(h, b) for h, b, _ in cases], ["crawlerbot"]
+        ).collect()
+    }
+    for host, _, want in cases:
+        assert rules[host] == want, host
+
+
 def test_explicit_mention_and_specific_beats_wildcard(spark):
     blob = (
         "User-agent: *\n"
@@ -233,10 +261,18 @@ def _model(content: str, agents: list[str]):
             done_agents = True
             if add_rules:
                 v = line[line.index(":") + 1 :].strip()
-                try:
-                    cur_delay = int(v) * 1000
-                except ValueError:
-                    pass
+                if v:
+                    # the reference sets the delay even when parsing
+                    # fails (RobotRulesParser.java:402-411): a
+                    # non-empty unparseable value RESETS to -1. Strict
+                    # Long.parseLong gate (no '2.5', no '1_0').
+                    if _re.fullmatch(r"[+-]?[0-9]+", v, _re.ASCII):
+                        try:
+                            cur_delay = int(v) * 1000
+                        except ValueError:
+                            cur_delay = -1
+                    else:
+                        cur_delay = -1
     if cur_prec < best_prec:
         best = (cur_rules, cur_delay, cur_explicit)
     if best is None:
