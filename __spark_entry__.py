@@ -1709,6 +1709,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_ppm": lambda s, d: multimodal.decode_ppm(
             multimodal.synthesize_ppm(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # real COMPRESSED-format decode: stdlib-zlib PNG (inflate +
+        # scanline unfilter over all five filter types); same pixel
+        # formula as the PPM twin so the oracle is shared closed-form
+        "mm_decode_png": lambda s, d: multimodal.decode_png(
+            multimodal.synthesize_png(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # tile -> feature: per-row-band, per-channel pixel stats over
         # the real PPM decode
         "mm_image_bands": lambda s, d: multimodal.image_band_stats(
@@ -2893,6 +2899,31 @@ def oracle_sql() -> dict[str, str]:
                        [(media_id*3 + p*5) % 256
                         FOR p IN range(0, w*h*3)] AS l,
                        [p FOR p IN range(0, w*h*3)] AS idx
+                FROM s
+            )
+            SELECT media_id,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(list_sum([(media_id*3 + p*5) % 256
+                        FOR p IN range(0, w*h*3) IF p % 3 = 0]) AS BIGINT) AS sum_r,
+                   CAST(list_sum([(media_id*3 + p*5) % 256
+                        FOR p IN range(0, w*h*3) IF p % 3 = 1]) AS BIGINT) AS sum_g,
+                   CAST(list_sum([(media_id*3 + p*5) % 256
+                        FOR p IN range(0, w*h*3) IF p % 3 = 2]) AS BIGINT) AS sum_b,
+                   CAST(list_min(l) AS INT) AS min_px,
+                   CAST(list_max(l) AS INT) AS max_px
+            FROM px ORDER BY media_id
+        """,
+        # the PNG synthesizer encodes the SAME pixels as the PPM one
+        # (decode-parity twins), so the closed-form oracle is identical
+        "mm_decode_png": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+                FROM documents
+            ), px AS (
+                SELECT media_id, w, h,
+                       [(media_id*3 + p*5) % 256
+                        FOR p IN range(0, w*h*3)] AS l
                 FROM s
             )
             SELECT media_id,

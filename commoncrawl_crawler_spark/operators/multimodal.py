@@ -108,20 +108,21 @@ def decode_media(media: DataFrame, codec: str = "real") -> DataFrame:
 
     Real decoders implemented in this module (pure numpy/stdlib, no
     external codec libraries): `decode_wav` (RIFF/WAVE PCM chunk
-    walker) and `decode_ppm` (netpbm P6 header parser). codec="real"
-    here still raises for compressed formats (jpeg/png/mp3/mp4 need
-    PIL/ffmpeg -- wire them into the same mapInPandas contract in
-    production). codec="fake16" is the deterministic stand-in: a
-    16-bin byte histogram, normalized -- enough to exercise every
-    downstream consumer (ANN, dedup, clustering) with real batch
-    mechanics.
+    walker), `decode_ppm` (netpbm P6 header parser), and `decode_png`
+    (full zlib-inflate + scanline-unfilter PNG reader -- a real
+    COMPRESSED format). codec="real" here still raises for formats
+    that genuinely need external codecs (jpeg/mp3/mp4 -- wire
+    PIL/ffmpeg into the same mapInPandas contract in production).
+    codec="fake16" is the deterministic stand-in: a 16-bin byte
+    histogram, normalized -- enough to exercise every downstream
+    consumer (ANN, dedup, clustering) with real batch mechanics.
     """
     if codec == "real":
         raise NotImplementedError(
-            "compressed-format decoding (jpeg/png/mp3/mp4) requires "
-            "image/audio libraries not present in this environment; use "
-            "decode_wav / decode_ppm for the real container-format "
-            "decoders, or codec='fake16' for the deterministic test codec"
+            "jpeg/mp3/mp4 decoding requires image/audio libraries not "
+            "present in this environment; use decode_wav / decode_ppm / "
+            "decode_png for the real container-format decoders, or "
+            "codec='fake16' for the deterministic test codec"
         )
     if codec != "fake16":
         raise ValueError(f"unknown codec {codec!r}")
@@ -397,6 +398,213 @@ def parse_ppm_bytes(blob: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("truncated PPM pixel data")
     arr = np.frombuffer(blob, dtype=np.uint8, offset=idx, count=w * h * 3)
     return w, h, arr.astype(np.int64)
+
+
+def synthesize_png(documents: DataFrame) -> DataFrame:
+    """Deterministic 8-bit RGB PNG per document with the SAME pixel
+    content as synthesize_ppm (width = 8 + doc_id % 9, height =
+    6 + doc_id % 7, flat byte p = (doc_id*3 + p*5) % 256), so the two
+    containers are decode-parity twins. Scanline filters cycle
+    through all five spec types ((row + doc_id) % 5) so the reader's
+    unfilter pass is genuinely exercised, not just filter-0."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 9, 6 + mid % 7
+                p = np.arange(w * h * 3, dtype=np.int64)
+                pixels = ((mid * 3 + p * 5) % 256).astype(np.uint8)
+                ids.append(mid)
+                blobs.append(
+                    encode_png_bytes(
+                        w, h, pixels, filter_for_row=lambda r, m=mid: (r + m) % 5
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return documents.select("doc_id").mapInPandas(_synth, schema)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    # PNG spec 9.4: a=left, b=above, c=upper-left
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_bytes(
+    w: int, h: int, pixels: np.ndarray, filter_for_row=None
+) -> bytes:
+    """Minimal stdlib-only PNG encoder: 8-bit RGB (color type 2), no
+    interlace, one zlib-compressed IDAT. `filter_for_row(row)->0..4`
+    selects the scanline filter (default 0/None). Public spec (RFC
+    2083 / PNG 1.2); pixel loops are per-byte Python -- fine for the
+    small synthetic frames this engine tests with; a production
+    deployment would swap in a native codec behind the same contract."""
+    import struct
+    import zlib as _zlib
+
+    bpp = 3
+    stride = w * bpp
+    raw = bytes(pixels.astype(np.uint8).tobytes())
+    assert len(raw) == stride * h
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        line = raw[r * stride : (r + 1) * stride]
+        ft = filter_for_row(r) if filter_for_row is not None else 0
+        out.append(ft)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                pred = _paeth(a, b, c)
+            out.append((line[i] - pred) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(out), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png_bytes(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Stdlib-only PNG decode -> (width, height, flat RGB int64 array).
+
+    Supports the baseline subset a stdlib decoder can express: 8-bit
+    depth, color types 2 (RGB) and 0 (grayscale, expanded to RGB),
+    no interlace; multiple IDAT chunks are concatenated per the spec;
+    all five scanline filters are reversed. CRCs are validated.
+    Public spec only (PNG 1.2 / RFC 2083)."""
+    import struct
+    import zlib as _zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos, n = 8, len(blob)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (clen,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack(
+            ">I", blob[pos + 8 + clen : pos + 12 + clen]
+        )
+        if _zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or ctype not in (0, 2) or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth} color={ctype})"
+        )
+    if interlace != 0:
+        raise ValueError("Adam7 interlace not supported")
+    bpp = 3 if ctype == 2 else 1
+    stride = w * bpp
+    data = _zlib.decompress(bytes(idat))
+    if len(data) != (stride + 1) * h:
+        raise ValueError("PNG IDAT length mismatch")
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        ft = data[r * (stride + 1)]
+        line = bytearray(
+            data[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        )
+        if ft > 4:
+            raise ValueError(f"bad PNG filter type {ft}")
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                pred = _paeth(a, b, c)
+            line[i] = (line[i] + pred) & 0xFF
+        raw.extend(line)
+        prev = bytes(line)
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.int64)
+    if ctype == 0:
+        arr = np.repeat(arr, 3)  # gray -> RGB expansion
+    return w, h, arr
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """Real PNG decode (stdlib zlib: chunk walk + unfilter), emitting
+    the same feature row shape as decode_ppm so the two containers
+    are interchangeable downstream."""
+    _parse = parse_png_bytes
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PPM_FEATURES.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, arr = _parse(bytes(blob))
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(arr[0::3].sum()))
+                rows["sum_g"].append(int(arr[1::3].sum()))
+                rows["sum_b"].append(int(arr[2::3].sum()))
+                rows["min_px"].append(int(arr.min()))
+                rows["max_px"].append(int(arr.max()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(_decode, PPM_FEATURES)
 
 
 def decode_ppm(media: DataFrame) -> DataFrame:

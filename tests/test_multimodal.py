@@ -205,3 +205,83 @@ def test_image_band_stats_tile_exactness(spark):
             assert r.sum_v == int(seg.sum())
             assert r.min_v == int(seg.min())
             assert r.max_v == int(seg.max())
+
+
+# --- PNG (stdlib zlib decode: chunk walk, inflate, unfilter) ---
+
+
+def test_png_roundtrip_all_filter_types():
+    """Encoder cycles filters 0-4; decoder must reverse each exactly."""
+    import numpy as np
+
+    w, h = 7, 10  # h=10 -> every filter type appears twice
+    px = ((np.arange(w * h * 3) * 11 + 5) % 256).astype(np.uint8)
+    blob = multimodal.encode_png_bytes(
+        w, h, px, filter_for_row=lambda r: r % 5
+    )
+    rw, rh, arr = multimodal.parse_png_bytes(blob)
+    assert (rw, rh) == (w, h)
+    assert (arr == px.astype(np.int64)).all()
+
+
+def test_png_crc_validated_and_garbage_rejected():
+    import numpy as np
+    import pytest as _pytest
+
+    px = np.zeros(3 * 4 * 3, dtype=np.uint8)
+    blob = bytearray(multimodal.encode_png_bytes(3, 4, px))
+    blob[20] ^= 0xFF  # corrupt a byte inside IHDR
+    with _pytest.raises(ValueError, match="CRC"):
+        multimodal.parse_png_bytes(bytes(blob))
+    with _pytest.raises(ValueError, match="signature"):
+        multimodal.parse_png_bytes(b"not a png at all....")
+
+
+def test_png_grayscale_expands_to_rgb():
+    """Color type 0 decode: gray value replicated into R,G,B."""
+    import struct
+    import zlib as _zlib
+
+    w, h = 4, 2
+    gray = bytes(range(w * h))
+    scan = b"".join(b"\x00" + gray[r * w : (r + 1) * w] for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", _zlib.compress(scan))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    rw, rh, arr = multimodal.parse_png_bytes(blob)
+    assert (rw, rh) == (w, h)
+    assert list(arr[:6]) == [0, 0, 0, 1, 1, 1]
+
+
+def test_png_multiple_idat_chunks_concatenated():
+    import struct
+    import zlib as _zlib
+
+    w, h = 2, 2
+    scan = b"\x00" + bytes(6) + b"\x00" + bytes(range(6))
+    comp = _zlib.compress(scan)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", comp[: len(comp) // 2])
+        + multimodal._png_chunk(b"IDAT", comp[len(comp) // 2 :])
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    _, _, arr = multimodal.parse_png_bytes(blob)
+    assert list(arr[6:12]) == [0, 1, 2, 3, 4, 5]
+
+
+def test_png_ppm_twins_decode_identically(spark, sf_smoke):
+    """The PNG and PPM synthesizers encode the SAME pixels; the two
+    real decoders must produce identical feature rows (band-stats
+    parity for the compressed container)."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(40)
+    png = multimodal.decode_png(multimodal.synthesize_png(docs)).collect()
+    ppm = multimodal.decode_ppm(multimodal.synthesize_ppm(docs)).collect()
+    as_map = lambda rows: {r["media_id"]: tuple(r) for r in rows}
+    assert as_map(png) == as_map(ppm)
