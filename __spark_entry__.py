@@ -316,6 +316,64 @@ r{i} AS (
     )
 
 
+def _pagerank_converged_sql(
+    eps_i: int = 10_000,
+    damp_num: int = 50,
+    damp_den: int = 100,
+    max_iter: int = 30,
+) -> str:
+    """Run-to-convergence PageRank oracle: unroll max_iter fixed-point
+    iterations, compute each round's exact integer max-delta, pick the
+    FIRST round at or below eps_i -- the same data-driven stopping
+    rule graph.pagerank_converged applies via its Observation (both
+    sides are exact bigint arithmetic, so the chosen round and every
+    rank agree bit-for-bit)."""
+    base_i = (damp_den - damp_num) * 1_000_000 // damp_den
+    sql = (
+        "WITH "
+        + _edges_cte()
+        + ", r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_i FROM nodes)"
+    )
+    for i in range(1, max_iter + 1):
+        # AS MATERIALIZED: each r{i} is referenced by r{i+1}, d{i},
+        # d{i+1} and allr -- DuckDB's default CTE inlining would expand
+        # the chain exponentially (measured 2x wall per 2 iterations)
+        sql += f""",
+r{i} AS MATERIALIZED (
+    SELECT n.node,
+           CAST({base_i} + (coalesce(s.recv, 0) * {damp_num}) // {damp_den}
+                AS BIGINT) AS rank_i
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank_i // d.out_cnt) AS recv
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN outdeg d ON e.src = d.src
+        GROUP BY e.dst
+    ) s ON n.node = s.node
+),
+d{i} AS (
+    SELECT {i} AS k, max(abs(a.rank_i - b.rank_i)) AS delta
+    FROM r{i} a JOIN r{i - 1} b ON a.node = b.node
+)"""
+    deltas = " UNION ALL ".join(
+        f"SELECT k, delta FROM d{i}" for i in range(1, max_iter + 1)
+    )
+    allr = " UNION ALL ".join(
+        f"SELECT {i} AS k, node, rank_i FROM r{i}"
+        for i in range(1, max_iter + 1)
+    )
+    return sql + f""",
+pick AS (
+    SELECT coalesce(min(k), {max_iter}) AS k
+    FROM ({deltas}) WHERE delta <= {eps_i}
+),
+allr AS ({allr})
+SELECT node, round(rank_i / 1000000.0, 6) AS rank,
+       CAST((SELECT k FROM pick) AS INT) AS iterations
+FROM allr WHERE k = (SELECT k FROM pick) ORDER BY node
+"""
+
+
 def _pagerank_rootavg_sql(iterations: int = 2) -> str:
     sql = (
         "WITH "
@@ -1789,6 +1847,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_inverse_links": lambda s, d: graph.inverse_links(_edges(s, d)),
         "graph_degree_stats": lambda s, d: graph.degree_stats(_edges(s, d)),
         "graph_pagerank": lambda s, d: graph.pagerank(_edges(s, d), iterations=3),
+        # data-driven iteration count: stops when the exact fixed-point
+        # max-delta falls to 1e-2 (PageRankUtils.java:120-143 iterate-
+        # until-done semantics, Observation-folded like CC)
+        "graph_pagerank_converged": lambda s, d: graph.pagerank_converged(
+            _edges(s, d), epsilon=0.01, damp_num=50, damp_den=100,
+            max_iterations=30,
+        ),
         # one shared, checkpointed edge table: super_domains and the
         # rank loop otherwise each re-run the scan + union + distinct
         "graph_pagerank_rootavg": lambda s, d: (
@@ -3120,6 +3185,7 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY node ORDER BY node
         """,
         "graph_pagerank": _pagerank_sql(iterations=3),
+        "graph_pagerank_converged": _pagerank_converged_sql(),
         "graph_hits": _hits_sql(iterations=2),
         # independent relational reimplementation of the Chromium
         # ParsedCookie semantics (no terminators/overlong lines in

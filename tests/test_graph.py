@@ -162,3 +162,27 @@ def test_clustering_coefficients_hand_graph(spark):
     assert (out[2]["degree"], out[2]["coefficient"]) == (3, 0.666667)
     assert out[5]["degree"] == 1 and out[5]["coefficient"] == 0.0
     assert out[5]["triangles"] == 0
+
+
+def test_pagerank_converged_stops_on_delta(spark):
+    """The data-driven loop must stop when the exact fixed-point
+    max-delta reaches epsilon -- and report the iteration count."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    )
+    out = graph.pagerank_converged(
+        edges, epsilon=0.01, damp_num=50, damp_den=100, max_iterations=30
+    ).collect()
+    iters = graph.pagerank_converged.last_iterations
+    assert 1 < iters < 30  # converged, data-driven, not the cap
+    assert all(r["iterations"] == iters for r in out)
+    # a tighter epsilon must take MORE iterations (monotone stopping)
+    graph.pagerank_converged(
+        edges, epsilon=0.0001, damp_num=50, damp_den=100, max_iterations=60
+    ).collect()
+    assert graph.pagerank_converged.last_iterations > iters
+    # converged ranks are close to the closed-form stationary point
+    # of the 3-cycle + feeder graph (node 4 contributes to 1)
+    ranks = {r["node"]: r["rank"] for r in out}
+    assert ranks[4] == 0.5  # no in-edges: base only
+    assert ranks[1] > ranks[2] > ranks[4]
