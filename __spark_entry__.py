@@ -13,6 +13,7 @@ cross-engine float summation order cannot flip the value hash.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +45,7 @@ from commoncrawl_crawler_spark.functions import (
     numeric,
     urls as urlfn,
 )
+from commoncrawl_crawler_spark.plans import pipeline as plan_pipeline
 from commoncrawl_crawler_spark.plans import query_api
 from commoncrawl_crawler_spark.streaming import jobs as streaming_jobs
 from commoncrawl_crawler_spark.shipping import ensure_shipped
@@ -90,7 +92,19 @@ def _cached(spark: SparkSession, tag: str, sf_dir: str, build) -> DataFrame:
         del _EDGE_CACHE[k]
     key = (app, tag, sf_dir)
     if key not in _EDGE_CACHE:
-        _EDGE_CACHE[key] = build().localCheckpoint(eager=True)
+        art_dir = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
+        if art_dir:
+            # the 100 TB posture SCALE.md documents: shared stages
+            # persist as parquet artifacts a later SESSION reuses
+            # without rebuilding (reference step-output semantics);
+            # artifact name is keyed by sf_dir like _scratch
+            import hashlib
+
+            sub = f"{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+            store = plan_pipeline.ArtifactStore(art_dir)
+            _EDGE_CACHE[key] = store.get_or_build(spark, sub, build)
+        else:
+            _EDGE_CACHE[key] = build().localCheckpoint(eager=True)
     return _EDGE_CACHE[key]
 
 

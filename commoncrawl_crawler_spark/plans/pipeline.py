@@ -74,6 +74,12 @@ class PipelineTask:
             visit(s.name)
         return order
 
+    def run_step(self, spark: SparkSession, name: str) -> DataFrame:
+        """Run (or skip) a single step and its dependency closure;
+        convenience for artifact-style single-table use."""
+        outputs = self.run(spark)
+        return outputs[name]
+
     def run(self, spark: SparkSession) -> dict[str, DataFrame]:
         """Run incomplete steps in dependency order; return all step
         outputs (read back from parquet, so lineage is truncated at
@@ -91,3 +97,47 @@ class PipelineTask:
             outputs[step.name] = spark.read.parquet(path)
         self.last_executed = executed
         return outputs
+
+
+@dataclass
+class ArtifactStore:
+    """Cross-session parquet cache for shared derived tables.
+
+    The 100 TB variant of a per-session `localCheckpoint` cache:
+    expensive shared stages (link-graph edge tables, shingle/sketch
+    tables, cluster labels) are committed once as parquet artifacts
+    under <workdir>/<name> and every later consumer -- including a
+    NEW SparkSession, days later -- reads them back instead of
+    rebuilding, exactly how the reference points downstream jobs at a
+    prior step's HDFS output keyed by database timestamp
+    (CrawlPipelineStep.java:133-136,185-217).
+
+    Completion/atomicity reuse the pipeline-step contract (_SUCCESS
+    marker written by Spark's committer; a crashed build leaves no
+    marker and re-runs). Reads are plain parquet scans, so consumers
+    get pushdown/pruning against the artifact for free -- unlike a
+    session cache, which pins the whole table.
+    """
+
+    workdir: str
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.workdir, name)
+
+    def is_complete(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+
+    def get_or_build(
+        self,
+        spark: SparkSession,
+        name: str,
+        build: Callable[[], DataFrame],
+    ) -> DataFrame:
+        """Return the artifact, building + committing it only when
+        absent. `self.last_built` records whether this call built."""
+        task = PipelineTask(self.workdir).add(
+            PipelineStep(name, lambda s, deps: build())
+        )
+        out = task.run(spark)[name]
+        self.last_built = bool(task.last_executed)
+        return out
