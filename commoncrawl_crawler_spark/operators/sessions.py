@@ -24,7 +24,7 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
-    TimestampType,
+    TimestampNTZType,
 )
 
 
@@ -66,8 +66,11 @@ SESSION_OUTPUT = StructType(
     [
         StructField("user_id", LongType()),
         StructField("session_id", LongType()),
-        StructField("session_start", TimestampType()),
-        StructField("session_end", TimestampType()),
+        # NTZ, not session-tz TIMESTAMP: naive pandas wall times in a
+        # DST gap/overlap would not round-trip through a non-UTC
+        # session zone (same hardening as streaming_asof_join)
+        StructField("session_start", TimestampNTZType()),
+        StructField("session_end", TimestampNTZType()),
         StructField("n_events", LongType()),
         StructField("sum_value", DoubleType()),
     ]

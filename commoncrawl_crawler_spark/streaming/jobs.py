@@ -204,14 +204,19 @@ def streaming_asof_join(
         LongType,
         StructField,
         StructType,
-        TimestampType,
+        TimestampNTZType,
     )
 
+    # ts stays NTZ end-to-end: a session-tz TimestampType here would
+    # interpret the naive pandas wall times through the session zone
+    # on the way back, and DST gap/overlap wall times (America/
+    # New_York 02:xx in March) do not round-trip -- observed as
+    # corrupted rows under non-UTC sessions
     out_schema = StructType(
         [
             StructField("event_id", LongType()),
             StructField("user_id", LongType()),
-            StructField("ts", TimestampType()),
+            StructField("ts", TimestampNTZType()),
             StructField("asof_event_id", LongType()),
             StructField("asof_value", DoubleType()),
         ]

@@ -484,3 +484,37 @@ def test_keyword_snippets_window_clipping(spark):
     # 10-char window left of the match start (9 x's + the space),
     # the 6-char term, then 10 chars right (the space + 9 y's)
     assert r2["snippet"] == "x" * 9 + " needle " + "y" * 9
+
+
+def test_streaming_gates_timezone_independent(spark, sf_smoke):
+    """The streaming gates must produce identical rows under a non-UTC
+    session timezone -- including a half-hour+45 offset (Kathmandu)
+    that catches any midnight-boundary day assignment leaking the
+    session zone. Exercises windowed day rollup, stream-stream range
+    join, and the stateful as-of join."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    gates = [
+        "stream_windowed_stats",
+        "stream_stream_attribution",
+        "stream_asof",
+        "stream_sessionize",
+    ]
+
+    def run_all():
+        return {
+            g: sorted(tuple(r) for r in qs[g](spark, sf_smoke).collect())
+            for g in gates
+        }
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        baseline = run_all()  # UTC (pinned by build_session)
+        for tz in ("America/New_York", "Asia/Kathmandu"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = run_all()
+            for g in gates:
+                assert got[g] == baseline[g], (g, tz)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
