@@ -282,3 +282,25 @@ def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
         n for n, r in counted.items() if r["broadcast_nested_loop_joins"]
     }
     assert bnlj <= bnlj_ok, bnlj - bnlj_ok
+
+
+def test_shared_stage_consumers_read_checkpoint_not_lineage(spark, sf_smoke):
+    """Gates built on the per-(session, sf) shared materializations
+    (co-purchase edges, simhash clusters) must consume the
+    checkpointed table -- 'Scan ExistingRDD' in the plan -- rather
+    than re-deriving the full lineage, and their EXECUTED runtime
+    shape must stay a bounded number of distinct query stages (the
+    round-4 census read 120 'shuffles' off the printed tree; the real
+    shape is ~a dozen stages)."""
+    for name, max_stages in [
+        ("graph_triangles", 18),
+        ("graph_clustering_coeff", 18),
+        ("dedup_cluster_representatives", 10),
+    ]:
+        df = entrymod.queries()[name](spark, sf_smoke)
+        qe = df._jdf.queryExecution()
+        assert "Scan ExistingRDD" in qe.executedPlan().toString(), name
+        df.collect()  # finalize AQE in place
+        final = qe.executedPlan().toString()
+        stages = set(re.findall(r"ShuffleQueryStage (\d+)", final))
+        assert 0 < len(stages) <= max_stages, (name, len(stages))

@@ -7,6 +7,18 @@ span count. The output (`PLANS.json`) is a reviewable artifact — a
 diff between rounds shows exactly which query gained a shuffle or
 lost a broadcast, before any benchmark moves.
 
+The census EXECUTES each gate (collect at the census scale factor)
+and reads the post-execution plan: under AQE the pre-execution string
+is `isFinalPlan=false` — it re-prints shared subtrees once per
+consumer and knows nothing about runtime exchange reuse, so it
+overstated the iterative/graph tier by ~10x (round-4 census showed
+graph_clustering_coeff at 120 "shuffles" for a query whose runtime
+shape is a handful of stages over the checkpointed shared edge
+table). Executed-plan rows count ShuffleQueryStage/ReusedExchange
+etc. — the stages that actually ran. The pre-execution count is kept
+per query as `declared_shuffle_exchanges` so both views stay
+diffable.
+
 Usage:
     PYTHONPATH=/root/repo python tools/plan_census.py \
         /root/testdata/sf0.001 [out.json]
@@ -18,21 +30,25 @@ Scope and caveats, stated precisely:
   itself (those joins are covered by dedicated parity/plan tests in
   tests/test_plans_streaming.py). Skipped rows carry a `skipped`
   marker so absence is visible, not silent.
-- A few batch builders have side effects (archive/multi-sink gates
-  write scratch files while constructing the frame); the census
-  tolerates that — "plan-only" refers to the RETURNED frame never
-  being executed.
+- `shuffle_stages_run` / `broadcast_stages_run` are the HEADLINE
+  metrics: distinct ShuffleQueryStage/BroadcastQueryStage ids in the
+  final plan = stages that actually executed. The textual pattern
+  counts (`shuffle_exchanges`, join operators) re-count a shared
+  subtree once per reference in the printed tree — kept for
+  diffability, read them as upper bounds.
 - `shuffle_exchanges` counts hash/range/single-partition exchanges
   only; BroadcastExchange and ReusedExchange are separate columns,
   so an SMJ→broadcast conversion shows as -1 shuffle +1 broadcast
   instead of netting out to zero.
-- Under AQE the pre-execution plan is `AdaptiveSparkPlan
-  isFinalPlan=false`, so codegen_spans undercounts (codegen stages
-  materialize per query stage at runtime) — treat it as a floor.
-- Gates that `localCheckpoint` an intermediate (the robots rule
-  table) truncate lineage, so the census sees only the post-
-  checkpoint half; the pre-checkpoint parse plan is pinned by its
-  own operator-level test.
+- `existing_rdd_scans` counts checkpoint-table scans: a shared-stage
+  consumer (graph/dedup tiers) re-deriving lineage instead of
+  reading the per-(session, sf) materialization would show 0 here
+  and a blown-up shuffle count — tests/test_plan_quality.py asserts
+  the shared-stage consumers keep >= 1.
+- Iterative gates (pagerank/CC/HITS) run multiple jobs whose
+  intermediate checkpoints are NOT in the final returned frame's
+  plan; their census row is the final assembly only, by design — the
+  loop-body shape is pinned by operator tests.
 """
 
 from __future__ import annotations
@@ -52,10 +68,29 @@ FEATURES = {
     "broadcast_nested_loop_joins": r"BroadcastNestedLoopJoin",
     "cartesian_products": r"CartesianProduct",
     "takeordered": r"TakeOrderedAndProject",
+    "existing_rdd_scans": r"Scan ExistingRDD",
 }
 
 
-def census(spark, sf_dir: str) -> dict:
+def _features(plan: str) -> dict:
+    row = {k: len(re.findall(pat, plan)) for k, pat in FEATURES.items()}
+    # codegen stages print as '*(n) Op' per operator line: count
+    # distinct stage ids
+    row["codegen_spans"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    # the honest runtime metric: DISTINCT query stages executed.
+    # Final-plan toString re-prints a shared subtree at every point
+    # it is referenced, so raw pattern counts overstate shared-lineage
+    # queries ~10x; the stage ids are unique per materialized stage.
+    row["shuffle_stages_run"] = len(
+        set(re.findall(r"ShuffleQueryStage (\d+)", plan))
+    )
+    row["broadcast_stages_run"] = len(
+        set(re.findall(r"BroadcastQueryStage (\d+)", plan))
+    )
+    return row
+
+
+def census(spark, sf_dir: str, execute: bool = True) -> dict:
     import __spark_entry__ as entry
 
     out = {}
@@ -64,18 +99,21 @@ def census(spark, sf_dir: str) -> dict:
             out[name] = {"skipped": "streaming drain (see parity tests)"}
             continue
         try:
-            plan = (
-                fn(spark, sf_dir)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
+            df = fn(spark, sf_dir)
+            qe = df._jdf.queryExecution()
+            declared = qe.executedPlan().toString()
+            if execute:
+                # collect() drives THIS QueryExecution to completion;
+                # AQE finalizes in place, so re-printing now yields
+                # the isFinalPlan=true plan with real stage reuse
+                df.collect()
+                plan = qe.executedPlan().toString()
+            else:
+                plan = declared
+            row = _features(plan)
+            row["declared_shuffle_exchanges"] = len(
+                re.findall(FEATURES["shuffle_exchanges"], declared)
             )
-            row = {
-                k: len(re.findall(pat, plan)) for k, pat in FEATURES.items()
-            }
-            # executedPlan().toString() marks codegen stages as
-            # '*(n) Op' per operator line: count distinct stage ids
-            row["codegen_spans"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
             out[name] = row
         except Exception as ex:  # pragma: no cover - census must not die
             out[name] = {"error": str(ex)[:200]}
@@ -99,12 +137,14 @@ def main() -> int:
     }
     totals = {
         k: sum(r.get(k, 0) for r in counted.values())
-        for k in list(FEATURES) + ["codegen_spans"]
+        for k in list(FEATURES)
+        + ["codegen_spans", "shuffle_stages_run", "broadcast_stages_run"]
     }
     errors = [n for n, r in rows.items() if "error" in r]
     skipped = [n for n, r in rows.items() if "skipped" in r]
     doc = {
         "sf_dir": sf_dir,
+        "mode": "executed (final AQE plans)",
         "totals": totals,
         "errors": errors,
         "skipped": skipped,
