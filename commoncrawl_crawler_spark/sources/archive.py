@@ -445,13 +445,17 @@ def _parse_arc_member(data: bytes) -> tuple | None:
     except ValueError:
         record_length = None
     body = data[nl + 1 :]
-    # CRLF-CRLF header terminator (ArcFileReader.java:557-581)
-    hdr_end = body.find(b"\r\n\r\n")
-    if hdr_end < 0:
-        hdr_bytes, content = b"", body
+    # CRLF-CRLF header terminator (ArcFileReader.java:557-581); a
+    # zero-header record's blank line is a bare CRLF at body start
+    if body.startswith(b"\r\n"):
+        hdr_bytes, content = body[:2], body[2:]
     else:
-        hdr_bytes = body[: hdr_end + 4]
-        content = body[hdr_end + 4 :]
+        hdr_end = body.find(b"\r\n\r\n")
+        if hdr_end < 0:
+            hdr_bytes, content = b"", body
+        else:
+            hdr_bytes = body[: hdr_end + 4]
+            content = body[hdr_end + 4 :]
     # the writer appends one LINE_SEPARATOR after the content
     # (ArcFileWriter.java:883); prefer the metaline record length to
     # recover the exact payload, fall back to stripping that byte
@@ -482,6 +486,38 @@ def _parse_arc_member(data: bytes) -> tuple | None:
     )
 
 
+def _parse_arc_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel shared by the batch and streaming ARC v1
+    readers: whole-archive bytes -> typed record rows."""
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in ARC_READ_SCHEMA.fields}
+        for fpath, blob in zip(pdf["path"], pdf["content"]):
+            content = bytes(blob)
+            pos = 0
+            while pos < len(content):
+                d = zlib.decompressobj(wbits=31)
+                data = d.decompress(content[pos:])
+                if not d.eof:
+                    raise ValueError(f"truncated ARC member at offset {pos}")
+                rec = _parse_arc_member(data)
+                if rec is not None:
+                    (url, ip, ts14, ms, mime, rlen, hdrs, payload) = rec
+                    out["url"].append(url)
+                    out["ip"].append(ip)
+                    out["archive_date"].append(ts14)
+                    out["fetch_epoch_ms"].append(ms)
+                    out["mime"].append(mime)
+                    out["record_length"].append(rlen)
+                    out["headers"].append(hdrs)
+                    out["payload"].append(payload)
+                    out["archive_path"].append(fpath)
+                    out["member_offset"].append(pos)
+                pos = len(content) - len(d.unused_data)
+        yield pd.DataFrame(out)
+
+
 def read_arc_v1(spark: SparkSession, path: str) -> DataFrame:
     """Read real ARC v1 archives into typed rows.
 
@@ -492,31 +528,37 @@ def read_arc_v1(spark: SparkSession, path: str) -> DataFrame:
     file, not a document)."""
     files = spark.read.format("binaryFile").load(f"{path}/*{ARC_SUFFIX}")
 
-    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {f.name: [] for f in ARC_READ_SCHEMA.fields}
-            for fpath, blob in zip(pdf["path"], pdf["content"]):
-                content = bytes(blob)
-                pos = 0
-                while pos < len(content):
-                    d = zlib.decompressobj(wbits=31)
-                    data = d.decompress(content[pos:])
-                    if not d.eof:
-                        raise ValueError(f"truncated ARC member at offset {pos}")
-                    rec = _parse_arc_member(data)
-                    if rec is not None:
-                        (url, ip, ts14, ms, mime, rlen, hdrs, payload) = rec
-                        out["url"].append(url)
-                        out["ip"].append(ip)
-                        out["archive_date"].append(ts14)
-                        out["fetch_epoch_ms"].append(ms)
-                        out["mime"].append(mime)
-                        out["record_length"].append(rlen)
-                        out["headers"].append(hdrs)
-                        out["payload"].append(payload)
-                        out["archive_path"].append(fpath)
-                        out["member_offset"].append(pos)
-                    pos = len(content) - len(d.unused_data)
-            yield pd.DataFrame(out)
+    return files.select("path", "content").mapInPandas(
+        _parse_arc_batches, ARC_READ_SCHEMA
+    )
 
-    return files.select("path", "content").mapInPandas(_parse, ARC_READ_SCHEMA)
+
+def read_arc_v1_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming ARC v1 source (util/StreamingArcFileReader.java): the
+    same member-walk parse over archives as they LAND in a directory —
+    `readStream` with the binaryFile file source, so each micro-batch
+    processes newly-arrived archives exactly once (file-source
+    checkpoint tracking), the production tail-the-crawl ingest shape.
+
+    Identical row schema and parse kernel as read_arc_v1; compose with
+    watermarks/aggregations downstream like any stream."""
+    from pyspark.sql.types import TimestampType
+
+    # the binaryFile source's fixed schema (streams require it stated)
+    binary_file_schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", f"*{ARC_SUFFIX}")
+        .load(path)
+    )
+    return files.select("path", "content").mapInPandas(
+        _parse_arc_batches, ARC_READ_SCHEMA
+    )
