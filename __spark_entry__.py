@@ -878,6 +878,46 @@ def _arc_v1_roundtrip(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _warc_roundtrip(s: SparkSession, d: str) -> DataFrame:
+    """documents -> WARC 1.0 archives (ISO 28500, the post-2013
+    CommonCrawl wire format: version line + WARC-* headers +
+    Content-Length-framed block per gzip member) -> parse back."""
+    tmp = _scratch("warc", d, fresh=True)
+    did = F.col("doc_id")
+    docs = _t(s, d, "documents").select(
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("<urn:uuid:"), did.cast("string"), F.lit(">")).alias(
+            "record_id"
+        ),
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/doc/"),
+            did.cast("string"),
+        ).alias("target_uri"),
+        F.format_string(
+            "2024-02-%02dT%02d:%02d:%02dZ",
+            did % 28 + 1, did % 24, did % 60, (did * 3) % 60,
+        ).alias("warc_date"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        F.encode("text", "UTF-8").alias("block"),
+    )
+    archive.write_warc(docs, tmp)
+    rd = archive.read_warc(s, tmp)
+    return (
+        rd.select(
+            F.regexp_extract("record_id", "<urn:uuid:(\\d+)>", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "warc_type",
+            "target_uri",
+            "warc_date",
+            "content_type",
+            "content_length",
+            F.decode("block", "UTF-8").alias("text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _csv_roundtrip(s: SparkSession, d: str) -> DataFrame:
     """documents -> tab-separated rank list -> schema'd csv read."""
     tmp = _scratch("csv", d)
@@ -1852,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("key"),
         "source_archive_roundtrip": _archive_roundtrip,
         "source_arc_v1_roundtrip": _arc_v1_roundtrip,
+        "source_warc_roundtrip": _warc_roundtrip,
         "source_csv_import": _csv_roundtrip,
         "source_timeseries_tail": _timeseries_tail,
         "source_multi_sink": _multi_sink_readback,
@@ -3019,6 +3060,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(l) AS INT) AS min_px,
                    CAST(list_max(l) AS INT) AS max_px
             FROM px ORDER BY media_id
+        """,
+        # identity oracle for the WARC roundtrip: every column is
+        # recomputable from the producing documents row
+        "source_warc_roundtrip": """
+            SELECT doc_id,
+                   'response' AS warc_type,
+                   'http://' || source || '.example.com/doc/'
+                       || CAST(doc_id AS VARCHAR) AS target_uri,
+                   printf('2024-02-%02dT%02d:%02d:%02dZ',
+                          doc_id % 28 + 1, doc_id % 24, doc_id % 60,
+                          (doc_id * 3) % 60) AS warc_date,
+                   'application/http; msgtype=response' AS content_type,
+                   strlen(text) AS content_length,
+                   text
+            FROM documents ORDER BY doc_id
         """,
         # nearest-neighbor sample: src pixel (y*h//3, x*w//4), flat
         # index (src_y*w + src_x)*3 + c, value (mid*3 + p*5) % 256

@@ -533,6 +533,218 @@ def read_arc_v1(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# WARC 1.0 (ISO 28500) -- the format CommonCrawl moved to after ARC
+# ---------------------------------------------------------------------------
+#
+# Public spec (ISO 28500 / WARC 1.0, the format of every CommonCrawl
+# crawl since 2013). A .warc.gz is a concatenation of independently
+# gzipped members (same splittability property as ARC); each member:
+#
+#   record    := version-line CRLF header-lines CRLF CRLF block CRLF CRLF
+#   version   := "WARC/1.0"
+#   headers   := "Name: value" CRLF each; Content-Length is REQUIRED
+#                and gives the exact block byte length
+#
+# A user of the reference pointing this engine at modern CommonCrawl
+# data lands here; SURVEY.md section 2.1 row "ARCInputFormat" notes
+# 'for WARC today use an archive-spark-style reader' -- this is that
+# reader, same binaryFile + mapInPandas execution shape.
+
+WARC_SUFFIX = ".warc.gz"
+
+WARC_READ_SCHEMA = StructType(
+    [
+        StructField("warc_type", StringType()),
+        StructField("record_id", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("content_type", StringType()),
+        StructField("content_length", LongType()),
+        StructField(
+            "headers",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("key", StringType()),
+                        StructField("value", StringType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("block", BinaryType()),
+        StructField("archive_path", StringType()),
+        StructField("member_offset", LongType()),
+    ]
+)
+
+
+def _warc_record_bytes(headers: list[tuple[str, str]], block: bytes) -> bytes:
+    head = "WARC/1.0\r\n" + "".join(
+        f"{k}: {v}\r\n" for k, v in headers
+    ) + f"Content-Length: {len(block)}\r\n\r\n"
+    return _gzip_bytes(head.encode("utf-8") + block + b"\r\n\r\n")
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    rotate_bytes: int = DEFAULT_ROTATE_BYTES,
+) -> int:
+    """Write rows as WARC 1.0 archives (one gzip member per record,
+    rotation + attempt-atomic commit identical to write_arc_v1).
+
+    Expects columns: warc_type, record_id, target_uri (nullable for
+    warcinfo-style records), warc_date (ISO-8601 string), content_type,
+    block (binary), and optionally headers (extra array<struct<key,
+    value>> appended verbatim). Content-Length is computed, never
+    trusted from input."""
+    os.makedirs(path, exist_ok=True)
+    cols = ["warc_type", "record_id", "target_uri", "warc_date",
+            "content_type", "block"]
+    has_extra = "headers" in df.columns
+    if has_extra:
+        cols.append("headers")
+    rows = df.select(*cols)
+
+    def _write_partition(idx: int, it: Iterator) -> Iterator[tuple]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        names: list[tuple] = []
+        out = None
+        size = 0
+        rotation = 0
+        for row in it:
+            hdrs = [
+                ("WARC-Type", row["warc_type"]),
+                ("WARC-Record-ID", row["record_id"]),
+                ("WARC-Date", row["warc_date"]),
+            ]
+            if row["target_uri"] is not None:
+                hdrs.append(("WARC-Target-URI", row["target_uri"]))
+            if row["content_type"] is not None:
+                hdrs.append(("Content-Type", row["content_type"]))
+            if has_extra and row["headers"] is not None:
+                hdrs.extend((h["key"], h["value"]) for h in row["headers"])
+            member = _warc_record_bytes(hdrs, bytes(row["block"] or b""))
+            if out is None or size + len(member) > rotate_bytes:
+                if out is not None:
+                    out.close()
+                fname = f"{idx:05d}-{rotation:03d}{WARC_SUFFIX}"
+                tmp = f"{fname}.{attempt}.tmp"
+                out = open(os.path.join(path, tmp), "wb")
+                names.append((fname, tmp))
+                rotation += 1
+                size = 0
+            out.write(member)
+            size += len(member)
+        if out is not None:
+            out.close()
+        yield from names
+
+    def _sweep_temps() -> None:
+        for leftover in os.listdir(path):
+            if leftover.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(path, leftover))
+                except OSError:
+                    pass
+
+    try:
+        names = rows.rdd.mapPartitionsWithIndex(_write_partition).collect()
+    except Exception:
+        _sweep_temps()
+        raise
+    for fname, tmp in names:
+        os.replace(os.path.join(path, tmp), os.path.join(path, fname))
+    _sweep_temps()
+    return len(names)
+
+
+def _parse_warc_member(data: bytes) -> tuple:
+    """One decompressed WARC member -> (type, id, uri, date, ctype,
+    clen, headers, block). Header names are case-insensitive per spec;
+    the returned headers list preserves original casing and order."""
+    nl = data.find(b"\r\n")
+    if nl < 0 or not data[:nl].startswith(b"WARC/"):
+        raise ValueError("not a WARC record (missing WARC/ version line)")
+    hdr_end = data.find(b"\r\n\r\n", nl)
+    if hdr_end < 0:
+        raise ValueError("WARC record without header terminator")
+    headers: list[dict] = []
+    lookup: dict[str, str] = {}
+    for line in data[nl + 2 : hdr_end].decode("utf-8", "replace").split("\r\n"):
+        if not line:
+            continue
+        k, _, v = line.partition(":")
+        v = v.strip()
+        headers.append({"key": k, "value": v})
+        lookup[k.lower()] = v
+    try:
+        clen = int(lookup["content-length"])
+    except (KeyError, ValueError):
+        raise ValueError("WARC record without a valid Content-Length") from None
+    block = data[hdr_end + 4 : hdr_end + 4 + clen]
+    if len(block) != clen:
+        raise ValueError("truncated WARC block")
+    return (
+        lookup.get("warc-type"),
+        lookup.get("warc-record-id"),
+        lookup.get("warc-target-uri"),
+        lookup.get("warc-date"),
+        lookup.get("content-type"),
+        clen,
+        headers,
+        block,
+    )
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC 1.0 archives into typed rows (binaryFile listing, one
+    task per rotation-capped archive; Arrow-batched member parse).
+    All record types are returned -- filter on warc_type ('response',
+    'request', 'metadata', 'warcinfo') downstream; Catalyst prunes the
+    block column away for metadata-only queries."""
+    files = spark.read.format("binaryFile").load(f"{path}/*{WARC_SUFFIX}")
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in WARC_READ_SCHEMA.fields
+            }
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                content = bytes(blob)
+                pos = 0
+                while pos < len(content):
+                    d = zlib.decompressobj(wbits=31)
+                    data = d.decompress(content[pos:])
+                    if not d.eof:
+                        raise ValueError(
+                            f"truncated WARC member at offset {pos}"
+                        )
+                    (wt, rid, uri, date, ctype, clen, hdrs, block) = (
+                        _parse_warc_member(data)
+                    )
+                    out["warc_type"].append(wt)
+                    out["record_id"].append(rid)
+                    out["target_uri"].append(uri)
+                    out["warc_date"].append(date)
+                    out["content_type"].append(ctype)
+                    out["content_length"].append(clen)
+                    out["headers"].append(hdrs)
+                    out["block"].append(block)
+                    out["archive_path"].append(fpath)
+                    out["member_offset"].append(pos)
+                    pos = len(content) - len(d.unused_data)
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(
+        _parse, WARC_READ_SCHEMA
+    )
+
+
 def read_arc_v1_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming ARC v1 source (util/StreamingArcFileReader.java): the
     same member-walk parse over archives as they LAND in a directory —

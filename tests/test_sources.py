@@ -357,3 +357,97 @@ def test_arc_v1_streaming_reader_matches_batch(spark, tmp_path):
     assert got2 == {**got1, "http://b/0": b"new"}
     # exactly-once: 6 physical rows in the sink, no reprocessing dupes
     assert spark.read.parquet(sink).count() == 6
+
+
+# --- WARC 1.0 (ISO 28500, the post-2013 CommonCrawl format) ---
+
+
+def test_warc_golden_member_parse(spark, tmp_path):
+    """Hand-assembled WARC bytes in the exact CommonCrawl layout:
+    warcinfo + response members, block lengths via Content-Length
+    (blocks may themselves contain CRLFCRLF -- the HTTP payload)."""
+    import gzip as _gzip
+    import io as _io
+
+    def gz(b):
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(b)
+        return buf.getvalue()
+
+    info_block = b"software: test-crawler 1.0\r\nformat: WARC File Format 1.0\r\n"
+    info = gz(
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"WARC-Record-ID: <urn:uuid:aaa>\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        + f"Content-Length: {len(info_block)}\r\n\r\n".encode()
+        + info_block
+        + b"\r\n\r\n"
+    )
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<html>x</html>"
+    )
+    resp = gz(
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:bbb>\r\n"
+        b"WARC-Date: 2024-01-01T00:00:05Z\r\n"
+        b"WARC-Target-URI: http://example.com/\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http)}\r\n\r\n".encode()
+        + http
+        + b"\r\n\r\n"
+    )
+    (tmp_path / "golden.warc.gz").write_bytes(info + resp)
+    rows = archive.read_warc(spark, str(tmp_path)).orderBy("member_offset").collect()
+    assert [r["warc_type"] for r in rows] == ["warcinfo", "response"]
+    r = rows[1]
+    assert r["target_uri"] == "http://example.com/"
+    assert r["content_length"] == len(http)
+    # the block is byte-exact INCLUDING its embedded CRLFCRLF
+    assert bytes(r["block"]) == http
+    assert r["member_offset"] == len(info)
+    assert rows[0]["target_uri"] is None  # warcinfo has no URI
+
+
+def test_warc_write_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "warcs")
+    df = spark.createDataFrame(
+        [
+            (
+                "response",
+                f"<urn:uuid:{i}>",
+                f"http://s{i}.com/",
+                f"2024-01-01T00:00:{i:02d}Z",
+                "application/http; msgtype=response",
+                f"block-{i}\r\n\r\nwith-crlfs".encode(),
+            )
+            for i in range(20)
+        ],
+        "warc_type string, record_id string, target_uri string, "
+        "warc_date string, content_type string, block binary",
+    )
+    n = archive.write_warc(df, path)
+    assert n >= 1
+    back = archive.read_warc(spark, path).collect()
+    assert len(back) == 20
+    by_id = {r["record_id"]: r for r in back}
+    for i in range(20):
+        r = by_id[f"<urn:uuid:{i}>"]
+        assert bytes(r["block"]) == f"block-{i}\r\n\r\nwith-crlfs".encode()
+        assert r["content_length"] == len(bytes(r["block"]))
+        assert r["warc_date"] == f"2024-01-01T00:00:{i:02d}Z"
+
+
+def test_warc_rejects_bad_members(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="WARC"):
+        archive._parse_warc_member(b"NOTWARC/1.0\r\n\r\n\r\n")
+    with _pytest.raises(ValueError, match="Content-Length"):
+        archive._parse_warc_member(
+            b"WARC/1.0\r\nWARC-Type: response\r\n\r\nxx\r\n\r\n"
+        )
