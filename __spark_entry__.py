@@ -1827,6 +1827,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_png": lambda s, d: multimodal.decode_png(
             multimodal.synthesize_png(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # real GIF decode: LZW (variable code width, LSB packing),
+        # 256-gray palette, odd ids written interlaced (4-pass)
+        "mm_decode_gif": lambda s, d: multimodal.decode_gif(
+            multimodal.synthesize_gif(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # tile -> feature: per-row-band, per-channel pixel stats over
         # the real PPM decode
         "mm_image_bands": lambda s, d: multimodal.image_band_stats(
@@ -3032,6 +3037,29 @@ def oracle_sql() -> dict[str, str]:
                         FOR p IN range(0, w*h*3) IF p % 3 = 1]) AS BIGINT) AS sum_g,
                    CAST(list_sum([(media_id*3 + p*5) % 256
                         FOR p IN range(0, w*h*3) IF p % 3 = 2]) AS BIGINT) AS sum_b,
+                   CAST(list_min(l) AS INT) AS min_px,
+                   CAST(list_max(l) AS INT) AS max_px
+            FROM px ORDER BY media_id
+        """,
+        # GIF is palette-indexed: w*h single-channel values expanded
+        # to gray RGB, so the three channel sums are equal and the
+        # closed-form runs over w*h (not w*h*3) positions
+        "mm_decode_gif": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+                FROM documents
+            ), px AS (
+                SELECT media_id, w, h,
+                       [(media_id*3 + p*5) % 256
+                        FOR p IN range(0, w*h)] AS l
+                FROM s
+            )
+            SELECT media_id,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(list_sum(l) AS BIGINT) AS sum_r,
+                   CAST(list_sum(l) AS BIGINT) AS sum_g,
+                   CAST(list_sum(l) AS BIGINT) AS sum_b,
                    CAST(list_min(l) AS INT) AS min_px,
                    CAST(list_max(l) AS INT) AS max_px
             FROM px ORDER BY media_id

@@ -607,6 +607,254 @@ def decode_png(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_decode, PPM_FEATURES)
 
 
+# --- GIF (87a/89a): palette + LZW, public spec, stdlib-only ---
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: variable code width starting at
+    min_code_size+1, LSB-first bit packing, clear/end codes, dict caps
+    at 12-bit codes until the next clear."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    next_code = end + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos = 0
+    total = len(data) * 8
+    while bitpos + code_size <= total:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: [i] for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            # the KwKwK case: the code being defined right now
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Matching GIF LZW encoder (emits an initial clear, grows the
+    code width exactly when the decoder does, ends with the end
+    code)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    bits: list[tuple[int, int]] = [(clear, code_size)]
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        bits.append((table[w], code_size))
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # the decoder bumps when ITS next_code reaches the
+            # boundary; it assigns one code behind the encoder, so
+            # emit wider codes starting one assignment later
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        # table full: deferred-clear convention -- both sides simply
+        # stop adding entries, staying in lockstep (every decoder
+        # supports this; no reset bookkeeping to mis-align)
+        w = (k,)
+    if w:
+        bits.append((table[w], code_size))
+    bits.append((end, code_size))
+    buf = bytearray()
+    acc = nbits = 0
+    for code, size in bits:
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif_bytes(
+    w: int, h: int, indices: np.ndarray, interlace: bool = False
+) -> bytes:
+    """Minimal GIF89a encoder: 256-entry grayscale global palette
+    (index i -> rgb(i,i,i)), one image, real LZW compression,
+    optional Adam-style 4-pass interlace. Public spec (GIF89a,
+    CompuServe 1990)."""
+    import struct
+
+    flat = [int(v) for v in np.asarray(indices).ravel()]
+    if len(flat) != w * h:
+        raise ValueError("indices length != w*h")
+    if interlace:
+        order = [
+            r for start, step in _GIF_INTERLACE_PASSES
+            for r in range(start, h, step)
+        ]
+        flat = [v for r in order for v in flat[r * w : (r + 1) * w]]
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(8)  # LZW min code size
+    lzw = _gif_lzw_encode(flat, 8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def parse_gif_bytes(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Stdlib-only GIF decode -> (width, height, flat RGB int64
+    array) of the FIRST image. Handles 87a/89a, global/local color
+    tables, extension-block skipping, multi-sub-block LZW data, and
+    4-pass interlace."""
+    import struct
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = blob[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _x, _y, iw, ih, iflags = struct.unpack("<HHHHB", blob[pos + 1 : pos + 10])
+        pos += 10
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            table = blob[pos : pos + 3 * n]
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        min_code = blob[pos]
+        pos += 1
+        lzw = bytearray()
+        while blob[pos] != 0:
+            ln = blob[pos]
+            lzw += blob[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(lzw), min_code)
+        if len(idx) < iw * ih:
+            raise ValueError("truncated GIF image data")
+        idx = idx[: iw * ih]
+        if iflags & 0x40:  # deinterlace
+            order = [
+                r for start, step in _GIF_INTERLACE_PASSES
+                for r in range(start, ih, step)
+            ]
+            rows = [None] * ih
+            for i, r in enumerate(order):
+                rows[r] = idx[i * iw : (i + 1) * iw]
+            idx = [v for row in rows for v in row]
+        pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
+        arr = pal[np.asarray(idx, dtype=np.int64)].astype(np.int64).ravel()
+        return iw, ih, arr
+    raise ValueError("GIF without an image block")
+
+
+def synthesize_gif(documents: DataFrame) -> DataFrame:
+    """Deterministic GIF per document: same dimensions as the PPM/PNG
+    twins (8 + doc_id % 9 by 6 + doc_id % 7), grayscale palette,
+    index p = (doc_id*3 + p*5) % 256; every odd doc_id is written
+    INTERLACED so the 4-pass reorder is exercised."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 9, 6 + mid % 7
+                p = np.arange(w * h, dtype=np.int64)
+                idx = ((mid * 3 + p * 5) % 256).astype(np.uint8)
+                ids.append(mid)
+                blobs.append(
+                    encode_gif_bytes(w, h, idx, interlace=bool(mid % 2))
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return documents.select("doc_id").mapInPandas(_synth, schema)
+
+
+def decode_gif(media: DataFrame) -> DataFrame:
+    """Real GIF decode (LZW + palette + deinterlace), decode_ppm
+    feature shape; grayscale palette means sum_r == sum_g == sum_b."""
+    _parse = parse_gif_bytes
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PPM_FEATURES.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, arr = _parse(bytes(blob))
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(arr[0::3].sum()))
+                rows["sum_g"].append(int(arr[1::3].sum()))
+                rows["sum_b"].append(int(arr[2::3].sum()))
+                rows["min_px"].append(int(arr.min()))
+                rows["max_px"].append(int(arr.max()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(_decode, PPM_FEATURES)
+
+
 def decode_ppm(media: DataFrame) -> DataFrame:
     """Real netpbm P6 decode: tokenize the ASCII header (whitespace
     and # comments per the spec), then per-channel integer sums over

@@ -285,3 +285,70 @@ def test_png_ppm_twins_decode_identically(spark, sf_smoke):
     ppm = multimodal.decode_ppm(multimodal.synthesize_ppm(docs)).collect()
     as_map = lambda rows: {r["media_id"]: tuple(r) for r in rows}
     assert as_map(png) == as_map(ppm)
+
+
+# --- GIF (LZW + palette + interlace, stdlib-only) ---
+
+
+def test_gif_golden_minimal_fixture():
+    """The canonical hand-assembled 1x1 white GIF (documented minimal
+    example): clear + pixel-0 + end at 3-bit codes, palette FFFFFF."""
+    blob = bytes(
+        [
+            0x47, 0x49, 0x46, 0x38, 0x39, 0x61,  # GIF89a
+            0x01, 0x00, 0x01, 0x00, 0x80, 0x00, 0x00,  # 1x1, 2-color GCT
+            0xFF, 0xFF, 0xFF, 0x00, 0x00, 0x00,  # palette: white, black
+            0x2C, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+            0x02, 0x02, 0x44, 0x01, 0x00, 0x3B,  # min=2, data 44 01
+        ]
+    )
+    w, h, arr = multimodal.parse_gif_bytes(blob)
+    assert (w, h) == (1, 1)
+    assert list(arr) == [255, 255, 255]
+
+
+def test_gif_lzw_roundtrip_with_code_growth():
+    """>256 distinct patterns force code widths past 9 bits; the
+    decoder must track the encoder's width bumps exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, 256, size=40 * 30).astype(np.uint8)
+    blob = multimodal.encode_gif_bytes(40, 30, idx)
+    w, h, arr = multimodal.parse_gif_bytes(blob)
+    assert (w, h) == (40, 30)
+    # grayscale palette: every pixel expands to (v, v, v)
+    assert (arr[0::3] == idx.astype(np.int64)).all()
+    assert (arr[1::3] == idx.astype(np.int64)).all()
+
+
+def test_gif_interlace_roundtrip():
+    import numpy as np
+
+    idx = (np.arange(6 * 11) % 256).astype(np.uint8)
+    plain = multimodal.encode_gif_bytes(6, 11, idx, interlace=False)
+    inter = multimodal.encode_gif_bytes(6, 11, idx, interlace=True)
+    assert plain != inter  # rows genuinely reordered on the wire
+    _, _, a1 = multimodal.parse_gif_bytes(plain)
+    _, _, a2 = multimodal.parse_gif_bytes(inter)
+    assert (a1 == a2).all()  # deinterlace restores raster order
+
+
+def test_gif_extension_blocks_skipped():
+    import numpy as np
+
+    idx = np.zeros(4, dtype=np.uint8)
+    blob = bytearray(multimodal.encode_gif_bytes(2, 2, idx))
+    # splice a Graphic Control Extension before the image descriptor
+    img_at = blob.index(0x2C, 13 + 768)
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    patched = bytes(blob[:img_at]) + gce + bytes(blob[img_at:])
+    w, h, arr = multimodal.parse_gif_bytes(patched)
+    assert (w, h) == (2, 2) and list(arr[:3]) == [0, 0, 0]
+
+
+def test_gif_garbage_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature"):
+        multimodal.parse_gif_bytes(b"JFIFnotagif.....")
