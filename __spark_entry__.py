@@ -1832,6 +1832,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_gif": lambda s, d: multimodal.decode_gif(
             multimodal.synthesize_gif(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # real baseline JPEG decode (T.81 grayscale subset: marker
+        # walk, canonical Huffman, DC prediction, dequant, IDCT);
+        # flat blocks make the lossy path bit-exact for the oracle
+        "mm_decode_jpeg": lambda s, d: multimodal.decode_jpeg(
+            multimodal.synthesize_jpeg(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # tile -> feature: per-row-band, per-channel pixel stats over
         # the real PPM decode
         "mm_image_bands": lambda s, d: multimodal.image_band_stats(
@@ -2135,7 +2141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # (a) never driver-validated (new this round)
         "source_arc_v1_roundtrip",
+        "source_warc_roundtrip",
         "mm_decode_png",
+        "mm_decode_gif",
+        "mm_decode_jpeg",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -2178,15 +2187,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_keywords",
         "text_unigram_surprisal",
         "text_vocabulary",
-        # (d) stalest anchors (last green r2)
+        # (d) stalest anchors (last green r2); fn_url_canonicalize,
+        # agg_moving_daily_avg, skew_salted_join yield their slots to
+        # the WARC/GIF/JPEG gates (r2-green, code unchanged,
+        # pytest-covered)
         "setop_distinct",
         "setop_except",
         "dedup_exact",
         "filter_text_grep",
-        "fn_url_canonicalize",
         "win_topk_per_group",
-        "agg_moving_daily_avg",
-        "skew_salted_join",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -3039,6 +3048,30 @@ def oracle_sql() -> dict[str, str]:
                         FOR p IN range(0, w*h*3) IF p % 3 = 2]) AS BIGINT) AS sum_b,
                    CAST(list_min(l) AS INT) AS min_px,
                    CAST(list_max(l) AS INT) AS max_px
+            FROM px ORDER BY media_id
+        """,
+        # JPEG synthesizer: every 8x8 block is flat with value
+        # (id*7 + block_index*13) % 256 -- the DC-only path is exact,
+        # so sums are 64 * sum(block values), min/max over blocks
+        "mm_decode_jpeg": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       8 * (1 + doc_id % 3) AS w,
+                       8 * (1 + doc_id % 2) AS h
+                FROM documents
+            ), px AS (
+                SELECT media_id, w, h,
+                       [(media_id*7 + i*13) % 256
+                        FOR i IN range(0, (w//8)*(h//8))] AS blocks
+                FROM s
+            )
+            SELECT media_id,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(64 * list_sum(blocks) AS BIGINT) AS sum_r,
+                   CAST(64 * list_sum(blocks) AS BIGINT) AS sum_g,
+                   CAST(64 * list_sum(blocks) AS BIGINT) AS sum_b,
+                   CAST(list_min(blocks) AS INT) AS min_px,
+                   CAST(list_max(blocks) AS INT) AS max_px
             FROM px ORDER BY media_id
         """,
         # GIF is palette-indexed: w*h single-channel values expanded

@@ -107,22 +107,25 @@ def decode_media(media: DataFrame, codec: str = "real") -> DataFrame:
     """Decode binary payloads to dense arrays.
 
     Real decoders implemented in this module (pure numpy/stdlib, no
-    external codec libraries): `decode_wav` (RIFF/WAVE PCM chunk
-    walker), `decode_ppm` (netpbm P6 header parser), and `decode_png`
-    (full zlib-inflate + scanline-unfilter PNG reader -- a real
-    COMPRESSED format). codec="real" here still raises for formats
-    that genuinely need external codecs (jpeg/mp3/mp4 -- wire
-    PIL/ffmpeg into the same mapInPandas contract in production).
-    codec="fake16" is the deterministic stand-in: a 16-bin byte
-    histogram, normalized -- enough to exercise every downstream
-    consumer (ANN, dedup, clustering) with real batch mechanics.
+    external codec libraries): `decode_wav` (RIFF/WAVE PCM),
+    `decode_ppm` (netpbm P6), `decode_png` (zlib inflate + scanline
+    unfilter), `decode_gif` (LZW + palette + interlace), and
+    `decode_jpeg` (baseline grayscale T.81: Huffman + dequant +
+    IDCT). codec="real" here still raises for the formats that
+    genuinely need external codecs (color/progressive JPEG, mp3,
+    mp4 -- wire PIL/ffmpeg into the same mapInPandas contract in
+    production). codec="fake16" is the deterministic stand-in: a
+    16-bin byte histogram, normalized -- enough to exercise every
+    downstream consumer (ANN, dedup, clustering) with real batch
+    mechanics.
     """
     if codec == "real":
         raise NotImplementedError(
-            "jpeg/mp3/mp4 decoding requires image/audio libraries not "
-            "present in this environment; use decode_wav / decode_ppm / "
-            "decode_png for the real container-format decoders, or "
-            "codec='fake16' for the deterministic test codec"
+            "color/progressive JPEG and mp3/mp4 need codec libraries "
+            "not present in this environment; use decode_wav / "
+            "decode_ppm / decode_png / decode_gif / decode_jpeg for the "
+            "real decoders, or codec='fake16' for the deterministic "
+            "test codec"
         )
     if codec != "fake16":
         raise ValueError(f"unknown codec {codec!r}")
@@ -600,6 +603,366 @@ def decode_png(media: DataFrame) -> DataFrame:
                 rows["sum_r"].append(int(arr[0::3].sum()))
                 rows["sum_g"].append(int(arr[1::3].sum()))
                 rows["sum_b"].append(int(arr[2::3].sum()))
+                rows["min_px"].append(int(arr.min()))
+                rows["max_px"].append(int(arr.max()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(_decode, PPM_FEATURES)
+
+
+# --- JPEG (baseline sequential DCT, grayscale) -- public spec
+# (ITU-T T.81 / ISO 10918-1), numpy + stdlib only ---------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# flat 8x8 quant table: q=8 divides every flat-block DC (8*(v-128))
+# exactly, so constant blocks survive the lossy path bit-for-bit --
+# the property the oracle-gated synthesizer relies on
+_JPEG_QTABLE = np.full(64, 8, dtype=np.int32)
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)
+    c = np.sqrt(2.0 / 8.0) * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    c[0] /= np.sqrt(2.0)
+    return c  # orthonormal: forward F = C @ f @ C.T, inverse f = C.T @ F @ C
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """JPEG canonical Huffman: BITS[i] symbols of length i+1 in `vals`
+    order -> {symbol: (code, length)}."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+# encoder-side tables: every symbol at a fixed length keeps the
+# canonical construction trivial and never produces the (reserved)
+# all-ones code. The DECODER reads whatever DHT declares, so it also
+# consumes files from real encoders with the Annex K tables.
+_DC_BITS = [0, 0, 0, 12] + [0] * 12  # 12 categories, 4-bit codes
+_DC_VALS = list(range(12))
+_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_VALS)] + [0] * 8  # 8-bit codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = self.n = 0
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _value_bits(v: int, size: int) -> int:
+    # one's-complement convention: negatives store v - 1 in `size` bits
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def encode_jpeg_gray(w: int, h: int, pixels: np.ndarray) -> bytes:
+    """Minimal baseline JPEG encoder (grayscale, 8-bit, no
+    subsampling): level shift, orthonormal 8x8 DCT, flat-8 quant,
+    zigzag, DC-difference + run-length AC Huffman coding with byte
+    stuffing. Edge blocks replicate-pad."""
+    import struct
+
+    img = np.asarray(pixels, dtype=np.float64).reshape(h, w)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    padded = np.pad(img, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    C = _dct_matrix()
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bwr = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            # the T.81 FDCT (1/4 C(u)C(v) double sum) IS the
+            # orthonormal 2D DCT: F = C @ f @ C.T, no extra scaling
+            F = C @ block @ C.T
+            q = np.round(F / _JPEG_QTABLE.reshape(8, 8)).astype(int)
+            zz = q.ravel()[_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            size = _category(diff)
+            code, ln = dc_codes[size]
+            bwr.write(code, ln)
+            if size:
+                bwr.write(_value_bits(diff, size), size)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c2, l2 = ac_codes[0xF0]
+                    bwr.write(c2, l2)
+                    run -= 16
+                s = _category(v)
+                c2, l2 = ac_codes[(run << 4) | s]
+                bwr.write(c2, l2)
+                bwr.write(_value_bits(v, s), s)
+                run = 0
+            if last_nz < 63:
+                c2, l2 = ac_codes[0x00]
+                bwr.write(c2, l2)
+    data = bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFDB, bytes([0]) + bytes(int(_JPEG_QTABLE[i]) for i in range(64)))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, dht(0, 0, _DC_BITS, _DC_VALS))
+    out += seg(0xFFC4, dht(1, 0, _AC_BITS, _AC_VALS))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy data")
+                self.pos += 1  # skip stuffed 0x00
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _receive_extend(reader: _BitReader, size: int) -> int:
+    if size == 0:
+        return 0
+    v = reader.bits(size)
+    if v < (1 << (size - 1)):
+        v -= (1 << size) - 1
+    return v
+
+
+def parse_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Stdlib+numpy baseline JPEG decoder (grayscale subset) ->
+    (width, height, flat gray int64 array). Marker walk (DQT/DHT may
+    repeat, APPn/COM skipped), canonical Huffman from DHT, DC
+    prediction, dequant + dezigzag, orthonormal IDCT, level unshift,
+    clamp, crop of the replicate-padded edge blocks."""
+    import struct
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    w = h = None
+    comp_q = 0
+    data_start = None
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        body = blob[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                qtables[tq] = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int32)
+                i += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    "only 8-bit grayscale baseline JPEG supported"
+                )
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                codes = _canonical_codes(bits, vals)
+                htables[(tc, th)] = {
+                    (length, code): sym for sym, (code, length) in codes.items()
+                }
+                i += 17 + nv
+        elif marker == 0xDA:  # SOS
+            dc_id, ac_id = body[2] >> 4, body[2] & 15
+            data_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if w is None or data_start is None:
+        raise ValueError("JPEG without SOF0/SOS")
+    # entropy data runs until the EOI marker
+    end = blob.rfind(b"\xff\xd9")
+    reader = _BitReader(blob[data_start : end if end > 0 else len(blob)])
+    dc_t = htables[(0, dc_id)]
+    ac_t = htables[(1, ac_id)]
+    qt = qtables[comp_q].astype(np.float64)
+    C = _dct_matrix()
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.float64)
+            size = _huff_decode(reader, dc_t)
+            prev_dc += _receive_extend(reader, size)
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = _huff_decode(reader, ac_t)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += rs >> 4
+                if i > 63:
+                    raise ValueError("AC run overflows block")
+                zz[i] = _receive_extend(reader, rs & 15)
+                i += 1
+            # dezigzag: zz[k] is the coefficient at natural index
+            # _ZIGZAG[k]; DQT entries are stored in zigzag order too
+            F = np.zeros(64, dtype=np.float64)
+            F[_ZIGZAG] = zz * qt
+            block = C.T @ F.reshape(8, 8) @ C + 128.0
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    out = np.clip(np.round(img[:h, :w]), 0, 255).astype(np.int64)
+    return w, h, out.ravel()
+
+
+def synthesize_jpeg(documents: DataFrame) -> DataFrame:
+    """Deterministic grayscale JPEG per document: width = 8 * (1 +
+    doc_id % 3), height = 8 * (1 + doc_id % 2), each 8x8 block FLAT
+    with value (doc_id*7 + block_index*13) % 256. Flat blocks carry
+    only a DC coefficient, which the flat-8 quant table divides
+    exactly, so the lossy pipeline is bit-exact and the decode oracle
+    is closed-form."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+                bw = w // 8
+                img = np.zeros((h, w), dtype=np.float64)
+                for by in range(h // 8):
+                    for bx in range(bw):
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            mid * 7 + (by * bw + bx) * 13
+                        ) % 256
+                ids.append(mid)
+                blobs.append(encode_jpeg_gray(w, h, img))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return documents.select("doc_id").mapInPandas(_synth, schema)
+
+
+def decode_jpeg(media: DataFrame) -> DataFrame:
+    """Real baseline JPEG decode (Huffman + dequant + IDCT), emitting
+    the decode_ppm feature shape with the gray value replicated into
+    the three channel sums."""
+    _parse = parse_jpeg_gray
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PPM_FEATURES.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, arr = _parse(bytes(blob))
+                s = int(arr.sum())
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(s)
+                rows["sum_g"].append(s)
+                rows["sum_b"].append(s)
                 rows["min_px"].append(int(arr.min()))
                 rows["max_px"].append(int(arr.max()))
             yield pd.DataFrame(rows)

@@ -352,3 +352,80 @@ def test_gif_garbage_rejected():
 
     with _pytest.raises(ValueError, match="signature"):
         multimodal.parse_gif_bytes(b"JFIFnotagif.....")
+
+
+# --- JPEG (baseline grayscale: Huffman + DCT, T.81 subset) ---
+
+
+def test_jpeg_flat_blocks_roundtrip_bit_exact():
+    """Flat 8x8 blocks carry only a DC coefficient the flat-8 quant
+    divides exactly: the lossy pipeline becomes bit-exact (the
+    property the oracle gate relies on)."""
+    import numpy as np
+
+    w, h = 24, 16
+    img = np.zeros((h, w))
+    for by in range(2):
+        for bx in range(3):
+            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
+                7 + (by * 3 + bx) * 13
+            ) % 256
+    rw, rh, arr = multimodal.parse_jpeg_gray(
+        multimodal.encode_jpeg_gray(w, h, img)
+    )
+    assert (rw, rh) == (w, h)
+    assert (arr == img.astype("int64").ravel()).all()
+
+
+def test_jpeg_arbitrary_content_within_quant_error():
+    """Non-flat content (all 64 coefficients active, ZRL runs, DC
+    prediction across blocks, odd dimensions with edge padding) must
+    round-trip within the quantization error bound."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(17, 23)).astype(float)
+    rw, rh, arr = multimodal.parse_jpeg_gray(
+        multimodal.encode_jpeg_gray(23, 17, img)
+    )
+    assert (rw, rh) == (23, 17)
+    assert np.abs(arr.reshape(17, 23) - img).max() <= 12
+
+
+def test_jpeg_byte_stuffing_and_markers():
+    """A gradient image whose entropy stream contains 0xFF bytes must
+    decode (stuffed 0x00 handling), and garbage is rejected loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    img = np.tile(np.arange(32, dtype=float), (8, 1))
+    rw, rh, arr = multimodal.parse_jpeg_gray(
+        multimodal.encode_jpeg_gray(32, 8, img)
+    )
+    assert (rw, rh) == (32, 8)
+    with _pytest.raises(ValueError, match="SOI"):
+        multimodal.parse_jpeg_gray(b"\x89PNG....")
+    # progressive (SOF2) rejected, not mis-decoded
+    blob = bytearray(multimodal.encode_jpeg_gray(8, 8, np.zeros((8, 8))))
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        multimodal.parse_jpeg_gray(bytes(blob))
+
+
+def test_jpeg_dc_category_boundaries():
+    """Max-contrast checkerboard of flat blocks (0 vs 255) exercises
+    the largest DC differences (category 8 values +-255)."""
+    import numpy as np
+
+    w, h = 32, 16
+    img = np.zeros((h, w))
+    for by in range(2):
+        for bx in range(4):
+            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
+                255 if (bx + by) % 2 else 0
+            )
+    rw, rh, arr = multimodal.parse_jpeg_gray(
+        multimodal.encode_jpeg_gray(w, h, img)
+    )
+    assert (arr == img.astype("int64").ravel()).all()
