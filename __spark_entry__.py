@@ -1838,6 +1838,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_jpeg": lambda s, d: multimodal.decode_jpeg(
             multimodal.synthesize_jpeg(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # COLOR baseline JPEG: interleaved YCbCr 4:4:4 MCUs with
+        # per-component DC prediction + libjpeg fixed-point YCbCr->RGB
+        # (pure integer, so the oracle recomputes it exactly)
+        "mm_decode_jpeg_color": lambda s, d: multimodal.decode_jpeg_color(
+            multimodal.synthesize_jpeg_color(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # tile -> feature: per-row-band, per-channel pixel stats over
         # the real PPM decode
         "mm_image_bands": lambda s, d: multimodal.image_band_stats(
@@ -2145,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_png",
         "mm_decode_gif",
         "mm_decode_jpeg",
+        "mm_decode_jpeg_color",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -2188,13 +2195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal",
         "text_vocabulary",
         # (d) stalest anchors (last green r2); fn_url_canonicalize,
-        # agg_moving_daily_avg, skew_salted_join yield their slots to
-        # the WARC/GIF/JPEG gates (r2-green, code unchanged,
-        # pytest-covered)
+        # agg_moving_daily_avg, skew_salted_join, filter_text_grep
+        # yield their slots to the WARC/GIF/JPEG/color-JPEG gates
+        # (r2-green, code unchanged, pytest-covered)
         "setop_distinct",
         "setop_except",
         "dedup_exact",
-        "filter_text_grep",
         "win_topk_per_group",
     ]
     ordered = {k: base[k] for k in priority}
@@ -3073,6 +3079,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(blocks) AS INT) AS min_px,
                    CAST(list_max(blocks) AS INT) AS max_px
             FROM px ORDER BY media_id
+        """,
+        # color twin: per block i the flat YCbCr values are
+        # closed-form; RGB comes from the SAME libjpeg fixed-point
+        # integer transform the decoder runs (numerator clamped
+        # BEFORE the 2^16 division so floor/truncate agree)
+        "mm_decode_jpeg_color": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       8 * (1 + doc_id % 3) AS w,
+                       8 * (1 + doc_id % 2) AS h
+                FROM documents
+            ), blocks AS (
+                SELECT media_id, w, h,
+                       [(media_id*7 + i*13) % 256
+                        FOR i IN range(0, (w//8)*(h//8))] AS ys,
+                       [(media_id*11 + i*19) % 256
+                        FOR i IN range(0, (w//8)*(h//8))] AS cbs,
+                       [(media_id*5 + i*23) % 256
+                        FOR i IN range(0, (w//8)*(h//8))] AS crs
+                FROM s
+            ), rgb AS (
+                SELECT media_id, w, h,
+                       [least(greatest(ys[i]*65536
+                              + 91881*(crs[i]-128) + 32768, 0),
+                              16744447) // 65536
+                        FOR i IN range(1, len(ys)+1)] AS rs,
+                       [least(greatest(ys[i]*65536
+                              - 22554*(cbs[i]-128)
+                              - 46802*(crs[i]-128) + 32768, 0),
+                              16744447) // 65536
+                        FOR i IN range(1, len(ys)+1)] AS gs,
+                       [least(greatest(ys[i]*65536
+                              + 116130*(cbs[i]-128) + 32768, 0),
+                              16744447) // 65536
+                        FOR i IN range(1, len(ys)+1)] AS bs
+                FROM blocks
+            )
+            SELECT media_id,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(64 * list_sum(rs) AS BIGINT) AS sum_r,
+                   CAST(64 * list_sum(gs) AS BIGINT) AS sum_g,
+                   CAST(64 * list_sum(bs) AS BIGINT) AS sum_b,
+                   CAST(least(list_min(rs), list_min(gs),
+                              list_min(bs)) AS INT) AS min_px,
+                   CAST(greatest(list_max(rs), list_max(gs),
+                                 list_max(bs)) AS INT) AS max_px
+            FROM rgb ORDER BY media_id
         """,
         # GIF is palette-indexed: w*h single-channel values expanded
         # to gray RGB, so the three channel sums are equal and the

@@ -695,55 +695,71 @@ def _value_bits(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
-def encode_jpeg_gray(w: int, h: int, pixels: np.ndarray) -> bytes:
-    """Minimal baseline JPEG encoder (grayscale, 8-bit, no
-    subsampling): level shift, orthonormal 8x8 DCT, flat-8 quant,
-    zigzag, DC-difference + run-length AC Huffman coding with byte
-    stuffing. Edge blocks replicate-pad."""
+def _encode_jpeg_block(bwr, block, C, dc_codes, ac_codes, prev_dc: int) -> int:
+    """DCT + quantize + entropy-code one level-shifted 8x8 block;
+    returns the new DC predictor."""
+    # the T.81 FDCT (1/4 C(u)C(v) double sum) IS the orthonormal 2D
+    # DCT: F = C @ f @ C.T, no extra scaling
+    F = C @ block @ C.T
+    q = np.round(F / _JPEG_QTABLE.reshape(8, 8)).astype(int)
+    zz = q.ravel()[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    prev_dc = int(zz[0])
+    size = _category(diff)
+    code, ln = dc_codes[size]
+    bwr.write(code, ln)
+    if size:
+        bwr.write(_value_bits(diff, size), size)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c2, l2 = ac_codes[0xF0]
+            bwr.write(c2, l2)
+            run -= 16
+        s = _category(v)
+        c2, l2 = ac_codes[(run << 4) | s]
+        bwr.write(c2, l2)
+        bwr.write(_value_bits(v, s), s)
+        run = 0
+    if last_nz < 63:
+        c2, l2 = ac_codes[0x00]
+        bwr.write(c2, l2)
+    return prev_dc
+
+
+def _encode_jpeg_planes(w: int, h: int, planes: list[np.ndarray]) -> bytes:
+    """Baseline JPEG encoder over 1 (gray) or 3 (YCbCr 4:4:4)
+    full-resolution planes: interleaved MCUs (one block per
+    component), per-component DC predictors, shared flat-8 quant and
+    Huffman tables, byte stuffing. Edge blocks replicate-pad."""
     import struct
 
-    img = np.asarray(pixels, dtype=np.float64).reshape(h, w)
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    padded = np.pad(img, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    padded = [
+        np.pad(
+            np.asarray(p, dtype=np.float64).reshape(h, w),
+            ((0, bh * 8 - h), (0, bw * 8 - w)),
+            mode="edge",
+        )
+        for p in planes
+    ]
     C = _dct_matrix()
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bwr = _BitWriter()
-    prev_dc = 0
+    prev_dc = [0] * len(planes)
     for by in range(bh):
         for bx in range(bw):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            # the T.81 FDCT (1/4 C(u)C(v) double sum) IS the
-            # orthonormal 2D DCT: F = C @ f @ C.T, no extra scaling
-            F = C @ block @ C.T
-            q = np.round(F / _JPEG_QTABLE.reshape(8, 8)).astype(int)
-            zz = q.ravel()[_ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            size = _category(diff)
-            code, ln = dc_codes[size]
-            bwr.write(code, ln)
-            if size:
-                bwr.write(_value_bits(diff, size), size)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c2, l2 = ac_codes[0xF0]
-                    bwr.write(c2, l2)
-                    run -= 16
-                s = _category(v)
-                c2, l2 = ac_codes[(run << 4) | s]
-                bwr.write(c2, l2)
-                bwr.write(_value_bits(v, s), s)
-                run = 0
-            if last_nz < 63:
-                c2, l2 = ac_codes[0x00]
-                bwr.write(c2, l2)
+            for ci, plane in enumerate(padded):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                prev_dc[ci] = _encode_jpeg_block(
+                    bwr, block, C, dc_codes, ac_codes, prev_dc[ci]
+                )
     data = bwr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -752,15 +768,41 @@ def encode_jpeg_gray(w: int, h: int, pixels: np.ndarray) -> bytes:
     def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
         return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
 
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+        bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
+    )
+    sos = bytes([ncomp]) + b"".join(
+        bytes([cid + 1, 0x00]) for cid in range(ncomp)
+    ) + bytes([0, 63, 0])
     out = b"\xff\xd8"  # SOI
     out += seg(0xFFDB, bytes([0]) + bytes(int(_JPEG_QTABLE[i]) for i in range(64)))
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC0, sof)
     out += seg(0xFFC4, dht(0, 0, _DC_BITS, _DC_VALS))
     out += seg(0xFFC4, dht(1, 0, _AC_BITS, _AC_VALS))
-    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += seg(0xFFDA, sos)
     out += data
     out += b"\xff\xd9"  # EOI
     return out
+
+
+def encode_jpeg_gray(w: int, h: int, pixels: np.ndarray) -> bytes:
+    """Minimal baseline JPEG encoder (grayscale, 8-bit, no
+    subsampling): level shift, orthonormal 8x8 DCT, flat-8 quant,
+    zigzag, DC-difference + run-length AC Huffman coding with byte
+    stuffing. Edge blocks replicate-pad."""
+    return _encode_jpeg_planes(w, h, [pixels])
+
+
+def encode_jpeg_ycbcr(
+    w: int, h: int, y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+) -> bytes:
+    """Color baseline JPEG (YCbCr 4:4:4 interleaved, no subsampling).
+    Takes the YCbCr planes directly -- a production encoder would
+    first run the RGB->YCbCr forward transform; the decode gate
+    synthesizes in YCbCr so the DC-only flat-block path stays
+    bit-exact end to end."""
+    return _encode_jpeg_planes(w, h, [y, cb, cr])
 
 
 class _BitReader:
@@ -810,12 +852,14 @@ def _receive_extend(reader: _BitReader, size: int) -> int:
     return v
 
 
-def parse_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """Stdlib+numpy baseline JPEG decoder (grayscale subset) ->
-    (width, height, flat gray int64 array). Marker walk (DQT/DHT may
-    repeat, APPn/COM skipped), canonical Huffman from DHT, DC
-    prediction, dequant + dezigzag, orthonormal IDCT, level unshift,
-    clamp, crop of the replicate-padded edge blocks."""
+def _parse_jpeg_planes(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Stdlib+numpy baseline JPEG decoder core -> (width, height,
+    per-component planes). Supports 8-bit SOF0 with 1 (gray) or 3
+    (YCbCr) components at full resolution (4:4:4; subsampling and
+    progressive are rejected loudly, never mis-decoded). Marker walk
+    (DQT/DHT may repeat, APPn/COM skipped), canonical Huffman from
+    DHT, per-component DC prediction across interleaved MCUs, dequant
+    + dezigzag, orthonormal IDCT, level unshift, clamp, crop."""
     import struct
 
     if blob[:2] != b"\xff\xd8":
@@ -824,7 +868,8 @@ def parse_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     w = h = None
-    comp_q = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant id)
+    scan: list[tuple[int, int, int]] = []  # (comp idx, dc id, ac id)
     data_start = None
     while pos < len(blob):
         if blob[pos] != 0xFF:
@@ -846,11 +891,17 @@ def parse_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
                 i += 65
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    "only 8-bit grayscale baseline JPEG supported"
+                    "only 8-bit 1- or 3-component baseline JPEG supported"
                 )
-            comp_q = body[8]
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "chroma subsampling not supported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xC4:  # DHT (may hold several tables)
@@ -866,49 +917,99 @@ def parse_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
                 }
                 i += 17 + nv
         elif marker == 0xDA:  # SOS
-            dc_id, ac_id = body[2] >> 4, body[2] & 15
+            ns = body[0]
+            by_id = {cid: idx for idx, (cid, _) in enumerate(comps)}
+            for c in range(ns):
+                cid, tables = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((by_id[cid], tables >> 4, tables & 15))
             data_start = pos + 2 + ln
             break
         pos += 2 + ln
     if w is None or data_start is None:
         raise ValueError("JPEG without SOF0/SOS")
+    if len(scan) != len(comps):
+        raise ValueError("only single interleaved scans supported")
     # entropy data runs until the EOI marker
     end = blob.rfind(b"\xff\xd9")
     reader = _BitReader(blob[data_start : end if end > 0 else len(blob)])
-    dc_t = htables[(0, dc_id)]
-    ac_t = htables[(1, ac_id)]
-    qt = qtables[comp_q].astype(np.float64)
     C = _dct_matrix()
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-    prev_dc = 0
+    planes = [
+        np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps
+    ]
+    prev_dc = [0] * len(comps)
     for by in range(bh):
         for bx in range(bw):
-            zz = np.zeros(64, dtype=np.float64)
-            size = _huff_decode(reader, dc_t)
-            prev_dc += _receive_extend(reader, size)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = _huff_decode(reader, ac_t)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += rs >> 4
-                if i > 63:
-                    raise ValueError("AC run overflows block")
-                zz[i] = _receive_extend(reader, rs & 15)
-                i += 1
-            # dezigzag: zz[k] is the coefficient at natural index
-            # _ZIGZAG[k]; DQT entries are stored in zigzag order too
-            F = np.zeros(64, dtype=np.float64)
-            F[_ZIGZAG] = zz * qt
-            block = C.T @ F.reshape(8, 8) @ C + 128.0
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    out = np.clip(np.round(img[:h, :w]), 0, 255).astype(np.int64)
-    return w, h, out.ravel()
+            for ci, dc_id, ac_id in scan:
+                dc_t = htables[(0, dc_id)]
+                ac_t = htables[(1, ac_id)]
+                zz = np.zeros(64, dtype=np.float64)
+                size = _huff_decode(reader, dc_t)
+                prev_dc[ci] += _receive_extend(reader, size)
+                zz[0] = prev_dc[ci]
+                i = 1
+                while i < 64:
+                    rs = _huff_decode(reader, ac_t)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    i += rs >> 4
+                    if i > 63:
+                        raise ValueError("AC run overflows block")
+                    zz[i] = _receive_extend(reader, rs & 15)
+                    i += 1
+                # dezigzag: zz[k] is the coefficient at natural index
+                # _ZIGZAG[k]; DQT entries are in zigzag order too
+                qt = qtables[comps[ci][1]].astype(np.float64)
+                F = np.zeros(64, dtype=np.float64)
+                F[_ZIGZAG] = zz * qt
+                block = C.T @ F.reshape(8, 8) @ C + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    out = [
+        np.clip(np.round(p[:h, :w]), 0, 255).astype(np.int64)
+        for p in planes
+    ]
+    return w, h, out
+
+
+def parse_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Grayscale baseline JPEG -> (width, height, flat gray array)."""
+    w, h, planes = _parse_jpeg_planes(blob)
+    if len(planes) != 1:
+        raise ValueError("not a grayscale JPEG (use parse_jpeg_color)")
+    return w, h, planes[0].ravel()
+
+
+# libjpeg-style 16-bit fixed-point YCbCr->RGB constants
+# (1.40200/0.34414/0.71414/1.77200 scaled by 65536)
+_YCC_CR_R, _YCC_CB_G, _YCC_CR_G, _YCC_CB_B = 91881, 22554, 46802, 116130
+_YCC_MAX = 255 * 65536 + 32767
+
+
+def _ycc_channel(num: np.ndarray) -> np.ndarray:
+    # clamp the numerator BEFORE the shift so floor/truncate agree
+    # (keeps the SQL oracle's integer division exactly mirrorable)
+    return np.clip(num, 0, _YCC_MAX) >> 16
+
+
+def parse_jpeg_color(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Color (or gray) baseline JPEG -> (width, height, flat RGB
+    int64 array). YCbCr converts with the libjpeg 16-bit fixed-point
+    constants in pure integer arithmetic, so the result is bit-exact
+    and closed-form (the decode gate's oracle recomputes it in SQL);
+    grayscale replicates into RGB."""
+    w, h, planes = _parse_jpeg_planes(blob)
+    if len(planes) == 1:
+        return w, h, np.repeat(planes[0].ravel(), 3)
+    y, cb, cr = (p.ravel() for p in planes)
+    cb_, cr_ = cb - 128, cr - 128
+    half = 32768
+    r = _ycc_channel(y * 65536 + _YCC_CR_R * cr_ + half)
+    g = _ycc_channel(y * 65536 - _YCC_CB_G * cb_ - _YCC_CR_G * cr_ + half)
+    b = _ycc_channel(y * 65536 + _YCC_CB_B * cb_ + half)
+    return w, h, np.stack([r, g, b], axis=1).ravel()
 
 
 def synthesize_jpeg(documents: DataFrame) -> DataFrame:
@@ -943,6 +1044,65 @@ def synthesize_jpeg(documents: DataFrame) -> DataFrame:
         ]
     )
     return documents.select("doc_id").mapInPandas(_synth, schema)
+
+
+def synthesize_jpeg_color(documents: DataFrame) -> DataFrame:
+    """Deterministic COLOR JPEG per document (YCbCr 4:4:4): same
+    dimensions as the gray twin, each 8x8 block flat per plane with
+    y = (id*7 + i*13) % 256, cb = (id*11 + i*19) % 256,
+    cr = (id*5 + i*23) % 256 for block index i."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+                bw = w // 8
+                planes = []
+                for a, b in ((7, 13), (11, 19), (5, 23)):
+                    p = np.zeros((h, w), dtype=np.float64)
+                    for by in range(h // 8):
+                        for bx in range(bw):
+                            p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                                mid * a + (by * bw + bx) * b
+                            ) % 256
+                    planes.append(p)
+                ids.append(mid)
+                blobs.append(encode_jpeg_ycbcr(w, h, *planes))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return documents.select("doc_id").mapInPandas(_synth, schema)
+
+
+def decode_jpeg_color(media: DataFrame) -> DataFrame:
+    """Color baseline JPEG decode (interleaved MCUs + fixed-point
+    YCbCr->RGB), decode_ppm feature shape with true per-channel
+    sums."""
+    _parse = parse_jpeg_color
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PPM_FEATURES.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, arr = _parse(bytes(blob))
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(arr[0::3].sum()))
+                rows["sum_g"].append(int(arr[1::3].sum()))
+                rows["sum_b"].append(int(arr[2::3].sum()))
+                rows["min_px"].append(int(arr.min()))
+                rows["max_px"].append(int(arr.max()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(_decode, PPM_FEATURES)
 
 
 def decode_jpeg(media: DataFrame) -> DataFrame:

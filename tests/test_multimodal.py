@@ -429,3 +429,62 @@ def test_jpeg_dc_category_boundaries():
         multimodal.encode_jpeg_gray(w, h, img)
     )
     assert (arr == img.astype("int64").ravel()).all()
+
+
+def test_jpeg_color_flat_blocks_bit_exact():
+    """3-component interleaved MCUs with per-component DC prediction;
+    flat YCbCr blocks decode bit-exactly and convert to RGB with the
+    libjpeg fixed-point integer transform."""
+    import numpy as np
+
+    w, h = 24, 16
+
+    def plane(base, step):
+        p = np.zeros((h, w))
+        for by in range(2):
+            for bx in range(3):
+                p[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
+                    base + (by * 3 + bx) * step
+                ) % 256
+        return p
+
+    y, cb, cr = plane(40, 17), plane(90, 29), plane(150, 31)
+    rw, rh, rgb = multimodal.parse_jpeg_color(
+        multimodal.encode_jpeg_ycbcr(w, h, y, cb, cr)
+    )
+    assert (rw, rh) == (w, h)
+    yf, cbf, crf = (p.ravel().astype("int64") for p in (y, cb, cr))
+    import numpy as _np
+
+    M = multimodal._YCC_MAX
+    r = _np.clip(yf * 65536 + 91881 * (crf - 128) + 32768, 0, M) >> 16
+    g = _np.clip(
+        yf * 65536 - 22554 * (cbf - 128) - 46802 * (crf - 128) + 32768, 0, M
+    ) >> 16
+    b = _np.clip(yf * 65536 + 116130 * (cbf - 128) + 32768, 0, M) >> 16
+    assert (rgb == _np.stack([r, g, b], axis=1).ravel()).all()
+
+
+def test_jpeg_color_rejects_subsampling():
+    import numpy as np
+    import pytest as _pytest
+
+    blob = bytearray(
+        multimodal.encode_jpeg_ycbcr(
+            8, 8, *(np.zeros((8, 8)) for _ in range(3))
+        )
+    )
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 11] = 0x22  # claim 2x2 sampling for component 1
+    with _pytest.raises(ValueError, match="subsampling"):
+        multimodal.parse_jpeg_color(bytes(blob))
+
+
+def test_jpeg_gray_files_decode_through_color_api():
+    import numpy as np
+
+    img = np.full((8, 8), 77.0)
+    w, h, rgb = multimodal.parse_jpeg_color(
+        multimodal.encode_jpeg_gray(8, 8, img)
+    )
+    assert list(rgb[:6]) == [77, 77, 77, 77, 77, 77]
