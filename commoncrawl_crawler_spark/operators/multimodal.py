@@ -732,34 +732,56 @@ def _encode_jpeg_block(bwr, block, C, dc_codes, ac_codes, prev_dc: int) -> int:
     return prev_dc
 
 
-def _encode_jpeg_planes(w: int, h: int, planes: list[np.ndarray]) -> bytes:
-    """Baseline JPEG encoder over 1 (gray) or 3 (YCbCr 4:4:4)
-    full-resolution planes: interleaved MCUs (one block per
-    component), per-component DC predictors, shared flat-8 quant and
-    Huffman tables, byte stuffing. Edge blocks replicate-pad."""
+def _encode_jpeg_planes(
+    w: int,
+    h: int,
+    planes: list[np.ndarray],
+    sampling: list[tuple[int, int]] | None = None,
+) -> bytes:
+    """Baseline JPEG encoder over 1 (gray) or 3 (YCbCr) planes with
+    per-component (h, v) sampling factors -- 4:4:4 by default,
+    [(2,2),(1,1),(1,1)] = 4:2:0. Chroma planes arrive at FULL
+    resolution and are box-averaged down; interleaved MCUs emit
+    hi*vi blocks per component in raster order with per-component DC
+    predictors; shared flat-8 quant + Huffman tables, byte stuffing.
+    Edge blocks replicate-pad."""
     import struct
 
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    padded = [
-        np.pad(
-            np.asarray(p, dtype=np.float64).reshape(h, w),
-            ((0, bh * 8 - h), (0, bw * 8 - w)),
-            mode="edge",
-        )
-        for p in planes
-    ]
+    ncomp = len(planes)
+    sampling = sampling or [(1, 1)] * ncomp
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    comp_planes = []
+    for p, (hi, vi) in zip(planes, sampling):
+        full = np.asarray(p, dtype=np.float64).reshape(h, w)
+        # pad the full-res plane to the MCU grid first so the
+        # downsample never reads out of bounds
+        fh, fw = mcuy * 8 * vmax, mcux * 8 * hmax
+        full = np.pad(full, ((0, fh - h), (0, fw - w)), mode="edge")
+        if (hi, vi) != (hmax, vmax):
+            ry, rx = vmax // vi, hmax // hi
+            full = full.reshape(fh // ry, ry, fw // rx, rx).mean(axis=(1, 3))
+        comp_planes.append(full)
     C = _dct_matrix()
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bwr = _BitWriter()
-    prev_dc = [0] * len(planes)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, plane in enumerate(padded):
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                prev_dc[ci] = _encode_jpeg_block(
-                    bwr, block, C, dc_codes, ac_codes, prev_dc[ci]
-                )
+    prev_dc = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, ((hi, vi), plane) in enumerate(
+                zip(sampling, comp_planes)
+            ):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        prev_dc[ci] = _encode_jpeg_block(
+                            bwr, block, C, dc_codes, ac_codes, prev_dc[ci]
+                        )
     data = bwr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -768,9 +790,9 @@ def _encode_jpeg_planes(w: int, h: int, planes: list[np.ndarray]) -> bytes:
     def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
         return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
 
-    ncomp = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
-        bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
+        bytes([cid + 1, (sampling[cid][0] << 4) | sampling[cid][1], 0])
+        for cid in range(ncomp)
     )
     sos = bytes([ncomp]) + b"".join(
         bytes([cid + 1, 0x00]) for cid in range(ncomp)
@@ -795,14 +817,21 @@ def encode_jpeg_gray(w: int, h: int, pixels: np.ndarray) -> bytes:
 
 
 def encode_jpeg_ycbcr(
-    w: int, h: int, y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+    w: int,
+    h: int,
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    subsample_420: bool = False,
 ) -> bytes:
-    """Color baseline JPEG (YCbCr 4:4:4 interleaved, no subsampling).
-    Takes the YCbCr planes directly -- a production encoder would
-    first run the RGB->YCbCr forward transform; the decode gate
-    synthesizes in YCbCr so the DC-only flat-block path stays
-    bit-exact end to end."""
-    return _encode_jpeg_planes(w, h, [y, cb, cr])
+    """Color baseline JPEG (YCbCr interleaved): 4:4:4 by default,
+    4:2:0 with `subsample_420` (chroma box-averaged 2x2; flat
+    16x16-aligned content stays exact). Takes the YCbCr planes
+    directly -- a production encoder would first run the RGB->YCbCr
+    forward transform; the decode gate synthesizes in YCbCr so the
+    DC-only flat-block path stays bit-exact end to end."""
+    sampling = [(2, 2), (1, 1), (1, 1)] if subsample_420 else None
+    return _encode_jpeg_planes(w, h, [y, cb, cr], sampling)
 
 
 class _BitReader:
@@ -897,11 +926,12 @@ def _parse_jpeg_planes(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
                 )
             for c in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
+                hi, vi = sampling >> 4, sampling & 15
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "chroma subsampling not supported (4:4:4 only)"
+                        f"unsupported sampling factors {hi}x{vi}"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xC4:  # DHT (may hold several tables)
@@ -918,7 +948,7 @@ def _parse_jpeg_planes(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
                 i += 17 + nv
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            by_id = {cid: idx for idx, (cid, _) in enumerate(comps)}
+            by_id = {c[0]: idx for idx, c in enumerate(comps)}
             for c in range(ns):
                 cid, tables = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((by_id[cid], tables >> 4, tables & 15))
@@ -933,44 +963,60 @@ def _parse_jpeg_planes(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
     end = blob.rfind(b"\xff\xd9")
     reader = _BitReader(blob[data_start : end if end > 0 else len(blob)])
     C = _dct_matrix()
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     planes = [
-        np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps
+        np.zeros((mcuy * 8 * c[3], mcux * 8 * c[2]), dtype=np.float64)
+        for c in comps
     ]
     prev_dc = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, dc_id, ac_id in scan:
+                _, tq, hi, vi = comps[ci]
                 dc_t = htables[(0, dc_id)]
                 ac_t = htables[(1, ac_id)]
-                zz = np.zeros(64, dtype=np.float64)
-                size = _huff_decode(reader, dc_t)
-                prev_dc[ci] += _receive_extend(reader, size)
-                zz[0] = prev_dc[ci]
-                i = 1
-                while i < 64:
-                    rs = _huff_decode(reader, ac_t)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    i += rs >> 4
-                    if i > 63:
-                        raise ValueError("AC run overflows block")
-                    zz[i] = _receive_extend(reader, rs & 15)
-                    i += 1
-                # dezigzag: zz[k] is the coefficient at natural index
-                # _ZIGZAG[k]; DQT entries are in zigzag order too
-                qt = qtables[comps[ci][1]].astype(np.float64)
-                F = np.zeros(64, dtype=np.float64)
-                F[_ZIGZAG] = zz * qt
-                block = C.T @ F.reshape(8, 8) @ C + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    out = [
-        np.clip(np.round(p[:h, :w]), 0, 255).astype(np.int64)
-        for p in planes
-    ]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        zz = np.zeros(64, dtype=np.float64)
+                        size = _huff_decode(reader, dc_t)
+                        prev_dc[ci] += _receive_extend(reader, size)
+                        zz[0] = prev_dc[ci]
+                        i = 1
+                        while i < 64:
+                            rs = _huff_decode(reader, ac_t)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            i += rs >> 4
+                            if i > 63:
+                                raise ValueError("AC run overflows block")
+                            zz[i] = _receive_extend(reader, rs & 15)
+                            i += 1
+                        # dezigzag: zz[k] is the coefficient at
+                        # natural index _ZIGZAG[k]; DQT entries are
+                        # in zigzag order too
+                        qt = qtables[tq].astype(np.float64)
+                        F = np.zeros(64, dtype=np.float64)
+                        F[_ZIGZAG] = zz * qt
+                        block = C.T @ F.reshape(8, 8) @ C + 128.0
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    out = []
+    for (cid, tq, hi, vi), p in zip(comps, planes):
+        if (hi, vi) != (hmax, vmax):
+            # nearest-neighbor (pixel replication) upsample -- exact
+            # for the flat-block content the oracle gates; real
+            # decoders may use smooth upsampling (documented delta)
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out.append(
+            np.clip(np.round(p[:h, :w]), 0, 255).astype(np.int64)
+        )
     return w, h, out
 
 
@@ -1070,6 +1116,52 @@ def synthesize_jpeg_color(documents: DataFrame) -> DataFrame:
                     planes.append(p)
                 ids.append(mid)
                 blobs.append(encode_jpeg_ycbcr(w, h, *planes))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return documents.select("doc_id").mapInPandas(_synth, schema)
+
+
+def synthesize_jpeg_420(documents: DataFrame) -> DataFrame:
+    """Deterministic 4:2:0 color JPEG per document: width = 16 * (1 +
+    doc_id % 2), height = 16, luma flat per 8x8 block (id*7 + i*13),
+    chroma flat per 16x16 MACROBLOCK (id*11 + m*19 / id*5 + m*23) so
+    the 2x2 box downsample and nearest upsample are both exact."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w, h = 16 * (1 + mid % 2), 16
+                bw = w // 8
+                y = np.zeros((h, w), dtype=np.float64)
+                for by in range(h // 8):
+                    for bx in range(bw):
+                        y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            mid * 7 + (by * bw + bx) * 13
+                        ) % 256
+                mw = w // 16
+                cb = np.zeros((h, w), dtype=np.float64)
+                cr = np.zeros((h, w), dtype=np.float64)
+                for my in range(h // 16):
+                    for mx in range(mw):
+                        m = my * mw + mx
+                        cb[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                            mid * 11 + m * 19
+                        ) % 256
+                        cr[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                            mid * 5 + m * 23
+                        ) % 256
+                ids.append(mid)
+                blobs.append(
+                    encode_jpeg_ycbcr(w, h, y, cb, cr, subsample_420=True)
+                )
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     schema = StructType(

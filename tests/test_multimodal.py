@@ -465,7 +465,7 @@ def test_jpeg_color_flat_blocks_bit_exact():
     assert (rgb == _np.stack([r, g, b], axis=1).ravel()).all()
 
 
-def test_jpeg_color_rejects_subsampling():
+def test_jpeg_color_rejects_bad_sampling_and_truncation():
     import numpy as np
     import pytest as _pytest
 
@@ -475,9 +475,17 @@ def test_jpeg_color_rejects_subsampling():
         )
     )
     sof = blob.index(b"\xff\xc0")
-    blob[sof + 11] = 0x22  # claim 2x2 sampling for component 1
-    with _pytest.raises(ValueError, match="subsampling"):
-        multimodal.parse_jpeg_color(bytes(blob))
+    # factors outside 1..2 are rejected loudly (4:1:1 etc.)
+    bad = bytearray(blob)
+    bad[sof + 11] = 0x41
+    with _pytest.raises(ValueError, match="sampling"):
+        multimodal.parse_jpeg_color(bytes(bad))
+    # claiming MORE blocks than the stream holds fails loudly, never
+    # silently mis-decodes
+    trunc = bytearray(blob)
+    trunc[sof + 11] = 0x22
+    with _pytest.raises(ValueError, match="exhausted|Huffman"):
+        multimodal.parse_jpeg_color(bytes(trunc))
 
 
 def test_jpeg_gray_files_decode_through_color_api():
@@ -488,3 +496,54 @@ def test_jpeg_gray_files_decode_through_color_api():
         multimodal.encode_jpeg_gray(8, 8, img)
     )
     assert list(rgb[:6]) == [77, 77, 77, 77, 77, 77]
+
+
+def test_jpeg_420_subsampled_flat_macroblocks_bit_exact():
+    """4:2:0: MCU = four Y blocks + one Cb + one Cr; chroma flat per
+    16x16 macroblock survives the box downsample + nearest upsample
+    exactly, with per-component DC prediction across the MCU grid."""
+    import numpy as np
+
+    w, h = 32, 32
+
+    def plane(base, step, cell):
+        p = np.zeros((h, w))
+        for by in range(h // cell):
+            for bx in range(w // cell):
+                p[by * cell : (by + 1) * cell, bx * cell : (bx + 1) * cell] = (
+                    base + (by * (w // cell) + bx) * step
+                ) % 256
+        return p
+
+    y, cb, cr = plane(40, 17, 8), plane(90, 29, 16), plane(150, 31, 16)
+    rw, rh, rgb = multimodal.parse_jpeg_color(
+        multimodal.encode_jpeg_ycbcr(w, h, y, cb, cr, subsample_420=True)
+    )
+    assert (rw, rh) == (w, h)
+    yf, cbf, crf = (p.ravel().astype("int64") for p in (y, cb, cr))
+    import numpy as _np
+
+    M = multimodal._YCC_MAX
+    r = _np.clip(yf * 65536 + 91881 * (crf - 128) + 32768, 0, M) >> 16
+    g = _np.clip(
+        yf * 65536 - 22554 * (cbf - 128) - 46802 * (crf - 128) + 32768, 0, M
+    ) >> 16
+    b = _np.clip(yf * 65536 + 116130 * (cbf - 128) + 32768, 0, M) >> 16
+    assert (rgb == _np.stack([r, g, b], axis=1).ravel()).all()
+
+
+def test_jpeg_420_partial_mcu_dimensions():
+    """Dimensions that are not MCU multiples (20x12 with 16x16 MCUs)
+    pad on the wire and crop on decode."""
+    import numpy as np
+
+    w, h = 20, 12
+    y = np.full((h, w), 100.0)
+    cb = np.full((h, w), 60.0)
+    cr = np.full((h, w), 200.0)
+    rw, rh, rgb = multimodal.parse_jpeg_color(
+        multimodal.encode_jpeg_ycbcr(w, h, y, cb, cr, subsample_420=True)
+    )
+    assert (rw, rh) == (w, h) and len(rgb) == w * h * 3
+    # flat everywhere: one distinct RGB triple
+    assert len({tuple(rgb[i : i + 3]) for i in range(0, len(rgb), 3)}) == 1
