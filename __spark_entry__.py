@@ -1821,6 +1821,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_ppm": lambda s, d: multimodal.decode_ppm(
             multimodal.synthesize_ppm(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # real compressed AUDIO: IMA ADPCM (WAV 0x11) -- per-block
+        # constant signal with index pinned to 0 decodes bit-exactly
+        # (step_table[0] >> 3 == 0), the audio analog of flat-block
+        # JPEG; nonzero-nibble decoding is pytest-gated against an
+        # independent spec model
+        "mm_decode_adpcm": lambda s, d: multimodal.decode_adpcm(
+            multimodal.synthesize_adpcm(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # real COMPRESSED-format decode: stdlib-zlib PNG (inflate +
         # scanline unfilter over all five filter types); same pixel
         # formula as the PPM twin so the oracle is shared closed-form
@@ -3012,6 +3020,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(l) AS INT) AS min_amp,
                    CAST(list_max(l) AS INT) AS max_amp
             FROM s ORDER BY media_id
+        """,
+        # IMA ADPCM twin: per 505-sample block b the decoded signal is
+        # the exact constant ((id*13 + b*37) % 4096) - 2048 (index
+        # pinned to 0 -> nibble-0 delta is step_table[0] >> 3 = 0)
+        "mm_decode_adpcm": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       1024 + doc_id % 1024 AS n
+                FROM documents
+            ), blk AS (
+                SELECT media_id, n,
+                       [(media_id*13 + b*37) % 4096 - 2048
+                        FOR b IN range(0, (n + 504) // 505)] AS vs,
+                       [least(505, n - b*505)
+                        FOR b IN range(0, (n + 504) // 505)] AS cs
+                FROM s
+            )
+            SELECT media_id,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(4 AS INT) AS bits,
+                   CAST(1 AS INT) AS channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(list_sum([vs[i]*cs[i]
+                        FOR i IN range(1, len(vs)+1)]) AS BIGINT) AS sum_amp,
+                   CAST(list_sum([vs[i]*vs[i]*cs[i]
+                        FOR i IN range(1, len(vs)+1)]) AS BIGINT) AS sum_sq,
+                   CAST(list_min(vs) AS INT) AS min_amp,
+                   CAST(list_max(vs) AS INT) AS max_amp
+            FROM blk ORDER BY media_id
         """,
         # pixel p = (doc_id*3 + p*5) % 256 over w*h*3 RGB bytes,
         # w = 8 + doc_id % 9, h = 6 + doc_id % 7

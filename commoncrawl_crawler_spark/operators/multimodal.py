@@ -286,6 +286,223 @@ def decode_wav(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_decode, WAV_FEATURES)
 
 
+# --- IMA ADPCM (WAV wFormatTag 0x11) -- real compressed audio,
+# public spec (IMA Digital Audio Focus Group / MS WAVE registry) ----
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_sample(nibble: int, pred: int, index: int) -> tuple[int, int]:
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        pred -= diff
+    else:
+        pred += diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nibble & 7]))
+    return pred, index
+
+
+def _ima_encode_sample(sample: int, pred: int, index: int) -> tuple[int, int, int]:
+    step = _IMA_STEPS[index]
+    diff = sample - pred
+    nibble = 0
+    if diff < 0:
+        nibble = 8
+        diff = -diff
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+    # track the DECODER's reconstruction so predictors stay in sync
+    pred, index = _ima_decode_sample(nibble, pred, index)
+    return nibble, pred, index
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray,
+    rate: int = 8000,
+    block_samples: int = 505,
+    reset_index_per_block: bool = False,
+) -> bytes:
+    """Mono IMA ADPCM WAV (wFormatTag 0x11): per-block 4-byte header
+    (int16 initial predictor = the block's first sample, uint8 step
+    index, reserved) + 4-bit nibbles low-first for the remaining
+    samples; `fact` chunk records the true sample count so partial
+    final blocks decode exactly. `reset_index_per_block` pins every
+    block header's step index to 0 (useful for exactly-decodable
+    per-block-constant content); default carries the running index."""
+    import struct
+
+    s = [int(v) for v in np.asarray(samples).ravel()]
+    n = len(s)
+    data = bytearray()
+    index = 0
+    pos = 0
+    while pos < n:
+        chunk = s[pos : pos + block_samples]
+        if reset_index_per_block:
+            index = 0
+        pred = chunk[0]
+        data += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for v in chunk[1:]:
+            nb, pred, index = _ima_encode_sample(v, pred, index)
+            nibbles.append(nb)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            data.append(lo | (hi << 4))
+        pos += block_samples
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    byte_rate = (rate * block_align + block_samples - 1) // block_samples
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4, 2,
+        block_samples,
+    )
+    out = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+
+def parse_wav_adpcm(blob: bytes) -> tuple[int, np.ndarray]:
+    """Mono IMA ADPCM WAV -> (rate, int64 16-bit samples). Chunk walk
+    with word alignment; block structure from the fmt extension;
+    total length from the fact chunk (falls back to whole blocks)."""
+    if blob[0:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt = data = fact = None
+    off = 12
+    while off + 8 <= len(blob):
+        cid = blob[off : off + 4]
+        sz = int.from_bytes(blob[off + 4 : off + 8], "little")
+        body = blob[off + 8 : off + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact":
+            fact = body
+        off += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag != 0x11 or channels != 1 or bits != 4:
+        raise ValueError(
+            f"only mono 4-bit IMA ADPCM supported (tag=0x{tag:x})"
+        )
+    block_samples = int.from_bytes(fmt[18:20], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
+    total = (
+        int.from_bytes(fact[0:4], "little") if fact is not None else None
+    )
+    out: list[int] = []
+    for boff in range(0, len(data), block_align):
+        block = data[boff : boff + block_align]
+        if len(block) < 4:
+            break
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = block[2]
+        if index > 88:
+            raise ValueError(f"bad ADPCM step index {index}")
+        out.append(pred)
+        want = block_samples - 1
+        got = 0
+        for b in block[4:]:
+            for nb in (b & 15, b >> 4):
+                if got >= want:
+                    break
+                pred, index = _ima_decode_sample(nb, pred, index)
+                out.append(pred)
+                got += 1
+    if total is not None:
+        out = out[:total]
+    return rate, np.asarray(out, dtype=np.int64)
+
+
+def synthesize_adpcm(documents: DataFrame) -> DataFrame:
+    """Deterministic IMA ADPCM WAV per document: n = 1024 + doc_id %
+    1024 samples in 505-sample blocks, each block CONSTANT at
+    ((doc_id*13 + block*37) % 4096) - 2048. With the header index
+    pinned to 0, a zero diff quantizes to nibble 0 whose
+    reconstruction delta is step_table[0] >> 3 = 0 -- the compressed
+    stream decodes bit-exactly, so the decode oracle is closed-form
+    (the ADPCM analog of the flat-block JPEG trick)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                n = 1024 + mid % 1024
+                i = np.arange(n, dtype=np.int64)
+                vals = ((mid * 13 + (i // 505) * 37) % 4096) - 2048
+                ids.append(mid)
+                blobs.append(
+                    encode_wav_adpcm(vals, reset_index_per_block=True)
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return documents.select("doc_id").mapInPandas(_synth, schema)
+
+
+def decode_adpcm(media: DataFrame) -> DataFrame:
+    """Real IMA ADPCM decode -> the decode_wav feature shape (bits=4,
+    signed 16-bit amplitude sums)."""
+    _parse = parse_wav_adpcm
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in WAV_FEATURES.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                rate, arr = _parse(bytes(blob))
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(rate)
+                rows["bits"].append(4)
+                rows["channels"].append(1)
+                rows["n_samples"].append(len(arr))
+                rows["sum_amp"].append(int(arr.sum()))
+                rows["sum_sq"].append(int((arr * arr).sum()))
+                rows["min_amp"].append(int(arr.min()))
+                rows["max_amp"].append(int(arr.max()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(_decode, WAV_FEATURES)
+
+
 AUDIO_FRAME_FEATURES = StructType(
     [
         StructField("media_id", LongType()),

@@ -547,3 +547,96 @@ def test_jpeg_420_partial_mcu_dimensions():
     assert (rw, rh) == (w, h) and len(rgb) == w * h * 3
     # flat everywhere: one distinct RGB triple
     assert len({tuple(rgb[i : i + 3]) for i in range(0, len(rgb), 3)}) == 1
+
+
+# --- IMA ADPCM (WAV 0x11, real compressed audio) ---
+
+
+def test_adpcm_per_block_constant_bit_exact():
+    import numpy as np
+
+    n = 1700
+    i = np.arange(n, dtype=np.int64)
+    vals = ((5 * 13 + (i // 505) * 37) % 4096) - 2048
+    rate, arr = multimodal.parse_wav_adpcm(
+        multimodal.encode_wav_adpcm(vals, reset_index_per_block=True)
+    )
+    assert rate == 8000 and len(arr) == n
+    assert (arr == vals).all()
+
+
+def test_adpcm_decoder_matches_independent_spec_model():
+    """Decode a stream with REAL nonzero nibbles and compare against
+    a from-the-spec IMA model written independently here."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    sig = np.cumsum(rng.randint(-500, 501, size=900)).clip(-32768, 32767)
+    blob = multimodal.encode_wav_adpcm(sig, block_samples=505)
+    _, got = multimodal.parse_wav_adpcm(blob)
+
+    steps = multimodal._IMA_STEPS
+    adj = [-1, -1, -1, -1, 2, 4, 6, 8]
+    # locate the data chunk and replay it
+    off = 12
+    data = fact = None
+    while off + 8 <= len(blob):
+        cid = blob[off : off + 4]
+        sz = int.from_bytes(blob[off + 4 : off + 8], "little")
+        if cid == b"data":
+            data = blob[off + 8 : off + 8 + sz]
+        if cid == b"fact":
+            fact = int.from_bytes(blob[off + 8 : off + 12], "little")
+        off += 8 + sz + (sz & 1)
+    out = []
+    block_align = 4 + 252
+    for boff in range(0, len(data), block_align):
+        block = data[boff : boff + block_align]
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = block[2]
+        out.append(pred)
+        emitted = 0
+        for byte in block[4:]:
+            for nb in (byte & 15, byte >> 4):
+                if emitted >= 504:
+                    break
+                step = steps[index]
+                d = step >> 3
+                if nb & 1:
+                    d += step >> 2
+                if nb & 2:
+                    d += step >> 1
+                if nb & 4:
+                    d += step
+                pred = pred - d if nb & 8 else pred + d
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + adj[nb & 7]))
+                out.append(pred)
+                emitted += 1
+    assert list(got) == out[:fact]
+
+
+def test_adpcm_tracks_smooth_signal():
+    import numpy as np
+
+    t = np.arange(2000)
+    sig = (8000 * np.sin(t / 40.0)).astype(np.int64)
+    _, dec = multimodal.parse_wav_adpcm(multimodal.encode_wav_adpcm(sig))
+    # steady-state tracking error stays well under the signal swing
+    assert np.abs(dec[50:] - sig[50:]).max() < 600
+
+
+def test_adpcm_rejects_non_adpcm_and_bad_index():
+    import numpy as np
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        multimodal.parse_wav_adpcm(b"garbage!")
+    blob = bytearray(
+        multimodal.encode_wav_adpcm(np.zeros(600, dtype=np.int64))
+    )
+    # corrupt the first block's step index past 88
+    data_at = bytes(blob).index(b"data") + 8
+    blob[data_at + 2] = 99
+    with _pytest.raises(ValueError, match="index"):
+        multimodal.parse_wav_adpcm(bytes(blob))
