@@ -388,6 +388,75 @@ FROM allr WHERE k = (SELECT k FROM pick) ORDER BY node
 """
 
 
+def _kmeans_sql(
+    k: int = 8, max_iter: int = 15, eps: int = 10_000
+) -> str:
+    """Unrolled exact-integer Lloyd's k-means oracle mirroring
+    similarity.kmeans_exact: micro-unit + offset quantization (all
+    values nonnegative so truncating and flooring division agree),
+    argmin ties to the lowest cluster id, truncating-integer centroid
+    means, empty clusters carry forward, first iteration with
+    max-delta <= eps wins (else the cap). AS MATERIALIZED throughout:
+    DuckDB's default CTE inlining expands an iteration chain
+    exponentially."""
+    off = 1 << 20
+    sql = f"""WITH pts AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) + {off} AS q
+    FROM embeddings
+),
+seeds AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+    FROM embeddings ORDER BY vec_id LIMIT {k}
+),
+c0 AS MATERIALIZED (
+    SELECT s.cid, p.dim, p.q AS c FROM seeds s JOIN pts p USING (vec_id)
+)"""
+    for i in range(1, max_iter + 1):
+        sql += f""",
+d{i} AS (
+    SELECT p.vec_id, c.cid,
+           sum((p.q - c.c) * (p.q - c.c)) AS dist
+    FROM pts p JOIN c{i - 1} c USING (dim) GROUP BY 1, 2
+),
+a{i} AS MATERIALIZED (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d{i}
+    ) WHERE rn = 1
+),
+c{i} AS MATERIALIZED (
+    SELECT o.cid, o.dim, CAST(coalesce(n.cn, o.c) AS BIGINT) AS c
+    FROM c{i - 1} o LEFT JOIN (
+        SELECT a.cluster AS cid, p.dim, sum(p.q) // count(*) AS cn
+        FROM a{i} a JOIN pts p USING (vec_id) GROUP BY 1, 2
+    ) n ON o.cid = n.cid AND o.dim = n.dim
+),
+delta{i} AS (
+    SELECT {i} AS it, max(abs(a.c - b.c)) AS delta
+    FROM c{i} a JOIN c{i - 1} b ON a.cid = b.cid AND a.dim = b.dim
+)"""
+    deltas = " UNION ALL ".join(
+        f"SELECT it, delta FROM delta{i}" for i in range(1, max_iter + 1)
+    )
+    alls = " UNION ALL ".join(
+        f"SELECT {i} AS it, vec_id, cluster FROM a{i}"
+        for i in range(1, max_iter + 1)
+    )
+    return sql + f""",
+pick AS (
+    SELECT coalesce(min(it), {max_iter}) AS it
+    FROM ({deltas}) WHERE delta <= {eps}
+),
+alla AS ({alls})
+SELECT vec_id, CAST(cluster AS INT) AS cluster,
+       CAST((SELECT it FROM pick) AS INT) AS iterations
+FROM alla WHERE it = (SELECT it FROM pick) ORDER BY vec_id
+"""
+
+
 def _pagerank_rootavg_sql(iterations: int = 2) -> str:
     sql = (
         "WITH "
@@ -1994,6 +2063,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("vec_id").alias("probe_id"), "embedding"),
             k=5,
         ),
+        # distributed exact-integer Lloyd's k-means run to a
+        # data-driven stop (Observation-folded centroid delta, the
+        # pagerank_converged mechanism applied to iterative ML)
+        "sim_kmeans_exact": lambda s, d: similarity.kmeans_exact(
+            _t(s, d, "embeddings"), k=8, max_iterations=15, eps=10_000
+        ),
         "text_document_profile": lambda s, d: textstats.document_profile(
             _t(s, d, "documents")
         ),
@@ -3466,6 +3541,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_sql(iterations=3),
         "graph_pagerank_converged": _pagerank_converged_sql(),
+        "sim_kmeans_exact": _kmeans_sql(),
         "graph_hits": _hits_sql(iterations=2),
         # independent relational reimplementation of the Chromium
         # ParsedCookie semantics (no terminators/overlong lines in

@@ -321,6 +321,131 @@ def _argmax_cell(cents: list[list[float]]):
     return assign
 
 
+KMEANS_QUANT_OFFSET = 1 << 20  # shifts micro-unit coords nonnegative
+
+
+def kmeans_exact(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iterations: int = 15,
+    eps: int = 10_000,
+) -> DataFrame:
+    """Fully DISTRIBUTED Lloyd's k-means in exact integer arithmetic,
+    run to convergence: (vec_id, cluster, iterations).
+
+    Unlike kmeans_cells (driver-side training on a bounded sample --
+    the IVF-quantizer posture), every step here is a Catalyst plan
+    over the full corpus: assignment is an exploded (vec_id, dim, q)
+    long table joined against the broadcast k x dim centroid table
+    (O(n*k*d) rows, the irreducible Lloyd cost), and the centroid
+    update is one groupBy(cluster, dim). Termination reuses the
+    Observation discipline of pagerank_converged/_star_contraction:
+    each iteration's own checkpoint job observes
+    max|centroid_t - centroid_{t-1}|, and the loop stops at the exact
+    integer fixpoint (delta 0) -- zero extra actions per iteration.
+
+    Exactness disciplines: coordinates quantize to micro-units
+    (floor(x*1e6 + 0.5)) shifted by KMEANS_QUANT_OFFSET so every
+    value is nonnegative (truncating vs flooring integer division can
+    never diverge across engines); distances are exact bigint
+    sums of squared differences (offset-invariant); ties in the
+    argmin break to the LOWEST cluster id via struct-min ordering;
+    centroid means are truncating integer division; an empty cluster
+    keeps its previous centroid. The whole trajectory is therefore
+    bit-identical under any partitioning or engine -- the oracle
+    unrolls the same iterations in SQL and hash-matches.
+    """
+    from pyspark.sql import Observation
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pts = (
+        embeddings.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "val")
+        )
+        .select(
+            "vec_id",
+            "dim",
+            (
+                F.floor(F.col("val").cast("double") * 1e6 + F.lit(0.5))
+                .cast("long")
+                + F.lit(KMEANS_QUANT_OFFSET)
+            ).alias("q"),
+        )
+        .localCheckpoint(eager=False)  # loop-invariant
+    )
+    # deterministic seeds: the k lowest vec_ids ARE the initial
+    # centroids (cluster id = seed rank)
+    seeds = (
+        embeddings.select("vec_id")
+        .orderBy("vec_id")
+        .limit(k)
+        .withColumn(
+            "cid",
+            F.row_number().over(Window.orderBy("vec_id")).cast("int") - 1,
+        )
+    )
+    cents = (
+        pts.join(F.broadcast(seeds), "vec_id")
+        .select("cid", "dim", F.col("q").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    assign = None
+    iterations = 0
+    for _ in range(max_iterations):
+        dists = (
+            pts.join(F.broadcast(cents), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))
+                ).alias("dist")
+            )
+        )
+        assign = (
+            dists.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cluster"))
+        )
+        new = (
+            assign.join(pts, "vec_id")
+            .groupBy(F.col("cluster").alias("cid"), F.col("dim"))
+            .agg(F.expr("sum(q) DIV count(1)").alias("cn"))
+        )
+        obs = Observation()
+        cents = (
+            cents.join(new, ["cid", "dim"], "left")
+            .select(
+                "cid",
+                "dim",
+                F.col("c").alias("_prev"),
+                # empty cluster keeps its previous centroid
+                F.coalesce("cn", "c").alias("c"),
+            )
+            .observe(
+                obs, F.max(F.abs(F.col("c") - F.col("_prev"))).alias("delta")
+            )
+            .select("cid", "dim", "c")
+            .localCheckpoint(eager=True)
+        )
+        iterations += 1
+        delta = obs.get["delta"]
+        # eps in micro-units: truncating integer means can oscillate
+        # by a unit or two around the fixpoint, so a small eps stops
+        # at "centroids moved by <= eps * 1e-6 in every coordinate"
+        if delta is None or delta <= eps:
+            break
+    return (
+        assign.select(
+            "vec_id",
+            "cluster",
+            F.lit(iterations).cast("int").alias("iterations"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def kmeans_cells(
     embeddings: DataFrame,
     k: int = 16,

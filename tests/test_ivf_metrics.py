@@ -63,3 +63,35 @@ def test_observed_metrics_single_action(spark):
     )
     assert out.count() == 3
     assert obs.get == {"rows": 3, "null_v": 2}
+
+
+def test_kmeans_exact_separates_planted_clusters(spark):
+    """Two well-separated planted blobs with k=2: the exact-integer
+    Lloyd loop must converge (data-driven iterations below the cap),
+    assign each blob to one cluster, and be deterministic across
+    partitionings."""
+    from pyspark.sql import Row
+
+    from commoncrawl_crawler_spark.operators import similarity
+
+    rows = []
+    for i in range(30):
+        base = 0.4 if i % 2 == 0 else -0.4
+        vec = [base + ((i * 7 + d * 13) % 11 - 5) * 0.001 for d in range(8)]
+        rows.append(Row(vec_id=i, embedding=vec, label=i % 2))
+    emb = spark.createDataFrame(rows)
+    out = similarity.kmeans_exact(
+        emb, k=2, max_iterations=20, eps=0
+    ).collect()
+    iters = out[0]["iterations"]
+    assert 1 < iters < 20  # exact fixpoint reached, data-driven
+    by_parity = {0: set(), 1: set()}
+    for r in out:
+        by_parity[r["vec_id"] % 2].add(r["cluster"])
+    assert by_parity[0] != by_parity[1]  # blobs land in different clusters
+    assert all(len(s) == 1 for s in by_parity.values())
+    # partitioning independence: identical assignment from 1 partition
+    out2 = similarity.kmeans_exact(
+        emb.repartition(1), k=2, max_iterations=20, eps=0
+    ).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
