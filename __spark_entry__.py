@@ -2241,6 +2241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_gif",
         "mm_decode_jpeg",
         "mm_decode_jpeg_color",
+        "mm_decode_jpeg_420",
+        "mm_decode_adpcm",
+        "sim_kmeans_exact",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -2283,13 +2286,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_keywords",
         "text_unigram_surprisal",
         "text_vocabulary",
-        # (d) stalest anchors (last green r2); fn_url_canonicalize,
-        # agg_moving_daily_avg, skew_salted_join, filter_text_grep
-        # yield their slots to the WARC/GIF/JPEG/color-JPEG gates
-        # (r2-green, code unchanged, pytest-covered)
-        "setop_distinct",
-        "setop_except",
-        "dedup_exact",
+        # (d) stalest anchor (last green r2). Never-driver-validated
+        # gates outrank re-validation: fn_url_canonicalize,
+        # agg_moving_daily_avg, skew_salted_join, filter_text_grep,
+        # setop_distinct, setop_except, dedup_exact yielded their
+        # slots to the WARC/GIF/JPEG x3/ADPCM/kmeans gates (all
+        # r2-green, code unchanged, pytest-covered, and swept at both
+        # SFs in CORRECTNESS_SELF_r05*)
         "win_topk_per_group",
     ]
     ordered = {k: base[k] for k in priority}
