@@ -228,7 +228,15 @@ def synthesize_wav(documents: DataFrame) -> DataFrame:
             StructField("content", BinaryType()),
         ]
     )
-    return documents.select("doc_id").mapInPandas(_synth, schema)
+    # repartition the narrow id column first: the single-file scan
+    # is ONE partition, which would serialize the Python codec
+    # work on one core (see the module docstring: repartition
+    # BEFORE attaching payloads)
+    return (
+        documents.select("doc_id")
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(_synth, schema)
+    )
 
 
 def parse_wav_bytes(blob: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -366,10 +374,18 @@ def encode_wav_adpcm(
             index = 0
         pred = chunk[0]
         data += struct.pack("<hBB", pred, index, 0)
-        nibbles = []
-        for v in chunk[1:]:
-            nb, pred, index = _ima_encode_sample(v, pred, index)
-            nibbles.append(nb)
+        rest = chunk[1:]
+        if index == 0 and all(v == pred for v in rest):
+            # constant block at step index 0: every nibble is 0 and
+            # the reconstruction delta is step_table[0] >> 3 == 0 --
+            # skip the per-sample loop (the hot path for the
+            # exactly-decodable synthetic corpus)
+            nibbles = [0] * len(rest)
+        else:
+            nibbles = []
+            for v in rest:
+                nb, pred, index = _ima_encode_sample(v, pred, index)
+                nibbles.append(nb)
         if len(nibbles) % 2:
             nibbles.append(0)
         for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
@@ -476,7 +492,15 @@ def synthesize_adpcm(documents: DataFrame) -> DataFrame:
             StructField("content", BinaryType()),
         ]
     )
-    return documents.select("doc_id").mapInPandas(_synth, schema)
+    # repartition the narrow id column first: the single-file scan
+    # is ONE partition, which would serialize the Python codec
+    # work on one core (see the module docstring: repartition
+    # BEFORE attaching payloads)
+    return (
+        documents.select("doc_id")
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(_synth, schema)
+    )
 
 
 def decode_adpcm(media: DataFrame) -> DataFrame:
@@ -579,7 +603,15 @@ def synthesize_ppm(documents: DataFrame) -> DataFrame:
             StructField("content", BinaryType()),
         ]
     )
-    return documents.select("doc_id").mapInPandas(_synth, schema)
+    # repartition the narrow id column first: the single-file scan
+    # is ONE partition, which would serialize the Python codec
+    # work on one core (see the module docstring: repartition
+    # BEFORE attaching payloads)
+    return (
+        documents.select("doc_id")
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(_synth, schema)
+    )
 
 
 def parse_ppm_bytes(blob: bytes) -> tuple[int, int, np.ndarray]:
@@ -650,7 +682,15 @@ def synthesize_png(documents: DataFrame) -> DataFrame:
             StructField("content", BinaryType()),
         ]
     )
-    return documents.select("doc_id").mapInPandas(_synth, schema)
+    # repartition the narrow id column first: the single-file scan
+    # is ONE partition, which would serialize the Python codec
+    # work on one core (see the module docstring: repartition
+    # BEFORE attaching payloads)
+    return (
+        documents.select("doc_id")
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(_synth, schema)
+    )
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -1306,7 +1346,15 @@ def synthesize_jpeg(documents: DataFrame) -> DataFrame:
             StructField("content", BinaryType()),
         ]
     )
-    return documents.select("doc_id").mapInPandas(_synth, schema)
+    # repartition the narrow id column first: the single-file scan
+    # is ONE partition, which would serialize the Python codec
+    # work on one core (see the module docstring: repartition
+    # BEFORE attaching payloads)
+    return (
+        documents.select("doc_id")
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(_synth, schema)
+    )
 
 
 def synthesize_jpeg_color(documents: DataFrame) -> DataFrame:
@@ -1341,7 +1389,15 @@ def synthesize_jpeg_color(documents: DataFrame) -> DataFrame:
             StructField("content", BinaryType()),
         ]
     )
-    return documents.select("doc_id").mapInPandas(_synth, schema)
+    # repartition the narrow id column first: the single-file scan
+    # is ONE partition, which would serialize the Python codec
+    # work on one core (see the module docstring: repartition
+    # BEFORE attaching payloads)
+    return (
+        documents.select("doc_id")
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(_synth, schema)
+    )
 
 
 def synthesize_jpeg_420(documents: DataFrame) -> DataFrame:
@@ -1387,7 +1443,15 @@ def synthesize_jpeg_420(documents: DataFrame) -> DataFrame:
             StructField("content", BinaryType()),
         ]
     )
-    return documents.select("doc_id").mapInPandas(_synth, schema)
+    # repartition the narrow id column first: the single-file scan
+    # is ONE partition, which would serialize the Python codec
+    # work on one core (see the module docstring: repartition
+    # BEFORE attaching payloads)
+    return (
+        documents.select("doc_id")
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(_synth, schema)
+    )
 
 
 def decode_jpeg_color(media: DataFrame) -> DataFrame:
@@ -1661,7 +1725,15 @@ def synthesize_gif(documents: DataFrame) -> DataFrame:
             StructField("content", BinaryType()),
         ]
     )
-    return documents.select("doc_id").mapInPandas(_synth, schema)
+    # repartition the narrow id column first: the single-file scan
+    # is ONE partition, which would serialize the Python codec
+    # work on one core (see the module docstring: repartition
+    # BEFORE attaching payloads)
+    return (
+        documents.select("doc_id")
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(_synth, schema)
+    )
 
 
 def decode_gif(media: DataFrame) -> DataFrame:
