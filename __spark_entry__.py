@@ -987,6 +987,59 @@ def _warc_roundtrip(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _warc_http_extract(s: SparkSession, d: str) -> DataFrame:
+    """documents -> WARC response records whose blocks are REAL HTTP
+    messages -> warc_http_responses (pure Column-expression payload
+    split; the canonical first step of any CommonCrawl consumer)."""
+    tmp = _scratch("warchttp", d, fresh=True)
+    did = F.col("doc_id")
+    http_block = F.encode(
+        F.concat(
+            F.lit("HTTP/1.1 "),
+            F.when(did % 10 == 0, F.lit("404 Not Found")).otherwise(
+                F.lit("200 OK")
+            ),
+            F.lit("\r\nServer: ref/1.0\r\nContent-Type: text/"),
+            F.col("lang"),
+            F.lit("; charset=utf-8\r\nX-Doc: "),
+            did.cast("string"),
+            F.lit("\r\n\r\n"),
+            F.col("text"),
+        ),
+        "UTF-8",
+    )
+    docs = _t(s, d, "documents").select(
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("<urn:uuid:h"), did.cast("string"), F.lit(">")).alias(
+            "record_id"
+        ),
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/h/"),
+            did.cast("string"),
+        ).alias("target_uri"),
+        F.format_string(
+            "2024-03-%02dT%02d:%02d:00Z", did % 28 + 1, did % 24, did % 60
+        ).alias("warc_date"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        http_block.alias("block"),
+    )
+    archive.write_warc(docs, tmp)
+    return (
+        archive.warc_http_responses(archive.read_warc(s, tmp))
+        .select(
+            F.regexp_extract("target_uri", "/h/(\\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "target_uri",
+            "warc_date",
+            "status_code",
+            "http_content_type",
+            F.decode("body", "UTF-8").alias("text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _csv_roundtrip(s: SparkSession, d: str) -> DataFrame:
     """documents -> tab-separated rank list -> schema'd csv read."""
     tmp = _scratch("csv", d)
@@ -1993,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_archive_roundtrip": _archive_roundtrip,
         "source_arc_v1_roundtrip": _arc_v1_roundtrip,
         "source_warc_roundtrip": _warc_roundtrip,
+        "source_warc_http_extract": _warc_http_extract,
         "source_csv_import": _csv_roundtrip,
         "source_timeseries_tail": _timeseries_tail,
         "source_multi_sink": _multi_sink_readback,
@@ -3345,6 +3399,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(l) AS INT) AS min_px,
                    CAST(list_max(l) AS INT) AS max_px
             FROM px ORDER BY media_id
+        """,
+        # HTTP-payload extraction: status/content-type/body are all
+        # recomputable from the synthesized message
+        "source_warc_http_extract": """
+            SELECT doc_id,
+                   'http://' || source || '.example.com/h/'
+                       || CAST(doc_id AS VARCHAR) AS target_uri,
+                   printf('2024-03-%02dT%02d:%02d:00Z',
+                          doc_id % 28 + 1, doc_id % 24,
+                          doc_id % 60) AS warc_date,
+                   CAST(CASE WHEN doc_id % 10 = 0 THEN 404
+                             ELSE 200 END AS INT) AS status_code,
+                   'text/' || lang || '; charset=utf-8'
+                       AS http_content_type,
+                   text
+            FROM documents ORDER BY doc_id
         """,
         # identity oracle for the WARC roundtrip: every column is
         # recomputable from the producing documents row

@@ -745,6 +745,44 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def warc_http_responses(warc: DataFrame) -> DataFrame:
+    """Extract the HTTP payload from WARC response records -- the
+    first processing step of every CommonCrawl consumer -- entirely
+    with JVM Column expressions (no Python in the hot path).
+
+    The block is an HTTP/1.x message: status line, headers, CRLF CRLF,
+    body. Decoding with ISO-8859-1 is byte-lossless (every byte maps
+    to one char and back), so splitting textually and re-encoding the
+    body returns the EXACT body bytes even for binary payloads.
+
+    Returns (target_uri, warc_date, status_code, http_content_type,
+    body); non-response records and blocks without an HTTP header
+    terminator are filtered out.
+    """
+    txt = F.decode(F.col("block"), "ISO-8859-1")
+    out = (
+        warc.filter(F.col("warc_type") == "response")
+        .withColumn("_txt", txt)
+        .withColumn("_sep", F.instr(F.col("_txt"), "\r\n\r\n"))
+        .filter(F.col("_sep") > 0)
+    )
+    head = F.expr("substring(_txt, 1, _sep - 1)")
+    return out.select(
+        "target_uri",
+        "warc_date",
+        F.regexp_extract(head, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+        .cast("int")
+        .alias("status_code"),
+        # case-insensitive, first occurrence; value runs to end of line
+        F.regexp_extract(
+            head, "(?i)\\r\\ncontent-type:[ \\t]*([^\\r\\n]*)", 1
+        ).alias("http_content_type"),
+        F.encode(F.expr("substring(_txt, _sep + 4)"), "ISO-8859-1").alias(
+            "body"
+        ),
+    )
+
+
 def read_arc_v1_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming ARC v1 source (util/StreamingArcFileReader.java): the
     same member-walk parse over archives as they LAND in a directory —

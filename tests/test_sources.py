@@ -451,3 +451,34 @@ def test_warc_rejects_bad_members(spark, tmp_path):
         archive._parse_warc_member(
             b"WARC/1.0\r\nWARC-Type: response\r\n\r\nxx\r\n\r\n"
         )
+
+
+def test_warc_http_responses_binary_body_lossless(spark, tmp_path):
+    """The ISO-8859-1 split must return EXACT body bytes even for
+    binary payloads containing CRLFCRLF and non-UTF-8 bytes, and
+    non-response / terminator-less records are filtered out."""
+    path = str(tmp_path / "w")
+    body = bytes(range(256)) + b"\r\n\r\n" + bytes(range(255, -1, -1))
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n\r\n" + body
+    rows = [
+        ("response", "<urn:uuid:1>", "http://a/", "2024-01-01T00:00:00Z",
+         "application/http; msgtype=response", http),
+        # request record: filtered
+        ("request", "<urn:uuid:2>", "http://a/", "2024-01-01T00:00:00Z",
+         "application/http; msgtype=request", b"GET / HTTP/1.1\r\n\r\n"),
+        # response with NO header terminator: filtered, not crashed
+        ("response", "<urn:uuid:3>", "http://b/", "2024-01-01T00:00:00Z",
+         "application/http; msgtype=response", b"HTTP/1.1 200 OK"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "warc_type string, record_id string, target_uri string, "
+        "warc_date string, content_type string, block binary",
+    )
+    archive.write_warc(df, path)
+    out = archive.warc_http_responses(archive.read_warc(spark, path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["status_code"] == 200
+    assert r["http_content_type"] == "application/octet-stream"
+    assert bytes(r["body"]) == body  # byte-exact through latin-1
