@@ -49,6 +49,64 @@ MEDIA_SCHEMA = StructType(
 N_FEATURES = 16  # byte-histogram bins for the fake feature extractor
 
 
+_MEDIA_BLOB_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def _synthesize_media(documents: DataFrame, blob_fn) -> DataFrame:
+    """Shared synthesizer shell: narrow doc_id projection,
+    repartitioned to defaultParallelism FIRST (the single-file
+    documents scan is one partition, which would serialize the Python
+    codec work on one core -- see the module docstring), then an
+    Arrow-batched `blob_fn(doc_id) -> bytes` per row."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(m) for m in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"media_id": ids, "content": [blob_fn(m) for m in ids]}
+            )
+
+    return (
+        documents.select("doc_id")
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(_synth, _MEDIA_BLOB_SCHEMA)
+    )
+
+
+def _decode_rgb_features(media: DataFrame, parse_fn) -> DataFrame:
+    """Shared decode shell for (w, h, flat-RGB-array) parsers ->
+    PPM_FEATURES rows. Zero-pixel media raises a ValueError naming
+    the item instead of an opaque numpy reduction error."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PPM_FEATURES.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, arr = parse_fn(bytes(blob))
+                if arr.size == 0:
+                    raise ValueError(
+                        f"zero-pixel media for media_id={int(mid)}"
+                    )
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(arr[0::3].sum()))
+                rows["sum_g"].append(int(arr[1::3].sum()))
+                rows["sum_b"].append(int(arr[2::3].sum()))
+                rows["min_px"].append(int(arr.min()))
+                rows["max_px"].append(int(arr.max()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _decode, PPM_FEATURES
+    )
+
+
 def media_from_documents(documents: DataFrame, mime: str = "fake/blob") -> DataFrame:
     """Wrap document text bytes as a media table (test harness path;
     production ingests real bytes from archives/object store)."""
@@ -201,42 +259,22 @@ def synthesize_wav(documents: DataFrame) -> DataFrame:
     sample_rate 8000. Real RIFF/WAVE container bytes."""
     import struct
 
-    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, blobs = [], []
-            for mid in pdf["doc_id"]:
-                mid = int(mid)
-                n = 1024 + mid % 1024
-                i = np.arange(n, dtype=np.int64)
-                samples = ((mid * 7 + i * 13) % 256).astype(np.uint8)
-                header = (
-                    b"RIFF"
-                    + struct.pack("<I", 36 + n)
-                    + b"WAVE"
-                    + b"fmt "
-                    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
-                    + b"data"
-                    + struct.pack("<I", n)
-                )
-                ids.append(mid)
-                blobs.append(header + samples.tobytes())
-            yield pd.DataFrame({"media_id": ids, "content": blobs})
+    def _blob(mid: int) -> bytes:
+        n = 1024 + mid % 1024
+        i = np.arange(n, dtype=np.int64)
+        samples = ((mid * 7 + i * 13) % 256).astype(np.uint8)
+        header = (
+            b"RIFF"
+            + struct.pack("<I", 36 + n)
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data"
+            + struct.pack("<I", n)
+        )
+        return header + samples.tobytes()
 
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("content", BinaryType()),
-        ]
-    )
-    # repartition the narrow id column first: the single-file scan
-    # is ONE partition, which would serialize the Python codec
-    # work on one core (see the module docstring: repartition
-    # BEFORE attaching payloads)
-    return (
-        documents.select("doc_id")
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-        .mapInPandas(_synth, schema)
-    )
+    return _synthesize_media(documents, _blob)
 
 
 def parse_wav_bytes(blob: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -472,35 +510,13 @@ def synthesize_adpcm(documents: DataFrame) -> DataFrame:
     stream decodes bit-exactly, so the decode oracle is closed-form
     (the ADPCM analog of the flat-block JPEG trick)."""
 
-    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, blobs = [], []
-            for mid in pdf["doc_id"]:
-                mid = int(mid)
-                n = 1024 + mid % 1024
-                i = np.arange(n, dtype=np.int64)
-                vals = ((mid * 13 + (i // 505) * 37) % 4096) - 2048
-                ids.append(mid)
-                blobs.append(
-                    encode_wav_adpcm(vals, reset_index_per_block=True)
-                )
-            yield pd.DataFrame({"media_id": ids, "content": blobs})
+    def _blob(mid: int) -> bytes:
+        n = 1024 + mid % 1024
+        i = np.arange(n, dtype=np.int64)
+        vals = ((mid * 13 + (i // 505) * 37) % 4096) - 2048
+        return encode_wav_adpcm(vals, reset_index_per_block=True)
 
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("content", BinaryType()),
-        ]
-    )
-    # repartition the narrow id column first: the single-file scan
-    # is ONE partition, which would serialize the Python codec
-    # work on one core (see the module docstring: repartition
-    # BEFORE attaching payloads)
-    return (
-        documents.select("doc_id")
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-        .mapInPandas(_synth, schema)
-    )
+    return _synthesize_media(documents, _blob)
 
 
 def decode_adpcm(media: DataFrame) -> DataFrame:
@@ -513,6 +529,10 @@ def decode_adpcm(media: DataFrame) -> DataFrame:
             rows = {k.name: [] for k in WAV_FEATURES.fields}
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 rate, arr = _parse(bytes(blob))
+                if arr.size == 0:
+                    raise ValueError(
+                        f"zero-sample ADPCM file for media_id={int(mid)}"
+                    )
                 rows["media_id"].append(int(mid))
                 rows["sample_rate"].append(rate)
                 rows["bits"].append(4)
@@ -584,34 +604,14 @@ def synthesize_ppm(documents: DataFrame) -> DataFrame:
     height = 6 + doc_id % 7, flat RGB byte p = (doc_id*3 + p*5) % 256.
     Real netpbm container bytes (binary P6 with ASCII header)."""
 
-    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, blobs = [], []
-            for mid in pdf["doc_id"]:
-                mid = int(mid)
-                w, h = 8 + mid % 9, 6 + mid % 7
-                p = np.arange(w * h * 3, dtype=np.int64)
-                pixels = ((mid * 3 + p * 5) % 256).astype(np.uint8)
-                header = f"P6\n{w} {h}\n255\n".encode("ascii")
-                ids.append(mid)
-                blobs.append(header + pixels.tobytes())
-            yield pd.DataFrame({"media_id": ids, "content": blobs})
+    def _blob(mid: int) -> bytes:
+        w, h = 8 + mid % 9, 6 + mid % 7
+        p = np.arange(w * h * 3, dtype=np.int64)
+        pixels = ((mid * 3 + p * 5) % 256).astype(np.uint8)
+        header = f"P6\n{w} {h}\n255\n".encode("ascii")
+        return header + pixels.tobytes()
 
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("content", BinaryType()),
-        ]
-    )
-    # repartition the narrow id column first: the single-file scan
-    # is ONE partition, which would serialize the Python codec
-    # work on one core (see the module docstring: repartition
-    # BEFORE attaching payloads)
-    return (
-        documents.select("doc_id")
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-        .mapInPandas(_synth, schema)
-    )
+    return _synthesize_media(documents, _blob)
 
 
 def parse_ppm_bytes(blob: bytes) -> tuple[int, int, np.ndarray]:
@@ -660,37 +660,15 @@ def synthesize_png(documents: DataFrame) -> DataFrame:
     through all five spec types ((row + doc_id) % 5) so the reader's
     unfilter pass is genuinely exercised, not just filter-0."""
 
-    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, blobs = [], []
-            for mid in pdf["doc_id"]:
-                mid = int(mid)
-                w, h = 8 + mid % 9, 6 + mid % 7
-                p = np.arange(w * h * 3, dtype=np.int64)
-                pixels = ((mid * 3 + p * 5) % 256).astype(np.uint8)
-                ids.append(mid)
-                blobs.append(
-                    encode_png_bytes(
-                        w, h, pixels, filter_for_row=lambda r, m=mid: (r + m) % 5
-                    )
-                )
-            yield pd.DataFrame({"media_id": ids, "content": blobs})
+    def _blob(mid: int) -> bytes:
+        w, h = 8 + mid % 9, 6 + mid % 7
+        p = np.arange(w * h * 3, dtype=np.int64)
+        pixels = ((mid * 3 + p * 5) % 256).astype(np.uint8)
+        return encode_png_bytes(
+                w, h, pixels, filter_for_row=lambda r, m=mid: (r + m) % 5
+            )
 
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("content", BinaryType()),
-        ]
-    )
-    # repartition the narrow id column first: the single-file scan
-    # is ONE partition, which would serialize the Python codec
-    # work on one core (see the module docstring: repartition
-    # BEFORE attaching payloads)
-    return (
-        documents.select("doc_id")
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-        .mapInPandas(_synth, schema)
-    )
+    return _synthesize_media(documents, _blob)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -800,6 +778,8 @@ def parse_png_bytes(blob: bytes) -> tuple[int, int, np.ndarray]:
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
     if depth != 8 or ctype not in (0, 2) or comp != 0 or filt != 0:
         raise ValueError(
             f"unsupported PNG variant (depth={depth} color={ctype})"
@@ -847,24 +827,7 @@ def decode_png(media: DataFrame) -> DataFrame:
     """Real PNG decode (stdlib zlib: chunk walk + unfilter), emitting
     the same feature row shape as decode_ppm so the two containers
     are interchangeable downstream."""
-    _parse = parse_png_bytes
-
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {k.name: [] for k in PPM_FEATURES.fields}
-            for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                w, h, arr = _parse(bytes(blob))
-                rows["media_id"].append(int(mid))
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["sum_r"].append(int(arr[0::3].sum()))
-                rows["sum_g"].append(int(arr[1::3].sum()))
-                rows["sum_b"].append(int(arr[2::3].sum()))
-                rows["min_px"].append(int(arr.min()))
-                rows["max_px"].append(int(arr.max()))
-            yield pd.DataFrame(rows)
-
-    return media.select("media_id", "content").mapInPandas(_decode, PPM_FEATURES)
+    return _decode_rgb_features(media, parse_png_bytes)
 
 
 # --- JPEG (baseline sequential DCT, grayscale) -- public spec
@@ -1141,8 +1104,11 @@ def _receive_extend(reader: _BitReader, size: int) -> int:
 def _parse_jpeg_planes(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
     """Stdlib+numpy baseline JPEG decoder core -> (width, height,
     per-component planes). Supports 8-bit SOF0 with 1 (gray) or 3
-    (YCbCr) components at full resolution (4:4:4; subsampling and
-    progressive are rejected loudly, never mis-decoded). Marker walk
+    (YCbCr) components at sampling factors up to 2x2 -- 4:4:4 and
+    the dominant 4:2:0 layout both decode (subsampled chroma
+    upsamples by pixel replication; real decoders may smooth-upsample
+    -- the one documented delta); factors above 2 and progressive
+    (SOF2) are rejected loudly, never mis-decoded. Marker walk
     (DQT/DHT may repeat, APPn/COM skipped), canonical Huffman from
     DHT, per-component DC prediction across interleaved MCUs, dequant
     + dezigzag, orthonormal IDCT, level unshift, clamp, crop."""
@@ -1323,38 +1289,18 @@ def synthesize_jpeg(documents: DataFrame) -> DataFrame:
     exactly, so the lossy pipeline is bit-exact and the decode oracle
     is closed-form."""
 
-    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, blobs = [], []
-            for mid in pdf["doc_id"]:
-                mid = int(mid)
-                w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
-                bw = w // 8
-                img = np.zeros((h, w), dtype=np.float64)
-                for by in range(h // 8):
-                    for bx in range(bw):
-                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                            mid * 7 + (by * bw + bx) * 13
-                        ) % 256
-                ids.append(mid)
-                blobs.append(encode_jpeg_gray(w, h, img))
-            yield pd.DataFrame({"media_id": ids, "content": blobs})
+    def _blob(mid: int) -> bytes:
+        w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+        bw = w // 8
+        img = np.zeros((h, w), dtype=np.float64)
+        for by in range(h // 8):
+            for bx in range(bw):
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    mid * 7 + (by * bw + bx) * 13
+                ) % 256
+        return encode_jpeg_gray(w, h, img)
 
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("content", BinaryType()),
-        ]
-    )
-    # repartition the narrow id column first: the single-file scan
-    # is ONE partition, which would serialize the Python codec
-    # work on one core (see the module docstring: repartition
-    # BEFORE attaching payloads)
-    return (
-        documents.select("doc_id")
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-        .mapInPandas(_synth, schema)
-    )
+    return _synthesize_media(documents, _blob)
 
 
 def synthesize_jpeg_color(documents: DataFrame) -> DataFrame:
@@ -1363,41 +1309,21 @@ def synthesize_jpeg_color(documents: DataFrame) -> DataFrame:
     y = (id*7 + i*13) % 256, cb = (id*11 + i*19) % 256,
     cr = (id*5 + i*23) % 256 for block index i."""
 
-    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, blobs = [], []
-            for mid in pdf["doc_id"]:
-                mid = int(mid)
-                w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
-                bw = w // 8
-                planes = []
-                for a, b in ((7, 13), (11, 19), (5, 23)):
-                    p = np.zeros((h, w), dtype=np.float64)
-                    for by in range(h // 8):
-                        for bx in range(bw):
-                            p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                                mid * a + (by * bw + bx) * b
-                            ) % 256
-                    planes.append(p)
-                ids.append(mid)
-                blobs.append(encode_jpeg_ycbcr(w, h, *planes))
-            yield pd.DataFrame({"media_id": ids, "content": blobs})
+    def _blob(mid: int) -> bytes:
+        w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+        bw = w // 8
+        planes = []
+        for a, b in ((7, 13), (11, 19), (5, 23)):
+            p = np.zeros((h, w), dtype=np.float64)
+            for by in range(h // 8):
+                for bx in range(bw):
+                    p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        mid * a + (by * bw + bx) * b
+                    ) % 256
+            planes.append(p)
+        return encode_jpeg_ycbcr(w, h, *planes)
 
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("content", BinaryType()),
-        ]
-    )
-    # repartition the narrow id column first: the single-file scan
-    # is ONE partition, which would serialize the Python codec
-    # work on one core (see the module docstring: repartition
-    # BEFORE attaching payloads)
-    return (
-        documents.select("doc_id")
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-        .mapInPandas(_synth, schema)
-    )
+    return _synthesize_media(documents, _blob)
 
 
 def synthesize_jpeg_420(documents: DataFrame) -> DataFrame:
@@ -1406,76 +1332,37 @@ def synthesize_jpeg_420(documents: DataFrame) -> DataFrame:
     chroma flat per 16x16 MACROBLOCK (id*11 + m*19 / id*5 + m*23) so
     the 2x2 box downsample and nearest upsample are both exact."""
 
-    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, blobs = [], []
-            for mid in pdf["doc_id"]:
-                mid = int(mid)
-                w, h = 16 * (1 + mid % 2), 16
-                bw = w // 8
-                y = np.zeros((h, w), dtype=np.float64)
-                for by in range(h // 8):
-                    for bx in range(bw):
-                        y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                            mid * 7 + (by * bw + bx) * 13
-                        ) % 256
-                mw = w // 16
-                cb = np.zeros((h, w), dtype=np.float64)
-                cr = np.zeros((h, w), dtype=np.float64)
-                for my in range(h // 16):
-                    for mx in range(mw):
-                        m = my * mw + mx
-                        cb[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
-                            mid * 11 + m * 19
-                        ) % 256
-                        cr[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
-                            mid * 5 + m * 23
-                        ) % 256
-                ids.append(mid)
-                blobs.append(
-                    encode_jpeg_ycbcr(w, h, y, cb, cr, subsample_420=True)
-                )
-            yield pd.DataFrame({"media_id": ids, "content": blobs})
+    def _blob(mid: int) -> bytes:
+        w, h = 16 * (1 + mid % 2), 16
+        bw = w // 8
+        y = np.zeros((h, w), dtype=np.float64)
+        for by in range(h // 8):
+            for bx in range(bw):
+                y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    mid * 7 + (by * bw + bx) * 13
+                ) % 256
+        mw = w // 16
+        cb = np.zeros((h, w), dtype=np.float64)
+        cr = np.zeros((h, w), dtype=np.float64)
+        for my in range(h // 16):
+            for mx in range(mw):
+                m = my * mw + mx
+                cb[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                    mid * 11 + m * 19
+                ) % 256
+                cr[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                    mid * 5 + m * 23
+                ) % 256
+        return encode_jpeg_ycbcr(w, h, y, cb, cr, subsample_420=True)
 
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("content", BinaryType()),
-        ]
-    )
-    # repartition the narrow id column first: the single-file scan
-    # is ONE partition, which would serialize the Python codec
-    # work on one core (see the module docstring: repartition
-    # BEFORE attaching payloads)
-    return (
-        documents.select("doc_id")
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-        .mapInPandas(_synth, schema)
-    )
+    return _synthesize_media(documents, _blob)
 
 
 def decode_jpeg_color(media: DataFrame) -> DataFrame:
     """Color baseline JPEG decode (interleaved MCUs + fixed-point
     YCbCr->RGB), decode_ppm feature shape with true per-channel
     sums."""
-    _parse = parse_jpeg_color
-
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {k.name: [] for k in PPM_FEATURES.fields}
-            for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                w, h, arr = _parse(bytes(blob))
-                rows["media_id"].append(int(mid))
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["sum_r"].append(int(arr[0::3].sum()))
-                rows["sum_g"].append(int(arr[1::3].sum()))
-                rows["sum_b"].append(int(arr[2::3].sum()))
-                rows["min_px"].append(int(arr.min()))
-                rows["max_px"].append(int(arr.max()))
-            yield pd.DataFrame(rows)
-
-    return media.select("media_id", "content").mapInPandas(_decode, PPM_FEATURES)
+    return _decode_rgb_features(media, parse_jpeg_color)
 
 
 def decode_jpeg(media: DataFrame) -> DataFrame:
@@ -1489,6 +1376,10 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
             rows = {k.name: [] for k in PPM_FEATURES.fields}
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 w, h, arr = _parse(bytes(blob))
+                if arr.size == 0:
+                    raise ValueError(
+                        f"zero-pixel media for media_id={int(mid)}"
+                    )
                 s = int(arr.sum())
                 rows["media_id"].append(int(mid))
                 rows["width"].append(w)
@@ -1705,82 +1596,26 @@ def synthesize_gif(documents: DataFrame) -> DataFrame:
     index p = (doc_id*3 + p*5) % 256; every odd doc_id is written
     INTERLACED so the 4-pass reorder is exercised."""
 
-    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, blobs = [], []
-            for mid in pdf["doc_id"]:
-                mid = int(mid)
-                w, h = 8 + mid % 9, 6 + mid % 7
-                p = np.arange(w * h, dtype=np.int64)
-                idx = ((mid * 3 + p * 5) % 256).astype(np.uint8)
-                ids.append(mid)
-                blobs.append(
-                    encode_gif_bytes(w, h, idx, interlace=bool(mid % 2))
-                )
-            yield pd.DataFrame({"media_id": ids, "content": blobs})
+    def _blob(mid: int) -> bytes:
+        w, h = 8 + mid % 9, 6 + mid % 7
+        p = np.arange(w * h, dtype=np.int64)
+        idx = ((mid * 3 + p * 5) % 256).astype(np.uint8)
+        return encode_gif_bytes(w, h, idx, interlace=bool(mid % 2))
 
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("content", BinaryType()),
-        ]
-    )
-    # repartition the narrow id column first: the single-file scan
-    # is ONE partition, which would serialize the Python codec
-    # work on one core (see the module docstring: repartition
-    # BEFORE attaching payloads)
-    return (
-        documents.select("doc_id")
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-        .mapInPandas(_synth, schema)
-    )
+    return _synthesize_media(documents, _blob)
 
 
 def decode_gif(media: DataFrame) -> DataFrame:
     """Real GIF decode (LZW + palette + deinterlace), decode_ppm
     feature shape; grayscale palette means sum_r == sum_g == sum_b."""
-    _parse = parse_gif_bytes
-
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {k.name: [] for k in PPM_FEATURES.fields}
-            for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                w, h, arr = _parse(bytes(blob))
-                rows["media_id"].append(int(mid))
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["sum_r"].append(int(arr[0::3].sum()))
-                rows["sum_g"].append(int(arr[1::3].sum()))
-                rows["sum_b"].append(int(arr[2::3].sum()))
-                rows["min_px"].append(int(arr.min()))
-                rows["max_px"].append(int(arr.max()))
-            yield pd.DataFrame(rows)
-
-    return media.select("media_id", "content").mapInPandas(_decode, PPM_FEATURES)
+    return _decode_rgb_features(media, parse_gif_bytes)
 
 
 def decode_ppm(media: DataFrame) -> DataFrame:
     """Real netpbm P6 decode: tokenize the ASCII header (whitespace
     and # comments per the spec), then per-channel integer sums over
     the RGB frame."""
-    _parse = parse_ppm_bytes
-
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {k.name: [] for k in PPM_FEATURES.fields}
-            for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                w, h, arr = _parse(bytes(blob))
-                rows["media_id"].append(int(mid))
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["sum_r"].append(int(arr[0::3].sum()))
-                rows["sum_g"].append(int(arr[1::3].sum()))
-                rows["sum_b"].append(int(arr[2::3].sum()))
-                rows["min_px"].append(int(arr.min()))
-                rows["max_px"].append(int(arr.max()))
-            yield pd.DataFrame(rows)
-
-    return media.select("media_id", "content").mapInPandas(_decode, PPM_FEATURES)
+    return _decode_rgb_features(media, parse_ppm_bytes)
 
 
 IMAGE_BAND_FEATURES = StructType(

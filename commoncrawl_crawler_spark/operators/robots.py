@@ -195,10 +195,17 @@ def parse_robot_rules(
             F.coalesce(
                 F.when(
                     # strict Long.parseLong gate: optional sign +
-                    # digits only ('2.5' -> -1, not 2); try_cast still
-                    # returns NULL on bigint overflow -> coalesce -1
+                    # digits only ('2.5' -> -1, not 2); try_cast
+                    # returns NULL on bigint overflow, and
+                    # try_multiply keeps the *1000 from RAISING under
+                    # ANSI for in-range seconds whose milliseconds
+                    # overflow (the reference's Java long math wraps
+                    # silently there; -1 is the sane verdict, never a
+                    # crash on attacker-controlled robots.txt)
                     F.col("_v").rlike("^[+-]?[0-9]+$"),
-                    F.expr("try_cast(_v AS BIGINT)") * 1000,
+                    F.expr(
+                        "try_multiply(try_cast(_v AS BIGINT), 1000::BIGINT)"
+                    ),
                 ),
                 F.lit(-1),
             ).alias("crawl_delay_ms"),

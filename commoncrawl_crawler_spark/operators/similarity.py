@@ -347,7 +347,10 @@ def kmeans_exact(
     Exactness disciplines: coordinates quantize to micro-units
     (floor(x*1e6 + 0.5)) shifted by KMEANS_QUANT_OFFSET so every
     value is nonnegative (truncating vs flooring integer division can
-    never diverge across engines); distances are exact bigint
+    never diverge across engines) -- valid for coordinates >=
+    -KMEANS_QUANT_OFFSET/1e6 (~-1.048); anything below RAISES via an
+    in-projection assert_true rather than silently voiding the
+    invariant; distances are exact bigint
     sums of squared differences (offset-invariant); ties in the
     argmin break to the LOWEST cluster id via struct-min ordering;
     centroid means are truncating integer division; an empty cluster
@@ -359,6 +362,7 @@ def kmeans_exact(
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    lim = float(KMEANS_QUANT_OFFSET) / 1e6
     pts = (
         embeddings.select(
             "vec_id", F.posexplode("embedding").alias("dim", "val")
@@ -367,7 +371,26 @@ def kmeans_exact(
             "vec_id",
             "dim",
             (
-                F.floor(F.col("val").cast("double") * 1e6 + F.lit(0.5))
+                F.floor(
+                    # assert_true rides inside the projection: a
+                    # coordinate below -offset/1e6 would make q
+                    # negative and silently void the trunc==floor
+                    # division invariant -- fail loudly instead
+                    F.when(
+                        F.assert_true(
+                            F.col("val").cast("double") >= F.lit(-lim),
+                            F.concat(
+                                F.lit(
+                                    "kmeans_exact: coordinate below "
+                                    f"-{lim} breaks the nonnegative "
+                                    "quantization invariant: "
+                                ),
+                                F.col("val").cast("string"),
+                            ),
+                        ).isNull(),
+                        F.col("val").cast("double") * 1e6 + F.lit(0.5),
+                    )
+                )
                 .cast("long")
                 + F.lit(KMEANS_QUANT_OFFSET)
             ).alias("q"),

@@ -75,9 +75,27 @@ class PipelineTask:
         return order
 
     def run_step(self, spark: SparkSession, name: str) -> DataFrame:
-        """Run (or skip) a single step and its dependency closure;
-        convenience for artifact-style single-table use."""
-        outputs = self.run(spark)
+        """Run (or skip) a single step and its dependency closure --
+        steps OUTSIDE the closure are untouched (no side effects for
+        unrelated incomplete steps)."""
+        by_name = {s.name: s for s in self.steps}
+        if name not in by_name:
+            raise ValueError(f"unknown step {name!r}")
+        closure: set[str] = set()
+
+        def visit(n: str) -> None:
+            if n in closure:
+                return
+            closure.add(n)
+            for d in by_name[n].deps:
+                visit(d)
+
+        visit(name)
+        sub = PipelineTask(
+            self.workdir, [s for s in self.steps if s.name in closure]
+        )
+        outputs = sub.run(spark)
+        self.last_executed = sub.last_executed
         return outputs[name]
 
     def run(self, spark: SparkSession) -> dict[str, DataFrame]:

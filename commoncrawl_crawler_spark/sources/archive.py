@@ -140,11 +140,41 @@ def write_archive(
     fsspec/Hadoop filesystem handle -- the partition-writer contract
     is unchanged.
     """
-    os.makedirs(path, exist_ok=True)
     rows = df.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(payload_col).cast("binary").alias("payload"),
     )
+
+    def member(row) -> bytes:
+        if _WS_RE.search(row["key"] or ""):
+            raise ValueError(
+                "archive keys must not contain whitespace: "
+                f"{row['key']!r}"
+            )
+        return _member_bytes(row["key"], bytes(row["payload"] or b""))
+
+    return _write_rotated_members(
+        rows, path, "part-{idx:05d}-{rot:03d}.ccarc", member,
+        rotate_bytes=rotate_bytes,
+    )
+
+
+def _write_rotated_members(
+    rows: DataFrame,
+    path: str,
+    name_fmt: str,
+    member_fn,
+    prologue_fn=None,
+    rotate_bytes: int = DEFAULT_ROTATE_BYTES,
+) -> int:
+    """Shared rotated-archive writer engine (one copy of the commit
+    protocol for ccarc/ARC/WARC): one writer per input partition (no
+    shuffle, no driver funnel), size rotation, attempt-unique `.tmp`
+    files renamed by the driver only after every partition succeeded,
+    temp sweep on success AND failure. `member_fn(row) -> bytes`
+    builds (and validates) each record; `prologue_fn(fname) -> bytes`
+    opens every new file (ARC's filedesc member)."""
+    os.makedirs(path, exist_ok=True)
 
     def _write_partition(idx: int, it: Iterator) -> Iterator[tuple]:
         from pyspark import TaskContext
@@ -156,21 +186,20 @@ def write_archive(
         size = 0
         rotation = 0
         for row in it:
-            if _WS_RE.search(row["key"] or ""):
-                raise ValueError(
-                    "archive keys must not contain whitespace: "
-                    f"{row['key']!r}"
-                )
-            member = _member_bytes(row["key"], bytes(row["payload"] or b""))
+            member = member_fn(row)
             if out is None or size + len(member) > rotate_bytes:
                 if out is not None:
                     out.close()
-                fname = f"part-{idx:05d}-{rotation:03d}.ccarc"
+                fname = name_fmt.format(idx=idx, rot=rotation)
                 tmp = f"{fname}.{attempt}.tmp"
                 out = open(os.path.join(path, tmp), "wb")
                 names.append((fname, tmp))
                 rotation += 1
                 size = 0
+                if prologue_fn is not None:
+                    prologue = prologue_fn(fname)
+                    out.write(prologue)
+                    size = len(prologue)
             out.write(member)
             size += len(member)
         if out is not None:
@@ -319,6 +348,24 @@ def _arc_filedesc_member(filename: str, ts14: str) -> bytes:
     return _gzip_with_lx(header.encode("ISO-8859-1"))
 
 
+def _check_header_lines(header_lines) -> None:
+    """Reject header keys/values containing CR/LF (they would forge
+    the CRLF-CRLF terminator: remaining headers silently leak into
+    the payload, or for WARC the Content-Length goes unreadable) and
+    fully-empty lines (indistinguishable from the terminator)."""
+    for k, v in header_lines:
+        for part in (k, v):
+            if part is not None and ("\r" in part or "\n" in part):
+                raise ValueError(
+                    f"header fields must not contain CR/LF: {(k, v)!r}"
+                )
+        if k is None and not v:
+            raise ValueError(
+                "empty header lines are indistinguishable from the "
+                "header terminator; drop them before writing"
+            )
+
+
 def _arc_record_member(
     url: str,
     ip: str,
@@ -327,6 +374,7 @@ def _arc_record_member(
     header_lines: list[tuple[str | None, str]],
     payload: bytes,
 ) -> bytes:
+    _check_header_lines(header_lines)
     hdr = (
         "".join(
             (f"{k}: {v}" if k is not None else v) + "\r\n"
@@ -360,68 +408,33 @@ def write_arc_v1(
     deterministic). Commit protocol identical to write_archive:
     attempt-unique temps renamed by the driver after job success.
     """
-    os.makedirs(path, exist_ok=True)
     cols = ["url", "ip", "ts14", "mime", "payload"]
     has_headers = "headers" in df.columns
     if has_headers:
         cols.append("headers")
     rows = df.select(*cols)
 
-    def _write_partition(idx: int, it: Iterator) -> Iterator[tuple]:
-        from pyspark import TaskContext
+    def member(row) -> bytes:
+        hdrs = []
+        if has_headers and row["headers"] is not None:
+            hdrs = [(h["key"], h["value"]) for h in row["headers"]]
+        return _arc_record_member(
+            row["url"],
+            row["ip"],
+            row["ts14"],
+            row["mime"],
+            hdrs,
+            bytes(row["payload"] or b""),
+        )
 
-        ctx = TaskContext.get()
-        attempt = ctx.taskAttemptId() if ctx is not None else 0
-        names: list[tuple] = []
-        out = None
-        size = 0
-        rotation = 0
-        for row in it:
-            hdrs = []
-            if has_headers and row["headers"] is not None:
-                hdrs = [(h["key"], h["value"]) for h in row["headers"]]
-            member = _arc_record_member(
-                row["url"],
-                row["ip"],
-                row["ts14"],
-                row["mime"],
-                hdrs,
-                bytes(row["payload"] or b""),
-            )
-            if out is None or size + len(member) > rotate_bytes:
-                if out is not None:
-                    out.close()
-                fname = f"{idx:05d}-{rotation:03d}{ARC_SUFFIX}"
-                tmp = f"{fname}.{attempt}.tmp"
-                out = open(os.path.join(path, tmp), "wb")
-                filedesc = _arc_filedesc_member(fname, file_ts14)
-                out.write(filedesc)
-                names.append((fname, tmp))
-                rotation += 1
-                size = len(filedesc)
-            out.write(member)
-            size += len(member)
-        if out is not None:
-            out.close()
-        yield from names
-
-    def _sweep_temps() -> None:
-        for leftover in os.listdir(path):
-            if leftover.endswith(".tmp"):
-                try:
-                    os.remove(os.path.join(path, leftover))
-                except OSError:
-                    pass
-
-    try:
-        names = rows.rdd.mapPartitionsWithIndex(_write_partition).collect()
-    except Exception:
-        _sweep_temps()
-        raise
-    for fname, tmp in names:
-        os.replace(os.path.join(path, tmp), os.path.join(path, fname))
-    _sweep_temps()
-    return len(names)
+    return _write_rotated_members(
+        rows,
+        path,
+        "{idx:05d}-{rot:03d}" + ARC_SUFFIX,
+        member,
+        prologue_fn=lambda fname: _arc_filedesc_member(fname, file_ts14),
+        rotate_bytes=rotate_bytes,
+    )
 
 
 def _parse_arc_member(data: bytes) -> tuple | None:
@@ -580,6 +593,7 @@ WARC_READ_SCHEMA = StructType(
 
 
 def _warc_record_bytes(headers: list[tuple[str, str]], block: bytes) -> bytes:
+    _check_header_lines(headers)
     head = "WARC/1.0\r\n" + "".join(
         f"{k}: {v}\r\n" for k, v in headers
     ) + f"Content-Length: {len(block)}\r\n\r\n"
@@ -598,8 +612,9 @@ def write_warc(
     warcinfo-style records), warc_date (ISO-8601 string), content_type,
     block (binary), and optionally headers (extra array<struct<key,
     value>> appended verbatim). Content-Length is computed, never
-    trusted from input."""
-    os.makedirs(path, exist_ok=True)
+    trusted from input. warc_type/record_id/warc_date are REQUIRED
+    per the spec -- a NULL raises instead of silently writing the
+    literal string 'None'."""
     cols = ["warc_type", "record_id", "target_uri", "warc_date",
             "content_type", "block"]
     has_extra = "headers" in df.columns
@@ -607,60 +622,32 @@ def write_warc(
         cols.append("headers")
     rows = df.select(*cols)
 
-    def _write_partition(idx: int, it: Iterator) -> Iterator[tuple]:
-        from pyspark import TaskContext
+    def member(row) -> bytes:
+        for req in ("warc_type", "record_id", "warc_date"):
+            if row[req] is None:
+                raise ValueError(
+                    f"WARC records require {req} (mandatory header)"
+                )
+        hdrs = [
+            ("WARC-Type", row["warc_type"]),
+            ("WARC-Record-ID", row["record_id"]),
+            ("WARC-Date", row["warc_date"]),
+        ]
+        if row["target_uri"] is not None:
+            hdrs.append(("WARC-Target-URI", row["target_uri"]))
+        if row["content_type"] is not None:
+            hdrs.append(("Content-Type", row["content_type"]))
+        if has_extra and row["headers"] is not None:
+            hdrs.extend((h["key"], h["value"]) for h in row["headers"])
+        return _warc_record_bytes(hdrs, bytes(row["block"] or b""))
 
-        ctx = TaskContext.get()
-        attempt = ctx.taskAttemptId() if ctx is not None else 0
-        names: list[tuple] = []
-        out = None
-        size = 0
-        rotation = 0
-        for row in it:
-            hdrs = [
-                ("WARC-Type", row["warc_type"]),
-                ("WARC-Record-ID", row["record_id"]),
-                ("WARC-Date", row["warc_date"]),
-            ]
-            if row["target_uri"] is not None:
-                hdrs.append(("WARC-Target-URI", row["target_uri"]))
-            if row["content_type"] is not None:
-                hdrs.append(("Content-Type", row["content_type"]))
-            if has_extra and row["headers"] is not None:
-                hdrs.extend((h["key"], h["value"]) for h in row["headers"])
-            member = _warc_record_bytes(hdrs, bytes(row["block"] or b""))
-            if out is None or size + len(member) > rotate_bytes:
-                if out is not None:
-                    out.close()
-                fname = f"{idx:05d}-{rotation:03d}{WARC_SUFFIX}"
-                tmp = f"{fname}.{attempt}.tmp"
-                out = open(os.path.join(path, tmp), "wb")
-                names.append((fname, tmp))
-                rotation += 1
-                size = 0
-            out.write(member)
-            size += len(member)
-        if out is not None:
-            out.close()
-        yield from names
-
-    def _sweep_temps() -> None:
-        for leftover in os.listdir(path):
-            if leftover.endswith(".tmp"):
-                try:
-                    os.remove(os.path.join(path, leftover))
-                except OSError:
-                    pass
-
-    try:
-        names = rows.rdd.mapPartitionsWithIndex(_write_partition).collect()
-    except Exception:
-        _sweep_temps()
-        raise
-    for fname, tmp in names:
-        os.replace(os.path.join(path, tmp), os.path.join(path, fname))
-    _sweep_temps()
-    return len(names)
+    return _write_rotated_members(
+        rows,
+        path,
+        "{idx:05d}-{rot:03d}" + WARC_SUFFIX,
+        member,
+        rotate_bytes=rotate_bytes,
+    )
 
 
 def _parse_warc_member(data: bytes) -> tuple:

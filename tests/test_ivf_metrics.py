@@ -95,3 +95,19 @@ def test_kmeans_exact_separates_planted_clusters(spark):
         emb.repartition(1), k=2, max_iterations=20, eps=0
     ).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+
+
+def test_kmeans_exact_rejects_out_of_range_coordinates(spark):
+    """Coordinates below -offset/1e6 would silently break the
+    nonnegative-quantization invariant -- must raise loudly."""
+    import pytest
+    from pyspark.sql import Row
+
+    from commoncrawl_crawler_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[0.1, -2.0 if i == 3 else 0.2], label=0)
+         for i in range(6)]
+    )
+    with pytest.raises(Exception, match="quantization invariant"):
+        similarity.kmeans_exact(emb, k=2, max_iterations=3).collect()

@@ -334,3 +334,15 @@ def test_differential_random_blobs(spark):
             r = got[i * 10 + j]
             assert r["allowed"] == exp, (host, p, content)
             assert r["crawl_delay_ms"] == exp_delay, (host, content)
+
+
+def test_crawl_delay_millisecond_overflow_never_crashes(spark):
+    """Seconds that fit bigint but overflow when *1000 must yield -1
+    under ANSI mode, not an arithmetic-overflow error (robots.txt is
+    attacker-controlled input)."""
+    blob = "User-agent: *\nCrawl-Delay: 9223372036854775807\n"
+    rules = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in _rules(spark, [("o.com", blob)], ["crawlerbot"]).collect()
+    }
+    assert rules["o.com"] == -1

@@ -482,3 +482,35 @@ def test_warc_http_responses_binary_body_lossless(spark, tmp_path):
     assert r["status_code"] == 200
     assert r["http_content_type"] == "application/octet-stream"
     assert bytes(r["body"]) == body  # byte-exact through latin-1
+
+
+def test_archive_writers_reject_header_injection_and_null_required(spark, tmp_path):
+    """CR/LF in header fields would forge the terminator (silent
+    payload corruption / unreadable Content-Length); NULL required
+    WARC headers would round-trip as the string 'None'. Both raise."""
+    arc = spark.createDataFrame(
+        [("http://a/", "1.1.1.1", "20080401000000", "text/plain", b"x",
+          [("evil", "v\r\n\r\ninjected")])],
+        "url string, ip string, ts14 string, mime string, payload binary, "
+        "headers array<struct<key:string,value:string>>",
+    )
+    with pytest.raises(Exception, match="CR/LF"):
+        archive.write_arc_v1(arc, str(tmp_path / "a"))
+
+    warc_null = spark.createDataFrame(
+        [(None, "<urn:uuid:1>", "http://a/", "2024-01-01T00:00:00Z",
+          "text/plain", b"x")],
+        "warc_type string, record_id string, target_uri string, "
+        "warc_date string, content_type string, block binary",
+    )
+    with pytest.raises(Exception, match="mandatory header"):
+        archive.write_warc(warc_null, str(tmp_path / "w"))
+
+    warc_inj = spark.createDataFrame(
+        [("response", "<urn:uuid:1>", "http://a/",
+          "2024-01-01T00:00:00Z\r\nContent-Length: 0", "text/plain", b"x")],
+        "warc_type string, record_id string, target_uri string, "
+        "warc_date string, content_type string, block binary",
+    )
+    with pytest.raises(Exception, match="CR/LF"):
+        archive.write_warc(warc_inj, str(tmp_path / "w2"))
