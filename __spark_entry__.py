@@ -335,6 +335,7 @@ def _pagerank_converged_sql(
     damp_num: int = 50,
     damp_den: int = 100,
     max_iter: int = 30,
+    steps_per_check: int = 2,
 ) -> str:
     """Run-to-convergence PageRank oracle: unroll max_iter fixed-point
     iterations, compute each round's exact integer max-delta, pick the
@@ -378,8 +379,12 @@ d{i} AS (
     )
     return sql + f""",
 pick AS (
+    -- the engine checks the delta only every steps_per_check
+    -- iterations (batched checkpoint jobs), so only those multiples
+    -- are eligible stopping points
     SELECT coalesce(min(k), {max_iter}) AS k
-    FROM ({deltas}) WHERE delta <= {eps_i}
+    FROM ({deltas})
+    WHERE delta <= {eps_i} AND k % {steps_per_check} = 0
 ),
 allr AS ({allr})
 SELECT node, round(rank_i / 1000000.0, 6) AS rank,
