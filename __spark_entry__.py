@@ -43,6 +43,7 @@ from commoncrawl_crawler_spark.functions import (
     headers as hdr,
     html as htmlfn,
     numeric,
+    ricecoding,
     urls as urlfn,
 )
 from commoncrawl_crawler_spark.plans import pipeline as plan_pipeline
@@ -2052,6 +2053,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_arc_v1_roundtrip": _arc_v1_roundtrip,
         "source_warc_roundtrip": _warc_roundtrip,
         "source_warc_http_extract": _warc_http_extract,
+        # Rice-coded fingerprint lists (util/RiceCoding.java +
+        # CompressedURLFPListV2 shape): per-group delta+Rice buffers
+        # with in-kernel decode-verify; the oracle recomputes n/bits/
+        # checksum closed-form
+        "fn_rice_fp_lists": lambda s, d: ricecoding.compress_fp_lists(
+            _t(s, d, "documents"), group_col="source", fp_col="doc_id", m=6
+        ),
         "source_csv_import": _csv_roundtrip,
         "source_timeseries_tail": _timeseries_tail,
         "source_multi_sink": _multi_sink_readback,
@@ -3404,6 +3412,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(l) AS INT) AS min_px,
                    CAST(list_max(l) AS INT) AS max_px
             FROM px ORDER BY media_id
+        """,
+        # Rice codec closed form: first delta = min_id + 1, later
+        # deltas = sorted gaps; encoded bits = sum((delta-1) >> m)
+        # + n*(1+m); the Spark side reports the REAL blob header's
+        # bit count, so a hash match proves the codec's size math
+        "fn_rice_fp_lists": """
+            WITH d AS (
+                SELECT source, doc_id,
+                       coalesce(doc_id - lag(doc_id) OVER (
+                           PARTITION BY source ORDER BY doc_id),
+                           doc_id + 1) AS delta
+                FROM documents
+            )
+            SELECT source,
+                   CAST(count(*) AS INT) AS n_items,
+                   CAST(sum((delta - 1) >> 6) + count(*) * 7
+                        AS BIGINT) AS total_bits,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_fp,
+                   CAST(6 AS INT) AS m
+            FROM d GROUP BY source ORDER BY source
         """,
         # HTTP-payload extraction: status/content-type/body are all
         # recomputable from the synthesized message

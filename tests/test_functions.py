@@ -780,3 +780,55 @@ def test_bm25_ranking_properties(spark):
     assert 4 not in ranks
     assert ranks[1] < ranks[2] < ranks[3]
     assert scores[2] > scores[3] > 0
+
+
+def test_rice_coding_reference_bit_compatibility():
+    """Bit-for-bit parity with RiceCoding.java: LSB-first bit append,
+    unary quotient + MSB-first m-bit remainder, val-1 shift."""
+    from commoncrawl_crawler_spark.functions import ricecoding as rc
+
+    # hand-computed: m=2, items [1, 5] -> x=0: q=0,r=0 -> bits 0,00
+    # x=4: q=1,r=0 -> bits 1,0,00 ; stream = 000 10 00 (append order)
+    blob = rc.rice_encode([1, 5], 2)
+    m, size, nbits = blob[0], int.from_bytes(blob[1:5], "little"), int.from_bytes(blob[5:9], "little")
+    assert (m, size, nbits) == (2, 2, 7)
+    # bits LSB-first in byte: sequence 0,0,0,1,0,0,0 -> byte 0b0001000
+    assert blob[9] == 0b0001000
+    assert rc.rice_decode(blob) == [1, 5]
+
+    # roundtrip across m values and magnitudes (incl. q=0 and big q)
+    import random
+
+    rng = random.Random(9)
+    for m in (0, 1, 3, 7, 13):
+        vals = [rng.randrange(1, 1 << 16) for _ in range(200)]
+        assert rc.rice_decode(rc.rice_encode(vals, m)) == vals
+    assert rc.rice_bit_length([1, 5], 2) == 7
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="val < 1"):
+        rc.rice_encode([0], 4)
+    with _pytest.raises(ValueError, match="m <"):
+        rc.rice_encode([1], 65)
+
+
+def test_compress_fp_lists_roundtrip_and_size(spark):
+    from pyspark.sql import Row
+
+    from commoncrawl_crawler_spark.functions import ricecoding as rc
+
+    rows = [Row(source=f"s{i % 3}", doc_id=i * 7 + i % 5) for i in range(60)]
+    out = rc.compress_fp_lists(
+        spark.createDataFrame(rows), m=4
+    ).collect()
+    assert len(out) == 3
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    for r in out:
+        ids = sorted(by_src[r["source"]])
+        deltas = [ids[0] + 1] + [b - a for a, b in zip(ids, ids[1:])]
+        assert r["n_items"] == len(ids)
+        assert r["sum_fp"] == sum(ids)
+        assert r["total_bits"] == rc.rice_bit_length(deltas, 4)
