@@ -2311,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_jpeg_420",
         "mm_decode_adpcm",
         "sim_kmeans_exact",
+        "fn_rice_fp_lists",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -2353,14 +2354,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_keywords",
         "text_unigram_surprisal",
         "text_vocabulary",
-        # (d) stalest anchor (last green r2). Never-driver-validated
-        # gates outrank re-validation: fn_url_canonicalize,
-        # agg_moving_daily_avg, skew_salted_join, filter_text_grep,
-        # setop_distinct, setop_except, dedup_exact yielded their
-        # slots to the WARC/GIF/JPEG x3/ADPCM/kmeans gates (all
-        # r2-green, code unchanged, pytest-covered, and swept at both
-        # SFs in CORRECTNESS_SELF_r05*)
-        "win_topk_per_group",
+        # Never-driver-validated gates outrank re-validation of
+        # r2-green anchors: fn_url_canonicalize, agg_moving_daily_avg,
+        # skew_salted_join, filter_text_grep, setop_distinct,
+        # setop_except, dedup_exact, win_topk_per_group yielded their
+        # slots to the WARC/GIF/JPEG x3/ADPCM/kmeans/Rice gates (all
+        # displaced gates are r2-green, code unchanged,
+        # pytest-covered, and swept at both SFs plus the alternate
+        # partition layout in CORRECTNESS_SELF_r05*)
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
