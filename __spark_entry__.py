@@ -2193,6 +2193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal": lambda s, d: textstats.unigram_logprob_scores(
             _t(s, d, "documents")
         ),
+        # add-one-smoothed bigram LM surprisal (CCNet-style quality
+        # filter, one step up from the unigram signal)
+        "text_bigram_surprisal": lambda s, d: textstats.bigram_logprob_scores(
+            _t(s, d, "documents")
+        ),
         # local clustering coefficients over the co-purchase graph
         "graph_clustering_coeff": lambda s, d: graph.clustering_coefficients(
             _copurchase_edges(s, d), max_degree=100
@@ -4580,6 +4585,45 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             SELECT doc_id, n_tok,
                    CAST((2 * sm + n_tok) // (2 * n_tok) AS DOUBLE)
                        / 1000000.0 AS mean_surprisal_bits
+            FROM a ORDER BY doc_id
+        """,
+        # add-one bigram LM: p(w2|w1) = (c12 + 1) / (c1 + V); same
+        # round-once DECIMAL + integer micro-bit mean discipline as
+        # the unigram oracle
+        "text_bigram_surprisal": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(text)), '\\s+'),
+                           w -> w <> '') AS toks
+                FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       toks[i] || ' ' || toks[i + 1] AS bg,
+                       toks[i] AS w1
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks))) AS i FROM t)
+            ), w AS (
+                SELECT doc_id, unnest(toks) AS word FROM t
+            ), uni AS (
+                SELECT word, count(*) AS c1 FROM w GROUP BY word
+            ), v AS (
+                SELECT CAST(count(*) AS DOUBLE) AS vs FROM uni
+            ), bgc AS (
+                SELECT bg, w1, count(*) AS c12 FROM bg GROUP BY bg, w1
+            ), sc AS (
+                SELECT bg,
+                       CAST(round(-log2((c12 + 1) / (c1 + vs)), 6)
+                            AS DECIMAL(18,6)) AS lp
+                FROM bgc JOIN uni ON bgc.w1 = uni.word CROSS JOIN v
+            ), a AS (
+                SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                       CAST(sum(lp) * 1000000 AS BIGINT) AS sm
+                FROM bg JOIN sc USING (bg) GROUP BY doc_id
+            )
+            SELECT doc_id, n_bigrams,
+                   CAST((2 * sm + n_bigrams) // (2 * n_bigrams)
+                        AS DOUBLE) / 1000000.0 AS mean_surprisal_bits
             FROM a ORDER BY doc_id
         """,
         "text_chunking": """

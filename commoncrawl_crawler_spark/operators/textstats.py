@@ -579,6 +579,86 @@ def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob_scores(documents: DataFrame) -> DataFrame:
+    """Per-document mean BIGRAM surprisal under the corpus's own
+    add-one-smoothed bigram LM -- the next step up from
+    unigram_logprob_scores toward the CCNet-style LM-perplexity
+    quality filter: p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V).
+
+    Plan shape: the bigram list is built NARROW from the token array
+    (arrays_zip of the array with its shift -- no window, no per-doc
+    shuffle for construction), then one groupBy for corpus bigram
+    counts, an aggregated-table join against the unigram counts for
+    the denominators, and a 1-row broadcast for V. Float parity
+    follows the unigram discipline exactly: each DISTINCT bigram's
+    surprisal rounds to 6 decimals once, sums as DECIMAL(18,6), and
+    the mean is integer micro-bits with half-up rounding.
+
+    Output: (doc_id, n_bigrams, mean_surprisal_bits); single-token
+    and empty documents are absent (no bigrams to score).
+    """
+    # hoist the token array into its own projection: expressions
+    # referenced inside transform/zip lambdas re-evaluate per element
+    toks = documents.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda w: w != "",
+        ).alias("_t"),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    words = toks.select("doc_id", F.explode("_t").alias("word"))
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("_c1"))
+    vsize = uni.agg(F.count(F.lit(1)).cast("double").alias("_v"))
+    bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("_c12"))
+    scored = (
+        bg_counts.withColumn(
+            "word", F.split(F.col("bg"), " ", 2).getItem(0)
+        )
+        .join(uni, "word")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "bg",
+            F.round(
+                -F.log2(
+                    (F.col("_c12") + 1) / (F.col("_c1") + F.col("_v"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("_lp"),
+        )
+    )
+    return (
+        bigrams.join(scored, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            (F.sum("_lp") * 1000000).cast("bigint").alias("_sm"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.expr("(2 * _sm + n_bigrams) DIV (2 * n_bigrams)").cast(
+                    "double"
+                )
+                / F.lit(1000000.0)
+            ).alias("mean_surprisal_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def pack_sequences(
     documents: DataFrame, seq_len: int = 2048
 ) -> DataFrame:

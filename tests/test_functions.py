@@ -832,3 +832,53 @@ def test_compress_fp_lists_roundtrip_and_size(spark):
         assert r["n_items"] == len(ids)
         assert r["sum_fp"] == sum(ids)
         assert r["total_bits"] == rc.rice_bit_length(deltas, 4)
+
+
+def test_bigram_surprisal_model_and_ordering(spark):
+    """Add-one bigram LM vs an independent Python model; a document
+    made of the corpus's common bigram scores LOWER surprisal than a
+    document of one-off bigrams; single-token docs emit no row."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from commoncrawl_crawler_spark.operators import textstats
+
+    docs = [
+        (0, "a b a b a b"),
+        (1, "a b a b"),
+        (2, "x y"),
+        (3, "z q w e"),
+        (4, "solo"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in textstats.bigram_logprob_scores(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert 4 not in out  # no bigrams
+
+    # independent model
+    toks = {d: t.split() for d, t in docs}
+    uni = Counter(w for t in toks.values() for w in t)
+    bgs = Counter(
+        (t[i], t[i + 1]) for t in toks.values() for i in range(len(t) - 1)
+    )
+    V = len(uni)
+
+    def lp(b):
+        return round(-math.log2((bgs[b] + 1) / (uni[b[0]] + V)), 6)
+
+    for d, t in docs:
+        pairs = [(t.split()[i], t.split()[i + 1]) for i in range(len(t.split()) - 1)]
+        if not pairs:
+            continue
+        sm = round(sum(lp(p) for p in pairs) * 1e6)
+        n = len(pairs)
+        want = ((2 * sm + n) // (2 * n)) / 1e6
+        assert out[d]["n_bigrams"] == n
+        assert abs(out[d]["mean_surprisal_bits"] - want) < 1e-9, d
+    # common-bigram doc reads as lower-surprisal than one-off docs
+    assert out[0]["mean_surprisal_bits"] < out[3]["mean_surprisal_bits"]
