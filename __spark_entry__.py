@@ -2317,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_adpcm",
         "sim_kmeans_exact",
         "fn_rice_fp_lists",
+        "text_bigram_surprisal",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -2357,7 +2358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_signals",
         "text_stratified_sample",
         "text_tfidf_keywords",
-        "text_unigram_surprisal",
+        # text_unigram_surprisal yields its slot to the never-
+        # validated bigram twin above (r4-validated, same code
+        # family, the bigram gate exercises strictly more machinery)
         "text_vocabulary",
         # Never-driver-validated gates outrank re-validation of
         # r2-green anchors: fn_url_canonicalize, agg_moving_daily_avg,

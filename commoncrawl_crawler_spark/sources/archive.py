@@ -732,6 +732,36 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_member_at(path: str, offset: int, kind: str = "warc"):
+    """Point-seek read of ONE archive member without touching its
+    siblings -- the property ARC/WARC were designed for and the
+    reference's query server exploits (ArcFileItem arcFileOffset
+    metadata, protocol.jr:165-283: seek + inflate one record).
+
+    `kind`: 'warc' -> parsed WARC tuple, 'arc' -> parsed ARC v1 tuple
+    (None for a filedesc member), 'ccarc' -> (key, payload). A local
+    path is seek()ed directly; on a cluster, issue a ranged GET for
+    the same bytes -- the member is one self-terminating gzip stream,
+    so no length is needed up front."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        d = zlib.decompressobj(wbits=31)
+        data = d.decompress(f.read())
+        if not d.eof:
+            raise ValueError(f"truncated member at offset {offset}")
+    if kind == "warc":
+        return _parse_warc_member(data)
+    if kind == "arc":
+        return _parse_arc_member(data)
+    if kind == "ccarc":
+        nl = data.index(b"\n")
+        magic, key, length = data[:nl].split(b" ")
+        if magic != MAGIC:
+            raise ValueError(f"bad ccarc member at offset {offset}")
+        return key.decode("utf-8"), data[nl + 1 : nl + 1 + int(length)]
+    raise ValueError(f"unknown archive kind {kind!r}")
+
+
 def warc_http_responses(warc: DataFrame) -> DataFrame:
     """Extract the HTTP payload from WARC response records -- the
     first processing step of every CommonCrawl consumer -- entirely

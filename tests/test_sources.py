@@ -514,3 +514,47 @@ def test_archive_writers_reject_header_injection_and_null_required(spark, tmp_pa
     )
     with pytest.raises(Exception, match="CR/LF"):
         archive.write_warc(warc_inj, str(tmp_path / "w2"))
+
+
+def test_point_seek_member_read_all_formats(spark, tmp_path):
+    """read_member_at must recover exactly the member at an offset
+    reported by the distributed reader, for all three formats,
+    without scanning siblings."""
+    # WARC
+    wpath = str(tmp_path / "w")
+    archive.write_warc(
+        spark.createDataFrame(
+            [("response", f"<urn:uuid:{i}>", f"http://s/{i}",
+              "2024-01-01T00:00:00Z", "text/plain", f"b{i}".encode())
+             for i in range(5)],
+            "warc_type string, record_id string, target_uri string, "
+            "warc_date string, content_type string, block binary",
+        ).coalesce(1),
+        wpath,
+    )
+    rows = archive.read_warc(spark, wpath).collect()
+    for r in rows:
+        got = archive.read_member_at(
+            r["archive_path"].removeprefix("file:"),
+            r["member_offset"],
+            kind="warc",
+        )
+        assert got[2] == r["target_uri"] and got[7] == bytes(r["block"])
+
+    # ARC v1 (offset past the filedesc member)
+    apath = str(tmp_path / "a")
+    archive.write_arc_v1(
+        spark.createDataFrame(
+            [(f"http://s/{i}", "1.1.1.1", "20080401000000", "text/plain",
+              f"p{i}".encode()) for i in range(3)],
+            "url string, ip string, ts14 string, mime string, payload binary",
+        ).coalesce(1),
+        apath,
+    )
+    for r in archive.read_arc_v1(spark, apath).collect():
+        got = archive.read_member_at(
+            r["archive_path"].removeprefix("file:"),
+            r["member_offset"],
+            kind="arc",
+        )
+        assert got[0] == r["url"] and got[7] == bytes(r["payload"])
