@@ -2198,6 +2198,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_surprisal": lambda s, d: textstats.bigram_logprob_scores(
             _t(s, d, "documents")
         ),
+        # ExactSubstr duplicated-span profile (Lee et al. 2022):
+        # maximal >=8-token runs occurring twice anywhere in the corpus
+        "text_duplicate_spans": lambda s, d: textstats.duplicate_span_profile(
+            _t(s, d, "documents"), min_len=8
+        ),
         # local clustering coefficients over the co-purchase graph
         "graph_clustering_coeff": lambda s, d: graph.clustering_coefficients(
             _copurchase_edges(s, d), max_degree=100
@@ -2318,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans_exact",
         "fn_rice_fp_lists",
         "text_bigram_surprisal",
+        "text_duplicate_spans",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -2356,7 +2362,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_pairs",
         "text_redact_pii",
         "text_repetition_signals",
-        "text_stratified_sample",
+        # text_stratified_sample yields its slot to the never-
+        # validated text_duplicate_spans (r4-validated, code
+        # unchanged, pytest-covered; text_weighted_sample keeps the
+        # sampling module driver-exercised)
         "text_tfidf_keywords",
         # text_unigram_surprisal yields its slot to the never-
         # validated bigram twin above (r4-validated, same code
@@ -4529,6 +4538,57 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
                        CASE WHEN doc_freq <= 2 THEN para_text END,
                        ' ' ORDER BY para_idx), '') AS clean_text
             FROM j GROUP BY doc_id ORDER BY doc_id
+        """,
+        "text_duplicate_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''
+                       ) AS arr
+                FROM documents
+            ), posx AS (
+                SELECT doc_id, arr,
+                       unnest(generate_series(1, len(arr) - 8 + 1)) AS pos
+                FROM toks
+            ), pos AS (
+                SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                       md5(array_to_string(arr[pos:pos+7], ' ')) AS sig
+                FROM posx
+            ), dup AS (
+                SELECT sig FROM pos GROUP BY sig HAVING count(*) >= 2
+            ), hits AS (
+                SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (sig)
+            ), isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                            ) <= 7 THEN 0 ELSE 1 END AS newisl
+                FROM hits
+            ), isl2 AS (
+                SELECT doc_id, pos,
+                       sum(newisl) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                       ) AS island
+                FROM isl
+            ), spans AS (
+                SELECT doc_id, island,
+                       min(pos) AS s, max(pos) AS e
+                FROM isl2 GROUP BY doc_id, island
+            ), per_doc AS (
+                SELECT doc_id, CAST(count(*) AS INT) AS dup_spans,
+                       CAST(sum(e - s + 8) AS BIGINT) AS dup_tokens
+                FROM spans GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(arr) AS BIGINT) AS n_tokens,
+                   coalesce(dup_spans, 0) AS dup_spans,
+                   CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CAST(CASE WHEN len(arr) > 0
+                        THEN coalesce(dup_tokens, 0) * 1000000 // len(arr)
+                        ELSE 0 END AS BIGINT) AS dup_frac_micro
+            FROM toks t LEFT JOIN per_doc USING (doc_id)
+            ORDER BY doc_id
         """,
         "text_repetition_signals": """
             WITH t AS (

@@ -923,3 +923,100 @@ def bm25_scores(
         .orderBy(F.desc("_s"), "doc_id")
         .limit(top_k)
     )
+
+
+def duplicate_span_profile(documents: DataFrame, min_len: int = 8) -> DataFrame:
+    """Exact duplicated-substring spans -- the ExactSubstr discipline
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): any run of >= min_len tokens that occurs at least
+    twice anywhere in the corpus is a duplicated span, and overlapping
+    hits merge into maximal spans per document.
+
+    Suffix-array-free re-expression: positional min_len-token shingles
+    (doc_id, pos, md5) -> corpus-frequency groupBy -> join the
+    duplicated signatures back -> per-document interval union via one
+    bounded window (a gap > min_len-1 between consecutive hit
+    positions starts a new span). A maximal duplicated region of R
+    tokens is covered by exactly its R-min_len+1 duplicated shingles,
+    so the merged intervals ARE the maximal spans the suffix-array
+    scan would report -- as three linear shuffles.
+
+    Scale shape: positional shingles are linear in corpus tokens (the
+    token array is hoisted into its own projection so the split is not
+    re-evaluated per index); the frequency groupBy keys on a 32-hex
+    md5; only (doc_id, pos) pairs -- not text -- shuffle back through
+    the join; the interval window partitions by doc_id, so its state
+    is bounded by document length, never corpus-wide. No UDF, nothing
+    quadratic.
+
+    Output: (doc_id, n_tokens, dup_spans, dup_tokens, dup_frac_micro);
+    the fraction is integer micro-units via DIV, bit-identical on any
+    engine and partitioning.
+    """
+    from pyspark.sql import Window
+
+    arr = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    base = documents.select("doc_id", arr.alias("_arr"))
+    sigs = F.when(
+        F.size("_arr") >= min_len,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_arr") - (min_len - 1)),
+            lambda i: F.md5(
+                F.array_join(F.slice(F.col("_arr"), i, min_len), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = base.select(
+        "doc_id", F.posexplode(sigs).alias("_p0", "_sig")
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "_sig")
+    dup = (
+        pos.groupBy("_sig")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") >= 2)
+        .select("_sig")
+    )
+    hits = pos.join(dup, "_sig").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    new_span = F.when(
+        F.col("pos") - F.lag("pos", 1).over(w) <= min_len - 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spans = (
+        hits.select("doc_id", "pos", new_span.alias("_new"))
+        .select("doc_id", "pos", F.sum("_new").over(run).alias("_isl"))
+        .groupBy("doc_id", "_isl")
+        .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("dup_spans"),
+        F.sum(F.col("_e") - F.col("_s") + min_len)
+        .cast("bigint")
+        .alias("dup_tokens"),
+    )
+    joined = (
+        base.select("doc_id", F.size("_arr").cast("bigint").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).cast("int").alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "dup_spans",
+        "dup_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("dup_tokens * 1000000 DIV n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("dup_frac_micro"),
+    ).orderBy("doc_id")

@@ -882,3 +882,32 @@ def test_bigram_surprisal_model_and_ordering(spark):
         assert abs(out[d]["mean_surprisal_bits"] - want) < 1e-9, d
     # common-bigram doc reads as lower-surprisal than one-off docs
     assert out[0]["mean_surprisal_bits"] < out[3]["mean_surprisal_bits"]
+
+
+def test_duplicate_span_profile_merges_maximal_spans(spark):
+    from commoncrawl_crawler_spark.operators import textstats
+
+    rows = [
+        # within-doc repeat of "a b c d e": hit shingles at pos 1,2
+        # and 9,10 merge into TWO maximal 5-token spans
+        (1, "a b c d e X y z a b c d e"),
+        # cross-doc shared run "p q r s t" with doc 3
+        (2, "p q r s t u v"),
+        (3, "z z p q r s t"),
+        (4, "solo only words here nothing shared"),
+        (5, "too short"),  # < min_len tokens -> no shingles at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textstats.duplicate_span_profile(df, min_len=4).collect()
+    }
+    assert len(out) == 5
+    assert (out[1]["dup_spans"], out[1]["dup_tokens"]) == (2, 10)
+    assert out[1]["n_tokens"] == 13
+    assert out[1]["dup_frac_micro"] == 10 * 1_000_000 // 13
+    assert (out[2]["dup_spans"], out[2]["dup_tokens"]) == (1, 5)
+    assert (out[3]["dup_spans"], out[3]["dup_tokens"]) == (1, 5)
+    assert (out[4]["dup_spans"], out[4]["dup_tokens"]) == (0, 0)
+    assert (out[5]["dup_spans"], out[5]["dup_tokens"]) == (0, 0)
+    assert out[5]["dup_frac_micro"] == 0
