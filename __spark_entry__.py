@@ -1651,6 +1651,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_status_rollup": lambda s, d: aggregates.status_rollup(
             _t(s, d, "orders")
         ),
+        # deterministic md5-based HLL (m=64): engine-exact approximate
+        # distinct users per event type, with the exact column as the
+        # error report
+        "agg_distinct_sketch": lambda s, d: aggregates.distinct_sketch(
+            _t(s, d, "events"), "event_type", "user_id"
+        ),
         "join_tagged_full_outer": lambda s, d: joins.tagged_full_outer_join(
             _t(s, d, "orders"), _t(s, d, "customer")
         ),
@@ -2324,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_rice_fp_lists",
         "text_bigram_surprisal",
         "text_duplicate_spans",
+        "agg_distinct_sketch",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -2343,7 +2350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof",
         "join_range_bucketed",
         "mm_audio_energy",
-        "mm_decode_ppm",
+        # mm_decode_ppm yields its slot to the never-validated
+        # agg_distinct_sketch (r4-validated; the PPM codec stays
+        # driver-exercised through mm_resize_ppm and mm_image_bands)
         "mm_decode_wav",
         "mm_image_bands",
         "mm_resize_ppm",
@@ -2498,6 +2507,37 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "agg_distinct_sketch": """
+            WITH rows_ AS (
+                SELECT event_type AS grp,
+                       CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))
+                            AS BIGINT) % 64 AS bucket,
+                       CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),16,15))
+                            AS BIGINT) % 1099511627776 AS w
+                FROM events
+            ), regs AS (
+                SELECT grp, bucket,
+                       max(41 - length(ltrim(bin(w), '0'))) AS reg
+                FROM rows_ GROUP BY grp, bucket
+            ), sk AS (
+                SELECT grp,
+                       CAST(count(*) AS INT) AS buckets_present,
+                       bit_xor(bucket * 64 + reg) AS reg_xor,
+                       CAST(sum(2199023255552 >> reg)
+                            + (64 - count(*)) * 2199023255552
+                            AS BIGINT) AS denom
+                FROM regs GROUP BY grp
+            ), ex AS (
+                SELECT event_type AS grp,
+                       count(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY 1
+            )
+            SELECT sk.grp, buckets_present, reg_xor, denom,
+                   CAST(CAST('6389617079320712314880' AS HUGEINT) // denom
+                        AS BIGINT) AS est_micro,
+                   exact_distinct
+            FROM sk JOIN ex USING (grp) ORDER BY grp
         """,
         "join_tagged_full_outer": """
             WITH order_stats AS (

@@ -275,3 +275,88 @@ def status_rollup(orders: DataFrame) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+# alpha_64 = 0.7213/(1 + 1.079/64) for m=64 registers, fixed in micro
+# units so both engines compute the identical integer estimate.
+HLL_ALPHA_E6 = 709390
+
+
+def distinct_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    window_bits: int = 40,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Deterministic HyperLogLog-style distinct-count sketch, m=64
+    registers (the approximate COUNT DISTINCT every 100 TB rollup
+    wants: one linear pass, 64 small registers per group, no exact
+    distinct shuffle). Flajolet et al. 2007 estimator, re-derived on
+    md5 so the sketch -- unlike Spark's approx_count_distinct or
+    DuckDB's approx sketches -- is bit-identical across engines and
+    partitionings and therefore hash-gateable:
+
+    - bucket   = first 60 md5 bits mod 64
+    - rho      = leading-zero rank of the next 40-bit window + 1
+                 (41 - bit_length, exact via bin() string length)
+    - register = max(rho) per (group, bucket)
+    - denom    = sum over all 64 registers of 2^(41-reg), empty
+                 buckets contributing 2^41 -- an exact bigint
+    - estimate = alpha_e6 * m^2 * 2^41 DIV denom, micro-units via
+                 DECIMAL(38,0) integer division
+
+    Scale shape: one partial-aggregating groupBy on (group, bucket)
+    -- at most 64 rows per group survive the map side -- then a
+    64-row-per-group rollup; nothing else shuffles. The optional
+    exact countDistinct column (parity/error reporting for the gate)
+    is the expensive path the sketch replaces; disable with_exact at
+    real scale.
+
+    Output: (group, buckets_present, reg_xor, denom, est_micro
+    [, exact_distinct]).
+    """
+    m = 64
+    top = window_bits + 1  # rho range 1..top; empty register = 0
+    unit = 1 << top  # 2^(top): the 2^-0 term, exact bigint
+    h = F.md5(F.col(value_col).cast("string"))
+    rows = df.select(
+        F.col(group_col).alias("grp"),
+        (
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % m
+        ).alias("_bucket"),
+        (
+            F.conv(F.substring(h, 16, 15), 16, 10).cast("bigint")
+            % F.lit(1 << window_bits).cast("bigint")
+        ).alias("_w"),
+    )
+    rho = F.lit(top) - F.expr("length(trim(LEADING '0' FROM bin(_w)))")
+    regs = (
+        rows.select("grp", "_bucket", rho.alias("_rho"))
+        .groupBy("grp", "_bucket")
+        .agg(F.max("_rho").alias("_reg"))
+    )
+    numerator = HLL_ALPHA_E6 * m * m * unit
+    sketch = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("int").alias("buckets_present"),
+        F.expr("bit_xor(_bucket * 64 + _reg)").alias("reg_xor"),
+        (
+            F.sum(F.expr(f"shiftright(CAST({unit} AS BIGINT), _reg)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(unit)
+        ).cast("bigint").alias("denom"),
+    )
+    out = sketch.select(
+        "grp",
+        "buckets_present",
+        "reg_xor",
+        "denom",
+        F.expr(
+            f"CAST('{numerator}' AS DECIMAL(38,0)) DIV denom"
+        ).alias("est_micro"),
+    )
+    if with_exact:
+        exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+            F.countDistinct(value_col).alias("exact_distinct")
+        )
+        out = out.join(exact, "grp")
+    return out.orderBy("grp")
