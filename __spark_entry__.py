@@ -1657,6 +1657,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct_sketch": lambda s, d: aggregates.distinct_sketch(
             _t(s, d, "events"), "event_type", "user_id"
         ),
+        # mergeable-sketch union: per-source register tables combine
+        # by bucket-wise max into the corpus-wide '__all__' row
+        "agg_sketch_union": lambda s, d: aggregates.distinct_sketch_union(
+            _t(s, d, "documents"), "source", "text"
+        ),
         "join_tagged_full_outer": lambda s, d: joins.tagged_full_outer_join(
             _t(s, d, "orders"), _t(s, d, "customer")
         ),
@@ -2331,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_surprisal",
         "text_duplicate_spans",
         "agg_distinct_sketch",
+        "agg_sketch_union",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -2352,8 +2358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_energy",
         # mm_decode_ppm yields its slot to the never-validated
         # agg_distinct_sketch (r4-validated; the PPM codec stays
-        # driver-exercised through mm_resize_ppm and mm_image_bands)
-        "mm_decode_wav",
+        # driver-exercised through mm_resize_ppm and mm_image_bands);
+        # mm_decode_wav likewise yields to agg_sketch_union (the WAV
+        # decode path stays driver-exercised through mm_audio_energy
+        # and the ADPCM gate's PCM comparison)
         "mm_image_bands",
         "mm_resize_ppm",
         "pipeline_corpus_build",
@@ -2538,6 +2546,37 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS est_micro,
                    exact_distinct
             FROM sk JOIN ex USING (grp) ORDER BY grp
+        """,
+        "agg_sketch_union": """
+            WITH rows_ AS (
+                SELECT source AS grp,
+                       CAST(('0x'||substr(md5(text),1,15))
+                            AS BIGINT) % 64 AS bucket,
+                       CAST(('0x'||substr(md5(text),16,15))
+                            AS BIGINT) % 1099511627776 AS w
+                FROM documents
+            ), regs AS (
+                SELECT grp, bucket,
+                       max(41 - length(ltrim(bin(w), '0'))) AS reg
+                FROM rows_ GROUP BY grp, bucket
+            ), allregs AS (
+                SELECT grp, bucket, reg FROM regs
+                UNION ALL
+                SELECT '__all__' AS grp, bucket, max(reg) AS reg
+                FROM regs GROUP BY bucket
+            ), sk AS (
+                SELECT grp,
+                       CAST(count(*) AS INT) AS buckets_present,
+                       bit_xor(bucket * 64 + reg) AS reg_xor,
+                       CAST(sum(2199023255552 >> reg)
+                            + (64 - count(*)) * 2199023255552
+                            AS BIGINT) AS denom
+                FROM allregs GROUP BY grp
+            )
+            SELECT grp, buckets_present, reg_xor, denom,
+                   CAST(CAST('6389617079320712314880' AS HUGEINT) // denom
+                        AS BIGINT) AS est_micro
+            FROM sk ORDER BY grp
         """,
         "join_tagged_full_outer": """
             WITH order_stats AS (

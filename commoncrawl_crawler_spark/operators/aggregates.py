@@ -316,9 +316,22 @@ def distinct_sketch(
     Output: (group, buckets_present, reg_xor, denom, est_micro
     [, exact_distinct]).
     """
+    regs = _sketch_registers(df, group_col, value_col, window_bits)
+    out = _sketch_finish(regs, window_bits)
+    if with_exact:
+        exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+            F.countDistinct(value_col).alias("exact_distinct")
+        )
+        out = out.join(exact, "grp")
+    return out.orderBy("grp")
+
+def _sketch_registers(
+    df: DataFrame, group_col: str, value_col: str, window_bits: int
+) -> DataFrame:
+    """(grp, _bucket, _reg) register rows -- the mergeable partial
+    state: registers for a union of groups are the bucket-wise max."""
     m = 64
     top = window_bits + 1  # rho range 1..top; empty register = 0
-    unit = 1 << top  # 2^(top): the 2^-0 term, exact bigint
     h = F.md5(F.col(value_col).cast("string"))
     rows = df.select(
         F.col(group_col).alias("grp"),
@@ -331,11 +344,18 @@ def distinct_sketch(
         ).alias("_w"),
     )
     rho = F.lit(top) - F.expr("length(trim(LEADING '0' FROM bin(_w)))")
-    regs = (
+    return (
         rows.select("grp", "_bucket", rho.alias("_rho"))
         .groupBy("grp", "_bucket")
         .agg(F.max("_rho").alias("_reg"))
     )
+
+
+def _sketch_finish(regs: DataFrame, window_bits: int) -> DataFrame:
+    """Register rows -> (grp, buckets_present, reg_xor, denom,
+    est_micro); exact-bigint denominator, DECIMAL(38,0) DIV."""
+    m = 64
+    unit = 1 << (window_bits + 1)
     numerator = HLL_ALPHA_E6 * m * m * unit
     sketch = regs.groupBy("grp").agg(
         F.count(F.lit(1)).cast("int").alias("buckets_present"),
@@ -345,7 +365,7 @@ def distinct_sketch(
             + (F.lit(m) - F.count(F.lit(1))) * F.lit(unit)
         ).cast("bigint").alias("denom"),
     )
-    out = sketch.select(
+    return sketch.select(
         "grp",
         "buckets_present",
         "reg_xor",
@@ -354,9 +374,33 @@ def distinct_sketch(
             f"CAST('{numerator}' AS DECIMAL(38,0)) DIV denom"
         ).alias("est_micro"),
     )
-    if with_exact:
-        exact = df.groupBy(F.col(group_col).alias("grp")).agg(
-            F.countDistinct(value_col).alias("exact_distinct")
-        )
-        out = out.join(exact, "grp")
-    return out.orderBy("grp")
+
+
+def distinct_sketch_union(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    window_bits: int = 40,
+) -> DataFrame:
+    """Per-group sketches PLUS their register-level union as one
+    '__all__' row -- the mergeability property that makes the sketch
+    a 100 TB operator: per-shard/per-day register tables combine by
+    bucket-wise max without rescanning raw data, exactly how the
+    reference accumulates per-segment stats across pipeline steps.
+    The '__all__' row is bit-identical to sketching the unioned raw
+    input directly (max is associative), which the pytest gate
+    asserts.
+
+    Scale shape: reuses the per-group register pass (<= 64 rows per
+    group survive map-side), then one <= 64-row-per-group merge --
+    the raw table is scanned exactly once.
+    """
+    regs = _sketch_registers(df, group_col, value_col, window_bits)
+    merged = (
+        regs.groupBy("_bucket")
+        .agg(F.max("_reg").alias("_reg"))
+        .select(F.lit("__all__").alias("grp"), "_bucket", "_reg")
+    )
+    return _sketch_finish(
+        regs.unionByName(merged), window_bits
+    ).orderBy("grp")

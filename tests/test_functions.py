@@ -952,3 +952,28 @@ def test_distinct_sketch_matches_python_model_and_error_bound(spark):
         # (n=257 sits in the small-range band where raw HLL biases
         # high without linear counting, so the bound is loose)
         assert abs(est_micro / 1e6 - len(exact[g])) < 0.5 * len(exact[g]), g
+
+
+def test_distinct_sketch_union_equals_direct_sketch(spark):
+    from pyspark.sql import functions as F
+
+    from commoncrawl_crawler_spark.operators import aggregates
+
+    rows = [(f"s{i % 4}", f"v{i % 311}") for i in range(1500)]
+    df = spark.createDataFrame(rows, "src string, val string")
+    out = {
+        r["grp"]: r
+        for r in aggregates.distinct_sketch_union(df, "src", "val").collect()
+    }
+    assert set(out) == {"s0", "s1", "s2", "s3", "__all__"}
+    # register-level union must be bit-identical to sketching the
+    # unioned raw input directly (max is associative)
+    direct = aggregates.distinct_sketch(
+        df.select(F.lit("__all__").alias("g"), "val"),
+        "g",
+        "val",
+        with_exact=False,
+    ).collect()[0]
+    u = out["__all__"]
+    for c in ("buckets_present", "reg_xor", "denom", "est_micro"):
+        assert u[c] == direct[c], c
