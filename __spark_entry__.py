@@ -2214,6 +2214,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_duplicate_spans": lambda s, d: textstats.duplicate_span_profile(
             _t(s, d, "documents"), min_len=8
         ),
+        # the actionable half: remove every duplicated span, rebuild
+        # the surviving text in order
+        "text_duplicate_trim": lambda s, d: textstats.duplicate_span_trim(
+            _t(s, d, "documents"), min_len=8
+        ),
         # local clustering coefficients over the co-purchase graph
         "graph_clustering_coeff": lambda s, d: graph.clustering_coefficients(
             _copurchase_edges(s, d), max_degree=100
@@ -2335,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_rice_fp_lists",
         "text_bigram_surprisal",
         "text_duplicate_spans",
+        "text_duplicate_trim",
         "agg_distinct_sketch",
         "agg_sketch_union",
         "graph_pagerank_converged",
@@ -2368,7 +2374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_domain_resort",
         "query_snippets",
         "sim_lsh_topk",
-        "stream_static_enrich",
+        # stream_static_enrich yields its slot to the never-validated
+        # text_duplicate_trim (r4-validated; the streaming tier keeps
+        # three driver-gated entries: sessionize, as-of, attribution)
         "stream_stream_attribution",
         "text_bm25_rank",
         "text_chunking",
@@ -4668,6 +4676,71 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
                         ELSE 0 END AS BIGINT) AS dup_frac_micro
             FROM toks t LEFT JOIN per_doc USING (doc_id)
             ORDER BY doc_id
+        """,
+        "text_duplicate_trim": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''
+                       ) AS arr
+                FROM documents
+            ), posx AS (
+                SELECT doc_id, arr,
+                       unnest(generate_series(1, len(arr) - 8 + 1)) AS pos
+                FROM toks
+            ), pos AS (
+                SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                       md5(array_to_string(arr[pos:pos+7], ' ')) AS sig
+                FROM posx
+            ), dup AS (
+                SELECT sig FROM pos GROUP BY sig HAVING count(*) >= 2
+            ), hits AS (
+                SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (sig)
+            ), isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                            ) <= 7 THEN 0 ELSE 1 END AS newisl
+                FROM hits
+            ), isl2 AS (
+                SELECT doc_id, pos,
+                       sum(newisl) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                       ) AS island
+                FROM isl
+            ), spans AS (
+                SELECT doc_id, island,
+                       min(pos) AS s, max(pos) AS e
+                FROM isl2 GROUP BY doc_id, island
+            ), tokv AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS i, arr[i] AS tok
+                FROM (
+                    SELECT doc_id, arr,
+                           unnest(generate_series(1, len(arr))) AS i
+                    FROM toks
+                )
+            ), kept AS (
+                SELECT v.doc_id, v.i, v.tok
+                FROM tokv v
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM spans s
+                    WHERE s.doc_id = v.doc_id
+                      AND v.i BETWEEN s.s AND s.e + 7
+                )
+            )
+            SELECT t.doc_id,
+                   CAST(len(arr) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(k.kept_tokens, 0) AS BIGINT)
+                       AS kept_tokens,
+                   coalesce(k.clean_text, '') AS clean_text
+            FROM toks t
+            LEFT JOIN (
+                SELECT doc_id, count(*) AS kept_tokens,
+                       string_agg(tok, ' ' ORDER BY i) AS clean_text
+                FROM kept GROUP BY doc_id
+            ) k USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "text_repetition_signals": """
             WITH t AS (

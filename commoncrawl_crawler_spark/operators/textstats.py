@@ -953,6 +953,47 @@ def duplicate_span_profile(documents: DataFrame, min_len: int = 8) -> DataFrame:
     the fraction is integer micro-units via DIV, bit-identical on any
     engine and partitioning.
     """
+    base, spans = _duplicate_span_tables(documents, min_len)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("dup_spans"),
+        F.sum(F.col("_e") - F.col("_s") + min_len)
+        .cast("bigint")
+        .alias("dup_tokens"),
+    )
+    joined = (
+        base.select("doc_id", F.size("_arr").cast("bigint").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).cast("int").alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "dup_spans",
+        "dup_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("dup_tokens * 1000000 DIV n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("dup_frac_micro"),
+    ).orderBy("doc_id")
+
+
+def _duplicate_span_tables(
+    documents: DataFrame, min_len: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared ExactSubstr machinery: (base, spans) where base is
+    (doc_id, _arr hoisted token array) and spans is one row per
+    maximal duplicated interval (doc_id, _isl, _s, _e) in shingle
+    START positions -- token coverage is [_s, _e + min_len - 1]."""
     from pyspark.sql import Window
 
     arr = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
@@ -989,34 +1030,58 @@ def duplicate_span_profile(documents: DataFrame, min_len: int = 8) -> DataFrame:
         .groupBy("doc_id", "_isl")
         .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
     )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("dup_spans"),
-        F.sum(F.col("_e") - F.col("_s") + min_len)
-        .cast("bigint")
-        .alias("dup_tokens"),
+    return base, spans
+
+
+def duplicate_span_trim(documents: DataFrame, min_len: int = 8) -> DataFrame:
+    """The actionable half of ExactSubstr dedup (Lee et al. 2022):
+    REMOVE every maximal duplicated >= min_len-token span and
+    reassemble the survivors in order -- the paper's drop-the-span
+    policy (their released tool cuts all copies; dropping one
+    canonical keeper instead is a one-line change upstream of this
+    operator).
+
+    Same three linear shuffles as duplicate_span_profile, plus one
+    per-document span array (bounded by doc length / min_len) joined
+    back to the hoisted token array; the kept-token filter is a plain
+    higher-order expression over bound columns, so nothing is
+    re-evaluated per element and no UDF runs.
+
+    Output: (doc_id, n_tokens, kept_tokens, clean_text).
+    """
+    base, spans = _duplicate_span_tables(documents, min_len)
+    span_arr = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("_s", "_e"))).alias("_spans")
     )
-    joined = (
-        base.select("doc_id", F.size("_arr").cast("bigint").alias("n_tokens"))
-        .join(per_doc, "doc_id", "left")
+    empty = F.expr("CAST(array() AS array<struct<_s:int,_e:int>>)")
+    joined = base.join(span_arr, "doc_id", "left").select(
+        "doc_id", "_arr", F.coalesce("_spans", empty).alias("_spans")
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_arr")),
+            lambda i: F.when(
+                ~F.exists(
+                    F.col("_spans"),
+                    lambda s: (i >= s["_s"])
+                    & (i <= s["_e"] + (min_len - 1)),
+                ),
+                F.get(F.col("_arr"), i - 1),
+            ),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.size("_arr").cast("bigint").alias("n_tokens"),
+            kept.alias("_kept"),
+        )
         .select(
             "doc_id",
             "n_tokens",
-            F.coalesce("dup_spans", F.lit(0)).cast("int").alias("dup_spans"),
-            F.coalesce("dup_tokens", F.lit(0))
-            .cast("bigint")
-            .alias("dup_tokens"),
+            F.size("_kept").cast("bigint").alias("kept_tokens"),
+            F.array_join("_kept", " ").alias("clean_text"),
         )
+        .orderBy("doc_id")
     )
-    return joined.select(
-        "doc_id",
-        "n_tokens",
-        "dup_spans",
-        "dup_tokens",
-        F.when(
-            F.col("n_tokens") > 0,
-            F.expr("dup_tokens * 1000000 DIV n_tokens"),
-        )
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("dup_frac_micro"),
-    ).orderBy("doc_id")

@@ -977,3 +977,28 @@ def test_distinct_sketch_union_equals_direct_sketch(spark):
     u = out["__all__"]
     for c in ("buckets_present", "reg_xor", "denom", "est_micro"):
         assert u[c] == direct[c], c
+
+
+def test_duplicate_span_trim_removes_spans_keeps_rest(spark):
+    from commoncrawl_crawler_spark.operators import textstats
+
+    rows = [
+        (1, "a b c d e X y z a b c d e"),
+        (2, "p q r s t u v"),
+        (3, "z z p q r s t"),
+        (4, "solo only words here nothing shared"),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textstats.duplicate_span_trim(df, min_len=4).collect()
+    }
+    # doc 1: spans cover tokens 1-5 and 9-13; "x y z" survives
+    assert out[1]["clean_text"] == "x y z"
+    assert (out[1]["n_tokens"], out[1]["kept_tokens"]) == (13, 3)
+    assert out[2]["clean_text"] == "u v"
+    assert out[3]["clean_text"] == "z z"
+    assert out[4]["clean_text"] == "solo only words here nothing shared"
+    assert out[5]["clean_text"] == "too short"
+    assert out[5]["kept_tokens"] == 2
