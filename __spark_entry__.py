@@ -268,6 +268,43 @@ def _edges_cte(price_min: float | None = None) -> str:
     return _EDGES_CTE.format(flt=flt, andflt=andflt)
 
 
+def _kcore_sql(k: int = 3, rounds: int = 30) -> str:
+    """k-core peeling unrolled to the Spark-side iteration cap.
+    Peeling is monotone and idempotent, so rounds past the fixpoint
+    are no-ops -- the fixed unroll equals the data-driven early stop
+    without mirroring a stopping rule. AS MATERIALIZED per round
+    (default CTE inlining re-expands multi-referenced rounds
+    exponentially)."""
+    sql = (
+        "WITH "
+        + _edges_cte()
+        + """,
+sym AS (
+    SELECT DISTINCT node, nbr FROM (
+        SELECT src AS node, dst AS nbr FROM edges WHERE src <> dst
+        UNION ALL
+        SELECT dst AS node, src AS nbr FROM edges WHERE src <> dst
+    )
+),
+e0 AS MATERIALIZED (SELECT node, nbr FROM sym)"""
+    )
+    for i in range(1, rounds + 1):
+        sql += f""",
+k{i} AS MATERIALIZED (
+    SELECT node FROM e{i-1} GROUP BY node HAVING count(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+    SELECT e.node, e.nbr
+    FROM e{i-1} e JOIN k{i} a ON e.node = a.node
+    JOIN k{i} b ON e.nbr = b.node
+)"""
+    sql += f"""
+SELECT node, CAST(count(*) AS BIGINT) AS degree
+FROM e{rounds} GROUP BY node ORDER BY node
+"""
+    return sql
+
+
 def _hits_sql(iterations: int = 2) -> str:
     """HITS unrolled for a fixed iteration count -- exact bigint
     sums, mirroring graph.hits_scores."""
@@ -2236,6 +2273,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": lambda s, d: graph.hits_scores(
             _edges(s, d), iterations=2
         ),
+        # 3-core of the link graph: iterative peeling, Observation-
+        # folded fixpoint detection (same discipline as CC/PageRank)
+        "graph_kcore": lambda s, d: graph.k_core(
+            _edges(s, d), k=3, max_iterations=30
+        ),
         # BM25 lexical ranking against a fixed bag-of-terms query
         "text_bm25_rank": lambda s, d: textstats.bm25_scores(
             _t(s, d, "documents"),
@@ -2343,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_duplicate_trim",
         "agg_distinct_sketch",
         "agg_sketch_union",
+        "graph_kcore",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -2358,7 +2401,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_representatives",
         "graph_clustering_coeff",
         "graph_hits",
-        "graph_triangles",
+        # graph_triangles yields its slot to the never-validated
+        # graph_kcore (r4-validated; the truncated-wedge machinery
+        # stays driver-exercised via graph_clustering_coeff, which
+        # shares the oriented edge set)
         "join_asof",
         "join_range_bucketed",
         "mm_audio_energy",
@@ -3754,6 +3800,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_converged": _pagerank_converged_sql(),
         "sim_kmeans_exact": _kmeans_sql(),
         "graph_hits": _hits_sql(iterations=2),
+        "graph_kcore": _kcore_sql(k=3, rounds=30),
         # independent relational reimplementation of the Chromium
         # ParsedCookie semantics (no terminators/overlong lines in
         # the synthesized set, so cut == line)

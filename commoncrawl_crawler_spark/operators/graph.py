@@ -752,3 +752,76 @@ def clustering_coefficients(
         )
         .orderBy("node")
     )
+
+
+def k_core(
+    edges: DataFrame, k: int = 3, max_iterations: int = 30
+) -> DataFrame:
+    """k-core subgraph membership by iterative peeling: repeatedly
+    drop nodes whose undirected degree falls below k until the
+    surviving subgraph is stable. The standard spam-farm / dense-
+    community extraction over link graphs (Batagelj-Zaversnik
+    semantics, distributed as monotone peeling rounds).
+
+    Termination reuses the _star_contraction discipline: the
+    surviving-edge count is observed on each round's own
+    localCheckpoint job (peeling is monotone, so an unchanged edge
+    count IS the fixpoint), costing zero extra actions. Because
+    peeling is also idempotent, a fixed-round unroll past the
+    fixpoint is a no-op -- which is exactly how the SQL oracle
+    mirrors the data-driven stop without a stopping rule.
+
+    Scale shape: each round is one partial-agg degree groupBy plus
+    two semi-join-shaped equi-joins over a strictly shrinking edge
+    table, checkpointed to keep lineage flat; rounds are bounded by
+    the peeling depth (small for power-law link graphs), not by
+    graph diameter.
+
+    Returns (node, degree) for k-core members, degree measured
+    inside the k-core.
+    """
+    from pyspark.sql import Observation
+
+    fwd = edges.select("src", "dst")
+    sym = (
+        fwd.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .localCheckpoint(eager=True)
+    )
+    alive = sym
+    prev_n = None
+    rounds = 0
+    for _ in range(max_iterations):
+        keep = (
+            alive.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("node")
+        )
+        obs = Observation()
+        alive = (
+            alive.join(keep, "node")
+            .join(keep.withColumnRenamed("node", "nbr"), "nbr")
+            .select("node", "nbr")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        n = obs.get["n"]
+        if n == prev_n:
+            break
+        prev_n = n
+    k_core.last_rounds = rounds
+    return (
+        alive.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .orderBy("node")
+    )

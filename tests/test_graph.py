@@ -186,3 +186,31 @@ def test_pagerank_converged_stops_on_delta(spark):
     ranks = {r["node"]: r["rank"] for r in out}
     assert ranks[4] == 0.5  # no in-edges: base only
     assert ranks[1] > ranks[2] > ranks[4]
+
+
+def test_k_core_peels_tail_and_cascades(spark):
+    # K4 on {1,2,3,4} plus a chain 4-5-6: k=3 keeps exactly the K4
+    # (5 peels first, THEN 6 -- the cascade needs a second round);
+    # degrees are measured inside the surviving core
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6)]
+    out = {
+        r["node"]: r["degree"]
+        for r in graph.k_core(_edges_df(spark, k4 + chain), k=3).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert graph.k_core.last_rounds <= 4
+
+    # k=2: triangle survives, pendant node peels
+    out2 = {
+        r["node"]: r["degree"]
+        for r in graph.k_core(
+            _edges_df(spark, [(1, 2), (2, 3), (3, 1), (3, 9)]), k=2
+        ).collect()
+    }
+    assert out2 == {1: 2, 2: 2, 3: 2}
+
+    # k above the max core -> empty result
+    assert (
+        graph.k_core(_edges_df(spark, [(1, 2), (2, 3)]), k=2).count() == 0
+    )
