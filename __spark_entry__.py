@@ -268,6 +268,46 @@ def _edges_cte(price_min: float | None = None) -> str:
     return _EDGES_CTE.format(flt=flt, andflt=andflt)
 
 
+# Shared by text_bigram_surprisal (verbatim) and
+# text_perplexity_buckets (wrapped as a CTE for per-language ntile).
+_BIGRAM_SURPRISAL_SQL = """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(text)), '\\s+'),
+                           w -> w <> '') AS toks
+                FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       toks[i] || ' ' || toks[i + 1] AS bg,
+                       toks[i] AS w1
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks))) AS i FROM t)
+            ), w AS (
+                SELECT doc_id, unnest(toks) AS word FROM t
+            ), uni AS (
+                SELECT word, count(*) AS c1 FROM w GROUP BY word
+            ), v AS (
+                SELECT CAST(count(*) AS DOUBLE) AS vs FROM uni
+            ), bgc AS (
+                SELECT bg, w1, count(*) AS c12 FROM bg GROUP BY bg, w1
+            ), sc AS (
+                SELECT bg,
+                       CAST(round(-log2((c12 + 1) / (c1 + vs)), 6)
+                            AS DECIMAL(18,6)) AS lp
+                FROM bgc JOIN uni ON bgc.w1 = uni.word CROSS JOIN v
+            ), a AS (
+                SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                       CAST(sum(lp) * 1000000 AS BIGINT) AS sm
+                FROM bg JOIN sc USING (bg) GROUP BY doc_id
+            )
+            SELECT doc_id, n_bigrams,
+                   CAST((2 * sm + n_bigrams) // (2 * n_bigrams)
+                        AS DOUBLE) / 1000000.0 AS mean_surprisal_bits
+            FROM a ORDER BY doc_id
+        """
+
+
 def _kcore_sql(k: int = 3, rounds: int = 30) -> str:
     """k-core peeling unrolled to the Spark-side iteration cap.
     Peeling is monotone and idempotent, so rounds past the fixpoint
@@ -2246,6 +2286,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_surprisal": lambda s, d: textstats.bigram_logprob_scores(
             _t(s, d, "documents")
         ),
+        # CCNet head/middle/tail bucketing over the bigram-LM scores
+        "text_perplexity_buckets": lambda s, d: textstats.perplexity_buckets(
+            _t(s, d, "documents")
+        ),
         # ExactSubstr duplicated-span profile (Lee et al. 2022):
         # maximal >=8-token runs occurring twice anywhere in the corpus
         "text_duplicate_spans": lambda s, d: textstats.duplicate_span_profile(
@@ -2381,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans_exact",
         "fn_rice_fp_lists",
         "text_bigram_surprisal",
+        "text_perplexity_buckets",
         "text_duplicate_spans",
         "text_duplicate_trim",
         "agg_distinct_sketch",
@@ -2425,7 +2470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # three driver-gated entries: sessionize, as-of, attribution)
         "stream_stream_attribution",
         "text_bm25_rank",
-        "text_chunking",
+        # text_chunking yields its slot to the never-validated
+        # text_perplexity_buckets (r4-validated; chunk_documents stays
+        # driver-exercised as text_paragraph_dedup's paragraph source)
         "text_contamination_check",
         "text_mixture_plan",
         "text_pack_sequences",
@@ -4852,41 +4899,21 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
         # add-one bigram LM: p(w2|w1) = (c12 + 1) / (c1 + V); same
         # round-once DECIMAL + integer micro-bit mean discipline as
         # the unigram oracle
-        "text_bigram_surprisal": """
-            WITH t AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(
-                           lower(trim(text)), '\\s+'),
-                           w -> w <> '') AS toks
-                FROM documents
-            ), bg AS (
-                SELECT doc_id,
-                       toks[i] || ' ' || toks[i + 1] AS bg,
-                       toks[i] AS w1
-                FROM (SELECT doc_id, toks,
-                             unnest(range(1, len(toks))) AS i FROM t)
-            ), w AS (
-                SELECT doc_id, unnest(toks) AS word FROM t
-            ), uni AS (
-                SELECT word, count(*) AS c1 FROM w GROUP BY word
-            ), v AS (
-                SELECT CAST(count(*) AS DOUBLE) AS vs FROM uni
-            ), bgc AS (
-                SELECT bg, w1, count(*) AS c12 FROM bg GROUP BY bg, w1
-            ), sc AS (
-                SELECT bg,
-                       CAST(round(-log2((c12 + 1) / (c1 + vs)), 6)
-                            AS DECIMAL(18,6)) AS lp
-                FROM bgc JOIN uni ON bgc.w1 = uni.word CROSS JOIN v
-            ), a AS (
-                SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
-                       CAST(sum(lp) * 1000000 AS BIGINT) AS sm
-                FROM bg JOIN sc USING (bg) GROUP BY doc_id
+        "text_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
+        "text_perplexity_buckets": f"""
+            WITH scores AS ({_BIGRAM_SURPRISAL_SQL}),
+            labeled AS (
+                SELECT s.doc_id, d.lang, s.mean_surprisal_bits,
+                       ntile(3) OVER (
+                           PARTITION BY d.lang
+                           ORDER BY s.mean_surprisal_bits, s.doc_id
+                       ) AS nt
+                FROM scores s JOIN documents d USING (doc_id)
             )
-            SELECT doc_id, n_bigrams,
-                   CAST((2 * sm + n_bigrams) // (2 * n_bigrams)
-                        AS DOUBLE) / 1000000.0 AS mean_surprisal_bits
-            FROM a ORDER BY doc_id
+            SELECT doc_id, lang, mean_surprisal_bits,
+                   CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM labeled ORDER BY doc_id
         """,
         "text_chunking": """
             WITH t AS (

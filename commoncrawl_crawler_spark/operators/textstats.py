@@ -1085,3 +1085,46 @@ def duplicate_span_trim(documents: DataFrame, min_len: int = 8) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing (Wenzek et al.
+    2020): per-language tertiles of LM surprisal, here under the
+    corpus's own add-one bigram LM (bigram_logprob_scores). 'head' =
+    most-fluent third, the slice CCNet keeps preferentially for
+    training mixes.
+
+    Determinism: the surprisal is already integer micro-bits, and the
+    ntile ordering tiebreaks on doc_id, so bucket assignment is total-
+    ordered and engine-exact. Scale shape: one per-language window
+    over the (doc, score) table -- rows per partition bounded by the
+    per-language corpus slice; at 100 TB swap ntile for the
+    approx-quantile cutover (two scans, no global sort) if a single
+    language dominates.
+
+    Output: (doc_id, lang, mean_surprisal_bits, ppl_bucket); docs
+    with no bigrams (absent from the scorer) are absent here too.
+    """
+    from pyspark.sql import Window
+
+    scores = bigram_logprob_scores(documents)
+    labeled = scores.join(documents.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("mean_surprisal_bits", "doc_id")
+    return (
+        labeled.select(
+            "doc_id",
+            "lang",
+            "mean_surprisal_bits",
+            F.ntile(3).over(w).alias("_nt"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "mean_surprisal_bits",
+            F.when(F.col("_nt") == 1, F.lit("head"))
+            .when(F.col("_nt") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+        .orderBy("doc_id")
+    )

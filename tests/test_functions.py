@@ -1002,3 +1002,29 @@ def test_duplicate_span_trim_removes_spans_keeps_rest(spark):
     assert out[4]["clean_text"] == "solo only words here nothing shared"
     assert out[5]["clean_text"] == "too short"
     assert out[5]["kept_tokens"] == 2
+
+
+def test_perplexity_buckets_tertiles_ordered_per_lang(spark):
+    from collections import Counter
+
+    from commoncrawl_crawler_spark.operators import textstats
+
+    # 9 two-bigram docs per language with distinct repetition levels
+    # -> distinct surprisals -> 3/3/3 tertiles; bucket boundaries
+    # must respect the score ordering
+    rows = []
+    for li, lang in enumerate(("en", "fr")):
+        for i in range(9):
+            # vary content so corpus bigram frequencies differ per doc
+            rows.append((li * 100 + i, lang, f"w{i} w{i % 3} w0"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = textstats.perplexity_buckets(df).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        counts = Counter(r["ppl_bucket"] for r in rs)
+        assert counts == {"head": 3, "middle": 3, "tail": 3}, (lang, counts)
+        score = {b: [r["mean_surprisal_bits"] for r in rs if r["ppl_bucket"] == b] for b in counts}
+        assert max(score["head"]) <= min(score["middle"])
+        assert max(score["middle"]) <= min(score["tail"])
