@@ -1235,6 +1235,21 @@ def _stream_windowed_stats(s: SparkSession, d: str) -> DataFrame:
     return out.orderBy("day", "event_type")
 
 
+def _stream_distinct_sketch(s: SparkSession, d: str) -> DataFrame:
+    # drain the streaming register table (complete mode: <= 64 rows
+    # per event type in the state store), then finish batch-side --
+    # bit-identical to the batch sketch over the same rows
+    regs = streaming_jobs.run_available_now(
+        streaming_jobs.streaming_register_sketch(
+            streaming_jobs.read_events_stream(s, d)
+        ),
+        _stream_sink_name("hllregs"),
+    )
+    from commoncrawl_crawler_spark.operators import aggregates
+
+    return aggregates._sketch_finish(regs, 40).orderBy("grp")
+
+
 def _stream_distinct_pairs(s: SparkSession, d: str) -> DataFrame:
     out = streaming_jobs.run_available_now(
         streaming_jobs.streaming_distinct_pairs(
@@ -2107,6 +2122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "stream_windowed_stats": _stream_windowed_stats,
         "stream_distinct_pairs": _stream_distinct_pairs,
+        # streaming HLL: bounded register state, batch-identical result
+        "stream_distinct_sketch": _stream_distinct_sketch,
         # stream-static join: micro-batches enrich against the
         # customer dim snapshot (stateless inner join, dim broadcast)
         "stream_static_enrich": _stream_static_enrich,
@@ -2431,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct_sketch",
         "agg_sketch_union",
         "graph_kcore",
+        "stream_distinct_sketch",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -2463,7 +2481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize_ppm",
         "pipeline_corpus_build",
         "query_domain_resort",
-        "query_snippets",
+        # query_snippets yields its slot to the never-validated
+        # stream_distinct_sketch (r4-validated; pure regex-Column
+        # rendering with dedicated pytest coverage)
         "sim_lsh_topk",
         # stream_static_enrich yields its slot to the never-validated
         # text_duplicate_trim (r4-validated; the streaming tier keeps
@@ -2647,6 +2667,31 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS est_micro,
                    exact_distinct
             FROM sk JOIN ex USING (grp) ORDER BY grp
+        """,
+        "stream_distinct_sketch": """
+            WITH rows_ AS (
+                SELECT event_type AS grp,
+                       CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))
+                            AS BIGINT) % 64 AS bucket,
+                       CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),16,15))
+                            AS BIGINT) % 1099511627776 AS w
+                FROM events
+            ), regs AS (
+                SELECT grp, bucket,
+                       max(41 - length(ltrim(bin(w), '0'))) AS reg
+                FROM rows_ GROUP BY grp, bucket
+            )
+            SELECT grp,
+                   CAST(count(*) AS INT) AS buckets_present,
+                   bit_xor(bucket * 64 + reg) AS reg_xor,
+                   CAST(sum(2199023255552 >> reg)
+                        + (64 - count(*)) * 2199023255552
+                        AS BIGINT) AS denom,
+                   CAST(CAST('6389617079320712314880' AS HUGEINT)
+                        // (sum(2199023255552 >> reg)
+                            + (64 - count(*)) * 2199023255552)
+                        AS BIGINT) AS est_micro
+            FROM regs GROUP BY grp ORDER BY grp
         """,
         "agg_sketch_union": """
             WITH rows_ AS (

@@ -382,3 +382,19 @@ def stream_stream_attribution(
             "(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000"
         ).alias("gap_s"),
     )
+
+
+def streaming_register_sketch(stream: DataFrame) -> DataFrame:
+    """Streaming HLL register build: the deterministic distinct sketch
+    (operators/aggregates.distinct_sketch) as a standard streaming
+    aggregation -- per-(event_type, bucket) max(rho) in complete mode.
+    The state store holds at most 64 rows per group however long the
+    stream runs; that bounded, mergeable register table is exactly why
+    HLL is THE streaming distinct-count structure. The estimate
+    finisher runs batch-side on the drained registers
+    (aggregates._sketch_finish), so the streaming sketch is
+    bit-identical to the batch sketch over the same rows (asserted in
+    pytest and by the gate's oracle)."""
+    from ..operators import aggregates
+
+    return aggregates._sketch_registers(stream, "event_type", "user_id", 40)

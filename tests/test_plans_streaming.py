@@ -518,3 +518,23 @@ def test_streaming_gates_timezone_independent(spark, sf_smoke):
                 assert got[g] == baseline[g], (g, tz)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_streaming_distinct_sketch_matches_batch(spark, sf_smoke):
+    """The drained streaming register table, finished batch-side,
+    must be bit-identical to the batch sketch over the same rows --
+    the bounded-state streaming distinct-count path."""
+    from commoncrawl_crawler_spark.operators import aggregates
+
+    batch = aggregates.distinct_sketch(
+        load_table(spark, "events", sf_smoke),
+        "event_type",
+        "user_id",
+        with_exact=False,
+    ).collect()
+    regs = jobs.run_available_now(
+        jobs.streaming_register_sketch(jobs.read_events_stream(spark, sf_smoke)),
+        "ccspark_test_hllregs",
+    )
+    streamed = aggregates._sketch_finish(regs, 40).orderBy("grp").collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
