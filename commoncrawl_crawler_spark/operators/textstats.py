@@ -1010,13 +1010,21 @@ def _duplicate_span_tables(
     pos = base.select(
         "doc_id", F.posexplode(sigs).alias("_p0", "_sig")
     ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "_sig")
-    dup = (
-        pos.groupBy("_sig")
-        .agg(F.count(F.lit(1)).alias("_occ"))
+    # corpus occurrence count as ONE window pass over the positional
+    # table (count over partition-by-signature): a groupBy + join-back
+    # would shuffle twice AND re-evaluate the shingle md5 lineage per
+    # consumer (no exchange reuse -- map-side partials differ)
+    hits = (
+        pos.select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("_sig"))
+            .alias("_occ"),
+        )
         .filter(F.col("_occ") >= 2)
-        .select("_sig")
+        .select("doc_id", "pos")
     )
-    hits = pos.join(dup, "_sig").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     new_span = F.when(
         F.col("pos") - F.lag("pos", 1).over(w) <= min_len - 1, F.lit(0)
