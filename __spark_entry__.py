@@ -2210,6 +2210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # label column as the coarse quantizer, so the whole query is
         # SQL-expressible and hash-checked; the kmeans quantizer path
         # is recall-gated in pytest (test_ivf_metrics)
+        # product-quantization ANN: anchor codebooks, exact-bigint ADC
+        "sim_pq_topk": lambda s, d: similarity.pq_topk(
+            _t(s, d, "embeddings")
+        ),
         "sim_ivf_topk": lambda s, d: similarity.ivf_topk(
             _t(s, d, "embeddings"),
             _t(s, d, "embeddings")
@@ -2449,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_sketch_union",
         "graph_kcore",
         "stream_distinct_sketch",
+        "sim_pq_topk",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -2483,8 +2488,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_domain_resort",
         # query_snippets yields its slot to the never-validated
         # stream_distinct_sketch (r4-validated; pure regex-Column
-        # rendering with dedicated pytest coverage)
-        "sim_lsh_topk",
+        # rendering with dedicated pytest coverage), and sim_lsh_topk
+        # to sim_pq_topk (r4-validated; the ANN tier keeps kmeans +
+        # PQ driver-gated and the hyperplane-LSH path is pytest-
+        # covered with a recall contract)
         # stream_static_enrich yields its slot to the never-validated
         # text_duplicate_trim (r4-validated; the streaming tier keeps
         # three driver-gated entries: sessionize, as-of, attribution)
@@ -4202,6 +4209,65 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             )
             WHERE key NOT IN (SELECT o_custkey FROM orders)
             ORDER BY key
+        """,
+        "sim_pq_topk": """
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), pts AS (
+                SELECT vec_id,
+                       pos - 1 AS dim,
+                       CAST((pos - 1) // 16 AS INT) AS sub,
+                       CAST(floor(val * 1000000 + 0.5) AS BIGINT)
+                           + 1048576 AS q
+                FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+                             unnest(e) AS val
+                      FROM emb)
+            ), seeds AS (
+                SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY vec_id) AS INT)
+                           - 1 AS code
+                FROM (SELECT vec_id FROM embeddings
+                      ORDER BY vec_id LIMIT 16)
+            ), book AS (
+                SELECT p.sub, s.code, p.dim, p.q AS cq
+                FROM pts p JOIN seeds s USING (vec_id)
+            ), encd AS (
+                SELECT p.vec_id, b.sub, b.code,
+                       sum((p.q - b.cq) * (p.q - b.cq)) AS dist
+                FROM pts p JOIN book b
+                    ON p.sub = b.sub AND p.dim = b.dim
+                GROUP BY p.vec_id, b.sub, b.code
+            ), codes AS (
+                SELECT vec_id, sub, code FROM (
+                    SELECT vec_id, sub, code,
+                           row_number() OVER (
+                               PARTITION BY vec_id, sub
+                               ORDER BY dist, code) AS rk
+                    FROM encd
+                ) WHERE rk = 1
+            ), tabs AS (
+                SELECT p.vec_id AS probe_id, b.sub, b.code,
+                       sum((p.q - b.cq) * (p.q - b.cq)) AS pdist
+                FROM pts p JOIN book b
+                    ON p.sub = b.sub AND p.dim = b.dim
+                WHERE p.vec_id < 10
+                GROUP BY p.vec_id, b.sub, b.code
+            ), adc AS (
+                SELECT t.probe_id, c.vec_id,
+                       CAST(sum(t.pdist) AS BIGINT) AS adc_dist
+                FROM codes c JOIN tabs t
+                    ON c.sub = t.sub AND c.code = t.code
+                WHERE c.vec_id <> t.probe_id
+                GROUP BY t.probe_id, c.vec_id
+            )
+            SELECT probe_id, vec_id, adc_dist, rnk FROM (
+                SELECT probe_id, vec_id, adc_dist,
+                       CAST(row_number() OVER (
+                           PARTITION BY probe_id
+                           ORDER BY adc_dist, vec_id) AS INT) AS rnk
+                FROM adc
+            ) WHERE rnk <= 5 ORDER BY probe_id, rnk
         """,
         "sim_ivf_topk": """
             WITH cells AS (

@@ -626,3 +626,130 @@ def pairwise_label_centroids(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    n_probes: int = 10,
+    top_k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    m contiguous subspaces, encode every subspace to one of n_codes
+    codewords, and answer queries by Asymmetric Distance Computation
+    -- a per-probe (subspace, code) lookup table summed over the m
+    codes. This is THE memory-side ANN scale path: a 64-dim float
+    corpus becomes m small codes per vector (here 4 bytes vs 256),
+    and the scan never touches raw vectors.
+
+    Codebooks here are deterministic ANCHORS -- the n_codes lowest
+    vec_ids' sub-vectors, the same seeding rule as kmeans_exact with
+    zero refinement -- so the whole operator is closed-form and
+    hash-gateable. Production swaps in kmeans_exact per subspace for
+    trained codebooks without changing any downstream plan shape (the
+    encode/table/ADC stages only see a (sub, code, dim, cq) table).
+
+    Exactness: kmeans_exact's quantization discipline (micro-units
+    shifted nonnegative by KMEANS_QUANT_OFFSET, assert on the bound),
+    exact-bigint squared distances, argmin ties to the lowest code,
+    ranking ties to the lowest vec_id -- bit-identical on any engine
+    or partitioning.
+
+    Scale shape: the codebook (m*n_codes*d rows) and the probe
+    distance tables (n_probes*m*n_codes rows) broadcast; the corpus
+    is touched twice -- once to encode (the irreducible O(n*k*d)
+    join, same cost class as one Lloyd assignment pass), once as the
+    encoded (vec_id, sub, code) table joined against the broadcast
+    tables; the ADC rollup groups m rows per (probe, vector). No
+    raw-vector shuffle anywhere past the encode stage.
+
+    Output: (probe_id, vec_id, adc_dist, rnk).
+    """
+    lim = float(KMEANS_QUANT_OFFSET) / 1e6
+    d = embeddings.select(F.size("embedding")).first()[0]  # bounded peek
+    if d % m_subspaces != 0:
+        raise ValueError("embedding dim must divide into m_subspaces")
+    sub_dim = d // m_subspaces
+    pts = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        (F.col("dim") / sub_dim).cast("int").alias("sub"),
+        (
+            F.floor(
+                F.when(
+                    F.assert_true(
+                        F.col("val").cast("double") >= F.lit(-lim),
+                        F.concat(
+                            F.lit(
+                                "pq_topk: coordinate below "
+                                f"-{lim} breaks the nonnegative "
+                                "quantization invariant: "
+                            ),
+                            F.col("val").cast("string"),
+                        ),
+                    ).isNull(),
+                    F.col("val").cast("double") * 1e6 + F.lit(0.5),
+                )
+            ).cast("long")
+            + F.lit(KMEANS_QUANT_OFFSET)
+        ).alias("q"),
+    )
+    seeds = (
+        embeddings.select("vec_id")
+        .orderBy("vec_id")
+        .limit(n_codes)
+        .withColumn(
+            "code",
+            F.row_number().over(Window.orderBy("vec_id")).cast("int") - 1,
+        )
+    )
+    book = pts.join(F.broadcast(seeds), "vec_id").select(
+        "sub", "code", "dim", F.col("q").alias("cq")
+    )
+
+    def _nearest(points: DataFrame, id_col: str) -> DataFrame:
+        """(id, sub, code, dist) for the argmin codeword per (id, sub),
+        and the full distance rows -- exact bigint sums."""
+        return (
+            points.join(F.broadcast(book), ["sub", "dim"])
+            .groupBy(id_col, "sub", "code")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+
+    codes = (
+        _nearest(pts, "vec_id")
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist", "code")).alias("m"))
+        .select("vec_id", "sub", F.col("m.code").alias("code"))
+    )
+    tabs = _nearest(
+        pts.filter(F.col("vec_id") < n_probes).withColumnRenamed(
+            "vec_id", "probe_id"
+        ),
+        "probe_id",
+    ).withColumnRenamed("dist", "pdist")
+    adc = (
+        codes.join(F.broadcast(tabs), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("pdist").alias("adc_dist"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.select(
+            "probe_id",
+            "vec_id",
+            "adc_dist",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= top_k)
+        .orderBy("probe_id", "rnk")
+    )

@@ -111,3 +111,33 @@ def test_kmeans_exact_rejects_out_of_range_coordinates(spark):
     )
     with pytest.raises(Exception, match="quantization invariant"):
         similarity.kmeans_exact(emb, k=2, max_iterations=3).collect()
+
+
+def test_pq_topk_duplicate_vector_ranks_first(spark):
+    """A vector identical to a probe shares its codes, so its ADC
+    distance equals the probe's own minimal table sum -- it must rank
+    first; distances are nondecreasing in rank."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # ids 0-3 are the anchors/codebook (4 codes), ids 0-1 the probes
+    for vid in range(8):
+        rows.append((vid, [rng.uniform(-0.4, 0.4) for _ in range(8)]))
+    rows.append((10, list(rows[1][1])))  # exact copy of probe 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.pq_topk(
+        df, m_subspaces=4, n_codes=4, n_probes=2, top_k=3
+    ).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == {0, 1}
+    for probe, rs in by_probe.items():
+        assert [r["rnk"] for r in rs] == [1, 2, 3]
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+    assert by_probe[1][0]["vec_id"] == 10
+    # the exact copy achieves the minimum possible ADC distance: the
+    # probe's distance table evaluated at its own codes
+    assert by_probe[1][0]["adc_dist"] <= by_probe[1][1]["adc_dist"]

@@ -275,6 +275,7 @@ def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
         "text_mixture_plan",  # 1-row weight-total broadcast
         "text_unigram_surprisal",  # 1-row corpus-total broadcast
         "text_bigram_surprisal",  # 1-row vocab-size broadcast
+        "text_perplexity_buckets",  # same (wraps the bigram scorer)
         "text_tfidf_keywords",  # 1-row doc-count broadcast
         "text_pmi_pairs",  # 1-row doc-count broadcast
         "text_bm25_rank",  # 1-row corpus-stats broadcast
