@@ -308,6 +308,120 @@ _BIGRAM_SURPRISAL_SQL = """
         """
 
 
+def _pq_sql(train_iters: int = 0, eps: int = 10_000) -> str:
+    """Product-quantization ANN oracle mirroring similarity.pq_topk:
+    anchor codebooks (train_iters=0) or per-subspace exact-integer
+    Lloyd refinement unrolled to the cap with the kmeans-style
+    first-delta-below-eps pick. Hardcodes the gate defaults: 64-dim
+    embeddings, 4 subspaces of 16 dims, 16 codes, probes vec_id < 10,
+    top 5. AS MATERIALIZED throughout (CTE inlining re-expands
+    iteration chains exponentially)."""
+    off = 1 << 20
+    sql = f"""WITH pts AS MATERIALIZED (
+    SELECT vec_id,
+           pos - 1 AS dim,
+           CAST((pos - 1) // 16 AS INT) AS sub,
+           CAST(floor(val * 1000000 + 0.5) AS BIGINT) + {off} AS q
+    FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS val
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings))
+),
+seeds AS (
+    SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+cb0 AS MATERIALIZED (
+    SELECT p.sub, s.code, p.dim, p.q AS cq
+    FROM pts p JOIN seeds s USING (vec_id)
+)"""
+    book = "cb0"
+    if train_iters > 0:
+        for i in range(1, train_iters + 1):
+            sql += f""",
+d{i} AS (
+    SELECT p.vec_id, c.sub, c.code,
+           sum((p.q - c.cq) * (p.q - c.cq)) AS dist
+    FROM pts p JOIN cb{i - 1} c ON p.sub = c.sub AND p.dim = c.dim
+    GROUP BY 1, 2, 3
+),
+a{i} AS MATERIALIZED (
+    SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        FROM d{i}
+    ) WHERE rn = 1
+),
+cb{i} AS MATERIALIZED (
+    SELECT o.sub, o.code, o.dim, CAST(coalesce(n.cn, o.cq) AS BIGINT) AS cq
+    FROM cb{i - 1} o LEFT JOIN (
+        SELECT a.sub, a.code, p.dim, sum(p.q) // count(*) AS cn
+        FROM a{i} a JOIN pts p ON a.vec_id = p.vec_id AND a.sub = p.sub
+        GROUP BY 1, 2, 3
+    ) n ON o.sub = n.sub AND o.code = n.code AND o.dim = n.dim
+),
+delta{i} AS (
+    SELECT {i} AS it, max(abs(a.cq - b.cq)) AS delta
+    FROM cb{i} a JOIN cb{i - 1} b
+        ON a.sub = b.sub AND a.code = b.code AND a.dim = b.dim
+)"""
+        deltas = " UNION ALL ".join(
+            f"SELECT it, delta FROM delta{i}"
+            for i in range(1, train_iters + 1)
+        )
+        allcb = " UNION ALL ".join(
+            f"SELECT {i} AS it, sub, code, dim, cq FROM cb{i}"
+            for i in range(1, train_iters + 1)
+        )
+        sql += f""",
+pick AS (
+    SELECT coalesce(min(it), {train_iters}) AS it
+    FROM ({deltas}) WHERE delta <= {eps}
+),
+allcb AS ({allcb}),
+book AS MATERIALIZED (
+    SELECT sub, code, dim, cq FROM allcb
+    WHERE it = (SELECT it FROM pick)
+)"""
+        book = "book"
+    return sql + f""",
+encd AS (
+    SELECT p.vec_id, b.sub, b.code,
+           sum((p.q - b.cq) * (p.q - b.cq)) AS dist
+    FROM pts p JOIN {book} b ON p.sub = b.sub AND p.dim = b.dim
+    GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code, row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY dist, code) AS rk
+        FROM encd
+    ) WHERE rk = 1
+),
+tabs AS (
+    SELECT p.vec_id AS probe_id, b.sub, b.code,
+           sum((p.q - b.cq) * (p.q - b.cq)) AS pdist
+    FROM pts p JOIN {book} b ON p.sub = b.sub AND p.dim = b.dim
+    WHERE p.vec_id < 10
+    GROUP BY 1, 2, 3
+),
+adc AS (
+    SELECT t.probe_id, c.vec_id,
+           CAST(sum(t.pdist) AS BIGINT) AS adc_dist
+    FROM codes c JOIN tabs t ON c.sub = t.sub AND c.code = t.code
+    WHERE c.vec_id <> t.probe_id
+    GROUP BY 1, 2
+)
+SELECT probe_id, vec_id, adc_dist, rnk FROM (
+    SELECT probe_id, vec_id, adc_dist,
+           CAST(row_number() OVER (
+               PARTITION BY probe_id
+               ORDER BY adc_dist, vec_id) AS INT) AS rnk
+    FROM adc
+) WHERE rnk <= 5 ORDER BY probe_id, rnk
+"""
+
+
 def _kcore_sql(k: int = 3, rounds: int = 30) -> str:
     """k-core peeling unrolled to the Spark-side iteration cap.
     Peeling is monotone and idempotent, so rounds past the fixpoint
@@ -2214,6 +2328,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk": lambda s, d: similarity.pq_topk(
             _t(s, d, "embeddings")
         ),
+        # trained PQ: per-subspace exact-integer Lloyd refinement in
+        # one composed plan per iteration (global max-delta stop)
+        "sim_pq_trained_topk": lambda s, d: similarity.pq_topk(
+            _t(s, d, "embeddings"), train_iterations=6
+        ),
         "sim_ivf_topk": lambda s, d: similarity.ivf_topk(
             _t(s, d, "embeddings"),
             _t(s, d, "embeddings")
@@ -2454,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore",
         "stream_distinct_sketch",
         "sim_pq_topk",
+        "sim_pq_trained_topk",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -2483,7 +2603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode path stays driver-exercised through mm_audio_energy
         # and the ADPCM gate's PCM comparison)
         "mm_image_bands",
-        "mm_resize_ppm",
+        # mm_resize_ppm yields its slot to the never-validated
+        # sim_pq_trained_topk (r4-validated; the PPM decode path
+        # stays driver-exercised via mm_image_bands)
         "pipeline_corpus_build",
         "query_domain_resort",
         # query_snippets yields its slot to the never-validated
@@ -4210,65 +4332,8 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             WHERE key NOT IN (SELECT o_custkey FROM orders)
             ORDER BY key
         """,
-        "sim_pq_topk": """
-            WITH emb AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                FROM embeddings
-            ), pts AS (
-                SELECT vec_id,
-                       pos - 1 AS dim,
-                       CAST((pos - 1) // 16 AS INT) AS sub,
-                       CAST(floor(val * 1000000 + 0.5) AS BIGINT)
-                           + 1048576 AS q
-                FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
-                             unnest(e) AS val
-                      FROM emb)
-            ), seeds AS (
-                SELECT vec_id,
-                       CAST(row_number() OVER (ORDER BY vec_id) AS INT)
-                           - 1 AS code
-                FROM (SELECT vec_id FROM embeddings
-                      ORDER BY vec_id LIMIT 16)
-            ), book AS (
-                SELECT p.sub, s.code, p.dim, p.q AS cq
-                FROM pts p JOIN seeds s USING (vec_id)
-            ), encd AS (
-                SELECT p.vec_id, b.sub, b.code,
-                       sum((p.q - b.cq) * (p.q - b.cq)) AS dist
-                FROM pts p JOIN book b
-                    ON p.sub = b.sub AND p.dim = b.dim
-                GROUP BY p.vec_id, b.sub, b.code
-            ), codes AS (
-                SELECT vec_id, sub, code FROM (
-                    SELECT vec_id, sub, code,
-                           row_number() OVER (
-                               PARTITION BY vec_id, sub
-                               ORDER BY dist, code) AS rk
-                    FROM encd
-                ) WHERE rk = 1
-            ), tabs AS (
-                SELECT p.vec_id AS probe_id, b.sub, b.code,
-                       sum((p.q - b.cq) * (p.q - b.cq)) AS pdist
-                FROM pts p JOIN book b
-                    ON p.sub = b.sub AND p.dim = b.dim
-                WHERE p.vec_id < 10
-                GROUP BY p.vec_id, b.sub, b.code
-            ), adc AS (
-                SELECT t.probe_id, c.vec_id,
-                       CAST(sum(t.pdist) AS BIGINT) AS adc_dist
-                FROM codes c JOIN tabs t
-                    ON c.sub = t.sub AND c.code = t.code
-                WHERE c.vec_id <> t.probe_id
-                GROUP BY t.probe_id, c.vec_id
-            )
-            SELECT probe_id, vec_id, adc_dist, rnk FROM (
-                SELECT probe_id, vec_id, adc_dist,
-                       CAST(row_number() OVER (
-                           PARTITION BY probe_id
-                           ORDER BY adc_dist, vec_id) AS INT) AS rnk
-                FROM adc
-            ) WHERE rnk <= 5 ORDER BY probe_id, rnk
-        """,
+        "sim_pq_topk": _pq_sql(train_iters=0),
+        "sim_pq_trained_topk": _pq_sql(train_iters=6),
         "sim_ivf_topk": """
             WITH cells AS (
                 SELECT vec_id, label AS cell,

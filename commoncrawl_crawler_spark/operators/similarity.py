@@ -634,6 +634,8 @@ def pq_topk(
     n_codes: int = 16,
     n_probes: int = 10,
     top_k: int = 5,
+    train_iterations: int = 0,
+    eps: int = 10_000,
 ) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split each vector into
@@ -644,12 +646,17 @@ def pq_topk(
     corpus becomes m small codes per vector (here 4 bytes vs 256),
     and the scan never touches raw vectors.
 
-    Codebooks here are deterministic ANCHORS -- the n_codes lowest
-    vec_ids' sub-vectors, the same seeding rule as kmeans_exact with
-    zero refinement -- so the whole operator is closed-form and
-    hash-gateable. Production swaps in kmeans_exact per subspace for
-    trained codebooks without changing any downstream plan shape (the
-    encode/table/ADC stages only see a (sub, code, dim, cq) table).
+    Codebooks start as deterministic ANCHORS -- the n_codes lowest
+    vec_ids' sub-vectors, the same seeding rule as kmeans_exact --
+    and `train_iterations > 0` refines them with exact-integer
+    Lloyd's run over ALL m subspaces in ONE composed plan per
+    iteration (subspace is just an extra grouping key: assignment is
+    an argmin per (vec_id, sub), the update one
+    groupBy(sub, code, dim), and the global max centroid delta rides
+    each iteration's own checkpoint job via Observation -- the
+    kmeans_exact discipline, m quantizers for the price of one loop).
+    Both variants are closed-form-deterministic and hash-gateable:
+    the oracle unrolls the same refinement in SQL.
 
     Exactness: kmeans_exact's quantization discipline (micro-units
     shifted nonnegative by KMEANS_QUANT_OFFSET, assert on the bound),
@@ -710,6 +717,57 @@ def pq_topk(
     book = pts.join(F.broadcast(seeds), "vec_id").select(
         "sub", "code", "dim", F.col("q").alias("cq")
     )
+    if train_iterations > 0:
+        from pyspark.sql import Observation
+
+        # loop-invariant: don't replay the explode+quantize lineage
+        # once per Lloyd iteration
+        pts = pts.localCheckpoint(eager=False)
+        book = book.localCheckpoint(eager=True)
+        for _ in range(train_iterations):
+            dists = (
+                pts.join(F.broadcast(book), ["sub", "dim"])
+                .groupBy("vec_id", "sub", "code")
+                .agg(
+                    F.sum(
+                        (F.col("q") - F.col("cq"))
+                        * (F.col("q") - F.col("cq"))
+                    ).alias("dist")
+                )
+            )
+            assign = (
+                dists.groupBy("vec_id", "sub")
+                .agg(F.min(F.struct("dist", "code")).alias("m"))
+                .select("vec_id", "sub", F.col("m.code").alias("code"))
+            )
+            new = (
+                assign.join(pts, ["vec_id", "sub"])
+                .groupBy("sub", "code", "dim")
+                .agg(F.expr("sum(q) DIV count(1)").alias("cn"))
+            )
+            obs = Observation()
+            book = (
+                book.join(new, ["sub", "code", "dim"], "left")
+                .select(
+                    "sub",
+                    "code",
+                    "dim",
+                    F.col("cq").alias("_prev"),
+                    # empty codeword keeps its previous centroid
+                    F.coalesce("cn", "cq").alias("cq"),
+                )
+                .observe(
+                    obs,
+                    F.max(F.abs(F.col("cq") - F.col("_prev"))).alias(
+                        "delta"
+                    ),
+                )
+                .select("sub", "code", "dim", "cq")
+                .localCheckpoint(eager=True)
+            )
+            delta = obs.get["delta"]
+            if delta is None or delta <= eps:
+                break
 
     def _nearest(points: DataFrame, id_col: str) -> DataFrame:
         """(id, sub, code, dist) for the argmin codeword per (id, sub),

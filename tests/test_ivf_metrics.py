@@ -141,3 +141,53 @@ def test_pq_topk_duplicate_vector_ranks_first(spark):
     # the exact copy achieves the minimum possible ADC distance: the
     # probe's distance table evaluated at its own codes
     assert by_probe[1][0]["adc_dist"] <= by_probe[1][1]["adc_dist"]
+
+
+def test_pq_topk_matches_numpy_model(spark):
+    """Independent integer-exact model of the PQ path (quantize ->
+    anchor codebook -> encode -> ADC -> rank) must reproduce the
+    operator's rows exactly."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(11)
+    n, d, m, k, probes, top = 40, 8, 4, 4, 3, 5
+    rows = [
+        (vid, [rng.uniform(-0.4, 0.4) for _ in range(d)])
+        for vid in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        tuple(r)
+        for r in similarity.pq_topk(
+            df, m_subspaces=m, n_codes=k, n_probes=probes, top_k=top
+        ).collect()
+    ]
+
+    off = 1 << 20
+    q = np.array(
+        [[int(np.floor(v * 1e6 + 0.5)) + off for v in emb] for _, emb in rows],
+        dtype=np.int64,
+    )
+    sub_dim = d // m
+    book = q[:k]  # anchor codebooks: sub s codewords = book[:, s*sub_dim:...]
+    exp = []
+    for p in range(probes):
+        dists = {}
+        for vid in range(n):
+            if vid == p:
+                continue
+            total = 0
+            for s in range(m):
+                sl = slice(s * sub_dim, (s + 1) * sub_dim)
+                dv = ((q[vid, sl] - book[:, sl]) ** 2).sum(axis=1)
+                code = int(np.lexsort((np.arange(k), dv))[0])  # tie -> low code
+                pd_ = ((q[p, sl] - book[code, sl]) ** 2).sum()
+                total += int(pd_)
+            dists[vid] = total
+        ranked = sorted(dists.items(), key=lambda kv: (kv[1], kv[0]))[:top]
+        exp.extend(
+            (p, vid, dist, rk + 1) for rk, (vid, dist) in enumerate(ranked)
+        )
+    assert got == exp
