@@ -1863,6 +1863,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct_sketch": lambda s, d: aggregates.distinct_sketch(
             _t(s, d, "events"), "event_type", "user_id"
         ),
+        # count-min sketch heavy hitters: fixed-size mergeable counter
+        # table, md5-salted rows, estimate >= exact by construction
+        "agg_count_min": lambda s, d: aggregates.count_min_tokens(
+            _t(s, d, "documents")
+        ),
         # mergeable-sketch union: per-source register tables combine
         # by bucket-wise max into the corpus-wide '__all__' row
         "agg_sketch_union": lambda s, d: aggregates.distinct_sketch_union(
@@ -2570,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_duplicate_trim",
         "agg_distinct_sketch",
         "agg_sketch_union",
+        "agg_count_min",
         "graph_kcore",
         "stream_distinct_sketch",
         "sim_pq_topk",
@@ -2594,7 +2600,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays driver-exercised via graph_clustering_coeff, which
         # shares the oriented edge set)
         "join_asof",
-        "join_range_bucketed",
+        # join_range_bucketed yields its slot to the never-validated
+        # agg_count_min (r4-validated; the bucketed range-join plan
+        # shape is pytest-asserted and join_asof keeps the custom-
+        # join tier driver-gated)
         "mm_audio_energy",
         # mm_decode_ppm yields its slot to the never-validated
         # agg_distinct_sketch (r4-validated; the PPM codec stays
@@ -2821,6 +2830,38 @@ def oracle_sql() -> dict[str, str]:
                             + (64 - count(*)) * 2199023255552)
                         AS BIGINT) AS est_micro
             FROM regs GROUP BY grp ORDER BY grp
+        """,
+        "agg_count_min": """
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS token
+                FROM documents
+            ), salts AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            cells AS (
+                SELECT r,
+                       CAST(('0x'||substr(md5(CAST(r AS VARCHAR)
+                            || '|' || token), 1, 15)) AS BIGINT)
+                            % 512 AS bucket,
+                       count(*) AS cnt
+                FROM toks, salts
+                GROUP BY 1, 2
+            ), top AS (
+                SELECT token, count(*) AS exact_cnt
+                FROM toks GROUP BY token
+                ORDER BY exact_cnt DESC, token LIMIT 20
+            ), probes AS (
+                SELECT t.token, t.exact_cnt, s.r,
+                       CAST(('0x'||substr(md5(CAST(s.r AS VARCHAR)
+                            || '|' || t.token), 1, 15)) AS BIGINT)
+                            % 512 AS bucket
+                FROM top t, salts s
+            )
+            SELECT p.token, p.exact_cnt,
+                   CAST(min(c.cnt) AS BIGINT) AS cms_estimate
+            FROM probes p JOIN cells c
+                ON p.r = c.r AND p.bucket = c.bucket
+            GROUP BY 1, 2 ORDER BY exact_cnt DESC, token
         """,
         "agg_sketch_union": """
             WITH rows_ AS (

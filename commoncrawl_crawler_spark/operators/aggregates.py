@@ -404,3 +404,85 @@ def distinct_sketch_union(
     return _sketch_finish(
         regs.unionByName(merged), window_bits
     ).orderBy("grp")
+
+
+def count_min_tokens(
+    documents: DataFrame,
+    depth: int = 4,
+    width: int = 512,
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-min sketch over corpus tokens (Cormode-Muthukrishnan
+    2005) with a heavy-hitter report: estimate = min over `depth`
+    md5-salted rows of the bucket counters. Like the HLL sketch, the
+    md5 derivation makes every counter -- and therefore the estimate
+    -- bit-identical across engines and partitionings, so the gate
+    hash-matches; and the counter table is mergeable (cell-wise sum),
+    the property that lets per-shard sketches combine at 100 TB
+    without rescanning.
+
+    Scale shape: one token explode (linear) fans out to depth rows
+    per occurrence, then ONE partial-aggregating groupBy collapses to
+    depth*width counter cells -- the sketch is fixed-size however
+    large the corpus. The report joins the top_n exact heavy hitters
+    (the expensive path the sketch replaces, kept as the error
+    column) against the broadcast cell table; CMS guarantees
+    estimate >= exact, asserted in pytest.
+
+    Output: (token, exact_cnt, cms_estimate) by exact count desc.
+    """
+    toks = documents.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("token")
+    )
+
+    def _bucket(r: int) -> "F.Column":
+        h = F.md5(F.concat(F.lit(f"{r}|"), F.col("token")))
+        return (
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % width
+        )
+
+    cells = (
+        toks.select(
+            "token",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"), _bucket(r).alias("bucket")
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rb"),
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(top_n)
+    )
+    probes = top.select(
+        "token",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), _bucket(r).alias("bucket"))
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "exact_cnt", "rb.r", "rb.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .orderBy(F.desc("exact_cnt"), "token")
+    )

@@ -1028,3 +1028,27 @@ def test_perplexity_buckets_tertiles_ordered_per_lang(spark):
         score = {b: [r["mean_surprisal_bits"] for r in rs if r["ppl_bucket"] == b] for b in counts}
         assert max(score["head"]) <= min(score["middle"])
         assert max(score["middle"]) <= min(score["tail"])
+
+
+def test_count_min_overestimates_never_under(spark):
+    from collections import Counter
+
+    from commoncrawl_crawler_spark.operators import aggregates
+
+    rows = [(i, ("alpha " * (30 - i) + f"rare{i} beta").strip()) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = aggregates.count_min_tokens(df, depth=4, width=64, top_n=10).collect()
+    # independent exact counts
+    exact = Counter()
+    for _, t in rows:
+        exact.update(t.lower().split())
+    assert len(out) == 10
+    for r in out:
+        assert r["exact_cnt"] == exact[r["token"]], r["token"]
+        # the CMS invariant: never an underestimate
+        assert r["cms_estimate"] >= r["exact_cnt"], r["token"]
+    # heavy hitters surface in exact-count order
+    assert out[0]["token"] == "alpha"
+    assert [r["exact_cnt"] for r in out] == sorted(
+        [r["exact_cnt"] for r in out], reverse=True
+    )
