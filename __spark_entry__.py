@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from commoncrawl_crawler_spark.operators import (
     aggregates,
+    bpe,
     crawldb,
     crawllist,
     dedup,
@@ -228,6 +229,22 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cc_labels",
         sf_dir,
         lambda: graph.connected_components(_cc_edges(spark, sf_dir)),
+    )
+
+
+def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the exact-integer Lloyd assignment is the cluster structure BOTH
+    # sim_kmeans_exact and dedup_semantic consume (SemDeDup blocks on
+    # the k-means cells); run the iterative trainer once per
+    # (session, sf) like the CC labels above
+    return _cached(
+        spark,
+        "kmeans_assign",
+        sf_dir,
+        lambda: similarity.kmeans_exact(
+            _t(spark, sf_dir, "embeddings"), k=8, max_iterations=15,
+            eps=10_000,
+        ),
     )
 
 
@@ -647,10 +664,118 @@ pick AS (
     SELECT coalesce(min(it), {max_iter}) AS it
     FROM ({deltas}) WHERE delta <= {eps}
 ),
-alla AS ({alls})
-SELECT vec_id, CAST(cluster AS INT) AS cluster,
-       CAST((SELECT it FROM pick) AS INT) AS iterations
-FROM alla WHERE it = (SELECT it FROM pick) ORDER BY vec_id
+alla AS ({alls}),
+assign AS (
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           CAST((SELECT it FROM pick) AS INT) AS iterations
+    FROM alla WHERE it = (SELECT it FROM pick)
+)
+SELECT vec_id, cluster, iterations FROM assign ORDER BY vec_id
+"""
+
+
+def _semantic_dedup_sql(threshold: float = 0.35) -> str:
+    """SemDeDup oracle: the unrolled exact-integer k-means chain
+    provides bit-identical block boundaries, then within-cluster
+    pairwise cosine (the same round(list_cosine_similarity, 4)
+    discipline as dedup_embedding_cosine) and the keep-lowest drop
+    rule."""
+    kmeans = _kmeans_sql()
+    # everything up to (not including) the final SELECT is the WITH
+    # chain ending in the `assign` CTE's closing paren
+    body = kmeans[: kmeans.rindex("SELECT vec_id, cluster, iterations")]
+    return body.rstrip() + f""",
+blk AS MATERIALIZED (
+    SELECT e.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS emb
+    FROM embeddings e JOIN assign a USING (vec_id)
+),
+dup AS (
+    SELECT DISTINCT b.vec_id
+    FROM blk a JOIN blk b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= {threshold}
+)
+SELECT c.vec_id, c.cluster,
+       CASE WHEN d.vec_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
+FROM assign c LEFT JOIN dup d USING (vec_id) ORDER BY c.vec_id
+"""
+
+
+def _bpe_cte_body(num_merges: int = 6) -> str:
+    """Unrolled BPE merge learning mirroring operators/bpe.py: the
+    word-frequency table in delimited form ('(h)(e)(l)(l)(o)(#)'),
+    then per merge round adjacent-pair counts (unnest(generate_series)
+    carrying the hoisted symbol array), the argmax pair by
+    (count DESC, left, right), and a plain `replace` of '(l)(r)' with
+    '(lr)' -- leftmost non-overlapping in both engines, so the greedy
+    one-pass merge is bit-identical. AS MATERIALIZED throughout (the
+    iteration-chain discipline of _kmeans_sql)."""
+    sql = r"""WITH wf AS MATERIALIZED (
+    SELECT regexp_replace(word, '(.)', '(\1)', 'g') || '(#)' AS w,
+           count(*) AS cnt
+    FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents
+    ) GROUP BY word
+),
+a0 AS MATERIALIZED (SELECT w, cnt FROM wf)"""
+    for i in range(1, num_merges + 1):
+        sql += rf""",
+p{i} AS (
+    SELECT arr[i] AS l, arr[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+    FROM (
+        SELECT arr, cnt, unnest(generate_series(1, len(arr) - 1)) AS i
+        FROM (
+            SELECT regexp_extract_all(w, '\(([a-z0-9#]+)\)', 1) AS arr, cnt
+            FROM a{i - 1}
+        )
+    ) GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+    SELECT l, r, '(' || l || ')(' || r || ')' AS pat,
+           '(' || l || r || ')' AS rep, c
+    FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+),
+a{i} AS MATERIALIZED (
+    SELECT replace(w, (SELECT pat FROM b{i}), (SELECT rep FROM b{i})) AS w,
+           cnt
+    FROM a{i - 1}
+)"""
+    return sql
+
+
+def _bpe_merges_sql(num_merges: int = 6) -> str:
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS rank, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, c AS pair_count FROM b{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return _bpe_cte_body(num_merges) + f"""
+SELECT * FROM ({union}) ORDER BY rank
+"""
+
+
+def _bpe_encode_sql(num_merges: int = 6) -> str:
+    repl = r"regexp_replace(word, '(.)', '(\1)', 'g') || '(#)'"
+    for i in range(1, num_merges + 1):
+        repl = f"replace({repl}, (SELECT pat FROM b{i}), (SELECT rep FROM b{i}))"
+    return _bpe_cte_body(num_merges) + rf""",
+docw AS (
+    SELECT doc_id, {repl} AS w
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents
+    )
+),
+cnts AS (
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(len(regexp_extract_all(w, '\(([a-z0-9#]+)\)', 1)))
+                AS BIGINT) AS n_tokens
+    FROM docw GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(c.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN cnts c USING (doc_id) ORDER BY doc_id
 """
 
 
@@ -2366,8 +2491,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed exact-integer Lloyd's k-means run to a
         # data-driven stop (Observation-folded centroid delta, the
         # pagerank_converged mechanism applied to iterative ML)
-        "sim_kmeans_exact": lambda s, d: similarity.kmeans_exact(
-            _t(s, d, "embeddings"), k=8, max_iterations=15, eps=10_000
+        "sim_kmeans_exact": lambda s, d: _kmeans_assign(s, d).orderBy(
+            "vec_id"
+        ),
+        # SemDeDup over the shared k-means cells: cluster-blocked
+        # pairwise cosine, keep-lowest per dense neighborhood
+        "dedup_semantic": lambda s, d: dedup.semantic_duplicates(
+            _t(s, d, "embeddings"),
+            _kmeans_assign(s, d),
+            cosine_threshold=0.35,
+        ),
+        # classic BPE subword tokenizer: learned merge table +
+        # per-doc token accounting with the merges applied
+        "text_bpe_merges": lambda s, d: bpe.merge_table(
+            _t(s, d, "documents"), num_merges=6
+        ),
+        "text_bpe_encode": lambda s, d: bpe.encode_token_counts(
+            _t(s, d, "documents"), num_merges=6
+        ),
+        # fastText-style hashed linear quality classifier inference
+        "text_quality_classifier": lambda s, d: (
+            textstats.hashed_quality_scores(_t(s, d, "documents"))
         ),
         "text_document_profile": lambda s, d: textstats.document_profile(
             _t(s, d, "documents")
@@ -2559,6 +2703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_SELF_r05.txt (tools/check_all_oracles.py).
     priority = [
         # (a) never driver-validated (new this round)
+        "dedup_semantic",
+        "text_bpe_merges",
+        "text_bpe_encode",
+        "text_quality_classifier",
         "source_arc_v1_roundtrip",
         "source_warc_roundtrip",
         "mm_decode_png",
@@ -2616,7 +2764,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sim_pq_trained_topk (r4-validated; the PPM decode path
         # stays driver-exercised via mm_image_bands)
         "pipeline_corpus_build",
-        "query_domain_resort",
         # query_snippets yields its slot to the never-validated
         # stream_distinct_sketch (r4-validated; pure regex-Column
         # rendering with dedicated pytest coverage), and sim_lsh_topk
@@ -2635,8 +2782,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mixture_plan",
         "text_pack_sequences",
         "text_paragraph_dedup",
-        "text_pmi_pairs",
-        "text_redact_pii",
+        # text_pmi_pairs and text_redact_pii yield their slots to the
+        # never-validated text_bpe_merges/text_bpe_encode
+        # (r4-validated, code unchanged, pytest-covered; the token
+        # association tier stays driver-gated via text_tfidf_keywords
+        # and text_bm25_rank)
         "text_repetition_signals",
         # text_stratified_sample yields its slot to the never-
         # validated text_duplicate_spans (r4-validated, code
@@ -2645,8 +2795,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_keywords",
         # text_unigram_surprisal yields its slot to the never-
         # validated bigram twin above (r4-validated, same code
-        # family, the bigram gate exercises strictly more machinery)
-        "text_vocabulary",
+        # family, the bigram gate exercises strictly more machinery);
+        # text_vocabulary yields to the never-validated
+        # text_quality_classifier and query_domain_resort to
+        # dedup_semantic (both r4-validated, code unchanged,
+        # pytest-covered; the query-serving tier stays driver-gated
+        # via query_snippets' displacement note and the vocabulary
+        # machinery via text_tfidf_keywords' doc-freq path)
         # Never-driver-validated gates outrank re-validation of
         # r2-green anchors: fn_url_canonicalize, agg_moving_daily_avg,
         # skew_salted_join, filter_text_grep, setop_distinct,
@@ -4061,6 +4216,50 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(iterations=3),
         "graph_pagerank_converged": _pagerank_converged_sql(),
         "sim_kmeans_exact": _kmeans_sql(),
+        "dedup_semantic": _semantic_dedup_sql(threshold=0.35),
+        "text_bpe_merges": _bpe_merges_sql(num_merges=6),
+        "text_bpe_encode": _bpe_encode_sql(num_merges=6),
+        "text_quality_classifier": """
+            WITH arrs AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, unnest(arr) AS feat FROM arrs
+                UNION ALL
+                SELECT doc_id, arr[i] || '_' || arr[i + 1] AS feat
+                FROM (
+                    SELECT doc_id, arr,
+                           unnest(generate_series(1, len(arr) - 1)) AS i
+                    FROM arrs
+                )
+            ),
+            w AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('w:' || CAST(
+                           CAST(('0x' || substr(md5('qc:' || feat), 1, 8))
+                                AS BIGINT) % 4096 AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 2001 - 1000 AS wt
+                FROM feats
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_features, sum(wt) AS s
+                FROM w GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_features, 0) AS BIGINT) AS n_features,
+                   CAST(coalesce(
+                       ((a.s + 1000 * a.n_features) * 1000000)
+                           // a.n_features - 1000000000, 0)
+                       AS BIGINT) AS score_micro,
+                   CASE WHEN a.n_features IS NULL THEN 'empty'
+                        WHEN ((a.s + 1000 * a.n_features) * 1000000)
+                             // a.n_features - 1000000000 >= 0 THEN 'keep'
+                        ELSE 'filter' END AS label
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id
+        """,
         "graph_hits": _hits_sql(iterations=2),
         "graph_kcore": _kcore_sql(k=3, rounds=30),
         # independent relational reimplementation of the Chromium

@@ -1,0 +1,189 @@
+"""Byte-pair-encoding tokenizer: distributed merge learning + encode.
+
+The training-data tier's missing piece between "whitespace tokens"
+(textstats.vocabulary) and "token budget planning" (text_mixture_plan)
+is an actual subword tokenizer. This module implements classic BPE
+(Sennrich, Haddow & Birch 2016, "Neural Machine Translation of Rare
+Words with Subword Units") the way public implementations do: learn
+the top-N most frequent adjacent symbol pairs over the word-frequency
+table, merging greedily; encode by replaying the learned merges in
+rank order.
+
+Spark-first shape:
+
+- The WORD-FREQUENCY table (not the corpus) is the training input --
+  the classic trick that makes BPE training independent of corpus
+  size: 100 TB of text collapses to a |vocab|-row table in one
+  groupBy, and every merge iteration is a tiny job over that table.
+  The word-frequency base is localCheckpoint'd once (loop-invariant).
+- Each iteration is a pure Catalyst plan: hoisted symbol-array
+  projection (a `transform` lambda re-evaluates captured expressions
+  PER ELEMENT, so the regexp_extract_all is projected first), adjacent
+  pairs via `transform(sequence(...))` + explode, one partial-agg
+  groupBy, and a 1-ROW bounded collect of the argmax pair -- the same
+  bounded-collect discipline as the crawler filter rule compile.
+- Words travel in a DELIMITED form, one symbol per "(...)" group:
+  "hello" -> "(h)(e)(l)(l)(o)(#)" ('#' is the end-of-word marker).
+  Merging pair (l, r) is then a plain string replace of "(l)(r)" with
+  "(lr)" -- leftmost non-overlapping, exactly BPE's one-pass greedy
+  merge, and bit-identical between Spark's `replace` and the SQL
+  oracle's `replace` (both scan left-to-right, non-overlapping, so
+  "(a)(a)(a)" merges to "(aa)(a)" in both engines). No regex in the
+  merge step, hence no lookbehind-support divergence (RE2 vs Java).
+
+Determinism contract (what makes the DuckDB oracle hash-match): pair
+ranking ties break by (count DESC, left ASC, right ASC); tokens are
+lowercase `[a-z0-9]+` runs; counts are exact bigints.
+
+At 100 TB: one corpus-wide groupBy(word) shuffle builds the frequency
+table; every subsequent iteration touches only that table, and encode
+is a map-only chain of `replace` Column expressions -- no shuffle, no
+Python, whole-stage codegen throughout.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# a symbol is any run of word chars and/or the end-of-word marker
+_SYM_RE = r"\(([a-z0-9#]+)\)"
+_WORD_RE = "[a-z0-9]+"
+END_MARK = "#"
+
+
+def _delimited(col):
+    """'hello' -> '(h)(e)(l)(l)(o)(#)': wrap every char in its own
+    group, append the end-of-word marker symbol."""
+    return F.concat(
+        F.regexp_replace(col, "(.)", "($1)"), F.lit(f"({END_MARK})")
+    )
+
+
+def word_frequencies(documents: DataFrame) -> DataFrame:
+    """(w, cnt): the delimited word-frequency table BPE trains on."""
+    words = documents.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(_WORD_RE), 0
+            )
+        ).alias("word")
+    )
+    return words.groupBy("word").agg(F.count("*").alias("cnt")).select(
+        _delimited(F.col("word")).alias("w"), "cnt"
+    )
+
+
+def _pair_counts(freqs: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over the (possibly partly merged)
+    delimited word table: (l, r, c)."""
+    arrs = freqs.select(
+        # HOIST the symbol array: referencing the extract inside the
+        # transform lambda would re-run the regex per element
+        F.regexp_extract_all(F.col("w"), F.lit(_SYM_RE), 1).alias("arr"),
+        "cnt",
+    ).filter(F.size("arr") >= 2)  # also guards sequence(1, size-1)
+    pairs = arrs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(arr) - 1),"
+                " i -> struct(arr[i - 1] AS l, arr[i] AS r))"
+            )
+        ).alias("p"),
+        "cnt",
+    )
+    return pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
+        F.sum("cnt").alias("c")
+    )
+
+
+def learn_merges(
+    documents: DataFrame, num_merges: int = 6
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn `num_merges` BPE merges; returns
+    [(rank, left, right, merged, pair_count), ...] in rank order.
+
+    Driver loop is inherent to BPE (merge i+1's counts depend on
+    merge i having been applied), but each round collects exactly ONE
+    row -- the argmax pair -- and all counting stays distributed.
+    """
+    base = word_frequencies(documents).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    cur = base
+    for rank in range(1, num_merges + 1):
+        best = (
+            _pair_counts(cur)
+            .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # degenerate corpus: every word is one symbol
+            break
+        l, r, c = best[0]["l"], best[0]["r"], best[0]["c"]
+        merges.append((rank, l, r, l + r, int(c)))
+        cur = cur.select(
+            F.replace(
+                F.col("w"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+            ).alias("w"),
+            "cnt",
+        )
+    return merges
+
+
+def merge_table(documents: DataFrame, num_merges: int = 6) -> DataFrame:
+    """The learned merge table as a DataFrame:
+    (rank, left_sym, right_sym, merged, pair_count)."""
+    spark = documents.sparkSession
+    rows = learn_merges(documents, num_merges)
+    return spark.createDataFrame(
+        rows,
+        "rank int, left_sym string, right_sym string,"
+        " merged string, pair_count long",
+    ).orderBy("rank")
+
+
+def apply_merges(col, merges: list[tuple[int, str, str, str, int]]):
+    """Chain the learned merges over a delimited-word Column, in rank
+    order -- the BPE encode step as pure codegen'd `replace` calls."""
+    out = col
+    for _, l, r, _, _ in merges:
+        out = F.replace(out, F.lit(f"({l})({r})"), F.lit(f"({l}{r})"))
+    return out
+
+
+def encode_token_counts(
+    documents: DataFrame, num_merges: int = 6
+) -> DataFrame:
+    """Per-document BPE token accounting after `num_merges` learned
+    merges: (doc_id, n_words, n_tokens). n_tokens counts subword
+    symbols including the end-of-word marker symbol each word carries
+    (possibly merged into its last subword), so an unmerged word of k
+    chars contributes k + 1. Documents with no `[a-z0-9]+` runs emit
+    zeros. The token budget this yields feeds text_mixture_plan-style
+    planning with a real tokenizer instead of whitespace counts."""
+    merges = learn_merges(documents, num_merges)
+    words = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(_WORD_RE), 0
+            )
+        ).alias("word"),
+    )
+    applied = words.select(
+        "doc_id", apply_merges(_delimited(F.col("word")), merges).alias("w")
+    )
+    counts = applied.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.col("w"), F.lit(_SYM_RE), 1))
+        ).alias("n_tokens"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -314,36 +314,23 @@ def ngram_jaccard_pairs(
     )
 
 
-def embedding_near_duplicates(
-    embeddings: DataFrame, cosine_threshold: float = 0.95, band: int = 8
+def _blocked_cosine_pairs(
+    blocked: DataFrame, raw_floor: float, max_block: int = 100_000
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs, label-blocked.
+    """Shared block-local pairwise-cosine kernel: one Arrow-batched
+    `applyInPandas` per `block` value over (vec_id, block, embedding)
+    -> (vec_a, vec_b, cosine_raw) with vec_a < vec_b. Normalize the
+    block's matrix once, one float64 BLAS matmul yields every pairwise
+    cosine; `raw_floor` keeps every pair within one rounding step of
+    the caller's threshold (the authoritative round + filter stays
+    JVM-side so Spark's HALF_UP rounding decides the output).
 
-    One Arrow-batched `applyInPandas` per label block: normalize the
-    block's matrix once, one BLAS matmul yields every pairwise cosine
-    (float64 -- float32 accumulation would diverge from the oracle).
-    Per-pair interpreted higher-order folds cost ~dim lambda evals x
-    |pairs|; the matmul does the same flops vectorized, ~5x faster at
-    sf0.1. Blocking on `label` keeps the self-join linear-ish; the
-    unblocked scale path is similarity.ann_lsh_topk.
-
-    Parity: the UDF emits RAW cosines and keeps every pair within one
-    rounding step of the threshold; the authoritative round(4) +
-    threshold filter stay JVM-side, so Spark's HALF_UP rounding -- not
-    numpy's banker's rounding -- decides the output, matching the SQL
-    oracle's round().
-    """
+    Degenerate-block guard, same rationale as _cap_buckets on the LSH
+    tiers: one coarse block covering the corpus would build an m x m
+    cosine matrix in a single task (320 GB at m=200k) -- drop
+    oversized blocks rather than OOM; refine the blocking instead."""
     import numpy as np
     import pandas as pd
-
-    # keep any pair that could round up to the threshold; the exact
-    # filter on round(cos, 4) runs in Spark below
-    raw_floor = float(cosine_threshold) - 5e-5
-    # degenerate-block guard, same rationale as _cap_buckets on the
-    # LSH tiers: one coarse label covering the corpus would build an
-    # m x m cosine matrix in a single task (320 GB at m=200k) -- drop
-    # oversized blocks rather than OOM; refine the blocking instead
-    max_block = 100_000
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2 or len(pdf) > max_block:
@@ -366,12 +353,37 @@ def embedding_near_duplicates(
             }
         )
 
-    pairs = (
+    return blocked.groupBy("block").applyInPandas(
+        block_pairs, "vec_a long, vec_b long, cosine_raw double"
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, cosine_threshold: float = 0.95, band: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked.
+
+    One Arrow-batched `applyInPandas` per label block: normalize the
+    block's matrix once, one BLAS matmul yields every pairwise cosine
+    (float64 -- float32 accumulation would diverge from the oracle).
+    Per-pair interpreted higher-order folds cost ~dim lambda evals x
+    |pairs|; the matmul does the same flops vectorized, ~5x faster at
+    sf0.1. Blocking on `label` keeps the self-join linear-ish; the
+    unblocked scale path is similarity.ann_lsh_topk.
+
+    Parity: the UDF emits RAW cosines and keeps every pair within one
+    rounding step of the threshold; the authoritative round(4) +
+    threshold filter stay JVM-side, so Spark's HALF_UP rounding -- not
+    numpy's banker's rounding -- decides the output, matching the SQL
+    oracle's round().
+    """
+    pairs = _blocked_cosine_pairs(
         embeddings.select(
-            "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
-        )
-        .groupBy("label")
-        .applyInPandas(block_pairs, "vec_a long, vec_b long, cosine_raw double")
+            "vec_id",
+            F.col("label").alias("block"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        ),
+        raw_floor=float(cosine_threshold) - 5e-5,
     )
     return (
         pairs.select(
@@ -379,6 +391,63 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= cosine_threshold)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+def semantic_duplicates(
+    embeddings: DataFrame,
+    clusters: DataFrame,
+    cosine_threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication",
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    deduplicate WITHIN each cluster by pairwise cosine -- the
+    clustering turns the quadratic all-pairs problem into k
+    independent block-local matmuls, which is exactly what makes
+    semantic dedup feasible at 100 TB (the paper runs it on LAION).
+
+    `clusters` is a (vec_id, cluster) assignment -- in the gated
+    pipeline the exact-integer `similarity.kmeans_exact` output, so
+    the block boundaries themselves are bit-identical across engines
+    and layouts. Within a cluster, a vector is DROPPED when any
+    lower-id vector sits above the cosine threshold (round(cos, 4) >=
+    threshold, Spark HALF_UP as authoritative, same parity discipline
+    as embedding_near_duplicates); the lowest id of each semantic
+    group survives. Keep-lowest over pairs (not connected components)
+    is the paper's epsilon-ball pruning shape: one representative per
+    dense neighborhood, no transitive chaining.
+
+    Returns one row per vector: (vec_id, cluster, action) with action
+    in {'keep', 'drop'}, ordered by vec_id.
+    """
+    blocked = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).join(
+        clusters.select("vec_id", F.col("cluster").alias("block")), "vec_id"
+    )
+    pairs = _blocked_cosine_pairs(
+        blocked, raw_floor=float(cosine_threshold) - 5e-5
+    )
+    drops = (
+        pairs.filter(
+            F.round(F.col("cosine_raw"), 4) >= F.lit(cosine_threshold)
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        clusters.select("vec_id", "cluster")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.when(F.col("_drop"), F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+        )
+        .orderBy("vec_id")
     )
 
 

@@ -1136,3 +1136,97 @@ def perplexity_buckets(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def hashed_quality_scores(
+    documents: DataFrame, buckets: int = 4096
+) -> DataFrame:
+    """fastText-style hashed linear quality classifier INFERENCE
+    (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    Classification"): features are word unigrams + adjacent bigrams
+    mapped to `buckets` weight slots by the hashing trick; the score
+    is the mean feature weight. The quality-classifier stage of
+    CCNet/DCLM-style corpus curation, expressed as one explode +
+    groupBy -- no Python, no model server.
+
+    Weights here are DETERMINISTIC STAND-INS derived from md5 of the
+    bucket id (uniform in [-1000, 1000]), which makes the gate
+    engine-exact; production swaps a trained weight table in via a
+    broadcast join on `bucket` with an identical plan shape (the same
+    posture as the PQ codebook / IVF centroid gates).
+
+    Exactness: bucket and weight come from md5 hex slices (the hash
+    both engines share); the mean is computed in integer micro-units
+    shifted nonnegative before the truncating division --
+    ((s + 1000*n) * 1e6) DIV n - 1e9 -- so trunc-vs-floor can never
+    diverge (weights >= -1000 guarantees the shift). Returns
+    (doc_id, n_features, score_micro, label) where label is
+    'keep'/'filter' by score sign, 'empty' for featureless docs.
+    """
+    arrs = documents.select(
+        "doc_id",
+        # hoisted: the slices below each reference arr once per ROW
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+        ).alias("arr"),
+    )
+    feats = arrs.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("arr"),
+                F.zip_with(
+                    # greatest(..., 0): slice raises on negative
+                    # length for zero-word docs under ANSI mode
+                    F.slice(
+                        F.col("arr"), 1, F.greatest(F.size("arr") - 1, F.lit(0))
+                    ),
+                    F.slice(
+                        F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))
+                    ),
+                    lambda a, b: F.concat(a, F.lit("_"), b),
+                ),
+            )
+        ).alias("feat"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("qc:"), F.col("feat"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % buckets
+    )
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2001
+        - 1000
+    )
+    agg = feats.select("doc_id", weight.alias("wt")).groupBy("doc_id").agg(
+        F.count("*").alias("n_features"), F.sum("wt").alias("s")
+    )
+    score = F.expr(
+        "((s + 1000 * n_features) * 1000000) DIV n_features"
+    ) - F.lit(1_000_000_000)
+    return (
+        documents.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_features", F.lit(0))
+            .cast("long")
+            .alias("n_features"),
+            F.coalesce(score, F.lit(0)).cast("long").alias("score_micro"),
+            F.when(F.col("n_features").isNull(), F.lit("empty"))
+            .when(score >= 0, F.lit("keep"))
+            .otherwise(F.lit("filter"))
+            .alias("label"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,183 @@
+"""BPE tokenizer, hashed quality classifier, semantic dedup."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from commoncrawl_crawler_spark.operators import bpe, dedup, textstats
+
+
+# ---- BPE merge learning ----------------------------------------------
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_learns_most_frequent_pair_first(spark):
+    # 'ab' appears in every word; the Sennrich reference walkthrough
+    docs = _docs(spark, ["abab abc abd", "ab abab"])
+    merges = bpe.learn_merges(docs, num_merges=1)
+    assert merges[0][:4] == (1, "a", "b", "ab")
+    # (a,b) occurrences: abab has two, word freq 2 -> 4; abc, abd,
+    # ab one each -> 7 total
+    assert merges[0][4] == 7
+
+
+def test_bpe_merge_is_one_pass_greedy(spark):
+    # 'aaa' must merge to [aa, a, #], not [aa, aa] -- leftmost
+    # non-overlapping replace semantics
+    docs = _docs(spark, ["aaa aaa aa"])
+    merges = bpe.learn_merges(docs, num_merges=1)
+    assert merges[0][1:4] == ("a", "a", "aa")
+    enc = bpe.encode_token_counts(docs, num_merges=1).collect()
+    # aaa -> (aa)(a)(#) = 3 tokens x2 words; aa -> (aa)(#) = 2
+    assert enc[0]["n_words"] == 3
+    assert enc[0]["n_tokens"] == 8
+
+
+def test_bpe_tie_breaks_lexicographically(spark):
+    # (a,b) and (c,d) both count 1: (a,b) wins on (count, l, r) order
+    docs = _docs(spark, ["ab cd"])
+    merges = bpe.learn_merges(docs, num_merges=1)
+    assert merges[0][1:3] == ("a", "b")
+
+
+def test_bpe_end_marker_can_merge(spark):
+    # after merging every char pair of a single repeated word, the
+    # end marker itself joins a merge -- '#' participates like any
+    # other symbol (word-final subwords are distinct from mid-word
+    # ones, the reason BPE carries the marker at all)
+    docs = _docs(spark, ["xy xy xy"])
+    merges = bpe.learn_merges(docs, num_merges=2)
+    assert merges[0][1:4] == ("x", "y", "xy")
+    assert merges[1][1:4] == ("xy", "#", "xy#")
+
+
+def test_bpe_encode_empty_and_nonword_docs_zero(spark):
+    docs = _docs(spark, ["", "...!!!", "one"])
+    enc = {r["doc_id"]: r for r in bpe.encode_token_counts(docs, 1).collect()}
+    assert enc[0]["n_words"] == 0 and enc[0]["n_tokens"] == 0
+    assert enc[1]["n_words"] == 0 and enc[1]["n_tokens"] == 0
+    assert enc[2]["n_words"] == 1
+
+
+def test_bpe_merge_table_schema_and_rank_order(spark):
+    docs = _docs(spark, ["the quick brown fox", "the lazy dog the"])
+    table = bpe.merge_table(docs, num_merges=3).collect()
+    assert [r["rank"] for r in table] == [1, 2, 3]
+    for r in table:
+        assert r["merged"] == r["left_sym"] + r["right_sym"]
+        assert r["pair_count"] >= 1
+
+
+# ---- hashed quality classifier ---------------------------------------
+
+
+def test_quality_classifier_deterministic_and_bounded(spark):
+    docs = _docs(spark, ["alpha beta gamma", "alpha beta gamma", "delta"])
+    rows = textstats.hashed_quality_scores(docs).collect()
+    # identical text -> identical score (hash features, no randomness)
+    assert rows[0]["score_micro"] == rows[1]["score_micro"]
+    # 3 unigrams + 2 bigrams
+    assert rows[0]["n_features"] == 5
+    assert rows[2]["n_features"] == 1
+    for r in rows:
+        # mean weight bounded by the weight range
+        assert -1_000_000_000 <= r["score_micro"] <= 1_000_000_000
+        assert r["label"] in ("keep", "filter")
+
+
+def test_quality_classifier_empty_doc_labeled_empty(spark):
+    docs = _docs(spark, ["...", "words here"])
+    rows = {r["doc_id"]: r for r in
+            textstats.hashed_quality_scores(docs).collect()}
+    assert rows[0]["label"] == "empty"
+    assert rows[0]["n_features"] == 0 and rows[0]["score_micro"] == 0
+
+
+def test_quality_classifier_label_matches_sign(spark):
+    docs = _docs(spark, ["some arbitrary sentence with several words"])
+    r = textstats.hashed_quality_scores(docs).collect()[0]
+    assert r["label"] == ("keep" if r["score_micro"] >= 0 else "filter")
+
+
+# ---- semantic dedup (SemDeDup) ---------------------------------------
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def _clus(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, cluster int")
+
+
+def test_semantic_dedup_drops_higher_id_within_cluster(spark):
+    emb = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.001]),  # near-dup of 1, same cluster
+            (3, [0.0, 1.0]),  # orthogonal, same cluster
+            (4, [1.0, 0.0]),  # identical to 1 but OTHER cluster
+        ],
+    )
+    clus = _clus(spark, [(1, 0), (2, 0), (3, 0), (4, 1)])
+    out = {
+        r["vec_id"]: r["action"]
+        for r in dedup.semantic_duplicates(
+            emb, clus, cosine_threshold=0.95
+        ).collect()
+    }
+    assert out == {1: "keep", 2: "drop", 3: "keep", 4: "keep"}
+
+
+def test_semantic_dedup_keeps_one_per_dense_group(spark):
+    # three mutual near-dups: only the lowest id survives
+    emb = _emb(spark, [(7, [1.0, 0.0]), (8, [1.0, 0.0]), (9, [1.0, 0.0])])
+    clus = _clus(spark, [(7, 0), (8, 0), (9, 0)])
+    out = {
+        r["vec_id"]: r["action"]
+        for r in dedup.semantic_duplicates(
+            emb, clus, cosine_threshold=0.95
+        ).collect()
+    }
+    assert out == {7: "keep", 8: "drop", 9: "drop"}
+
+
+def test_semantic_dedup_threshold_uses_half_up_round4(spark):
+    # cosine just below threshold at round(4): 0.94994 -> 0.9499 keeps;
+    # 0.94995+ rounds to 0.9500 and drops. Build a pair with a known
+    # cosine by angle construction.
+    import math
+
+    theta = math.acos(0.94996)
+    emb = _emb(
+        spark,
+        [(1, [1.0, 0.0]), (2, [math.cos(theta), math.sin(theta)])],
+    )
+    clus = _clus(spark, [(1, 0), (2, 0)])
+    out = {
+        r["vec_id"]: r["action"]
+        for r in dedup.semantic_duplicates(
+            emb, clus, cosine_threshold=0.95
+        ).collect()
+    }
+    assert out[2] == "drop"
+
+
+def test_semantic_dedup_all_rows_present(spark, sf_correct):
+    from commoncrawl_crawler_spark.operators import similarity
+    from commoncrawl_crawler_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_correct)
+    clus = similarity.kmeans_exact(emb, k=4, max_iterations=3)
+    out = dedup.semantic_duplicates(emb, clus, cosine_threshold=0.35)
+    assert out.count() == emb.count()
+    ids = [r["vec_id"] for r in out.select("vec_id").collect()]
+    assert ids == sorted(ids)
