@@ -1309,6 +1309,37 @@ def _warc_roundtrip(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _cdx_index_gate(s: SparkSession, d: str) -> DataFrame:
+    """documents -> WARC archives -> parse -> CDX capture index (the
+    cc-index artifact CommonCrawl ships beside every crawl). The gate
+    projects the oracle-able columns; the seek columns (offset,
+    filename -- gzip-layout-dependent) are pytest-validated by
+    re-reading each member at its recorded offset."""
+    tmp = _scratch("cdx", d, fresh=True)
+    did = F.col("doc_id")
+    docs = _t(s, d, "documents").select(
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("<urn:uuid:"), did.cast("string"), F.lit(">")).alias(
+            "record_id"
+        ),
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/doc/"),
+            did.cast("string"),
+        ).alias("target_uri"),
+        F.format_string(
+            "2024-02-%02dT%02d:%02d:%02dZ",
+            did % 28 + 1, did % 24, did % 60, (did * 3) % 60,
+        ).alias("warc_date"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        F.encode("text", "UTF-8").alias("block"),
+    )
+    archive.write_warc(docs, tmp)
+    idx = archive.cdx_index(archive.read_warc(s, tmp))
+    return idx.select(
+        "urlkey", "timestamp", "original", "mime", "digest", "length"
+    ).orderBy("urlkey", "timestamp")
+
+
 def _warc_http_extract(s: SparkSession, d: str) -> DataFrame:
     """documents -> WARC response records whose blocks are REAL HTTP
     messages -> warc_http_responses (pure Column-expression payload
@@ -2401,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_archive_roundtrip": _archive_roundtrip,
         "source_arc_v1_roundtrip": _arc_v1_roundtrip,
         "source_warc_roundtrip": _warc_roundtrip,
+        "source_cdx_index": _cdx_index_gate,
         "source_warc_http_extract": _warc_http_extract,
         # Rice-coded fingerprint lists (util/RiceCoding.java +
         # CompressedURLFPListV2 shape): per-group delta+Rice buffers
@@ -2512,6 +2544,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fastText-style hashed linear quality classifier inference
         "text_quality_classifier": lambda s, d: (
             textstats.hashed_quality_scores(_t(s, d, "documents"))
+        ),
+        # Cavnar-Trenkle n-gram langid vs the labeled lang column
+        "text_langid_ngram": lambda s, d: (
+            textstats.langid_ngram_confusion(_t(s, d, "documents"))
         ),
         "text_document_profile": lambda s, d: textstats.document_profile(
             _t(s, d, "documents")
@@ -2707,6 +2743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges",
         "text_bpe_encode",
         "text_quality_classifier",
+        "text_langid_ngram",
+        "source_cdx_index",
         "source_arc_v1_roundtrip",
         "source_warc_roundtrip",
         "mm_decode_png",
@@ -2758,8 +2796,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-exercised through mm_resize_ppm and mm_image_bands);
         # mm_decode_wav likewise yields to agg_sketch_union (the WAV
         # decode path stays driver-exercised through mm_audio_energy
-        # and the ADPCM gate's PCM comparison)
-        "mm_image_bands",
+        # and the ADPCM gate's PCM comparison); mm_image_bands yields
+        # to the never-validated source_cdx_index (r4-validated; the
+        # PPM decode path stays pytest-covered and the image tier
+        # keeps six driver-gated decode entries)
         # mm_resize_ppm yields its slot to the never-validated
         # sim_pq_trained_topk (r4-validated; the PPM decode path
         # stays driver-exercised via mm_image_bands)
@@ -2786,8 +2826,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-validated text_bpe_merges/text_bpe_encode
         # (r4-validated, code unchanged, pytest-covered; the token
         # association tier stays driver-gated via text_tfidf_keywords
-        # and text_bm25_rank)
-        "text_repetition_signals",
+        # and text_bm25_rank); text_repetition_signals yields to the
+        # never-validated text_langid_ngram (r4-validated, code
+        # unchanged, pytest-covered; the Gopher-signal family stays
+        # driver-exercised inside pipeline_corpus_build's quality
+        # stage)
         # text_stratified_sample yields its slot to the never-
         # validated text_duplicate_spans (r4-validated, code
         # unchanged, pytest-covered; text_weighted_sample keeps the
@@ -4217,6 +4260,82 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_converged": _pagerank_converged_sql(),
         "sim_kmeans_exact": _kmeans_sql(),
         "dedup_semantic": _semantic_dedup_sql(threshold=0.35),
+        "source_cdx_index": """
+            SELECT array_to_string(
+                       list_reverse(string_split(
+                           source || '.example.com', '.')), ',')
+                       || ')/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+                   '202402' || printf('%02d', doc_id % 28 + 1)
+                       || printf('%02d', doc_id % 24)
+                       || printf('%02d', doc_id % 60)
+                       || printf('%02d', (doc_id * 3) % 60) AS timestamp,
+                   'http://' || source || '.example.com/doc/'
+                       || CAST(doc_id AS VARCHAR) AS original,
+                   'application/http; msgtype=response' AS mime,
+                   sha256(text) AS digest,
+                   CAST(strlen(text) AS BIGINT) AS length
+            FROM documents ORDER BY urlkey, timestamp
+        """,
+        "text_langid_ngram": """
+            WITH norm AS (
+                SELECT doc_id, lang,
+                       regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')
+                           AS t
+                FROM documents
+                WHERE length(regexp_replace(
+                          lower(text), '[^a-z0-9]+', ' ', 'g')) >= 3
+            ),
+            tris AS MATERIALIZED (
+                SELECT doc_id, lang, substr(t, i, 3) AS tri
+                FROM (
+                    SELECT doc_id, lang, t,
+                           unnest(generate_series(1, length(t) - 2)) AS i
+                    FROM norm
+                )
+            ),
+            lang_prof AS MATERIALIZED (
+                SELECT lang, tri, rl FROM (
+                    SELECT lang, tri,
+                           row_number() OVER (PARTITION BY lang
+                               ORDER BY count(*) DESC, tri) AS rl
+                    FROM tris GROUP BY lang, tri
+                ) WHERE rl <= 50
+            ),
+            doc_prof AS MATERIALIZED (
+                SELECT doc_id, tri, rd FROM (
+                    SELECT doc_id, tri,
+                           row_number() OVER (PARTITION BY doc_id
+                               ORDER BY count(*) DESC, tri) AS rd
+                    FROM tris GROUP BY doc_id, tri
+                ) WHERE rd <= 50
+            ),
+            doc_sizes AS (
+                SELECT doc_id, count(*) AS nd FROM doc_prof GROUP BY doc_id
+            ),
+            dists AS (
+                SELECT d.doc_id, m.lang,
+                       m.matched_pen + (d.nd - m.matched_cnt) * 50 AS dist
+                FROM (
+                    SELECT p.doc_id, l.lang,
+                           sum(abs(p.rd - l.rl)) AS matched_pen,
+                           count(*) AS matched_cnt
+                    FROM doc_prof p JOIN lang_prof l USING (tri)
+                    GROUP BY p.doc_id, l.lang
+                ) m JOIN doc_sizes d USING (doc_id)
+            ),
+            pred AS (
+                SELECT doc_id, lang AS pred_lang FROM (
+                    SELECT doc_id, lang,
+                           row_number() OVER (PARTITION BY doc_id
+                               ORDER BY dist, lang) AS rn
+                    FROM dists
+                ) WHERE rn = 1
+            )
+            SELECT d.lang, coalesce(p.pred_lang, 'und') AS pred_lang,
+                   count(*) AS cnt
+            FROM documents d LEFT JOIN pred p USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "text_bpe_merges": _bpe_merges_sql(num_merges=6),
         "text_bpe_encode": _bpe_encode_sql(num_merges=6),
         "text_quality_classifier": """

@@ -358,3 +358,29 @@ def int_to_ip_expr(col: Column) -> Column:
         (col / 256).cast("long") % 256,
         col.cast("long") % 256,
     )
+
+
+def surt_key_expr(col: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key -- the sort
+    order of web-archive CDX indexes (public webarchive-commons /
+    IA wayback convention): lowercase, drop the scheme, strip a
+    leading 'www.', reverse the host labels comma-joined, then ')' +
+    path-and-query. 'http://www.Example.COM/Path?q=1' ->
+    'com,example)/path?q=1'. Pure Column expressions with
+    RE2-compatible regexes so the CDX oracle can mirror it verbatim;
+    the full IA canonicalizer's session-id stripping lives in
+    canonicalize_url_expr and composes in front when wanted. Ports
+    are dropped (the synthesized corpus never carries non-default
+    ports; IA SURT would keep ':8080' on the last label)."""
+    low = F.lower(col)
+    host = F.regexp_replace(
+        F.regexp_extract(low, r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_extract(low, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+    )

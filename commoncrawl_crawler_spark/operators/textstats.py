@@ -1230,3 +1230,126 @@ def hashed_quality_scores(
         )
         .orderBy("doc_id")
     )
+
+
+def langid_ngram_confusion(
+    documents: DataFrame, profile_k: int = 50
+) -> DataFrame:
+    """Character-n-gram language identification per Cavnar & Trenkle
+    1994 ("N-Gram-Based Text Categorization") -- the classic langid
+    algorithm behind textcat, and the upgrade over the stopword-vote
+    heuristic in language_profile: build a ranked trigram profile per
+    language (training) and per document (inference), classify by the
+    OUT-OF-PLACE rank distance (sum over the document profile of
+    |doc_rank - lang_rank|, with `profile_k` as the penalty for
+    trigrams absent from the language profile), argmin over languages.
+
+    Entirely integer arithmetic -- ranks and penalties, no log-probs --
+    so the gate is engine-exact by construction; rank ties break on
+    the trigram string, argmin ties on the language name. Documents
+    whose profile matches no language profile at all (or that have no
+    trigrams) classify as 'und'.
+
+    Scale shape: the trigram explode is linear in corpus size; both
+    profile builds are partial-agg groupBys capped at `profile_k`
+    rows per group; the distance stage joins the (<= n_docs * k)
+    document profile against the (<= n_langs * k) language profile on
+    trigram -- the language side is broadcast-sized at any corpus
+    scale. Missing-trigram penalties are closed-form (profile size
+    minus matched count, times k), so absent (doc, lang) combinations
+    never need materializing.
+
+    Returns the confusion matrix (lang, pred_lang, cnt) -- the
+    standard way to read a langid run against labeled data.
+    """
+    from pyspark.sql import Window
+
+    k = profile_k
+    norm = (
+        documents.select(
+            "doc_id",
+            "lang",
+            F.regexp_replace(
+                F.lower(F.col("text")), "[^a-z0-9]+", " "
+            ).alias("t"),
+        )
+        .filter(F.length("t") >= 3)
+        # the sf tables are one parquet file each: without this the
+        # trigram explode (the dominant linear stage) runs on ONE
+        # core; repartition the narrow projection, not the raw scan
+        .repartition(
+            documents.sparkSession.sparkContext.defaultParallelism,
+            "doc_id",
+        )
+    )
+    tris = norm.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 2),"
+                   " i -> substring(t, i, 3))")
+        ).alias("tri"),
+    )
+    lang_prof = (
+        tris.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "lang",
+            "tri",
+            F.row_number()
+            .over(
+                Window.partitionBy("lang").orderBy(F.desc("c"), F.col("tri"))
+            )
+            .alias("rl"),
+        )
+        .filter(F.col("rl") <= k)
+    )
+    doc_prof = (
+        tris.groupBy("doc_id", "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "doc_id",
+            "tri",
+            F.row_number()
+            .over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("c"), F.col("tri")
+                )
+            )
+            .alias("rd"),
+        )
+        .filter(F.col("rd") <= k)
+    )
+    doc_sizes = doc_prof.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    dists = (
+        doc_prof.join(F.broadcast(lang_prof), "tri")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.abs(F.col("rd") - F.col("rl"))).alias("matched_pen"),
+            F.count(F.lit(1)).alias("matched_cnt"),
+        )
+        .join(doc_sizes, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("matched_pen")
+                + (F.col("nd") - F.col("matched_cnt")) * F.lit(k)
+            ).alias("dist"),
+        )
+    )
+    pred = dists.groupBy("doc_id").agg(
+        F.min(F.struct("dist", "lang")).alias("m")
+    ).select("doc_id", F.col("m.lang").alias("pred_lang"))
+    return (
+        documents.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .groupBy(
+            "lang",
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "pred_lang")
+    )

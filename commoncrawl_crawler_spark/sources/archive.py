@@ -829,3 +829,42 @@ def read_arc_v1_stream(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         _parse_arc_batches, ARC_READ_SCHEMA
     )
+
+
+def cdx_index(warc_records: DataFrame) -> DataFrame:
+    """CDX-style capture index over parsed WARC records -- the lookup
+    artifact CommonCrawl publishes next to every crawl (the cc-index /
+    wayback CDX convention): one line per capture, sorted by
+    (SURT urlkey, 14-digit timestamp), carrying enough metadata to
+    point-seek the record back out of the archive without scanning.
+
+    Input is `read_warc` output; response records only. Columns:
+    urlkey (SURT, functions/urls.surt_key_expr), timestamp
+    (TIMESTAMP14 digits of WARC-Date), original (the URI as
+    captured), mime (record content type), digest (sha256 hex of the
+    block -- IA uses sha1-base32; sha256 is what both engines share),
+    length (block bytes), offset + filename (the gzip member's seek
+    position, feeding read_arc_member-style point reads).
+
+    Scale shape: a map-only projection over the reader output plus
+    one global sort -- the same shape as the reference's index-build
+    step; at 100 TB the sort is the only shuffle and the result is
+    range-partitioned by urlkey exactly like cluster.idx shards.
+    """
+    from ..functions import urls as urlfn
+
+    resp = warc_records.filter(F.col("warc_type") == "response")
+    return resp.select(
+        urlfn.surt_key_expr(F.col("target_uri")).alias("urlkey"),
+        F.regexp_replace(F.col("warc_date"), "[^0-9]", "").alias(
+            "timestamp"
+        ),
+        F.col("target_uri").alias("original"),
+        F.col("content_type").alias("mime"),
+        F.sha2(F.col("block"), 256).alias("digest"),
+        F.col("content_length").alias("length"),
+        F.col("member_offset").alias("offset"),
+        F.regexp_extract(F.col("archive_path"), "[^/]+$", 0).alias(
+            "filename"
+        ),
+    ).orderBy("urlkey", "timestamp")

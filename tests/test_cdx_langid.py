@@ -1,0 +1,169 @@
+"""SURT keys, CDX index generation, n-gram language ID."""
+
+from __future__ import annotations
+
+import glob
+import zlib
+
+import pyspark.sql.functions as F
+
+from commoncrawl_crawler_spark.functions import urls as urlfn
+from commoncrawl_crawler_spark.operators import textstats
+from commoncrawl_crawler_spark.sources import archive
+
+
+# ---- SURT ------------------------------------------------------------
+
+
+def test_surt_key_vectors(spark):
+    cases = [
+        ("http://www.Example.COM/Path?q=1", "com,example)/path?q=1"),
+        ("https://a.b.example.org/", "org,example,b,a)/"),
+        ("http://example.com", "com,example)/"),
+        ("http://example.com/x#frag", "com,example)/x"),
+        ("http://example.com:8080/y", "com,example)/y"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r[0]
+        for r in df.select(urlfn.surt_key_expr(F.col("url"))).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+# ---- CDX -------------------------------------------------------------
+
+
+def _write_warc(spark, tmpdir, rows):
+    df = spark.createDataFrame(
+        rows,
+        "warc_type string, record_id string, target_uri string,"
+        " warc_date string, content_type string, block binary",
+    )
+    archive.write_warc(df, str(tmpdir))
+    return archive.read_warc(spark, str(tmpdir))
+
+
+def test_cdx_index_columns_and_sort(spark, tmp_path):
+    rows = [
+        (
+            "response",
+            f"<urn:uuid:{i}>",
+            f"http://www.h{9 - i}.example.com/doc/{i}",
+            f"2024-02-0{i + 1}T00:00:0{i}Z",
+            "text/html",
+            f"payload-{i}".encode(),
+        )
+        for i in range(3)
+    ]
+    idx = archive.cdx_index(_write_warc(spark, tmp_path, rows)).collect()
+    assert len(idx) == 3
+    # sorted by SURT urlkey: h7 < h8 < h9 hosts reversed
+    assert [r["urlkey"] for r in idx] == sorted(r["urlkey"] for r in idx)
+    r0 = idx[0]
+    assert r0["urlkey"].startswith("com,example,h7)")
+    assert r0["timestamp"] == "20240203000002"  # digits of the date
+    assert r0["mime"] == "text/html"
+    assert len(r0["digest"]) == 64  # sha256 hex
+    assert r0["length"] == len(b"payload-2")
+    assert r0["filename"].endswith(".warc.gz")
+
+
+def test_cdx_offsets_seek_back_to_the_record(spark, tmp_path):
+    rows = [
+        (
+            "response",
+            f"<urn:uuid:{i}>",
+            f"http://example.com/doc/{i}",
+            "2024-02-01T00:00:00Z",
+            "text/plain",
+            (b"x" * (100 + i)),
+        )
+        for i in range(5)
+    ]
+    idx = archive.cdx_index(_write_warc(spark, tmp_path, rows)).collect()
+    files = {p.split("/")[-1]: p for p in glob.glob(f"{tmp_path}/*.warc.gz")}
+    for r in idx:
+        blob = open(files[r["filename"]], "rb").read()
+        member = zlib.decompressobj(wbits=31).decompress(
+            blob[r["offset"]:]
+        )
+        assert f"WARC-Target-URI: {r['original']}".encode() in member
+    # every record accounted for exactly once
+    assert len({(r["filename"], r["offset"]) for r in idx}) == 5
+
+
+def test_cdx_skips_non_response_records(spark, tmp_path):
+    rows = [
+        (
+            "warcinfo",
+            "<urn:uuid:info>",
+            "http://example.com/",
+            "2024-02-01T00:00:00Z",
+            "application/warc-fields",
+            b"software: test",
+        ),
+        (
+            "response",
+            "<urn:uuid:1>",
+            "http://example.com/a",
+            "2024-02-01T00:00:00Z",
+            "text/html",
+            b"hello",
+        ),
+    ]
+    idx = archive.cdx_index(_write_warc(spark, tmp_path, rows)).collect()
+    assert len(idx) == 1
+    assert idx[0]["original"] == "http://example.com/a"
+
+
+# ---- n-gram langid ---------------------------------------------------
+
+
+def test_langid_separable_corpus_perfect_diagonal(spark):
+    # trigram-disjoint languages classify perfectly
+    texts = {
+        "aa": "abc abc abc abcabc",
+        "bb": "xyz xyz xyz xyzxyz",
+        "cc": "qqq qqq qqq qqqqqq",
+    }
+    rows = [
+        (i * 10 + j, lang, t)
+        for i, (lang, t) in enumerate(sorted(texts.items()))
+        for j in range(3)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    conf = {
+        (r["lang"], r["pred_lang"]): r["cnt"]
+        for r in textstats.langid_ngram_confusion(docs).collect()
+    }
+    assert conf == {("aa", "aa"): 3, ("bb", "bb"): 3, ("cc", "cc"): 3}
+
+
+def test_langid_short_docs_classify_und(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", "ab"), (2, "en", "real text with trigrams")],
+        "doc_id long, lang string, text string",
+    )
+    conf = {
+        (r["lang"], r["pred_lang"]): r["cnt"]
+        for r in textstats.langid_ngram_confusion(docs).collect()
+    }
+    assert conf[("en", "und")] == 1  # too short for any trigram
+    assert conf[("en", "en")] == 1
+
+
+def test_langid_tie_breaks_to_lexicographic_lang(spark):
+    # one doc per lang with IDENTICAL text: every doc ties across both
+    # language profiles; argmin must break to the smaller lang name
+    docs = spark.createDataFrame(
+        [(1, "de", "same text here"), (2, "fr", "same text here")],
+        "doc_id long, lang string, text string",
+    )
+    conf = {
+        (r["lang"], r["pred_lang"]): r["cnt"]
+        for r in textstats.langid_ngram_confusion(docs).collect()
+    }
+    assert conf == {("de", "de"): 1, ("fr", "de"): 1}
