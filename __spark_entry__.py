@@ -1520,6 +1520,30 @@ def _stream_distinct_sketch(s: SparkSession, d: str) -> DataFrame:
     return aggregates._sketch_finish(regs, 40).orderBy("grp")
 
 
+def _stream_countmin(s: SparkSession, d: str) -> DataFrame:
+    """Streaming count-min heavy hitters: drain the bounded counter
+    cells (complete mode, depth*width state rows), then probe the
+    top-20 exact user keys batch-side -- estimates bit-identical to a
+    batch sketch over the same rows (the mergeable-cells property)."""
+    cells = streaming_jobs.run_available_now(
+        streaming_jobs.streaming_countmin_cells(
+            streaming_jobs.read_events_stream(s, d)
+        ),
+        _stream_sink_name("cmscells"),
+    )
+    top = (
+        _t(s, d, "events")
+        .select(F.col("user_id").cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "key")
+        .limit(20)
+    )
+    return aggregates.cms_probe(cells, top, "key").orderBy(
+        F.desc("exact_cnt"), "key"
+    )
+
+
 def _stream_distinct_pairs(s: SparkSession, d: str) -> DataFrame:
     out = streaming_jobs.run_available_now(
         streaming_jobs.streaming_distinct_pairs(
@@ -2399,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_distinct_pairs": _stream_distinct_pairs,
         # streaming HLL: bounded register state, batch-identical result
         "stream_distinct_sketch": _stream_distinct_sketch,
+        "stream_countmin": _stream_countmin,
         # stream-static join: micro-batches enrich against the
         # customer dim snapshot (stateless inner join, dim broadcast)
         "stream_static_enrich": _stream_static_enrich,
@@ -2764,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_count_min",
         "graph_kcore",
         "stream_distinct_sketch",
+        "stream_countmin",
         "sim_pq_topk",
         "sim_pq_trained_topk",
         "graph_pagerank_converged",
@@ -2820,7 +2846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-exercised as text_paragraph_dedup's paragraph source)
         "text_contamination_check",
         "text_mixture_plan",
-        "text_pack_sequences",
+        # text_pack_sequences yields its slot to the never-validated
+        # stream_countmin (r4-validated, code unchanged,
+        # pytest-covered; the packing layout stays driver-exercised
+        # as text_chunking's concat-then-chunk sibling)
         "text_paragraph_dedup",
         # text_pmi_pairs and text_redact_pii yield their slots to the
         # never-validated text_bpe_merges/text_bpe_encode
@@ -4275,6 +4304,35 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS digest,
                    CAST(strlen(text) AS BIGINT) AS length
             FROM documents ORDER BY urlkey, timestamp
+        """,
+        "stream_countmin": """
+            WITH keys AS (
+                SELECT CAST(user_id AS VARCHAR) AS key FROM events
+            ), salts AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            cells AS (
+                SELECT r,
+                       CAST(('0x'||substr(md5(CAST(r AS VARCHAR)
+                            || '|' || key), 1, 15)) AS BIGINT)
+                            % 512 AS bucket,
+                       count(*) AS cnt
+                FROM keys, salts
+                GROUP BY 1, 2
+            ), top AS (
+                SELECT key, count(*) AS exact_cnt
+                FROM keys GROUP BY key
+                ORDER BY exact_cnt DESC, key LIMIT 20
+            ), probes AS (
+                SELECT t.key, t.exact_cnt, s.r,
+                       CAST(('0x'||substr(md5(CAST(s.r AS VARCHAR)
+                            || '|' || t.key), 1, 15)) AS BIGINT)
+                            % 512 AS bucket
+                FROM top t, salts s
+            )
+            SELECT p.key, p.exact_cnt,
+                   CAST(min(c.cnt) AS BIGINT) AS cms_estimate
+            FROM probes p JOIN cells c
+                ON p.r = c.r AND p.bucket = c.bucket
+            GROUP BY 1, 2 ORDER BY exact_cnt DESC, key
         """,
         "text_langid_ngram": """
             WITH norm AS (

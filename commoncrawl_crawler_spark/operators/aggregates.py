@@ -406,6 +406,80 @@ def distinct_sketch_union(
     ).orderBy("grp")
 
 
+def _cms_bucket(key, r: int, width: int) -> "F.Column":
+    """Row-r counter bucket for a string key: md5-salted, so the cell
+    layout is bit-identical across engines and partitionings."""
+    h = F.md5(F.concat(F.lit(f"{r}|"), key))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % width
+
+
+def cms_cells(
+    rows: DataFrame, key_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-min counter cells (r, bucket, cnt) over a string key
+    column. One explode to depth rows per occurrence, ONE
+    partial-aggregating groupBy -- and because that groupBy is a
+    plain windowless count, the SAME plan is a legal STREAMING
+    aggregation in complete mode with state bounded at depth*width
+    rows (streaming/jobs.streaming_countmin_cells wraps it)."""
+    return (
+        rows.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cms_bucket(F.col(key_col), r, width).alias(
+                                "bucket"
+                            ),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_probe(
+    cells: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-estimate the keys against a (drained or batch) cell
+    table: estimate = min over the depth salted rows (CMS guarantees
+    estimate >= true count). `keys` carries key_col plus any
+    passthrough columns; the cell table is broadcast (depth*width
+    rows however large the corpus)."""
+    passthrough = [c for c in keys.columns if c != key_col]
+    probes = keys.select(
+        key_col,
+        *passthrough,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(F.col(key_col), r, width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, *passthrough, "rb.r", "rb.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy(key_col, *passthrough)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
 def count_min_tokens(
     documents: DataFrame,
     depth: int = 4,
@@ -439,50 +513,13 @@ def count_min_tokens(
         ).alias("token")
     )
 
-    def _bucket(r: int) -> "F.Column":
-        h = F.md5(F.concat(F.lit(f"{r}|"), F.col("token")))
-        return (
-            F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % width
-        )
-
-    cells = (
-        toks.select(
-            "token",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("r"), _bucket(r).alias("bucket")
-                        )
-                        for r in range(depth)
-                    ]
-                )
-            ).alias("rb"),
-        )
-        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cells = cms_cells(toks, "token", depth=depth, width=width)
     top = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), "token")
         .limit(top_n)
     )
-    probes = top.select(
-        "token",
-        "exact_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(r).alias("r"), _bucket(r).alias("bucket"))
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb"),
-    ).select("token", "exact_cnt", "rb.r", "rb.bucket")
-    return (
-        probes.join(F.broadcast(cells), ["r", "bucket"])
-        .groupBy("token", "exact_cnt")
-        .agg(F.min("cnt").alias("cms_estimate"))
-        .orderBy(F.desc("exact_cnt"), "token")
-    )
+    return cms_probe(
+        cells, top, "token", depth=depth, width=width
+    ).orderBy(F.desc("exact_cnt"), "token")

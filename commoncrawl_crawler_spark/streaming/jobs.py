@@ -398,3 +398,20 @@ def streaming_register_sketch(stream: DataFrame) -> DataFrame:
     from ..operators import aggregates
 
     return aggregates._sketch_registers(stream, "event_type", "user_id", 40)
+
+
+def streaming_countmin_cells(
+    stream: DataFrame, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Streaming count-min counter build over the event stream's user
+    keys: the SAME md5-salted cell plan as the batch sketch
+    (aggregates.cms_cells) run as a windowless streaming count in
+    complete mode -- state bounded at depth*width rows however long
+    the stream runs, and mergeable cell-wise with any batch sketch.
+    The heavy-hitter probe runs batch-side on the drained cells
+    (aggregates.cms_probe), so streaming estimates are bit-identical
+    to the batch sketch over the same rows."""
+    from ..operators import aggregates
+
+    keyed = stream.select(F.col("user_id").cast("string").alias("key"))
+    return aggregates.cms_cells(keyed, "key", depth=depth, width=width)

@@ -538,3 +538,39 @@ def test_streaming_distinct_sketch_matches_batch(spark, sf_smoke):
     )
     streamed = aggregates._sketch_finish(regs, 40).orderBy("grp").collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_streaming_countmin_matches_batch(spark, sf_smoke):
+    """The drained streaming count-min cells, probed batch-side, must
+    be bit-identical to a batch sketch over the same rows -- the
+    mergeable-counter property that lets per-shard sketches combine."""
+    from commoncrawl_crawler_spark.operators import aggregates
+
+    keyed = load_table(spark, "events", sf_smoke).select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    top = (
+        keyed.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "key")
+        .limit(10)
+    )
+    batch_cells = aggregates.cms_cells(keyed, "key")
+    streamed_cells = jobs.run_available_now(
+        jobs.streaming_countmin_cells(jobs.read_events_stream(spark, sf_smoke)),
+        "ccspark_test_cmscells",
+    )
+    a = (
+        aggregates.cms_probe(batch_cells, top, "key")
+        .orderBy(F.desc("exact_cnt"), "key")
+        .collect()
+    )
+    b = (
+        aggregates.cms_probe(streamed_cells, top, "key")
+        .orderBy(F.desc("exact_cnt"), "key")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # CMS overestimates, never under
+    for r in a:
+        assert r["cms_estimate"] >= r["exact_cnt"]
