@@ -868,3 +868,101 @@ def cdx_index(warc_records: DataFrame) -> DataFrame:
             "filename"
         ),
     ).orderBy("urlkey", "timestamp")
+
+
+def write_cdx(idx: DataFrame, path: str, shards: int = 4) -> None:
+    """Write a CDX index the way CommonCrawl serves it: `shards`
+    RANGE-partitioned, internally sorted text shard files
+    (cdx-NNNNN.txt, lines 'urlkey timestamp {json}') plus a tiny
+    `cluster.idx` summary mapping each shard's FIRST key to its file
+    -- the two-level layout that lets a lookup touch exactly one
+    shard however many captures exist.
+
+    Spark shape: repartitionByRange(urlkey, timestamp) IS the
+    global sort's exchange; sortWithinPartitions finishes it without
+    a second shuffle, and each task streams its shard to disk. The
+    cluster.idx derivation rides the same pass (min per partition id)
+    -- no extra scan of the data."""
+    os.makedirs(path, exist_ok=True)
+    line = F.concat_ws(
+        " ",
+        F.col("urlkey"),
+        F.col("timestamp"),
+        F.to_json(
+            F.struct(
+                "original", "mime", "digest", "length", "offset", "filename"
+            )
+        ),
+    )
+    ranged = (
+        idx.repartitionByRange(shards, "urlkey", "timestamp")
+        .sortWithinPartitions("urlkey", "timestamp")
+        .select(
+            F.spark_partition_id().alias("pid"), line.alias("line"),
+            "urlkey", "timestamp",
+        )
+        .localCheckpoint(eager=True)  # one exchange feeds both writes
+    )
+
+    def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"pid": [], "first_key": [], "file": []})
+        pid = int(pdf["pid"].iloc[0])
+        fname = f"cdx-{pid:05d}.txt"
+        tmp = os.path.join(path, f".{fname}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(pdf["line"]) + "\n")
+        os.replace(tmp, os.path.join(path, fname))
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "pid": [pid],
+                "first_key": [f"{first['urlkey']} {first['timestamp']}"],
+                "file": [fname],
+            }
+        )
+
+    summary = (
+        ranged.groupBy("pid")
+        .applyInPandas(_write_shard, "pid int, first_key string, file string")
+        .orderBy("pid")
+        .collect()  # bounded: one row per shard
+    )
+    with open(os.path.join(path, "cluster.idx"), "w", encoding="utf-8") as fh:
+        for r in summary:
+            fh.write(f"{r['first_key']}\t{r['file']}\n")
+
+
+def cdx_lookup(spark: SparkSession, path: str, url: str) -> DataFrame:
+    """Point lookup against a write_cdx layout: consult cluster.idx
+    (driver-side, one tiny file) for the single shard whose key range
+    can contain the URL's SURT key, then scan ONLY that shard -- the
+    reference's TFile/HDFSFileIndex seek discipline re-expressed as
+    file-level pruning. Returns the matching captures as parsed rows."""
+    # driver-side SURT twin of functions/urls.surt_key_expr (the
+    # Column form needs a DataFrame; a lookup key is one value)
+    low = url.lower()
+    m = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", low)
+    host = re.sub(r"^www\.", "", m.group(1)) if m else ""
+    pm = re.match(r"^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)", low)
+    p = pm.group(1) if pm else ""
+    key = ",".join(reversed(host.split("."))) + ")" + (p or "/")
+
+    shard = None
+    with open(os.path.join(path, "cluster.idx"), encoding="utf-8") as fh:
+        for ln in fh:
+            first_key, fname = ln.rstrip("\n").split("\t")
+            if first_key.split(" ")[0] <= key:
+                shard = fname  # last shard starting at-or-before key
+            else:
+                break
+    if shard is None:  # key sorts before every shard: only shard 0
+        shard = "cdx-00000.txt"
+    rows = spark.read.text(os.path.join(path, shard))
+    parts = F.split(F.col("value"), " ", 3)
+    parsed = rows.select(
+        F.get(parts, 0).alias("urlkey"),
+        F.get(parts, 1).alias("timestamp"),
+        F.get(parts, 2).alias("meta_json"),
+    )
+    return parsed.filter(F.col("urlkey") == key).orderBy("timestamp")

@@ -167,3 +167,63 @@ def test_langid_tie_breaks_to_lexicographic_lang(spark):
         for r in textstats.langid_ngram_confusion(docs).collect()
     }
     assert conf == {("de", "de"): 1, ("fr", "de"): 1}
+
+
+# ---- sharded CDX layout (cluster.idx) ---------------------------------
+
+
+def _demo_index(spark, n=40):
+    rows = [
+        (
+            f"com,h{i:02d})/doc/{i}",
+            f"202402{i % 28 + 1:02d}000000",
+            f"http://h{i:02d}.com/doc/{i}",
+            "text/html",
+            "d" * 64,
+            10 + i,
+            100 * i,
+            "f.warc.gz",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "urlkey string, timestamp string, original string, mime string,"
+        " digest string, length long, offset long, filename string",
+    )
+
+
+def test_write_cdx_shards_sorted_with_cluster_idx(spark, tmp_path):
+    archive.write_cdx(_demo_index(spark), str(tmp_path), shards=4)
+    idx_lines = open(tmp_path / "cluster.idx").read().splitlines()
+    assert 1 <= len(idx_lines) <= 4
+    firsts = [ln.split("\t")[0] for ln in idx_lines]
+    assert firsts == sorted(firsts)  # shard ranges ascend
+    all_keys = []
+    for ln in idx_lines:
+        fname = ln.split("\t")[1]
+        keys = [
+            line.split(" ")[0]
+            for line in open(tmp_path / fname).read().splitlines()
+        ]
+        assert keys == sorted(keys)  # sorted within shard
+        all_keys.extend(keys)
+    assert all_keys == sorted(all_keys)  # globally sorted across shards
+    assert len(all_keys) == 40
+
+
+def test_cdx_lookup_finds_capture_and_prunes_to_one_shard(spark, tmp_path):
+    archive.write_cdx(_demo_index(spark), str(tmp_path), shards=4)
+    hit = archive.cdx_lookup(spark, str(tmp_path), "http://h17.com/doc/17")
+    rows = hit.collect()
+    assert len(rows) == 1
+    assert rows[0]["urlkey"] == "com,h17)/doc/17"
+    assert '"offset":1700' in rows[0]["meta_json"]
+    # the plan reads exactly ONE shard file
+    assert len(hit.inputFiles()) == 1
+
+
+def test_cdx_lookup_key_before_first_shard_returns_empty(spark, tmp_path):
+    archive.write_cdx(_demo_index(spark), str(tmp_path), shards=2)
+    miss = archive.cdx_lookup(spark, str(tmp_path), "http://aaa.aa/x")
+    assert miss.count() == 0
