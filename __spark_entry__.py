@@ -232,6 +232,25 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES_CACHE: dict = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Learned BPE merge list, trained once per (session, sf): the
+    text_bpe_merges and text_bpe_encode gates share the 6-round
+    driver loop the way sim_kmeans_exact/dedup_semantic share the
+    Lloyd assignment (same eviction discipline as _cached)."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _BPE_MERGES_CACHE if k[0] != app]:
+        del _BPE_MERGES_CACHE[k]
+    key = (app, sf_dir)
+    if key not in _BPE_MERGES_CACHE:
+        _BPE_MERGES_CACHE[key] = bpe.learn_merges(
+            _t(spark, sf_dir, "documents"), num_merges=6
+        )
+    return _BPE_MERGES_CACHE[key]
+
+
 def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact-integer Lloyd assignment is the cluster structure BOTH
     # sim_kmeans_exact and dedup_semantic consume (SemDeDup blocks on
@@ -755,18 +774,31 @@ SELECT * FROM ({union}) ORDER BY rank
 
 
 def _bpe_encode_sql(num_merges: int = 6) -> str:
-    repl = r"regexp_replace(word, '(.)', '(\1)', 'g') || '(#)'"
-    for i in range(1, num_merges + 1):
-        repl = f"replace({repl}, (SELECT pat FROM b{i}), (SELECT rep FROM b{i}))"
-    return _bpe_cte_body(num_merges) + rf""",
-docw AS (
-    SELECT doc_id, {repl} AS w
+    # each step guards the scalar subquery: on a degenerate corpus a
+    # round can learn no merge (empty bN), and replace(w, NULL, NULL)
+    # would NULL-poison every word where the Spark side simply stops
+    # merging -- CASE keeps the engines identical
+    sql = _bpe_cte_body(num_merges) + r""",
+dw0 AS (
+    SELECT doc_id,
+           regexp_replace(word, '(.)', '(\1)', 'g') || '(#)' AS w
     FROM (
         SELECT doc_id,
                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
         FROM documents
     )
-),
+)"""
+    for i in range(1, num_merges + 1):
+        sql += f""",
+dw{i} AS (
+    SELECT doc_id,
+           CASE WHEN (SELECT pat FROM b{i}) IS NULL THEN w
+                ELSE replace(w, (SELECT pat FROM b{i}),
+                             (SELECT rep FROM b{i})) END AS w
+    FROM dw{i - 1}
+)"""
+    return sql + rf""",
+docw AS (SELECT doc_id, w FROM dw{num_merges}),
 cnts AS (
     SELECT doc_id, count(*) AS n_words,
            CAST(sum(len(regexp_extract_all(w, '\(([a-z0-9#]+)\)', 1)))
@@ -2561,10 +2593,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classic BPE subword tokenizer: learned merge table +
         # per-doc token accounting with the merges applied
         "text_bpe_merges": lambda s, d: bpe.merge_table(
-            _t(s, d, "documents"), num_merges=6
+            _t(s, d, "documents"), merges=_bpe_merges(s, d)
         ),
         "text_bpe_encode": lambda s, d: bpe.encode_token_counts(
-            _t(s, d, "documents"), num_merges=6
+            _t(s, d, "documents"), merges=_bpe_merges(s, d)
         ),
         # fastText-style hashed linear quality classifier inference
         "text_quality_classifier": lambda s, d: (

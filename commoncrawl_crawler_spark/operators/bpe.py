@@ -128,11 +128,19 @@ def learn_merges(
     return merges
 
 
-def merge_table(documents: DataFrame, num_merges: int = 6) -> DataFrame:
+def merge_table(
+    documents: DataFrame,
+    num_merges: int = 6,
+    merges: list[tuple[int, str, str, str, int]] | None = None,
+) -> DataFrame:
     """The learned merge table as a DataFrame:
-    (rank, left_sym, right_sym, merged, pair_count)."""
+    (rank, left_sym, right_sym, merged, pair_count). Pass `merges`
+    to reuse an already-learned list (the gated pipeline trains once
+    per session and feeds both this and encode_token_counts)."""
     spark = documents.sparkSession
-    rows = learn_merges(documents, num_merges)
+    rows = merges if merges is not None else learn_merges(
+        documents, num_merges
+    )
     return spark.createDataFrame(
         rows,
         "rank int, left_sym string, right_sym string,"
@@ -150,7 +158,9 @@ def apply_merges(col, merges: list[tuple[int, str, str, str, int]]):
 
 
 def encode_token_counts(
-    documents: DataFrame, num_merges: int = 6
+    documents: DataFrame,
+    num_merges: int = 6,
+    merges: list[tuple[int, str, str, str, int]] | None = None,
 ) -> DataFrame:
     """Per-document BPE token accounting after `num_merges` learned
     merges: (doc_id, n_words, n_tokens). n_tokens counts subword
@@ -158,8 +168,10 @@ def encode_token_counts(
     (possibly merged into its last subword), so an unmerged word of k
     chars contributes k + 1. Documents with no `[a-z0-9]+` runs emit
     zeros. The token budget this yields feeds text_mixture_plan-style
-    planning with a real tokenizer instead of whitespace counts."""
-    merges = learn_merges(documents, num_merges)
+    planning with a real tokenizer instead of whitespace counts.
+    Pass `merges` to reuse an already-learned list."""
+    if merges is None:
+        merges = learn_merges(documents, num_merges)
     words = documents.select(
         "doc_id",
         F.explode(

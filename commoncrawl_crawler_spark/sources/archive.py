@@ -878,11 +878,13 @@ def write_cdx(idx: DataFrame, path: str, shards: int = 4) -> None:
     -- the two-level layout that lets a lookup touch exactly one
     shard however many captures exist.
 
-    Spark shape: repartitionByRange(urlkey, timestamp) IS the
-    global sort's exchange; sortWithinPartitions finishes it without
-    a second shuffle, and each task streams its shard to disk. The
-    cluster.idx derivation rides the same pass (min per partition id)
-    -- no extra scan of the data."""
+    Spark shape: repartitionByRange(urlkey, timestamp) IS the global
+    sort's exchange -- it establishes the cross-shard order; the
+    within-shard sort runs pandas-side in the writer task (groupBy's
+    applyInPandas does not guarantee arrival order, so the task sort
+    is the authoritative one). Each task streams its shard to disk
+    and returns the shard's first key -- the cluster.idx summary
+    costs no extra scan."""
     os.makedirs(path, exist_ok=True)
     line = F.concat_ws(
         " ",
@@ -896,7 +898,6 @@ def write_cdx(idx: DataFrame, path: str, shards: int = 4) -> None:
     )
     ranged = (
         idx.repartitionByRange(shards, "urlkey", "timestamp")
-        .sortWithinPartitions("urlkey", "timestamp")
         .select(
             F.spark_partition_id().alias("pid"), line.alias("line"),
             "urlkey", "timestamp",
@@ -907,6 +908,9 @@ def write_cdx(idx: DataFrame, path: str, shards: int = 4) -> None:
     def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"pid": [], "first_key": [], "file": []})
+        # groupBy().applyInPandas does not guarantee within-group row
+        # order survives the exchange -- sort authoritatively here
+        pdf = pdf.sort_values(["urlkey", "timestamp"])
         pid = int(pdf["pid"].iloc[0])
         fname = f"cdx-{pid:05d}.txt"
         tmp = os.path.join(path, f".{fname}.tmp")
@@ -935,30 +939,51 @@ def write_cdx(idx: DataFrame, path: str, shards: int = 4) -> None:
 
 def cdx_lookup(spark: SparkSession, path: str, url: str) -> DataFrame:
     """Point lookup against a write_cdx layout: consult cluster.idx
-    (driver-side, one tiny file) for the single shard whose key range
-    can contain the URL's SURT key, then scan ONLY that shard -- the
+    (driver-side, one tiny file) for the shard(s) whose key range can
+    contain the URL's SURT key, then scan ONLY those -- the
     reference's TFile/HDFSFileIndex seek discipline re-expressed as
-    file-level pruning. Returns the matching captures as parsed rows."""
-    # driver-side SURT twin of functions/urls.surt_key_expr (the
-    # Column form needs a DataFrame; a lookup key is one value)
-    low = url.lower()
-    m = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", low)
-    host = re.sub(r"^www\.", "", m.group(1)) if m else ""
-    pm = re.match(r"^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)", low)
-    p = pm.group(1) if pm else ""
-    key = ",".join(reversed(host.split("."))) + ")" + (p or "/")
+    file-level pruning. Returns the matching captures as parsed rows.
 
-    shard = None
+    A multi-capture urlkey can STRADDLE a range boundary (the range
+    partitioner splits on (urlkey, timestamp)); per the zipnum
+    convention, when a candidate shard's first urlkey EQUALS the
+    search key the preceding shard is scanned too, walking back
+    while that holds."""
+    from ..functions import urls as urlfn
+
+    # the SURT key comes from the SAME Column expression write_cdx
+    # keyed with (a one-row job), so writer and reader can never
+    # desynchronize on canonicalization rules
+    key = (
+        spark.range(1)
+        .select(urlfn.surt_key_expr(F.lit(url)).alias("k"))
+        .first()["k"]
+    )
+
+    entries: list[tuple[str, str]] = []  # (first_urlkey, file)
     with open(os.path.join(path, "cluster.idx"), encoding="utf-8") as fh:
         for ln in fh:
             first_key, fname = ln.rstrip("\n").split("\t")
-            if first_key.split(" ")[0] <= key:
-                shard = fname  # last shard starting at-or-before key
-            else:
-                break
-    if shard is None:  # key sorts before every shard: only shard 0
-        shard = "cdx-00000.txt"
-    rows = spark.read.text(os.path.join(path, shard))
+            entries.append((first_key.split(" ")[0], fname))
+    i = -1
+    for j, (first_urlkey, _) in enumerate(entries):
+        if first_urlkey <= key:
+            i = j  # last shard starting at-or-before key
+        else:
+            break
+    if i == -1:
+        i = 0  # key sorts before every shard: only shard 0 can match
+    lo = i
+    while lo > 0 and entries[lo][0] == key:
+        lo -= 1  # earlier captures of the same key end the prior shard
+    files = [
+        os.path.join(path, fname) for _, fname in entries[lo : i + 1]
+    ]
+    if not files:  # empty layout
+        return spark.createDataFrame(
+            [], "urlkey string, timestamp string, meta_json string"
+        )
+    rows = spark.read.text(files)
     parts = F.split(F.col("value"), " ", 3)
     parsed = rows.select(
         F.get(parts, 0).alias("urlkey"),

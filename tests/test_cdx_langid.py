@@ -227,3 +227,45 @@ def test_cdx_lookup_key_before_first_shard_returns_empty(spark, tmp_path):
     archive.write_cdx(_demo_index(spark), str(tmp_path), shards=2)
     miss = archive.cdx_lookup(spark, str(tmp_path), "http://aaa.aa/x")
     assert miss.count() == 0
+
+
+def test_cdx_lookup_collects_captures_straddling_shards(spark, tmp_path):
+    # one urlkey with 20 captures among 4 shards: the range
+    # partitioner splits on (urlkey, timestamp), so the captures can
+    # straddle shard boundaries; lookup must walk back and return all
+    rows = [
+        (
+            "com,hot)/x",
+            f"2024020100{i:04d}"[:14].ljust(14, "0"),
+            "http://hot.com/x",
+            "text/html",
+            "d" * 64,
+            1,
+            i,
+            "f.warc.gz",
+        )
+        for i in range(20)
+    ] + [
+        (
+            f"com,{side})/y",
+            "20240201000000",
+            f"http://{side}.com/y",
+            "text/html",
+            "d" * 64,
+            1,
+            0,
+            "f.warc.gz",
+        )
+        for side in ("aaa", "zzz")
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "urlkey string, timestamp string, original string, mime string,"
+        " digest string, length long, offset long, filename string",
+    )
+    archive.write_cdx(df, str(tmp_path), shards=4)
+    hit = archive.cdx_lookup(spark, str(tmp_path), "http://hot.com/x")
+    got = hit.collect()
+    assert len(got) == 20
+    ts = [r["timestamp"] for r in got]
+    assert ts == sorted(ts)
