@@ -1226,8 +1226,11 @@ def _scratch(tag: str, sf_dir: str, fresh: bool = False) -> str:
     import shutil
     import tempfile
 
+    # keyed by (sf_dir, pid): two driver processes sweeping the same
+    # sf concurrently must not share scratch -- a fresh=True cleanup
+    # in one would delete the other's in-flight .tmp archive chunks
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/ccspark_{tag}_{h}"
+    path = f"{tempfile.gettempdir()}/ccspark_{tag}_{h}_{os.getpid()}"
     if fresh:
         # custom (non-Spark) writers append files; stale chunks from a
         # previous run with different partitioning would duplicate rows
