@@ -181,3 +181,63 @@ def test_semantic_dedup_all_rows_present(spark, sf_correct):
     assert out.count() == emb.count()
     ids = [r["vec_id"] for r in out.select("vec_id").collect()]
     assert ids == sorted(ids)
+
+
+def test_bpe_differential_vs_independent_python_model(spark):
+    """Seeded random corpora vs a from-scratch Python BPE (the
+    Sennrich algorithm written independently of the Spark plan):
+    merge sequences and pair counts must agree exactly, including
+    the (count DESC, left, right) tie-break and one-pass greedy
+    merge semantics."""
+    import random
+
+    def py_bpe(texts, k):
+        freqs = {}
+        for t in texts:
+            import re as _re
+
+            for w in _re.findall(r"[a-z0-9]+", t.lower()):
+                sym = tuple(list(w) + ["#"])
+                freqs[sym] = freqs.get(sym, 0) + 1
+        merges = []
+        for rank in range(1, k + 1):
+            counts = {}
+            for sym, c in freqs.items():
+                for a, b in zip(sym, sym[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + c
+            if not counts:
+                break
+            (l, r), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, l, r, l + r, c))
+            out = {}
+            for sym, cnt in freqs.items():
+                merged, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(sym[i])
+                        i += 1
+                key = tuple(merged)
+                out[key] = out.get(key, 0) + cnt
+            freqs = out
+        return merges
+
+    rng = random.Random(42)
+    for trial in range(4):
+        texts = [
+            " ".join(
+                "".join(
+                    rng.choice("abc") for _ in range(rng.randint(1, 5))
+                )
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(6)
+        ]
+        docs = _docs(spark, texts)
+        got = bpe.learn_merges(docs, num_merges=4)
+        want = py_bpe(texts, 4)
+        assert got == want, f"trial {trial}: {got} != {want} ({texts})"
