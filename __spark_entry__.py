@@ -2555,6 +2555,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_trained_topk": lambda s, d: similarity.pq_topk(
             _t(s, d, "embeddings"), train_iterations=6
         ),
+        # scalar-quantization ANN (SQ8): per-dim min/max codes,
+        # asymmetric exact-integer distances to dequantized vectors
+        "sim_sq_topk": lambda s, d: similarity.sq_topk(
+            _t(s, d, "embeddings")
+        ),
         "sim_ivf_topk": lambda s, d: similarity.ivf_topk(
             _t(s, d, "embeddings"),
             _t(s, d, "embeddings")
@@ -2827,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_countmin",
         "sim_pq_topk",
         "sim_pq_trained_topk",
+        "sim_sq_topk",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -2879,7 +2885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text_chunking yields its slot to the never-validated
         # text_perplexity_buckets (r4-validated; chunk_documents stays
         # driver-exercised as text_paragraph_dedup's paragraph source)
-        "text_contamination_check",
+        # text_contamination_check yields its slot to the never-
+        # validated sim_sq_topk (r4-validated, code unchanged,
+        # pytest-covered; the shingle equi-join family stays
+        # driver-gated via text_paragraph_dedup)
         "text_mixture_plan",
         # text_pack_sequences yields its slot to the never-validated
         # stream_countmin (r4-validated, code unchanged,
@@ -4323,6 +4332,44 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(iterations=3),
         "graph_pagerank_converged": _pagerank_converged_sql(),
         "sim_kmeans_exact": _kmeans_sql(),
+        "sim_sq_topk": """
+            WITH pts AS MATERIALIZED (
+                SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000000 + 0.5) AS BIGINT)
+                           + 1048576 AS q
+                FROM embeddings
+            ),
+            stats AS (
+                SELECT dim, min(q) AS mn, max(q) AS mx FROM pts GROUP BY dim
+            ),
+            recon AS (
+                SELECT p.vec_id, p.dim,
+                       s.mn + (((p.q - s.mn) * 255
+                                // greatest(s.mx - s.mn, 1))
+                               * (s.mx - s.mn)) // 255 AS r
+                FROM pts p JOIN stats s USING (dim)
+            ),
+            probes AS (
+                SELECT vec_id AS probe_id, dim, q AS pq
+                FROM pts WHERE vec_id < 10
+            ),
+            dists AS (
+                SELECT pr.probe_id, rc.vec_id,
+                       sum((pr.pq - rc.r) * (pr.pq - rc.r)) AS sq_dist
+                FROM recon rc JOIN probes pr USING (dim)
+                WHERE rc.vec_id <> pr.probe_id
+                GROUP BY 1, 2
+            )
+            SELECT probe_id, vec_id, CAST(sq_dist AS BIGINT) AS sq_dist,
+                   CAST(rnk AS INT) AS rnk
+            FROM (
+                SELECT probe_id, vec_id, sq_dist,
+                       row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY sq_dist, vec_id) AS rnk
+                FROM dists
+            ) WHERE rnk <= 5 ORDER BY probe_id, rnk
+        """,
         "dedup_semantic": _semantic_dedup_sql(threshold=0.35),
         "source_cdx_index": """
             SELECT array_to_string(

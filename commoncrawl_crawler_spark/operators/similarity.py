@@ -811,3 +811,100 @@ def pq_topk(
         .filter(F.col("rnk") <= top_k)
         .orderBy("probe_id", "rnk")
     )
+
+
+def sq_topk(
+    embeddings: DataFrame,
+    n_probes: int = 10,
+    top_k: int = 5,
+    levels: int = 256,
+) -> DataFrame:
+    """Scalar-quantization ANN (the FAISS SQ8 scan): compress each
+    dimension to one of `levels` codes against per-dimension corpus
+    min/max, answer queries by exact distances to the RECONSTRUCTED
+    (dequantized) vectors while probes stay full-precision -- the
+    asymmetric trick that keeps SQ recall high. Completes the
+    quantization family next to PQ (pq_topk): SQ is the simpler
+    memory-side path (d bytes/vector, no codebook training) that
+    production systems reach for before PQ's stronger compression.
+
+    Exactness: coordinates quantize to micro-units shifted
+    nonnegative (the kmeans_exact discipline), per-dim min/max are
+    exact bigints, the code is ((q - mn) * (levels-1)) DIV
+    max(mx - mn, 1) and reconstruction mn + (code * (mx - mn)) DIV
+    (levels-1) -- every step truncating nonnegative integer
+    arithmetic, so distances (and therefore ranks, ties to the
+    lowest vec_id) are bit-identical across engines and layouts.
+
+    Scale shape: one groupBy(dim) builds the d-row stats table
+    (broadcast); encode is a map-side join against it; the scan joins
+    the encoded corpus with the broadcast probe rows on dim and
+    groups per (probe, vector) -- the same linear-scan cost class as
+    brute force but over codes, which is exactly SQ's deal (compress
+    memory, keep the scan). Output: (probe_id, vec_id, sq_dist, rnk).
+    """
+    lim = float(KMEANS_QUANT_OFFSET) / 1e6
+    lv = levels - 1
+    pts = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        (
+            F.floor(
+                F.when(
+                    F.assert_true(
+                        F.col("val").cast("double") >= F.lit(-lim),
+                        F.concat(
+                            F.lit(
+                                "sq_topk: coordinate below "
+                                f"-{lim} breaks the nonnegative "
+                                "quantization invariant: "
+                            ),
+                            F.col("val").cast("string"),
+                        ),
+                    ).isNull(),
+                    F.col("val").cast("double") * 1e6 + F.lit(0.5),
+                )
+            ).cast("long")
+            + F.lit(KMEANS_QUANT_OFFSET)
+        ).alias("q"),
+    )
+    stats = pts.groupBy("dim").agg(
+        F.min("q").alias("mn"), F.max("q").alias("mx")
+    )
+    recon = pts.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        (
+            F.col("mn")
+            + F.expr(
+                f"((q - mn) * {lv} DIV greatest(mx - mn, 1)) * (mx - mn)"
+                f" DIV {lv}"
+            )
+        ).alias("r"),
+    )
+    probes = pts.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"), "dim", F.col("q").alias("pq")
+    )
+    dists = (
+        recon.join(F.broadcast(probes), "dim")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(
+            F.sum(
+                (F.col("pq") - F.col("r")) * (F.col("pq") - F.col("r"))
+            ).alias("sq_dist")
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("sq_dist", "vec_id")
+    return (
+        dists.select(
+            "probe_id",
+            "vec_id",
+            "sq_dist",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= top_k)
+        .orderBy("probe_id", "rnk")
+    )

@@ -191,3 +191,66 @@ def test_pq_topk_matches_numpy_model(spark):
             (p, vid, dist, rk + 1) for rk, (vid, dist) in enumerate(ranked)
         )
     assert got == exp
+
+
+def test_sq_topk_recall_and_shape(spark, sf_correct):
+    from commoncrawl_crawler_spark.operators import similarity
+    from commoncrawl_crawler_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, "embeddings", sf_correct)
+    sq = similarity.sq_topk(emb, n_probes=5, top_k=5).collect()
+    assert len(sq) == 25
+    # exact top-5 by full-precision euclidean (micro-unit integers)
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id", "dim",
+        F.floor(F.col("val").cast("double") * 1e6 + F.lit(0.5))
+        .cast("long").alias("q"),
+    )
+    probes = pts.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "dim", F.col("q").alias("pq")
+    )
+    from pyspark.sql import Window
+
+    exact = (
+        pts.join(probes, "dim")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum((F.col("pq") - F.col("q")) * (F.col("pq") - F.col("q"))).alias("d"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy("d", "vec_id")
+            ),
+        )
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    )
+    want = {(r["probe_id"], r["vec_id"]) for r in exact}
+    got = {(r["probe_id"], r["vec_id"]) for r in sq}
+    recall = len(want & got) / len(want)
+    # 8-bit codes on 64 dims: near-exact neighborhoods survive
+    assert recall >= 0.8, recall
+
+
+def test_sq_reconstruction_error_bounded_by_step(spark):
+    from commoncrawl_crawler_spark.operators import similarity
+    import pyspark.sql.functions as F
+
+    emb = spark.createDataFrame(
+        [(i, [i / 100.0, 1.0 - i / 200.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    # reuse the operator's own quantize/reconstruct path by probing
+    # with every vector: self-distance is excluded, so instead check
+    # the rank-1 neighbor distance is consistent with the step bound
+    out = similarity.sq_topk(emb, n_probes=50, top_k=1).collect()
+    # per-dim range is 0.49e6 micro-units -> step ~1922; worst-case
+    # per-dim reconstruction error < step, squared over 2 dims with
+    # true nearest ~0.01 apart (1e4 micro-units): the found neighbor
+    # distance can never exceed (true + 2*step)^2-ish; just assert
+    # distances are plausibly small and symmetric-ish
+    for r in out:
+        assert r["sq_dist"] < (10_000 + 2 * 1_922) ** 2 * 2
