@@ -1119,6 +1119,119 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _md5_minhash_clusters_sql(perms: int = 16, min_matching: int = 13) -> str:
+    """md5_minhash_clusters oracle: the minhash pair CTEs + recursive
+    min-label propagation (the same SetUnionFinder shape as the
+    simhash clusters oracle)."""
+    from commoncrawl_crawler_spark.operators.dedup import minhash_perm_constants
+
+    base = "(CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT) % 2147483647)"
+    mins = ", ".join(
+        f"min(({base} * {a} + {b}) % 2305843009213693951) AS m{p}"
+        for p, (a, b) in enumerate(minhash_perm_constants(perms))
+    )
+    bandsarr = ", ".join(
+        f"CAST(m{2 * i} AS VARCHAR) || '_' || CAST(m{2 * i + 1} AS VARCHAR)"
+        for i in range(perms // 2)
+    )
+    matching = " + ".join(
+        f"(CASE WHEN a.m{p} = c.m{p} THEN 1 ELSE 0 END)" for p in range(perms)
+    )
+    return f"""
+WITH RECURSIVE {_MD5_TOKS_CTE},
+sig AS (SELECT doc_id, {mins} FROM toks GROUP BY doc_id),
+bnd0 AS (SELECT doc_id, generate_subscripts(v, 1) AS pos, unnest(v) AS bkey
+         FROM (SELECT doc_id, list_value({bandsarr}) AS v FROM sig)),
+bnd AS (SELECT doc_id, pos, bkey FROM (
+            SELECT *, count(*) OVER (PARTITION BY pos, bkey) AS bsz FROM bnd0
+        ) WHERE bsz <= 1000),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bnd x JOIN bnd y
+           ON x.pos = y.pos AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+pairs AS (SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b, {matching} AS matching
+            FROM cand JOIN sig a ON cand.doc_a = a.doc_id
+                      JOIN sig c ON cand.doc_b = c.doc_id
+          ) WHERE matching >= {min_matching}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+lp(node, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT u.b, lp.comp FROM lp JOIN und u ON lp.node = u.a WHERE lp.comp < u.b
+)
+SELECT node AS doc_id, min(comp) AS cluster FROM lp GROUP BY node ORDER BY doc_id
+"""
+
+
+# 5-gram word-shingle sets, the unit of the prefix-filtered joins:
+# mirrors dedup._ws_token_sets (DuckDB list slicing is 1-based
+# INCLUSIVE, so ws[i:i+4] is the 5 words at i..i+4, and the
+# comprehension's range() upper bound is exclusive like Spark's
+# sequence(1, len-4) inclusive upper)
+_SHINGLE_SETS_CTE = """
+w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents),
+t AS (SELECT doc_id, tokens, len(tokens) AS n FROM (
+        SELECT doc_id,
+               list_distinct([array_to_string(ws[i:i+4], ' ')
+                              for i in range(1, len(ws) - 3)]) AS tokens
+        FROM w WHERE len(ws) >= 5)),
+tokrows AS (SELECT doc_id, n, unnest(tokens) AS tok FROM t)
+"""
+
+
+def _setsim_prefix_sql(num: int = 1, den: int = 2) -> str:
+    """dedup_setsim_prefix oracle. Deliberately INDEPENDENT of the
+    prefix filter: candidates are every pair sharing ANY shingle
+    (bounded, because 5-gram shingles are near-unique), so a bug in
+    the Spark side's prefix-length math would surface as a missing
+    pair here. Same integer thresholds; // truncates like Spark DIV
+    on the nonnegative operands."""
+    return f"""
+WITH {_SHINGLE_SETS_CTE},
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM tokrows a JOIN tokrows b
+           ON a.tok = b.tok AND a.doc_id < b.doc_id
+              AND a.n * {den} >= b.n * {num}
+              AND b.n * {den} >= a.n * {num}),
+v AS (SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(ta.tokens, tb.tokens)) AS BIGINT)
+                 AS inter_size,
+             CAST(ta.n + tb.n - len(list_intersect(ta.tokens, tb.tokens))
+                  AS BIGINT) AS union_size
+      FROM cand c JOIN t ta ON ta.doc_id = c.doc_a
+                  JOIN t tb ON tb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, inter_size, union_size,
+       CAST((inter_size * 1000000) // union_size AS BIGINT) AS jaccard_micro
+FROM v WHERE inter_size * {den} >= union_size * {num}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _containment_sql(num: int = 1, den: int = 2) -> str:
+    """text_containment_pairs oracle: directed |A∩B|/|A| >= num/den
+    over the shared-shingle candidate set (independent of the Spark
+    side's asymmetric prefix filter)."""
+    return f"""
+WITH {_SHINGLE_SETS_CTE},
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM tokrows a JOIN tokrows b
+           ON a.tok = b.tok AND a.doc_id <> b.doc_id
+              AND b.n * {den} >= a.n * {num}),
+v AS (SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(ta.tokens, tb.tokens)) AS BIGINT)
+                 AS inter_size,
+             CAST(ta.n AS BIGINT) AS size_a
+      FROM cand c JOIN t ta ON ta.doc_id = c.doc_a
+                  JOIN t tb ON tb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, inter_size, size_a,
+       CAST((inter_size * 1000000) // size_a AS BIGINT) AS containment_micro
+FROM v WHERE inter_size * {den} >= size_a * {num}
+ORDER BY doc_a, doc_b
+"""
+
+
 def _contamination_sql(n: int = 5, min_shared: int = 3) -> str:
     """Mirror of textstats.contamination_check: n-token shingle windows
     via a lead() chain (|| propagates NULL in DuckDB like F.concat)."""
@@ -2214,6 +2327,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             _t(s, d, "documents"), threshold=0.95
         ),
+        # EXACT set-similarity join via prefix filtering (AllPairs/
+        # PPJoin): only each shingle-set's globally-rarest prefix
+        # generates candidates, then exact verify -- the canonical
+        # 100 TB exact-Jaccard algorithm next to the sketch tiers
+        "dedup_setsim_prefix": lambda s, d: dedup.setsim_prefix_pairs(
+            _t(s, d, "documents")
+        ),
+        # directed containment |A∩B|/|A| (quote/boilerplate-inclusion
+        # detection -- subset relations Jaccard structurally misses)
+        "text_containment_pairs": lambda s, d: dedup.containment_pairs(
+            _t(s, d, "documents")
+        ),
+        # two-stage MinHash dedupe: banded-LSH pairs -> connected
+        # components (the GPT-3/RefinedWeb-lineage fuzzy-dedup shape)
+        "dedup_minhash_clusters": lambda s, d: dedup.md5_minhash_clusters(
+            _t(s, d, "documents")
+        ),
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_near_duplicates(
             _t(s, d, "embeddings"), cosine_threshold=0.35
         ),
@@ -2833,6 +2963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk",
         "sim_pq_trained_topk",
         "sim_sq_topk",
+        "dedup_setsim_prefix",
+        "text_containment_pairs",
+        "dedup_minhash_clusters",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -2857,7 +2990,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # agg_count_min (r4-validated; the bucketed range-join plan
         # shape is pytest-asserted and join_asof keeps the custom-
         # join tier driver-gated)
-        "mm_audio_energy",
+        # mm_audio_energy yields its slot to the never-validated
+        # dedup_setsim_prefix (r4-validated, code unchanged; the WAV
+        # decode + frame-energy path stays driver-exercised through
+        # mm_decode_adpcm, whose gate decodes the same RIFF container
+        # and compares against the PCM twin)
         # mm_decode_ppm yields its slot to the never-validated
         # agg_distinct_sketch (r4-validated; the PPM codec stays
         # driver-exercised through mm_resize_ppm and mm_image_bands);
@@ -2889,7 +3026,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # validated sim_sq_topk (r4-validated, code unchanged,
         # pytest-covered; the shingle equi-join family stays
         # driver-gated via text_paragraph_dedup)
-        "text_mixture_plan",
+        # text_mixture_plan yields its slot to the never-validated
+        # text_containment_pairs (r4-validated, code unchanged,
+        # pytest-covered closed-form aggregates; the sampling/planner
+        # tier stays driver-gated via text_weighted_sample)
         # text_pack_sequences yields its slot to the never-validated
         # stream_countmin (r4-validated, code unchanged,
         # pytest-covered; the packing layout stays driver-exercised
@@ -2908,7 +3048,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # validated text_duplicate_spans (r4-validated, code
         # unchanged, pytest-covered; text_weighted_sample keeps the
         # sampling module driver-exercised)
-        "text_tfidf_keywords",
+        # text_tfidf_keywords yields its slot to the never-validated
+        # dedup_minhash_clusters (r4-validated, code unchanged,
+        # pytest-covered; the tf/idf machinery stays driver-gated via
+        # text_bm25_rank, which computes the same doc-frequency and
+        # saturation terms)
         # text_unigram_surprisal yields its slot to the never-
         # validated bigram twin above (r4-validated, same code
         # family, the bigram gate exercises strictly more machinery);
@@ -4769,6 +4913,9 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
         """,
         "dedup_simhash_lsh": _md5_simhash_pairs_sql(hamming_k=3),
         "dedup_minhash_lsh": _md5_minhash_pairs_sql(min_matching=13),
+        "dedup_minhash_clusters": _md5_minhash_clusters_sql(min_matching=13),
+        "dedup_setsim_prefix": _setsim_prefix_sql(num=1, den=2),
+        "text_containment_pairs": _containment_sql(num=1, den=2),
         "dedup_simhash_clusters": _md5_simhash_clusters_sql(hamming_k=3),
         "dedup_cluster_representatives": _cluster_reps_sql(hamming_k=3),
         "pipeline_corpus_build": _corpus_build_sql(),

@@ -844,3 +844,273 @@ def cluster_representatives(
         )
         .orderBy("cluster")
     )
+
+
+def _ws_token_sets(documents: DataFrame, shingle: int = 5) -> DataFrame:
+    """(doc_id, tokens, n): distinct `shingle`-gram word shingles per
+    document (Broder shingling) -- the discriminative set unit for
+    the prefix-filtered joins below. Unigram sets are useless on a
+    small-vocabulary corpus (every document looks like every other);
+    w-shingles carry word ORDER, so only genuine near-dups/quotes
+    overlap. Documents shorter than `shingle` words are out of scope
+    (they cannot carry a full shingle of evidence).
+
+    The word array is hoisted into its own projection before the
+    per-index transform -- an expression referenced inside a
+    transform lambda is re-evaluated per element (quadratic for a
+    split)."""
+    w = shingle
+    return (
+        documents.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+        )
+        .filter(F.size("ws") >= w)
+        .select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(ws) - {w - 1}),"
+                f" i -> concat_ws(' ', slice(ws, i, {w}))))"
+            ).alias("tokens"),
+        )
+        .withColumn("n", F.size("tokens"))
+    )
+
+
+def _prefix_rows(
+    toks: DataFrame, prefix_len: F.Column
+) -> DataFrame:
+    """Explode each document's tokens ranked globally-rarest-first
+    (ascending document frequency, token text tiebreak) and keep only
+    the first `prefix_len` of them.
+
+    The global order is (df, tok) itself -- no dense global rank is
+    materialized, so there is no single-partition vocabulary sort:
+    the frequency table is an equi-join and the per-document ordering
+    is a doc_id-partitioned window (each partition is one document's
+    handful of tokens)."""
+    tok_rows = toks.select("doc_id", "n", F.explode("tokens").alias("tok"))
+    freq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    return (
+        tok_rows.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "n", "tok")
+    )
+
+
+def setsim_prefix_pairs(
+    documents: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle: int = 5,
+) -> DataFrame:
+    """EXACT shingle-set Jaccard join via prefix filtering (AllPairs /
+    PPJoin family -- Bayardo et al. WWW'07, Xiao et al. WWW'08).
+
+    Where ngram_jaccard_pairs bounds the candidate space with (lang,
+    length-band) blocking and minhash/simhash approximate it with
+    sketches, this is the canonical exact algorithm at scale: order
+    every document's shingle set globally-rarest-first and join ONLY
+    the prefix -- the first n - ceil(t*n) + 1 tokens. Any pair with
+    Jaccard >= t must share a prefix token in BOTH prefixes
+    (Chaudhuri et al. ICDE'06 prefix-filter theorem), so stopword-
+    dominated fan-out never reaches the join: 'the' lands in a prefix
+    only for documents made of nothing but stopwords. Candidates are
+    then verified exactly, so the output is identical to the naive
+    all-pairs join.
+
+    The threshold is a rational num/den and every gate is integer
+    arithmetic (ceil(t*n) = (num*n + den - 1) DIV den; jaccard >= t
+    <=> den*inter >= num*union), so the pair set is bit-identical on
+    any engine. jaccard_micro = floor(inter*1e6/union) -- exact
+    integer division, never a double.
+
+    Scale shape: one groupBy for document frequencies, one doc_id
+    window for prefixes, one equi-join on prefix token (rare tokens
+    => small buckets by construction), one verify join against the
+    bounded token arrays. No quadratic stage, no global sort.
+    Reference analog: the deduper's candidate generation
+    (deduper/Stage1Mapper.java:187-207) with exact verification in
+    place of hamming sketches.
+    """
+    num, den = threshold_num, threshold_den
+    toks = _ws_token_sets(documents, shingle=shingle).localCheckpoint(
+        eager=True
+    )
+    # prefix length: n - ceil(t*n) + 1, integer-exact
+    plen = (
+        F.col("n")
+        - F.expr(f"CAST(({num} * n + {den} - 1) DIV {den} AS INT)")
+        + F.lit(1)
+    )
+    pre = _prefix_rows(toks, plen)
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio prune: jaccard <= min(n)/max(n), so
+            # den*min >= num*max must hold -- output-neutral
+            & (F.col("a.n") * den >= F.col("b.n") * num)
+            & (F.col("b.n") * den >= F.col("a.n") * num),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tokens").alias("toks_a"),
+        F.col("n").alias("na"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tokens").alias("toks_b"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "inter_size",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
+        )
+        .withColumn(
+            "union_size",
+            (F.col("na") + F.col("nb") - F.col("inter_size")).cast("long"),
+        )
+        .filter(F.col("inter_size") * den >= F.col("union_size") * num)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_size",
+            "union_size",
+            F.expr("CAST(inter_size * 1000000 DIV union_size AS BIGINT)").alias(
+                "jaccard_micro"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle: int = 5,
+) -> DataFrame:
+    """Directed containment join: |A∩B| / |A| >= t -- 'document A is
+    (mostly) quoted inside document B'.
+
+    Jaccard misses subset relationships (a paragraph pasted into a
+    10x-longer page has tiny Jaccard but containment ~1), and real
+    corpus hygiene needs exactly this: boilerplate inclusion, quoted
+    reposts, template wrap detection. Asymmetric prefix filter: the
+    contained side A needs overlap >= ceil(t*na), so only its
+    na - ceil(t*na) + 1 rarest tokens generate candidates; the
+    containing side B is probed on its FULL token set (its size is
+    unbounded relative to A, so B cannot be prefix-shortened).
+    Exact verify on the bounded token arrays; integer thresholds as
+    in setsim_prefix_pairs; containment_micro = floor(inter*1e6/na).
+
+    Output is directed (doc_a contained-in doc_b), doc_a != doc_b;
+    nb >= ceil(t*na) prunes impossible pairs before the join.
+    """
+    num, den = threshold_num, threshold_den
+    toks = _ws_token_sets(documents, shingle=shingle).localCheckpoint(
+        eager=True
+    )
+    plen = (
+        F.col("n")
+        - F.expr(f"CAST(({num} * n + {den} - 1) DIV {den} AS INT)")
+        + F.lit(1)
+    )
+    pre = _prefix_rows(toks, plen)
+    full = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.explode("tokens").alias("tok"),
+    )
+    cand = (
+        pre.alias("a")
+        .join(
+            full.alias("f"),
+            (F.col("a.tok") == F.col("f.tok"))
+            & (F.col("a.doc_id") != F.col("f.doc_b"))
+            # overlap <= nb, so nb >= ceil(t*na): den*nb >= num*na
+            & (F.col("f.nb") * den >= F.col("a.n") * num),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("f.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tokens").alias("toks_a"),
+        F.col("n").alias("na"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("tokens").alias("toks_b")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "inter_size",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
+        )
+        .filter(F.col("inter_size") * den >= F.col("na") * num)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_size",
+            F.col("na").cast("long").alias("size_a"),
+            F.expr("CAST(inter_size * 1000000 DIV na AS BIGINT)").alias(
+                "containment_micro"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def md5_minhash_clusters(
+    documents: DataFrame,
+    perms: int = 16,
+    min_matching: int = 13,
+    max_iterations: int = 20,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage MinHash dedupe: banded-LSH pairs -> star-contraction
+    connected components -> (doc_id, cluster); singletons label
+    themselves. The MinHash twin of md5_simhash_clusters -- most
+    production fuzzy-dedup pipelines (GPT-3/The Pile/RefinedWeb
+    lineage) cluster MinHash matches exactly this way, then keep one
+    representative per cluster (compose with
+    cluster_representatives(clusters=...)).
+
+    Same SetUnionFinder shape as the reference
+    (DeduperUtils.java:728-917); the pair stage reuses
+    md5_minhash_pairs (engine-replayable Carter-Wegman permutations
+    over one md5 per shingle)."""
+    if pairs is None:
+        pairs = md5_minhash_pairs(
+            documents, perms=perms, min_matching=min_matching
+        )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges, max_iterations=max_iterations).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    return (
+        documents.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,196 @@
+"""Prefix-filtered set-similarity joins + MinHash clusters.
+
+The prefix filter (AllPairs/PPJoin family) must be OUTPUT-NEUTRAL:
+its only job is pruning candidate generation, so the gold standard is
+brute-force over all pairs. These tests compute the naive answer in
+Python over small synthetic corpora and require exact equality --
+pair set, intersection sizes, and integer micro-unit scores.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from commoncrawl_crawler_spark.operators import dedup
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _shingles(text, w=5):
+    ws = text.strip().split()
+    if len(ws) < w:
+        return None
+    return {" ".join(ws[i : i + w]) for i in range(len(ws) - w + 1)}
+
+
+def _brute_jaccard(texts, num, den, w=5):
+    sets = {i: _shingles(t, w) for i, t in enumerate(texts)}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if sa is None or sb is None:
+            continue
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if inter * den >= union * num:
+            out[(a, b)] = (inter, union, inter * 1_000_000 // union)
+    return out
+
+
+def _brute_containment(texts, num, den, w=5):
+    sets = {i: _shingles(t, w) for i, t in enumerate(texts)}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a == b or sets[a] is None or sets[b] is None:
+                continue
+            inter = len(sets[a] & sets[b])
+            na = len(sets[a])
+            if inter * den >= na * num:
+                out[(a, b)] = (inter, na, inter * 1_000_000 // na)
+    return out
+
+
+# deterministic pseudo-random corpus with planted structure: pairs of
+# near-dup docs (shared long runs), one short doc, one quote inclusion
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+def _corpus():
+    def gen(seed, n):
+        x = seed
+        out = []
+        for _ in range(n):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            out.append(WORDS[x % len(WORDS)])
+        return out
+
+    base1 = gen(1, 40)
+    base2 = gen(2, 40)
+    texts = [
+        " ".join(base1),
+        " ".join(base1[:35] + gen(3, 5)),       # near-dup of 0
+        " ".join(base2),
+        " ".join(gen(4, 12) + base2 + gen(5, 3)),  # contains 2
+        " ".join(gen(6, 40)),                   # unrelated
+        "tiny doc",                             # < 5 words: out of scope
+        " ".join(gen(7, 25)),
+    ]
+    return texts
+
+
+def test_setsim_prefix_matches_brute_force(spark):
+    texts = _corpus()
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_size, r.union_size, r.jaccard_micro)
+        for r in dedup.setsim_prefix_pairs(
+            _docs(spark, texts), threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert got == _brute_jaccard(texts, 1, 2)
+    assert got  # the planted near-dup pair must actually be found
+
+
+@pytest.mark.parametrize("num,den", [(3, 10), (4, 5)])
+def test_setsim_prefix_other_thresholds(spark, num, den):
+    texts = _corpus()
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_size, r.union_size, r.jaccard_micro)
+        for r in dedup.setsim_prefix_pairs(
+            _docs(spark, texts), threshold_num=num, threshold_den=den
+        ).collect()
+    }
+    assert got == _brute_jaccard(texts, num, den)
+
+
+def test_setsim_threshold_boundary_is_inclusive(spark):
+    # two 6-word docs differing in the last word: shingle sets of
+    # size 2 each, sharing 1 -> jaccard exactly 1/3
+    texts = ["a b c d e f", "a b c d e g"]
+    got = dedup.setsim_prefix_pairs(
+        _docs(spark, texts), threshold_num=1, threshold_den=3
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.inter_size, r.union_size) for r in got] == [
+        (0, 1, 1, 3)
+    ]
+    # one notch tighter excludes it
+    assert (
+        dedup.setsim_prefix_pairs(
+            _docs(spark, texts), threshold_num=34, threshold_den=100
+        ).count()
+        == 0
+    )
+
+
+def test_containment_matches_brute_force_and_finds_quote(spark):
+    texts = _corpus()
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_size, r.size_a, r.containment_micro)
+        for r in dedup.containment_pairs(
+            _docs(spark, texts), threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert got == _brute_containment(texts, 1, 2)
+    # doc 2 is verbatim inside doc 3: full containment, directed
+    assert got[(2, 3)][2] == 1_000_000
+    assert (3, 2) not in got or got[(3, 2)][2] < 1_000_000
+
+
+def test_short_documents_are_out_of_scope(spark):
+    texts = ["one two three four", "one two three four", "a b c d e f g"]
+    assert (
+        dedup.setsim_prefix_pairs(_docs(spark, texts)).count() == 0
+    )
+    assert dedup.containment_pairs(_docs(spark, texts)).count() == 0
+
+
+def _uf_components(n, pairs):
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully so every node points at its root
+    return {i: find(i) for i in range(n)}
+
+
+def test_minhash_clusters_are_transitive_and_complete(spark):
+    base = _corpus()
+    # chain: X ~ Y ~ Z by long shared runs (X,Z need not match directly)
+    words = base[0].split()
+    x = " ".join(words)
+    y = " ".join(words[:30] + ["q1", "q2", "q3"] + words[30:33])
+    z = " ".join(words[:28] + ["q4", "q5"] + words[28:30])
+    # the isolate uses a DISJOINT vocabulary: zero shingle overlap, so
+    # no minhash value can agree except by md5 collision
+    iso = " ".join(f"w{i % 9}x{i % 7}" for i in range(40))
+    texts = [x, y, z, iso]
+    docs = _docs(spark, texts)
+    labels = {
+        r.doc_id: r.cluster
+        for r in dedup.md5_minhash_clusters(docs, min_matching=8).collect()
+    }
+    # every doc labeled exactly once
+    assert sorted(labels) == [0, 1, 2, 3]
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.md5_minhash_pairs(docs, min_matching=8).collect()
+    }
+    # labels must be EXACTLY the connected components of the pair graph
+    assert labels == _uf_components(len(texts), pairs)
+    # and the planted chain actually merged into one cluster
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] != labels[0]
