@@ -2154,6 +2154,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return aggregates.pricing_summary(_t(spark, "/root/testdata/sf0.001", "lineitem"))
 
 
+def _editdist_hosts(s, d):
+    """Deterministic fuzzy-host corpus for the PassJoin gate: each
+    part-derived hostname plus a drop-first-char and a
+    substitute-first-char variant (every base has two distance-1
+    twins; genuinely-similar part names contribute organic pairs)."""
+    b = (
+        _t(s, d, "part")
+        .select(
+            F.concat(
+                F.regexp_replace("p_name", " ", "-"), F.lit(".com")
+            ).alias("base")
+        )
+        .distinct()
+    )
+    return (
+        b.select(F.col("base").alias("name"))
+        .union(b.select(F.expr("substring(base, 2)")))
+        .union(b.select(F.concat(F.lit("x"), F.expr("substring(base, 2)"))))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2."""
     base = {
@@ -2344,6 +2365,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_clusters": lambda s, d: dedup.md5_minhash_clusters(
             _t(s, d, "documents")
         ),
+        # PassJoin edit-distance join over deterministically typo'd
+        # hostnames (drop-first-char and substitute-first-char
+        # variants of part-derived hosts): segment-index candidates,
+        # threshold-levenshtein verify
+        "dedup_editdist_pairs": lambda s, d: dedup.editdist_pairs(
+            _editdist_hosts(s, d), k=2
+        ),
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_near_duplicates(
             _t(s, d, "embeddings"), cosine_threshold=0.35
         ),
@@ -2397,6 +2425,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-host politeness fetch plan over the filtered crawl list
         "crawllist_politeness": lambda s, d: crawllist.politeness_schedule(
             _crawllist_filtered_generate(s, d)
+        ),
+        # history-driven recrawl intervals (Cho & Garcia-Molina change-
+        # rate MLE): the adaptive upgrade over the reference's static
+        # ReCrawlTimeModifier rules; signature quantized so revisits
+        # contain both changed and unchanged observations
+        "crawllist_adaptive_recrawl": lambda s, d: crawllist.adaptive_recrawl_schedule(
+            _t(s, d, "events"), signature=F.floor(F.col("value") / 25)
         ),
         "fn_url_canonicalize": lambda s, d: (
             _t(s, d, "documents")
@@ -2966,6 +3001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_setsim_prefix",
         "text_containment_pairs",
         "dedup_minhash_clusters",
+        "crawllist_adaptive_recrawl",
+        "dedup_editdist_pairs",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -2980,7 +3017,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawllist_filtered_generate",
         "dedup_cluster_representatives",
         "graph_clustering_coeff",
-        "graph_hits",
+        # graph_hits yields its slot to the never-validated
+        # dedup_editdist_pairs (r4-validated, code unchanged, hand-
+        # graph pytest; the exact-bigint power-iteration family stays
+        # driver-gated via graph_pagerank_converged and
+        # graph_pagerank_rootavg)
         # graph_triangles yields its slot to the never-validated
         # graph_kcore (r4-validated; the truncated-wedge machinery
         # stays driver-exercised via graph_clustering_coeff, which
@@ -3017,7 +3058,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream_static_enrich yields its slot to the never-validated
         # text_duplicate_trim (r4-validated; the streaming tier keeps
         # three driver-gated entries: sessionize, as-of, attribution)
-        "stream_stream_attribution",
+        # stream_stream_attribution yields its slot to the never-
+        # validated crawllist_adaptive_recrawl (r4-validated, code
+        # unchanged, pytest-covered with batch-parity, cross-batch-
+        # state and watermark-eviction tests; the streaming tier keeps
+        # stream_asof and stream_sessionize driver-gated)
         "text_bm25_rank",
         # text_chunking yields its slot to the never-validated
         # text_perplexity_buckets (r4-validated; chunk_documents stays
@@ -3780,6 +3825,54 @@ def oracle_sql() -> dict[str, str]:
         # (regexp_full_match = Java matches()); boost SUMS matching
         # rules, rate/recrawl take the MIN
         "crawllist_filtered_generate": _FILTERED_GENERATE_SQL,
+        # Cho & Garcia-Molina estimator: the ln argument is a ratio of
+        # exact integers, the interval is ONE double expression rounded
+        # once (floor(x*1e6+0.5)); division order mirrors the Spark
+        # side exactly ((span/86400e6)/n, then /-ln(r))
+        "crawllist_adaptive_recrawl": """
+            WITH f AS (
+                SELECT user_id, event_id, ts, floor(value / 25) AS sig
+                FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            c AS (
+                SELECT user_id, ts, sig,
+                       lag(sig) OVER w AS pv,
+                       lag(ts) OVER w AS pts
+                FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            k AS (
+                SELECT user_id,
+                       CAST(count(*) AS BIGINT) AS fetches,
+                       CAST(count(CASE WHEN pts IS NOT NULL THEN 1 END)
+                            AS BIGINT) AS n_intervals,
+                       CAST(coalesce(sum(CASE WHEN pts IS NOT NULL
+                                              AND (sig IS DISTINCT FROM pv)
+                                              THEN 1 ELSE 0 END), 0)
+                            AS BIGINT) AS changes,
+                       min(ts) AS first_ts, max(ts) AS last_ts
+                FROM c GROUP BY user_id
+            ),
+            i AS (
+                SELECT user_id, fetches, n_intervals, changes, last_ts,
+                       CASE WHEN n_intervals = 0 THEN CAST(7000000 AS BIGINT)
+                            WHEN changes = 0 THEN CAST(60000000 AS BIGINT)
+                            ELSE greatest(CAST(1000000 AS BIGINT),
+                                 least(CAST(60000000 AS BIGINT),
+                                 CAST(floor(
+                                     ((epoch_us(last_ts) - epoch_us(first_ts))
+                                      / (86400.0 * 1e6) / n_intervals)
+                                     / -ln((2 * (n_intervals - changes) + 1)
+                                           / CAST(2 * n_intervals + 1 AS DOUBLE))
+                                     * 1e6 + 0.5) AS BIGINT)))
+                       END AS interval_days_micro
+                FROM k
+            )
+            SELECT user_id, fetches, n_intervals, changes,
+                   interval_days_micro,
+                   last_ts + to_microseconds(interval_days_micro * CAST(86400 AS BIGINT))
+                       AS next_due_ts
+            FROM i ORDER BY user_id
+        """,
         "crawllist_politeness": f"""
             WITH fg AS ({_FILTERED_GENERATE_SQL}),
             slotted AS (
@@ -4915,6 +5008,22 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
         "dedup_minhash_lsh": _md5_minhash_pairs_sql(min_matching=13),
         "dedup_minhash_clusters": _md5_minhash_clusters_sql(min_matching=13),
         "dedup_setsim_prefix": _setsim_prefix_sql(num=1, den=2),
+        # brute-force + length-filter oracle, fully independent of the
+        # PassJoin segment index
+        "dedup_editdist_pairs": """
+            WITH b AS (SELECT DISTINCT replace(p_name, ' ', '-') || '.com'
+                              AS base FROM part),
+            names AS (SELECT base AS name FROM b
+                      UNION SELECT base[2:] FROM b
+                      UNION SELECT 'x' || base[2:] FROM b)
+            SELECT a.name AS name_a, c.name AS name_b,
+                   CAST(levenshtein(a.name, c.name) AS BIGINT) AS distance
+            FROM names a JOIN names c
+              ON a.name < c.name
+                 AND abs(length(a.name) - length(c.name)) <= 2
+            WHERE levenshtein(a.name, c.name) <= 2
+            ORDER BY name_a, name_b
+        """,
         "text_containment_pairs": _containment_sql(num=1, den=2),
         "dedup_simhash_clusters": _md5_simhash_clusters_sql(hamming_k=3),
         "dedup_cluster_representatives": _cluster_reps_sql(hamming_k=3),

@@ -198,3 +198,107 @@ def politeness_schedule(
         )
         .orderBy(key_col)
     )
+
+
+def adaptive_recrawl_schedule(
+    events: DataFrame,
+    min_interval_days: int = 1,
+    max_interval_days: int = 60,
+    default_interval_days: int = 7,
+    signature: Column | None = None,
+) -> DataFrame:
+    """History-driven recrawl intervals via the Cho & Garcia-Molina
+    change-rate estimator (ACM TOIT 3(3) 2003, "Estimating frequency
+    of change").
+
+    The reference adjusts recrawl times only by static rule tables
+    (ReCrawlTimeModifierFilter.java:64-135); the adaptive upgrade
+    every production crawler runs is: estimate each URL's Poisson
+    change rate from its own fetch history and recrawl at ~1/lambda.
+    Model mapping (the crawldb convention, crawldb.py:45): user_id is
+    the URL fingerprint, click/purchase events are fetch attempts,
+    and a fetch "observed a change" when its content signature
+    (`signature`, default the raw `value` column; gates pass a
+    quantized digest so the history contains both changed and
+    unchanged revisits) differs from the previous fetch's.
+
+    Estimator: with n comparison intervals, X of them changed, and
+    total observed span T, the bias-corrected MLE is
+        lambda-hat = -ln((n - X + 0.5) / (n + 0.5)) / (T / n)
+    and the recrawl interval is 1/lambda-hat, clamped to
+    [min_interval_days, max_interval_days]. Engine parity: the ln
+    argument is a ratio of exact integers ((2(n-X)+1)/(2n+1)), the
+    whole interval is ONE double expression rounded once to integer
+    micro-days via floor(x*1e6+0.5) (the repo-wide float-parity
+    discipline -- bm25/tfidf/pmi notes), and the day span uses
+    timestampdiff micros (NTZ-safe). Fixed verdicts skip the float
+    path entirely: n = 0 -> default, X = 0 -> max (never observed
+    changing; ln(1) = 0 would divide by zero).
+
+    One shuffle on the key (the lag window and the groupBy share it).
+    At 100 TB the history table is billions of rows but this is a
+    linear window + aggregate -- the same shape as sessionize.
+    """
+    sig = signature if signature is not None else F.col("value")
+    fetches = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("user_id", "event_id", "ts", sig.alias("_sig"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cmp = (
+        fetches.withColumn("_prev_v", F.lag("_sig").over(w))
+        .withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "_changed",
+            F.when(
+                F.col("_prev_ts").isNull(), F.lit(None).cast("int")
+            ).otherwise(
+                (~F.col("_sig").eqNullSafe(F.col("_prev_v"))).cast("int")
+            ),
+        )
+    )
+    per_key = cmp.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("fetches"),
+        F.count("_changed").alias("n_intervals"),
+        F.coalesce(F.sum("_changed"), F.lit(0)).alias("changes"),
+        F.min("ts").alias("_first_ts"),
+        F.max("ts").alias("_last_ts"),
+    )
+    span_us = F.expr("timestampdiff(MICROSECOND, _first_ts, _last_ts)")
+    n, x = F.col("n_intervals"), F.col("changes")
+    # interval_days = (T_days / n) / -ln((2(n-X)+1)/(2n+1)), rounded
+    # ONCE; T_days/n and the ratio are double ops over exact bigints
+    raw_micro = F.floor(
+        (
+            (span_us.cast("double") / F.lit(86400.0 * 1e6) / n.cast("double"))
+            / -F.log(
+                (2 * (n - x) + 1).cast("double") / (2 * n + 1).cast("double")
+            )
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    lo = F.lit(min_interval_days * 1_000_000).cast("long")
+    hi = F.lit(max_interval_days * 1_000_000).cast("long")
+    interval = (
+        F.when(n == 0, F.lit(default_interval_days * 1_000_000).cast("long"))
+        .when(x == 0, hi)
+        .otherwise(F.greatest(lo, F.least(hi, raw_micro)))
+    )
+    return (
+        per_key.withColumn("interval_days_micro", interval)
+        .select(
+            "user_id",
+            "fetches",
+            "n_intervals",
+            "changes",
+            "interval_days_micro",
+            # next fetch due: last observed fetch + the interval.
+            # interval_days_micro is days*1e6, so *86400 is EXACTLY
+            # the microsecond count (bigint, max ~5.2e12)
+            F.expr(
+                "timestampadd(MICROSECOND, "
+                "interval_days_micro * CAST(86400 AS BIGINT), _last_ts)"
+            ).alias("next_due_ts"),
+        )
+        .orderBy("user_id")
+    )

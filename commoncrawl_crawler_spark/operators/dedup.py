@@ -1114,3 +1114,138 @@ def md5_minhash_clusters(
         )
         .orderBy("doc_id")
     )
+
+
+def editdist_pairs(
+    strings: DataFrame, k: int = 2, name_col: str = "name"
+) -> DataFrame:
+    """EXACT edit-distance similarity join via PassJoin segment
+    indexing (Li, Deng, Feng: "PassJoin: a partition-based method for
+    similarity joins", VLDB'11) -- fuzzy host/URL matching
+    (typosquats, mirror hosts, OCR'd link rot) without an O(n^2)
+    scan.
+
+    Pigeonhole core: partition every string into k+1 disjoint
+    segments; a pair within edit distance k aligns those segments to
+    disjoint regions of the other string, and with at most k edits at
+    least one segment survives UNTOUCHED -- it occurs verbatim in the
+    partner, shifted at most k positions. So the index side emits
+    k+1 (segment_no, source_len, segment) rows per string and the
+    probe side emits every substring that could match a segment of a
+    compatible partition scheme: target lengths n in [m-k, m] (the
+    indexed side is the shorter), start positions within +-k of the
+    segment's home position. Candidates = one equi-join on
+    (segment_no, target_len, text); verify = the built-in
+    threshold-bounded levenshtein (JVM codegen, early exit past k).
+
+    Probe fan-out is the constant (k+1)^2 (2k+1) (45 rows per string
+    at k=2) -- independent of corpus size, so the join stays linear
+    at 100 TB while a length-banded nested loop is quadratic within
+    bands. Output is exact: (name_a, name_b, distance), name_a <
+    name_b, distance <= k. Strings of length <= k are out of scope
+    (they cannot be cut into k+1 non-empty segments); callers route
+    such micro-strings through a direct product if they care.
+
+    Segment convention (both emit sides must agree): base length
+    n DIV (k+1), remainder distributed to the LAST (n MOD (k+1))
+    segments; 1-based start positions.
+    """
+    kp1 = k + 1
+    names = (
+        strings.select(F.col(name_col).alias("name"))
+        .filter(F.col("name").isNotNull() & (F.length("name") > k))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def seg_len(n, i):
+        # length of segment i (0-based) of an n-char string
+        return (n / F.lit(kp1)).cast("int") + F.when(
+            F.lit(i) >= F.lit(kp1) - (n % kp1), 1
+        ).otherwise(0)
+
+    def seg_pos(n, i):
+        # 1-based start of segment i: 1 + i*base + overflow_before
+        base = (n / F.lit(kp1)).cast("int")
+        extra = F.greatest(F.lit(0), F.lit(i) - (F.lit(kp1) - (n % kp1)))
+        return F.lit(1) + F.lit(i) * base + extra
+
+    n_idx = F.length("name")
+    idx = names.select(
+        F.col("name").alias("name_r"),
+        n_idx.alias("n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("segno"),
+                        F.substring(
+                            F.col("name"),
+                            seg_pos(n_idx, i),
+                            seg_len(n_idx, i),
+                        ).alias("seg"),
+                    )
+                    for i in range(kp1)
+                ]
+            )
+        ).alias("sg"),
+    ).select("name_r", "n", F.col("sg.segno"), F.col("sg.seg"))
+
+    m = F.length("name")
+    probe_entries = []
+    for n_off in range(kp1):  # target length n = m - n_off
+        n_expr = m - n_off
+        for i in range(kp1):
+            pl = seg_len(n_expr, i)
+            pp = seg_pos(n_expr, i)
+            for shift in range(-k, k + 1):
+                q = pp + shift
+                valid = (
+                    (n_expr > k)
+                    & (q >= 1)
+                    & (q + pl - 1 <= m)
+                    & (pl > 0)
+                )
+                probe_entries.append(
+                    F.when(
+                        valid,
+                        F.struct(
+                            F.lit(i).alias("segno"),
+                            n_expr.alias("n"),
+                            F.substring(F.col("name"), q, pl).alias("sub"),
+                        ),
+                    )
+                )
+    probe = names.select(
+        F.col("name").alias("name_s"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.array(*probe_entries), lambda x: x.isNotNull()
+                )
+            )
+        ).alias("pr"),
+    ).select("name_s", F.col("pr.segno"), F.col("pr.n"), F.col("pr.sub"))
+
+    cand = (
+        idx.join(
+            probe,
+            (idx["segno"] == probe["segno"])
+            & (idx["n"] == probe["n"])
+            & (idx["seg"] == probe["sub"])
+            & (idx["name_r"] != probe["name_s"]),
+        )
+        .select(
+            F.least("name_r", "name_s").alias("name_a"),
+            F.greatest("name_r", "name_s").alias("name_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "distance",
+            F.expr(f"levenshtein(name_a, name_b, {k})").cast("long"),
+        )
+        .filter(F.col("distance") >= 0)
+        .orderBy("name_a", "name_b")
+    )

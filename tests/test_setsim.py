@@ -194,3 +194,68 @@ def test_minhash_clusters_are_transitive_and_complete(spark):
     # and the planted chain actually merged into one cluster
     assert labels[0] == labels[1] == labels[2]
     assert labels[3] != labels[0]
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _names_df(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "name string")
+
+
+def _brute_editdist(names, k):
+    uniq = sorted({n for n in names if len(n) > k})
+    return {
+        (a, b): _lev(a, b)
+        for a, b in itertools.combinations(uniq, 2)
+        if _lev(a, b) <= k
+    }
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_passjoin_matches_brute_force(spark, k):
+    # adversarial mix: equal lengths, off-by-k lengths, shared
+    # prefixes/suffixes, edits at segment boundaries, duplicates
+    names = [
+        "example.com",
+        "exampel.com",     # transposition = 2 substit-ish edits
+        "examples.com",    # insertion
+        "exmple.com",      # deletion
+        "sample.com",
+        "sampel.org",
+        "abc",
+        "abd",
+        "ab",              # length <= 2: out of scope at k=2
+        "xexample.com",
+        "example.com",     # duplicate row must not duplicate pairs
+        "wholly-unrelated-host.net",
+    ]
+    got = {
+        (r.name_a, r.name_b): r.distance
+        for r in dedup.editdist_pairs(_names_df(spark, names), k=k).collect()
+    }
+    assert got == _brute_editdist(names, k)
+    assert got  # sanity: the planted near-misses were found
+
+
+def test_passjoin_boundary_distance_is_inclusive(spark):
+    # distance exactly k must be reported, k+1 must not
+    names = ["abcdefgh", "abXdeYgh", "QbXdeYgh"]
+    got = {
+        (r.name_a, r.name_b): r.distance
+        for r in dedup.editdist_pairs(_names_df(spark, names), k=2).collect()
+    }
+    assert got[("abXdeYgh", "abcdefgh")] == 2  # subs at positions 3, 6
+    assert got[("QbXdeYgh", "abXdeYgh")] == 1
+    assert ("QbXdeYgh", "abcdefgh") not in got  # distance 3
