@@ -458,6 +458,42 @@ SELECT probe_id, vec_id, adc_dist, rnk FROM (
 """
 
 
+def _lpa_sql(iterations: int = 4, price_min: float = 95000) -> str:
+    """graph_label_propagation oracle: the synchronous rounds unroll
+    to a linear MATERIALIZED-CTE chain; the argmax is expressed as a
+    row_number window (independent of the Spark side's max_by-over-
+    struct formulation)."""
+    parts = [
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges"
+        ") WHERE src <> dst)",
+        "lnodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM und)",
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM lnodes)",
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT u.src AS v, l.label, "
+            f"count(*) AS cnt FROM und u JOIN l{r - 1} l ON u.dst = l.node "
+            "GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT v, label, row_number() OVER ("
+            "PARTITION BY v ORDER BY cnt DESC, label) AS rn "
+            f"FROM c{r})"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT n.node, "
+            "coalesce(s.label, n.node) AS label FROM lnodes n "
+            f"LEFT JOIN (SELECT v, label FROM s{r} WHERE rn = 1) s "
+            "ON n.node = s.v)"
+        )
+    chain = ",\n".join(parts)
+    return (
+        f"WITH {_edges_cte(price_min=price_min)},\n{chain}\n"
+        f"SELECT node, label AS community FROM l{iterations} ORDER BY node"
+    )
+
+
 def _kcore_sql(k: int = 3, rounds: int = 30) -> str:
     """k-core peeling unrolled to the Spark-side iteration cap.
     Peeling is monotone and idempotent, so rounds past the fixpoint
@@ -2378,6 +2414,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawldb_merge": lambda s, d: crawldb.merge_crawldb_from_events(
             _t(s, d, "events")
         ),
+        # crawl-over-crawl diff: keys added/removed/changed between
+        # the two time-split snapshots (same split as the incremental
+        # merge gate; same content signature as the recrawl scheduler)
+        "crawldb_snapshot_delta": lambda s, d: crawldb.crawl_snapshot_delta(
+            _t(s, d, "events").filter(F.col("ts") < "2024-01-15"),
+            _t(s, d, "events").filter(F.col("ts") >= "2024-01-15"),
+        ),
         # incremental merge of a time-split must equal the batch merge
         # (counts add, min/max compose, capped samples re-cap exactly)
         "crawldb_incremental_merge": lambda s, d: crawldb.incremental_merge(
@@ -2874,6 +2917,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # 3-core of the link graph: iterative peeling, Observation-
         # folded fixpoint detection (same discipline as CC/PageRank)
+        # synchronous LPA communities over the sparse subgraph
+        # (deterministic smallest-label tie-break; fixed rounds)
+        "graph_label_propagation": lambda s, d: graph.label_propagation(
+            _cc_edges(s, d), iterations=4
+        ),
         "graph_kcore": lambda s, d: graph.k_core(
             _edges(s, d), k=3, max_iterations=30
         ),
@@ -3003,6 +3051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_clusters",
         "crawllist_adaptive_recrawl",
         "dedup_editdist_pairs",
+        "crawldb_snapshot_delta",
+        "graph_label_propagation",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -3015,7 +3065,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (c) single driver validation (round 4 only)
         "crawldb_merge_full",
         "crawllist_filtered_generate",
-        "dedup_cluster_representatives",
+        # dedup_cluster_representatives yields its slot to the never-
+        # validated crawldb_snapshot_delta (r4-validated, code
+        # unchanged, keep-best pytest; the representative-selection
+        # machinery stays driver-exercised inside
+        # pipeline_corpus_build, which composes it)
         "graph_clustering_coeff",
         # graph_hits yields its slot to the never-validated
         # dedup_editdist_pairs (r4-validated, code unchanged, hand-
@@ -3026,7 +3080,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph_kcore (r4-validated; the truncated-wedge machinery
         # stays driver-exercised via graph_clustering_coeff, which
         # shares the oriented edge set)
-        "join_asof",
+        # join_asof yields its slot to the never-validated
+        # graph_label_propagation (r4-validated, code unchanged,
+        # pytest-covered; as-of semantics stay driver-gated via
+        # stream_asof in the semantics-changed tier, which shares the
+        # merge-union + running-window shape)
         # join_range_bucketed yields its slot to the never-validated
         # agg_count_min (r4-validated; the bucketed range-join plan
         # shape is pytest-asserted and join_asof keeps the custom-
@@ -3825,6 +3883,43 @@ def oracle_sql() -> dict[str, str]:
         # (regexp_full_match = Java matches()); boost SUMS matching
         # rules, rate/recrawl take the MIN
         "crawllist_filtered_generate": _FILTERED_GENERATE_SQL,
+        "crawldb_snapshot_delta": """
+            WITH sa AS (
+                SELECT user_id, floor(value / 25) AS sig,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS attempts
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                  AND ts < TIMESTAMP '2024-01-15'
+            ),
+            sb AS (
+                SELECT user_id, floor(value / 25) AS sig,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS attempts
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                  AND ts >= TIMESTAMP '2024-01-15'
+            ),
+            a AS (SELECT user_id, attempts AS attempts_a, sig AS sig_a
+                  FROM sa WHERE rn = 1),
+            b AS (SELECT user_id, attempts AS attempts_b, sig AS sig_b
+                  FROM sb WHERE rn = 1)
+            SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                   CASE WHEN a.user_id IS NULL THEN 'added'
+                        WHEN b.user_id IS NULL THEN 'removed'
+                        WHEN sig_a = sig_b THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   CAST(coalesce(attempts_a, 0) AS BIGINT) AS attempts_a,
+                   CAST(coalesce(attempts_b, 0) AS BIGINT) AS attempts_b,
+                   CAST(coalesce(attempts_b, 0) - coalesce(attempts_a, 0)
+                        AS BIGINT) AS delta_attempts
+            FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+            ORDER BY user_id
+        """,
         # Cho & Garcia-Molina estimator: the ln argument is a ratio of
         # exact integers, the interval is ONE double expression rounded
         # once (floor(x*1e6+0.5)); division order mirrors the Spark
@@ -4758,6 +4853,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_hits": _hits_sql(iterations=2),
         "graph_kcore": _kcore_sql(k=3, rounds=30),
+        "graph_label_propagation": _lpa_sql(iterations=4),
         # independent relational reimplementation of the Chromium
         # ParsedCookie semantics (no terminators/overlong lines in
         # the synthesized set, so cut == line)

@@ -598,3 +598,61 @@ def blekko_merge(crawldb: DataFrame, metadata_lines: DataFrame) -> DataFrame:
     """
     meta = blekko_metadata_import(metadata_lines)
     return crawldb.join(meta, "url", "left")
+
+
+def crawl_snapshot_delta(
+    events_a: DataFrame, events_b: DataFrame
+) -> DataFrame:
+    """Crawl-over-crawl delta report: which keys appeared, vanished,
+    or changed between two crawl snapshots.
+
+    Every production CrawlDB pipeline runs this after a merge -- the
+    reference reports it operationally through per-segment
+    CrawlDBStats counters (NewCrawlDBStatsCollector lineage); here it
+    is a first-class relational diff. Per side, a key's summary is
+    (fetch attempts, content signature of the LAST fetch by
+    (ts, record_id)); the delta classifies each key:
+
+      added     -- key fetched only in snapshot B
+      removed   -- key fetched only in snapshot A
+      changed   -- both sides, but last content signature differs
+      unchanged -- both sides, same last signature
+
+    delta_attempts = attempts_b - attempts_a rides along for crawl-
+    budget tracking. The signature is the same quantized digest the
+    adaptive-recrawl scheduler observes (floor(value/25)), so the two
+    reports agree on what 'changed' means. One shuffle per side plus
+    the full-outer key join -- AQE-friendly and bucketable at 100 TB
+    exactly like incremental_merge.
+    """
+    def side(events, suffix):
+        f = events.filter(F.col("event_type").isin("click", "purchase"))
+        return f.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias(f"attempts_{suffix}"),
+            F.max_by(
+                F.floor(F.col("value") / 25),
+                F.struct(F.col("ts"), F.col("event_id")),
+            ).alias(f"sig_{suffix}"),
+        )
+    a = side(events_a, "a")
+    b = side(events_b, "b")
+    in_a = F.col("attempts_a").isNotNull()
+    in_b = F.col("attempts_b").isNotNull()
+    return (
+        a.join(b, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.when(~in_a & in_b, "added")
+            .when(in_a & ~in_b, "removed")
+            .when(F.col("sig_a") == F.col("sig_b"), "unchanged")
+            .otherwise("changed")
+            .alias("status"),
+            F.coalesce("attempts_a", F.lit(0)).alias("attempts_a"),
+            F.coalesce("attempts_b", F.lit(0)).alias("attempts_b"),
+            (
+                F.coalesce("attempts_b", F.lit(0))
+                - F.coalesce("attempts_a", F.lit(0))
+            ).alias("delta_attempts"),
+        )
+        .orderBy("user_id")
+    )

@@ -214,3 +214,40 @@ def test_k_core_peels_tail_and_cascades(spark):
     assert (
         graph.k_core(_edges_df(spark, [(1, 2), (2, 3)]), k=2).count() == 0
     )
+
+
+def test_label_propagation_separates_cliques(spark):
+    # two 4-cliques joined by a single bridge: LPA must keep them as
+    # two communities, each labeled by its smallest member
+    clique = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    edges = _edges_df(spark, clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)])
+    out = {r.node: r.community for r in graph.label_propagation(edges).collect()}
+    assert len(out) == 8
+    left = {out[n] for n in (1, 2, 3)}
+    right = {out[n] for n in (11, 12, 13)}
+    assert left == {1} and right == {10}
+    # the bridge endpoints join their own clique, not the other side
+    assert out[4] == 1 and out[10] == 10
+
+
+def test_label_propagation_tiebreak_is_smallest_label(spark):
+    # a path 1-2-3: node 2 sees labels {1, 3} once each -> picks 1
+    out = {
+        r.node: r.community
+        for r in graph.label_propagation(
+            _edges_df(spark, [(1, 2), (2, 3)]), iterations=1
+        ).collect()
+    }
+    assert out[2] == 1
+    # endpoints see only node 2's label
+    assert out[1] == 2 and out[3] == 2
+
+
+def test_label_propagation_is_layout_independent(spark):
+    clique = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    pairs = clique([1, 2, 3, 4]) + clique([7, 8, 9]) + [(3, 7), (5, 6)]
+    one = graph.label_propagation(_edges_df(spark, pairs)).collect()
+    many = graph.label_propagation(
+        _edges_df(spark, pairs).repartition(7)
+    ).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]

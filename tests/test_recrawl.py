@@ -93,3 +93,31 @@ def test_custom_signature_controls_change_detection(spark):
     ).collect()
     assert coarse[0].changes == 0
     assert coarse[0].interval_days_micro == 60_000_000
+
+
+def test_snapshot_delta_classifies_all_four_statuses(spark):
+    from commoncrawl_crawler_spark.operators import crawldb
+
+    a = _events(spark, [
+        (1, 1, T0, "click", 10.0),          # sig bucket 0
+        (2, 1, T0 + DAY, "click", 40.0),    # last sig bucket 1
+        (3, 2, T0, "click", 10.0),          # removed (absent in B)
+        (4, 3, T0, "click", 30.0),          # unchanged (bucket 1)
+        (5, 4, T0, "view", 1.0),            # views are not fetches
+    ])
+    b = _events(spark, [
+        (6, 1, T0 + 3 * DAY, "purchase", 80.0),   # bucket 3 -> changed
+        (7, 3, T0 + 3 * DAY, "click", 26.0),      # bucket 1 -> unchanged
+        (8, 5, T0 + 3 * DAY, "click", 1.0),       # added
+    ])
+    out = {r.user_id: r for r in crawldb.crawl_snapshot_delta(a, b).collect()}
+    assert sorted(out) == [1, 2, 3, 5]  # user 4 never fetched
+    assert out[1].status == "changed"
+    assert (out[1].attempts_a, out[1].attempts_b, out[1].delta_attempts) == (
+        2, 1, -1,
+    )
+    assert out[2].status == "removed"
+    assert out[2].delta_attempts == -1
+    assert out[3].status == "unchanged"
+    assert out[5].status == "added"
+    assert out[5].attempts_a == 0
