@@ -594,6 +594,40 @@ r{i} AS (
     )
 
 
+def _ppr_sql(iterations: int = 3, seed_mod: int = 50) -> str:
+    """graph_pagerank_personalized oracle: the _pagerank_sql chain
+    with the restart mass gated on seed membership (node % seed_mod
+    = 0) and a zero init for non-seeds."""
+    seed = f"(node % {seed_mod} = 0)"
+    nseed = f"(n.node % {seed_mod} = 0)"
+    sql = (
+        "WITH "
+        + _edges_cte()
+        + f""", r0 AS (SELECT node,
+           CAST(CASE WHEN {seed} THEN 1000000 ELSE 0 END AS BIGINT)
+               AS rank_i FROM nodes)"""
+    )
+    for i in range(1, iterations + 1):
+        sql += f""",
+r{i} AS (
+    SELECT n.node,
+           CAST(CASE WHEN {nseed} THEN 150000 ELSE 0 END
+                + (coalesce(s.recv, 0) * 85) // 100 AS BIGINT) AS rank_i
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank_i // d.out_cnt) AS recv
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN outdeg d ON e.src = d.src
+        GROUP BY e.dst
+    ) s ON n.node = s.node
+)"""
+    return sql + (
+        f"\nSELECT node, (node % {seed_mod} = 0) AS is_seed,"
+        f" round(rank_i / 1000000.0, 6) AS rank"
+        f" FROM r{iterations} ORDER BY node"
+    )
+
+
 def _pagerank_converged_sql(
     eps_i: int = 10_000,
     damp_num: int = 50,
@@ -2718,6 +2752,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_inverse_links": lambda s, d: graph.inverse_links(_edges(s, d)),
         "graph_degree_stats": lambda s, d: graph.degree_stats(_edges(s, d)),
         "graph_pagerank": lambda s, d: graph.pagerank(_edges(s, d), iterations=3),
+        # topic-sensitive PageRank: teleport returns only to the
+        # seed set (every 50th node id) -- TrustRank-style proximity
+        "graph_pagerank_personalized": lambda s, d: graph.pagerank_personalized(
+            _edges(s, d),
+            seeds=graph.graph_nodes(_edges(s, d)).filter(
+                F.col("node") % 50 == 0
+            ),
+            iterations=3,
+        ),
         # data-driven iteration count: stops when the exact fixed-point
         # max-delta falls to 1e-2 (PageRankUtils.java:120-143 iterate-
         # until-done semantics, Observation-folded like CC)
@@ -3053,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist_pairs",
         "crawldb_snapshot_delta",
         "graph_label_propagation",
+        "graph_pagerank_personalized",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -3070,7 +3114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged, keep-best pytest; the representative-selection
         # machinery stays driver-exercised inside
         # pipeline_corpus_build, which composes it)
-        "graph_clustering_coeff",
+        # graph_clustering_coeff yields its slot to the never-
+        # validated graph_pagerank_personalized (r4-validated, code
+        # unchanged; the truncated-wedge machinery stays covered by
+        # the hand-graph pytest suite and the executed-stage census
+        # assertion in test_plan_quality)
         # graph_hits yields its slot to the never-validated
         # dedup_editdist_pairs (r4-validated, code unchanged, hand-
         # graph pytest; the exact-bigint power-iteration family stays
@@ -4662,6 +4710,7 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY node ORDER BY node
         """,
         "graph_pagerank": _pagerank_sql(iterations=3),
+        "graph_pagerank_personalized": _ppr_sql(iterations=3, seed_mod=50),
         "graph_pagerank_converged": _pagerank_converged_sql(),
         "sim_kmeans_exact": _kmeans_sql(),
         "sim_sq_topk": """

@@ -885,3 +885,76 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
     return labels.select(
         "node", F.col("label").alias("community")
     ).orderBy("node")
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: teleport mass returns
+    ONLY to the seed set (Haveliwala WWW'02), so ranks measure
+    proximity to the seeds -- trusted-host distance (TrustRank-style
+    spam demotion), topic crawl prioritization, related-host lookup.
+    The reference's PageRank tier is global-only
+    (PageRankUtils.java:300-313); this is the standard seeded variant
+    over the same fixed-point machinery.
+
+    Same exact-bigint discipline as graph.pagerank: seeds start at
+    RANK_SCALE and non-seeds at 0, each round adds the (1-d) restart
+    ONLY on seed rows, contributions divide truncating -- every rank
+    is bit-identical under any partitioning or engine. The seed flag
+    is one broadcast-size join on the loop-invariant node table.
+
+    seeds: a (node) DataFrame; rows not present in the graph are
+    ignored.
+    """
+    base_i = (damp_den - damp_num) * RANK_SCALE // damp_den
+    nodes = (
+        graph_nodes(edges)
+        .join(
+            seeds.select(F.col("node").alias("_s")).distinct(),
+            F.col("node") == F.col("_s"),
+            "left",
+        )
+        .select("node", F.col("_s").isNotNull().alias("is_seed"))
+        .localCheckpoint(eager=False)
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
+    edge_w = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", "out_cnt")
+        .localCheckpoint(eager=False)
+    )
+    restart = F.when(F.col("is_seed"), F.lit(base_i)).otherwise(0).cast("long")
+    ranks = nodes.withColumn(
+        "rank_i",
+        F.when(F.col("is_seed"), F.lit(RANK_SCALE)).otherwise(0).cast("long"),
+    )
+    for _ in range(iterations):
+        contribs = (
+            edge_w.join(ranks, edge_w["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank_i DIV out_cnt")).alias("recv"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                "is_seed",
+                (
+                    restart
+                    + F.expr(
+                        f"(coalesce(recv, 0) * {damp_num}) DIV {damp_den}"
+                    )
+                ).alias("rank_i"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node",
+        "is_seed",
+        F.round(F.col("rank_i") / RANK_SCALE, 6).alias("rank"),
+    ).orderBy("node")

@@ -251,3 +251,24 @@ def test_label_propagation_is_layout_independent(spark):
         _edges_df(spark, pairs).repartition(7)
     ).collect()
     assert [tuple(r) for r in one] == [tuple(r) for r in many]
+
+
+def test_personalized_pagerank_confines_mass_to_seed_reachable(spark):
+    # 1 -> 2 -> 3, and an isolated pair 8 <-> 9; seed = {1}
+    edges = _edges_df(spark, [(1, 2), (2, 3), (8, 9), (9, 8)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r.node: r
+        for r in graph.pagerank_personalized(
+            edges, seeds, iterations=2
+        ).collect()
+    }
+    # exact fixed-point trace (scale 1e6, damp 85/100):
+    # r0: 1 -> 1e6, others 0
+    # r1: 1 -> 150000; 2 -> 0 + 85% of 1e6 = 850000; 3 -> 0
+    # r2: 1 -> 150000; 2 -> 85% of 150000 = 127500;
+    #     3 -> 85% of 850000 = 722500; 8, 9 -> 0 forever
+    assert out[1].rank == 0.15 and out[1].is_seed
+    assert out[2].rank == 0.1275 and not out[2].is_seed
+    assert out[3].rank == 0.7225
+    assert out[8].rank == 0.0 and out[9].rank == 0.0
