@@ -2224,6 +2224,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return aggregates.pricing_summary(_t(spark, "/root/testdata/sf0.001", "lineitem"))
 
 
+_CHANGEFREQS = (
+    "always", "hourly", "daily", "weekly", "monthly", "yearly", "never"
+)
+
+
+def _sitemap_blobs(s, d):
+    """Synthesize one deterministic sitemap.xml blob per host from the
+    orders table (urlset entries with escaped query strings, W3C
+    lastmod dates, cycling changefreq, one-decimal priority). The
+    parse gate must invert this synthesis exactly, so the oracle can
+    recompute the generator formula instead of re-parsing XML."""
+    o = _t(s, d, "orders")
+    host = F.concat(
+        F.lit("d"), (F.col("o_orderkey") % 20).cast("string"), F.lit(".com")
+    )
+    block = F.concat(
+        F.lit("<url><loc>https://"),
+        host,
+        F.lit("/o/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?a=1&amp;b=2</loc><lastmod>"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("</lastmod><changefreq>"),
+        F.get(
+            F.array(*[F.lit(c) for c in _CHANGEFREQS]),
+            (F.col("o_orderkey") % 7).cast("int"),
+        ),
+        F.lit("</changefreq><priority>0."),
+        (F.col("o_orderkey") % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    return (
+        o.select(host.alias("host"), F.col("o_orderkey").alias("k"), block.alias("blk"))
+        .groupBy("host")
+        .agg(F.collect_list(F.struct("k", "blk")).alias("bs"))
+        .select(
+            "host",
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+                F.expr("concat_ws('', transform(sort_array(bs), x -> x.blk))"),
+                F.lit("</urlset>"),
+            ).alias("content"),
+        )
+    )
+
+
 def _editdist_hosts(s, d):
     """Deterministic fuzzy-host corpus for the PassJoin gate: each
     part-derived hostname plus a drop-first-char and a
@@ -2711,6 +2757,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "stream_sessionize": _stream_sessionize,
         "source_xml_roundtrip": _xml_roundtrip,
+        # sitemap.xml discovery channel: parse must exactly invert the
+        # deterministic synthesis (oracle recomputes the generator)
+        "source_sitemap_parse": lambda s, d: xmlsource.parse_sitemap(
+            _sitemap_blobs(s, d)
+        ),
         # bloom FP set is deterministic but not SQL-expressible ->
         # rows-only check; no-false-negative property is pytest-gated
         # candidates = seen custkeys + provably-unseen shifted keys:
@@ -3086,7 +3137,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore",
         "stream_distinct_sketch",
         "stream_countmin",
-        "sim_pq_topk",
+        # sim_pq_topk yields its slot to the never-validated
+        # source_sitemap_parse: sim_pq_trained_topk exercises a strict
+        # superset of the same machinery (train_iterations=0 is the
+        # shared anchor-codebook path), and the untrained gate stays
+        # swept at both SFs in CORRECTNESS_SELF_r05*
         "sim_pq_trained_topk",
         "sim_sq_topk",
         "dedup_setsim_prefix",
@@ -3097,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawldb_snapshot_delta",
         "graph_label_propagation",
         "graph_pagerank_personalized",
+        "source_sitemap_parse",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -4660,6 +4716,24 @@ def oracle_sql() -> dict[str, str]:
                        + strlen(text) AS record_length,
                    lang, text
             FROM documents ORDER BY doc_id
+        """,
+        # closed-form generator recomputation (the Spark side
+        # synthesizes sitemap XML and parses it back; a parse bug
+        # cannot cancel out because this side never touches XML)
+        "source_sitemap_parse": """
+            SELECT 'd' || CAST(o_orderkey % 20 AS VARCHAR) || '.com' AS host,
+                   'url' AS kind,
+                   'https://d' || CAST(o_orderkey % 20 AS VARCHAR)
+                       || '.com/o/' || CAST(o_orderkey AS VARCHAR)
+                       || '?a=1&b=2' AS loc,
+                   CAST(o_orderdate AS DATE) AS lastmod,
+                   (['always', 'hourly', 'daily', 'weekly', 'monthly',
+                     'yearly', 'never'])[CAST(o_orderkey % 7 AS INT) + 1]
+                       AS changefreq,
+                   CAST((o_orderkey % 10) * 100000 AS BIGINT)
+                       AS priority_micro
+            FROM orders
+            ORDER BY host, loc
         """,
         "source_xml_roundtrip": """
             SELECT doc_id AS page_id, source AS title, text

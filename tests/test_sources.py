@@ -558,3 +558,44 @@ def test_point_seek_member_read_all_formats(spark, tmp_path):
             kind="arc",
         )
         assert got[0] == r["url"] and got[7] == bytes(r["payload"])
+
+
+def test_sitemap_parse_kinds_entities_and_edge_cases(spark):
+    from commoncrawl_crawler_spark.sources import xmlsource
+
+    content = (
+        '<?xml version="1.0"?><sitemapindex>'
+        "<sitemap><loc> https://h.com/maps/a.xml </loc>"
+        "<lastmod>2024-03-05T10:00:00+00:00</lastmod></sitemap>"
+        "</sitemapindex>"
+        "<urlset>"
+        # entity-escaped query + no-double-decode of &amp;lt;
+        "<url><loc>https://h.com/p?x=1&amp;y=2&amp;lt;</loc>"
+        "<lastmod>2024-01-02</lastmod><changefreq>WEEKLY</changefreq>"
+        "<priority>0.8</priority></url>"
+        # loc missing -> dropped
+        "<url><lastmod>2024-01-03</lastmod></url>"
+        # minimal: only loc; optional fields NULL
+        "<url><loc>https://h.com/bare</loc></url>"
+        # unparseable lastmod -> NULL, junk priority -> NULL
+        "<url><loc>https://h.com/junk</loc><lastmod>soon</lastmod>"
+        "<priority>high</priority></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("h.com", content)], "host string, content string")
+    rows = {r.loc: r for r in xmlsource.parse_sitemap(df).collect()}
+    assert len(rows) == 4  # the loc-less record is gone
+    idx = rows["https://h.com/maps/a.xml"]
+    assert idx.kind == "sitemap"
+    assert str(idx.lastmod) == "2024-03-05"  # datetime prefix-parsed
+    p = rows["https://h.com/p?x=1&y=2&lt;"]  # unescaped exactly once
+    assert p.kind == "url"
+    assert p.changefreq == "weekly"
+    assert p.priority_micro == 800000
+    assert str(p.lastmod) == "2024-01-02"
+    bare = rows["https://h.com/bare"]
+    assert (bare.lastmod, bare.changefreq, bare.priority_micro) == (
+        None, None, None,
+    )
+    junk = rows["https://h.com/junk"]
+    assert junk.lastmod is None and junk.priority_micro is None
