@@ -2794,6 +2794,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_rice_fp_lists": lambda s, d: ricecoding.compress_fp_lists(
             _t(s, d, "documents"), group_col="source", fp_col="doc_id", m=6
         ),
+        # compressed positional-index build: per TERM, the sorted
+        # posting list delta+Rice encoded with in-kernel decode-verify
+        # -- CompressedURLFPListV2 applied to a text inverted index;
+        # m=2 fits the dense doc-id deltas of per-term postings
+        "text_inverted_index": lambda s, d: ricecoding.compress_fp_lists(
+            _t(s, d, "documents")
+            .select(
+                "doc_id",
+                F.explode(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                ).alias("term"),
+            )
+            .filter(F.col("term") != "")
+            .distinct(),
+            group_col="term",
+            fp_col="doc_id",
+            m=2,
+        ),
         "source_csv_import": _csv_roundtrip,
         "source_timeseries_tail": _timeseries_tail,
         "source_multi_sink": _multi_sink_readback,
@@ -3121,7 +3139,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_warc_roundtrip",
         "mm_decode_png",
         "mm_decode_gif",
-        "mm_decode_jpeg",
+        # mm_decode_jpeg (grayscale) yields its slot to the never-
+        # validated text_inverted_index: mm_decode_jpeg_color and
+        # mm_decode_jpeg_420 drive the same T.81 marker walk, Huffman,
+        # dequant and IDCT machinery plus the color paths, and the
+        # grayscale gate stays swept at both SFs in CORRECTNESS_SELF_r05*
         "mm_decode_jpeg_color",
         "mm_decode_jpeg_420",
         "mm_decode_adpcm",
@@ -3153,6 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_propagation",
         "graph_pagerank_personalized",
         "source_sitemap_parse",
+        "text_inverted_index",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -4537,6 +4560,29 @@ def oracle_sql() -> dict[str, str]:
         # deltas = sorted gaps; encoded bits = sum((delta-1) >> m)
         # + n*(1+m); the Spark side reports the REAL blob header's
         # bit count, so a hash match proves the codec's size math
+        "text_inverted_index": """
+            WITH td AS (
+                SELECT DISTINCT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(
+                               lower(trim(text)), '\\s+')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+            ), d AS (
+                SELECT term, doc_id,
+                       coalesce(doc_id - lag(doc_id) OVER (
+                           PARTITION BY term ORDER BY doc_id),
+                           doc_id + 1) AS delta
+                FROM td
+            )
+            SELECT term,
+                   CAST(count(*) AS INT) AS n_items,
+                   CAST(sum((delta - 1) >> 2) + count(*) * 3
+                        AS BIGINT) AS total_bits,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_fp,
+                   CAST(2 AS INT) AS m
+            FROM d GROUP BY term ORDER BY term
+        """,
         "fn_rice_fp_lists": """
             WITH d AS (
                 SELECT source, doc_id,

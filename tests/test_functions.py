@@ -1052,3 +1052,26 @@ def test_count_min_overestimates_never_under(spark):
     assert [r["exact_cnt"] for r in out] == sorted(
         [r["exact_cnt"] for r in out], reverse=True
     )
+
+
+def test_inverted_index_rice_bits_by_hand(spark):
+    from commoncrawl_crawler_spark.functions import ricecoding
+
+    # term 'a' in docs {0, 5, 6}: deltas [1, 5, 1] at m=2 cost
+    # ((d-1)>>2)+3 bits each -> 3 + 4 + 3 = 10; term 'b' in {7}:
+    # delta [8] -> (7>>2)+3 = 4
+    td = spark.createDataFrame(
+        [(0, "a"), (5, "a"), (6, "a"), (7, "b")], "doc_id long, term string"
+    )
+    rows = {
+        r.term: r
+        for r in ricecoding.compress_fp_lists(
+            td, group_col="term", fp_col="doc_id", m=2
+        ).collect()
+    }
+    assert (rows["a"].n_items, rows["a"].total_bits, rows["a"].sum_fp) == (
+        3, 10, 11,
+    )
+    assert (rows["b"].n_items, rows["b"].total_bits, rows["b"].sum_fp) == (
+        1, 4, 7,
+    )
