@@ -2102,6 +2102,46 @@ def _crawllist_wikipedia_partition(s: SparkSession, d: str) -> DataFrame:
     return crawllist.partition_wikipedia_urls(pages, ranks, n_partitions=8)
 
 
+def _robots_sitemap_blobs(s: SparkSession, d: str) -> DataFrame:
+    """Robots blobs with per-host sitemap advertisements: i%3==0 two
+    directives (one mid-stanza, one oddly-cased with a trailing
+    comment), i%3==1 one directive BEFORE any stanza (the directive
+    is stanza-independent), i%3==2 none."""
+    i = F.col("_i")
+    istr = i.cast("string")
+    blob = (
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit("User-agent: *\nSitemap: https://d"),
+                istr,
+                F.lit(".com/sitemap.xml\nDisallow: /x\n"),
+                F.lit("SiTeMaP:   https://cdn.d"),
+                istr,
+                F.lit(".com/s2.xml   # mirror\n"),
+            ),
+        )
+        .when(
+            i % 3 == 1,
+            F.concat(
+                F.lit("Sitemap: https://d"),
+                istr,
+                F.lit(".com/only.xml\nUser-agent: *\nDisallow: /\n"),
+            ),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow: /private/\n"))
+    )
+    return (
+        _t(s, d, "orders")
+        .select((F.col("o_orderkey") % 20).cast("int").alias("_i"))
+        .distinct()
+        .select(
+            F.concat(F.lit("d"), istr, F.lit(".com")).alias("host"),
+            blob.alias("content"),
+        )
+    )
+
+
 def _robots_verdicts(s: SparkSession, d: str) -> DataFrame:
     """Unsorted robots verdict set: synthesize per-host robots.txt
     blobs (three stanza shapes: agent-specific with clear +
@@ -2527,6 +2567,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawllist_filtered_generate": _crawllist_filtered_generate,
         # distributed robots.txt parse + URL verdict evaluation
         "robots_evaluate": _robots_evaluate,
+        # robots.txt 'Sitemap:' discovery (stanza-independent,
+        # case-insensitive, comment-stripped, repeatable): synthesized
+        # blobs vary count and casing per host; oracle recomputes the
+        # generator
+        "robots_sitemap_discovery": lambda s, d: robots.extract_sitemap_urls(
+            _robots_sitemap_blobs(s, d)
+        ),
         # composed: robots verdicts + crawl-delay drive the per-host
         # politeness fetch plan (disallowed URLs never enter a slot;
         # a host's Crawl-Delay becomes its fetch interval)
@@ -2548,6 +2595,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-host politeness fetch plan over the filtered crawl list
         "crawllist_politeness": lambda s, d: crawllist.politeness_schedule(
             _crawllist_filtered_generate(s, d)
+        ),
+        # per-host fetch-window capacity: which URLs fit the politeness
+        # serialization inside 3s, which defer to the next cycle
+        "crawllist_budget_plan": lambda s, d: crawllist.crawl_budget_summary(
+            _crawllist_filtered_generate(s, d), window_ms=3000
         ),
         # history-driven recrawl intervals (Cho & Garcia-Molina change-
         # rate MLE): the adaptive upgrade over the reference's static
@@ -3131,7 +3183,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) never driver-validated (new this round)
         "dedup_semantic",
         "text_bpe_merges",
-        "text_bpe_encode",
+        # text_bpe_encode yields its slot to the never-validated
+        # crawllist_budget_plan: text_bpe_merges drives the same
+        # trained merge table, the encode replace-chain is pinned by
+        # the seeded differential test vs an independent Python BPE,
+        # and the gate stays swept in CORRECTNESS_SELF_r05*
         "text_quality_classifier",
         "text_langid_ngram",
         "source_cdx_index",
@@ -3151,7 +3207,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_rice_fp_lists",
         "text_bigram_surprisal",
         "text_perplexity_buckets",
-        "text_duplicate_spans",
+        # text_duplicate_spans yields its slot to the never-validated
+        # robots_sitemap_discovery: text_duplicate_trim consumes the
+        # same shared span tables and exercises a strict superset
+        # (span build + interval union + kept-token reassembly), and
+        # the span-profile gate stays swept in CORRECTNESS_SELF_r05*
         "text_duplicate_trim",
         "agg_distinct_sketch",
         "agg_sketch_union",
@@ -3176,6 +3236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_personalized",
         "source_sitemap_parse",
         "text_inverted_index",
+        "robots_sitemap_discovery",
+        "crawllist_budget_plan",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -4094,6 +4156,26 @@ def oracle_sql() -> dict[str, str]:
                    last_ts + to_microseconds(interval_days_micro * CAST(86400 AS BIGINT))
                        AS next_due_ts
             FROM i ORDER BY user_id
+        """,
+        "crawllist_budget_plan": f"""
+            WITH fg AS ({_FILTERED_GENERATE_SQL}),
+            slotted AS (
+                SELECT key, domain,
+                       CAST(row_number() OVER (
+                           PARTITION BY domain
+                           ORDER BY pagerank_boost DESC NULLS LAST, key
+                       ) AS INT) AS slot,
+                       CAST(coalesce(crawl_rate_override, 500) AS BIGINT)
+                           AS interval_ms
+                FROM fg
+            )
+            SELECT domain,
+                   CAST(count(CASE WHEN (slot - 1) * interval_ms < 3000
+                                   THEN 1 END) AS BIGINT) AS planned,
+                   CAST(count(CASE WHEN (slot - 1) * interval_ms >= 3000
+                                   THEN 1 END) AS BIGINT) AS deferred,
+                   CAST(3000 AS BIGINT) AS window_ms
+            FROM slotted GROUP BY domain ORDER BY domain
         """,
         "crawllist_politeness": f"""
             WITH fg AS ({_FILTERED_GENERATE_SQL}),
@@ -5671,6 +5753,27 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
         # machinery: first-match-wins in file order, allow-before-
         # disallow ordering, cleared prefixes, last crawl-delay wins,
         # unmatched stanza -> allow-all)
+        "robots_sitemap_discovery": """
+            WITH hosts AS (
+                SELECT DISTINCT CAST(o_orderkey % 20 AS INT) AS i FROM orders
+            ),
+            ads AS (
+                SELECT 'd' || CAST(i AS VARCHAR) || '.com' AS host,
+                       unnest(CASE
+                           WHEN i % 3 = 0 THEN [
+                               'https://d' || CAST(i AS VARCHAR)
+                                   || '.com/sitemap.xml',
+                               'https://cdn.d' || CAST(i AS VARCHAR)
+                                   || '.com/s2.xml']
+                           WHEN i % 3 = 1 THEN [
+                               'https://d' || CAST(i AS VARCHAR)
+                                   || '.com/only.xml']
+                           ELSE CAST([] AS VARCHAR[])
+                       END) AS sitemap_url
+                FROM hosts
+            )
+            SELECT host, sitemap_url FROM ads ORDER BY host, sitemap_url
+        """,
         "robots_evaluate": f"""
             WITH {_ROBOTS_VERDICT_CTE}
             SELECT key, host, path, allowed, cdm AS crawl_delay_ms

@@ -302,3 +302,47 @@ def adaptive_recrawl_schedule(
         )
         .orderBy("user_id")
     )
+
+
+def crawl_budget_summary(
+    urls: DataFrame,
+    window_ms: int = 3000,
+    host_col: str = "domain",
+    priority_col: str = "pagerank_boost",
+    rate_col: str = "crawl_rate_override",
+    key_col: str = "key",
+    default_interval_ms: int = 500,
+) -> DataFrame:
+    """Per-host crawl budget for a fetch window: how many of the
+    host's scheduled URLs actually fit in `window_ms` under the
+    politeness serialization, and how many defer to the next cycle.
+
+    This is the capacity-planning query every crawl operator runs
+    before kicking off a segment (the reference sizes segments
+    statically, Segmenter.java:47-49; this computes the budget from
+    the actual per-host rate modifiers instead). Composes
+    politeness_schedule verbatim -- a URL is planned iff its
+    serialized offset lands inside the window -- so the budget always
+    agrees with the fetch plan the crawler will execute. One shuffle
+    on host (shared with the schedule's window), then a partial-agg
+    count; the composed plan's inner key sort is eliminated by
+    Catalyst under the aggregate.
+    """
+    sched = politeness_schedule(
+        urls,
+        host_col=host_col,
+        priority_col=priority_col,
+        rate_col=rate_col,
+        key_col=key_col,
+        default_interval_ms=default_interval_ms,
+    )
+    fits = F.col("scheduled_offset_ms") < window_ms
+    return (
+        sched.groupBy(host_col)
+        .agg(
+            F.count(F.when(fits, 1)).alias("planned"),
+            F.count(F.when(~fits, 1)).alias("deferred"),
+        )
+        .withColumn("window_ms", F.lit(window_ms).cast("long"))
+        .orderBy(host_col)
+    )

@@ -289,3 +289,43 @@ def robots_allowed(
         F.coalesce("_verdict", F.lit(True)).alias("allowed"),
         F.coalesce("_delay", F.lit(-1)).alias("crawl_delay_ms"),
     )
+
+
+def extract_sitemap_urls(
+    robots: DataFrame, host_col: str = "host", content_col: str = "content"
+) -> DataFrame:
+    """Extract 'Sitemap:' advertisements from robots.txt blobs.
+
+    Per the sitemaps.org robots extension the directive is
+    stanza-INDEPENDENT (it binds to the file, not to any User-agent
+    block) and repeatable, so this scans every line rather than the
+    selected stanza -- deliberately different scoping from
+    parse_robot_rules. The reference's parser skips the directive
+    entirely (RobotRulesParser.java handles agent/allow/disallow/
+    delay only); real discovery pipelines need it to seed
+    xmlsource.parse_sitemap.
+
+    Returns (host, sitemap_url) distinct, case-insensitive directive
+    match, values trimmed verbatim (URLs are not percent-decoded --
+    the sitemap spec, unlike the Disallow quirk). Pure Column
+    expressions: explode lines, one regexp, one distinct.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.split(F.col(content_col), "[\n\r]+")
+        ).alias("raw"),
+    )
+    url = F.trim(
+        F.regexp_extract(
+            F.regexp_replace(F.col("raw"), "#.*", ""),
+            r"(?i)^\s*sitemap\s*:\s*(.*)$",
+            1,
+        )
+    )
+    return (
+        lines.select("host", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+        .distinct()
+        .orderBy("host", "sitemap_url")
+    )

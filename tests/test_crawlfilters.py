@@ -221,3 +221,27 @@ def test_compiled_filter_chain_is_shuffle_free(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_crawl_budget_summary_splits_planned_and_deferred(spark):
+    from commoncrawl_crawler_spark.operators import crawllist
+
+    # host a: 5 urls at 400ms -> offsets 0,400,800,1200,1600; window
+    # 1000 plans 3, defers 2. host b: 2 urls, one with a 900ms
+    # override -> offsets 0 and 900 (slot order: priority desc)
+    rows = [
+        ("a%d" % i, "a.com", float(10 - i), None) for i in range(5)
+    ] + [("b0", "b.com", 5.0, 900), ("b1", "b.com", 1.0, 900)]
+    urls = spark.createDataFrame(
+        rows, "key string, domain string, pagerank_boost double, "
+        "crawl_rate_override long"
+    )
+    out = {
+        r.domain: r
+        for r in crawllist.crawl_budget_summary(
+            urls, window_ms=1000, default_interval_ms=400
+        ).collect()
+    }
+    assert (out["a.com"].planned, out["a.com"].deferred) == (3, 2)
+    assert (out["b.com"].planned, out["b.com"].deferred) == (2, 0)
+    assert out["a.com"].window_ms == 1000

@@ -346,3 +346,32 @@ def test_crawl_delay_millisecond_overflow_never_crashes(spark):
         for r in _rules(spark, [("o.com", blob)], ["crawlerbot"]).collect()
     }
     assert rules["o.com"] == -1
+
+
+def test_sitemap_extraction_is_stanza_independent(spark):
+    from commoncrawl_crawler_spark.operators.robots import extract_sitemap_urls
+
+    blobs = spark.createDataFrame(
+        [
+            # before any stanza, mid-stanza, odd casing, comment strip,
+            # duplicate directive collapses via distinct
+            (
+                "a.com",
+                "Sitemap: https://a.com/s1.xml\n"
+                "User-agent: x\nDisallow: /\n"
+                "sitemap:https://a.com/s2.xml\n"
+                "SITEMAP:  https://a.com/s1.xml  # dupe\n",
+            ),
+            ("b.com", "User-agent: *\nDisallow: /\n"),
+            # a path containing the word sitemap must NOT match
+            ("c.com", "Disallow: /sitemap: fake\n"),
+        ],
+        "host string, content string",
+    )
+    out = [
+        (r.host, r.sitemap_url) for r in extract_sitemap_urls(blobs).collect()
+    ]
+    assert out == [
+        ("a.com", "https://a.com/s1.xml"),
+        ("a.com", "https://a.com/s2.xml"),
+    ]
