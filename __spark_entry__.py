@@ -1189,6 +1189,71 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _sketch_quality_sql(perms: int = 16, min_matching: int = 13) -> str:
+    """minhash_quality_report oracle: the sketch pair CTEs + an exact
+    token-join Jaccard side at the matched threshold, reduced to one
+    tp/fp/fn row with integer micro-unit precision/recall."""
+    from commoncrawl_crawler_spark.operators.dedup import minhash_perm_constants
+
+    base = "(CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT) % 2147483647)"
+    mins = ", ".join(
+        f"min(({base} * {a} + {b}) % 2305843009213693951) AS m{p}"
+        for p, (a, b) in enumerate(minhash_perm_constants(perms))
+    )
+    bandsarr = ", ".join(
+        f"CAST(m{2 * i} AS VARCHAR) || '_' || CAST(m{2 * i + 1} AS VARCHAR)"
+        for i in range(perms // 2)
+    )
+    matching = " + ".join(
+        f"(CASE WHEN a.m{p} = c.m{p} THEN 1 ELSE 0 END)" for p in range(perms)
+    )
+    return f"""
+WITH {_MD5_TOKS_CTE},
+sig AS (SELECT doc_id, {mins} FROM toks GROUP BY doc_id),
+bnd0 AS (SELECT doc_id, generate_subscripts(v, 1) AS pos, unnest(v) AS bkey
+         FROM (SELECT doc_id, list_value({bandsarr}) AS v FROM sig)),
+bnd AS (SELECT doc_id, pos, bkey FROM (
+            SELECT *, count(*) OVER (PARTITION BY pos, bkey) AS bsz FROM bnd0
+        ) WHERE bsz <= 1000),
+scand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bnd x JOIN bnd y
+            ON x.pos = y.pos AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+sketch AS (SELECT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b, {matching} AS matching
+             FROM scand JOIN sig a ON scand.doc_a = a.doc_id
+                        JOIN sig c ON scand.doc_b = c.doc_id
+           ) WHERE matching >= {min_matching}),
+sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM toks a JOIN toks b
+            ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+exact AS (SELECT inter.doc_a, inter.doc_b
+          FROM inter JOIN sz sa ON inter.doc_a = sa.doc_id
+                     JOIN sz sb ON inter.doc_b = sb.doc_id
+          WHERE inter.i * {perms} >= (sa.n + sb.n - inter.i) * {min_matching}),
+conf AS (SELECT
+    CAST(count(CASE WHEN e.doc_a IS NOT NULL AND s.doc_a IS NOT NULL
+                    THEN 1 END) AS BIGINT) AS tp,
+    CAST(count(CASE WHEN e.doc_a IS NULL AND s.doc_a IS NOT NULL
+                    THEN 1 END) AS BIGINT) AS fp,
+    CAST(count(CASE WHEN e.doc_a IS NOT NULL AND s.doc_a IS NULL
+                    THEN 1 END) AS BIGINT) AS fn
+    FROM exact e FULL OUTER JOIN sketch s
+      ON e.doc_a = s.doc_a AND e.doc_b = s.doc_b)
+SELECT CAST({perms} AS INT) AS perms,
+       CAST({min_matching} AS INT) AS min_matching,
+       tp, fp, fn,
+       CASE WHEN tp + fp = 0 THEN NULL
+            ELSE CAST((tp * 1000000) // (tp + fp) AS BIGINT)
+       END AS precision_micro,
+       CASE WHEN tp + fn = 0 THEN NULL
+            ELSE CAST((tp * 1000000) // (tp + fn) AS BIGINT)
+       END AS recall_micro
+FROM conf
+"""
+
+
 def _md5_minhash_clusters_sql(perms: int = 16, min_matching: int = 13) -> str:
     """md5_minhash_clusters oracle: the minhash pair CTEs + recursive
     min-label propagation (the same SetUnionFinder shape as the
@@ -2521,6 +2586,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_clusters": lambda s, d: dedup.md5_minhash_clusters(
             _t(s, d, "documents")
         ),
+        # sketch-vs-exact evaluation as a query: one tp/fp/fn row for
+        # the banded minhash against the exact Jaccard join on the
+        # shared shingle table ('measure, don't guess' for dedup)
+        "dedup_sketch_quality": lambda s, d: dedup.minhash_quality_report(
+            _t(s, d, "documents"), tokens=_md5_tokens(s, d)
+        ),
         # PassJoin edit-distance join over deterministically typo'd
         # hostnames (drop-first-char and substitute-first-char
         # variants of part-derived hosts): segment-index candidates,
@@ -3218,7 +3289,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_count_min",
         "graph_kcore",
         "stream_distinct_sketch",
-        "stream_countmin",
+        # stream_countmin yields its slot to the never-validated
+        # dedup_sketch_quality: its counter cells are bit-identical to
+        # the fronted batch sketch (agg_count_min) by the batch-parity
+        # pytest, stream_distinct_sketch keeps the complete-mode
+        # streaming-state machinery driver-gated, and the gate stays
+        # swept in CORRECTNESS_SELF_r05*
         # sim_pq_topk yields its slot to the never-validated
         # source_sitemap_parse: sim_pq_trained_topk exercises a strict
         # superset of the same machinery (train_iterations=0 is the
@@ -3238,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_inverted_index",
         "robots_sitemap_discovery",
         "crawllist_budget_plan",
+        "dedup_sketch_quality",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -5354,6 +5431,7 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
         "dedup_simhash_lsh": _md5_simhash_pairs_sql(hamming_k=3),
         "dedup_minhash_lsh": _md5_minhash_pairs_sql(min_matching=13),
         "dedup_minhash_clusters": _md5_minhash_clusters_sql(min_matching=13),
+        "dedup_sketch_quality": _sketch_quality_sql(perms=16, min_matching=13),
         "dedup_setsim_prefix": _setsim_prefix_sql(num=1, den=2),
         # brute-force + length-filter oracle, fully independent of the
         # PassJoin segment index

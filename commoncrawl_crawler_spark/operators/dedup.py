@@ -1249,3 +1249,99 @@ def editdist_pairs(
         .filter(F.col("distance") >= 0)
         .orderBy("name_a", "name_b")
     )
+
+
+def minhash_quality_report(
+    documents: DataFrame,
+    perms: int = 16,
+    min_matching: int = 13,
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """Sketch-vs-exact evaluation as a first-class query: score the
+    banded MinHash join against the EXACT Jaccard join on the SAME
+    token unit and the matched threshold, returning one row of
+    (tp, fp, fn, precision_micro, recall_micro).
+
+    'Measure, don't guess' applied to dedup itself: every sketch tier
+    in this module carries a recall contract in pytest, but a
+    production pipeline re-verifies on ITS corpus -- skew, document
+    length, and vocabulary shape all move the S-curve. Both sides
+    share one shingle table: the exact side is the token-equi-join
+    intersection count (no arrays, no quadratic scan), thresholded at
+    min_matching/perms -- the similarity level where the sketch
+    CLAIMS a pair; the sketch side is md5_minhash_pairs verbatim.
+    TP/FP/FN are exact set counts; precision/recall are integer
+    micro-units (exact division, engine-stable).
+    """
+    num, den = min_matching, perms
+    toks = (tokens if tokens is not None else _md5_tokens(documents)).localCheckpoint(
+        eager=True
+    )
+    sz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.alias("a").join(
+        sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"),
+        F.col("a.doc_id") == F.col("a_id"),
+    )
+    b = toks.alias("b").join(
+        sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"),
+        F.col("b.doc_id") == F.col("b_id"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("na"),
+            F.col("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    exact = inter.filter(
+        F.col("i") * den >= (F.col("na") + F.col("nb") - F.col("i")) * num
+    ).select("doc_a", "doc_b", F.lit(True).alias("in_exact"))
+    sketch = md5_minhash_pairs(
+        documents, perms=perms, min_matching=min_matching, tokens=toks
+    ).select("doc_a", "doc_b", F.lit(True).alias("in_sketch"))
+    joined = exact.join(sketch, ["doc_a", "doc_b"], "full_outer")
+    tp = F.sum(
+        (F.col("in_exact").isNotNull() & F.col("in_sketch").isNotNull()).cast(
+            "long"
+        )
+    )
+    fp = F.sum(
+        (F.col("in_exact").isNull() & F.col("in_sketch").isNotNull()).cast(
+            "long"
+        )
+    )
+    fn = F.sum(
+        (F.col("in_exact").isNotNull() & F.col("in_sketch").isNull()).cast(
+            "long"
+        )
+    )
+    return joined.agg(
+        F.lit(perms).alias("perms"),
+        F.lit(min_matching).alias("min_matching"),
+        F.coalesce(tp, F.lit(0)).alias("tp"),
+        F.coalesce(fp, F.lit(0)).alias("fp"),
+        F.coalesce(fn, F.lit(0)).alias("fn"),
+    ).select(
+        "perms",
+        "min_matching",
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(None))
+        .otherwise(
+            F.expr("CAST(tp * 1000000 DIV (tp + fp) AS BIGINT)")
+        )
+        .alias("precision_micro"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(None))
+        .otherwise(
+            F.expr("CAST(tp * 1000000 DIV (tp + fn) AS BIGINT)")
+        )
+        .alias("recall_micro"),
+    )

@@ -259,3 +259,57 @@ def test_passjoin_boundary_distance_is_inclusive(spark):
     assert got[("abXdeYgh", "abcdefgh")] == 2  # subs at positions 3, 6
     assert got[("QbXdeYgh", "abXdeYgh")] == 1
     assert ("QbXdeYgh", "abcdefgh") not in got  # distance 3
+
+
+def test_minhash_quality_report_matches_independent_model(spark):
+    import hashlib
+
+    texts = _corpus() + [" ".join(_corpus()[0].split()[:36] + ["zz"] * 4)]
+    docs = _docs(spark, texts)
+
+    # independent Python model of the whole report
+    def shingles3(t):
+        ws = [w for w in t.lower().split() if w]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    M = 2305843009213693951
+    perms = [(((1000003 * (p + 1)) % (1 << 31)) | 1, 777767777 * (p + 1) + 9176)
+             for p in range(16)]
+
+    def sig(toks):
+        bases = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 2147483647
+            for t in toks
+        ]
+        return [min((b * a + c) % M for b in bases) for a, c in perms]
+
+    sets = {i: shingles3(t) for i, t in enumerate(texts)}
+    sets = {i: s for i, s in sets.items() if s}
+    sigs = {i: sig(s) for i, s in sets.items()}
+    ids = sorted(sets)
+    exact, sketch = set(), set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if i * 16 >= u * 13:
+                exact.add((a, b))
+            shares_band = any(
+                sigs[a][2 * k : 2 * k + 2] == sigs[b][2 * k : 2 * k + 2]
+                for k in range(8)
+            )
+            matching = sum(1 for p in range(16) if sigs[a][p] == sigs[b][p])
+            if shares_band and matching >= 13:
+                sketch.add((a, b))
+    tp = len(exact & sketch)
+    fp = len(sketch - exact)
+    fn = len(exact - sketch)
+
+    row = dedup.minhash_quality_report(docs).collect()[0]
+    assert (row.tp, row.fp, row.fn) == (tp, fp, fn)
+    if tp + fp:
+        assert row.precision_micro == tp * 1_000_000 // (tp + fp)
+    if tp + fn:
+        assert row.recall_micro == tp * 1_000_000 // (tp + fn)
+    assert tp > 0  # the planted near-dup must land in both sides
