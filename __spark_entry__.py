@@ -2586,6 +2586,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_clusters": lambda s, d: dedup.md5_minhash_clusters(
             _t(s, d, "documents")
         ),
+        # one-row corpus diagnostic: token/vocab/hapax counts + the
+        # Zipf rank-frequency OLS slope in exact integer micro-units
+        "text_zipf_profile": lambda s, d: textstats.corpus_zipf_profile(
+            _t(s, d, "documents")
+        ),
         # sketch-vs-exact evaluation as a query: one tp/fp/fn row for
         # the banded minhash against the exact Jaccard join on the
         # shared shingle table ('measure, don't guess' for dedup)
@@ -3284,7 +3289,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (span build + interval union + kept-token reassembly), and
         # the span-profile gate stays swept in CORRECTNESS_SELF_r05*
         "text_duplicate_trim",
-        "agg_distinct_sketch",
+        # agg_distinct_sketch yields its slot to the never-validated
+        # text_zipf_profile: agg_sketch_union drives the identical
+        # register build through the same aggregate plus the bucket-
+        # wise merge, and the direct sketch stays swept in
+        # CORRECTNESS_SELF_r05*
         "agg_sketch_union",
         "agg_count_min",
         "graph_kcore",
@@ -3315,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemap_discovery",
         "crawllist_budget_plan",
         "dedup_sketch_quality",
+        "text_zipf_profile",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -4719,6 +4729,39 @@ def oracle_sql() -> dict[str, str]:
         # deltas = sorted gaps; encoded bits = sum((delta-1) >> m)
         # + n*(1+m); the Spark side reports the REAL blob header's
         # bit count, so a hash match proves the codec's size math
+        # ln rounded once per vocab row; HUGEINT regression sums; the
+        # truncating slope division is sign-split so // and DIV agree
+        "text_zipf_profile": """
+            WITH w AS (
+                SELECT unnest(regexp_split_to_array(
+                    lower(trim(text)), '\\s+')) AS term
+                FROM documents
+            ), wf AS (SELECT term FROM w WHERE term <> ''),
+            f AS (SELECT term, count(*) AS cnt FROM wf GROUP BY term),
+            r AS (SELECT cnt, row_number() OVER (
+                      ORDER BY cnt DESC, term ASC) AS rnk FROM f),
+            xy AS (SELECT CAST(floor(ln(rnk) * 1e6 + 0.5) AS BIGINT) AS x,
+                          CAST(floor(ln(cnt) * 1e6 + 0.5) AS BIGINT) AS y,
+                          cnt
+                   FROM r),
+            s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * y) AS sxy, sum(x * x) AS sxx,
+                         CAST(sum(cnt) AS BIGINT) AS total_tokens,
+                         CAST(count(*) AS BIGINT) AS vocab_size,
+                         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS hapax_count
+                  FROM xy)
+            SELECT total_tokens, vocab_size, hapax_count,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        WHEN n * sxy - sx * sy >= 0 THEN
+                            CAST((n * sxy - sx * sy) * 1000000
+                                 // (n * sxx - sx * sx) AS BIGINT)
+                        ELSE
+                            -CAST((sx * sy - n * sxy) * 1000000
+                                  // (n * sxx - sx * sx) AS BIGINT)
+                   END AS zipf_slope_micro
+            FROM s
+        """,
         "text_inverted_index": """
             WITH td AS (
                 SELECT DISTINCT doc_id, term FROM (

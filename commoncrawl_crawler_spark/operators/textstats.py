@@ -4,7 +4,7 @@ based -- the whole pipeline stays in whole-stage codegen."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import text
 
@@ -1352,4 +1352,82 @@ def langid_ngram_confusion(
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("lang", "pred_lang")
+    )
+
+
+def corpus_zipf_profile(documents: DataFrame) -> DataFrame:
+    """One-row corpus statistics profile: total tokens, vocabulary
+    size, hapax count, and the Zipf rank-frequency slope.
+
+    The slope is the OLS fit of ln(freq) on ln(rank) over the whole
+    vocabulary -- the standard corpus-health diagnostic (natural text
+    sits near -1; boilerplate-heavy or templated corpora flatten it,
+    spam inflates the hapax tail). Engine parity: each ln is rounded
+    ONCE to integer micro-units (floor(x*1e6+0.5), the bm25/pmi
+    discipline), the regression sums are exact DECIMAL(38,0)/HUGEINT
+    integers, and the final slope is a sign-split truncating integer
+    division (DECIMAL(38,0) DIV == DuckDB HUGEINT //), so the row is
+    bit-identical on any engine or layout.
+
+    The rank assignment is one global window over the VOCABULARY
+    (freq desc, term asc) -- corpus-size independent: a 100 TB crawl
+    has a few hundred million distinct terms, a bounded sort the way
+    the BPE trainer's word-frequency table is bounded. Everything
+    upstream and downstream is partial-aggregating.
+    """
+    toks = documents.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = freq.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        ),
+    )
+    xy = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+        F.col("cnt"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(F.col("cnt")).alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("hapax_count"),
+    )
+    numer = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        F.when(denom == 0, F.lit(None))
+        .when(
+            numer >= 0,
+            F.expr(
+                "CAST((n * sxy - sx * sy) * 1000000"
+                " DIV (n * sxx - sx * sx) AS BIGINT)"
+            ),
+        )
+        .otherwise(
+            -F.expr(
+                "CAST((sx * sy - n * sxy) * 1000000"
+                " DIV (n * sxx - sx * sx) AS BIGINT)"
+            )
+        )
+    )
+    return sums.select(
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("hapax_count").cast("long").alias("hapax_count"),
+        slope.alias("zipf_slope_micro"),
     )

@@ -313,3 +313,34 @@ def test_minhash_quality_report_matches_independent_model(spark):
     if tp + fn:
         assert row.recall_micro == tp * 1_000_000 // (tp + fn)
     assert tp > 0  # the planted near-dup must land in both sides
+
+
+def test_zipf_profile_matches_integer_model(spark):
+    import math
+
+    from commoncrawl_crawler_spark.operators import textstats
+
+    # planted frequencies: a:8 b:4 c:2 d:1 (one doc, order scrambled)
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    row = textstats.corpus_zipf_profile(_docs(spark, [text])).collect()[0]
+    assert (row.total_tokens, row.vocab_size, row.hapax_count) == (15, 4, 1)
+
+    pairs = [(1, 8), (2, 4), (3, 2), (4, 1)]  # (rank, freq)
+    mk = lambda v: math.floor(math.log(v) * 1e6 + 0.5)
+    xs = [mk(r) for r, _ in pairs]
+    ys = [mk(f) for _, f in pairs]
+    n = len(pairs)
+    numer = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    denom = n * sum(x * x for x in xs) - sum(xs) ** 2
+    expected = (
+        (numer * 1_000_000) // denom
+        if numer >= 0
+        else -((-numer * 1_000_000) // denom)
+    )
+    assert row.zipf_slope_micro == expected
+    assert -1_600_000 < row.zipf_slope_micro < -1_200_000  # ~ -3/2 here
+
+    # degenerate single-term vocabulary: slope undefined
+    row1 = textstats.corpus_zipf_profile(_docs(spark, ["x x x"])).collect()[0]
+    assert row1.zipf_slope_micro is None
+    assert (row1.total_tokens, row1.vocab_size) == (3, 1)
