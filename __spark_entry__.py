@@ -2586,6 +2586,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_clusters": lambda s, d: dedup.md5_minhash_clusters(
             _t(s, d, "documents")
         ),
+        # Heaps' law growth curve: docs/tokens/vocab accumulated at
+        # ten closed-form doc-id-range checkpoints (no global sort)
+        "text_heaps_profile": lambda s, d: textstats.corpus_heaps_profile(
+            _t(s, d, "documents")
+        ),
         # one-row corpus diagnostic: token/vocab/hapax counts + the
         # Zipf rank-frequency OLS slope in exact integer micro-units
         "text_zipf_profile": lambda s, d: textstats.corpus_zipf_profile(
@@ -3282,7 +3287,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans_exact",
         "fn_rice_fp_lists",
         "text_bigram_surprisal",
-        "text_perplexity_buckets",
+        # text_perplexity_buckets yields its slot to the never-
+        # validated text_heaps_profile: text_bigram_surprisal drives
+        # the same bigram-LM scoring the buckets wrap, the per-
+        # language ntile is pytest-pinned (tertile ordering), and the
+        # gate stays swept in CORRECTNESS_SELF_r05*
         # text_duplicate_spans yields its slot to the never-validated
         # robots_sitemap_discovery: text_duplicate_trim consumes the
         # same shared span tables and exercises a strict superset
@@ -3325,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawllist_budget_plan",
         "dedup_sketch_quality",
         "text_zipf_profile",
+        "text_heaps_profile",
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
@@ -4729,6 +4739,43 @@ def oracle_sql() -> dict[str, str]:
         # deltas = sorted gaps; encoded bits = sum((delta-1) >> m)
         # + n*(1+m); the Spark side reports the REAL blob header's
         # bit count, so a hash match proves the codec's size math
+        "text_heaps_profile": """
+            WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+                       FROM documents),
+            cps AS (
+                SELECT CAST(i AS INT) AS checkpoint,
+                       mn + ((mx - mn) * i) // 10 AS doc_threshold
+                FROM b, unnest(generate_series(1, 10)) AS t(i)
+            ),
+            toks AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id, unnest(regexp_split_to_array(
+                        lower(trim(text)), '\\s+')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+            ),
+            per_doc AS (SELECT doc_id, count(*) AS ntok
+                        FROM toks GROUP BY doc_id),
+            first AS (SELECT term, min(doc_id) AS fd
+                      FROM toks GROUP BY term),
+            dcurve AS (
+                SELECT c.checkpoint, c.doc_threshold,
+                       CAST(count(*) AS BIGINT) AS docs_seen,
+                       CAST(sum(d.ntok) AS BIGINT) AS tokens_seen
+                FROM cps c JOIN per_doc d ON d.doc_id <= c.doc_threshold
+                GROUP BY 1, 2
+            ),
+            vcurve AS (
+                SELECT c.checkpoint,
+                       CAST(count(*) AS BIGINT) AS vocab_seen
+                FROM cps c JOIN first f ON f.fd <= c.doc_threshold
+                GROUP BY 1
+            )
+            SELECT d.checkpoint, d.doc_threshold, d.docs_seen,
+                   d.tokens_seen, coalesce(v.vocab_seen, 0) AS vocab_seen
+            FROM dcurve d LEFT JOIN vcurve v ON d.checkpoint = v.checkpoint
+            ORDER BY d.checkpoint
+        """,
         # ln rounded once per vocab row; HUGEINT regression sums; the
         # truncating slope division is sign-split so // and DIV agree
         "text_zipf_profile": """

@@ -1431,3 +1431,80 @@ def corpus_zipf_profile(documents: DataFrame) -> DataFrame:
         F.col("hapax_count").cast("long").alias("hapax_count"),
         slope.alias("zipf_slope_micro"),
     )
+
+
+def corpus_heaps_profile(
+    documents: DataFrame, checkpoints: int = 10
+) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law): how many distinct terms
+    the corpus has accumulated by each of N doc-id checkpoints --
+    the companion diagnostic to corpus_zipf_profile (sublinear growth
+    is healthy text; near-linear growth means id-like junk tokens,
+    a flat curve means templated duplication).
+
+    Checkpoints are fractions of the doc-id RANGE (min + i*(max-min)
+    DIV N), deliberately NOT rank quantiles: closed-form integer
+    thresholds need no global sort at any scale. Each term
+    contributes via its FIRST document (min doc_id -- one partial
+    aggregate over the token table); the curve is then a 10-row
+    broadcast threshold join (a nested-loop join against ten rows,
+    which is the cheap and correct plan).
+
+    Returns (checkpoint, doc_threshold, docs_seen, tokens_seen,
+    vocab_seen) ordered by checkpoint; the last row is the whole
+    corpus.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("ntok")
+    )
+    first = toks.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    thr = (
+        documents.agg(
+            F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+        )
+        .select(
+            F.explode(F.expr(f"sequence(1, {checkpoints})")).alias(
+                "checkpoint"
+            ),
+            "mn",
+            "mx",
+        )
+        .select(
+            "checkpoint",
+            F.expr(f"mn + ((mx - mn) * checkpoint) DIV {checkpoints}").alias(
+                "doc_threshold"
+            ),
+        )
+    )
+    dcurve = (
+        per_doc.join(
+            F.broadcast(thr), F.col("doc_id") <= F.col("doc_threshold")
+        )
+        .groupBy("checkpoint", "doc_threshold")
+        .agg(
+            F.count(F.lit(1)).alias("docs_seen"),
+            F.sum("ntok").alias("tokens_seen"),
+        )
+    )
+    vcurve = (
+        first.join(F.broadcast(thr), F.col("fd") <= F.col("doc_threshold"))
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).alias("vocab_seen"))
+    )
+    return (
+        dcurve.join(vcurve, "checkpoint", "left")
+        .select(
+            "checkpoint",
+            "doc_threshold",
+            "docs_seen",
+            "tokens_seen",
+            F.coalesce("vocab_seen", F.lit(0)).alias("vocab_seen"),
+        )
+        .orderBy("checkpoint")
+    )

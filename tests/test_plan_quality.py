@@ -279,6 +279,7 @@ def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
         "text_tfidf_keywords",  # 1-row doc-count broadcast
         "text_pmi_pairs",  # 1-row doc-count broadcast
         "text_bm25_rank",  # 1-row corpus-stats broadcast
+        "text_heaps_profile",  # 10-row checkpoint-threshold broadcast
     }
     bnlj = {
         n for n, r in counted.items() if r["broadcast_nested_loop_joins"]

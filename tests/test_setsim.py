@@ -344,3 +344,26 @@ def test_zipf_profile_matches_integer_model(spark):
     row1 = textstats.corpus_zipf_profile(_docs(spark, ["x x x"])).collect()[0]
     assert row1.zipf_slope_micro is None
     assert (row1.total_tokens, row1.vocab_size) == (3, 1)
+
+
+def test_heaps_profile_growth_curve(spark):
+    from commoncrawl_crawler_spark.operators import textstats
+
+    # doc ids 0..9; new vocab appears only in docs 0, 5, 9
+    texts = (
+        ["a b c"] + ["a b"] * 4 + ["d e"] + ["a"] * 3 + ["f g h"]
+    )
+    rows = textstats.corpus_heaps_profile(
+        _docs(spark, texts), checkpoints=3
+    ).collect()
+    # range 0..9 -> thresholds 3, 6, 9
+    assert [(r.checkpoint, r.doc_threshold) for r in rows] == [
+        (1, 3), (2, 6), (3, 9),
+    ]
+    by_cp = {r.checkpoint: r for r in rows}
+    assert (by_cp[1].docs_seen, by_cp[1].vocab_seen) == (4, 3)  # a b c
+    assert (by_cp[2].docs_seen, by_cp[2].vocab_seen) == (7, 5)  # + d e
+    assert (by_cp[3].docs_seen, by_cp[3].vocab_seen) == (10, 8)  # + f g h
+    assert by_cp[3].tokens_seen == sum(len(t.split()) for t in texts)
+    # monotone growth
+    assert by_cp[1].vocab_seen <= by_cp[2].vocab_seen <= by_cp[3].vocab_seen
