@@ -2596,6 +2596,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf_profile": lambda s, d: textstats.corpus_zipf_profile(
             _t(s, d, "documents")
         ),
+        # C4-style line-level page cleaning (Raffel et al. 2020) over
+        # a deterministically rendered line corpus (the documents
+        # table has no newlines -- see render_line_corpus docstring)
+        "text_c4_filter": lambda s, d: textstats.c4_line_filter(
+            textstats.render_line_corpus(_t(s, d, "documents"))
+        ),
         # sketch-vs-exact evaluation as a query: one tp/fp/fn row for
         # the banded minhash against the exact Jaccard join on the
         # shared shingle table ('measure, don't guess' for dedup)
@@ -4808,6 +4814,80 @@ def oracle_sql() -> dict[str, str]:
                                   // (n * sxx - sx * sx) AS BIGINT)
                    END AS zipf_slope_micro
             FROM s
+        """,
+        # mirrors render_line_corpus exactly (md5-keyed decorations,
+        # 12-token windows) then replays the C4 rules; list(... ORDER
+        # BY line_idx) FILTER reassembles kept lines in order
+        "text_c4_filter": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), nl AS (
+                SELECT doc_id, toks,
+                       greatest(CAST((len(toks) + 11) // 12 AS BIGINT),
+                                1) AS n_lines
+                FROM t
+            ), ln0 AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0,
+                           CAST(n_lines - 1 AS BIGINT))) AS line_idx
+                FROM nl
+            ), ln1 AS (
+                SELECT doc_id, line_idx,
+                       array_to_string(list_slice(
+                           toks, line_idx * 12 + 1,
+                           line_idx * 12 + 12), ' ') AS raw,
+                       CAST(('0x' || substr(md5(
+                           doc_id || ':' || line_idx), 1, 15))
+                           AS BIGINT) AS h
+                FROM ln0
+            ), ln2 AS (
+                SELECT doc_id, line_idx, h,
+                       CASE WHEN h % 37 = 0 THEN 'javascript ' || raw
+                            ELSE raw END AS l1
+                FROM ln1
+            ), ln3 AS (
+                SELECT doc_id, line_idx, h,
+                       CASE WHEN doc_id % 101 = 0 AND line_idx = 0
+                            THEN 'lorem ipsum ' || l1
+                            ELSE l1 END AS l2
+                FROM ln2
+            ), lns AS (
+                SELECT doc_id, line_idx,
+                       CASE WHEN h % 10 <> 0 THEN l2 || '.'
+                            ELSE l2 END AS line
+                FROM ln3
+            ), flags AS (
+                SELECT doc_id, line_idx, line,
+                       (regexp_matches(line, '[.!?"]$')
+                        AND len(regexp_split_to_array(
+                                trim(line), '\\s+')) >= 3
+                        AND NOT (contains(lower(line), 'javascript')
+                                 OR contains(lower(line), 'cookie policy')
+                                 OR contains(lower(line), 'terms of use')
+                                 OR contains(lower(line), 'privacy policy'))
+                       ) AS keep,
+                       CASE WHEN contains(lower(line), 'lorem ipsum')
+                                 OR contains(line, '{') THEN 1
+                            ELSE 0 END AS poison
+                FROM lns
+            ), agg AS (
+                SELECT doc_id,
+                       CAST(count(*) AS INT) AS n_lines,
+                       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                            AS INT) AS n_kept,
+                       max(poison) AS poisoned,
+                       array_to_string(
+                           list(line ORDER BY line_idx)
+                               FILTER (WHERE keep), ' ') AS clean_text
+                FROM flags GROUP BY doc_id
+            )
+            SELECT doc_id, n_lines, n_kept,
+                   coalesce(clean_text, '') AS clean_text
+            FROM agg
+            WHERE poisoned = 0 AND n_kept >= 5
+            ORDER BY doc_id
         """,
         "text_inverted_index": """
             WITH td AS (

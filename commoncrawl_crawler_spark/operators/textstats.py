@@ -1508,3 +1508,113 @@ def corpus_heaps_profile(
         )
         .orderBy("checkpoint")
     )
+
+
+def render_line_corpus(documents: DataFrame, line_tokens: int = 12) -> DataFrame:
+    """Deterministic line-corpus rendering for the C4 cleaning gate:
+    the synthetic documents table has no newlines or punctuation, so
+    (like the mm_* gates' synthesized media) this derives a plausible
+    line corpus from it -- fixed-width token windows as lines, with
+    md5-keyed decorations that exercise every C4 rule:
+
+    - ~90% of lines get a terminal '.' (h % 10 != 0 lacks one);
+    - ~1/37 of lines are prefixed 'javascript ' (line-drop rule);
+    - docs with doc_id % 101 == 0 get 'lorem ipsum ' on line 0
+      (page-drop rule).
+
+    All keys are md5-derived (engine-stable uniforms discipline), so
+    a SQL oracle replays the rendering exactly.
+    """
+    lt = int(line_tokens)
+    d = documents.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    )
+    n_lines = F.greatest(
+        F.floor((F.size("_toks") + F.lit(lt - 1)) / lt).cast("int"), F.lit(1)
+    )
+    d = d.select(
+        "doc_id",
+        "_toks",
+        F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("line_idx"),
+    )
+    raw = F.array_join(
+        F.slice(F.col("_toks"), F.col("line_idx") * lt + 1, lt), " "
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "doc_id", "line_idx")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    line = F.when(h % 37 == 0, F.concat(F.lit("javascript "), raw)).otherwise(
+        raw
+    )
+    line = F.when(
+        (F.col("doc_id") % 101 == 0) & (F.col("line_idx") == 0),
+        F.concat(F.lit("lorem ipsum "), line),
+    ).otherwise(line)
+    line = F.when(h % 10 != 0, F.concat(line, F.lit("."))).otherwise(line)
+    return d.select("doc_id", "line_idx", line.alias("line"))
+
+
+def c4_line_filter(
+    lines: DataFrame, min_words: int = 3, min_kept_lines: int = 5
+) -> DataFrame:
+    """C4-style line-level page cleaning (Raffel et al. 2020, public
+    recipe): keep only lines ending in terminal punctuation with at
+    least `min_words` words and no javascript / policy-boilerplate
+    phrase; drop the WHOLE page if any line contains 'lorem ipsum' or
+    a curly brace, or fewer than `min_kept_lines` lines survive.
+    (C4 counts sentences for the 5-sentence page rule; here the
+    corpus's line is the sentence proxy, as documented upstream.)
+
+    Input: (doc_id, line_idx, line). Output: surviving docs only --
+    (doc_id, n_lines, n_kept, clean_text) with kept lines
+    re-concatenated in original order.
+
+    Scale shape: one line-wise projection (pure Column exprs, stays
+    in codegen) + ONE groupBy(doc_id) shuffle for reassembly; the
+    page-drop predicates fold into the same aggregate (max over line
+    flags), so the whole filter is a single pass over the line table.
+    """
+    low = F.lower(F.col("line"))
+    terminal = F.col("line").rlike('[.!?"]$')
+    wc = F.size(F.split(F.trim(F.col("line")), r"\s+"))
+    banned = (
+        low.contains("javascript")
+        | low.contains("cookie policy")
+        | low.contains("terms of use")
+        | low.contains("privacy policy")
+    )
+    poison = low.contains("lorem ipsum") | F.col("line").contains("{")
+    keep = terminal & (wc >= int(min_words)) & ~banned
+    flagged = lines.select(
+        "doc_id",
+        "line_idx",
+        "line",
+        keep.alias("_keep"),
+        poison.cast("int").alias("_poison"),
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.sum(F.col("_keep").cast("int")).cast("int").alias("n_kept"),
+        F.max("_poison").alias("_poisoned"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("line_idx", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        agg.filter(
+            (F.col("_poisoned") == 0)
+            & (F.col("n_kept") >= int(min_kept_lines))
+        )
+        .select("doc_id", "n_lines", "n_kept", "clean_text")
+        .orderBy("doc_id")
+    )

@@ -1075,3 +1075,71 @@ def test_inverted_index_rice_bits_by_hand(spark):
     assert (rows["b"].n_items, rows["b"].total_bits, rows["b"].sum_fp) == (
         1, 4, 7,
     )
+
+
+def test_c4_line_filter_rules_by_hand(spark):
+    from commoncrawl_crawler_spark.operators import textstats
+
+    rows = [
+        # doc 0: five good lines + one per-rule drop -> survives
+        (0, 0, "alpha beta gamma one."),
+        (0, 1, "alpha beta gamma two."),
+        (0, 2, "alpha beta gamma three."),
+        (0, 3, "alpha beta gamma four."),
+        (0, 4, "alpha beta gamma five?"),
+        (0, 5, "no terminal punctuation here"),     # dropped: no punct
+        (0, 6, "too short."),                        # dropped: <3 words
+        (0, 7, "enable javascript to continue."),    # dropped: banned word
+        (0, 8, "see our cookie policy for info."),   # dropped: boilerplate
+        # doc 1: good lines but a lorem ipsum line -> page dropped
+        (1, 0, "alpha beta gamma one."),
+        (1, 1, "lorem ipsum dolor sit amet."),
+        (1, 2, "alpha beta gamma three."),
+        (1, 3, "alpha beta gamma four."),
+        (1, 4, "alpha beta gamma five."),
+        (1, 5, "alpha beta gamma six."),
+        # doc 2: a curly brace -> page dropped
+        (2, 0, "function f() { return 1; }."),
+        (2, 1, "alpha beta gamma two."),
+        (2, 2, "alpha beta gamma three."),
+        (2, 3, "alpha beta gamma four."),
+        (2, 4, "alpha beta gamma five."),
+        (2, 5, "alpha beta gamma six."),
+        # doc 3: only four kept lines -> below min_kept_lines=5
+        (3, 0, "alpha beta gamma one."),
+        (3, 1, "alpha beta gamma two."),
+        (3, 2, "alpha beta gamma three."),
+        (3, 3, "alpha beta gamma four."),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, line_idx int, line string"
+    )
+    out = {r.doc_id: r for r in textstats.c4_line_filter(df).collect()}
+    assert set(out) == {0}
+    r = out[0]
+    assert (r.n_lines, r.n_kept) == (9, 5)
+    # kept lines reassemble in original order, dropped ones excised
+    assert r.clean_text == (
+        "alpha beta gamma one. alpha beta gamma two. "
+        "alpha beta gamma three. alpha beta gamma four. "
+        "alpha beta gamma five?"
+    )
+
+
+def test_render_line_corpus_windows_and_decorations(spark):
+    from commoncrawl_crawler_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(30)),),
+         (101, "a b c",)],
+        "doc_id long, text string",
+    )
+    lines = textstats.render_line_corpus(df, line_tokens=12).collect()
+    by_key = {(r.doc_id, r.line_idx): r.line for r in lines}
+    # 30 tokens at 12/window -> 3 lines; 3 tokens -> 1 line
+    assert sorted(by_key) == [(7, 0), (7, 1), (7, 2), (101, 0)]
+    # doc_id % 101 == 0 poisons line 0 with lorem ipsum
+    assert by_key[(101, 0)].startswith("lorem ipsum ")
+    # window contents in order (modulo deterministic decorations)
+    body = by_key[(7, 1)]
+    assert "w12" in body and "w23" in body and "w24" not in body
