@@ -1290,9 +1290,18 @@ def langid_ngram_confusion(
                    " i -> substring(t, i, 3))")
         ).alias("tri"),
     )
+    # One pass over the exploded trigrams: count at (doc_id, lang,
+    # tri) grain (lang is functionally dependent on doc_id, so the
+    # key cardinality equals (doc_id, tri)), then derive BOTH
+    # profiles from it -- the language counts are a partial-agg sum
+    # over the already-reduced table, so the raw explode is scanned
+    # and shuffled exactly once instead of twice.
+    tri_cnt = tris.groupBy("doc_id", "lang", "tri").agg(
+        F.count(F.lit(1)).alias("c")
+    )
     lang_prof = (
-        tris.groupBy("lang", "tri")
-        .agg(F.count(F.lit(1)).alias("c"))
+        tri_cnt.groupBy("lang", "tri")
+        .agg(F.sum("c").alias("c"))
         .select(
             "lang",
             "tri",
@@ -1305,8 +1314,9 @@ def langid_ngram_confusion(
         .filter(F.col("rl") <= k)
     )
     doc_prof = (
-        tris.groupBy("doc_id", "tri")
-        .agg(F.count(F.lit(1)).alias("c"))
+        tri_cnt.select(
+            "doc_id", "tri", "c"
+        )
         .select(
             "doc_id",
             "tri",
