@@ -10,6 +10,20 @@ from commoncrawl_crawler_spark.sources import load_table
 from commoncrawl_crawler_spark.streaming import jobs
 
 
+def _space_mtimes(*paths):
+    """Pin strictly increasing mtimes on micro-batch source files.
+
+    The file stream source orders batches by modification time; two
+    quick successive writes can land in the same timestamp granularity
+    under suite load, scrambling which file becomes batch 1."""
+    import os
+    import time
+
+    now = time.time()
+    for i, p in enumerate(paths):
+        os.utime(p, (now + i * 10, now + i * 10))
+
+
 def _domains(spark, sf):
     return query_api.domain_stats_from_documents(
         load_table(spark, "documents", sf)
@@ -156,6 +170,7 @@ def test_streaming_asof_state_carries_across_batches(spark, tmp_path):
     pq.write_table(
         pa.Table.from_pandas(b2), src / "f2.parquet", coerce_timestamps="us"
     )
+    _space_mtimes(src / "f1.parquet", src / "f2.parquet")
 
     schema = spark.read.parquet(str(src)).schema
     stream = (
@@ -204,6 +219,7 @@ def test_streaming_asof_out_of_order_probe_gets_null(spark, tmp_path):
     src.mkdir()
     pq.write_table(pa.Table.from_pandas(b1), src / "f1.parquet", coerce_timestamps="us")
     pq.write_table(pa.Table.from_pandas(b2), src / "f2.parquet", coerce_timestamps="us")
+    _space_mtimes(src / "f1.parquet", src / "f2.parquet")
     schema = spark.read.parquet(str(src)).schema
     stream = (
         spark.readStream.schema(schema)
@@ -227,6 +243,7 @@ def _two_batch_stream(spark, tmp_path, name, b1, b2):
     src.mkdir()
     pq.write_table(pa.Table.from_pandas(b1), src / "f1.parquet", coerce_timestamps="us")
     pq.write_table(pa.Table.from_pandas(b2), src / "f2.parquet", coerce_timestamps="us")
+    _space_mtimes(src / "f1.parquet", src / "f2.parquet")
     schema = spark.read.parquet(str(src)).schema
     return (
         spark.readStream.schema(schema)
