@@ -2602,6 +2602,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_filter": lambda s, d: textstats.c4_line_filter(
             textstats.render_line_corpus(_t(s, d, "documents"))
         ),
+        # DSIR importance resampling (Xie et al. 2023): hashed-unigram
+        # log-likelihood-ratio score of every document against the
+        # English slice as the target distribution, integer micro-unit
+        # exact -- the pretraining-mix selection step
+        "text_dsir_weights": lambda s, d: textstats.dsir_importance_weights(
+            _t(s, d, "documents")
+        ),
         # sketch-vs-exact evaluation as a query: one tp/fp/fn row for
         # the banded minhash against the exact Jaccard join on the
         # shared shingle table ('measure, don't guess' for dedup)
@@ -4814,6 +4821,58 @@ def oracle_sql() -> dict[str, str]:
                                   // (n * sxx - sx * sx) AS BIGINT)
                    END AS zipf_slope_micro
             FROM s
+        """,
+        # DSIR: each ln quantized ONCE to micro-units (the zipf/bm25
+        # discipline); the doc score is then an exact integer dot
+        # product, so the hash matches on any engine
+        "text_dsir_weights": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')) AS token
+                FROM documents
+            ), df AS (
+                SELECT doc_id, lang,
+                       CAST(('0x'||substr(md5(token),1,15)) AS BIGINT)
+                           % 256 AS bucket,
+                       count(*) AS c
+                FROM toks GROUP BY 1, 2, 3
+            ), raw AS (
+                SELECT bucket, sum(c) AS cr FROM df GROUP BY 1
+            ), tgt AS (
+                SELECT bucket, sum(c) AS ct FROM df
+                WHERE lang = 'en' GROUP BY 1
+            ), dist AS (
+                SELECT r.bucket,
+                       CAST(floor(ln(COALESCE(t.ct, 0) + 1) * 1e6 + 0.5)
+                            AS BIGINT)
+                       - CAST(floor(ln(r.cr + 1) * 1e6 + 0.5)
+                              AS BIGINT) AS lam_part,
+                       COALESCE(t.ct, 0) AS ct, r.cr
+                FROM raw r LEFT JOIN tgt t USING (bucket)
+            ), tot AS (
+                SELECT CAST(floor(ln(sum(cr) + 256) * 1e6 + 0.5) AS BIGINT)
+                       - CAST(floor(ln(sum(ct) + 256) * 1e6 + 0.5)
+                              AS BIGINT) AS lam_norm
+                FROM dist
+            ), lam AS (
+                SELECT bucket,
+                       lam_part + (SELECT lam_norm FROM tot) AS lam_micro
+                FROM dist
+            ), scored AS (
+                SELECT df.doc_id,
+                       CAST(sum(c) AS BIGINT) AS tokens,
+                       CAST(sum(c * lam_micro) AS BIGINT)
+                           AS dsir_score_micro
+                FROM df JOIN lam USING (bucket) GROUP BY 1
+            )
+            SELECT d.doc_id, d.lang,
+                   CAST(COALESCE(s.tokens, 0) AS BIGINT) AS tokens,
+                   CAST(COALESCE(s.dsir_score_micro, 0) AS BIGINT)
+                       AS dsir_score_micro
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            ORDER BY dsir_score_micro DESC, d.doc_id
         """,
         # mirrors render_line_corpus exactly (md5-keyed decorations,
         # 12-token windows) then replays the C4 rules; list(... ORDER

@@ -1628,3 +1628,115 @@ def c4_line_filter(
         .select("doc_id", "n_lines", "n_kept", "clean_text")
         .orderBy("doc_id")
     )
+
+
+def dsir_importance_weights(
+    documents: DataFrame, target_lang: str = "en", buckets: int = 256
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how much it looks like the TARGET
+    distribution, using hashed n-gram features -- the standard
+    pretraining-mix selection step (DSIR picked The Pile subsets for
+    many published models). Here the target is the `target_lang`
+    slice of the corpus itself and features are md5-hashed unigram
+    buckets (the count-min salting discipline,
+    aggregates._cms_bucket), so the gate is self-contained.
+
+    Per-feature weight is the add-one-smoothed log-likelihood ratio
+      lambda[b] = ln((ct[b]+1)/(Tt+B)) - ln((cr[b]+1)/(Tr+B))
+    with ct/cr = target/raw bucket counts, Tt/Tr the token totals,
+    B the bucket count. Each ln is quantized ONCE to integer
+    micro-units (floor(x*1e6+0.5), the zipf/bm25 discipline) so the
+    document score -- the integer dot product sum_b c_doc[b] *
+    lambda_micro[b] -- is engine- and partitioning-exact.
+
+    Scale shape: one token explode (linear), ONE partial-aggregating
+    groupBy to (doc_id, bucket) grain; both distribution tables
+    collapse to <= `buckets` rows (broadcast-sized at any corpus
+    scale, like the reference's in-memory rank tables,
+    service/pagerank/slave/PageRankUtils.java); the totals are a
+    1-row broadcast. No shuffle grows with corpus size except the
+    (doc_id, bucket) reduction itself.
+
+    Output: (doc_id, lang, tokens, dsir_score_micro), score
+    descending -- the resampling order (take the top slice at the
+    desired mix rate).
+    """
+    B = int(buckets)
+    toks = documents.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("token"),
+    )
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10)
+            .cast("bigint")
+            % B
+        ).alias("bucket"),
+    )
+    # one full-volume reduction; everything below is bucket-grain
+    doc_feats = feats.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    raw = doc_feats.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    tgt = (
+        doc_feats.filter(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("ct"))
+    )
+    q = lambda col: F.floor(F.log(col.cast("double")) * 1e6 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    dist = (
+        raw.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            (q(F.coalesce(F.col("ct"), F.lit(0)) + 1) - q(F.col("cr") + 1)).alias(
+                "lam_part"
+            ),
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+            F.col("cr"),
+        )
+    )
+    totals = dist.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    ).select(
+        # ln totals quantized once, reused for every bucket
+        (q(F.col("tr") + F.lit(B)) - q(F.col("tt") + F.lit(B))).alias(
+            "lam_norm"
+        )
+    )
+    lam = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket", (F.col("lam_part") + F.col("lam_norm")).alias("lam_micro")
+    )
+    scored = (
+        doc_feats.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("tokens"),
+            F.sum(F.col("c") * F.col("lam_micro"))
+            .cast("bigint")
+            .alias("dsir_score_micro"),
+        )
+    )
+    return (
+        documents.select("doc_id", "lang")
+        .join(scored.drop("lang"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("tokens", F.lit(0)).alias("tokens"),
+            F.coalesce("dsir_score_micro", F.lit(0)).alias(
+                "dsir_score_micro"
+            ),
+        )
+        .orderBy(F.desc("dsir_score_micro"), "doc_id")
+    )

@@ -1143,3 +1143,41 @@ def test_render_line_corpus_windows_and_decorations(spark):
     # window contents in order (modulo deterministic decorations)
     body = by_key[(7, 1)]
     assert "w12" in body and "w23" in body and "w24" not in body
+
+
+def test_dsir_weights_prefer_target_language(spark):
+    """Docs drawn from the target (en) vocabulary must outscore docs
+    from a disjoint vocabulary, and an empty doc scores exactly 0."""
+    from commoncrawl_crawler_spark.operators import textstats
+
+    rows = []
+    for i in range(6):
+        rows.append((i, "the quick brown fox jumps over the lazy dog", "en"))
+    for i in range(6, 12):
+        rows.append((i, "der schnelle braune fuchs springt faul hund", "de"))
+    rows.append((12, "", "en"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = textstats.dsir_importance_weights(df).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[12]["dsir_score_micro"] == 0 and by_id[12]["tokens"] == 0
+    en = [r["dsir_score_micro"] for r in out if r["lang"] == "en" and r["tokens"]]
+    de = [r["dsir_score_micro"] for r in out if r["lang"] == "de"]
+    assert min(en) > max(de)
+    # identical text => identical integer score (engine-exactness)
+    assert len(set(en)) == 1 and len(set(de)) == 1
+    # resampling order: scores descending
+    scores = [r["dsir_score_micro"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dsir_weights_partitioning_invariant(spark):
+    from commoncrawl_crawler_spark.operators import textstats
+
+    rows = [
+        (i, f"tok{i % 7} tok{i % 3} shared common words here", ["en", "fr"][i % 2])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    a = textstats.dsir_importance_weights(df.coalesce(1)).collect()
+    b = textstats.dsir_importance_weights(df.repartition(7)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
