@@ -202,6 +202,31 @@ def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _digraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # host-grain DIRECTED graph (the closure/SCC tier): node modulus
+    # 97 bounds the closure at 97*96 pairs and the doubling join's
+    # intermediate at 97^3 rows whatever the corpus scale -- the
+    # condensation grain the docstrings promise
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return o.select(
+        (F.col("o_orderkey") % 97).alias("src"),
+        ((F.col("o_orderkey") * 3 + F.col("o_custkey")) % 97).alias("dst"),
+    ).distinct()
+
+
+def _digraph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reachability closure feeds BOTH graph_reach_counts and
+    # graph_scc; run the doubling fixpoint once per (session, sf)
+    return _cached(
+        spark,
+        "digraph_closure",
+        sf_dir,
+        lambda: graph.transitive_closure(_digraph_edges(spark, sf_dir)),
+    )
+
+
 # ---- generated oracle SQL for the graph family -----------------------
 
 _EDGES_CTE = """
@@ -3183,6 +3208,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": lambda s, d: graph.k_core(
             _edges(s, d), k=3, max_iterations=30
         ),
+        # recursive-query tier (WITH RECURSIVE analog): reachability
+        # closure by path doubling over the host-grain directed graph,
+        # then bow-tie SCC labels from closure /\ closure^T
+        "graph_reach_counts": lambda s, d: graph.reach_counts(
+            _digraph_edges(s, d), closure=_digraph_closure(s, d)
+        ),
+        "graph_scc": lambda s, d: graph.strongly_connected_components(
+            _digraph_edges(s, d), closure=_digraph_closure(s, d)
+        ),
         # BM25 lexical ranking against a fixed bag-of-terms query
         "text_bm25_rank": lambda s, d: textstats.bm25_scores(
             _t(s, d, "documents"),
@@ -5411,6 +5445,63 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": _hits_sql(iterations=2),
         "graph_kcore": _kcore_sql(k=3, rounds=30),
         "graph_label_propagation": _lpa_sql(iterations=4),
+        # recursive tier: DuckDB's WITH RECURSIVE is the natural
+        # oracle for the path-doubling closure (UNION semantics =
+        # semi-naive set growth; both converge to the same closure)
+        "graph_reach_counts": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT o_orderkey % 97 AS src,
+                       (o_orderkey * 3 + o_custkey) % 97 AS dst
+                FROM orders WHERE o_orderpriority = '1-URGENT'
+            ), e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+            reach(src, dst) AS (
+                SELECT src, dst FROM e2
+                UNION
+                SELECT r.src, t.dst FROM reach r JOIN e2 t
+                ON r.dst = t.src WHERE r.src <> t.dst
+            ), nodes AS (
+                -- NOT a plain UNION: inside WITH RECURSIVE, DuckDB
+                -- 1.0 skips the dedup of a non-recursive CTE's UNION
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e2
+                    UNION ALL SELECT dst FROM e2
+                )
+            )
+            SELECT n.node,
+                   CAST(COALESCE(c.n_reach, 0) AS BIGINT) AS n_reach
+            FROM nodes n LEFT JOIN (
+                SELECT src, count(*) AS n_reach FROM reach GROUP BY src
+            ) c ON n.node = c.src
+            ORDER BY n.node
+        """,
+        "graph_scc": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT o_orderkey % 97 AS src,
+                       (o_orderkey * 3 + o_custkey) % 97 AS dst
+                FROM orders WHERE o_orderpriority = '1-URGENT'
+            ), e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+            reach(src, dst) AS (
+                SELECT src, dst FROM e2
+                UNION
+                SELECT r.src, t.dst FROM reach r JOIN e2 t
+                ON r.dst = t.src WHERE r.src <> t.dst
+            ), nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e2
+                    UNION ALL SELECT dst FROM e2
+                )
+            ), mut AS (
+                SELECT r1.src AS node, MIN(r1.dst) AS mw
+                FROM reach r1 JOIN reach r2
+                ON r1.src = r2.dst AND r1.dst = r2.src
+                GROUP BY r1.src
+            )
+            SELECT n.node,
+                   CAST(LEAST(n.node, COALESCE(m.mw, n.node)) AS BIGINT)
+                       AS scc_id
+            FROM nodes n LEFT JOIN mut m ON n.node = m.node
+            ORDER BY n.node
+        """,
         # independent relational reimplementation of the Chromium
         # ParsedCookie semantics (no terminators/overlong lines in
         # the synthesized set, so cut == line)

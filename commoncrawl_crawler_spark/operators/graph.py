@@ -958,3 +958,119 @@ def pagerank_personalized(
         "is_seed",
         F.round(F.col("rank_i") / RANK_SCALE, 6).alias("rank"),
     ).orderBy("node")
+
+
+def transitive_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Reachability closure of a directed graph by path doubling --
+    the recursive-query (WITH RECURSIVE) capability Spark SQL lacks,
+    provided as an operator. After round k the closure holds every
+    pair connected by a path of length <= 2^k, so rounds scale with
+    log2(diameter), not diameter: the semi-naive one-hop frontier the
+    reference's link-walk jobs model would need 500 rounds on a
+    500-long host chain; this needs 9.
+
+    Fixpoint detection is folded into each round's own
+    materialization via an Observation row count (the pair set grows
+    monotonically, so an unchanged count IS the fixpoint) -- the
+    star-contraction discipline (_star_contraction).
+
+    Self-pairs are excluded (paths of length >= 1 to a DIFFERENT
+    node); strongly_connected_components relies on exactly that
+    contract. Scale: closure size is bounded by V^2 of the CONDENSED
+    grain it's run at (host/domain graphs, like CommonCrawl's own
+    host-level web-graph releases), never the page grain; the
+    doubling join's intermediate is sum_v indeg*outdeg, the quantity
+    the docstring of the consuming gate bounds by its node modulus.
+    """
+    from pyspark.sql import Observation
+
+    e = (
+        edges.select("src", "dst")
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    r = e
+    prev_n = None
+    rounds = 0
+    for _ in range(max_rounds):
+        obs = Observation()
+        two_hop = (
+            r.alias("a")
+            .join(r.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(
+                F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        r = (
+            r.unionByName(two_hop)
+            .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        n = obs.get["n"]
+        if n == prev_n:
+            break
+        prev_n = n
+    transitive_closure.last_rounds = rounds
+    return r
+
+
+def reach_counts(edges: DataFrame, closure: DataFrame | None = None) -> DataFrame:
+    """Per-node count of distinct OTHER nodes reachable along directed
+    edges -- the bow-tie 'how much of the web can this host see'
+    statistic. Nodes reaching nothing report 0."""
+    clo = transitive_closure(edges) if closure is None else closure
+    nodes = graph_nodes(edges)
+    cnt = clo.groupBy("src").agg(F.count(F.lit(1)).alias("n_reach"))
+    return (
+        nodes.join(cnt, nodes["node"] == cnt["src"], "left")
+        .select(
+            "node",
+            F.coalesce("n_reach", F.lit(0)).cast("bigint").alias("n_reach"),
+        )
+        .orderBy("node")
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame, closure: DataFrame | None = None
+) -> DataFrame:
+    """SCC labels of a directed graph: v and w share a component iff
+    each reaches the other (Broder et al. 2000's bow-tie SCC core).
+    Computed from the reachability closure: mutual = closure
+    intersected with its own transpose, label = min over the mutual
+    set and self. Exact by construction -- no sampling, no pivoting --
+    and engine-independent, so the gate hash-matches a recursive-CTE
+    oracle. Runs at condensed (host) grain like transitive_closure.
+
+    Returns (node, scc_id); singletons (no cycle through them) label
+    themselves.
+    """
+    clo = transitive_closure(edges) if closure is None else closure
+    mutual = clo.join(
+        clo.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+    )
+    mins = (
+        mutual.groupBy("src")
+        .agg(F.min("dst").alias("mw"))
+        .select(F.col("src").alias("node"), "mw")
+    )
+    nodes = graph_nodes(edges)
+    return (
+        nodes.join(mins, "node", "left")
+        .select(
+            "node",
+            F.least(
+                F.col("node"), F.coalesce("mw", F.col("node"))
+            ).alias("scc_id"),
+        )
+        .orderBy("node")
+    )

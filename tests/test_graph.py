@@ -272,3 +272,36 @@ def test_personalized_pagerank_confines_mass_to_seed_reachable(spark):
     assert out[2].rank == 0.1275 and not out[2].is_seed
     assert out[3].rank == 0.7225
     assert out[8].rank == 0.0 and out[9].rank == 0.0
+
+
+def test_transitive_closure_long_chain_log_rounds(spark):
+    """A 64-node chain needs 63 one-hop rounds; doubling must close
+    it in ~log2 rounds, and the closure is exactly the i<j pairs."""
+    from commoncrawl_crawler_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["src", "dst"]
+    )
+    clo = graph.transitive_closure(edges)
+    assert clo.count() == 64 * 63 // 2
+    assert graph.transitive_closure.last_rounds <= 8
+
+
+def test_scc_bowtie(spark):
+    """Broder bow-tie: IN-tail -> SCC core (3-cycle) -> OUT-tail, plus
+    a disjoint 2-cycle; exact labels, reach counts per position."""
+    from commoncrawl_crawler_spark.operators import graph
+
+    # 0 -> core {1,2,3} cycle -> 4 -> 5 ; disjoint cycle {10, 11}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (10, 11), (11, 10)],
+        ["src", "dst"],
+    )
+    scc = {r["node"]: r["scc_id"]
+           for r in graph.strongly_connected_components(edges).collect()}
+    assert scc == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 10: 10, 11: 10}
+    reach = {r["node"]: r["n_reach"]
+             for r in graph.reach_counts(edges).collect()}
+    # node 0 reaches everything downstream (1,2,3,4,5); core nodes
+    # reach the other two core members + out-tail; tails taper
+    assert reach == {0: 5, 1: 4, 2: 4, 3: 4, 4: 1, 5: 0, 10: 1, 11: 1}
