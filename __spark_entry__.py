@@ -868,7 +868,7 @@ SELECT * FROM ({union}) ORDER BY rank
 """
 
 
-def _bpe_encode_sql(num_merges: int = 6) -> str:
+def _bpe_doccounts_cte(num_merges: int = 6) -> str:
     # each step guards the scalar subquery: on a degenerate corpus a
     # round can learn no merge (empty bN), and replace(w, NULL, NULL)
     # would NULL-poison every word where the Spark side simply stops
@@ -899,10 +899,42 @@ cnts AS (
            CAST(sum(len(regexp_extract_all(w, '\(([a-z0-9#]+)\)', 1)))
                 AS BIGINT) AS n_tokens
     FROM docw GROUP BY doc_id
+),
+percounts AS (
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(coalesce(c.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN cnts c USING (doc_id)
 )
-SELECT d.doc_id, CAST(coalesce(c.n_words, 0) AS BIGINT) AS n_words,
-       CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens
-FROM documents d LEFT JOIN cnts c USING (doc_id) ORDER BY doc_id
+"""
+
+
+def _bpe_encode_sql(num_merges: int = 6) -> str:
+    return _bpe_doccounts_cte(num_merges) + """
+SELECT doc_id, n_words, n_tokens
+FROM percounts ORDER BY doc_id
+"""
+
+
+def _bpe_fertility_sql(num_merges: int = 6) -> str:
+    # truncating integer division: DuckDB // on HUGEINT == Spark DIV
+    # (all quantities non-negative here)
+    return _bpe_doccounts_cte(num_merges) + """
+, agg AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_words) AS BIGINT) AS words,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM percounts GROUP BY lang
+)
+SELECT lang, docs, words, tokens,
+       CASE WHEN words > 0
+            THEN CAST(tokens * 1000000 // words AS BIGINT) END
+           AS fertility_micro,
+       CASE WHEN tokens > 0
+            THEN CAST(chars * 1000000 // tokens AS BIGINT) END
+           AS chars_per_token_micro
+FROM agg ORDER BY lang
 """
 
 
@@ -3095,6 +3127,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), merges=_bpe_merges(s, d)
         ),
         "text_bpe_encode": lambda s, d: bpe.encode_token_counts(
+            _t(s, d, "documents"), merges=_bpe_merges(s, d)
+        ),
+        # tokenizer-fairness report: subword fertility and chars per
+        # token per language, over the same learned merge table
+        "text_bpe_fertility": lambda s, d: bpe.fertility_by_language(
             _t(s, d, "documents"), merges=_bpe_merges(s, d)
         ),
         # fastText-style hashed linear quality classifier inference
@@ -5401,6 +5438,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_bpe_merges": _bpe_merges_sql(num_merges=6),
         "text_bpe_encode": _bpe_encode_sql(num_merges=6),
+        "text_bpe_fertility": _bpe_fertility_sql(num_merges=6),
         "text_quality_classifier": """
             WITH arrs AS (
                 SELECT doc_id,

@@ -199,3 +199,45 @@ def encode_token_counts(
         )
         .orderBy("doc_id")
     )
+
+
+def fertility_by_language(
+    documents: DataFrame,
+    num_merges: int = 6,
+    merges: list[tuple[int, str, str, str, int]] | None = None,
+) -> DataFrame:
+    """Tokenizer-fertility report per language: subword tokens per
+    word and characters per token -- the standard check that a
+    learned vocabulary serves every language in the mix (high
+    fertility = that language pays more sequence length per word than
+    the languages the merges were learned on; the multilingual-
+    tokenizer fairness metric).
+
+    Ratios are truncating integer micro-units (x * 1e6 DIV y), exact
+    on any engine; languages whose documents produce no words report
+    NULL. One extra groupBy over encode_token_counts' per-doc output
+    -- everything upstream is the shared merge table and the linear
+    encode pass.
+    """
+    enc = encode_token_counts(documents, num_merges, merges=merges)
+    j = documents.select("doc_id", "lang", "n_chars").join(enc, "doc_id")
+    agg = j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum("n_words").cast("bigint").alias("words"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    return agg.select(
+        "lang",
+        "docs",
+        "words",
+        "tokens",
+        F.when(
+            F.col("words") > 0,
+            F.expr("tokens * 1000000 DIV words"),
+        ).alias("fertility_micro"),
+        F.when(
+            F.col("tokens") > 0,
+            F.expr("chars * 1000000 DIV tokens"),
+        ).alias("chars_per_token_micro"),
+    ).orderBy("lang")

@@ -241,3 +241,20 @@ def test_bpe_differential_vs_independent_python_model(spark):
         got = bpe.learn_merges(docs, num_merges=4)
         want = py_bpe(texts, 4)
         assert got == want, f"trial {trial}: {got} != {want} ({texts})"
+
+
+def test_bpe_fertility_by_language(spark):
+    """Merges learned on a skewed corpus: the dominant language gets
+    lower fertility (fewer subwords per word) than the rare one."""
+    from commoncrawl_crawler_spark.operators import bpe
+
+    rows = [(i, "aa ab aa ab aa ab", "en", 17) for i in range(8)]
+    rows += [(100, "xy zq", "de", 5), (101, "", "de", 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+    out = {r["lang"]: r for r in bpe.fertility_by_language(df, num_merges=4).collect()}
+    assert out["en"]["docs"] == 8 and out["de"]["docs"] == 2
+    # en words collapse under learned merges; de words stay unmerged
+    assert out["en"]["fertility_micro"] < out["de"]["fertility_micro"]
+    # exact integer ratio contract: tokens*1e6 DIV words
+    en = out["en"]
+    assert en["fertility_micro"] == en["tokens"] * 1_000_000 // en["words"]
