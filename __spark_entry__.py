@@ -3208,6 +3208,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perplexity_buckets": lambda s, d: textstats.perplexity_buckets(
             _t(s, d, "documents")
         ),
+        # stupid-backoff trigram LM (Brants et al. 2007): train on
+        # even docs, score the held-out rest -- the count-only
+        # smoothing designed for MapReduce-scale corpora
+        "text_backoff_lm": lambda s, d: textstats.stupid_backoff_scores(
+            _t(s, d, "documents")
+        ),
         # ExactSubstr duplicated-span profile (Lee et al. 2022):
         # maximal >=8-token runs occurring twice anywhere in the corpus
         "text_duplicate_spans": lambda s, d: textstats.duplicate_span_profile(
@@ -6635,6 +6641,77 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
         # round-once DECIMAL + integer micro-bit mean discipline as
         # the unigram oracle
         "text_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
+        # stupid backoff: ln only ever over positive integer counts,
+        # each quantized once; ln(0.4) enters as the literal -916291
+        # (BACKOFF_ALPHA_LN_MICRO) so no engine evaluates it
+        "text_backoff_lm": """
+            WITH t AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                           lower(trim(text)), '\\s+'),
+                           w -> w <> '') AS toks
+                FROM documents
+            ), tr AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+            hd AS (SELECT * FROM t WHERE doc_id % 2 <> 0),
+            tr_tri AS (
+                SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           AS tri,
+                       count(*) AS c123
+                FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+                      FROM tr)
+                GROUP BY tri
+            ), tr_bg AS (
+                SELECT toks[i] || ' ' || toks[i+1] AS bg, count(*) AS cbg
+                FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                      FROM tr)
+                GROUP BY bg
+            ), tr_uni AS (
+                SELECT w, count(*) AS cw
+                FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY w
+            ), tot AS (
+                SELECT sum(cw) AS tt, count(*) AS vv FROM tr_uni
+            ), pos AS (
+                SELECT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           AS tri
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks) - 1)) AS i
+                      FROM hd)
+            ), need AS (
+                SELECT tri,
+                       string_split(tri, ' ')[1] AS w1,
+                       string_split(tri, ' ')[2] AS w2,
+                       string_split(tri, ' ')[3] AS w3
+                FROM (SELECT DISTINCT tri FROM pos)
+            ), sc AS (
+                SELECT n.tri,
+                       CASE WHEN tc.c123 IS NOT NULL THEN
+                                CAST(floor(ln(tc.c123)*1e6+0.5) AS BIGINT)
+                                - CAST(floor(ln(b12.cbg)*1e6+0.5) AS BIGINT)
+                            WHEN b23.cbg IS NOT NULL THEN
+                                -916291
+                                + CAST(floor(ln(b23.cbg)*1e6+0.5) AS BIGINT)
+                                - CAST(floor(ln(u2.cw)*1e6+0.5) AS BIGINT)
+                            ELSE -1832582
+                                + CAST(floor(ln(COALESCE(u3.cw, 0) + 1)
+                                             *1e6+0.5) AS BIGINT)
+                                - CAST(floor(ln((SELECT tt FROM tot)
+                                               + (SELECT vv FROM tot))
+                                             *1e6+0.5) AS BIGINT)
+                       END AS s_micro
+                FROM need n
+                LEFT JOIN tr_tri tc ON n.tri = tc.tri
+                LEFT JOIN tr_bg b12 ON n.w1 || ' ' || n.w2 = b12.bg
+                LEFT JOIN tr_bg b23 ON n.w2 || ' ' || n.w3 = b23.bg
+                LEFT JOIN tr_uni u2 ON n.w2 = u2.w
+                LEFT JOIN tr_uni u3 ON n.w3 = u3.w
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+                   CAST(-sum(s_micro) AS BIGINT) AS neg_logprob_micro,
+                   CAST((-sum(s_micro)) // count(*) AS BIGINT)
+                       AS avg_surprisal_micro
+            FROM pos JOIN sc USING (tri)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
         "text_perplexity_buckets": f"""
             WITH scores AS ({_BIGRAM_SURPRISAL_SQL}),
             labeled AS (

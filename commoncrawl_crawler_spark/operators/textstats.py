@@ -1740,3 +1740,150 @@ def dsir_importance_weights(
         )
         .orderBy(F.desc("dsir_score_micro"), "doc_id")
     )
+
+
+# floor(ln(0.4) * 1e6 + 0.5): the stupid-backoff discount as an
+# integer literal, so neither engine ever evaluates ln(0.4)
+BACKOFF_ALPHA_LN_MICRO = -916291
+
+
+def stupid_backoff_scores(
+    documents: DataFrame, train_mod: int = 2
+) -> DataFrame:
+    """Distributed stupid-backoff trigram LM scoring (Brants et al.
+    2007, "Large Language Models in Machine Translation" -- the
+    smoothing invented FOR MapReduce-scale corpora: no normalization
+    pass, counts only). Train counts come from even documents
+    (doc_id % train_mod == 0), scores are for the held-out rest --
+    the CCNet discipline of scoring crawl text under an external LM,
+    self-contained on one table.
+
+        S(w3 | w1 w2) = c123/c12              if c123 > 0
+                        a * c23/c2            elif c23 > 0
+                        a^2 * (c3+1)/(T+V)    otherwise (add-one floor
+                                              absorbs unknown words)
+
+    with a = 0.4. Engine parity: every ln is over a positive INTEGER
+    count, quantized once to micro-units (floor(x*1e6+0.5)); ln(a)
+    enters as the integer literal BACKOFF_ALPHA_LN_MICRO, so scores
+    are exact integer sums. All branches are <= 0, so the report
+    carries the positive surprisal -sum, and the per-token average is
+    a truncating DIV over non-negative integers.
+
+    Plan shape: n-gram count tables are partial-agg groupBys over the
+    TRAIN half; scoring joins the positions table against a
+    per-DISTINCT-trigram score table (one equi-join), never against
+    the four count tables row-by-row; totals are a 1-row broadcast.
+    Everything scales linearly in corpus size -- the property stupid
+    backoff was designed around.
+
+    Output: (doc_id, n_scored, neg_logprob_micro, avg_surprisal_micro)
+    for held-out docs with >= 1 trigram position, by doc_id.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda w: w != "",
+        ).alias("_t"),
+    )
+    train = toks.filter(F.col("doc_id") % train_mod == 0)
+    heldout = toks.filter(F.col("doc_id") % train_mod != 0)
+
+    n2 = lambda: F.greatest(F.size("_t") - 2, F.lit(0))
+    n1 = lambda: F.greatest(F.size("_t") - 1, F.lit(0))
+    tri_expr = F.zip_with(
+        F.slice(F.col("_t"), 1, n2()),
+        F.zip_with(
+            F.slice(F.col("_t"), 2, n2()),
+            F.slice(F.col("_t"), 3, n2()),
+            lambda b, c: F.concat(b, F.lit(" "), c),
+        ),
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    )
+    bg_expr = F.zip_with(
+        F.slice(F.col("_t"), 1, n1()),
+        F.slice(F.col("_t"), 2, n1()),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+    tri_c = (
+        train.select(F.explode(tri_expr).alias("tri"))
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+    bg_c = (
+        train.select(F.explode(bg_expr).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cbg"))
+    )
+    uni_c = (
+        train.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    totals = uni_c.agg(
+        F.sum("cw").alias("_T"), F.count(F.lit(1)).alias("_V")
+    )
+
+    positions = heldout.select(
+        "doc_id", F.explode(tri_expr).alias("tri")
+    )
+    q = lambda col: F.floor(
+        F.log(col.cast("double")) * 1e6 + F.lit(0.5)
+    ).cast("bigint")
+    A = F.lit(BACKOFF_ALPHA_LN_MICRO).cast("bigint")
+    need = positions.select("tri").distinct().select(
+        "tri",
+        F.split(F.col("tri"), " ", 3).alias("_p"),
+    ).select(
+        "tri",
+        F.concat_ws(" ", F.col("_p")[0], F.col("_p")[1]).alias("b12"),
+        F.concat_ws(" ", F.col("_p")[1], F.col("_p")[2]).alias("b23"),
+        F.col("_p")[1].alias("w2"),
+        F.col("_p")[2].alias("w3"),
+    )
+    scored_tri = (
+        need.join(tri_c, "tri", "left")
+        .join(bg_c.withColumnRenamed("bg", "b12")
+                  .withColumnRenamed("cbg", "c12"), "b12", "left")
+        .join(bg_c.withColumnRenamed("bg", "b23")
+                  .withColumnRenamed("cbg", "c23"), "b23", "left")
+        .join(uni_c.withColumnRenamed("w", "w2")
+                   .withColumnRenamed("cw", "c2"), "w2", "left")
+        .join(uni_c.withColumnRenamed("w", "w3")
+                   .withColumnRenamed("cw", "c3"), "w3", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tri",
+            F.when(
+                F.col("c123").isNotNull(), q(F.col("c123")) - q(F.col("c12"))
+            )
+            .when(
+                F.col("c23").isNotNull(), A + q(F.col("c23")) - q(F.col("c2"))
+            )
+            .otherwise(
+                A * 2
+                + q(F.coalesce(F.col("c3"), F.lit(0)) + 1)
+                - q(F.col("_T") + F.col("_V"))
+            )
+            .alias("s_micro"),
+        )
+    )
+    return (
+        positions.join(scored_tri, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            (-F.sum("s_micro")).cast("bigint").alias("neg_logprob_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_scored",
+            "neg_logprob_micro",
+            F.expr("neg_logprob_micro DIV n_scored").alias(
+                "avg_surprisal_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )

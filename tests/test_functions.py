@@ -1181,3 +1181,33 @@ def test_dsir_weights_partitioning_invariant(spark):
     a = textstats.dsir_importance_weights(df.coalesce(1)).collect()
     b = textstats.dsir_importance_weights(df.repartition(7)).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_stupid_backoff_three_cases_exact(spark):
+    """Hand-computed micro-unit scores: one trigram per backoff case
+    (seen trigram / seen continuation bigram / unigram floor)."""
+    import math
+
+    from commoncrawl_crawler_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b d"), (1, "a b c x"), (3, "x b c")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r
+           for r in textstats.stupid_backoff_scores(df).collect()}
+    q = lambda x: math.floor(math.log(x) * 1e6 + 0.5)
+    A = textstats.BACKOFF_ALPHA_LN_MICRO
+    # doc 1: "a b c" seen (c123=1, c12("a b")=2); "b c x" unseen,
+    # "c x" unseen -> floor with c(x)=0, T=6, V=4
+    s_abc = q(1) - q(2)
+    s_bcx = 2 * A + q(0 + 1) - q(6 + 4)
+    assert out[1]["n_scored"] == 2
+    assert out[1]["neg_logprob_micro"] == -(s_abc + s_bcx)
+    assert out[1]["avg_surprisal_micro"] == -(s_abc + s_bcx) // 2
+    # doc 3: "x b c" unseen trigram, "b c" seen (1) with c(b)=2
+    s_xbc = A + q(1) - q(2)
+    assert out[3]["n_scored"] == 1
+    assert out[3]["neg_logprob_micro"] == -s_xbc
+    # train docs and <3-token docs are absent
+    assert set(out) == {1, 3}
