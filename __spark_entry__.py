@@ -3083,6 +3083,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_sq_topk": lambda s, d: similarity.sq_topk(
             _t(s, d, "embeddings")
         ),
+        # IVF-PQ (the full Jegou et al. 2011 system): inverted-list
+        # pruning + PQ ADC ranking inside the probed cells
+        "sim_ivfpq_topk": lambda s, d: similarity.ivfpq_topk(
+            _t(s, d, "embeddings"),
+            _t(s, d, "embeddings")
+            .filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("probe_id"), "embedding"),
+            cells=_t(s, d, "embeddings").select(
+                "vec_id", F.col("label").alias("cell")
+            ),
+            n_probe=2,
+        ),
         "sim_ivf_topk": lambda s, d: similarity.ivf_topk(
             _t(s, d, "embeddings"),
             _t(s, d, "embeddings")
@@ -5878,6 +5890,91 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
         """,
         "sim_pq_topk": _pq_sql(train_iters=0),
         "sim_pq_trained_topk": _pq_sql(train_iters=6),
+        # IVF-PQ: label-column coarse cells route probes exactly like
+        # sim_ivf_topk; PQ anchors/codes/ADC exactly like sim_pq_topk;
+        # the inverted-list join prunes candidates BEFORE the ADC sum
+        "sim_ivfpq_topk": """
+            WITH pts AS MATERIALIZED (
+                SELECT vec_id,
+                       pos - 1 AS dim,
+                       CAST((pos - 1) // 16 AS INT) AS sub,
+                       CAST(floor(val * 1000000 + 0.5) AS BIGINT)
+                           + 1048576 AS q
+                FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+                             unnest(e) AS val
+                      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                            FROM embeddings))
+            ), seeds AS (
+                SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1
+                           AS code
+                FROM (SELECT vec_id FROM embeddings
+                      ORDER BY vec_id LIMIT 16)
+            ), book AS MATERIALIZED (
+                SELECT s.code, p.sub, p.dim, p.q AS cq
+                FROM pts p JOIN seeds s USING (vec_id)
+            ), dists AS MATERIALIZED (
+                SELECT p.vec_id, p.sub, b.code,
+                       sum((p.q - b.cq) * (p.q - b.cq)) AS dist
+                FROM pts p JOIN book b
+                ON p.sub = b.sub AND p.dim = b.dim
+                GROUP BY 1, 2, 3
+            ), codes AS (
+                SELECT vec_id, sub, code FROM (
+                    SELECT vec_id, sub, code,
+                           row_number() OVER (
+                               PARTITION BY vec_id, sub
+                               ORDER BY dist, code) AS rk
+                    FROM dists) WHERE rk = 1
+            ), tabs AS (
+                SELECT vec_id AS probe_id, sub, code, dist AS pdist
+                FROM dists WHERE vec_id < 10
+            ), cl AS (
+                SELECT vec_id, label AS cell,
+                       CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings
+            ), cent AS (
+                SELECT cell, list(mean_val ORDER BY pos) AS centroid FROM (
+                    SELECT cell, pos,
+                           round(CAST(sum(CAST(val AS DECIMAL(18,9)))
+                                      AS DOUBLE) / count(*), 6) AS mean_val
+                    FROM (SELECT cell, generate_subscripts(emb, 1) AS pos,
+                                 unnest(emb) AS val
+                          FROM cl)
+                    GROUP BY cell, pos
+                ) GROUP BY cell
+            ), probes AS (
+                SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pemb
+                FROM embeddings WHERE vec_id < 10
+            ), routed AS (
+                SELECT probe_id, cell FROM (
+                    SELECT p.probe_id, c.cell,
+                           row_number() OVER (
+                               PARTITION BY p.probe_id
+                               ORDER BY round(list_cosine_similarity(
+                                   p.pemb, c.centroid), 6) DESC, c.cell
+                           ) AS crk
+                    FROM probes p CROSS JOIN cent c
+                ) WHERE crk <= 2
+            ), adc AS (
+                SELECT t.probe_id, c.vec_id, sum(t.pdist) AS adc_dist
+                FROM codes c
+                JOIN cl ON c.vec_id = cl.vec_id
+                JOIN routed r ON cl.cell = r.cell
+                JOIN tabs t ON t.probe_id = r.probe_id
+                           AND t.sub = c.sub AND t.code = c.code
+                WHERE c.vec_id <> t.probe_id
+                GROUP BY 1, 2
+            )
+            SELECT probe_id, vec_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+                   rnk
+            FROM (SELECT probe_id, vec_id, adc_dist,
+                         CAST(row_number() OVER (
+                             PARTITION BY probe_id
+                             ORDER BY adc_dist, vec_id) AS INT) AS rnk
+                  FROM adc)
+            WHERE rnk <= 5 ORDER BY probe_id, rnk
+        """,
         "sim_ivf_topk": """
             WITH cells AS (
                 SELECT vec_id, label AS cell,

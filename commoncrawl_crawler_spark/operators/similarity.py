@@ -628,6 +628,43 @@ def pairwise_label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _pq_quantized_points(embeddings: DataFrame, m_subspaces: int) -> DataFrame:
+    """(vec_id, dim, sub, q): micro-unit nonnegative-shifted integer
+    coordinates with the subspace key -- the shared encode input for
+    pq_topk and ivfpq_topk. Asserts the kmeans quantization bound."""
+    lim = float(KMEANS_QUANT_OFFSET) / 1e6
+    d = embeddings.select(F.size("embedding")).first()[0]  # bounded peek
+    if d % m_subspaces != 0:
+        raise ValueError("embedding dim must divide into m_subspaces")
+    sub_dim = d // m_subspaces
+    return embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        (F.col("dim") / sub_dim).cast("int").alias("sub"),
+        (
+            F.floor(
+                F.when(
+                    F.assert_true(
+                        F.col("val").cast("double") >= F.lit(-lim),
+                        F.concat(
+                            F.lit(
+                                "pq quantize: coordinate below "
+                                f"-{lim} breaks the nonnegative "
+                                "quantization invariant: "
+                            ),
+                            F.col("val").cast("string"),
+                        ),
+                    ).isNull(),
+                    F.col("val").cast("double") * 1e6 + F.lit(0.5),
+                )
+            ).cast("long")
+            + F.lit(KMEANS_QUANT_OFFSET)
+        ).alias("q"),
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     m_subspaces: int = 4,
@@ -674,37 +711,7 @@ def pq_topk(
 
     Output: (probe_id, vec_id, adc_dist, rnk).
     """
-    lim = float(KMEANS_QUANT_OFFSET) / 1e6
-    d = embeddings.select(F.size("embedding")).first()[0]  # bounded peek
-    if d % m_subspaces != 0:
-        raise ValueError("embedding dim must divide into m_subspaces")
-    sub_dim = d // m_subspaces
-    pts = embeddings.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "val")
-    ).select(
-        "vec_id",
-        "dim",
-        (F.col("dim") / sub_dim).cast("int").alias("sub"),
-        (
-            F.floor(
-                F.when(
-                    F.assert_true(
-                        F.col("val").cast("double") >= F.lit(-lim),
-                        F.concat(
-                            F.lit(
-                                "pq_topk: coordinate below "
-                                f"-{lim} breaks the nonnegative "
-                                "quantization invariant: "
-                            ),
-                            F.col("val").cast("string"),
-                        ),
-                    ).isNull(),
-                    F.col("val").cast("double") * 1e6 + F.lit(0.5),
-                )
-            ).cast("long")
-            + F.lit(KMEANS_QUANT_OFFSET)
-        ).alias("q"),
-    )
+    pts = _pq_quantized_points(embeddings, m_subspaces)
     seeds = (
         embeddings.select("vec_id")
         .orderBy("vec_id")
@@ -903,6 +910,154 @@ def sq_topk(
             "probe_id",
             "vec_id",
             "sq_dist",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= top_k)
+        .orderBy("probe_id", "rnk")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    cells: DataFrame | None = None,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    n_probe: int = 2,
+    top_k: int = 5,
+) -> DataFrame:
+    """IVF-PQ: the full Jegou et al. 2011 system and the standard
+    billion-scale ANN shape (Faiss IVFPQ) -- a coarse inverted file
+    prunes the corpus to `n_probe` cells per probe, and product-
+    quantization ADC ranks WITHIN the probed cells, so the scan
+    touches ~n_probe/n_cells of the corpus and never a raw vector.
+
+    `cells` is any (vec_id, cell) coarse assignment (kmeans_cells in
+    production; the gate passes the label column, the same contract
+    ivf_topk documents). Probe routing reuses ivf_topk's discipline:
+    exact-decimal cell centroids, cosine to centroid rounded at 1e-6,
+    top n_probe cells. Fine ranking reuses pq_topk's: anchor
+    codebooks, exact-bigint ADC, ties to the lowest code/vec_id --
+    the whole pipeline is deterministic and hash-gateable.
+
+    Scale shape: centroid + codebook + probe-ADC tables all
+    broadcast; the corpus is touched once to encode (the O(n*k*d)
+    join PQ always pays) and once as the coded (vec_id, sub, code)
+    table, pre-filtered by the inverted-list join BEFORE the ADC
+    rollup -- the candidate set, not the corpus, pays the m-row
+    lookup. This is the composition the separate sim_ivf_topk /
+    sim_pq_topk gates each cover half of.
+
+    Output: (probe_id, vec_id, adc_dist, rnk).
+    """
+    if cells is None:
+        cells = kmeans_cells(embeddings, k=16)
+    pts = _pq_quantized_points(embeddings, m_subspaces).localCheckpoint(
+        eager=False
+    )
+    seeds = (
+        embeddings.select("vec_id")
+        .orderBy("vec_id")
+        .limit(n_codes)
+        .withColumn(
+            "code",
+            F.row_number().over(Window.orderBy("vec_id")).cast("int") - 1,
+        )
+    )
+    book = pts.join(F.broadcast(seeds), "vec_id").select(
+        "sub", "code", "dim", F.col("q").alias("cq")
+    )
+
+    def _nearest(points: DataFrame, id_col: str) -> DataFrame:
+        return (
+            points.join(F.broadcast(book), ["sub", "dim"])
+            .groupBy(id_col, "sub", "code")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+
+    codes = (
+        _nearest(pts, "vec_id")
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist", "code")).alias("m"))
+        .select("vec_id", "sub", F.col("m.code").alias("code"))
+    )
+    # coarse routing: exact-decimal centroids of the provided cells,
+    # cosine at 1e-6 -- identical to ivf_topk
+    e = embeddings.join(cells, "vec_id").select(
+        "vec_id",
+        "cell",
+        F.col("embedding").cast("array<double>").alias("corpus_emb"),
+    )
+    exploded = e.select("cell", F.posexplode("corpus_emb").alias("pos", "val"))
+    centroids = (
+        exploded.groupBy("cell", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_val")
+        )
+        .groupBy("cell")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias(
+                "cs"
+            )
+        )
+        .select(
+            "cell", F.transform("cs", lambda s: s["mean_val"]).alias("centroid")
+        )
+    )
+    p = probes.select(
+        "probe_id", F.col("embedding").cast("array<double>").alias("probe_emb")
+    )
+    cell_rank = Window.partitionBy("probe_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell")
+    )
+    routed = (
+        p.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "cell_cos",
+            F.round(cosine_expr(F.col("probe_emb"), F.col("centroid")), 6),
+        )
+        .withColumn("crk", F.row_number().over(cell_rank))
+        .filter(F.col("crk") <= n_probe)
+        .select("probe_id", "cell")
+    )
+    # probe ADC tables from the probes' own quantized coordinates
+    ppts = _pq_quantized_points(
+        probes.select(F.col("probe_id").alias("vec_id"), "embedding"),
+        m_subspaces,
+    ).withColumnRenamed("vec_id", "probe_id")
+    tabs = (
+        ppts.join(F.broadcast(book), ["sub", "dim"])
+        .groupBy("probe_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("pdist")
+        )
+    )
+    cand = (
+        codes.join(e.select("vec_id", "cell"), "vec_id")
+        .join(F.broadcast(routed), "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    )
+    adc = (
+        cand.join(F.broadcast(tabs), ["probe_id", "sub", "code"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("pdist").alias("adc_dist"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.select(
+            "probe_id",
+            "vec_id",
+            "adc_dist",
             F.row_number().over(w).cast("int").alias("rnk"),
         )
         .filter(F.col("rnk") <= top_k)

@@ -254,3 +254,62 @@ def test_sq_reconstruction_error_bounded_by_step(spark):
     # distances are plausibly small and symmetric-ish
     for r in out:
         assert r["sq_dist"] < (10_000 + 2 * 1_922) ** 2 * 2
+
+
+def test_ivfpq_candidates_confined_to_probed_cells(spark, sf_smoke):
+    """Every IVF-PQ neighbor must come from <= n_probe cells per
+    probe -- the inverted-list pruning contract."""
+    emb = load_table(spark, "embeddings", sf_smoke)
+    cells = emb.select("vec_id", F.col("label").alias("cell"))
+    got = similarity.ivfpq_topk(
+        emb, _probes(emb), cells=cells, n_probe=2, top_k=5
+    )
+    per_probe = (
+        got.join(cells, "vec_id")
+        .groupBy("probe_id")
+        .agg(F.countDistinct("cell").alias("cells"))
+        .collect()
+    )
+    assert per_probe and all(r["cells"] <= 2 for r in per_probe)
+
+
+def test_ivfpq_recall_on_separated_clusters(spark):
+    """On well-separated clusters with truthful cell labels, IVF-PQ
+    must recover nearly all true neighbors (the regime the index is
+    for; the compounded approximations only hurt when cells lie)."""
+    import math
+
+    dim, per, k = 64, 12, 3
+    rows = []
+    for c in range(3):
+        for i in range(per):
+            vec_id = c * per + i
+            # cluster direction e_{16c}, small deterministic jitter
+            v = [0.0] * dim
+            v[c * 16] = 1.0
+            v[(c * 16 + 1 + i % 7) % dim] += 0.05 + 0.01 * (i % 5)
+            v[(c * 16 + 9 + i % 3) % dim] += 0.03
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((vec_id, [x / n for x in v], c))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    emb = emb.withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    probes = emb.filter(F.col("vec_id") % per == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    cells = emb.select("vec_id", F.col("label").alias("cell"))
+    exact = similarity.brute_force_topk(emb, probes, k=k).collect()
+    truth = {(r["probe_id"], r["vec_id"]) for r in exact}
+    got = similarity.ivfpq_topk(
+        emb, probes, cells=cells, n_probe=1, top_k=k
+    ).collect()
+    approx = {(r["probe_id"], r["vec_id"]) for r in got}
+    # routing property: every returned neighbor is in the probe's own
+    # cluster (n_probe=1 and truthful labels)
+    assert approx and all(p // per == v // per for p, v in approx)
+    # recall floor: anchor codebooks (16 codewords for 36 vectors)
+    # tie within clusters, so 2/3 is the honest small-scale number;
+    # random in-cluster pick would land ~k/per = 0.25
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.6, f"IVF-PQ recall on clean clusters: {recall}"
