@@ -4927,19 +4927,17 @@ def oracle_sql() -> dict[str, str]:
                            % 256 AS bucket,
                        count(*) AS c
                 FROM toks GROUP BY 1, 2, 3
-            ), raw AS (
-                SELECT bucket, sum(c) AS cr FROM df GROUP BY 1
-            ), tgt AS (
-                SELECT bucket, sum(c) AS ct FROM df
-                WHERE lang = 'en' GROUP BY 1
+            ), bc AS (
+                SELECT bucket, sum(c) AS cr,
+                       sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct
+                FROM df GROUP BY 1
             ), dist AS (
-                SELECT r.bucket,
-                       CAST(floor(ln(COALESCE(t.ct, 0) + 1) * 1e6 + 0.5)
-                            AS BIGINT)
-                       - CAST(floor(ln(r.cr + 1) * 1e6 + 0.5)
+                SELECT bucket,
+                       CAST(floor(ln(ct + 1) * 1e6 + 0.5) AS BIGINT)
+                       - CAST(floor(ln(cr + 1) * 1e6 + 0.5)
                               AS BIGINT) AS lam_part,
-                       COALESCE(t.ct, 0) AS ct, r.cr
-                FROM raw r LEFT JOIN tgt t USING (bucket)
+                       ct, cr
+                FROM bc
             ), tot AS (
                 SELECT CAST(floor(ln(sum(cr) + 256) * 1e6 + 0.5) AS BIGINT)
                        - CAST(floor(ln(sum(ct) + 256) * 1e6 + 0.5)

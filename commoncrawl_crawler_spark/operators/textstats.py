@@ -1686,25 +1686,26 @@ def dsir_importance_weights(
     doc_feats = feats.groupBy("doc_id", "lang", "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
-    raw = doc_feats.groupBy("bucket").agg(F.sum("c").alias("cr"))
-    tgt = (
-        doc_feats.filter(F.col("lang") == target_lang)
-        .groupBy("bucket")
-        .agg(F.sum("c").alias("ct"))
+    # ONE aggregation carries both distributions (conditional sum for
+    # the target) -- a raw/target split pair would let Catalyst push
+    # the lang filter into a SEPARATE scan lineage and forfeit the
+    # doc_feats exchange reuse between the lambda and scoring branches
+    bucket_counts = doc_feats.groupBy("bucket").agg(
+        F.sum("c").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("ct"),
     )
     q = lambda col: F.floor(F.log(col.cast("double")) * 1e6 + F.lit(0.5)).cast(
         "bigint"
     )
-    dist = (
-        raw.join(tgt, "bucket", "left")
-        .select(
-            "bucket",
-            (q(F.coalesce(F.col("ct"), F.lit(0)) + 1) - q(F.col("cr") + 1)).alias(
-                "lam_part"
-            ),
-            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
-            F.col("cr"),
-        )
+    dist = bucket_counts.select(
+        "bucket",
+        (q(F.col("ct") + 1) - q(F.col("cr") + 1)).alias("lam_part"),
+        "ct",
+        "cr",
     )
     totals = dist.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
