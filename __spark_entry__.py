@@ -3364,6 +3364,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_SELF_r05.txt (tools/check_all_oracles.py).
     priority = [
         # (a) never driver-validated (new this round)
+        "text_dsir_weights",
+        "text_backoff_lm",
+        "text_bpe_fertility",
+        "text_c4_filter",
+        "graph_reach_counts",
+        "graph_scc",
+        "sim_ivfpq_topk",
         "dedup_semantic",
         "text_bpe_merges",
         # text_bpe_encode yields its slot to the never-validated
@@ -3440,15 +3447,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_converged",
         # (b) semantics changed this round
         "fn_parse_cookies",
-        "robots_evaluate",
+        # robots_evaluate and crawllist_politeness yield their slots
+        # to the never-validated session-3 gates: both changed code
+        # paths (Crawl-Delay reset, politeness schedule) stay driver-
+        # exercised through pipeline_robots_fetch_plan, which composes
+        # the same verdict table and schedule, and both gates stay
+        # swept at both SFs in CORRECTNESS_SELF_r05*
         "pipeline_robots_fetch_plan",
-        "crawllist_politeness",
         "text_weighted_sample",
         "stream_asof",
         "stream_sessionize",
         # (c) single driver validation (round 4 only)
-        "crawldb_merge_full",
-        "crawllist_filtered_generate",
+        # crawldb_merge_full, crawllist_filtered_generate,
+        # pipeline_corpus_build, text_bm25_rank and text_paragraph_dedup
+        # yield their slots to the never-validated session-3 gates
+        # (DSIR, backoff LM, fertility, C4, closure/SCC, IVF-PQ): all
+        # five are r4-validated with code unchanged, pytest-covered,
+        # and swept at both SFs in CORRECTNESS_SELF_r05*
         # dedup_cluster_representatives yields its slot to the never-
         # validated crawldb_snapshot_delta (r4-validated, code
         # unchanged, keep-best pytest; the representative-selection
@@ -3494,7 +3509,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mm_resize_ppm yields its slot to the never-validated
         # sim_pq_trained_topk (r4-validated; the PPM decode path
         # stays driver-exercised via mm_image_bands)
-        "pipeline_corpus_build",
         # query_snippets yields its slot to the never-validated
         # stream_distinct_sketch (r4-validated; pure regex-Column
         # rendering with dedicated pytest coverage), and sim_lsh_topk
@@ -3509,7 +3523,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged, pytest-covered with batch-parity, cross-batch-
         # state and watermark-eviction tests; the streaming tier keeps
         # stream_asof and stream_sessionize driver-gated)
-        "text_bm25_rank",
         # text_chunking yields its slot to the never-validated
         # text_perplexity_buckets (r4-validated; chunk_documents stays
         # driver-exercised as text_paragraph_dedup's paragraph source)
@@ -3525,7 +3538,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream_countmin (r4-validated, code unchanged,
         # pytest-covered; the packing layout stays driver-exercised
         # as text_chunking's concat-then-chunk sibling)
-        "text_paragraph_dedup",
         # text_pmi_pairs and text_redact_pii yield their slots to the
         # never-validated text_bpe_merges/text_bpe_encode
         # (r4-validated, code unchanged, pytest-covered; the token
