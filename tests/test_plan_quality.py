@@ -280,6 +280,9 @@ def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
         "text_pmi_pairs",  # 1-row doc-count broadcast
         "text_bm25_rank",  # 1-row corpus-stats broadcast
         "text_heaps_profile",  # 10-row checkpoint-threshold broadcast
+        "text_dsir_weights",  # 1-row lambda-normalizer broadcast
+        "text_backoff_lm",  # 1-row train-totals broadcast
+        "sim_ivfpq_topk",  # broadcast centroid table x probes (routing)
     }
     bnlj = {
         n for n, r in counted.items() if r["broadcast_nested_loop_joins"]
