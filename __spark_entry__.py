@@ -3272,6 +3272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": lambda s, d: graph.strongly_connected_components(
             _digraph_edges(s, d), closure=_digraph_closure(s, d)
         ),
+        # Broder bow-tie decomposition (core/in/out/other) -- the
+        # canonical web-structure report, from the same closure
+        "graph_bowtie": lambda s, d: graph.bowtie_classes(
+            _digraph_edges(s, d), closure=_digraph_closure(s, d)
+        ),
         # BM25 lexical ranking against a fixed bag-of-terms query
         "text_bm25_rank": lambda s, d: textstats.bm25_scores(
             _t(s, d, "documents"),
@@ -3368,8 +3373,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_backoff_lm",
         "text_bpe_fertility",
         "text_c4_filter",
-        "graph_reach_counts",
+        # graph_reach_counts yields its slot to graph_bowtie: both
+        # drive the identical path-doubling closure fixpoint, the
+        # bow-tie gate additionally exercises SCC + core semi-joins,
+        # and the count aggregate is pinned by the bow-tie/closure
+        # pytest fixtures; the gate stays swept at both SFs
         "graph_scc",
+        "graph_bowtie",
         "sim_ivfpq_topk",
         "dedup_semantic",
         "text_bpe_merges",
@@ -5567,6 +5577,50 @@ def oracle_sql() -> dict[str, str]:
                        AS scc_id
             FROM nodes n LEFT JOIN mut m ON n.node = m.node
             ORDER BY n.node
+        """,
+        "graph_bowtie": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT o_orderkey % 97 AS src,
+                       (o_orderkey * 3 + o_custkey) % 97 AS dst
+                FROM orders WHERE o_orderpriority = '1-URGENT'
+            ), e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+            reach(src, dst) AS (
+                SELECT src, dst FROM e2
+                UNION
+                SELECT r.src, t.dst FROM reach r JOIN e2 t
+                ON r.dst = t.src WHERE r.src <> t.dst
+            ), nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e2
+                    UNION ALL SELECT dst FROM e2
+                )
+            ), mut AS (
+                SELECT r1.src AS node, MIN(r1.dst) AS mw
+                FROM reach r1 JOIN reach r2
+                ON r1.src = r2.dst AND r1.dst = r2.src
+                GROUP BY r1.src
+            ), scc AS (
+                SELECT n.node,
+                       LEAST(n.node, COALESCE(m.mw, n.node)) AS scc_id
+                FROM nodes n LEFT JOIN mut m ON n.node = m.node
+            ), core_row AS (
+                SELECT scc_id AS core_id FROM (
+                    SELECT scc_id, count(*) AS n FROM scc GROUP BY scc_id
+                    ORDER BY n DESC, scc_id LIMIT 1)
+            ), core AS (
+                SELECT node FROM scc, core_row WHERE scc_id = core_id
+            )
+            SELECT s.node,
+                   CASE WHEN s.scc_id = (SELECT core_id FROM core_row)
+                            THEN 'core'
+                        WHEN EXISTS (SELECT 1 FROM reach r JOIN core c
+                                     ON r.dst = c.node
+                                     WHERE r.src = s.node) THEN 'in'
+                        WHEN EXISTS (SELECT 1 FROM reach r JOIN core c
+                                     ON r.src = c.node
+                                     WHERE r.dst = s.node) THEN 'out'
+                        ELSE 'other' END AS cls
+            FROM scc s ORDER BY s.node
         """,
         # independent relational reimplementation of the Chromium
         # ParsedCookie semantics (no terminators/overlong lines in

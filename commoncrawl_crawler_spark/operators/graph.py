@@ -1074,3 +1074,62 @@ def strongly_connected_components(
         )
         .orderBy("node")
     )
+
+
+def bowtie_classes(
+    edges: DataFrame, closure: DataFrame | None = None
+) -> DataFrame:
+    """The Broder et al. 2000 bow-tie decomposition of a directed
+    graph -- the canonical web-structure analysis: CORE = the largest
+    SCC, IN = nodes that reach the core without belonging to it,
+    OUT = nodes the core reaches, OTHER = tendrils + disconnected.
+    (IN and OUT cannot overlap: a node both reaching and reached by
+    the core would close a cycle through it and be core itself.)
+
+    Built entirely from the reachability closure: SCC labels pick the
+    core (largest component, ties to the smallest label -- a 1-row
+    broadcast), IN/OUT are two semi-joins against the core set. Runs
+    at host grain like the closure itself.
+
+    Returns (node, cls) with cls in {'core','in','out','other'}.
+    """
+    clo = transitive_closure(edges) if closure is None else closure
+    scc = strongly_connected_components(edges, closure=clo)
+    core_row = (
+        scc.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "scc_id")
+        .limit(1)
+        .select(F.col("scc_id").alias("core_id"))
+    )
+    labeled = scc.crossJoin(F.broadcast(core_row))
+    core = labeled.filter(F.col("scc_id") == F.col("core_id")).select("node")
+    reaches_core = (
+        clo.join(
+            core.select(F.col("node").alias("dst")), "dst", "left_semi"
+        )
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("_in", F.lit(True))
+    )
+    reached_by_core = (
+        clo.join(
+            core.select(F.col("node").alias("src")), "src", "left_semi"
+        )
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .withColumn("_out", F.lit(True))
+    )
+    return (
+        labeled.join(reaches_core, "node", "left")
+        .join(reached_by_core, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("scc_id") == F.col("core_id"), F.lit("core"))
+            .when(F.col("_in"), F.lit("in"))
+            .when(F.col("_out"), F.lit("out"))
+            .otherwise(F.lit("other"))
+            .alias("cls"),
+        )
+        .orderBy("node")
+    )

@@ -305,3 +305,19 @@ def test_scc_bowtie(spark):
     # node 0 reaches everything downstream (1,2,3,4,5); core nodes
     # reach the other two core members + out-tail; tails taper
     assert reach == {0: 5, 1: 4, 2: 4, 3: 4, 4: 1, 5: 0, 10: 1, 11: 1}
+
+
+def test_bowtie_decomposition(spark):
+    """IN-tail -> 3-cycle core -> OUT-tail, disjoint 2-cycle: the
+    2-cycle is smaller than the core, so it classifies 'other'."""
+    from commoncrawl_crawler_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (10, 11), (11, 10)],
+        ["src", "dst"],
+    )
+    cls = {r["node"]: r["cls"] for r in graph.bowtie_classes(edges).collect()}
+    assert cls == {
+        0: "in", 1: "core", 2: "core", 3: "core",
+        4: "out", 5: "out", 10: "other", 11: "other",
+    }
