@@ -513,13 +513,37 @@ def count_min_tokens(
         ).alias("token")
     )
 
-    cells = cms_cells(toks, "token", depth=depth, width=width)
-    top = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), "token")
-        .limit(top_n)
+    # batch fast path: hash each DISTINCT token once and weight its
+    # cell by the exact count, instead of 4 md5s per OCCURRENCE --
+    # cell values are identical (a sum either way; vocabulary is
+    # ~40x smaller than the token stream), and the streaming twin
+    # keeps the occurrence-grain cms_cells plan, which a complete-
+    # mode streaming aggregation requires (batch-parity pytest pins
+    # the two cell tables equal)
+    tok_counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
     )
+    cells = (
+        tok_counts.select(
+            "exact_cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cms_bucket(F.col("token"), r, width).alias(
+                                "bucket"
+                            ),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rb"),
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("exact_cnt").alias("cnt"))
+    )
+    top = tok_counts.orderBy(F.desc("exact_cnt"), "token").limit(top_n)
     return cms_probe(
         cells, top, "token", depth=depth, width=width
     ).orderBy(F.desc("exact_cnt"), "token")
