@@ -2478,6 +2478,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_value_percentiles": lambda s, d: aggregates.value_percentiles(
             _t(s, d, "events")
         ),
+        # mergeable histogram quantile sketch -- the bounded-error
+        # scale path next to the exact-sort percentile gate
+        "agg_quantile_sketch": lambda s, d: aggregates.quantile_histogram(
+            _t(s, d, "events")
+        ),
         "agg_moving_daily_avg": lambda s, d: aggregates.moving_daily_average(
             _t(s, d, "events")
         ),
@@ -3575,6 +3580,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-covered; the query-serving tier stays driver-gated
         # via query_snippets' displacement note and the vocabulary
         # machinery via text_tfidf_keywords' doc-freq path)
+        # graph_reach_counts and agg_quantile_sketch (late session-3
+        # additions) wait for the round-6 rotation: both are
+        # hash-verified at sf0.01 AND sf0.1 in CORRECTNESS_SELF_r05*,
+        # and their machinery is driver-gated via graph_bowtie /
+        # graph_scc (same closure) and agg_value_percentiles (same
+        # events column, exact twin).
         # Never-driver-validated gates outrank re-validation of
         # r2-green anchors: fn_url_canonicalize, agg_moving_daily_avg,
         # skew_salted_join, filter_text_grep, setop_distinct,
@@ -3681,6 +3692,33 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.95), 6) AS p95,
                    count(*) AS cnt
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # histogram quantiles: integer cum*100 >= q*n rank reads, no
+        # division anywhere past the one floor(value*100) bucketing
+        "agg_quantile_sketch": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS bucket
+                FROM events
+            ), h AS (
+                SELECT event_type, bucket, count(*) AS c
+                FROM b GROUP BY 1, 2
+            ), cw AS (
+                SELECT event_type, bucket,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY bucket) AS cum,
+                       sum(c) OVER (PARTITION BY event_type) AS n
+                FROM h
+            )
+            SELECT event_type,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(min(CASE WHEN cum * 100 >= 50 * n
+                                 THEN bucket END) AS BIGINT) AS p50_centi,
+                   CAST(min(CASE WHEN cum * 100 >= 95 * n
+                                 THEN bucket END) AS BIGINT) AS p95_centi,
+                   CAST(min(CASE WHEN cum * 100 >= 99 * n
+                                 THEN bucket END) AS BIGINT) AS p99_centi
+            FROM cw GROUP BY event_type ORDER BY event_type
         """,
         "agg_moving_daily_avg": """
             WITH daily AS (

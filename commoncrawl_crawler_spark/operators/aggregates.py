@@ -547,3 +547,61 @@ def count_min_tokens(
     return cms_probe(
         cells, top, "token", depth=depth, width=width
     ).orderBy(F.desc("exact_cnt"), "token")
+
+
+def quantile_histogram(
+    events: DataFrame,
+    value_col: str = "value",
+    resolution: int = 100,
+    quantiles: tuple[int, ...] = (50, 95, 99),
+) -> DataFrame:
+    """Mergeable histogram quantile sketch -- the way quantiles are
+    actually computed at 100 TB: bucket every value at a fixed
+    resolution (here centi-units), ONE partial-aggregating groupBy to
+    the bounded (group, bucket) histogram, then read each quantile as
+    the smallest bucket whose cumulative count reaches q% of the
+    group. Error is bounded by the bucket width by construction; the
+    histogram merges cell-wise across shards/days (the HLL/count-min
+    property), unlike the exact sort value_percentiles pays.
+
+    Everything is integer arithmetic past the one floor(value*res)
+    quantization (cum*100 >= q*n avoids any division), so the row is
+    engine- and partitioning-exact. The only window runs over the
+    HISTOGRAM (<= resolution * value-range rows per group), never the
+    raw values.
+
+    Output: (event_type, n, p50_centi, p95_centi, p99_centi) --
+    quantile bucket lower edges in centi-units, by event_type.
+    """
+    from pyspark.sql import Window
+
+    b = events.select(
+        "event_type",
+        F.floor(F.col(value_col) * resolution).cast("long").alias("bucket"),
+    )
+    h = b.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cw = h.select(
+        "event_type",
+        "bucket",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("n"),
+    )
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for q in quantiles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(q) * F.col("n"),
+                    F.col("bucket"),
+                )
+            )
+            .cast("bigint")
+            .alias(f"p{q}_centi")
+        )
+    return cw.groupBy("event_type").agg(*aggs).orderBy("event_type")

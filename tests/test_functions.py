@@ -1211,3 +1211,25 @@ def test_stupid_backoff_three_cases_exact(spark):
     assert out[3]["neg_logprob_micro"] == -s_xbc
     # train docs and <3-token docs are absent
     assert set(out) == {1, 3}
+
+
+def test_quantile_histogram_error_bound_and_merge(spark):
+    """Sketch quantiles must sit within one bucket of the exact
+    values, and the histogram must be mergeable (cell-wise sum over
+    shards equals the whole)."""
+    from commoncrawl_crawler_spark.operators import aggregates
+
+    rows = [(i, "a", (i % 100) / 10.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = aggregates.quantile_histogram(df).collect()[0]
+    import numpy as np
+
+    vals = np.array([r[2] for r in rows])
+    for q, col in [(50, "p50_centi"), (95, "p95_centi"), (99, "p99_centi")]:
+        exact = np.percentile(vals, q, method="inverted_cdf")
+        approx = out[col] / 100.0
+        assert abs(approx - exact) <= 0.01 + 1e-9, (q, approx, exact)
+    # partition-layout invariance == mergeability of the histogram
+    a = aggregates.quantile_histogram(df.coalesce(1)).collect()
+    b = aggregates.quantile_histogram(df.repartition(13)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
