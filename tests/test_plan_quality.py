@@ -283,6 +283,7 @@ def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
         "text_dsir_weights",  # 1-row lambda-normalizer broadcast
         "text_backoff_lm",  # 1-row train-totals broadcast
         "sim_ivfpq_topk",  # broadcast centroid table x probes (routing)
+        "graph_bowtie",  # 1-row core-scc-id broadcast
     }
     bnlj = {
         n for n, r in counted.items() if r["broadcast_nested_loop_joins"]
