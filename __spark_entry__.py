@@ -216,6 +216,45 @@ def _digraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def _layered_digraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the condensation-levels gate needs NON-degenerate DAG structure
+    # (the dense digraph above collapses to one giant SCC): edges run
+    # forward between consecutive 24-wide node layers, plus sparse
+    # in-layer edges (okey % 3) that form small per-layer SCCs --
+    # depth ~14, ~31 components at every SF
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    src = F.col("o_orderkey") % 97
+    dst = (F.col("o_orderkey") * 3 + F.col("o_custkey")) % 97
+    return (
+        o.select(
+            src.alias("src"),
+            dst.alias("dst"),
+            F.floor(src / 24).alias("_ls"),
+            F.floor(dst / 24).alias("_ld"),
+            (F.col("o_orderkey") % 3 == 0).alias("_inlayer_ok"),
+        )
+        .filter(
+            (F.col("_ls") + 1 == F.col("_ld"))
+            | ((F.col("_ls") == F.col("_ld")) & F.col("_inlayer_ok"))
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def _layered_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached(
+        spark,
+        "layered_closure",
+        sf_dir,
+        lambda: graph.transitive_closure(
+            _layered_digraph_edges(spark, sf_dir)
+        ),
+    )
+
+
 def _digraph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the reachability closure feeds BOTH graph_reach_counts and
     # graph_scc; run the doubling fixpoint once per (session, sf)
@@ -3282,6 +3321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bowtie": lambda s, d: graph.bowtie_classes(
             _digraph_edges(s, d), closure=_digraph_closure(s, d)
         ),
+        # longest-path levels of the condensation DAG (crawl tiers)
+        "graph_condensation_levels": lambda s, d: graph.condensation_levels(
+            _layered_digraph_edges(s, d), closure=_layered_closure(s, d)
+        ),
         # BM25 lexical ranking against a fixed bag-of-terms query
         "text_bm25_rank": lambda s, d: textstats.bm25_scores(
             _t(s, d, "documents"),
@@ -5615,6 +5658,57 @@ def oracle_sql() -> dict[str, str]:
                        AS scc_id
             FROM nodes n LEFT JOIN mut m ON n.node = m.node
             ORDER BY n.node
+        """,
+        "graph_condensation_levels": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT o_orderkey % 97 AS src,
+                       (o_orderkey * 3 + o_custkey) % 97 AS dst
+                FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+                  AND (((o_orderkey % 97) // 24 + 1
+                            = ((o_orderkey * 3 + o_custkey) % 97) // 24)
+                       OR ((o_orderkey % 97) // 24
+                               = ((o_orderkey * 3 + o_custkey) % 97) // 24
+                           AND o_orderkey % 3 = 0))
+            ), e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+            reach(src, dst) AS (
+                SELECT src, dst FROM e2
+                UNION
+                SELECT r.src, t.dst FROM reach r JOIN e2 t
+                ON r.dst = t.src WHERE r.src <> t.dst
+            ), nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e2
+                    UNION ALL SELECT dst FROM e2
+                )
+            ), mut AS (
+                SELECT r1.src AS node, MIN(r1.dst) AS mw
+                FROM reach r1 JOIN reach r2
+                ON r1.src = r2.dst AND r1.dst = r2.src
+                GROUP BY r1.src
+            ), scc AS (
+                SELECT n.node,
+                       LEAST(n.node, COALESCE(m.mw, n.node)) AS scc_id
+                FROM nodes n LEFT JOIN mut m ON n.node = m.node
+            ), comps AS (
+                SELECT scc_id, count(*) AS n_nodes FROM scc GROUP BY scc_id
+            ), cedges AS (
+                SELECT DISTINCT s1.scc_id AS csrc, s2.scc_id AS cdst
+                FROM e2 JOIN scc s1 ON e2.src = s1.node
+                        JOIN scc s2 ON e2.dst = s2.node
+                WHERE s1.scc_id <> s2.scc_id
+            ), walk(c, d) AS (
+                SELECT scc_id, 0 FROM comps
+                UNION
+                SELECT ce.cdst, w.d + 1 FROM walk w JOIN cedges ce
+                ON w.c = ce.csrc
+            ), lev AS (
+                SELECT c AS scc_id, max(d) AS level FROM walk GROUP BY c
+            )
+            SELECT comps.scc_id, CAST(lev.level AS BIGINT) AS level,
+                   CAST(comps.n_nodes AS BIGINT) AS n_nodes
+            FROM comps JOIN lev ON comps.scc_id = lev.scc_id
+            ORDER BY level, comps.scc_id
         """,
         "graph_bowtie": """
             WITH RECURSIVE e AS (

@@ -1133,3 +1133,86 @@ def bowtie_classes(
         )
         .orderBy("node")
     )
+
+
+def condensation_levels(
+    edges: DataFrame, closure: DataFrame | None = None, max_rounds: int = 30
+) -> DataFrame:
+    """Topological (longest-path) levels of the condensation DAG:
+    contract each SCC to one node, then level(C) = 0 for source
+    components and 1 + max(level of predecessors) otherwise -- the
+    'how deep into the link structure is this host cluster' statistic
+    that orders crawl tiers and dependency-style processing.
+
+    Levels iterate to fixpoint with the Observation discipline
+    (rounds = DAG depth, bounded by the SCC count); each round is one
+    broadcast join + a partial-agg max over the condensation edge
+    set, which is SCC-grain -- orders of magnitude smaller than the
+    host graph, itself condensed from pages.
+
+    Returns (scc_id, level, n_nodes) ordered by (level, scc_id).
+    """
+    from pyspark.sql import Observation
+
+    clo = transitive_closure(edges) if closure is None else closure
+    scc = strongly_connected_components(edges, closure=clo)
+    cedges = (
+        edges.join(
+            scc.withColumnRenamed("node", "src").withColumnRenamed(
+                "scc_id", "csrc"
+            ),
+            "src",
+        )
+        .join(
+            scc.withColumnRenamed("node", "dst").withColumnRenamed(
+                "scc_id", "cdst"
+            ),
+            "dst",
+        )
+        .select("csrc", "cdst")
+        .filter(F.col("csrc") != F.col("cdst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comps = (
+        scc.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .localCheckpoint(eager=True)
+    )
+    levels = comps.select("scc_id", F.lit(0).cast("bigint").alias("level"))
+    prev_sig = None
+    for _ in range(max_rounds):
+        obs = Observation()
+        bumped = (
+            cedges.join(
+                levels.withColumnRenamed("scc_id", "csrc").withColumnRenamed(
+                    "level", "plevel"
+                ),
+                "csrc",
+            )
+            .groupBy(F.col("cdst").alias("scc_id"))
+            .agg((F.max("plevel") + 1).alias("blevel"))
+        )
+        levels = (
+            levels.join(bumped, "scc_id", "left")
+            .select(
+                "scc_id",
+                F.greatest(
+                    F.col("level"), F.coalesce("blevel", F.lit(0))
+                ).alias("level"),
+            )
+            .observe(
+                obs,
+                F.sum(F.col("level").cast("decimal(38,0)")).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        sig = obs.get["s"]
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return (
+        comps.join(levels, "scc_id")
+        .select("scc_id", "level", "n_nodes")
+        .orderBy("level", "scc_id")
+    )

@@ -321,3 +321,22 @@ def test_bowtie_decomposition(spark):
         0: "in", 1: "core", 2: "core", 3: "core",
         4: "out", 5: "out", 10: "other", 11: "other",
     }
+
+
+def test_condensation_levels_hand_graph(spark):
+    """Diamond of SCCs: source 2-cycle at level 0, two middle
+    singletons at level 1, sink 2-cycle at level 2 via BOTH arms --
+    longest-path semantics, not BFS distance."""
+    from commoncrawl_crawler_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        # SCC A = {0,1}; B = {2}; C = {3}; D = {4,5}
+        # A->B->D and A->C->D, plus a long arm A->B->C so D's longest
+        # path is 3, not 2
+        [(0, 1), (1, 0), (0, 2), (2, 3), (0, 3), (3, 4), (2, 4),
+         (4, 5), (5, 4)],
+        ["src", "dst"],
+    )
+    rows = {r["scc_id"]: (r["level"], r["n_nodes"])
+            for r in graph.condensation_levels(edges).collect()}
+    assert rows == {0: (0, 2), 2: (1, 1), 3: (2, 1), 4: (3, 2)}
