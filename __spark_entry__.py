@@ -25,6 +25,7 @@ from commoncrawl_crawler_spark.operators import (
     bpe,
     crawldb,
     crawllist,
+    dataquality,
     dedup,
     filters,
     graph,
@@ -2522,6 +2523,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantile_sketch": lambda s, d: aggregates.quantile_histogram(
             _t(s, d, "events")
         ),
+        # Deequ-style data quality: one-pass per-column profile and a
+        # declarative constraint suite (unique/complete/ref-int/range)
+        "dq_profile_orders": lambda s, d: dataquality.profile_table(
+            _t(s, d, "orders"),
+            num_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+            str_cols=["o_orderstatus", "o_orderpriority"],
+        ),
+        "dq_constraints": lambda s, d: dataquality.check_constraints(
+            _t(s, d, "orders"), _t(s, d, "customer")
+        ),
         "agg_moving_daily_avg": lambda s, d: aggregates.moving_daily_average(
             _t(s, d, "events")
         ),
@@ -3735,6 +3746,95 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.95), 6) AS p95,
                    count(*) AS cnt
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "dq_profile_orders": """
+            WITH base AS (
+                SELECT count(*) AS n FROM orders
+            ), prof AS (
+                SELECT 'o_orderkey' AS "column",
+                       (SELECT n FROM base) AS n,
+                       (SELECT CAST(count(*) FILTER (o_orderkey IS NULL)
+                               AS BIGINT) FROM orders) AS nulls,
+                       (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                        FROM orders) AS n_distinct,
+                       (SELECT CAST(min(floor(o_orderkey * 1e6 + 0.5))
+                               AS BIGINT) FROM orders) AS min_num,
+                       (SELECT CAST(max(floor(o_orderkey * 1e6 + 0.5))
+                               AS BIGINT) FROM orders) AS max_num,
+                       NULL AS min_str, NULL AS max_str
+                UNION ALL
+                SELECT 'o_custkey', (SELECT n FROM base),
+                       (SELECT CAST(count(*) FILTER (o_custkey IS NULL)
+                               AS BIGINT) FROM orders),
+                       (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+                        FROM orders),
+                       (SELECT CAST(min(floor(o_custkey * 1e6 + 0.5))
+                               AS BIGINT) FROM orders),
+                       (SELECT CAST(max(floor(o_custkey * 1e6 + 0.5))
+                               AS BIGINT) FROM orders),
+                       NULL, NULL
+                UNION ALL
+                SELECT 'o_totalprice', (SELECT n FROM base),
+                       (SELECT CAST(count(*) FILTER (o_totalprice IS NULL)
+                               AS BIGINT) FROM orders),
+                       (SELECT CAST(count(DISTINCT o_totalprice) AS BIGINT)
+                        FROM orders),
+                       (SELECT CAST(min(floor(o_totalprice * 1e6 + 0.5))
+                               AS BIGINT) FROM orders),
+                       (SELECT CAST(max(floor(o_totalprice * 1e6 + 0.5))
+                               AS BIGINT) FROM orders),
+                       NULL, NULL
+                UNION ALL
+                SELECT 'o_orderstatus', (SELECT n FROM base),
+                       (SELECT CAST(count(*) FILTER (o_orderstatus IS NULL)
+                               AS BIGINT) FROM orders),
+                       (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+                        FROM orders),
+                       NULL, NULL,
+                       (SELECT min(o_orderstatus) FROM orders),
+                       (SELECT max(o_orderstatus) FROM orders)
+                UNION ALL
+                SELECT 'o_orderpriority', (SELECT n FROM base),
+                       (SELECT CAST(count(*) FILTER (o_orderpriority IS NULL)
+                               AS BIGINT) FROM orders),
+                       (SELECT CAST(count(DISTINCT o_orderpriority)
+                               AS BIGINT) FROM orders),
+                       NULL, NULL,
+                       (SELECT min(o_orderpriority) FROM orders),
+                       (SELECT max(o_orderpriority) FROM orders)
+            )
+            SELECT "column", CAST(n AS BIGINT) AS n, nulls, n_distinct,
+                   min_num, max_num, min_str, max_str
+            FROM prof ORDER BY "column"
+        """,
+        "dq_constraints": """
+            WITH checks AS (
+                SELECT 'unique_o_orderkey' AS "check",
+                       (SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT)
+                        FROM (SELECT count(*) AS c FROM orders
+                              GROUP BY o_orderkey) WHERE c > 1)
+                           AS violations
+                UNION ALL
+                SELECT 'non_null_o_custkey',
+                       (SELECT CAST(count(*) FILTER (o_custkey IS NULL)
+                               AS BIGINT) FROM orders)
+                UNION ALL
+                SELECT 'orders_custkey_in_customer',
+                       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                          WHERE c.c_custkey = o.o_custkey))
+                UNION ALL
+                SELECT 'positive_o_totalprice',
+                       (SELECT CAST(count(*) FILTER (
+                            NOT (o_totalprice > 0)) AS BIGINT) FROM orders)
+                UNION ALL
+                SELECT 'o_orderstatus_in_OFP',
+                       (SELECT CAST(count(*) FILTER (
+                            o_orderstatus NOT IN ('O','F','P'))
+                               AS BIGINT) FROM orders)
+            )
+            SELECT "check", violations, violations = 0 AS passed
+            FROM checks ORDER BY "check"
         """,
         # histogram quantiles: integer cum*100 >= q*n rank reads, no
         # division anywhere past the one floor(value*100) bucketing

@@ -1233,3 +1233,39 @@ def test_quantile_histogram_error_bound_and_merge(spark):
     a = aggregates.quantile_histogram(df.coalesce(1)).collect()
     b = aggregates.quantile_histogram(df.repartition(13)).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_dq_profile_and_constraints_catch_planted_defects(spark):
+    """Planted nulls / dupes / bad status / orphan custkey must show
+    up with exact violation counts."""
+    from commoncrawl_crawler_spark.operators import dataquality
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, 5.0, "O", "1-URGENT"),
+            (1, 10, 6.0, "F", "2-HIGH"),      # duplicate key
+            (2, None, 7.0, "P", "2-HIGH"),    # null custkey
+            (3, 99, -1.0, "X", "3-MEDIUM"),   # orphan + bad range + bad status
+        ],
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+         "o_orderpriority"],
+    )
+    customer = spark.createDataFrame([(10,)], ["c_custkey"])
+    checks = {r["check"]: (r["violations"], r["passed"])
+              for r in dataquality.check_constraints(orders, customer).collect()}
+    assert checks == {
+        "unique_o_orderkey": (1, False),
+        "non_null_o_custkey": (1, False),
+        # the null custkey joins nothing -> counted orphan, plus 99
+        "orders_custkey_in_customer": (2, False),
+        "positive_o_totalprice": (1, False),
+        "o_orderstatus_in_OFP": (1, False),
+    }
+    prof = {r["column"]: r for r in dataquality.profile_table(
+        orders, num_cols=["o_custkey"], str_cols=["o_orderstatus"]
+    ).collect()}
+    assert prof["o_custkey"]["nulls"] == 1
+    assert prof["o_custkey"]["n_distinct"] == 2  # 10, 99 (null excluded)
+    assert prof["o_custkey"]["min_num"] == 10_000_000
+    assert prof["o_orderstatus"]["min_str"] == "F"
+    assert prof["o_orderstatus"]["max_str"] == "X"
