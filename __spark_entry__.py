@@ -2932,6 +2932,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_ppm": lambda s, d: multimodal.decode_ppm(
             multimodal.synthesize_ppm(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # perceptual dHash fingerprints + exact-duplicate groups over
+        # the real PPM decode (image near-dup tier)
+        "mm_image_dhash": lambda s, d: multimodal.image_dhash(
+            multimodal.synthesize_ppm(_t(s, d, "documents"))
+        ),
+        "mm_dhash_dup_groups": lambda s, d: multimodal.image_dhash_dup_groups(
+            multimodal.synthesize_ppm(_t(s, d, "documents"))
+        ),
         # real compressed AUDIO: IMA ADPCM (WAV 0x11) -- per-block
         # constant signal with index pinned to 0 decodes bit-exactly
         # (step_table[0] >> 3 == 0), the audio analog of flat-block
@@ -4846,6 +4854,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(v) AS INT) AS max_v
             FROM px GROUP BY media_id, ((p // 3) // w) // 4, p % 3
             ORDER BY media_id, band, channel
+        """,
+        # dHash oracle: the sampled 9x8 luma grid recomputed
+        # closed-form from the PPM generator (pixel p = (mid*3+p*5)
+        # % 256), integer ITU luma, bits packed into two 32-bit
+        # halves -- no engine touches the int64 sign bit
+        "mm_image_dhash": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+                FROM documents
+            ), grid AS (
+                SELECT media_id, y.y AS y, x.x AS x,
+                       ((y.y * h) // 8 * w + (x.x * w) // 9) * 3 AS b0,
+                       ((y.y * h) // 8 * w + ((x.x + 1) * w) // 9) * 3 AS b1
+                FROM s,
+                     (SELECT unnest(range(0, 8)) AS y) y,
+                     (SELECT unnest(range(0, 8)) AS x) x
+            ), bits AS (
+                SELECT media_id, y, x,
+                       CASE WHEN
+                           ((media_id*3 + b0*5) % 256 * 299
+                            + (media_id*3 + (b0+1)*5) % 256 * 587
+                            + (media_id*3 + (b0+2)*5) % 256 * 114) // 1000
+                           <
+                           ((media_id*3 + b1*5) % 256 * 299
+                            + (media_id*3 + (b1+1)*5) % 256 * 587
+                            + (media_id*3 + (b1+2)*5) % 256 * 114) // 1000
+                       THEN 1 ELSE 0 END AS bit
+                FROM grid
+            ), hashes AS (
+                SELECT media_id,
+                       CAST(sum(CASE WHEN y < 4
+                                THEN bit * (1 << (y*8 + x))
+                                ELSE 0 END) AS BIGINT) AS dhash_hi,
+                       CAST(sum(CASE WHEN y >= 4
+                                THEN bit * (1 << ((y-4)*8 + x))
+                                ELSE 0 END) AS BIGINT) AS dhash_lo
+                FROM bits GROUP BY media_id
+            )
+            SELECT media_id, dhash_hi, dhash_lo FROM hashes
+            ORDER BY media_id
+        """,
+        "mm_dhash_dup_groups": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+                FROM documents
+            ), grid AS (
+                SELECT media_id, y.y AS y, x.x AS x,
+                       ((y.y * h) // 8 * w + (x.x * w) // 9) * 3 AS b0,
+                       ((y.y * h) // 8 * w + ((x.x + 1) * w) // 9) * 3 AS b1
+                FROM s,
+                     (SELECT unnest(range(0, 8)) AS y) y,
+                     (SELECT unnest(range(0, 8)) AS x) x
+            ), bits AS (
+                SELECT media_id, y, x,
+                       CASE WHEN
+                           ((media_id*3 + b0*5) % 256 * 299
+                            + (media_id*3 + (b0+1)*5) % 256 * 587
+                            + (media_id*3 + (b0+2)*5) % 256 * 114) // 1000
+                           <
+                           ((media_id*3 + b1*5) % 256 * 299
+                            + (media_id*3 + (b1+1)*5) % 256 * 587
+                            + (media_id*3 + (b1+2)*5) % 256 * 114) // 1000
+                       THEN 1 ELSE 0 END AS bit
+                FROM grid
+            ), hashes AS (
+                SELECT media_id,
+                       CAST(sum(CASE WHEN y < 4
+                                THEN bit * (1 << (y*8 + x))
+                                ELSE 0 END) AS BIGINT) AS dhash_hi,
+                       CAST(sum(CASE WHEN y >= 4
+                                THEN bit * (1 << ((y-4)*8 + x))
+                                ELSE 0 END) AS BIGINT) AS dhash_lo
+                FROM bits GROUP BY media_id
+            )
+            SELECT dhash_hi, dhash_lo,
+                   CAST(count(*) AS BIGINT) AS n_images,
+                   CAST(min(media_id) AS BIGINT) AS min_media_id
+            FROM hashes GROUP BY dhash_hi, dhash_lo
+            HAVING count(*) >= 2
+            ORDER BY n_images DESC, dhash_hi, dhash_lo, min_media_id
         """,
         "mm_decode_ppm": """
             WITH s AS (

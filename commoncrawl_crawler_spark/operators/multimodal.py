@@ -1742,3 +1742,85 @@ def resize_stub(media: DataFrame, width: int = 32, height: int = 32) -> DataFram
             yield pd.DataFrame(out)
 
     return media.select("media_id", "content").mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash_hi", LongType()),
+        StructField("dhash_lo", LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference hash (dHash) over the real PPM decode --
+    the standard cheap image near-dup fingerprint (crop/re-encode
+    robust, 64 bits): integer-luma grayscale, nearest-neighbor sample
+    to a 9x8 grid (the resize_ppm rule), one bit per horizontal
+    neighbor pair g[y][x] < g[y][x+1].
+
+    The 64 bits ship as TWO 32-bit halves (rows 0-3 / rows 4-7) so no
+    engine ever touches the int64 sign bit -- the same reason the HLL
+    register math stays under 2^41. Luma is the exact integer ITU
+    formula (r*299 + g*587 + b*114) // 1000: no float anywhere, so
+    the hash is bit-identical on any engine/layout and the oracle can
+    recompute it closed-form from the synthesized-PPM generator.
+
+    Scale shape: one Arrow-batched decode pass, 3 small ints out per
+    image -- the classic decode-once/fingerprint-forever layout; the
+    dup report below is a groupBy on the hash, and a banded hamming
+    join (the simhash discipline) is the near-dup extension.
+    """
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "dhash_hi": [], "dhash_lo": []}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, arr = parse_ppm_bytes(bytes(blob))
+                img = arr.reshape(h, w, 3)
+                g = (
+                    img[:, :, 0] * 299 + img[:, :, 1] * 587 + img[:, :, 2] * 114
+                ) // 1000
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                grid = g[ys][:, xs]  # 8 rows x 9 cols
+                bits = grid[:, :-1] < grid[:, 1:]  # 8x8
+                hi = lo = 0
+                for y in range(4):
+                    for x in range(8):
+                        if bits[y, x]:
+                            hi |= 1 << (y * 8 + x)
+                        if bits[y + 4, x]:
+                            lo |= 1 << (y * 8 + x)
+                rows["media_id"].append(int(mid))
+                rows["dhash_hi"].append(hi)
+                rows["dhash_lo"].append(lo)
+            yield pd.DataFrame(rows)
+
+    return (
+        media.select("media_id", "content")
+        .mapInPandas(_hash, DHASH_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
+def image_dhash_dup_groups(media: DataFrame) -> DataFrame:
+    """Exact perceptual-duplicate groups: images sharing a full
+    64-bit dHash. One groupBy over the fingerprint table -- the
+    image analog of dedup.exact_duplicates, and the first pass every
+    image-dedup pipeline runs before any hamming widening.
+
+    Output: (dhash_hi, dhash_lo, n_images, min_media_id) for groups
+    of >= 2, largest first.
+    """
+    return (
+        image_dhash(media)
+        .groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.min("media_id").alias("min_media_id"),
+        )
+        .filter(F.col("n_images") >= 2)
+        .orderBy(F.desc("n_images"), "dhash_hi", "dhash_lo", "min_media_id")
+    )

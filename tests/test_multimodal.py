@@ -640,3 +640,32 @@ def test_adpcm_rejects_non_adpcm_and_bad_index():
     blob[data_at + 2] = 99
     with _pytest.raises(ValueError, match="index"):
         multimodal.parse_wav_adpcm(bytes(blob))
+
+
+def test_dhash_invariances(spark):
+    """dHash must be invariant to uniform brightness shift (gradient
+    comparisons unchanged) and sensitive to gradient reversal."""
+    import numpy as np
+
+    from commoncrawl_crawler_spark.operators import multimodal as mm
+
+    def ppm(mid, pixels, w, h):
+        header = f"P6\n{w} {h}\n255\n".encode("ascii")
+        return (mid, "image/x-portable-pixmap",
+                header + pixels.astype(np.uint8).tobytes())
+
+    w, h = 18, 16
+    base = np.tile(np.linspace(10, 200, w).astype(np.int64).repeat(3), h)
+    rows = [
+        ppm(0, base, w, h),
+        ppm(1, np.minimum(base + 40, 255), w, h),  # brightness shift
+        ppm(2, base[::-1].copy(), w, h),           # reversed gradient
+    ]
+    media = spark.createDataFrame(rows, ["media_id", "mime", "content"])
+    got = {r["media_id"]: (r["dhash_hi"], r["dhash_lo"])
+           for r in mm.image_dhash(media).collect()}
+    assert got[0] == got[1], "brightness shift must not change dHash"
+    assert got[0] != got[2], "gradient reversal must change dHash"
+    groups = mm.image_dhash_dup_groups(media).collect()
+    assert len(groups) == 1 and groups[0]["n_images"] == 2
+    assert groups[0]["min_media_id"] == 0
