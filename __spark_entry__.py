@@ -3447,6 +3447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest fixtures; the gate stays swept at both SFs
         "graph_scc",
         "graph_bowtie",
+        "graph_condensation_levels",
+        "dq_constraints",
         "sim_ivfpq_topk",
         "dedup_semantic",
         "text_bpe_merges",
@@ -3531,9 +3533,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same verdict table and schedule, and both gates stay
         # swept at both SFs in CORRECTNESS_SELF_r05*
         "pipeline_robots_fetch_plan",
-        "text_weighted_sample",
+        # text_weighted_sample and stream_sessionize yield their
+        # slots to the never-validated graph_condensation_levels and
+        # dq_constraints: the A-ES quantization change is pinned by a
+        # differential pytest and mirrored in the oracle; the NTZ
+        # stateful-streaming schema stays driver-gated via stream_asof
+        # and the non-UTC pytest; both stay swept at both SFs
         "stream_asof",
-        "stream_sessionize",
         # (c) single driver validation (round 4 only)
         # crawldb_merge_full, crawllist_filtered_generate,
         # pipeline_corpus_build, text_bm25_rank and text_paragraph_dedup
@@ -3642,12 +3648,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-covered; the query-serving tier stays driver-gated
         # via query_snippets' displacement note and the vocabulary
         # machinery via text_tfidf_keywords' doc-freq path)
-        # graph_reach_counts and agg_quantile_sketch (late session-3
-        # additions) wait for the round-6 rotation: both are
+        # graph_reach_counts, agg_quantile_sketch, dq_profile_orders,
+        # mm_image_dhash and mm_dhash_dup_groups (late session-3
+        # additions) wait for the round-6 rotation: all are
         # hash-verified at sf0.01 AND sf0.1 in CORRECTNESS_SELF_r05*,
         # and their machinery is driver-gated via graph_bowtie /
-        # graph_scc (same closure) and agg_value_percentiles (same
-        # events column, exact twin).
+        # graph_scc (same closure), agg_value_percentiles (same
+        # events column, exact twin), dq_constraints (same module),
+        # and mm_decode_ppm (same decode kernel the dhash rides).
         # Never-driver-validated gates outrank re-validation of
         # r2-green anchors: fn_url_canonicalize, agg_moving_daily_avg,
         # skew_salted_join, filter_text_grep, setop_distinct,
