@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from commoncrawl_crawler_spark.operators import (
     aggregates,
     bpe,
+    analytics,
     crawldb,
     crawllist,
     dataquality,
@@ -2533,6 +2534,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_constraints": lambda s, d: dataquality.check_constraints(
             _t(s, d, "orders"), _t(s, d, "customer")
         ),
+        # product-analytics tier over the events log: ordered funnel,
+        # weekly cohort retention, Markov transition matrix
+        "evt_funnel": lambda s, d: analytics.funnel_counts(
+            _t(s, d, "events")
+        ),
+        "evt_cohort_retention": lambda s, d: analytics.cohort_retention(
+            _t(s, d, "events")
+        ),
+        "evt_transitions": lambda s, d: analytics.transition_matrix(
+            _t(s, d, "events")
+        ),
         "agg_moving_daily_avg": lambda s, d: aggregates.moving_daily_average(
             _t(s, d, "events")
         ),
@@ -3822,6 +3834,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT "column", CAST(n AS BIGINT) AS n, nulls, n_distinct,
                    min_num, max_num, min_str, max_str
             FROM prof ORDER BY "column"
+        """,
+        "evt_funnel": """
+            WITH r0 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), r1 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN r0 ON e.user_id = r0.user_id
+                WHERE e.event_type = 'click' AND e.ts > r0.t
+                GROUP BY e.user_id
+            ), r2 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN r1 ON e.user_id = r1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > r1.t
+                GROUP BY e.user_id
+            ), counts AS (
+                SELECT 0 AS step_idx, 'view' AS step,
+                       (SELECT CAST(count(*) AS BIGINT) FROM r0)
+                           AS users_reached
+                UNION ALL
+                SELECT 1, 'click',
+                       (SELECT CAST(count(*) AS BIGINT) FROM r1)
+                UNION ALL
+                SELECT 2, 'purchase',
+                       (SELECT CAST(count(*) AS BIGINT) FROM r2)
+            )
+            SELECT CAST(step_idx AS INT) AS step_idx, step, users_reached,
+                   CASE WHEN (SELECT users_reached FROM counts
+                              WHERE step_idx = 0) > 0 THEN
+                       CAST(users_reached * 1000000
+                            // (SELECT users_reached FROM counts
+                                WHERE step_idx = 0) AS BIGINT)
+                   END AS conversion_micro
+            FROM counts ORDER BY step_idx
+        """,
+        "evt_cohort_retention": """
+            WITH first AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS d0
+                FROM events GROUP BY user_id
+            ), active AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            ), j AS (
+                SELECT DISTINCT a.user_id,
+                       CAST(floor(datediff('day', DATE '2024-01-01',
+                                           f.d0) / 7) AS INT)
+                           AS cohort_week,
+                       CAST(floor(datediff('day', f.d0, a.d) / 7) AS INT)
+                           AS week_offset
+                FROM active a JOIN first f ON a.user_id = f.user_id
+            )
+            SELECT cohort_week, week_offset,
+                   CAST(count(*) AS BIGINT) AS users
+            FROM j WHERE week_offset BETWEEN 0 AND 3
+            GROUP BY cohort_week, week_offset
+            ORDER BY cohort_week, week_offset
+        """,
+        "evt_transitions": """
+            WITH pairs AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS to_type
+                FROM events
+            ), counts AS (
+                SELECT from_type, to_type, count(*) AS cnt
+                FROM pairs WHERE to_type IS NOT NULL
+                GROUP BY from_type, to_type
+            )
+            SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(cnt * 1000000 // sum(cnt) OVER (
+                       PARTITION BY from_type) AS BIGINT) AS prob_micro
+            FROM counts ORDER BY from_type, to_type
         """,
         "dq_constraints": """
             WITH checks AS (

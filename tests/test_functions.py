@@ -1269,3 +1269,53 @@ def test_dq_profile_and_constraints_catch_planted_defects(spark):
     assert prof["o_custkey"]["min_num"] == 10_000_000
     assert prof["o_orderstatus"]["min_str"] == "F"
     assert prof["o_orderstatus"]["max_str"] == "X"
+
+
+def test_funnel_strict_ordering_and_transitions(spark):
+    """The funnel must require strictly increasing timestamps per
+    step; transitions must follow per-user (ts, event_id) order."""
+    import datetime as dt
+
+    from commoncrawl_crawler_spark.operators import analytics
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1 completes in order
+        (1, 1, t(0), "view"), (2, 1, t(1), "click"), (3, 1, t(2), "purchase"),
+        # user 2: purchase BEFORE click -> reaches click only
+        (4, 2, t(0), "view"), (5, 2, t(1), "purchase"), (6, 2, t(2), "click"),
+        # user 3: click before any view -> reaches view only
+        (7, 3, t(0), "click"), (8, 3, t(1), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    )
+    funnel = {r["step"]: r["users_reached"]
+              for r in analytics.funnel_counts(df).collect()}
+    assert funnel == {"view": 3, "click": 2, "purchase": 1}
+    trans = {(r["from_type"], r["to_type"]): r["cnt"]
+             for r in analytics.transition_matrix(df).collect()}
+    assert trans[("view", "click")] == 1
+    assert trans[("view", "purchase")] == 1
+    assert trans[("click", "view")] == 1
+    assert trans[("purchase", "click")] == 1
+
+
+def test_cohort_retention_week_buckets(spark):
+    import datetime as dt
+
+    from commoncrawl_crawler_spark.operators import analytics
+
+    rows = [
+        # user 1: first event Jan 1 (cohort 0), active again day 8 (wk 1)
+        (1, 1, dt.datetime(2024, 1, 1), "view"),
+        (2, 1, dt.datetime(2024, 1, 9), "view"),
+        # user 2: first event Jan 10 (cohort 1), never returns
+        (3, 2, dt.datetime(2024, 1, 10), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    )
+    got = {(r["cohort_week"], r["week_offset"]): r["users"]
+           for r in analytics.cohort_retention(df).collect()}
+    assert got == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
