@@ -2941,6 +2941,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_energy": lambda s, d: multimodal.audio_frame_energy(
             multimodal.synthesize_wav(_t(s, d, "documents")), frame=256
         ),
+        # perceptual audio fingerprint (energy-delta bits) over the
+        # real WAV decode -- the audio twin of mm_image_dhash
+        "mm_audio_fingerprint": lambda s, d: multimodal.audio_fingerprint(
+            multimodal.synthesize_wav(_t(s, d, "documents")), frame=64
+        ),
         "mm_decode_ppm": lambda s, d: multimodal.decode_ppm(
             multimodal.synthesize_ppm(_t(s, d, "documents"))
         ).orderBy("media_id"),
@@ -4946,6 +4951,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(v) AS INT) AS max_v
             FROM px GROUP BY media_id, ((p // 3) // w) // 4, p % 3
             ORDER BY media_id, band, channel
+        """,
+        # audio fingerprint oracle: frame energies recomputed
+        # closed-form from the WAV generator s[i] = (mid*7+i*13)%256
+        "mm_audio_fingerprint": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       1024 + doc_id % 1024 AS n
+                FROM documents
+            ), frames AS (
+                SELECT media_id, n, unnest(range(0, n // 64)) AS f
+                FROM s
+            ), energy AS (
+                SELECT media_id, n // 64 AS nf, f,
+                       list_sum([
+                           ((media_id*7 + (f*64 + i)*13) % 256 - 128)
+                           * ((media_id*7 + (f*64 + i)*13) % 256 - 128)
+                           FOR i IN range(0, 64)]) AS e
+                FROM frames
+            ), bits AS (
+                SELECT media_id, nf, f,
+                       CASE WHEN lead(e) OVER (
+                                PARTITION BY media_id ORDER BY f) > e
+                            THEN 1 ELSE 0 END AS bit
+                FROM energy
+            )
+            SELECT media_id, CAST(max(nf) AS INT) AS n_frames,
+                   CAST(COALESCE(sum(CASE WHEN f < nf - 1
+                            THEN bit * (1 << f) ELSE 0 END), 0)
+                        AS BIGINT) AS fingerprint
+            FROM bits GROUP BY media_id ORDER BY media_id
         """,
         # dHash oracle: the sampled 9x8 luma grid recomputed
         # closed-form from the PPM generator (pixel p = (mid*3+p*5)

@@ -1824,3 +1824,51 @@ def image_dhash_dup_groups(media: DataFrame) -> DataFrame:
         .filter(F.col("n_images") >= 2)
         .orderBy(F.desc("n_images"), "dhash_hi", "dhash_lo", "min_media_id")
     )
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fingerprint", LongType()),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame, frame: int = 64) -> DataFrame:
+    """Perceptual audio fingerprint -- the energy-delta signature
+    (the bit construction behind Haitsma-Kalker/Shazam-class audio
+    hashing, reduced to one band): exact integer frame energies
+    sum((s-128)^2) over `frame`-sample windows, one bit per
+    consecutive-frame comparison energy[f+1] > energy[f], packed
+    little-endian into a BIGINT (full frames only; files this short
+    stay under 32 bits, so no sign-bit exposure).
+
+    The audio twin of image_dhash: decode once, fingerprint forever;
+    duplicate detection is a groupBy on (n_frames, fingerprint).
+    Integer end to end, so the oracle recomputes it closed-form from
+    the WAV generator.
+    """
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "n_frames": [], "fingerprint": []}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                _rate, _bits, _ch, arr = parse_wav_bytes(bytes(blob))
+                nf = len(arr) // frame
+                seg = (arr[: nf * frame] - 128).reshape(nf, frame)
+                energy = (seg * seg).sum(axis=1)
+                fp = 0
+                for f in range(nf - 1):
+                    if energy[f + 1] > energy[f]:
+                        fp |= 1 << f
+                rows["media_id"].append(int(mid))
+                rows["n_frames"].append(int(nf))
+                rows["fingerprint"].append(int(fp))
+            yield pd.DataFrame(rows)
+
+    return (
+        media.select("media_id", "content")
+        .mapInPandas(_fp, AUDIO_FP_SCHEMA)
+        .orderBy("media_id")
+    )

@@ -669,3 +669,35 @@ def test_dhash_invariances(spark):
     groups = mm.image_dhash_dup_groups(media).collect()
     assert len(groups) == 1 and groups[0]["n_images"] == 2
     assert groups[0]["min_media_id"] == 0
+
+
+def test_audio_fingerprint_semantics(spark):
+    """Quiet->loud yields rising-energy bits; identical signals share
+    a fingerprint; a reversed envelope differs."""
+    import struct
+
+    import numpy as np
+
+    from commoncrawl_crawler_spark.operators import multimodal as mm
+
+    def wav(mid, samples):
+        n = len(samples)
+        header = (
+            b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", n)
+        )
+        return (mid, "audio/wav",
+                header + np.asarray(samples, dtype=np.uint8).tobytes())
+
+    quiet = [128, 129] * 32            # near-zero energy frame
+    loud = [28, 228] * 32              # high energy frame
+    rising = quiet + quiet + loud + loud
+    rows = [wav(0, rising), wav(1, rising), wav(2, rising[::-1])]
+    media = spark.createDataFrame(rows, ["media_id", "mime", "content"])
+    got = {r["media_id"]: (r["n_frames"], r["fingerprint"])
+           for r in mm.audio_fingerprint(media, frame=64).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+    # 4 frames: energies q,q,L,L -> bits (f1>f0)=0, (f2>f1)=1, (f3>f2)=0
+    assert got[0] == (4, 0b010)
