@@ -284,6 +284,7 @@ def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
         "text_backoff_lm",  # 1-row train-totals broadcast
         "sim_ivfpq_topk",  # broadcast centroid table x probes (routing)
         "graph_bowtie",  # 1-row core-scc-id broadcast
+        "evt_funnel",  # 1-row step-0 count broadcast (conversion base)
     }
     bnlj = {
         n for n, r in counted.items() if r["broadcast_nested_loop_joins"]
