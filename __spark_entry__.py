@@ -257,6 +257,58 @@ def _layered_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall over the layered digraph, with the exact reach count
+    from the SHARED layered closure joined on as the quality column
+    (the error report the approximate operator replaces at scale)."""
+    hb = graph.hyperball(_layered_digraph_edges(spark, sf_dir), max_rounds=40)
+    exact = graph.reach_counts(
+        _layered_digraph_edges(spark, sf_dir),
+        closure=_layered_closure(spark, sf_dir),
+    )
+    return hb.join(exact, "node").select(
+        "node",
+        "ball_est_micro",
+        "harmonic_micro",
+        F.col("n_reach").alias("exact_reach"),
+    ).orderBy("node")
+
+
+def _redirect_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # functional host-alias graph on the 97-residue grain: terminals
+    # at v % 5 == 0, everyone else points at (6v + 13) % 97 -- 12
+    # nodes sit on real multi-node cycles, the longest terminating
+    # chain is 11 hops, and no self-loop exists (the v = 75 fixpoint
+    # of the map is a terminal), so the gate exercises every verdict
+    # class of resolve_redirect_chains
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        o.select((F.col("o_orderkey") % 97).alias("src"))
+        .distinct()
+        .filter(F.col("src") % 5 != 0)
+        .select("src", ((F.col("src") * 6 + 13) % 97).alias("dst"))
+    )
+
+
+def _anchor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one synthetic inbound link per document: 41 target pages, anchor
+    # phrase varies by (lang, doc_id % 7), source host by corpus source
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select(
+        F.concat(
+            F.lit("http://site"),
+            (F.col("doc_id") % 41).cast("string"),
+            F.lit(".example.com/"),
+        ).alias("url"),
+        F.concat(
+            F.col("lang"), F.lit(" "), (F.col("doc_id") % 7).cast("string")
+        ).alias("anchor"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("src_host"),
+    )
+
+
 def _digraph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the reachability closure feeds BOTH graph_reach_counts and
     # graph_scc; run the doubling fixpoint once per (session, sf)
@@ -657,6 +709,46 @@ r{i} AS (
     return sql + (
         f"\nSELECT node, round(rank_i / 1000000.0, 6) AS rank"
         f" FROM r{iterations} ORDER BY node"
+    )
+
+
+def _opic_sql(iterations: int = 4) -> str:
+    # OPIC cash/history circulation, unrolled per round like
+    # _pagerank_sql: fixed-point bigint cash, truncating //, dangling
+    # cash split evenly across all nodes (scalar subqueries mirror the
+    # operator's 1-row broadcasts)
+    sql = (
+        "WITH "
+        + _edges_cte()
+        + """, c0 AS (
+    SELECT node, CAST(1000000 AS BIGINT) AS cash,
+           CAST(0 AS BIGINT) AS hist FROM nodes
+)"""
+    )
+    for i in range(1, iterations + 1):
+        sql += f""",
+c{i} AS (
+    SELECT n.node,
+           CAST(COALESCE(s.recv, 0)
+                + (SELECT COALESCE(sum(c.cash), 0)
+                   FROM c{i - 1} c
+                   WHERE c.node NOT IN (SELECT src FROM outdeg))
+                  // (SELECT count(*) FROM nodes)
+                AS BIGINT) AS cash,
+           CAST(p.hist + p.cash AS BIGINT) AS hist
+    FROM nodes n
+    LEFT JOIN (
+        SELECT e.dst AS node, sum(c.cash // o.out_cnt) AS recv
+        FROM edges e
+        JOIN c{i - 1} c ON e.src = c.node
+        JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+    ) s ON n.node = s.node
+    JOIN c{i - 1} p ON n.node = p.node
+)"""
+    return sql + (
+        f"\nSELECT node, cash AS cash_micro, hist AS hist_micro"
+        f" FROM c{iterations} ORDER BY node"
     )
 
 
@@ -3104,6 +3196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_inverse_links": lambda s, d: graph.inverse_links(_edges(s, d)),
         "graph_degree_stats": lambda s, d: graph.degree_stats(_edges(s, d)),
         "graph_pagerank": lambda s, d: graph.pagerank(_edges(s, d), iterations=3),
+        # OPIC crawl priority (Abiteboul et al. 2003): cash/history
+        # circulation with even dangling redistribution -- the online
+        # frontier-priority twin of the batch PageRank above
+        "graph_opic": lambda s, d: graph.opic(_edges(s, d), iterations=4),
         # topic-sensitive PageRank: teleport returns only to the
         # seed set (every 50th node id) -- TrustRank-style proximity
         "graph_pagerank_personalized": lambda s, d: graph.pagerank_personalized(
@@ -3360,6 +3456,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # longest-path levels of the condensation DAG (crawl tiers)
         "graph_condensation_levels": lambda s, d: graph.condensation_levels(
             _layered_digraph_edges(s, d), closure=_layered_closure(s, d)
+        ),
+        # HyperBall geometric centralities (Boldi-Vigna): per-node HLL
+        # ball registers over the layered digraph; exact reach from
+        # the SHARED layered closure is the parity/error column
+        "graph_hyperball": _graph_hyperball,
+        # redirect/alias chain resolution by pointer doubling over a
+        # functional host graph (terminals, 11-hop chains, real cycles)
+        "graph_redirect_resolve": lambda s, d: graph.resolve_redirect_chains(
+            _redirect_edges(s, d), max_rounds=7
+        ),
+        # inbound anchor-text aggregation per link target (the LinkDB
+        # anchor index): one rollup pass + one window
+        "graph_anchor_text": lambda s, d: graph.anchor_text_summary(
+            _anchor_links(s, d), k=3
         ),
         # BM25 lexical ranking against a fixed bag-of-terms query
         "text_bm25_rank": lambda s, d: textstats.bm25_scores(
@@ -5725,6 +5835,7 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY node ORDER BY node
         """,
         "graph_pagerank": _pagerank_sql(iterations=3),
+        "graph_opic": _opic_sql(iterations=4),
         "graph_pagerank_personalized": _ppr_sql(iterations=3, seed_mod=50),
         "graph_pagerank_converged": _pagerank_converged_sql(),
         "sim_kmeans_exact": _kmeans_sql(),
@@ -6026,6 +6137,150 @@ def oracle_sql() -> dict[str, str]:
                    CAST(comps.n_nodes AS BIGINT) AS n_nodes
             FROM comps JOIN lev ON comps.scc_id = lev.scc_id
             ORDER BY level, comps.scc_id
+        """,
+        # HyperBall: registers rebuilt from EXACT recursive-CTE ball
+        # membership -- the register iteration is lossless on register
+        # vectors, so estimates match bit-for-bit (same md5 window
+        # model as agg_distinct_sketch); harmonic = telescoping
+        # (est_t - est_{t-1}) // t, floor == trunc on the nonnegative
+        # deltas
+        "graph_hyperball": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT o_orderkey % 97 AS src,
+                       (o_orderkey * 3 + o_custkey) % 97 AS dst
+                FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+                  AND (((o_orderkey % 97) // 24 + 1
+                            = ((o_orderkey * 3 + o_custkey) % 97) // 24)
+                       OR ((o_orderkey % 97) // 24
+                               = ((o_orderkey * 3 + o_custkey) % 97) // 24
+                           AND o_orderkey % 3 = 0))
+            ), e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+            nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e2
+                    UNION ALL SELECT dst FROM e2
+                )
+            ), dist0(src, dst, d) AS (
+                SELECT src, dst, 1 FROM e2
+                UNION
+                SELECT r.src, t.dst, r.d + 1 FROM dist0 r JOIN e2 t
+                ON r.dst = t.src WHERE r.d < 40 AND r.src <> t.dst
+            ), dist AS (
+                SELECT src, dst, min(d) AS mind FROM dist0 GROUP BY 1, 2
+            ), tmax AS (SELECT max(mind) AS tm FROM dist),
+            ts AS (
+                SELECT unnest(generate_series(0, (SELECT tm FROM tmax)))
+                       AS t
+            ), members AS (
+                SELECT n.node AS v, ts.t, n.node AS u FROM nodes n, ts
+                UNION ALL
+                SELECT d.src, ts.t, d.dst
+                FROM dist d JOIN ts ON d.mind <= ts.t
+            ), regs AS (
+                SELECT v, t,
+                       CAST(('0x'||substr(md5(CAST(u AS VARCHAR)),1,15))
+                            AS BIGINT) % 64 AS bucket,
+                       max(41 - length(ltrim(bin(
+                           CAST(('0x'||substr(md5(CAST(u AS VARCHAR)),
+                                 16,15)) AS BIGINT) % 1099511627776
+                       ), '0'))) AS reg
+                FROM members GROUP BY v, t, bucket
+            ), est AS (
+                SELECT v, t,
+                       CAST(CAST('6389617079320712314880' AS HUGEINT)
+                            // (sum(2199023255552 >> reg)
+                                + (64 - count(*)) * 2199023255552)
+                            AS BIGINT) AS est_micro
+                FROM regs GROUP BY v, t
+            ), harm AS (
+                SELECT e1.v,
+                       sum((e1.est_micro - e0.est_micro) // e1.t)
+                       AS harmonic_micro
+                FROM est e1 JOIN est e0
+                ON e0.v = e1.v AND e0.t = e1.t - 1
+                WHERE e1.t > 0 GROUP BY e1.v
+            ), final AS (
+                SELECT v, est_micro FROM est
+                WHERE t = (SELECT tm FROM tmax)
+            ), reachc AS (
+                SELECT src, count(*) AS n_reach FROM dist GROUP BY src
+            )
+            SELECT n.node,
+                   f.est_micro AS ball_est_micro,
+                   CAST(COALESCE(h.harmonic_micro, 0) AS BIGINT)
+                       AS harmonic_micro,
+                   CAST(COALESCE(r.n_reach, 0) AS BIGINT) AS exact_reach
+            FROM nodes n
+            JOIN final f ON n.node = f.v
+            LEFT JOIN harm h ON n.node = h.v
+            LEFT JOIN reachc r ON n.node = r.src
+            ORDER BY n.node
+        """,
+        # redirect resolution: the oracle walks one hop at a time (the
+        # recursive-CTE semantics pointer doubling compresses); a node
+        # whose walk never reaches a pointer-less cur within the d<97
+        # budget is on (or feeds) a cycle
+        "graph_redirect_resolve": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT o_orderkey % 97 AS src,
+                       ((o_orderkey % 97) * 6 + 13) % 97 AS dst
+                FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+                  AND (o_orderkey % 97) % 5 <> 0
+            ), nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e
+                    UNION ALL SELECT dst FROM e
+                )
+            ), walk(node, cur, d) AS (
+                SELECT node, node, 0 FROM nodes
+                UNION
+                SELECT w.node, e.dst, w.d + 1
+                FROM walk w JOIN e ON w.cur = e.src
+                WHERE w.d < 97
+            ), term AS (
+                SELECT w.node, w.cur AS final_node, w.d AS hops
+                FROM walk w LEFT JOIN e p ON w.cur = p.src
+                WHERE p.src IS NULL
+            )
+            SELECT n.node,
+                   t.final_node,
+                   CAST(t.hops AS BIGINT) AS hops,
+                   (t.node IS NULL) AS on_cycle
+            FROM nodes n LEFT JOIN term t ON n.node = t.node
+            ORDER BY n.node
+        """,
+        "graph_anchor_text": """
+            WITH links AS (
+                SELECT 'http://site' || CAST(doc_id % 41 AS VARCHAR)
+                           || '.example.com/' AS url,
+                       lang || ' ' || CAST(doc_id % 7 AS VARCHAR)
+                           AS anchor,
+                       source || '.example.com' AS src_host
+                FROM documents
+            ), detail AS (
+                SELECT url, anchor, count(*) AS anchor_cnt
+                FROM links GROUP BY 1, 2
+            ), totals AS (
+                SELECT url, count(*) AS total_inlinks,
+                       count(DISTINCT src_host) AS n_src_hosts
+                FROM links GROUP BY 1
+            ), ranked AS (
+                SELECT url, anchor, anchor_cnt,
+                       row_number() OVER (
+                           PARTITION BY url
+                           ORDER BY anchor_cnt DESC, anchor ASC
+                       ) AS rank
+                FROM detail
+            )
+            SELECT r.url, CAST(r.rank AS INT) AS rank, r.anchor,
+                   CAST(r.anchor_cnt AS BIGINT) AS anchor_cnt,
+                   CAST(t.total_inlinks AS BIGINT) AS total_inlinks,
+                   CAST(t.n_src_hosts AS BIGINT) AS n_src_hosts
+            FROM ranked r JOIN totals t USING (url)
+            WHERE r.rank <= 3
+            ORDER BY r.url, r.rank
         """,
         "graph_bowtie": """
             WITH RECURSIVE e AS (

@@ -1216,3 +1216,382 @@ def condensation_levels(
         .select("scc_id", "level", "n_nodes")
         .orderBy("level", "scc_id")
     )
+
+
+def hyperball(
+    edges: DataFrame, max_rounds: int = 40, window_bits: int = 40
+) -> DataFrame:
+    """HyperBall geometric centralities (Boldi & Vigna, "In-Core
+    Computation of Geometric Centralities with HyperBall", 2013; the
+    algorithm behind the published CommonCrawl host-graph centrality
+    releases). Each node carries the deterministic m=64 HLL register
+    vector (aggregates._sketch_registers math) of its OUT-ball
+    B_t(v) = {u : dist(v, u) <= t}; one round is
+
+        regs_t(v) = bucketwise-max(regs_{t-1}(v),
+                                   regs_{t-1}(w) for each edge v->w)
+
+    which is EXACTLY the register vector of the true ball B_t(v)
+    (HLL union is lossless on registers), so every per-round estimate
+    matches an oracle that rebuilds registers from exact recursive-CTE
+    ball membership. Harmonic centrality accumulates the Boldi-Vigna
+    telescoping sum_t (|B_t| - |B_{t-1}|) / t over the integer
+    micro-unit estimates with truncating DIV -- exact integers end to
+    end, bit-identical across engines and partitionings.
+
+    State layout is HyperBall's own trick adapted to columnar Spark:
+    ONE row per node with the 64 registers as 64 narrow int COLUMNS
+    (not 64 rows), so a round is
+
+        state -> broadcast/equi-join edges -> union self
+              -> groupBy(node) with 64 max() aggregates
+              -> recompute est + telescoping delta in a projection
+
+    i.e. exactly ONE shuffle per round, the harmonic accumulator and
+    previous estimate ride on the same row (contributed rows carry
+    NULL there; max() ignores them), and no per-round join against a
+    separate accumulator table exists at all. Fixpoint via the
+    star-contraction Observation discipline on a 5-round cadence: the
+    total register sum is monotone, so an unchanged sum across a span
+    proves no round in the span changed anything. Rounds (possibly
+    overshooting the true fixpoint by < cadence no-op hops) land in
+    `hyperball.last_rounds`.
+
+    Scale shape: state is V rows x ~70 small ints (the whole point vs
+    materializing the V^2 closure); rounds = graph eccentricity, the
+    same budget as the reference's iterative link-walk jobs. The
+    exact-closure parity column is the gate's quality report, not
+    part of the operator.
+
+    Output: (node, ball_est_micro, harmonic_micro).
+    """
+    from pyspark.sql import Observation
+
+    m = 64
+    top = window_bits + 1
+    unit = 1 << (window_bits + 1)
+    from commoncrawl_crawler_spark.operators.aggregates import HLL_ALPHA_E6
+
+    numerator = HLL_ALPHA_E6 * m * m * unit
+
+    e = (
+        edges.select("src", "dst")
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    rcols = [f"_r{i}" for i in range(m)]
+    # singleton registers: bucket/rho of the node's own hash -- the
+    # identical md5 window math as aggregates._sketch_registers so the
+    # oracle reuses the agg_distinct_sketch SQL model verbatim
+    h = F.md5(F.col("node").cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % m)
+    rho = F.lit(top) - F.expr(
+        "length(trim(LEADING '0' FROM bin("
+        "CAST(conv(substring(md5(CAST(node AS STRING)), 16, 15),"
+        " 16, 10) AS BIGINT) % 1099511627776)))"
+    )
+    # empty bucket = register 0 (contributes the full 2^41 unit)
+    state = nodes.select(
+        "node",
+        *[
+            F.when(bucket == i, rho).otherwise(F.lit(0)).cast("int").alias(c)
+            for i, c in enumerate(rcols)
+        ],
+    )
+    # denominator via an interpreted higher-order fold over the 64
+    # registers: for an iterative operator the per-round Catalyst
+    # analysis + Janino compile of a 64-term codegen sum costs more
+    # driver wall than interpreting the fold costs the executors
+    # (evaluated once per NODE row, not per corpus row)
+    est = F.expr(
+        f"CAST(CAST('{numerator}' AS DECIMAL(38,0)) DIV "
+        f"aggregate(array({','.join(rcols)}), CAST(0 AS BIGINT), "
+        f"(acc, x) -> acc + shiftright(CAST({unit} AS BIGINT), x)) "
+        "AS BIGINT)"
+    )
+    state = state.select(
+        "node",
+        *rcols,
+        est.alias("_est_prev"),
+        F.lit(0).cast("bigint").alias("_harm"),
+    ).localCheckpoint(eager=True)
+
+    reg_sum = sum(F.col(c) for c in rcols)
+    prev_sig = None
+    rounds = 0
+    # checkpoint every round: the 64-register projection is wide, so
+    # letting rounds chain lazily multiplies Catalyst's analysis cost
+    # per span; a shallow one-shuffle plan per round is cheaper in
+    # wall-clock AND is the shape a 1000-executor run wants (bounded
+    # lineage, one exchange per radius step)
+    checkpoint_every = 1
+    for t in range(1, max_rounds + 1):
+        # neighbor register vectors flow src <- dst; the accumulator
+        # columns ride as NULL so the max() aggregates below pick the
+        # node's OWN single non-null value
+        contrib = e.join(state, e["dst"] == state["node"]).select(
+            e["src"].alias("node"),
+            *rcols,
+            F.lit(None).cast("bigint").alias("_est_prev"),
+            F.lit(None).cast("bigint").alias("_harm"),
+        )
+        merged = (
+            state.unionByName(contrib)
+            .groupBy("node")
+            .agg(
+                *[F.max(c).alias(c) for c in rcols],
+                F.max("_est_prev").alias("_est_prev"),
+                F.max("_harm").alias("_harm"),
+            )
+        )
+        # truncating integer division by the radius: deltas are
+        # nonnegative (registers only grow), so DIV == floor
+        scored = merged.select(
+            "node", *rcols, est.alias("_est_new"), "_est_prev", "_harm"
+        )
+        state = scored.select(
+            "node",
+            *rcols,
+            F.col("_est_new").alias("_est_prev"),
+            (
+                F.col("_harm") + F.expr(f"(_est_new - _est_prev) DIV {t}")
+            ).alias("_harm"),
+        )
+        if t % checkpoint_every == 0 or t == max_rounds:
+            obs = Observation()
+            state = state.observe(
+                obs, F.sum(reg_sum).alias("s"), F.count(F.lit(1)).alias("n")
+            ).localCheckpoint(eager=True)
+            sig = (obs.get["n"], obs.get["s"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        rounds = t
+    hyperball.last_rounds = rounds
+    return state.select(
+        "node",
+        F.col("_est_prev").alias("ball_est_micro"),
+        F.col("_harm").alias("harmonic_micro"),
+    ).orderBy("node")
+
+
+def resolve_redirect_chains(
+    redirects: DataFrame, max_rounds: int = 8
+) -> DataFrame:
+    """Resolve redirect/alias chains to their final target by pointer
+    doubling -- the CrawlDB redirect discipline (the reference's merge
+    carries per-attempt redirect targets in crawl_stats[] and its
+    link walks must land on the canonical destination;
+    CrawlDBMergingReducer folds http 3xx attempts into the merged
+    record) as a standalone graph operator: every node follows its
+    UNIQUE outgoing `redirects_to` pointer (a functional graph) until
+    a terminal node (no outgoing pointer) or a cycle.
+
+    Pointer doubling composes the partial walk with itself each round
+    (f_{2k} = f_k . f_k, hops add), so chains of length L resolve in
+    ceil(log2(L)) rounds, not L -- with max_rounds=8 any chain up to
+    256 hops resolves, and anything still unresolved after the doubling
+    budget has walked >= 2^max_rounds distinct pointers, which on a
+    <= 2^max_rounds-node host graph is a proof of a cycle (the gate's
+    97-node grain needs 7). Semantics: (node, final_node, hops,
+    on_cycle); cycle members and nodes whose chain enters a cycle
+    report on_cycle=true with NULL final/hops, terminals report
+    themselves with 0 hops -- exactly a recursive-CTE walk's verdict,
+    which is what the oracle runs. A self-redirect is already
+    canonical: the src=dst edge is dropped, so the node reports as a
+    terminal (itself, 0 hops), not a 1-cycle.
+
+    Scale shape: state is one row per node (node, cur, hops, done);
+    each round is ONE self-equi-join on cur plus a localCheckpoint --
+    log2(chain length) shuffles total, the textbook list-ranking
+    pattern for 100 TB host tables where a per-hop loop would take
+    hundreds of rounds.
+    """
+    base = redirects.select(
+        F.col("src").alias("node"), F.col("dst").alias("to")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    ptr = (
+        base.filter(F.col("node") != F.col("to"))
+        .groupBy("node")
+        .agg(F.min("to").alias("to"))  # enforce functional: one pointer
+        .localCheckpoint(eager=True)
+    )
+    # node universe from the UNFILTERED input so a pure self-redirect
+    # still reports (as a terminal)
+    nodes = (
+        base.select("node")
+        .unionByName(base.select(F.col("to").alias("node")))
+        .distinct()
+    )
+    # state: cur = end of the walked prefix, hops = its length,
+    # done = cur is terminal
+    state = (
+        nodes.join(ptr, "node", "left")
+        .select(
+            "node",
+            F.coalesce("to", F.col("node")).alias("cur"),
+            F.when(F.col("to").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+            .alias("hops"),
+            F.col("to").isNull().alias("done"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # compose the walk with itself: look up state[cur]
+        nxt = state.alias("a").join(
+            state.select(
+                F.col("node").alias("_m_node"),
+                F.col("cur").alias("_m_cur"),
+                F.col("hops").alias("_m_hops"),
+                F.col("done").alias("_m_done"),
+            ),
+            F.col("a.cur") == F.col("_m_node"),
+            "left",
+        )
+        state = nxt.select(
+            F.col("a.node").alias("node"),
+            F.when(F.col("a.done"), F.col("a.cur"))
+            .otherwise(F.coalesce("_m_cur", F.col("a.cur")))
+            .alias("cur"),
+            F.when(F.col("a.done"), F.col("a.hops"))
+            .otherwise(F.col("a.hops") + F.coalesce("_m_hops", F.lit(0)))
+            .alias("hops"),
+            (
+                F.col("a.done") | F.coalesce("_m_done", F.lit(True))
+            ).alias("done"),
+        ).localCheckpoint(eager=True)
+    return state.select(
+        "node",
+        F.when(F.col("done"), F.col("cur")).alias("final_node"),
+        F.when(F.col("done"), F.col("hops")).alias("hops"),
+        (~F.col("done")).alias("on_cycle"),
+    ).orderBy("node")
+
+
+def anchor_text_summary(links: DataFrame, k: int = 3) -> DataFrame:
+    """Inbound anchor-text aggregation per link target -- the LinkDB
+    complement of inverse_links (InverseLinkDBWriterV3.java keeps
+    per-target SOURCE samples; web search additionally wants the TEXT
+    the web uses to link to a page, the classic Nutch/Google anchor
+    index). Input rows: (url, anchor, src_host) -- one per extracted
+    link (functions/html.py extract_links provides the typed anchor).
+
+    Output: the top-k anchors per target as flat rows
+    (url, rank, anchor, anchor_cnt, total_inlinks, n_src_hosts) --
+    rank by (count desc, anchor asc), so row k=1 is the phrase most
+    of the web uses for that page.
+
+    Scale shape: ONE pass over the link table -- rollup(url, anchor)
+    computes the per-anchor counts and the per-url totals (inlink
+    count + exact distinct source hosts) in a single Expand +
+    partial-aggregating shuffle, then one window over url ranks the
+    anchor level. No joins, no second scan; per-url state is bounded
+    by the anchor vocabulary of that page's inlinks, and the window
+    partition is the (already shuffled) url key.
+    """
+    from pyspark.sql import Window
+
+    lv = (
+        links.select("url", "anchor", "src_host")
+        .rollup("url", "anchor")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.countDistinct("src_host").alias("_hosts"),
+            F.grouping_id().alias("_gid"),
+        )
+        .filter(F.col("url").isNotNull())
+    )
+    detail = lv.filter(F.col("_gid") == 0)
+    totals = lv.filter(F.col("_gid") == 1).select(
+        "url",
+        F.col("_cnt").alias("total_inlinks"),
+        F.col("_hosts").alias("n_src_hosts"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.col("_cnt").desc(), F.col("anchor").asc()
+    )
+    ranked = (
+        detail.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("url", "rank", "anchor", F.col("_cnt").alias("anchor_cnt"))
+    )
+    return ranked.join(totals, "url").orderBy("url", "rank")
+
+
+def opic(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """OPIC -- On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003), the crawl-prioritization alternative to batch
+    PageRank: every node holds CASH; each round it hands cash DIV
+    outdeg to each successor and banks what it held into HISTORY, and
+    dangling cash is split evenly across all nodes (the paper's
+    virtual-page edge). After k rounds history/total estimates page
+    importance -- the reference's crawler needs exactly this kind of
+    frontier priority long before a full PageRank fixpoint is
+    affordable (its PageRankUtils BSP loop is the batch variant).
+
+    Same exact-arithmetic contract as `pagerank`: cash is a
+    fixed-point bigint (1.0 == 1e6) with truncating DIV, so results
+    are bit-identical across engines/partitionings (cash lost to
+    truncation simply leaves circulation -- deterministic, documented).
+
+    Scale shape per round: one equi-join + groupBy on dst (the same
+    single shuffle as a PageRank step) plus TWO 1-row broadcast
+    scalars (dangling-cash total, node count) -- the bounded-broadcast
+    pattern the census allowlists; state is (node, cash, hist) and is
+    checkpointed each round.
+
+    Output: (node, cash_micro, hist_micro).
+    """
+    nodes = graph_nodes(edges).localCheckpoint(eager=False)
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
+    edge_w = (
+        edges.select("src", "dst")
+        .join(out_deg, "src")
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
+
+    state = nodes.select(
+        "node",
+        F.lit(1_000_000).cast("bigint").alias("cash_micro"),
+        F.lit(0).cast("bigint").alias("hist_micro"),
+    )
+    for _ in range(iterations):
+        recv = (
+            edge_w.join(state, edge_w["src"] == state["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.expr("cash_micro DIV out_cnt")).alias("_recv"))
+        )
+        dangling = (
+            state.join(out_deg, state["node"] == out_deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("cash_micro"), F.lit(0)).alias("_dang"))
+        )
+        state = (
+            state.join(recv, state["node"] == recv["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    F.coalesce("_recv", F.lit(0))
+                    + F.expr("_dang DIV _n")
+                ).cast("bigint").alias("cash_micro"),
+                (F.col("hist_micro") + F.col("cash_micro")).alias(
+                    "hist_micro"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.orderBy("node")

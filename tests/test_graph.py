@@ -340,3 +340,138 @@ def test_condensation_levels_hand_graph(spark):
     rows = {r["scc_id"]: (r["level"], r["n_nodes"])
             for r in graph.condensation_levels(edges).collect()}
     assert rows == {0: (0, 2), 2: (1, 1), 3: (2, 1), 4: (3, 2)}
+
+
+def test_hyperball_matches_exact_register_model(spark):
+    # rebuild the register model independently (hashlib md5, pure
+    # python) from EXACT BFS balls and compare est + harmonic -- the
+    # lossless-union property the operator's docstring claims
+    import collections
+    import hashlib
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 2), (5, 1), (7, 8)]
+    out = {
+        r["node"]: (r["ball_est_micro"], r["harmonic_micro"])
+        for r in graph.hyperball(_edges_df(spark, pairs)).collect()
+    }
+
+    adj = collections.defaultdict(set)
+    for s, d in pairs:
+        adj[s].add(d)
+    nodes = sorted({x for e in pairs for x in e})
+
+    def est(members):
+        regs = {}
+        for u in members:
+            h = hashlib.md5(str(u).encode()).hexdigest()
+            b = int(h[:15], 16) % 64
+            w = int(h[15:30], 16) % (1 << 40)
+            regs[b] = max(regs.get(b, 0), 41 - w.bit_length() if w else 41)
+        denom = sum(1 << (41 - r) for r in regs.values())
+        denom += (64 - len(regs)) * (1 << 41)
+        return (709390 * 64 * 64 * (1 << 41)) // denom
+
+    for v in nodes:
+        ball, prev, harm, t = {v}, est({v}), 0, 0
+        while True:
+            t += 1
+            grown = set(ball)
+            for u in ball:
+                grown |= adj.get(u, set())
+            if grown == ball:
+                break
+            ball = grown
+            e2 = est(ball)
+            harm += (e2 - prev) // t
+            prev = e2
+        assert out[v] == (prev, harm), f"node {v}"
+
+
+def test_hyperball_rounds_scale_with_eccentricity(spark):
+    # a 12-hop chain stabilizes within one checkpoint cadence past its
+    # eccentricity, far below the max_rounds budget
+    chain = [(i, i + 1) for i in range(1, 13)]
+    graph.hyperball(_edges_df(spark, chain), max_rounds=40)
+    assert 12 <= graph.hyperball.last_rounds <= 17
+
+
+def test_redirect_chains_all_verdict_classes(spark):
+    # terminal / chain / cycle / chain-into-cycle / self-loop
+    pairs = [(1, 2), (2, 3), (3, 10), (20, 21), (21, 20), (22, 20), (30, 30)]
+    out = {
+        r["node"]: (r["final_node"], r["hops"], r["on_cycle"])
+        for r in graph.resolve_redirect_chains(_edges_df(spark, pairs)).collect()
+    }
+    assert out[1] == (10, 3, False)
+    assert out[2] == (10, 2, False)
+    assert out[10] == (10, 0, False)  # terminal
+    assert out[20] == (None, None, True)  # cycle member
+    assert out[22] == (None, None, True)  # chain INTO a cycle
+    assert out[30] == (30, 0, False)  # self-redirect == canonical
+
+
+def test_redirect_chains_long_chain_log_rounds(spark):
+    # 200-hop chain resolves inside the 8-round doubling budget
+    # (2^8 = 256 >= 200); a per-hop walk would need 200 rounds
+    chain = [(i, i + 1) for i in range(1, 201)]
+    out = graph.resolve_redirect_chains(
+        _edges_df(spark, chain), max_rounds=8
+    ).collect()
+    got = {r["node"]: (r["final_node"], r["hops"]) for r in out}
+    assert got[1] == (201, 200)
+    assert got[200] == (201, 1)
+    assert not any(r["on_cycle"] for r in out)
+
+
+def test_anchor_text_topk_and_totals(spark):
+    rows = [
+        ("u1", "home", "h1"),
+        ("u1", "home", "h2"),
+        ("u1", "start", "h1"),
+        ("u1", "alpha", "h3"),
+        ("u1", "beta", "h3"),
+        ("u2", "x", "h1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, anchor string, src_host string"
+    )
+    out = [tuple(r) for r in graph.anchor_text_summary(df, k=2).collect()]
+    # rank 1 = most-used anchor; count ties broken by anchor asc
+    assert out == [
+        ("u1", 1, "home", 2, 5, 3),
+        ("u1", 2, "alpha", 1, 5, 3),
+        ("u2", 1, "x", 1, 1, 1),
+    ]
+
+
+def test_opic_matches_hand_model_and_conserves_cash(spark):
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (2, 6)]
+    out = {
+        r["node"]: (r["cash_micro"], r["hist_micro"])
+        for r in graph.opic(_edges_df(spark, pairs), iterations=4).collect()
+    }
+
+    import collections
+
+    adj = collections.defaultdict(list)
+    for s, d in pairs:
+        adj[s].append(d)
+    nodes = sorted({x for e in pairs for x in e})
+    cash = {v: 1_000_000 for v in nodes}
+    hist = {v: 0 for v in nodes}
+    for _ in range(4):
+        recv = collections.defaultdict(int)
+        for s in nodes:
+            if adj[s]:
+                share = cash[s] // len(adj[s])
+                for d in adj[s]:
+                    recv[d] += share
+        dang = sum(cash[v] for v in nodes if not adj[v])
+        ds = dang // len(nodes)
+        for v in nodes:
+            hist[v] += cash[v]
+        for v in nodes:
+            cash[v] = recv[v] + ds
+    assert out == {v: (cash[v], hist[v]) for v in nodes}
+    # cash never inflates: truncating DIV only LEAKS micro-units
+    assert sum(c for c, _ in out.values()) <= len(nodes) * 1_000_000
