@@ -274,6 +274,19 @@ def _graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def _graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cached as its own shared stage so the artifact path (parquet
+    # store) persists the TABLE itself, not a driver-side memo
+    return _cached(
+        spark,
+        "hyperball_nf",
+        sf_dir,
+        lambda: graph.hyperball_neighborhood(
+            _layered_digraph_edges(spark, sf_dir), max_rounds=40
+        ),
+    ).orderBy("t")
+
+
 def _redirect_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # functional host-alias graph on the 97-residue grain: terminals
     # at v % 5 == 0, everyone else points at (6v + 13) % 97 -- 12
@@ -307,6 +320,27 @@ def _anchor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("anchor"),
         F.concat(F.col("source"), F.lit(".example.com")).alias("src_host"),
     )
+
+
+def _boiler_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # render each document as a 5-block page: 2-word title, link-heavy
+    # nav, the real text as the content paragraph, a short note, and a
+    # link-bearing footer -- every verdict class of the block rules
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did,
+        F.lit('</title></head><body><div><a href="http://'),
+        F.col("source"),
+        F.lit('.example.com/">home '),
+        F.col("lang"),
+        F.lit('</a> <a href="/about">about</a></div><p>'),
+        F.col("text"),
+        F.lit('</p><p>ok</p><div>Copyright '),
+        F.col("source"),
+        F.lit(' <a href="#">terms of use</a></div></body></html>'),
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
 
 
 def _digraph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,23 +754,30 @@ def _opic_sql(iterations: int = 4) -> str:
     sql = (
         "WITH "
         + _edges_cte()
-        + """, c0 AS (
+        + """, nn AS (SELECT count(*) AS n FROM nodes),
+dangnodes AS (
+    SELECT node FROM nodes
+    WHERE node NOT IN (SELECT src FROM outdeg)
+), c0 AS MATERIALIZED (
     SELECT node, CAST(1000000 AS BIGINT) AS cash,
            CAST(0 AS BIGINT) AS hist FROM nodes
 )"""
     )
     for i in range(1, iterations + 1):
+        # the dangling share is hoisted into its own 1-row CTE per
+        # round (a per-row scalar subquery re-evaluates and made the
+        # sf0.1 oracle ~10x slower)
         sql += f""",
-c{i} AS (
+d{i} AS MATERIALIZED (
+    SELECT COALESCE(sum(c.cash), 0) // (SELECT n FROM nn) AS share
+    FROM c{i - 1} c JOIN dangnodes dg ON c.node = dg.node
+),
+c{i} AS MATERIALIZED (
     SELECT n.node,
-           CAST(COALESCE(s.recv, 0)
-                + (SELECT COALESCE(sum(c.cash), 0)
-                   FROM c{i - 1} c
-                   WHERE c.node NOT IN (SELECT src FROM outdeg))
-                  // (SELECT count(*) FROM nodes)
-                AS BIGINT) AS cash,
+           CAST(COALESCE(s.recv, 0) + d.share AS BIGINT) AS cash,
            CAST(p.hist + p.cash AS BIGINT) AS hist
     FROM nodes n
+    CROSS JOIN d{i} d
     LEFT JOIN (
         SELECT e.dst AS node, sum(c.cash // o.out_cnt) AS recv
         FROM edges e
@@ -1878,6 +1919,35 @@ def _csv_roundtrip(s: SparkSession, d: str) -> DataFrame:
     return ingest.read_rank_list(s, tmp).orderBy("rank")
 
 
+def _jsonl_roundtrip(s: SparkSession, d: str) -> DataFrame:
+    """events -> nested JSON-lines sidecar -> explicit-schema read.
+    String-typed leaves so the double survives bit-faithfully; the
+    cast back to double happens after the read, like a real ingest."""
+    tmp = _scratch("jsonl", d)
+    (
+        _t(s, d, "events")
+        .select(
+            F.col("event_id").cast("string").alias("event_id"),
+            F.struct(
+                F.col("user_id").cast("string").alias("user"),
+                F.col("event_type").alias("etype"),
+            ).alias("meta"),
+            # double -> shortest-repr string -> double is exact, so
+            # the string leaf keeps the JSON roundtrip bit-faithful
+            F.round(F.col("value"), 6).cast("string").alias("value"),
+        )
+        .write.mode("overwrite")
+        .json(tmp)
+    )
+    raw = ingest.read_jsonl(s, tmp)
+    return raw.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("meta.user").cast("bigint").alias("user_id"),
+        F.col("meta.etype").alias("event_type"),
+        F.col("value").cast("double").alias("value"),
+    ).orderBy("event_id")
+
+
 def _timeseries_tail(s: SparkSession, d: str) -> DataFrame:
     """events -> day-partitioned parquet log -> pruned tail read."""
     tmp = _scratch("ts", d)
@@ -2649,6 +2719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct_sketch": lambda s, d: aggregates.distinct_sketch(
             _t(s, d, "events"), "event_type", "user_id"
         ),
+        # CUBE: detail + both margins + grand total in ONE Expand pass
+        "agg_cube_rollup": lambda s, d: aggregates.cube_rollup(
+            _t(s, d, "orders")
+        ),
         # count-min sketch heavy hitters: fixed-size mergeable counter
         # table, md5-salted rows, estimate >= exact by construction
         "agg_count_min": lambda s, d: aggregates.count_min_tokens(
@@ -2817,6 +2891,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table has no newlines -- see render_line_corpus docstring)
         "text_c4_filter": lambda s, d: textstats.c4_line_filter(
             textstats.render_line_corpus(_t(s, d, "documents"))
+        ),
+        # T5 span-corruption training-example layout (deterministic
+        # period-15 mask: 20% noise density, mean span 3)
+        "text_span_corruption": lambda s, d: textstats.span_corruption(
+            _t(s, d, "documents")
+        ),
+        # jusText-style boilerplate/content block classification over
+        # deterministically rendered pages (title/nav/content/short/
+        # footer block structure per document)
+        "text_boilerplate_blocks": lambda s, d: textstats.boilerplate_blocks(
+            _boiler_pages(s, d)
         ),
         # DSIR importance resampling (Xie et al. 2023): hashed-unigram
         # log-likelihood-ratio score of every document against the
@@ -3188,6 +3273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             m=2,
         ),
         "source_csv_import": _csv_roundtrip,
+        # newline-delimited JSON sidecar ingest (explicit schema,
+        # nested struct, bit-faithful doubles via string leaves)
+        "source_jsonl_roundtrip": _jsonl_roundtrip,
         "source_timeseries_tail": _timeseries_tail,
         "source_multi_sink": _multi_sink_readback,
         "graph_link_edges": lambda s, d: _edges(s, d).orderBy(
@@ -3236,6 +3324,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings")
             .filter(F.col("vec_id") < 10)
             .select(F.col("vec_id").alias("probe_id"), "embedding"),
+            k=5,
+        ),
+        # contrastive hard negatives: nearest neighbors under a
+        # label-inequality predicate (the embedding-training miner)
+        "sim_hard_negatives": lambda s, d: similarity.hard_negative_mining(
+            _t(s, d, "embeddings"),
+            _t(s, d, "embeddings")
+            .filter(F.col("vec_id") < 10)
+            .select(
+                F.col("vec_id").alias("probe_id"), "embedding", "label"
+            ),
             k=5,
         ),
         # iterative kmeans quantizer -> rows-only check; recall vs
@@ -3461,6 +3560,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ball registers over the layered digraph; exact reach from
         # the SHARED layered closure is the parity/error column
         "graph_hyperball": _graph_hyperball,
+        # neighborhood function N(t) + effective-diameter flag from
+        # the same register iteration (observed totals, zero extra
+        # jobs; cached per session like the other shared stages)
+        "graph_neighborhood_function": _graph_neighborhood,
         # redirect/alias chain resolution by pointer doubling over a
         # functional host graph (terminals, 11-hop chains, real cycles)
         "graph_redirect_resolve": lambda s, d: graph.resolve_redirect_chains(
@@ -3783,6 +3886,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph_scc (same closure), agg_value_percentiles (same
         # events column, exact twin), dq_constraints (same module),
         # and mm_decode_ppm (same decode kernel the dhash rides).
+        # The session-4 additions (graph_hyperball,
+        # graph_redirect_resolve, graph_anchor_text, graph_opic,
+        # text_boilerplate_blocks, text_span_corruption,
+        # agg_cube_rollup, source_jsonl_roundtrip,
+        # sim_hard_negatives) likewise wait for round 6: each is
+        # hash-verified at sf0.01 AND sf0.1 in the session-4 sweeps
+        # (CORRECTNESS_SELF_r05 S4 files) and pytest-covered
+        # (hand models for HyperBall registers, OPIC cash, redirect
+        # verdict classes, T5 layout, cube margins, block rules).
         # Never-driver-validated gates outrank re-validation of
         # r2-green anchors: fn_url_canonicalize, agg_moving_daily_avg,
         # skew_salted_join, filter_text_grep, setop_distinct,
@@ -4099,6 +4211,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """,
+        "agg_cube_rollup": """
+            SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+                       AS gid,
+                   o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 3)
+                        AS DOUBLE) AS sum_total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY gid, o_orderstatus, o_orderpriority
+        """,
         "agg_distinct_sketch": """
             WITH rows_ AS (
                 SELECT event_type AS grp,
@@ -4107,7 +4230,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),16,15))
                             AS BIGINT) % 1099511627776 AS w
                 FROM events
-            ), regs AS (
+            ), regs AS MATERIALIZED (
                 SELECT grp, bucket,
                        max(41 - length(ltrim(bin(w), '0'))) AS reg
                 FROM rows_ GROUP BY grp, bucket
@@ -4138,7 +4261,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),16,15))
                             AS BIGINT) % 1099511627776 AS w
                 FROM events
-            ), regs AS (
+            ), regs AS MATERIALIZED (
                 SELECT grp, bucket,
                        max(41 - length(ltrim(bin(w), '0'))) AS reg
                 FROM rows_ GROUP BY grp, bucket
@@ -4195,11 +4318,11 @@ def oracle_sql() -> dict[str, str]:
                        CAST(('0x'||substr(md5(text),16,15))
                             AS BIGINT) % 1099511627776 AS w
                 FROM documents
-            ), regs AS (
+            ), regs AS MATERIALIZED (
                 SELECT grp, bucket,
                        max(41 - length(ltrim(bin(w), '0'))) AS reg
                 FROM rows_ GROUP BY grp, bucket
-            ), allregs AS (
+            ), allregs AS MATERIALIZED (
                 SELECT grp, bucket, reg FROM regs
                 UNION ALL
                 SELECT '__all__' AS grp, bucket, max(reg) AS reg
@@ -5461,7 +5584,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT bucket, sum(c) AS cr,
                        sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct
                 FROM df GROUP BY 1
-            ), dist AS (
+            ), dist AS MATERIALIZED (
                 SELECT bucket,
                        CAST(floor(ln(ct + 1) * 1e6 + 0.5) AS BIGINT)
                        - CAST(floor(ln(cr + 1) * 1e6 + 0.5)
@@ -5494,6 +5617,100 @@ def oracle_sql() -> dict[str, str]:
         # mirrors render_line_corpus exactly (md5-keyed decorations,
         # 12-token windows) then replays the C4 rules; list(... ORDER
         # BY line_idx) FILTER reassembles kept lines in order
+        # span corruption: per-token rows via range(len) keep the
+        # 0-based index math identical; string_agg(... ORDER BY i)
+        # skips NULL pieces exactly like the filtered array_join
+        "text_span_corruption": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), e AS (
+                SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t
+            ), p AS (
+                SELECT doc_id, i, toks[i + 1] AS tok,
+                       (i // 3) % 5 = 0 AS masked,
+                       i % 3 = 0 AS first_,
+                       i // 15 AS sid
+                FROM e
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_tokens,
+                   CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS INT)
+                       AS n_masked,
+                   string_agg(
+                       CASE WHEN NOT masked THEN tok
+                            WHEN first_ THEN
+                                '<extra_id_' || CAST(sid AS VARCHAR) || '>'
+                       END, ' ' ORDER BY i) AS input_text,
+                   string_agg(
+                       CASE WHEN masked THEN
+                           (CASE WHEN first_ THEN '<extra_id_'
+                                || CAST(sid AS VARCHAR) || '> ' || tok
+                            ELSE tok END)
+                       END, ' ' ORDER BY i)
+                   || ' <extra_id_'
+                   || CAST(((count(*) + 2) // 3 + 4) // 5 AS VARCHAR)
+                   || '>' AS target_text
+            FROM p GROUP BY doc_id ORDER BY doc_id
+        """,
+        # boilerplate blocks: same split/strip/density math; DuckDB
+        # regexp_replace needs the explicit 'g' flag (Spark's is
+        # global by default) and list_sum of an empty list is NULL
+        "text_boilerplate_blocks": """
+            WITH pages AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                       || '</title></head><body><div><a href="http://'
+                       || source || '.example.com/">home ' || lang
+                       || '</a> <a href="/about">about</a></div><p>'
+                       || text || '</p><p>ok</p><div>Copyright ' || source
+                       || ' <a href="#">terms of use</a></div></body></html>'
+                       AS html
+                FROM documents
+            ), segs AS (
+                SELECT doc_id,
+                       string_split_regex(html,
+                           '</?(p|div|h1|h2|h3|li|ul|title|body|html|head|footer|nav)[^>]*>')
+                       AS l
+                FROM pages
+            ), idx AS (
+                SELECT doc_id, l, unnest(range(len(l))) AS i FROM segs
+            ), blocks AS (
+                SELECT doc_id, CAST(i AS INT) AS block_idx,
+                       trim(regexp_replace(regexp_replace(
+                           l[i + 1], '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))
+                           AS text_,
+                       COALESCE(list_sum(list_transform(
+                           regexp_extract_all(l[i + 1],
+                               '<a[^>]*>([^<]*)</a>', 1),
+                           x -> length(x))), 0) AS achars
+                FROM idx
+            ), scored AS (
+                SELECT doc_id, block_idx,
+                       CAST(len(string_split(lower(text_), ' ')) AS INT)
+                           AS n_words,
+                       CAST(achars * 1000000 // length(text_) AS BIGINT)
+                           AS link_density_micro,
+                       CAST(len(list_filter(string_split(lower(text_), ' '),
+                           t -> list_contains(['the','and','of','to','a',
+                               'der','die','und','das','ist','le','la','et',
+                               'les','des','el','que','los','de'], t)))
+                           * 1000000
+                           // len(string_split(lower(text_), ' '))
+                           AS BIGINT) AS stop_density_micro
+                FROM blocks WHERE length(text_) > 0
+            )
+            SELECT doc_id, block_idx, n_words, link_density_micro,
+                   stop_density_micro,
+                   CASE WHEN link_density_micro > 500000 THEN 'boilerplate'
+                        WHEN n_words < 5 THEN 'boilerplate'
+                        WHEN stop_density_micro >= 300000
+                             AND n_words >= 10 THEN 'content'
+                        WHEN n_words >= 20 THEN 'content'
+                        ELSE 'boilerplate' END AS label
+            FROM scored ORDER BY doc_id, block_idx
+        """,
         "text_c4_filter": """
             WITH t AS (
                 SELECT doc_id,
@@ -5793,6 +6010,11 @@ def oracle_sql() -> dict[str, str]:
         "source_csv_import": """
             SELECT CAST(doc_id AS INT) AS rank, source AS domain
             FROM documents ORDER BY rank
+        """,
+        "source_jsonl_roundtrip": """
+            SELECT event_id, user_id, event_type,
+                   round(value, 6) AS value
+            FROM events ORDER BY event_id
         """,
         "source_timeseries_tail": """
             SELECT event_id, user_id, event_type, round(value, 6) AS value, ts
@@ -6166,18 +6388,18 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT r.src, t.dst, r.d + 1 FROM dist0 r JOIN e2 t
                 ON r.dst = t.src WHERE r.d < 40 AND r.src <> t.dst
-            ), dist AS (
+            ), dist AS MATERIALIZED (
                 SELECT src, dst, min(d) AS mind FROM dist0 GROUP BY 1, 2
             ), tmax AS (SELECT max(mind) AS tm FROM dist),
             ts AS (
                 SELECT unnest(generate_series(0, (SELECT tm FROM tmax)))
                        AS t
-            ), members AS (
+            ), members AS MATERIALIZED (
                 SELECT n.node AS v, ts.t, n.node AS u FROM nodes n, ts
                 UNION ALL
                 SELECT d.src, ts.t, d.dst
                 FROM dist d JOIN ts ON d.mind <= ts.t
-            ), regs AS (
+            ), regs AS MATERIALIZED (
                 SELECT v, t,
                        CAST(('0x'||substr(md5(CAST(u AS VARCHAR)),1,15))
                             AS BIGINT) % 64 AS bucket,
@@ -6186,7 +6408,7 @@ def oracle_sql() -> dict[str, str]:
                                  16,15)) AS BIGINT) % 1099511627776
                        ), '0'))) AS reg
                 FROM members GROUP BY v, t, bucket
-            ), est AS (
+            ), est AS MATERIALIZED (
                 SELECT v, t,
                        CAST(CAST('6389617079320712314880' AS HUGEINT)
                             // (sum(2199023255552 >> reg)
@@ -6216,6 +6438,83 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN harm h ON n.node = h.v
             LEFT JOIN reachc r ON n.node = r.src
             ORDER BY n.node
+        """,
+        # neighborhood function: per-t estimate totals from the same
+        # exact-ball register model; rows stop at the REGISTER-sum
+        # fixpoint (what hyperball's Observation detects), which can
+        # precede the closure's own tmax
+        "graph_neighborhood_function": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT o_orderkey % 97 AS src,
+                       (o_orderkey * 3 + o_custkey) % 97 AS dst
+                FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+                  AND (((o_orderkey % 97) // 24 + 1
+                            = ((o_orderkey * 3 + o_custkey) % 97) // 24)
+                       OR ((o_orderkey % 97) // 24
+                               = ((o_orderkey * 3 + o_custkey) % 97) // 24
+                           AND o_orderkey % 3 = 0))
+            ), e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+            nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e2
+                    UNION ALL SELECT dst FROM e2
+                )
+            ), dist0(src, dst, d) AS (
+                SELECT src, dst, 1 FROM e2
+                UNION
+                SELECT r.src, t.dst, r.d + 1 FROM dist0 r JOIN e2 t
+                ON r.dst = t.src WHERE r.d < 40 AND r.src <> t.dst
+            ), dist AS MATERIALIZED (
+                SELECT src, dst, min(d) AS mind FROM dist0 GROUP BY 1, 2
+            ), tmax AS (SELECT max(mind) AS tm FROM dist),
+            ts AS (
+                SELECT unnest(generate_series(0, (SELECT tm FROM tmax)))
+                       AS t
+            ), members AS MATERIALIZED (
+                SELECT n.node AS v, ts.t, n.node AS u FROM nodes n, ts
+                UNION ALL
+                SELECT d.src, ts.t, d.dst
+                FROM dist d JOIN ts ON d.mind <= ts.t
+            ), regs AS MATERIALIZED (
+                SELECT v, t,
+                       CAST(('0x'||substr(md5(CAST(u AS VARCHAR)),1,15))
+                            AS BIGINT) % 64 AS bucket,
+                       max(41 - length(ltrim(bin(
+                           CAST(('0x'||substr(md5(CAST(u AS VARCHAR)),
+                                 16,15)) AS BIGINT) % 1099511627776
+                       ), '0'))) AS reg
+                FROM members GROUP BY v, t, bucket
+            ), est AS MATERIALIZED (
+                SELECT v, t,
+                       CAST(CAST('6389617079320712314880' AS HUGEINT)
+                            // (sum(2199023255552 >> reg)
+                                + (64 - count(*)) * 2199023255552)
+                            AS BIGINT) AS est_micro
+                FROM regs GROUP BY v, t
+            ), sums AS MATERIALIZED (
+                SELECT t, CAST(sum(est_micro) AS BIGINT) AS total
+                FROM est GROUP BY t
+            ), regsums AS MATERIALIZED (
+                SELECT t, sum(reg) AS s FROM regs GROUP BY t
+            ), tstab AS (
+                SELECT COALESCE(min(a.t), (SELECT tm FROM tmax)) AS v
+                FROM regsums a JOIN regsums b
+                ON b.t = a.t + 1 AND b.s = a.s
+            ), kept AS (
+                SELECT t, total FROM sums
+                WHERE t <= (SELECT v FROM tstab)
+            ), fin AS (
+                SELECT total AS ftotal FROM kept
+                WHERE t = (SELECT v FROM tstab)
+            )
+            SELECT CAST(t AS INT) AS t, total AS total_est_micro,
+                   CAST(total - COALESCE(
+                       lag(total) OVER (ORDER BY t), total) AS BIGINT)
+                       AS delta_micro,
+                   total * 10 >= 9 * (SELECT ftotal FROM fin)
+                       AS reached_90pct
+            FROM kept ORDER BY t
         """,
         # redirect resolution: the oracle walks one hop at a time (the
         # recursive-CTE semantics pointer doubling compresses); a node
@@ -6622,6 +6921,30 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
                 FROM embeddings a JOIN embeddings b
                   ON a.label = b.label AND a.vec_id < b.vec_id
             ) WHERE cosine >= 0.35 ORDER BY vec_a, vec_b
+        """,
+        "sim_hard_negatives": """
+            WITH probes AS (
+                SELECT vec_id AS probe_id, embedding,
+                       label AS anchor_label
+                FROM embeddings WHERE vec_id < 10
+            ), scored AS (
+                SELECT p.probe_id, p.anchor_label, e.vec_id,
+                       e.label AS neg_label,
+                       round(list_cosine_similarity(
+                           CAST(p.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])), 4) AS cosine
+                FROM embeddings e CROSS JOIN probes p
+                WHERE e.vec_id <> p.probe_id
+                  AND e.label <> p.anchor_label
+            ), ranked AS (
+                SELECT probe_id, anchor_label, vec_id, neg_label, cosine,
+                       row_number() OVER (
+                           PARTITION BY probe_id ORDER BY cosine DESC, vec_id
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT probe_id, anchor_label, vec_id, neg_label, cosine, rnk
+            FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk
         """,
         "sim_brute_force_topk": """
             WITH probes AS (

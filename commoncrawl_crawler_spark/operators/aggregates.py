@@ -605,3 +605,32 @@ def quantile_histogram(
             .alias(f"p{q}_centi")
         )
     return cw.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+def cube_rollup(orders: DataFrame) -> DataFrame:
+    """Multi-level OLAP rollup in ONE pass: CUBE over (status,
+    priority) computes the detail cells, both one-dimension margins,
+    and the grand total in a single Expand + partial-aggregating
+    shuffle -- the reference's crawl-stats jobs run one MapReduce per
+    breakdown (StatsAggregationReducer and friends); Catalyst's
+    Expand gives every breakdown for the price of one scan.
+
+    grouping_id() disambiguates margin rows from genuine NULL keys
+    (0 = detail, 1 = priority margin, 2 = status margin, 3 = total).
+    Money sums use the decimal discipline (functions/numeric.py):
+    decimal accumulation is order-independent, so the double result
+    is partitioning-stable.
+    """
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 3
+            )
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )

@@ -1319,12 +1319,22 @@ def hyperball(
         f"(acc, x) -> acc + shiftright(CAST({unit} AS BIGINT), x)) "
         "AS BIGINT)"
     )
-    state = state.select(
-        "node",
-        *rcols,
-        est.alias("_est_prev"),
-        F.lit(0).cast("bigint").alias("_harm"),
-    ).localCheckpoint(eager=True)
+    obs0 = Observation()
+    state = (
+        state.select(
+            "node",
+            *rcols,
+            est.alias("_est_prev"),
+            F.lit(0).cast("bigint").alias("_harm"),
+        )
+        .observe(obs0, F.sum("_est_prev").alias("e"))
+        .localCheckpoint(eager=True)
+    )
+    # neighborhood function N(t) = sum over nodes of the ball-size
+    # estimate at radius t -- recorded for free by the Observations
+    # that already ride each round's materialization (Boldi-Vigna's
+    # own diagnostic; effective diameter reads off this curve)
+    est_totals = [int(obs0.get["e"])]
 
     reg_sum = sum(F.col(c) for c in rcols)
     prev_sig = None
@@ -1370,14 +1380,19 @@ def hyperball(
         if t % checkpoint_every == 0 or t == max_rounds:
             obs = Observation()
             state = state.observe(
-                obs, F.sum(reg_sum).alias("s"), F.count(F.lit(1)).alias("n")
+                obs,
+                F.sum(reg_sum).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("_est_prev").alias("e"),
             ).localCheckpoint(eager=True)
             sig = (obs.get["n"], obs.get["s"])
             if sig == prev_sig:
                 break
             prev_sig = sig
+            est_totals.append(int(obs.get["e"]))
         rounds = t
     hyperball.last_rounds = rounds
+    hyperball.last_est_totals = est_totals
     return state.select(
         "node",
         F.col("_est_prev").alias("ball_est_micro"),
@@ -1595,3 +1610,40 @@ def opic(edges: DataFrame, iterations: int = 4) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return state.orderBy("node")
+
+
+def hyperball_neighborhood(
+    edges: DataFrame, max_rounds: int = 40
+) -> DataFrame:
+    """The graph's neighborhood function N(t) = sum over nodes of the
+    HLL ball-size estimate at radius t -- HyperBall's own headline
+    diagnostic (Boldi-Vigna use exactly this curve to report the
+    effective diameter of the web: the smallest t reaching 90% of the
+    final reachable-pair count, the 'four degrees of separation'
+    statistic). The per-round totals are recorded by the Observations
+    that already ride `hyperball`'s materializations, so this costs
+    ONE hyperball run and zero extra jobs; the <= max_rounds scalars
+    assemble into a DataFrame driver-side (a bounded collect by
+    construction).
+
+    Output: (t, total_est_micro, delta_micro, reached_90pct) for
+    t = 0 .. register-fixpoint round.
+    """
+    spark = edges.sparkSession
+    hyperball(edges, max_rounds=max_rounds)
+    totals = hyperball.last_est_totals
+    final = totals[-1]
+    rows = [
+        (
+            t,
+            tot,
+            tot - (totals[t - 1] if t else tot),
+            tot * 10 >= 9 * final,
+        )
+        for t, tot in enumerate(totals)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "t int, total_est_micro bigint, delta_micro bigint, "
+        "reached_90pct boolean",
+    ).orderBy("t")

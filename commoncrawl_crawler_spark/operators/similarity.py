@@ -1063,3 +1063,58 @@ def ivfpq_topk(
         .filter(F.col("rnk") <= top_k)
         .orderBy("probe_id", "rnk")
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame, anchors: DataFrame, k: int = 5
+) -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor, the top-k
+    most-cosine-similar corpus vectors with a DIFFERENT label -- the
+    standard mining step for embedding/reranker training (the
+    negatives that are hard BECAUSE they are close). Same plan shape
+    as brute_force_topk (broadcast the anchor side, one corpus scan,
+    window top-k), plus the label-inequality predicate pushed into
+    the scan filter so same-class pairs never reach the scorer.
+
+    anchors: (probe_id, embedding, label). Output: (probe_id,
+    anchor_label, vec_id, neg_label, cosine, rnk).
+
+    Scale: the corpus side streams (never collected); at billion-row
+    corpora swap the broadcast cross join for the IVF routing in
+    ivf_topk with the same label filter -- mining quality degrades
+    only by IVF recall.
+    """
+    e = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("corpus_emb"),
+        F.col("label").alias("neg_label"),
+    )
+    p = anchors.select(
+        "probe_id",
+        F.col("embedding").cast("array<double>").alias("probe_emb"),
+        F.col("label").alias("anchor_label"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(p))
+        .filter(
+            (F.col("vec_id") != F.col("probe_id"))
+            & (F.col("neg_label") != F.col("anchor_label"))
+        )
+        .select(
+            "probe_id",
+            "anchor_label",
+            "vec_id",
+            "neg_label",
+            F.round(
+                cosine_expr(F.col("probe_emb"), F.col("corpus_emb")), 4
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("probe_id", "rnk")
+    )

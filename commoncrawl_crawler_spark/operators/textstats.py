@@ -1888,3 +1888,149 @@ def stupid_backoff_scores(
         )
         .orderBy("doc_id")
     )
+
+
+# block-level tags that delimit text blocks in the boilerplate
+# classifier, and the multilingual marker-stopword list it scores
+# with (the union of functions.text.LANG_MARKERS, frozen here so the
+# SQL oracle can mirror it as a literal)
+BOILER_BLOCK_RE = r"</?(p|div|h1|h2|h3|li|ul|title|body|html|head|footer|nav)[^>]*>"
+BOILER_STOPS = (
+    "the", "and", "of", "to", "a",
+    "der", "die", "und", "das", "ist",
+    "le", "la", "et", "les", "des",
+    "el", "que", "los", "de",
+)
+
+
+def boilerplate_blocks(pages: DataFrame) -> DataFrame:
+    """jusText-style boilerplate/content block classification
+    (Pomikalek 2011, the public algorithm behind the cleaning step
+    every CommonCrawl text consumer runs before training) --
+    simplified to context-FREE rules so the verdict is a pure
+    function of each block (jusText's neighbor-smoothing pass is
+    context-sensitive; the core link-density / stopword-density /
+    length discipline is this):
+
+    - split the page into blocks on block-level tags
+    - per block: word count, link density (chars inside <a> tags over
+      block text chars), marker-stopword density -- both as micro-unit
+      integers (floor, engine-stable)
+    - verdict: link_density > 0.5 -> boilerplate; < 5 words ->
+      boilerplate; stopword density >= 0.30 with >= 10 words ->
+      content; >= 20 words -> content; else boilerplate.
+
+    Input: (doc_id, html). Output one row per non-empty block:
+    (doc_id, block_idx, n_words, link_density_micro,
+    stop_density_micro, label) -- block_idx is the split ordinal, so
+    downstream reassembly preserves page order.
+
+    Scale shape: ONE posexplode + pure Column expressions end to end
+    (regexp split/strip/extract_all + higher-order filter); no joins,
+    no aggregation, no shuffle except the explode itself -- the same
+    linear one-pass contract as c4_line_filter.
+    """
+    blocks = pages.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("html"), BOILER_BLOCK_RE)).alias(
+            "block_idx", "_raw"
+        ),
+    )
+    # anchor inner text BEFORE stripping tags ([^<]* keeps the capture
+    # engine-portable; anchors with nested markup are out of scope)
+    anchor_chars = F.expr(
+        "aggregate(regexp_extract_all(_raw, '<a[^>]*>([^<]*)</a>', 1), "
+        "0, (acc, x) -> acc + length(x))"
+    )
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_raw"), "<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    scored = blocks.select(
+        "doc_id",
+        "block_idx",
+        text.alias("_text"),
+        anchor_chars.alias("_achars"),
+    ).filter(F.length("_text") > 0)
+    stops_sql = ", ".join(f"'{s}'" for s in BOILER_STOPS)
+    out = scored.select(
+        "doc_id",
+        "block_idx",
+        F.size(F.split(F.lower(F.col("_text")), " ")).alias("n_words"),
+        F.expr(
+            "CAST(_achars AS BIGINT) * 1000000 DIV length(_text)"
+        ).alias("link_density_micro"),
+        F.expr(
+            f"CAST(size(filter(split(lower(_text), ' '), "
+            f"t -> array_contains(array({stops_sql}), t))) AS BIGINT) "
+            "* 1000000 DIV size(split(lower(_text), ' '))"
+        ).alias("stop_density_micro"),
+    )
+    label = (
+        F.when(F.col("link_density_micro") > 500_000, F.lit("boilerplate"))
+        .when(F.col("n_words") < 5, F.lit("boilerplate"))
+        .when(
+            (F.col("stop_density_micro") >= 300_000)
+            & (F.col("n_words") >= 10),
+            F.lit("content"),
+        )
+        .when(F.col("n_words") >= 20, F.lit("content"))
+        .otherwise(F.lit("boilerplate"))
+    )
+    return out.withColumn("label", label).orderBy("doc_id", "block_idx")
+
+
+def span_corruption(documents: DataFrame) -> DataFrame:
+    """T5-style span-corruption pretraining layout (Raffel et al.
+    2020 section 3.1.4, public objective): mask contiguous token
+    spans, replace each masked span with a numbered sentinel in the
+    INPUT, and emit the sentinels + original spans as the TARGET,
+    closing with one final sentinel. The stochastic span sampler is
+    replaced by the deterministic period-15 pattern (span = 3
+    consecutive tokens, every 5th span masked -> 20% noise density,
+    mean span 3 -- T5's defaults) so the layout is a pure integer
+    function of token position, bit-identical across engines.
+
+    For 0-based token index i: span s = i DIV 3, masked iff
+    s % 5 == 0, sentinel id = i DIV 15; the closing sentinel id is
+    the masked-span count ceil(ceil(n/3)/5).
+
+    Output: (doc_id, n_tokens, n_masked, input_text, target_text).
+
+    Scale shape: pure Column expressions (split + higher-order
+    transform/filter + array_join), zero shuffles, zero joins -- the
+    corpus-to-training-example rewrite runs entirely map-side.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_spans = "((size(_toks) + 2) DIV 3)"
+    n_masked_spans = f"(({n_spans} + 4) DIV 5)"
+    return (
+        documents.select("doc_id", toks.alias("_toks"))
+        .select(
+            "doc_id",
+            F.size("_toks").alias("n_tokens"),
+            F.expr(
+                "size(filter(sequence(0, size(_toks) - 1), "
+                "i -> (i DIV 3) % 5 = 0))"
+            ).alias("n_masked"),
+            F.expr(
+                "array_join(filter(transform(_toks, (t, i) -> "
+                "CASE WHEN (i DIV 3) % 5 <> 0 THEN t "
+                "WHEN i % 3 = 0 THEN concat('<extra_id_', "
+                "CAST(i DIV 15 AS STRING), '>') "
+                "ELSE CAST(NULL AS STRING) END), "
+                "x -> x IS NOT NULL), ' ')"
+            ).alias("input_text"),
+            F.expr(
+                "concat(array_join(filter(transform(_toks, (t, i) -> "
+                "CASE WHEN (i DIV 3) % 5 = 0 THEN "
+                "(CASE WHEN i % 3 = 0 THEN concat('<extra_id_', "
+                "CAST(i DIV 15 AS STRING), '> ', t) ELSE t END) "
+                "ELSE CAST(NULL AS STRING) END), "
+                "x -> x IS NOT NULL), ' '), "
+                f"' <extra_id_', CAST({n_masked_spans} AS STRING), '>')"
+            ).alias("target_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -54,3 +54,35 @@ def read_failure_log(spark: SparkSession, path: str) -> DataFrame:
         F.regexp_extract("value", LOG_PATTERN, 4).alias("message"),
     )
     return parsed.filter((F.col("level") != "") & F.col("ts").isNotNull())
+
+
+EVENT_JSONL_SCHEMA = StructType(
+    [
+        StructField("event_id", StringType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("user", StringType()),
+                    StructField("etype", StringType()),
+                ]
+            ),
+        ),
+        StructField("value", StringType()),
+    ]
+)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType = EVENT_JSONL_SCHEMA
+) -> DataFrame:
+    """JSON-lines ingest with an EXPLICIT schema -- the third text
+    ingest shape next to the rank-list CSV and the regex log parse
+    (the reference's S3 manifests and crawl-stats sidecars are
+    newline-delimited JSON). Never inferSchema at scale: inference
+    double-reads the input; an explicit schema makes malformed lines
+    yield nulls (PERMISSIVE) instead of a second pass. String-typed
+    leaves keep the read bit-faithful -- the caller casts, so a
+    full-precision double survives the roundtrip unchanged.
+    """
+    return spark.read.schema(schema).json(path)

@@ -1319,3 +1319,84 @@ def test_cohort_retention_week_buckets(spark):
     got = {(r["cohort_week"], r["week_offset"]): r["users"]
            for r in analytics.cohort_retention(df).collect()}
     assert got == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
+
+
+def test_boilerplate_blocks_every_rule_branch(spark):
+    from commoncrawl_crawler_spark.operators import textstats
+
+    content = (
+        "the quick brown fox jumps over the lazy dog and runs "
+        "to the den of a fox"
+    )  # 17 words, high stopword density -> content via density rule
+    long_tail = " ".join(["token"] * 25)  # 25 words, no stopwords ->
+    # content via the >= 20 words rule
+    html = (
+        "<html><head><title>Doc 9</title></head><body>"
+        '<div><a href="/">home</a> <a href="/a">about page</a></div>'
+        f"<p>{content}</p>"
+        f"<p>{long_tail}</p>"
+        "<p>short note</p>"
+        '<div>Copyright acme <a href="#">terms</a></div>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(9, html)], "doc_id bigint, html string")
+    rows = textstats.boilerplate_blocks(df).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    # title (2 words), nav (link-dense), short note, footer -> 4x
+    # boilerplate; stopword paragraph + long paragraph -> 2x content
+    assert len(by_label["content"]) == 2
+    assert len(by_label["boilerplate"]) == 4
+    nav = max(rows, key=lambda r: r["link_density_micro"])
+    assert nav["label"] == "boilerplate"
+    assert nav["link_density_micro"] > 500_000
+    dens = [r for r in by_label["content"] if r["stop_density_micro"] >= 300_000]
+    assert len(dens) == 1 and dens[0]["n_words"] == 17
+
+
+def test_span_corruption_t5_layout_by_hand(spark):
+    from commoncrawl_crawler_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(17))), (2, "a b")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.span_corruption(df).collect()}
+    # doc 1: spans 0..5; masked spans 0 (t0-2) and 5 (t15-16)
+    r = out[1]
+    assert (r["n_tokens"], r["n_masked"]) == (17, 5)
+    assert r["input_text"] == (
+        "<extra_id_0> t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 <extra_id_1>"
+    )
+    assert r["target_text"] == (
+        "<extra_id_0> t0 t1 t2 <extra_id_1> t15 t16 <extra_id_2>"
+    )
+    # round-trip property: interleaving input and target around the
+    # sentinels reconstructs the original text
+    r2 = out[2]
+    assert r2["input_text"] == "<extra_id_0>"
+    assert r2["target_text"] == "<extra_id_0> a b <extra_id_1>"
+
+
+def test_cube_rollup_margins_are_consistent(spark):
+    from commoncrawl_crawler_spark.operators import aggregates
+
+    df = spark.createDataFrame(
+        [("O", "1-URGENT", 10.0), ("O", "2-HIGH", 20.0),
+         ("F", "1-URGENT", 30.0), ("F", "1-URGENT", 40.0)],
+        "o_orderstatus string, o_orderpriority string, o_totalprice double",
+    )
+    rows = aggregates.cube_rollup(df).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # 3 detail cells, 2 status margins, 2 priority margins, 1 total
+    assert [len(by_gid[g]) for g in (0, 1, 2, 3)] == [3, 2, 2, 1]
+    total = by_gid[3][0]
+    assert (total["n_orders"], total["sum_total"]) == (4, 100.0)
+    # each margin equals the sum of its detail cells
+    f_margin = [r for r in by_gid[1] if r["o_orderstatus"] == "F"][0]
+    assert (f_margin["n_orders"], f_margin["sum_total"]) == (2, 70.0)
+    urgent = [r for r in by_gid[2] if r["o_orderpriority"] == "1-URGENT"][0]
+    assert (urgent["n_orders"], urgent["sum_total"]) == (3, 80.0)

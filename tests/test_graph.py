@@ -475,3 +475,20 @@ def test_opic_matches_hand_model_and_conserves_cash(spark):
     assert out == {v: (cash[v], hist[v]) for v in nodes}
     # cash never inflates: truncating DIV only LEAKS micro-units
     assert sum(c for c, _ in out.values()) <= len(nodes) * 1_000_000
+
+
+def test_hyperball_neighborhood_curve_on_chain(spark):
+    # 1 -> 2 -> 3 -> 4: N(t) grows for t=0..3 then the register
+    # fixpoint stops the curve; deltas telescope to final - initial
+    rows = graph.hyperball_neighborhood(
+        _edges_df(spark, [(1, 2), (2, 3), (3, 4)])
+    ).collect()
+    ts = [r["t"] for r in rows]
+    assert ts == list(range(len(ts))) and len(ts) == 4
+    totals = [r["total_est_micro"] for r in rows]
+    assert totals == sorted(totals)  # monotone non-decreasing
+    assert sum(r["delta_micro"] for r in rows) == totals[-1] - totals[0]
+    assert rows[-1]["reached_90pct"]  # the final row always qualifies
+    flagged = [r["t"] for r in rows if r["reached_90pct"]]
+    # 90%-reach flags form a suffix of the curve
+    assert flagged == list(range(flagged[0], len(ts)))

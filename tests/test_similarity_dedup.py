@@ -186,3 +186,25 @@ def test_numpy_lsh_bucket_cap(spark):
     docs = spark.createDataFrame(rows)
     got = dedup.simhash_candidate_pairs(docs, hamming_k=3, max_bucket=50).collect()
     assert got == []  # every bucket oversized -> dropped, no blowup
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    from commoncrawl_crawler_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0], "a"),   # anchor
+        (1, [0.99, 0.1], "a"),  # same label: nearest but EXCLUDED
+        (2, [0.9, 0.3], "b"),   # hard negative (closest other-label)
+        (3, [0.0, 1.0], "b"),   # easy negative
+        (4, [0.8, 0.5], "c"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    anchors = emb.filter("vec_id = 0").selectExpr(
+        "vec_id AS probe_id", "embedding", "label"
+    )
+    out = similarity.hard_negative_mining(emb, anchors, k=2).collect()
+    assert [(r["vec_id"], r["rnk"]) for r in out] == [(2, 1), (4, 2)]
+    assert all(r["neg_label"] != r["anchor_label"] for r in out)
+    assert 1 not in {r["vec_id"] for r in out}

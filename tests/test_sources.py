@@ -599,3 +599,22 @@ def test_sitemap_parse_kinds_entities_and_edge_cases(spark):
     )
     junk = rows["https://h.com/junk"]
     assert junk.lastmod is None and junk.priority_micro is None
+
+
+def test_read_jsonl_explicit_schema_tolerates_malformed_lines(spark, tmp_path):
+    from commoncrawl_crawler_spark.sources import ingest
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"event_id":"1","meta":{"user":"7","etype":"click"},"value":"1.5"}\n'
+        "this is not json\n"
+        '{"event_id":"2","meta":{"user":"8","etype":"view"},"value":"2.25"}\n'
+    )
+    rows = ingest.read_jsonl(spark, str(p)).orderBy("event_id").collect()
+    good = [r for r in rows if r["event_id"] is not None]
+    assert [(r["event_id"], r["meta"]["user"], r["value"]) for r in good] == [
+        ("1", "7", "1.5"),
+        ("2", "8", "2.25"),
+    ]
+    # PERMISSIVE mode: the malformed line nulls out, never aborts
+    assert len(rows) - len(good) <= 1
