@@ -322,6 +322,40 @@ def _anchor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _template_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # four URL families per host: /article/N, dated posts, hex-hash
+    # short links, and a static page -- the DUST mining input
+    did = F.col("doc_id")
+    u = (
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit("/article/"), did.cast("string")),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit("/2024/"),
+                (did % 12 + 1).cast("string"),
+                F.lit("/post-"),
+                did.cast("string"),
+                F.lit(".html"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit("/p/"), F.substring(F.md5(did.cast("string")), 1, 12)
+            ),
+        )
+        .otherwise(F.lit("/about"))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com"), u
+        ).alias("url")
+    )
+
+
 def _boiler_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # render each document as a 5-block page: 2-word title, link-heavy
     # nav, the real text as the content paragraph, a short note, and a
@@ -2767,6 +2801,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_projection_rekey": lambda s, d: filters.projection_rekey(
             _t(s, d, "events")
         ),
+        # DUST-style URL template mining over four synthesized URL
+        # families (ids, dated posts, hex short links, static)
+        "filter_url_templates": lambda s, d: filters.url_template_summary(
+            _template_urls(s, d)
+        ),
         "filter_blocklist": lambda s, d: filters.blocklist_filter(
             _t(s, d, "documents"), _blocked_sources(s, d)
         ),
@@ -3551,6 +3590,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical web-structure report, from the same closure
         "graph_bowtie": lambda s, d: graph.bowtie_classes(
             _digraph_edges(s, d), closure=_digraph_closure(s, d)
+        ),
+        # DeepWalk-style walk corpus with md5-derived (reproducible)
+        # uniform choices -- the skip-gram training input
+        "graph_random_walks": lambda s, d: graph.random_walks(
+            _digraph_edges(s, d), walks_per_node=2, steps=6
         ),
         # longest-path levels of the condensation DAG (crawl tiers)
         "graph_condensation_levels": lambda s, d: graph.condensation_levels(
@@ -4480,6 +4524,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type || '#' || CAST(user_id AS VARCHAR) AS composite_key,
                    event_id, value
             FROM events ORDER BY event_id
+        """,
+        "filter_url_templates": """
+            WITH urls AS (
+                SELECT 'http://' || source || '.example.com' ||
+                    CASE WHEN doc_id % 4 = 0
+                             THEN '/article/' || CAST(doc_id AS VARCHAR)
+                         WHEN doc_id % 4 = 1
+                             THEN '/2024/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+                                  || '/post-' || CAST(doc_id AS VARCHAR)
+                                  || '.html'
+                         WHEN doc_id % 4 = 2
+                             THEN '/p/' ||
+                                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                         ELSE '/about' END AS url
+                FROM documents
+            ), shaped AS (
+                SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                       regexp_replace(regexp_replace(
+                           regexp_extract(url, '^[a-z]+://[^/]+(/.*)?$', 1),
+                           '[0-9a-f]{8,}', 'H', 'g'), '[0-9]+', 'N', 'g')
+                           AS template,
+                       url
+                FROM urls
+            )
+            SELECT host, template,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_urls,
+                   min(url) AS example_url
+            FROM shaped GROUP BY host, template
+            ORDER BY host, template
         """,
         "filter_blocklist": """
             SELECT * FROM documents
@@ -6515,6 +6589,82 @@ def oracle_sql() -> dict[str, str]:
                    total * 10 >= 9 * (SELECT ftotal FROM fin)
                        AS reached_90pct
             FROM kept ORDER BY t
+        """,
+        "graph_random_walks": """
+            WITH e AS (
+                SELECT DISTINCT o_orderkey % 97 AS src,
+                       (o_orderkey * 3 + o_custkey) % 97 AS dst
+                FROM orders WHERE o_orderpriority = '1-URGENT'
+            ), e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+            nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e2
+                    UNION ALL SELECT dst FROM e2
+                )
+            ), re AS MATERIALIZED (
+                SELECT src, dst,
+                       row_number() OVER (
+                           PARTITION BY src ORDER BY dst) - 1 AS rnk,
+                       count(*) OVER (PARTITION BY src) AS outc
+                FROM e2
+            ), f0 AS MATERIALIZED (
+                SELECT CAST(w.walk_id AS INT) AS walk_id,
+                       n.node AS start_node, n.node AS node
+                FROM nodes n
+                CROSS JOIN (SELECT unnest(range(2)) AS walk_id) w
+            ), f1 AS MATERIALIZED (
+                SELECT f.walk_id, f.start_node, re.dst AS node
+                FROM f0 f JOIN re ON f.node = re.src
+                 AND CAST(('0x'||substr(md5(f.walk_id || '#' || f.node
+                         || '#' || 1), 1, 15)) AS BIGINT)
+                     % re.outc = re.rnk
+            ), f2 AS MATERIALIZED (
+                SELECT f.walk_id, f.start_node, re.dst AS node
+                FROM f1 f JOIN re ON f.node = re.src
+                 AND CAST(('0x'||substr(md5(f.walk_id || '#' || f.node
+                         || '#' || 2), 1, 15)) AS BIGINT)
+                     % re.outc = re.rnk
+            ), f3 AS MATERIALIZED (
+                SELECT f.walk_id, f.start_node, re.dst AS node
+                FROM f2 f JOIN re ON f.node = re.src
+                 AND CAST(('0x'||substr(md5(f.walk_id || '#' || f.node
+                         || '#' || 3), 1, 15)) AS BIGINT)
+                     % re.outc = re.rnk
+            ), f4 AS MATERIALIZED (
+                SELECT f.walk_id, f.start_node, re.dst AS node
+                FROM f3 f JOIN re ON f.node = re.src
+                 AND CAST(('0x'||substr(md5(f.walk_id || '#' || f.node
+                         || '#' || 4), 1, 15)) AS BIGINT)
+                     % re.outc = re.rnk
+            ), f5 AS MATERIALIZED (
+                SELECT f.walk_id, f.start_node, re.dst AS node
+                FROM f4 f JOIN re ON f.node = re.src
+                 AND CAST(('0x'||substr(md5(f.walk_id || '#' || f.node
+                         || '#' || 5), 1, 15)) AS BIGINT)
+                     % re.outc = re.rnk
+            ), f6 AS MATERIALIZED (
+                SELECT f.walk_id, f.start_node, re.dst AS node
+                FROM f5 f JOIN re ON f.node = re.src
+                 AND CAST(('0x'||substr(md5(f.walk_id || '#' || f.node
+                         || '#' || 6), 1, 15)) AS BIGINT)
+                     % re.outc = re.rnk
+            )
+            SELECT walk_id, start_node, CAST(step AS INT) AS step, node
+            FROM (
+                SELECT walk_id, start_node, 0 AS step, node FROM f0
+                UNION ALL
+                SELECT walk_id, start_node, 1 AS step, node FROM f1
+                UNION ALL
+                SELECT walk_id, start_node, 2 AS step, node FROM f2
+                UNION ALL
+                SELECT walk_id, start_node, 3 AS step, node FROM f3
+                UNION ALL
+                SELECT walk_id, start_node, 4 AS step, node FROM f4
+                UNION ALL
+                SELECT walk_id, start_node, 5 AS step, node FROM f5
+                UNION ALL
+                SELECT walk_id, start_node, 6 AS step, node FROM f6
+            ) ORDER BY walk_id, start_node, step
         """,
         # redirect resolution: the oracle walks one hop at a time (the
         # recursive-CTE semantics pointer doubling compresses); a node

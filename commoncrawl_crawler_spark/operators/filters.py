@@ -107,3 +107,42 @@ def range_predicate(lineitem: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("matched_lines"),
         )
     )
+
+
+def url_template_summary(urls: DataFrame) -> DataFrame:
+    """URL template mining -- collapse volatile path segments into
+    placeholders and count pages per template (the DUST insight,
+    Bar-Yossef et al. 2009 "Do Not Crawl in the DUST": sites serve
+    the same content under families of URLs; the crawler wants the
+    FAMILY, not a million members). Hex runs (>= 8 chars) fold to
+    'H' first, then digit runs to 'N', so /article/123 and
+    /p/0a1b2c3d4e both collapse.
+
+    Input: (url) with scheme://host/path shape. Output per
+    (host, template): n_urls, n_distinct_urls, example_url (min) --
+    the frontier-dedup rule table a crawler derives before
+    scheduling.
+
+    Scale: two regexp_replace Column exprs + ONE groupBy; the
+    template cardinality is tiny compared to the url table, so the
+    aggregate collapses map-side.
+    """
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    path = F.regexp_extract("url", r"^[a-z]+://[^/]+(/.*)?$", 1)
+    template = F.regexp_replace(
+        F.regexp_replace(path, "[0-9a-f]{8,}", "H"), "[0-9]+", "N"
+    )
+    return (
+        urls.select(
+            host.alias("host"),
+            template.alias("template"),
+            F.col("url"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("url").alias("n_distinct_urls"),
+            F.min("url").alias("example_url"),
+        )
+        .orderBy("host", "template")
+    )

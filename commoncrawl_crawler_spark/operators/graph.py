@@ -1647,3 +1647,84 @@ def hyperball_neighborhood(
         "t int, total_est_micro bigint, delta_micro bigint, "
         "reached_90pct boolean",
     ).orderBy("t")
+
+
+def random_walks(
+    edges: DataFrame, walks_per_node: int = 2, steps: int = 6
+) -> DataFrame:
+    """Deterministic DeepWalk-style random-walk corpus (Perozzi et
+    al. 2014): the walk sequences that graph-embedding training
+    (DeepWalk/node2vec skip-gram) consumes, generated with an
+    md5-derived choice instead of an RNG so every engine and layout
+    emits the IDENTICAL corpus -- the repo's standard determinism
+    trade (the published algorithms sample uniformly; md5(walk, node,
+    step) mod outdeg IS a uniform choice, just a reproducible one).
+
+    Each node starts `walks_per_node` walks; at step t from node v
+    the walk moves to the out-neighbor with rank
+    md5(walk_id # v # t) mod outdeg (neighbors ranked by dst asc);
+    a walk reaching a dangling node terminates early.
+
+    Output: (walk_id, start_node, step, node) -- step 0 is the start;
+    one row per visited position (the exploded corpus ready for
+    skip-gram windowing, e.g. via text_pack_sequences' layout).
+
+    Scale shape: the ranked edge table is built once (one window over
+    src); each step is ONE equi-join of the frontier against it --
+    `steps` joins total, frontier never exceeds walks_per_node x V
+    rows, checkpointed per step.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = (
+        edges.select("src", "dst")
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .withColumn("_rank", F.row_number().over(w) - 1)
+        .withColumn("_out", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        ranked.select(F.col("src").alias("node"))
+        .unionByName(ranked.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    frontier = nodes.crossJoin(
+        F.broadcast(
+            nodes.sparkSession.range(walks_per_node).select(
+                F.col("id").cast("int").alias("walk_id")
+            )
+        )
+    ).select(
+        "walk_id",
+        F.col("node").alias("start_node"),
+        F.lit(0).alias("step"),
+        F.col("node").alias("node"),
+    ).localCheckpoint(eager=True)
+    out = frontier
+    for t in range(1, steps + 1):
+        pick = F.expr(
+            "CAST(conv(substring(md5(concat(walk_id, '#', node, '#', "
+            f"{t})), 1, 15), 16, 10) AS BIGINT)"
+        )
+        frontier = (
+            frontier.join(
+                ranked,
+                (frontier["node"] == ranked["src"])
+                & (pick % ranked["_out"] == ranked["_rank"]),
+            )
+            .select(
+                "walk_id",
+                "start_node",
+                F.lit(t).alias("step"),
+                F.col("dst").alias("node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(frontier)
+    return out.orderBy("walk_id", "start_node", "step")

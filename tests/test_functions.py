@@ -1400,3 +1400,28 @@ def test_cube_rollup_margins_are_consistent(spark):
     assert (f_margin["n_orders"], f_margin["sum_total"]) == (2, 70.0)
     urgent = [r for r in by_gid[2] if r["o_orderpriority"] == "1-URGENT"][0]
     assert (urgent["n_orders"], urgent["sum_total"]) == (3, 80.0)
+
+
+def test_url_template_summary_collapses_families(spark):
+    from commoncrawl_crawler_spark.operators import filters
+
+    urls = [
+        "http://a.com/article/1",
+        "http://a.com/article/2",
+        "http://a.com/article/2",  # duplicate url
+        "http://a.com/p/0a1b2c3d4e5f",
+        "http://a.com/p/deadbeef0123",
+        "http://a.com/about",
+        "http://b.com/article/7",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = {
+        (r["host"], r["template"]): r
+        for r in filters.url_template_summary(df).collect()
+    }
+    art = rows[("a.com", "/article/N")]
+    assert (art["n_urls"], art["n_distinct_urls"]) == (3, 2)
+    assert art["example_url"] == "http://a.com/article/1"
+    assert rows[("a.com", "/p/H")]["n_urls"] == 2
+    assert ("a.com", "/about") in rows
+    assert rows[("b.com", "/article/N")]["n_urls"] == 1

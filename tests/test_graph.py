@@ -492,3 +492,38 @@ def test_hyperball_neighborhood_curve_on_chain(spark):
     flagged = [r["t"] for r in rows if r["reached_90pct"]]
     # 90%-reach flags form a suffix of the curve
     assert flagged == list(range(flagged[0], len(ts)))
+
+
+def test_random_walks_match_md5_model_and_terminate_on_dangling(spark):
+    import collections
+    import hashlib
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (2, 9)]  # 9 dangles
+    rows = graph.random_walks(
+        _edges_df(spark, pairs), walks_per_node=2, steps=4
+    ).collect()
+    got = collections.defaultdict(list)
+    for r in rows:
+        got[(r["walk_id"], r["start_node"])].append((r["step"], r["node"]))
+
+    adj = collections.defaultdict(list)
+    for s, d in pairs:
+        adj[s].append(d)
+    for s in adj:
+        adj[s].sort()
+    for w in (0, 1):
+        for start in (1, 2, 3, 4, 9):
+            walk, cur = [(0, start)], start
+            for t in range(1, 5):
+                outs = adj.get(cur)
+                if not outs:
+                    break
+                h = int(
+                    hashlib.md5(f"{w}#{cur}#{t}".encode()).hexdigest()[:15],
+                    16,
+                )
+                cur = outs[h % len(outs)]
+                walk.append((t, cur))
+            assert sorted(got[(w, start)]) == walk, (w, start)
+    # the dangling node contributes exactly its step-0 rows
+    assert sorted(got[(0, 9)]) == [(0, 9)]

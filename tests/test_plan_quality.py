@@ -271,6 +271,7 @@ def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
     assert cartesian == [], cartesian
     bnlj_ok = {
         "sim_brute_force_topk",  # broadcast probe x scan (by design)
+        "sim_hard_negatives",  # broadcast anchor x scan (same shape)
         "sim_ivf_topk",  # broadcast probe x routed scan
         "text_mixture_plan",  # 1-row weight-total broadcast
         "text_unigram_surprisal",  # 1-row corpus-total broadcast
