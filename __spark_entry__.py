@@ -257,11 +257,29 @@ def _layered_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HB_TOTALS: dict = {}
+
+
+def _hyperball_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE register iteration per (session, sf): the node-level gate
+    # consumes the cached DataFrame, the neighborhood gate reuses the
+    # per-round totals the same run recorded
+    def build() -> DataFrame:
+        df = graph.hyperball(
+            _layered_digraph_edges(spark, sf_dir), max_rounds=40
+        )
+        key = (spark.sparkContext.applicationId, sf_dir)
+        _HB_TOTALS[key] = list(graph.hyperball.last_est_totals)
+        return df
+
+    return _cached(spark, "hyperball_nodes", sf_dir, build)
+
+
 def _graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall over the layered digraph, with the exact reach count
     from the SHARED layered closure joined on as the quality column
     (the error report the approximate operator replaces at scale)."""
-    hb = graph.hyperball(_layered_digraph_edges(spark, sf_dir), max_rounds=40)
+    hb = _hyperball_nodes(spark, sf_dir)
     exact = graph.reach_counts(
         _layered_digraph_edges(spark, sf_dir),
         closure=_layered_closure(spark, sf_dir),
@@ -275,8 +293,13 @@ def _graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cached as its own shared stage so the artifact path (parquet
-    # store) persists the TABLE itself, not a driver-side memo
+    # if the node-level gate already ran this session, its recorded
+    # totals assemble the curve with ZERO extra jobs; otherwise (first
+    # touch, or nodes restored from a parquet artifact without the
+    # driver memo) build and cache the table as its own shared stage
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _HB_TOTALS:
+        return graph.neighborhood_table(spark, _HB_TOTALS[key]).orderBy("t")
     return _cached(
         spark,
         "hyperball_nf",

@@ -1334,7 +1334,7 @@ def hyperball(
     # estimate at radius t -- recorded for free by the Observations
     # that already ride each round's materialization (Boldi-Vigna's
     # own diagnostic; effective diameter reads off this curve)
-    est_totals = [int(obs0.get["e"])]
+    est_totals = [int(obs0.get["e"] or 0)]  # empty edge set -> NULL sum
 
     reg_sum = sum(F.col(c) for c in rcols)
     prev_sig = None
@@ -1389,7 +1389,7 @@ def hyperball(
             if sig == prev_sig:
                 break
             prev_sig = sig
-            est_totals.append(int(obs.get["e"]))
+            est_totals.append(int(obs.get["e"] or 0))
         rounds = t
     hyperball.last_rounds = rounds
     hyperball.last_est_totals = est_totals
@@ -1631,7 +1631,14 @@ def hyperball_neighborhood(
     """
     spark = edges.sparkSession
     hyperball(edges, max_rounds=max_rounds)
-    totals = hyperball.last_est_totals
+    return neighborhood_table(spark, hyperball.last_est_totals)
+
+
+def neighborhood_table(spark, totals: list) -> DataFrame:
+    """Assemble the N(t) table from an already-recorded per-round
+    totals list (hyperball.last_est_totals) -- lets a caller that
+    just ran hyperball for the node-level output derive the curve
+    WITHOUT a second register iteration."""
     final = totals[-1]
     rows = [
         (
