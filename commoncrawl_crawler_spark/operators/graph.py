@@ -1365,7 +1365,10 @@ def hyperball(
             )
         )
         # truncating integer division by the radius: deltas are
-        # nonnegative (registers only grow), so DIV == floor
+        # nonnegative (registers only grow), so DIV == floor.
+        # (A 1-row-broadcast radius column was tried to stabilize the
+        # generated code across rounds; the extra broadcast job cost
+        # more than the saved recompile at realistic round counts.)
         scored = merged.select(
             "node", *rcols, est.alias("_est_new"), "_est_prev", "_harm"
         )
