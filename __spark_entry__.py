@@ -1774,6 +1774,23 @@ def _scratch(tag: str, sf_dir: str, fresh: bool = False) -> str:
     return path
 
 
+def _stream_generational_upsert(s: SparkSession, d: str) -> DataFrame:
+    """foreachBatch generational upsert (the reference's CrawlDB
+    gen-N -> gen-N+1 merge as a streaming sink). Gated on the 1-in-5
+    user sample like the stateful sessionize gate; the fold is
+    associative, so the final table equals one batch aggregate
+    regardless of micro-batch boundaries."""
+    base = _scratch("genupsert", d, fresh=True)
+    ckpt = _scratch("genupsert_ckpt", d, fresh=True)
+    return streaming_jobs.streaming_generational_upsert(
+        streaming_jobs.read_events_stream(s, d).filter(
+            F.col("user_id") % 5 == 0
+        ),
+        base,
+        ckpt,
+    )
+
+
 def _archive_roundtrip(s: SparkSession, d: str) -> DataFrame:
     """documents -> ccarc gzip-member archives -> parse back (identity)."""
     tmp = _scratch("arc", d, fresh=True)
@@ -3277,7 +3294,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": lambda s, d: sessions.sessionize(
             _t(s, d, "events"), gap_minutes=60
         ),
+        # the NATIVE merging session_window aggregate (no per-user
+        # sort pass; the streaming-capable formulation)
+        "win_session_window": lambda s, d: windows.session_window_stats(
+            _t(s, d, "events"), gap_minutes=60
+        ),
         "stream_sessionize": _stream_sessionize,
+        # foreachBatch generational upsert: gen-N + delta -> gen-N+1
+        # (the CrawlDB merge as a restartable streaming sink)
+        "stream_generational_upsert": _stream_generational_upsert,
         "source_xml_roundtrip": _xml_roundtrip,
         # sitemap.xml discovery channel: parse must exactly invert the
         # deterministic synthesis (oracle recomputes the generator)
@@ -3954,14 +3979,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events column, exact twin), dq_constraints (same module),
         # and mm_decode_ppm (same decode kernel the dhash rides).
         # The session-4 additions (graph_hyperball,
-        # graph_redirect_resolve, graph_anchor_text, graph_opic,
+        # graph_neighborhood_function, graph_redirect_resolve,
+        # graph_anchor_text, graph_opic, graph_random_walks,
         # text_boilerplate_blocks, text_span_corruption,
-        # agg_cube_rollup, source_jsonl_roundtrip,
-        # sim_hard_negatives) likewise wait for round 6: each is
-        # hash-verified at sf0.01 AND sf0.1 in the session-4 sweeps
-        # (CORRECTNESS_SELF_r05 S4 files) and pytest-covered
-        # (hand models for HyperBall registers, OPIC cash, redirect
-        # verdict classes, T5 layout, cube margins, block rules).
+        # agg_cube_rollup, source_jsonl_roundtrip, sim_hard_negatives,
+        # filter_url_templates, stream_generational_upsert,
+        # win_session_window) likewise wait for round 6: each is
+        # hash-verified at sf0.01 AND sf0.1 (the first 207 also under
+        # the alternate layout) in CORRECTNESS_SELF_r05_S4*.txt and
+        # pytest-covered (hand models for HyperBall registers, OPIC
+        # cash, redirect verdict classes, md5 walks, T5 layout, cube
+        # margins, block rules, two-batch generational fold,
+        # exact-gap session merge).
         # Never-driver-validated gates outrank re-validation of
         # r2-green anchors: fn_url_canonicalize, agg_moving_daily_avg,
         # skew_salted_join, filter_text_grep, setop_distinct,
@@ -6013,6 +6042,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type
         """,
+        "win_session_window": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts,
+                       -- session_window merges an event landing
+                       -- EXACTLY at prev + gap (boundary is > gap)
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 3600000000
+                            THEN 1 ELSE 0 END AS boundary
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            ids AS (
+                SELECT *, sum(boundary) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING
+                ) AS sid
+                FROM flagged
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL 60 MINUTE AS session_expiry,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM ids GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
         "sessionize_events": """
             WITH flagged AS (
                 SELECT user_id, event_id, ts, value,
@@ -6033,6 +6087,15 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end, count(*) AS n_events,
                    CAST(round(sum(CAST(value AS DECIMAL(15,2))), 3) AS DOUBLE) AS sum_value
             FROM ids GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "stream_generational_upsert": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   max(ts) AS last_ts,
+                   CAST(round(sum(CAST(value AS DECIMAL(15,2))), 3)
+                        AS DOUBLE) AS sum_value
+            FROM events WHERE user_id % 5 = 0
+            GROUP BY user_id ORDER BY user_id
         """,
         "stream_sessionize": """
             WITH flagged AS (

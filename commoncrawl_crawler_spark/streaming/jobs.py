@@ -415,3 +415,84 @@ def streaming_countmin_cells(
 
     keyed = stream.select(F.col("user_id").cast("string").alias("key"))
     return aggregates.cms_cells(keyed, "key", depth=depth, width=width)
+
+
+def streaming_generational_upsert(
+    stream: DataFrame, base_dir: str, checkpoint: str
+) -> DataFrame:
+    """Incremental keyed-state maintenance as a foreachBatch sink --
+    the reference's generational CrawlDB merge (each pipeline step
+    reads database generation N plus a delta and writes generation
+    N+1; CrawlPipelineStep promotes the step output) re-expressed as
+    the standard Structured Streaming upsert pattern for stores
+    without MERGE:
+
+      for each micro-batch B: gen_{B} := fold(gen_{B-1}, agg(B))
+
+    The per-key fold (count-sum / max-timestamp / decimal value-sum)
+    is ASSOCIATIVE, so the final state is independent of micro-batch
+    boundaries -- which is exactly what makes the gate deterministic
+    and the sink restartable: a replayed batch id overwrites its own
+    generation directory reading the PREVIOUS one, so retries are
+    idempotent (the checkpoint pins offsets->batch-id, the
+    generation name pins batch-id->output).
+
+    Returns the latest generation as a batch DataFrame:
+    (user_id, n_events, last_ts, sum_value).
+    """
+    import os
+
+    def _latest_gen() -> tuple[int, str | None]:
+        if not os.path.isdir(base_dir):
+            return (-1, None)
+        gens = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(base_dir)
+            if d.startswith("gen=")
+        )
+        return (gens[-1], f"{base_dir}/gen={gens[-1]}") if gens else (-1, None)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.col("value").cast("decimal(15,2)")).alias("_val"),
+        )
+        prev_id, prev_path = _latest_gen()
+        if prev_path is not None and prev_id < batch_id:
+            prev = spark.read.parquet(prev_path).select(
+                "user_id",
+                "n_events",
+                "last_ts",
+                F.col("sum_value_dec").alias("_val"),
+            )
+            delta = delta.unionByName(prev)
+        merged = delta.groupBy("user_id").agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.max("last_ts").alias("last_ts"),
+            F.sum("_val").cast("decimal(15,2)").alias("sum_value_dec"),
+        )
+        merged.write.mode("overwrite").parquet(f"{base_dir}/gen={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _, path = _latest_gen()
+    spark = stream.sparkSession
+    return (
+        spark.read.parquet(path)
+        .select(
+            "user_id",
+            "n_events",
+            "last_ts",
+            F.round(F.col("sum_value_dec"), 3)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -1425,3 +1425,29 @@ def test_url_template_summary_collapses_families(spark):
     assert rows[("a.com", "/p/H")]["n_urls"] == 2
     assert ("a.com", "/about") in rows
     assert rows[("b.com", "/article/N")]["n_urls"] == 1
+
+
+def test_session_window_boundary_merges_at_exact_gap(spark):
+    # session_window MERGES an event landing exactly at prev + gap
+    # (split requires strictly more than the gap), and the session
+    # expiry is last event + gap
+    import datetime as dt
+
+    from commoncrawl_crawler_spark.operators import windows
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=59)),  # merges (< gap)
+        (1, base + dt.timedelta(minutes=119)),  # exactly prev+60: MERGES
+        (1, base + dt.timedelta(minutes=180, seconds=1)),  # > gap: NEW
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    out = windows.session_window_stats(df, gap_minutes=60).collect()
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [(r["n_events"],) for r in u1] == [(3,), (1,)]
+    assert u1[0]["session_expiry"] == base + dt.timedelta(minutes=179)
+    assert u1[1]["session_expiry"] == base + dt.timedelta(
+        minutes=240, seconds=1
+    )

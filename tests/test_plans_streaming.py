@@ -591,3 +591,63 @@ def test_streaming_countmin_matches_batch(spark, sf_smoke):
     # CMS overestimates, never under
     for r in a:
         assert r["cms_estimate"] >= r["exact_cnt"]
+
+
+def test_generational_upsert_two_batches_fold_and_idempotency(
+    spark, tmp_path
+):
+    """Two micro-batches produce gen=0 and gen=1; the final state
+    equals the one-shot batch aggregate (the fold is associative),
+    and each generation directory is a complete snapshot."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": [base, base + pd.Timedelta(minutes=1), base],
+            "value": [1.5, 2.25, 10.0],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "user_id": [1, 3],
+            "ts": [base + pd.Timedelta(hours=2), base],
+            "value": [4.0, 7.5],
+        }
+    )
+    src = tmp_path / "ev"
+    src.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(b1), src / "f1.parquet", coerce_timestamps="us"
+    )
+    pq.write_table(
+        pa.Table.from_pandas(b2), src / "f2.parquet", coerce_timestamps="us"
+    )
+    _space_mtimes(src / "f1.parquet", src / "f2.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = jobs.streaming_generational_upsert(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], r["last_ts"], r["sum_value"]) for r in out}
+    assert got == {
+        1: (3, base + pd.Timedelta(hours=2), 7.75),
+        2: (1, base, 10.0),
+        3: (1, base, 7.5),
+    }
+    gens = sorted(
+        d for d in __import__("os").listdir(tmp_path / "state")
+        if d.startswith("gen=")
+    )
+    assert len(gens) == 2  # one generation per micro-batch
+    # gen=0 is a complete snapshot of batch 1 alone
+    g0 = spark.read.parquet(str(tmp_path / "state" / gens[0])).collect()
+    assert {r["user_id"]: r["n_events"] for r in g0} == {1: 2, 2: 1}
