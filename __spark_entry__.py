@@ -1981,6 +1981,134 @@ def _warc_http_extract(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+_WET_WAT_SRC: dict = {}
+
+
+def _wet_wat_source(s: SparkSession, d: str) -> str:
+    """Shared upstream for the WET/WAT gates: documents rendered as
+    HTML pages inside real HTTP messages inside WARC response records
+    on disk -- the exact input state a CommonCrawl derivation job
+    starts from. Returns the archive directory.
+
+    Built ONCE per (session, sf) and shared by both derivation gates
+    (real WET and WAT jobs also share one WARC segment); rotation at
+    256 KiB so the derivation stage gets one task per archive instead
+    of one serial task total."""
+    key = (s.sparkContext.applicationId, d)
+    if key in _WET_WAT_SRC:
+        return _WET_WAT_SRC[key]
+    tmp = _scratch("wetwatsrc", d, fresh=True)
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did.cast("string"),
+        F.lit("</title><script>var x = "),
+        did.cast("string"),
+        F.lit(';</script></head><body><p>'),
+        F.col("text"),
+        F.lit('</p><a href="http://'),
+        F.col("source"),
+        F.lit(".example.com/w/"),
+        did.cast("string"),
+        F.lit('">anchor '),
+        F.col("lang"),
+        F.lit('</a><iframe src="http://frame.'),
+        F.col("source"),
+        F.lit('.net"></iframe> Tail &amp; fin</body></html>'),
+    )
+    http_block = F.encode(
+        F.concat(
+            F.lit("HTTP/1.1 "),
+            F.when(did % 10 == 0, F.lit("404 Not Found")).otherwise(
+                F.lit("200 OK")
+            ),
+            F.lit("\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+            html,
+        ),
+        "UTF-8",
+    )
+    docs = _t(s, d, "documents").select(
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("<urn:uuid:"), did.cast("string"), F.lit(">")).alias(
+            "record_id"
+        ),
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/w/"),
+            did.cast("string"),
+        ).alias("target_uri"),
+        F.format_string(
+            "2024-04-%02dT%02d:%02d:00Z", did % 28 + 1, did % 24, did % 60
+        ).alias("warc_date"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        http_block.alias("block"),
+    )
+    archive.write_warc(docs, tmp, rotate_bytes=256 * 1024)
+    _WET_WAT_SRC[key] = tmp
+    return tmp
+
+
+def _wet_extract(s: SparkSession, d: str) -> DataFrame:
+    """WARC responses on disk -> wet_records derivation -> WET archive
+    on disk -> read back and verify: the full produce-the-published-
+    artifact cycle (text extraction, Refers-To linkage, text/plain
+    conversion records) with the extraction itself pure Column exprs
+    (functions/html.html_text_expr)."""
+    src = _wet_wat_source(s, d)
+    out = _scratch("wet", d, fresh=True)
+    archive.write_warc(archive.wet_records(archive.read_warc(s, src)), out)
+    rd = archive.read_warc(s, out)
+    return (
+        rd.select(
+            F.regexp_extract("target_uri", "/w/(\\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "warc_type",
+            "content_type",
+            F.element_at(
+                F.filter(
+                    F.col("headers"),
+                    lambda h: h["key"] == "WARC-Refers-To",
+                ),
+                1,
+            )["value"].alias("refers_to"),
+            F.decode("block", "UTF-8").alias("text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _wat_metadata(s: SparkSession, d: str) -> DataFrame:
+    """WARC responses on disk -> wat_records derivation -> WAT archive
+    -> read back, from_json the envelope with WAT_ENVELOPE_SCHEMA, and
+    project the typed fields a WAT consumer reads (status, title,
+    outlink inventory)."""
+    src = _wet_wat_source(s, d)
+    out = _scratch("wat", d, fresh=True)
+    archive.write_warc(archive.wat_records(archive.read_warc(s, src)), out)
+    rd = archive.read_warc(s, out)
+    env = F.from_json(
+        F.decode("block", "UTF-8"), archive.WAT_ENVELOPE_SCHEMA
+    )["Envelope"]
+    meta = env["Payload-Metadata"]["HTTP-Response-Metadata"]
+    return (
+        rd.filter(F.col("warc_type") == "metadata")
+        .select(
+            F.regexp_extract("target_uri", "/w/(\\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            env["WARC-Header-Metadata"]["WARC-Record-ID"].alias("src_record"),
+            meta["Response-Message"]["Status"].alias("status"),
+            meta["Content-Type"].alias("http_content_type"),
+            meta["HTML-Metadata"]["Head"]["Title"].alias("title"),
+            F.size(meta["HTML-Metadata"]["Links"]).alias("n_links"),
+            meta["HTML-Metadata"]["Links"][0]["url"].alias("first_link"),
+            meta["HTML-Metadata"]["Links"][0]["path"].alias("first_path"),
+            meta["HTML-Metadata"]["Links"][0]["text"].alias("first_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _csv_roundtrip(s: SparkSession, d: str) -> DataFrame:
     """documents -> tab-separated rank list -> schema'd csv read."""
     tmp = _scratch("csv", d)
@@ -3334,6 +3462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_warc_roundtrip": _warc_roundtrip,
         "source_cdx_index": _cdx_index_gate,
         "source_warc_http_extract": _warc_http_extract,
+        "source_wet_extract": _wet_extract,
+        "source_wat_metadata": _wat_metadata,
         # Rice-coded fingerprint lists (util/RiceCoding.java +
         # CompressedURLFPListV2 shape): per-group delta+Rice buffers
         # with in-kernel decode-verify; the oracle recomputes n/bits/
@@ -5961,6 +6091,36 @@ def oracle_sql() -> dict[str, str]:
                    'text/' || lang || '; charset=utf-8'
                        AS http_content_type,
                    text
+            FROM documents ORDER BY doc_id
+        """,
+        # WET: the oracle replays the deterministic page render through
+        # the SAME projection the extractor defines (tags -> spaces,
+        # entities decoded, whitespace collapsed) as plain string SQL
+        "source_wet_extract": """
+            SELECT doc_id,
+                   'conversion' AS warc_type,
+                   'text/plain' AS content_type,
+                   '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>'
+                       AS refers_to,
+                   trim(regexp_replace(
+                       'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+                           || ' anchor ' || lang || ' Tail & fin',
+                       '\\s+', ' ', 'g')) AS text
+            FROM documents ORDER BY doc_id
+        """,
+        "source_wat_metadata": """
+            SELECT doc_id,
+                   '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>'
+                       AS src_record,
+                   CAST(CASE WHEN doc_id % 10 = 0 THEN 404
+                             ELSE 200 END AS INT) AS status,
+                   'text/html; charset=utf-8' AS http_content_type,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   2 AS n_links,
+                   'http://' || source || '.example.com/w/'
+                       || CAST(doc_id AS VARCHAR) AS first_link,
+                   'A@/href' AS first_path,
+                   'anchor ' || lang AS first_text
             FROM documents ORDER BY doc_id
         """,
         # identity oracle for the WARC roundtrip: every column is

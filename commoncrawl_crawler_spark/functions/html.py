@@ -248,3 +248,40 @@ def _meta_udf():
 
 def extract_meta_tags_udf(col: Column) -> Column:
     return _meta_udf()(col)
+
+
+def html_text_expr(col: Column) -> Column:
+    """HTML -> visible plain text as a PURE Column expression -- the
+    WET-conversion text extraction (CommonCrawl ships one `conversion`
+    record per page whose block is exactly this projection of the HTML).
+
+    Reference analog: ParserMapper.java's text accumulation over the
+    Dapper DOM walk; here the same fidelity class as the regex link
+    scanner above, but JVM-side so the WET derivation pipeline has no
+    Python in the hot path at all:
+
+      1. drop <script>/<style> subtrees (their text is never visible),
+      2. strip every remaining tag to a space (block boundaries become
+         word boundaries, matching the reference's node-joins-by-space),
+      3. decode the five XML built-in entities (&amp; LAST so
+         '&amp;lt;' round-trips correctly),
+      4. collapse all whitespace runs and trim.
+
+    Every step is expressible in ANSI SQL (regexp_replace + replace),
+    so WET gates can be hash-checked against a DuckDB oracle.
+    """
+    from pyspark.sql import functions as F
+
+    t = F.regexp_replace(
+        col, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "
+    )
+    t = F.regexp_replace(t, "<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

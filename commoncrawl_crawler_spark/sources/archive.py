@@ -991,3 +991,160 @@ def cdx_lookup(spark: SparkSession, path: str, url: str) -> DataFrame:
         F.get(parts, 2).alias("meta_json"),
     )
     return parsed.filter(F.col("urlkey") == key).orderBy("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# WET / WAT derivation -- the two artifacts CommonCrawl publishes
+# BESIDE every WARC segment (plain-text `conversion` records and JSON
+# `metadata` records). A reference user's downstream jobs consume
+# these, so the engine must be able to produce them from its own WARC
+# output. Both derivations are one narrow projection over read_warc
+# rows -- zero shuffles, and the text extraction is JVM Column
+# expressions end to end (functions/html.html_text_expr).
+# ---------------------------------------------------------------------------
+
+
+def wet_records(warc: DataFrame) -> DataFrame:
+    """WARC response records (HTTP blocks with HTML bodies) -> WET
+    `conversion` records, ready for write_warc.
+
+    Per the published WET layout: one record per page, block is the
+    extracted visible text (UTF-8), Content-Type text/plain, and a
+    WARC-Refers-To header naming the source response record. Record
+    ids derive deterministically from the source id (the spec only
+    requires uniqueness; a derived id keeps the artifact reproducible
+    across engines and retries, unlike a fresh uuid).
+
+    Non-response records and bodiless responses drop out -- exactly
+    the rows WET omits.
+    """
+    from ..functions.html import html_text_expr
+
+    # same split discipline as warc_http_responses, re-derived inline
+    # so the source record_id stays threaded through for Refers-To
+    txt = F.decode(F.col("block"), "ISO-8859-1")
+    out = (
+        warc.filter(F.col("warc_type") == "response")
+        .withColumn("_txt", txt)
+        .withColumn("_sep", F.instr(F.col("_txt"), "\r\n\r\n"))
+        .filter(F.col("_sep") > 0)
+        .withColumn("_body", F.expr("substring(_txt, _sep + 4)"))
+        .withColumn("_text", html_text_expr(F.col("_body")))
+        .filter(F.length("_text") > 0)
+    )
+    return out.select(
+        F.lit("conversion").alias("warc_type"),
+        F.regexp_replace(
+            F.col("record_id"), "^<urn:uuid:", "<urn:uuid:wet-"
+        ).alias("record_id"),
+        F.col("target_uri"),
+        F.col("warc_date"),
+        F.lit("text/plain").alias("content_type"),
+        F.array(
+            F.struct(
+                F.lit("WARC-Refers-To").alias("key"),
+                F.col("record_id").alias("value"),
+            )
+        ).alias("headers"),
+        F.encode(F.col("_text"), "UTF-8").alias("block"),
+    )
+
+
+WAT_ENVELOPE_SCHEMA = (
+    "struct<Envelope:struct<"
+    "`WARC-Header-Metadata`:struct<`WARC-Target-URI`:string,"
+    "`WARC-Date`:string,`WARC-Record-ID`:string>,"
+    "`Payload-Metadata`:struct<"
+    "`HTTP-Response-Metadata`:struct<"
+    "`Response-Message`:struct<Status:int>,"
+    "`Content-Type`:string,"
+    "`HTML-Metadata`:struct<"
+    "Head:struct<Title:string>,"
+    "Links:array<struct<url:string,path:string,text:string>>"
+    ">>>>>"
+)
+
+
+def wat_records(warc: DataFrame) -> DataFrame:
+    """WARC response records -> WAT `metadata` records whose block is
+    the published JSON envelope (WARC header echo + HTTP status/type +
+    HTML title and typed outlinks), ready for write_warc.
+
+    The HTML parse reuses the ParserMapper-analog extractors
+    (functions/html.py); link rows carry the WAT `path` convention
+    ('A@/href', 'FRAME@/src'). JSON is rendered with to_json over a
+    typed struct, so field order and quoting are engine-stable and a
+    reader can from_json with WAT_ENVELOPE_SCHEMA and get the exact
+    struct back.
+    """
+    from ..functions import html as htmlfn
+
+    txt = F.decode(F.col("block"), "ISO-8859-1")
+    out = (
+        warc.filter(F.col("warc_type") == "response")
+        .withColumn("_txt", txt)
+        .withColumn("_sep", F.instr(F.col("_txt"), "\r\n\r\n"))
+        .filter(F.col("_sep") > 0)
+        .withColumn("_head", F.expr("substring(_txt, 1, _sep - 1)"))
+        .withColumn("_body", F.expr("substring(_txt, _sep + 4)"))
+    )
+    status = F.regexp_extract(
+        F.col("_head"), "^HTTP/[0-9.]+ ([0-9]{3})", 1
+    ).cast("int")
+    http_ct = F.regexp_extract(
+        F.col("_head"), "(?i)\\r\\ncontent-type:[ \\t]*([^\\r\\n]*)", 1
+    )
+    links = F.transform(
+        htmlfn.extract_links_udf(F.col("_body")),
+        lambda l: F.struct(
+            l["url"].alias("url"),
+            F.concat(
+                F.upper(l["link_type"]),
+                F.when(l["link_type"] == "a", F.lit("@/href")).otherwise(
+                    F.lit("@/src")
+                ),
+            ).alias("path"),
+            l["anchor"].alias("text"),
+        ),
+    )
+    envelope = F.struct(
+        F.struct(
+            F.struct(
+                F.col("target_uri").alias("WARC-Target-URI"),
+                F.col("warc_date").alias("WARC-Date"),
+                F.col("record_id").alias("WARC-Record-ID"),
+            ).alias("WARC-Header-Metadata"),
+            F.struct(
+                F.struct(
+                    F.struct(status.alias("Status")).alias(
+                        "Response-Message"
+                    ),
+                    http_ct.alias("Content-Type"),
+                    F.struct(
+                        F.struct(
+                            htmlfn.extract_title_udf(F.col("_body")).alias(
+                                "Title"
+                            )
+                        ).alias("Head"),
+                        links.alias("Links"),
+                    ).alias("HTML-Metadata"),
+                ).alias("HTTP-Response-Metadata")
+            ).alias("Payload-Metadata"),
+        ).alias("Envelope")
+    )
+    return out.select(
+        F.lit("metadata").alias("warc_type"),
+        F.regexp_replace(
+            F.col("record_id"), "^<urn:uuid:", "<urn:uuid:wat-"
+        ).alias("record_id"),
+        F.col("target_uri"),
+        F.col("warc_date"),
+        F.lit("application/json").alias("content_type"),
+        F.array(
+            F.struct(
+                F.lit("WARC-Refers-To").alias("key"),
+                F.col("record_id").alias("value"),
+            )
+        ).alias("headers"),
+        F.encode(F.to_json(envelope), "UTF-8").alias("block"),
+    )

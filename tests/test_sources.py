@@ -618,3 +618,132 @@ def test_read_jsonl_explicit_schema_tolerates_malformed_lines(spark, tmp_path):
     ]
     # PERMISSIVE mode: the malformed line nulls out, never aborts
     assert len(rows) - len(good) <= 1
+
+
+def _http_response_records(spark, pages):
+    """(id, html) pages -> WARC response rows whose blocks are real
+    HTTP messages, the wet/wat derivation input."""
+    rows = [
+        (
+            "response",
+            f"<urn:uuid:{i}>",
+            f"http://h{i}.com/p",
+            f"2024-04-01T00:00:{i:02d}Z",
+            "application/http; msgtype=response",
+            (
+                "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+            ).encode(),
+        )
+        for i, html in pages
+    ]
+    return spark.createDataFrame(
+        rows,
+        "warc_type string, record_id string, target_uri string, "
+        "warc_date string, content_type string, block binary",
+    )
+
+
+def test_wet_records_text_extraction_and_refers_to(spark, tmp_path):
+    pages = [
+        (0, "<html><head><title>T0</title><script>var x = 'hidden';"
+            "</script></head><body><p>Hello  world</p>"
+            "<style>p { color: red }</style>"
+            "a &amp;&amp; b &lt;tag&gt; &quot;q&#39;</body></html>"),
+        (1, "<html><body></body></html>"),  # no visible text: dropped
+        (2, "<html><body>plain</body></html>"),
+    ]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "wet")
+    archive.write_warc(_http_response_records(spark, pages), src)
+    archive.write_warc(archive.wet_records(archive.read_warc(spark, src)), out)
+    back = {
+        r["target_uri"]: r
+        for r in archive.read_warc(spark, out).collect()
+    }
+    assert set(back) == {"http://h0.com/p", "http://h2.com/p"}
+    r0 = back["http://h0.com/p"]
+    assert r0["warc_type"] == "conversion"
+    assert r0["content_type"] == "text/plain"
+    # script/style subtrees dropped, entities decoded (&amp; last),
+    # whitespace collapsed, title text kept
+    assert bytes(r0["block"]).decode() == "T0 Hello world a && b <tag> \"q'"
+    hdrs = {h["key"]: h["value"] for h in r0["headers"]}
+    assert hdrs["WARC-Refers-To"] == "<urn:uuid:0>"
+    assert r0["record_id"] == "<urn:uuid:wet-0>"
+    assert bytes(back["http://h2.com/p"]["block"]).decode() == "plain"
+
+
+def test_wat_records_envelope_fields(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    pages = [
+        (0, '<html><head><title>WatDoc</title></head><body>'
+            '<a href="http://x.com/1">one</a>'
+            '<iframe src="http://f.com/fr"></iframe></body></html>'),
+    ]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "wat")
+    archive.write_warc(_http_response_records(spark, pages), src)
+    archive.write_warc(archive.wat_records(archive.read_warc(spark, src)), out)
+    rows = archive.read_warc(spark, out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["warc_type"] == "metadata"
+    assert r["content_type"] == "application/json"
+    assert r["record_id"] == "<urn:uuid:wat-0>"
+    hdrs = {h["key"]: h["value"] for h in r["headers"]}
+    assert hdrs["WARC-Refers-To"] == "<urn:uuid:0>"
+    import json as _json
+
+    env = _json.loads(bytes(r["block"]).decode())["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == "http://h0.com/p"
+    assert env["WARC-Header-Metadata"]["WARC-Record-ID"] == "<urn:uuid:0>"
+    pm = env["Payload-Metadata"]["HTTP-Response-Metadata"]
+    assert pm["Response-Message"]["Status"] == 200
+    assert pm["Content-Type"] == "text/html"
+    assert pm["HTML-Metadata"]["Head"]["Title"] == "WatDoc"
+    links = pm["HTML-Metadata"]["Links"]
+    assert links == [
+        {"url": "http://x.com/1", "path": "A@/href", "text": "one"},
+        {"url": "http://f.com/fr", "path": "FRAME@/src", "text": ""},
+    ]
+    # the JSON block parses back into the typed struct with the
+    # published schema (what a WAT consumer does)
+    parsed = (
+        archive.read_warc(spark, out)
+        .select(
+            F.from_json(
+                F.decode("block", "UTF-8"), archive.WAT_ENVELOPE_SCHEMA
+            ).alias("e")
+        )
+        .collect()[0]["e"]
+    )
+    assert parsed["Envelope"]["Payload-Metadata"][
+        "HTTP-Response-Metadata"
+    ]["Response-Message"]["Status"] == 200
+
+
+def test_html_text_expr_matches_sql_mirror(spark):
+    """The WET extraction must stay expressible in the oracle's ANSI
+    SQL -- pin the exact output for a corpus of edge cases."""
+    from pyspark.sql import functions as F
+
+    from commoncrawl_crawler_spark.functions.html import html_text_expr
+
+    cases = [
+        ("<b>x</b>", "x"),
+        ("a<br>b", "a b"),
+        ("<script>1<2</script>ok", "ok"),
+        ("<SCRIPT a=b>x</SCRIPT >y", "y"),
+        ("&amp;lt;", "&lt;"),  # double-escape survives (&amp; last)
+        ("  lots\t of\n space  ", "lots of space"),
+        ("<p>no close", "no close"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = [
+        r["t"]
+        for r in df.select(html_text_expr(F.col("html")).alias("t"))
+        .collect()
+    ]
+    assert got == [want for _, want in cases]
