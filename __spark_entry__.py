@@ -40,6 +40,7 @@ from commoncrawl_crawler_spark.operators import (
     skew,
     similarity,
     textstats,
+    webgraph,
     windows,
 )
 from commoncrawl_crawler_spark.functions import (
@@ -376,6 +377,44 @@ def _template_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit("http://"), F.col("source"), F.lit(".example.com"), u
         ).alias("url")
+    )
+
+
+def _page_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized page-level link rows for the webgraph rollups:
+    each document emits three (src_host, dst_host) links -- an
+    intra-host self-reference (must vanish in the host graph), a
+    cross-subdomain link inside the same registered domain (survives
+    the host graph, must vanish in the domain graph), and a
+    cross-domain link derived from doc_id arithmetic. One host in
+    five lives under .co.uk so the PSL collapse is exercised on a
+    multi-label public suffix; the oracle replays the generator."""
+    did = F.col("doc_id")
+    sub = (
+        F.when(did % 3 == 0, F.lit("www."))
+        .when(did % 3 == 1, F.lit("blog."))
+        .otherwise(F.lit(""))
+    )
+    xsub = (
+        F.when(did % 3 == 0, F.lit("blog."))
+        .when(did % 3 == 1, F.lit(""))
+        .otherwise(F.lit("www."))
+    )
+    dom = F.concat(
+        F.col("source"),
+        F.when(did % 5 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+    )
+    src = F.concat(sub, dom)
+    xhost = F.concat(
+        F.lit("www.src"),
+        ((did * 7 + 3) % 20).cast("string"),
+        F.lit(".com"),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        src.alias("src_host"),
+        F.explode(
+            F.array(src, F.concat(xsub, dom), xhost)
+        ).alias("dst_host"),
     )
 
 
@@ -3679,6 +3718,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stratified_sample": lambda s, d: textstats.stratified_sample(
             _t(s, d, "documents"), rate_pct=10
         ),
+        # deterministic global training-order shuffle: md5(seed:key)
+        # permutation -> (shard, pos) addresses; windows partitioned
+        # BY SHARD so no global sort task (operators/sampling.py)
+        "text_training_shuffle": lambda s, d: sampling.training_shuffle(
+            _t(s, d, "documents").select("doc_id"),
+            seed="epoch0",
+            n_shards=8,
+        ).select("doc_id", "shuffle_key", "shard", "pos").orderBy(
+            "shard", "pos"
+        ),
         "text_vocabulary": lambda s, d: textstats.vocabulary(
             _t(s, d, "documents"), top_n=100
         ),
@@ -3796,6 +3845,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_anchor_text": lambda s, d: graph.anchor_text_summary(
             _anchor_links(s, d), k=3
         ),
+        # cc-webgraph host-level rollup: page links -> distinct host
+        # pairs (reversed node names, intra-host dropped) + dense
+        # node ids by sorted name via the bounded-sample bucket
+        # ranker (operators/webgraph.py -- never a global-ORDER-BY
+        # window)
+        "graph_host_webgraph": lambda s, d: webgraph.host_graph_with_ids(
+            _page_links(s, d)
+        ).orderBy("src_id", "dst_id"),
+        # domain-level rollup: hosts collapse to eTLD+1 via the PSL
+        # Column expression (functions/urls.root_domain_expr), edge
+        # weight = distinct host pairs behind the domain pair
+        "graph_domain_webgraph": lambda s, d: webgraph.domain_graph(
+            webgraph.host_graph(_page_links(s, d))
+        ).orderBy("src_domain_rev", "dst_domain_rev"),
         # BM25 lexical ranking against a fixed bag-of-terms query
         "text_bm25_rank": lambda s, d: textstats.bm25_scores(
             _t(s, d, "documents"),
@@ -6946,6 +7009,103 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN term t ON n.node = t.node
             ORDER BY n.node
         """,
+        # webgraph oracles replay the _page_links generator, build
+        # host edges, and rank node names with ROW_NUMBER (the oracle
+        # may use the single-task global sort the engine avoids)
+        "graph_host_webgraph": """
+            WITH base AS (
+                SELECT CASE CAST(doc_id % 3 AS INT)
+                           WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.'
+                           ELSE '' END AS sub,
+                       CASE CAST(doc_id % 3 AS INT)
+                           WHEN 0 THEN 'blog.' WHEN 1 THEN ''
+                           ELSE 'www.' END AS xsub,
+                       source || CASE WHEN doc_id % 5 = 0
+                           THEN '.co.uk' ELSE '.com' END AS dom,
+                       'www.src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+                           || '.com' AS xhost
+                FROM documents
+            ), links AS (
+                SELECT sub || dom AS s, sub || dom AS t FROM base
+                UNION ALL SELECT sub || dom, xsub || dom FROM base
+                UNION ALL SELECT sub || dom, xhost FROM base
+            ), edges AS (
+                SELECT array_to_string(
+                           list_reverse(string_split(s, '.')), '.'
+                       ) AS src_host_rev,
+                       array_to_string(
+                           list_reverse(string_split(t, '.')), '.'
+                       ) AS dst_host_rev,
+                       count(*) AS n_links
+                FROM links WHERE s <> t GROUP BY 1, 2
+            ), nodes AS (
+                SELECT name,
+                       CAST(row_number() OVER (ORDER BY name) - 1
+                           AS INT) AS node_id
+                FROM (SELECT src_host_rev AS name FROM edges
+                      UNION SELECT dst_host_rev FROM edges)
+            )
+            SELECT ns.node_id AS src_id, nd.node_id AS dst_id,
+                   e.src_host_rev, e.dst_host_rev,
+                   CAST(e.n_links AS BIGINT) AS n_links
+            FROM edges e
+            JOIN nodes ns ON e.src_host_rev = ns.name
+            JOIN nodes nd ON e.dst_host_rev = nd.name
+            ORDER BY src_id, dst_id
+        """,
+        # domain collapse mirror: reversed names put the public
+        # suffix FIRST, so eTLD+1 = the first 3 labels under the
+        # corpus's one multi-label suffix (.co.uk), else the first 2
+        "graph_domain_webgraph": """
+            WITH base AS (
+                SELECT CASE CAST(doc_id % 3 AS INT)
+                           WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.'
+                           ELSE '' END AS sub,
+                       CASE CAST(doc_id % 3 AS INT)
+                           WHEN 0 THEN 'blog.' WHEN 1 THEN ''
+                           ELSE 'www.' END AS xsub,
+                       source || CASE WHEN doc_id % 5 = 0
+                           THEN '.co.uk' ELSE '.com' END AS dom,
+                       'www.src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+                           || '.com' AS xhost
+                FROM documents
+            ), links AS (
+                SELECT sub || dom AS s, sub || dom AS t FROM base
+                UNION ALL SELECT sub || dom, xsub || dom FROM base
+                UNION ALL SELECT sub || dom, xhost FROM base
+            ), edges AS (
+                SELECT array_to_string(
+                           list_reverse(string_split(s, '.')), '.'
+                       ) AS src_host_rev,
+                       array_to_string(
+                           list_reverse(string_split(t, '.')), '.'
+                       ) AS dst_host_rev,
+                       count(*) AS n_links
+                FROM links WHERE s <> t GROUP BY 1, 2
+            ), collapsed AS (
+                SELECT CASE WHEN src_host_rev LIKE 'uk.co.%'
+                           THEN array_to_string(
+                               string_split(src_host_rev, '.')[1:3], '.')
+                           ELSE array_to_string(
+                               string_split(src_host_rev, '.')[1:2], '.')
+                       END AS src_domain_rev,
+                       CASE WHEN dst_host_rev LIKE 'uk.co.%'
+                           THEN array_to_string(
+                               string_split(dst_host_rev, '.')[1:3], '.')
+                           ELSE array_to_string(
+                               string_split(dst_host_rev, '.')[1:2], '.')
+                       END AS dst_domain_rev,
+                       n_links
+                FROM edges
+            )
+            SELECT src_domain_rev, dst_domain_rev,
+                   CAST(count(*) AS BIGINT) AS n_host_pairs,
+                   CAST(sum(n_links) AS BIGINT) AS n_links
+            FROM collapsed
+            WHERE src_domain_rev <> dst_domain_rev
+            GROUP BY 1, 2
+            ORDER BY src_domain_rev, dst_domain_rev
+        """,
         "graph_anchor_text": """
             WITH links AS (
                 SELECT 'http://site' || CAST(doc_id % 41 AS VARCHAR)
@@ -7772,6 +7932,26 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                        AS BIGINT) % 100 < 10
             ORDER BY doc_id
+        """,
+        # the shuffle oracle recomputes the md5 permutation address
+        # (shard = 15-hex-prefix arithmetic, pos = rank within shard)
+        "text_training_shuffle": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       md5('epoch0:' || CAST(doc_id AS VARCHAR))
+                           AS shuffle_key
+                FROM documents
+            )
+            SELECT doc_id, shuffle_key,
+                   CAST(CAST(('0x' || substr(shuffle_key, 1, 15))
+                        AS BIGINT) % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY CAST(('0x' || substr(shuffle_key, 1, 15))
+                                    AS BIGINT) % 8
+                       ORDER BY shuffle_key, doc_id
+                   ) AS INT) AS pos
+            FROM keyed
+            ORDER BY shard, pos
         """,
         "text_contamination_check": _contamination_sql(n=5, min_shared=3),
         # closed-form independent derivation of the synthesized

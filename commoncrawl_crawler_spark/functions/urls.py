@@ -384,3 +384,120 @@ def surt_key_expr(col: Column) -> Column:
         F.lit(")"),
         F.when(path == "", F.lit("/")).otherwise(path),
     )
+
+
+def reverse_host_expr(col: Column) -> Column:
+    """Host name -> reversed-label node name ('www.example.com' ->
+    'com.example.www'), the public cc-webgraph node-naming convention
+    (reversed names make every subdomain of a domain a contiguous
+    lexicographic range, so range partitioning co-locates a domain's
+    hosts). Lowercases and strips one trailing dot first."""
+    low = F.lower(F.regexp_replace(col, r"\.$", ""))
+    return F.array_join(F.reverse(F.split(low, r"\.")), ".")
+
+
+def root_domain_expr(col: Column) -> Column:
+    """eTLD+1 (registered domain) as a PURE Column expression -- the
+    JVM-side twin of `root_domain` above (util/URLUtils.java:737
+    capability), for 100 TB host-rollup scans where a pandas UDF hop
+    per row would dominate.
+
+    The PSL table (functions/psl.py) compiles into the plan as ONE
+    pipe-delimited string literal per suffix label count, probed
+    with `contains('|'||candidate||'|')` -- deliberately NOT an
+    `isin` over ~300 literals: the composed webgraph plans evaluate
+    this expression several times per row after projection collapse,
+    and the In-list variant made the whole-stage-codegen method
+    exceed janino's 64 KB limit (interpreted fallback). A constant
+    blob + one indexOf stays a few bytes of generated code however
+    often the tree is duplicated. Matching rules are identical to
+    psl.suffix_label_count: longest explicit suffix wins (3 labels
+    before 2), wildcard TLDs make the last two labels a suffix
+    unless an exception names that child. Parity with the Python
+    kernel is pinned by
+    tests/test_webgraph.py::test_root_domain_expr_matches_python.
+    """
+    by_len: dict[int, list[str]] = {2: [], 3: []}
+    for s in psl.PUBLIC_SUFFIXES:
+        by_len[s.count(".") + 1].append(s)
+
+    def _blob(entries) -> Column:
+        return F.lit("|" + "|".join(sorted(entries)) + "|")
+
+    def _probe(entries, candidate: Column) -> Column:
+        return F.contains(
+            _blob(entries), F.concat(F.lit("|"), candidate, F.lit("|"))
+        )
+
+    low = F.lower(F.regexp_replace(col, r"\.$", ""))
+    labels = F.split(low, r"\.")
+    n = F.size(labels)
+    # F.get is 0-based and null-safe out of bounds (ANSI-proof,
+    # unlike element_at with negative indexes)
+    last1 = F.get(labels, n - 1)
+    last2 = F.concat_ws(".", F.get(labels, n - 2), last1)
+    last3 = F.concat_ws(".", F.get(labels, n - 3), last2)
+    sl = (
+        F.when((n >= 3) & _probe(by_len[3], last3), F.lit(3))
+        .when((n >= 2) & _probe(by_len[2], last2), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    sl = F.when(
+        _probe(psl.WILDCARD_TLDS, last1),
+        F.when(
+            (n >= 2) & _probe(psl.WILDCARD_EXCEPTIONS, last2),
+            F.lit(1),
+        ).otherwise(F.greatest(sl, F.lit(2))),
+    ).otherwise(sl)
+    return F.when(n <= sl, low).otherwise(
+        F.array_join(F.slice(labels, n - sl, sl + 1), ".")
+    )
+
+
+def root_domain_rev_expr(col: Column) -> Column:
+    """eTLD+1 in REVERSED-name space: input and output are
+    reversed-label node names ('com.example.www' -> 'com.example').
+    In reversed form the public suffix is a PREFIX, so the collapse
+    needs no unreverse/re-reverse round trip -- the webgraph domain
+    rollup applies this directly to host-graph node names, keeping
+    the codegen'd expression tree an order of magnitude smaller than
+    reverse_host_expr(root_domain_expr(unreverse(x))) (which blew
+    janino's 64 KB method limit when duplicated across groupBy
+    keys). Same PSL rules as root_domain_expr; parity between the
+    two forms is pinned by
+    tests/test_webgraph.py::test_root_domain_rev_matches_forward.
+    Assumes the input is already lowercased (reverse_host_expr
+    output always is)."""
+
+    def _rev(s: str) -> str:
+        return ".".join(reversed(s.split(".")))
+
+    def _probe(entries, candidate: Column) -> Column:
+        blob = "|" + "|".join(sorted(_rev(s) for s in entries)) + "|"
+        return F.contains(
+            F.lit(blob), F.concat(F.lit("|"), candidate, F.lit("|"))
+        )
+
+    by_len: dict[int, list[str]] = {2: [], 3: []}
+    for s in psl.PUBLIC_SUFFIXES:
+        by_len[s.count(".") + 1].append(s)
+    labels = F.split(col, r"\.")
+    n = F.size(labels)
+    first1 = F.get(labels, 0)
+    first2 = F.concat_ws(".", first1, F.get(labels, 1))
+    first3 = F.concat_ws(".", first2, F.get(labels, 2))
+    sl = (
+        F.when((n >= 3) & _probe(by_len[3], first3), F.lit(3))
+        .when((n >= 2) & _probe(by_len[2], first2), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    sl = F.when(
+        _probe(psl.WILDCARD_TLDS, first1),
+        F.when(
+            (n >= 2) & _probe(psl.WILDCARD_EXCEPTIONS, first2),
+            F.lit(1),
+        ).otherwise(F.greatest(sl, F.lit(2))),
+    ).otherwise(sl)
+    return F.when(n <= sl, col).otherwise(
+        F.array_join(F.slice(labels, 1, sl + 1), ".")
+    )

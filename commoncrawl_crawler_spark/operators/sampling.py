@@ -216,3 +216,42 @@ def weighted_quota_sample(
         .filter(F.col("_rn") <= quota)
         .drop("_rn")
     )
+
+
+def training_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "epoch0",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    (shard, pos) address in a pseudorandom permutation keyed by
+    md5(seed:key) -- the "shuffle the corpus before training, and
+    make epoch N reproducible on any cluster" operation every
+    large-scale training pipeline needs between curation and
+    tokenization.
+
+    Scale shape: shard = md5 mod n_shards spreads rows uniformly
+    (thousands of shards at 100 TB = thousands of output files), and
+    `pos` is a row_number window partitioned BY SHARD -- the windows
+    run in parallel, one sort per shard, never a global single-task
+    sort. A different `seed` yields an independent permutation
+    (epoch reshuffling without re-reading state). Matches DuckDB
+    exactly: md5 is md5, the bucket is the same 15-hex-digit
+    prefix arithmetic as the sampling tier above.
+    """
+    key = F.md5(
+        F.concat(
+            F.lit(seed), F.lit(":"), F.col(key_col).cast("string")
+        )
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint")
+        % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", key_col)
+    return (
+        df.withColumn("shuffle_key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+    )
