@@ -2148,6 +2148,52 @@ def _wat_metadata(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _ccindex_gate(s: SparkSession, d: str) -> DataFrame:
+    """WARC responses -> columnar cc-index-table rows -> hive-
+    partitioned parquet (partitioned by crawl/subset, surtkey-sorted
+    within files) -> read back through the partition-pruned,
+    filter-pushed SQL path a real index consumer uses. The oracle
+    recomputes every typed column from the documents generator."""
+    src = _wet_wat_source(s, d)
+    out = _scratch("ccindex", d, fresh=True)
+    archive.write_ccindex(
+        archive.ccindex_table(
+            archive.read_warc(s, src), crawl="CC-MAIN-2024-18"
+        ),
+        out,
+    )
+    rd = archive.read_ccindex(s, out)
+    return (
+        rd.filter(
+            (F.col("crawl") == "CC-MAIN-2024-18")
+            & (F.col("subset") == "warc")
+            & (F.col("fetch_status") == 200)
+        )
+        .select(
+            F.regexp_extract("url", "/w/(\\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "url_surtkey",
+            "url_host_name",
+            "url_host_reversed",
+            "url_host_registered_domain",
+            "url_host_tld",
+            "url_path",
+            "url_query",
+            "fetch_time",
+            "fetch_status",
+            "content_mime_type",
+            "content_charset",
+            (
+                F.col("warc_filename").isNotNull()
+                & (F.col("warc_record_offset") >= 0)
+                & (F.col("warc_record_length") > 0)
+            ).alias("has_pointer"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _csv_roundtrip(s: SparkSession, d: str) -> DataFrame:
     """documents -> tab-separated rank list -> schema'd csv read."""
     tmp = _scratch("csv", d)
@@ -3503,6 +3549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_warc_http_extract": _warc_http_extract,
         "source_wet_extract": _wet_extract,
         "source_wat_metadata": _wat_metadata,
+        "source_ccindex_table": _ccindex_gate,
         # Rice-coded fingerprint lists (util/RiceCoding.java +
         # CompressedURLFPListV2 shape): per-group delta+Rice buffers
         # with in-kernel decode-verify; the oracle recomputes n/bits/
@@ -4184,6 +4231,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cash, redirect verdict classes, md5 walks, T5 layout, cube
         # margins, block rules, two-batch generational fold,
         # exact-gap session merge).
+        # The session-5 additions (source_wet_extract,
+        # source_wat_metadata, source_ccindex_table,
+        # graph_host_webgraph,
+        # graph_domain_webgraph, text_training_shuffle) likewise wait
+        # for round 6: each is hash-verified at sf0.01 AND sf0.1 in
+        # CORRECTNESS_SELF_r05_S5*.txt and pytest-covered (WET text
+        # extraction + Refers-To linkage, WAT envelope field/typed
+        # parse, host/domain rollup hand models, forward/reversed PSL
+        # parity, dense-id sorted-rank under any bucketing, shuffle
+        # layout-invariance). Their machinery is driver-gated via
+        # source_warc_roundtrip (same write_warc/read_warc kernel the
+        # derivations ride twice) and the md5-bucket sampling tier.
         # Never-driver-validated gates outrank re-validation of
         # r2-green anchors: fn_url_canonicalize, agg_moving_daily_avg,
         # skew_salted_join, filter_text_grep, setop_distinct,
@@ -6185,6 +6244,31 @@ def oracle_sql() -> dict[str, str]:
                    'A@/href' AS first_path,
                    'anchor ' || lang AS first_text
             FROM documents ORDER BY doc_id
+        """,
+        # cc-index-table: every typed column recomputed from the
+        # documents generator (status-200 rows only -- the gate's
+        # pushed filter); fetch_time via make_timestamp mirrors the
+        # gate's to_timestamp of the synthesized ISO instant
+        "source_ccindex_table": """
+            SELECT doc_id,
+                   'com,example,' || source || ')/w/'
+                       || CAST(doc_id AS VARCHAR) AS url_surtkey,
+                   source || '.example.com' AS url_host_name,
+                   'com.example.' || source AS url_host_reversed,
+                   'example.com' AS url_host_registered_domain,
+                   'com' AS url_host_tld,
+                   '/w/' || CAST(doc_id AS VARCHAR) AS url_path,
+                   '' AS url_query,
+                   make_timestamp(2024, 4, CAST(doc_id % 28 + 1 AS INT),
+                                  CAST(doc_id % 24 AS INT),
+                                  CAST(doc_id % 60 AS INT), 0)
+                       AS fetch_time,
+                   CAST(200 AS INT) AS fetch_status,
+                   'text/html' AS content_mime_type,
+                   'utf-8' AS content_charset,
+                   TRUE AS has_pointer
+            FROM documents WHERE doc_id % 10 <> 0
+            ORDER BY doc_id
         """,
         # identity oracle for the WARC roundtrip: every column is
         # recomputable from the producing documents row

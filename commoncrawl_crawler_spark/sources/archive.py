@@ -1148,3 +1148,98 @@ def wat_records(warc: DataFrame) -> DataFrame:
         ).alias("headers"),
         F.encode(F.to_json(envelope), "UTF-8").alias("block"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Columnar URL index table -- the parquet "cc-index-table" CommonCrawl
+# publishes beside the zipnum CDX (this module's write_cdx/cdx_lookup):
+# one typed row per fetched record with the URL decomposition, host and
+# registered-domain rollup keys, fetch metadata, and the (filename,
+# offset, length) pointer for random access back into the archive.
+# It is the modern SQL access path to the crawl (Athena/Spark users
+# query it directly), so the engine must be able to produce it from
+# its own WARC output. Schema follows the published table's column
+# naming (url_surtkey, url_host_*, fetch_*, content_*, warc_*).
+# ---------------------------------------------------------------------------
+
+
+def ccindex_table(warc: DataFrame, crawl: str,
+                  subset: str = "warc") -> DataFrame:
+    """WARC response records -> columnar index rows. Pure Column
+    expressions end to end: the HTTP head split is the same
+    discipline as wat_records, URL decomposition is regexp over the
+    target URI, and the host rollup keys reuse the SURT / reversed /
+    eTLD+1 expressions from functions/urls (each applied once per
+    row, codegen-compact blob probes)."""
+    from ..functions import urls as urlfn
+
+    txt = F.decode(F.col("block"), "ISO-8859-1")
+    rec = (
+        warc.filter(F.col("warc_type") == "response")
+        .withColumn("_txt", txt)
+        .withColumn("_sep", F.instr(F.col("_txt"), "\r\n\r\n"))
+        .filter(F.col("_sep") > 0)
+        .withColumn("_head", F.expr("substring(_txt, 1, _sep - 1)"))
+    )
+    low = F.lower(F.col("target_uri"))
+    host = F.regexp_extract(low, r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+    http_ct = F.regexp_extract(
+        F.col("_head"), "(?i)\\r\\ncontent-type:[ \\t]*([^\\r\\n]*)", 1
+    )
+    return rec.select(
+        urlfn.surt_key_expr(F.col("target_uri")).alias("url_surtkey"),
+        F.col("target_uri").alias("url"),
+        host.alias("url_host_name"),
+        urlfn.reverse_host_expr(host).alias("url_host_reversed"),
+        urlfn.root_domain_expr(host).alias(
+            "url_host_registered_domain"
+        ),
+        F.regexp_extract(host, r"([^.]+)$", 1).alias("url_host_tld"),
+        F.regexp_extract(low, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+        .alias("url_path"),
+        F.regexp_extract(low, r"\?([^#]*)", 1).alias("url_query"),
+        F.to_timestamp(F.col("warc_date")).alias("fetch_time"),
+        F.regexp_extract(F.col("_head"), "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+        .cast("int")
+        .alias("fetch_status"),
+        F.regexp_extract(http_ct, "^([^;]*[^; ])", 1).alias(
+            "content_mime_type"
+        ),
+        F.regexp_extract(http_ct, "(?i)charset=([^; ]+)", 1).alias(
+            "content_charset"
+        ),
+        F.col("record_id").alias("warc_record_id"),
+        F.col("archive_path").alias("warc_filename"),
+        F.col("member_offset").alias("warc_record_offset"),
+        F.col("content_length").alias("warc_record_length"),
+        F.lit(crawl).alias("crawl"),
+        F.lit(subset).alias("subset"),
+    )
+
+
+def write_ccindex(idx: DataFrame, path: str) -> None:
+    """Write the index table the way the published one is laid out:
+    hive-partitioned by (crawl, subset) -- so a reader's
+    `WHERE crawl = ...` prunes whole directories before any IO --
+    and sorted by url_surtkey within files, which gives parquet
+    min/max page statistics the same pruning power the zipnum
+    binary search has (a host's URLs land in a contiguous run of
+    row groups). At 100 TB each (crawl, subset) partition holds
+    many files; the range repartition keeps them non-overlapping in
+    surtkey so a point lookup touches one file."""
+    (
+        idx.repartitionByRange(
+            F.col("crawl"), F.col("subset"), F.col("url_surtkey")
+        )
+        .sortWithinPartitions("crawl", "subset", "url_surtkey")
+        .write.mode("overwrite")
+        .partitionBy("crawl", "subset")
+        .parquet(path)
+    )
+
+
+def read_ccindex(spark: SparkSession, path: str) -> DataFrame:
+    """Read the partitioned index table back; partition columns
+    (crawl, subset) come from directory names, so filters on them
+    never touch parquet footers."""
+    return spark.read.parquet(path)

@@ -747,3 +747,55 @@ def test_html_text_expr_matches_sql_mirror(spark):
         .collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_ccindex_table_columns_and_partitioned_layout(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    pages = [
+        (0, '<html><head><title>T</title></head><body>x</body></html>'),
+        (1, '<html><body>y</body></html>'),
+    ]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "ccindex")
+    archive.write_warc(_http_response_records(spark, pages), src)
+    idx = archive.ccindex_table(
+        archive.read_warc(spark, src), crawl="CC-TEST-1"
+    )
+    archive.write_ccindex(idx, out)
+    # hive partition directories exist (crawl=, subset=)
+    assert os.path.isdir(os.path.join(out, "crawl=CC-TEST-1"))
+    assert os.path.isdir(
+        os.path.join(out, "crawl=CC-TEST-1", "subset=warc")
+    )
+    rd = archive.read_ccindex(spark, out)
+    rows = {r["url"]: r for r in rd.collect()}
+    r = rows["http://h0.com/p"]
+    assert r["url_surtkey"] == "com,h0)/p"
+    assert r["url_host_name"] == "h0.com"
+    assert r["url_host_reversed"] == "com.h0"
+    assert r["url_host_registered_domain"] == "h0.com"
+    assert r["url_host_tld"] == "com"
+    assert r["url_path"] == "/p"
+    assert r["fetch_status"] == 200
+    assert r["content_mime_type"] == "text/html"
+    assert r["warc_filename"] and r["warc_record_offset"] >= 0
+    assert r["warc_record_length"] > 0
+    assert r["crawl"] == "CC-TEST-1" and r["subset"] == "warc"
+    # the consumer SQL path: partition filter prunes directories,
+    # data filter reaches the parquet scan
+    plan = (
+        rd.filter(
+            (F.col("crawl") == "CC-TEST-1")
+            & (F.col("fetch_status") == 200)
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "crawl" in plan
+    import re as _re
+
+    assert _re.search(r"PushedFilters:.*fetch_status", plan)
