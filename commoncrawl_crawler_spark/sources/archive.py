@@ -1016,9 +1016,14 @@ def wet_records(warc: DataFrame) -> DataFrame:
     across engines and retries, unlike a fresh uuid).
 
     Non-response records and bodiless responses drop out -- exactly
-    the rows WET omits.
+    the rows WET omits. Each record also carries the
+    WARC-Identified-Content-Language header the published WET format
+    includes (stopword-vote language ID as a pure Column expression,
+    functions/text.langid_scores_expr -- the cheap in-plan stand-in
+    for the reference corpus's CLD2 pass).
     """
     from ..functions.html import html_text_expr
+    from ..functions.text import langid_scores_expr
 
     # same split discipline as warc_http_responses, re-derived inline
     # so the source record_id stays threaded through for Refers-To
@@ -1044,7 +1049,11 @@ def wet_records(warc: DataFrame) -> DataFrame:
             F.struct(
                 F.lit("WARC-Refers-To").alias("key"),
                 F.col("record_id").alias("value"),
-            )
+            ),
+            F.struct(
+                F.lit("WARC-Identified-Content-Language").alias("key"),
+                langid_scores_expr(F.col("_text")).alias("value"),
+            ),
         ).alias("headers"),
         F.encode(F.col("_text"), "UTF-8").alias("block"),
     )

@@ -799,3 +799,19 @@ def test_ccindex_table_columns_and_partitioned_layout(spark, tmp_path):
     import re as _re
 
     assert _re.search(r"PushedFilters:.*fetch_status", plan)
+
+
+def test_wet_records_carry_identified_language_header(spark, tmp_path):
+    pages = [
+        (0, "<html><body>the quick brown fox and the lazy dog with "
+            "some of that text</body></html>"),
+    ]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "wet")
+    archive.write_warc(_http_response_records(spark, pages), src)
+    archive.write_warc(
+        archive.wet_records(archive.read_warc(spark, src)), out
+    )
+    (r,) = archive.read_warc(spark, out).collect()
+    hdrs = {h["key"]: h["value"] for h in r["headers"]}
+    assert hdrs["WARC-Identified-Content-Language"] == "en"
