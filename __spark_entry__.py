@@ -2162,7 +2162,13 @@ def _ccindex_gate(s: SparkSession, d: str) -> DataFrame:
         ),
         out,
     )
-    rd = archive.read_ccindex(s, out)
+    return _ccindex_project(archive.read_ccindex(s, out))
+
+
+def _ccindex_project(rd: DataFrame) -> DataFrame:
+    """Shared consumer projection for the batch and streaming index
+    builds: partition-pruned, filter-pushed read of the typed
+    columns, keyed back to doc_id for the oracle."""
     return (
         rd.filter(
             (F.col("crawl") == "CC-MAIN-2024-18")
@@ -2192,6 +2198,32 @@ def _ccindex_gate(s: SparkSession, d: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _stream_ccindex_build(s: SparkSession, d: str) -> DataFrame:
+    """The index maintained INCREMENTALLY: a streaming WARC source
+    (exactly-once per-file tracking) feeds ccindex_table into a
+    hive-partitioned parquet sink via availableNow micro-batches --
+    how the columnar index stays current as crawl segments land,
+    without re-deriving rows for archives already indexed. Drained
+    here in one availableNow pass over the shared WARC segment; the
+    result must be row-identical to the batch build (same oracle)."""
+    src = _wet_wat_source(s, d)
+    out = _scratch("ccindex_stream", d, fresh=True)
+    ck = _scratch("ccindex_stream_ck", d, fresh=True)
+    idx = archive.ccindex_table(
+        archive.read_warc_stream(s, src), crawl="CC-MAIN-2024-18"
+    )
+    q = (
+        idx.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .partitionBy("crawl", "subset")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _ccindex_project(archive.read_ccindex(s, out))
 
 
 def _csv_roundtrip(s: SparkSession, d: str) -> DataFrame:
@@ -3564,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_wet_extract": _wet_extract,
         "source_wat_metadata": _wat_metadata,
         "source_ccindex_table": _ccindex_gate,
+        "stream_ccindex_build": _stream_ccindex_build,
         # Rice-coded fingerprint lists (util/RiceCoding.java +
         # CompressedURLFPListV2 shape): per-group delta+Rice buffers
         # with in-kernel decode-verify; the oracle recomputes n/bits/
@@ -4269,6 +4302,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
+
+
+_CCINDEX_SQL = """
+            SELECT doc_id,
+                   'com,example,' || source || ')/w/'
+                       || CAST(doc_id AS VARCHAR) AS url_surtkey,
+                   source || '.example.com' AS url_host_name,
+                   'com.example.' || source AS url_host_reversed,
+                   'example.com' AS url_host_registered_domain,
+                   'com' AS url_host_tld,
+                   '/w/' || CAST(doc_id AS VARCHAR) AS url_path,
+                   '' AS url_query,
+                   make_timestamp(2024, 4, CAST(doc_id % 28 + 1 AS INT),
+                                  CAST(doc_id % 24 AS INT),
+                                  CAST(doc_id % 60 AS INT), 0)
+                       AS fetch_time,
+                   CAST(200 AS INT) AS fetch_status,
+                   'text/html' AS content_mime_type,
+                   'utf-8' AS content_charset,
+                   TRUE AS has_pointer
+            FROM documents WHERE doc_id % 10 <> 0
+            ORDER BY doc_id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6263,27 +6319,9 @@ def oracle_sql() -> dict[str, str]:
         # documents generator (status-200 rows only -- the gate's
         # pushed filter); fetch_time via make_timestamp mirrors the
         # gate's to_timestamp of the synthesized ISO instant
-        "source_ccindex_table": """
-            SELECT doc_id,
-                   'com,example,' || source || ')/w/'
-                       || CAST(doc_id AS VARCHAR) AS url_surtkey,
-                   source || '.example.com' AS url_host_name,
-                   'com.example.' || source AS url_host_reversed,
-                   'example.com' AS url_host_registered_domain,
-                   'com' AS url_host_tld,
-                   '/w/' || CAST(doc_id AS VARCHAR) AS url_path,
-                   '' AS url_query,
-                   make_timestamp(2024, 4, CAST(doc_id % 28 + 1 AS INT),
-                                  CAST(doc_id % 24 AS INT),
-                                  CAST(doc_id % 60 AS INT), 0)
-                       AS fetch_time,
-                   CAST(200 AS INT) AS fetch_status,
-                   'text/html' AS content_mime_type,
-                   'utf-8' AS content_charset,
-                   TRUE AS has_pointer
-            FROM documents WHERE doc_id % 10 <> 0
-            ORDER BY doc_id
-        """,
+        "source_ccindex_table": _CCINDEX_SQL,
+        # the streaming build must produce the identical index
+        "stream_ccindex_build": _CCINDEX_SQL,
         # identity oracle for the WARC roundtrip: every column is
         # recomputable from the producing documents row
         "source_warc_roundtrip": """

@@ -688,6 +688,42 @@ def _parse_warc_member(data: bytes) -> tuple:
     )
 
 
+def _parse_warc_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Shared Arrow-batched member-walk parse kernel for the batch
+    and streaming WARC readers (same discipline as the ARC pair)."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            f.name: [] for f in WARC_READ_SCHEMA.fields
+        }
+        for fpath, blob in zip(pdf["path"], pdf["content"]):
+            content = bytes(blob)
+            pos = 0
+            while pos < len(content):
+                d = zlib.decompressobj(wbits=31)
+                data = d.decompress(content[pos:])
+                if not d.eof:
+                    raise ValueError(
+                        f"truncated WARC member at offset {pos}"
+                    )
+                (wt, rid, uri, date, ctype, clen, hdrs, block) = (
+                    _parse_warc_member(data)
+                )
+                out["warc_type"].append(wt)
+                out["record_id"].append(rid)
+                out["target_uri"].append(uri)
+                out["warc_date"].append(date)
+                out["content_type"].append(ctype)
+                out["content_length"].append(clen)
+                out["headers"].append(hdrs)
+                out["block"].append(block)
+                out["archive_path"].append(fpath)
+                out["member_offset"].append(pos)
+                pos = len(content) - len(d.unused_data)
+        yield pd.DataFrame(out)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Read WARC 1.0 archives into typed rows (binaryFile listing, one
     task per rotation-capped archive; Arrow-batched member parse).
@@ -695,40 +731,36 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     'request', 'metadata', 'warcinfo') downstream; Catalyst prunes the
     block column away for metadata-only queries."""
     files = spark.read.format("binaryFile").load(f"{path}/*{WARC_SUFFIX}")
-
-    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {
-                f.name: [] for f in WARC_READ_SCHEMA.fields
-            }
-            for fpath, blob in zip(pdf["path"], pdf["content"]):
-                content = bytes(blob)
-                pos = 0
-                while pos < len(content):
-                    d = zlib.decompressobj(wbits=31)
-                    data = d.decompress(content[pos:])
-                    if not d.eof:
-                        raise ValueError(
-                            f"truncated WARC member at offset {pos}"
-                        )
-                    (wt, rid, uri, date, ctype, clen, hdrs, block) = (
-                        _parse_warc_member(data)
-                    )
-                    out["warc_type"].append(wt)
-                    out["record_id"].append(rid)
-                    out["target_uri"].append(uri)
-                    out["warc_date"].append(date)
-                    out["content_type"].append(ctype)
-                    out["content_length"].append(clen)
-                    out["headers"].append(hdrs)
-                    out["block"].append(block)
-                    out["archive_path"].append(fpath)
-                    out["member_offset"].append(pos)
-                    pos = len(content) - len(d.unused_data)
-            yield pd.DataFrame(out)
-
     return files.select("path", "content").mapInPandas(
-        _parse, WARC_READ_SCHEMA
+        _parse_warc_batches, WARC_READ_SCHEMA
+    )
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming WARC source: the same member-walk parse over
+    archives as they LAND in a directory (readStream + binaryFile
+    file source, exactly-once per-file checkpoint tracking) -- the
+    tail-the-crawl ingest shape, symmetric with read_arc_v1_stream.
+    Compose with ccindex_table + a partitioned parquet sink to keep
+    the columnar index current as segments arrive."""
+    from pyspark.sql.types import TimestampType
+
+    binary_file_schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", f"*{WARC_SUFFIX}")
+        .load(path)
+    )
+    return files.select("path", "content").mapInPandas(
+        _parse_warc_batches, WARC_READ_SCHEMA
     )
 
 

@@ -815,3 +815,50 @@ def test_wet_records_carry_identified_language_header(spark, tmp_path):
     (r,) = archive.read_warc(spark, out).collect()
     hdrs = {h["key"]: h["value"] for h in r["headers"]}
     assert hdrs["WARC-Identified-Content-Language"] == "en"
+
+
+def test_stream_ccindex_appends_only_new_archives(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            archive.ccindex_table(
+                archive.read_warc_stream(spark, src), crawl="CC-T"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .partitionBy("crawl", "subset")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    archive.write_warc(
+        _http_response_records(spark, [(0, "<html><body>a</body></html>")]),
+        src,
+    )
+    drain()
+    first = {r["url"] for r in archive.read_ccindex(spark, out).collect()}
+    assert first == {"http://h0.com/p"}
+    # a second segment lands; the next drain indexes ONLY the new file
+    more = _http_response_records(
+        spark, [(1, "<html><body>b</body></html>")]
+    )
+    import os
+
+    # write to a subdir-free unique name set: write_warc rotates into
+    # the same dir; new part files are new paths for the file source
+    archive.write_warc(more, src + "_b")
+    for f in os.listdir(src + "_b"):
+        os.rename(os.path.join(src + "_b", f), os.path.join(src, "b_" + f))
+    drain()
+    rows = archive.read_ccindex(spark, out).collect()
+    assert sorted(r["url"] for r in rows) == [
+        "http://h0.com/p",
+        "http://h1.com/p",
+    ]
+    # no duplicates: the first archive was not re-indexed
+    assert len(rows) == 2
