@@ -418,6 +418,18 @@ def _page_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level edge table shared by the host- and domain-webgraph
+    gates (one groupBy over the page links), materialized once per
+    (session, sf) like the link-graph edge table."""
+    return _cached(
+        spark,
+        "webgraph_hostedges",
+        sf_dir,
+        lambda: webgraph.host_graph(_page_links(spark, sf_dir)),
+    )
+
+
 def _boiler_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # render each document as a 5-block page: 2-word title, link-heavy
     # nav, the real text as the content paragraph, a short note, and a
@@ -3945,13 +3957,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ranker (operators/webgraph.py -- never a global-ORDER-BY
         # window)
         "graph_host_webgraph": lambda s, d: webgraph.host_graph_with_ids(
-            _page_links(s, d)
+            _page_links(s, d), host_edges=_host_edges(s, d)
         ).orderBy("src_id", "dst_id"),
         # domain-level rollup: hosts collapse to eTLD+1 via the PSL
-        # Column expression (functions/urls.root_domain_expr), edge
-        # weight = distinct host pairs behind the domain pair
+        # Column expression evaluated once per DISTINCT host
+        # (functions/urls.root_domain_rev_expr), edge weight =
+        # distinct host pairs behind the domain pair; consumes the
+        # same materialized host-edge table as the host gate
         "graph_domain_webgraph": lambda s, d: webgraph.domain_graph(
-            webgraph.host_graph(_page_links(s, d))
+            _host_edges(s, d)
         ).orderBy("src_domain_rev", "dst_domain_rev"),
         # BM25 lexical ranking against a fixed bag-of-terms query
         "text_bm25_rank": lambda s, d: textstats.bm25_scores(

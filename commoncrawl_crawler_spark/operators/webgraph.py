@@ -200,14 +200,20 @@ def dense_node_ids(edges: DataFrame, src_col: str, dst_col: str,
 
 def host_graph_with_ids(links: DataFrame, src_col: str = "src_host",
                         dst_col: str = "dst_host",
-                        partitions: int = 32) -> DataFrame:
+                        buckets: int = 32,
+                        host_edges: DataFrame | None = None) -> DataFrame:
     """host_graph + dense node ids joined onto both endpoints —
     the full published host-graph edge record: (src_id, dst_id,
     src_host_rev, dst_host_rev, n_links). Two hash joins against the
     node table (which is itself derived, never broadcast-assumed:
-    at web scale it has billions of rows)."""
-    hg = host_graph(links, src_col, dst_col)
-    ids = dense_node_ids(hg, "src_host_rev", "dst_host_rev", partitions)
+    at web scale it has billions of rows). Pass `host_edges` to
+    reuse a materialized host_graph output instead of rebuilding."""
+    hg = (
+        host_edges
+        if host_edges is not None
+        else host_graph(links, src_col, dst_col)
+    )
+    ids = dense_node_ids(hg, "src_host_rev", "dst_host_rev", buckets)
     return (
         hg.join(
             ids.withColumnRenamed("name", "src_host_rev")
