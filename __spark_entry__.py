@@ -4294,7 +4294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-gap session merge).
         # The session-5 additions (source_wet_extract,
         # source_wat_metadata, source_ccindex_table,
-        # graph_host_webgraph,
+        # stream_ccindex_build, graph_host_webgraph,
         # graph_domain_webgraph, text_training_shuffle) likewise wait
         # for round 6: each is hash-verified at sf0.01 AND sf0.1 in
         # CORRECTNESS_SELF_r05_S5*.txt and pytest-covered (WET text
