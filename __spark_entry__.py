@@ -827,6 +827,81 @@ ORDER BY n.node
     return sql
 
 
+_WEBGRAPH_EDGES_CTE = """base AS (
+                SELECT CASE CAST(doc_id % 3 AS INT)
+                           WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.'
+                           ELSE '' END AS sub,
+                       CASE CAST(doc_id % 3 AS INT)
+                           WHEN 0 THEN 'blog.' WHEN 1 THEN ''
+                           ELSE 'www.' END AS xsub,
+                       source || CASE WHEN doc_id % 5 = 0
+                           THEN '.co.uk' ELSE '.com' END AS dom,
+                       'www.src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+                           || '.com' AS xhost
+                FROM documents
+            ), links AS (
+                SELECT sub || dom AS s, sub || dom AS t FROM base
+                UNION ALL SELECT sub || dom, xsub || dom FROM base
+                UNION ALL SELECT sub || dom, xhost FROM base
+            ), edges AS (
+                SELECT array_to_string(
+                           list_reverse(string_split(s, '.')), '.'
+                       ) AS src_host_rev,
+                       array_to_string(
+                           list_reverse(string_split(t, '.')), '.'
+                       ) AS dst_host_rev,
+                       count(*) AS n_links
+                FROM links WHERE s <> t GROUP BY 1, 2
+            )"""
+
+
+def _webgraph_ranks_sql(iterations: int = 3) -> str:
+    # fixed-point pagerank over the DISTINCT host pairs (mirrors
+    # webgraph.ranks -> graph.pagerank), then node ids by sorted name
+    # and rank ordinals by (score DESC, name ASC) -- the oracle may
+    # use the global-ORDER-BY row_number the engine avoids
+    sql = (
+        "WITH "
+        + _WEBGRAPH_EDGES_CTE
+        + """, nodes AS (
+    SELECT DISTINCT src_host_rev AS node FROM edges
+    UNION SELECT DISTINCT dst_host_rev FROM edges
+), outdeg AS (
+    SELECT src_host_rev AS src, count(*) AS out_cnt
+    FROM edges GROUP BY 1
+), r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_i FROM nodes)"""
+    )
+    for i in range(1, iterations + 1):
+        sql += f""",
+r{i} AS (
+    SELECT n.node,
+           CAST(150000 + (coalesce(s.recv, 0) * 85) // 100 AS BIGINT)
+               AS rank_i
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst_host_rev AS node,
+               sum(r.rank_i // d.out_cnt) AS recv
+        FROM edges e
+        JOIN r{i - 1} r ON e.src_host_rev = r.node
+        JOIN outdeg d ON e.src_host_rev = d.src
+        GROUP BY 1
+    ) s ON n.node = s.node
+)"""
+    return sql + f""",
+ids AS (
+    SELECT node AS host_rev,
+           CAST(row_number() OVER (ORDER BY node) - 1 AS INT) AS node_id
+    FROM nodes
+)
+SELECT CAST(row_number() OVER (
+           ORDER BY r.rank_i DESC, r.node ASC
+       ) - 1 AS INT) AS rank_ordinal,
+       i.node_id, i.host_rev,
+       round(r.rank_i / 1000000.0, 6) AS pagerank
+FROM r{iterations} r JOIN ids i ON r.node = i.host_rev
+ORDER BY rank_ordinal
+"""
+
+
 def _pagerank_sql(iterations: int = 3) -> str:
     # fixed-point bigint ranks (1.0 == 1e6) with truncating division:
     # exact integer math -> engine- and order-independent results
@@ -3967,6 +4042,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_domain_webgraph": lambda s, d: webgraph.domain_graph(
             _host_edges(s, d)
         ).orderBy("src_domain_rev", "dst_domain_rev"),
+        # the published RANKS artifact: fixed-point PageRank over the
+        # host graph + rank ordinal by descending score WITHOUT a
+        # global-sort window (monotone score-key through the same
+        # bounded-sample bucket ranker that assigns node ids)
+        "graph_webgraph_ranks": lambda s, d: webgraph.ranks(
+            _host_edges(s, d), iterations=3
+        ).orderBy("rank_ordinal"),
         # BM25 lexical ranking against a fixed bag-of-terms query
         "text_bm25_rank": lambda s, d: textstats.bm25_scores(
             _t(s, d, "documents"),
@@ -4295,7 +4377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The session-5 additions (source_wet_extract,
         # source_wat_metadata, source_ccindex_table,
         # stream_ccindex_build, graph_host_webgraph,
-        # graph_domain_webgraph, text_training_shuffle) likewise wait
+        # graph_domain_webgraph, graph_webgraph_ranks,
+        # text_training_shuffle) likewise wait
         # for round 6: each is hash-verified at sf0.01 AND sf0.1 in
         # CORRECTNESS_SELF_r05_S5*.txt and pytest-covered (WET text
         # extraction + Refers-To linkage, WAT envelope field/typed
@@ -7256,6 +7339,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY src_domain_rev, dst_domain_rev
         """,
+        "graph_webgraph_ranks": _webgraph_ranks_sql(iterations=3),
         "graph_anchor_text": """
             WITH links AS (
                 SELECT 'http://site' || CAST(doc_id % 41 AS VARCHAR)

@@ -152,6 +152,15 @@ def dense_node_ids(edges: DataFrame, src_col: str, dst_col: str,
         .union(edges.select(F.col(dst_col).alias("name")))
         .distinct()
     )
+    return dense_rank_by_key(names, buckets, sample_target)
+
+
+def dense_rank_by_key(names: DataFrame, buckets: int = 32,
+                      sample_target: int = 4096) -> DataFrame:
+    """(name, node_id) where node_id = 0-based rank of `name` in the
+    globally sorted distinct-name list — the distributed core of
+    dense_node_ids, reusable for any orderable string key (e.g. a
+    monotone rank-score encoding)."""
     n = names.count()
     if n == 0:
         return names.select(
@@ -228,4 +237,59 @@ def host_graph_with_ids(links: DataFrame, src_col: str = "src_host",
         .select(
             "src_id", "dst_id", "src_host_rev", "dst_host_rev", "n_links"
         )
+    )
+
+
+def ranks(host_edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """The published webgraph RANKS artifact: per host node, its
+    dense id, its fixed-point PageRank score, and its 0-based rank
+    ordinal by descending score (ties broken by node name, the
+    published convention of a deterministic total order).
+
+    PageRank rides operators/graph.pagerank — fixed-point bigint,
+    bit-identical under any partitioning. The rank ordinal
+    deliberately avoids `row_number() OVER (ORDER BY score DESC)`
+    (one global sort task): the score is folded into a MONOTONE
+    string key — zero-padded decimal of (MAX_SCALED - rank_i), then
+    the node name — and ranked with the same bounded-sample bucket
+    ranker that assigns node ids. Sorting that key ascending IS
+    sorting (score DESC, name ASC), so the per-bucket windows stay
+    parallel at any node count.
+    """
+    from commoncrawl_crawler_spark.operators import graph as g
+
+    edges = host_edges.select(
+        F.col("src_host_rev").alias("src"),
+        F.col("dst_host_rev").alias("dst"),
+    )
+    pr = g.pagerank(edges, iterations=iterations).select(
+        F.col("node").alias("host_rev"),
+        F.col("rank").alias("pagerank"),
+    )
+    ids = dense_node_ids(host_edges, "src_host_rev", "dst_host_rev")
+    scored = pr.join(
+        ids.withColumnRenamed("name", "host_rev"), "host_rev"
+    )
+    # monotone encoding: bigger score -> lexicographically smaller
+    # key; floor(x*1e6+0.5) recovers the fixed-point integer exactly
+    # (bare cast of a double product can land one ulp low)
+    key = F.concat(
+        F.lpad(
+            (
+                F.lit(10**15)
+                - F.floor(F.col("pagerank") * 1000000 + F.lit(0.5))
+            ).cast("string"),
+            16,
+            "0",
+        ),
+        F.lit("|"),
+        F.col("host_rev"),
+    )
+    ordinals = dense_rank_by_key(
+        scored.select(key.alias("name")).distinct()
+    ).withColumnRenamed("node_id", "rank_ordinal")
+    return (
+        scored.withColumn("_k", key)
+        .join(ordinals, F.col("_k") == ordinals["name"])
+        .select("rank_ordinal", "node_id", "host_rev", "pagerank")
     )

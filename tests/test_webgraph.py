@@ -146,3 +146,22 @@ def test_training_shuffle_is_deterministic_and_contiguous(spark):
         df, key_col="doc_id", seed="epoch1", n_shards=4
     ).collect()
     assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+
+
+def test_webgraph_ranks_ordinals_follow_scores(spark):
+    # star: everyone links to hub -> hub has the top pagerank
+    links = spark.createDataFrame(
+        [("a.com", "hub.com"), ("b.com", "hub.com"),
+         ("c.com", "hub.com"), ("hub.com", "a.com")],
+        "src_host string, dst_host string",
+    )
+    out = webgraph.ranks(webgraph.host_graph(links), iterations=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank_ordinal"])
+    assert rows[0]["host_rev"] == "com.hub"
+    assert [r["rank_ordinal"] for r in rows] == list(range(len(rows)))
+    # ordinal order == (pagerank desc, name asc)
+    key = [(-r["pagerank"], r["host_rev"]) for r in rows]
+    assert key == sorted(key)
+    # node ids are still the sorted-name ranks
+    by_name = sorted(rows, key=lambda r: r["host_rev"])
+    assert [r["node_id"] for r in by_name] == list(range(len(rows)))
