@@ -1239,7 +1239,17 @@ def ccindex_table(warc: DataFrame, crawl: str,
         F.regexp_extract(low, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
         .alias("url_path"),
         F.regexp_extract(low, r"\?([^#]*)", 1).alias("url_query"),
-        F.to_timestamp(F.col("warc_date")).alias("fetch_time"),
+        # TIMESTAMP_NTZ carrying the UTC wall time: WARC-Date is an
+        # explicit-zone instant, and an LTZ column would render
+        # shifted under any non-UTC session (the same tz-independence
+        # discipline as sources/tables' loader normalization)
+        F.to_timestamp_ntz(
+            F.regexp_replace(
+                F.replace(F.col("warc_date"), F.lit("T"), F.lit(" ")),
+                "Z$",
+                "",
+            )
+        ).alias("fetch_time"),
         F.regexp_extract(F.col("_head"), "^HTTP/[0-9.]+ ([0-9]{3})", 1)
         .cast("int")
         .alias("fetch_status"),

@@ -862,3 +862,24 @@ def test_stream_ccindex_appends_only_new_archives(spark, tmp_path):
     ]
     # no duplicates: the first archive was not re-indexed
     assert len(rows) == 2
+
+
+def test_ccindex_fetch_time_is_tz_independent(spark, tmp_path):
+    """fetch_time must be the UTC wall instant under ANY session
+    timezone (TIMESTAMP_NTZ discipline)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    archive.write_warc(
+        _http_response_records(spark, [(7, "<html><body>x</body></html>")]),
+        src,
+    )
+    idx = archive.ccindex_table(archive.read_warc(spark, src), crawl="C")
+    assert dict(idx.dtypes)["fetch_time"] == "timestamp_ntz"
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        (r,) = idx.select("fetch_time").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert str(r["fetch_time"]) == "2024-04-01 00:00:07"
