@@ -2313,6 +2313,44 @@ def _stream_ccindex_build(s: SparkSession, d: str) -> DataFrame:
     return _ccindex_project(archive.read_ccindex(s, out))
 
 
+def _pipeline_archive_linkgraph(s: SparkSession, d: str) -> DataFrame:
+    """SURVEY.md section 3.3 lifecycle as ONE composed plan: archive
+    bytes on disk -> HTTP body split -> HTML link extraction
+    (Arrow-batched ParserMapper analog) -> host-level link graph
+    (webgraph rollup, intra-host links dropped). The synthesized
+    pages carry one self-link (must vanish) and one cross-host
+    iframe per document, so the oracle recomputes the resulting
+    edge list in closed form."""
+    warc = archive.read_warc(s, _wet_wat_source(s, d))
+    txt = F.decode(F.col("block"), "ISO-8859-1")
+    pages = (
+        warc.filter(F.col("warc_type") == "response")
+        .withColumn("_txt", txt)
+        .withColumn("_sep", F.instr(F.col("_txt"), "\r\n\r\n"))
+        .filter(F.col("_sep") > 0)
+        .withColumn("_body", F.expr("substring(_txt, _sep + 4)"))
+    )
+    host = F.regexp_extract(
+        F.lower(F.col("target_uri")),
+        r"^[a-z][a-z0-9+.-]*://([^/?#:]+)",
+        1,
+    )
+    links = pages.select(
+        host.alias("src_host"),
+        F.explode(htmlfn.extract_links_udf(F.col("_body"))).alias("_l"),
+    ).select(
+        "src_host",
+        F.regexp_extract(
+            F.lower(F.col("_l")["url"]),
+            r"^[a-z][a-z0-9+.-]*://([^/?#:]+)",
+            1,
+        ).alias("dst_host"),
+    ).filter(F.col("dst_host") != "")
+    return webgraph.host_graph(links).orderBy(
+        "src_host_rev", "dst_host_rev"
+    )
+
+
 def _csv_roundtrip(s: SparkSession, d: str) -> DataFrame:
     """documents -> tab-separated rank list -> schema'd csv read."""
     tmp = _scratch("csv", d)
@@ -3684,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_wat_metadata": _wat_metadata,
         "source_ccindex_table": _ccindex_gate,
         "stream_ccindex_build": _stream_ccindex_build,
+        "pipeline_archive_linkgraph": _pipeline_archive_linkgraph,
         # Rice-coded fingerprint lists (util/RiceCoding.java +
         # CompressedURLFPListV2 shape): per-group delta+Rice buffers
         # with in-kernel decode-verify; the oracle recomputes n/bits/
@@ -4376,7 +4415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-gap session merge).
         # The session-5 additions (source_wet_extract,
         # source_wat_metadata, source_ccindex_table,
-        # stream_ccindex_build, graph_host_webgraph,
+        # stream_ccindex_build, pipeline_archive_linkgraph,
+        # graph_host_webgraph,
         # graph_domain_webgraph, graph_webgraph_ranks,
         # text_training_shuffle) likewise wait
         # for round 6: each is hash-verified at sf0.01 AND sf0.1 in
@@ -6419,6 +6459,18 @@ def oracle_sql() -> dict[str, str]:
         "source_ccindex_table": _CCINDEX_SQL,
         # the streaming build must produce the identical index
         "stream_ccindex_build": _CCINDEX_SQL,
+        # archive -> parse -> link emit -> host graph: every page
+        # holds one intra-host anchor (dropped) and one iframe to
+        # frame.<source>.net, so the edge list is (source host ->
+        # frame host) with one link per document of that source
+        "pipeline_archive_linkgraph": """
+            SELECT 'com.example.' || source AS src_host_rev,
+                   'net.' || source || '.frame' AS dst_host_rev,
+                   CAST(count(*) AS BIGINT) AS n_links
+            FROM documents
+            GROUP BY source
+            ORDER BY src_host_rev, dst_host_rev
+        """,
         # identity oracle for the WARC roundtrip: every column is
         # recomputable from the producing documents row
         "source_warc_roundtrip": """
