@@ -3466,6 +3466,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawllist_adaptive_recrawl": lambda s, d: crawllist.adaptive_recrawl_schedule(
             _t(s, d, "events"), signature=F.floor(F.col("value") / 25)
         ),
+        # IDN -> punycode host canonicalization (RFC 3490 bootstring
+        # via the stdlib idna codec, Arrow-batched): hosts cycle
+        # through a fixed unicode set so the oracle pins the KNOWN
+        # encodings -- DuckDB cannot compute punycode, the expected
+        # strings are facts of the RFC
+        "fn_idn_hosts": lambda s, d: (
+            _t(s, d, "documents")
+            .select(
+                "doc_id",
+                F.element_at(
+                    F.array(
+                        F.lit("bücher.de"),
+                        F.lit("münchen.de"),
+                        F.lit("寿司.jp"),
+                        F.lit("królik.pl"),
+                        F.lit("WWW.Émile.FR."),
+                    ),
+                    (F.col("doc_id") % 5 + 1).cast("int"),
+                ).alias("host"),
+            )
+            .withColumn("ascii_host", urlfn.idna_host_udf(F.col("host")))
+            .orderBy("doc_id")
+        ),
         "fn_url_canonicalize": lambda s, d: (
             _t(s, d, "documents")
             .select(
@@ -4416,7 +4439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The session-5 additions (source_wet_extract,
         # source_wat_metadata, source_ccindex_table,
         # stream_ccindex_build, pipeline_archive_linkgraph,
-        # graph_host_webgraph,
+        # fn_idn_hosts, graph_host_webgraph,
         # graph_domain_webgraph, graph_webgraph_ranks,
         # text_training_shuffle) likewise wait
         # for round 6: each is hash-verified at sf0.01 AND sf0.1 in
@@ -5537,6 +5560,22 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.rank, 0.0) AS rank
             FROM pages p LEFT JOIN ranks r ON p.url = r.url
             ORDER BY shard, rank DESC, p.url
+        """,
+        "fn_idn_hosts": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 5 AS INT)
+                       WHEN 0 THEN 'bücher.de'
+                       WHEN 1 THEN 'münchen.de'
+                       WHEN 2 THEN '寿司.jp'
+                       WHEN 3 THEN 'królik.pl'
+                       ELSE 'WWW.Émile.FR.' END AS host,
+                   CASE CAST(doc_id % 5 AS INT)
+                       WHEN 0 THEN 'xn--bcher-kva.de'
+                       WHEN 1 THEN 'xn--mnchen-3ya.de'
+                       WHEN 2 THEN 'xn--sprr0q.jp'
+                       WHEN 3 THEN 'xn--krlik-1ta.pl'
+                       ELSE 'www.xn--mile-9oa.fr' END AS ascii_host
+            FROM documents ORDER BY doc_id
         """,
         "fn_url_canonicalize": """
             SELECT doc_id,

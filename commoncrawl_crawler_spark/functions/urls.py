@@ -501,3 +501,41 @@ def root_domain_rev_expr(col: Column) -> Column:
     return F.when(n <= sl, col).otherwise(
         F.array_join(F.slice(labels, 1, sl + 1), ".")
     )
+
+
+def idna_host(host: str | None) -> str | None:
+    """IDN host -> ASCII-compatible encoding (punycode per label,
+    RFC 3490 via Python's idna codec): the canonicalization real-web
+    hostnames need before SURT keys, PSL collapse, or DNS. Lowercase
+    + trailing-dot strip first (same normalization as root_domain);
+    already-ASCII labels pass through; labels the codec rejects are
+    kept verbatim (a crawler indexes the bytes it saw rather than
+    dropping the record)."""
+    if not host:
+        return None
+    host = host.lower().rstrip(".")
+    out = []
+    for label in host.split("."):
+        if all(ord(c) < 128 for c in label):
+            out.append(label)
+            continue
+        try:
+            out.append(label.encode("idna").decode("ascii"))
+        except (UnicodeError, UnicodeDecodeError):
+            out.append(label)
+    return ".".join(out)
+
+
+def _idna_host_udf():
+    @pandas_udf("string")
+    def _udf(hosts: pd.Series) -> pd.Series:
+        return hosts.map(idna_host)
+
+    return _udf
+
+
+def idna_host_udf(col):
+    """Arrow-batched IDN->punycode canonicalization (the Python idna
+    codec is algorithmic -- bootstring arithmetic -- so this is the
+    one URL-layer step that stays a pandas UDF)."""
+    return _idna_host_udf()(col)

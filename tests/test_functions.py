@@ -1451,3 +1451,16 @@ def test_session_window_boundary_merges_at_exact_gap(spark):
     assert u1[1]["session_expiry"] == base + dt.timedelta(
         minutes=240, seconds=1
     )
+
+
+def test_idna_host_edge_cases():
+    from commoncrawl_crawler_spark.functions.urls import idna_host
+
+    assert idna_host("bücher.de") == "xn--bcher-kva.de"
+    assert idna_host("WWW.Émile.FR.") == "www.xn--mile-9oa.fr"
+    assert idna_host("ascii.com") == "ascii.com"
+    assert idna_host("") is None and idna_host(None) is None
+    # mixed: only non-ascii labels are encoded
+    assert idna_host("www.寿司.jp") == "www.xn--sprr0q.jp"
+    # an unencodable label (empty after nameprep) survives verbatim
+    assert idna_host("x..y") == "x..y"
