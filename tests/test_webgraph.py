@@ -165,3 +165,27 @@ def test_webgraph_ranks_ordinals_follow_scores(spark):
     # node ids are still the sorted-name ranks
     by_name = sorted(rows, key=lambda r: r["host_rev"])
     assert [r["node_id"] for r in by_name] == list(range(len(rows)))
+
+
+def test_root_domain_expr_seeded_differential(spark):
+    """Batch differential vs the Python PSL kernel over 300 seeded
+    random hosts built from suffix-colliding label pools (the same
+    seeded-differential discipline as the robots/BPE suites)."""
+    import random
+
+    rng = random.Random(40517)
+    labels = ["a", "bb", "ccc", "co", "uk", "com", "jp", "tokyo",
+              "ck", "www", "gov", "ie", "github", "io", "x0"]
+    hosts = [
+        ".".join(rng.choice(labels) for _ in range(rng.randint(1, 5)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "h string")
+    got = [
+        r["r"]
+        for r in df.select(
+            urls.root_domain_expr(F.col("h")).alias("r")
+        ).collect()
+    ]
+    want = [urls.root_domain(h) for h in hosts]
+    assert got == want
