@@ -883,3 +883,42 @@ def test_ccindex_fetch_time_is_tz_independent(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert str(r["fetch_time"]) == "2024-04-01 00:00:07"
+
+
+def test_wet_records_honor_declared_charset_and_survive_lies(spark, tmp_path):
+    rows = [
+        # windows-1252 body with curly quotes (0x93/0x94), declared
+        ("response", "<urn:uuid:0>", "http://h0.com/p", "2024-04-01T00:00:00Z",
+         "application/http; msgtype=response",
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=windows-1252"
+         b"\r\n\r\n<html><body>\x93quoted\x94</body></html>"),
+        # declares utf-8 but carries malformed bytes: must not abort
+        ("response", "<urn:uuid:1>", "http://h1.com/p", "2024-04-01T00:00:01Z",
+         "application/http; msgtype=response",
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+         b"\r\n\r\n<html><body>ok\xff\xfe end</body></html>"),
+        # real utf-8, no declared charset: detection ladder
+        ("response", "<urn:uuid:2>", "http://h2.com/p", "2024-04-01T00:00:02Z",
+         "application/http; msgtype=response",
+         "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+         "<html><body>café</body></html>".encode("utf-8")),
+    ]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "wet")
+    archive.write_warc(
+        spark.createDataFrame(
+            rows,
+            "warc_type string, record_id string, target_uri string, "
+            "warc_date string, content_type string, block binary",
+        ),
+        src,
+    )
+    archive.write_warc(archive.wet_records(archive.read_warc(spark, src)), out)
+    texts = {
+        r["target_uri"]: bytes(r["block"]).decode("utf-8")
+        for r in archive.read_warc(spark, out).collect()
+    }
+    assert texts["http://h0.com/p"] == "“quoted”"
+    assert texts["http://h1.com/p"].startswith("ok")  # replaced, not crashed
+    assert "end" in texts["http://h1.com/p"]
+    assert texts["http://h2.com/p"] == "café"
