@@ -2168,7 +2168,12 @@ def _wet_wat_source(s: SparkSession, d: str) -> str:
         F.lit("application/http; msgtype=response").alias("content_type"),
         http_block.alias("block"),
     )
-    archive.write_warc(docs, tmp, rotate_bytes=256 * 1024)
+    # the sf parquet is ONE file -> one input partition -> one serial
+    # writer task; spread the render+gzip across cores (the rotation
+    # cap then applies per writer, same read-side contract)
+    archive.write_warc(
+        docs.repartition(8, "doc_id"), tmp, rotate_bytes=256 * 1024
+    )
     _WET_WAT_SRC[key] = tmp
     return tmp
 
