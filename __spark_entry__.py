@@ -2318,6 +2318,62 @@ def _stream_ccindex_build(s: SparkSession, d: str) -> DataFrame:
     return _ccindex_project(archive.read_ccindex(s, out))
 
 
+def _warc_revisit_gate(s: SparkSession, d: str) -> DataFrame:
+    """Payload-digest dedup at archive grain (ISO 28500 `revisit`
+    records): synthesize responses whose payload depends only on
+    doc_id % 40 (so each payload recurs ~n/40 times), dedup, write
+    the deduped archive, read it back, and verify per record: the
+    deterministic first fetch per digest stays a full response,
+    every later one is an empty-payload revisit pointing at it."""
+    did = F.col("doc_id")
+    docs = _t(s, d, "documents").select(
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("<urn:uuid:rv-"), did.cast("string"), F.lit(">"))
+        .alias("record_id"),
+        F.concat(
+            F.lit("http://m"), (did % 7).cast("string"),
+            F.lit(".example.org/p/"), did.cast("string"),
+        ).alias("target_uri"),
+        F.format_string(
+            "2024-05-%02dT%02d:%02d:00Z", did % 28 + 1, did % 24, did % 60
+        ).alias("warc_date"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        F.array(
+            F.struct(F.lit("X-Seq").alias("key"),
+                     did.cast("string").alias("value"))
+        ).alias("headers"),
+        F.encode(
+            F.concat(
+                F.lit("HTTP/1.1 200 OK\r\n\r\npayload-"),
+                (did % 40).cast("string"),
+            ),
+            "UTF-8",
+        ).alias("block"),
+    )
+    out = _scratch("revisit", d, fresh=True)
+    archive.write_warc(
+        archive.revisit_dedup(docs).repartition(8, "record_id"), out
+    )
+    rd = archive.read_warc(s, out)
+    refers = F.try_element_at(
+        F.filter(
+            F.col("headers"), lambda h: h["key"] == "WARC-Refers-To"
+        ),
+        F.lit(1),
+    )["value"]
+    return rd.select(
+        F.regexp_extract("record_id", "rv-(\\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        F.when(
+            refers.isNotNull(),
+            F.regexp_extract(refers, "rv-(\\d+)", 1).cast("long"),
+        ).alias("refers_doc"),
+        F.length("block").cast("long").alias("block_len"),
+    ).orderBy("doc_id")
+
+
 def _pipeline_archive_linkgraph(s: SparkSession, d: str) -> DataFrame:
     """SURVEY.md section 3.3 lifecycle as ONE composed plan: archive
     bytes on disk -> HTTP body split -> HTML link extraction
@@ -3751,6 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_ccindex_table": _ccindex_gate,
         "stream_ccindex_build": _stream_ccindex_build,
         "pipeline_archive_linkgraph": _pipeline_archive_linkgraph,
+        "source_warc_revisit": _warc_revisit_gate,
         # Rice-coded fingerprint lists (util/RiceCoding.java +
         # CompressedURLFPListV2 shape): per-group delta+Rice buffers
         # with in-kernel decode-verify; the oracle recomputes n/bits/
@@ -4444,7 +4501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The session-5 additions (source_wet_extract,
         # source_wat_metadata, source_ccindex_table,
         # stream_ccindex_build, pipeline_archive_linkgraph,
-        # fn_idn_hosts, graph_host_webgraph,
+        # fn_idn_hosts, source_warc_revisit, graph_host_webgraph,
         # graph_domain_webgraph, graph_webgraph_ranks,
         # text_training_shuffle) likewise wait
         # for round 6: each is hash-verified at sf0.01 AND sf0.1 in
@@ -6514,6 +6571,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY source
             ORDER BY src_host_rev, dst_host_rev
+        """,
+        # revisit dedup: the kept original per payload class is the
+        # min (warc_date, record_id) -- both recomputable from doc_id
+        "source_warc_revisit": """
+            WITH recs AS (
+                SELECT doc_id,
+                       CAST(doc_id % 40 AS INT) AS cls,
+                       printf('2024-05-%02dT%02d:%02d:00Z',
+                              CAST(doc_id % 28 + 1 AS INT),
+                              CAST(doc_id % 24 AS INT),
+                              CAST(doc_id % 60 AS INT)) AS wd,
+                       '<urn:uuid:rv-' || CAST(doc_id AS VARCHAR)
+                           || '>' AS rid
+                FROM documents
+            ), ranked AS (
+                SELECT doc_id, cls,
+                       row_number() OVER (
+                           PARTITION BY cls ORDER BY wd, rid
+                       ) AS rk,
+                       first_value(doc_id) OVER (
+                           PARTITION BY cls ORDER BY wd, rid
+                       ) AS orig_doc
+                FROM recs
+            )
+            SELECT doc_id,
+                   CASE WHEN rk = 1 THEN 'response'
+                        ELSE 'revisit' END AS warc_type,
+                   CASE WHEN rk = 1 THEN NULL
+                        ELSE orig_doc END AS refers_doc,
+                   CASE WHEN rk = 1 THEN CAST(
+                       19 + length('payload-'
+                           || CAST(cls AS VARCHAR)) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS block_len
+            FROM ranked ORDER BY doc_id
         """,
         # identity oracle for the WARC roundtrip: every column is
         # recomputable from the producing documents row

@@ -1316,3 +1316,88 @@ def read_ccindex(spark: SparkSession, path: str) -> DataFrame:
     (crawl, subset) come from directory names, so filters on them
     never touch parquet footers."""
     return spark.read.parquet(path)
+
+
+def revisit_dedup(warc: DataFrame) -> DataFrame:
+    """Payload-digest dedup at archive grain (ISO 28500 `revisit`
+    records, profile "identical payload digest"): the FIRST response
+    carrying a given payload digest stays a full `response`; every
+    later response with the same digest becomes a `revisit` record
+    that keeps its own URI/date/headers but drops the payload and
+    points at the original via WARC-Refers-To + WARC-Payload-Digest.
+    This is how real web archives avoid storing the same bytes once
+    per mirror/fetch -- at crawl scale the payload column is most of
+    the data, so the dedup happens BEFORE the sink.
+
+    "First" = min (warc_date, record_id) per digest -- a total order
+    both engines can compute, so the kept record is deterministic
+    under any partitioning (wall-clock arrival order is not).
+    Non-response records pass through untouched.
+
+    Shape: one md5 projection + ONE window over the digest key (the
+    same partial-shuffle grain as a groupBy on digest); the payload
+    drop is a map-side conditional. No joins.
+    """
+    from pyspark.sql import Window
+
+    responses = warc.filter(F.col("warc_type") == "response")
+    others = warc.filter(F.col("warc_type") != "response")
+    digest = F.md5(F.col("block"))
+    w = Window.partitionBy("_digest").orderBy("warc_date", "record_id")
+    dd = (
+        responses.withColumn("_digest", digest)
+        .withColumn("_rank", F.row_number().over(w))
+        .withColumn("_orig", F.first("record_id").over(w))
+    )
+    is_dup = F.col("_rank") > 1
+    extra = F.array(
+        F.struct(
+            F.lit("WARC-Refers-To").alias("key"),
+            F.col("_orig").alias("value"),
+        ),
+        F.struct(
+            F.lit("WARC-Payload-Digest").alias("key"),
+            F.concat(F.lit("md5:"), F.col("_digest")).alias("value"),
+        ),
+        F.struct(
+            F.lit("WARC-Profile").alias("key"),
+            F.lit(
+                "http://netpreserve.org/warc/1.0/revisit/"
+                "identical-payload-digest"
+            ).alias("value"),
+        ),
+    )
+    deduped = dd.select(
+        F.when(is_dup, F.lit("revisit"))
+        .otherwise(F.col("warc_type"))
+        .alias("warc_type"),
+        "record_id",
+        "target_uri",
+        "warc_date",
+        F.when(is_dup, F.lit("message/http")).otherwise(
+            F.col("content_type")
+        ).alias("content_type"),
+        F.when(
+            is_dup,
+            F.concat(
+                F.coalesce(
+                    F.col("headers"),
+                    F.array().cast(
+                        "array<struct<key:string,value:string>>"
+                    ),
+                ),
+                extra,
+            ),
+        )
+        .otherwise(F.col("headers"))
+        .alias("headers"),
+        F.when(is_dup, F.lit(b"")).otherwise(F.col("block")).alias(
+            "block"
+        ),
+    )
+    return deduped.unionByName(
+        others.select(
+            "warc_type", "record_id", "target_uri", "warc_date",
+            "content_type", "headers", "block",
+        )
+    )

@@ -922,3 +922,36 @@ def test_wet_records_honor_declared_charset_and_survive_lies(spark, tmp_path):
     assert texts["http://h1.com/p"].startswith("ok")  # replaced, not crashed
     assert "end" in texts["http://h1.com/p"]
     assert texts["http://h2.com/p"] == "café"
+
+
+def test_revisit_dedup_keeps_first_and_rewrites_duplicates(spark, tmp_path):
+    rows = [
+        # two identical payloads (b later by date), one unique, one metadata
+        ("response", "<urn:uuid:b>", "http://b.com/", "2024-01-02T00:00:00Z",
+         "application/http; msgtype=response", b"HTTP/1.1 200 OK\r\n\r\nSAME"),
+        ("response", "<urn:uuid:a>", "http://a.com/", "2024-01-01T00:00:00Z",
+         "application/http; msgtype=response", b"HTTP/1.1 200 OK\r\n\r\nSAME"),
+        ("response", "<urn:uuid:c>", "http://c.com/", "2024-01-03T00:00:00Z",
+         "application/http; msgtype=response", b"HTTP/1.1 200 OK\r\n\r\nDIFF"),
+        ("metadata", "<urn:uuid:m>", "http://a.com/", "2024-01-01T00:00:00Z",
+         "application/json", b"{}"),
+    ]
+    df = spark.createDataFrame(
+        [(t, r, u, d, c, None, b) for t, r, u, d, c, b in
+         [(x[0], x[1], x[2], x[3], x[4], x[5]) for x in rows]],
+        "warc_type string, record_id string, target_uri string, "
+        "warc_date string, content_type string, "
+        "headers array<struct<key:string,value:string>>, block binary",
+    )
+    out = {r["record_id"]: r for r in archive.revisit_dedup(df).collect()}
+    assert out["<urn:uuid:a>"]["warc_type"] == "response"  # earliest date
+    assert bytes(out["<urn:uuid:a>"]["block"]).endswith(b"SAME")
+    rv = out["<urn:uuid:b>"]
+    assert rv["warc_type"] == "revisit"
+    assert bytes(rv["block"]) == b""
+    hdrs = {h["key"]: h["value"] for h in rv["headers"]}
+    assert hdrs["WARC-Refers-To"] == "<urn:uuid:a>"
+    assert hdrs["WARC-Payload-Digest"].startswith("md5:")
+    assert "identical-payload-digest" in hdrs["WARC-Profile"]
+    assert out["<urn:uuid:c>"]["warc_type"] == "response"
+    assert out["<urn:uuid:m>"]["warc_type"] == "metadata"  # untouched
