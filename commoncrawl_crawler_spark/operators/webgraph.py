@@ -272,14 +272,16 @@ def ranks(host_edges: DataFrame, iterations: int = 3) -> DataFrame:
     )
     # monotone encoding: bigger score -> lexicographically smaller
     # key; floor(x*1e6+0.5) recovers the fixed-point integer exactly
-    # (bare cast of a double product can land one ulp low)
+    # (bare cast of a double product can land one ulp low). 10^18
+    # headroom: max rank_i is O(n_nodes * 1e6), so the complement
+    # stays positive (and the lpad monotone) up to ~10^12 nodes
     key = F.concat(
         F.lpad(
             (
-                F.lit(10**15)
+                F.lit(10**18)
                 - F.floor(F.col("pagerank") * 1000000 + F.lit(0.5))
             ).cast("string"),
-            16,
+            19,
             "0",
         ),
         F.lit("|"),
