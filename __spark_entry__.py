@@ -889,12 +889,13 @@ r{i} AS (
     return sql + f""",
 ids AS (
     SELECT node AS host_rev,
-           CAST(row_number() OVER (ORDER BY node) - 1 AS INT) AS node_id
+           CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT)
+               AS node_id
     FROM nodes
 )
 SELECT CAST(row_number() OVER (
            ORDER BY r.rank_i DESC, r.node ASC
-       ) - 1 AS INT) AS rank_ordinal,
+       ) - 1 AS BIGINT) AS rank_ordinal,
        i.node_id, i.host_rev,
        round(r.rank_i / 1000000.0, 6) AS pagerank
 FROM r{iterations} r JOIN ids i ON r.node = i.host_rev
@@ -2027,8 +2028,10 @@ def _cdx_index_gate(s: SparkSession, d: str) -> DataFrame:
     """documents -> WARC archives -> parse -> CDX capture index (the
     cc-index artifact CommonCrawl ships beside every crawl). The gate
     projects the oracle-able columns; the seek columns (offset,
-    filename -- gzip-layout-dependent) are pytest-validated by
-    re-reading each member at its recorded offset."""
+    length, filename -- gzip-layout-dependent: length is the
+    compressed member size per the CDXJ ranged-GET convention) are
+    pytest-validated by re-reading each member at its recorded
+    [offset, offset+length) slice."""
     tmp = _scratch("cdx", d, fresh=True)
     did = F.col("doc_id")
     docs = _t(s, d, "documents").select(
@@ -2050,7 +2053,7 @@ def _cdx_index_gate(s: SparkSession, d: str) -> DataFrame:
     archive.write_warc(docs, tmp)
     idx = archive.cdx_index(archive.read_warc(s, tmp))
     return idx.select(
-        "urlkey", "timestamp", "original", "mime", "digest", "length"
+        "urlkey", "timestamp", "original", "mime", "digest"
     ).orderBy("urlkey", "timestamp")
 
 
@@ -2321,10 +2324,15 @@ def _stream_ccindex_build(s: SparkSession, d: str) -> DataFrame:
 def _warc_revisit_gate(s: SparkSession, d: str) -> DataFrame:
     """Payload-digest dedup at archive grain (ISO 28500 `revisit`
     records): synthesize responses whose payload depends only on
-    doc_id % 40 (so each payload recurs ~n/40 times), dedup, write
-    the deduped archive, read it back, and verify per record: the
-    deterministic first fetch per digest stays a full response,
-    every later one is an empty-payload revisit pointing at it."""
+    doc_id % 40 (so each payload recurs ~n/40 times) but whose HTTP
+    HEADERS are unique per fetch (an X-Fetch: doc_id line -- how real
+    re-fetches differ, in Date etc.), dedup, write the deduped
+    archive, read it back, and verify per record: the deterministic
+    first fetch per digest stays a full response, every later one is
+    an empty-payload revisit pointing at it. The varying header line
+    is what PROVES the digest covers the payload only (WARC
+    payload-digest semantics); a whole-block digest would never
+    fire here."""
     did = F.col("doc_id")
     docs = _t(s, d, "documents").select(
         F.lit("response").alias("warc_type"),
@@ -2344,7 +2352,9 @@ def _warc_revisit_gate(s: SparkSession, d: str) -> DataFrame:
         ).alias("headers"),
         F.encode(
             F.concat(
-                F.lit("HTTP/1.1 200 OK\r\n\r\npayload-"),
+                F.lit("HTTP/1.1 200 OK\r\nX-Fetch: "),
+                did.cast("string"),
+                F.lit("\r\n\r\npayload-"),
                 (did % 40).cast("string"),
             ),
             "UTF-8",
@@ -5682,7 +5692,7 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT doc_id, 'Doc ' || doc_id AS title,
                        'http://frame.' || source || '.net' AS url,
-                       'frame' AS link_type,
+                       'iframe' AS link_type,
                        '' AS anchor
                 FROM documents
             )
@@ -6601,7 +6611,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN rk = 1 THEN NULL
                         ELSE orig_doc END AS refers_doc,
                    CASE WHEN rk = 1 THEN CAST(
-                       19 + length('payload-'
+                       30 + strlen(CAST(doc_id AS VARCHAR))
+                          + length('payload-'
                            || CAST(cls AS VARCHAR)) AS BIGINT)
                         ELSE CAST(0 AS BIGINT) END AS block_len
             FROM ranked ORDER BY doc_id
@@ -6915,8 +6926,7 @@ def oracle_sql() -> dict[str, str]:
                    'http://' || source || '.example.com/doc/'
                        || CAST(doc_id AS VARCHAR) AS original,
                    'application/http; msgtype=response' AS mime,
-                   sha256(text) AS digest,
-                   CAST(strlen(text) AS BIGINT) AS length
+                   sha256(text) AS digest
             FROM documents ORDER BY urlkey, timestamp
         """,
         "stream_countmin": """
@@ -7461,7 +7471,7 @@ def oracle_sql() -> dict[str, str]:
             ), nodes AS (
                 SELECT name,
                        CAST(row_number() OVER (ORDER BY name) - 1
-                           AS INT) AS node_id
+                           AS BIGINT) AS node_id
                 FROM (SELECT src_host_rev AS name FROM edges
                       UNION SELECT dst_host_rev FROM edges)
             )

@@ -34,7 +34,7 @@ _HREF = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _FRAME = re.compile(
-    r"""<i?frame\b[^>]*?\bsrc\s*=\s*["']?([^"'\s>]+)["']?""", re.IGNORECASE
+    r"""<(i?)frame\b[^>]*?\bsrc\s*=\s*["']?([^"'\s>]+)["']?""", re.IGNORECASE
 )
 _META_REFRESH = re.compile(
     r"""<meta\b[^>]*?http-equiv\s*=\s*["']?refresh["']?[^>]*?"""
@@ -61,7 +61,10 @@ def extract_links(html: str | None) -> list[tuple[str, str, str]]:
         anchor = _TAG_STRIP.sub("", m.group(2)).strip()
         out.append((m.group(1), "a", anchor))
     for m in _FRAME.finditer(html):
-        out.append((m.group(1), "frame", ""))
+        # iframe and frame stay DISTINCT link types: the published WAT
+        # convention separates IFRAME@/src from FRAME@/src
+        kind = "iframe" if m.group(1) else "frame"
+        out.append((m.group(2), kind, ""))
     for m in _META_REFRESH.finditer(html):
         out.append((m.group(1), "meta_refresh", ""))
     return out

@@ -346,3 +346,190 @@ def crawl_budget_summary(
         .withColumn("window_ms", F.lit(window_ms).cast("long"))
         .orderBy(host_col)
     )
+
+
+def blog_probe_dates(
+    start_year: int, start_month: int, max_months_to_probe: int = 24
+) -> list[tuple[int, int]]:
+    """The reference's getProbeDates walk
+    (GenBlogPlatformUrlsStep.java:118-137): (year, month) pairs
+    DESCENDING from the start month, at most `max_months_to_probe`,
+    never before year 2000. The start is an explicit parameter here
+    (the reference reads the wall clock, getStartYearMonth) so plans
+    are deterministic and testable."""
+    dates: list[tuple[int, int]] = []
+    for year in range(start_year, 1999, -1):
+        max_month = start_month if year == start_year else 12
+        for month in range(max_month, 0, -1):
+            dates.append((year, month))
+            if len(dates) == max_months_to_probe:
+                return dates
+    return dates
+
+
+def blog_platform_urls(
+    post_freq: DataFrame,
+    start_year: int,
+    start_month: int,
+    max_months_to_probe: int = 24,
+) -> DataFrame:
+    """Blog-platform probe-URL synthesis -- the named per-platform
+    rules of GenBlogPlatformUrlsStep.java:169-280,283-334, ported
+    rule-for-rule:
+
+    - platform resolution (map:283-313): explicit flags win
+      (wordpress > blogger > typepad > tumblr, the if/else order);
+      otherwise the url's ROOT domain is matched against
+      wordpress.com / tumblr.com / blogspot.com / typepad.com;
+      anything else is 'other'.
+    - wordpress (emitWordPressDomain:245-280): home page, then for
+      blogs with posts in >= 2011, per probe month pages
+      1..paginations-1 where paginations = ceil(avgPostsPerMonth/10):
+      page 1 -> '<url>YYYY/MM/', page p>=2 -> '<url>YYYY/MM/page/
+      <p+1>/' (the page/2 skip is the reference's arithmetic,
+      reproduced as-is). skip_if_dupe is false only for the FIRST
+      probe month (probeItemIndex != 0 -- per month, not per page).
+    - blogger (emitBlogspotDomain:169-187): home, then
+      '<url>YYYY_MM_01_archive.html' per probe month.
+    - typepad (emitTypepadDomain:218-243): the blog path gains a
+      trailing '/' if missing; home, then '<url>YYYY/MM/index.html'
+      per probe month.
+    - tumblr (emitTumblrDomain:205-216): home plus
+      'http://<host>/archive', both unconditionally; invalid URLs
+      (no host) emit nothing.
+    - other (emitOtherBlogPlatformDomain:200-203): home only.
+
+    Input columns: url (the blog path, the post-frequency record's
+    'url' field), last_year_with_posts int, avg_posts_per_month
+    double (the record's raw 'avg' -- the reference ceil()s it on
+    parse, reproduced here), and optional booleans is_wordpress /
+    is_blogger / is_typepad / is_tumblr (JSON key presence in the
+    reference).
+
+    Output: (url, platform, probe_url, skip_if_dupe) -- one row per
+    emitItem call. 100 TB shape: pure Column expressions, the probe
+    calendar is a 24-element array LITERAL expanded per row with
+    transform/flatten (no join, no UDF, no shuffle before the
+    caller's own keying); downstream partition-keying rides the
+    same per_host_cap / assign_buckets machinery as every other
+    crawl-list source.
+    """
+    dates = blog_probe_dates(start_year, start_month, max_months_to_probe)
+
+    host = F.regexp_extract(
+        F.lower(F.col("url")), r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1
+    )
+    from ..functions import urls as urlfn
+
+    root = urlfn.root_domain_expr(host)
+    flag = lambda c: (
+        F.coalesce(F.col(c), F.lit(False))
+        if c in post_freq.columns
+        else F.lit(False)
+    )
+    platform = (
+        F.when(flag("is_wordpress"), F.lit("wordpress"))
+        .when(flag("is_blogger"), F.lit("blogger"))
+        .when(flag("is_typepad"), F.lit("typepad"))
+        .when(flag("is_tumblr"), F.lit("tumblr"))
+        .when(root == "wordpress.com", F.lit("wordpress"))
+        .when(root == "tumblr.com", F.lit("tumblr"))
+        .when(root == "blogspot.com", F.lit("blogger"))
+        .when(root == "typepad.com", F.lit("typepad"))
+        .otherwise(F.lit("other"))
+    )
+
+    def _probe(u, idx):
+        return F.struct(u.alias("probe_url"),
+                        F.lit(idx != 0).alias("skip_if_dupe"))
+
+    url = F.col("url")
+    slashed = F.when(url.endswith("/"), url).otherwise(
+        F.concat(url, F.lit("/"))
+    )
+    active = F.col("last_year_with_posts") >= 2011
+    home = lambda u: F.array(
+        F.struct(u.alias("probe_url"), F.lit(False).alias("skip_if_dupe"))
+    )
+    empty = F.array().cast(
+        "array<struct<probe_url:string,skip_if_dupe:boolean>>"
+    )
+
+    # paginations = ceil(ceil(avg)/10) in exact integer arithmetic
+    # (PostFrequencyInfo parse ceil + emitWordPressDomain:257 ceil)
+    avg_i = F.ceil(F.col("avg_posts_per_month")).cast("long")
+    pag = F.expr(
+        f"(CAST(ceil(avg_posts_per_month) AS BIGINT) + 9) DIV 10"
+    )
+
+    wp_month = []
+    for idx, (y, m) in enumerate(dates):
+        base = F.concat(url, F.lit(f"{y:04d}/{m:02d}/"))
+        pages = F.transform(
+            F.sequence(F.lit(1).cast("long"), pag - 1),
+            lambda p: F.struct(
+                F.when(p == 1, base)
+                .otherwise(
+                    F.concat(
+                        base, F.lit("page/"),
+                        (p + 1).cast("string"), F.lit("/"),
+                    )
+                )
+                .alias("probe_url"),
+                F.lit(idx != 0).alias("skip_if_dupe"),
+            ),
+        )
+        wp_month.append(F.when(pag >= 2, pages).otherwise(empty))
+    wp_probes = F.when(active, F.flatten(F.array(*wp_month))).otherwise(
+        empty
+    )
+
+    blogger_probes = F.when(
+        active,
+        F.array(*[
+            _probe(
+                F.concat(url, F.lit(f"{y:04d}_{m:02d}_01_archive.html")),
+                y, m, idx, "blogger",
+            )
+            for idx, (y, m) in enumerate(dates)
+        ]),
+    ).otherwise(empty)
+
+    typepad_probes = F.when(
+        active,
+        F.array(*[
+            _probe(
+                F.concat(slashed, F.lit(f"{y:04d}/{m:02d}/index.html")),
+                y, m, idx, "typepad",
+            )
+            for idx, (y, m) in enumerate(dates)
+        ]),
+    ).otherwise(empty)
+
+    tumblr_probes = F.when(
+        host != "",
+        F.concat(
+            home(url),
+            home(F.concat(F.lit("http://"), host, F.lit("/archive"))),
+        ),
+    ).otherwise(empty)
+
+    probes = (
+        F.when(platform == "wordpress", F.concat(home(url), wp_probes))
+        .when(platform == "blogger", F.concat(home(url), blogger_probes))
+        .when(platform == "typepad",
+              F.concat(home(slashed), typepad_probes))
+        .when(platform == "tumblr", tumblr_probes)
+        .otherwise(home(url))
+    )
+    return (
+        post_freq.select(
+            "url", platform.alias("platform"), F.explode(probes).alias("_p")
+        )
+        .select(
+            "url",
+            "platform",
+            F.col("_p")["probe_url"].alias("probe_url"),
+            F.col("_p")["skip_if_dupe"].alias("skip_if_dupe"),
+        )
+    )

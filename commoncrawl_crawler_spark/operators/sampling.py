@@ -239,7 +239,19 @@ def training_shuffle(
     (epoch reshuffling without re-reading state). Matches DuckDB
     exactly: md5 is md5, the bucket is the same 15-hex-digit
     prefix arithmetic as the sampling tier above.
+
+    The output columns (shuffle_key, shard, pos) must not already
+    exist on the input: withColumn would silently overwrite them and
+    the window could resolve against the wrong data, so collisions
+    raise instead.
     """
+    clash = {"shuffle_key", "shard", "pos"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            "training_shuffle output columns already present on the "
+            f"input DataFrame: {sorted(clash)} -- rename or drop them "
+            "before shuffling"
+        )
     key = F.md5(
         F.concat(
             F.lit(seed), F.lit(":"), F.col(key_col).cast("string")

@@ -660,7 +660,8 @@ def bigram_logprob_scores(documents: DataFrame) -> DataFrame:
 
 
 def pack_sequences(
-    documents: DataFrame, seq_len: int = 2048
+    documents: DataFrame, seq_len: int = 2048, buckets: int = 32,
+    sample_target: int = 4096,
 ) -> DataFrame:
     """Sequence-packing layout for LLM training: documents
     concatenate into one global token stream (doc_id order) that is
@@ -669,13 +670,19 @@ def pack_sequences(
     documents SPAN sequence boundaries rather than padding them --
     is what most pretraining pipelines ship.
 
-    Pure integer window arithmetic: one global cumulative sum over
-    token counts (a running-total window), then DIV/MOD assignment.
-    Exact on any engine and partitioning. At 100 TB the single
-    unbounded window is the honest cost of a GLOBAL packing order;
-    shard it (e.g. per source) by calling per partition of the
-    corpus, exactly like distributed pretraining shards its data
-    files.
+    Scale shape -- NO global window. The global running total
+    decomposes exactly into (shard prefix + within-shard running
+    total) over any CONTIGUOUS doc_id sharding, so:
+      1. bounded-sample doc_id cut points (md5-permille sample, the
+         webgraph.dense_rank_by_key discipline) assign each row a
+         shard as frozen literals -- deterministic under re-execution;
+      2. the cumulative-sum window partitions BY SHARD and runs in
+         parallel, one sort per shard, never a single task;
+      3. shard prefix offsets are EXACT closed-form sums of the
+         per-shard token totals (one bounded collect: <= `buckets`
+         rows), folded back in as a literal map.
+    Result identical to the single-window form bit-for-bit -- integer
+    arithmetic throughout -- at any partitioning.
 
     Output: (doc_id, n_tok, start_offset, first_seq, last_seq,
     start_in_seq) -- offsets are 0-based global token positions;
@@ -685,14 +692,62 @@ def pack_sequences(
 
     from ..functions.text import token_count_expr
 
-    w = (
-        Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     toks = documents.select(
         "doc_id", token_count_expr(F.col("text")).alias("n_tok")
     ).filter(F.col("n_tok") > 0)
-    cum = toks.withColumn("_end", F.sum("n_tok").over(w))
+
+    # contiguous doc_id shards from a bounded sample (cuts become plan
+    # literals; the md5-permille filter keeps the collect <= ~2x the
+    # sample target regardless of corpus size)
+    n = toks.count()
+    permille = min(1000, max(1, (2 * sample_target * 1000) // max(n, 1)))
+    sample = sorted(
+        r["doc_id"]
+        for r in toks.filter(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10,
+            ).cast("bigint") % 1000 < permille
+        ).select("doc_id").collect()
+    )
+    n_cuts = max(0, min(buckets - 1, len(sample) - 1))
+    cuts = (
+        [sample[(i + 1) * len(sample) // (n_cuts + 1)]
+         for i in range(n_cuts)]
+        if n_cuts
+        else []
+    )
+    shard = F.lit(0)
+    for c in cuts:
+        shard = shard + (F.col("doc_id") > F.lit(c)).cast("int")
+    sharded = toks.withColumn("_shard", shard)
+
+    # exact shard prefix sums: one bounded collect (<= buckets rows)
+    totals = {
+        r["_shard"]: r["t"]
+        for r in sharded.groupBy("_shard")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for b in range(len(cuts) + 1):
+        offsets.append(acc)
+        acc += totals.get(b, 0)
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for b, o in enumerate(offsets) for x in (b, o)]
+        ),
+        F.col("_shard"),
+    )
+
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sharded.withColumn(
+        "_end", (off + F.sum("n_tok").over(w)).cast("long")
+    )
     start = (F.col("_end") - F.col("n_tok")).cast("long")
     return cum.select(
         "doc_id",
@@ -1379,23 +1434,45 @@ def corpus_zipf_profile(documents: DataFrame) -> DataFrame:
     division (DECIMAL(38,0) DIV == DuckDB HUGEINT //), so the row is
     bit-identical on any engine or layout.
 
-    The rank assignment is one global window over the VOCABULARY
-    (freq desc, term asc) -- corpus-size independent: a 100 TB crawl
-    has a few hundred million distinct terms, a bounded sort the way
-    the BPE trainer's word-frequency table is bounded. Everything
-    upstream and downstream is partial-aggregating.
+    The rank assignment deliberately avoids `row_number() OVER
+    (ORDER BY cnt DESC)` -- the vocabulary of a 100 TB web corpus is
+    billions of terms and a global window ranks them all in ONE task.
+    Instead the (cnt desc, term asc) order is folded into a MONOTONE
+    string key -- zero-padded decimal of (10^18 - cnt), then the term
+    -- and ranked with webgraph.dense_rank_by_key's bounded-sample
+    bucket ranker: per-bucket parallel windows, driver state capped
+    at the sample + one row per bucket. Sorting the key ascending IS
+    sorting (cnt DESC, term ASC), and terms are distinct post-groupBy,
+    so 0-based dense rank + 1 == the row_number. Everything upstream
+    and downstream is partial-aggregating.
     """
+    from .webgraph import dense_rank_by_key
+
     toks = documents.select(
         F.explode(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         ).alias("term")
     ).filter(F.col("term") != "")
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    ranked = freq.withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
-        ),
+    # materialize the vocab table once: the bucket ranker takes a
+    # bounded sample + per-bucket counts over it (3 passes), which
+    # must not re-run the corpus-wide explode+groupBy each time
+    freq = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    key = F.concat(
+        F.lpad((F.lit(10**18) - F.col("cnt")).cast("string"), 19, "0"),
+        F.lit("|"),
+        F.col("term"),
+    )
+    ordinals = dense_rank_by_key(
+        freq.select(key.alias("name"))
+    )
+    ranked = (
+        freq.withColumn("_k", key)
+        .join(ordinals, F.col("_k") == ordinals["name"])
+        .withColumn("rnk", (F.col("node_id") + 1).cast("int"))
     )
     xy = ranked.select(
         F.floor(F.log(F.col("rnk").cast("double")) * 1e6 + F.lit(0.5))

@@ -164,7 +164,7 @@ def dense_rank_by_key(names: DataFrame, buckets: int = 32,
     n = names.count()
     if n == 0:
         return names.select(
-            "name", F.lit(0).cast("int").alias("node_id")
+            "name", F.lit(0).cast("long").alias("node_id")
         )
     permille = min(1000, max(1, (2 * sample_target * 1000) // n))
     sample = sorted(
@@ -201,9 +201,11 @@ def dense_rank_by_key(names: DataFrame, buckets: int = 32,
         F.col("_b"),
     )
     w = Window.partitionBy("_b").orderBy("name")
+    # bigint, NOT int: the node table has billions of rows at web
+    # scale, and past 2^31-1 an int cast fails under ANSI mode
     return bucketed.select(
         "name",
-        (off + F.row_number().over(w) - 1).cast("int").alias("node_id"),
+        (off + F.row_number().over(w) - 1).cast("long").alias("node_id"),
     )
 
 

@@ -66,12 +66,26 @@ class QueryServer:
         self.cache_dir = cache_dir
 
     def _cache_path(self, qid: str) -> str:
-        return os.path.join(self.cache_dir, qid)
+        # URI-style join, not os.path.join: cache_dir may be an
+        # object-store prefix (s3a://..., abfss://...) where the
+        # separator is always '/'
+        return f"{self.cache_dir.rstrip('/')}/{qid}"
 
     def cached_results_available(self, qid: str) -> bool:
         # _SUCCESS marker = fully written (atomic-commit protocol),
-        # mirroring cachedResultsAvailable()'s file-exists check
-        return os.path.exists(os.path.join(self._cache_path(qid), "_SUCCESS"))
+        # mirroring cachedResultsAvailable()'s file-exists check.
+        # Resolved through the Hadoop FileSystem API so the check is
+        # scheme-correct on ANY Spark-writable URI (s3a/abfss/hdfs/
+        # file) -- os.path.exists would silently report False off the
+        # local filesystem and the cache would never hit.
+        jvm = self.spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{self._cache_path(qid)}/_SUCCESS"
+        )
+        fs = marker.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        return bool(fs.exists(marker))
 
     def _materialize(self, qid: str, df: DataFrame) -> DataFrame:
         path = self._cache_path(qid)

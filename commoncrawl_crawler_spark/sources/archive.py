@@ -588,6 +588,14 @@ WARC_READ_SCHEMA = StructType(
         StructField("block", BinaryType()),
         StructField("archive_path", StringType()),
         StructField("member_offset", LongType()),
+        # Compressed gzip-member size (next member's offset minus this
+        # one's) -- the byte count a ranged GET of [member_offset,
+        # member_offset + member_length) must fetch to inflate exactly
+        # this record. The reference computes the same stream-position
+        # delta (ArcFileReader.java:294), and the published
+        # cc-index-table's warc_record_length carries it; Content-Length
+        # (uncompressed block bytes) lives in content_length.
+        StructField("member_length", LongType()),
     ]
 )
 
@@ -720,7 +728,9 @@ def _parse_warc_batches(
                 out["block"].append(block)
                 out["archive_path"].append(fpath)
                 out["member_offset"].append(pos)
-                pos = len(content) - len(d.unused_data)
+                nxt = len(content) - len(d.unused_data)
+                out["member_length"].append(nxt - pos)
+                pos = nxt
         yield pd.DataFrame(out)
 
 
@@ -875,8 +885,11 @@ def cdx_index(warc_records: DataFrame) -> DataFrame:
     (TIMESTAMP14 digits of WARC-Date), original (the URI as
     captured), mime (record content type), digest (sha256 hex of the
     block -- IA uses sha1-base32; sha256 is what both engines share),
-    length (block bytes), offset + filename (the gzip member's seek
-    position, feeding read_arc_member-style point reads).
+    length + offset + filename (the gzip member's seek pointer:
+    per the published CDXJ convention `length` is the COMPRESSED
+    member size, so a ranged GET of [offset, offset+length) yields
+    exactly one self-terminating gzip stream -- the reference's
+    stream-pos delta, ArcFileReader.java:294).
 
     Scale shape: a map-only projection over the reader output plus
     one global sort -- the same shape as the reference's index-build
@@ -894,7 +907,7 @@ def cdx_index(warc_records: DataFrame) -> DataFrame:
         F.col("target_uri").alias("original"),
         F.col("content_type").alias("mime"),
         F.sha2(F.col("block"), 256).alias("digest"),
-        F.col("content_length").alias("length"),
+        F.col("member_length").alias("length"),
         F.col("member_offset").alias("offset"),
         F.regexp_extract(F.col("archive_path"), "[^/]+$", 0).alias(
             "filename"
@@ -1135,7 +1148,9 @@ def wat_records(warc: DataFrame) -> DataFrame:
 
     The HTML parse reuses the ParserMapper-analog extractors
     (functions/html.py); link rows carry the WAT `path` convention
-    ('A@/href', 'FRAME@/src'). JSON is rendered with to_json over a
+    ('A@/href', 'FRAME@/src', 'IFRAME@/src' -- frame and iframe stay
+    distinct, per the published WAT files). JSON is rendered with
+    to_json over a
     typed struct, so field order and quoting are engine-stable and a
     reader can from_json with WAT_ENVELOPE_SCHEMA and get the exact
     struct back.
@@ -1284,7 +1299,12 @@ def ccindex_table(warc: DataFrame, crawl: str,
         F.col("record_id").alias("warc_record_id"),
         F.col("archive_path").alias("warc_filename"),
         F.col("member_offset").alias("warc_record_offset"),
-        F.col("content_length").alias("warc_record_length"),
+        # The published cc-index-table's warc_record_length is the
+        # COMPRESSED gzip-member size (what a byte-range fetch of
+        # [offset, offset+length) needs), not the WARC Content-Length;
+        # the reference computes the same stream-pos delta
+        # (ArcFileReader.java:294).
+        F.col("member_length").alias("warc_record_length"),
         F.lit(crawl).alias("crawl"),
         F.lit(subset).alias("subset"),
     )
@@ -1334,6 +1354,13 @@ def revisit_dedup(warc: DataFrame) -> DataFrame:
     under any partitioning (wall-clock arrival order is not).
     Non-response records pass through untouched.
 
+    The digest covers the HTTP PAYLOAD only (bytes after the first
+    CRLFCRLF of the block), per WARC-Payload-Digest semantics: real
+    re-fetches of identical content differ in response headers (Date,
+    Set-Cookie, ...), so a whole-block digest would almost never fire.
+    A block with no header terminator (non-HTTP content) digests
+    whole, its own payload by definition.
+
     Shape: one md5 projection + ONE window over the digest key (the
     same partial-shuffle grain as a groupBy on digest); the payload
     drop is a map-side conditional. No joins.
@@ -1342,10 +1369,25 @@ def revisit_dedup(warc: DataFrame) -> DataFrame:
 
     responses = warc.filter(F.col("warc_type") == "response")
     others = warc.filter(F.col("warc_type") != "response")
-    digest = F.md5(F.col("block"))
     w = Window.partitionBy("_digest").orderBy("warc_date", "record_id")
     dd = (
-        responses.withColumn("_digest", digest)
+        responses
+        # ISO-8859-1 is byte-transparent, so the substring/encode
+        # round trip returns the EXACT payload bytes (the same split
+        # discipline as wet_records/wat_records)
+        .withColumn("_txt", F.decode(F.col("block"), "ISO-8859-1"))
+        .withColumn("_hsep", F.instr(F.col("_txt"), "\r\n\r\n"))
+        .withColumn(
+            "_digest",
+            F.md5(
+                F.when(
+                    F.col("_hsep") > 0,
+                    F.encode(
+                        F.expr("substring(_txt, _hsep + 4)"), "ISO-8859-1"
+                    ),
+                ).otherwise(F.col("block"))
+            ),
+        )
         .withColumn("_rank", F.row_number().over(w))
         .withColumn("_orig", F.first("record_id").over(w))
     )

@@ -65,7 +65,9 @@ def test_cdx_index_columns_and_sort(spark, tmp_path):
     assert r0["timestamp"] == "20240203000002"  # digits of the date
     assert r0["mime"] == "text/html"
     assert len(r0["digest"]) == 64  # sha256 hex
-    assert r0["length"] == len(b"payload-2")
+    # length is the COMPRESSED member size (CDXJ ranged-GET contract),
+    # so it exceeds zero and is validated byte-exactly in the seek test
+    assert r0["length"] > 0
     assert r0["filename"].endswith(".warc.gz")
 
 
@@ -85,9 +87,13 @@ def test_cdx_offsets_seek_back_to_the_record(spark, tmp_path):
     files = {p.split("/")[-1]: p for p in glob.glob(f"{tmp_path}/*.warc.gz")}
     for r in idx:
         blob = open(files[r["filename"]], "rb").read()
-        member = zlib.decompressobj(wbits=31).decompress(
-            blob[r["offset"]:]
-        )
+        # the ranged-GET contract: [offset, offset+length) is EXACTLY
+        # one self-terminating gzip member -- no trailing bytes, and
+        # the slice alone inflates the whole record
+        ranged = blob[r["offset"]:r["offset"] + r["length"]]
+        d = zlib.decompressobj(wbits=31)
+        member = d.decompress(ranged)
+        assert d.eof and d.unused_data == b""
         assert f"WARC-Target-URI: {r['original']}".encode() in member
     # every record accounted for exactly once
     assert len({(r["filename"], r["offset"]) for r in idx}) == 5

@@ -696,6 +696,33 @@ def test_pack_sequences_concat_then_chunk(spark):
         pos += r["n_tok"]
 
 
+def test_pack_sequences_sharded_matches_single_shard(spark):
+    """The sharded decomposition (per-shard windows + closed-form
+    shard prefix offsets) must reproduce the single-stream packing
+    bit-for-bit at ANY bucket count, and its plan must carry no
+    single-task exchange (the 100 TB shape the global window lacked)."""
+    from commoncrawl_crawler_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(i % 7 + 1)))
+         for i in range(200)],
+        "doc_id long, text string",
+    ).repartition(8)
+    base = sorted(
+        map(tuple, textstats.pack_sequences(df, seq_len=16,
+                                            buckets=1).collect())
+    )
+    for buckets in (4, 32):
+        sharded = sorted(
+            map(tuple, textstats.pack_sequences(df, seq_len=16,
+                                                buckets=buckets).collect())
+        )
+        assert sharded == base, buckets
+    plan = textstats.pack_sequences(df, seq_len=16)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_tfidf_keywords_ranking(spark):
     """Hand-computed tf-idf: a corpus-wide word scores idf=0 and never
     beats a distinctive word; ranking ties break on token."""

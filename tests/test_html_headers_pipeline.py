@@ -28,8 +28,22 @@ def test_extract_links_all_types():
         by_type.setdefault(t, []).append((url, anchor))
     assert ("http://a.example/1", "first link") in by_type["a"]
     assert ("http://b.example/2", "second") in by_type["a"]
-    assert by_type["frame"] == [("http://frame.example/f", "")]
+    # <iframe> keeps its own type, distinct from <frame> (WAT convention)
+    assert by_type["iframe"] == [("http://frame.example/f", "")]
+    assert "frame" not in by_type
     assert by_type["meta_refresh"] == [("http://redirect.example/next", "")]
+
+
+def test_frame_and_iframe_types_stay_distinct():
+    html = (
+        '<frameset><frame src="http://old.example/nav"></frameset>'
+        '<iframe src="http://new.example/ad"></iframe>'
+    )
+    got = {(t, u) for u, t, _ in htmlfn.extract_links(html)}
+    assert got == {
+        ("frame", "http://old.example/nav"),
+        ("iframe", "http://new.example/ad"),
+    }
 
 
 def test_extract_title_strips_tags():

@@ -56,6 +56,38 @@ def test_query_cache_written_once_and_reused(spark, tmp_path, sf_smoke):
     assert not set(a) & set(b)
 
 
+def test_query_cache_hits_on_non_os_path_uri(spark, tmp_path, sf_smoke):
+    """The cache-availability check must go through the Hadoop
+    FileSystem API: on an object-store prefix (s3a://, abfss://) a
+    plain os.path.exists always answers False and the cache never
+    hits. Exercised with an explicit file:// URI -- a string that IS
+    Spark-writable but is NOT an OS path (os.path.exists rejects it),
+    the same divergence an s3a:// prefix produces."""
+    import os
+
+    cache_uri = f"file://{tmp_path}/qcache"
+    server = query_api.QueryServer(spark, cache_uri)
+    info = query_api.ClientQueryInfo(
+        sort_field="doc_count", ascending=False, page_size=3,
+        tiebreak="domain",
+    )
+    qid = query_api.canonical_query_id(
+        "domain_list",
+        {"pattern": "^src.*", "sort": "doc_count", "asc": False,
+         "tiebreak": "domain"},
+    )
+    assert not server.cached_results_available(qid)
+    server.domain_list_query(
+        _domains(spark, sf_smoke), "^src.*", info
+    ).collect()
+    # the URI string is not an OS path (the failure mode under test) ...
+    assert not os.path.exists(f"{cache_uri}/{qid}/_SUCCESS")
+    # ... but the scheme-aware check finds the committed result
+    assert server.cached_results_available(qid)
+    # and the marker really exists where the URI points
+    assert os.path.exists(f"{tmp_path}/qcache/{qid}/_SUCCESS")
+
+
 def test_pagination_matches_full_sort(spark, tmp_path, sf_smoke):
     server = query_api.QueryServer(spark, str(tmp_path))
     full = (

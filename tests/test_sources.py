@@ -410,6 +410,10 @@ def test_warc_golden_member_parse(spark, tmp_path):
     # the block is byte-exact INCLUDING its embedded CRLFCRLF
     assert bytes(r["block"]) == http
     assert r["member_offset"] == len(info)
+    # member_length is the compressed gzip-member size: the ranged-GET
+    # pointer contract [offset, offset+length) covers each member exactly
+    assert rows[0]["member_length"] == len(info)
+    assert r["member_length"] == len(resp)
     assert rows[0]["target_uri"] is None  # warcinfo has no URI
 
 
@@ -705,7 +709,7 @@ def test_wat_records_envelope_fields(spark, tmp_path):
     links = pm["HTML-Metadata"]["Links"]
     assert links == [
         {"url": "http://x.com/1", "path": "A@/href", "text": "one"},
-        {"url": "http://f.com/fr", "path": "FRAME@/src", "text": ""},
+        {"url": "http://f.com/fr", "path": "IFRAME@/src", "text": ""},
     ]
     # the JSON block parses back into the typed struct with the
     # published schema (what a WAT consumer does)
@@ -933,6 +937,13 @@ def test_revisit_dedup_keeps_first_and_rewrites_duplicates(spark, tmp_path):
          "application/http; msgtype=response", b"HTTP/1.1 200 OK\r\n\r\nSAME"),
         ("response", "<urn:uuid:c>", "http://c.com/", "2024-01-03T00:00:00Z",
          "application/http; msgtype=response", b"HTTP/1.1 200 OK\r\n\r\nDIFF"),
+        # same payload as a/b but DIFFERENT response headers -- the
+        # WARC payload-digest covers the payload only, so this must
+        # still dedup against a
+        ("response", "<urn:uuid:d>", "http://d.com/", "2024-01-04T00:00:00Z",
+         "application/http; msgtype=response",
+         b"HTTP/1.1 200 OK\r\nDate: Thu, 04 Jan 2024 00:00:00 GMT"
+         b"\r\n\r\nSAME"),
         ("metadata", "<urn:uuid:m>", "http://a.com/", "2024-01-01T00:00:00Z",
          "application/json", b"{}"),
     ]
@@ -954,4 +965,10 @@ def test_revisit_dedup_keeps_first_and_rewrites_duplicates(spark, tmp_path):
     assert hdrs["WARC-Payload-Digest"].startswith("md5:")
     assert "identical-payload-digest" in hdrs["WARC-Profile"]
     assert out["<urn:uuid:c>"]["warc_type"] == "response"
+    # header-differing refetch of the SAME payload: still a revisit
+    rv2 = out["<urn:uuid:d>"]
+    assert rv2["warc_type"] == "revisit"
+    hdrs2 = {h["key"]: h["value"] for h in rv2["headers"]}
+    assert hdrs2["WARC-Refers-To"] == "<urn:uuid:a>"
+    assert hdrs2["WARC-Payload-Digest"] == hdrs["WARC-Payload-Digest"]
     assert out["<urn:uuid:m>"]["warc_type"] == "metadata"  # untouched

@@ -146,6 +146,13 @@ def test_training_shuffle_is_deterministic_and_contiguous(spark):
         df, key_col="doc_id", seed="epoch1", n_shards=4
     ).collect()
     assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+    # output-column collisions raise instead of silently overwriting
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shard"):
+        sampling.training_shuffle(
+            df.withColumn("shard", F.lit(1)), key_col="doc_id"
+        )
 
 
 def test_webgraph_ranks_ordinals_follow_scores(spark):
