@@ -2408,7 +2408,7 @@ def _pipeline_archive_linkgraph(s: SparkSession, d: str) -> DataFrame:
     )
     links = pages.select(
         host.alias("src_host"),
-        F.explode(htmlfn.extract_links_udf(F.col("_body"))).alias("_l"),
+        F.explode(htmlfn.extract_links_tiered_udf(F.col("_body"))).alias("_l"),
     ).select(
         "src_host",
         F.regexp_extract(
@@ -2806,7 +2806,7 @@ def _fn_extract_links(s: SparkSession, d: str) -> DataFrame:
         .select(
             "doc_id",
             htmlfn.extract_title_udf(F.col("html")).alias("title"),
-            F.explode(htmlfn.extract_links_udf(F.col("html"))).alias("link"),
+            F.explode(htmlfn.extract_links_tiered_udf(F.col("html"))).alias("link"),
         )
     )
     return parsed.select(
@@ -3110,6 +3110,41 @@ def _crawllist_filtered(s: SparkSession, d: str) -> DataFrame:
         "crawllist_filtered",
         d,
         lambda: _crawllist_filtered_generate(s, d),
+    )
+
+
+def _blog_platform_gate(s: SparkSession, d: str) -> DataFrame:
+    """Post-frequency records synthesized across the five platform
+    classes of GenBlogPlatformUrlsStep (wordpress/blogger/typepad/
+    tumblr via ROOT-DOMAIN detection -- no explicit flags, so the
+    fallback path is what's under test -- plus 'other'), run through
+    the named probe-URL rules with a fixed (2012, 6) probe calendar.
+    last_year_with_posts spans 2009-2012 so both the active (>=2011)
+    and dormant arms execute; avg_posts_per_month spans 0.5-39.5
+    (half-integers: exact in BOTH binary doubles and DuckDB decimals,
+    so ceil() can never straddle a representation boundary) and
+    wordpress paginations hits 1 (no month probes at all -- the
+    reference's page<paginations loop) through 4."""
+    did = F.col("doc_id")
+    plat = (did % 5).cast("int")
+    suffix = (
+        F.when(plat == 0, F.lit(".wordpress.com/"))
+        .when(plat == 1, F.lit(".blogspot.com/"))
+        .when(plat == 2, F.lit(".typepad.com/weblog"))
+        .when(plat == 3, F.lit(".tumblr.com/"))
+        .otherwise(F.lit(".example.org/"))
+    )
+    pf = _t(s, d, "documents").select(
+        F.concat(F.lit("http://blog"), did.cast("string"), suffix).alias(
+            "url"
+        ),
+        (F.lit(2009) + (did % 4)).cast("int").alias(
+            "last_year_with_posts"
+        ),
+        ((did % 40) + F.lit(0.5)).alias("avg_posts_per_month"),
+    )
+    return crawllist.blog_platform_urls(pf, 2012, 6).orderBy(
+        "url", "probe_url", "skip_if_dupe"
     )
 
 
@@ -3525,6 +3560,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawllist_politeness": lambda s, d: crawllist.politeness_schedule(
             _crawllist_filtered(s, d)
         ),
+        # named blog-platform probe-URL rules
+        # (GenBlogPlatformUrlsStep.java:169-334): platform from root
+        # domain, per-platform archive calendars, the page/2-skip
+        # wordpress pagination quirk, typepad trailing slash, tumblr
+        # /archive -- oracle recomputes every rule in closed form
+        "crawllist_blog_platform_urls": _blog_platform_gate,
         # per-host fetch-window capacity: which URLs fit the politeness
         # serialization inside 3s, which defer to the next cycle
         "crawllist_budget_plan": lambda s, d: crawllist.crawl_budget_summary(
@@ -5613,6 +5654,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST((slot - 1) * interval_ms AS BIGINT)
                        AS scheduled_offset_ms
             FROM slotted ORDER BY key
+        """,
+        # every named platform rule recomputed in closed form:
+        # calendar = 24 months back from 2012-06; wordpress pages
+        # 1..paginations-1 with the page/2-skip arithmetic; blogger
+        # YYYY_MM_01_archive.html; typepad trailing slash +
+        # YYYY/MM/index.html; tumblr home + /archive; skip_if_dupe
+        # false only for the first probe month
+        "crawllist_blog_platform_urls": """
+            WITH pf AS (
+                SELECT CAST(doc_id % 5 AS INT) AS plat,
+                       'http://blog' || CAST(doc_id AS VARCHAR) ||
+                       CASE CAST(doc_id % 5 AS INT)
+                            WHEN 0 THEN '.wordpress.com/'
+                            WHEN 1 THEN '.blogspot.com/'
+                            WHEN 2 THEN '.typepad.com/weblog'
+                            WHEN 3 THEN '.tumblr.com/'
+                            ELSE '.example.org/' END AS url,
+                       'blog' || CAST(doc_id AS VARCHAR) ||
+                       CASE CAST(doc_id % 5 AS INT)
+                            WHEN 0 THEN '.wordpress.com'
+                            WHEN 1 THEN '.blogspot.com'
+                            WHEN 2 THEN '.typepad.com'
+                            WHEN 3 THEN '.tumblr.com'
+                            ELSE '.example.org' END AS host,
+                       CAST(2009 + doc_id % 4 AS INT) AS yr,
+                       (doc_id % 40) + 0.5 AS avg,
+                       CASE CAST(doc_id % 5 AS INT)
+                            WHEN 0 THEN 'wordpress' WHEN 1 THEN 'blogger'
+                            WHEN 2 THEN 'typepad' WHEN 3 THEN 'tumblr'
+                            ELSE 'other' END AS platform
+                FROM documents
+            ), slashed AS (
+                SELECT *, CASE WHEN url LIKE '%/' THEN url
+                               ELSE url || '/' END AS surl
+                FROM pf
+            ), dates AS (
+                SELECT CAST(i AS INT) AS i,
+                       CAST((2012*12 + 5 - i) // 12 AS INT) AS y,
+                       CAST((2012*12 + 5 - i) % 12 + 1 AS INT) AS m
+                FROM range(24) t(i)
+            ), homes AS (
+                SELECT url, platform,
+                       CASE WHEN plat = 2 THEN surl ELSE url END
+                           AS probe_url,
+                       FALSE AS skip_if_dupe
+                FROM slashed
+            ), tumblr_archive AS (
+                SELECT url, platform,
+                       'http://' || host || '/archive' AS probe_url,
+                       FALSE AS skip_if_dupe
+                FROM slashed WHERE plat = 3
+            ), wp AS (
+                SELECT p.url, p.platform,
+                       CASE WHEN pg.p = 1
+                            THEN p.url || printf('%04d/%02d/', d.y, d.m)
+                            ELSE p.url || printf('%04d/%02d/page/%d/',
+                                                 d.y, d.m, pg.p + 1)
+                       END AS probe_url,
+                       d.i <> 0 AS skip_if_dupe
+                FROM slashed p, dates d, range(1, 10) pg(p)
+                WHERE p.plat = 0 AND p.yr >= 2011
+                  AND pg.p < (CAST(ceil(p.avg) AS BIGINT) + 9) // 10
+            ), blogger AS (
+                SELECT p.url, p.platform,
+                       p.url || printf('%04d_%02d_01_archive.html',
+                                       d.y, d.m) AS probe_url,
+                       d.i <> 0 AS skip_if_dupe
+                FROM slashed p, dates d
+                WHERE p.plat = 1 AND p.yr >= 2011
+            ), typepad AS (
+                SELECT p.url, p.platform,
+                       p.surl || printf('%04d/%02d/index.html',
+                                        d.y, d.m) AS probe_url,
+                       d.i <> 0 AS skip_if_dupe
+                FROM slashed p, dates d
+                WHERE p.plat = 2 AND p.yr >= 2011
+            )
+            SELECT url, platform, probe_url, skip_if_dupe FROM (
+                SELECT * FROM homes
+                UNION ALL SELECT * FROM tumblr_archive
+                UNION ALL SELECT * FROM wp
+                UNION ALL SELECT * FROM blogger
+                UNION ALL SELECT * FROM typepad
+            ) ORDER BY url, probe_url, skip_if_dupe
         """,
         "crawllist_wikipedia_partition": """
             WITH pages AS (

@@ -419,9 +419,16 @@ def blog_platform_urls(
     host = F.regexp_extract(
         F.lower(F.col("url")), r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1
     )
-    from ..functions import urls as urlfn
 
-    root = urlfn.root_domain_expr(host)
+    # the reference's URLUtils.extractRootDomainName (2012-era TLD
+    # table) yields 'wordpress.com' for b.wordpress.com; the modern
+    # PSL lists the hosting platforms as PUBLIC suffixes, so a
+    # PSL-backed eTLD+1 would return the full blog host. Suffix
+    # equality reproduces the reference's named comparison
+    # (GenBlogPlatformUrlsStep.java:300-313) under either table.
+    def _on(domain: str) -> Column:
+        return (host == domain) | host.endswith("." + domain)
+
     flag = lambda c: (
         F.coalesce(F.col(c), F.lit(False))
         if c in post_freq.columns
@@ -432,10 +439,10 @@ def blog_platform_urls(
         .when(flag("is_blogger"), F.lit("blogger"))
         .when(flag("is_typepad"), F.lit("typepad"))
         .when(flag("is_tumblr"), F.lit("tumblr"))
-        .when(root == "wordpress.com", F.lit("wordpress"))
-        .when(root == "tumblr.com", F.lit("tumblr"))
-        .when(root == "blogspot.com", F.lit("blogger"))
-        .when(root == "typepad.com", F.lit("typepad"))
+        .when(_on("wordpress.com"), F.lit("wordpress"))
+        .when(_on("tumblr.com"), F.lit("tumblr"))
+        .when(_on("blogspot.com"), F.lit("blogger"))
+        .when(_on("typepad.com"), F.lit("typepad"))
         .otherwise(F.lit("other"))
     )
 
@@ -489,7 +496,7 @@ def blog_platform_urls(
         F.array(*[
             _probe(
                 F.concat(url, F.lit(f"{y:04d}_{m:02d}_01_archive.html")),
-                y, m, idx, "blogger",
+                idx,
             )
             for idx, (y, m) in enumerate(dates)
         ]),
@@ -500,7 +507,7 @@ def blog_platform_urls(
         F.array(*[
             _probe(
                 F.concat(slashed, F.lit(f"{y:04d}/{m:02d}/index.html")),
-                y, m, idx, "typepad",
+                idx,
             )
             for idx, (y, m) in enumerate(dates)
         ]),

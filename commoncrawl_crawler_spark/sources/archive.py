@@ -1173,7 +1173,7 @@ def wat_records(warc: DataFrame) -> DataFrame:
         F.col("_head"), "(?i)\\r\\ncontent-type:[ \\t]*([^\\r\\n]*)", 1
     )
     links = F.transform(
-        htmlfn.extract_links_udf(F.col("_body")),
+        htmlfn.extract_links_tiered_udf(F.col("_body")),
         lambda l: F.struct(
             l["url"].alias("url"),
             F.concat(
