@@ -4315,262 +4315,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The full local sweep for every entry lives in
     # CORRECTNESS_SELF_r05.txt (tools/check_all_oracles.py).
     priority = [
-        # (a) never driver-validated (new this round)
-        "text_dsir_weights",
-        "text_backoff_lm",
-        "text_bpe_fertility",
-        "text_c4_filter",
-        # graph_reach_counts yields its slot to graph_bowtie: both
-        # drive the identical path-doubling closure fixpoint, the
-        # bow-tie gate additionally exercises SCC + core semi-joins,
-        # and the count aggregate is pinned by the bow-tie/closure
-        # pytest fixtures; the gate stays swept at both SFs
-        "graph_scc",
-        "graph_bowtie",
-        "graph_condensation_levels",
-        "dq_constraints",
-        "sim_ivfpq_topk",
-        "dedup_semantic",
-        "text_bpe_merges",
-        # text_bpe_encode yields its slot to the never-validated
-        # crawllist_budget_plan: text_bpe_merges drives the same
-        # trained merge table, the encode replace-chain is pinned by
-        # the seeded differential test vs an independent Python BPE,
-        # and the gate stays swept in CORRECTNESS_SELF_r05*
-        "text_quality_classifier",
-        "text_langid_ngram",
+        # ---- ROUND-6 ROTATION ----------------------------------------
+        # The driver gates the FIRST 50 entries. Round 6 fronts:
+        # (a) the 30 gates with ZERO external validation after five
+        #     rounds (VERDICT r5 rotation list, reproduced exactly) --
+        #     never-driver-validated outranks re-validation;
+        # (b) every gate whose semantics, schema, or plan changed this
+        #     round (revisit payload-digest, CDX compressed length,
+        #     iframe link type, bigint node ids, sharded pack/zipf,
+        #     tiered link UDF, shuffle-collision guard);
+        # (c) the new blog-platform gate;
+        # (d) six r2-green anchors unexamined since round 2.
+        # Everything displaced is r2-r5 driver-green with code
+        # unchanged this round, stays pytest-covered, and is swept at
+        # sf0.01 + sf0.1 in CORRECTNESS_SELF_r06* at session close.
+        # (a) never driver-validated -- the complete round-5 list
+        "agg_quantile_sketch",
+        "dq_profile_orders",
+        "evt_funnel",
+        "evt_cohort_retention",
+        "evt_transitions",
+        "agg_distinct_sketch",
+        "filter_url_templates",
+        "text_span_corruption",
+        "fn_idn_hosts",
+        "mm_audio_fingerprint",
+        "mm_image_dhash",
+        "mm_dhash_dup_groups",
+        "stream_countmin",
+        "stream_generational_upsert",
+        "source_warc_http_extract",
+        "source_wat_metadata",
+        "source_ccindex_table",
+        "stream_ccindex_build",
+        "source_jsonl_roundtrip",
+        "sim_hard_negatives",
+        "text_bpe_encode",
+        "text_perplexity_buckets",
+        "text_duplicate_spans",
+        "graph_reach_counts",
+        "graph_random_walks",
+        "graph_neighborhood_function",
+        "graph_redirect_resolve",
+        "graph_anchor_text",
+        "graph_host_webgraph",
+        "graph_domain_webgraph",
+        # (c) new this round
+        "crawllist_blog_platform_urls",
+        # (b) semantics / schema / plan changed this round
+        "source_warc_revisit",
         "source_cdx_index",
-        "source_arc_v1_roundtrip",
-        "source_warc_roundtrip",
-        "mm_decode_png",
-        "mm_decode_gif",
-        # mm_decode_jpeg (grayscale) yields its slot to the never-
-        # validated text_inverted_index: mm_decode_jpeg_color and
-        # mm_decode_jpeg_420 drive the same T.81 marker walk, Huffman,
-        # dequant and IDCT machinery plus the color paths, and the
-        # grayscale gate stays swept at both SFs in CORRECTNESS_SELF_r05*
-        "mm_decode_jpeg_color",
-        "mm_decode_jpeg_420",
-        "mm_decode_adpcm",
-        "sim_kmeans_exact",
-        "fn_rice_fp_lists",
-        "text_bigram_surprisal",
-        # text_perplexity_buckets yields its slot to the never-
-        # validated text_heaps_profile: text_bigram_surprisal drives
-        # the same bigram-LM scoring the buckets wrap, the per-
-        # language ntile is pytest-pinned (tertile ordering), and the
-        # gate stays swept in CORRECTNESS_SELF_r05*
-        # text_duplicate_spans yields its slot to the never-validated
-        # robots_sitemap_discovery: text_duplicate_trim consumes the
-        # same shared span tables and exercises a strict superset
-        # (span build + interval union + kept-token reassembly), and
-        # the span-profile gate stays swept in CORRECTNESS_SELF_r05*
-        "text_duplicate_trim",
-        # agg_distinct_sketch yields its slot to the never-validated
-        # text_zipf_profile: agg_sketch_union drives the identical
-        # register build through the same aggregate plus the bucket-
-        # wise merge, and the direct sketch stays swept in
-        # CORRECTNESS_SELF_r05*
-        "agg_sketch_union",
-        "agg_count_min",
-        "graph_kcore",
-        "stream_distinct_sketch",
-        # stream_countmin yields its slot to the never-validated
-        # dedup_sketch_quality: its counter cells are bit-identical to
-        # the fronted batch sketch (agg_count_min) by the batch-parity
-        # pytest, stream_distinct_sketch keeps the complete-mode
-        # streaming-state machinery driver-gated, and the gate stays
-        # swept in CORRECTNESS_SELF_r05*
-        # sim_pq_topk yields its slot to the never-validated
-        # source_sitemap_parse: sim_pq_trained_topk exercises a strict
-        # superset of the same machinery (train_iterations=0 is the
-        # shared anchor-codebook path), and the untrained gate stays
-        # swept at both SFs in CORRECTNESS_SELF_r05*
-        "sim_pq_trained_topk",
-        "sim_sq_topk",
-        "dedup_setsim_prefix",
-        "text_containment_pairs",
-        "dedup_minhash_clusters",
-        "crawllist_adaptive_recrawl",
-        "dedup_editdist_pairs",
-        "crawldb_snapshot_delta",
-        "graph_label_propagation",
-        "graph_pagerank_personalized",
-        "source_sitemap_parse",
-        "text_inverted_index",
-        "robots_sitemap_discovery",
-        "crawllist_budget_plan",
-        "dedup_sketch_quality",
+        "fn_extract_links",
+        "graph_webgraph_ranks",
+        "text_pack_sequences",
         "text_zipf_profile",
-        "text_heaps_profile",
-        "graph_pagerank_converged",
-        # (b) semantics changed this round
-        "fn_parse_cookies",
-        # robots_evaluate and crawllist_politeness yield their slots
-        # to the never-validated session-3 gates: both changed code
-        # paths (Crawl-Delay reset, politeness schedule) stay driver-
-        # exercised through pipeline_robots_fetch_plan, which composes
-        # the same verdict table and schedule, and both gates stay
-        # swept at both SFs in CORRECTNESS_SELF_r05*
-        "pipeline_robots_fetch_plan",
-        # text_weighted_sample and stream_sessionize yield their
-        # slots to the never-validated graph_condensation_levels and
-        # dq_constraints: the A-ES quantization change is pinned by a
-        # differential pytest and mirrored in the oracle; the NTZ
-        # stateful-streaming schema stays driver-gated via stream_asof
-        # and the non-UTC pytest; both stay swept at both SFs
-        "stream_asof",
-        # (c) single driver validation (round 4 only)
-        # crawldb_merge_full, crawllist_filtered_generate,
-        # pipeline_corpus_build, text_bm25_rank and text_paragraph_dedup
-        # yield their slots to the never-validated session-3 gates
-        # (DSIR, backoff LM, fertility, C4, closure/SCC, IVF-PQ): all
-        # five are r4-validated with code unchanged, pytest-covered,
-        # and swept at both SFs in CORRECTNESS_SELF_r05*
-        # dedup_cluster_representatives yields its slot to the never-
-        # validated crawldb_snapshot_delta (r4-validated, code
-        # unchanged, keep-best pytest; the representative-selection
-        # machinery stays driver-exercised inside
-        # pipeline_corpus_build, which composes it)
-        # graph_clustering_coeff yields its slot to the never-
-        # validated graph_pagerank_personalized (r4-validated, code
-        # unchanged; the truncated-wedge machinery stays covered by
-        # the hand-graph pytest suite and the executed-stage census
-        # assertion in test_plan_quality)
-        # graph_hits yields its slot to the never-validated
-        # dedup_editdist_pairs (r4-validated, code unchanged, hand-
-        # graph pytest; the exact-bigint power-iteration family stays
-        # driver-gated via graph_pagerank_converged and
-        # graph_pagerank_rootavg)
-        # graph_triangles yields its slot to the never-validated
-        # graph_kcore (r4-validated; the truncated-wedge machinery
-        # stays driver-exercised via graph_clustering_coeff, which
-        # shares the oriented edge set)
-        # join_asof yields its slot to the never-validated
-        # graph_label_propagation (r4-validated, code unchanged,
-        # pytest-covered; as-of semantics stay driver-gated via
-        # stream_asof in the semantics-changed tier, which shares the
-        # merge-union + running-window shape)
-        # join_range_bucketed yields its slot to the never-validated
-        # agg_count_min (r4-validated; the bucketed range-join plan
-        # shape is pytest-asserted and join_asof keeps the custom-
-        # join tier driver-gated)
-        # mm_audio_energy yields its slot to the never-validated
-        # dedup_setsim_prefix (r4-validated, code unchanged; the WAV
-        # decode + frame-energy path stays driver-exercised through
-        # mm_decode_adpcm, whose gate decodes the same RIFF container
-        # and compares against the PCM twin)
-        # mm_decode_ppm yields its slot to the never-validated
-        # agg_distinct_sketch (r4-validated; the PPM codec stays
-        # driver-exercised through mm_resize_ppm and mm_image_bands);
-        # mm_decode_wav likewise yields to agg_sketch_union (the WAV
-        # decode path stays driver-exercised through mm_audio_energy
-        # and the ADPCM gate's PCM comparison); mm_image_bands yields
-        # to the never-validated source_cdx_index (r4-validated; the
-        # PPM decode path stays pytest-covered and the image tier
-        # keeps six driver-gated decode entries)
-        # mm_resize_ppm yields its slot to the never-validated
-        # sim_pq_trained_topk (r4-validated; the PPM decode path
-        # stays driver-exercised via mm_image_bands)
-        # query_snippets yields its slot to the never-validated
-        # stream_distinct_sketch (r4-validated; pure regex-Column
-        # rendering with dedicated pytest coverage), and sim_lsh_topk
-        # to sim_pq_topk (r4-validated; the ANN tier keeps kmeans +
-        # PQ driver-gated and the hyperplane-LSH path is pytest-
-        # covered with a recall contract)
-        # stream_static_enrich yields its slot to the never-validated
-        # text_duplicate_trim (r4-validated; the streaming tier keeps
-        # three driver-gated entries: sessionize, as-of, attribution)
-        # stream_stream_attribution yields its slot to the never-
-        # validated crawllist_adaptive_recrawl (r4-validated, code
-        # unchanged, pytest-covered with batch-parity, cross-batch-
-        # state and watermark-eviction tests; the streaming tier keeps
-        # stream_asof and stream_sessionize driver-gated)
-        # text_chunking yields its slot to the never-validated
-        # text_perplexity_buckets (r4-validated; chunk_documents stays
-        # driver-exercised as text_paragraph_dedup's paragraph source)
-        # text_contamination_check yields its slot to the never-
-        # validated sim_sq_topk (r4-validated, code unchanged,
-        # pytest-covered; the shingle equi-join family stays
-        # driver-gated via text_paragraph_dedup)
-        # text_mixture_plan yields its slot to the never-validated
-        # text_containment_pairs (r4-validated, code unchanged,
-        # pytest-covered closed-form aggregates; the sampling/planner
-        # tier stays driver-gated via text_weighted_sample)
-        # text_pack_sequences yields its slot to the never-validated
-        # stream_countmin (r4-validated, code unchanged,
-        # pytest-covered; the packing layout stays driver-exercised
-        # as text_chunking's concat-then-chunk sibling)
-        # text_pmi_pairs and text_redact_pii yield their slots to the
-        # never-validated text_bpe_merges/text_bpe_encode
-        # (r4-validated, code unchanged, pytest-covered; the token
-        # association tier stays driver-gated via text_tfidf_keywords
-        # and text_bm25_rank); text_repetition_signals yields to the
-        # never-validated text_langid_ngram (r4-validated, code
-        # unchanged, pytest-covered; the Gopher-signal family stays
-        # driver-exercised inside pipeline_corpus_build's quality
-        # stage)
-        # text_stratified_sample yields its slot to the never-
-        # validated text_duplicate_spans (r4-validated, code
-        # unchanged, pytest-covered; text_weighted_sample keeps the
-        # sampling module driver-exercised)
-        # text_tfidf_keywords yields its slot to the never-validated
-        # dedup_minhash_clusters (r4-validated, code unchanged,
-        # pytest-covered; the tf/idf machinery stays driver-gated via
-        # text_bm25_rank, which computes the same doc-frequency and
-        # saturation terms)
-        # text_unigram_surprisal yields its slot to the never-
-        # validated bigram twin above (r4-validated, same code
-        # family, the bigram gate exercises strictly more machinery);
-        # text_vocabulary yields to the never-validated
-        # text_quality_classifier and query_domain_resort to
-        # dedup_semantic (both r4-validated, code unchanged,
-        # pytest-covered; the query-serving tier stays driver-gated
-        # via query_snippets' displacement note and the vocabulary
-        # machinery via text_tfidf_keywords' doc-freq path)
-        # graph_reach_counts, agg_quantile_sketch, dq_profile_orders,
-        # mm_image_dhash and mm_dhash_dup_groups (late session-3
-        # additions) wait for the round-6 rotation: all are
-        # hash-verified at sf0.01 AND sf0.1 in CORRECTNESS_SELF_r05*,
-        # and their machinery is driver-gated via graph_bowtie /
-        # graph_scc (same closure), agg_value_percentiles (same
-        # events column, exact twin), dq_constraints (same module),
-        # and mm_decode_ppm (same decode kernel the dhash rides).
-        # The session-4 additions (graph_hyperball,
-        # graph_neighborhood_function, graph_redirect_resolve,
-        # graph_anchor_text, graph_opic, graph_random_walks,
-        # text_boilerplate_blocks, text_span_corruption,
-        # agg_cube_rollup, source_jsonl_roundtrip, sim_hard_negatives,
-        # filter_url_templates, stream_generational_upsert,
-        # win_session_window) likewise wait for round 6: each is
-        # hash-verified at sf0.01 AND sf0.1 (the first 207 also under
-        # the alternate layout) in CORRECTNESS_SELF_r05_S4*.txt and
-        # pytest-covered (hand models for HyperBall registers, OPIC
-        # cash, redirect verdict classes, md5 walks, T5 layout, cube
-        # margins, block rules, two-batch generational fold,
-        # exact-gap session merge).
-        # The session-5 additions (source_wet_extract,
-        # source_wat_metadata, source_ccindex_table,
-        # stream_ccindex_build, pipeline_archive_linkgraph,
-        # fn_idn_hosts, source_warc_revisit, graph_host_webgraph,
-        # graph_domain_webgraph, graph_webgraph_ranks,
-        # text_training_shuffle) likewise wait
-        # for round 6: each is hash-verified at sf0.01 AND sf0.1 in
-        # CORRECTNESS_SELF_r05_S5*.txt and pytest-covered (WET text
-        # extraction + Refers-To linkage, WAT envelope field/typed
-        # parse, host/domain rollup hand models, forward/reversed PSL
-        # parity, dense-id sorted-rank under any bucketing, shuffle
-        # layout-invariance). Their machinery is driver-gated via
-        # source_warc_roundtrip (same write_warc/read_warc kernel the
-        # derivations ride twice) and the md5-bucket sampling tier.
-        # Never-driver-validated gates outrank re-validation of
-        # r2-green anchors: fn_url_canonicalize, agg_moving_daily_avg,
-        # skew_salted_join, filter_text_grep, setop_distinct,
-        # setop_except, dedup_exact, win_topk_per_group yielded their
-        # slots to the WARC/GIF/JPEG x3/ADPCM/kmeans/Rice gates (all
-        # displaced gates are r2-green, code unchanged,
-        # pytest-covered, and swept at both SFs plus the alternate
-        # partition layout in CORRECTNESS_SELF_r05*)
+        "text_training_shuffle",
+        "source_wet_extract",
+        "source_warc_roundtrip",
+        "query_domain_list",
+        "query_domain_resort",
+        "win_paginate",
+        "pipeline_archive_linkgraph",
+        # (d) r2-green anchors, unexamined since round 2
+        "fn_url_canonicalize",
+        "dedup_exact",
+        "setop_distinct",
+        "win_topk_per_group",
+        "filter_text_grep",
+        "agg_pricing_summary",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
