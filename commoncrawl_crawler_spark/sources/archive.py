@@ -774,7 +774,9 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_member_at(path: str, offset: int, kind: str = "warc"):
+def read_member_at(
+    path: str, offset: int, kind: str = "warc", length: int | None = None
+):
     """Point-seek read of ONE archive member without touching its
     siblings -- the property ARC/WARC were designed for and the
     reference's query server exploits (ArcFileItem arcFileOffset
@@ -784,13 +786,23 @@ def read_member_at(path: str, offset: int, kind: str = "warc"):
     (None for a filedesc member), 'ccarc' -> (key, payload). A local
     path is seek()ed directly; on a cluster, issue a ranged GET for
     the same bytes -- the member is one self-terminating gzip stream,
-    so no length is needed up front."""
+    so no length is needed up front. Pass `length` (the index's
+    warc_record_length / CDX length -- the compressed member size) to
+    read EXACTLY the member's bytes, the object-store range-request
+    form: GET bytes=offset..offset+length-1. With a length the read
+    also asserts the slice is one whole member and nothing more --
+    the pointer-contract check a consumer relies on."""
     with open(path, "rb") as f:
         f.seek(offset)
         d = zlib.decompressobj(wbits=31)
-        data = d.decompress(f.read())
+        data = d.decompress(f.read() if length is None else f.read(length))
         if not d.eof:
             raise ValueError(f"truncated member at offset {offset}")
+        if length is not None and d.unused_data != b"":
+            raise ValueError(
+                f"member at offset {offset} is shorter than the "
+                f"recorded length {length}: the pointer is stale"
+            )
     if kind == "warc":
         return _parse_warc_member(data)
     if kind == "arc":

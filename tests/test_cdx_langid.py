@@ -95,6 +95,11 @@ def test_cdx_offsets_seek_back_to_the_record(spark, tmp_path):
         member = d.decompress(ranged)
         assert d.eof and d.unused_data == b""
         assert f"WARC-Target-URI: {r['original']}".encode() in member
+        # the ranged-GET reader consumes the same pointer directly
+        wt, _, uri, *_ = archive.read_member_at(
+            files[r["filename"]], r["offset"], "warc", length=r["length"]
+        )
+        assert (wt, uri) == ("response", r["original"])
     # every record accounted for exactly once
     assert len({(r["filename"], r["offset"]) for r in idx}) == 5
 

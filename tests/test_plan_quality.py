@@ -313,3 +313,32 @@ def test_shared_stage_consumers_read_checkpoint_not_lineage(spark, sf_smoke):
         final = qe.executedPlan().toString()
         stages = set(re.findall(r"ShuffleQueryStage (\d+)", final))
         assert 0 < len(stages) <= max_stages, (name, len(stages))
+
+
+def test_pack_and_zipf_have_no_corpus_wide_single_partition_window(
+    spark, sf_smoke
+):
+    """Round-6 scale fix: sequence packing and the Zipf vocabulary
+    rank formerly funneled the corpus/vocabulary through one
+    un-partitioned window task. Both now ride bounded-sample bucket
+    sharding; the only SinglePartition exchange allowed in either
+    plan is a final <=1-row/global-aggregate assembly, never a
+    Window input. Assert no Window sits downstream of an
+    Exchange SinglePartition in the printed tree."""
+    for name in ("text_pack_sequences", "text_zipf_profile"):
+        df = entrymod.queries()[name](spark, sf_smoke)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # walk the printed tree: after a SinglePartition exchange the
+        # operators ABOVE it in the same subtree appear before it in
+        # the text -- a Window immediately preceding one means the
+        # window consumed the single partition
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            # the consumer chain is the nearest preceding lines with
+            # shallower tree depth; a Window within 3 printed parents
+            # is the funnel shape we forbid
+            for back in range(1, 4):
+                if i - back >= 0:
+                    assert "Window" not in lines[i - back], (name, plan)

@@ -50,6 +50,12 @@ def main() -> int:
 
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    # split the core budget across shards: K JVMs each grabbing
+    # local[32] would oversubscribe a 32-core box ~Kx and crash
+    # Python workers under memory/scheduler pressure (the flake
+    # class recorded in round 5); build_session honors this env var
+    if "SPARK_GRAFT_CPUS" not in env:
+        env["SPARK_GRAFT_CPUS"] = str(max(4, (os.cpu_count() or 32) // args.k))
 
     t0 = time.time()
     procs = []
