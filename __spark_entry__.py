@@ -4283,37 +4283,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
     }
     # The correctness harness gates the FIRST 50 entries in insertion
-    # order (CORRECTNESS_r01..r04 each contain exactly the leading 50).
-    # Round-5 rotation: (a) the three queries never driver-validated
-    # (new this round: ARC v1 roundtrip, PNG decode, converged
-    # PageRank); (b) queries whose SEMANTICS changed this round
-    # (Set-Cookie regex parser + parallel gate, Crawl-Delay reset in
-    # the robots tier, micro-unit weighted-sample priority, NTZ
-    # schemas in the stateful streaming pair); (c) every other gate
-    # whose ONLY driver validation is round 4; (d) the stalest
-    # anchors — last green in CORRECTNESS_r02, one per tier (setops,
-    # exact dedup, grep filter, URL canonicalize, top-k window,
-    # moving average, salted join).
-    # Displaced from the round-4 list (all r4-green, code unchanged):
-    # mm_decode_fake, graph_connected_components,
-    # graph_component_sizes, bloom_frontier_filter, agg_count_having,
-    # agg_latest_per_key, agg_time_window_rollup,
-    # agg_value_percentiles, join_tagged_full_outer,
-    # join_broadcast_dim, join_semi_whitelist, join_anti_blocklist —
-    # each has r4 driver validation plus dedicated pytest coverage.
-    # Still-deferred r2-green gates (unchanged code, pytest-covered):
-    # setop_intersect, setop_union_tagged, dedup_normalized,
-    # dedup_ngram_jaccard, dedup_embedding_cosine, dedup_simhash_*,
-    # dedup_cross_source, filter_* (category/classify/projection/
-    # blocklist/regex/range), crawldb_blekko_merge, crawllist_generate,
-    # crawllist_wikipedia_partition, join_point_lookup, win_paginate,
-    # win_first_row_per_key, win_round_robin, win_secondary_sort_rank,
-    # win_segment_packing, skew_salted_count, agg_group_count,
-    # agg_status_rollup, text_quality_buckets — the dedup tier's
-    # shared tables still feed gated queries, so those code paths stay
-    # driver-exercised.
-    # The full local sweep for every entry lives in
-    # CORRECTNESS_SELF_r05.txt (tools/check_all_oracles.py).
+    # order (each CORRECTNESS_r0N.json contains exactly the leading
+    # 50 of its round). Union of r01-r05 driver-validates 178/220 of
+    # the round-5 surface; every entry not in this round's 50 is
+    # r2-r5 driver-green with code unchanged this round, stays
+    # pytest-covered, and is swept at sf0.01 + sf0.1 in the round's
+    # CORRECTNESS_SELF_r06* records (tools/check_all_oracles.py).
     priority = [
         # ---- ROUND-6 ROTATION ----------------------------------------
         # The driver gates the FIRST 50 entries. Round 6 fronts:

@@ -446,10 +446,6 @@ def blog_platform_urls(
         .otherwise(F.lit("other"))
     )
 
-    def _probe(u, idx):
-        return F.struct(u.alias("probe_url"),
-                        F.lit(idx != 0).alias("skip_if_dupe"))
-
     url = F.col("url")
     slashed = F.when(url.endswith("/"), url).otherwise(
         F.concat(url, F.lit("/"))
@@ -462,56 +458,62 @@ def blog_platform_urls(
         "array<struct<probe_url:string,skip_if_dupe:boolean>>"
     )
 
+    # ONE 24-element (y, m, probe-index) literal shared by the three
+    # calendar platforms; the per-date logic lives once inside a
+    # transform lambda (an unrolled 24-way expression tree made
+    # janino compile ~8s of codegen per session on first touch)
+    dates_arr = F.array(*[
+        F.struct(
+            F.lit(y).alias("y"), F.lit(m).alias("m"), F.lit(i).alias("i")
+        )
+        for i, (y, m) in enumerate(dates)
+    ])
+    skip = lambda d: (d["i"] != 0).alias("skip_if_dupe")
+
+    def _calendar(fmt: str, base) -> Column:
+        return F.when(
+            active,
+            F.transform(
+                dates_arr,
+                lambda d: F.struct(
+                    F.concat(
+                        base, F.format_string(fmt, d["y"], d["m"])
+                    ).alias("probe_url"),
+                    skip(d),
+                ),
+            ),
+        ).otherwise(empty)
+
     # paginations = ceil(ceil(avg)/10) in exact integer arithmetic
     # (PostFrequencyInfo parse ceil + emitWordPressDomain:257 ceil)
-    avg_i = F.ceil(F.col("avg_posts_per_month")).cast("long")
     pag = F.expr(
-        f"(CAST(ceil(avg_posts_per_month) AS BIGINT) + 9) DIV 10"
+        "(CAST(ceil(avg_posts_per_month) AS BIGINT) + 9) DIV 10"
     )
-
-    wp_month = []
-    for idx, (y, m) in enumerate(dates):
-        base = F.concat(url, F.lit(f"{y:04d}/{m:02d}/"))
-        pages = F.transform(
-            F.sequence(F.lit(1).cast("long"), pag - 1),
-            lambda p: F.struct(
-                F.when(p == 1, base)
-                .otherwise(
-                    F.concat(
-                        base, F.lit("page/"),
-                        (p + 1).cast("string"), F.lit("/"),
-                    )
+    wp_month = lambda d: F.transform(
+        F.sequence(F.lit(1).cast("long"), pag - 1),
+        lambda p: F.struct(
+            F.when(
+                p == 1,
+                F.concat(url, F.format_string("%04d/%02d/", d["y"], d["m"])),
+            )
+            .otherwise(
+                F.concat(
+                    url,
+                    F.format_string("%04d/%02d/page/", d["y"], d["m"]),
+                    (p + 1).cast("string"),
+                    F.lit("/"),
                 )
-                .alias("probe_url"),
-                F.lit(idx != 0).alias("skip_if_dupe"),
-            ),
-        )
-        wp_month.append(F.when(pag >= 2, pages).otherwise(empty))
-    wp_probes = F.when(active, F.flatten(F.array(*wp_month))).otherwise(
-        empty
+            )
+            .alias("probe_url"),
+            skip(d),
+        ),
     )
-
-    blogger_probes = F.when(
-        active,
-        F.array(*[
-            _probe(
-                F.concat(url, F.lit(f"{y:04d}_{m:02d}_01_archive.html")),
-                idx,
-            )
-            for idx, (y, m) in enumerate(dates)
-        ]),
+    wp_probes = F.when(
+        active & (pag >= 2), F.flatten(F.transform(dates_arr, wp_month))
     ).otherwise(empty)
 
-    typepad_probes = F.when(
-        active,
-        F.array(*[
-            _probe(
-                F.concat(slashed, F.lit(f"{y:04d}/{m:02d}/index.html")),
-                idx,
-            )
-            for idx, (y, m) in enumerate(dates)
-        ]),
-    ).otherwise(empty)
+    blogger_probes = _calendar("%04d_%02d_01_archive.html", url)
+    typepad_probes = _calendar("%04d/%02d/index.html", slashed)
 
     tumblr_probes = F.when(
         host != "",
