@@ -2220,9 +2220,11 @@ def _wat_metadata(s: SparkSession, d: str) -> DataFrame:
     out = _scratch("wat", d, fresh=True)
     archive.write_warc(archive.wat_records(archive.read_warc(s, src)), out)
     rd = archive.read_warc(s, out)
-    env = F.from_json(
+    parsed = F.from_json(
         F.decode("block", "UTF-8"), archive.WAT_ENVELOPE_SCHEMA
-    )["Envelope"]
+    )
+    env = parsed["Envelope"]
+    container = parsed["Container"]
     meta = env["Payload-Metadata"]["HTTP-Response-Metadata"]
     return (
         rd.filter(F.col("warc_type") == "metadata")
@@ -2230,6 +2232,21 @@ def _wat_metadata(s: SparkSession, d: str) -> DataFrame:
             F.regexp_extract("target_uri", "/w/(\\d+)$", 1)
             .cast("long")
             .alias("doc_id"),
+            # Container points back into the SOURCE archive; offsets
+            # are gzip-layout-dependent, so the oracle-able check is
+            # the pointer-shape predicate (byte-exactness is pinned by
+            # the pytest that range-reads each source record back)
+            (
+                container["Filename"].endswith(".warc.gz")
+                & container["Compressed"]
+                & (container["Offset"].cast("long") >= 0)
+                & (
+                    container["Gzip-Metadata"]["Deflate-Length"].cast(
+                        "long"
+                    )
+                    > 0
+                )
+            ).alias("container_ok"),
             env["WARC-Header-Metadata"]["WARC-Record-ID"].alias("src_record"),
             meta["Response-Message"]["Status"].alias("status"),
             meta["Content-Type"].alias("http_content_type"),
@@ -3148,6 +3165,36 @@ def _blog_platform_gate(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _fetch_plan_gate(s: SparkSession, d: str) -> DataFrame:
+    """Closed-form pointer table (7 archive files, ~1000-byte member
+    stride with jittered offsets and variable lengths) -> fetch_plan
+    with merge_gap=700, so adjacent members merge exactly when their
+    jittered gap is <= 700 -- both the merge and split branches fire
+    throughout. The real-archive path (cdx pointers -> merged ranges
+    -> range-read each run back and count members) is the pytest."""
+    from pyspark.sql import Window
+
+    did = F.col("doc_id")
+    base = _t(s, d, "documents").select(
+        "doc_id",
+        F.concat(F.lit("seg-"), (did % 7).cast("string")).alias(
+            "filename"
+        ),
+    )
+    w = Window.partitionBy("filename").orderBy("doc_id")
+    ptrs = base.select(
+        "filename",
+        (
+            (F.row_number().over(w) - 1).cast("long") * 1000
+            + F.col("doc_id") % 300
+        ).alias("offset"),
+        (F.lit(100) + F.col("doc_id") % 50).cast("long").alias("length"),
+    )
+    return archive.fetch_plan(ptrs, merge_gap=700).orderBy(
+        "filename", "range_start"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return aggregates.pricing_summary(_t(spark, "/root/testdata/sf0.001", "lineitem"))
@@ -3852,6 +3899,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_arc_v1_roundtrip": _arc_v1_roundtrip,
         "source_warc_roundtrip": _warc_roundtrip,
         "source_cdx_index": _cdx_index_gate,
+        # bulk-extraction planner over index pointers (ranged-GET
+        # coalescing); round-6 session addition -- waits for the
+        # round-7 rotation, swept in CORRECTNESS_SELF_r06*
+        "source_fetch_plan": _fetch_plan_gate,
         "source_warc_http_extract": _warc_http_extract,
         "source_wet_extract": _wet_extract,
         "source_wat_metadata": _wat_metadata,
@@ -6462,6 +6513,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_wat_metadata": """
             SELECT doc_id,
+                   TRUE AS container_ok,
                    '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>'
                        AS src_record,
                    CAST(CASE WHEN doc_id % 10 = 0 THEN 404
@@ -6826,6 +6878,46 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 5 ORDER BY probe_id, rnk
         """,
         "dedup_semantic": _semantic_dedup_sql(threshold=0.35),
+        # window-for-window mirror of fetch_plan's run detection over
+        # the same closed-form pointer synthesis
+        "source_fetch_plan": """
+            WITH ptrs AS (
+                SELECT 'seg-' || CAST(doc_id % 7 AS VARCHAR) AS filename,
+                       (row_number() OVER (
+                            PARTITION BY doc_id % 7 ORDER BY doc_id
+                        ) - 1) * 1000 + doc_id % 300 AS off,
+                       100 + doc_id % 50 AS len
+                FROM documents
+            ), flagged AS (
+                SELECT filename, off, len,
+                       CASE WHEN lag(off + len) OVER (
+                                PARTITION BY filename
+                                ORDER BY off, len
+                            ) IS NULL
+                            OR off > lag(off + len) OVER (
+                                PARTITION BY filename
+                                ORDER BY off, len
+                            ) + 700
+                            THEN 1 ELSE 0 END AS s
+                FROM ptrs
+            ), runs AS (
+                SELECT filename, off, len,
+                       sum(s) OVER (
+                           PARTITION BY filename ORDER BY off, len
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS rid
+                FROM flagged
+            )
+            SELECT filename,
+                   CAST(min(off) AS BIGINT) AS range_start,
+                   CAST(max(off + len) AS BIGINT) AS range_end,
+                   count(*) AS n_records,
+                   CAST(sum(len) AS BIGINT) AS record_bytes,
+                   CAST(max(off + len) - min(off) - sum(len) AS BIGINT)
+                       AS wasted_bytes
+            FROM runs GROUP BY filename, rid
+            ORDER BY filename, range_start
+        """,
         "source_cdx_index": """
             SELECT array_to_string(
                        list_reverse(string_split(

@@ -1139,7 +1139,14 @@ def wet_records(warc: DataFrame) -> DataFrame:
 
 
 WAT_ENVELOPE_SCHEMA = (
-    "struct<Envelope:struct<"
+    "struct<"
+    # the published WAT record's Container section: where in which
+    # archive the described record lives (offsets are STRINGS in the
+    # published files; Deflate-Length is the compressed member size
+    # -- the same ranged-GET pointer the cc-index-table carries)
+    "Container:struct<Filename:string,Compressed:boolean,"
+    "Offset:string,`Gzip-Metadata`:struct<`Deflate-Length`:string>>,"
+    "Envelope:struct<"
     "`WARC-Header-Metadata`:struct<`WARC-Target-URI`:string,"
     "`WARC-Date`:string,`WARC-Record-ID`:string>,"
     "`Payload-Metadata`:struct<"
@@ -1155,7 +1162,9 @@ WAT_ENVELOPE_SCHEMA = (
 
 def wat_records(warc: DataFrame) -> DataFrame:
     """WARC response records -> WAT `metadata` records whose block is
-    the published JSON envelope (WARC header echo + HTTP status/type +
+    the published JSON envelope (Container pointer back into the
+    source archive -- filename/offset/compressed length, the
+    ranged-GET triple -- plus WARC header echo + HTTP status/type +
     HTML title and typed outlinks), ready for write_warc.
 
     The HTML parse reuses the ParserMapper-analog extractors
@@ -1198,6 +1207,18 @@ def wat_records(warc: DataFrame) -> DataFrame:
         ),
     )
     envelope = F.struct(
+        F.struct(
+            F.regexp_extract(F.col("archive_path"), "[^/]+$", 0).alias(
+                "Filename"
+            ),
+            F.lit(True).alias("Compressed"),
+            F.col("member_offset").cast("string").alias("Offset"),
+            F.struct(
+                F.col("member_length").cast("string").alias(
+                    "Deflate-Length"
+                )
+            ).alias("Gzip-Metadata"),
+        ).alias("Container"),
         F.struct(
             F.struct(
                 F.col("target_uri").alias("WARC-Target-URI"),
@@ -1453,5 +1474,73 @@ def revisit_dedup(warc: DataFrame) -> DataFrame:
         others.select(
             "warc_type", "record_id", "target_uri", "warc_date",
             "content_type", "headers", "block",
+        )
+    )
+
+
+def fetch_plan(
+    pointers: DataFrame, merge_gap: int = 0
+) -> DataFrame:
+    """Coalesce record pointers into bulk byte-range requests -- the
+    extraction planner a re-processing job runs against an archive
+    store: instead of one ranged GET per record, adjacent (or
+    near-adjacent, gap <= `merge_gap` bytes) members in the same
+    archive merge into one request. This is the batch form of the
+    reference's seek-read access path (ArcFileReader point reads):
+    object stores charge per request and per first-byte latency, so
+    fetching a million records as contiguous runs instead of a
+    million GETs is the difference between hours and minutes.
+
+    Input: (filename, offset, length) -- exactly the pointer columns
+    cdx_index / ccindex_table emit (compressed member sizes, so
+    ranges are byte-exact). Output one row per merged range:
+    (filename, range_start, range_end, n_records, record_bytes,
+    wasted_bytes) where range_end is exclusive, record_bytes is the
+    sum of member lengths inside the range and wasted_bytes the gap
+    filler fetched but not used (0 unless merge_gap > 0 allowed it).
+
+    Scale shape: one window PER FILENAME (archives are rotation-
+    capped, so a filename's pointer count is bounded by
+    rotate_bytes / min-member-size -- thousands of parallel windows
+    at 100 TB, never a global sort) and one groupBy on the derived
+    range id. Pure integer arithmetic: the plan is engine-exact and
+    ORDER-INDEPENDENT, so it oracle-checks bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("filename").orderBy("offset", "length")
+    prev_end = F.lag(F.col("offset") + F.col("length")).over(w)
+    starts_new = F.when(
+        prev_end.isNull()
+        | (F.col("offset") > prev_end + F.lit(merge_gap)),
+        1,
+    ).otherwise(0)
+    run = (
+        Window.partitionBy("filename")
+        .orderBy("offset", "length")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranged = pointers.select(
+        "filename", "offset", "length",
+        F.sum(starts_new).over(run).alias("_range"),
+    )
+    return (
+        ranged.groupBy("filename", "_range")
+        .agg(
+            F.min("offset").alias("range_start"),
+            F.max(F.col("offset") + F.col("length")).alias("range_end"),
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("length").alias("record_bytes"),
+        )
+        .select(
+            "filename",
+            "range_start",
+            "range_end",
+            "n_records",
+            "record_bytes",
+            (
+                F.col("range_end") - F.col("range_start")
+                - F.col("record_bytes")
+            ).alias("wasted_bytes"),
         )
     )

@@ -280,3 +280,48 @@ def test_cdx_lookup_collects_captures_straddling_shards(spark, tmp_path):
     assert len(got) == 20
     ts = [r["timestamp"] for r in got]
     assert ts == sorted(ts)
+
+
+def test_fetch_plan_ranges_read_back_as_whole_member_runs(spark, tmp_path):
+    """End-to-end pointer contract: WARC on disk -> CDX pointers ->
+    fetch_plan -> every merged range, read as ONE byte slice, walks
+    back into exactly n_records complete gzip members (the bulk
+    ranged-GET a re-processing job issues)."""
+    rows = [
+        (
+            "response",
+            f"<urn:uuid:{i}>",
+            f"http://example.com/doc/{i}",
+            "2024-02-01T00:00:00Z",
+            "text/plain",
+            (b"y" * (80 + 7 * i)),
+        )
+        for i in range(12)
+    ]
+    idx = archive.cdx_index(_write_warc(spark, tmp_path, rows))
+    plan = archive.fetch_plan(
+        idx.select("filename", "offset", "length"), merge_gap=0
+    ).collect()
+    files = {p.split("/")[-1]: p for p in glob.glob(f"{tmp_path}/*.warc.gz")}
+    total_records = 0
+    for r in plan:
+        assert r["wasted_bytes"] == 0  # gap 0: ranges are exact runs
+        blob = open(files[r["filename"]], "rb").read()
+        sl = blob[r["range_start"]:r["range_end"]]
+        assert len(sl) == r["record_bytes"]
+        n = 0
+        pos = 0
+        while pos < len(sl):
+            d = zlib.decompressobj(wbits=31)
+            d.decompress(sl[pos:])
+            assert d.eof
+            pos = len(sl) - len(d.unused_data)
+            n += 1
+        assert n == r["n_records"]
+        total_records += n
+    assert total_records == 12
+    # with an unbounded gap every file collapses to ONE range
+    one = archive.fetch_plan(
+        idx.select("filename", "offset", "length"), merge_gap=1 << 40
+    ).collect()
+    assert len(one) == len({r["filename"] for r in plan})

@@ -699,6 +699,30 @@ def test_wat_records_envelope_fields(spark, tmp_path):
     assert hdrs["WARC-Refers-To"] == "<urn:uuid:0>"
     import json as _json
 
+    # Container points byte-exactly at the SOURCE record: reading
+    # [Offset, Offset+Deflate-Length) of Filename yields the original
+    # response (the published WAT Container contract)
+    cont = _json.loads(bytes(r["block"]).decode())["Container"]
+    assert cont["Compressed"] is True
+    src_rec = archive.read_warc(spark, src).collect()[0]
+    assert cont["Filename"] == src_rec["archive_path"].split("/")[-1]
+    assert int(cont["Offset"]) == src_rec["member_offset"]
+    assert (
+        int(cont["Gzip-Metadata"]["Deflate-Length"])
+        == src_rec["member_length"]
+    )
+    import glob as _glob
+
+    src_file = [
+        p for p in _glob.glob(f"{src}/*.warc.gz")
+        if p.endswith(cont["Filename"])
+    ][0]
+    wt, _, uri, *_ = archive.read_member_at(
+        src_file, int(cont["Offset"]), "warc",
+        length=int(cont["Gzip-Metadata"]["Deflate-Length"]),
+    )
+    assert (wt, uri) == ("response", "http://h0.com/p")
+
     env = _json.loads(bytes(r["block"]).decode())["Envelope"]
     assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == "http://h0.com/p"
     assert env["WARC-Header-Metadata"]["WARC-Record-ID"] == "<urn:uuid:0>"
