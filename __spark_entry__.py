@@ -3195,6 +3195,53 @@ def _fetch_plan_gate(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _selective_extract_gate(s: SparkSession, d: str) -> DataFrame:
+    """The reference's query-serving flow at batch scale, composed
+    end to end: WARC segment on disk -> columnar index -> index-side
+    SELECTION (status 200, doc_id % 3 == 0) -> fetch_plan range
+    coalescing -> read_warc_ranges bounded extraction -> payload
+    parse. Only the selected records' bytes are read back; the
+    oracle recomputes the selected rows (URI, date, status, body
+    text) straight from the documents generator, so a wrong offset,
+    a trimmed range, or a mis-merged run all hash-mismatch."""
+    src = _wet_wat_source(s, d)
+    idx = archive.ccindex_table(
+        archive.read_warc(s, src), crawl="CC-MAIN-2024-18"
+    )
+    sel = (
+        idx.filter(
+            (F.col("fetch_status") == 200)
+            & (
+                F.regexp_extract("url", "/w/(\\d+)$", 1).cast("long") % 3
+                == 0
+            )
+        )
+        .select(
+            F.col("warc_filename").alias("filename"),
+            F.col("warc_record_offset").alias("offset"),
+            F.col("warc_record_length").alias("length"),
+        )
+    )
+    recs = archive.read_warc_ranges(
+        s, archive.fetch_plan(sel, merge_gap=0), src
+    )
+    txt = F.decode(F.col("block"), "UTF-8")
+    return (
+        recs.select(
+            F.regexp_extract("target_uri", "/w/(\\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "target_uri",
+            "warc_date",
+            F.regexp_extract(txt, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+            .cast("int")
+            .alias("status"),
+            F.regexp_extract(txt, "<p>(.*?)</p>", 1).alias("body_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return aggregates.pricing_summary(_t(spark, "/root/testdata/sf0.001", "lineitem"))
@@ -3903,6 +3950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # coalescing); round-6 session addition -- waits for the
         # round-7 rotation, swept in CORRECTNESS_SELF_r06*
         "source_fetch_plan": _fetch_plan_gate,
+        # index -> selection -> range coalescing -> bounded
+        # extraction, composed; round-6 session addition, waits for
+        # the round-7 rotation, swept in CORRECTNESS_SELF_r06*
+        "pipeline_selective_extract": _selective_extract_gate,
         "source_warc_http_extract": _warc_http_extract,
         "source_wet_extract": _wet_extract,
         "source_wat_metadata": _wat_metadata,
@@ -6878,6 +6929,23 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 5 ORDER BY probe_id, rnk
         """,
         "dedup_semantic": _semantic_dedup_sql(threshold=0.35),
+        # the selected rows recomputed straight from the generator:
+        # any offset/merge/extraction fault changes URI, date, status
+        # or body text and hash-mismatches
+        "pipeline_selective_extract": """
+            SELECT doc_id,
+                   'http://' || source || '.example.com/w/'
+                       || CAST(doc_id AS VARCHAR) AS target_uri,
+                   printf('2024-04-%02dT%02d:%02d:00Z',
+                          CAST(doc_id % 28 + 1 AS INT),
+                          CAST(doc_id % 24 AS INT),
+                          CAST(doc_id % 60 AS INT)) AS warc_date,
+                   CAST(200 AS INT) AS status,
+                   text AS body_text
+            FROM documents
+            WHERE doc_id % 10 <> 0 AND doc_id % 3 = 0
+            ORDER BY doc_id
+        """,
         # window-for-window mirror of fetch_plan's run detection over
         # the same closed-form pointer synthesis
         "source_fetch_plan": """

@@ -325,3 +325,40 @@ def test_fetch_plan_ranges_read_back_as_whole_member_runs(spark, tmp_path):
         idx.select("filename", "offset", "length"), merge_gap=1 << 40
     ).collect()
     assert len(one) == len({r["filename"] for r in plan})
+
+
+def test_read_warc_ranges_matches_full_scan_and_rejects_stale_plans(
+    spark, tmp_path
+):
+    import pytest
+
+    rows = [
+        (
+            "response",
+            f"<urn:uuid:{i}>",
+            f"http://example.com/doc/{i}",
+            "2024-02-01T00:00:00Z",
+            "text/plain",
+            (b"z" * (60 + 9 * i)),
+        )
+        for i in range(10)
+    ]
+    full = _write_warc(spark, tmp_path, rows)
+    idx = archive.cdx_index(full)
+    plan = archive.fetch_plan(
+        idx.select("filename", "offset", "length"), merge_gap=1 << 20
+    )
+    got = archive.read_warc_ranges(spark, plan, str(tmp_path))
+    # identical rows to the full scan (offsets rebased to the file)
+    key = lambda df: sorted(
+        (r["record_id"], r["member_offset"], r["member_length"],
+         bytes(r["block"]))
+        for r in df.collect()
+    )
+    assert key(got) == key(full)
+    # a stale plan (range claims one more record than the bytes hold)
+    bad = plan.selectExpr(
+        "filename", "range_start", "range_end", "n_records + 1 AS n_records"
+    )
+    with pytest.raises(Exception, match="stale fetch plan"):
+        archive.read_warc_ranges(spark, bad, str(tmp_path)).collect()
