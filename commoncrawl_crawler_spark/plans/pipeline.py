@@ -24,6 +24,24 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _success_exists(path: str, spark: SparkSession | None = None) -> bool:
+    """Scheme-aware _SUCCESS check: resolved through the Hadoop
+    FileSystem API when a session is available, so completion
+    skipping works on ANY Spark-writable workdir (s3a/abfss/hdfs/
+    file), the same fix as QueryServer.cached_results_available --
+    os.path.exists answers False off the local filesystem and every
+    step would silently rebuild. Bare local use (no active session)
+    falls back to the OS check."""
+    marker = f"{path.rstrip('/')}/_SUCCESS"
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        return os.path.exists(marker)
+    p = s._jvm.org.apache.hadoop.fs.Path(marker)
+    return bool(
+        p.getFileSystem(s._jsc.hadoopConfiguration()).exists(p)
+    )
+
+
 @dataclass
 class PipelineStep:
     """One named step; `build` receives the outputs of its deps as
@@ -46,10 +64,13 @@ class PipelineTask:
         return self
 
     def _out(self, name: str) -> str:
-        return os.path.join(self.workdir, name)
+        # URI-style join: workdir may be an object-store prefix
+        return f"{self.workdir.rstrip('/')}/{name}"
 
-    def is_complete(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._out(name), "_SUCCESS"))
+    def is_complete(
+        self, name: str, spark: SparkSession | None = None
+    ) -> bool:
+        return _success_exists(self._out(name), spark)
 
     def _toposort(self) -> list[PipelineStep]:
         by_name = {s.name: s for s in self.steps}
@@ -107,7 +128,7 @@ class PipelineTask:
         executed: list[str] = []
         for step in self._toposort():
             path = self._out(step.name)
-            if not self.is_complete(step.name):
+            if not self.is_complete(step.name, spark):
                 dep_outputs = {d: outputs[d] for d in step.deps}
                 df = step.build(spark, dep_outputs)
                 df.write.mode("overwrite").parquet(path)
@@ -140,10 +161,12 @@ class ArtifactStore:
     workdir: str
 
     def path(self, name: str) -> str:
-        return os.path.join(self.workdir, name)
+        return f"{self.workdir.rstrip('/')}/{name}"
 
-    def is_complete(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+    def is_complete(
+        self, name: str, spark: SparkSession | None = None
+    ) -> bool:
+        return _success_exists(self.path(name), spark)
 
     def get_or_build(
         self,

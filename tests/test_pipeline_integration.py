@@ -220,3 +220,32 @@ def test_cached_shared_stages_use_artifact_dir(spark, tmp_path, sf_smoke, monkey
     )
     assert after == before  # not rewritten
     entrymod._EDGE_CACHE.clear()
+
+
+def test_pipeline_completion_check_works_on_non_os_path_uri(
+    spark, tmp_path, sf_smoke
+):
+    """Step-skip and artifact reuse must survive an object-store-style
+    workdir: with a file:// URI (Spark-writable, NOT an os.path), the
+    second run must SKIP the completed step instead of silently
+    rebuilding -- the exact failure os.path.exists caused on s3a."""
+    import os
+
+    from commoncrawl_crawler_spark.sources import load_table
+
+    uri = f"file://{tmp_path}/pipe"
+    calls = []
+
+    def build(s, deps):
+        calls.append(1)
+        return load_table(s, "region", sf_smoke)
+
+    task = PipelineTask(uri).add(PipelineStep("regions", build))
+    task.run(spark)
+    assert task.last_executed == ["regions"]
+    assert not os.path.exists(f"{uri}/regions/_SUCCESS")  # not an OS path
+    again = PipelineTask(uri).add(PipelineStep("regions", build))
+    out = again.run(spark)
+    assert again.last_executed == []  # skipped: completion seen via URI
+    assert len(calls) == 1
+    assert out["regions"].count() == 5
