@@ -3851,6 +3851,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_jpeg": lambda s, d: multimodal.decode_jpeg(
             multimodal.synthesize_jpeg(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # PROGRESSIVE (SOF2) grayscale JPEG: 6-scan Annex-G script
+        # (spectral selection + DC/AC successive approximation,
+        # EOBRUN, correction bits); non-multiple-of-8 widths so edge
+        # blocks pad; round-6 session addition, waits for the
+        # round-7 rotation, swept in CORRECTNESS_SELF_r06*
+        "mm_decode_jpeg_progressive": lambda s, d:
+        multimodal.decode_jpeg_progressive(
+            multimodal.synthesize_jpeg_progressive(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # COLOR baseline JPEG: interleaved YCbCr 4:4:4 MCUs with
         # per-component DC prediction + libjpeg fixed-point YCbCr->RGB
         # (pure integer, so the oracle recomputes it exactly)
@@ -6059,6 +6068,37 @@ def oracle_sql() -> dict[str, str]:
         # closed-form; RGB comes from the SAME libjpeg fixed-point
         # integer transform the decoder runs (numerator clamped
         # BEFORE the 2^16 division so floor/truncate agree)
+        # progressive twin: flat blocks, non-multiple-of-8 width --
+        # the last block column contributes only its cropped pixels
+        "mm_decode_jpeg_progressive": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       8 * (1 + doc_id % 3) + doc_id % 5 AS w,
+                       8 * (1 + doc_id % 2) AS h
+                FROM documents
+            ), px AS (
+                SELECT media_id, w, h, (w + 7) // 8 AS bw,
+                       [(media_id*7 + i*13) % 256
+                        FOR i IN range(0, ((w + 7)//8)*(h//8))] AS blocks
+                FROM s
+            ), sums AS (
+                SELECT media_id, w, h, blocks,
+                       list_sum(
+                           [blocks[i+1] * 8 *
+                            (CASE WHEN (i % bw) = bw - 1
+                                  THEN w - 8 * (bw - 1) ELSE 8 END)
+                            FOR i IN range(0, len(blocks))]) AS total
+                FROM px
+            )
+            SELECT media_id,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(total AS BIGINT) AS sum_r,
+                   CAST(total AS BIGINT) AS sum_g,
+                   CAST(total AS BIGINT) AS sum_b,
+                   CAST(list_min(blocks) AS INT) AS min_px,
+                   CAST(list_max(blocks) AS INT) AS max_px
+            FROM sums ORDER BY media_id
+        """,
         "mm_decode_jpeg_color": """
             WITH s AS (
                 SELECT doc_id AS media_id,

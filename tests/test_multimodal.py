@@ -405,11 +405,12 @@ def test_jpeg_byte_stuffing_and_markers():
     assert (rw, rh) == (32, 8)
     with _pytest.raises(ValueError, match="SOI"):
         multimodal.parse_jpeg_gray(b"\x89PNG....")
-    # progressive (SOF2) rejected, not mis-decoded
+    # progressive (SOF2) routed to its own parser by name, never
+    # mis-decoded by the baseline walk
     blob = bytearray(multimodal.encode_jpeg_gray(8, 8, np.zeros((8, 8))))
     sof = blob.index(b"\xff\xc0")
     blob[sof + 1] = 0xC2
-    with _pytest.raises(ValueError, match="baseline"):
+    with _pytest.raises(ValueError, match="progressive"):
         multimodal.parse_jpeg_gray(bytes(blob))
 
 
@@ -701,3 +702,78 @@ def test_audio_fingerprint_semantics(spark):
     assert got[0] != got[2]
     # 4 frames: energies q,q,L,L -> bits (f1>f0)=0, (f2>f1)=1, (f3>f2)=0
     assert got[0] == (4, 0b010)
+
+
+# --- progressive JPEG (SOF2) -------------------------------------------
+
+
+def test_progressive_decode_matches_baseline_bit_for_bit():
+    """The differential contract: baseline and progressive encodings
+    carry IDENTICAL quantized coefficients, so both decoders must
+    produce identical pixels for ANY image -- random content, odd
+    dimensions, flat, gradients (long EOB runs + refinement bits)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    shapes = [(8, 8), (16, 8), (13, 11), (40, 9), (64, 64)]
+    for w, h in shapes:
+        img = rng.integers(0, 256, size=(h, w)).astype(np.float64)
+        wb, hb, a = multimodal.parse_jpeg_gray(
+            multimodal.encode_jpeg_gray(w, h, img)
+        )
+        wp, hp, b = multimodal.parse_jpeg_gray_progressive(
+            multimodal.encode_jpeg_gray_progressive(w, h, img)
+        )
+        assert (wb, hb) == (wp, hp) == (w, h)
+        assert np.array_equal(a, b), (w, h)
+    # smooth gradient: most blocks end in long EOBRUNs, every
+    # refinement branch (ZRL, correction bits, EOBn extension) fires
+    img = np.add.outer(np.arange(48) * 2.0, np.arange(80) * 1.5) % 256
+    _, _, a = multimodal.parse_jpeg_gray(
+        multimodal.encode_jpeg_gray(80, 48, img)
+    )
+    _, _, b = multimodal.parse_jpeg_gray_progressive(
+        multimodal.encode_jpeg_gray_progressive(80, 48, img)
+    )
+    assert np.array_equal(a, b)
+
+
+def test_progressive_flat_blocks_exact_and_marker_routing():
+    import numpy as np
+    import pytest
+
+    img = np.full((16, 21), 200.0)
+    blob = multimodal.encode_jpeg_gray_progressive(21, 16, img)
+    w, h, arr = multimodal.parse_jpeg_gray_progressive(blob)
+    assert (w, h) == (21, 16)
+    assert set(arr.tolist()) == {200}
+    # the baseline parser routes SOF2 loudly instead of mis-decoding
+    with pytest.raises(ValueError, match="progressive"):
+        multimodal.parse_jpeg_gray(blob)
+    # and the progressive parser rejects baseline files symmetrically
+    base = multimodal.encode_jpeg_gray(21, 16, img)
+    with pytest.raises(ValueError, match="not progressive"):
+        multimodal.parse_jpeg_gray_progressive(base)
+
+
+def test_progressive_decode_operator_over_spark(spark):
+    import numpy as np
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    rows = multimodal.decode_jpeg_progressive(
+        multimodal.synthesize_jpeg_progressive(docs)
+    ).collect()
+    assert len(rows) == 40
+    for r in rows:
+        mid = r["media_id"]
+        w = 8 * (1 + mid % 3) + mid % 5
+        h = 8 * (1 + mid % 2)
+        assert (r["width"], r["height"]) == (w, h)
+        bw = (w + 7) // 8
+        vals = [(mid * 7 + i * 13) % 256 for i in range(bw * (h // 8))]
+        total = sum(
+            v * 8 * ((w - 8 * (bw - 1)) if (i % bw) == bw - 1 else 8)
+            for i, v in enumerate(vals)
+        )
+        assert r["sum_r"] == total
+        assert r["min_px"] == min(vals) and r["max_px"] == max(vals)
