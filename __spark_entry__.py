@@ -3869,6 +3869,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 4:2:0 chroma subsampling (the dominant real-world layout):
         # MCU = 4 luma + 1 Cb + 1 Cr blocks; chroma flat per 16x16
         # macroblock so downsample/upsample are exact
+        # progressive COLOR twin of the 4:2:0 gate: identical content
+        # and oracle, through the interleaved-DC / per-component-AC
+        # multi-scan path; round-6 session addition, waits for the
+        # round-7 rotation, swept in CORRECTNESS_SELF_r06*
+        "mm_decode_jpeg_progressive_color": lambda s, d:
+        multimodal.decode_jpeg_progressive_color(
+            multimodal.synthesize_jpeg_progressive_color(
+                _t(s, d, "documents")
+            )
+        ).orderBy("media_id"),
         "mm_decode_jpeg_420": lambda s, d: multimodal.decode_jpeg_color(
             multimodal.synthesize_jpeg_420(_t(s, d, "documents"))
         ).orderBy("media_id"),
@@ -6146,6 +6156,54 @@ def oracle_sql() -> dict[str, str]:
         # rows) the shared chroma macroblock is
         # m = (i//bw // 2) * (bw//2) + (i%bw) // 2; every block is 64
         # pixels of one RGB triple via the same fixed-point transform
+        # progressive color rides the 420 gate's closed-form model:
+        # same synthesized content, same fixed-point RGB
+        "mm_decode_jpeg_progressive_color": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       16 * (1 + doc_id % 2) AS w, 16 AS h
+                FROM documents
+            ), blk AS (
+                SELECT media_id, w, h, w // 8 AS bw,
+                       [(media_id*7 + i*13) % 256
+                        FOR i IN range(0, (w//8) * 2)] AS ys,
+                       [(media_id*11
+                         + (((i // (w//8)) // 2) * (w//16)
+                            + (i % (w//8)) // 2) * 19) % 256
+                        FOR i IN range(0, (w//8) * 2)] AS cbs,
+                       [(media_id*5
+                         + (((i // (w//8)) // 2) * (w//16)
+                            + (i % (w//8)) // 2) * 23) % 256
+                        FOR i IN range(0, (w//8) * 2)] AS crs
+                FROM s
+            ), rgb AS (
+                SELECT media_id, w, h,
+                       [least(greatest(ys[i]*65536
+                              + 91881*(crs[i]-128) + 32768, 0),
+                              16744447) // 65536
+                        FOR i IN range(1, len(ys)+1)] AS rs,
+                       [least(greatest(ys[i]*65536
+                              - 22554*(cbs[i]-128)
+                              - 46802*(crs[i]-128) + 32768, 0),
+                              16744447) // 65536
+                        FOR i IN range(1, len(ys)+1)] AS gs,
+                       [least(greatest(ys[i]*65536
+                              + 116130*(cbs[i]-128) + 32768, 0),
+                              16744447) // 65536
+                        FOR i IN range(1, len(ys)+1)] AS bs
+                FROM blk
+            )
+            SELECT media_id,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(64 * list_sum(rs) AS BIGINT) AS sum_r,
+                   CAST(64 * list_sum(gs) AS BIGINT) AS sum_g,
+                   CAST(64 * list_sum(bs) AS BIGINT) AS sum_b,
+                   CAST(least(list_min(rs), list_min(gs),
+                              list_min(bs)) AS INT) AS min_px,
+                   CAST(greatest(list_max(rs), list_max(gs),
+                                 list_max(bs)) AS INT) AS max_px
+            FROM rgb ORDER BY media_id
+        """,
         "mm_decode_jpeg_420": """
             WITH s AS (
                 SELECT doc_id AS media_id,

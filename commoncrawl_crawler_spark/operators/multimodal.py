@@ -169,12 +169,14 @@ def decode_media(media: DataFrame, codec: str = "real") -> DataFrame:
     `decode_ppm` (netpbm P6), `decode_png` (zlib inflate + scanline
     unfilter), `decode_gif` (LZW + palette + interlace),
     `decode_jpeg` / `decode_jpeg_color` (baseline T.81 gray +
-    YCbCr 4:4:4/4:2:0), and `decode_jpeg_progressive` (SOF2 Annex-G
-    grayscale: spectral selection, successive approximation,
-    EOBRUN, correction bits). codec="real" here still raises for
-    the formats that genuinely need external codecs (progressive
-    COLOR JPEG, mp3, mp4 -- wire PIL/ffmpeg into the same
-    mapInPandas contract in production). codec="fake16" is the
+    YCbCr 4:4:4/4:2:0), and `decode_jpeg_progressive` /
+    `decode_jpeg_progressive_color` (SOF2 Annex-G, gray AND color:
+    spectral selection, successive approximation, interleaved DC
+    scans, EOBRUN, correction bits -- bit-identical to the baseline
+    decoders by differential test). codec="real" here still raises
+    for the formats that genuinely need external codecs (mp3, mp4
+    -- wire ffmpeg into the same mapInPandas contract in
+    production). codec="fake16" is the
     deterministic stand-in: a
     16-bin byte histogram, normalized -- enough to exercise every
     downstream consumer (ANN, dedup, clustering) with real batch
@@ -1983,88 +1985,174 @@ def _prog_encode_ac_first(st, blocks, ss: int, se: int, al: int) -> None:
 
 
 def _prog_encode_ac_refine(st, blocks, ss: int, se: int, al: int) -> None:
+    """Annex G.1.2.3: each symbol is followed by the correction bits
+    for exactly the history coefficients its run CROSSES -- a ZRL
+    carries only the bits among its own 16 zero-history positions,
+    the remainder stay pending for the next symbol (batching them
+    all after the first ZRL desyncs the decoder's interleaved walk).
+    Modeled as a FIFO of ('z',) / ('h', bit) events mirroring the
+    decoder's position order."""
     for zz in blocks:
         absv = [
             (int(zz[k]) if zz[k] >= 0 else -int(zz[k])) >> al
             for k in range(ss, se + 1)
         ]
-        eob = 0  # index AFTER the last newly-significant coefficient
-        for i, a in enumerate(absv):
-            if a == 1:
-                eob = i + 1
-        run = 0
-        br: list[int] = []
+        events: list[tuple] = []  # pending ('z',) and ('h', bit)
+        nzero = 0
         for i, a in enumerate(absv):
             if a == 0:
-                run += 1
+                events.append(("z",))
+                nzero += 1
                 continue
-            if a > 1:  # history coefficient: one correction bit
-                br.append(a & 1)
+            if a > 1:
+                events.append(("h", a & 1))
                 continue
-            # newly significant
-            while run > 15 and i < eob:
+            # newly significant: emit ZRLs for full 16-zero spans,
+            # each followed by the history bits it crossed
+            while nzero > 15:
                 st.flush_eobrun()
                 st.symbol(0xF0)
-                run -= 16
-                for b in br:
-                    st.bwr.write(b, 1)
-                br = []
+                consumed = 0
+                while consumed < 16:
+                    ev = events.pop(0)
+                    if ev[0] == "z":
+                        consumed += 1
+                        nzero -= 1
+                    else:
+                        st.bwr.write(ev[1], 1)
             st.flush_eobrun()
-            st.symbol((run << 4) | 1)
+            st.symbol((nzero << 4) | 1)
             st.bwr.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
-            for b in br:
-                st.bwr.write(b, 1)
-            br = []
-            run = 0
-        if run > 0 or br:
+            # the decoder's walk to the new coefficient passes every
+            # remaining pending position -- all history bits follow
+            for ev in events:
+                if ev[0] == "h":
+                    st.bwr.write(ev[1], 1)
+            events = []
+            nzero = 0
+        if events:
+            # no further newly-significant coefficient: the rest of
+            # the band joins the EOB run; its history bits ride with
+            # the EOBn flush (the decoder's EOBRUN tail walk)
             st.eobrun += 1
-            st.pending.extend(br)
+            st.pending.extend(ev[1] for ev in events if ev[0] == "h")
             if st.eobrun == 0x7FFF:
                 st.flush_eobrun()
 
 
-def encode_jpeg_gray_progressive(w: int, h: int, pixels: np.ndarray) -> bytes:
-    """Progressive (SOF2) grayscale JPEG: the same level shift /
-    orthonormal DCT / flat-8 quantization as encode_jpeg_gray, so the
-    two files carry IDENTICAL quantized coefficients and must decode
-    to identical pixels -- then a 6-scan Annex-G script: DC first
-    (Al=1), AC 1-5 first (Al=1), AC 6-63 first (Al=1), DC refinement,
-    AC 1-5 refinement, AC 6-63 refinement. Exercises spectral
-    selection, DC and AC successive approximation, EOBRUN coding,
-    and correction bits -- every decoder branch."""
+def _encode_jpeg_progressive_planes(
+    w: int,
+    h: int,
+    planes: list[np.ndarray],
+    sampling: list[tuple[int, int]] | None = None,
+) -> bytes:
+    """Progressive (SOF2) encoder over 1 (gray) or 3 (YCbCr) planes,
+    sharing the baseline's level shift / orthonormal DCT / flat-8
+    quantization -- the two encodings carry IDENTICAL quantized
+    coefficients, so the decoders must agree bit-for-bit. Scan
+    script per Annex G: one INTERLEAVED DC scan (Al=1) + DC
+    refinement, then per component an AC 1..63 first scan (Al=1)
+    and an AC refinement scan (Al=0). Chroma arrives full-res and
+    box-downsamples like the baseline encoder."""
     import struct
 
-    pix = np.asarray(pixels, dtype=np.float64).reshape(h, w)
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
-    padded = np.pad(pix, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    ncomp = len(planes)
+    sampling = sampling or [(1, 1)] * ncomp
+    hmax = max(x[0] for x in sampling)
+    vmax = max(x[1] for x in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     C = _dct_matrix()
-    blocks = []
-    for by in range(bh):
-        for bx in range(bw):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            F = C @ block @ C.T
-            q = np.round(F / _JPEG_QTABLE.reshape(8, 8)).astype(int)
-            blocks.append(q.ravel()[_ZIGZAG])
+    blocks: list[list[np.ndarray]] = []
+    nb_dims: list[tuple[int, int]] = []
+    for p, (hi, vi) in zip(planes, sampling):
+        full = np.asarray(p, dtype=np.float64).reshape(h, w)
+        fh, fw = mcuy * 8 * vmax, mcux * 8 * hmax
+        full = np.pad(full, ((0, fh - h), (0, fw - w)), mode="edge")
+        if (hi, vi) != (hmax, vmax):
+            ry, rx = vmax // vi, hmax // hi
+            full = full.reshape(
+                fh // ry, ry, fw // rx, rx
+            ).mean(axis=(1, 3))
+        rows, cols = mcuy * vi, mcux * hi
+        comp_blocks = []
+        for by in range(rows):
+            for bx in range(cols):
+                block = (
+                    full[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                )
+                F = C @ block @ C.T
+                q = np.round(F / _JPEG_QTABLE.reshape(8, 8)).astype(int)
+                comp_blocks.append(q.ravel()[_ZIGZAG])
+        blocks.append(comp_blocks)
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        nb_dims.append(((ch + 7) // 8, (cw + 7) // 8))
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_ACP_BITS, _ACP_VALS)
 
-    def scan(ss, se, ah, al) -> bytes:
+    def mcu_block_order(ci: int):
+        """Interleaved iteration: per MCU, the component's vi*hi
+        blocks in raster order -- indices into blocks[ci]."""
+        hi, vi = sampling[ci]
+        cols = mcux * hi
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        yield (my * vi + byy) * cols + (mx * hi + bxx)
+
+    def noninterleaved_order(ci: int):
+        hi, _vi = sampling[ci]
+        cols = mcux * hi
+        nbh, nbw = nb_dims[ci]
+        for by in range(nbh):
+            for bx in range(nbw):
+                yield by * cols + bx
+
+    def dc_scan(ah: int, al: int) -> bytes:
         bwr = _BitWriter()
-        if ss == 0:
-            if ah == 0:
-                _prog_encode_dc_first(bwr, blocks, dc_codes, al)
-            else:
-                _prog_encode_dc_refine(bwr, blocks, al)
+        preds = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hi, vi = sampling[ci]
+                    cols = mcux * hi
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            idx = (my * vi + byy) * cols + (mx * hi + bxx)
+                            zz = blocks[ci][idx]
+                            if ah == 0:
+                                shifted = int(zz[0]) >> al
+                                diff = shifted - preds[ci]
+                                preds[ci] = shifted
+                                size = _category(diff)
+                                code, ln = dc_codes[size]
+                                bwr.write(code, ln)
+                                if size:
+                                    bwr.write(
+                                        _value_bits(diff, size), size
+                                    )
+                            else:
+                                bwr.write((int(zz[0]) >> al) & 1, 1)
+        hdr = struct.pack(">HHB", 0xFFDA, 6 + 2 * ncomp, ncomp)
+        for ci in range(ncomp):
+            hdr += bytes([ci + 1, 0x00])
+        hdr += bytes([0, 0, (ah << 4) | al])
+        return hdr + bwr.flush()
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        bwr = _BitWriter()
+        st = _ProgACState(bwr, ac_codes)
+        scan_blocks = [blocks[ci][i] for i in noninterleaved_order(ci)]
+        if ah == 0:
+            _prog_encode_ac_first(st, scan_blocks, ss, se, al)
         else:
-            st = _ProgACState(bwr, ac_codes)
-            if ah == 0:
-                _prog_encode_ac_first(st, blocks, ss, se, al)
-            else:
-                _prog_encode_ac_refine(st, blocks, ss, se, al)
-            st.flush_eobrun()
+            _prog_encode_ac_refine(st, scan_blocks, ss, se, al)
+        st.flush_eobrun()
         hdr = struct.pack(
-            ">HHBBBBBB", 0xFFDA, 8, 1, 1, 0x00, ss, se, (ah << 4) | al
+            ">HHBBBBBB", 0xFFDA, 8, 1, ci + 1, 0x00, ss, se,
+            (ah << 4) | al,
         )
         return hdr + bwr.flush()
 
@@ -2075,20 +2163,42 @@ def encode_jpeg_gray_progressive(w: int, h: int, pixels: np.ndarray) -> bytes:
     out += seg(
         0xFFDB, bytes([0]) + bytes(int(_JPEG_QTABLE[i]) for i in range(64))
     )
-    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+        bytes([ci + 1, (sampling[ci][0] << 4) | sampling[ci][1], 0])
+        for ci in range(ncomp)
+    )
+    out += seg(0xFFC2, sof)
     out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += seg(0xFFC4, bytes([0x10]) + bytes(_ACP_BITS) + bytes(_ACP_VALS))
-    for ss, se, ah, al in (
-        (0, 0, 0, 1),
-        (1, 5, 0, 1),
-        (6, 63, 0, 1),
-        (0, 0, 1, 0),
-        (1, 5, 1, 0),
-        (6, 63, 1, 0),
-    ):
-        out += scan(ss, se, ah, al)
+    out += dc_scan(0, 1)
+    for ci in range(ncomp):
+        out += ac_scan(ci, 1, 63, 0, 1)
+    out += dc_scan(1, 0)
+    for ci in range(ncomp):
+        out += ac_scan(ci, 1, 63, 1, 0)
     out += b"\xff\xd9"
     return out
+
+
+def encode_jpeg_gray_progressive(w: int, h: int, pixels: np.ndarray) -> bytes:
+    """Progressive (SOF2) grayscale JPEG -- see
+    _encode_jpeg_progressive_planes."""
+    return _encode_jpeg_progressive_planes(w, h, [pixels])
+
+
+def encode_jpeg_ycbcr_progressive(
+    w: int,
+    h: int,
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    subsample_420: bool = False,
+) -> bytes:
+    """Progressive COLOR JPEG (YCbCr, 4:4:4 or 4:2:0) -- interleaved
+    DC scans, per-component AC scans, same coefficient content as
+    encode_jpeg_ycbcr."""
+    sampling = [(2, 2), (1, 1), (1, 1)] if subsample_420 else None
+    return _encode_jpeg_progressive_planes(w, h, [y, cb, cr], sampling)
 
 
 def _entropy_end(blob: bytes, start: int) -> int:
@@ -2103,13 +2213,18 @@ def _entropy_end(blob: bytes, start: int) -> int:
     return len(blob)
 
 
-def parse_jpeg_gray_progressive(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """Full Annex-G progressive decoder (grayscale): accumulates
-    quantized coefficients across scans -- DC first/refinement, AC
-    first with EOBRUN, AC refinement with correction bits -- then
-    dequantizes and inverse-transforms once, exactly like the
-    baseline path. Rejects multi-component SOF2 and restart
-    intervals loudly."""
+def _parse_jpeg_progressive_planes(
+    blob: bytes,
+) -> tuple[int, int, list[np.ndarray]]:
+    """Full Annex-G progressive decoder core -> (width, height,
+    per-component planes), mirroring _parse_jpeg_planes' contract
+    for SOF2 files: 1 (gray) or 3 (YCbCr) components at sampling
+    factors up to 2x2, interleaved OR single-component DC scans,
+    non-interleaved AC scans (spectral selection), successive
+    approximation both directions (EOBRUN, correction bits).
+    Coefficients accumulate across scans; dequant + IDCT run once at
+    the end, then subsampled chroma upsamples by replication exactly
+    like the baseline path. Restart intervals are rejected loudly."""
     import struct
 
     if blob[:2] != b"\xff\xd8":
@@ -2118,13 +2233,11 @@ def parse_jpeg_gray_progressive(blob: bytes) -> tuple[int, int, np.ndarray]:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     w = h = None
-    tq_id = 0
-    blocks = None
-    bw = bh = 0
-    eobrun = 0
-
-    def block_iter():
-        return range(bw * bh)
+    comps: list[tuple[int, int, int, int]] = []  # (cid, tq, hi, vi)
+    blocks: list[list[np.ndarray]] = []
+    grid: list[tuple[int, int]] = []  # per comp (rows, cols) MCU grid
+    nb_dims: list[tuple[int, int]] = []  # non-interleaved (nbh, nbw)
+    mcux = mcuy = 0
 
     while pos < len(blob):
         if blob[pos] != 0xFF:
@@ -2146,16 +2259,32 @@ def parse_jpeg_gray_progressive(blob: bytes) -> tuple[int, int, np.ndarray]:
                 i += 65
         elif marker == 0xC2:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    "only 8-bit GRAYSCALE progressive JPEG supported"
+                    "only 8-bit 1- or 3-component progressive supported"
                 )
-            _cid, sampling, tq_id = body[6:9]
-            if sampling != 0x11:
-                raise ValueError("subsampled progressive not supported")
-            bw = (w + 7) // 8
-            bh = (h + 7) // 8
-            blocks = [np.zeros(64, dtype=np.int64) for _ in block_iter()]
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                hi, vi = sampling >> 4, sampling & 15
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(
+                        f"unsupported sampling factors {hi}x{vi}"
+                    )
+                comps.append((cid, tq, hi, vi))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for _cid, _tq, hi, vi in comps:
+                rows, cols = mcuy * vi, mcux * hi
+                grid.append((rows, cols))
+                blocks.append(
+                    [np.zeros(64, dtype=np.int64)
+                     for _ in range(rows * cols)]
+                )
+                cw = (w * hi + hmax - 1) // hmax
+                ch = (h * vi + vmax - 1) // vmax
+                nb_dims.append(((ch + 7) // 8, (cw + 7) // 8))
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB):
             raise ValueError(
@@ -2177,82 +2306,139 @@ def parse_jpeg_gray_progressive(blob: bytes) -> tuple[int, int, np.ndarray]:
                 }
                 i += 17 + nv
         elif marker == 0xDA:
-            if blocks is None:
+            if not blocks:
                 raise ValueError("SOS before SOF2")
             ns = body[0]
-            if ns != 1:
-                raise ValueError("interleaved progressive scans not supported")
-            tables = body[2]
-            ss, se, ahl = body[3], body[4], body[5]
+            by_id = {c[0]: idx for idx, c in enumerate(comps)}
+            scan_comps = []
+            for c in range(ns):
+                cid, tables = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append((by_id[cid], tables >> 4, tables & 15))
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahl = body[3 + 2 * ns]
             ah, al = ahl >> 4, ahl & 15
             data_start = pos + 2 + ln
             end = _entropy_end(blob, data_start)
             reader = _BitReader(blob[data_start:end])
-            eobrun = 0
             if ss == 0:
-                dc_t = htables[(0, tables >> 4)]
-                if ah == 0:
-                    pred = 0
-                    for b in block_iter():
-                        size = _huff_decode(reader, dc_t)
-                        pred += _receive_extend(reader, size)
-                        blocks[b][0] = pred << al
-                else:
-                    for b in block_iter():
+                # DC scan: interleaved MCU order when ns > 1, the
+                # component's own non-interleaved raster when ns == 1
+                def dc_block_seq():
+                    if ns > 1:
+                        for my in range(mcuy):
+                            for mx in range(mcux):
+                                for ci, _dt, _at in scan_comps:
+                                    _c, _t, hi, vi = comps[ci]
+                                    cols = grid[ci][1]
+                                    for byy in range(vi):
+                                        for bxx in range(hi):
+                                            yield ci, (
+                                                (my * vi + byy) * cols
+                                                + (mx * hi + bxx)
+                                            )
+                    else:
+                        ci = scan_comps[0][0]
+                        cols = grid[ci][1]
+                        nbh, nbw = nb_dims[ci]
+                        for by in range(nbh):
+                            for bx in range(nbw):
+                                yield ci, by * cols + bx
+
+                preds = {c[0]: 0 for c in scan_comps}
+                dts = {c[0]: htables[(0, c[1])] for c in scan_comps}
+                for ci, idx in dc_block_seq():
+                    zz = blocks[ci][idx]
+                    if ah == 0:
+                        size = _huff_decode(reader, dts[ci])
+                        preds[ci] += _receive_extend(reader, size)
+                        zz[0] = preds[ci] << al
+                    else:
                         if reader.bit():
-                            blocks[b][0] |= 1 << al
+                            zz[0] |= 1 << al
             else:
-                ac_t = htables[(1, tables & 15)]
+                if ns != 1:
+                    raise ValueError(
+                        "progressive AC scans must be non-interleaved"
+                    )
+                ci, _dt, at = scan_comps[0]
+                ac_t = htables[(1, at)]
+                cols = grid[ci][1]
+                nbh, nbw = nb_dims[ci]
                 p1 = 1 << al
                 m1 = -p1
-                for b in block_iter():
-                    zz = blocks[b]
-                    if ah == 0:
-                        if eobrun:
-                            eobrun -= 1
-                            continue
-                        k = ss
-                        while k <= se:
-                            rs = _huff_decode(reader, ac_t)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r != 15:
-                                    eobrun = (1 << r) - 1
-                                    if r:
-                                        eobrun += reader.bits(r)
-                                    break
-                                k += 16
+                eobrun = 0
+                for by in range(nbh):
+                    for bx in range(nbw):
+                        zz = blocks[ci][by * cols + bx]
+                        if ah == 0:
+                            if eobrun:
+                                eobrun -= 1
                                 continue
-                            k += r
-                            if k > se:
-                                raise ValueError("AC run overflows band")
-                            zz[k] = _receive_extend(reader, s) << al
-                            k += 1
-                    else:
-                        # k persists into the EOBRUN tail: when an
-                        # EOB symbol interrupts the walk, the REST of
-                        # this block's already-nonzero coefficients
-                        # (from the current k, not from Ss) still
-                        # carry correction bits (Annex G.2 / the
-                        # jdphuff tail loop)
-                        k = ss
-                        if eobrun == 0:
+                            k = ss
                             while k <= se:
                                 rs = _huff_decode(reader, ac_t)
-                                r, s = rs >> 4, rs & 15
-                                if s == 0:
+                                r, sv = rs >> 4, rs & 15
+                                if sv == 0:
                                     if r != 15:
-                                        eobrun = 1 << r
+                                        eobrun = (1 << r) - 1
                                         if r:
                                             eobrun += reader.bits(r)
                                         break
-                                    sval = 0
-                                elif s == 1:
-                                    sval = p1 if reader.bit() else m1
-                                else:
+                                    k += 16
+                                    continue
+                                k += r
+                                if k > se:
                                     raise ValueError(
-                                        "refinement size must be 1"
+                                        "AC run overflows band"
                                     )
+                                zz[k] = _receive_extend(reader, sv) << al
+                                k += 1
+                        else:
+                            # k persists into the EOBRUN tail: when
+                            # an EOB symbol interrupts the walk, the
+                            # REST of this block's already-nonzero
+                            # coefficients (from the current k) still
+                            # carry correction bits (Annex G.2)
+                            k = ss
+                            if eobrun == 0:
+                                while k <= se:
+                                    rs = _huff_decode(reader, ac_t)
+                                    r, sv = rs >> 4, rs & 15
+                                    if sv == 0:
+                                        if r != 15:
+                                            eobrun = 1 << r
+                                            if r:
+                                                eobrun += reader.bits(r)
+                                            break
+                                        sval = 0
+                                    elif sv == 1:
+                                        sval = (
+                                            p1 if reader.bit() else m1
+                                        )
+                                    else:
+                                        raise ValueError(
+                                            "refinement size must be 1"
+                                        )
+                                    while k <= se:
+                                        if zz[k] != 0:
+                                            if reader.bit() and not (
+                                                int(zz[k]) & p1
+                                            ):
+                                                zz[k] += (
+                                                    p1
+                                                    if zz[k] >= 0
+                                                    else m1
+                                                )
+                                        else:
+                                            if r == 0:
+                                                break
+                                            r -= 1
+                                        k += 1
+                                    if sval and k <= se:
+                                        zz[k] = sval
+                                    k += 1
+                            if eobrun > 0:
                                 while k <= se:
                                     if zz[k] != 0:
                                         if reader.bit() and not (
@@ -2261,40 +2447,63 @@ def parse_jpeg_gray_progressive(blob: bytes) -> tuple[int, int, np.ndarray]:
                                             zz[k] += (
                                                 p1 if zz[k] >= 0 else m1
                                             )
-                                    else:
-                                        if r == 0:
-                                            break
-                                        r -= 1
                                     k += 1
-                                if sval and k <= se:
-                                    zz[k] = sval
-                                k += 1
-                        if eobrun > 0:
-                            while k <= se:
-                                if zz[k] != 0:
-                                    if reader.bit() and not (
-                                        int(zz[k]) & p1
-                                    ):
-                                        zz[k] += p1 if zz[k] >= 0 else m1
-                                k += 1
-                            eobrun -= 1
+                                eobrun -= 1
             pos = end
             continue
         pos += 2 + ln
-    if w is None or blocks is None:
+    if w is None or not blocks:
         raise ValueError("progressive JPEG without SOF2/SOS")
-    qt = qtables[tq_id].astype(np.float64)
     C = _dct_matrix()
-    img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-    for b in block_iter():
-        F = np.zeros(64, dtype=np.float64)
-        F[_ZIGZAG] = blocks[b].astype(np.float64) * qt
-        by, bx = divmod(b, bw)
-        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-            C.T @ F.reshape(8, 8) @ C + 128.0
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    out = []
+    for ci, (_cid, tq, hi, vi) in enumerate(comps):
+        qt = qtables[tq].astype(np.float64)
+        rows, cols = grid[ci]
+        img = np.zeros((rows * 8, cols * 8), dtype=np.float64)
+        for b, zz in enumerate(blocks[ci]):
+            F = np.zeros(64, dtype=np.float64)
+            F[_ZIGZAG] = zz.astype(np.float64) * qt
+            by, bx = divmod(b, cols)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                C.T @ F.reshape(8, 8) @ C + 128.0
+            )
+        if (hi, vi) != (hmax, vmax):
+            img = np.repeat(
+                np.repeat(img, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        out.append(
+            np.clip(np.round(img[:h, :w]), 0, 255).astype(np.int64)
         )
-    out = np.clip(np.round(img[:h, :w]), 0, 255).astype(np.int64)
-    return w, h, out.ravel()
+    return w, h, out
+
+
+def parse_jpeg_gray_progressive(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Grayscale progressive JPEG -> (width, height, flat gray)."""
+    w, h, planes = _parse_jpeg_progressive_planes(blob)
+    if len(planes) != 1:
+        raise ValueError(
+            "not a grayscale JPEG (use parse_jpeg_color_progressive)"
+        )
+    return w, h, planes[0].ravel()
+
+
+def parse_jpeg_color_progressive(
+    blob: bytes,
+) -> tuple[int, int, np.ndarray]:
+    """Color (or gray) progressive JPEG -> flat RGB, with the SAME
+    libjpeg fixed-point integer YCbCr->RGB as the baseline path."""
+    w, h, planes = _parse_jpeg_progressive_planes(blob)
+    if len(planes) == 1:
+        return w, h, np.repeat(planes[0].ravel(), 3)
+    y, cb, cr = (p.ravel() for p in planes)
+    cb_, cr_ = cb - 128, cr - 128
+    half = 32768
+    r = _ycc_channel(y * 65536 + _YCC_CR_R * cr_ + half)
+    g = _ycc_channel(y * 65536 - _YCC_CB_G * cb_ - _YCC_CR_G * cr_ + half)
+    b = _ycc_channel(y * 65536 + _YCC_CB_B * cb_ + half)
+    return w, h, np.stack([r, g, b], axis=1).ravel()
 
 
 def synthesize_jpeg_progressive(documents: DataFrame) -> DataFrame:
@@ -2349,3 +2558,45 @@ def decode_jpeg_progressive(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         _decode, PPM_FEATURES
     )
+
+
+def synthesize_jpeg_progressive_color(documents: DataFrame) -> DataFrame:
+    """Deterministic PROGRESSIVE 4:2:0 color JPEG per document: the
+    SAME content as synthesize_jpeg_420 (luma flat per 8x8 block,
+    chroma flat per 16x16 macroblock) through the multi-scan
+    progressive encoder -- interleaved DC scans + per-component AC
+    spectral/refinement scans over subsampled chroma."""
+
+    def _blob(mid: int) -> bytes:
+        w, h = 16 * (1 + mid % 2), 16
+        bw = w // 8
+        y = np.zeros((h, w), dtype=np.float64)
+        for by in range(h // 8):
+            for bx in range(bw):
+                y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    mid * 7 + (by * bw + bx) * 13
+                ) % 256
+        mw = w // 16
+        cb = np.zeros((h, w), dtype=np.float64)
+        cr = np.zeros((h, w), dtype=np.float64)
+        for my in range(h // 16):
+            for mx in range(mw):
+                m = my * mw + mx
+                cb[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                    mid * 11 + m * 19
+                ) % 256
+                cr[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                    mid * 5 + m * 23
+                ) % 256
+        return encode_jpeg_ycbcr_progressive(
+            w, h, y, cb, cr, subsample_420=True
+        )
+
+    return _synthesize_media(documents, _blob)
+
+
+def decode_jpeg_progressive_color(media: DataFrame) -> DataFrame:
+    """Progressive COLOR JPEG decode (interleaved DC scans,
+    per-component AC spectral selection + refinement, subsampled
+    chroma, fixed-point YCbCr->RGB), decode_ppm feature shape."""
+    return _decode_rgb_features(media, parse_jpeg_color_progressive)

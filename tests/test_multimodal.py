@@ -777,3 +777,29 @@ def test_progressive_decode_operator_over_spark(spark):
         )
         assert r["sum_r"] == total
         assert r["min_px"] == min(vals) and r["max_px"] == max(vals)
+
+
+def test_progressive_color_matches_baseline_bit_for_bit():
+    """Color differential: 4:4:4 and 4:2:0, random planes, odd
+    dimensions -- the progressive multi-scan path (interleaved DC,
+    per-component AC bands, refinement correction bits crossing ZRL
+    spans) must reproduce the baseline decode exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    for w, h, sub in [(8, 8, False), (24, 16, False), (13, 11, False),
+                      (16, 16, True), (40, 18, True), (17, 13, True)]:
+        y, cb, cr = (
+            rng.integers(0, 256, size=(h, w)).astype(np.float64)
+            for _ in range(3)
+        )
+        _, _, a = multimodal.parse_jpeg_color(
+            multimodal.encode_jpeg_ycbcr(w, h, y, cb, cr,
+                                         subsample_420=sub)
+        )
+        _, _, b = multimodal.parse_jpeg_color_progressive(
+            multimodal.encode_jpeg_ycbcr_progressive(
+                w, h, y, cb, cr, subsample_420=sub
+            )
+        )
+        assert np.array_equal(a, b), (w, h, sub)
