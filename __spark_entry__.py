@@ -24,6 +24,7 @@ from commoncrawl_crawler_spark.operators import (
     aggregates,
     bpe,
     analytics,
+    container,
     crawldb,
     crawllist,
     dataquality,
@@ -3882,6 +3883,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_jpeg_420": lambda s, d: multimodal.decode_jpeg_color(
             multimodal.synthesize_jpeg_420(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # real ISO BMFF (MP4) demux: box walk + stsd/stts/stsc/stsz/
+        # stco sample-table resolution -> track-metadata rows
+        "mm_mp4_demux": lambda s, d: container.demux_mp4(
+            container.synthesize_mp4(_t(s, d, "documents"))
+        ).orderBy("media_id", "track_id"),
+        # motion-JPEG video track: every frame decoded by the in-repo
+        # T.81 baseline kernel -- real video-frame decode, no codecs
+        "mm_mp4_frames": lambda s, d: container.decode_mp4_frames(
+            container.synthesize_mp4(_t(s, d, "documents"))
+        ).orderBy("media_id"),
+        # PCM ('twos') audio track: real 16-bit big-endian decode
+        "mm_mp4_audio": lambda s, d: container.decode_mp4_audio(
+            container.synthesize_mp4(_t(s, d, "documents"))
+        ).orderBy("media_id"),
+        # MPEG-1 audio framing (ISO 11172-3): ID3v2 syncsafe skip +
+        # bitrate/samplerate-table frame walk over a VBR stream
+        "mm_mp3_framewalk": lambda s, d: container.mp3_frame_stats(
+            container.synthesize_mp3(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # tile -> feature: per-row-band, per-channel pixel stats over
         # the real PPM decode
         "mm_image_bands": lambda s, d: multimodal.image_band_stats(
@@ -4456,8 +4476,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_anchor_text",
         "graph_host_webgraph",
         "graph_domain_webgraph",
-        # (c) new this round
+        # (c) new this round -- incl. the session-2 media-container
+        # gates (real MP4 demux / MJPEG+PCM decode / MP3 framing):
+        # new-code-this-round outranks re-validating r2-green anchors
         "crawllist_blog_platform_urls",
+        "mm_mp4_demux",
+        "mm_mp4_frames",
+        "mm_mp4_audio",
+        "mm_mp3_framewalk",
         # (b) semantics / schema / plan changed this round
         "source_warc_revisit",
         "source_cdx_index",
@@ -4472,12 +4498,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_domain_resort",
         "win_paginate",
         "pipeline_archive_linkgraph",
-        # (d) r2-green anchors, unexamined since round 2
+        # (d) r2-green anchors, unexamined since round 2 (four of the
+        # original six displaced by the new media-container gates;
+        # all six remain pytest-covered and self-swept)
         "fn_url_canonicalize",
-        "dedup_exact",
-        "setop_distinct",
-        "win_topk_per_group",
-        "filter_text_grep",
         "agg_pricing_summary",
     ]
     ordered = {k: base[k] for k in priority}
@@ -6253,6 +6277,108 @@ def oracle_sql() -> dict[str, str]:
         # GIF is palette-indexed: w*h single-channel values expanded
         # to gray RGB, so the three channel sums are equal and the
         # closed-form runs over w*h (not w*h*3) positions
+        # MP4 synth parameters are closed-form per doc_id (container.
+        # _mp4_params): the oracle recomputes the track table the ISO
+        # BMFF demux must recover from the binary
+        "mm_mp4_demux": """
+            WITH p AS (
+                SELECT doc_id AS media_id,
+                       2 + doc_id % 3 AS n_frames,
+                       8 * (1 + doc_id % 2) AS w,
+                       CASE WHEN doc_id % 2 = 0 THEN 8000
+                            ELSE 16000 END AS sr,
+                       200 + doc_id % 50 AS n_samples
+                FROM documents
+            )
+            SELECT media_id, CAST(1 AS INT) AS track_id,
+                   'vide' AS handler, 'jpeg' AS codec,
+                   CAST(90000 AS BIGINT) AS timescale,
+                   CAST(n_frames * 3000 AS BIGINT) AS duration,
+                   CAST(n_frames AS BIGINT) AS sample_count,
+                   CAST(w AS INT) AS width, CAST(8 AS INT) AS height,
+                   CAST(0 AS INT) AS channels,
+                   CAST(0 AS INT) AS sample_rate
+            FROM p
+            UNION ALL
+            SELECT media_id, CAST(2 AS INT), 'soun', 'twos',
+                   CAST(sr AS BIGINT), CAST(n_samples AS BIGINT),
+                   CAST(n_samples AS BIGINT), CAST(0 AS INT),
+                   CAST(0 AS INT), CAST(1 AS INT), CAST(sr AS INT)
+            FROM p
+            ORDER BY media_id, track_id
+        """,
+        # flat 8x8 luma blocks make the motion-JPEG frames bit-exact
+        # (same discipline as mm_decode_jpeg); frame f block b value
+        # is (id*7 + f*13 + b*29) % 256
+        "mm_mp4_frames": """
+            WITH p AS (
+                SELECT doc_id AS media_id, 2 + doc_id % 3 AS n,
+                       8 * (1 + doc_id % 2) AS w,
+                       1 + doc_id % 2 AS bw
+                FROM documents
+            ), px AS (
+                SELECT media_id, n, w,
+                       [(media_id*7 + (i // bw)*13 + (i % bw)*29) % 256
+                        FOR i IN range(0, n * bw)] AS blocks
+                FROM p
+            )
+            SELECT media_id, CAST(n AS INT) AS n_frames,
+                   CAST(w AS INT) AS width, CAST(8 AS INT) AS height,
+                   CAST(64 * list_sum(blocks) AS BIGINT) AS sum_px,
+                   CAST(list_min(blocks) AS INT) AS min_px,
+                   CAST(list_max(blocks) AS INT) AS max_px
+            FROM px ORDER BY media_id
+        """,
+        "mm_mp4_audio": """
+            WITH p AS (
+                SELECT doc_id AS media_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 8000
+                            ELSE 16000 END AS sr,
+                       200 + doc_id % 50 AS n
+                FROM documents
+            ), s AS (
+                SELECT media_id, sr, n,
+                       [abs((media_id*31 + i*17) % 4096 - 2048)
+                        FOR i IN range(0, n)] AS a
+                FROM p
+            )
+            SELECT media_id, CAST(sr AS INT) AS sample_rate,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(list_sum(a) AS BIGINT) AS sum_abs,
+                   CAST(list_max(a) AS INT) AS max_abs
+            FROM s ORDER BY media_id
+        """,
+        # MPEG-1 layer III: kbps index 9+(id+f)%5 -> 128+32*((id+f)%5);
+        # frame length 144*kbps*1000 // sr + padding, padding (id+f)%2;
+        # ID3v2 = 10-byte header + (id%13)-byte body
+        "mm_mp3_framewalk": """
+            WITH p AS (
+                SELECT doc_id AS media_id,
+                       10 + doc_id % 13 AS id3_b,
+                       [44100, 48000, 32000][CAST(doc_id % 3 AS INT) + 1]
+                           AS sr,
+                       4 + doc_id % 5 AS n
+                FROM documents
+            ), fr AS (
+                SELECT media_id, id3_b, sr, n,
+                       [128 + 32*((media_id + f) % 5)
+                        FOR f IN range(0, n)] AS kbps,
+                       [144*(128 + 32*((media_id + f) % 5))*1000 // sr
+                            + (media_id + f) % 2
+                        FOR f IN range(0, n)] AS lens
+                FROM p
+            )
+            SELECT media_id, CAST(n AS INT) AS frame_count,
+                   CAST(sr AS INT) AS sample_rate,
+                   CAST(n * 1152 AS BIGINT) AS total_samples,
+                   CAST(list_sum(lens) AS BIGINT) AS total_bytes,
+                   CAST(id3_b AS INT) AS id3_bytes,
+                   CAST(list_min(kbps) AS INT) AS kbps_min,
+                   CAST(list_max(kbps) AS INT) AS kbps_max,
+                   CAST(CASE WHEN list_min(kbps) <> list_max(kbps)
+                             THEN 1 ELSE 0 END AS INT) AS is_vbr
+            FROM fr ORDER BY media_id
+        """,
         "mm_decode_gif": """
             WITH s AS (
                 SELECT doc_id AS media_id,

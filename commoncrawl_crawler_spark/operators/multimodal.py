@@ -8,11 +8,14 @@ image/audio/video equivalent).
 Design: media is an opaque `binary` column plus a typed metadata
 struct. All heavy per-item work runs in Arrow-batched pandas
 functions (`mapInPandas`) so batches move zero-copy and the Python
-loop is vectorized where possible. The actual codec step is STUBBED
-(`decode_media`): this container has no image/audio libraries, so
-decode raises NotImplementedError unless the deterministic fake
-codec is requested -- the Spark-side plumbing (schemas, batch
-shapes, partitioning) is real and tested either way.
+loop is vectorized where possible. Real decoders (pure numpy/stdlib)
+cover WAV/PPM/PNG/GIF/JPEG (baseline + progressive, gray + color) in
+this module and MP4 demux + MPEG-audio framing in
+operators/container.py; only compressed audio/video SAMPLE payloads
+(layer-III, AAC, H.26x) still raise NotImplementedError in
+`decode_media` unless the deterministic fake codec is requested --
+the Spark-side plumbing (schemas, batch shapes, partitioning) is
+real and tested either way.
 
 At 100 TB: binary payloads dominate shuffle size, so every operator
 here is shuffle-free (narrow mapInPandas / explode); repartition
@@ -173,22 +176,26 @@ def decode_media(media: DataFrame, codec: str = "real") -> DataFrame:
     `decode_jpeg_progressive_color` (SOF2 Annex-G, gray AND color:
     spectral selection, successive approximation, interleaved DC
     scans, EOBRUN, correction bits -- bit-identical to the baseline
-    decoders by differential test). codec="real" here still raises
-    for the formats that genuinely need external codecs (mp3, mp4
-    -- wire ffmpeg into the same mapInPandas contract in
-    production). codec="fake16" is the
-    deterministic stand-in: a
-    16-bin byte histogram, normalized -- enough to exercise every
-    downstream consumer (ANN, dedup, clustering) with real batch
-    mechanics.
+    decoders by differential test). Container demux is real too:
+    operators/container.py walks ISO BMFF (MP4) sample tables --
+    motion-JPEG video frames decode end-to-end through this module's
+    T.81 kernel, PCM audio tracks through numpy -- and MPEG audio
+    (MP3) framing (ID3v2 skip, bitrate/samplerate tables, VBR).
+    codec="real" here still raises for the sample payloads that
+    genuinely need external codecs (layer-III audio, AAC, H.26x --
+    wire ffmpeg into the same mapInPandas contract in production).
+    codec="fake16" is the deterministic stand-in: a 16-bin byte
+    histogram, normalized -- enough to exercise every downstream
+    consumer (ANN, dedup, clustering) with real batch mechanics.
     """
     if codec == "real":
         raise NotImplementedError(
-            "color/progressive JPEG and mp3/mp4 need codec libraries "
-            "not present in this environment; use decode_wav / "
-            "decode_ppm / decode_png / decode_gif / decode_jpeg for the "
-            "real decoders, or codec='fake16' for the deterministic "
-            "test codec"
+            "compressed audio/video SAMPLE payloads (MP3 layer-III, "
+            "AAC, H.26x) need codec libraries not present in this "
+            "environment; the container demux around them is real "
+            "(operators/container.py), as are decode_wav / decode_ppm "
+            "/ decode_png / decode_gif / decode_jpeg*; or use "
+            "codec='fake16' for the deterministic test codec"
         )
     if codec != "fake16":
         raise ValueError(f"unknown codec {codec!r}")
