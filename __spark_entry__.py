@@ -33,6 +33,7 @@ from commoncrawl_crawler_spark.operators import (
     graph,
     joins,
     corpus,
+    layout,
     multimodal,
     robots,
     sampling,
@@ -3315,6 +3316,23 @@ def _editdist_hosts(s, d):
     )
 
 
+def _cidr_blocklist(s: SparkSession, d: str) -> DataFrame:
+    """Region-derived CIDR blocks (/18 and /19, 32768-aligned) plus
+    one overlapping /16 so the longest-prefix tie-break is exercised."""
+    reg = _t(s, d, "region").select(
+        (F.lit(167772160) + F.col("r_regionkey") * 32768)
+        .cast("long")
+        .alias("cidr_base"),
+        (F.lit(18) + F.pmod(F.col("r_regionkey"), F.lit(2)))
+        .cast("int")
+        .alias("prefix_len"),
+    )
+    extra = s.createDataFrame(
+        [(167772160, 16)], "cidr_base long, prefix_len int"
+    )
+    return reg.unionByName(extra)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2."""
     base = {
@@ -3902,6 +3920,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp3_framewalk": lambda s, d: container.mp3_frame_stats(
             container.synthesize_mp3(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # Morton/Z-order clustering key: pure Column bit-interleave
+        # (whole-stage codegen) -> data-skipping file layout
+        "layout_zorder": lambda s, d: layout.zorder_events(
+            _t(s, d, "events")
+        ),
+        # small-file compaction plan: per-table-partition running-sum
+        # binning (one window per prefix, no global window)
+        "layout_compaction_bins": lambda s, d: layout.compaction_bins(
+            layout.documents_file_listing(_t(s, d, "documents"))
+        ),
+        # longest-prefix CIDR match decomposed into per-length
+        # broadcast hash equi-joins (corpus never shuffled)
+        "filter_cidr_match": lambda s, d: filters.cidr_longest_prefix_match(
+            _t(s, d, "events").select(
+                "event_id",
+                (F.lit(167772160) + F.pmod(F.col("event_id") * 7919,
+                                           F.lit(140000)))
+                .cast("long")
+                .alias("ip"),
+            ),
+            _cidr_blocklist(s, d),
+        ).orderBy("event_id"),
         # tile -> feature: per-row-band, per-channel pixel stats over
         # the real PPM decode
         "mm_image_bands": lambda s, d: multimodal.image_band_stats(
@@ -4477,13 +4517,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_webgraph",
         "graph_domain_webgraph",
         # (c) new this round -- incl. the session-2 media-container
-        # gates (real MP4 demux / MJPEG+PCM decode / MP3 framing):
-        # new-code-this-round outranks re-validating r2-green anchors
+        # gates (real MP4 demux / MJPEG+PCM decode / MP3 framing) and
+        # the layout tier (z-order, compaction, CIDR LPM): new-code-
+        # this-round outranks re-validating r2-green anchors
         "crawllist_blog_platform_urls",
         "mm_mp4_demux",
         "mm_mp4_frames",
         "mm_mp4_audio",
         "mm_mp3_framewalk",
+        "layout_zorder",
+        "layout_compaction_bins",
+        "filter_cidr_match",
         # (b) semantics / schema / plan changed this round
         "source_warc_revisit",
         "source_cdx_index",
@@ -4496,13 +4540,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_warc_roundtrip",
         "query_domain_list",
         "query_domain_resort",
-        "win_paginate",
         "pipeline_archive_linkgraph",
-        # (d) r2-green anchors, unexamined since round 2 (four of the
-        # original six displaced by the new media-container gates;
-        # all six remain pytest-covered and self-swept)
-        "fn_url_canonicalize",
-        "agg_pricing_summary",
+        # (the six r2-green anchors and win_paginate from earlier
+        # drafts of this rotation are displaced by the 8 new gates;
+        # all remain pytest-covered, r2-driver-green, and self-swept
+        # at both SFs in CORRECTNESS_SELF_r06*)
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -6277,6 +6319,81 @@ def oracle_sql() -> dict[str, str]:
         # GIF is palette-indexed: w*h single-channel values expanded
         # to gray RGB, so the three channel sums are equal and the
         # closed-form runs over w*h (not w*h*3) positions
+        # Morton interleave recomputed bit-by-bit: x bits at even
+        # positions, y bits at odd (layout.zorder_key convention)
+        "layout_zorder": """
+            WITH s AS (
+                SELECT event_id,
+                       CAST(user_id % 65536 AS BIGINT) AS dim_x,
+                       CAST((event_id * 40503) % 65536 AS BIGINT) AS dim_y
+                FROM events
+            ), z AS (
+                SELECT event_id, dim_x, dim_y,
+                       CAST(list_sum(
+                           [((dim_x >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+                            FOR i IN range(0, 16)])
+                          + list_sum(
+                           [((dim_y >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))
+                            FOR i IN range(0, 16)]) AS BIGINT) AS zkey
+                FROM s
+            )
+            SELECT event_id, dim_x, dim_y, zkey,
+                   CAST(zkey >> 24 AS INT) AS file_bucket
+            FROM z ORDER BY event_id
+        """,
+        # running-sum binning: bin = exclusive prefix sum // target,
+        # windowed per table partition
+        "layout_compaction_bins": """
+            WITH l AS (
+                SELECT source AS prefix,
+                       'part-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                           AS path,
+                       CAST(4096 + (doc_id % 13) * 512 AS BIGINT)
+                           AS size_bytes
+                FROM documents
+            ), p AS (
+                SELECT prefix, path, size_bytes,
+                       CAST(COALESCE(SUM(size_bytes) OVER (
+                                PARTITION BY prefix ORDER BY path
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0)
+                            // 32768 AS BIGINT) AS bin
+                FROM l
+            )
+            SELECT prefix, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+                   CAST(SUM(size_bytes) AS BIGINT) AS bin_bytes
+            FROM p GROUP BY prefix, bin ORDER BY prefix, bin
+        """,
+        # the oracle matches by range containment + longest prefix;
+        # the Spark plan decomposes into per-length equi-joins --
+        # identical semantics, different physical shape
+        "filter_cidr_match": """
+            WITH e AS (
+                SELECT event_id,
+                       CAST(167772160 + (event_id * 7919) % 140000
+                            AS BIGINT) AS ip
+                FROM events
+            ), b AS (
+                SELECT CAST(167772160 + r_regionkey * 32768 AS BIGINT)
+                           AS base,
+                       CAST(18 + r_regionkey % 2 AS INT) AS len
+                FROM region
+                UNION ALL
+                SELECT CAST(167772160 AS BIGINT), CAST(16 AS INT)
+            ), m AS (
+                SELECT e.event_id, b.base, b.len,
+                       row_number() OVER (PARTITION BY e.event_id
+                                          ORDER BY b.len DESC) AS rn
+                FROM e JOIN b
+                  ON e.ip >= b.base
+                 AND e.ip < b.base + (CAST(1 AS BIGINT) << (32 - b.len))
+            )
+            SELECT e.event_id, e.ip,
+                   m.base AS cidr_base, m.len AS prefix_len
+            FROM e LEFT JOIN m
+              ON m.event_id = e.event_id AND m.rn = 1
+            ORDER BY e.event_id
+        """,
         # MP4 synth parameters are closed-form per doc_id (container.
         # _mp4_params): the oracle recomputes the track table the ISO
         # BMFF demux must recover from the binary

@@ -146,3 +146,66 @@ def url_template_summary(urls: DataFrame) -> DataFrame:
         )
         .orderBy("host", "template")
     )
+
+
+def cidr_longest_prefix_match(
+    df: DataFrame,
+    blocklist: DataFrame,
+    ip_col: str = "ip",
+) -> DataFrame:
+    """Longest-prefix CIDR match of an integer IPv4 column against a
+    small blocklist -- the IP-range policy check the reference runs
+    with IPAddressUtils range tables (util/IPAddressUtils.java,
+    consumed by the iptohost joins).
+
+    Scale shape: the classic LPM decomposition into per-prefix-length
+    hash EQUI-joins. The blocklist's distinct prefix lengths are
+    collected (bounded by construction: <= 33 values for IPv4); for
+    each length L the corpus side joins on
+    ``ip >> (32-L) == base >> (32-L)`` with the blocklist broadcast.
+    The corpus is never range-joined (no BroadcastNestedLoopJoin over
+    the big side) and never shuffled; ties resolve to the LONGEST
+    matching prefix, router-style.
+
+    Input blocklist columns: cidr_base (long, aligned), prefix_len
+    (int). Output: df's columns + cidr_base/prefix_len of the winning
+    block (null when unmatched).
+
+    The corpus side is never aggregated or shuffled: one broadcast
+    left join per distinct length, longest first, folded with
+    coalesce -- equal-length blocks are disjoint, so the first
+    non-null is the unique longest match.
+    """
+    ip = F.col(ip_col)
+    lens = sorted(
+        (r[0] for r in blocklist.select("prefix_len").distinct().collect()),
+        reverse=True,
+    )
+    if not lens:
+        return df.select(
+            "*",
+            F.lit(None).cast("long").alias("cidr_base"),
+            F.lit(None).cast("int").alias("prefix_len"),
+        )
+    out = df
+    for ln in lens:
+        bl = blocklist.filter(F.col("prefix_len") == ln).select(
+            F.shiftright(F.col("cidr_base"), 32 - ln).alias(f"_k{ln}"),
+            F.col("cidr_base").alias(f"_b{ln}"),
+            F.col("prefix_len").alias(f"_l{ln}"),
+        )
+        out = out.join(
+            F.broadcast(bl),
+            F.shiftright(ip, 32 - ln) == F.col(f"_k{ln}"),
+            "left",
+        ).drop(f"_k{ln}")
+    result = out.select(
+        *df.columns,
+        F.coalesce(*[F.col(f"_b{ln}") for ln in lens])
+        .cast("long")
+        .alias("cidr_base"),
+        F.coalesce(*[F.col(f"_l{ln}") for ln in lens])
+        .cast("int")
+        .alias("prefix_len"),
+    )
+    return result
