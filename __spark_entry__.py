@@ -3316,6 +3316,45 @@ def _editdist_hosts(s, d):
     )
 
 
+def _robots_rfc9309_gate(s: SparkSession, d: str) -> DataFrame:
+    """Wildcard/anchor robots verdicts end-to-end: synthesize
+    robots.txt per host (odd hosts add a tying Allow and a /files*
+    Disallow), parse with parse_robot_rules, evaluate with RFC 9309
+    most-specific-match semantics. The oracle states the closed-form
+    verdict table."""
+    docs = _t(s, d, "documents").select("doc_id")
+    host = F.concat(
+        F.lit("h"), F.pmod(F.col("doc_id"), F.lit(20)).cast("string")
+    )
+    pm5 = F.pmod(F.col("doc_id"), F.lit(5))
+    path = (
+        F.when(pm5 == 0, "/index.html")
+        .when(pm5 == 1, "/private/data")
+        .when(pm5 == 2, "/private/pub")
+        .when(pm5 == 3, "/files/a.zip")
+        .otherwise("/files/a.zip.txt")
+    )
+    urls = docs.select("doc_id", host.alias("host"), path.alias("path"))
+    base = (
+        "User-agent: *\nDisallow: /private*\nAllow: /private/pub$\n"
+        "Disallow: /*.zip$\nAllow: /\n"
+    )
+    extra = "Allow: /private*\nDisallow: /files*\n"
+    host_num = F.regexp_extract("host", r"h(\d+)", 1).cast("int")
+    robots_txt = urls.select("host").distinct().select(
+        "host",
+        F.when(F.pmod(host_num, F.lit(2)) == 1, base + extra)
+        .otherwise(base)
+        .alias("content"),
+    )
+    rules = robots.parse_robot_rules(robots_txt, ["testbot"])
+    return (
+        robots.robots_allowed_rfc9309(urls, rules)
+        .select("doc_id", "host", "path", "allowed")
+        .orderBy("doc_id")
+    )
+
+
 def _cidr_blocklist(s: SparkSession, d: str) -> DataFrame:
     """Region-derived CIDR blocks (/18 and /19, 32768-aligned) plus
     one overlapping /16 so the longest-prefix tie-break is exercised."""
@@ -3930,6 +3969,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_compaction_bins": lambda s, d: layout.compaction_bins(
             layout.documents_file_listing(_t(s, d, "documents"))
         ),
+        # RFC 9309 robots semantics ('*' wildcards, '$' anchors,
+        # longest-match-wins, allow-wins-ties) over the shared
+        # parse_robot_rules output -- the modern twin of
+        # robots_evaluate's first-match prefix contract
+        "robots_rfc9309_match": _robots_rfc9309_gate,
         # longest-prefix CIDR match decomposed into per-length
         # broadcast hash equi-joins (corpus never shuffled)
         "filter_cidr_match": lambda s, d: filters.cidr_longest_prefix_match(
@@ -4528,6 +4572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder",
         "layout_compaction_bins",
         "filter_cidr_match",
+        "robots_rfc9309_match",
         # (b) semantics / schema / plan changed this round
         "source_warc_revisit",
         "source_cdx_index",
@@ -4539,7 +4584,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_wet_extract",
         "source_warc_roundtrip",
         "query_domain_list",
-        "query_domain_resort",
         "pipeline_archive_linkgraph",
         # (the six r2-green anchors and win_paginate from earlier
         # drafts of this rotation are displaced by the 8 new gates;
@@ -6363,6 +6407,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT prefix, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
                    CAST(SUM(size_bytes) AS BIGINT) AS bin_bytes
             FROM p GROUP BY prefix, bin ORDER BY prefix, bin
+        """,
+        # closed-form verdict table (rules are fixed per host parity;
+        # see _robots_rfc9309_gate): even hosts disallow doc%5 in
+        # {1 /private/data, 3 /files/a.zip}; odd hosts add a tying
+        # Allow:/private* (tie -> allow) and Disallow:/files* (kills
+        # doc%5=4 too)
+        "robots_rfc9309_match": """
+            SELECT doc_id,
+                   'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+                   CASE CAST(doc_id % 5 AS INT)
+                        WHEN 0 THEN '/index.html'
+                        WHEN 1 THEN '/private/data'
+                        WHEN 2 THEN '/private/pub'
+                        WHEN 3 THEN '/files/a.zip'
+                        ELSE '/files/a.zip.txt' END AS path,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN doc_id % 5 NOT IN (1, 3)
+                        ELSE doc_id % 5 NOT IN (3, 4) END AS allowed
+            FROM documents ORDER BY doc_id
         """,
         # the oracle matches by range containment + longest prefix;
         # the Spark plan decomposes into per-length equi-joins --

@@ -329,3 +329,84 @@ def extract_sitemap_urls(
         .distinct()
         .orderBy("host", "sitemap_url")
     )
+
+
+def _rule_regex(prefix: Column) -> Column:
+    """Translate an RFC 9309 path rule into a Java-regex: escape
+    every metacharacter, then '*' -> '.*' and a TRAILING '$' -> end
+    anchor (any other '$' is literal). Pure Column expression chain;
+    a \\x01 sentinel carries the anchor through the literal-$ escape
+    (\\x01 cannot appear in a robots.txt path line -- control chars
+    terminate the directive value)."""
+    esc = F.regexp_replace(prefix, r"([.^+?(){}\[\]|\\])", r"\\$1")
+    a = F.regexp_replace(esc, r"\$$", "\x01")  # trailing $ -> sentinel
+    b = F.regexp_replace(a, r"\$", r"\\\$")  # other $ literal
+    c = F.regexp_replace(b, r"\*", ".*")  # wildcards
+    d = F.regexp_replace(c, "\x01", r"\$")  # sentinel -> anchor
+    return F.concat(F.lit("^"), d)
+
+
+def robots_allowed_rfc9309(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """RFC 9309 verdicts: '*' wildcards, '$' end anchors, and
+    MOST-SPECIFIC-match precedence (longest rule wins; on a tie the
+    allow rule wins) -- the modern semantics Googlebot/RFC 9309
+    define, versus `robots_allowed`'s first-match prefix semantics
+    (the reference's 2012 RobotRulesParser contract). Both evaluators
+    share `parse_robot_rules` output.
+
+    Scale shape: identical to `robots_allowed` -- the verdict
+    computes per DISTINCT (host, path), the join fans out only by
+    rules-per-host (robots.txt file-size bounded). The rule regex is
+    a per-ROW pattern (RLIKE with a column), compiled per matched
+    pair; that cost is bounded by the same fan-out, never by corpus
+    width.
+    """
+    path_norm = F.when(
+        F.col(path_col).isNull() | (F.col(path_col) == ""), F.lit("/")
+    ).otherwise(F.col(path_col))
+    # the tested path percent-decodes exactly as in robots_allowed
+    # (parse_robot_rules decoded the Disallow values, so both sides
+    # compare in decoded space)
+    probe = (
+        urls.select(
+            F.col(host_col).alias("host"), path_norm.alias("_path")
+        )
+        .distinct()
+        .withColumn(
+            "_dec",
+            F.coalesce(F.expr("try_url_decode(_path)"), F.col("_path")),
+        )
+    )
+    rule_rows = rules.filter(F.col("prefix").isNotNull()).select(
+        "host",
+        "allowed",
+        F.length("prefix").alias("_spec"),
+        _rule_regex(F.col("prefix")).alias("_rx"),
+    )
+    verdict = (
+        probe.join(rule_rows, "host")
+        .filter(F.expr("_dec RLIKE _rx"))
+        .groupBy("host", "_path")
+        # most specific = longest rule; tie -> allow (true > false)
+        .agg(F.max(F.struct("_spec", "allowed")).alias("_w"))
+        .select(
+            F.col("host").alias("_vhost"),
+            F.col("_path").alias("_vpath"),
+            F.col("_w.allowed").alias("_verdict"),
+        )
+    )
+    out = urls.withColumn("_path", path_norm).join(
+        verdict,
+        (F.col(host_col) == F.col("_vhost"))
+        & (F.col("_path") == F.col("_vpath")),
+        "left",
+    )
+    return out.select(
+        *[F.col(c) for c in urls.columns],
+        F.coalesce("_verdict", F.lit(True)).alias("allowed"),
+    )

@@ -375,3 +375,77 @@ def test_sitemap_extraction_is_stanza_independent(spark):
         ("a.com", "https://a.com/s1.xml"),
         ("a.com", "https://a.com/s2.xml"),
     ]
+
+
+# ---- RFC 9309 wildcard evaluator ----------------------------------
+
+
+def _rfc_verdicts(spark, blob, urls):
+    rules = _rules(spark, [("h", blob)], ["bot"])
+    u = spark.createDataFrame(
+        [(i, "h", p) for i, p in enumerate(urls)],
+        "key long, host string, path string",
+    )
+    rows = robots.robots_allowed_rfc9309(u, rules).collect()
+    return {urls[r.key]: r.allowed for r in rows}
+
+
+def test_rfc9309_wildcards_anchors_and_specificity(spark):
+    blob = (
+        "User-agent: *\nDisallow: /private*\nAllow: /private/pub$\n"
+        "Disallow: /*.zip$\nAllow: /\n"
+    )
+    got = _rfc_verdicts(
+        spark,
+        blob,
+        [
+            "/index.html",       # only Allow:/ matches
+            "/private/data",     # Disallow:/private* (9) > Allow:/ (1)
+            "/private/pub",      # Allow:/private/pub$ (13) wins
+            "/private/pubx",     # $ anchor misses -> Disallow wins
+            "/files/a.zip",      # Disallow:/*.zip$ (7) > Allow:/ (1)
+            "/files/a.zip.txt",  # anchor misses -> allowed
+        ],
+    )
+    assert got == {
+        "/index.html": True,
+        "/private/data": False,
+        "/private/pub": True,
+        "/private/pubx": False,
+        "/files/a.zip": False,
+        "/files/a.zip.txt": True,
+    }
+
+
+def test_rfc9309_tie_goes_to_allow(spark):
+    blob = "User-agent: *\nDisallow: /private*\nAllow: /privat*e\n"
+    # both rules are 9 octets and both match -> allow wins the tie
+    got = _rfc_verdicts(spark, blob, ["/private"])
+    assert got["/private"] is True
+
+
+def test_rfc9309_regex_metachars_are_literal(spark):
+    # ., (, ), [, ], {, }, |, +, ?, ^ and a mid-rule $ must match
+    # literally, never as regex syntax
+    blob = (
+        "User-agent: *\nDisallow: /a.b\nDisallow: /c(d)e\n"
+        "Disallow: /f[g]\nDisallow: /h+i?\nDisallow: /j$k\n"
+    )
+    got = _rfc_verdicts(
+        spark,
+        blob,
+        ["/a.b", "/aXb", "/c(d)e", "/f[g]", "/h+i?", "/j$k", "/jk"],
+    )
+    assert got["/a.b"] is False
+    assert got["/aXb"] is True  # '.' is literal, not any-char
+    assert got["/c(d)e"] is False
+    assert got["/f[g]"] is False
+    assert got["/h+i?"] is False
+    assert got["/j$k"] is False  # mid-rule $ is literal
+    assert got["/jk"] is True
+
+
+def test_rfc9309_default_allow_without_match(spark):
+    blob = "User-agent: *\nDisallow: /only*this\n"
+    got = _rfc_verdicts(spark, blob, ["/other"])
+    assert got["/other"] is True
