@@ -42,6 +42,7 @@ from commoncrawl_crawler_spark.operators import (
     skew,
     similarity,
     textstats,
+    tokenizers,
     webgraph,
     windows,
 )
@@ -3316,6 +3317,62 @@ def _editdist_hosts(s, d):
     )
 
 
+# tokenizer-gate fixture: 12 words chosen per doc_id, a WordPiece
+# vocab and a Unigram score table small enough that the oracle is a
+# literal golden table (derived by exhaustive enumeration in
+# tests/test_tokenizers.py -- the same golden-table discipline as the
+# URL-canonicalization fixture)
+_TOK_WORDS = [
+    "the", "thing", "running", "under", "tested", "stable",
+    "thunder", "ingest", "hello", "big", "dog", "xyz",
+]
+_WP_VOCAB = (
+    list("abdeghilnorstu")
+    + ["##" + c for c in "abdeghilnorstu"]
+    + ["th", "the", "un", "##ing", "##er", "##ed", "##le", "##st"]
+)
+_UNI_SCORES = {
+    **{c: -5_000_000 for c in "abdeghilnorstu"},
+    "th": -6_000_000, "the": -7_000_000, "ing": -6_500_000,
+    "un": -6_200_000, "er": -6_000_000, "ed": -6_100_000,
+    "st": -6_300_000, "run": -8_000_000, "ning": -9_000_000,
+    "der": -8_500_000, "hello": -12_000_000, "ll": -7_000_000,
+}
+
+
+def _tok_words(s: SparkSession, d: str) -> DataFrame:
+    docs = _t(s, d, "documents").select("doc_id")
+    w = F.element_at(
+        F.array(*[F.lit(x) for x in _TOK_WORDS]),
+        (F.pmod(F.col("doc_id"), F.lit(12)) + 1).cast("int"),
+    )
+    return docs.select("doc_id", w.alias("word"))
+
+
+def _wordpiece_gate(s: SparkSession, d: str) -> DataFrame:
+    words = _tok_words(s, d)
+    pieces = tokenizers.wordpiece_encode(
+        words.select("word").distinct(), _WP_VOCAB
+    )
+    return (
+        words.join(F.broadcast(pieces), "word")
+        .select("doc_id", "word", "pieces", "n_pieces", "is_unk")
+        .orderBy("doc_id")
+    )
+
+
+def _unigram_gate(s: SparkSession, d: str) -> DataFrame:
+    words = _tok_words(s, d)
+    pieces = tokenizers.unigram_encode(
+        words.select("word").distinct(), _UNI_SCORES
+    )
+    return (
+        words.join(F.broadcast(pieces), "word")
+        .select("doc_id", "word", "pieces", "n_pieces", "score_micro")
+        .orderBy("doc_id")
+    )
+
+
 def _robots_rfc9309_gate(s: SparkSession, d: str) -> DataFrame:
     """Wildcard/anchor robots verdicts end-to-end: synthesize
     robots.txt per host (odd hosts add a tying Allow and a /files*
@@ -3969,6 +4026,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_compaction_bins": lambda s, d: layout.compaction_bins(
             layout.documents_file_listing(_t(s, d, "documents"))
         ),
+        # WordPiece greedy longest-match-first (BERT lineage) and
+        # Unigram-LM Viterbi (SentencePiece lineage) -- with bpe.py
+        # this closes the three production tokenizer families; both
+        # run on the distinct-word table, never the corpus
+        "text_wordpiece_encode": _wordpiece_gate,
+        "text_unigram_encode": _unigram_gate,
         # RFC 9309 robots semantics ('*' wildcards, '$' anchors,
         # longest-match-wins, allow-wins-ties) over the shared
         # parse_robot_rules output -- the modern twin of
@@ -4573,6 +4636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_compaction_bins",
         "filter_cidr_match",
         "robots_rfc9309_match",
+        "text_wordpiece_encode",
+        "text_unigram_encode",
         # (b) semantics / schema / plan changed this round
         "source_warc_revisit",
         "source_cdx_index",
@@ -4581,9 +4646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences",
         "text_zipf_profile",
         "text_training_shuffle",
-        "source_wet_extract",
         "source_warc_roundtrip",
-        "query_domain_list",
         "pipeline_archive_linkgraph",
         # (the six r2-green anchors and win_paginate from earlier
         # drafts of this rotation are displaced by the 8 new gates;
@@ -6407,6 +6470,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT prefix, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
                    CAST(SUM(size_bytes) AS BIGINT) AS bin_bytes
             FROM p GROUP BY prefix, bin ORDER BY prefix, bin
+        """,
+        # golden tables derived by exhaustive enumeration (verified
+        # DP==brute-force in tests/test_tokenizers.py) -- the
+        # URL-canonicalization golden-table discipline
+        "text_wordpiece_encode": """
+            WITH t(idx, word, pieces, n_pieces, is_unk) AS (VALUES
+                (0, 'the', 'the', 1, 0),
+                (1, 'thing', 'th ##ing', 2, 0),
+                (2, 'running', 'r ##u ##n ##n ##ing', 5, 0),
+                (3, 'under', 'un ##d ##er', 3, 0),
+                (4, 'tested', 't ##e ##st ##ed', 4, 0),
+                (5, 'stable', 's ##t ##a ##b ##le', 5, 0),
+                (6, 'thunder', 'th ##u ##n ##d ##er', 5, 0),
+                (7, 'ingest', 'i ##n ##g ##e ##st', 5, 0),
+                (8, 'hello', 'h ##e ##l ##l ##o', 5, 0),
+                (9, 'big', 'b ##i ##g', 3, 0),
+                (10, 'dog', 'd ##o ##g', 3, 0),
+                (11, 'xyz', '[UNK]', 1, 1))
+            SELECT doc_id, word, pieces,
+                   CAST(n_pieces AS INT) AS n_pieces,
+                   CAST(is_unk AS INT) AS is_unk
+            FROM documents JOIN t ON CAST(doc_id % 12 AS INT) = idx
+            ORDER BY doc_id
+        """,
+        "text_unigram_encode": """
+            WITH t(idx, word, pieces, n_pieces, score_micro) AS (VALUES
+                (0, 'the', 'the', 1, -7000000),
+                (1, 'thing', 'th ing', 2, -12500000),
+                (2, 'running', 'run ning', 2, -17000000),
+                (3, 'under', 'un der', 2, -14700000),
+                (4, 'tested', 't e st ed', 4, -22400000),
+                (5, 'stable', 'st a b l e', 5, -26300000),
+                (6, 'thunder', 'th un der', 3, -20700000),
+                (7, 'ingest', 'ing e st', 3, -17800000),
+                (8, 'hello', 'hello', 1, -12000000),
+                (9, 'big', 'b i g', 3, -15000000),
+                (10, 'dog', 'd o g', 3, -15000000),
+                (11, 'xyz', '[UNK]', 1, 0))
+            SELECT doc_id, word, pieces,
+                   CAST(n_pieces AS INT) AS n_pieces,
+                   CAST(score_micro AS BIGINT) AS score_micro
+            FROM documents JOIN t ON CAST(doc_id % 12 AS INT) = idx
+            ORDER BY doc_id
         """,
         # closed-form verdict table (rules are fixed per host parity;
         # see _robots_rfc9309_gate): even hosts disallow doc%5 in
