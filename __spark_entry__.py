@@ -4026,6 +4026,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_compaction_bins": lambda s, d: layout.compaction_bins(
             layout.documents_file_listing(_t(s, d, "documents"))
         ),
+        # interpolated Kneser-Ney trigram scoring (the standard
+        # smoothing next to the stupid-backoff counts-only tier);
+        # probability computed with an engine-identical IEEE
+        # expression tree, quantized once, ln over the integer
+        "text_kneser_ney_lm": lambda s, d: textstats.kneser_ney_scores(
+            _t(s, d, "documents")
+        ),
         # WordPiece greedy longest-match-first (BERT lineage) and
         # Unigram-LM Viterbi (SentencePiece lineage) -- with bpe.py
         # this closes the three production tokenizer families; both
@@ -4638,6 +4645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rfc9309_match",
         "text_wordpiece_encode",
         "text_unigram_encode",
+        "text_kneser_ney_lm",
         # (b) semantics / schema / plan changed this round
         "source_warc_revisit",
         "source_cdx_index",
@@ -4645,7 +4653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_webgraph_ranks",
         "text_pack_sequences",
         "text_zipf_profile",
-        "text_training_shuffle",
         "source_warc_roundtrip",
         "pipeline_archive_linkgraph",
         # (the six r2-green anchors and win_paginate from earlier
@@ -6470,6 +6477,107 @@ def oracle_sql() -> dict[str, str]:
             SELECT prefix, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
                    CAST(SUM(size_bytes) AS BIGINT) AS bin_bytes
             FROM p GROUP BY prefix, bin ORDER BY prefix, bin
+        """,
+        # the KN probability expression tree mirrors the Spark one
+        # op-for-op (only IEEE +,-,*,/ and max over exact integers and
+        # the exact literal 0.75), so the double is bit-identical;
+        # ln applies to the quantized INTEGER only (backoff discipline)
+        "text_kneser_ney_lm": """
+            WITH t AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                           lower(trim(text)), '\\s+'),
+                           w -> w <> '') AS toks
+                FROM documents
+            ), tr AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+            hd AS (SELECT * FROM t WHERE doc_id % 2 <> 0),
+            tr_tri0 AS (
+                SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           AS tri, count(*) AS c123
+                FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+                      FROM tr)
+                GROUP BY tri
+            ), tri_t AS (
+                SELECT tri, c123,
+                       string_split(tri, ' ')[1] AS w1,
+                       string_split(tri, ' ')[2] AS w2,
+                       string_split(tri, ' ')[3] AS w3
+                FROM tr_tri0
+            ), ctx12 AS (
+                SELECT w1, w2, sum(c123) AS c12, count(*) AS n1p12
+                FROM tri_t GROUP BY w1, w2
+            ), mid_num AS (
+                SELECT w2, w3, count(DISTINCT w1) AS n1p_vw
+                FROM tri_t GROUP BY w2, w3
+            ), mid_den AS (
+                SELECT w2, count(*) AS n1p_mid,
+                       count(DISTINCT w3) AS n1p_vdot
+                FROM tri_t GROUP BY w2
+            ), bg_types AS (
+                SELECT DISTINCT toks[i] AS wp, toks[i+1] AS w
+                FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                      FROM tr)
+            ), uni_cont AS (
+                SELECT w, count(*) AS n1p_dotw FROM bg_types GROUP BY w
+            ), tot AS (
+                SELECT (SELECT count(*) FROM bg_types) AS n1pdd,
+                       (SELECT count(DISTINCT w)
+                        FROM (SELECT unnest(toks) AS w FROM tr)) AS vv
+            ), pos AS (
+                SELECT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           AS tri
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks) - 1)) AS i
+                      FROM hd)
+            ), need AS (
+                SELECT tri,
+                       string_split(tri, ' ')[1] AS w1,
+                       string_split(tri, ' ')[2] AS w2,
+                       string_split(tri, ' ')[3] AS w3
+                FROM (SELECT DISTINCT tri FROM pos)
+            ), pcalc AS (
+                SELECT n.tri,
+                       (COALESCE(u.n1p_dotw, 0) + 1)
+                           / ((SELECT n1pdd FROM tot)
+                              + (SELECT vv FROM tot) + 1) AS p1,
+                       m.n1p_mid, m.n1p_vdot, mn.n1p_vw,
+                       c.c12, c.n1p12, tc.c123
+                FROM need n
+                LEFT JOIN tr_tri0 tc ON n.tri = tc.tri
+                LEFT JOIN ctx12 c ON n.w1 = c.w1 AND n.w2 = c.w2
+                LEFT JOIN mid_num mn ON n.w2 = mn.w2 AND n.w3 = mn.w3
+                LEFT JOIN mid_den m ON n.w2 = m.w2
+                LEFT JOIN uni_cont u ON n.w3 = u.w
+            ), p2calc AS (
+                SELECT tri, c12, n1p12, c123,
+                       CASE WHEN n1p_mid IS NOT NULL THEN
+                           (greatest(COALESCE(n1p_vw, 0) - 0.75, 0.0)
+                               / n1p_mid)
+                           + (((0.75 * n1p_vdot) / n1p_mid) * p1)
+                       ELSE p1 END AS p2
+                FROM pcalc
+            ), p3calc AS (
+                SELECT tri,
+                       CASE WHEN c12 IS NOT NULL THEN
+                           (greatest(COALESCE(c123, 0) - 0.75, 0.0)
+                               / c12)
+                           + (((0.75 * n1p12) / c12) * p2)
+                       ELSE p2 END AS p3
+                FROM p2calc
+            ), sc AS (
+                SELECT tri,
+                       CAST(floor(ln(greatest(CAST(floor(
+                                p3 * 1e9 + 0.5) AS BIGINT), 1))
+                            * 1e6 + 0.5) AS BIGINT)
+                           - 20723266 AS s_micro
+                FROM p3calc
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+                   CAST(-sum(s_micro) AS BIGINT) AS neg_logprob_micro,
+                   CAST((-sum(s_micro)) // count(*) AS BIGINT)
+                       AS avg_surprisal_micro
+            FROM pos JOIN sc USING (tri)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         # golden tables derived by exhaustive enumeration (verified
         # DP==brute-force in tests/test_tokenizers.py) -- the

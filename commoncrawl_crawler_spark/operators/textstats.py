@@ -2111,3 +2111,187 @@ def span_corruption(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# floor(ln(1e9) * 1e6 + 0.5): the probability-micro scale constant as
+# an integer literal (engine-parity: neither engine evaluates ln(1e9))
+KN_LN_SCALE_MICRO = 20723266
+
+
+def kneser_ney_scores(
+    documents: DataFrame, train_mod: int = 2
+) -> DataFrame:
+    """Interpolated Kneser-Ney trigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999 interpolated form) -- the standard smoothing
+    next to `stupid_backoff_scores`' counts-only tier. Same split
+    discipline: counts from even documents, scores for the held-out
+    rest.
+
+        P(w|u,v) = max(c(uvw)-D, 0)/c(uv+) + D*N1+(uv.)/c(uv+) * P(w|v)
+        P(w|v)   = max(N1+(.vw)-D, 0)/N1+(.v.)
+                   + D*N1+(v.)/N1+(.v.) * P(w)
+        P(w)     = (N1+(.w) + 1) / (N1+(..) + V + 1)
+
+    with D = 0.75 (exact in binary). c(uv+) is the continuation total
+    (sum_w c(uvw)); the mid-order type counts come from the trigram
+    TYPE table and the unigram continuation counts from the bigram
+    TYPE table; the +1/+V+1 floor keeps unknown words finite (an
+    add-one variant of the continuation unigram, documented -- KN
+    proper leaves P(unknown)=0).
+
+    Engine parity: P is computed with an IDENTICAL expression tree in
+    Spark and the SQL oracle -- only IEEE +,-,*,/ and max over exact
+    integer counts and the exact literal 0.75, so the double result
+    is bit-identical across engines (each op is correctly rounded;
+    no library-ulp functions touch P). The probability quantizes ONCE
+    to p_micro = floor(P*1e9+0.5); the surprisal then applies ln to
+    that INTEGER (the `stupid_backoff_scores` q() discipline), with
+    KN_LN_SCALE_MICRO re-centering ln(p_micro) to ln(P).
+
+    Plan shape: count tables are partial-agg groupBys over the train
+    half; scoring joins the positions table against one per-DISTINCT-
+    trigram score table; totals are a 1-row broadcast. Linear in
+    corpus size.
+
+    Output: (doc_id, n_scored, neg_logprob_micro, avg_surprisal_micro)
+    for held-out docs with >= 1 trigram position, by doc_id.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda w: w != "",
+        ).alias("_t"),
+    )
+    train = toks.filter(F.col("doc_id") % train_mod == 0)
+    heldout = toks.filter(F.col("doc_id") % train_mod != 0)
+
+    n2 = lambda: F.greatest(F.size("_t") - 2, F.lit(0))
+    n1 = lambda: F.greatest(F.size("_t") - 1, F.lit(0))
+    tri_expr = F.zip_with(
+        F.slice(F.col("_t"), 1, n2()),
+        F.zip_with(
+            F.slice(F.col("_t"), 2, n2()),
+            F.slice(F.col("_t"), 3, n2()),
+            lambda b, c: F.concat(b, F.lit(" "), c),
+        ),
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    )
+    bg_expr = F.zip_with(
+        F.slice(F.col("_t"), 1, n1()),
+        F.slice(F.col("_t"), 2, n1()),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+    tri_stream = train.select(F.explode(tri_expr).alias("tri")).select(
+        F.split(F.col("tri"), " ", 3).alias("_p"), "tri"
+    ).select(
+        "tri",
+        F.col("_p")[0].alias("w1"),
+        F.col("_p")[1].alias("w2"),
+        F.col("_p")[2].alias("w3"),
+    )
+    tri_c = tri_stream.groupBy("tri", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c123")
+    )
+    # continuation totals + distinct-continuation counts per context
+    ctx12 = tri_c.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"),
+        F.count(F.lit(1)).alias("n1p12"),  # rows are distinct types
+    )
+    # mid-order type counts over the trigram TYPE table
+    mid_num = tri_c.groupBy("w2", "w3").agg(
+        F.countDistinct("w1").alias("n1p_vw")
+    )
+    mid_den = tri_c.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n1p_mid"),
+        F.countDistinct("w3").alias("n1p_vdot"),
+    )
+    # unigram continuation counts over the bigram TYPE table
+    bg_types = (
+        train.select(F.explode(bg_expr).alias("bg"))
+        .distinct()
+        .select(F.split(F.col("bg"), " ", 2).alias("_p"))
+        .select(F.col("_p")[0].alias("wp"), F.col("_p")[1].alias("w"))
+    )
+    uni_cont = bg_types.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n1p_dotw")
+    )
+    vocab_n = train.select(F.explode("_t").alias("w")).agg(
+        F.countDistinct("w").alias("vv")
+    )
+    totals = bg_types.agg(F.count(F.lit(1)).alias("n1pdd")).crossJoin(
+        vocab_n
+    )
+
+    positions = heldout.select("doc_id", F.explode(tri_expr).alias("tri"))
+    need = (
+        positions.select("tri")
+        .distinct()
+        .select("tri", F.split(F.col("tri"), " ", 3).alias("_p"))
+        .select(
+            "tri",
+            F.col("_p")[0].alias("w1"),
+            F.col("_p")[1].alias("w2"),
+            F.col("_p")[2].alias("w3"),
+        )
+    )
+    D = F.lit(0.75)
+    joined = (
+        need.join(tri_c.select("tri", "c123"), "tri", "left")
+        .join(ctx12, ["w1", "w2"], "left")
+        .join(mid_num, ["w2", "w3"], "left")
+        .join(mid_den, "w2", "left")
+        .join(uni_cont.withColumnRenamed("w", "w3"), "w3", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p1 = (F.coalesce(F.col("n1p_dotw"), F.lit(0)) + F.lit(1)) / (
+        F.col("n1pdd") + F.col("vv") + F.lit(1)
+    )
+    p2 = F.when(
+        F.col("n1p_mid").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("n1p_vw"), F.lit(0)) - D, F.lit(0.0)
+            )
+            / F.col("n1p_mid")
+        )
+        + (((D * F.col("n1p_vdot")) / F.col("n1p_mid")) * p1),
+    ).otherwise(p1)
+    p3 = F.when(
+        F.col("c12").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("c123"), F.lit(0)) - D, F.lit(0.0)
+            )
+            / F.col("c12")
+        )
+        + (((D * F.col("n1p12")) / F.col("c12")) * p2),
+    ).otherwise(p2)
+    p_micro = F.greatest(
+        F.floor(p3 * F.lit(1e9) + F.lit(0.5)).cast("bigint"), F.lit(1)
+    )
+    s_micro = (
+        F.floor(F.log(p_micro.cast("double")) * 1e6 + F.lit(0.5)).cast(
+            "bigint"
+        )
+        - F.lit(KN_LN_SCALE_MICRO)
+    )
+    scored_tri = joined.select("tri", s_micro.alias("s_micro"))
+    return (
+        positions.join(scored_tri, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            (-F.sum("s_micro")).cast("bigint").alias("neg_logprob_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_scored",
+            "neg_logprob_micro",
+            F.expr("neg_logprob_micro DIV n_scored").alias(
+                "avg_surprisal_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )
