@@ -3349,6 +3349,31 @@ def _tok_words(s: SparkSession, d: str) -> DataFrame:
     return docs.select("doc_id", w.alias("word"))
 
 
+def _tokenize_corpus_gate(s: SparkSession, d: str) -> DataFrame:
+    """Corpus-side path end to end: two fixture words per doc, the
+    distinct-word WordPiece table joined back broadcast-side, per-doc
+    token totals. Oracle sums the golden per-word piece counts."""
+    docs = _t(s, d, "documents").select("doc_id")
+    arr = F.array(*[F.lit(x) for x in _TOK_WORDS])
+    text = F.concat(
+        F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(12)) + 1).cast("int")),
+        F.lit(" "),
+        F.element_at(
+            arr, (F.pmod(F.col("doc_id") + 5, F.lit(12)) + 1).cast("int")
+        ),
+    )
+    corpus = docs.select("doc_id", text.alias("text"))
+    pieces = tokenizers.wordpiece_encode(
+        corpus.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("word")
+        ).distinct(),
+        _WP_VOCAB,
+    )
+    return tokenizers.tokenize_corpus(corpus, pieces)
+
+
 def _wordpiece_gate(s: SparkSession, d: str) -> DataFrame:
     words = _tok_words(s, d)
     pieces = tokenizers.wordpiece_encode(
@@ -4039,6 +4064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # run on the distinct-word table, never the corpus
         "text_wordpiece_encode": _wordpiece_gate,
         "text_unigram_encode": _unigram_gate,
+        "text_tokenize_corpus": _tokenize_corpus_gate,
         # RFC 9309 robots semantics ('*' wildcards, '$' anchors,
         # longest-match-wins, allow-wins-ties) over the shared
         # parse_robot_rules output -- the modern twin of
@@ -6601,6 +6627,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(is_unk AS INT) AS is_unk
             FROM documents JOIN t ON CAST(doc_id % 12 AS INT) = idx
             ORDER BY doc_id
+        """,
+        "text_tokenize_corpus": """
+            WITH t(idx, n_pieces, is_unk) AS (VALUES
+                (0, 1, 0), (1, 2, 0), (2, 5, 0), (3, 3, 0),
+                (4, 4, 0), (5, 5, 0), (6, 5, 0), (7, 5, 0),
+                (8, 5, 0), (9, 3, 0), (10, 3, 0), (11, 1, 1))
+            SELECT d.doc_id,
+                   CAST(2 AS BIGINT) AS n_words,
+                   CAST(a.n_pieces + b.n_pieces AS BIGINT) AS n_tokens,
+                   CAST(a.is_unk + b.is_unk AS BIGINT) AS n_unk_words
+            FROM documents d
+            JOIN t a ON CAST(d.doc_id % 12 AS INT) = a.idx
+            JOIN t b ON CAST((d.doc_id + 5) % 12 AS INT) = b.idx
+            ORDER BY d.doc_id
         """,
         "text_unigram_encode": """
             WITH t(idx, word, pieces, n_pieces, score_micro) AS (VALUES
