@@ -4041,6 +4041,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp3_framewalk": lambda s, d: container.mp3_frame_stats(
             container.synthesize_mp3(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # REAL MPEG-1 Layer I subband decode (ISO 11172-3 2.4.3.3):
+        # bit allocation, scalefactors, mid-tread dequantization --
+        # the synthesis window (spec table C.1) is the only
+        # remaining external piece of the MPEG audio stack
+        "mm_mp3_layer1_decode": lambda s, d: container.decode_layer1(
+            container.synthesize_layer1(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # Morton/Z-order clustering key: pure Column bit-interleave
         # (whole-stage codegen) -> data-skipping file layout
         "layout_zorder": lambda s, d: layout.zorder_events(
@@ -4672,6 +4679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_wordpiece_encode",
         "text_unigram_encode",
         "text_kneser_ney_lm",
+        "mm_mp3_layer1_decode",
         # (b) semantics / schema / plan changed this round
         "source_warc_revisit",
         "source_cdx_index",
@@ -4679,7 +4687,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_webgraph_ranks",
         "text_pack_sequences",
         "text_zipf_profile",
-        "source_warc_roundtrip",
         "pipeline_archive_linkgraph",
         # (the six r2-green anchors and win_paginate from earlier
         # drafts of this rotation are displaced by the 8 new gates;
@@ -6459,6 +6466,43 @@ def oracle_sql() -> dict[str, str]:
         # GIF is palette-indexed: w*h single-channel values expanded
         # to gray RGB, so the three channel sums are equal and the
         # closed-form runs over w*h (not w*h*3) positions
+        # Layer I synth params are closed-form per (frame f, subband
+        # sb, granule g): i in [0,768) decomposes as f=i//384,
+        # sb=(i//12)%32, g=i%12; coded iff (sb+id+f)%4==0 with
+        # nb=3+(sb+id)%3 bits, code=(id*7+f*11+sb*5+g*3)%2^nb,
+        # scalefactor 2*2^-((sb+f)%3); the dequantization expression
+        # mirrors the decoder op-for-op (IEEE-exact, micro-quantized
+        # per sample before the order-independent bigint sum)
+        "mm_mp3_layer1_decode": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       [CAST(floor(
+                           (CASE ((i//12)%32 + i//384) % 3
+                                 WHEN 0 THEN 2.0
+                                 WHEN 1 THEN 1.0
+                                 ELSE 0.5 END)
+                           * ((2.0 * ((doc_id*7 + (i//384)*11
+                                       + ((i//12)%32)*5 + (i%12)*3)
+                                      % (1 << (3 + ((i//12)%32 + doc_id)
+                                               % 3))
+                                + 1
+                                - (1 << (2 + ((i//12)%32 + doc_id)
+                                         % 3))))
+                              / ((1 << (3 + ((i//12)%32 + doc_id) % 3))
+                                 - 1))
+                           * 1e6 + 0.5) AS BIGINT)
+                        FOR i IN range(0, 768)
+                        IF ((i//12)%32 + doc_id + i//384) % 4 = 0]
+                           AS micros
+                FROM documents
+            )
+            SELECT media_id, CAST(2 AS INT) AS n_frames,
+                   CAST(len(micros) AS BIGINT) AS n_coded,
+                   CAST(list_sum(micros) AS BIGINT) AS sum_micro,
+                   CAST(list_sum(list_transform(micros, x -> abs(x)))
+                        AS BIGINT) AS sum_abs_micro
+            FROM s ORDER BY media_id
+        """,
         # Morton interleave recomputed bit-by-bit: x bits at even
         # positions, y bits at odd (layout.zorder_key convention)
         "layout_zorder": """

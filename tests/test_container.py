@@ -182,3 +182,85 @@ def test_mp4_spark_operators_match_formula(spark, sf_smoke):
         assert audio[mid].sum_abs == int(
             np.abs((mid * 31 + i * 17) % 4096 - 2048).sum()
         )
+
+
+def test_layer1_roundtrip_exact_and_closed_form():
+    """Every coded sample decodes to exactly the closed-form
+    dequantization of its code -- the gate oracle's arithmetic."""
+    for mid in (0, 3, 7):
+        blob = C._layer1_blob(mid)
+        _, frames = C.parse_mpeg_audio_frames(blob)
+        assert [f["layer"] for f in frames] == [1, 1]
+        for f, fr in enumerate(frames):
+            got = sorted(
+                C.decode_mpeg1_layer1_frame(
+                    blob[fr["offset"] : fr["offset"] + fr["length"]]
+                )
+            )
+            exp = []
+            for g in range(12):
+                for sb in range(32):
+                    if (sb + mid + f) % 4 != 0:
+                        continue
+                    nb = 3 + (sb + mid) % 3
+                    c = (mid * 7 + f * 11 + sb * 5 + g * 3) % (1 << nb)
+                    sf = [2.0, 1.0, 0.5][(sb + f) % 3]
+                    s = sf * (
+                        2.0 * (c + 1 - (1 << (nb - 1))) / ((1 << nb) - 1)
+                    )
+                    exp.append((sb, g, s))
+            assert got == sorted(exp)
+
+
+def test_layer1_forbidden_allocation_rejected():
+    blob = bytearray(C._layer1_blob(1))
+    _, frames = C.parse_mpeg_audio_frames(bytes(blob))
+    off = frames[0]["offset"] + 4
+    blob[off] = 0xFF  # allocation codes 15,15 for subbands 0-1
+    with pytest.raises(ValueError, match="forbidden allocation"):
+        C.decode_mpeg1_layer1_frame(
+            bytes(blob)[frames[0]["offset"] : frames[0]["offset"]
+                        + frames[0]["length"]]
+        )
+
+
+def test_layer1_decoder_refuses_layer3_frames():
+    blob = C._mp3_blob(4)  # layer III stream
+    _, frames = C.parse_mpeg_audio_frames(blob)
+    with pytest.raises(ValueError, match="not layer I"):
+        C.decode_mpeg1_layer1_frame(
+            blob[frames[0]["offset"] : frames[0]["offset"]
+                 + frames[0]["length"]]
+        )
+
+
+def test_layer1_spark_decode_micro_sums(spark, sf_smoke):
+    import math
+
+    from commoncrawl_crawler_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_smoke).limit(4)
+    out = {
+        r.media_id: r
+        for r in C.decode_layer1(C.synthesize_layer1(docs)).collect()
+    }
+    for mid in out:
+        total = 0
+        total_abs = 0
+        for f in range(2):
+            for g in range(12):
+                for sb in range(32):
+                    if (sb + mid + f) % 4 != 0:
+                        continue
+                    nb = 3 + (sb + mid) % 3
+                    c = (mid * 7 + f * 11 + sb * 5 + g * 3) % (1 << nb)
+                    sf = [2.0, 1.0, 0.5][(sb + f) % 3]
+                    s = sf * (
+                        2.0 * (c + 1 - (1 << (nb - 1))) / ((1 << nb) - 1)
+                    )
+                    m = math.floor(s * 1e6 + 0.5)
+                    total += m
+                    total_abs += abs(m)
+        assert out[mid].n_coded == 192
+        assert out[mid].sum_micro == total
+        assert out[mid].sum_abs_micro == total_abs
