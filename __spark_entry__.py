@@ -62,6 +62,7 @@ from commoncrawl_crawler_spark.sources import (
     archive,
     ingest,
     load_table,
+    packfiles,
     sinks,
     xmlsource,
 )
@@ -4041,6 +4042,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp3_framewalk": lambda s, d: container.mp3_frame_stats(
             container.synthesize_mp3(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # pack-file sources: ustar member walk (checksum-validated --
+        # the WebDataset shard manifest) and zip central-directory
+        # extraction (stored + real zlib inflate, CRC-checked);
+        # stdlib-interop proven both directions in tests
+        "source_tar_members": lambda s, d: packfiles.tar_members(
+            packfiles.synthesize_tar(_t(s, d, "documents"))
+        ).orderBy("media_id", "name"),
+        "source_zip_extract": lambda s, d: packfiles.zip_members(
+            packfiles.synthesize_zip(_t(s, d, "documents"))
+        ).orderBy("media_id", "name"),
         # REAL MPEG-1 Layer I subband decode (ISO 11172-3 2.4.3.3):
         # bit allocation, scalefactors, mid-tread dequantization --
         # the synthesis window (spec table C.1) is the only
@@ -6466,6 +6477,45 @@ def oracle_sql() -> dict[str, str]:
         # GIF is palette-indexed: w*h single-channel values expanded
         # to gray RGB, so the three channel sums are equal and the
         # closed-form runs over w*h (not w*h*3) positions
+        # member contents are closed-form marker strings; DuckDB's
+        # md5() over the same constructed text mirrors the decoded-
+        # payload digest
+        "source_tar_members": """
+            WITH m AS (
+                SELECT doc_id AS media_id, k,
+                       'shard/' || CAST(doc_id AS VARCHAR) || '/' ||
+                           CASE k WHEN 0 THEN 'a.txt'
+                                  WHEN 1 THEN 'b.txt'
+                                  ELSE 'c.bin' END AS name,
+                       repeat('doc-' || CAST(doc_id AS VARCHAR) || '-'
+                              || CAST(k AS VARCHAR) || ';',
+                              CAST(3 + (doc_id + k) % 5 AS INT))
+                           AS content
+                FROM documents, (SELECT unnest([0, 1, 2]) AS k)
+            )
+            SELECT media_id, name, CAST(-1 AS INT) AS method,
+                   CAST(length(content) AS BIGINT) AS size,
+                   md5(content) AS content_md5
+            FROM m ORDER BY media_id, name
+        """,
+        "source_zip_extract": """
+            WITH m AS (
+                SELECT doc_id AS media_id, k,
+                       'z/' || CAST(doc_id AS VARCHAR) || '/' ||
+                           CASE k WHEN 0 THEN 'a.txt'
+                                  ELSE 'b.txt' END AS name,
+                       CASE k WHEN 0 THEN 0 ELSE 8 END AS method,
+                       repeat('doc-' || CAST(doc_id AS VARCHAR) || '-'
+                              || CAST(k AS VARCHAR) || ';',
+                              CAST(3 + (doc_id + k) % 5 AS INT))
+                           AS content
+                FROM documents, (SELECT unnest([0, 1]) AS k)
+            )
+            SELECT media_id, name, CAST(method AS INT) AS method,
+                   CAST(length(content) AS BIGINT) AS size,
+                   md5(content) AS content_md5
+            FROM m ORDER BY media_id, name
+        """,
         # Layer I synth params are closed-form per (frame f, subband
         # sb, granule g): i in [0,768) decomposes as f=i//384,
         # sb=(i//12)%32, g=i%12; coded iff (sb+id+f)%4==0 with

@@ -1,0 +1,318 @@
+"""Pack-file sources: POSIX tar (ustar) and ZIP archives.
+
+Training-data tier. Multimodal corpora ship as tar shards (the
+WebDataset convention: one tar per shard, members grouped by sample
+key) and as zip archives; a 100 TB ingest job must walk those
+containers where they land, exactly like the reference's ARC reader
+walks gzip members (sources/archive.py). Both parsers here are real:
+
+* tar: 512-byte ustar headers -- octal size fields, header checksum
+  VALIDATED (sum of header bytes with the chksum field blanked to
+  spaces), typeflag, name+prefix reassembly, content padded to block
+  size, end-of-archive = two zero blocks.
+* zip: end-of-central-directory located by signature scan from the
+  tail, central-directory walk (names, method, sizes, local-header
+  offsets), member extraction through the local header, STORED and
+  DEFLATE (zlib stdlib -- a real inflate) methods, CRC32 VALIDATED
+  against the directory entry.
+
+Spark shape: archives are opaque binary blobs; member walks run in
+Arrow-batched mapInPandas (one task per archive -- archives are
+size-capped by the writer that rotated them), and only member
+METADATA rows (name, size, digest) shuffle, never payload bytes,
+unless the caller explicitly selects member content out.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.multimodal import _synthesize_media
+
+# --------------------------------------------------------------------
+# tar (POSIX ustar)
+# --------------------------------------------------------------------
+
+
+def _octal(value: int, width: int) -> bytes:
+    return (f"{value:0{width - 1}o}").encode("ascii") + b"\x00"
+
+
+def build_tar_bytes(members: list[tuple[str, bytes]]) -> bytes:
+    """Minimal ustar writer for fixtures: regular files only."""
+    out = bytearray()
+    for name, content in members:
+        nb = name.encode("utf-8")
+        if len(nb) > 100:
+            raise ValueError("fixture names fit the 100-byte field")
+        hdr = bytearray(512)
+        hdr[0 : len(nb)] = nb
+        hdr[100:108] = _octal(0o644, 8)
+        hdr[108:116] = _octal(0, 8)
+        hdr[116:124] = _octal(0, 8)
+        hdr[124:136] = _octal(len(content), 12)
+        hdr[136:148] = _octal(0, 12)
+        hdr[148:156] = b" " * 8  # checksum blank for computation
+        hdr[156] = ord("0")  # regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chksum = sum(hdr)
+        hdr[148:155] = (f"{chksum:06o}").encode("ascii") + b"\x00"
+        hdr[155] = 0x20
+        out += hdr
+        out += content
+        pad = (-len(content)) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def parse_tar_members(blob: bytes) -> list[dict]:
+    """Walk ustar headers; returns member dicts with validated
+    checksums. Raises on a corrupt header or truncated archive."""
+    members = []
+    pos = 0
+    while pos + 512 <= len(blob):
+        hdr = blob[pos : pos + 512]
+        if hdr == b"\x00" * 512:
+            break  # end-of-archive marker
+        # integrity first: a corrupt header must fail the checksum,
+        # not surface as a downstream decode error
+        try:
+            size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+            stored_ck = int(hdr[148:156].replace(b"\x00", b" ").strip(), 8)
+        except ValueError as exc:
+            raise ValueError(f"corrupt tar header at {pos}") from exc
+        computed = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if computed != stored_ck:
+            raise ValueError(f"tar checksum mismatch at {pos}")
+        name = hdr[0:100].split(b"\x00", 1)[0].decode("utf-8")
+        prefix = hdr[345:500].split(b"\x00", 1)[0].decode("utf-8")
+        if prefix:
+            name = prefix + "/" + name
+        typeflag = chr(hdr[156]) if hdr[156] else "0"
+        data_start = pos + 512
+        if data_start + size > len(blob):
+            raise ValueError(f"truncated tar member at {pos}")
+        members.append(
+            {
+                "name": name,
+                "size": size,
+                "typeflag": typeflag,
+                "offset": data_start,
+                "content": blob[data_start : data_start + size],
+            }
+        )
+        pos = data_start + size + ((-size) % 512)
+    else:
+        raise ValueError("tar without end-of-archive marker")
+    return members
+
+
+# --------------------------------------------------------------------
+# zip
+# --------------------------------------------------------------------
+
+_EOCD_SIG = b"PK\x05\x06"
+_CDIR_SIG = b"PK\x01\x02"
+_LOCAL_SIG = b"PK\x03\x04"
+
+
+def build_zip_bytes(members: list[tuple[str, bytes, int]]) -> bytes:
+    """Minimal zip writer for fixtures: (name, content, method) with
+    method 0 = stored, 8 = deflate (raw zlib stream, wbits=-15)."""
+    out = bytearray()
+    central = bytearray()
+    for name, content, method in members:
+        nb = name.encode("utf-8")
+        crc = zlib.crc32(content) & 0xFFFFFFFF
+        if method == 8:
+            comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = comp.compress(content) + comp.flush()
+        elif method == 0:
+            payload = content
+        else:
+            raise ValueError(f"unsupported method {method}")
+        local_off = len(out)
+        out += _LOCAL_SIG + struct.pack(
+            "<HHHHHIIIHH",
+            20, 0, method, 0, 0, crc, len(payload), len(content),
+            len(nb), 0,
+        )
+        out += nb + payload
+        central += _CDIR_SIG + struct.pack(
+            "<HHHHHHIIIHHHHHII",
+            20, 20, 0, method, 0, 0, crc, len(payload), len(content),
+            len(nb), 0, 0, 0, 0, 0, local_off,
+        )
+        central += nb
+    cd_off = len(out)
+    out += central
+    out += _EOCD_SIG + struct.pack(
+        "<HHHHIIH",
+        0, 0, len(members), len(members), len(central), cd_off, 0,
+    )
+    return bytes(out)
+
+
+def parse_zip_members(blob: bytes) -> list[dict]:
+    """EOCD scan from the tail, central-directory walk, extraction
+    through the local header with CRC32 validation. STORED and
+    DEFLATE members decode; other methods raise."""
+    scan_from = max(0, len(blob) - 65536 - 22)
+    eocd = blob.rfind(_EOCD_SIG, scan_from)
+    if eocd < 0:
+        raise ValueError("no zip end-of-central-directory")
+    (_, _, n_here, n_total, cd_size, cd_off, _) = struct.unpack(
+        "<HHHHIIH", blob[eocd + 4 : eocd + 22]
+    )
+    members = []
+    pos = cd_off
+    for _ in range(n_total):
+        if blob[pos : pos + 4] != _CDIR_SIG:
+            raise ValueError(f"bad central-directory entry at {pos}")
+        (
+            _, _, _, method, _, _, crc, csize, usize,
+            nlen, xlen, clen, _, _, _, local_off,
+        ) = struct.unpack("<HHHHHHIIIHHHHHII", blob[pos + 4 : pos + 46])
+        name = blob[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        pos += 46 + nlen + xlen + clen
+        if blob[local_off : local_off + 4] != _LOCAL_SIG:
+            raise ValueError(f"bad local header for {name}")
+        lnlen, lxlen = struct.unpack(
+            "<HH", blob[local_off + 26 : local_off + 30]
+        )
+        data_start = local_off + 30 + lnlen + lxlen
+        payload = blob[data_start : data_start + csize]
+        if method == 0:
+            content = payload
+        elif method == 8:
+            content = zlib.decompress(payload, -15)
+        else:
+            raise NotImplementedError(
+                f"zip compression method {method} needs an external codec"
+            )
+        if len(content) != usize:
+            raise ValueError(f"size mismatch for {name}")
+        if (zlib.crc32(content) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"crc mismatch for {name}")
+        members.append(
+            {
+                "name": name,
+                "method": method,
+                "size": usize,
+                "compressed_size": csize,
+                "content": content,
+            }
+        )
+    return members
+
+
+# --------------------------------------------------------------------
+# synthesizers + Spark operators
+# --------------------------------------------------------------------
+
+
+def _member_text(mid: int, k: int) -> bytes:
+    """Closed-form member content (oracle-mirrored): the marker
+    string repeated 3 + (mid+k) % 5 times."""
+    return (f"doc-{mid}-{k};" * (3 + (mid + k) % 5)).encode("ascii")
+
+
+def _tar_blob(mid: int) -> bytes:
+    return build_tar_bytes(
+        [
+            (f"shard/{mid}/a.txt", _member_text(mid, 0)),
+            (f"shard/{mid}/b.txt", _member_text(mid, 1)),
+            (f"shard/{mid}/c.bin", _member_text(mid, 2)),
+        ]
+    )
+
+
+def _zip_blob(mid: int) -> bytes:
+    return build_zip_bytes(
+        [
+            (f"z/{mid}/a.txt", _member_text(mid, 0), 0),  # stored
+            (f"z/{mid}/b.txt", _member_text(mid, 1), 8),  # deflate
+        ]
+    )
+
+
+def synthesize_tar(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _tar_blob)
+
+
+def synthesize_zip(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _zip_blob)
+
+
+PACK_MEMBERS = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("name", StringType()),
+        StructField("method", IntegerType()),  # tar: -1
+        StructField("size", LongType()),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+
+def tar_members(media: DataFrame) -> DataFrame:
+    """One row per tar member: name, size, payload md5 (the
+    WebDataset shard manifest a sampler builds before training)."""
+    import hashlib
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PACK_MEMBERS.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                for m in parse_tar_members(bytes(blob)):
+                    rows["media_id"].append(int(mid))
+                    rows["name"].append(m["name"])
+                    rows["method"].append(-1)
+                    rows["size"].append(m["size"])
+                    rows["content_md5"].append(
+                        hashlib.md5(m["content"]).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _walk, PACK_MEMBERS
+    )
+
+
+def zip_members(media: DataFrame) -> DataFrame:
+    """One row per zip member with the DECODED payload md5 -- stored
+    members pass through, deflate members run a real inflate, both
+    CRC-checked against the central directory."""
+    import hashlib
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PACK_MEMBERS.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                for m in parse_zip_members(bytes(blob)):
+                    rows["media_id"].append(int(mid))
+                    rows["name"].append(m["name"])
+                    rows["method"].append(m["method"])
+                    rows["size"].append(m["size"])
+                    rows["content_md5"].append(
+                        hashlib.md5(m["content"]).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _walk, PACK_MEMBERS
+    )
