@@ -3318,6 +3318,86 @@ def _editdist_hosts(s, d):
     )
 
 
+def _warc_dechunk_gate(s: SparkSession, d: str) -> DataFrame:
+    """documents -> WARC responses where EVEN docs carry RFC 9112
+    chunked bodies (hex size lines with a chunk extension, split at
+    deterministic character offsets, trailer section after the 0
+    chunk) and odd docs identity bodies -> http extract -> dechunk.
+    The decoded body must be the exact UTF-8 bytes of the text either
+    way; the oracle recomputes byte length + md5 from the table."""
+    tmp = _scratch("warcchunk", d, fresh=True)
+    did = F.col("doc_id")
+
+    def _part_chunk(part, ext):
+        blen = F.length(F.encode(part, "UTF-8"))
+        return F.when(
+            blen > 0,
+            F.concat(
+                F.lower(F.hex(blen)),
+                F.lit(ext),
+                F.lit("\r\n"),
+                part,
+                F.lit("\r\n"),
+            ),
+        ).otherwise(F.lit(""))
+
+    docs0 = (
+        _t(s, d, "documents")
+        .withColumn("_n1", (F.lit(5) + F.pmod(did, F.lit(7))).cast("int"))
+        .withColumn("_n2", (F.lit(9) + F.pmod(did, F.lit(5))).cast("int"))
+        .withColumn("_p1", F.expr("substring(text, 1, _n1)"))
+        .withColumn("_p2", F.expr("substring(text, _n1 + 1, _n2)"))
+        .withColumn("_p3", F.expr("substring(text, _n1 + _n2 + 1)"))
+    )
+    chunked_body = F.concat(
+        _part_chunk(F.col("_p1"), ";x=1"),
+        _part_chunk(F.col("_p2"), ""),
+        _part_chunk(F.col("_p3"), ""),
+        F.lit("0\r\nX-Trail: done\r\n\r\n"),
+    )
+    is_even = did % 2 == 0
+    http_block = F.encode(
+        F.concat(
+            F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"),
+            F.when(
+                is_even, F.lit("Transfer-Encoding: chunked\r\n")
+            ).otherwise(F.lit("")),
+            F.lit("X-Doc: "),
+            did.cast("string"),
+            F.lit("\r\n\r\n"),
+            F.when(is_even, chunked_body).otherwise(F.col("text")),
+        ),
+        "UTF-8",
+    )
+    docs = docs0.select(
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("<urn:uuid:c"), did.cast("string"), F.lit(">")).alias(
+            "record_id"
+        ),
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/c/"),
+            did.cast("string"),
+        ).alias("target_uri"),
+        F.format_string(
+            "2024-05-%02dT%02d:%02d:00Z", did % 28 + 1, did % 24, did % 60
+        ).alias("warc_date"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        http_block.alias("block"),
+    )
+    archive.write_warc(docs, tmp)
+    out = archive.dechunk_http_bodies(
+        archive.warc_http_responses(archive.read_warc(s, tmp))
+    )
+    return out.select(
+        F.regexp_extract("target_uri", "/c/(\\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "was_chunked",
+        F.length("body").cast("long").alias("body_bytes"),
+        F.md5("body").alias("body_md5"),
+    ).orderBy("doc_id")
+
+
 # tokenizer-gate fixture: 12 words chosen per doc_id, a WordPiece
 # vocab and a Unigram score table small enough that the oracle is a
 # literal golden table (derived by exhaustive enumeration in
@@ -4046,6 +4126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the WebDataset shard manifest) and zip central-directory
         # extraction (stored + real zlib inflate, CRC-checked);
         # stdlib-interop proven both directions in tests
+        # RFC 9112 chunked transfer-encoding decode behind the pure-
+        # Column HTTP extract: flag JVM-side, kernel only where set
+        "source_warc_dechunk": _warc_dechunk_gate,
         "source_tar_members": lambda s, d: packfiles.tar_members(
             packfiles.synthesize_tar(_t(s, d, "documents"))
         ).orderBy("media_id", "name"),
@@ -6477,6 +6560,17 @@ def oracle_sql() -> dict[str, str]:
         # GIF is palette-indexed: w*h single-channel values expanded
         # to gray RGB, so the three channel sums are equal and the
         # closed-form runs over w*h (not w*h*3) positions
+        # the decoded body must equal the utf-8 bytes of text exactly
+        # (strlen = byte length; md5 hashes utf8) whether it traveled
+        # chunked (even ids) or identity (odd)
+        "source_warc_dechunk": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                        AS INT) AS was_chunked,
+                   CAST(strlen(text) AS BIGINT) AS body_bytes,
+                   md5(text) AS body_md5
+            FROM documents ORDER BY doc_id
+        """,
         # member contents are closed-form marker strings; DuckDB's
         # md5() over the same constructed text mirrors the decoded-
         # payload digest

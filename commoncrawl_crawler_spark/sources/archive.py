@@ -848,9 +848,85 @@ def warc_http_responses(warc: DataFrame) -> DataFrame:
         F.regexp_extract(
             head, "(?i)\\r\\ncontent-type:[ \\t]*([^\\r\\n]*)", 1
         ).alias("http_content_type"),
+        F.regexp_extract(
+            head, "(?i)\\r\\ntransfer-encoding:[ \\t]*([^\\r\\n]*)", 1
+        ).alias("transfer_encoding"),
         F.encode(F.expr("substring(_txt, _sep + 4)"), "ISO-8859-1").alias(
             "body"
         ),
+    )
+
+
+def dechunk_bytes(body: bytes) -> bytes:
+    """RFC 9112 section 7.1 chunked-transfer decode: hex size line
+    (chunk extensions after ';' ignored), exact-size chunk + CRLF,
+    0-size terminator, then optional trailer fields up to the final
+    empty line. Raises ValueError naming the offset on malformed
+    framing -- crawl archives are full of it."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError(f"chunked: missing size line at {pos}")
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as exc:
+            raise ValueError(f"chunked: bad size at {pos}") from exc
+        pos = nl + 2
+        if size == 0:
+            # trailer section: fields until the terminating CRLF
+            while True:
+                tnl = body.find(b"\r\n", pos)
+                if tnl < 0:
+                    raise ValueError(
+                        f"chunked: unterminated trailers at {pos}"
+                    )
+                if tnl == pos:  # empty line = end of message
+                    return bytes(out)
+                pos = tnl + 2
+        if pos + size + 2 > len(body):
+            raise ValueError(f"chunked: truncated chunk at {pos}")
+        out += body[pos : pos + size]
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError(f"chunked: missing chunk CRLF at {pos}")
+        pos += size + 2
+
+
+def dechunk_http_bodies(responses: DataFrame) -> DataFrame:
+    """Decode chunked transfer-encoding in extracted HTTP bodies.
+
+    The chunked predicate evaluates JVM-side; the Arrow-batched
+    kernel runs the real RFC 9112 decode ONLY where the flag is set
+    (the second argument gates it row-by-row inside the batch, so the
+    vectorized UDF never parses a non-chunked body even though Spark
+    evaluates it unconditionally). At 100 TB the overwhelmingly
+    common identity path stays pure-JVM-column cost plus one flag
+    comparison per row.
+
+    Input: warc_http_responses output. Output: same columns with
+    `body` decoded and `was_chunked` (int) appended.
+    """
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def _dechunk(bodies: pd.Series, flags: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                dechunk_bytes(bytes(b)) if f else (
+                    bytes(b) if b is not None else None
+                )
+                for b, f in zip(bodies, flags)
+            ]
+        )
+
+    is_chunked = F.lower(F.col("transfer_encoding")).contains("chunked")
+    return responses.withColumn(
+        "was_chunked", is_chunked.cast("int")
+    ).withColumn(
+        "body", _dechunk(F.col("body"), is_chunked)
     )
 
 

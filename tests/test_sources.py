@@ -996,3 +996,51 @@ def test_revisit_dedup_keeps_first_and_rewrites_duplicates(spark, tmp_path):
     assert hdrs2["WARC-Refers-To"] == "<urn:uuid:a>"
     assert hdrs2["WARC-Payload-Digest"] == hdrs["WARC-Payload-Digest"]
     assert out["<urn:uuid:m>"]["warc_type"] == "metadata"  # untouched
+
+
+def test_dechunk_bytes_rfc9112_cases():
+    """Chunk extensions, trailers, empty body, and the malformed
+    framings crawl archives actually contain."""
+    from commoncrawl_crawler_spark.sources.archive import dechunk_bytes
+
+    body = (
+        b"4;ext=v\r\nWiki\r\n"
+        b"5\r\npedia\r\n"
+        b"0\r\nX-Trailer: yes\r\n\r\n"
+    )
+    assert dechunk_bytes(body) == b"Wikipedia"
+    assert dechunk_bytes(b"0\r\n\r\n") == b""
+    # binary-safe: chunk data may contain CRLF
+    assert dechunk_bytes(b"6\r\na\r\nb!!\r\n0\r\n\r\n") == b"a\r\nb!!"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad size"):
+        dechunk_bytes(b"zz\r\nabcd\r\n0\r\n\r\n")
+    with _pytest.raises(ValueError, match="missing chunk CRLF"):
+        dechunk_bytes(b"4\r\nWikiXX0\r\n\r\n")
+    with _pytest.raises(ValueError, match="truncated chunk"):
+        dechunk_bytes(b"ff\r\nshort\r\n")
+    with _pytest.raises(ValueError, match="unterminated trailers"):
+        dechunk_bytes(b"0\r\nX-T: 1\r\n")
+
+
+def test_dechunk_http_bodies_flag_gated(spark):
+    """Only flagged rows run the kernel; identity rows pass through
+    byte-exact even when their body LOOKS chunked."""
+    from commoncrawl_crawler_spark.sources.archive import (
+        dechunk_http_bodies,
+    )
+
+    looks_chunked = b"4\r\nWiki\r\n0\r\n\r\n"
+    df = spark.createDataFrame(
+        [
+            (1, "chunked", looks_chunked),
+            (2, "", looks_chunked),  # identity: keep raw bytes
+            (3, "Chunked", b"3\r\nabc\r\n0\r\nT: v\r\n\r\n"),
+        ],
+        "id long, transfer_encoding string, body binary",
+    )
+    out = {r.id: r for r in dechunk_http_bodies(df).collect()}
+    assert bytes(out[1].body) == b"Wiki" and out[1].was_chunked == 1
+    assert bytes(out[2].body) == looks_chunked and out[2].was_chunked == 0
+    assert bytes(out[3].body) == b"abc"
