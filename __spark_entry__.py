@@ -4135,6 +4135,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_zip_extract": lambda s, d: packfiles.zip_members(
             packfiles.synthesize_zip(_t(s, d, "documents"))
         ).orderBy("media_id", "name"),
+        # EXIF/TIFF metadata: APP1 marker walk + IFD parse (both byte
+        # orders, nested Exif IFD, out-of-line ASCII/RATIONAL), with
+        # the carrier JPEG decoded to prove the image stays intact
+        "mm_exif_metadata": lambda s, d: container.exif_metadata(
+            container.synthesize_exif_jpeg(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # REAL MPEG-1 Layer I subband decode (ISO 11172-3 2.4.3.3):
         # bit allocation, scalefactors, mid-tread dequantization --
         # the synthesis window (spec table C.1) is the only
@@ -6609,6 +6615,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(content) AS BIGINT) AS size,
                    md5(content) AS content_md5
             FROM m ORDER BY media_id, name
+        """,
+        "mm_exif_metadata": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+                       AS byte_order,
+                   CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+                   CAST(8 AS INT) AS height,
+                   CAST(1 + doc_id % 8 AS INT) AS orientation,
+                   'cam-' || CAST(doc_id % 5 AS VARCHAR) AS make,
+                   CAST(100 * (1 + doc_id % 4) AS INT) AS iso,
+                   CAST(28 + 10 * (doc_id % 3) AS INT) AS fnum_num,
+                   CAST(10 AS INT) AS fnum_den,
+                   CAST(8 * (1 + doc_id % 3) * 8 * ((doc_id * 7) % 256)
+                        AS BIGINT) AS decoded_sum
+            FROM documents ORDER BY doc_id
         """,
         # Layer I synth params are closed-form per (frame f, subband
         # sb, granule g): i in [0,768) decomposes as f=i//384,

@@ -1015,3 +1015,218 @@ def decode_layer1(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         _decode, LAYER1_STATS
     )
+
+
+# --------------------------------------------------------------------
+# EXIF / TIFF metadata (JPEG APP1) -- both byte orders, nested IFDs
+# --------------------------------------------------------------------
+
+
+def _tiff_entry(order: str, tag: int, typ: int, count: int, value) -> bytes:
+    e = struct.pack(order + "HHI", tag, typ, count)
+    if isinstance(value, bytes):
+        return e + value.ljust(4, b"\x00")[:4]
+    return e + struct.pack(order + "I", value)
+
+
+def build_exif_tiff(
+    byte_order: str,  # 'II' or 'MM'
+    width: int,
+    height: int,
+    orientation: int,
+    make: str,
+    iso: int,
+    fnumber: tuple[int, int],
+) -> bytes:
+    """Minimal real TIFF/EXIF block: IFD0 (dims, orientation, Make as
+    an out-of-line ASCII value, Exif sub-IFD pointer) + Exif IFD (ISO
+    short, FNumber RATIONAL out-of-line)."""
+    order = "<" if byte_order == "II" else ">"
+    make_b = make.encode("ascii") + b"\x00"
+    # layout: header(8) IFD0(2+5*12+4) exif_ifd(2+2*12+4) make fnum
+    ifd0_at = 8
+    exif_at = ifd0_at + 2 + 5 * 12 + 4
+    make_at = exif_at + 2 + 2 * 12 + 4
+    fnum_at = make_at + len(make_b)
+    hdr = (byte_order.encode("ascii")
+           + struct.pack(order + "HI", 42, ifd0_at))
+    ifd0 = struct.pack(order + "H", 5)
+    ifd0 += _tiff_entry(order, 0x0100, 3, 1,
+                        struct.pack(order + "HH", width, 0))
+    ifd0 += _tiff_entry(order, 0x0101, 3, 1,
+                        struct.pack(order + "HH", height, 0))
+    # TIFF rule: values of <= 4 bytes are stored INLINE in the value
+    # field (left-justified); only wider values live at an offset
+    if len(make_b) <= 4:
+        ifd0 += _tiff_entry(order, 0x010F, 2, len(make_b), make_b)
+    else:
+        ifd0 += _tiff_entry(order, 0x010F, 2, len(make_b), make_at)
+    ifd0 += _tiff_entry(order, 0x0112, 3, 1,
+                        struct.pack(order + "HH", orientation, 0))
+    ifd0 += _tiff_entry(order, 0x8769, 4, 1, exif_at)
+    ifd0 += struct.pack(order + "I", 0)  # no next IFD
+    exif = struct.pack(order + "H", 2)
+    exif += _tiff_entry(order, 0x829D, 5, 1, fnum_at)  # FNumber
+    exif += _tiff_entry(order, 0x8827, 3, 1,
+                        struct.pack(order + "HH", iso, 0))
+    exif += struct.pack(order + "I", 0)
+    tail = make_b + struct.pack(order + "II", *fnumber)
+    return hdr + ifd0 + exif + tail
+
+
+def parse_exif_tiff(tiff: bytes) -> dict:
+    """Real TIFF IFD walk: both byte orders, SHORT/LONG/ASCII/
+    RATIONAL values, inline vs out-of-line storage (values wider than
+    4 bytes live at an offset), nested Exif IFD via tag 0x8769."""
+    bo = tiff[:2]
+    if bo == b"II":
+        order = "<"
+    elif bo == b"MM":
+        order = ">"
+    else:
+        raise ValueError(f"bad TIFF byte order {bo!r}")
+    magic, ifd0 = struct.unpack(order + "HI", tiff[2:8])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+
+    def read_value(typ, count, raw):
+        if typ == 3:  # SHORT
+            return struct.unpack(order + "H", raw[:2])[0]
+        if typ == 4:  # LONG
+            return struct.unpack(order + "I", raw[:4])[0]
+        raise ValueError(f"inline type {typ} unsupported")
+
+    def walk(ifd_at, out):
+        (n,) = struct.unpack(order + "H", tiff[ifd_at : ifd_at + 2])
+        for i in range(n):
+            e = ifd_at + 2 + 12 * i
+            tag, typ, count = struct.unpack(
+                order + "HHI", tiff[e : e + 8]
+            )
+            raw = tiff[e + 8 : e + 12]
+            if typ == 2:  # ASCII, NUL-terminated, usually out-of-line
+                off = struct.unpack(order + "I", raw)[0] if count > 4 else e + 8
+                val = tiff[off : off + count].split(b"\x00", 1)[0].decode(
+                    "ascii"
+                )
+            elif typ == 5:  # RATIONAL: 2 LONGs at offset
+                off = struct.unpack(order + "I", raw)[0]
+                val = struct.unpack(order + "II", tiff[off : off + 8])
+            else:
+                val = read_value(typ, count, raw)
+            if tag == 0x8769:
+                walk(val, out)
+            else:
+                out[tag] = val
+        return out
+
+    out = walk(ifd0, {"byte_order": bo.decode("ascii")})
+    return out
+
+
+def embed_exif_jpeg(jpeg: bytes, tiff: bytes) -> bytes:
+    """Insert an APP1 Exif segment right after SOI -- where real
+    cameras put it."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def extract_exif_from_jpeg(jpeg: bytes) -> dict | None:
+    """Marker walk to the APP1 Exif segment (skipping other APPn);
+    None when the image carries no Exif."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            raise ValueError(f"bad marker at {pos}")
+        marker = jpeg[pos + 1]
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no more APPn
+            return None
+        (seg_len,) = struct.unpack(">H", jpeg[pos + 2 : pos + 4])
+        if marker == 0xE1 and jpeg[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            return parse_exif_tiff(jpeg[pos + 10 : pos + 2 + seg_len])
+        pos += 2 + seg_len
+    raise ValueError("truncated JPEG marker stream")
+
+
+def _exif_params(mid: int):
+    return {
+        "byte_order": "II" if mid % 2 == 0 else "MM",
+        "width": 8 * (1 + mid % 3),
+        "height": 8,
+        "orientation": 1 + mid % 8,
+        "make": f"cam-{mid % 5}",
+        "iso": 100 * (1 + mid % 4),
+        "fnumber": (28 + 10 * (mid % 3), 10),
+    }
+
+
+def _exif_blob(mid: int) -> bytes:
+    p = _exif_params(mid)
+    w, h = p["width"], p["height"]
+    import numpy as np  # noqa: F811 -- kernel-local
+
+    px = np.full(w * h, (mid * 7) % 256, dtype=np.int64)
+    jpeg = encode_jpeg_gray(w, h, px)
+    tiff = build_exif_tiff(
+        p["byte_order"], w, h, p["orientation"], p["make"], p["iso"],
+        p["fnumber"],
+    )
+    return embed_exif_jpeg(jpeg, tiff)
+
+
+def synthesize_exif_jpeg(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _exif_blob)
+
+
+EXIF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("byte_order", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("orientation", IntegerType()),
+        StructField("make", StringType()),
+        StructField("iso", IntegerType()),
+        StructField("fnum_num", IntegerType()),
+        StructField("fnum_den", IntegerType()),
+        StructField("decoded_sum", LongType()),
+    ]
+)
+
+
+def exif_metadata(media: DataFrame) -> DataFrame:
+    """APP1 Exif walk + TIFF IFD parse per image, AND a real decode of
+    the carrying JPEG through the in-repo T.81 kernel (proving the
+    APP1 injection left the image intact)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in EXIF_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                meta = extract_exif_from_jpeg(blob)
+                if meta is None:
+                    raise ValueError(
+                        f"missing Exif for media_id={int(mid)}"
+                    )
+                _, _, gray = parse_jpeg_gray(blob)
+                rows["media_id"].append(int(mid))
+                rows["byte_order"].append(meta["byte_order"])
+                rows["width"].append(meta[0x0100])
+                rows["height"].append(meta[0x0101])
+                rows["orientation"].append(meta[0x0112])
+                rows["make"].append(meta[0x010F])
+                rows["iso"].append(meta[0x8827])
+                rows["fnum_num"].append(meta[0x829D][0])
+                rows["fnum_den"].append(meta[0x829D][1])
+                rows["decoded_sum"].append(int(gray.sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _extract, EXIF_SCHEMA
+    )

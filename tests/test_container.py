@@ -264,3 +264,39 @@ def test_layer1_spark_decode_micro_sums(spark, sf_smoke):
         assert out[mid].n_coded == 192
         assert out[mid].sum_micro == total
         assert out[mid].sum_abs_micro == total_abs
+
+
+def test_exif_both_byte_orders_and_nested_ifd():
+    for bo in ("II", "MM"):
+        tiff = C.build_exif_tiff(bo, 640, 480, 6, "TestCam", 400, (18, 10))
+        meta = C.parse_exif_tiff(tiff)
+        assert meta["byte_order"] == bo
+        assert (meta[0x0100], meta[0x0101]) == (640, 480)
+        assert meta[0x0112] == 6 and meta[0x010F] == "TestCam"
+        assert meta[0x8827] == 400 and meta[0x829D] == (18, 10)
+
+
+def test_exif_marker_walk_skips_other_appn_and_handles_absence():
+    jpeg = _flat_frame(8, 8, 30)
+    # insert a JFIF APP0 before the Exif APP1
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    tiff = C.build_exif_tiff("II", 8, 8, 1, "X", 100, (1, 1))
+    with_exif = C.embed_exif_jpeg(jpeg[:2] + app0 + jpeg[2:], tiff)
+    # APP1 lands before APP0 here; either way the walk must find it
+    meta = C.extract_exif_from_jpeg(with_exif)
+    assert meta[0x010F] == "X"
+    assert C.extract_exif_from_jpeg(jpeg) is None  # no Exif at all
+    with pytest.raises(ValueError, match="bad TIFF byte order"):
+        C.parse_exif_tiff(b"XX" + b"\x00" * 16)
+
+
+def test_exif_jpeg_still_decodes():
+    from commoncrawl_crawler_spark.operators.multimodal import (
+        parse_jpeg_gray as pjg,
+    )
+
+    blob = C._exif_blob(5)
+    p = C._exif_params(5)
+    w, h, gray = pjg(blob)
+    assert (w, h) == (p["width"], p["height"])
+    assert (gray == (5 * 7) % 256).all()
