@@ -4135,6 +4135,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_zip_extract": lambda s, d: packfiles.zip_members(
             packfiles.synthesize_zip(_t(s, d, "documents"))
         ).orderBy("media_id", "name"),
+        # shot-boundary detection over the MJPEG track: every frame
+        # decoded in-repo, cuts where mean-luma (x256, exact integer)
+        # jumps > 16 gray levels -- the per-shot frame-sampling basis
+        "mm_mp4_shot_detect": lambda s, d: container.detect_shots(
+            container.synthesize_mp4(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # EXIF/TIFF metadata: APP1 marker walk + IFD parse (both byte
         # orders, nested Exif IFD, out-of-line ASCII/RATIONAL), with
         # the carrier JPEG decoded to prove the image stays intact
@@ -6615,6 +6621,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(content) AS BIGINT) AS size,
                    md5(content) AS content_md5
             FROM m ORDER BY media_id, name
+        """,
+        # frame f of media id has flat 8x8 blocks b valued
+        # (id*7+f*13+b*29)%256; mean-luma x256 is closed-form, deltas
+        # cut at 16*256; frame sum is 64*sum(blocks)
+        "mm_mp4_shot_detect": """
+            WITH p AS (
+                SELECT doc_id AS media_id, 2 + doc_id % 3 AS n,
+                       1 + doc_id % 2 AS bw
+                FROM documents
+            ), v AS (
+                SELECT media_id, n,
+                       [CASE WHEN bw = 1
+                             THEN ((media_id*7 + f*13) % 256) * 256
+                             ELSE (((media_id*7 + f*13) % 256)
+                                   + ((media_id*7 + f*13 + 29) % 256))
+                                  * 128 END
+                        FOR f IN range(0, n)] AS m256,
+                       [CASE WHEN bw = 1
+                             THEN 64 * ((media_id*7 + f*13) % 256)
+                             ELSE 64 * (((media_id*7 + f*13) % 256)
+                                   + ((media_id*7 + f*13 + 29) % 256))
+                             END
+                        FOR f IN range(0, n)] AS sums
+                FROM p
+            ), d AS (
+                SELECT media_id, n, sums,
+                       [abs(m256[i+2] - m256[i+1])
+                        FOR i IN range(0, n - 1)] AS deltas
+                FROM v
+            )
+            SELECT media_id, CAST(n AS INT) AS n_frames,
+                   CAST(1 + len(list_filter(deltas, x -> x > 4096))
+                        AS INT) AS n_shots,
+                   CAST(CASE WHEN len(deltas) > 0
+                             THEN list_max(deltas) ELSE 0 END
+                        AS BIGINT) AS max_delta,
+                   CAST(list_sum(sums) // n AS BIGINT)
+                       AS mean_frame_sum
+            FROM d ORDER BY media_id
         """,
         "mm_exif_metadata": """
             SELECT doc_id AS media_id,

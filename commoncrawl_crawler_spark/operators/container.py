@@ -1230,3 +1230,70 @@ def exif_metadata(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         _extract, EXIF_SCHEMA
     )
+
+
+SHOT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_shots", IntegerType()),
+        StructField("max_delta", LongType()),
+        StructField("mean_frame_sum", LongType()),
+    ]
+)
+
+
+def detect_shots(media: DataFrame, threshold: int = 16) -> DataFrame:
+    """Shot-boundary detection over a motion-JPEG track: demux the
+    video samples, decode EVERY frame through the in-repo T.81
+    kernel, and cut where the mean-luma jump between consecutive
+    frames exceeds `threshold` gray levels -- the classic
+    pixel-difference shot detector, here on exact integers (frame
+    sums are exact for the flat-block fixtures, and the decision
+    rule is integer arithmetic end to end: delta is computed on
+    per-pixel MEAN luma scaled by 256, so threshold*256 is the cut).
+
+    A video-temporal feature the training-data tier needs for frame
+    sampling (sample per shot, not per N frames). Runs per blob in
+    the demux kernel -- no shuffle, frame payloads never leave the
+    task.
+    """
+
+    def _detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in SHOT_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                video = [
+                    t
+                    for t in parse_mp4_tracks(blob)
+                    if t["handler"] == "vide"
+                ]
+                if len(video) != 1:
+                    raise ValueError(
+                        f"expected 1 video track for media_id={int(mid)}"
+                    )
+                sums = []
+                npx = 1
+                for sample in extract_track_samples(blob, video[0]):
+                    w, h, gray = parse_jpeg_gray(sample)
+                    npx = w * h
+                    sums.append(int(gray.sum()))
+                # mean luma x256 per frame: exact integers
+                m256 = [s * 256 // npx for s in sums]
+                deltas = [
+                    abs(b - a) for a, b in zip(m256, m256[1:])
+                ]
+                cuts = sum(1 for d in deltas if d > threshold * 256)
+                rows["media_id"].append(int(mid))
+                rows["n_frames"].append(len(sums))
+                rows["n_shots"].append(1 + cuts if sums else 0)
+                rows["max_delta"].append(max(deltas) if deltas else 0)
+                rows["mean_frame_sum"].append(
+                    sum(sums) // len(sums) if sums else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _detect, SHOT_SCHEMA
+    )

@@ -300,3 +300,32 @@ def test_exif_jpeg_still_decodes():
     w, h, gray = pjg(blob)
     assert (w, h) == (p["width"], p["height"])
     assert (gray == (5 * 7) % 256).all()
+
+
+def test_shot_detection_counts_wraparound_cuts(spark, sf_smoke):
+    """Frame values step by +13 mod 256: within-range steps are below
+    the 16-level threshold, the modular wrap is a 243-level jump --
+    exactly one cut per wrap."""
+    from commoncrawl_crawler_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_smoke).limit(8)
+    out = {
+        r.media_id: r
+        for r in C.detect_shots(C.synthesize_mp4(docs)).collect()
+    }
+    for mid, r in out.items():
+        n_frames, w, h, _, _ = C._mp4_params(mid)
+        bw = w // 8
+        m256 = []
+        sums = []
+        for f in range(n_frames):
+            vals = [(mid * 7 + f * 13 + b * 29) % 256 for b in range(bw)]
+            sums.append(64 * sum(vals))
+            m256.append(sum(vals) * 256 // (bw * 64) * 64 // 4)
+        # recompute exactly as the operator: s*256 // npx
+        m256 = [s * 256 // (w * h) for s in sums]
+        deltas = [abs(b - a) for a, b in zip(m256, m256[1:])]
+        assert r.n_frames == n_frames
+        assert r.max_delta == (max(deltas) if deltas else 0)
+        assert r.n_shots == 1 + sum(1 for dd in deltas if dd > 16 * 256)
+        assert r.mean_frame_sum == sum(sums) // len(sums)
