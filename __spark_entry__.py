@@ -4135,6 +4135,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_zip_extract": lambda s, d: packfiles.zip_members(
             packfiles.synthesize_zip(_t(s, d, "documents"))
         ).orderBy("media_id", "name"),
+        # fragmented MP4 (fMP4/CMAF, the DASH/HLS wire layout):
+        # trex defaults + moof/tfhd/tfdt/trun resolution, every
+        # trun-resolved sample decoded in-repo
+        "mm_fmp4_fragments": lambda s, d: container.decode_fmp4(
+            container.synthesize_fmp4(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # shot-boundary detection over the MJPEG track: every frame
         # decoded in-repo, cuts where mean-luma (x256, exact integer)
         # jumps > 16 gray levels -- the per-shot frame-sampling basis
@@ -6621,6 +6627,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(content) AS BIGINT) AS size,
                    md5(content) AS content_md5
             FROM m ORDER BY media_id, name
+        """,
+        # fMP4 synth: 2+id%2 fragments x 2 samples, global frame g
+        # valued (id*7+g*13)%256 on flat 8x8 blocks, 3000-tick
+        # default duration from the tfhd/trex chain
+        "mm_fmp4_fragments": """
+            WITH p AS (
+                SELECT doc_id AS media_id,
+                       2 + doc_id % 2 AS n_frag
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST(n_frag AS INT) AS n_fragments,
+                   CAST(n_frag * 2 AS BIGINT) AS n_samples,
+                   CAST(n_frag * 2 * 3000 AS BIGINT) AS total_duration,
+                   CAST((n_frag - 1) * 2 * 3000 AS BIGINT)
+                       AS last_decode_time,
+                   CAST(list_sum(
+                       [64 * ((media_id*7 + g*13) % 256)
+                        FOR g IN range(0, n_frag * 2)]) AS BIGINT)
+                       AS sum_px
+            FROM p ORDER BY media_id
         """,
         # frame f of media id has flat 8x8 blocks b valued
         # (id*7+f*13+b*29)%256; mean-luma x256 is closed-form, deltas

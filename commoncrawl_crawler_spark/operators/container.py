@@ -1297,3 +1297,268 @@ def detect_shots(media: DataFrame, threshold: int = 16) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         _detect, SHOT_SCHEMA
     )
+
+
+# --------------------------------------------------------------------
+# Fragmented MP4 (fMP4 / CMAF -- the DASH/HLS on-the-wire layout)
+# --------------------------------------------------------------------
+#
+# Streaming media never ships one big moov: an INIT segment carries
+# empty sample tables plus mvex/trex defaults, and each fragment is a
+# moof (mfhd sequence, tfhd defaults, tfdt decode time, trun sample
+# runs) followed by its mdat. A crawl that stores DASH/HLS segments
+# must resolve samples through THIS path -- the stbl walk above never
+# sees them.
+
+_TFHD_BASE_OFFSET = 0x1
+_TFHD_DEFAULT_DURATION = 0x8
+_TFHD_DEFAULT_SIZE = 0x10
+_TFHD_BASE_IS_MOOF = 0x20000
+_TRUN_DATA_OFFSET = 0x1
+_TRUN_SAMPLE_DURATION = 0x100
+_TRUN_SAMPLE_SIZE = 0x200
+
+
+def encode_fmp4_bytes(
+    fragments: list[list[bytes]],
+    video_wh: tuple[int, int],
+    default_duration: int = 3000,
+    timescale: int = 90000,
+) -> bytes:
+    """Init segment + one moof/mdat pair per fragment (motion-JPEG
+    samples). tfhd carries default-base-is-moof + default duration;
+    trun carries per-sample sizes and the data offset."""
+    w, h = video_wh
+    empty_stbl = _stbl(
+        _visual_entry_jpeg(w, h),
+        stts=[], stsc=[], sample_sizes=[], sample_count=0,
+        chunk_offsets=[],
+    )
+    trex = _full(
+        b"trex", 0, 0,
+        struct.pack(">IIIII", 1, 1, default_duration, 0, 0),
+    )
+    mvex = _box(b"mvex", trex)
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, 0)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8 + _MATRIX + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    moov = _box(
+        b"moov",
+        mvhd + _trak(1, b"vide", timescale, 0, (w, h), empty_stbl) + mvex,
+    )
+    out = bytearray(
+        _box(b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5dash")
+        + moov
+    )
+    decode_time = 0
+    for seq, samples in enumerate(fragments, start=1):
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        tfhd = _full(
+            b"tfhd", 0,
+            _TFHD_DEFAULT_DURATION | _TFHD_BASE_IS_MOOF,
+            struct.pack(">II", 1, default_duration),
+        )
+        tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", decode_time))
+        trun_body = struct.pack(">I", len(samples))
+        # data_offset placeholder patched after moof size is known
+        trun_body += struct.pack(">i", 0)
+        trun_body += b"".join(
+            struct.pack(">I", len(s)) for s in samples
+        )
+        trun = _full(
+            b"trun", 0, _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE, trun_body
+        )
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = bytearray(_box(b"moof", mfhd + traf))
+        # patch the trun data_offset: first sample starts right after
+        # the mdat header, relative to moof start
+        data_offset = len(moof) + 8
+        off_at = moof.rfind(b"trun") + 4 + 4 + 4  # tag+verflags+count
+        moof[off_at : off_at + 4] = struct.pack(">i", data_offset)
+        out += moof
+        out += _box(b"mdat", b"".join(samples))
+        decode_time += len(samples) * default_duration
+    return bytes(out)
+
+
+def parse_fmp4_fragments(blob: bytes) -> dict:
+    """Resolve a fragmented MP4: trex defaults from the init segment,
+    then per-moof tfhd/tfdt/trun walk to absolute (offset, size)
+    sample locations. Returns {width, height, timescale,
+    default_duration, fragments: [{seq, decode_time, samples}]}."""
+    moov = _find(blob, 0, len(blob), b"moov")
+    if moov is None:
+        raise ValueError("fMP4 without init moov")
+    mvex = _find(blob, *moov, b"mvex")
+    if mvex is None:
+        raise ValueError("not fragmented: no mvex/trex")
+    trex = _find(blob, *mvex, b"trex")
+    _, _, trex_duration, trex_size, _ = struct.unpack(
+        ">IIIII", blob[trex[0] + 4 : trex[0] + 24]
+    )
+    trak = _find(blob, *moov, b"trak")
+    mdia = _find(blob, *trak, b"mdia")
+    mdhd = _find(blob, *mdia, b"mdhd")
+    timescale = struct.unpack(">I", blob[mdhd[0] + 12 : mdhd[0] + 16])[0]
+    minf = _find(blob, *mdia, b"minf")
+    stbl = _find(blob, *minf, b"stbl")
+    stsd = _find(blob, *stbl, b"stsd")
+    entry = stsd[0] + 8
+    width, height = struct.unpack(
+        ">HH", blob[entry + 32 : entry + 36]
+    )
+
+    fragments = []
+    for tag, b, e in walk_boxes(blob):
+        if tag != b"moof":
+            continue
+        moof_start = b - 8
+        mfhd = _find(blob, b, e, b"mfhd")
+        seq = struct.unpack(">I", blob[mfhd[0] + 4 : mfhd[0] + 8])[0]
+        traf = _find(blob, b, e, b"traf")
+        tfhd = _find(blob, *traf, b"tfhd")
+        tf_flags = int.from_bytes(blob[tfhd[0] + 1 : tfhd[0] + 4], "big")
+        pos = tfhd[0] + 8  # skip version/flags + track_id
+        base_offset = moof_start if tf_flags & _TFHD_BASE_IS_MOOF else 0
+        if tf_flags & _TFHD_BASE_OFFSET:
+            base_offset = struct.unpack(">Q", blob[pos : pos + 8])[0]
+            pos += 8
+        if tf_flags & 0x2:
+            pos += 4  # sample_description_index
+        default_dur = trex_duration
+        if tf_flags & _TFHD_DEFAULT_DURATION:
+            default_dur = struct.unpack(">I", blob[pos : pos + 4])[0]
+            pos += 4
+        default_size = trex_size
+        if tf_flags & _TFHD_DEFAULT_SIZE:
+            default_size = struct.unpack(">I", blob[pos : pos + 4])[0]
+            pos += 4
+        tfdt = _find(blob, *traf, b"tfdt")
+        tfdt_ver = blob[tfdt[0]]
+        decode_time = (
+            struct.unpack(">Q", blob[tfdt[0] + 4 : tfdt[0] + 12])[0]
+            if tfdt_ver == 1
+            else struct.unpack(">I", blob[tfdt[0] + 4 : tfdt[0] + 8])[0]
+        )
+        trun = _find(blob, *traf, b"trun")
+        tr_flags = int.from_bytes(blob[trun[0] + 1 : trun[0] + 4], "big")
+        p = trun[0] + 4
+        count = struct.unpack(">I", blob[p : p + 4])[0]
+        p += 4
+        data_off = 0
+        if tr_flags & _TRUN_DATA_OFFSET:
+            data_off = struct.unpack(">i", blob[p : p + 4])[0]
+            p += 4
+        if tr_flags & 0x4:
+            p += 4  # first_sample_flags
+        samples = []
+        cursor = base_offset + data_off
+        t = decode_time
+        for _ in range(count):
+            dur = default_dur
+            if tr_flags & _TRUN_SAMPLE_DURATION:
+                dur = struct.unpack(">I", blob[p : p + 4])[0]
+                p += 4
+            size = default_size
+            if tr_flags & _TRUN_SAMPLE_SIZE:
+                size = struct.unpack(">I", blob[p : p + 4])[0]
+                p += 4
+            if tr_flags & 0x400:
+                p += 4  # per-sample flags
+            if tr_flags & 0x800:
+                p += 4  # composition offset
+            samples.append(
+                {"offset": cursor, "size": size, "time": t, "dur": dur}
+            )
+            cursor += size
+            t += dur
+        fragments.append(
+            {"seq": seq, "decode_time": decode_time, "samples": samples}
+        )
+    if not fragments:
+        raise ValueError("fragmented MP4 without moof fragments")
+    return {
+        "width": width,
+        "height": height,
+        "timescale": timescale,
+        "default_duration": trex_duration,
+        "fragments": fragments,
+    }
+
+
+def _fmp4_params(mid: int) -> tuple[int, int]:
+    """(n_fragments, samples_per_fragment) -- oracle-mirrored."""
+    return 2 + mid % 2, 2
+
+
+def _fmp4_blob(mid: int) -> bytes:
+    n_frag, per = _fmp4_params(mid)
+    w = h = 8
+    frags = []
+    g = 0
+    for _ in range(n_frag):
+        samples = []
+        for _ in range(per):
+            px = np.full(w * h, (mid * 7 + g * 13) % 256, dtype=np.int64)
+            samples.append(encode_jpeg_gray(w, h, px))
+            g += 1
+        frags.append(samples)
+    return encode_fmp4_bytes(frags, (w, h))
+
+
+def synthesize_fmp4(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _fmp4_blob)
+
+
+FMP4_STATS = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_fragments", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("total_duration", LongType()),
+        StructField("last_decode_time", LongType()),
+        StructField("sum_px", LongType()),
+    ]
+)
+
+
+def decode_fmp4(media: DataFrame) -> DataFrame:
+    """Fragment walk + real frame decode: every trun-resolved sample
+    decodes through the in-repo T.81 kernel; durations and decode
+    times come from the tfhd/tfdt/trex default chain."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in FMP4_STATS.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                info = parse_fmp4_fragments(blob)
+                total = 0
+                n = 0
+                dur = 0
+                for frag in info["fragments"]:
+                    for smp in frag["samples"]:
+                        _, _, gray = parse_jpeg_gray(
+                            blob[smp["offset"] : smp["offset"] + smp["size"]]
+                        )
+                        total += int(gray.sum())
+                        dur += smp["dur"]
+                        n += 1
+                rows["media_id"].append(int(mid))
+                rows["n_fragments"].append(len(info["fragments"]))
+                rows["n_samples"].append(n)
+                rows["total_duration"].append(dur)
+                rows["last_decode_time"].append(
+                    info["fragments"][-1]["decode_time"]
+                )
+                rows["sum_px"].append(total)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _decode, FMP4_STATS
+    )

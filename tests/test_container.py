@@ -329,3 +329,33 @@ def test_shot_detection_counts_wraparound_cuts(spark, sf_smoke):
         assert r.max_delta == (max(deltas) if deltas else 0)
         assert r.n_shots == 1 + sum(1 for dd in deltas if dd > 16 * 256)
         assert r.mean_frame_sum == sum(sums) // len(sums)
+
+
+def test_fmp4_fragment_walk_and_defaults_chain():
+    blob = C._fmp4_blob(4)
+    info = C.parse_fmp4_fragments(blob)
+    n_frag, per = C._fmp4_params(4)
+    assert len(info["fragments"]) == n_frag
+    assert info["timescale"] == 90000
+    for i, frag in enumerate(info["fragments"]):
+        assert frag["seq"] == i + 1
+        assert frag["decode_time"] == i * per * 3000
+        for j, smp in enumerate(frag["samples"]):
+            assert smp["dur"] == 3000  # tfhd default, not per-sample
+            assert smp["time"] == (i * per + j) * 3000
+            w, h, gray = parse_jpeg_gray(
+                blob[smp["offset"] : smp["offset"] + smp["size"]]
+            )
+            assert (w, h) == (8, 8)
+
+
+def test_fmp4_requires_mvex_and_moof():
+    plain = _mux()  # a non-fragmented MP4
+    with pytest.raises(ValueError, match="no mvex"):
+        C.parse_fmp4_fragments(plain)
+    blob = C._fmp4_blob(1)
+    init_end = next(
+        e for t, _, e in C.walk_boxes(blob) if t == b"moov"
+    )
+    with pytest.raises(ValueError, match="without moof"):
+        C.parse_fmp4_fragments(blob[:init_end])
