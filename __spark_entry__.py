@@ -4129,6 +4129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RFC 9112 chunked transfer-encoding decode behind the pure-
         # Column HTTP extract: flag JVM-side, kernel only where set
         "source_warc_dechunk": _warc_dechunk_gate,
+        # HLS playlists (RFC 8216): EXTINF/URI pairing, target
+        # duration, media sequence, VOD flag, exact millisecond totals
+        "source_hls_manifest": lambda s, d: packfiles.hls_manifest_stats(
+            packfiles.synthesize_m3u8(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         "source_tar_members": lambda s, d: packfiles.tar_members(
             packfiles.synthesize_tar(_t(s, d, "documents"))
         ).orderBy("media_id", "name"),
@@ -6588,6 +6593,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS body_bytes,
                    md5(text) AS body_md5
             FROM documents ORDER BY doc_id
+        """,
+        "source_hls_manifest": """
+            WITH p AS (
+                SELECT doc_id AS media_id, 3 + doc_id % 4 AS n
+                FROM documents
+            )
+            SELECT media_id, CAST(n AS INT) AS n_segments,
+                   CAST(4 + media_id % 3 AS INT) AS target_duration,
+                   CAST(media_id % 100 AS INT) AS media_sequence,
+                   CAST(1 AS INT) AS ended,
+                   CAST(list_sum(
+                       [(2 + (media_id + k) % 3) * 1000
+                            + ((media_id + k) % 10) * 100
+                        FOR k IN range(0, n)]) AS BIGINT) AS total_ms,
+                   'seg-' || CAST(media_id AS VARCHAR) || '-0.m4s'
+                       AS first_uri
+            FROM p ORDER BY media_id
         """,
         # member contents are closed-form marker strings; DuckDB's
         # md5() over the same constructed text mirrors the decoded-

@@ -316,3 +316,140 @@ def zip_members(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         _walk, PACK_MEMBERS
     )
+
+
+# --------------------------------------------------------------------
+# HLS playlists (m3u8, RFC 8216) -- the text manifests next to fMP4
+# --------------------------------------------------------------------
+
+
+def parse_m3u8(text: str) -> dict:
+    """RFC 8216 media-playlist parse: #EXTINF durations paired with
+    their URI lines, #EXT-X-TARGETDURATION / -MEDIA-SEQUENCE /
+    -ENDLIST, and master-playlist #EXT-X-STREAM-INF variants
+    (BANDWIDTH/RESOLUTION attributes). Pure text walk; raises on a
+    missing #EXTM3U magic."""
+    lines = [ln.strip() for ln in text.splitlines()]
+    if not lines or lines[0] != "#EXTM3U":
+        raise ValueError("not an m3u8 playlist: missing #EXTM3U")
+    segments: list[dict] = []
+    variants: list[dict] = []
+    target = None
+    media_seq = 0
+    ended = False
+    pending_dur = None
+    pending_variant = None
+    for ln in lines[1:]:
+        if not ln:
+            continue
+        if ln.startswith("#EXT-X-TARGETDURATION:"):
+            target = int(ln.split(":", 1)[1])
+        elif ln.startswith("#EXT-X-MEDIA-SEQUENCE:"):
+            media_seq = int(ln.split(":", 1)[1])
+        elif ln.startswith("#EXT-X-ENDLIST"):
+            ended = True
+        elif ln.startswith("#EXTINF:"):
+            pending_dur = float(ln.split(":", 1)[1].split(",", 1)[0])
+        elif ln.startswith("#EXT-X-STREAM-INF:"):
+            attrs = {}
+            for kv in ln.split(":", 1)[1].split(","):
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    attrs[k.strip()] = v.strip().strip('"')
+            pending_variant = attrs
+        elif ln.startswith("#"):
+            continue  # unknown tag
+        else:  # a URI line closes the pending EXTINF or STREAM-INF
+            if pending_variant is not None:
+                variants.append(
+                    {
+                        "uri": ln,
+                        "bandwidth": int(
+                            pending_variant.get("BANDWIDTH", 0)
+                        ),
+                        "resolution": pending_variant.get(
+                            "RESOLUTION", ""
+                        ),
+                    }
+                )
+                pending_variant = None
+            elif pending_dur is not None:
+                segments.append({"uri": ln, "duration": pending_dur})
+                pending_dur = None
+            else:
+                raise ValueError(f"bare URI without EXTINF: {ln}")
+    return {
+        "target_duration": target,
+        "media_sequence": media_seq,
+        "ended": ended,
+        "segments": segments,
+        "variants": variants,
+    }
+
+
+def _m3u8_text(mid: int) -> str:
+    n = 3 + mid % 4
+    lines = [
+        "#EXTM3U",
+        "#EXT-X-VERSION:7",
+        f"#EXT-X-TARGETDURATION:{4 + mid % 3}",
+        f"#EXT-X-MEDIA-SEQUENCE:{mid % 100}",
+    ]
+    for k in range(n):
+        # millisecond-precision durations, exact in both engines
+        lines.append(f"#EXTINF:{2 + (mid + k) % 3}.{(mid + k) % 10}00,")
+        lines.append(f"seg-{mid}-{k}.m4s")
+    lines.append("#EXT-X-ENDLIST")
+    return "\n".join(lines) + "\n"
+
+
+def synthesize_m3u8(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(
+        documents, lambda mid: _m3u8_text(mid).encode("ascii")
+    )
+
+
+M3U8_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_segments", IntegerType()),
+        StructField("target_duration", IntegerType()),
+        StructField("media_sequence", IntegerType()),
+        StructField("ended", IntegerType()),
+        StructField("total_ms", LongType()),
+        StructField("first_uri", StringType()),
+    ]
+)
+
+
+def hls_manifest_stats(media: DataFrame) -> DataFrame:
+    """Playlist profile per manifest: segment count, exact total
+    duration in integer MILLISECONDS (floats never aggregated), live
+    vs VOD flag -- what a segment-fetch scheduler reads."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in M3U8_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                pl = parse_m3u8(bytes(blob).decode("utf-8"))
+                rows["media_id"].append(int(mid))
+                rows["n_segments"].append(len(pl["segments"]))
+                rows["target_duration"].append(
+                    pl["target_duration"] or 0
+                )
+                rows["media_sequence"].append(pl["media_sequence"])
+                rows["ended"].append(int(pl["ended"]))
+                rows["total_ms"].append(
+                    sum(
+                        int(round(s["duration"] * 1000))
+                        for s in pl["segments"]
+                    )
+                )
+                rows["first_uri"].append(
+                    pl["segments"][0]["uri"] if pl["segments"] else ""
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _stats, M3U8_SCHEMA
+    )

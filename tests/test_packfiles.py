@@ -94,3 +94,27 @@ def test_spark_member_walks_match_formula(spark, sf_smoke):
         assert r.size == len(content)
         assert r.content_md5 == hashlib.md5(content).hexdigest()
     assert {r.method for r in zip_rows} == {0, 8}
+
+
+def test_m3u8_media_and_master_playlists():
+    pl = P.parse_m3u8(P._m3u8_text(5))
+    assert pl["ended"] and pl["target_duration"] == 4 + 5 % 3
+    assert [s["uri"] for s in pl["segments"]][0] == "seg-5-0.m4s"
+    master = (
+        "#EXTM3U\n"
+        '#EXT-X-STREAM-INF:BANDWIDTH=1280000,RESOLUTION=640x360\n'
+        "low.m3u8\n"
+        "#EXT-X-STREAM-INF:BANDWIDTH=2560000\n"
+        "high.m3u8\n"
+    )
+    pl = P.parse_m3u8(master)
+    assert [v["bandwidth"] for v in pl["variants"]] == [1280000, 2560000]
+    assert pl["variants"][0]["resolution"] == "640x360"
+    assert not pl["segments"] and not pl["ended"]
+
+
+def test_m3u8_rejects_garbage():
+    with pytest.raises(ValueError, match="missing #EXTM3U"):
+        P.parse_m3u8("#EXT-X-VERSION:7\nseg.ts\n")
+    with pytest.raises(ValueError, match="bare URI"):
+        P.parse_m3u8("#EXTM3U\nseg.ts\n")
