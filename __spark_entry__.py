@@ -3318,6 +3318,32 @@ def _editdist_hosts(s, d):
     )
 
 
+def _stream_tar_manifest(s: SparkSession, d: str) -> DataFrame:
+    """WebDataset ingest end to end: write tar shards (attempt-atomic
+    partition writers), tail them with a binaryFile readStream, walk
+    members in the shared kernel, drain availableNow into a parquet
+    sink, read back. Row-identical to the batch member walk, so the
+    batch oracle gates the streaming path."""
+    src = _scratch("tarshards", d, fresh=True)
+    out = _scratch("tarmanifest", d, fresh=True)
+    ck = _scratch("tarmanifest_ck", d, fresh=True)
+    packfiles.write_tar_shards(
+        _t(s, d, "documents").repartition(8, "doc_id"), src
+    )
+    manifest = packfiles.tar_member_manifest(
+        packfiles.read_tar_stream(s, src)
+    )
+    q = (
+        manifest.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return s.read.parquet(out).orderBy("media_id", "name")
+
+
 def _warc_dechunk_gate(s: SparkSession, d: str) -> DataFrame:
     """documents -> WARC responses where EVEN docs carry RFC 9112
     chunked bodies (hex size lines with a chunk extension, split at
@@ -4129,6 +4155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RFC 9112 chunked transfer-encoding decode behind the pure-
         # Column HTTP extract: flag JVM-side, kernel only where set
         "source_warc_dechunk": _warc_dechunk_gate,
+        # streaming WebDataset manifest: write shards -> readStream
+        # tail -> member walk -> parquet sink (batch-identical rows)
+        "stream_tar_manifest": _stream_tar_manifest,
         # HLS playlists (RFC 8216): EXTINF/URI pairing, target
         # duration, media sequence, VOD flag, exact millisecond totals
         "source_hls_manifest": lambda s, d: packfiles.hls_manifest_stats(
@@ -4140,6 +4169,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_zip_extract": lambda s, d: packfiles.zip_members(
             packfiles.synthesize_zip(_t(s, d, "documents"))
         ).orderBy("media_id", "name"),
+        # real BMP decode (BI_RGB 24-bit DIB: BGR order, 4-byte row
+        # padding, bottom-up rows) -- same pixel formula as the PPM
+        # gate, so the decoders are differentially comparable
+        "mm_decode_bmp": lambda s, d: multimodal.decode_bmp(
+            multimodal.synthesize_bmp(_t(s, d, "documents"))
+        ),
         # fragmented MP4 (fMP4/CMAF, the DASH/HLS wire layout):
         # trex defaults + moof/tfhd/tfdt/trun resolution, every
         # trun-resolved sample decoded in-repo
@@ -6356,6 +6391,31 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) >= 2
             ORDER BY n_images DESC, dhash_hi, dhash_lo, min_media_id
         """,
+        # identical arithmetic to mm_decode_ppm (same pixel formula)
+"mm_decode_bmp": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+                FROM documents
+            ), px AS (
+                SELECT media_id, w, h,
+                       [(media_id*3 + p*5) % 256
+                        FOR p IN range(0, w*h*3)] AS l,
+                       [p FOR p IN range(0, w*h*3)] AS idx
+                FROM s
+            )
+            SELECT media_id,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(list_sum([(media_id*3 + p*5) % 256
+                        FOR p IN range(0, w*h*3) IF p % 3 = 0]) AS BIGINT) AS sum_r,
+                   CAST(list_sum([(media_id*3 + p*5) % 256
+                        FOR p IN range(0, w*h*3) IF p % 3 = 1]) AS BIGINT) AS sum_g,
+                   CAST(list_sum([(media_id*3 + p*5) % 256
+                        FOR p IN range(0, w*h*3) IF p % 3 = 2]) AS BIGINT) AS sum_b,
+                   CAST(list_min(l) AS INT) AS min_px,
+                   CAST(list_max(l) AS INT) AS max_px
+            FROM px ORDER BY media_id
+        """,
         "mm_decode_ppm": """
             WITH s AS (
                 SELECT doc_id AS media_id,
@@ -6593,6 +6653,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS body_bytes,
                    md5(text) AS body_md5
             FROM documents ORDER BY doc_id
+        """,
+        # identical to the batch tar oracle: the streaming path must
+        # produce row-identical manifests
+        "stream_tar_manifest": """
+            WITH m AS (
+                SELECT doc_id AS media_id, k,
+                       'shard/' || CAST(doc_id AS VARCHAR) || '/' ||
+                           CASE k WHEN 0 THEN 'a.txt'
+                                  WHEN 1 THEN 'b.txt'
+                                  ELSE 'c.bin' END AS name,
+                       repeat('doc-' || CAST(doc_id AS VARCHAR) || '-'
+                              || CAST(k AS VARCHAR) || ';',
+                              CAST(3 + (doc_id + k) % 5 AS INT))
+                           AS content
+                FROM documents, (SELECT unnest([0, 1, 2]) AS k)
+            )
+            SELECT media_id, name, CAST(-1 AS INT) AS method,
+                   CAST(length(content) AS BIGINT) AS size,
+                   md5(content) AS content_md5
+            FROM m ORDER BY media_id, name
         """,
         "source_hls_manifest": """
             WITH p AS (

@@ -2607,3 +2607,81 @@ def decode_jpeg_progressive_color(media: DataFrame) -> DataFrame:
     per-component AC spectral selection + refinement, subsampled
     chroma, fixed-point YCbCr->RGB), decode_ppm feature shape."""
     return _decode_rgb_features(media, parse_jpeg_color_progressive)
+
+
+# --- BMP (Windows DIB, BI_RGB 24-bit) --------------------------------
+
+
+def encode_bmp_bytes(w: int, h: int, rgb: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    BGR pixel order, rows padded to 4 bytes, stored BOTTOM-UP (the
+    positive-height convention)."""
+    import struct
+
+    rgb = np.asarray(rgb, dtype=np.uint8).reshape(h, w, 3)
+    row_stride = (w * 3 + 3) & ~3
+    img = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = rgb[y][:, ::-1].tobytes()  # RGB -> BGR
+        img += row + b"\x00" * (row_stride - len(row))
+    data_off = 14 + 40
+    file_size = data_off + len(img)
+    hdr = b"BM" + struct.pack("<IHHI", file_size, 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0
+    )
+    return hdr + info + bytes(img)
+
+
+def parse_bmp_bytes(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """BI_RGB 24-bit BMP -> (width, height, flat RGB). Handles both
+    bottom-up (positive height) and top-down (negative height) rows;
+    validates magic, header size, compression, and bit depth."""
+    import struct
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack("<I", blob[10:14])[0]
+    hdr_size = struct.unpack("<I", blob[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    w, h_raw = struct.unpack("<ii", blob[18:26])
+    planes, bpp = struct.unpack("<HH", blob[26:30])
+    compression = struct.unpack("<I", blob[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only BI_RGB 24-bit supported (bpp={bpp}, comp={compression})"
+        )
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    row_stride = (w * 3 + 3) & ~3
+    if data_off + row_stride * h > len(blob):
+        raise ValueError("truncated BMP pixel data")
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        y = i if top_down else h - 1 - i
+        row = np.frombuffer(
+            blob, dtype=np.uint8, count=w * 3, offset=data_off + i * row_stride
+        ).reshape(w, 3)
+        out[y] = row[:, ::-1]  # BGR -> RGB
+    return w, h, out.reshape(-1).astype(np.int64)
+
+
+def synthesize_bmp(documents: DataFrame) -> DataFrame:
+    """Deterministic 24-bit BMP per document: the SAME pixel formula
+    as synthesize_ppm (width 8+id%9, height 6+id%7, flat RGB byte
+    p = (id*3 + p*5) % 256), so the PPM gate's oracle arithmetic
+    carries over and the two decoders can be differentially tested."""
+
+    def _blob(mid: int) -> bytes:
+        w, h = 8 + mid % 9, 6 + mid % 7
+        p = np.arange(w * h * 3, dtype=np.int64)
+        pixels = ((mid * 3 + p * 5) % 256).astype(np.uint8)
+        return encode_bmp_bytes(w, h, pixels)
+
+    return _synthesize_media(documents, _blob)
+
+
+def decode_bmp(media: DataFrame) -> DataFrame:
+    """Real BMP decode -> per-image RGB stats (PPM_FEATURES rows)."""
+    return _decode_rgb_features(media, parse_bmp_bytes).orderBy("media_id")

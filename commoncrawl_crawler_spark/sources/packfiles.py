@@ -453,3 +453,110 @@ def hls_manifest_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         _stats, M3U8_SCHEMA
     )
+
+
+# --------------------------------------------------------------------
+# tar shard writer + streaming manifest (WebDataset ingest shape)
+# --------------------------------------------------------------------
+
+
+def write_tar_shards(documents: DataFrame, path: str) -> int:
+    """One tar shard per input partition -- the WebDataset layout
+    (members grouped by sample key inside each shard). Same
+    attempt-atomic commit protocol as the archive writers
+    (sources/archive.py::_write_rotated_members): attempt-unique
+    `.tmp` files, driver renames only after every partition
+    succeeded, temp sweep on success AND failure."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    rows = documents.select("doc_id")
+
+    def _write_partition(idx: int, it):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        members = []
+        for row in it:
+            mid = int(row["doc_id"])
+            for k, suffix in enumerate(("a.txt", "b.txt", "c.bin")):
+                members.append(
+                    (f"shard/{mid}/{suffix}", _member_text(mid, k))
+                )
+        if not members:
+            return iter(())
+        fname = f"shard-{idx:05d}.tar"
+        tmp = f"{fname}.{attempt}.tmp"
+        with open(os.path.join(path, tmp), "wb") as out:
+            out.write(build_tar_bytes(members))
+        return iter([(fname, tmp)])
+
+    def _sweep() -> None:
+        for leftover in os.listdir(path):
+            if leftover.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(path, leftover))
+                except OSError:
+                    pass
+
+    try:
+        names = rows.rdd.mapPartitionsWithIndex(_write_partition).collect()
+    except Exception:
+        _sweep()
+        raise
+    for fname, tmp in names:
+        os.replace(os.path.join(path, tmp), os.path.join(path, fname))
+    _sweep()
+    return len(names)
+
+
+def read_tar_stream(spark, path: str) -> DataFrame:
+    """Streaming tar-shard source: binaryFile readStream with
+    exactly-once per-file tracking -- manifests stay current as
+    shards LAND, the tail-the-ingest shape of read_arc_v1_stream."""
+    from pyspark.sql.types import BinaryType, TimestampType
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+    )
+
+
+def tar_member_manifest(files: DataFrame) -> DataFrame:
+    """Member manifest keyed by the sample id encoded in the member
+    path (shard/<id>/<file>) -- works identically on a batch or
+    streaming files DataFrame (same kernel, same schema), so the
+    batch gate's oracle gates the streaming path too."""
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re
+
+        for pdf in batches:
+            rows = {k.name: [] for k in PACK_MEMBERS.fields}
+            for blob in pdf["content"]:
+                for m in parse_tar_members(bytes(blob)):
+                    match = re.match(r"shard/(\d+)/", m["name"])
+                    rows["media_id"].append(
+                        int(match.group(1)) if match else -1
+                    )
+                    rows["name"].append(m["name"])
+                    rows["method"].append(-1)
+                    rows["size"].append(m["size"])
+                    rows["content_md5"].append(
+                        hashlib.md5(m["content"]).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return files.select("content").mapInPandas(_walk, PACK_MEMBERS)

@@ -803,3 +803,60 @@ def test_progressive_color_matches_baseline_bit_for_bit():
             )
         )
         assert np.array_equal(a, b), (w, h, sub)
+
+
+def test_bmp_roundtrip_and_row_padding():
+    import numpy as np
+
+    from commoncrawl_crawler_spark.operators.multimodal import (
+        encode_bmp_bytes,
+        parse_bmp_bytes,
+    )
+
+    # w=5 -> 15-byte rows pad to 16: padding must never leak into pixels
+    rgb = (np.arange(5 * 3 * 3) * 7 % 256).astype(np.int64)
+    blob = encode_bmp_bytes(5, 3, rgb)
+    w, h, flat = parse_bmp_bytes(blob)
+    assert (w, h) == (5, 3) and (flat == rgb).all()
+
+
+def test_bmp_top_down_and_rejections():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from commoncrawl_crawler_spark.operators.multimodal import (
+        encode_bmp_bytes,
+        parse_bmp_bytes,
+    )
+
+    blob = encode_bmp_bytes(4, 3, np.arange(36) % 256)
+    td = bytearray(blob)
+    td[22:26] = struct.pack("<i", -3)  # top-down flag flips row order
+    ref = parse_bmp_bytes(blob)[2].reshape(3, 4, 3)[::-1].reshape(-1)
+    assert (parse_bmp_bytes(bytes(td))[2] == ref).all()
+    with pytest.raises(ValueError, match="not a BMP"):
+        parse_bmp_bytes(b"PNG" + blob[2:])
+    with pytest.raises(NotImplementedError, match="BI_RGB"):
+        bad = bytearray(blob)
+        bad[28:30] = struct.pack("<H", 8)  # 8bpp palette
+        parse_bmp_bytes(bytes(bad))
+    with pytest.raises(ValueError, match="truncated BMP"):
+        parse_bmp_bytes(blob[:-8])
+
+
+def test_bmp_ppm_twins_decode_identically(spark, sf_smoke):
+    from commoncrawl_crawler_spark.operators import multimodal as M
+    from commoncrawl_crawler_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_smoke).limit(6)
+    a = sorted(
+        M.decode_ppm(M.synthesize_ppm(docs)).collect(),
+        key=lambda r: r.media_id,
+    )
+    b = sorted(
+        M.decode_bmp(M.synthesize_bmp(docs)).collect(),
+        key=lambda r: r.media_id,
+    )
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
