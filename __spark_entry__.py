@@ -47,6 +47,7 @@ from commoncrawl_crawler_spark.operators import (
     windows,
 )
 from commoncrawl_crawler_spark.functions import (
+    dnswire,
     headers as hdr,
     html as htmlfn,
     numeric,
@@ -4155,6 +4156,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RFC 9112 chunked transfer-encoding decode behind the pure-
         # Column HTTP extract: flag JVM-side, kernel only where set
         "source_warc_dechunk": _warc_dechunk_gate,
+        # RFC 1035 DNS wire parse: header/question/answer walk with
+        # compression-pointer following (loop/forward-jump guarded),
+        # CNAME chains, A rdata as the integer iptohost join key
+        "fn_dns_wire_parse": lambda s, d: dnswire.dns_resolutions(
+            dnswire.synthesize_dns(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # streaming WebDataset manifest: write shards -> readStream
         # tail -> member walk -> parquet sink (batch-identical rows)
         "stream_tar_manifest": _stream_tar_manifest,
@@ -6652,6 +6659,19 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS was_chunked,
                    CAST(strlen(text) AS BIGINT) AS body_bytes,
                    md5(text) AS body_md5
+            FROM documents ORDER BY doc_id
+        """,
+        # synth params are closed-form: qname h(id%50), id%3 CNAME
+        # hops, A = 10.0.0.0 | id%65536, ttls ascend from 60+id%120
+        "fn_dns_wire_parse": """
+            SELECT doc_id AS media_id,
+                   'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+                       AS qname,
+                   CAST(doc_id % 3 + 1 AS INT) AS n_answers,
+                   CAST(doc_id % 3 AS INT) AS cname_hops,
+                   CAST(167772160 + doc_id % 65536 AS BIGINT)
+                       AS a_address,
+                   CAST(60 + doc_id % 120 AS BIGINT) AS min_ttl
             FROM documents ORDER BY doc_id
         """,
         # identical to the batch tar oracle: the streaming path must
