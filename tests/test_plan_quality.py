@@ -283,6 +283,7 @@ def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
         "text_heaps_profile",  # 10-row checkpoint-threshold broadcast
         "text_dsir_weights",  # 1-row lambda-normalizer broadcast
         "text_backoff_lm",  # 1-row train-totals broadcast
+        "text_kneser_ney_lm",  # 1-row continuation-totals broadcast
         "sim_ivfpq_topk",  # broadcast centroid table x probes (routing)
         "graph_bowtie",  # 1-row core-scc-id broadcast
         "evt_funnel",  # 1-row step-0 count broadcast (conversion base)
