@@ -3482,6 +3482,26 @@ def _tokenize_corpus_gate(s: SparkSession, d: str) -> DataFrame:
     return tokenizers.tokenize_corpus(corpus, pieces)
 
 
+_UNI_SEED = list("abdeghilnorstu") + [
+    "th", "the", "ing", "un", "er", "ed", "st", "run", "ning", "der",
+    "hello", "ll",
+]
+
+
+def _unigram_train_gate(s: SparkSession, d: str) -> DataFrame:
+    """Hard-EM unigram training over the fixture word-frequency table
+    (2 rounds, uniform seed). The oracle is a golden coefficient
+    table (piece-per-word usage in the CONVERGED segmentation,
+    derived offline and N-stability-checked) times the per-residue
+    document counts -- so the data-dependent frequencies stay live
+    while the segmentation structure is pinned."""
+    words = _tok_words(s, d)
+    freqs = words.groupBy("word").agg(
+        F.count("*").cast("long").alias("freq")
+    )
+    return tokenizers.unigram_train_hard_em(freqs, _UNI_SEED, rounds=2)
+
+
 def _wordpiece_gate(s: SparkSession, d: str) -> DataFrame:
     words = _tok_words(s, d)
     pieces = tokenizers.wordpiece_encode(
@@ -4230,6 +4250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # run on the distinct-word table, never the corpus
         "text_wordpiece_encode": _wordpiece_gate,
         "text_unigram_encode": _unigram_gate,
+        "text_unigram_train": _unigram_train_gate,
         "text_tokenize_corpus": _tokenize_corpus_gate,
         # RFC 9309 robots semantics ('*' wildcards, '$' anchors,
         # longest-match-wins, allow-wins-ties) over the shared
@@ -7030,6 +7051,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(is_unk AS INT) AS is_unk
             FROM documents JOIN t ON CAST(doc_id % 12 AS INT) = idx
             ORDER BY doc_id
+        """,
+        # golden coefficients = piece usage per fixture word in the
+        # converged hard-EM segmentation (derived offline, verified
+        # N-stable in tests); frequencies stay data-dependent
+        "text_unigram_train": """
+            WITH freq AS (
+                SELECT CAST(doc_id % 12 AS INT) AS k,
+                       CAST(count(*) AS BIGINT) AS f
+                FROM documents GROUP BY 1
+            ), co(piece, k, coeff) AS (VALUES
+                ('a',5,1),('b',5,1),('b',9,1),('d',10,1),
+                ('der',3,1),('der',6,1),
+                ('e',4,1),('e',5,1),('e',7,1),('ed',4,1),
+                ('g',9,1),('g',10,1),('hello',8,1),('i',9,1),
+                ('ing',1,1),('ing',7,1),('l',5,1),('ning',2,1),
+                ('o',10,1),('run',2,1),('st',4,1),('st',5,1),
+                ('st',7,1),('t',4,1),('th',1,1),('th',6,1),
+                ('the',0,1),('un',3,1),('un',6,1))
+            SELECT co.piece,
+                   CAST(SUM(co.coeff * freq.f) AS BIGINT) AS count
+            FROM co JOIN freq ON co.k = freq.k
+            GROUP BY co.piece ORDER BY co.piece
         """,
         "text_tokenize_corpus": """
             WITH t(idx, n_pieces, is_unk) AS (VALUES

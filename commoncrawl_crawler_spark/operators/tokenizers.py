@@ -215,3 +215,81 @@ def tokenize_corpus(
         .agg(*aggs)
         .orderBy("doc_id")
     )
+
+
+def unigram_train_hard_em(
+    word_freqs: DataFrame,
+    seed_vocab: list[str],
+    rounds: int = 2,
+) -> DataFrame:
+    """Hard-EM Unigram-LM training (the Viterbi-count variant of
+    Kudo 2018's EM): each round segments every DISTINCT word under
+    the current integer micro-scores, accumulates frequency-weighted
+    piece counts, and re-estimates scores as
+    ``q(count+1) - q(total+V)`` (the add-one floor keeps every seed
+    piece alive and the ln-over-integers quantization is the
+    stupid-backoff engine-parity discipline). Seed scores are uniform,
+    so round 1 prefers the FEWEST pieces with the documented
+    lexicographic tie-break -- fully deterministic end to end.
+
+    Scale shape: the corpus collapses to the word-frequency table
+    (one groupBy); each round is one Arrow-batched segmentation pass
+    over DISTINCT words plus one piece-count aggregation; the only
+    driver state is the piece->count table (vocabulary-bounded, the
+    BPE merge-loop collect discipline). Unsegmentable words are
+    excluded from counts (they would be [UNK] at encode time).
+
+    Returns (piece, count) for pieces used by the final segmentation,
+    with ``count`` = sum of word frequencies times per-word usage.
+    """
+    import math
+
+    def q(n: int) -> int:
+        return int(math.floor(math.log(n) * 1e6 + 0.5))
+
+    v = len(seed_vocab)
+    scores = {p: -5_000_000 for p in seed_vocab}
+    counts_df = None
+    for _ in range(rounds):
+        sc = dict(scores)  # capture for the closure
+
+        def _segment(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_w, out_p, out_n = [], [], []
+                for w, f in zip(pdf["word"], pdf["freq"]):
+                    seg = unigram_viterbi_word(str(w), sc)
+                    if seg is None:
+                        continue
+                    pieces, _ = seg
+                    for p in pieces:
+                        out_w.append(str(w))
+                        out_p.append(p)
+                        out_n.append(int(f))
+                yield pd.DataFrame(
+                    {"word": out_w, "piece": out_p, "freq": out_n}
+                )
+
+        exploded = word_freqs.select("word", "freq").mapInPandas(
+            _segment,
+            StructType(
+                [
+                    StructField("word", StringType()),
+                    StructField("piece", StringType()),
+                    StructField("freq", LongType()),
+                ]
+            ),
+        )
+        counts_df = (
+            exploded.groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("count"))
+            .orderBy("piece")
+        )
+        # vocabulary-bounded collect (the BPE merge-round discipline)
+        counts = {r["piece"]: int(r["count"]) for r in counts_df.collect()}
+        total = sum(counts.values())
+        scores = {
+            p: q(counts.get(p, 0) + 1) - q(total + v) for p in seed_vocab
+        }
+    return counts_df

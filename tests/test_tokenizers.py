@@ -147,3 +147,56 @@ def test_spark_encoders_and_corpus_join(spark):
     # xyz -> UNK(1), hello -> 5 pieces, unkword -> UNK(1)
     assert out[2].n_words == 3 and out[2].n_tokens == 1 + 5 + 1
     assert out[2].n_unk_words == 2
+
+
+def test_unigram_hard_em_reference_and_stability(spark):
+    """The trainer's converged segmentations equal an independent
+    offline EM over the same fixture, and the structure is stable
+    across corpus sizes (the gate-oracle precondition)."""
+    import math
+    from collections import Counter
+
+    seed = list("abdeghilnorstu") + [
+        "th", "the", "ing", "un", "er", "ed", "st", "run", "ning",
+        "der", "hello", "ll",
+    ]
+
+    def offline(n_docs, rounds=2):
+        freqs = {
+            w: n_docs // 12 + (1 if k < n_docs % 12 else 0)
+            for k, w in enumerate(GATE_WORDS)
+        }
+        scores = {p: -5_000_000 for p in seed}
+        counts = Counter()
+        for _ in range(rounds):
+            counts = Counter()
+            for w, f in freqs.items():
+                out = T.unigram_viterbi_word(w, scores)
+                if out is None:
+                    continue
+                for p in out[0]:
+                    counts[p] += f
+            total = sum(counts.values())
+            scores = {
+                p: int(math.floor(math.log(counts.get(p, 0) + 1) * 1e6 + 0.5))
+                - int(math.floor(math.log(total + len(seed)) * 1e6 + 0.5))
+                for p in seed
+            }
+        return counts
+
+    ref = offline(96)
+    assert offline(960) == Counter(
+        {p: c * 10 for p, c in ref.items()}
+    )  # structure identical, counts scale
+
+    rows = [(i, GATE_WORDS[i % 12]) for i in range(96)]
+    freqs = (
+        spark.createDataFrame(rows, "doc_id long, word string")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    got = {
+        r.piece: r["count"]
+        for r in T.unigram_train_hard_em(freqs, seed, rounds=2).collect()
+    }
+    assert got == dict(ref)
