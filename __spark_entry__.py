@@ -4185,6 +4185,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming WebDataset manifest: write shards -> readStream
         # tail -> member walk -> parquet sink (batch-identical rows)
         "stream_tar_manifest": _stream_tar_manifest,
+        # SRT/WebVTT subtitle cues: timestamp grammar (comma AND dot
+        # millis, optional hours), header/id/settings handling --
+        # the alignment units a caption corpus trains on
+        "source_srt_cues": lambda s, d: packfiles.subtitle_stats(
+            packfiles.synthesize_srt(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # HLS playlists (RFC 8216): EXTINF/URI pairing, target
         # duration, media sequence, VOD flag, exact millisecond totals
         "source_hls_manifest": lambda s, d: packfiles.hls_manifest_stats(
@@ -6714,6 +6720,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(content) AS BIGINT) AS size,
                    md5(content) AS content_md5
             FROM m ORDER BY media_id, name
+        """,
+        # cue k of media id runs 1500+((id+k)%5)*250 ms with 100 ms
+        # gaps, starting at (id%7) seconds
+        "source_srt_cues": """
+            WITH p AS (
+                SELECT doc_id AS media_id, 2 + doc_id % 4 AS n
+                FROM documents
+            )
+            SELECT media_id, CAST(n AS INT) AS n_cues,
+                   CAST(list_sum(
+                       [1500 + ((media_id + k) % 5) * 250
+                        FOR k IN range(0, n)]) AS BIGINT)
+                       AS total_cue_ms,
+                   CAST(list_sum(
+                       [1500 + ((media_id + k) % 5) * 250
+                        FOR k IN range(0, n)])
+                        + (n - 1) * 100 AS BIGINT) AS span_ms,
+                   'cue-' || CAST(media_id AS VARCHAR) || '-0'
+                       AS first_text
+            FROM p ORDER BY media_id
         """,
         "source_hls_manifest": """
             WITH p AS (

@@ -560,3 +560,129 @@ def tar_member_manifest(files: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return files.select("content").mapInPandas(_walk, PACK_MEMBERS)
+
+
+# --------------------------------------------------------------------
+# Subtitles: SRT and WebVTT -- the text tracks beside media segments
+# --------------------------------------------------------------------
+
+
+def _parse_ts(ts: str) -> int:
+    """'HH:MM:SS,mmm' (SRT) or '[HH:]MM:SS.mmm' (WebVTT) -> integer
+    milliseconds."""
+    ts = ts.strip().replace(",", ".")
+    parts = ts.split(":")
+    if len(parts) == 2:
+        parts = ["0", *parts]
+    if len(parts) != 3:
+        raise ValueError(f"bad timestamp {ts!r}")
+    h, m = int(parts[0]), int(parts[1])
+    if "." in parts[2]:
+        s, ms = parts[2].split(".")
+    else:
+        s, ms = parts[2], "0"
+    return ((h * 60 + m) * 60 + int(s)) * 1000 + int(ms.ljust(3, "0")[:3])
+
+
+def parse_subtitles(text: str) -> list[dict]:
+    """Cue list from an SRT or WebVTT document: (start_ms, end_ms,
+    text). Handles the WEBVTT magic + header block, optional numeric
+    cue indices / named cue ids, and multi-line cue text. Raises on
+    cues whose end precedes their start."""
+    lines = text.replace("\r\n", "\n").split("\n")
+    i = 0
+    if lines and lines[0].startswith("WEBVTT"):
+        i = 1
+        while i < len(lines) and lines[i].strip():
+            i += 1  # header metadata block
+    cues = []
+    while i < len(lines):
+        while i < len(lines) and not lines[i].strip():
+            i += 1
+        if i >= len(lines):
+            break
+        if "-->" not in lines[i]:
+            i += 1  # cue index or named id line
+            if i >= len(lines) or "-->" not in lines[i]:
+                raise ValueError(f"expected cue timing near line {i}")
+        timing = lines[i].split("-->")
+        start = _parse_ts(timing[0])
+        # WebVTT allows settings after the end timestamp
+        end = _parse_ts(timing[1].strip().split(" ")[0])
+        if end < start:
+            raise ValueError(f"cue ends before it starts at line {i}")
+        i += 1
+        body = []
+        while i < len(lines) and lines[i].strip():
+            body.append(lines[i])
+            i += 1
+        cues.append(
+            {"start_ms": start, "end_ms": end, "text": "\n".join(body)}
+        )
+    return cues
+
+
+def _srt_text(mid: int) -> str:
+    n = 2 + mid % 4
+    out = []
+    t = (mid % 7) * 1000
+    for k in range(n):
+        dur = 1500 + ((mid + k) % 5) * 250
+        out.append(str(k + 1))
+        out.append(
+            f"{t//3600000:02d}:{t//60000%60:02d}:{t//1000%60:02d},{t%1000:03d}"
+            " --> "
+            f"{(t+dur)//3600000:02d}:{(t+dur)//60000%60:02d}:"
+            f"{(t+dur)//1000%60:02d},{(t+dur)%1000:03d}"
+        )
+        out.append(f"cue-{mid}-{k}")
+        out.append("")
+        t += dur + 100
+    return "\n".join(out)
+
+
+def synthesize_srt(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(
+        documents, lambda mid: _srt_text(mid).encode("utf-8")
+    )
+
+
+SUBTITLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_cues", IntegerType()),
+        StructField("total_cue_ms", LongType()),
+        StructField("span_ms", LongType()),
+        StructField("first_text", StringType()),
+    ]
+)
+
+
+def subtitle_stats(media: DataFrame) -> DataFrame:
+    """Per-track cue profile: count, summed cue durations, full
+    start-to-end span -- the alignment units a speech/caption corpus
+    trains on."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in SUBTITLE_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                cues = parse_subtitles(bytes(blob).decode("utf-8"))
+                if not cues:
+                    raise ValueError(
+                        f"no cues for media_id={int(mid)}"
+                    )
+                rows["media_id"].append(int(mid))
+                rows["n_cues"].append(len(cues))
+                rows["total_cue_ms"].append(
+                    sum(c["end_ms"] - c["start_ms"] for c in cues)
+                )
+                rows["span_ms"].append(
+                    cues[-1]["end_ms"] - cues[0]["start_ms"]
+                )
+                rows["first_text"].append(cues[0]["text"])
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _stats, SUBTITLE_SCHEMA
+    )

@@ -146,3 +146,20 @@ def test_tar_shard_writer_and_streaming_manifest(spark, sf_smoke, tmp_path):
         for mid in ids
         for sfx in ("a.txt", "b.txt", "c.bin")
     }
+
+
+def test_subtitles_srt_and_webvtt():
+    cues = P.parse_subtitles(P._srt_text(3))
+    assert cues[0]["text"] == "cue-3-0"
+    vtt = (
+        "WEBVTT\nKind: captions\n\n"
+        "intro\n00:01.000 --> 00:02.500 align:start\nHello\nWorld\n\n"
+        "00:00:03.000 --> 00:00:04.000\nBye\n"
+    )
+    got = P.parse_subtitles(vtt)
+    assert (got[0]["start_ms"], got[0]["end_ms"]) == (1000, 2500)
+    assert got[0]["text"] == "Hello\nWorld"
+    with pytest.raises(ValueError, match="ends before"):
+        P.parse_subtitles("1\n00:00:02,000 --> 00:00:01,000\nx\n")
+    with pytest.raises(ValueError, match="expected cue timing"):
+        P.parse_subtitles("not a cue\nstill not\n")
