@@ -218,3 +218,9 @@ def dns_resolutions(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         _parse, DNS_SCHEMA
     )
+
+
+from ..operators.container import _corrupt_guard  # noqa: E402
+
+parse_response = _corrupt_guard("dns")(parse_response)
+decode_name = _corrupt_guard("dns-name")(decode_name)

@@ -1562,3 +1562,50 @@ def decode_fmp4(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         _decode, FMP4_STATS
     )
+
+
+def _corrupt_guard(fmt: str):
+    """Normalize low-level decode blowups (short struct reads, bad
+    indexing, mojibake) into ValueError('corrupt <fmt>: ...') -- a
+    100 TB scan wants ONE exception class to count/quarantine per
+    record, never a grab-bag of struct.error/TypeError.
+    NotImplementedError (a truly unsupported feature, not corruption)
+    passes through untouched."""
+    import functools
+    import struct as _struct
+    import zlib as _zlib
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except (ValueError, NotImplementedError):
+                raise
+            except (
+                _struct.error,
+                _zlib.error,
+                IndexError,
+                TypeError,
+                KeyError,
+                UnicodeDecodeError,
+            ) as exc:
+                raise ValueError(f"corrupt {fmt}: {exc}") from exc
+
+        return wrapper
+
+    return deco
+
+
+parse_mp4_tracks = _corrupt_guard("mp4")(parse_mp4_tracks)
+parse_fmp4_fragments = _corrupt_guard("fmp4")(parse_fmp4_fragments)
+parse_mpeg_audio_frames = _corrupt_guard("mpeg-audio")(
+    parse_mpeg_audio_frames
+)
+decode_mpeg1_layer1_frame = _corrupt_guard("mpeg1-layer1")(
+    decode_mpeg1_layer1_frame
+)
+parse_exif_tiff = _corrupt_guard("tiff")(parse_exif_tiff)
+extract_exif_from_jpeg = _corrupt_guard("jpeg-exif")(
+    extract_exif_from_jpeg
+)

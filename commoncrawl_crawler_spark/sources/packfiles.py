@@ -686,3 +686,11 @@ def subtitle_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         _stats, SUBTITLE_SCHEMA
     )
+
+
+from ..operators.container import _corrupt_guard  # noqa: E402
+
+parse_tar_members = _corrupt_guard("tar")(parse_tar_members)
+parse_zip_members = _corrupt_guard("zip")(parse_zip_members)
+parse_m3u8 = _corrupt_guard("m3u8")(parse_m3u8)
+parse_subtitles = _corrupt_guard("subtitles")(parse_subtitles)

@@ -359,3 +359,39 @@ def test_fmp4_requires_mvex_and_moof():
     )
     with pytest.raises(ValueError, match="without moof"):
         C.parse_fmp4_fragments(blob[:init_end])
+
+
+def test_corrupt_guard_uniform_valueerror():
+    """Random corruption of any container must surface as ValueError
+    (the one class a 100 TB scan counts/quarantines), never
+    struct.error/TypeError/zlib.error -- fuzzed across all parsers."""
+    import random
+
+    from commoncrawl_crawler_spark.functions import dnswire as D
+    from commoncrawl_crawler_spark.sources import packfiles as P
+
+    rng = random.Random(7)
+    specs = [
+        (C._mp4_blob(3), C.parse_mp4_tracks),
+        (C._fmp4_blob(3), C.parse_fmp4_fragments),
+        (C._mp3_blob(3), C.parse_mpeg_audio_frames),
+        (P._tar_blob(3), P.parse_tar_members),
+        (P._zip_blob(3), P.parse_zip_members),
+        (D._dns_blob(3), D.parse_response),
+        (C._exif_blob(3), C.extract_exif_from_jpeg),
+    ]
+    for blob, fn in specs:
+        for _ in range(60):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 6)):
+                op = rng.random()
+                if op < 0.5 and b:
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                elif op < 0.8 and len(b) > 4:
+                    del b[rng.randrange(len(b)) :]
+                else:
+                    b += bytes(rng.randrange(8))
+            try:
+                fn(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass  # the contract
