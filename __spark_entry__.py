@@ -3612,6 +3612,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantile_sketch": lambda s, d: aggregates.quantile_histogram(
             _t(s, d, "events")
         ),
+        # KMV distinct sketches with SET-OPERATION support: the
+        # cross-source Jaccard estimate HLL cannot produce, next to
+        # the exact overlap for the quality-report flavor
+        "agg_kmv_overlap": lambda s, d: aggregates.kmv_source_overlap(
+            _t(s, d, "documents"), k=128
+        ),
         # Deequ-style data quality: one-pass per-column profile and a
         # declarative constraint suite (unique/complete/ref-int/range)
         "dq_profile_orders": lambda s, d: dataquality.profile_table(
@@ -6687,6 +6693,99 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS body_bytes,
                    md5(text) AS body_md5
             FROM documents ORDER BY doc_id
+        """,
+        # full-mirror oracle: same bigram elements, md5 order, two-
+        # phase min-k collapses to one window at oracle scale; the
+        # 8-hex-digit -> integer conversion is a positional list_sum
+        # (DuckDB lacks a hex-string cast)
+        "agg_kmv_overlap": """
+            WITH t AS (
+                SELECT source, list_filter(regexp_split_to_array(
+                           lower(trim(text)), '\\s+'),
+                           w -> w <> '') AS toks
+                FROM documents
+            ), e AS (
+                SELECT DISTINCT source,
+                       toks[i] || ' ' || toks[i+1] AS w
+                FROM (SELECT source, toks,
+                             unnest(range(1, len(toks))) AS i FROM t)
+            ), sk0 AS (
+                SELECT source, md5(w) AS h,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY md5(w)) AS r
+                FROM e
+            ), ske AS (SELECT * FROM sk0 WHERE r <= 128),
+            est AS (
+                SELECT source,
+                       CASE WHEN max(r) < 128 THEN CAST(max(r) AS BIGINT)
+                            ELSE CAST((127 * 4294967296) //
+                                (list_sum([(strpos('0123456789abcdef',
+                                     substr(max(CASE WHEN r = 128
+                                                THEN h END), i, 1)) - 1)
+                                     * (CAST(1 AS BIGINT)
+                                        << (4 * (8 - i)))
+                                  FOR i IN range(1, 9)]) + 1)
+                                AS BIGINT)
+                       END AS est_distinct
+                FROM ske GROUP BY source
+            ), pg AS (
+                SELECT 'src' || CAST(i AS VARCHAR) AS source_a,
+                       'src' || CAST(i + 1 AS VARCHAR) AS source_b
+                FROM (SELECT unnest(range(0, 9)) AS i)
+            ), uh AS (
+                SELECT pg.source_a, pg.source_b, s.h
+                FROM pg JOIN ske s ON s.source = pg.source_a
+                UNION
+                SELECT pg.source_a, pg.source_b, s.h
+                FROM pg JOIN ske s ON s.source = pg.source_b
+            ), usk AS (
+                SELECT * FROM (
+                    SELECT source_a, source_b, h,
+                           row_number() OVER (
+                               PARTITION BY source_a, source_b
+                               ORDER BY h) AS r
+                    FROM uh) WHERE r <= 128
+            ), un AS (
+                SELECT source_a, source_b, count(*) AS n_union
+                FROM usk GROUP BY 1, 2
+            ), bo AS (
+                SELECT u.source_a, u.source_b, count(*) AS n_both
+                FROM usk u
+                WHERE EXISTS (SELECT 1 FROM ske x
+                              WHERE x.source = u.source_a AND x.h = u.h)
+                  AND EXISTS (SELECT 1 FROM ske y
+                              WHERE y.source = u.source_b AND y.h = u.h)
+                GROUP BY 1, 2
+            ), inter AS (
+                SELECT pg.source_a, pg.source_b, count(*) AS n_inter
+                FROM pg JOIN e a ON a.source = pg.source_a
+                WHERE EXISTS (SELECT 1 FROM e b
+                              WHERE b.source = pg.source_b
+                                AND b.w = a.w)
+                GROUP BY 1, 2
+            ), sizes AS (
+                SELECT source, count(*) AS n FROM e GROUP BY 1
+            )
+            SELECT pg.source_a, pg.source_b,
+                   ea.est_distinct AS est_distinct_a,
+                   eb.est_distinct AS est_distinct_b,
+                   CAST(COALESCE(bo.n_both, 0) * 1000000 // un.n_union
+                        AS BIGINT) AS est_jaccard_micro,
+                   CAST(COALESCE(inter.n_inter, 0) * 1000000 //
+                        (sa.n + sb.n - COALESCE(inter.n_inter, 0))
+                        AS BIGINT) AS exact_jaccard_micro
+            FROM pg
+            JOIN est ea ON ea.source = pg.source_a
+            JOIN est eb ON eb.source = pg.source_b
+            LEFT JOIN bo ON bo.source_a = pg.source_a
+                        AND bo.source_b = pg.source_b
+            JOIN un ON un.source_a = pg.source_a
+                   AND un.source_b = pg.source_b
+            LEFT JOIN inter ON inter.source_a = pg.source_a
+                           AND inter.source_b = pg.source_b
+            JOIN sizes sa ON sa.source = pg.source_a
+            JOIN sizes sb ON sb.source = pg.source_b
+            ORDER BY pg.source_a, pg.source_b
         """,
         # synth params are closed-form: qname h(id%50), id%3 CNAME
         # hops, A = 10.0.0.0 | id%65536, ttls ascend from 60+id%120

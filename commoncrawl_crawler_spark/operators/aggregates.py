@@ -634,3 +634,210 @@ def cube_rollup(orders: DataFrame) -> DataFrame:
         )
         .orderBy("gid", "o_orderstatus", "o_orderpriority")
     )
+
+
+def kmv_source_overlap(
+    documents: DataFrame, k: int = 128, pairs: int = 9
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketches with SET-OPERATION
+    support (Beyer et al. 2007, "On synopses for distinct-value
+    estimation under multiset operations") -- the capability HLL
+    lacks: two KMV sketches combine into an unbiased JACCARD estimate,
+    so corpus-overlap questions ("how much does source A share with
+    source B?") answer from sketches alone.
+
+    Per source the sketch is the k smallest md5(word) values (md5 =
+    the engine-shared hash, the LSH-oracle discipline). Estimators
+    are exact integer arithmetic: with h_k = 1 + int(first 8 hex
+    chars of the k-th smallest), D-hat = ((k-1) << 32) DIV h_k, and
+    J-hat = |A-sketch ∩ B-sketch ∩ union-sketch| * 1e6 DIV k.
+
+    Scale shape: min-k is TWO-PHASE -- a salted window (source,
+    md5 % 64) ranks partial top-ks in parallel, then the <= 64k
+    survivors per source take one tiny final window; no per-source
+    global sort over the full vocabulary ever runs. The pair grid is
+    consecutive source ids (bounded), sketches join broadcast-side.
+
+    Output per pair: est_distinct for both sides, the sketch-based
+    Jaccard, and the EXACT Jaccard (computable at gate scale) for the
+    quality-report flavor of dedup_sketch_quality.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "source",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda w: w != "",
+        ).alias("_t"),
+    )
+    n1 = F.greatest(F.size("_t") - 1, F.lit(0))
+    bg_expr = F.zip_with(
+        F.slice(F.col("_t"), 1, n1),
+        F.slice(F.col("_t"), 2, n1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    # elements are word BIGRAMS: cross-source vocab overlap is near
+    # total in web text, bigram overlap is discriminative
+    words = toks.select(
+        "source", F.explode(bg_expr).alias("word")
+    ).distinct()
+    hashed = words.select(
+        "source", F.md5("word").alias("h")
+    )
+    # phase 1: salted partial min-k (64-way parallel per source)
+    salt = F.pmod(F.conv(F.substring("h", 1, 4), 16, 10).cast("long"), F.lit(64))
+    w1 = Window.partitionBy("source", "_salt").orderBy("h")
+    partial = (
+        hashed.withColumn("_salt", salt)
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .drop("_r", "_salt")
+    )
+    # phase 2: final min-k over the bounded survivors
+    w2 = Window.partitionBy("source").orderBy("h")
+    sketch = (
+        partial.withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") <= k)
+    )
+    # a sketch smaller than k IS the exact distinct set: estimate =
+    # its size (the standard KMV small-side rule)
+    est = (
+        sketch.groupBy("source")
+        .agg(
+            F.max("_r").alias("_n_sk"),
+            F.max_by("h", "_r").alias("_h_last"),
+        )
+        .select(
+            "source",
+            F.when(F.col("_n_sk") < k, F.col("_n_sk").cast("bigint"))
+            .otherwise(
+                F.expr(
+                    f"CAST(({k - 1} * 4294967296) DIV "
+                    "(CAST(conv(substring(_h_last, 1, 8), 16, 10) AS BIGINT)"
+                    " + 1) AS BIGINT)"
+                )
+            )
+            .alias("est_distinct"),
+        )
+    )
+    sk = sketch.select("source", "h")
+
+    src_id = lambda c: F.regexp_extract(c, r"src(\d+)", 1).cast("int")
+    pair_grid = (
+        sk.select("source")
+        .distinct()
+        .withColumn("_sid", src_id(F.col("source")))
+        .filter(F.col("_sid") < pairs)
+        .select(
+            F.col("source").alias("source_a"),
+            F.concat(F.lit("src"), (F.col("_sid") + 1).cast("string")).alias(
+                "source_b"
+            ),
+        )
+    )
+    a = sk.withColumnRenamed("source", "source_a").withColumnRenamed(
+        "h", "ha"
+    )
+    b = sk.withColumnRenamed("source", "source_b").withColumnRenamed(
+        "h", "hb"
+    )
+    # union sketch per pair: k smallest of the two sketches' union
+    pair_hashes = (
+        pair_grid.join(a, "source_a")
+        .select("source_a", "source_b", F.col("ha").alias("h"))
+        .unionByName(
+            pair_grid.join(b, "source_b").select(
+                "source_a", "source_b", F.col("hb").alias("h")
+            )
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("source_a", "source_b").orderBy("h")
+    union_sketch = (
+        pair_hashes.withColumn("_r", F.row_number().over(wu))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+    union_sizes = union_sketch.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("_n_union_sk")
+    )
+    sa = sk.select(F.col("source").alias("_sa"), F.col("h").alias("_hsa"))
+    sb = sk.select(F.col("source").alias("_sb"), F.col("h").alias("_hsb"))
+    both = (
+        union_sketch.join(
+            sa,
+            (F.col("source_a") == F.col("_sa"))
+            & (F.col("h") == F.col("_hsa")),
+            "left_semi",
+        )
+        .join(
+            sb,
+            (F.col("source_b") == F.col("_sb"))
+            & (F.col("h") == F.col("_hsb")),
+            "left_semi",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("_n_both"))
+    )
+    # exact Jaccard at gate scale (words per source pair)
+    wa = words.withColumnRenamed("source", "source_a")
+    wb = words.select(
+        F.col("source").alias("_wsb"), F.col("word").alias("_wwb")
+    )
+    exact = (
+        pair_grid.join(wa, "source_a")
+        .join(
+            wb,
+            (F.col("source_b") == F.col("_wsb"))
+            & (F.col("word") == F.col("_wwb")),
+            "left_semi",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("_n_inter"))
+    )
+    sizes = words.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        pair_grid.join(
+            est.withColumnRenamed("source", "source_a").withColumnRenamed(
+                "est_distinct", "est_distinct_a"
+            ),
+            "source_a",
+        )
+        .join(
+            est.withColumnRenamed("source", "source_b").withColumnRenamed(
+                "est_distinct", "est_distinct_b"
+            ),
+            "source_b",
+        )
+        .join(both, ["source_a", "source_b"], "left")
+        .join(union_sizes, ["source_a", "source_b"])
+        .join(exact, ["source_a", "source_b"], "left")
+        .join(
+            sizes.withColumnRenamed("source", "source_a").withColumnRenamed(
+                "_n", "_na"
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.withColumnRenamed("source", "source_b").withColumnRenamed(
+                "_n", "_nb"
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "est_distinct_a",
+            "est_distinct_b",
+            F.expr(
+                "CAST(coalesce(_n_both, 0) * 1000000 DIV _n_union_sk"
+                " AS BIGINT)"
+            ).alias("est_jaccard_micro"),
+            F.expr(
+                "CAST(coalesce(_n_inter, 0) * 1000000 DIV "
+                "(_na + _nb - coalesce(_n_inter, 0)) AS BIGINT)"
+            ).alias("exact_jaccard_micro"),
+        )
+        .orderBy("source_a", "source_b")
+    )

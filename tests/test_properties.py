@@ -120,3 +120,40 @@ def test_bloom_sizing_monotone(n, fpp):
     assert m % 64 == 0 and m >= 64 and k >= 1
     m2, _ = bloom.optimal_params(n, fpp / 2)
     assert m2 >= m  # stricter fpp never shrinks the filter
+
+
+def test_kmv_overlap_estimator_properties(spark):
+    """KMV sketch estimates: exact when |set| < k (the sketch IS the
+    set), within sampling error when |set| >> k, and the sketch
+    Jaccard tracks the exact one."""
+    import hashlib
+
+    from commoncrawl_crawler_spark.operators import aggregates as A
+
+    # two sources with engineered bigram overlap: texts are word
+    # chains so each adjacent pair is one bigram
+    n, shared = 600, 360
+    words_a = [f"w{i}" for i in range(n + 1)]
+    words_b = [f"w{i}" for i in range(n - shared, 2 * n - shared + 1)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(words_a), "en", "src0", 1),
+            (1, " ".join(words_b), "en", "src1", 1),
+            (2, "a b", "en", "src2", 1),  # 1 bigram: below-k path
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in A.kmv_source_overlap(docs, k=128, pairs=3).collect()
+    }
+    r01 = out[("src0", "src1")]
+    # both sides have exactly n distinct bigrams; estimator within 35%
+    assert abs(r01.est_distinct_a - n) / n < 0.35
+    assert abs(r01.est_distinct_b - n) / n < 0.35
+    exact_j = shared / (2 * n - shared)
+    assert abs(r01.exact_jaccard_micro / 1e6 - exact_j) < 1e-6
+    assert abs(r01.est_jaccard_micro - r01.exact_jaccard_micro) < 250_000
+    r12 = out[("src1", "src2")]
+    assert r12.est_distinct_b == 1  # below-k sketch = exact size
+    assert r12.exact_jaccard_micro == 0 and r12.est_jaccard_micro == 0
