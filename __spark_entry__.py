@@ -4239,6 +4239,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp3_layer1_decode": lambda s, d: container.decode_layer1(
             container.synthesize_layer1(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # consistent-hash ring (Karger 1997): the elastic upgrade of
+        # the reference's modulo host-sharding; ring broadcast, one
+        # min_by per distinct key
+        "layout_consistent_hash": lambda s, d: layout.consistent_hash_assign(
+            _t(s, d, "documents").select(
+                F.concat(
+                    F.lit("h"),
+                    F.pmod(F.col("doc_id"), F.lit(200)).cast("string"),
+                ).alias("host")
+            ),
+            n_workers=8,
+            vnodes=16,
+        ),
         # Morton/Z-order clustering key: pure Column bit-interleave
         # (whole-stage codegen) -> data-skipping file layout
         "layout_zorder": lambda s, d: layout.zorder_events(
@@ -7007,6 +7020,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(micros, x -> abs(x)))
                         AS BIGINT) AS sum_abs_micro
             FROM s ORDER BY media_id
+        """,
+        # same md5 ring on both engines; clockwise successor via
+        # min_by over ring_pos >= md5(host), wrap to the ring minimum
+        "layout_consistent_hash": """
+            WITH k AS (
+                SELECT DISTINCT
+                       'h' || CAST(doc_id % 200 AS VARCHAR) AS host
+                FROM documents
+            ), ring AS (
+                SELECT 'w' || CAST(w AS VARCHAR) AS worker,
+                       md5('w' || CAST(w AS VARCHAR) || '#'
+                           || CAST(v AS VARCHAR)) AS ring_pos
+                FROM (SELECT unnest(range(0, 8)) AS w),
+                     (SELECT unnest(range(0, 16)) AS v)
+            ), cw AS (
+                SELECT k.host, min_by(r.worker, r.ring_pos) AS worker
+                FROM k JOIN ring r ON r.ring_pos >= md5(k.host)
+                GROUP BY k.host
+            ), wrap AS (
+                SELECT min_by(worker, ring_pos) AS w FROM ring
+            )
+            SELECT k.host,
+                   COALESCE(cw.worker, (SELECT w FROM wrap)) AS worker
+            FROM k LEFT JOIN cw USING (host) ORDER BY host
         """,
         # Morton interleave recomputed bit-by-bit: x bits at even
         # positions, y bits at odd (layout.zorder_key convention)

@@ -165,3 +165,54 @@ def documents_file_listing(documents: DataFrame) -> DataFrame:
         .cast("long")
         .alias("size_bytes"),
     )
+
+
+def consistent_hash_assign(
+    keys: DataFrame,
+    n_workers: int = 8,
+    vnodes: int = 16,
+    key_col: str = "host",
+) -> DataFrame:
+    """Consistent-hash ring assignment (Karger et al. 1997): each
+    worker owns `vnodes` ring positions md5('w<i>#<v>'), a key lands
+    on the first position clockwise from md5(key), wrapping to the
+    ring's minimum. The elastic upgrade of the reference's modulo
+    host-sharding (crawler list partitioning, SURVEY section 1.5):
+    adding/removing one worker moves ~1/n of keys instead of
+    reshuffling everything.
+
+    Scale shape: ONE pass -- the ring (n_workers x vnodes rows,
+    broadcast) left-joins the distinct keys on the non-equi successor
+    condition (a BroadcastNestedLoopJoin whose broadcast side is the
+    bounded ring, the allowlisted probe-table pattern), and one
+    min_by aggregate per key resolves the clockwise winner; keys past
+    the last ring position wrap to the ring minimum via coalesce. No
+    join-back, no corpus-side sort. md5 keeps both engines' ring
+    identical (the LSH-oracle discipline).
+    """
+    spark = keys.sparkSession
+    ring = spark.createDataFrame(
+        [
+            (f"w{w}", f"w{w}#{v}")
+            for w in range(n_workers)
+            for v in range(vnodes)
+        ],
+        "worker string, vnode string",
+    ).select("worker", F.md5("vnode").alias("ring_pos"))
+    ring_min = ring.agg(
+        F.min_by("worker", "ring_pos").alias("_wrap_worker"),
+    )
+    k = keys.select(F.col(key_col).alias("key")).distinct().select(
+        "key", F.md5("key").alias("_kh")
+    )
+    return (
+        k.join(F.broadcast(ring), F.col("ring_pos") >= F.col("_kh"), "left")
+        .groupBy("key")
+        .agg(F.min_by("worker", "ring_pos").alias("_cw_worker"))
+        .crossJoin(F.broadcast(ring_min))
+        .select(
+            F.col("key").alias(key_col),
+            F.coalesce("_cw_worker", "_wrap_worker").alias("worker"),
+        )
+        .orderBy(key_col)
+    )

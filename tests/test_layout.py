@@ -148,3 +148,45 @@ def test_cidr_plan_is_broadcast_equijoin_no_corpus_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_consistent_hash_elasticity(spark):
+    """The consistent-hashing contract: growing the worker pool by
+    one moves only a minority of keys (vs ~all keys under modulo),
+    assignments are deterministic, and every worker gets traffic."""
+    keys = spark.createDataFrame(
+        [(f"host{i}.example.com",) for i in range(400)], "host string"
+    )
+    a = {
+        r.host: r.worker
+        for r in layout.consistent_hash_assign(keys, n_workers=8).collect()
+    }
+    b = {
+        r.host: r.worker
+        for r in layout.consistent_hash_assign(keys, n_workers=9).collect()
+    }
+    moved = sum(1 for h in a if a[h] != b[h])
+    # expectation ~ 1/9 of keys; modulo resharding would move ~ 8/9
+    assert moved < 400 * 0.35, moved
+    assert len(set(a.values())) == 8 and len(set(b.values())) == 9
+    # deterministic across invocations
+    a2 = {
+        r.host: r.worker
+        for r in layout.consistent_hash_assign(keys, n_workers=8).collect()
+    }
+    assert a == a2
+
+
+def test_consistent_hash_plan_is_broadcast_only(spark):
+    keys = spark.createDataFrame([("h1",)], "host string")
+    plan = (
+        layout.consistent_hash_assign(keys)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the non-equi successor join is a BNLJ whose BROADCAST side is
+    # the bounded ring (allowlisted pattern); the corpus side must
+    # never sort-merge or shuffle-hash join
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

@@ -287,6 +287,7 @@ def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
         "sim_ivfpq_topk",  # broadcast centroid table x probes (routing)
         "graph_bowtie",  # 1-row core-scc-id broadcast
         "evt_funnel",  # 1-row step-0 count broadcast (conversion base)
+        "layout_consistent_hash",  # 128-row ring broadcast (successor join)
     }
     bnlj = {
         n for n, r in counted.items() if r["broadcast_nested_loop_joins"]
