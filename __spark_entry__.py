@@ -3612,6 +3612,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantile_sketch": lambda s, d: aggregates.quantile_histogram(
             _t(s, d, "events")
         ),
+        # temperature-flattened language mixture (p proportional to
+        # n^0.5 -- sqrt is the one IEEE-exact power, so the plan is
+        # engine-identical); the multilingual sampling standard
+        "text_temperature_mixture": lambda s, d: sampling.temperature_mixture(
+            _t(s, d, "documents"), budget_docs=10000
+        ),
         # KMV distinct sketches with SET-OPERATION support: the
         # cross-source Jaccard estimate HLL cannot produce, next to
         # the exact overlap for the quality-report flavor
@@ -6712,6 +6718,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS body_bytes,
                    md5(text) AS body_md5
             FROM documents ORDER BY doc_id
+        """,
+        "text_temperature_mixture": """
+            WITH c AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY lang
+            ), w AS (
+                SELECT lang, n_docs,
+                       CAST(floor(sqrt(n_docs) * 1e6 + 0.5) AS BIGINT)
+                           AS wq
+                FROM c
+            ), t AS (SELECT sum(wq) AS tw FROM w)
+            SELECT lang, n_docs,
+                   CAST(wq * 1000000 // (SELECT tw FROM t) AS BIGINT)
+                       AS share_ppm,
+                   CAST(10000 * wq // (SELECT tw FROM t) AS BIGINT)
+                       AS planned_docs
+            FROM w ORDER BY lang
         """,
         # full-mirror oracle: same bigram elements, md5 order, two-
         # phase min-k collapses to one window at oracle scale; the

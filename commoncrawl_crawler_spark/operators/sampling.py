@@ -267,3 +267,44 @@ def training_shuffle(
         .withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w))
     )
+
+
+def temperature_mixture(
+    documents: DataFrame, budget_docs: int = 10000
+) -> DataFrame:
+    """Temperature-flattened language mixture (the multilingual-LM
+    sampling standard: p_l proportional to n_l^alpha; XLM-R, mT5): a
+    raw-frequency mixture starves tail languages, a uniform one
+    over-trains them -- alpha between 0 and 1 interpolates. This
+    implementation pins alpha = 0.5 because sqrt is the ONE power
+    IEEE 754 requires correctly rounded, so the weight computation is
+    bit-identical across engines (an arbitrary pow() is libm-ulp
+    territory -- the engine-parity rule that keeps oracle hashes
+    stable); other alphas belong behind a documented approximate
+    variant.
+
+    Weights quantize once (floor(sqrt(n)*1e6+0.5)) and everything
+    after is exact integer arithmetic: share_ppm = w*1e6 DIV sum(w),
+    planned_docs = budget*w DIV sum(w). One groupBy over the corpus,
+    a 1-row total broadcast -- the mixture_plan shape.
+    """
+    counts = documents.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = F.floor(F.sqrt(F.col("n_docs")) * 1e6 + F.lit(0.5)).cast("long")
+    weighted = counts.withColumn("_w", w)
+    total = weighted.agg(F.sum("_w").alias("_tw"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            F.expr("CAST(_w * 1000000 DIV _tw AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(f"CAST({budget_docs} * _w DIV _tw AS BIGINT)").alias(
+                "planned_docs"
+            ),
+        )
+        .orderBy("lang")
+    )

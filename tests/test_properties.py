@@ -157,3 +157,31 @@ def test_kmv_overlap_estimator_properties(spark):
     r12 = out[("src1", "src2")]
     assert r12.est_distinct_b == 1  # below-k sketch = exact size
     assert r12.exact_jaccard_micro == 0 and r12.est_jaccard_micro == 0
+
+
+def test_temperature_mixture_flattens_toward_tail(spark):
+    """alpha=0.5 sits between raw frequency and uniform: the tail
+    language's planned share strictly exceeds its raw share, the
+    head's strictly shrinks, shares are ordered like counts, and the
+    plan is exact-integer deterministic."""
+    from commoncrawl_crawler_spark.operators import sampling as S
+
+    rows = (
+        [(i, "t", "en", "s", 1) for i in range(900)]
+        + [(1000 + i, "t", "de", "s", 1) for i in range(90)]
+        + [(2000 + i, "t", "yo", "s", 1) for i in range(10)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.lang: r for r in S.temperature_mixture(docs, 1000).collect()}
+    raw = {"en": 900, "de": 90, "yo": 10}
+    total = sum(raw.values())
+    for lang in raw:
+        raw_ppm = raw[lang] * 1_000_000 // total
+        if lang == "en":
+            assert out[lang].share_ppm < raw_ppm  # head shrinks
+        else:
+            assert out[lang].share_ppm > raw_ppm  # tail grows
+    assert out["en"].share_ppm > out["de"].share_ppm > out["yo"].share_ppm
+    assert sum(r.planned_docs for r in out.values()) <= 1000
