@@ -4220,6 +4220,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_bmp": lambda s, d: multimodal.decode_bmp(
             multimodal.synthesize_bmp(_t(s, d, "documents"))
         ),
+        # ICO favicon directories: PNG entries via the in-repo PNG
+        # kernel, headerless DIB entries (doubled-height XOR+AND
+        # quirk) via the BMP kernel
+        "mm_ico_entries": lambda s, d: container.ico_entries(
+            container.synthesize_ico(_t(s, d, "documents"))
+        ).orderBy("media_id", "entry_idx"),
         # fragmented MP4 (fMP4/CMAF, the DASH/HLS wire layout):
         # trex defaults + moof/tfhd/tfdt/trun resolution, every
         # trun-resolved sample decoded in-repo
@@ -6937,6 +6943,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(content) AS BIGINT) AS size,
                    md5(content) AS content_md5
             FROM m ORDER BY media_id, name
+        """,
+        # entry 0 is a PNG with pixel p = (id*5+p*7)%256 at
+        # (4+id%3) x 4; entry 1 a DIB with q = (id*11+q*3)%256 at
+        # 8 x (2+id%2) -- both decode losslessly
+        "mm_ico_entries": """
+            WITH p AS (
+                SELECT doc_id AS media_id,
+                       4 + doc_id % 3 AS w1,
+                       2 + doc_id % 2 AS h2
+                FROM documents
+            )
+            SELECT media_id, CAST(0 AS INT) AS entry_idx,
+                   'png' AS format,
+                   CAST(w1 AS INT) AS width, CAST(4 AS INT) AS height,
+                   CAST(list_sum([(media_id*5 + p*7) % 256
+                        FOR p IN range(0, w1*4*3)]) AS BIGINT) AS sum_px
+            FROM p
+            UNION ALL
+            SELECT media_id, CAST(1 AS INT), 'dib',
+                   CAST(8 AS INT), CAST(h2 AS INT),
+                   CAST(list_sum([(media_id*11 + q*3) % 256
+                        FOR q IN range(0, 8*h2*3)]) AS BIGINT)
+            FROM p
+            ORDER BY media_id, entry_idx
         """,
         # fMP4 synth: 2+id%2 fragments x 2 samples, global frame g
         # valued (id*7+g*13)%256 on flat 8x8 blocks, 3000-tick

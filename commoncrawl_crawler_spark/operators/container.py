@@ -1609,3 +1609,152 @@ parse_exif_tiff = _corrupt_guard("tiff")(parse_exif_tiff)
 extract_exif_from_jpeg = _corrupt_guard("jpeg-exif")(
     extract_exif_from_jpeg
 )
+
+
+# --------------------------------------------------------------------
+# ICO icon directories -- PNG and DIB entries (the favicon format)
+# --------------------------------------------------------------------
+#
+# Favicons are the one image container every crawler sees millions of
+# times. An ICO is a directory of entries, each either a whole PNG
+# (Vista+ encoding) or a HEADERLESS DIB whose InfoHeader height is
+# DOUBLED (XOR color image + AND transparency mask stacked) -- the
+# quirk naive parsers trip on. Entry decode DELEGATES to the in-repo
+# PNG and BMP kernels.
+
+from .multimodal import encode_png_bytes, parse_png_bytes  # noqa: E402
+from .multimodal import encode_bmp_bytes, parse_bmp_bytes  # noqa: E402
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def build_ico_bytes(entries: list[tuple[str, int, int, bytes]]) -> bytes:
+    """entries: (kind 'png'|'dib', width, height, payload). For 'dib'
+    the payload is a full BMP from encode_bmp_bytes; this writer
+    strips the 14-byte file header, doubles the InfoHeader height,
+    and appends an all-zero AND mask -- producing the real on-disk
+    ICO entry layout."""
+    import struct
+
+    blobs = []
+    for kind, w, h, payload in entries:
+        if kind == "png":
+            blobs.append(payload)
+        elif kind == "dib":
+            dib = bytearray(payload[14:])  # drop BITMAPFILEHEADER
+            dib[8:12] = struct.pack("<i", 2 * h)  # doubled height
+            mask_stride = ((w + 31) // 32) * 4
+            blobs.append(bytes(dib) + b"\x00" * (mask_stride * h))
+        else:
+            raise ValueError(f"unknown entry kind {kind!r}")
+    out = bytearray(struct.pack("<HHH", 0, 1, len(entries)))
+    data_at = 6 + 16 * len(entries)
+    for (kind, w, h, _), blob in zip(entries, blobs):
+        out += struct.pack(
+            "<BBBBHHII",
+            w % 256, h % 256, 0, 0, 1, 24, len(blob), data_at,
+        )
+        data_at += len(blob)
+    for blob in blobs:
+        out += blob
+    return bytes(out)
+
+
+def parse_ico_entries(blob: bytes) -> list[dict]:
+    """Directory walk + per-entry decode: PNG entries through the
+    in-repo PNG kernel, DIB entries through the BMP kernel (height
+    un-doubled, a synthetic file header prepended, the AND mask
+    dropped). Returns dicts with format/width/height/flat RGB."""
+    import struct
+
+    if len(blob) < 6:
+        raise ValueError("truncated ICO directory")
+    reserved, ico_type, count = struct.unpack("<HHH", blob[:6])
+    if reserved != 0 or ico_type != 1:
+        raise ValueError("not an ICO file")
+    out = []
+    for i in range(count):
+        e = 6 + 16 * i
+        size, offset = struct.unpack("<II", blob[e + 8 : e + 16])
+        data = blob[offset : offset + size]
+        if len(data) != size:
+            raise ValueError(f"truncated ICO entry {i}")
+        if data[:8] == _PNG_MAGIC:
+            w, h, rgb = parse_png_bytes(data)
+            fmt = "png"
+        else:
+            (hdr_size,) = struct.unpack("<I", data[:4])
+            if hdr_size < 40:
+                raise ValueError(f"bad DIB header in entry {i}")
+            (h2,) = struct.unpack("<i", data[8:12])
+            if h2 % 2 != 0:
+                raise ValueError(f"entry {i}: DIB height not doubled")
+            fixed = bytearray(data)
+            fixed[8:12] = struct.pack("<i", h2 // 2)
+            bm = (
+                b"BM"
+                + struct.pack("<IHHI", 14 + len(fixed), 0, 0, 14 + hdr_size)
+                + bytes(fixed)
+            )
+            w, h, rgb = parse_bmp_bytes(bm)
+            fmt = "dib"
+        out.append(
+            {"format": fmt, "width": w, "height": h, "rgb": rgb}
+        )
+    return out
+
+
+def _ico_blob(mid: int) -> bytes:
+    w1, h1 = 4 + mid % 3, 4
+    p = np.arange(w1 * h1 * 3, dtype=np.int64)
+    png_px = (mid * 5 + p * 7) % 256
+    w2, h2 = 8, 2 + mid % 2
+    q = np.arange(w2 * h2 * 3, dtype=np.int64)
+    dib_px = (mid * 11 + q * 3) % 256
+    return build_ico_bytes(
+        [
+            ("png", w1, h1, encode_png_bytes(w1, h1, png_px)),
+            ("dib", w2, h2, encode_bmp_bytes(w2, h2, dib_px)),
+        ]
+    )
+
+
+def synthesize_ico(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _ico_blob)
+
+
+ICO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("entry_idx", IntegerType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_px", LongType()),
+    ]
+)
+
+
+def ico_entries(media: DataFrame) -> DataFrame:
+    """One row per icon entry with the decoded pixel sum -- the
+    favicon-dedup/feature path."""
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in ICO_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                for i, e in enumerate(parse_ico_entries(bytes(blob))):
+                    rows["media_id"].append(int(mid))
+                    rows["entry_idx"].append(i)
+                    rows["format"].append(e["format"])
+                    rows["width"].append(e["width"])
+                    rows["height"].append(e["height"])
+                    rows["sum_px"].append(int(e["rgb"].sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _walk, ICO_SCHEMA
+    )
+
+
+parse_ico_entries = _corrupt_guard("ico")(parse_ico_entries)

@@ -395,3 +395,32 @@ def test_corrupt_guard_uniform_valueerror():
                 fn(bytes(b))
             except (ValueError, NotImplementedError):
                 pass  # the contract
+
+
+def test_ico_png_and_dib_entries_roundtrip():
+    import numpy as np
+
+    blob = C._ico_blob(5)
+    es = C.parse_ico_entries(blob)
+    assert [e["format"] for e in es] == ["png", "dib"]
+    w1 = 4 + 5 % 3
+    p = np.arange(w1 * 4 * 3)
+    assert int(es[0]["rgb"].sum()) == int(((5 * 5 + p * 7) % 256).sum())
+    # DIB entry heights are DOUBLED on disk (XOR+AND); decode halves
+    assert es[1]["height"] == 2 + 5 % 2
+
+
+def test_ico_rejections():
+    with pytest.raises(ValueError, match="not an ICO"):
+        C.parse_ico_entries(b"\x00\x00\x02\x00\x01\x00" + b"\x00" * 16)
+    blob = bytearray(C._ico_blob(1))
+    # odd DIB height must be rejected (mask layout impossible)
+    import struct
+
+    size, offset = struct.unpack("<II", blob[6 + 16 + 8 : 6 + 16 + 16])
+    (h2,) = struct.unpack("<i", blob[offset + 8 : offset + 12])
+    blob[offset + 8 : offset + 12] = struct.pack("<i", h2 + 1)
+    with pytest.raises(ValueError, match="height not doubled"):
+        C.parse_ico_entries(bytes(blob))
+    with pytest.raises(ValueError, match="truncated ICO entry"):
+        C.parse_ico_entries(bytes(C._ico_blob(1))[:-10])
