@@ -4909,12 +4909,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # drafts of this rotation are displaced by the new gates;
         # all remain pytest-covered, r2-driver-green, and self-swept
         # at both SFs in CORRECTNESS_SELF_r06*.)
-        # Session-2 added 27 gates; 12 are fronted above and the 15
+        # Session-2 added 29 gates; 12 are fronted above and the 17
         # later ones (tar/zip/dechunk/hls/srt/stream-tar, exif/shot/
-        # fmp4/bmp, dns, kmv, consistent-hash, unigram-train,
-        # tokenize-corpus) wait for the round-7 rotation -- each is
-        # hash-checked at sf0.01 AND sf0.1 in the FINAL/appendix
-        # records and pytest-covered.
+        # fmp4/bmp/ico, dns, kmv, consistent-hash, unigram-train,
+        # tokenize-corpus, temperature-mixture) wait for the round-7
+        # rotation -- each is hash-checked at sf0.01 AND sf0.1 in the
+        # FINAL/appendix records and pytest-covered.
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})

@@ -274,6 +274,7 @@ def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
         "sim_hard_negatives",  # broadcast anchor x scan (same shape)
         "sim_ivf_topk",  # broadcast probe x routed scan
         "text_mixture_plan",  # 1-row weight-total broadcast
+        "text_temperature_mixture",  # 1-row weight-total broadcast
         "text_unigram_surprisal",  # 1-row corpus-total broadcast
         "text_bigram_surprisal",  # 1-row vocab-size broadcast
         "text_perplexity_buckets",  # same (wraps the bigram scorer)
