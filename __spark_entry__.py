@@ -4835,86 +4835,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pytest-covered, and is swept at sf0.01 + sf0.1 in the round's
     # CORRECTNESS_SELF_r06* records (tools/check_all_oracles.py).
     priority = [
-        # ---- ROUND-6 ROTATION ----------------------------------------
-        # The driver gates the FIRST 50 entries. Round 6 fronts:
-        # (a) the 30 gates with ZERO external validation after five
-        #     rounds (VERDICT r5 rotation list, reproduced exactly) --
-        #     never-driver-validated outranks re-validation;
-        # (b) every gate whose semantics, schema, or plan changed this
-        #     round (revisit payload-digest, CDX compressed length,
-        #     iframe link type, bigint node ids, sharded pack/zipf,
-        #     tiered link UDF, shuffle-collision guard);
-        # (c) the new blog-platform gate;
-        # (d) six r2-green anchors unexamined since round 2.
-        # Everything displaced is r2-r5 driver-green with code
+        # ---- ROUND-7 ROTATION ----------------------------------------
+        # The driver gates the FIRST 50 entries. Round 7 fronts:
+        # (a) the 30 never-driver-checked gates, reproduced EXACTLY
+        #     from the round-6 verdict's rotation list (all 30 are
+        #     judge-verified green in r5 / the r6 judge session) --
+        #     closing the driver union at 254/254;
+        # (b) every gate whose code changes this round (the batched
+        #     BPE/unigram tokenizer training, MPEG synthesis, ranged-
+        #     read seam) plus gates NEW this round.
+        # Everything displaced is r2-r6 driver-green with code
         # unchanged this round, stays pytest-covered, and is swept at
-        # sf0.01 + sf0.1 in CORRECTNESS_SELF_r06* at session close.
-        # (a) never driver-validated -- the complete round-5 list
-        "agg_quantile_sketch",
-        "dq_profile_orders",
-        "evt_funnel",
-        "evt_cohort_retention",
-        "evt_transitions",
-        "agg_distinct_sketch",
-        "filter_url_templates",
-        "text_span_corruption",
-        "fn_idn_hosts",
-        "mm_audio_fingerprint",
-        "mm_image_dhash",
-        "mm_dhash_dup_groups",
-        "stream_countmin",
-        "stream_generational_upsert",
-        "source_warc_http_extract",
-        "source_wat_metadata",
-        "source_ccindex_table",
-        "stream_ccindex_build",
-        "source_jsonl_roundtrip",
-        "sim_hard_negatives",
+        # sf0.01 + sf0.1 in CORRECTNESS_SELF_r07*.
+        # (a) the verdict's 30, verbatim order
+        "agg_cube_rollup",
+        "agg_kmv_overlap",
+        "fn_dns_wire_parse",
+        "graph_hyperball",
+        "graph_opic",
+        "layout_consistent_hash",
+        "mm_decode_bmp",
+        "mm_decode_jpeg",
+        "mm_decode_jpeg_progressive",
+        "mm_decode_jpeg_progressive_color",
+        "mm_exif_metadata",
+        "mm_fmp4_fragments",
+        "mm_ico_entries",
+        "mm_mp4_shot_detect",
+        "pipeline_selective_extract",
+        "sim_pq_topk",
+        "source_fetch_plan",
+        "source_hls_manifest",
+        "source_srt_cues",
+        "source_tar_members",
+        "source_warc_dechunk",
+        "source_wet_extract",
+        "source_zip_extract",
+        "stream_tar_manifest",
+        "text_boilerplate_blocks",
+        "text_temperature_mixture",
+        "text_tokenize_corpus",
+        "text_training_shuffle",
+        "text_unigram_train",
+        "win_session_window",
+        # (b) code changed / new this round
+        "text_bpe_merges",
         "text_bpe_encode",
-        "text_perplexity_buckets",
-        "text_duplicate_spans",
-        "graph_reach_counts",
-        "graph_random_walks",
-        "graph_neighborhood_function",
-        "graph_redirect_resolve",
-        "graph_anchor_text",
-        "graph_host_webgraph",
-        "graph_domain_webgraph",
-        # (c) new this round -- incl. the session-2 media-container
-        # gates (real MP4 demux / MJPEG+PCM decode / MP3 framing) and
-        # the layout tier (z-order, compaction, CIDR LPM): new-code-
-        # this-round outranks re-validating r2-green anchors
-        "crawllist_blog_platform_urls",
-        "mm_mp4_demux",
-        "mm_mp4_frames",
-        "mm_mp4_audio",
-        "mm_mp3_framewalk",
-        "layout_zorder",
-        "layout_compaction_bins",
-        "filter_cidr_match",
-        "robots_rfc9309_match",
-        "text_wordpiece_encode",
         "text_unigram_encode",
-        "text_kneser_ney_lm",
-        "mm_mp3_layer1_decode",
-        # (b) semantics / schema / plan changed this round
-        "source_warc_revisit",
-        "source_cdx_index",
-        "fn_extract_links",
-        "graph_webgraph_ranks",
-        "text_pack_sequences",
-        "text_zipf_profile",
-        "pipeline_archive_linkgraph",
-        # (the six r2-green anchors and win_paginate from earlier
-        # drafts of this rotation are displaced by the new gates;
-        # all remain pytest-covered, r2-driver-green, and self-swept
-        # at both SFs in CORRECTNESS_SELF_r06*.)
-        # Session-2 added 29 gates; 12 are fronted above and the 17
-        # later ones (tar/zip/dechunk/hls/srt/stream-tar, exif/shot/
-        # fmp4/bmp/ico, dns, kmv, consistent-hash, unigram-train,
-        # tokenize-corpus, temperature-mixture) wait for the round-7
-        # rotation -- each is hash-checked at sf0.01 AND sf0.1 in the
-        # FINAL/appendix records and pytest-covered.
+        "text_wordpiece_encode",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
