@@ -95,36 +95,143 @@ def _pair_counts(freqs: DataFrame) -> DataFrame:
     )
 
 
+def _select_safe_batch(
+    top: list,
+    seen_all: bool,
+    alphabet: set[str],
+    quota: int,
+) -> list[tuple[str, str, int]]:
+    """Pick the longest PREFIX of the sorted pair list that is provably
+    identical to applying the merges one at a time with a full recount
+    between each (the SentencePiece/YouTokenToMe batching, made exact).
+
+    Why each rule is required for batched == serial:
+
+    - *Pairwise symbol-disjoint, including the merged string*: merging
+      (l1,r1) only changes counts of pairs touching l1, r1, or the new
+      symbol l1+r1.  A disjoint pair's count is bit-identical after the
+      merge, so it is still counted correctly without a recount.
+    - *Stop at the first conflict; trim selections to count > bound*:
+      old pairs sharing a symbol with an applied merge only LOSE
+      occurrences, and every pair newly created by a merge has count
+      <= the count of some old pair sharing a symbol with that merge.
+      All such sharing pairs rank at or below the first conflict in
+      the sorted list, so `bound` (the first conflict's count, or the
+      collected tail's count when the list was truncated) caps every
+      count that can rise between serial steps.  A selection with
+      count strictly above `bound` therefore stays the argmax at its
+      serial step; ties are unsafe (the tie-break key of a new pair is
+      unknowable without a recount), hence strict.
+    - *Close the batch when a merged string already exists in the
+      alphabet*: if symbol "ab" pre-exists and we merge (a,b), textual
+      replacement mints NEW "(ab)" groups, so pairs like (ab, y) can
+      GAIN count -- up to old(ab,y) + old(b,y), i.e. 2x the bound --
+      so nothing after that merge is provably still the argmax.  The
+      colliding merge itself is safe (it was selected before any
+      conflict), so it closes the batch rather than being dropped.
+
+    The rank-1 pair is the exact argmax by construction, so the batch
+    is never empty when `top` is non-empty.
+    """
+    used: set[str] = set()
+    sel: list[tuple[str, str, int]] = []
+    bound: int | None = None
+    closed = False
+    for row in top:
+        l, r, c = row["l"], row["r"], int(row["c"])
+        if l in used or r in used or (l + r) in used:
+            bound = c  # first (hence highest-count) conflict
+            break
+        if not closed and len(sel) < quota:
+            sel.append((l, r, c))
+            used.update((l, r, l + r))
+            if (l + r) in alphabet:
+                closed = True
+    if bound is None and not seen_all:
+        bound = int(top[-1]["c"])  # unseen pairs can hide below the tail
+    if bound is not None:
+        # counts in sel are non-increasing, so this trims to a prefix
+        sel = [t for t in sel if t[2] > bound]
+    if not sel:
+        r0 = top[0]
+        sel = [(r0["l"], r0["r"], int(r0["c"]))]
+    return sel
+
+
 def learn_merges(
-    documents: DataFrame, num_merges: int = 6
+    documents: DataFrame,
+    num_merges: int = 6,
+    batch_size: int = 16,
+    stats: dict | None = None,
 ) -> list[tuple[int, str, str, str, int]]:
     """Learn `num_merges` BPE merges; returns
     [(rank, left, right, merged, pair_count), ...] in rank order.
 
-    Driver loop is inherent to BPE (merge i+1's counts depend on
-    merge i having been applied), but each round collects exactly ONE
-    row -- the argmax pair -- and all counting stays distributed.
+    Batched rounds (round 6 verdict item 1): instead of one Spark job
+    per merge, each round collects the top-K pair counts ONCE and
+    applies every merge in the provably-safe disjoint prefix (see
+    `_select_safe_batch` -- the result is bit-identical to the serial
+    one-merge-per-recount algorithm, not an approximation).  A
+    production 32k-merge vocabulary then costs ~32k/batch_size rounds
+    instead of 32k serial jobs.  Each round collects a bounded K-row
+    sample plus re-checkpoints the vocabulary-sized word table, so
+    driver state stays O(K + |alphabet|).
+
+    `stats`, when a dict is passed, receives {"rounds": int,
+    "batch_sizes": [int, ...]} for round-count assertions.
     """
     base = word_frequencies(documents).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
+    # driver-side alphabet: every symbol ever present.  Seeded from the
+    # single-char + end-marker symbols of the delimited words (one
+    # bounded collect over the vocabulary-sized table), grown with each
+    # merged symbol.  Merges never mint symbols outside this set, and a
+    # stale entry (symbol fully consumed) only closes batches early --
+    # conservative, never wrong.
+    alphabet = {
+        r["s"]
+        for r in base.select(
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(F.col("w"), F.lit(_SYM_RE), 1)
+                )
+            ).alias("s")
+        )
+        .distinct()
+        .collect()
+    }
+    sample_k = max(4 * batch_size, 32)
+    rounds = 0
+    batch_sizes: list[int] = []
     cur = base
-    for rank in range(1, num_merges + 1):
-        best = (
+    while len(merges) < num_merges:
+        top = (
             _pair_counts(cur)
             .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
-            .limit(1)
+            .limit(sample_k)
             .collect()
         )
-        if not best:  # degenerate corpus: every word is one symbol
+        if not top:  # degenerate corpus: every word is one symbol
             break
-        l, r, c = best[0]["l"], best[0]["r"], best[0]["c"]
-        merges.append((rank, l, r, l + r, int(c)))
-        cur = cur.select(
-            F.replace(
-                F.col("w"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
-            ).alias("w"),
-            "cnt",
+        rounds += 1
+        batch = _select_safe_batch(
+            top,
+            seen_all=len(top) < sample_k,
+            alphabet=alphabet,
+            quota=num_merges - len(merges),
         )
+        batch_sizes.append(len(batch))
+        w = F.col("w")
+        for l, r, c in batch:
+            merges.append((len(merges) + 1, l, r, l + r, c))
+            alphabet.add(l + r)
+            w = F.replace(w, F.lit(f"({l})({r})"), F.lit(f"({l}{r})"))
+        # materialize the (vocab-sized) table so per-round plans stay
+        # bounded no matter how many rounds the vocabulary takes
+        cur = cur.select(w.alias("w"), "cnt").localCheckpoint(eager=True)
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["batch_sizes"] = batch_sizes
     return merges
 
 

@@ -113,20 +113,27 @@ UNIGRAM_SCHEMA = StructType(
 
 
 def unigram_viterbi_word(
-    word: str, scores: dict[str, int]
+    word: str, scores: dict[str, int], max_piece_len: int | None = None
 ) -> tuple[list[str], int] | None:
     """Viterbi max-score segmentation under integer micro-scores.
     Returns (pieces, total_score) or None when no full segmentation
     exists. Ties break to fewer pieces, then the lexicographically
     smallest space-joined piece string -- a total order, so the
-    winning path is unique."""
+    winning path is unique.
+
+    The inner loop only looks back `max_piece_len` characters; when
+    not supplied it is derived from the score table (so every vocab
+    piece is reachable -- no silent length cap).  Batch callers should
+    compute it once per vocab and pass it in."""
     n = len(word)
+    if max_piece_len is None:
+        max_piece_len = max((len(p) for p in scores), default=1)
     # best[i] = (score, -n_pieces, neg_lex_key?, pieces) for word[:i]
     best: list[tuple[int, int, str, list[str]] | None] = [None] * (n + 1)
     best[0] = (0, 0, "", [])
     for i in range(1, n + 1):
         cand_best = None
-        for j in range(max(0, i - 32), i):
+        for j in range(max(0, i - max_piece_len), i):
             if best[j] is None:
                 continue
             piece = word[j:i]
@@ -160,11 +167,13 @@ def unigram_encode(
     """Segment a distinct-word table with Unigram-LM Viterbi.
     Unsegmentable words emit pieces='[UNK]' with score 0."""
 
+    max_len = max((len(p) for p in vocab_scores), default=1)
+
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k.name: [] for k in UNIGRAM_SCHEMA.fields}
             for w in pdf[word_col]:
-                out = unigram_viterbi_word(str(w), vocab_scores)
+                out = unigram_viterbi_word(str(w), vocab_scores, max_len)
                 rows["word"].append(str(w))
                 if out is None:
                     rows["pieces"].append("[UNK]")
@@ -241,6 +250,15 @@ def unigram_train_hard_em(
 
     Returns (piece, count) for pieces used by the final segmentation,
     with ``count`` = sum of word frequencies times per-word usage.
+
+    Unlike BPE merge learning (batched in `bpe.learn_merges`), EM
+    rounds are inherently sequential -- round i+1's segmentation needs
+    round i's scores -- and the round count is a small parameter (2-10)
+    rather than the vocabulary size, so the per-round bounded collect
+    is the right shape.  Two cost guards: the collect is the
+    vocabulary-sized piece table (never corpus rows), and the loop
+    exits early once the score table reaches a fixed point (a further
+    round would re-segment identically).
     """
     import math
 
@@ -253,13 +271,15 @@ def unigram_train_hard_em(
     for _ in range(rounds):
         sc = dict(scores)  # capture for the closure
 
+        max_len = max((len(p) for p in sc), default=1)
+
         def _segment(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 out_w, out_p, out_n = [], [], []
                 for w, f in zip(pdf["word"], pdf["freq"]):
-                    seg = unigram_viterbi_word(str(w), sc)
+                    seg = unigram_viterbi_word(str(w), sc, max_len)
                     if seg is None:
                         continue
                     pieces, _ = seg
@@ -292,4 +312,6 @@ def unigram_train_hard_em(
         scores = {
             p: q(counts.get(p, 0) + 1) - q(total + v) for p in seed_vocab
         }
+        if scores == sc:  # fixed point: another round segments identically
+            break
     return counts_df

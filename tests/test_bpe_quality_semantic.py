@@ -258,3 +258,127 @@ def test_bpe_fertility_by_language(spark):
     # exact integer ratio contract: tokens*1e6 DIV words
     en = out["en"]
     assert en["fertility_micro"] == en["tokens"] * 1_000_000 // en["words"]
+
+
+# ---- batched merge rounds (round-7: verdict item 1) ------------------
+
+
+def _py_bpe_serial(texts, k):
+    """Independent serial reference (one merge per full recount)."""
+    import re as _re
+
+    freqs = {}
+    for t in texts:
+        for w in _re.findall(r"[a-z0-9]+", t.lower()):
+            sym = tuple(list(w) + ["#"])
+            freqs[sym] = freqs.get(sym, 0) + 1
+    merges = []
+    for rank in range(1, k + 1):
+        counts = {}
+        for sym, c in freqs.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, l + r, c))
+        out = {}
+        for sym, cnt in freqs.items():
+            merged, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(sym[i])
+                    i += 1
+            out[tuple(merged)] = out.get(tuple(merged), 0) + cnt
+        freqs = out
+    return merges
+
+
+def test_bpe_batched_equals_serial_randomized(spark):
+    """Batched rounds must be BIT-IDENTICAL to one-merge-per-recount,
+    across seeds, merge counts, and batch sizes."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        texts = [
+            " ".join(
+                "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(4, 15))
+            )
+            for _ in range(8)
+        ]
+        docs = _docs(spark, texts)
+        want = _py_bpe_serial(texts, 12)
+        for bs in (1, 4, 16):
+            got = bpe.learn_merges(docs, num_merges=12, batch_size=bs)
+            assert got == want, f"trial {trial} bs={bs}: {got} != {want}"
+
+
+def test_bpe_batched_equals_serial_adversarial(spark):
+    """Corpora engineered to hit every safety rule: overlapping runs
+    ('aaa' self-pairs), merged-string/alphabet collisions (a merge
+    minting a symbol string that already exists), and dense count
+    ties."""
+    cases = [
+        # self-overlapping runs: (a,a) merges interact with remnants
+        ["aaaa aaa aa aaaaa", "aaa aaa aaaa"],
+        # ab exists as a merge target twice over: (a,b) then later
+        # rounds can mint 'ab'-containing symbols that collide
+        ["ab ab ab ab aab aab abb", "ab aab abb ab"],
+        # dense ties: every pair count equal, pure tie-break ordering
+        ["ab cd ef gh", "ab cd ef gh", "ij kl mn op"],
+        # longer words with shared stems -> chained merges
+        ["their there these those the the the", "then them the these"],
+    ]
+    for texts in cases:
+        docs = _docs(spark, texts)
+        want = _py_bpe_serial(texts, 10)
+        for bs in (3, 16):
+            got = bpe.learn_merges(docs, num_merges=10, batch_size=bs)
+            assert got == want, f"{texts[:1]} bs={bs}: {got} != {want}"
+
+
+def test_bpe_batched_round_count_bound(spark):
+    """On a corpus whose top pairs are genuinely disjoint the safe
+    batch is wide, so the round count must be ~num_merges/batch_size,
+    not num_merges (the production-32k-vocab scaling claim).  Each
+    group's two words share a high-count interior pair (x_i, y_i) at
+    2*c_i while tail/end-marker pairs sit at c_i, and every 2*c_i
+    exceeds every c_j -- so all eight interior pairs clear the
+    first-conflict bound in one round."""
+    groups = [
+        ("a", "b", "c", "d"),
+        ("e", "f", "g", "h"),
+        ("i", "j", "k", "l"),
+        ("m", "n", "o", "p"),
+        ("q", "r", "s", "t"),
+        ("u", "v", "w", "x"),
+        ("y", "z", "0", "1"),
+        ("2", "3", "4", "5"),
+    ]
+    words = []
+    for gi, (x, y, u, v) in enumerate(groups):
+        c = 500 - 10 * gi
+        words.extend([x + y + u] * c)
+        words.extend([x + y + v] * c)
+    text = " ".join(words)
+    docs = _docs(spark, [text])
+    stats: dict = {}
+    got = bpe.learn_merges(docs, num_merges=8, batch_size=8, stats=stats)
+    assert len(got) == 8
+    assert stats["rounds"] <= 2, stats  # 8 serial rounds collapse to <=2
+    assert got == _py_bpe_serial([text], 8)
+
+
+def test_bpe_batched_stats_sum_to_merges(spark):
+    stats: dict = {}
+    docs = _docs(spark, ["low lower lowest", "new newer newest"])
+    got = bpe.learn_merges(docs, num_merges=6, batch_size=4, stats=stats)
+    assert sum(stats["batch_sizes"]) == len(got) == 6
+    assert stats["rounds"] == len(stats["batch_sizes"])

@@ -200,3 +200,44 @@ def test_unigram_hard_em_reference_and_stability(spark):
         for r in T.unigram_train_hard_em(freqs, seed, rounds=2).collect()
     }
     assert got == dict(ref)
+
+
+# ---- round-7: derived Viterbi window + EM fixed-point exit -----------
+
+
+def test_unigram_viterbi_matches_long_pieces():
+    """A vocab piece longer than 32 chars must match (the old code
+    silently capped the lookback window at 32)."""
+    long_piece = "a" * 40
+    scores = {long_piece: -1_000_000, "a": -3_000_000}
+    out = T.unigram_viterbi_word(long_piece, scores)
+    assert out is not None
+    pieces, score = out
+    assert pieces == [long_piece]
+    assert score == -1_000_000
+
+
+def test_unigram_viterbi_window_param_consistent():
+    scores = {"ab": -100, "a": -300, "b": -300, "abab": -150}
+    explicit = T.unigram_viterbi_word("abab", scores, 4)
+    derived = T.unigram_viterbi_word("abab", scores)
+    assert explicit == derived
+
+
+def test_unigram_hard_em_fixed_point_early_exit(spark):
+    """Once scores stop changing, extra rounds must not change the
+    result (the early-exit makes rounds=50 cost the same as the
+    convergence round count)."""
+    wf = spark.createDataFrame(
+        [("abc", 10), ("ab", 5), ("c", 3)], "word string, freq long"
+    )
+    seed = ["a", "b", "c", "ab", "bc", "abc"]
+    r3 = {
+        (r["piece"], r["count"])
+        for r in T.unigram_train_hard_em(wf, seed, rounds=3).collect()
+    }
+    r50 = {
+        (r["piece"], r["count"])
+        for r in T.unigram_train_hard_em(wf, seed, rounds=50).collect()
+    }
+    assert r3 == r50
