@@ -670,9 +670,21 @@ def parse_mpeg_audio_frames(blob: bytes) -> tuple[int, list[dict]]:
     144*bitrate/samplerate + padding; layer I is
     (12*bitrate/samplerate + padding) * 4 (4-byte slots)."""
     id3 = _id3v2_size(blob)
-    pos = id3
+    end = len(blob)
+    try:
+        return id3, _walk_mpeg_frames(blob, id3, end)
+    except ValueError:
+        # real-world MP3s routinely end with a 128-byte ID3v1 'TAG'
+        # trailer; tolerate it (retry-on-failure so a valid frame that
+        # merely CONTAINS the bytes 'TAG' at len-128 is never trimmed)
+        if end - id3 >= 128 and blob[end - 128 : end - 125] == b"TAG":
+            return id3, _walk_mpeg_frames(blob, id3, end - 128)
+        raise
+
+
+def _walk_mpeg_frames(blob: bytes, pos: int, end: int) -> list[dict]:
     frames: list[dict] = []
-    while pos + 4 <= len(blob):
+    while pos + 4 <= end:
         b0, b1, b2, b3 = blob[pos : pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
             raise ValueError(f"lost frame sync at offset {pos}")
@@ -693,7 +705,7 @@ def parse_mpeg_audio_frames(blob: bytes) -> tuple[int, list[dict]]:
             length = (12 * kbps * 1000 // sr + padding) * 4
         else:
             length = 144 * kbps * 1000 // sr + padding
-        if pos + length > len(blob):
+        if pos + length > end:
             raise ValueError(f"truncated frame at offset {pos}")
         frames.append(
             {
@@ -706,9 +718,9 @@ def parse_mpeg_audio_frames(blob: bytes) -> tuple[int, list[dict]]:
             }
         )
         pos += length
-    if pos != len(blob):
+    if pos != end:
         raise ValueError("trailing garbage after last frame")
-    return id3, frames
+    return frames
 
 
 def _mp3_params(mid: int) -> tuple[int, int, int]:

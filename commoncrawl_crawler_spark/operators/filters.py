@@ -167,16 +167,39 @@ def cidr_longest_prefix_match(
     the big side) and never shuffled; ties resolve to the LONGEST
     matching prefix, router-style.
 
-    Input blocklist columns: cidr_base (long, aligned), prefix_len
-    (int). Output: df's columns + cidr_base/prefix_len of the winning
-    block (null when unmatched).
+    Input blocklist columns: cidr_base (long, prefix-aligned),
+    prefix_len (int). Output: df's columns + cidr_base/prefix_len of
+    the winning block (null when unmatched).
 
     The corpus side is never aggregated or shuffled: one broadcast
     left join per distinct length, longest first, folded with
     coalesce -- equal-length blocks are disjoint, so the first
     non-null is the unique longest match.
+
+    Alignment is VALIDATED, not assumed: a cidr_base with host bits
+    set (e.g. 10.0.0.1/24) would silently match the mask-truncated
+    range, so misaligned rows raise ValueError up front (the
+    blocklist is broadcast-small, so the check is a bounded
+    aggregate). Duplicate (cidr_base, prefix_len) rows are deduped
+    before joining -- a repeated block must not multiply corpus rows.
     """
     ip = F.col(ip_col)
+    blocklist = blocklist.select("cidr_base", "prefix_len").distinct()
+    bad = (
+        blocklist.filter(
+            F.expr(
+                "pmod(cidr_base,"
+                " shiftleft(CAST(1 AS BIGINT), 32 - prefix_len)) != 0"
+            )
+        )
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            "cidr_longest_prefix_match: blocklist rows are not "
+            f"prefix-aligned (host bits set): {[tuple(r) for r in bad]}"
+        )
     lens = sorted(
         (r[0] for r in blocklist.select("prefix_len").distinct().collect()),
         reverse=True,

@@ -103,14 +103,23 @@ def compaction_plan(
     listing: DataFrame, target_bytes: int = 32768
 ) -> DataFrame:
     """Assign files to compaction bins: within each table partition
-    (``prefix``), files in path order accumulate until the running
-    size crosses ``target_bytes``, then a new bin starts.
-
-    bin = exclusive-prefix-sum(size) // target -- the closed-form
-    equivalent of the sequential first-fit-by-order pass, computable
+    (``prefix``), files in path order share a bin while their
+    exclusive prefix sum stays inside the same ``target_bytes``-wide
+    stripe -- bin = exclusive-prefix-sum(size) // target, computable
     in one per-prefix window (no driver loop, no global window).
-    Files larger than the target get a bin of their own by
-    construction. Input columns: prefix, path, size_bytes.
+
+    This is threshold-crossing binning, NOT sequential first-fit: a
+    bin's bytes can overshoot the target (the file that crosses a
+    stripe boundary stays in the earlier bin), and after an overshoot
+    the two plans diverge (first-fit would reset the accumulator at
+    the overshooting file; the stripe rule keeps the global running
+    sum).  An oversized file likewise shares its bin with any small
+    files earlier in its stripe.  The stripe rule is what makes the
+    plan a pure window expression -- first-fit's reset is a recurrence
+    Catalyst cannot express without a per-prefix sequential pass --
+    and for the compactor's purpose (bounded, deterministic merge
+    tasks of ~target bytes) either contract serves.  Input columns:
+    prefix, path, size_bytes.
     """
     from pyspark.sql import Window
 

@@ -323,6 +323,40 @@ def zip_members(media: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------
 
 
+def _parse_attr_list(s: str) -> dict:
+    """RFC 8216 section 4.2 attribute-list scan: comma-separated
+    NAME=VALUE pairs where VALUE may be a quoted-string containing
+    commas (CODECS="avc1.64001f,mp4a.40.2" is the canonical case a
+    bare str.split(',') corrupts).  Quote-aware single pass; quotes
+    are stripped from quoted values."""
+    attrs: dict[str, str] = {}
+    i, n = 0, len(s)
+    while i < n:
+        eq = s.find("=", i)
+        if eq < 0:
+            break
+        name = s[i:eq].strip()
+        j = eq + 1
+        if j < n and s[j] == '"':
+            end = s.find('"', j + 1)
+            if end < 0:
+                end = n  # unterminated quote: take the rest
+            value = s[j + 1 : end]
+            j = end + 1
+        else:
+            end = s.find(",", j)
+            if end < 0:
+                end = n
+            value = s[j:end].strip()
+            j = end
+        if name:
+            attrs[name] = value
+        # skip to the next attribute past the separating comma
+        comma = s.find(",", j)
+        i = n if comma < 0 else comma + 1
+    return attrs
+
+
 def parse_m3u8(text: str) -> dict:
     """RFC 8216 media-playlist parse: #EXTINF durations paired with
     their URI lines, #EXT-X-TARGETDURATION / -MEDIA-SEQUENCE /
@@ -351,12 +385,7 @@ def parse_m3u8(text: str) -> dict:
         elif ln.startswith("#EXTINF:"):
             pending_dur = float(ln.split(":", 1)[1].split(",", 1)[0])
         elif ln.startswith("#EXT-X-STREAM-INF:"):
-            attrs = {}
-            for kv in ln.split(":", 1)[1].split(","):
-                if "=" in kv:
-                    k, v = kv.split("=", 1)
-                    attrs[k.strip()] = v.strip().strip('"')
-            pending_variant = attrs
+            pending_variant = _parse_attr_list(ln.split(":", 1)[1])
         elif ln.startswith("#"):
             continue  # unknown tag
         else:  # a URI line closes the pending EXTINF or STREAM-INF

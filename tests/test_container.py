@@ -424,3 +424,21 @@ def test_ico_rejections():
         C.parse_ico_entries(bytes(blob))
     with pytest.raises(ValueError, match="truncated ICO entry"):
         C.parse_ico_entries(bytes(C._ico_blob(1))[:-10])
+
+
+def test_mp3_id3v1_trailer_tolerated():
+    """A 128-byte ID3v1 'TAG' trailer after the last frame is a
+    normal real-world ending, not trailing garbage."""
+    blob = C._mp3_blob(3)
+    trailer = b"TAG" + bytes(125)
+    id3, frames = C.parse_mpeg_audio_frames(blob + trailer)
+    id3_plain, frames_plain = C.parse_mpeg_audio_frames(blob)
+    assert (id3, frames) == (id3_plain, frames_plain)
+    # anything else after the last frame still raises
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="sync|garbage|truncated"):
+        C.parse_mpeg_audio_frames(blob + b"JUNKJUNK")
+    # a short TAG-prefixed tail that is not a full 128-byte trailer
+    with _pt.raises(ValueError):
+        C.parse_mpeg_audio_frames(blob + b"TAG123")

@@ -190,3 +190,32 @@ def test_consistent_hash_plan_is_broadcast_only(spark):
     # never sort-merge or shuffle-hash join
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cidr_rejects_misaligned_base(spark):
+    import pytest as _pt
+
+    from commoncrawl_crawler_spark.operators import filters
+
+    df = spark.createDataFrame([(1, 42)], "id long, ip long")
+    # 10.0.0.1/24 -- host bit set
+    blocks = spark.createDataFrame(
+        [((10 << 24) | 1, 24)], "cidr_base long, prefix_len int"
+    )
+    with _pt.raises(ValueError, match="prefix-aligned"):
+        filters.cidr_longest_prefix_match(df, blocks).collect()
+
+
+def test_cidr_duplicate_blocklist_rows_do_not_multiply(spark):
+    from commoncrawl_crawler_spark.operators import filters
+
+    df = spark.createDataFrame(
+        [(1, (10 << 24) | 5)], "id long, ip long"
+    )
+    blocks = spark.createDataFrame(
+        [(10 << 24, 8), (10 << 24, 8), (10 << 24, 8)],
+        "cidr_base long, prefix_len int",
+    )
+    rows = filters.cidr_longest_prefix_match(df, blocks).collect()
+    assert len(rows) == 1
+    assert rows[0]["prefix_len"] == 8

@@ -163,3 +163,33 @@ def test_subtitles_srt_and_webvtt():
         P.parse_subtitles("1\n00:00:02,000 --> 00:00:01,000\nx\n")
     with pytest.raises(ValueError, match="expected cue timing"):
         P.parse_subtitles("not a cue\nstill not\n")
+
+
+def test_m3u8_quoted_codecs_attribute_list():
+    """RFC 8216 4.2: CODECS="avc1...,mp4a..." contains commas inside
+    the quoted value; BANDWIDTH/RESOLUTION after it must survive."""
+    master = "\n".join(
+        [
+            "#EXTM3U",
+            '#EXT-X-STREAM-INF:BANDWIDTH=1280000,'
+            'CODECS="avc1.64001f,mp4a.40.2",RESOLUTION=1280x720',
+            "hi.m3u8",
+            '#EXT-X-STREAM-INF:CODECS="mp4a.40.2",BANDWIDTH=640000',
+            "lo.m3u8",
+        ]
+    )
+    pl = P.parse_m3u8(master)
+    assert pl["variants"] == [
+        {"uri": "hi.m3u8", "bandwidth": 1280000, "resolution": "1280x720"},
+        {"uri": "lo.m3u8", "bandwidth": 640000, "resolution": ""},
+    ]
+
+
+def test_attr_list_scan_edge_cases():
+    assert P._parse_attr_list('A=1,B="x,y",C=z') == {
+        "A": "1", "B": "x,y", "C": "z"
+    }
+    assert P._parse_attr_list('B="unterminated,oops') == {
+        "B": "unterminated,oops"
+    }
+    assert P._parse_attr_list("") == {}
