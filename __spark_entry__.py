@@ -34,6 +34,7 @@ from commoncrawl_crawler_spark.operators import (
     joins,
     corpus,
     layout,
+    mpegsynth,
     multimodal,
     robots,
     sampling,
@@ -4251,6 +4252,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp3_layer1_decode": lambda s, d: container.decode_layer1(
             container.synthesize_layer1(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # Layer I decode carried through the REAL ISO polyphase
+        # synthesis structure (operators/mpegsynth.py): subband micro
+        # ints -> Q14 windowed MAC -> exact integer PCM accounting.
+        # The in-repo NPR window stands in for spec table C.1 (not
+        # reproducible from closed form); the structure, matrixing,
+        # and fixed-point discipline are spec-exact and the window is
+        # pluggable.
+        "mm_mp1_synthesis": lambda s, d: mpegsynth.layer1_pcm_stats(
+            container.synthesize_layer1(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # consistent-hash ring (Karger 1997): the elastic upgrade of
         # the reference's modulo host-sharding; ring broadcast, one
         # min_by per distinct key
@@ -4879,6 +4890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_train",
         "win_session_window",
         # (b) code changed / new this round
+        "mm_mp1_synthesis",
         "text_bpe_merges",
         "text_bpe_encode",
         "text_unigram_encode",
@@ -7018,6 +7030,211 @@ def oracle_sql() -> dict[str, str]:
         # scalefactor 2*2^-((sb+f)%3); the dequantization expression
         # mirrors the decoder op-for-op (IEEE-exact, micro-quantized
         # per sample before the order-independent bigint sum)
+        # Layer I PCM via the unrolled ISO synthesis dataflow: the
+        # Q14 window/matrixing literals (generated constants, same as
+        # operators/mpegsynth.py), the coded-subband closed form of
+        # _layer1_params, and floor-division by 2^28 written as
+        # (s - posmod)/d to match Python's // on negatives
+        "mm_mp1_synthesis": """
+            WITH tabs AS (
+                SELECT [24,28,31,34,37,40,42,43,44,44,43,42,40,36,32,26,20,12,
+                3,-7,-18,-30,-44,-59,-75,-91,-109,-128,-148,-169,-190,-212,-234,-256,-279,-301,
+                -323,-345,-367,-387,-407,-426,-443,-459,-473,-486,-496,-504,-510,-514,-515,-513,-508,-501,
+                -490,-477,-461,-441,-419,-393,-365,-333,-299,-263,224,182,139,94,47,-1,-50,-100,
+                -151,-201,-252,-301,-350,-398,-444,-488,-530,-569,-605,-637,-667,-692,-713,-730,-742,-749,
+                -751,-749,-741,-728,-710,-686,-657,-624,-585,-542,-495,-443,-387,-328,-266,-201,-134,-64,
+                6,77,149,220,290,359,426,490,551,608,661,710,752,790,820,845,862,872,
+                874,869,-856,-835,-806,-768,-723,-670,-610,-543,-468,-388,-301,-209,-113,-12,91,198,
+                305,414,522,630,735,837,936,1029,1116,1197,1269,1333,1387,1431,1464,1484,1493,1488,
+                1469,1436,1390,1329,1253,1163,1059,941,810,665,508,340,162,-26,-222,-425,-634,-846,
+                -1060,-1275,-1489,-1699,-1904,-2101,-2288,-2463,-2624,-2769,-2895,-3000,3082,3137,3166,3164,3130,3062,
+                2958,2816,2635,2413,2148,1840,1486,1088,643,151,-388,-975,-1608,-2288,-3015,-3786,-4602,-5462,
+                -6362,-7303,-8282,-9296,-10344,-11422,-12529,-13661,-14815,-15987,-17175,-18375,-19582,-20794,-22007,-23215,-24417,-25606,
+                -26780,-27935,-29065,-30168,-31240,-32276,-33273,-34227,-35134,-35992,-36797,-37546,-38237,-38866,-39431,-39931,-40363,-40725,
+                -41017,-41237,-41383,-41457,41457,41383,41237,41017,40725,40363,39931,39431,38866,38237,37546,36797,35992,35134,
+                34227,33273,32276,31240,30168,29065,27935,26780,25606,24417,23215,22007,20794,19582,18375,17175,15987,14815,
+                13661,12529,11422,10344,9296,8282,7303,6362,5462,4602,3786,3015,2288,1608,975,388,-151,-643,
+                -1088,-1486,-1840,-2148,-2413,-2635,-2816,-2958,-3062,-3130,-3164,-3166,-3137,-3082,3000,2895,2769,2624,
+                2463,2288,2101,1904,1699,1489,1275,1060,846,634,425,222,26,-162,-340,-508,-665,-810,
+                -941,-1059,-1163,-1253,-1329,-1390,-1436,-1469,-1488,-1493,-1484,-1464,-1431,-1387,-1333,-1269,-1197,-1116,
+                -1029,-936,-837,-735,-630,-522,-414,-305,-198,-91,12,113,209,301,388,468,543,610,
+                670,723,768,806,835,856,-869,-874,-872,-862,-845,-820,-790,-752,-710,-661,-608,-551,
+                -490,-426,-359,-290,-220,-149,-77,-6,64,134,201,266,328,387,443,495,542,585,
+                624,657,686,710,728,741,749,751,749,742,730,713,692,667,637,605,569,530,
+                488,444,398,350,301,252,201,151,100,50,1,-47,-94,-139,-182,-224,263,299,
+                333,365,393,419,441,461,477,490,501,508,513,515,514,510,504,496,486,473,
+                459,443,426,407,387,367,345,323,301,279,256,234,212,190,169,148,128,109,
+                91,75,59,44,30,18,7,-3,-12,-20,-26,-32,-36,-40,-42,-43,-44,-44,
+                -43,-42,-40,-37,-34,-31,-28,-24] AS dq,
+                       [11585,-11585,-11585,11585,11585,-11585,-11585,11585,11585,-11585,-11585,11585,11585,-11585,-11585,11585,11585,-11585,
+                -11585,11585,11585,-11585,-11585,11585,11585,-11585,-11585,11585,11585,-11585,-11585,11585,11003,-13160,-8423,14811,
+                5520,-15893,-2404,16364,-804,-16207,3981,15426,-7005,-14053,9760,12140,-12140,-9760,14053,7005,-15426,-3981,
+                16207,804,-16364,2404,15893,-5520,-14811,8423,13160,-11003,10394,-14449,-4756,16305,-1606,-15679,7723,12665,
+                -12665,-7723,15679,1606,-16305,4756,14449,-10394,-10394,14449,4756,-16305,1606,15679,-7723,-12665,12665,7723,
+                -15679,-1606,16305,-4756,-14449,10394,9760,-15426,-804,15893,-8423,-11003,14811,2404,-16207,7005,12140,-14053,
+                -3981,16364,-5520,-13160,13160,5520,-16364,3981,14053,-12140,-7005,16207,-2404,-14811,11003,8423,-15893,804,
+                15426,-9760,9102,-16069,3196,13623,-13623,-3196,16069,-9102,-9102,16069,-3196,-13623,13623,3196,-16069,9102,
+                9102,-16069,3196,13623,-13623,-3196,16069,-9102,-9102,16069,-3196,-13623,13623,3196,-16069,9102,8423,-16364,
+                7005,9760,-16207,5520,11003,-15893,3981,12140,-15426,2404,13160,-14811,804,14053,-14053,-804,14811,-13160,
+                -2404,15426,-12140,-3981,15893,-11003,-5520,16207,-9760,-7005,16364,-8423,7723,-16305,10394,4756,-15679,12665,
+                1606,-14449,14449,-1606,-12665,15679,-4756,-10394,16305,-7723,-7723,16305,-10394,-4756,15679,-12665,-1606,14449,
+                -14449,1606,12665,-15679,4756,10394,-16305,7723,7005,-15893,13160,-804,-12140,16207,-8423,-5520,15426,-14053,
+                2404,11003,-16364,9760,3981,-14811,14811,-3981,-9760,16364,-11003,-2404,14053,-15426,5520,8423,-16207,12140,
+                804,-13160,15893,-7005,6270,-15137,15137,-6270,-6270,15137,-15137,6270,6270,-15137,15137,-6270,-6270,15137,
+                -15137,6270,6270,-15137,15137,-6270,-6270,15137,-15137,6270,6270,-15137,15137,-6270,-6270,15137,-15137,6270,
+                5520,-14053,16207,-11003,804,9760,-15893,14811,-7005,-3981,13160,-16364,12140,-2404,-8423,15426,-15426,8423,
+                2404,-12140,16364,-13160,3981,7005,-14811,15893,-9760,-804,11003,-16207,14053,-5520,4756,-12665,16305,-14449,
+                7723,1606,-10394,15679,-15679,10394,-1606,-7723,14449,-16305,12665,-4756,-4756,12665,-16305,14449,-7723,-1606,
+                10394,-15679,15679,-10394,1606,7723,-14449,16305,-12665,4756,3981,-11003,15426,-16207,13160,-7005,-804,8423,
+                -14053,16364,-14811,9760,-2404,-5520,12140,-15893,15893,-12140,5520,2404,-9760,14811,-16364,14053,-8423,804,
+                7005,-13160,16207,-15426,11003,-3981,3196,-9102,13623,-16069,16069,-13623,9102,-3196,-3196,9102,-13623,16069,
+                -16069,13623,-9102,3196,3196,-9102,13623,-16069,16069,-13623,9102,-3196,-3196,9102,-13623,16069,-16069,13623,
+                -9102,3196,2404,-7005,11003,-14053,15893,-16364,15426,-13160,9760,-5520,804,3981,-8423,12140,-14811,16207,
+                -16207,14811,-12140,8423,-3981,-804,5520,-9760,13160,-15426,16364,-15893,14053,-11003,7005,-2404,1606,-4756,
+                7723,-10394,12665,-14449,15679,-16305,16305,-15679,14449,-12665,10394,-7723,4756,-1606,-1606,4756,-7723,10394,
+                -12665,14449,-15679,16305,-16305,15679,-14449,12665,-10394,7723,-4756,1606,804,-2404,3981,-5520,7005,-8423,
+                9760,-11003,12140,-13160,14053,-14811,15426,-15893,16207,-16364,16364,-16207,15893,-15426,14811,-14053,13160,-12140,
+                11003,-9760,8423,-7005,5520,-3981,2404,-804,0,0,0,0,0,0,0,0,0,0,
+                0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+                0,0,0,0,-804,2404,-3981,5520,-7005,8423,-9760,11003,-12140,13160,-14053,14811,-15426,15893,
+                -16207,16364,-16364,16207,-15893,15426,-14811,14053,-13160,12140,-11003,9760,-8423,7005,-5520,3981,-2404,804,
+                -1606,4756,-7723,10394,-12665,14449,-15679,16305,-16305,15679,-14449,12665,-10394,7723,-4756,1606,1606,-4756,
+                7723,-10394,12665,-14449,15679,-16305,16305,-15679,14449,-12665,10394,-7723,4756,-1606,-2404,7005,-11003,14053,
+                -15893,16364,-15426,13160,-9760,5520,-804,-3981,8423,-12140,14811,-16207,16207,-14811,12140,-8423,3981,804,
+                -5520,9760,-13160,15426,-16364,15893,-14053,11003,-7005,2404,-3196,9102,-13623,16069,-16069,13623,-9102,3196,
+                3196,-9102,13623,-16069,16069,-13623,9102,-3196,-3196,9102,-13623,16069,-16069,13623,-9102,3196,3196,-9102,
+                13623,-16069,16069,-13623,9102,-3196,-3981,11003,-15426,16207,-13160,7005,804,-8423,14053,-16364,14811,-9760,
+                2404,5520,-12140,15893,-15893,12140,-5520,-2404,9760,-14811,16364,-14053,8423,-804,-7005,13160,-16207,15426,
+                -11003,3981,-4756,12665,-16305,14449,-7723,-1606,10394,-15679,15679,-10394,1606,7723,-14449,16305,-12665,4756,
+                4756,-12665,16305,-14449,7723,1606,-10394,15679,-15679,10394,-1606,-7723,14449,-16305,12665,-4756,-5520,14053,
+                -16207,11003,-804,-9760,15893,-14811,7005,3981,-13160,16364,-12140,2404,8423,-15426,15426,-8423,-2404,12140,
+                -16364,13160,-3981,-7005,14811,-15893,9760,804,-11003,16207,-14053,5520,-6270,15137,-15137,6270,6270,-15137,
+                15137,-6270,-6270,15137,-15137,6270,6270,-15137,15137,-6270,-6270,15137,-15137,6270,6270,-15137,15137,-6270,
+                -6270,15137,-15137,6270,6270,-15137,15137,-6270,-7005,15893,-13160,804,12140,-16207,8423,5520,-15426,14053,
+                -2404,-11003,16364,-9760,-3981,14811,-14811,3981,9760,-16364,11003,2404,-14053,15426,-5520,-8423,16207,-12140,
+                -804,13160,-15893,7005,-7723,16305,-10394,-4756,15679,-12665,-1606,14449,-14449,1606,12665,-15679,4756,10394,
+                -16305,7723,7723,-16305,10394,4756,-15679,12665,1606,-14449,14449,-1606,-12665,15679,-4756,-10394,16305,-7723,
+                -8423,16364,-7005,-9760,16207,-5520,-11003,15893,-3981,-12140,15426,-2404,-13160,14811,-804,-14053,14053,804,
+                -14811,13160,2404,-15426,12140,3981,-15893,11003,5520,-16207,9760,7005,-16364,8423,-9102,16069,-3196,-13623,
+                13623,3196,-16069,9102,9102,-16069,3196,13623,-13623,-3196,16069,-9102,-9102,16069,-3196,-13623,13623,3196,
+                -16069,9102,9102,-16069,3196,13623,-13623,-3196,16069,-9102,-9760,15426,804,-15893,8423,11003,-14811,-2404,
+                16207,-7005,-12140,14053,3981,-16364,5520,13160,-13160,-5520,16364,-3981,-14053,12140,7005,-16207,2404,14811,
+                -11003,-8423,15893,-804,-15426,9760,-10394,14449,4756,-16305,1606,15679,-7723,-12665,12665,7723,-15679,-1606,
+                16305,-4756,-14449,10394,10394,-14449,-4756,16305,-1606,-15679,7723,12665,-12665,-7723,15679,1606,-16305,4756,
+                14449,-10394,-11003,13160,8423,-14811,-5520,15893,2404,-16364,804,16207,-3981,-15426,7005,14053,-9760,-12140,
+                12140,9760,-14053,-7005,15426,3981,-16207,-804,16364,-2404,-15893,5520,14811,-8423,-13160,11003,-11585,11585,
+                11585,-11585,-11585,11585,11585,-11585,-11585,11585,11585,-11585,-11585,11585,11585,-11585,-11585,11585,11585,-11585,
+                -11585,11585,11585,-11585,-11585,11585,11585,-11585,-11585,11585,11585,-11585,-12140,9760,14053,-7005,-15426,3981,
+                16207,-804,-16364,-2404,15893,5520,-14811,-8423,13160,11003,-11003,-13160,8423,14811,-5520,-15893,2404,16364,
+                804,-16207,-3981,15426,7005,-14053,-9760,12140,-12665,7723,15679,-1606,-16305,-4756,14449,10394,-10394,-14449,
+                4756,16305,1606,-15679,-7723,12665,12665,-7723,-15679,1606,16305,4756,-14449,-10394,10394,14449,-4756,-16305,
+                -1606,15679,7723,-12665,-13160,5520,16364,3981,-14053,-12140,7005,16207,2404,-14811,-11003,8423,15893,804,
+                -15426,-9760,9760,15426,-804,-15893,-8423,11003,14811,-2404,-16207,-7005,12140,14053,-3981,-16364,-5520,13160,
+                -13623,3196,16069,9102,-9102,-16069,-3196,13623,13623,-3196,-16069,-9102,9102,16069,3196,-13623,-13623,3196,
+                16069,9102,-9102,-16069,-3196,13623,13623,-3196,-16069,-9102,9102,16069,3196,-13623,-14053,804,14811,13160,
+                -2404,-15426,-12140,3981,15893,11003,-5520,-16207,-9760,7005,16364,8423,-8423,-16364,-7005,9760,16207,5520,
+                -11003,-15893,-3981,12140,15426,2404,-13160,-14811,-804,14053,-14449,-1606,12665,15679,4756,-10394,-16305,-7723,
+                7723,16305,10394,-4756,-15679,-12665,1606,14449,14449,1606,-12665,-15679,-4756,10394,16305,7723,-7723,-16305,
+                -10394,4756,15679,12665,-1606,-14449,-14811,-3981,9760,16364,11003,-2404,-14053,-15426,-5520,8423,16207,12140,
+                -804,-13160,-15893,-7005,7005,15893,13160,804,-12140,-16207,-8423,5520,15426,14053,2404,-11003,-16364,-9760,
+                3981,14811,-15137,-6270,6270,15137,15137,6270,-6270,-15137,-15137,-6270,6270,15137,15137,6270,-6270,-15137,
+                -15137,-6270,6270,15137,15137,6270,-6270,-15137,-15137,-6270,6270,15137,15137,6270,-6270,-15137,-15426,-8423,
+                2404,12140,16364,13160,3981,-7005,-14811,-15893,-9760,804,11003,16207,14053,5520,-5520,-14053,-16207,-11003,
+                -804,9760,15893,14811,7005,-3981,-13160,-16364,-12140,-2404,8423,15426,-15679,-10394,-1606,7723,14449,16305,
+                12665,4756,-4756,-12665,-16305,-14449,-7723,1606,10394,15679,15679,10394,1606,-7723,-14449,-16305,-12665,-4756,
+                4756,12665,16305,14449,7723,-1606,-10394,-15679,-15893,-12140,-5520,2404,9760,14811,16364,14053,8423,804,
+                -7005,-13160,-16207,-15426,-11003,-3981,3981,11003,15426,16207,13160,7005,-804,-8423,-14053,-16364,-14811,-9760,
+                -2404,5520,12140,15893,-16069,-13623,-9102,-3196,3196,9102,13623,16069,16069,13623,9102,3196,-3196,-9102,
+                -13623,-16069,-16069,-13623,-9102,-3196,3196,9102,13623,16069,16069,13623,9102,3196,-3196,-9102,-13623,-16069,
+                -16207,-14811,-12140,-8423,-3981,804,5520,9760,13160,15426,16364,15893,14053,11003,7005,2404,-2404,-7005,
+                -11003,-14053,-15893,-16364,-15426,-13160,-9760,-5520,-804,3981,8423,12140,14811,16207,-16305,-15679,-14449,-12665,
+                -10394,-7723,-4756,-1606,1606,4756,7723,10394,12665,14449,15679,16305,16305,15679,14449,12665,10394,7723,
+                4756,1606,-1606,-4756,-7723,-10394,-12665,-14449,-15679,-16305,-16364,-16207,-15893,-15426,-14811,-14053,-13160,-12140,
+                -11003,-9760,-8423,-7005,-5520,-3981,-2404,-804,804,2404,3981,5520,7005,8423,9760,11003,12140,13160,
+                14053,14811,15426,15893,16207,16364,-16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,
+                -16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,-16384,
+                -16384,-16384,-16364,-16207,-15893,-15426,-14811,-14053,-13160,-12140,-11003,-9760,-8423,-7005,-5520,-3981,-2404,-804,
+                804,2404,3981,5520,7005,8423,9760,11003,12140,13160,14053,14811,15426,15893,16207,16364,-16305,-15679,
+                -14449,-12665,-10394,-7723,-4756,-1606,1606,4756,7723,10394,12665,14449,15679,16305,16305,15679,14449,12665,
+                10394,7723,4756,1606,-1606,-4756,-7723,-10394,-12665,-14449,-15679,-16305,-16207,-14811,-12140,-8423,-3981,804,
+                5520,9760,13160,15426,16364,15893,14053,11003,7005,2404,-2404,-7005,-11003,-14053,-15893,-16364,-15426,-13160,
+                -9760,-5520,-804,3981,8423,12140,14811,16207,-16069,-13623,-9102,-3196,3196,9102,13623,16069,16069,13623,
+                9102,3196,-3196,-9102,-13623,-16069,-16069,-13623,-9102,-3196,3196,9102,13623,16069,16069,13623,9102,3196,
+                -3196,-9102,-13623,-16069,-15893,-12140,-5520,2404,9760,14811,16364,14053,8423,804,-7005,-13160,-16207,-15426,
+                -11003,-3981,3981,11003,15426,16207,13160,7005,-804,-8423,-14053,-16364,-14811,-9760,-2404,5520,12140,15893,
+                -15679,-10394,-1606,7723,14449,16305,12665,4756,-4756,-12665,-16305,-14449,-7723,1606,10394,15679,15679,10394,
+                1606,-7723,-14449,-16305,-12665,-4756,4756,12665,16305,14449,7723,-1606,-10394,-15679,-15426,-8423,2404,12140,
+                16364,13160,3981,-7005,-14811,-15893,-9760,804,11003,16207,14053,5520,-5520,-14053,-16207,-11003,-804,9760,
+                15893,14811,7005,-3981,-13160,-16364,-12140,-2404,8423,15426,-15137,-6270,6270,15137,15137,6270,-6270,-15137,
+                -15137,-6270,6270,15137,15137,6270,-6270,-15137,-15137,-6270,6270,15137,15137,6270,-6270,-15137,-15137,-6270,
+                6270,15137,15137,6270,-6270,-15137,-14811,-3981,9760,16364,11003,-2404,-14053,-15426,-5520,8423,16207,12140,
+                -804,-13160,-15893,-7005,7005,15893,13160,804,-12140,-16207,-8423,5520,15426,14053,2404,-11003,-16364,-9760,
+                3981,14811,-14449,-1606,12665,15679,4756,-10394,-16305,-7723,7723,16305,10394,-4756,-15679,-12665,1606,14449,
+                14449,1606,-12665,-15679,-4756,10394,16305,7723,-7723,-16305,-10394,4756,15679,12665,-1606,-14449,-14053,804,
+                14811,13160,-2404,-15426,-12140,3981,15893,11003,-5520,-16207,-9760,7005,16364,8423,-8423,-16364,-7005,9760,
+                16207,5520,-11003,-15893,-3981,12140,15426,2404,-13160,-14811,-804,14053,-13623,3196,16069,9102,-9102,-16069,
+                -3196,13623,13623,-3196,-16069,-9102,9102,16069,3196,-13623,-13623,3196,16069,9102,-9102,-16069,-3196,13623,
+                13623,-3196,-16069,-9102,9102,16069,3196,-13623,-13160,5520,16364,3981,-14053,-12140,7005,16207,2404,-14811,
+                -11003,8423,15893,804,-15426,-9760,9760,15426,-804,-15893,-8423,11003,14811,-2404,-16207,-7005,12140,14053,
+                -3981,-16364,-5520,13160,-12665,7723,15679,-1606,-16305,-4756,14449,10394,-10394,-14449,4756,16305,1606,-15679,
+                -7723,12665,12665,-7723,-15679,1606,16305,4756,-14449,-10394,10394,14449,-4756,-16305,-1606,15679,7723,-12665,
+                -12140,9760,14053,-7005,-15426,3981,16207,-804,-16364,-2404,15893,5520,-14811,-8423,13160,11003,-11003,-13160,
+                8423,14811,-5520,-15893,2404,16364,804,-16207,-3981,15426,7005,-14053,-9760,12140] AS nq
+            ), sb AS (
+                SELECT doc_id AS media_id, g.g, k.k,
+                       CASE WHEN (k.k + doc_id + g.g // 12) % 4 = 0
+                       THEN CAST(floor(
+                           (CASE (k.k + g.g // 12) % 3
+                                 WHEN 0 THEN 2.0
+                                 WHEN 1 THEN 1.0
+                                 ELSE 0.5 END)
+                           * ((2.0 * ((doc_id*7 + (g.g//12)*11
+                                       + k.k*5 + (g.g%12)*3)
+                                      % (1 << (3 + (k.k + doc_id) % 3))
+                                + 1
+                                - (1 << (2 + (k.k + doc_id) % 3))))
+                              / ((1 << (3 + (k.k + doc_id) % 3)) - 1))
+                           * 1e6 + 0.5) AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS s_micro
+                FROM documents,
+                     (SELECT unnest(range(0, 24)) AS g) g,
+                     (SELECT unnest(range(0, 32)) AS k) k
+            ), coef AS (
+                SELECT m.m, j.j, k.k,
+                       CAST(CASE WHEN m.m % 2 = 0
+                            THEN dq[(m.m // 2) * 64 + j.j + 1]
+                                 * nq[j.j * 32 + k.k + 1]
+                            ELSE dq[(m.m // 2) * 64 + 32 + j.j + 1]
+                                 * nq[(32 + j.j) * 32 + k.k + 1]
+                            END AS BIGINT) AS c
+                FROM tabs,
+                     (SELECT unnest(range(0, 16)) AS m) m,
+                     (SELECT unnest(range(0, 32)) AS j) j,
+                     (SELECT unnest(range(0, 32)) AS k) k
+            ), acc AS (
+                SELECT sb.media_id, sb.g + c.m AS og, c.j,
+                       CAST(SUM(c.c * sb.s_micro) AS BIGINT) AS a
+                FROM sb JOIN coef c ON c.k = sb.k
+                WHERE sb.s_micro <> 0 AND sb.g + c.m < 24
+                GROUP BY sb.media_id, sb.g + c.m, c.j
+            ), pcm AS (
+                SELECT media_id,
+                       CAST((a - ((a % 268435456) + 268435456)
+                                 % 268435456) // 268435456
+                            AS BIGINT) AS x
+                FROM acc
+            )
+            SELECT d.doc_id AS media_id, CAST(2 AS INT) AS n_frames,
+                   CAST(768 AS BIGINT) AS n_pcm,
+                   CAST(COALESCE(SUM(p.x), 0) AS BIGINT)
+                       AS pcm_sum_micro,
+                   CAST(COALESCE(SUM(abs(p.x)), 0) AS BIGINT)
+                       AS pcm_sum_abs_micro,
+                   CAST(COALESCE(MAX(abs(p.x)), 0) AS BIGINT)
+                       AS pcm_peak_micro
+            FROM documents d LEFT JOIN pcm p ON p.media_id = d.doc_id
+            GROUP BY d.doc_id ORDER BY media_id
+        """,
         "mm_mp3_layer1_decode": """
             WITH s AS (
                 SELECT doc_id AS media_id,
