@@ -4262,6 +4262,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp1_synthesis": lambda s, d: mpegsynth.layer1_pcm_stats(
             container.synthesize_layer1(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # REAL MPEG-1 Layer II decode (ISO 11172-3 2.4.3.3.2, table
+        # B.2a): allocation ladders, scfsi scalefactor sharing,
+        # base-n degrouping, exact rational requantization
+        "mm_mp2_decode": lambda s, d: container.decode_layer2(
+            container.synthesize_layer2(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # consistent-hash ring (Karger 1997): the elastic upgrade of
         # the reference's modulo host-sharding; ring broadcast, one
         # min_by per distinct key
@@ -4891,6 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_session_window",
         # (b) code changed / new this round
         "mm_mp1_synthesis",
+        "mm_mp2_decode",
         "text_bpe_merges",
         "text_bpe_encode",
         "text_unigram_encode",
@@ -7233,6 +7240,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(MAX(abs(p.x)), 0) AS BIGINT)
                        AS pcm_peak_micro
             FROM documents d LEFT JOIN pcm p ON p.media_id = d.doc_id
+            GROUP BY d.doc_id ORDER BY media_id
+        """,
+        # Layer II closed form: coded subbands (sb+id)%5==0, ladder
+        # prefix n per region, scfsi-effective scalefactors, grouped
+        # and ungrouped codes (same modular generator), requant
+        # (2c+1-n)/n on the power-of-two scale grid
+        "mm_mp2_decode": """
+            WITH sbs AS (
+                SELECT doc_id, sb.sb, g.g, t.t,
+                       CASE WHEN sb.sb < 3 THEN
+                              CAST([3,7,15,31][(sb.sb + doc_id) % 4 + 1]
+                                   AS BIGINT)
+                            WHEN sb.sb < 23 THEN
+                              CAST([3,5,7,9][(sb.sb + doc_id) % 4 + 1]
+                                   AS BIGINT)
+                            ELSE
+                              CAST([3,5,65535][(sb.sb + doc_id) % 3 + 1]
+                                   AS BIGINT)
+                       END AS n,
+                       (sb.sb + doc_id) % 4 AS mode,
+                       3 * ((sb.sb + doc_id) % 3) AS s0,
+                       3 * ((sb.sb + doc_id + 1) % 3) AS s1,
+                       3 * ((sb.sb + doc_id + 2) % 3) AS s2
+                FROM documents,
+                     (SELECT unnest(range(0, 27)) AS sb) sb,
+                     (SELECT unnest(range(0, 12)) AS g) g,
+                     (SELECT unnest(range(0, 3)) AS t) t
+                WHERE (sb.sb + doc_id) % 5 = 0
+            ), eff AS (
+                SELECT doc_id, sb, g, t, n,
+                       CASE
+                         WHEN mode = 0 THEN
+                           CASE g // 4 WHEN 0 THEN s0
+                                       WHEN 1 THEN s1 ELSE s2 END
+                         WHEN 1 = mode THEN
+                           CASE g // 4 WHEN 2 THEN s2 ELSE s0 END
+                         WHEN mode = 2 THEN s0
+                         ELSE CASE g // 4 WHEN 0 THEN s0 ELSE s1 END
+                       END AS sfi,
+                       (doc_id * 7 + sb * 5 + g * 3 + t) % n AS c
+                FROM sbs
+            ), vals AS (
+                SELECT doc_id,
+                       CAST(floor(
+                           (CASE sfi WHEN 0 THEN 2.0
+                                     WHEN 3 THEN 1.0 ELSE 0.5 END)
+                           * ((2.0 * c + 1.0 - n) / n)
+                           * 1e6 + 0.5) AS BIGINT) AS micro
+                FROM eff
+            )
+            SELECT d.doc_id AS media_id, CAST(1 AS INT) AS n_frames,
+                   CAST(COALESCE(COUNT(v.micro), 0) AS BIGINT)
+                       AS n_coded,
+                   CAST(COALESCE(SUM(v.micro), 0) AS BIGINT)
+                       AS sum_micro,
+                   CAST(COALESCE(SUM(abs(v.micro)), 0) AS BIGINT)
+                       AS sum_abs_micro
+            FROM documents d LEFT JOIN vals v ON v.doc_id = d.doc_id
             GROUP BY d.doc_id ORDER BY media_id
         """,
         "mm_mp3_layer1_decode": """

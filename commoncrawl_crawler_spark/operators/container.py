@@ -24,9 +24,11 @@ What is REAL here (no external libraries, spec-level parsing):
     (layer III: 144*bitrate/samplerate + padding), VBR detection.
 
 What still needs an external codec (documented, not faked): the
-compressed-audio sample decode inside MP3/AAC frames and H.26x video
-samples. The demux layer above them -- the part a 100 TB corpus scan
-actually runs to filter/route/slice media -- is complete and real.
+layer III / AAC compressed-audio sample decode and H.26x video
+samples. Layers I and II decode fully in-repo (subband
+dequantization here, polyphase synthesis in operators/mpegsynth.py).
+The demux layer above them -- the part a 100 TB corpus scan actually
+runs to filter/route/slice media -- is complete and real.
 
 At 100 TB: containers are demuxed where they land (narrow
 mapInPandas, Arrow batches); only fixed-width metadata rows and the
@@ -1026,6 +1028,275 @@ def decode_layer1(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "content").mapInPandas(
         _decode, LAYER1_STATS
+    )
+
+
+# --------------------------------------------------------------------
+# MPEG-1 Layer II decode (ISO 11172-3 2.4.3.3.2, table B.2a)
+# --------------------------------------------------------------------
+#
+# What is REAL: the complete mono Layer II bitstream -- per-subband
+# bit allocation driven by spec table B.2a (sblimit 27; 4-bit
+# allocation for subbands 0-10, 3-bit for 11-22, 2-bit for 23-26,
+# with the published level ladders), scfsi-compressed scalefactors
+# (2 bits per coded subband selecting 3/2/1 transmitted 6-bit
+# indices), triplet sample transmission with GROUPING for the 3/5/9-
+# level classes (three samples packed base-n into 5/7/10 bits), and
+# the requantization rule.  The spec's table B.4 C/D constants reduce
+# algebraically to the exact rational mid-tread form used here:
+#     s'' = (2c + 1 - n) / n          (n = number of levels)
+# (for n = 2^k - 1 this is the Layer I formula; for grouped n the C/D
+# pairs 4/3+1/2, 8/5+1/2, 16/9+1/2 expand to the same expression), so
+# no decimal constants are copied -- only the integer level ladders,
+# which are the published allocation table.
+# 1152 samples per frame = 36 granules of 32, feeding the same
+# polyphase synthesis as Layer I (operators/mpegsynth.py).
+
+# table B.2a level ladders (48/44.1 kHz high-rate table): subbands
+# 0-2 use the unstepped 4-bit ladder, 3-10 the stepped 4-bit ladder,
+# 11-22 the 3-bit ladder, 23-26 the 2-bit ladder
+_L2_LADDER_A = [3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                8191, 16383, 32767, 65535]
+_L2_LADDER_B = [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+                4095, 8191, 65535]
+_L2_LADDER_C = [3, 5, 7, 9, 15, 31, 65535]
+_L2_LADDER_D = [3, 5, 65535]
+_L2_SBLIMIT = 27
+
+
+def _l2_table_a(sb: int) -> tuple[int, list[int]]:
+    """(allocation bits, level ladder) for subband `sb` under table
+    B.2a."""
+    if sb < 3:
+        return 4, _L2_LADDER_A
+    if sb < 11:
+        return 4, _L2_LADDER_B
+    if sb < 23:
+        return 3, _L2_LADDER_C
+    return 2, _L2_LADDER_D
+
+
+# grouped classes: 3 samples packed base-n into one code word
+_L2_GROUP_BITS = {3: 5, 5: 7, 9: 10}
+
+
+def encode_mpeg1_layer2_frame(
+    alloc_idx: list[int],
+    scfsi: list[int],
+    sfidx,  # [subband][part] -> 6-bit scalefactor index
+    codes,  # [granule 0..11][subband] -> (c0, c1, c2) raw codes
+    sample_rate: int = 48000,
+) -> bytes:
+    """Build one valid mono MPEG-1 Layer II frame (no CRC): alloc,
+    scfsi, scalefactors per scfsi mode, 12 triplet granules (grouped
+    where the ladder says so), zero-bit-padded to the smallest table
+    bitrate that fits (legal ancillary data)."""
+    sr_idx = _SAMPLE_RATE_V1.index(sample_rate)
+    bw = _BitWriterMSB()
+    for sb in range(_L2_SBLIMIT):
+        bits, _ = _l2_table_a(sb)
+        bw.write(alloc_idx[sb], bits)
+    for sb in range(_L2_SBLIMIT):
+        if alloc_idx[sb]:
+            bw.write(scfsi[sb], 2)
+    for sb in range(_L2_SBLIMIT):
+        if not alloc_idx[sb]:
+            continue
+        mode = scfsi[sb]
+        if mode == 0:
+            parts = (0, 1, 2)
+        elif mode == 2:
+            parts = (0,)
+        else:  # 1: parts (0,1) share, 3: parts (1,2) share
+            parts = (0, 2) if mode == 1 else (0, 1)
+        for p in parts:
+            bw.write(sfidx[sb][p], 6)
+    for g in range(12):
+        for sb in range(_L2_SBLIMIT):
+            a = alloc_idx[sb]
+            if not a:
+                continue
+            _, ladder = _l2_table_a(sb)
+            n = ladder[a - 1]
+            c0, c1, c2 = codes[g][sb]
+            if n in _L2_GROUP_BITS:
+                bw.write(
+                    c0 + n * c1 + n * n * c2, _L2_GROUP_BITS[n]
+                )
+            else:
+                nb = (n + 1).bit_length() - 1
+                bw.write(c0, nb)
+                bw.write(c1, nb)
+                bw.write(c2, nb)
+    need = 4 + (len(bw.bits) + 7) // 8
+    for br_idx in range(1, 15):
+        kbps = _BITRATE_V1[2][br_idx]
+        length = 144 * kbps * 1000 // sample_rate
+        if length >= need:
+            break
+    else:
+        raise ValueError("payload exceeds the largest Layer II frame")
+    hdr = bytes(
+        [
+            0xFF,
+            0xFD,  # MPEG-1, layer II, no CRC
+            (br_idx << 4) | (sr_idx << 2),  # no padding
+            0xC4,  # mono, original
+        ]
+    )
+    return hdr + bw.tobytes(length - 4)
+
+
+def _l2_expand_scfsi(mode: int, transmitted: list[int]) -> list[int]:
+    """scfsi -> the three per-part scalefactor indices."""
+    if mode == 0:
+        return list(transmitted)
+    if mode == 2:
+        return [transmitted[0]] * 3
+    if mode == 1:
+        return [transmitted[0], transmitted[0], transmitted[1]]
+    return [transmitted[0], transmitted[1], transmitted[1]]
+
+
+def decode_mpeg1_layer2_frame(frame: bytes):
+    """One mono Layer II frame -> list of (subband, granule 0..35,
+    sample) requantized+rescaled subband samples, granule-major so the
+    output grid feeds the polyphase synthesis directly."""
+    b1 = frame[1]
+    if frame[0] != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise ValueError("bad sync")
+    if ((b1 >> 1) & 0x3) != 0b10:
+        raise ValueError("not layer II")
+    br = _BitReaderMSB(frame[4:])
+    alloc = []
+    for sb in range(_L2_SBLIMIT):
+        bits, ladder = _l2_table_a(sb)
+        idx = br.read(bits)
+        if idx > len(ladder):
+            raise ValueError(f"allocation index {idx} exceeds ladder")
+        alloc.append(idx)
+    scfsi = [br.read(2) if alloc[sb] else 0 for sb in range(_L2_SBLIMIT)]
+    sf = [[0, 0, 0] for _ in range(_L2_SBLIMIT)]
+    for sb in range(_L2_SBLIMIT):
+        if not alloc[sb]:
+            continue
+        count = {0: 3, 1: 2, 2: 1, 3: 2}[scfsi[sb]]
+        sf[sb] = _l2_expand_scfsi(
+            scfsi[sb], [br.read(6) for _ in range(count)]
+        )
+    out = []
+    for g in range(12):
+        part = g // 4
+        for sb in range(_L2_SBLIMIT):
+            a = alloc[sb]
+            if not a:
+                continue
+            _, ladder = _l2_table_a(sb)
+            n = ladder[a - 1]
+            if n in _L2_GROUP_BITS:
+                v = br.read(_L2_GROUP_BITS[n])
+                triple = (v % n, (v // n) % n, v // (n * n))
+                if triple[2] >= n:
+                    raise ValueError("grouped code out of range")
+            else:
+                nb = (n + 1).bit_length() - 1
+                triple = (br.read(nb), br.read(nb), br.read(nb))
+            scale = layer1_scalefactor(sf[sb][part])
+            for t, c in enumerate(triple):
+                s2 = (2.0 * c + 1.0 - n) / n
+                out.append((sb, 3 * g + t, scale * s2))
+    return out
+
+
+def _layer2_params(mid: int):
+    """Deterministic mono Layer II content (oracle-mirrored), one
+    frame: subbands with (sb + mid) % 5 == 0 are coded; the
+    allocation index walks the bottom of each ladder (covering the
+    grouped 3/5/9 classes and an ungrouped one), scfsi cycles all
+    four modes, scalefactor indices stay on the power-of-two grid
+    (0/3/6) so rescaling is IEEE-exact."""
+    alloc_idx = [0] * _L2_SBLIMIT
+    scfsi = [0] * _L2_SBLIMIT
+    sfidx = [[0, 0, 0] for _ in range(_L2_SBLIMIT)]
+    codes = [[(0, 0, 0)] * _L2_SBLIMIT for _ in range(12)]
+    for sb in range(_L2_SBLIMIT):
+        if (sb + mid) % 5 != 0:
+            continue
+        bits, ladder = _l2_table_a(sb)
+        a = 1 + (sb + mid) % min(4, len(ladder))
+        alloc_idx[sb] = a
+        scfsi[sb] = (sb + mid) % 4
+        sfidx[sb] = [
+            3 * ((sb + mid) % 3),
+            3 * ((sb + mid + 1) % 3),
+            3 * ((sb + mid + 2) % 3),
+        ]
+        n = ladder[a - 1]
+        for g in range(12):
+            codes[g][sb] = tuple(
+                (mid * 7 + sb * 5 + g * 3 + t) % n for t in range(3)
+            )
+    return alloc_idx, scfsi, sfidx, codes
+
+
+def _layer2_blob(mid: int) -> bytes:
+    return encode_mpeg1_layer2_frame(*_layer2_params(mid))
+
+
+def synthesize_layer2(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _layer2_blob)
+
+
+LAYER2_STATS = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_coded", LongType()),
+        StructField("sum_micro", LongType()),
+        StructField("sum_abs_micro", LongType()),
+    ]
+)
+
+
+def decode_layer2(media: DataFrame) -> DataFrame:
+    """Real Layer II decode over the frame walk: every transmitted
+    sample degrouped, requantized ((2c+1-n)/n) and rescaled; micro-
+    quantized before summing (the decode_layer1 exactness
+    discipline)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = {k.name: [] for k in LAYER2_STATS.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                _, frames = parse_mpeg_audio_frames(blob)
+                total = 0
+                total_abs = 0
+                n = 0
+                for fr in frames:
+                    if fr["layer"] != 2:
+                        raise NotImplementedError(
+                            "expected a Layer II stream"
+                        )
+                    samples = decode_mpeg1_layer2_frame(
+                        blob[fr["offset"] : fr["offset"] + fr["length"]]
+                    )
+                    for _, _, s in samples:
+                        m = math.floor(s * 1e6 + 0.5)
+                        total += m
+                        total_abs += abs(m)
+                    n += len(samples)
+                rows["media_id"].append(int(mid))
+                rows["n_frames"].append(len(frames))
+                rows["n_coded"].append(n)
+                rows["sum_micro"].append(total)
+                rows["sum_abs_micro"].append(total_abs)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _decode, LAYER2_STATS
     )
 
 

@@ -442,3 +442,92 @@ def test_mp3_id3v1_trailer_tolerated():
     # a short TAG-prefixed tail that is not a full 128-byte trailer
     with _pt.raises(ValueError):
         C.parse_mpeg_audio_frames(blob + b"TAG123")
+
+
+# ---- Layer II (round-7) ----------------------------------------------
+
+
+def test_layer2_roundtrip_values_and_scfsi_sharing():
+    """decode(encode(params)) must equal an independent computation of
+    the requantized samples, including scfsi effective-scalefactor
+    sharing (modes 1/2/3 overwrite untransmitted parts)."""
+    for mid in (0, 1, 2, 3, 7, 11):
+        blob = C._layer2_blob(mid)
+        _, frames = C.parse_mpeg_audio_frames(blob)
+        assert len(frames) == 1 and frames[0]["layer"] == 2
+        got = {
+            (sb, g): v
+            for sb, g, v in C.decode_mpeg1_layer2_frame(blob)
+        }
+        alloc, scfsi, sfidx, codes = C._layer2_params(mid)
+        n_expected = 0
+        for sb in range(C._L2_SBLIMIT):
+            if not alloc[sb]:
+                continue
+            _, ladder = C._l2_table_a(sb)
+            n = ladder[alloc[sb] - 1]
+            mode = scfsi[sb]
+            s0, s1, s2 = sfidx[sb]
+            eff = {
+                0: [s0, s1, s2],
+                1: [s0, s0, s2],
+                2: [s0, s0, s0],
+                3: [s0, s1, s1],
+            }[mode]
+            for g in range(12):
+                for t in range(3):
+                    c = codes[g][sb][t]
+                    want = C.layer1_scalefactor(eff[g // 4]) * (
+                        (2.0 * c + 1.0 - n) / n
+                    )
+                    assert got[(sb, 3 * g + t)] == want, (mid, sb, g, t)
+                    n_expected += 1
+        assert len(got) == n_expected
+
+
+def test_layer2_grouping_packs_base_n():
+    """A 3-level subband triplet travels in one 5-bit base-3 word."""
+    alloc = [0] * 27
+    scfsi = [0] * 27
+    sfidx = [[0, 0, 0] for _ in range(27)]
+    codes = [[(0, 0, 0)] * 27 for _ in range(12)]
+    alloc[0] = 1  # ladder A index 1 -> 3 levels (grouped)
+    codes[0][0] = (2, 1, 0)  # packed: 2 + 3*1 + 9*0 = 5
+    blob = C.encode_mpeg1_layer2_frame(alloc, scfsi, sfidx, codes)
+    vals = {g: v for sb, g, v in C.decode_mpeg1_layer2_frame(blob)
+            if g < 3}
+    n = 3
+    assert vals[0] == 2.0 * (2 * 2 + 1 - n) / n
+    assert vals[1] == 2.0 * (2 * 1 + 1 - n) / n
+    assert vals[2] == 2.0 * (2 * 0 + 1 - n) / n
+
+
+def test_layer2_rejects_wrong_layer_and_bad_group():
+    import pytest as _pt
+
+    blob1 = C._layer1_blob(1)
+    with _pt.raises(ValueError, match="not layer II"):
+        C.decode_mpeg1_layer2_frame(blob1)
+    blob2 = C._layer2_blob(0)
+    with _pt.raises(ValueError, match="not layer I"):
+        C.decode_mpeg1_layer1_frame(blob2)
+
+
+def test_layer2_spark_decode_matches_driver(spark):
+    import math
+
+    docs = spark.range(10).selectExpr("id AS doc_id", "'x' AS text")
+    got = {
+        r["media_id"]: (
+            r["n_frames"], r["n_coded"], r["sum_micro"],
+            r["sum_abs_micro"],
+        )
+        for r in C.decode_layer2(C.synthesize_layer2(docs)).collect()
+    }
+    for mid in range(10):
+        blob = C._layer2_blob(mid)
+        samples = C.decode_mpeg1_layer2_frame(blob)
+        micros = [math.floor(s * 1e6 + 0.5) for _, _, s in samples]
+        assert got[mid] == (
+            1, len(micros), sum(micros), sum(abs(m) for m in micros)
+        ), mid

@@ -132,3 +132,24 @@ def test_layer1_pcm_spark_matches_local(spark):
             int(np.abs(pcm).max()),
         )
         assert got[mid] == want, mid
+
+
+def test_layer2_pcm_chain(spark):
+    """Layer II frames decode all the way to PCM through the same
+    fixed-point synthesis (1152 samples per frame)."""
+    import math
+
+    docs = spark.range(6).selectExpr("id AS doc_id", "'x' AS text")
+    media = C.synthesize_layer2(docs)
+    rows = {r["media_id"]: r for r in S.layer2_pcm_stats(media).collect()}
+    assert len(rows) == 6
+    for mid in range(6):
+        blob = C._layer2_blob(mid)
+        grid = np.zeros((36, 32), dtype=np.int64)
+        for sb, g, s in C.decode_mpeg1_layer2_frame(blob):
+            grid[g, sb] = math.floor(s * 1e6 + 0.5)
+        pcm = S.synthesize_granules_q(grid)
+        r = rows[mid]
+        assert r["n_pcm"] == 1152 == pcm.size
+        assert r["pcm_sum_micro"] == int(pcm.sum())
+        assert r["pcm_sum_abs_micro"] == int(np.abs(pcm).sum())
