@@ -36,6 +36,8 @@ import io
 import os
 import re
 import zlib
+
+from . import ranged_io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -783,26 +785,27 @@ def read_member_at(
     metadata, protocol.jr:165-283: seek + inflate one record).
 
     `kind`: 'warc' -> parsed WARC tuple, 'arc' -> parsed ARC v1 tuple
-    (None for a filedesc member), 'ccarc' -> (key, payload). A local
-    path is seek()ed directly; on a cluster, issue a ranged GET for
-    the same bytes -- the member is one self-terminating gzip stream,
-    so no length is needed up front. Pass `length` (the index's
-    warc_record_length / CDX length -- the compressed member size) to
-    read EXACTLY the member's bytes, the object-store range-request
-    form: GET bytes=offset..offset+length-1. With a length the read
-    also asserts the slice is one whole member and nothing more --
-    the pointer-contract check a consumer relies on."""
-    with open(path, "rb") as f:
-        f.seek(offset)
-        d = zlib.decompressobj(wbits=31)
-        data = d.decompress(f.read() if length is None else f.read(length))
-        if not d.eof:
-            raise ValueError(f"truncated member at offset {offset}")
-        if length is not None and d.unused_data != b"":
-            raise ValueError(
-                f"member at offset {offset} is shorter than the "
-                f"recorded length {length}: the pointer is stale"
-            )
+    (None for a filedesc member), 'ccarc' -> (key, payload). The
+    byte access goes through the `ranged_io.read_range` seam: a bare
+    path is seek()ed locally; a scheme'd URI (s3://, gcs://, ...)
+    becomes a true ranged GET -- the member is one self-terminating
+    gzip stream, so no length is needed up front. Pass `length` (the
+    index's warc_record_length / CDX length -- the compressed member
+    size) to read EXACTLY the member's bytes, the object-store
+    range-request form: GET bytes=offset..offset+length-1. With a
+    length the read also asserts the slice is one whole member and
+    nothing more -- the pointer-contract check a consumer relies
+    on."""
+    raw = ranged_io.read_range(path, offset, length)
+    d = zlib.decompressobj(wbits=31)
+    data = d.decompress(raw)
+    if not d.eof:
+        raise ValueError(f"truncated member at offset {offset}")
+    if length is not None and d.unused_data != b"":
+        raise ValueError(
+            f"member at offset {offset} is shorter than the "
+            f"recorded length {length}: the pointer is stale"
+        )
     if kind == "warc":
         return _parse_warc_member(data)
     if kind == "arc":
@@ -1623,7 +1626,10 @@ def fetch_plan(
 
 
 def read_warc_ranges(
-    spark: SparkSession, plan: DataFrame, base_dir: str
+    spark: SparkSession,
+    plan: DataFrame,
+    base_dir: str,
+    extra_schemes: dict | None = None,
 ) -> DataFrame:
     """Execute a fetch_plan: read each merged byte range as ONE
     slice, walk its gzip members, and parse them as WARC records --
@@ -1648,9 +1654,18 @@ def read_warc_ranges(
     independent bounded read -- no shuffle, no full-archive scan;
     parallelism is the plan's row count (repartition the plan for
     more).
+
+    `extra_schemes` maps URI scheme -> positioned reader
+    (`ranged_io.register_scheme` signature); the dict rides the
+    serialized kernel, so custom store clients dispatch on executors
+    (where driver-side registration cannot reach). Long-lived
+    deployments can use SPARK_GRAFT_RANGED_IO instead (read at
+    Python-worker start).
     """
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for s, fn in (extra_schemes or {}).items():
+            ranged_io.register_scheme(s, fn)
         for pdf in batches:
             out: dict[str, list] = {
                 f.name: [] for f in WARC_READ_SCHEMA.fields
@@ -1660,17 +1675,14 @@ def read_warc_ranges(
                 pdf["range_end"], pdf["n_records"],
             ):
                 # index filename columns arrive as basenames, bare
-                # paths, or file: URIs (binaryFile's archive_path) --
-                # normalize all three against base_dir
-                f = str(fname)
-                if f.startswith("file:"):
-                    f = re.sub("^file:/*", "/", f)
-                path = (
-                    f if os.path.isabs(f) else os.path.join(base_dir, f)
+                # paths, file: URIs (binaryFile's archive_path), or
+                # object-store URIs -- normalize against base_dir and
+                # read the slice through the positioned-read seam
+                # (one ranged GET per plan row off-local)
+                path = ranged_io.resolve_archive_path(fname, base_dir)
+                blob = ranged_io.read_range(
+                    path, int(start), int(end) - int(start)
                 )
-                with open(path, "rb") as fh:
-                    fh.seek(int(start))
-                    blob = fh.read(int(end) - int(start))
                 pos = 0
                 got = 0
                 while pos < len(blob):
