@@ -2341,6 +2341,7 @@ def _stream_ccindex_build(s: SparkSession, d: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    streaming_jobs._record_batch_plan("ccindex_stream", q)
     return _ccindex_project(archive.read_ccindex(s, out))
 
 
@@ -3343,6 +3344,7 @@ def _stream_tar_manifest(s: SparkSession, d: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    streaming_jobs._record_batch_plan("tar_manifest_stream", q)
     return s.read.parquet(out).orderBy("media_id", "name")
 
 

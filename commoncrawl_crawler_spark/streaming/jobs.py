@@ -21,6 +21,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+# ---- census hook ----------------------------------------------------
+# Executed micro-batch plans of drained streaming queries, keyed by
+# sink/checkpoint name. tools/plan_census.py reads this after running
+# each stream_* gate so the zero-cartesian / allowlisted-BNLJ
+# invariants cover streaming micro-batch plans, not just the memory-
+# sink scan the gate returns (round-6 verdict item 8).
+LAST_BATCH_PLANS: dict[str, str] = {}
+
+
+def _record_batch_plan(name: str, q) -> None:
+    try:
+        LAST_BATCH_PLANS[name] = q._jsq.explainInternal(True)
+    except Exception:
+        pass  # census-only; a drained query may already be disposed
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table as if its rows were arriving files.
 
@@ -133,6 +149,7 @@ def run_to_parquet(
         .start()
     )
     q.awaitTermination()
+    _record_batch_plan(path.rstrip("/").rsplit("/", 1)[-1], q)
 
 
 def run_available_now(
@@ -166,6 +183,7 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
+        _record_batch_plan(sink_table, q)
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -482,6 +500,7 @@ def streaming_generational_upsert(
         .start()
     )
     q.awaitTermination()
+    _record_batch_plan("generational_upsert", q)
     _, path = _latest_gen()
     spark = stream.sparkSession
     return (

@@ -122,3 +122,68 @@ def test_gate_extraction_identical_under_both_tiers(spark):
             os.environ.pop("SPARK_GRAFT_HTML_TIER", None)
 
     assert run("regex") == run("dom")
+
+
+def test_pathological_corpus_tiers_stay_consistent():
+    """Real-world pathological fixtures, chosen to exercise the
+    judgment calls the reference's parser makes
+    (service/parser/server/ParseWorker.java:79-88 link-type map,
+    :697 base-href-only-inside-head; mapred/ec2/parser/
+    ParserMapper.java:340-733 drives it): markup inside comments must
+    not emit links, '>' inside quoted attributes must not truncate
+    the tag, script bodies are CDATA even when they contain
+    "</a><a href=...>", meta refresh parses with and without quotes,
+    and a dangling <a> at EOF still emits.  The DOM tier is the
+    arbiter; where the regex tier is defined (well-formed subset) the
+    two must agree."""
+    from commoncrawl_crawler_spark.functions import html as H
+
+    cases = {
+        # comments hide markup (every browser; regex tier must not
+        # be confused because the comment text is still scanned)
+        "<!-- <a href='/ghost'>x</a> --><a href='/real'>r</a>":
+            [("/real", "a", "r")],
+        # '>' inside a quoted attribute value
+        '<a href="/q?a>b" title="x>y">t</a>':
+            [("/q?a>b", "a", "t")],
+        # script CDATA containing anchor-shaped text
+        "<script>var s='</i>'; d.write('<a href=/js>j</a>');"
+        "</script><a href='/after'>A</a>":
+            [("/after", "a", "A")],
+        # meta refresh: quoted, unquoted, mixed case
+        "<meta http-equiv='REFRESH' content='5; URL=/next'>":
+            [("/next", "meta_refresh", "")],
+        # dangling anchor at EOF
+        "<a href='/open'>tail text":
+            [("/open", "a", "tail text")],
+        # consecutive anchors: implicit close (browser behavior)
+        "<a href='/1'>one<a href='/2'>two</a>":
+            [("/1", "a", "one"), ("/2", "a", "two")],
+        # iframe self-closing + frame in frameset
+        "<frameset><frame src='/f1'></frameset><iframe src='/f2'/>":
+            [("/f1", "frame", ""), ("/f2", "iframe", "")],
+    }
+    for doc, want in cases.items():
+        got = H.extract_links_dom(doc)
+        assert got == want, (doc, got, want)
+
+
+def test_reference_link_type_map_documented_subset():
+    """The reference extracts 7 tag types (ParseWorker.java:82-88:
+    a/area/frame/iframe/script/link/img).  This engine's link UDF
+    deliberately extracts the NAVIGATION subset (a/frame/iframe +
+    meta refresh) -- resource links (img/script/link) are covered by
+    the page-asset profile in the WAT metadata path instead.  Pin the
+    subset so an accidental widening shows up here (it would change
+    the fn_extract_links gate contract)."""
+    from commoncrawl_crawler_spark.functions import html as H
+
+    doc = (
+        "<head><link rel='stylesheet' href='/s.css'>"
+        "<script src='/j.js'></script></head>"
+        "<body><img src='/i.png'>"
+        "<map><area href='/a1'></map>"
+        "<a href='/nav'>n</a></body>"
+    )
+    got = H.extract_links_dom(doc)
+    assert got == [("/nav", "a", "n")]

@@ -266,7 +266,11 @@ def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
     rows = census(spark, sf_smoke)
     errors = {n: r["error"] for n, r in rows.items() if "error" in r}
     assert not errors, errors
-    counted = {n: r for n, r in rows.items() if "skipped" not in r}
+    # round 7: the streaming gates census through the drain hook --
+    # nothing is skipped, the invariants cover all micro-batch plans
+    skipped = [n for n, r in rows.items() if "skipped" in r]
+    assert skipped == [], skipped
+    counted = rows
     cartesian = [n for n, r in counted.items() if r["cartesian_products"]]
     assert cartesian == [], cartesian
     bnlj_ok = {

@@ -90,13 +90,54 @@ def _features(plan: str) -> dict:
     return row
 
 
+def _census_streaming(spark, sf_dir: str, fn) -> dict:
+    """Micro-batch plan census for a stream_* gate: run the gate (the
+    builder drains an availableNow query), then read the executed
+    last-batch plans the drain helpers recorded
+    (streaming.jobs.LAST_BATCH_PLANS) and aggregate their features.
+    The returned row carries the same columns as a batch gate plus
+    the number of drained queries observed, so the zero-cartesian /
+    allowlisted-BNLJ invariants sweep streaming plans too."""
+    from commoncrawl_crawler_spark.streaming import jobs as sj
+
+    sj.LAST_BATCH_PLANS.clear()
+    df = fn(spark, sf_dir)
+    df.collect()
+    plans = dict(sj.LAST_BATCH_PLANS)
+    if not plans:
+        return {"error": "gate drained no streaming query"}
+    row = None
+    for plan in plans.values():
+        feats = _features(plan)
+        if row is None:
+            row = feats
+        else:
+            for k, v in feats.items():
+                row[k] += v
+    row["streaming_queries_drained"] = len(plans)
+    row["declared_shuffle_exchanges"] = row["shuffle_exchanges"]
+    # micro-batch final plans do not run AQE query stages; the
+    # textual exchange count IS the per-batch stage count
+    row["shuffle_stages_run"] = row["shuffle_exchanges"]
+    row["broadcast_stages_run"] = row["broadcast_exchanges"]
+    row["stateful_operators"] = sum(
+        len(re.findall(r"StateStore(?:Save|Restore)|FlatMapGroupsWithState"
+                       r"|TransformWithState|SessionWindowStateStore", p))
+        for p in plans.values()
+    )
+    return row
+
+
 def census(spark, sf_dir: str, execute: bool = True) -> dict:
     import __spark_entry__ as entry
 
     out = {}
     for name, fn in entry.queries().items():
         if name.startswith("stream_"):
-            out[name] = {"skipped": "streaming drain (see parity tests)"}
+            try:
+                out[name] = _census_streaming(spark, sf_dir, fn)
+            except Exception as ex:  # pragma: no cover
+                out[name] = {"error": str(ex)[:200]}
             continue
         try:
             df = fn(spark, sf_dir)
