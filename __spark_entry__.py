@@ -36,6 +36,7 @@ from commoncrawl_crawler_spark.operators import (
     layout,
     mpegsynth,
     multimodal,
+    videobits,
     robots,
     sampling,
     sessions,
@@ -4270,6 +4271,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp2_decode": lambda s, d: container.decode_layer2(
             container.synthesize_layer2(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # AAC/ADTS transport walk (ISO 14496-3 1.A.2.2): real frame
+        # headers, published sampling-frequency table, exact sample
+        # accounting -- the audio-routing profile of a corpus scan
+        "mm_adts_frames": lambda s, d: videobits.adts_frame_stats(
+            videobits.synthesize_adts(_t(s, d, "documents"))
+        ).orderBy("media_id"),
+        # H.264 Annex-B NAL walk + REAL SPS decode (Exp-Golomb,
+        # emulation-prevention unescape, cropping arithmetic): the
+        # actual pixel resolution of every stream, no codec needed
+        "mm_h264_sps": lambda s, d: videobits.h264_stream_stats(
+            videobits.synthesize_h264(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # consistent-hash ring (Karger 1997): the elastic upgrade of
         # the reference's modulo host-sharding; ring broadcast, one
         # min_by per distinct key
@@ -4900,6 +4913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) code changed / new this round
         "mm_mp1_synthesis",
         "mm_mp2_decode",
+        "mm_adts_frames",
+        "mm_h264_sps",
         "text_bpe_merges",
         "text_bpe_encode",
         "text_unigram_encode",
@@ -7301,6 +7316,46 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_abs_micro
             FROM documents d LEFT JOIN vals v ON v.doc_id = d.doc_id
             GROUP BY d.doc_id ORDER BY media_id
+        """,
+        # ADTS closed form: per-frame lengths/profiles/rates from the
+        # synthesis parameters; profile_mask via bit_or of 1<<profile
+        "mm_adts_frames": """
+            WITH f AS (
+                SELECT doc_id, ff.f,
+                       57 + (doc_id + ff.f) % 37 AS flen,
+                       (doc_id + ff.f) % 4 AS profile,
+                       [96000,88200,64000,48000,44100,32000,24000,
+                        22050,16000,12000,11025,8000,7350]
+                           [(doc_id + ff.f) % 13 + 1] AS sr
+                FROM documents,
+                     (SELECT unnest(range(0, 7)) AS f) ff
+                WHERE ff.f < 3 + doc_id % 4
+            )
+            SELECT doc_id AS media_id,
+                   CAST(3 + doc_id % 4 AS INT) AS n_frames,
+                   CAST(SUM(flen) AS BIGINT) AS total_bytes,
+                   CAST(1024 * (3 + doc_id % 4) AS BIGINT)
+                       AS total_samples,
+                   CAST(MIN(sr) AS INT) AS sr_min,
+                   CAST(MAX(sr) AS INT) AS sr_max,
+                   CAST(bit_or(1 << profile) AS INT) AS profile_mask,
+                   CAST(1 + doc_id % 2 AS INT) AS max_channels
+            FROM f GROUP BY doc_id ORDER BY media_id
+        """,
+        # H.264 closed form: NAL census and the SPS size arithmetic
+        # (CropUnitX=CropUnitY=2 at 4:2:0 frame coding)
+        "mm_h264_sps": """
+            SELECT doc_id AS media_id,
+                   CAST(4 + doc_id % 3 AS INT) AS n_nals,
+                   CAST(2 + doc_id % 3 AS INT) AS n_slices,
+                   CAST(1 AS INT) AS n_idr,
+                   CAST(66 AS INT) AS profile_idc,
+                   CAST(30 AS INT) AS level_idc,
+                   CAST((4 + doc_id % 9) * 16 - 2 * (doc_id % 2) AS INT)
+                       AS width,
+                   CAST((3 + doc_id % 7) * 16 - 2 * ((doc_id // 2) % 2)
+                        AS INT) AS height
+            FROM documents ORDER BY media_id
         """,
         "mm_mp3_layer1_decode": """
             WITH s AS (

@@ -1,0 +1,143 @@
+"""ADTS framing and H.264 Annex-B / SPS parsing (operators/videobits)."""
+
+from __future__ import annotations
+
+import pytest
+
+from commoncrawl_crawler_spark.operators import videobits as V
+
+
+def test_adts_roundtrip_all_params():
+    for mid in range(20):
+        frames = V.parse_adts_frames(V._adts_blob(mid))
+        for fr, (plen, prof, sri, ch) in zip(frames, V._adts_params(mid)):
+            assert fr["length"] == plen + 7
+            assert fr["profile"] == prof
+            assert fr["sample_rate"] == V.ADTS_SAMPLE_RATES[sri]
+            assert fr["channels"] == ch
+
+
+def test_adts_rejects_corrupt():
+    blob = V._adts_blob(1)
+    with pytest.raises(ValueError, match="lost ADTS sync"):
+        V.parse_adts_frames(b"\x12\x34" + blob)
+    with pytest.raises(ValueError, match="truncated"):
+        V.parse_adts_frames(blob[:-3])
+    with pytest.raises(ValueError, match="reserved sampling"):
+        bad = bytearray(blob)
+        bad[2] = (bad[2] & 0xC3) | (13 << 2)  # reserved index 13
+        V.parse_adts_frames(bytes(bad))
+    with pytest.raises(ValueError):
+        V.build_adts_frame(b"x", sr_index=14)
+
+
+def test_rbsp_escape_roundtrip_exhaustive_small():
+    """Every 4-byte string over a 0/1/3-heavy alphabet survives the
+    escape/unescape pair."""
+    alpha = [0, 1, 2, 3, 0xFF]
+    from itertools import product
+
+    for tup in product(alpha, repeat=4):
+        raw = bytes(tup)
+        assert V.rbsp_unescape(V.rbsp_escape(raw)) == raw, raw
+
+
+def test_rbsp_escape_known_vectors():
+    assert V.rbsp_escape(b"\x00\x00\x01") == b"\x00\x00\x03\x01"
+    assert V.rbsp_escape(b"\x00\x00\x03") == b"\x00\x00\x03\x03"
+    assert V.rbsp_escape(b"\x00\x00\x04") == b"\x00\x00\x04"
+    assert V.rbsp_unescape(b"\x00\x00\x03\x00") == b"\x00\x00\x00"
+
+
+def test_exp_golomb_reader_writer_agree():
+    w = V._BitWriter()
+    vals = [0, 1, 2, 3, 7, 8, 100, 255, 1000]
+    for v in vals:
+        w.ue(v)
+    svals = [0, 1, -1, 2, -2, 17, -40]
+    for v in svals:
+        w.se(v)
+    data = w.rbsp_trailing()
+    r = V._BitReader(data)
+    assert [r.ue() for _ in vals] == vals
+    assert [r.se() for _ in svals] == svals
+
+
+def test_sps_sizes_and_cropping():
+    for wmbs, hmu, cr, cb in [(4, 3, 0, 0), (8, 5, 1, 1), (120, 68, 0, 1)]:
+        sps = V.parse_sps(V.build_sps(wmbs, hmu, cr, cb))
+        assert sps["width"] == wmbs * 16 - 2 * cr
+        assert sps["height"] == hmu * 16 - 2 * cb
+        assert sps["chroma_format_idc"] == 1
+    # 1920x1080 the real-world way: 120x68 mbs with 8 bottom crop
+    sps = V.parse_sps(V.build_sps(120, 68, 0, 4))
+    assert (sps["width"], sps["height"]) == (1920, 1080)
+
+
+def test_sps_high_profile_branch():
+    """A high-profile SPS (chroma_format_idc explicit) parses through
+    the extended branch."""
+    w = V._BitWriter()
+    w.u(100, 8)  # profile_idc High
+    w.u(0, 8)
+    w.u(41, 8)
+    w.ue(0)  # sps_id
+    w.ue(1)  # chroma_format_idc 4:2:0
+    w.ue(0)  # bit_depth_luma_minus8
+    w.ue(0)  # bit_depth_chroma_minus8
+    w.u(0, 1)  # transform bypass
+    w.u(0, 1)  # no scaling matrix
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # poc type
+    w.ue(4)  # max_num_ref_frames
+    w.u(0, 1)
+    w.ue(79)  # 80 mbs = 1280
+    w.ue(44)  # 45 units = 720
+    w.u(1, 1)  # frame_mbs_only
+    w.u(1, 1)  # direct_8x8
+    w.u(0, 1)  # no cropping
+    w.u(0, 1)  # no vui
+    sps = V.parse_sps(w.rbsp_trailing())
+    assert (sps["profile_idc"], sps["width"], sps["height"]) == (
+        100, 1280, 720,
+    )
+
+
+def test_annexb_walk_and_corruption():
+    blob = V._h264_blob(3)
+    nals = V.parse_annexb(blob)
+    assert nals[0]["nal_type"] == 7 and nals[1]["nal_type"] == 8
+    with pytest.raises(ValueError, match="start code"):
+        V.parse_annexb(b"\xff" + blob)
+    with pytest.raises(ValueError, match="forbidden_zero_bit"):
+        V.parse_annexb(b"\x00\x00\x01\x87junk")
+    with pytest.raises(ValueError, match="no Annex-B start code"):
+        V.parse_annexb(b"\x01\x02\x03")
+
+
+def test_emulation_prevention_in_slices_survives():
+    """Slice payloads deliberately contain raw 00 00 01 -- the walk
+    must NOT split on escaped sequences inside a NAL."""
+    for mid in range(10):
+        wmbs, hmu, cr, cb, ns = V._h264_params(mid)
+        nals = V.parse_annexb(V._h264_blob(mid))
+        assert len(nals) == 2 + ns, mid
+
+
+def test_spark_ops_match_driver(spark):
+    docs = spark.range(8).selectExpr("id AS doc_id", "'x' AS text")
+    adts = {
+        r["media_id"]: (r["n_frames"], r["total_bytes"])
+        for r in V.adts_frame_stats(V.synthesize_adts(docs)).collect()
+    }
+    h264 = {
+        r["media_id"]: (r["n_nals"], r["width"], r["height"])
+        for r in V.h264_stream_stats(V.synthesize_h264(docs)).collect()
+    }
+    for mid in range(8):
+        frames = V.parse_adts_frames(V._adts_blob(mid))
+        assert adts[mid] == (
+            len(frames), sum(f["length"] for f in frames)
+        )
+        wmbs, hmu, cr, cb, ns = V._h264_params(mid)
+        assert h264[mid] == (2 + ns, wmbs * 16 - 2 * cr, hmu * 16 - 2 * cb)
