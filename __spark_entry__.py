@@ -2603,6 +2603,25 @@ def _stream_distinct_sketch(s: SparkSession, d: str) -> DataFrame:
     return aggregates._sketch_finish(regs, 40).orderBy("grp")
 
 
+def _stream_minhash_dedup(s: SparkSession, d: str) -> DataFrame:
+    """The dedup sketch maintained INCREMENTALLY: documents stream in,
+    per-doc minhash registers accumulate in a streaming aggregation
+    (16 bigints of state per doc -- min is mergeable, so the result
+    is bit-identical to the batch signature build regardless of
+    micro-batch splits), then the banding + signature-agreement
+    verify runs batch-side over the drained signature table.  Output
+    == dedup_minhash_lsh row-for-row (same oracle)."""
+    sig = streaming_jobs.run_available_now(
+        dedup.streaming_minhash_signatures(
+            streaming_jobs.read_documents_stream(s, d)
+        ),
+        _stream_sink_name("mhsigs"),
+    )
+    return dedup.md5_minhash_pairs(
+        _t(s, d, "documents"), min_matching=13, sig=sig
+    )
+
+
 def _stream_countmin(s: SparkSession, d: str) -> DataFrame:
     """Streaming count-min heavy hitters: drain the bounded counter
     cells (complete mode, depth*width state rows), then probe the
@@ -4374,6 +4393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming HLL: bounded register state, batch-identical result
         "stream_distinct_sketch": _stream_distinct_sketch,
         "stream_countmin": _stream_countmin,
+        # incremental minhash: streaming signature state + batch
+        # banding -- the streaming half of the dedup pipeline
+        "stream_minhash_dedup": _stream_minhash_dedup,
         # stream-static join: micro-batches enrich against the
         # customer dim snapshot (stateless inner join, dim broadcast)
         "stream_static_enrich": _stream_static_enrich,
@@ -4915,6 +4937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp2_decode",
         "mm_adts_frames",
         "mm_h264_sps",
+        "stream_minhash_dedup",
         "text_bpe_merges",
         "text_bpe_encode",
         "text_unigram_encode",
@@ -9564,6 +9587,9 @@ SELECT comp, count(*) AS size FROM labels GROUP BY comp ORDER BY comp"""
         """,
         "dedup_simhash_lsh": _md5_simhash_pairs_sql(hamming_k=3),
         "dedup_minhash_lsh": _md5_minhash_pairs_sql(min_matching=13),
+        # identical semantics: the streaming signature accumulation is
+        # bit-identical to the batch build (mergeable min registers)
+        "stream_minhash_dedup": _md5_minhash_pairs_sql(min_matching=13),
         "dedup_minhash_clusters": _md5_minhash_clusters_sql(min_matching=13),
         "dedup_sketch_quality": _sketch_quality_sql(perms=16, min_matching=13),
         "dedup_setsim_prefix": _setsim_prefix_sql(num=1, den=2),

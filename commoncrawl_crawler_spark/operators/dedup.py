@@ -709,13 +709,18 @@ def md5_minhash_pairs(
     min_matching: int = 13,
     max_bucket: int = 1000,
     tokens: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Banded minhash LSH (bands of 2 rows) + signature-agreement
     verify: (doc_a, doc_b, matching, est_jaccard). est_jaccard =
-    matching/perms is the standard minhash similarity estimate."""
-    sig = md5_minhash_signatures(documents, perms, tokens=tokens).localCheckpoint(
-        eager=True
-    )
+    matching/perms is the standard minhash similarity estimate.
+    Pass `sig` (doc_id, m0..m{perms-1}) to band/verify an externally
+    maintained signature table -- the incremental path: signatures
+    accumulate in a streaming aggregation (streaming_minhash_
+    signatures) and only the banding/verify reruns."""
+    if sig is None:
+        sig = md5_minhash_signatures(documents, perms, tokens=tokens)
+    sig = sig.localCheckpoint(eager=True)
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -771,6 +776,35 @@ def md5_minhash_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def streaming_minhash_signatures(
+    doc_stream: DataFrame, perms: int = 16
+) -> DataFrame:
+    """The minhash sketch as a STREAMING aggregation: per-document
+    min registers over the same md5 shingle hashes as the batch
+    signature build -- state is exactly `perms` bigints per doc, the
+    mergeable-sketch property (min is commutative/idempotent) making
+    the incremental result bit-identical to the batch one no matter
+    how documents split across micro-batches.  The shingle projection
+    skips its closing distinct (a second stateful op is illegal
+    upstream of a streaming agg; min is duplicate-insensitive).
+    Drain with run_available_now(complete) and hand the sink to
+    md5_minhash_pairs(sig=...) -- the streaming half of the
+    GPT-3/RefinedWeb dedup pipeline."""
+    from .textstats import _token_shingles
+
+    toks = _token_shingles(doc_stream, 3, distinct=False).withColumnRenamed(
+        "sh", "tok"
+    )
+    base = f"({_H60.format(v='tok')} % 2147483647)"
+    aggs = [
+        F.min(
+            F.expr(f"({base} * {a} + {b}) % 2305843009213693951")
+        ).alias(f"m{p}")
+        for p, (a, b) in enumerate(minhash_perm_constants(perms))
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
 
 
 def md5_simhash_clusters(

@@ -281,12 +281,19 @@ def vocabulary(documents: DataFrame, top_n: int = 100) -> DataFrame:
     )
 
 
-def _token_shingles(documents: DataFrame, n: int) -> DataFrame:
+def _token_shingles(
+    documents: DataFrame, n: int, distinct: bool = True
+) -> DataFrame:
     """(doc_id, sh) distinct lowercase n-token shingles as a narrow
     array projection (same construction as the dedup tier's 3-token
     shingles): no window shuffle over the exploded token table, and
     the token array is hoisted into its own projection so the split
-    is not re-evaluated per shingle index."""
+    is not re-evaluated per shingle index.
+
+    `distinct=False` skips the closing distinct for STREAMING
+    callers: a streaming distinct is a second stateful operator
+    (illegal before a streaming aggregation), and min-aggregation
+    consumers are duplicate-insensitive anyway."""
     arr = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
     )
@@ -298,9 +305,8 @@ def _token_shingles(documents: DataFrame, n: int) -> DataFrame:
             lambda i: F.array_join(F.slice(F.col("_arr"), i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return base.select(
-        "doc_id", F.explode(shingles).alias("sh")
-    ).distinct()
+    out = base.select("doc_id", F.explode(shingles).alias("sh"))
+    return out.distinct() if distinct else out
 
 
 def contamination_check(

@@ -67,6 +67,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the documents table as arriving files (same file-source
+    pattern as read_events_stream; schema from a batch peek)."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def windowed_event_stats(stream: DataFrame, window: str = "1 day") -> DataFrame:
     """Tumbling-window per-type stats with a late-data watermark.
 

@@ -683,3 +683,44 @@ def test_generational_upsert_two_batches_fold_and_idempotency(
     # gen=0 is a complete snapshot of batch 1 alone
     g0 = spark.read.parquet(str(tmp_path / "state" / gens[0])).collect()
     assert {r["user_id"]: r["n_events"] for r in g0} == {1: 2, 2: 1}
+
+
+def test_streaming_minhash_signatures_batch_identical_across_batches(
+    spark, tmp_path
+):
+    """Signatures accumulated across MULTIPLE micro-batches (one file
+    per trigger) must equal the batch build bit-for-bit -- the
+    mergeable-min-register property stream_minhash_dedup rides."""
+    from commoncrawl_crawler_spark.operators import dedup
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(30)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d1 = tmp_path / "stream_src"
+    d1.mkdir()
+    docs.filter("doc_id < 20").coalesce(1).write.parquet(
+        str(d1 / "p1.parquet")
+    )
+    docs.filter("doc_id >= 20").coalesce(1).write.parquet(
+        str(d1 / "p2.parquet")
+    )
+    import glob as _g
+
+    _space_mtimes(*sorted(_g.glob(str(d1 / "*" / "*.parquet"))))
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d1) + "/*")
+    )
+    sig_stream = jobs.run_available_now(
+        dedup.streaming_minhash_signatures(stream), "mh_parity_sigs"
+    )
+    want = {
+        tuple(r)
+        for r in dedup.md5_minhash_signatures(docs).collect()
+    }
+    got = {tuple(r) for r in sig_stream.collect()}
+    assert got == want
