@@ -34,6 +34,7 @@ from commoncrawl_crawler_spark.operators import (
     joins,
     corpus,
     layout,
+    mediameta,
     mpegsynth,
     multimodal,
     videobits,
@@ -4302,6 +4303,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_h264_sps": lambda s, d: videobits.h264_stream_stats(
             videobits.synthesize_h264(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # FLAC STREAMINFO (xiph spec): metadata-block walk, 20-bit
+        # rate / 36-bit sample-count bit layout, exact duration basis
+        "mm_flac_streaminfo": lambda s, d: mediameta.flac_streaminfo(
+            mediameta.synthesize_flac(_t(s, d, "documents"))
+        ).orderBy("media_id"),
+        # Ogg page walk (RFC 3533) + Vorbis/Opus identification
+        # headers: codec routing, final-granule duration, EOS check
+        "mm_ogg_packets": lambda s, d: mediameta.ogg_stream_stats(
+            mediameta.synthesize_ogg(_t(s, d, "documents"))
+        ).orderBy("media_id"),
+        # WebP RIFF walk: real dimension decode for all three
+        # variants (VP8 lossy / VP8L lossless / VP8X extended)
+        "mm_webp_dims": lambda s, d: mediameta.webp_dimensions(
+            mediameta.synthesize_webp(_t(s, d, "documents"))
+        ).orderBy("media_id"),
+        # Matroska/EBML vint walk (RFC 8794) to the WebM track
+        # census: codec ids, pixel dims, audio rate/channels
+        "mm_webm_tracks": lambda s, d: mediameta.webm_track_census(
+            mediameta.synthesize_webm(_t(s, d, "documents"))
+        ).orderBy("media_id", "track_number"),
         # consistent-hash ring (Karger 1997): the elastic upgrade of
         # the reference's modulo host-sharding; ring broadcast, one
         # min_by per distinct key
@@ -4937,6 +4958,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp2_decode",
         "mm_adts_frames",
         "mm_h264_sps",
+        "mm_flac_streaminfo",
+        "mm_ogg_packets",
+        "mm_webp_dims",
+        "mm_webm_tracks",
         "stream_minhash_dedup",
         "text_bpe_merges",
         "text_bpe_encode",
@@ -7379,6 +7404,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST((3 + doc_id % 7) * 16 - 2 * ((doc_id // 2) % 2)
                         AS INT) AS height
             FROM documents ORDER BY media_id
+        """,
+        # closed forms of the mediameta synthesis parameters
+        "mm_flac_streaminfo": """
+            SELECT doc_id AS media_id,
+                   CAST([8000,16000,22050,24000,32000,44100,48000,
+                         96000][doc_id % 8 + 1] AS INT) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST([8,16,24][doc_id % 3 + 1] AS INT)
+                       AS bits_per_sample,
+                   CAST(100000 + doc_id * 977 AS BIGINT)
+                       AS total_samples,
+                   CAST((100000 + doc_id * 977) * 1000
+                        // [8000,16000,22050,24000,32000,44100,48000,
+                            96000][doc_id % 8 + 1] AS BIGINT)
+                       AS duration_ms,
+                   CAST(2 AS INT) AS n_blocks
+            FROM documents ORDER BY media_id
+        """,
+        "mm_ogg_packets": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'vorbis'
+                        ELSE 'opus' END AS codec,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 2
+                        ELSE 1 + (doc_id // 2) % 2 END AS INT)
+                       AS channels,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                        THEN [44100,48000,32000][doc_id % 3 + 1]
+                        ELSE 48000 END AS INT) AS rate,
+                   CAST(3 + doc_id % 4 AS INT) AS n_pages,
+                   CAST((2 + doc_id % 4) * 960 AS BIGINT)
+                       AS last_granule,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 32 ELSE 19 END
+                        + (2 + doc_id % 4) * 200
+                        + 60 * (1 + doc_id % 4) * (2 + doc_id % 4) // 2
+                        AS BIGINT) AS payload_bytes,
+                   CAST(1 AS INT) AS eos_seen
+            FROM documents ORDER BY media_id
+        """,
+        "mm_webp_dims": """
+            SELECT doc_id AS media_id,
+                   ['lossy','lossless','extended'][doc_id % 3 + 1]
+                       AS format,
+                   CAST(16 + (doc_id * 37) % 1200 AS INT) AS width,
+                   CAST(16 + (doc_id * 53) % 900 AS INT) AS height,
+                   CAST((16 + (doc_id * 37) % 1200)
+                        * (16 + (doc_id * 53) % 900) AS BIGINT)
+                       AS pixels
+            FROM documents ORDER BY media_id
+        """,
+        "mm_webm_tracks": """
+            SELECT doc_id AS media_id, CAST(1 AS INT) AS track_number,
+                   CAST(1 AS INT) AS track_type,
+                   CASE WHEN doc_id % 2 = 1 THEN 'V_VP9'
+                        ELSE 'V_VP8' END AS codec,
+                   CAST(320 + 16 * (doc_id % 50) AS INT) AS width,
+                   CAST(240 + 16 * (doc_id % 30) AS INT) AS height,
+                   CAST(0 AS INT) AS rate, CAST(0 AS INT) AS channels
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(2 AS INT), CAST(2 AS INT),
+                   CASE WHEN doc_id % 2 = 1 THEN 'A_OPUS'
+                        ELSE 'A_VORBIS' END,
+                   CAST(0 AS INT), CAST(0 AS INT),
+                   CAST(CASE WHEN doc_id % 2 = 1 THEN 48000
+                        ELSE 44100 END AS INT),
+                   CAST(1 + doc_id % 2 AS INT)
+            FROM documents WHERE doc_id % 3 <> 0
+            ORDER BY media_id, track_number
         """,
         "mm_mp3_layer1_decode": """
             WITH s AS (

@@ -1,0 +1,680 @@
+"""Container metadata parsers: FLAC, Ogg, WebP, Matroska/EBML.
+
+Fourth tier of the media stack (after `container.py` MP4/MPEG-audio,
+`videobits.py` ADTS/H.264, `multimodal.py` image codecs): the
+remaining container formats a web corpus routinely carries, parsed at
+the metadata/framing level a corpus scan actually needs --
+dimensions, codecs, channel/rate, duration basis -- with zero
+external libraries.  Everything is published wire format:
+
+- **FLAC** (xiph.org format spec): 'fLaC' magic, metadata-block walk
+  (1-byte last|type header + 24-bit big-endian length), STREAMINFO
+  bit layout (20-bit sample rate, 3-bit channels-1, 5-bit bps-1,
+  36-bit total samples, 128-bit unencoded-audio MD5).
+- **Ogg** (RFC 3533): page capture pattern 'OggS', 64-bit granule,
+  serial/sequence numbers, lacing-value segment table; plus the two
+  identification headers that matter on the web -- Vorbis
+  ('\\x01vorbis': channels, rate) and Opus ('OpusHead': channels,
+  pre-skip, input rate, RFC 7845).
+- **WebP** (RIFF container): chunk walk; 'VP8 ' lossy frame header
+  (0x9d012a start code, 14-bit dimensions), 'VP8L' lossless
+  signature 0x2f with packed 14-bit dimensions, 'VP8X' extended
+  header with 24-bit canvas dimensions.
+- **Matroska/EBML** (RFC 8794 + matroska.org): variable-length
+  element IDs and sizes (leading-zeros length encoding), walked
+  through Segment -> Tracks -> TrackEntry for track type, codec id,
+  video PixelWidth/PixelHeight, audio SamplingFrequency/Channels --
+  the WebM track census.
+
+At 100 TB: same kernel shape as every media tier -- Arrow-batched
+mapInPandas over the blob column, fixed-width metadata rows out,
+payloads never shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .multimodal import _synthesize_media
+
+# --------------------------------------------------------------------
+# FLAC
+# --------------------------------------------------------------------
+
+
+def build_flac_streaminfo(
+    sample_rate: int,
+    channels: int,
+    bits_per_sample: int,
+    total_samples: int,
+    md5_digest: bytes = b"\x00" * 16,
+    extra_blocks: list[tuple[int, bytes]] | None = None,
+) -> bytes:
+    """'fLaC' + STREAMINFO (+ optional extra metadata blocks); no
+    audio frames (metadata-only fixture, like a probe would read)."""
+    body = bytearray()
+    body += struct.pack(">HH", 4096, 4096)  # min/max blocksize
+    body += (0).to_bytes(3, "big") + (0).to_bytes(3, "big")  # framesizes
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    body += packed.to_bytes(8, "big")
+    body += md5_digest
+    assert len(body) == 34
+    blocks = [(0, bytes(body))] + list(extra_blocks or [])
+    out = bytearray(b"fLaC")
+    for i, (btype, data) in enumerate(blocks):
+        last = 0x80 if i == len(blocks) - 1 else 0
+        out.append(last | btype)
+        out += len(data).to_bytes(3, "big")
+        out += data
+    return bytes(out)
+
+
+def parse_flac_streaminfo(blob: bytes) -> dict:
+    """Metadata-block walk; returns STREAMINFO fields plus the block
+    census.  Raises on bad magic, truncation, or missing STREAMINFO
+    (the spec requires it first)."""
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream: bad magic")
+    pos = 4
+    info = None
+    n_blocks = 0
+    block_types = []
+    while True:
+        if pos + 4 > len(blob):
+            raise ValueError(f"truncated block header at {pos}")
+        hdr = blob[pos]
+        btype = hdr & 0x7F
+        length = int.from_bytes(blob[pos + 1 : pos + 4], "big")
+        if pos + 4 + length > len(blob):
+            raise ValueError(f"truncated block body at {pos}")
+        data = blob[pos + 4 : pos + 4 + length]
+        n_blocks += 1
+        block_types.append(btype)
+        if btype == 0:
+            if length != 34:
+                raise ValueError(f"STREAMINFO length {length} != 34")
+            packed = int.from_bytes(data[10:18], "big")
+            info = {
+                "sample_rate": (packed >> 44) & 0xFFFFF,
+                "channels": ((packed >> 41) & 0x7) + 1,
+                "bits_per_sample": ((packed >> 36) & 0x1F) + 1,
+                "total_samples": packed & ((1 << 36) - 1),
+                "audio_md5": data[18:34].hex(),
+            }
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    if info is None:
+        raise ValueError("no STREAMINFO block")
+    info["n_blocks"] = n_blocks
+    info["block_types"] = block_types
+    return info
+
+
+def _flac_params(mid: int) -> tuple[int, int, int, int]:
+    """(sample_rate, channels, bits, total_samples), oracle-mirrored."""
+    rates = [8000, 16000, 22050, 24000, 32000, 44100, 48000, 96000]
+    return (
+        rates[mid % 8],
+        1 + mid % 2,
+        [8, 16, 24][mid % 3],
+        100000 + mid * 977,
+    )
+
+
+def _flac_blob(mid: int) -> bytes:
+    sr, ch, bps, total = _flac_params(mid)
+    digest = bytes((mid * 11 + j) % 256 for j in range(16))
+    extra = [(4, b"\x00\x00\x00\x05vorbis-comment-stub"[:12])]
+    return build_flac_streaminfo(sr, ch, bps, total, digest, extra)
+
+
+def synthesize_flac(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _flac_blob)
+
+
+FLAC_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("total_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_blocks", IntegerType()),
+    ]
+)
+
+
+def flac_streaminfo(media: DataFrame) -> DataFrame:
+    """Per-file FLAC audio profile; duration_ms is the exact integer
+    total_samples*1000 DIV sample_rate."""
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in FLAC_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                i = parse_flac_streaminfo(bytes(blob))
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(i["sample_rate"])
+                rows["channels"].append(i["channels"])
+                rows["bits_per_sample"].append(i["bits_per_sample"])
+                rows["total_samples"].append(i["total_samples"])
+                rows["duration_ms"].append(
+                    i["total_samples"] * 1000 // i["sample_rate"]
+                )
+                rows["n_blocks"].append(i["n_blocks"])
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _walk, FLAC_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------
+# Ogg (RFC 3533) + Vorbis/Opus identification headers
+# --------------------------------------------------------------------
+
+
+def build_ogg_page(
+    serial: int,
+    seqno: int,
+    granule: int,
+    payload: bytes,
+    header_type: int = 0,
+) -> bytes:
+    """One Ogg page (crc left zero -- the walk validates structure,
+    not checksums, matching a fast corpus scan)."""
+    segs = []
+    rest = payload
+    while len(rest) >= 255:
+        segs.append(255)
+        rest = rest[255:]
+    segs.append(len(rest))
+    hdr = b"OggS" + bytes([0, header_type])
+    hdr += struct.pack("<q", granule)
+    hdr += struct.pack("<II", serial, seqno)
+    hdr += b"\x00\x00\x00\x00"  # crc
+    hdr += bytes([len(segs)]) + bytes(segs)
+    return hdr + payload
+
+
+def parse_ogg_pages(blob: bytes) -> list[dict]:
+    """Page walk: offset, serial, seqno, granule, header_type,
+    payload_len per page; raises on lost capture pattern or
+    truncation."""
+    pages = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        if blob[pos : pos + 4] != b"OggS":
+            raise ValueError(f"lost Ogg capture pattern at {pos}")
+        if blob[pos + 4] != 0:
+            raise ValueError(f"unknown Ogg version at {pos}")
+        header_type = blob[pos + 5]
+        granule = struct.unpack_from("<q", blob, pos + 6)[0]
+        serial, seqno = struct.unpack_from("<II", blob, pos + 14)
+        nseg = blob[pos + 26]
+        table = blob[pos + 27 : pos + 27 + nseg]
+        if len(table) != nseg:
+            raise ValueError(f"truncated segment table at {pos}")
+        plen = sum(table)
+        start = pos + 27 + nseg
+        if start + plen > n:
+            raise ValueError(f"truncated page payload at {pos}")
+        pages.append(
+            {
+                "offset": pos,
+                "serial": serial,
+                "seqno": seqno,
+                "granule": granule,
+                "header_type": header_type,
+                "payload": blob[start : start + plen],
+            }
+        )
+        pos = start + plen
+    return pages
+
+
+def parse_id_header(payload: bytes) -> dict | None:
+    """Codec identification from a first-page payload: Vorbis or
+    Opus; None if neither."""
+    if payload[:7] == b"\x01vorbis":
+        channels = payload[11]
+        rate = struct.unpack_from("<I", payload, 12)[0]
+        return {"codec": "vorbis", "channels": channels, "rate": rate}
+    if payload[:8] == b"OpusHead":
+        channels = payload[9]
+        preskip = struct.unpack_from("<H", payload, 10)[0]
+        rate = struct.unpack_from("<I", payload, 12)[0]
+        return {
+            "codec": "opus",
+            "channels": channels,
+            "rate": rate,
+            "preskip": preskip,
+        }
+    return None
+
+
+def _ogg_params(mid: int) -> tuple[str, int, int, int]:
+    """(codec, channels, rate, n_data_pages), oracle-mirrored."""
+    if mid % 2 == 0:
+        return ("vorbis", 1 + mid % 2, [44100, 48000, 32000][mid % 3],
+                2 + mid % 4)
+    return ("opus", 1 + (mid // 2) % 2, 48000, 2 + mid % 4)
+
+
+def _ogg_blob(mid: int) -> bytes:
+    codec, ch, rate, npages = _ogg_params(mid)
+    serial = 0x1000 + mid
+    if codec == "vorbis":
+        ident = b"\x01vorbis" + struct.pack("<IB", 0, ch)
+        ident += struct.pack("<I", rate) + bytes(16)
+    else:
+        ident = b"OpusHead" + bytes([1, ch]) + struct.pack("<H", 312)
+        ident += struct.pack("<I", rate) + bytes(3)
+    out = bytearray(build_ogg_page(serial, 0, 0, ident, header_type=2))
+    for p in range(npages):
+        payload = bytes((mid * 13 + p * 7 + j) % 256
+                        for j in range(200 + 60 * p))
+        ht = 4 if p == npages - 1 else 0  # EOS on the last page
+        out += build_ogg_page(serial, p + 1, (p + 1) * 960, payload, ht)
+    return bytes(out)
+
+
+def synthesize_ogg(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _ogg_blob)
+
+
+OGG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("channels", IntegerType()),
+        StructField("rate", IntegerType()),
+        StructField("n_pages", IntegerType()),
+        StructField("last_granule", LongType()),
+        StructField("payload_bytes", LongType()),
+        StructField("eos_seen", IntegerType()),
+    ]
+)
+
+
+def ogg_stream_stats(media: DataFrame) -> DataFrame:
+    """Per-file Ogg profile: codec identification, page census, final
+    granule position (the duration basis), payload byte total, EOS
+    flag presence."""
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in OGG_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                pages = parse_ogg_pages(bytes(blob))
+                ident = parse_id_header(pages[0]["payload"]) if pages else None
+                rows["media_id"].append(int(mid))
+                rows["codec"].append(ident["codec"] if ident else "unknown")
+                rows["channels"].append(ident["channels"] if ident else 0)
+                rows["rate"].append(ident["rate"] if ident else 0)
+                rows["n_pages"].append(len(pages))
+                rows["last_granule"].append(
+                    max((p["granule"] for p in pages), default=0)
+                )
+                rows["payload_bytes"].append(
+                    sum(len(p["payload"]) for p in pages)
+                )
+                rows["eos_seen"].append(
+                    1 if any(p["header_type"] & 4 for p in pages) else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _walk, OGG_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------
+# WebP (RIFF)
+# --------------------------------------------------------------------
+
+
+def build_webp(kind: str, width: int, height: int) -> bytes:
+    """Minimal WebP of the given variant carrying real dimension
+    fields ('VP8 ' lossy / 'VP8L' lossless / 'VP8X' extended)."""
+    if kind == "VP8 ":
+        # frame tag: keyframe, version 0, show=1, partition size 0
+        body = bytes([0x10, 0x00, 0x00]) + b"\x9d\x01\x2a"
+        body += struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+        body += bytes(10)
+    elif kind == "VP8L":
+        packed = (width - 1) | ((height - 1) << 14)
+        body = b"\x2f" + struct.pack("<I", packed)[:4] + bytes(6)
+    elif kind == "VP8X":
+        body = bytes([0, 0, 0, 0])
+        body += (width - 1).to_bytes(3, "little")
+        body += (height - 1).to_bytes(3, "little")
+    else:
+        raise ValueError(kind)
+    chunk = kind.encode("ascii") + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def parse_webp(blob: bytes) -> dict:
+    """RIFF walk + per-variant dimension decode."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WebP: bad RIFF/WEBP magic")
+    riff_len = struct.unpack_from("<I", blob, 4)[0]
+    if 8 + riff_len > len(blob):
+        raise ValueError("truncated RIFF payload")
+    pos = 12
+    while pos + 8 <= 8 + riff_len:
+        fourcc = blob[pos : pos + 4].decode("latin-1")
+        clen = struct.unpack_from("<I", blob, pos + 4)[0]
+        data = blob[pos + 8 : pos + 8 + clen]
+        if len(data) != clen:
+            raise ValueError(f"truncated chunk {fourcc!r}")
+        if fourcc == "VP8 ":
+            if data[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 keyframe start code")
+            w, h = struct.unpack_from("<HH", data, 6)
+            return {"format": "lossy", "width": w & 0x3FFF,
+                    "height": h & 0x3FFF}
+        if fourcc == "VP8L":
+            if data[0] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            packed = struct.unpack_from("<I", data, 1)[0]
+            return {
+                "format": "lossless",
+                "width": (packed & 0x3FFF) + 1,
+                "height": ((packed >> 14) & 0x3FFF) + 1,
+            }
+        if fourcc == "VP8X":
+            w = int.from_bytes(data[4:7], "little") + 1
+            h = int.from_bytes(data[7:10], "little") + 1
+            return {"format": "extended", "width": w, "height": h}
+        pos += 8 + clen + (clen & 1)
+    raise ValueError("no VP8/VP8L/VP8X chunk")
+
+
+def _webp_params(mid: int) -> tuple[str, int, int]:
+    kind = ["VP8 ", "VP8L", "VP8X"][mid % 3]
+    return kind, 16 + (mid * 37) % 1200, 16 + (mid * 53) % 900
+
+
+def _webp_blob(mid: int) -> bytes:
+    return build_webp(*_webp_params(mid))
+
+
+def synthesize_webp(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _webp_blob)
+
+
+WEBP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", LongType()),
+    ]
+)
+
+
+def webp_dimensions(media: DataFrame) -> DataFrame:
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in WEBP_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                d = parse_webp(bytes(blob))
+                rows["media_id"].append(int(mid))
+                rows["format"].append(d["format"])
+                rows["width"].append(d["width"])
+                rows["height"].append(d["height"])
+                rows["pixels"].append(d["width"] * d["height"])
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _walk, WEBP_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------
+# Matroska / EBML (RFC 8794)
+# --------------------------------------------------------------------
+
+
+def _ebml_vint(value: int, id_form: bool = False) -> bytes:
+    """Encode a vint.  For SIZES the marker bit is part of the
+    length prefix (RFC 8794 data-size form); element IDs are written
+    verbatim (they already carry their marker)."""
+    if id_form:
+        n = (value.bit_length() + 7) // 8
+        return value.to_bytes(n, "big")
+    for n in range(1, 9):
+        if value < (1 << (7 * n)) - 1:
+            return ((1 << (7 * n)) | value).to_bytes(n, "big")
+    raise ValueError("vint overflow")
+
+
+def _ebml_elem(eid: int, payload: bytes) -> bytes:
+    return _ebml_vint(eid, id_form=True) + _ebml_vint(len(payload)) + payload
+
+
+def _ebml_uint(eid: int, value: int) -> bytes:
+    n = max(1, (value.bit_length() + 7) // 8)
+    return _ebml_elem(eid, value.to_bytes(n, "big"))
+
+
+def _ebml_float(eid: int, value: float) -> bytes:
+    return _ebml_elem(eid, struct.pack(">d", value))
+
+
+def _ebml_string(eid: int, value: str) -> bytes:
+    return _ebml_elem(eid, value.encode("ascii"))
+
+
+# Matroska element IDs (matroska.org spec)
+_MKV_EBML = 0x1A45DFA3
+_MKV_SEGMENT = 0x18538067
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_NUMBER = 0xD7
+_MKV_TRACK_TYPE = 0x83
+_MKV_CODEC_ID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_PIXEL_W = 0xB0
+_MKV_PIXEL_H = 0xBA
+_MKV_AUDIO = 0xE1
+_MKV_SAMPLING = 0xB5
+_MKV_CHANNELS = 0x9F
+
+
+def read_vint(blob: bytes, pos: int, id_form: bool = False) -> tuple[int, int]:
+    """(value, new_pos).  IDs keep their marker bit; sizes strip it."""
+    if pos >= len(blob):
+        raise ValueError("vint past end")
+    first = blob[pos]
+    if first == 0:
+        raise ValueError(f"invalid vint at {pos}")
+    n = 8 - first.bit_length() + 1
+    if pos + n > len(blob):
+        raise ValueError(f"truncated vint at {pos}")
+    raw = int.from_bytes(blob[pos : pos + n], "big")
+    if not id_form:
+        raw &= (1 << (7 * n)) - 1
+    return raw, pos + n
+
+
+def _walk_ebml(blob: bytes, pos: int, end: int):
+    """Yield (element_id, payload_start, payload_end)."""
+    while pos < end:
+        eid, pos = read_vint(blob, pos, id_form=True)
+        size, pos = read_vint(blob, pos)
+        if pos + size > end:
+            raise ValueError(f"element 0x{eid:X} overruns container")
+        yield eid, pos, pos + size
+        pos += size
+
+
+def build_webm_tracks(tracks: list[dict]) -> bytes:
+    """Minimal WebM: EBML header + Segment(Tracks(entries...))."""
+    ebml_hdr = _ebml_elem(
+        _MKV_EBML,
+        _ebml_string(0x4282, "webm")  # DocType
+        + _ebml_uint(0x4286, 1),  # EBMLVersion
+    )
+    entries = b""
+    for t in tracks:
+        body = _ebml_uint(_MKV_TRACK_NUMBER, t["number"])
+        body += _ebml_uint(_MKV_TRACK_TYPE, t["type"])
+        body += _ebml_string(_MKV_CODEC_ID, t["codec"])
+        if t["type"] == 1:
+            body += _ebml_elem(
+                _MKV_VIDEO,
+                _ebml_uint(_MKV_PIXEL_W, t["width"])
+                + _ebml_uint(_MKV_PIXEL_H, t["height"]),
+            )
+        else:
+            body += _ebml_elem(
+                _MKV_AUDIO,
+                _ebml_float(_MKV_SAMPLING, float(t["rate"]))
+                + _ebml_uint(_MKV_CHANNELS, t["channels"]),
+            )
+        entries += _ebml_elem(_MKV_TRACK_ENTRY, body)
+    segment = _ebml_elem(_MKV_SEGMENT, _ebml_elem(_MKV_TRACKS, entries))
+    return ebml_hdr + segment
+
+
+def parse_webm_tracks(blob: bytes) -> list[dict]:
+    """EBML walk to the track census: one dict per TrackEntry."""
+    top = list(_walk_ebml(blob, 0, len(blob)))
+    if not top or top[0][0] != _MKV_EBML:
+        raise ValueError("not an EBML stream")
+    tracks_out: list[dict] = []
+    for eid, s, e in top:
+        if eid != _MKV_SEGMENT:
+            continue
+        for eid2, s2, e2 in _walk_ebml(blob, s, e):
+            if eid2 != _MKV_TRACKS:
+                continue
+            for eid3, s3, e3 in _walk_ebml(blob, s2, e2):
+                if eid3 != _MKV_TRACK_ENTRY:
+                    continue
+                t = {"number": 0, "type": 0, "codec": "", "width": 0,
+                     "height": 0, "rate": 0, "channels": 0}
+                for eid4, s4, e4 in _walk_ebml(blob, s3, e3):
+                    v = blob[s4:e4]
+                    if eid4 == _MKV_TRACK_NUMBER:
+                        t["number"] = int.from_bytes(v, "big")
+                    elif eid4 == _MKV_TRACK_TYPE:
+                        t["type"] = int.from_bytes(v, "big")
+                    elif eid4 == _MKV_CODEC_ID:
+                        t["codec"] = v.decode("ascii")
+                    elif eid4 == _MKV_VIDEO:
+                        for eid5, s5, e5 in _walk_ebml(blob, s4, e4):
+                            if eid5 == _MKV_PIXEL_W:
+                                t["width"] = int.from_bytes(
+                                    blob[s5:e5], "big"
+                                )
+                            elif eid5 == _MKV_PIXEL_H:
+                                t["height"] = int.from_bytes(
+                                    blob[s5:e5], "big"
+                                )
+                    elif eid4 == _MKV_AUDIO:
+                        for eid5, s5, e5 in _walk_ebml(blob, s4, e4):
+                            if eid5 == _MKV_SAMPLING:
+                                t["rate"] = int(
+                                    struct.unpack(">d", blob[s5:e5])[0]
+                                )
+                            elif eid5 == _MKV_CHANNELS:
+                                t["channels"] = int.from_bytes(
+                                    blob[s5:e5], "big"
+                                )
+                tracks_out.append(t)
+    return tracks_out
+
+
+def _webm_params(mid: int) -> list[dict]:
+    tracks = [
+        {
+            "number": 1,
+            "type": 1,
+            "codec": "V_VP9" if mid % 2 else "V_VP8",
+            "width": 320 + 16 * (mid % 50),
+            "height": 240 + 16 * (mid % 30),
+        }
+    ]
+    if mid % 3 != 0:
+        tracks.append(
+            {
+                "number": 2,
+                "type": 2,
+                "codec": "A_OPUS" if mid % 2 else "A_VORBIS",
+                "rate": 48000 if mid % 2 else 44100,
+                "channels": 1 + mid % 2,
+            }
+        )
+    return tracks
+
+
+def _webm_blob(mid: int) -> bytes:
+    return build_webm_tracks(_webm_params(mid))
+
+
+def synthesize_webm(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _webm_blob)
+
+
+WEBM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("track_number", IntegerType()),
+        StructField("track_type", IntegerType()),
+        StructField("codec", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("rate", IntegerType()),
+        StructField("channels", IntegerType()),
+    ]
+)
+
+
+def webm_track_census(media: DataFrame) -> DataFrame:
+    """One row per WebM track: the video/audio routing table."""
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in WEBM_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                for t in parse_webm_tracks(bytes(blob)):
+                    rows["media_id"].append(int(mid))
+                    rows["track_number"].append(t["number"])
+                    rows["track_type"].append(t["type"])
+                    rows["codec"].append(t["codec"])
+                    rows["width"].append(t["width"])
+                    rows["height"].append(t["height"])
+                    rows["rate"].append(t["rate"])
+                    rows["channels"].append(t["channels"])
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _walk, WEBM_SCHEMA
+    )

@@ -1,0 +1,104 @@
+"""FLAC/Ogg/WebP/WebM metadata parsers (operators/mediameta)."""
+
+from __future__ import annotations
+
+import pytest
+
+from commoncrawl_crawler_spark.operators import mediameta as M
+
+
+def test_flac_roundtrip_and_corruption():
+    for mid in range(10):
+        i = M.parse_flac_streaminfo(M._flac_blob(mid))
+        sr, ch, bps, total = M._flac_params(mid)
+        assert (
+            i["sample_rate"], i["channels"], i["bits_per_sample"],
+            i["total_samples"],
+        ) == (sr, ch, bps, total)
+    blob = M._flac_blob(0)
+    with pytest.raises(ValueError, match="bad magic"):
+        M.parse_flac_streaminfo(b"fLaX" + blob[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        M.parse_flac_streaminfo(blob[:20])
+    # STREAMINFO of the wrong length
+    bad = bytearray(blob)
+    bad[1:4] = (33).to_bytes(3, "big")
+    with pytest.raises(ValueError):
+        M.parse_flac_streaminfo(bytes(bad))
+
+
+def test_flac_bit_packing_extremes():
+    b = M.build_flac_streaminfo(655350, 8, 32, (1 << 36) - 1)
+    i = M.parse_flac_streaminfo(b)
+    assert i["sample_rate"] == 655350
+    assert i["channels"] == 8
+    assert i["bits_per_sample"] == 32
+    assert i["total_samples"] == (1 << 36) - 1
+
+
+def test_ogg_page_walk_and_lacing():
+    # payload > 255 bytes exercises multi-segment lacing
+    page = M.build_ogg_page(7, 0, 960, bytes(700))
+    pages = M.parse_ogg_pages(page)
+    assert len(pages) == 1 and len(pages[0]["payload"]) == 700
+    with pytest.raises(ValueError, match="capture pattern"):
+        M.parse_ogg_pages(b"XggS" + page[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        M.parse_ogg_pages(page[:-5])
+
+
+def test_ogg_id_headers():
+    v = M.parse_id_header(M.parse_ogg_pages(M._ogg_blob(0))[0]["payload"])
+    assert v["codec"] == "vorbis"
+    o = M.parse_id_header(M.parse_ogg_pages(M._ogg_blob(1))[0]["payload"])
+    assert o["codec"] == "opus" and o["preskip"] == 312
+    assert M.parse_id_header(b"garbage-no-codec") is None
+
+
+def test_webp_variants_and_corruption():
+    for kind, w, h in [("VP8 ", 640, 480), ("VP8L", 1, 1),
+                       ("VP8L", 16383, 16383), ("VP8X", 5000, 3000)]:
+        d = M.parse_webp(M.build_webp(kind, w, h))
+        assert (d["width"], d["height"]) == (w, h), (kind, d)
+    good = M.build_webp("VP8 ", 10, 10)
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        M.parse_webp(b"RIFX" + good[4:])
+    bad = bytearray(good)
+    bad[12 + 8 + 3] = 0x9C  # break the VP8 start code
+    with pytest.raises(ValueError, match="start code"):
+        M.parse_webp(bytes(bad))
+
+
+def test_ebml_vint_roundtrip():
+    for v in [0, 1, 126, 127, 128, 16382, 16383, 16384, 1 << 20,
+              (1 << 28) - 2]:
+        enc = M._ebml_vint(v)
+        got, pos = M.read_vint(enc, 0)
+        assert got == v and pos == len(enc), v
+    with pytest.raises(ValueError):
+        M.read_vint(b"\x00\x01", 0)
+
+
+def test_webm_track_walk_and_overrun():
+    for mid in range(8):
+        got = M.parse_webm_tracks(M._webm_blob(mid))
+        want = M._webm_params(mid)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            for k, v in w.items():
+                assert g[k] == v, (mid, k)
+    with pytest.raises(ValueError, match="overruns|not an EBML"):
+        M.parse_webm_tracks(b"\x1aEbad" + bytes(10))
+    blob = bytearray(M._webm_blob(1))
+    blob[-1:] = b""  # truncate: child overruns its container
+    with pytest.raises(ValueError):
+        M.parse_webm_tracks(bytes(blob))
+
+
+def test_spark_census_ops(spark):
+    docs = spark.range(9).selectExpr("id AS doc_id", "'x' AS text")
+    flac = M.flac_streaminfo(M.synthesize_flac(docs)).collect()
+    assert len(flac) == 9
+    webm = M.webm_track_census(M.synthesize_webm(docs)).collect()
+    want = sum(len(M._webm_params(m)) for m in range(9))
+    assert len(webm) == want
