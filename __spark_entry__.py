@@ -4323,6 +4323,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_webm_tracks": lambda s, d: mediameta.webm_track_census(
             mediameta.synthesize_webm(_t(s, d, "documents"))
         ).orderBy("media_id", "track_number"),
+        # ID3v2.3 text-frame walk inside valid MP3s: the
+        # artist/title/album routing columns of an audio corpus
+        "mm_id3_tags": lambda s, d: container.id3_text_frames(
+            container.synthesize_id3_mp3(_t(s, d, "documents"))
+        ).orderBy("media_id", "frame_id"),
         # consistent-hash ring (Karger 1997): the elastic upgrade of
         # the reference's modulo host-sharding; ring broadcast, one
         # min_by per distinct key
@@ -4962,7 +4967,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_ogg_packets",
         "mm_webp_dims",
         "mm_webm_tracks",
+        "mm_id3_tags",
         "stream_minhash_dedup",
+        "mm_mp3_framewalk",
+        "filter_cidr_match",
         "text_bpe_merges",
         "text_bpe_encode",
         "text_unigram_encode",
@@ -7472,6 +7480,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + doc_id % 2 AS INT)
             FROM documents WHERE doc_id % 3 <> 0
             ORDER BY media_id, track_number
+        """,
+        "mm_id3_tags": """
+            SELECT doc_id AS media_id, 'TALB' AS frame_id,
+                   'album-' || CAST(doc_id % 11 AS VARCHAR) AS text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'TIT2',
+                   'title-' || CAST(doc_id AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT doc_id, 'TPE1',
+                   'artist-' || CAST(doc_id % 37 AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'TRCK', CAST(1 + doc_id % 12 AS VARCHAR)
+            FROM documents WHERE doc_id % 2 = 1
+            ORDER BY media_id, frame_id
         """,
         "mm_mp3_layer1_decode": """
             WITH s AS (

@@ -2041,3 +2041,122 @@ def ico_entries(media: DataFrame) -> DataFrame:
 
 
 parse_ico_entries = _corrupt_guard("ico")(parse_ico_entries)
+
+
+# --------------------------------------------------------------------
+# ID3v2.3 text frames (id3.org spec)
+# --------------------------------------------------------------------
+#
+# The frame walk inside the ID3v2 tag this module already skips
+# (_id3v2_size): 10-byte frame headers (4-char id + 32-bit size +
+# flags), text frames 'Txxx' with an encoding byte (0 = ISO-8859-1,
+# 1 = UTF-16 with BOM, 3 = UTF-8) -- artist/title/album routing for
+# audio corpora.
+
+
+def build_id3v2(frames: list[tuple[str, str]], encoding: int = 3) -> bytes:
+    """ID3v2.3 tag with the given text frames (encoding 3 = UTF-8,
+    0 = ISO-8859-1)."""
+    body = bytearray()
+    for fid, text in frames:
+        payload = bytes([encoding]) + (
+            text.encode("utf-8") if encoding == 3
+            else text.encode("latin-1")
+        )
+        body += fid.encode("ascii") + len(payload).to_bytes(4, "big")
+        body += b"\x00\x00" + payload
+    size = len(body)
+    syncsafe = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+         (size >> 7) & 0x7F, size & 0x7F]
+    )
+    return b"ID3\x03\x00\x00" + syncsafe + bytes(body)
+
+
+def parse_id3v2_frames(blob: bytes) -> list[dict]:
+    """Text frames out of a leading ID3v2.3 tag: (frame_id, text).
+    Non-text frames are skipped structurally; stops at padding."""
+    total = _id3v2_size(blob)
+    if total == 0:
+        return []
+    pos = 10
+    out = []
+    while pos + 10 <= total:
+        fid = blob[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "big")
+        if pos + 10 + size > total:
+            raise ValueError(f"ID3 frame overruns tag at {pos}")
+        data = blob[pos + 10 : pos + 10 + size]
+        if fid[0:1] == b"T" and size >= 1:
+            enc = data[0]
+            raw = data[1:]
+            if enc == 0:
+                text = raw.decode("latin-1")
+            elif enc == 1:
+                text = raw.decode("utf-16")
+            elif enc == 3:
+                text = raw.decode("utf-8")
+            else:
+                raise ValueError(f"unknown text encoding {enc}")
+            out.append(
+                {"frame_id": fid.decode("ascii"),
+                 "text": text.rstrip("\x00")}
+            )
+        pos += 10 + size
+    return out
+
+
+def _id3_params(mid: int) -> list[tuple[str, str]]:
+    frames = [
+        ("TIT2", f"title-{mid}"),
+        ("TPE1", f"artist-{mid % 37}"),
+        ("TALB", f"album-{mid % 11}"),
+    ]
+    if mid % 2:
+        frames.append(("TRCK", str(1 + mid % 12)))
+    return frames
+
+
+def _id3_mp3_blob(mid: int) -> bytes:
+    """An MP3 whose ID3v2 tag carries real text frames (frame walk
+    then proceeds over valid layer-III framing)."""
+    tag = build_id3v2(_id3_params(mid), encoding=3 if mid % 3 else 0)
+    body = _mp3_blob(mid)
+    id3 = _id3v2_size(body)
+    return tag + body[id3:]
+
+
+def synthesize_id3_mp3(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _id3_mp3_blob)
+
+
+ID3_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_id", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def id3_text_frames(media: DataFrame) -> DataFrame:
+    """One row per ID3v2 text frame -- and the tag must coexist with
+    a valid MPEG frame walk (both parsed from the same blob)."""
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in ID3_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                parse_mpeg_audio_frames(blob)  # framing must hold
+                for fr in parse_id3v2_frames(blob):
+                    rows["media_id"].append(int(mid))
+                    rows["frame_id"].append(fr["frame_id"])
+                    rows["text"].append(fr["text"])
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _walk, ID3_SCHEMA
+    )

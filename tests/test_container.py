@@ -531,3 +531,28 @@ def test_layer2_spark_decode_matches_driver(spark):
         assert got[mid] == (
             1, len(micros), sum(micros), sum(abs(m) for m in micros)
         ), mid
+
+
+def test_id3v2_text_frames_roundtrip_and_encodings():
+    frames = [("TIT2", "Ti tle"), ("TPE1", "Art"), ("TXXX", "x")]
+    for enc in (0, 3):
+        tag = C.build_id3v2(frames, encoding=enc)
+        got = C.parse_id3v2_frames(tag + C._mp3_blob(0)[C._id3v2_size(C._mp3_blob(0)):])
+        assert [(f["frame_id"], f["text"]) for f in got] == frames
+    # utf-16 with BOM decodes too
+    payload = bytes([1]) + "uni".encode("utf-16")
+    body = b"TIT2" + len(payload).to_bytes(4, "big") + b"\x00\x00" + payload
+    size = len(body)
+    tag = b"ID3\x03\x00\x00" + bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+         (size >> 7) & 0x7F, size & 0x7F]
+    ) + body
+    got = C.parse_id3v2_frames(tag)
+    assert got == [{"frame_id": "TIT2", "text": "uni"}]
+    # frame overrunning the tag raises
+    bad = bytearray(C.build_id3v2([("TIT2", "x")]))
+    bad[14:18] = (999).to_bytes(4, "big")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="overruns"):
+        C.parse_id3v2_frames(bytes(bad))
