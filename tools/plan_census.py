@@ -121,8 +121,11 @@ def _census_streaming(spark, sf_dir: str, fn) -> dict:
     row["shuffle_stages_run"] = row["shuffle_exchanges"]
     row["broadcast_stages_run"] = row["broadcast_exchanges"]
     row["stateful_operators"] = sum(
-        len(re.findall(r"StateStore(?:Save|Restore)|FlatMapGroupsWithState"
-                       r"|TransformWithState|SessionWindowStateStore", p))
+        len(re.findall(
+            r"StateStore(?:Save|Restore)|FlatMapGroupsWithState"
+            r"|FlatMapGroupsInPandasWithState|TransformWithState"
+            r"|SessionWindowStateStore|StreamingDeduplicate"
+            r"|StreamingSymmetricHashJoin|StreamingGlobalLimit", p))
         for p in plans.values()
     )
     return row
