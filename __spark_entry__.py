@@ -4328,6 +4328,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_id3_tags": lambda s, d: container.id3_text_frames(
             container.synthesize_id3_mp3(_t(s, d, "documents"))
         ).orderBy("media_id", "frame_id"),
+        # Layer III side-info walk (ISO 11172-3 2.4.1.7): bit-
+        # reservoir pointers and per-granule Huffman parameters --
+        # MP3 stream analytics with no Huffman tables needed
+        "mm_mp3_sideinfo": lambda s, d: container.mp3_sideinfo(
+            container.synthesize_mp3_sideinfo(_t(s, d, "documents"))
+        ).orderBy("media_id", "frame_idx", "granule"),
         # consistent-hash ring (Karger 1997): the elastic upgrade of
         # the reference's modulo host-sharding; ring broadcast, one
         # min_by per distinct key
@@ -4968,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_webp_dims",
         "mm_webm_tracks",
         "mm_id3_tags",
+        "mm_mp3_sideinfo",
         "stream_minhash_dedup",
         "mm_mp3_framewalk",
         "filter_cidr_match",
@@ -7496,6 +7503,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'TRCK', CAST(1 + doc_id % 12 AS VARCHAR)
             FROM documents WHERE doc_id % 2 = 1
             ORDER BY media_id, frame_id
+        """,
+        # side-info closed form over (doc, frame, granule)
+        "mm_mp3_sideinfo": """
+            WITH g AS (
+                SELECT doc_id, f.f, gr.g,
+                       (doc_id + f.f + gr.g) % 2 AS ws
+                FROM documents,
+                     (SELECT unnest(range(0, 4)) AS f) f,
+                     (SELECT unnest(range(0, 2)) AS g) gr
+                WHERE f.f < 2 + doc_id % 3
+            )
+            SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+                   CAST(g AS INT) AS granule,
+                   CAST((doc_id * 17 + f * 3) % 512 AS INT)
+                       AS main_data_begin,
+                   CAST(100 + (doc_id * 7 + f * 5 + g * 3) % 3000
+                        AS INT) AS part2_3_length,
+                   CAST((doc_id * 11 + f + g) % 289 AS INT)
+                       AS big_values,
+                   CAST((doc_id + f * 2 + g) % 256 AS INT)
+                       AS global_gain,
+                   CAST((doc_id + g) % 16 AS INT) AS scalefac_compress,
+                   CAST(ws AS INT) AS window_switching,
+                   CAST(CASE WHEN ws = 1 THEN 1 + (doc_id + g) % 3
+                             ELSE 0 END AS INT) AS block_type,
+                   CAST((doc_id + g) % 2 AS INT) AS preflag
+            FROM g ORDER BY media_id, frame_idx, granule
         """,
         "mm_mp3_layer1_decode": """
             WITH s AS (

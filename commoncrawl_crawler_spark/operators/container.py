@@ -2160,3 +2160,208 @@ def id3_text_frames(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         _walk, ID3_SCHEMA
     )
+
+
+# --------------------------------------------------------------------
+# MPEG-1 Layer III side information (ISO 11172-3 2.4.1.7)
+# --------------------------------------------------------------------
+#
+# The 17-byte (mono) side-info block at the head of every Layer III
+# frame body: main_data_begin (the bit-reservoir back pointer), scfsi,
+# and per-granule Huffman parameters (part2_3_length, big_values,
+# global_gain, scalefac_compress, window switching / block type /
+# table selects / regions).  Parsing it is pure public bitstream
+# structure -- the stream-analytics layer (reservoir usage, gain
+# envelope, block-switching rate) that needs no Huffman tables.  The
+# spectral decode behind it still needs an external codec (module
+# header); this closes the syntax layer.
+
+
+def encode_mp3_sideinfo_mono(
+    main_data_begin: int, scfsi: int, granules: list[dict]
+) -> bytes:
+    """17-byte mono side info from two granule parameter dicts."""
+    bw = _BitWriterMSB()
+    bw.write(main_data_begin, 9)
+    bw.write(0, 5)  # private_bits (mono)
+    bw.write(scfsi, 4)
+    for g in granules:
+        bw.write(g["part2_3_length"], 12)
+        bw.write(g["big_values"], 9)
+        bw.write(g["global_gain"], 8)
+        bw.write(g["scalefac_compress"], 4)
+        bw.write(g["window_switching"], 1)
+        if g["window_switching"]:
+            bw.write(g["block_type"], 2)
+            bw.write(g["mixed_block"], 1)
+            for t in g["table_select"][:2]:
+                bw.write(t, 5)
+            for s in g["subblock_gain"]:
+                bw.write(s, 3)
+        else:
+            for t in g["table_select"]:
+                bw.write(t, 5)
+            bw.write(g["region0_count"], 4)
+            bw.write(g["region1_count"], 3)
+        bw.write(g["preflag"], 1)
+        bw.write(g["scalefac_scale"], 1)
+        bw.write(g["count1table_select"], 1)
+    out = bw.tobytes(17)
+    assert len(out) == 17
+    return out
+
+
+def parse_mp3_sideinfo_mono(body: bytes) -> dict:
+    """Mono side info out of a frame BODY (first 17 bytes); raises
+    on the spec's forbidden combinations (block_type 0 while window
+    switching, big_values > 288)."""
+    br = _BitReaderMSB(body)
+    out = {"main_data_begin": br.read(9)}
+    br.read(5)  # private_bits
+    out["scfsi"] = br.read(4)
+    grans = []
+    for _ in range(2):
+        g = {
+            "part2_3_length": br.read(12),
+            "big_values": br.read(9),
+            "global_gain": br.read(8),
+            "scalefac_compress": br.read(4),
+            "window_switching": br.read(1),
+        }
+        if g["big_values"] > 288:
+            raise ValueError(f"big_values {g['big_values']} > 288")
+        if g["window_switching"]:
+            g["block_type"] = br.read(2)
+            if g["block_type"] == 0:
+                raise ValueError(
+                    "block_type 0 is forbidden when window switching"
+                )
+            g["mixed_block"] = br.read(1)
+            g["table_select"] = [br.read(5), br.read(5)]
+            g["subblock_gain"] = [br.read(3), br.read(3), br.read(3)]
+            g["region0_count"] = 0
+            g["region1_count"] = 0
+        else:
+            g["block_type"] = 0
+            g["mixed_block"] = 0
+            g["table_select"] = [br.read(5), br.read(5), br.read(5)]
+            g["subblock_gain"] = [0, 0, 0]
+            g["region0_count"] = br.read(4)
+            g["region1_count"] = br.read(3)
+        g["preflag"] = br.read(1)
+        g["scalefac_scale"] = br.read(1)
+        g["count1table_select"] = br.read(1)
+        grans.append(g)
+    out["granules"] = grans
+    return out
+
+
+def _mp3si_granule(mid: int, f: int, g: int) -> dict:
+    ws = (mid + f + g) % 2
+    return {
+        "part2_3_length": 100 + (mid * 7 + f * 5 + g * 3) % 3000,
+        "big_values": (mid * 11 + f + g) % 289,
+        "global_gain": (mid + f * 2 + g) % 256,
+        "scalefac_compress": (mid + g) % 16,
+        "window_switching": ws,
+        "block_type": 1 + (mid + g) % 3 if ws else 0,
+        "mixed_block": mid % 2 if ws else 0,
+        "table_select": (
+            [(mid + g) % 32, (mid + f) % 32]
+            if ws
+            else [(mid + g) % 32, (mid + f) % 32, (mid + f + g) % 32]
+        ),
+        "subblock_gain": [mid % 8, f % 8, g % 8] if ws else [0, 0, 0],
+        "region0_count": 0 if ws else (mid + g) % 16,
+        "region1_count": 0 if ws else (mid + f) % 8,
+        "preflag": (mid + g) % 2,
+        "scalefac_scale": (mid + f) % 2,
+        "count1table_select": g % 2,
+    }
+
+
+def _mp3si_blob(mid: int) -> bytes:
+    """Valid MPEG-1 layer-III frames whose bodies LEAD with real side
+    info (rest filler): 2 + mid%3 frames at a fixed bitrate."""
+    sr = _SAMPLE_RATE_V1[mid % 3]
+    out = bytearray()
+    for f in range(2 + mid % 3):
+        br_idx = 9  # 128 kbps
+        kbps = _BITRATE_V1[3][br_idx]
+        length = 144 * kbps * 1000 // sr
+        si = encode_mp3_sideinfo_mono(
+            (mid * 17 + f * 3) % 512,
+            mid % 16,
+            [_mp3si_granule(mid, f, 0), _mp3si_granule(mid, f, 1)],
+        )
+        hdr = bytes([0xFF, 0xFB, (br_idx << 4) | ((mid % 3) << 2), 0xC4])
+        body = si + bytes(
+            (mid * 3 + f * 7 + j) % 251 for j in range(length - 4 - 17)
+        )
+        out += hdr + body
+    return bytes(out)
+
+
+def synthesize_mp3_sideinfo(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _mp3si_blob)
+
+
+MP3_SIDEINFO = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("granule", IntegerType()),
+        StructField("main_data_begin", IntegerType()),
+        StructField("part2_3_length", IntegerType()),
+        StructField("big_values", IntegerType()),
+        StructField("global_gain", IntegerType()),
+        StructField("scalefac_compress", IntegerType()),
+        StructField("window_switching", IntegerType()),
+        StructField("block_type", IntegerType()),
+        StructField("preflag", IntegerType()),
+    ]
+)
+
+
+def mp3_sideinfo(media: DataFrame) -> DataFrame:
+    """One row per (frame, granule): the Layer III Huffman-parameter
+    census over the real frame walk."""
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in MP3_SIDEINFO.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                _, frames = parse_mpeg_audio_frames(blob)
+                for fi, fr in enumerate(frames):
+                    if fr["layer"] != 3:
+                        raise ValueError("expected layer III")
+                    body = blob[
+                        fr["offset"] + 4 : fr["offset"] + fr["length"]
+                    ]
+                    si = parse_mp3_sideinfo_mono(body)
+                    for gi, g in enumerate(si["granules"]):
+                        rows["media_id"].append(int(mid))
+                        rows["frame_idx"].append(fi)
+                        rows["granule"].append(gi)
+                        rows["main_data_begin"].append(
+                            si["main_data_begin"]
+                        )
+                        rows["part2_3_length"].append(
+                            g["part2_3_length"]
+                        )
+                        rows["big_values"].append(g["big_values"])
+                        rows["global_gain"].append(g["global_gain"])
+                        rows["scalefac_compress"].append(
+                            g["scalefac_compress"]
+                        )
+                        rows["window_switching"].append(
+                            g["window_switching"]
+                        )
+                        rows["block_type"].append(g["block_type"])
+                        rows["preflag"].append(g["preflag"])
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _walk, MP3_SIDEINFO
+    )

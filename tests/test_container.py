@@ -556,3 +556,31 @@ def test_id3v2_text_frames_roundtrip_and_encodings():
 
     with _pt.raises(ValueError, match="overruns"):
         C.parse_id3v2_frames(bytes(bad))
+
+
+def test_mp3_sideinfo_roundtrip_and_validation():
+    import pytest as _pt
+
+    for mid in range(8):
+        blob = C._mp3si_blob(mid)
+        _, frames = C.parse_mpeg_audio_frames(blob)
+        for f, fr in enumerate(frames):
+            si = C.parse_mp3_sideinfo_mono(blob[fr["offset"] + 4 :])
+            assert si["main_data_begin"] == (mid * 17 + f * 3) % 512
+            for g in range(2):
+                want = C._mp3si_granule(mid, f, g)
+                got = si["granules"][g]
+                for k, v in want.items():
+                    assert got[k] == v, (mid, f, g, k)
+    # forbidden: block_type 0 while window switching
+    bad = C.encode_mp3_sideinfo_mono(
+        0, 0,
+        [dict(C._mp3si_granule(1, 0, 0)), dict(C._mp3si_granule(1, 0, 1))],
+    )
+    g0 = C._mp3si_granule(0, 1, 0)  # ws=1
+    assert g0["window_switching"] == 1
+    g0 = dict(g0)
+    g0["block_type"] = 0
+    raw = C.encode_mp3_sideinfo_mono(0, 0, [g0, C._mp3si_granule(0, 1, 1)])
+    with _pt.raises(ValueError, match="block_type 0"):
+        C.parse_mp3_sideinfo_mono(raw)
