@@ -4334,6 +4334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp3_sideinfo": lambda s, d: container.mp3_sideinfo(
             container.synthesize_mp3_sideinfo(_t(s, d, "documents"))
         ).orderBy("media_id", "frame_idx", "granule"),
+        # AV1 OBU walk (AOM spec 5.3): leb128 sizes, header bit
+        # layout, real sequence-header resolution decode
+        "mm_av1_obus": lambda s, d: videobits.av1_stream_stats(
+            videobits.synthesize_av1(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # consistent-hash ring (Karger 1997): the elastic upgrade of
         # the reference's modulo host-sharding; ring broadcast, one
         # min_by per distinct key
@@ -4975,6 +4980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_webm_tracks",
         "mm_id3_tags",
         "mm_mp3_sideinfo",
+        "mm_av1_obus",
         "stream_minhash_dedup",
         "mm_mp3_framewalk",
         "filter_cidr_match",
@@ -7530,6 +7536,25 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0 END AS INT) AS block_type,
                    CAST((doc_id + g) % 2 AS INT) AS preflag
             FROM g ORDER BY media_id, frame_idx, granule
+        """,
+        # AV1 closed form: OBU census + sequence-header params;
+        # frame_bytes = sum of the synthesized frame payload lengths
+        "mm_av1_obus": """
+            WITH f AS (
+                SELECT doc_id, ff.f, 40 + 11 * ff.f AS fb
+                FROM documents,
+                     (SELECT unnest(range(0, 4)) AS f) ff
+                WHERE ff.f < 1 + doc_id % 4
+            )
+            SELECT doc_id AS media_id,
+                   CAST(3 + doc_id % 4 AS INT) AS n_obus,
+                   CAST(1 + doc_id % 4 AS INT) AS n_frames,
+                   CAST(doc_id % 3 AS INT) AS profile,
+                   CAST([5,8,9,12][doc_id % 4 + 1] AS INT) AS level,
+                   CAST(320 + 4 * (doc_id % 400) AS INT) AS width,
+                   CAST(180 + 2 * (doc_id % 450) AS INT) AS height,
+                   CAST(SUM(fb) AS BIGINT) AS frame_bytes
+            FROM f GROUP BY doc_id ORDER BY media_id
         """,
         "mm_mp3_layer1_decode": """
             WITH s AS (

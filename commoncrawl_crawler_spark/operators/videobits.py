@@ -553,3 +553,241 @@ def h264_stream_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         _stats, H264_STATS
     )
+
+
+# --------------------------------------------------------------------
+# AV1 OBU syntax (AOM AV1 spec, sections 4.10 / 5.3 / 5.5)
+# --------------------------------------------------------------------
+#
+# The open-bitstream-unit walk for the web's newest video codec:
+# leb128 size fields (4.10.5), the obu_header bit layout (5.3.2),
+# and the sequence-header parse (5.5.1) through max frame size --
+# seq_profile / seq_level_idx and the variable-width
+# max_frame_{width,height}_minus_1 fields that carry the REAL pixel
+# dimensions.  Same posture as the H.264 tier above: syntax layer
+# complete, tile/symbol decode external.
+
+OBU_SEQUENCE_HEADER = 1
+OBU_TEMPORAL_DELIMITER = 2
+OBU_FRAME_HEADER = 3
+OBU_TILE_GROUP = 4
+OBU_METADATA = 5
+OBU_FRAME = 6
+OBU_PADDING = 15
+
+
+def leb128_encode(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def leb128_decode(blob: bytes, pos: int) -> tuple[int, int]:
+    """(value, new_pos); spec caps leb128 at 8 bytes."""
+    v = 0
+    for i in range(8):
+        if pos + i >= len(blob):
+            raise ValueError(f"truncated leb128 at {pos}")
+        b = blob[pos + i]
+        v |= (b & 0x7F) << (7 * i)
+        if not b & 0x80:
+            return v, pos + i + 1
+    raise ValueError(f"leb128 longer than 8 bytes at {pos}")
+
+
+def build_av1_sequence_header(
+    width: int, height: int, profile: int = 0, level: int = 8
+) -> bytes:
+    """Sequence-header OBU payload (reduced_still_picture_header=0,
+    single operating point, no timing info), carrying the exact
+    max frame dimensions."""
+    w = _BitWriter()
+    w.u(profile, 3)
+    w.u(0, 1)  # still_picture
+    w.u(0, 1)  # reduced_still_picture_header
+    w.u(0, 1)  # timing_info_present_flag
+    w.u(0, 1)  # initial_display_delay_present_flag
+    w.u(0, 5)  # operating_points_cnt_minus_1
+    w.u(0, 12)  # operating_point_idc[0]
+    w.u(level, 5)  # seq_level_idx[0]
+    if level > 7:
+        w.u(0, 1)  # seq_tier[0]
+    wbits = max(1, (width - 1).bit_length())
+    hbits = max(1, (height - 1).bit_length())
+    w.u(wbits - 1, 4)
+    w.u(hbits - 1, 4)
+    w.u(width - 1, wbits)
+    w.u(height - 1, hbits)
+    # stop bits: the remaining sequence-header fields are not needed
+    # for the size parse; pad the byte out (trailing bits are read
+    # only by the fields we do not parse)
+    while len(w.bits) % 8:
+        w.u(0, 1)
+    out = bytearray()
+    for i in range(0, len(w.bits), 8):
+        b = 0
+        for bit in w.bits[i : i + 8]:
+            b = (b << 1) | bit
+        out.append(b)
+    return bytes(out)
+
+
+def parse_av1_sequence_header(payload: bytes) -> dict:
+    """seq_profile / seq_level_idx / max frame size out of a
+    sequence-header OBU payload (reduced_still_picture_header=0
+    single-operating-point form, the shape every encoder emits for
+    web video)."""
+    r = _BitReader(payload)
+    profile = r.u(3)
+    still = r.u(1)
+    reduced = r.u(1)
+    if reduced:
+        level = r.u(5)
+    else:
+        if r.u(1):  # timing_info_present
+            raise ValueError("timing_info parse not supported")
+        r.u(1)  # initial_display_delay_present
+        cnt = r.u(5)
+        if cnt != 0:
+            raise ValueError("multi-operating-point parse not supported")
+        r.u(12)  # operating_point_idc[0]
+        level = r.u(5)
+        if level > 7:
+            r.u(1)  # seq_tier
+    wbits = r.u(4) + 1
+    hbits = r.u(4) + 1
+    width = r.u(wbits) + 1
+    height = r.u(hbits) + 1
+    return {
+        "profile": profile,
+        "still_picture": still,
+        "level": level,
+        "width": width,
+        "height": height,
+    }
+
+
+def build_av1_obu(obu_type: int, payload: bytes) -> bytes:
+    hdr = bytes([(obu_type << 3) | 0x2])  # has_size_field=1
+    return hdr + leb128_encode(len(payload)) + payload
+
+
+def parse_av1_obus(blob: bytes) -> list[dict]:
+    """OBU walk: (offset, obu_type, size) per unit; raises on the
+    forbidden bit, a missing size field, or truncation."""
+    pos = 0
+    out = []
+    while pos < len(blob):
+        hdr = blob[pos]
+        if hdr & 0x80:
+            raise ValueError(f"obu_forbidden_bit set at {pos}")
+        obu_type = (hdr >> 3) & 0xF
+        ext = (hdr >> 2) & 1
+        has_size = (hdr >> 1) & 1
+        p = pos + 1 + ext
+        if not has_size:
+            raise ValueError(f"size-field-less OBU at {pos}")
+        size, p = leb128_decode(blob, p)
+        if p + size > len(blob):
+            raise ValueError(f"truncated OBU at {pos}")
+        out.append(
+            {
+                "offset": pos,
+                "obu_type": obu_type,
+                "size": size,
+                "payload_start": p,
+            }
+        )
+        pos = p + size
+    return out
+
+
+def _av1_params(mid: int) -> tuple[int, int, int, int, int]:
+    """(profile, level, width, height, n_frames), oracle-mirrored."""
+    return (
+        mid % 3,
+        [5, 8, 9, 12][mid % 4],
+        320 + 4 * (mid % 400),
+        180 + 2 * (mid % 450),
+        1 + mid % 4,
+    )
+
+
+def _av1_blob(mid: int) -> bytes:
+    prof, level, w, h, n_frames = _av1_params(mid)
+    out = bytearray()
+    out += build_av1_obu(OBU_TEMPORAL_DELIMITER, b"")
+    out += build_av1_obu(
+        OBU_SEQUENCE_HEADER, build_av1_sequence_header(w, h, prof, level)
+    )
+    for f in range(n_frames):
+        body = bytes((mid * 7 + f * 3 + j) % 251 for j in range(40 + 11 * f))
+        out += build_av1_obu(OBU_FRAME, body)
+    return bytes(out)
+
+
+def synthesize_av1(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _av1_blob)
+
+
+AV1_STATS = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_obus", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("profile", IntegerType()),
+        StructField("level", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def av1_stream_stats(media: DataFrame) -> DataFrame:
+    """Per-file AV1 profile: OBU census plus the sequence-header
+    resolution decode."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AV1_STATS.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                obus = parse_av1_obus(blob)
+                seq = None
+                for o in obus:
+                    if o["obu_type"] == OBU_SEQUENCE_HEADER and seq is None:
+                        seq = parse_av1_sequence_header(
+                            blob[
+                                o["payload_start"] : o["payload_start"]
+                                + o["size"]
+                            ]
+                        )
+                rows["media_id"].append(int(mid))
+                rows["n_obus"].append(len(obus))
+                rows["n_frames"].append(
+                    sum(
+                        1
+                        for o in obus
+                        if o["obu_type"] in (OBU_FRAME, OBU_FRAME_HEADER)
+                    )
+                )
+                rows["profile"].append(seq["profile"] if seq else -1)
+                rows["level"].append(seq["level"] if seq else -1)
+                rows["width"].append(seq["width"] if seq else 0)
+                rows["height"].append(seq["height"] if seq else 0)
+                rows["frame_bytes"].append(
+                    sum(o["size"] for o in obus
+                        if o["obu_type"] == OBU_FRAME)
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _stats, AV1_STATS
+    )

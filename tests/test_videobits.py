@@ -141,3 +141,61 @@ def test_spark_ops_match_driver(spark):
         )
         wmbs, hmu, cr, cb, ns = V._h264_params(mid)
         assert h264[mid] == (2 + ns, wmbs * 16 - 2 * cr, hmu * 16 - 2 * cb)
+
+
+# ---- AV1 (round-7) ---------------------------------------------------
+
+
+def test_leb128_roundtrip_and_limits():
+    for v in [0, 1, 127, 128, 16383, 16384, 1 << 30, (1 << 56) - 1]:
+        enc = V.leb128_encode(v)
+        got, p = V.leb128_decode(enc, 0)
+        assert (got, p) == (v, len(enc))
+    with pytest.raises(ValueError, match="truncated"):
+        V.leb128_decode(b"\x80\x80", 0)
+    with pytest.raises(ValueError, match="8 bytes"):
+        V.leb128_decode(b"\x80" * 9, 0)
+
+
+def test_av1_sequence_header_dimension_widths():
+    """Variable-width dimension fields: 1-bit through 16-bit sizes."""
+    for w, h in [(1, 1), (2, 3), (320, 180), (1920, 1080),
+                 (65536, 32768)]:
+        seq = V.parse_av1_sequence_header(
+            V.build_av1_sequence_header(w, h, profile=2, level=12)
+        )
+        assert (seq["width"], seq["height"]) == (w, h)
+        assert seq["profile"] == 2 and seq["level"] == 12
+    # level <= 7 omits seq_tier
+    seq = V.parse_av1_sequence_header(
+        V.build_av1_sequence_header(64, 64, level=5)
+    )
+    assert seq["level"] == 5 and seq["width"] == 64
+
+
+def test_av1_obu_walk_and_corruption():
+    blob = V._av1_blob(4)
+    obus = V.parse_av1_obus(blob)
+    assert obus[0]["obu_type"] == V.OBU_TEMPORAL_DELIMITER
+    assert obus[1]["obu_type"] == V.OBU_SEQUENCE_HEADER
+    with pytest.raises(ValueError, match="forbidden"):
+        V.parse_av1_obus(b"\x80" + blob)
+    with pytest.raises(ValueError, match="truncated OBU"):
+        V.parse_av1_obus(blob[:-4])
+    # header without a size field is rejected
+    with pytest.raises(ValueError, match="size-field-less"):
+        V.parse_av1_obus(bytes([(V.OBU_FRAME << 3)]) + b"xy")
+
+
+def test_av1_spark_stats_match_params(spark):
+    docs = spark.range(10).selectExpr("id AS doc_id", "'x' AS text")
+    got = {
+        r["media_id"]: (
+            r["n_obus"], r["n_frames"], r["profile"], r["level"],
+            r["width"], r["height"],
+        )
+        for r in V.av1_stream_stats(V.synthesize_av1(docs)).collect()
+    }
+    for mid in range(10):
+        prof, level, w, h, nf = V._av1_params(mid)
+        assert got[mid] == (2 + nf, nf, prof, level, w, h)
