@@ -37,6 +37,7 @@ from commoncrawl_crawler_spark.operators import (
     mediameta,
     mpegsynth,
     multimodal,
+    pdfdoc,
     videobits,
     robots,
     sampling,
@@ -4339,6 +4340,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_av1_obus": lambda s, d: videobits.av1_stream_stats(
             videobits.synthesize_av1(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # PDF syntax walk (ISO 32000): object census, page-tree count,
+        # BT/ET text extraction incl. FlateDecode streams -- the
+        # document-routing profile for the web's largest non-HTML class
+        "doc_pdf_profile": lambda s, d: pdfdoc.pdf_profile(
+            pdfdoc.synthesize_pdf(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # consistent-hash ring (Karger 1997): the elastic upgrade of
         # the reference's modulo host-sharding; ring broadcast, one
         # min_by per distinct key
@@ -4981,6 +4988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_id3_tags",
         "mm_mp3_sideinfo",
         "mm_av1_obus",
+        "doc_pdf_profile",
         "stream_minhash_dedup",
         "mm_mp3_framewalk",
         "filter_cidr_match",
@@ -7555,6 +7563,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(180 + 2 * (doc_id % 450) AS INT) AS height,
                    CAST(SUM(fb) AS BIGINT) AS frame_bytes
             FROM f GROUP BY doc_id ORDER BY media_id
+        """,
+        # PDF closed form: page/run grid -> the exact extracted text
+        "doc_pdf_profile": """
+            WITH runs AS (
+                SELECT doc_id, p.p, r.r,
+                       'doc-' || CAST(doc_id AS VARCHAR) || ' page-'
+                       || CAST(p.p AS VARCHAR) || ' run-'
+                       || CAST(r.r AS VARCHAR) AS run
+                FROM documents,
+                     (SELECT unnest(range(0, 4)) AS p) p,
+                     (SELECT unnest(range(0, 3)) AS r) r
+                WHERE p.p < 1 + doc_id % 4 AND r.r < 1 + doc_id % 3
+            ), texts AS (
+                SELECT doc_id,
+                       string_agg(run, ' ' ORDER BY p, r) AS text
+                FROM runs GROUP BY doc_id
+            )
+            SELECT doc_id AS media_id, '1.7' AS version,
+                   CAST(2 * (1 + doc_id % 4) + 2 AS INT) AS n_objects,
+                   CAST(1 + doc_id % 4 AS INT) AS n_pages,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   substr(text, 1, 64) AS text_head
+            FROM texts ORDER BY media_id
         """,
         "mm_mp3_layer1_decode": """
             WITH s AS (
