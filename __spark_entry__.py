@@ -4346,6 +4346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pdf_profile": lambda s, d: pdfdoc.pdf_profile(
             pdfdoc.synthesize_pdf(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # OpenType/TrueType sfnt table directory + head/name decode:
+        # the web-font routing profile (flavor, unitsPerEm, family)
+        "doc_font_profile": lambda s, d: pdfdoc.font_profile(
+            pdfdoc.synthesize_fonts(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # consistent-hash ring (Karger 1997): the elastic upgrade of
         # the reference's modulo host-sharding; ring broadcast, one
         # min_by per distinct key
@@ -4989,6 +4994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp3_sideinfo",
         "mm_av1_obus",
         "doc_pdf_profile",
+        "doc_font_profile",
         "stream_minhash_dedup",
         "mm_mp3_framewalk",
         "filter_cidr_match",
@@ -7586,6 +7592,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars,
                    substr(text, 1, 64) AS text_head
             FROM texts ORDER BY media_id
+        """,
+        "doc_font_profile": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'cff'
+                        ELSE 'truetype' END AS flavor,
+                   CAST(4 AS INT) AS n_tables,
+                   CAST([1000,2048,1024,2000][doc_id % 4 + 1] AS INT)
+                       AS units_per_em,
+                   'Corpus Sans ' || CAST(doc_id % 29 AS VARCHAR)
+                       AS family
+            FROM documents ORDER BY media_id
         """,
         "mm_mp3_layer1_decode": """
             WITH s AS (

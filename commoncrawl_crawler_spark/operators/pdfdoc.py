@@ -336,3 +336,171 @@ def pdf_profile(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         _walk, PDF_SCHEMA
     )
+
+
+# --------------------------------------------------------------------
+# OpenType / TrueType font tables (sfnt wrapper; OpenType spec ch. 4)
+# --------------------------------------------------------------------
+#
+# Web fonts travel beside documents; the routing profile needs the
+# sfnt table directory (sfntVersion 0x00010000 / 'OTTO', big-endian
+# table records), the 'head' table (unitsPerEm, bounding box,
+# indexToLocFormat) and the 'name' table's family-name record
+# (nameID 1, platform 3 encoding 1 UTF-16BE or platform 1 Latin-1).
+# Glyph rasterization is out of scope by construction.
+
+import struct as _struct
+
+
+def build_sfnt(
+    tables: list[tuple[bytes, bytes]], version: bytes = b"\x00\x01\x00\x00"
+) -> bytes:
+    """sfnt wrapper with correct searchRange fields and offsets."""
+    n = len(tables)
+    entry_selector = max(0, n.bit_length() - 1)
+    search_range = (1 << entry_selector) * 16
+    hdr = version + _struct.pack(
+        ">HHHH", n, search_range, entry_selector, n * 16 - search_range
+    )
+    offset = 12 + 16 * n
+    records = b""
+    blobs = b""
+    for tag, data in sorted(tables):
+        records += tag + _struct.pack(">III", 0, offset, len(data))
+        pad = (-len(data)) % 4
+        blobs += data + b"\x00" * pad
+        offset += len(data) + pad
+    return hdr + records + blobs
+
+
+def build_head_table(units_per_em: int, bbox: tuple[int, int, int, int]) -> bytes:
+    return _struct.pack(
+        ">IIIIHHqqhhhhHHhhh",
+        0x00010000,  # version
+        0,  # fontRevision
+        0,  # checkSumAdjustment
+        0x5F0F3CF5,  # magicNumber
+        0,  # flags
+        units_per_em,
+        0, 0,  # created, modified
+        bbox[0], bbox[1], bbox[2], bbox[3],
+        0,  # macStyle
+        8,  # lowestRecPPEM
+        2,  # fontDirectionHint
+        0,  # indexToLocFormat
+        0,  # glyphDataFormat
+    )
+
+
+def build_name_table(family: str) -> bytes:
+    s = family.encode("utf-16-be")
+    # one record: platform 3 (Windows), encoding 1, language 0x409,
+    # nameID 1 (family)
+    hdr = _struct.pack(">HHH", 0, 1, 6 + 12)
+    rec = _struct.pack(">HHHHHH", 3, 1, 0x409, 1, len(s), 0)
+    return hdr + rec + s
+
+
+def parse_sfnt(blob: bytes) -> dict:
+    """Table census + head/name decode."""
+    if len(blob) < 12:
+        raise ValueError("truncated sfnt header")
+    version = blob[:4]
+    if version not in (b"\x00\x01\x00\x00", b"OTTO", b"true"):
+        raise ValueError(f"not an sfnt font: version {version!r}")
+    n = _struct.unpack_from(">H", blob, 4)[0]
+    tables = {}
+    for i in range(n):
+        off = 12 + 16 * i
+        if off + 16 > len(blob):
+            raise ValueError("truncated table directory")
+        tag = blob[off : off + 4]
+        _, toff, tlen = _struct.unpack_from(">III", blob, off + 4)
+        if toff + tlen > len(blob):
+            raise ValueError(f"table {tag!r} overruns file")
+        tables[tag.decode("latin-1")] = blob[toff : toff + tlen]
+    out = {
+        "flavor": "cff" if version == b"OTTO" else "truetype",
+        "n_tables": n,
+        "tags": sorted(tables),
+        "units_per_em": 0,
+        "family": "",
+    }
+    head = tables.get("head")
+    if head is not None:
+        if _struct.unpack_from(">I", head, 12)[0] != 0x5F0F3CF5:
+            raise ValueError("bad head magicNumber")
+        out["units_per_em"] = _struct.unpack_from(">H", head, 18)[0]
+    name = tables.get("name")
+    if name is not None:
+        cnt, str_off = _struct.unpack_from(">HH", name, 2)[0], \
+            _struct.unpack_from(">H", name, 4)[0]
+        for i in range(cnt):
+            rec = name[6 + 12 * i : 18 + 12 * i]
+            pid, eid, _, nid, ln, off = _struct.unpack(">HHHHHH", rec)
+            if nid != 1:
+                continue
+            raw = name[str_off + off : str_off + off + ln]
+            out["family"] = (
+                raw.decode("utf-16-be") if pid == 3 else
+                raw.decode("latin-1")
+            )
+            break
+    return out
+
+
+def _font_params(mid: int) -> tuple[str, int, str]:
+    flavor = "cff" if mid % 3 == 0 else "truetype"
+    upm = [1000, 2048, 1024, 2000][mid % 4]
+    family = f"Corpus Sans {mid % 29}"
+    return flavor, upm, family
+
+
+def _font_blob(mid: int) -> bytes:
+    flavor, upm, family = _font_params(mid)
+    tables = [
+        (b"head", build_head_table(upm, (-100, -200, 1500, 1800))),
+        (b"name", build_name_table(family)),
+        (b"hhea", bytes(36)),
+        (b"maxp", _struct.pack(">IH", 0x00005000, 100 + mid % 50)),
+    ]
+    return build_sfnt(
+        tables, version=b"OTTO" if flavor == "cff" else b"\x00\x01\x00\x00"
+    )
+
+
+def synthesize_fonts(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _font_blob)
+
+
+FONT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("flavor", StringType()),
+        StructField("n_tables", IntegerType()),
+        StructField("units_per_em", IntegerType()),
+        StructField("family", StringType()),
+    ]
+)
+
+
+def font_profile(media: DataFrame) -> DataFrame:
+    """Per-file web-font routing profile."""
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = {k.name: [] for k in FONT_SCHEMA.fields}
+            for mid, blob in zip(
+                pdf_batch["media_id"], pdf_batch["content"]
+            ):
+                d = parse_sfnt(bytes(blob))
+                rows["media_id"].append(int(mid))
+                rows["flavor"].append(d["flavor"])
+                rows["n_tables"].append(d["n_tables"])
+                rows["units_per_em"].append(d["units_per_em"])
+                rows["family"].append(d["family"])
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _walk, FONT_SCHEMA
+    )

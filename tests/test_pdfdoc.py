@@ -89,3 +89,48 @@ def test_spark_profile_matches_params(spark):
     for mid in range(8):
         d = P.parse_pdf(P._pdf_blob(mid))
         assert got[mid] == (d["n_pages"], d["n_objects"], len(d["text"]))
+
+
+# ---- sfnt fonts ------------------------------------------------------
+
+
+def test_sfnt_roundtrip_both_flavors():
+    for mid in range(12):
+        flavor, upm, family = P._font_params(mid)
+        d = P.parse_sfnt(P._font_blob(mid))
+        assert (d["flavor"], d["units_per_em"], d["family"]) == (
+            flavor, upm, family,
+        )
+        assert d["tags"] == ["head", "hhea", "maxp", "name"]
+
+
+def test_sfnt_rejections():
+    with pytest.raises(ValueError, match="not an sfnt"):
+        P.parse_sfnt(b"\x00\x02\x00\x00" + bytes(20))
+    blob = P._font_blob(1)
+    with pytest.raises(ValueError, match="overruns"):
+        P.parse_sfnt(blob[:40])
+    # corrupt head magic
+    bad = bytearray(blob)
+    head_off = blob.find(P.build_head_table(2048, (-100, -200, 1500, 1800))[:8])
+    bad[head_off + 12 : head_off + 16] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="magicNumber"):
+        P.parse_sfnt(bytes(bad))
+
+
+def test_sfnt_name_latin1_platform():
+    name = P._struct.pack(">HHH", 0, 1, 18)
+    name += P._struct.pack(">HHHHHH", 1, 0, 0, 1, 5, 0) + b"Serif"
+    blob = P.build_sfnt([(b"name", name)])
+    assert P.parse_sfnt(blob)["family"] == "Serif"
+
+
+def test_spark_font_profile(spark):
+    docs = spark.range(6).selectExpr("id AS doc_id", "'x' AS text")
+    rows = P.font_profile(P.synthesize_fonts(docs)).collect()
+    assert len(rows) == 6
+    for r in rows:
+        f, upm, fam = P._font_params(r["media_id"])
+        assert (r["flavor"], r["units_per_em"], r["family"]) == (
+            f, upm, fam,
+        )
