@@ -4981,7 +4981,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_training_shuffle",
         "text_unigram_train",
         "win_session_window",
-        # (b) code changed / new this round
+        # (b) code changed / new this round (16 new gates: the
+        # MPEG synthesis + Layer II/III tiers, ADTS/H.264/AV1,
+        # FLAC/Ogg/WebP/WebM/ID3, PDF + fonts, streaming minhash;
+        # plus the batched-BPE tokenizer family and the two
+        # advice-fix gates)
         "mm_mp1_synthesis",
         "mm_mp2_decode",
         "mm_adts_frames",
