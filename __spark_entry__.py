@@ -4324,6 +4324,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_webm_tracks": lambda s, d: mediameta.webm_track_census(
             mediameta.synthesize_webm(_t(s, d, "documents"))
         ).orderBy("media_id", "track_number"),
+        # HEIF/AVIF (ISO 23008-12 over BMFF): ftyp brand + the meta
+        # box's pitm/iinf/iprp walk to the ispe pixel dimensions
+        "mm_heif_dims": lambda s, d: mediameta.heif_dimensions(
+            mediameta.synthesize_heif(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # ID3v2.3 text-frame walk inside valid MP3s: the
         # artist/title/album routing columns of an audio corpus
         "mm_id3_tags": lambda s, d: container.id3_text_frames(
@@ -5000,12 +5005,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pdf_profile",
         "doc_font_profile",
         "stream_minhash_dedup",
+        "mm_heif_dims",
         "mm_mp3_framewalk",
         "filter_cidr_match",
         "text_bpe_merges",
         "text_bpe_encode",
         "text_unigram_encode",
-        "text_wordpiece_encode",
+        # (text_wordpiece_encode displaced: wordpiece_word is
+        # untouched this round; it stays r6-driver-green and swept)
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -7606,6 +7613,16 @@ def oracle_sql() -> dict[str, str]:
                        AS units_per_em,
                    'Corpus Sans ' || CAST(doc_id % 29 AS VARCHAR)
                        AS family
+            FROM documents ORDER BY media_id
+        """,
+        "mm_heif_dims": """
+            SELECT doc_id AS media_id,
+                   ['heic','avif','mif1'][doc_id % 3 + 1] AS brand,
+                   CAST(1 + doc_id % 3 AS INT) AS n_items,
+                   CAST(1 AS INT) AS primary_item,
+                   CAST(64 + 2 * (doc_id % 960) AS INT) AS width,
+                   CAST(64 + 2 * (doc_id % 540) AS INT) AS height,
+                   CAST(1 + doc_id % 3 AS INT) AS n_extents
             FROM documents ORDER BY media_id
         """,
         "mm_mp3_layer1_decode": """

@@ -678,3 +678,143 @@ def webm_track_census(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         _walk, WEBM_SCHEMA
     )
+
+
+# --------------------------------------------------------------------
+# HEIF / AVIF image metadata (ISO 23008-12 over ISO-BMFF)
+# --------------------------------------------------------------------
+#
+# The modern image formats are ISO-BMFF 'meta' structures: ftyp brand
+# (heic/avif/mif1), a full-box 'meta' containing pitm (primary item),
+# iinf (item count) and iprp/ipco with the 'ispe' spatial-extents
+# property carrying the REAL pixel dimensions.  Reuses the container
+# module's box walk; the codec payloads (hvcC/av1C items) stay
+# opaque, exactly like the MP4 tier.
+
+from .container import _box as _bmff_box
+from .container import walk_boxes as _bmff_walk
+
+
+def _fullbox(tag: bytes, body: bytes, version: int = 0) -> bytes:
+    return _bmff_box(tag, bytes([version, 0, 0, 0]) + body)
+
+
+def build_heif(
+    brand: str, width: int, height: int, n_items: int = 1,
+    primary: int = 1,
+) -> bytes:
+    """Minimal HEIF/AVIF: ftyp + meta(hdlr, pitm, iinf, iprp/ipco
+    with one ispe per item; item 1's extents are the given size,
+    further items are half-size thumbnails)."""
+    ftyp = _bmff_box(
+        b"ftyp",
+        brand.encode("ascii") + struct.pack(">I", 0)
+        + b"mif1" + brand.encode("ascii"),
+    )
+    hdlr = _fullbox(
+        b"hdlr", struct.pack(">I", 0) + b"pict" + bytes(12) + b"\x00"
+    )
+    pitm = _fullbox(b"pitm", struct.pack(">H", primary))
+    infes = b"".join(
+        _fullbox(
+            b"infe",
+            struct.pack(">HH", i + 1, 0) + b"hvc1\x00" + b"\x00",
+            version=2,
+        )
+        for i in range(n_items)
+    )
+    iinf = _fullbox(b"iinf", struct.pack(">H", n_items) + infes)
+    ispes = b""
+    for i in range(n_items):
+        w = width if i == 0 else max(1, width >> 1)
+        h = height if i == 0 else max(1, height >> 1)
+        ispes += _fullbox(b"ispe", struct.pack(">II", w, h))
+    ipco = _bmff_box(b"ipco", ispes)
+    iprp = _bmff_box(b"iprp", ipco)
+    meta = _fullbox(b"meta", hdlr + pitm + iinf + iprp)
+    return ftyp + meta
+
+
+def parse_heif(blob: bytes) -> dict:
+    """Brand + item census + spatial extents out of the meta box."""
+    brand = None
+    meta_span = None
+    for tag, b, e in _bmff_walk(blob):
+        if tag == b"ftyp":
+            brand = blob[b : b + 4].decode("latin-1")
+        elif tag == b"meta":
+            meta_span = (b + 4, e)  # skip the FullBox version/flags
+    if brand is None or meta_span is None:
+        raise ValueError("not a HEIF: missing ftyp/meta")
+    primary = 0
+    n_items = 0
+    extents: list[tuple[int, int]] = []
+    for tag, b, e in _bmff_walk(blob, *meta_span):
+        if tag == b"pitm":
+            primary = struct.unpack(">H", blob[b + 4 : b + 6])[0]
+        elif tag == b"iinf":
+            n_items = struct.unpack(">H", blob[b + 4 : b + 6])[0]
+        elif tag == b"iprp":
+            for t2, b2, e2 in _bmff_walk(blob, b, e):
+                if t2 != b"ipco":
+                    continue
+                for t3, b3, e3 in _bmff_walk(blob, b2, e2):
+                    if t3 == b"ispe":
+                        w, h = struct.unpack(
+                            ">II", blob[b3 + 4 : b3 + 12]
+                        )
+                        extents.append((w, h))
+    if not extents:
+        raise ValueError("no ispe property")
+    return {
+        "brand": brand,
+        "primary_item": primary,
+        "n_items": n_items,
+        "width": extents[0][0],
+        "height": extents[0][1],
+        "n_extents": len(extents),
+    }
+
+
+def _heif_params(mid: int) -> tuple[str, int, int, int]:
+    brand = ["heic", "avif", "mif1"][mid % 3]
+    return brand, 64 + 2 * (mid % 960), 64 + 2 * (mid % 540), 1 + mid % 3
+
+
+def _heif_blob(mid: int) -> bytes:
+    brand, w, h, n = _heif_params(mid)
+    return build_heif(brand, w, h, n)
+
+
+def synthesize_heif(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _heif_blob)
+
+
+HEIF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("brand", StringType()),
+        StructField("n_items", IntegerType()),
+        StructField("primary_item", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_extents", IntegerType()),
+    ]
+)
+
+
+def heif_dimensions(media: DataFrame) -> DataFrame:
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in HEIF_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                d = parse_heif(bytes(blob))
+                rows["media_id"].append(int(mid))
+                for k in ("brand", "n_items", "primary_item",
+                          "width", "height", "n_extents"):
+                    rows[k].append(d[k])
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _walk, HEIF_SCHEMA
+    )

@@ -102,3 +102,24 @@ def test_spark_census_ops(spark):
     webm = M.webm_track_census(M.synthesize_webm(docs)).collect()
     want = sum(len(M._webm_params(m)) for m in range(9))
     assert len(webm) == want
+
+
+def test_heif_roundtrip_and_rejections():
+    for mid in range(9):
+        brand, w, h, n = M._heif_params(mid)
+        d = M.parse_heif(M._heif_blob(mid))
+        assert (d["brand"], d["width"], d["height"], d["n_items"]) == (
+            brand, w, h, n,
+        )
+    with pytest.raises(ValueError, match="missing ftyp/meta"):
+        M.parse_heif(b"\x00\x00\x00\x08free")
+    blob = M._heif_blob(1)
+    no_ispe = blob.replace(b"ispe", b"xxxx")
+    with pytest.raises(ValueError, match="no ispe"):
+        M.parse_heif(no_ispe)
+
+
+def test_heif_spark(spark):
+    docs = spark.range(5).selectExpr("id AS doc_id", "'x' AS text")
+    rows = M.heif_dimensions(M.synthesize_heif(docs)).collect()
+    assert len(rows) == 5
