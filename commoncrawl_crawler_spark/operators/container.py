@@ -1167,7 +1167,12 @@ def decode_mpeg1_layer2_frame(frame: bytes):
         raise ValueError("bad sync")
     if ((b1 >> 1) & 0x3) != 0b10:
         raise ValueError("not layer II")
-    br = _BitReaderMSB(frame[4:])
+    # protection_bit (ISO 11172-3 2.4.2.3): 0 means a 16-bit CRC
+    # follows the header BEFORE the audio data; skip it so the
+    # allocation read starts on real bits (the CRC itself is not
+    # validated -- error detection, not decode, is its only role)
+    audio_start = 4 if (b1 & 0x1) else 6
+    br = _BitReaderMSB(frame[audio_start:])
     alloc = []
     for sb in range(_L2_SBLIMIT):
         bits, ladder = _l2_table_a(sb)

@@ -21,12 +21,28 @@ layer a corpus scan needs, with zero external libraries:
   UNCOMPRESSED streams plus /FlateDecode via zlib (the stdlib
   already ships the codec every real PDF uses).
 
-STUB boundary (documented, not faked): object streams (/ObjStm),
-xref streams, encryption, and non-Flate filters raise
-NotImplementedError with the feature named; fonts/encoding maps are
-not interpreted (text extraction yields the literal string bytes,
-which for the ASCII-with-standard-fonts PDFs the fixtures model is
-the text itself).
+- **Cross-reference streams** (7.5.8, PDF 1.5+): /Type /XRef streams
+  with /W field widths, /Index subsection pairs, FlateDecode and the
+  PNG Up/Sub/Average/Paeth predictors -- the post-2006 majority of
+  real crawl PDFs carry their xref this way, with no `trailer`
+  keyword at all (the trailer dict lives in the XRef stream dict).
+- **Object streams** (7.5.7): /Type /ObjStm containers unpacked via
+  /N + /First and the integer-pair header, so compressed non-stream
+  objects (catalogs, page nodes) are first-class in the object map.
+
+The object scanner is STREAM-AWARE: each object's dictionary is
+isolated by a balanced `<< >>` scan (string- and comment-skipping),
+and stream payloads are bounded by the dict's /Length (falling back
+to an `endstream` search only when /Length is an unresolved indirect
+reference), so compressed bytes that happen to contain `endobj` or
+`/Filter`-shaped patterns can neither truncate an object nor leak
+into dictionary lookups.
+
+STUB boundary (documented, not faked): encryption and non-Flate
+filters raise NotImplementedError with the feature named;
+fonts/encoding maps are not interpreted (text extraction yields the
+literal string bytes, which for the ASCII-with-standard-fonts PDFs
+the fixtures model is the text itself).
 
 At 100 TB: one Arrow-batched kernel per file, narrow stat/text rows
 out -- the routing layer deciding which PDFs reach OCR/layout models.
@@ -50,8 +66,9 @@ from pyspark.sql.types import (
 
 from .multimodal import _synthesize_media
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9#+.\-_]+)")
+_WS = b"\x00\t\n\x0c\r "
 
 
 def _parse_dict_refs(body: bytes, key: bytes) -> list[int]:
@@ -70,26 +87,306 @@ def _dict_name(body: bytes, key: bytes) -> str | None:
     return m.group(1).decode("latin-1") if m else None
 
 
-def _stream_data(body: bytes) -> bytes | None:
-    """The stream payload of an object body (None if not a stream);
-    applies /FlateDecode, rejects other filters by name."""
-    m = re.search(rb"stream\r?\n", body)
+def _dict_int(body: bytes, key: bytes) -> int | None:
+    """Direct integer value of /key (None if absent or indirect)."""
+    m = re.search(rb"/" + key + rb"\s*(\d+)(?!\s+\d+\s+R)", body)
+    return int(m.group(1)) if m else None
+
+
+def _dict_ints(body: bytes, key: bytes) -> list[int] | None:
+    """Direct integer-array value of /key, e.g. /W [1 2 1]."""
+    m = re.search(rb"/" + key + rb"\s*\[([^\]]*)\]", body)
     if not m:
         return None
-    end = body.rfind(b"endstream")
-    if end < 0:
-        raise ValueError("stream without endstream")
-    data = body[m.end() : end]
-    if data.endswith(b"\r\n"):
-        data = data[:-2]
-    elif data.endswith(b"\n"):
-        data = data[:-1]
-    fil = _dict_name(body, b"Filter")
+    return [int(x) for x in re.findall(rb"\d+", m.group(1))]
+
+
+def _skip_string(data: bytes, i: int) -> int:
+    """Index just past the (...) literal string starting at `i`."""
+    depth, n = 1, len(data)
+    i += 1
+    while i < n and depth:
+        c = data[i]
+        if c == 0x5C:
+            i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+        i += 1
+    return i
+
+
+def _scan_dict(data: bytes, i: int) -> int:
+    """Index just past the balanced `<< ... >>` starting at `i`,
+    skipping strings, hex strings, and comments so a `>>` inside any
+    of them cannot end the dict early."""
+    if data[i : i + 2] != b"<<":
+        raise ValueError("not a dictionary")
+    depth, n = 1, len(data)
+    i += 2
+    while i < n and depth:
+        c = data[i]
+        if c == 0x28:  # (string)
+            i = _skip_string(data, i)
+        elif data[i : i + 2] == b"<<":
+            depth += 1
+            i += 2
+        elif data[i : i + 2] == b">>":
+            depth -= 1
+            i += 2
+        elif c == 0x3C:  # <hexstring>
+            j = data.find(b">", i + 1)
+            i = (j + 1) if j >= 0 else n
+        elif c == 0x25:  # % comment to EOL
+            j = data.find(b"\n", i)
+            i = (j + 1) if j >= 0 else n
+        else:
+            i += 1
+    if depth:
+        raise ValueError("unterminated dictionary")
+    return i
+
+
+def _skip_ws(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n:
+        if data[i] in _WS:
+            i += 1
+        elif data[i] == 0x25:  # comment
+            j = data.find(b"\n", i)
+            i = (j + 1) if j >= 0 else n
+        else:
+            break
+    return i
+
+
+class _PdfObj:
+    """One indirect object: isolated dict bytes (or the raw body for
+    non-dict objects) plus the raw (still-encoded) stream payload."""
+
+    __slots__ = ("dict", "raw_stream", "length_ref")
+
+    def __init__(self, d: bytes, raw: bytes | None, length_ref: int | None):
+        self.dict = d
+        self.raw_stream = raw
+        self.length_ref = length_ref
+
+
+def _scan_objects(blob: bytes) -> dict[int, _PdfObj]:
+    """Sequential stream-aware object scan: `N G obj` headers, a
+    balanced dict scan, and stream payloads bounded by the dict's
+    direct /Length -- so payload bytes are never re-scanned for
+    object headers, `endobj`, or dictionary keys.  An indirect
+    /Length falls back to an `endstream` search (recorded so a
+    second pass can tighten it once the length object is known)."""
+    objects: dict[int, _PdfObj] = {}
+    pos, n = 0, len(blob)
+    while True:
+        m = _OBJ_HDR_RE.search(blob, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        i = _skip_ws(blob, m.end())
+        dict_bytes = b""
+        raw = None
+        length_ref = None
+        if blob[i : i + 2] == b"<<":
+            dend = _scan_dict(blob, i)
+            dict_bytes = blob[i:dend]
+            i = _skip_ws(blob, dend)
+            if blob[i : i + 6] == b"stream":
+                i += 6
+                if blob[i : i + 2] == b"\r\n":
+                    i += 2
+                elif blob[i : i + 1] == b"\n":
+                    i += 1
+                length = _dict_int(dict_bytes, b"Length")
+                if length is not None:
+                    raw = blob[i : i + length]
+                    i += length
+                else:
+                    refs = _parse_dict_refs(dict_bytes, b"Length")
+                    length_ref = refs[0] if refs else None
+                    end = blob.find(b"endstream", i)
+                    if end < 0:
+                        raise ValueError("stream without endstream")
+                    raw = blob[i:end]
+                    if raw.endswith(b"\r\n"):
+                        raw = raw[:-2]
+                    elif raw.endswith(b"\n"):
+                        raw = raw[:-1]
+                    i = end
+                end = blob.find(b"endstream", i)
+                if end < 0:
+                    raise ValueError("stream without endstream")
+                i = end + len(b"endstream")
+        else:
+            end = blob.find(b"endobj", i)
+            dict_bytes = blob[i : end if end >= 0 else n].strip()
+        end = blob.find(b"endobj", i)
+        pos = (end + 6) if end >= 0 else n
+        objects[num] = _PdfObj(dict_bytes, raw, length_ref)
+    # second pass: tighten indirect-/Length payloads now that the
+    # integer objects are in hand
+    for obj in objects.values():
+        if obj.length_ref is not None and obj.length_ref in objects:
+            try:
+                want = int(objects[obj.length_ref].dict)
+            except ValueError:
+                continue
+            if obj.raw_stream is not None and len(obj.raw_stream) > want:
+                obj.raw_stream = obj.raw_stream[:want]
+    return objects
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1,
+                   bpc: int = 8) -> bytes:
+    """Reverse PNG row predictors (RFC 2083 6.x) as used by
+    /DecodeParms << /Predictor >= 10 >> on xref streams."""
+    bpp = max(1, colors * bpc // 8)
+    stride = columns * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    for r in range(0, len(data), stride + 1):
+        tag = data[r]
+        row = bytearray(data[r + 1 : r + 1 + stride])
+        if tag == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                row[i] = (row[i] + pred) & 0xFF
+        elif tag != 0:
+            raise ValueError(f"unknown PNG predictor tag {tag}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_stream(dict_bytes: bytes, raw: bytes | None) -> bytes | None:
+    """Apply /Filter (+ /DecodeParms predictor) to a raw payload.
+    Filter lookup is restricted to the ISOLATED dict bytes, so
+    payload bytes can never alias a /Filter key."""
+    if raw is None:
+        return None
+    fil = _dict_name(dict_bytes, b"Filter")
     if fil is None:
-        return data
-    if fil == "FlateDecode":
-        return zlib.decompress(data)
-    raise NotImplementedError(f"PDF filter {fil} needs an external codec")
+        return raw
+    if fil != "FlateDecode":
+        raise NotImplementedError(
+            f"PDF filter {fil} needs an external codec"
+        )
+    data = zlib.decompress(raw)
+    pm = re.search(rb"/DecodeParms\s*<<(.*?)>>", dict_bytes, re.DOTALL)
+    if pm:
+        parms = pm.group(1)
+        pred = _dict_int(parms, b"Predictor") or 1
+        if pred >= 10:
+            cols = _dict_int(parms, b"Columns") or 1
+            data = _png_unpredict(data, cols)
+        elif pred != 1:
+            raise NotImplementedError(f"TIFF predictor {pred}")
+    return data
+
+
+def _stream_data(body: bytes) -> bytes | None:
+    """Back-compat single-object helper: split dict/payload with the
+    stream-aware rules, then decode."""
+    if not body.lstrip(_WS).startswith(b"<<"):
+        return None
+    i = _skip_ws(body, 0)
+    dend = _scan_dict(body, i)
+    dict_bytes = body[i:dend]
+    j = _skip_ws(body, dend)
+    if body[j : j + 6] != b"stream":
+        return None
+    j += 6
+    if body[j : j + 2] == b"\r\n":
+        j += 2
+    elif body[j : j + 1] == b"\n":
+        j += 1
+    length = _dict_int(dict_bytes, b"Length")
+    if length is not None:
+        raw = body[j : j + length]
+    else:
+        end = body.rfind(b"endstream")
+        if end < 0:
+            raise ValueError("stream without endstream")
+        raw = body[j:end]
+        if raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith(b"\n"):
+            raw = raw[:-1]
+    return _decode_stream(dict_bytes, raw)
+
+
+def parse_objstm(dict_bytes: bytes, data: bytes) -> dict[int, bytes]:
+    """Unpack a /Type /ObjStm payload (7.5.7): /N integer pairs
+    `objnum offset` relative to /First, each an embedded non-stream
+    object body."""
+    n = _dict_int(dict_bytes, b"N")
+    first = _dict_int(dict_bytes, b"First")
+    if n is None or first is None:
+        raise ValueError("ObjStm missing /N or /First")
+    nums = [int(x) for x in data[:first].split()]
+    if len(nums) < 2 * n:
+        raise ValueError("ObjStm header shorter than /N pairs")
+    out: dict[int, bytes] = {}
+    for k in range(n):
+        objnum, off = nums[2 * k], nums[2 * k + 1]
+        end = nums[2 * k + 3] if k + 1 < n else None
+        out[objnum] = data[
+            first + off : (first + end) if end is not None else None
+        ].strip()
+    return out
+
+
+def parse_xref_stream(dict_bytes: bytes, data: bytes) -> dict[int, tuple]:
+    """Decode a /Type /XRef stream (7.5.8): /W field widths over
+    /Index subsections.  Returns {objnum: (type, f2, f3)} where type
+    1 is (offset, gen) and type 2 is (container_objstm, index)."""
+    w = _dict_ints(dict_bytes, b"W")
+    if not w:
+        raise ValueError("XRef stream missing /W")
+    size = _dict_int(dict_bytes, b"Size") or 0
+    index = _dict_ints(dict_bytes, b"Index") or [0, size]
+    rowlen = sum(w)
+    entries: dict[int, tuple] = {}
+    pos = 0
+    for s in range(0, len(index), 2):
+        start, count = index[s], index[s + 1]
+        for objnum in range(start, start + count):
+            row = data[pos : pos + rowlen]
+            if len(row) < rowlen:
+                raise ValueError("XRef stream shorter than /Index")
+            fields = []
+            o = 0
+            for width in w:
+                fields.append(
+                    int.from_bytes(row[o : o + width], "big")
+                    if width else (1 if not fields else 0)
+                )
+                o += width
+            entries[objnum] = tuple(fields)
+            pos += rowlen
+    return entries
 
 
 _ESCAPES = {
@@ -142,64 +439,165 @@ def _literal_strings(data: bytes) -> list[bytes]:
     return out
 
 
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+def _content_tokens(data: bytes):
+    """Token stream over a content stream: ('str', bytes),
+    ('[', None), (']', None), ('op', bytes); numbers/names/dicts are
+    skipped structurally (strings inside them never alias show
+    operators)."""
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # comment
+            j = data.find(b"\n", i)
+            i = (j + 1) if j >= 0 else n
+        elif c == 0x28:  # (string)
+            j = _skip_string(data, i)
+            yield ("str", data[i:j])
+            i = j
+        elif data[i : i + 2] == b"<<":
+            i = _scan_dict(data, i)
+        elif c == 0x3C:  # <hex string>
+            j = data.find(b">", i + 1)
+            hexs = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : j if j >= 0 else n])
+            if len(hexs) % 2:
+                hexs += b"0"
+            yield ("str", b"(" + bytes.fromhex(hexs.decode()) + b")")
+            i = (j + 1) if j >= 0 else n
+        elif c == 0x5B:
+            yield ("[", None)
+            i += 1
+        elif c == 0x5D:
+            yield ("]", None)
+            i += 1
+        elif c == 0x2F:  # /name
+            m = _NAME_RE.match(data, i)
+            i = m.end() if m else i + 1
+        else:
+            m = _NUM_RE.match(data, i)
+            if m:
+                i = m.end()
+                continue
+            m = _OP_RE.match(data, i)
+            if m:
+                yield ("op", m.group(0))
+                i = m.end()
+            else:
+                i += 1
+
+
 def extract_text_runs(content: bytes) -> list[str]:
-    """Show-operator strings inside BT..ET blocks: Tj, ', ", and the
-    string elements of TJ arrays, in stream order."""
+    """Show-operator strings inside BT..ET blocks -- Tj, ', \" (whose
+    string is the THIRD operand, after aw and ac), and every string
+    element of a TJ array -- in stream order.  Token-level scan, so a
+    literal `]` or `"` inside a string cannot derail the walk."""
     runs: list[str] = []
-    for bt in re.finditer(rb"BT\b(.*?)ET\b", content, re.DOTALL):
-        block = bt.group(1)
-        # find show operators and take the string(s) immediately
-        # before them
-        for m in re.finditer(
-            rb"(\((?:[^()\\]|\\.)*\))\s*(Tj|')"
-            rb"|(\[(?:[^\]\\]|\\.)*\])\s*TJ",
-            block,
-            re.DOTALL,
-        ):
-            src = m.group(1) if m.group(1) else m.group(3)
-            for s in _literal_strings(src):
-                runs.append(s.decode("latin-1"))
+    in_text = False
+    last_str: bytes | None = None
+    arr: list[bytes] | None = None
+    for kind, val in _content_tokens(content):
+        if kind == "str":
+            if arr is not None:
+                arr.append(val)
+            last_str = val
+        elif kind == "[":
+            arr = []
+        elif kind == "]":
+            pass  # keep arr until the operator consumes it
+        elif kind == "op":
+            if val == b"BT":
+                in_text = True
+            elif val == b"ET":
+                in_text = False
+            elif in_text and val in (b"Tj", b"'", b'"'):
+                if last_str is not None:
+                    for s in _literal_strings(last_str):
+                        runs.append(s.decode("latin-1"))
+            elif in_text and val == b"TJ" and arr is not None:
+                for el in arr:
+                    for s in _literal_strings(el):
+                        runs.append(s.decode("latin-1"))
+            # postfix grammar: every operator consumes its operands
+            arr = None
+            last_str = None
     return runs
 
 
 def parse_pdf(blob: bytes) -> dict:
     """Syntax-level document profile: version, object census, page
-    count via the page tree, text runs from page content streams."""
+    count via the page tree, text runs from page content streams.
+
+    Handles both xref flavors: classic `trailer` dictionaries and
+    PDF 1.5 cross-reference streams (whose dict IS the trailer), and
+    unpacks /ObjStm object streams so compressed catalogs/page nodes
+    resolve.  n_objects counts LOGICAL document objects -- the
+    /ObjStm and /XRef containers are xref plumbing, excluded so the
+    same document profiles identically under either serialization."""
     m = re.match(rb"%PDF-(\d+\.\d+)", blob)
     if not m:
         raise ValueError("not a PDF: missing %PDF header")
     version = m.group(1).decode("ascii")
-    if b"/Encrypt" in blob[blob.rfind(b"trailer") :]:
-        raise NotImplementedError("encrypted PDF needs the crypt layer")
-    objects: dict[int, bytes] = {}
-    for om in _OBJ_RE.finditer(blob):
-        objects[int(om.group(1))] = om.group(3)
-    if any(
-        _dict_name(b, b"Type") == "ObjStm" for b in objects.values()
-    ):
-        raise NotImplementedError("object streams (/ObjStm) unsupported")
-    # catalog: via trailer /Root when present, else by /Type scan
-    root_ids = []
+    scanned = _scan_objects(blob)
+    xref_dicts: list[bytes] = []
+    n_containers = 0
+    objects: dict[int, _PdfObj] = {}
+    objstm_data: list[tuple[bytes, bytes]] = []
+    for num, obj in scanned.items():
+        t = _dict_name(obj.dict, b"Type")
+        if t == "ObjStm":
+            n_containers += 1
+            objstm_data.append(
+                (obj.dict, _decode_stream(obj.dict, obj.raw_stream))
+            )
+        elif t == "XRef":
+            n_containers += 1
+            xref_dicts.append(obj.dict)
+            # decode eagerly so a corrupt xref stream (bad /W,
+            # truncated rows, broken predictor) is a loud error
+            parse_xref_stream(
+                obj.dict, _decode_stream(obj.dict, obj.raw_stream)
+            )
+        objects[num] = obj
+    for d, data in objstm_data:
+        for objnum, body in parse_objstm(d, data).items():
+            # xref order of precedence: a direct (uncompressed)
+            # definition seen by the scanner wins over a compressed
+            # twin, matching incremental-update semantics well enough
+            # for a profile pass
+            objects.setdefault(objnum, _PdfObj(body, None, None))
+    trailer_dicts: list[bytes] = []
     tr = blob.rfind(b"trailer")
     if tr >= 0:
-        root_ids = _parse_dict_refs(blob[tr:], b"Root")
+        tend = blob.find(b">>", tr)
+        trailer_dicts.append(blob[tr : tend + 2 if tend >= 0 else None])
+    trailer_dicts.extend(xref_dicts)
+    if any(b"/Encrypt" in t for t in trailer_dicts):
+        raise NotImplementedError("encrypted PDF needs the crypt layer")
+    root_ids: list[int] = []
+    for t in trailer_dicts:
+        root_ids.extend(_parse_dict_refs(t, b"Root"))
     if not root_ids:
         root_ids = [
             num
-            for num, b in objects.items()
-            if _dict_name(b, b"Type") == "Catalog"
+            for num, o in objects.items()
+            if _dict_name(o.dict, b"Type") == "Catalog"
         ]
     n_pages = 0
     page_objs: list[int] = []
     if root_ids and root_ids[0] in objects:
-        stack = _parse_dict_refs(objects[root_ids[0]], b"Pages")
+        stack = _parse_dict_refs(objects[root_ids[0]].dict, b"Pages")
         seen: set[int] = set()
         while stack:
             num = stack.pop()
             if num in seen or num not in objects:
                 continue
             seen.add(num)
-            body = objects[num]
+            body = objects[num].dict
             t = _dict_name(body, b"Type")
             if t == "Pages":
                 stack.extend(_parse_dict_refs(body, b"Kids"))
@@ -208,20 +606,24 @@ def parse_pdf(blob: bytes) -> dict:
                 page_objs.append(num)
     text_runs: list[str] = []
     for num in sorted(page_objs):
-        for cnum in _parse_dict_refs(objects[num], b"Contents"):
-            if cnum in objects:
-                data = _stream_data(objects[cnum])
-                if data is not None:
-                    text_runs.extend(extract_text_runs(data))
+        for cnum in _parse_dict_refs(objects[num].dict, b"Contents"):
+            if cnum in objects and objects[cnum].raw_stream is not None:
+                data = _decode_stream(
+                    objects[cnum].dict, objects[cnum].raw_stream
+                )
+                text_runs.extend(extract_text_runs(data))
     return {
         "version": version,
-        "n_objects": len(objects),
+        "n_objects": len(objects) - n_containers,
         "n_pages": n_pages,
         "text": " ".join(text_runs),
     }
 
 
-def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
+def build_pdf(
+    pages: list[list[str]], compress: bool = False,
+    version: str = "1.7",
+) -> bytes:
     """Minimal valid PDF: catalog, page tree, one content stream per
     page showing the given text runs (Flate-compressed when asked)."""
     objs: list[bytes] = []
@@ -232,25 +634,7 @@ def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
 
     content_ids = []
     for runs in pages:
-        ops = b"BT /F1 12 Tf 72 720 Td " + b" ".join(
-            b"(" + r.encode("latin-1")
-            .replace(b"\\", rb"\\")
-            .replace(b"(", rb"\(")
-            .replace(b")", rb"\)") + b") Tj"
-            for r in runs
-        ) + b" ET"
-        if compress:
-            z = zlib.compress(ops)
-            body = (
-                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(z)
-                + z + b"\nendstream"
-            )
-        else:
-            body = (
-                b"<< /Length %d >>\nstream\n" % len(ops)
-                + ops + b"\nendstream"
-            )
-        content_ids.append(add(body))
+        content_ids.append(add(_content_stream_body(runs, compress)))
     kids = []
     pages_id = len(objs) + len(pages) + 2  # after page objs: catalog, pages
     for cid in content_ids:
@@ -267,7 +651,7 @@ def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
         + b"] /Count %d >>" % len(kids)
     )
     objs[catalog_id - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % real_pages_id
-    out = bytearray(b"%PDF-1.7\n")
+    out = bytearray(b"%%PDF-%s\n" % version.encode("ascii"))
     offsets = [0]
     for i, body in enumerate(objs, start=1):
         offsets.append(len(out))
@@ -281,6 +665,122 @@ def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
         b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objs) + 1, catalog_id, xref_at)
     )
+    return bytes(out)
+
+
+def _content_stream_body(runs: list[str], compress: bool) -> bytes:
+    ops = b"BT /F1 12 Tf 72 720 Td " + b" ".join(
+        b"(" + r.encode("latin-1")
+        .replace(b"\\", rb"\\")
+        .replace(b"(", rb"\(")
+        .replace(b")", rb"\)") + b") Tj"
+        for r in runs
+    ) + b" ET"
+    if compress:
+        z = zlib.compress(ops)
+        return (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(z)
+            + z + b"\nendstream"
+        )
+    return (
+        b"<< /Length %d >>\nstream\n" % len(ops) + ops + b"\nendstream"
+    )
+
+
+def _png_predict_up(data: bytes, columns: int) -> bytes:
+    """Forward PNG Up predictor (tag 2) -- how real PDF writers
+    serialize xref streams (/Predictor 12)."""
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), columns):
+        row = data[r : r + columns]
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+def build_pdf_xrefstream(
+    pages: list[list[str]], compress: bool = False,
+    version: str = "1.5",
+) -> bytes:
+    """The SAME logical document as `build_pdf`, serialized the
+    post-2006 way (ISO 32000-1 7.5.7/7.5.8): catalog + page-tree
+    nodes packed into a Flate-compressed /ObjStm, content streams as
+    top-level stream objects (streams cannot live in an ObjStm), and
+    a /Type /XRef cross-reference stream (W=[1 3 2], PNG Up
+    predictor) carrying the trailer dict -- no `trailer` keyword
+    anywhere."""
+    n_p = len(pages)
+    # numbering: contents 1..P, pages P+1..2P, catalog 2P+1,
+    # pages-node 2P+2, ObjStm 2P+3, XRef 2P+4
+    catalog_id, pagesnode_id = 2 * n_p + 1, 2 * n_p + 2
+    objstm_id, xref_id = 2 * n_p + 3, 2 * n_p + 4
+    out = bytearray(b"%%PDF-%s\n" % version.encode("ascii"))
+    offsets: dict[int, int] = {}
+    for i, runs in enumerate(pages, start=1):
+        offsets[i] = len(out)
+        out += b"%d 0 obj\n" % i
+        out += _content_stream_body(runs, compress)
+        out += b"\nendobj\n"
+    # the compressed objects: page dicts, catalog, pages node
+    packed: list[tuple[int, bytes]] = []
+    for i in range(1, n_p + 1):
+        packed.append((
+            n_p + i,
+            b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R "
+            b"/MediaBox [0 0 612 792] >>" % (pagesnode_id, i),
+        ))
+    packed.append((
+        catalog_id,
+        b"<< /Type /Catalog /Pages %d 0 R >>" % pagesnode_id,
+    ))
+    packed.append((
+        pagesnode_id,
+        b"<< /Type /Pages /Kids ["
+        + b" ".join(b"%d 0 R" % (n_p + i) for i in range(1, n_p + 1))
+        + b"] /Count %d >>" % n_p,
+    ))
+    bodies = b" ".join(b for _, b in packed)
+    hdr_parts, off = [], 0
+    for num, b in packed:
+        hdr_parts.append(b"%d %d" % (num, off))
+        off += len(b) + 1  # the single joining space
+    hdr = b" ".join(hdr_parts) + b"\n"
+    objstm_payload = zlib.compress(hdr + bodies)
+    offsets[objstm_id] = len(out)
+    out += b"%d 0 obj\n" % objstm_id
+    out += (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n"
+        % (len(packed), len(hdr), len(objstm_payload))
+    )
+    out += objstm_payload + b"\nendstream\nendobj\n"
+    # xref stream rows, W = [1 3 2]: type, offset|objstm, gen|index
+    offsets[xref_id] = len(out)
+    size = xref_id + 1
+    rows = bytearray()
+    rows += bytes([0]) + (0).to_bytes(3, "big") + (65535).to_bytes(2, "big")
+    for num in range(1, size):
+        if n_p < num <= pagesnode_id:  # compressed in the ObjStm
+            idx = next(
+                k for k, (pn, _) in enumerate(packed) if pn == num
+            )
+            rows += bytes([2]) + objstm_id.to_bytes(3, "big") \
+                + idx.to_bytes(2, "big")
+        else:
+            rows += bytes([1]) + offsets[num].to_bytes(3, "big") \
+                + (0).to_bytes(2, "big")
+    xref_payload = zlib.compress(_png_predict_up(bytes(rows), 6))
+    out += b"%d 0 obj\n" % xref_id
+    out += (
+        b"<< /Type /XRef /Size %d /W [1 3 2] /Root %d 0 R "
+        b"/Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 6 >> /Length %d "
+        b">>\nstream\n" % (size, catalog_id, len(xref_payload))
+    )
+    out += xref_payload + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % offsets[xref_id]
     return bytes(out)
 
 
@@ -300,6 +800,21 @@ def _pdf_blob(mid: int) -> bytes:
 
 def synthesize_pdf(documents: DataFrame) -> DataFrame:
     return _synthesize_media(documents, _pdf_blob)
+
+
+def _pdf_xs_blob(mid: int) -> bytes:
+    """The SAME logical document as `_pdf_blob(mid)`, serialized with
+    a cross-reference stream + object streams (PDF 1.5)."""
+    n_pages, rpp, comp = _pdf_params(mid)
+    pages = [
+        [f"doc-{mid} page-{p} run-{r}" for r in range(rpp)]
+        for p in range(n_pages)
+    ]
+    return build_pdf_xrefstream(pages, compress=bool(comp))
+
+
+def synthesize_pdf_xrefstream(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _pdf_xs_blob)
 
 
 PDF_SCHEMA = StructType(

@@ -449,9 +449,16 @@ def parse_annexb(blob: bytes) -> list[dict]:
         raise ValueError("stream does not begin with a start code")
     nals = []
     for idx, s in enumerate(starts):
-        end = (starts[idx + 1] - 3) if idx + 1 < len(starts) else n
-        while end > s and blob[end - 1] == 0:
-            end -= 1  # trailing_zero_8bits before the next start code
+        if idx + 1 < len(starts):
+            end = starts[idx + 1] - 3
+            # zeros immediately before a following start code are
+            # leading_zero_8bits of THAT code, not payload; at
+            # end-of-stream there is no such code, so trailing zero
+            # bytes (e.g. cabac_zero_words) stay in the last NAL
+            while end > s and blob[end - 1] == 0:
+                end -= 1
+        else:
+            end = n
         hdr = blob[s]
         if hdr & 0x80:
             raise ValueError(f"forbidden_zero_bit set at offset {s}")
@@ -552,6 +559,236 @@ def h264_stream_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "content").mapInPandas(
         _stats, H264_STATS
+    )
+
+
+# --------------------------------------------------------------------
+# H.264 PPS + slice headers (spec 7.3.2.2 / 7.3.3) -- round 8
+# --------------------------------------------------------------------
+#
+# The profiling features a crawl pipeline actually uses from video:
+# picture/GOP counting and IDR segmentation, which need the slice
+# header's first_mb_in_slice / slice_type / frame_num -- and those
+# need the PPS (entropy mode) and SPS (frame_num field width) for
+# context.  Macroblock decode stays out of scope by construction.
+
+
+def parse_pps(rbsp: bytes) -> dict:
+    """Picture parameter set through redundant_pic_cnt_present_flag
+    (7.3.2.2); FMO slice-group maps are parsed structurally."""
+    r = _BitReader(rbsp)
+    pps_id = r.ue()
+    sps_id = r.ue()
+    cabac = r.u(1)  # entropy_coding_mode_flag
+    bottom_field_poc = r.u(1)
+    num_slice_groups = r.ue() + 1
+    if num_slice_groups > 1:  # FMO map (7.3.2.2, map types 0..6)
+        map_type = r.ue()
+        if map_type == 0:
+            for _ in range(num_slice_groups):
+                r.ue()  # run_length_minus1
+        elif map_type == 2:
+            for _ in range(num_slice_groups - 1):
+                r.ue()  # top_left
+                r.ue()  # bottom_right
+        elif map_type in (3, 4, 5):
+            r.u(1)  # slice_group_change_direction_flag
+            r.ue()  # slice_group_change_rate_minus1
+        elif map_type == 6:
+            n = r.ue() + 1
+            bits = max(1, (num_slice_groups - 1).bit_length())
+            for _ in range(n):
+                r.u(bits)
+    num_ref_l0 = r.ue() + 1
+    num_ref_l1 = r.ue() + 1
+    weighted_pred = r.u(1)
+    weighted_bipred_idc = r.u(2)
+    pic_init_qp = r.se() + 26
+    r.se()  # pic_init_qs_minus26
+    r.se()  # chroma_qp_index_offset
+    deblocking_control = r.u(1)
+    r.u(1)  # constrained_intra_pred_flag
+    r.u(1)  # redundant_pic_cnt_present_flag
+    return {
+        "pps_id": pps_id,
+        "sps_id": sps_id,
+        "cabac": cabac,
+        "bottom_field_poc": bottom_field_poc,
+        "num_slice_groups": num_slice_groups,
+        "num_ref_l0": num_ref_l0,
+        "num_ref_l1": num_ref_l1,
+        "weighted_pred": weighted_pred,
+        "weighted_bipred_idc": weighted_bipred_idc,
+        "pic_init_qp": pic_init_qp,
+        "deblocking_control": deblocking_control,
+    }
+
+
+def build_pps(
+    pps_id: int = 0, sps_id: int = 0, cabac: bool = False,
+    pic_init_qp: int = 26,
+) -> bytes:
+    """Complete single-slice-group PPS RBSP (7.3.2.2)."""
+    w = _BitWriter()
+    w.ue(pps_id)
+    w.ue(sps_id)
+    w.u(1 if cabac else 0, 1)
+    w.u(0, 1)  # bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1
+    w.ue(0)  # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)  # weighted_pred_flag
+    w.u(0, 2)  # weighted_bipred_idc
+    w.se(pic_init_qp - 26)
+    w.se(0)  # pic_init_qs_minus26
+    w.se(0)  # chroma_qp_index_offset
+    w.u(1, 1)  # deblocking_filter_control_present_flag
+    w.u(0, 1)  # constrained_intra_pred_flag
+    w.u(0, 1)  # redundant_pic_cnt_present_flag
+    return w.rbsp_trailing()
+
+
+def parse_slice_header(
+    rbsp: bytes, sps: dict, nal_type: int
+) -> dict:
+    """Slice header prefix (7.3.3) through frame_num / idr_pic_id --
+    the fields picture and GOP segmentation need.  The remainder of
+    the header (POC, ref-pic reordering, ...) and the slice data are
+    not consumed."""
+    r = _BitReader(rbsp)
+    first_mb = r.ue()
+    slice_type = r.ue()
+    pps_id = r.ue()
+    frame_num = r.u(sps["log2_max_frame_num"])
+    idr_pic_id = None
+    if nal_type == 5:
+        idr_pic_id = r.ue()
+    return {
+        "first_mb_in_slice": first_mb,
+        "slice_type": slice_type,
+        "pps_id": pps_id,
+        "frame_num": frame_num,
+        "idr_pic_id": idr_pic_id,
+        "is_idr": nal_type == 5,
+    }
+
+
+def build_slice_header(
+    first_mb: int, slice_type: int, frame_num: int,
+    log2_max_frame_num: int, idr: bool, idr_pic_id: int = 0,
+) -> bytes:
+    """The parsed slice-header prefix as RBSP bits; callers append
+    opaque payload bytes after it (the parser never reads past the
+    prefix, mirroring a profiling -- not decoding -- pass)."""
+    w = _BitWriter()
+    w.ue(first_mb)
+    w.ue(slice_type)
+    w.ue(0)  # pps_id
+    w.u(frame_num, log2_max_frame_num)
+    if idr:
+        w.ue(idr_pic_id)
+    return w.rbsp_trailing()
+
+
+def _h264_slices_params(mid: int) -> tuple[int, int, int, int]:
+    """(n_frames, slices_per_frame, gop_len, cabac), oracle-mirrored."""
+    return 3 + mid % 5, 1 + mid % 3, 2 + mid % 3, mid % 2
+
+
+def _h264_slices_blob(mid: int) -> bytes:
+    n_frames, spf, gop, cabac = _h264_slices_params(mid)
+    out = bytearray()
+    out += annexb_nal(7, build_sps(8, 6))  # SPS: log2_max_frame_num=4
+    out += annexb_nal(8, build_pps(cabac=bool(cabac)))
+    for f in range(n_frames):
+        idr = f % gop == 0
+        frame_num = f % gop  # frame_num resets at each IDR
+        for sl in range(spf):
+            hdr = build_slice_header(
+                first_mb=sl * 11,
+                slice_type=7 if idr else 5,  # I-all / P-all
+                frame_num=frame_num,
+                log2_max_frame_num=4,
+                idr=idr,
+                idr_pic_id=f // gop,
+            )
+            payload = bytes(
+                (mid * 5 + f * 3 + sl * 7 + j) % 249
+                for j in range(12 + sl)
+            )
+            out += annexb_nal(
+                5 if idr else 1, hdr + payload, ref_idc=3 if idr else 2
+            )
+    return bytes(out)
+
+
+def synthesize_h264_slices(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _h264_slices_blob)
+
+
+H264_SLICE_STATS = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_nals", IntegerType()),
+        StructField("n_pictures", IntegerType()),
+        StructField("n_idr_pictures", IntegerType()),
+        StructField("n_i_slices", IntegerType()),
+        StructField("n_p_slices", IntegerType()),
+        StructField("max_frame_num", IntegerType()),
+        StructField("cabac", IntegerType()),
+    ]
+)
+
+
+def h264_slice_stats(media: DataFrame) -> DataFrame:
+    """Per-file picture/GOP census from REAL slice-header parses:
+    pictures counted by first_mb_in_slice==0, IDR segmentation, I/P
+    slice-type tally, and the PPS entropy mode -- the columns a
+    video corpus shards and samples by."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in H264_SLICE_STATS.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                nals = parse_annexb(blob)
+                sps = pps = None
+                n_pic = n_idr = n_i = n_p = 0
+                max_fn = 0
+                for nal in nals:
+                    s = nal["offset"] + 1
+                    rbsp = rbsp_unescape(
+                        blob[s : s + nal["ebsp_length"]]
+                    )
+                    if nal["nal_type"] == 7:
+                        sps = parse_sps(rbsp)
+                    elif nal["nal_type"] == 8:
+                        pps = parse_pps(rbsp)
+                    elif nal["nal_type"] in (1, 5) and sps is not None:
+                        h = parse_slice_header(
+                            rbsp, sps, nal["nal_type"]
+                        )
+                        if h["first_mb_in_slice"] == 0:
+                            n_pic += 1
+                            if h["is_idr"]:
+                                n_idr += 1
+                        if h["slice_type"] % 5 == 2:
+                            n_i += 1
+                        elif h["slice_type"] % 5 == 0:
+                            n_p += 1
+                        max_fn = max(max_fn, h["frame_num"])
+                rows["media_id"].append(int(mid))
+                rows["n_nals"].append(len(nals))
+                rows["n_pictures"].append(n_pic)
+                rows["n_idr_pictures"].append(n_idr)
+                rows["n_i_slices"].append(n_i)
+                rows["n_p_slices"].append(n_p)
+                rows["max_frame_num"].append(max_fn)
+                rows["cabac"].append(pps["cabac"] if pps else -1)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _stats, H264_SLICE_STATS
     )
 
 

@@ -91,15 +91,28 @@ def _load_env_schemes() -> None:
     inside mapInPandas kernels, where driver-side register_scheme
     calls cannot reach."""
     global _ENV_LOADED
-    _ENV_LOADED = True
     spec = os.environ.get("SPARK_GRAFT_RANGED_IO", "")
     for entry in filter(None, (e.strip() for e in spec.split(","))):
-        scheme, target = entry.split("=", 1)
-        modname, func = target.split(":", 1)
-        import importlib
+        try:
+            scheme, target = entry.split("=", 1)
+            modname, func = target.split(":", 1)
+            import importlib
 
-        mod = importlib.import_module(modname)
-        register_scheme(scheme, getattr(mod, func))
+            mod = importlib.import_module(modname)
+            reader = getattr(mod, func)
+        except Exception as exc:
+            # name the env var so the failure is attributable, and do
+            # NOT latch _ENV_LOADED: a transient import failure (e.g.
+            # module not yet on the executor path) retries on the next
+            # read instead of silently dropping the scheme for the
+            # life of the process
+            raise ValueError(
+                f"SPARK_GRAFT_RANGED_IO entry {entry!r} is invalid "
+                f"(want scheme=module.path:callable): {exc}"
+            ) from exc
+        register_scheme(scheme, reader)
+    # only latch after every entry parsed and registered successfully
+    _ENV_LOADED = True
 
 
 def read_range(path: str, offset: int, length: int | None = None) -> bytes:

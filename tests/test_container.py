@@ -584,3 +584,17 @@ def test_mp3_sideinfo_roundtrip_and_validation():
     raw = C.encode_mp3_sideinfo_mono(0, 0, [g0, C._mp3si_granule(0, 1, 1)])
     with _pt.raises(ValueError, match="block_type 0"):
         C.parse_mp3_sideinfo_mono(raw)
+
+
+def test_layer2_crc_protected_frame_skips_crc_bytes():
+    """protection_bit=0 (ISO 11172-3 2.4.2.3) inserts a 16-bit CRC
+    between header and audio data; the decoder must skip it, yielding
+    the same samples as the CRC-free build of the same frame."""
+    blob = C._layer2_blob(5)
+    want = C.decode_mpeg1_layer2_frame(blob)
+    # rewrite: clear protection_bit (b1 bit0 -> 0 means CRC PRESENT)
+    # and splice two CRC bytes after the 4-byte header
+    crc_frame = bytes([blob[0], blob[1] & 0xFE, blob[2], blob[3]]) \
+        + b"\xBE\xEF" + blob[4:]
+    got = C.decode_mpeg1_layer2_frame(crc_frame)
+    assert got == want

@@ -38,11 +38,13 @@ def test_rejections():
     enc = blob.replace(b"/Root", b"/Encrypt 9 0 R /Root")
     with pytest.raises(NotImplementedError, match="encrypted"):
         P.parse_pdf(enc)
+    # ObjStm is SUPPORTED now; a malformed one (no /N or /First) must
+    # be a loud error, not a silent skip
     objstm = blob.replace(
         b"<< /Type /Catalog", b"<< /Type /ObjStm >>\nendobj\n"
         b"99 0 obj\n<< /Type /Catalog", 1
     )
-    with pytest.raises(NotImplementedError, match="ObjStm"):
+    with pytest.raises(ValueError, match="ObjStm missing"):
         P.parse_pdf(objstm)
     bad_filter = P.build_pdf([["x"]], compress=True).replace(
         b"/FlateDecode", b"/LZWDecode"
@@ -134,3 +136,133 @@ def test_spark_font_profile(spark):
         assert (r["flavor"], r["units_per_em"], r["family"]) == (
             f, upm, fam,
         )
+
+
+# ---- round-8: xref streams, object streams, stream-aware scan ------
+
+
+def test_xrefstream_differential_with_classic():
+    """The same logical document serialized classic-xref vs
+    xref-stream+ObjStm must profile IDENTICALLY (version pinned so
+    only the serialization differs)."""
+    for mid in range(12):
+        n_pages, rpp, comp = P._pdf_params(mid)
+        pages = [
+            [f"doc-{mid} page-{p} run-{r}" for r in range(rpp)]
+            for p in range(n_pages)
+        ]
+        classic = P.parse_pdf(
+            P.build_pdf(pages, compress=bool(comp), version="1.7")
+        )
+        xs = P.parse_pdf(
+            P.build_pdf_xrefstream(
+                pages, compress=bool(comp), version="1.7"
+            )
+        )
+        assert classic == xs, (mid, classic, xs)
+
+
+def test_xrefstream_entries_decode():
+    """parse_xref_stream recovers the typed entry table: type-1
+    offsets point at real `N 0 obj` headers, type-2 entries name the
+    ObjStm container and index."""
+    blob = P.build_pdf_xrefstream([["a"], ["b"]])
+    objs = P._scan_objects(blob)
+    xref = next(
+        o for o in objs.values()
+        if P._dict_name(o.dict, b"Type") == "XRef"
+    )
+    entries = P.parse_xref_stream(
+        xref.dict, P._decode_stream(xref.dict, xref.raw_stream)
+    )
+    # 2 pages: contents 1,2; pages 3,4; catalog 5; pagesnode 6;
+    # objstm 7; xref 8
+    assert entries[0][0] == 0  # free head
+    for num in (1, 2, 7, 8):
+        typ, off, gen = entries[num]
+        assert typ == 1 and gen == 0
+        assert blob[off:].startswith(b"%d 0 obj" % num)
+    for num in (3, 4, 5, 6):
+        typ, container, idx = entries[num]
+        assert typ == 2 and container == 7
+        assert idx == num - 3
+
+
+def test_scanner_is_stream_aware():
+    """Payload bytes that LOOK like `endobj`, an object header, or a
+    /Filter key must not derail the scan: /Length bounds the payload
+    and filter lookup sees only the isolated dict."""
+    payload = (
+        b"BT (real text) Tj ET\n"
+        b"endobj\n9 0 obj\n<< /Filter /LZWDecode >>\n"  # decoys
+    )
+    blob = (
+        b"%PDF-1.7\n"
+        + (b"1 0 obj\n<< /Length %d >>\nstream\n" % len(payload))
+        + payload
+        + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Type /Page /Parent 3 0 R /Contents 1 0 R >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 4 0 R >>\n"
+    )
+    d = P.parse_pdf(blob)
+    assert d["n_objects"] == 4  # decoy `9 0 obj` is inside the payload
+    assert d["n_pages"] == 1
+    assert d["text"] == "real text"
+
+
+def test_indirect_length_fallback():
+    """An indirect /Length resolves via the second pass (endstream
+    search first, then tightened to the integer object's value)."""
+    payload = b"BT (it) Tj ET"
+    blob = (
+        b"%PDF-1.7\n"
+        b"1 0 obj\n<< /Length 5 0 R >>\nstream\n"
+        + payload
+        + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Type /Page /Parent 3 0 R /Contents 1 0 R >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n"
+        b"5 0 obj\n%d\nendobj\n" % len(payload)
+        + b"trailer\n<< /Size 6 /Root 4 0 R >>\n"
+    )
+    d = P.parse_pdf(blob)
+    assert d["text"] == "it" and d["n_objects"] == 5
+
+
+def test_text_runs_quote_operators_and_bracket_in_string():
+    """' and \" show operators are extracted (\" takes the string as
+    its THIRD operand) and a literal ] inside a TJ string element
+    does not end the array early."""
+    content = (
+        b"BT (one) Tj (two) ' 3 4 (three) \" "
+        b"[ (le]ft) -120 (right) ] TJ ET (outside-bt) Tj"
+    )
+    assert P.extract_text_runs(content) == [
+        "one", "two", "three", "le]ft", "right"
+    ]
+
+
+def test_png_predictors_roundtrip():
+    """All four PNG row filters reverse correctly (Up is what the
+    builder emits; Sub/Average/Paeth appear in the wild)."""
+    import zlib as _z
+    raw = bytes(range(48))  # 8 rows x 6 columns
+    up = P._png_predict_up(raw, 6)
+    assert P._png_unpredict(up, 6) == raw
+    # none-tag rows pass through
+    none_tagged = b"".join(
+        b"\x00" + raw[r : r + 6] for r in range(0, 48, 6)
+    )
+    assert P._png_unpredict(none_tagged, 6) == raw
+    with pytest.raises(ValueError, match="predictor tag"):
+        P._png_unpredict(b"\x09" + bytes(6), 6)
+
+
+def test_corrupt_xref_stream_is_loud():
+    blob = P.build_pdf_xrefstream([["a"]])
+    # strip /W so the xref decode fails attributably
+    bad = blob.replace(b"/W [1 3 2] ", b"")
+    with pytest.raises(ValueError, match="missing /W"):
+        P.parse_pdf(bad)

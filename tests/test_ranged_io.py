@@ -193,3 +193,30 @@ def test_env_scheme_registration(tmp_path, monkeypatch):
     finally:
         ranged_io.unregister_scheme("ctr")
         ranged_io._ENV_LOADED = False
+
+
+def test_env_scheme_malformed_entry_names_var_and_retries(
+    tmp_path, monkeypatch
+):
+    """A malformed SPARK_GRAFT_RANGED_IO entry raises an error that
+    names the env var, and does NOT latch _ENV_LOADED -- fixing the
+    env and retrying registers the scheme on the next read."""
+    p = tmp_path / "f.bin"
+    p.write_bytes(b"hello world")
+    monkeypatch.setenv("SPARK_GRAFT_RANGED_IO", "ctr=no.such.module:fn")
+    ranged_io.unregister_scheme("ctr")
+    ranged_io._ENV_LOADED = False
+    try:
+        with pytest.raises(ValueError, match="SPARK_GRAFT_RANGED_IO"):
+            ranged_io.read_range(str(p), 0, 5)
+        assert ranged_io._ENV_LOADED is False  # not latched on failure
+        log = tmp_path / "log.txt"
+        monkeypatch.setenv("RANGED_IO_LOG", str(log))
+        monkeypatch.setenv(
+            "SPARK_GRAFT_RANGED_IO", "ctr=tests.ranged_contract:read_ctr"
+        )
+        uri = "ctr://" + str(p).lstrip("/")
+        assert ranged_io.read_range(uri, 6, 5) == b"world"
+    finally:
+        ranged_io.unregister_scheme("ctr")
+        ranged_io._ENV_LOADED = False

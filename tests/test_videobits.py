@@ -199,3 +199,96 @@ def test_av1_spark_stats_match_params(spark):
     for mid in range(10):
         prof, level, w, h, nf = V._av1_params(mid)
         assert got[mid] == (2 + nf, nf, prof, level, w, h)
+
+
+def test_annexb_last_nal_keeps_trailing_zeros():
+    """Trailing zero bytes at end-of-stream (cabac_zero_words) belong
+    to the last NAL; only zeros preceding a FOLLOWING start code are
+    leading_zero_8bits and get trimmed."""
+    blob = (
+        V.annexb_nal(1, bytes([0x11, 0x22]))
+        + b"\x00\x00"  # leading_zero_8bits of the next start code
+        + V.annexb_nal(1, bytes([0x33, 0x00, 0x00]))
+    )
+    nals = V.parse_annexb(blob)
+    assert len(nals) == 2
+    # first NAL: the two zeros before the second start code trimmed
+    assert nals[0]["ebsp_length"] == len(V.rbsp_escape(bytes([0x11, 0x22])))
+    # last NAL: payload ends in zeros which MUST survive
+    want = len(V.rbsp_escape(bytes([0x33, 0x00, 0x00])))
+    assert nals[1]["ebsp_length"] == want
+
+
+# ---- round-8: PPS + slice headers ----------------------------------
+
+
+def test_pps_roundtrip_and_fields():
+    for cab in (False, True):
+        d = V.parse_pps(V.build_pps(cabac=cab, pic_init_qp=30))
+        assert d["cabac"] == int(cab)
+        assert d["pic_init_qp"] == 30
+        assert d["num_slice_groups"] == 1
+        assert d["num_ref_l0"] == 1 and d["num_ref_l1"] == 1
+
+
+def test_slice_header_roundtrip_idr_and_p():
+    sps = V.parse_sps(V.build_sps(8, 6))
+    for idr, st, fn in ((True, 7, 0), (False, 5, 3)):
+        rbsp = V.build_slice_header(
+            first_mb=22, slice_type=st, frame_num=fn,
+            log2_max_frame_num=sps["log2_max_frame_num"],
+            idr=idr, idr_pic_id=4,
+        ) + b"\x12\x34"  # opaque slice payload after the prefix
+        h = V.parse_slice_header(rbsp, sps, 5 if idr else 1)
+        assert h["first_mb_in_slice"] == 22
+        assert h["slice_type"] == st
+        assert h["frame_num"] == fn
+        assert h["is_idr"] is idr
+        assert h["idr_pic_id"] == (4 if idr else None)
+
+
+def test_h264_slice_census_closed_form():
+    import math
+    for mid in range(15):
+        nf, spf, gop, cab = V._h264_slices_params(mid)
+        blob = V._h264_slices_blob(mid)
+        nals = V.parse_annexb(blob)
+        sps = pps = None
+        n_pic = n_idr = 0
+        for nal in nals:
+            s = nal["offset"] + 1
+            rb = V.rbsp_unescape(blob[s : s + nal["ebsp_length"]])
+            if nal["nal_type"] == 7:
+                sps = V.parse_sps(rb)
+            elif nal["nal_type"] == 8:
+                pps = V.parse_pps(rb)
+            elif nal["nal_type"] in (1, 5):
+                h = V.parse_slice_header(rb, sps, nal["nal_type"])
+                if h["first_mb_in_slice"] == 0:
+                    n_pic += 1
+                    n_idr += int(h["is_idr"])
+        assert n_pic == nf
+        assert n_idr == math.ceil(nf / gop)
+        assert pps["cabac"] == cab
+
+
+def test_spark_h264_slice_stats(spark):
+    import math
+    docs = spark.range(8).selectExpr("id AS doc_id", "'x' AS text")
+    got = {
+        r["media_id"]: r.asDict()
+        for r in V.h264_slice_stats(
+            V.synthesize_h264_slices(docs)
+        ).collect()
+    }
+    for mid in range(8):
+        nf, spf, gop, cab = V._h264_slices_params(mid)
+        idr = math.ceil(nf / gop)
+        r = got[mid]
+        assert r["n_nals"] == 2 + nf * spf
+        assert r["n_pictures"] == nf
+        assert r["n_idr_pictures"] == idr
+        assert r["n_i_slices"] == idr * spf
+        assert r["n_p_slices"] == (nf - idr) * spf
+        assert r["max_frame_num"] == min(gop, nf) - 1
+        assert r["cabac"] == cab
