@@ -4298,6 +4298,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_adts_frames": lambda s, d: videobits.adts_frame_stats(
             videobits.synthesize_adts(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # round-8: one layer below ADTS framing -- raw_data_block
+        # element walk (PCE channel map, DSE/FIL metadata census,
+        # first audio element id) + derived AudioSpecificConfig.
+        # Audio-element SAMPLE decode is out of scope (the spectral
+        # huffman codebooks are not derivable from first principles)
+        "mm_aac_elements": lambda s, d: videobits.aac_element_stats(
+            videobits.synthesize_aac_elements(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # H.264 Annex-B NAL walk + REAL SPS decode (Exp-Golomb,
         # emulation-prevention unescape, cropping arithmetic): the
         # actual pixel resolution of every stream, no codec needed
@@ -7595,6 +7603,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(180 + 2 * (doc_id % 450) AS INT) AS height,
                    CAST(SUM(fb) AS BIGINT) AS frame_bytes
             FROM f GROUP BY doc_id ORDER BY media_id
+        """,
+        "mm_aac_elements": """
+            -- closed forms of _aac_elements_params(mid):
+            --   n_frames = 2 + mid % 3, profile = mid % 4,
+            --   n_dse/frame = mid % 3, n_fil/frame = (mid+1) % 2,
+            --   CPE vs SCE = mid % 2; PCE leads frame 0 only;
+            --   dse payload d = 3 + (mid+d) % 5 bytes,
+            --   fil payload x = 1 + (mid+x) % 7 bytes
+            WITH p AS (
+                SELECT doc_id,
+                       2 + doc_id % 3 AS nf,
+                       doc_id % 3 AS ndse,
+                       (doc_id + 1) % 2 AS nfil,
+                       doc_id % 2 AS cpe
+                FROM documents
+            ), dseb AS (
+                SELECT p.doc_id,
+                       COALESCE(SUM(3 + (p.doc_id + d.d) % 5), 0) AS b
+                FROM p LEFT JOIN (SELECT unnest(range(0, 2)) AS d) d
+                       ON d.d < p.ndse
+                GROUP BY p.doc_id
+            ), filb AS (
+                SELECT p.doc_id,
+                       COALESCE(SUM(1 + (p.doc_id + x.x) % 7), 0) AS b
+                FROM p LEFT JOIN (SELECT unnest(range(0, 1)) AS x) x
+                       ON x.x < p.nfil
+                GROUP BY p.doc_id
+            )
+            SELECT p.doc_id AS media_id,
+                   CAST(p.nf AS INT) AS n_frames,
+                   CAST(p.doc_id % 4 + 1 AS INT) AS object_type,
+                   CAST(1024 AS INT) AS frame_length,
+                   CAST(1 + p.cpe AS INT) AS pce_channels,
+                   CAST(p.nf * p.ndse AS INT) AS n_dse,
+                   CAST(p.nf * p.nfil AS INT) AS n_fil,
+                   CAST(p.nf * dseb.b AS BIGINT) AS dse_bytes,
+                   CAST(p.nf * filb.b AS BIGINT) AS fil_bytes,
+                   CAST(p.cpe AS INT) AS first_audio
+            FROM p
+            JOIN dseb ON dseb.doc_id = p.doc_id
+            JOIN filb ON filb.doc_id = p.doc_id
+            ORDER BY media_id
         """,
         "mm_h264_slices": """
             -- closed forms of _h264_slices_params(mid):

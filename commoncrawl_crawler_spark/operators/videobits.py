@@ -209,6 +209,319 @@ def adts_frame_stats(media: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# AAC raw_data_block element census (ISO 14496-3 4.4.1) -- round 8
+# --------------------------------------------------------------------
+#
+# One syntactic layer below ADTS: the raw_data_block is a sequence of
+# elements tagged by a 3-bit id_syn_ele.  The elements with explicit
+# structure -- PCE (program config, Table 4.2), DSE (data stream,
+# Table 4.10), FIL (fill, Table 4.11), END -- parse completely with
+# no codec state; the audio elements (SCE/CPE/CCE/LFE) need spectral
+# decode to skip, so the walk records the FIRST audio element's type
+# and stops there, which is exactly what a routing profiler wants
+# from an AAC file (channel layout + metadata inventory, not
+# samples).  Full AAC sample decode is out of scope by construction:
+# the scalefactor/spectral layer needs the ISO huffman codebooks,
+# which are not reproducible from first principles.
+#
+# The AudioSpecificConfig (ISO 14496-3 1.6.2.1) is derived from the
+# ADTS header fields -- audioObjectType = profile + 1, plus the
+# GASpecificConfig flags -- giving the MP4-interchange config bytes a
+# transcoding pipeline records.
+
+_AAC_SCE, _AAC_CPE, _AAC_CCE, _AAC_LFE = 0, 1, 2, 3
+_AAC_DSE, _AAC_PCE, _AAC_FIL, _AAC_END = 4, 5, 6, 7
+
+
+def build_audio_specific_config(
+    object_type: int, sr_index: int, channels: int
+) -> bytes:
+    """2-byte AudioSpecificConfig (audioObjectType < 31, GA config
+    with 1024 frame length)."""
+    w = _BitWriter()
+    w.u(object_type, 5)
+    w.u(sr_index, 4)
+    w.u(channels, 4)
+    w.u(0, 1)  # frameLengthFlag: 1024
+    w.u(0, 1)  # dependsOnCoreCoder
+    w.u(0, 1)  # extensionFlag
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    out = bytearray()
+    for i in range(0, len(w.bits), 8):
+        b = 0
+        for bit in w.bits[i : i + 8]:
+            b = (b << 1) | bit
+        out.append(b)
+    return bytes(out)
+
+
+def parse_audio_specific_config(blob: bytes) -> dict:
+    r = _BitReader(blob)
+    aot = r.u(5)
+    if aot == 31:
+        aot = 32 + r.u(6)
+    sri = r.u(4)
+    if sri == 15:
+        r.u(24)  # explicit samplingFrequency
+    ch = r.u(4)
+    return {
+        "object_type": aot,
+        "sr_index": sri,
+        "channel_config": ch,
+        "frame_length": 960 if r.u(1) else 1024,
+        "depends_on_core_coder": r.u(1),
+        "extension_flag": r.u(1),
+    }
+
+
+def _aac_align(w: _BitWriter) -> None:
+    while len(w.bits) % 8:
+        w.bits.append(0)
+
+
+def parse_pce(r: _BitReader, block_start_bit: int) -> dict:
+    """program_config_element; byte_alignment() is relative to the
+    start of the raw_data_block (block_start_bit)."""
+    out = {"instance_tag": r.u(4), "object_type": r.u(2),
+           "sr_index": r.u(4)}
+    n_front = r.u(4)
+    n_side = r.u(4)
+    n_back = r.u(4)
+    n_lfe = r.u(2)
+    n_assoc = r.u(3)
+    n_cc = r.u(4)
+    if r.u(1):
+        r.u(4)  # mono_mixdown_element_number
+    if r.u(1):
+        r.u(4)  # stereo_mixdown_element_number
+    if r.u(1):
+        r.u(3)  # matrix_mixdown_idx + pseudo_surround
+    n_channels = 0
+    for _ in range(n_front + n_side + n_back):
+        is_cpe = r.u(1)
+        r.u(4)
+        n_channels += 2 if is_cpe else 1
+    n_channels += n_lfe
+    for _ in range(n_lfe + n_assoc):
+        r.u(4)
+    for _ in range(n_cc):
+        r.u(5)
+    # byte_alignment relative to raw_data_block start
+    while (r.pos - block_start_bit) % 8:
+        r.u(1)
+    n_comment = r.u(8)
+    comment = bytes(r.u(8) for _ in range(n_comment))
+    out.update(
+        n_front=n_front, n_side=n_side, n_back=n_back, n_lfe=n_lfe,
+        n_channels=n_channels, comment=comment,
+    )
+    return out
+
+
+def parse_raw_data_block_elements(
+    payload: bytes, block_start_bit: int = 0
+) -> dict:
+    """Element walk: PCE/DSE/FIL parse completely; the first audio
+    element (SCE/CPE/CCE/LFE) terminates the walk (its payload needs
+    spectral decode to skip).  Returns the census a router needs."""
+    r = _BitReader(payload)
+    out = {
+        "n_pce": 0, "n_dse": 0, "n_fil": 0,
+        "dse_bytes": 0, "fil_bytes": 0,
+        "pce_channels": 0, "first_audio": -1, "ended": 0,
+    }
+    while True:
+        if (len(payload) * 8 - r.pos) < 3:
+            break
+        ele = r.u(3)
+        if ele == _AAC_END:
+            out["ended"] = 1
+            break
+        if ele in (_AAC_SCE, _AAC_CPE, _AAC_CCE, _AAC_LFE):
+            out["first_audio"] = ele
+            break
+        if ele == _AAC_PCE:
+            pce = parse_pce(r, block_start_bit)
+            out["n_pce"] += 1
+            out["pce_channels"] = pce["n_channels"]
+        elif ele == _AAC_DSE:
+            r.u(4)  # element_instance_tag
+            align = r.u(1)
+            cnt = r.u(8)
+            if cnt == 255:
+                cnt += r.u(8)
+            if align:
+                while (r.pos - block_start_bit) % 8:
+                    r.u(1)
+            for _ in range(cnt):
+                r.u(8)
+            out["n_dse"] += 1
+            out["dse_bytes"] += cnt
+        elif ele == _AAC_FIL:
+            cnt = r.u(4)
+            if cnt == 15:
+                cnt += r.u(8) - 1
+            for _ in range(cnt):
+                r.u(8)
+            out["n_fil"] += 1
+            out["fil_bytes"] += cnt
+        else:  # pragma: no cover -- all 8 ids handled above
+            raise ValueError(f"unhandled id_syn_ele {ele}")
+    return out
+
+
+def _aac_elements_params(mid: int) -> tuple[int, int, int, int, int, int]:
+    """(n_frames, profile, sr_index, n_dse, n_fil, first_audio_is_cpe),
+    oracle-mirrored."""
+    return (
+        2 + mid % 3,
+        mid % 4,
+        mid % 13,
+        mid % 3,
+        (mid + 1) % 2,
+        mid % 2,
+    )
+
+
+def _aac_elements_blob(mid: int) -> bytes:
+    n_frames, prof, sri, n_dse, n_fil, cpe = _aac_elements_params(mid)
+    channels = 2 if cpe else 1
+    out = bytearray()
+    for f in range(n_frames):
+        w = _BitWriter()
+        if f == 0:  # PCE leads the first frame
+            w.u(_AAC_PCE, 3)
+            w.u(0, 4)
+            w.u(prof & 3, 2)
+            w.u(sri, 4)
+            w.u(1, 4)  # one front element
+            w.u(0, 4)
+            w.u(0, 4)
+            w.u(0, 2)
+            w.u(0, 3)
+            w.u(0, 4)
+            w.u(0, 3)  # no mixdowns
+            w.u(cpe, 1)
+            w.u(0, 4)
+            _aac_align(w)  # byte_alignment rel. block start
+            comment = b"m%d" % (mid % 97)
+            w.u(len(comment), 8)
+            for b in comment:
+                w.u(b, 8)
+        for d in range(n_dse):
+            w.u(_AAC_DSE, 3)
+            w.u(d, 4)
+            w.u(0, 1)  # no alignment
+            cnt = 3 + (mid + d) % 5
+            w.u(cnt, 8)
+            for j in range(cnt):
+                w.u((mid + d + j) % 251, 8)
+        for x in range(n_fil):
+            w.u(_AAC_FIL, 3)
+            cnt = 1 + (mid + x) % 7
+            w.u(cnt, 4)
+            for j in range(cnt):
+                w.u((mid + x + j) % 240, 8)
+        # terminal audio element with an opaque spectral payload
+        w.u(_AAC_CPE if cpe else _AAC_SCE, 3)
+        w.u(0, 4)  # element_instance_tag (start of audio payload)
+        for j in range(18 + (mid + f) % 9):
+            w.u((mid * 3 + f + j) % 256, 8)
+        _aac_align(w)
+        payload = bytearray()
+        for i in range(0, len(w.bits), 8):
+            b = 0
+            for bit in w.bits[i : i + 8]:
+                b = (b << 1) | bit
+            payload.append(b)
+        out += build_adts_frame(bytes(payload), prof, sri, channels)
+    return bytes(out)
+
+
+def synthesize_aac_elements(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _aac_elements_blob)
+
+
+AAC_ELEMENT_STATS = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("object_type", IntegerType()),
+        StructField("frame_length", IntegerType()),
+        StructField("pce_channels", IntegerType()),
+        StructField("n_dse", IntegerType()),
+        StructField("n_fil", IntegerType()),
+        StructField("dse_bytes", LongType()),
+        StructField("fil_bytes", LongType()),
+        StructField("first_audio", IntegerType()),
+    ]
+)
+
+
+def aac_element_stats(media: DataFrame) -> DataFrame:
+    """Per-file AAC inventory one layer below ADTS framing: derived
+    AudioSpecificConfig (object type, frame length), PCE channel
+    map, DSE/FIL metadata census, and the first audio element id --
+    summed over frames."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AAC_ELEMENT_STATS.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                frames = parse_adts_frames(blob)
+                tot = {
+                    "n_dse": 0, "n_fil": 0, "dse_bytes": 0,
+                    "fil_bytes": 0,
+                }
+                pce_ch = 0
+                first_audio = -1
+                asc = None
+                for fr in frames:
+                    hdr = 7  # protection_absent=1 in our corpus
+                    payload = blob[
+                        fr["offset"] + hdr : fr["offset"] + fr["length"]
+                    ]
+                    if asc is None:
+                        asc = parse_audio_specific_config(
+                            build_audio_specific_config(
+                                fr["profile"] + 1,
+                                ADTS_SAMPLE_RATES.index(
+                                    fr["sample_rate"]
+                                ),
+                                fr["channels"],
+                            )
+                        )
+                    census = parse_raw_data_block_elements(payload)
+                    for k in tot:
+                        tot[k] += census[k]
+                    if census["pce_channels"]:
+                        pce_ch = census["pce_channels"]
+                    if first_audio < 0:
+                        first_audio = census["first_audio"]
+                rows["media_id"].append(int(mid))
+                rows["n_frames"].append(len(frames))
+                rows["object_type"].append(
+                    asc["object_type"] if asc else 0
+                )
+                rows["frame_length"].append(
+                    asc["frame_length"] if asc else 0
+                )
+                rows["pce_channels"].append(pce_ch)
+                rows["n_dse"].append(tot["n_dse"])
+                rows["n_fil"].append(tot["n_fil"])
+                rows["dse_bytes"].append(tot["dse_bytes"])
+                rows["fil_bytes"].append(tot["fil_bytes"])
+                rows["first_audio"].append(first_audio)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _stats, AAC_ELEMENT_STATS
+    )
+
+
+# --------------------------------------------------------------------
 # H.264 Annex B (ITU-T H.264 7.3/7.4, 9.1, Annex B)
 # --------------------------------------------------------------------
 

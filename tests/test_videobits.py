@@ -292,3 +292,71 @@ def test_spark_h264_slice_stats(spark):
         assert r["n_p_slices"] == (nf - idr) * spf
         assert r["max_frame_num"] == min(gop, nf) - 1
         assert r["cabac"] == cab
+
+
+# ---- round-8: AAC raw_data_block element census ---------------------
+
+
+def test_audio_specific_config_roundtrip():
+    for aot, sri, ch in ((2, 4, 2), (1, 11, 1), (4, 0, 6)):
+        d = V.parse_audio_specific_config(
+            V.build_audio_specific_config(aot, sri, ch)
+        )
+        assert (d["object_type"], d["sr_index"], d["channel_config"]) \
+            == (aot, sri, ch)
+        assert d["frame_length"] == 1024
+
+
+def test_pce_byte_alignment_is_block_relative():
+    """byte_alignment() inside the PCE counts bits from the
+    raw_data_block start, not the PCE start: a walk that misaligns
+    reads a garbage comment length and desyncs."""
+    blob = V._aac_elements_blob(4)  # has PCE in frame 0
+    frames = V.parse_adts_frames(blob)
+    pl = blob[frames[0]["offset"] + 7 : frames[0]["offset"]
+              + frames[0]["length"]]
+    c = V.parse_raw_data_block_elements(pl)
+    assert c["n_pce"] == 1
+    assert c["pce_channels"] in (1, 2)
+    assert c["first_audio"] in (0, 1)
+
+
+def test_aac_element_walk_closed_forms():
+    for mid in range(20):
+        nf, prof, sri, ndse, nfil, cpe = V._aac_elements_params(mid)
+        blob = V._aac_elements_blob(mid)
+        frames = V.parse_adts_frames(blob)
+        tot_dse = tot_dseb = tot_filb = 0
+        first = -1
+        for fr in frames:
+            pl = blob[fr["offset"] + 7 : fr["offset"] + fr["length"]]
+            c = V.parse_raw_data_block_elements(pl)
+            tot_dse += c["n_dse"]
+            tot_dseb += c["dse_bytes"]
+            tot_filb += c["fil_bytes"]
+            if first < 0:
+                first = c["first_audio"]
+        assert tot_dse == nf * ndse
+        assert tot_dseb == nf * sum(3 + (mid + d) % 5
+                                    for d in range(ndse))
+        assert tot_filb == nf * sum(1 + (mid + x) % 7
+                                    for x in range(nfil))
+        assert first == (1 if cpe else 0)
+
+
+def test_spark_aac_element_stats(spark):
+    docs = spark.range(8).selectExpr("id AS doc_id", "'x' AS text")
+    got = {
+        r["media_id"]: r.asDict()
+        for r in V.aac_element_stats(
+            V.synthesize_aac_elements(docs)
+        ).collect()
+    }
+    for mid in range(8):
+        nf, prof, sri, ndse, nfil, cpe = V._aac_elements_params(mid)
+        r = got[mid]
+        assert r["n_frames"] == nf
+        assert r["object_type"] == prof + 1
+        assert r["pce_channels"] == (2 if cpe else 1)
+        assert r["n_dse"] == nf * ndse
+        assert r["first_audio"] == cpe
