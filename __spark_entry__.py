@@ -35,6 +35,7 @@ from commoncrawl_crawler_spark.operators import (
     corpus,
     layout,
     mediameta,
+    mp3layer3,
     mpegsynth,
     multimodal,
     pdfdoc,
@@ -4292,6 +4293,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp2_decode": lambda s, d: container.decode_layer2(
             container.synthesize_layer2(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # round-8: FULL Layer III decode to PCM -- scalefactors
+        # (slen/scfsi sharing), count1 Huffman (table A verified as a
+        # complete prefix code; big-value tables are a documented
+        # boundary), exact power-of-two requantization, Q14 alias
+        # butterflies, fused Q14 IMDCT-36/sine-window, overlap-add,
+        # frequency inversion, Q28 polyphase -- all int64-exact
+        "mm_mp3_decode": lambda s, d: mp3layer3.layer3_pcm_stats(
+            mp3layer3.synthesize_layer3(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # AAC/ADTS transport walk (ISO 14496-3 1.A.2.2): real frame
         # headers, published sampling-frequency table, exact sample
         # accounting -- the audio-routing profile of a corpus scan
@@ -5040,6 +5050,170 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
+
+
+# ---------------------------------------------------------------
+# mm_mp3_decode oracle: the Layer III integer pipeline re-expressed
+# as DuckDB SQL.  The Q14/Q28 table literals are formatted from the
+# SAME module constants the Spark kernels use (they are fixed-point
+# spec constants, shared the way ISO tables are); the pipeline
+# STRUCTURE -- closed-form spectra, alias butterflies, IMDCT sum,
+# overlap-add, inversion, polyphase -- is written independently in
+# SQL below, so any structural mistake on either side hash-fails.
+# ---------------------------------------------------------------
+
+
+def _fd(expr: str, m: int) -> str:
+    """SQL floor division (matches Python // and int64 >> on
+    negatives, unlike a truncating integer divide)."""
+    return (
+        f"CAST(({expr} - ((({expr}) % {m}) + {m}) % {m}) // {m} "
+        "AS BIGINT)"
+    )
+
+
+def _l3_oracle_sql() -> str:
+    import numpy as _np
+
+    csq = ",".join(str(x) for x in mp3layer3.CS_Q14)
+    caq = ",".join(str(x) for x in mp3layer3.CA_Q14)
+    wq = ",".join(str(x) for x in mp3layer3.IMDCT_WIN_Q14.reshape(-1))
+    bounds = ",".join(str(x) for x in mp3layer3.SFB_LONG_44100)
+    pretab = ",".join(str(x) for x in mp3layer3.PRETAB)
+    dq = ",".join(str(x) for x in mpegsynth.SYNTH_WINDOW_Q14)
+    nq = ",".join(str(x) for x in mpegsynth.SYNTH_COS_Q14)
+    fd14_z = _fd("acc", 1 << 14)
+    fd14_a = _fd("csq[m.i+1]*a - caq[m.i+1]*bb", 1 << 14)
+    fd14_b = _fd("csq[m.i+1]*bb + caq[m.i+1]*a", 1 << 14)
+    fd28 = _fd("a", 1 << 28)
+    return f"""
+        WITH t3 AS (
+            SELECT [{csq}] AS csq, [{caq}] AS caq, [{wq}] AS wq,
+                   [{bounds}] AS bounds, [{pretab}] AS pretab,
+                   [{dq}] AS dq, [{nq}] AS nq
+        ), quads AS (
+            -- _l3_granule_spec closed forms: 2 granules, 8..19
+            -- quadruples of |is|<=1 values at lines 4q+j
+            SELECT doc_id, g.g, 4*q.q + j.j AS line,
+                   CASE WHEN (doc_id + q.q + j.j) % 2 = 1
+                        THEN -1 ELSE 1 END AS sgn
+            FROM documents,
+                 (SELECT unnest(range(0, 2)) AS g) g,
+                 (SELECT unnest(range(0, 20)) AS q) q,
+                 (SELECT unnest(range(0, 4)) AS j) j
+            WHERE q.q < 8 + (doc_id + 3*g.g) % 12
+              AND (doc_id + 3*g.g + 5*q.q + 7*j.j) % 2 = 1
+        ), bands AS (
+            SELECT b.i AS sfb, bounds[b.i+1] AS lo, bounds[b.i+2] AS hi
+            FROM t3, (SELECT unnest(range(0, 22)) AS i) b
+        ), vals AS (
+            SELECT q.doc_id, q.g, q.line,
+                   CAST(floor(q.sgn * pow(2.0, CAST((
+                       ((210 - 4*(2 + (q.doc_id + q.g) % 6)) - 210)
+                           // 2
+                       - (((q.doc_id + q.g) % 2) + 1)
+                         * (CASE WHEN q.g = 1
+                                  AND (q.doc_id % 16) //
+                                      (CASE WHEN b.sfb < 6 THEN 8
+                                            WHEN b.sfb < 11 THEN 4
+                                            WHEN b.sfb < 16 THEN 2
+                                            ELSE 1 END) % 2 = 1
+                             THEN 2*((q.doc_id + 0 + b.sfb) % 4)
+                             ELSE 2*((q.doc_id + q.g + b.sfb) % 4)
+                            END
+                            + CASE WHEN ((q.doc_id + q.g) % 2)
+                                      * ((q.doc_id // 2 + q.g) % 2)
+                                      = 1
+                                   THEN pretab[b.sfb + 1]
+                                   ELSE 0 END)
+                   ) // 2 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                       AS x_micro
+            FROM quads q
+            JOIN bands b ON q.line >= b.lo AND q.line < b.hi
+            CROSS JOIN t3
+        ), butter AS (
+            SELECT d.doc_id, g.g, i.i,
+                   18*b.b - 1 - i.i AS lo_pos, 18*b.b + i.i AS hi_pos
+            FROM documents d,
+                 (SELECT unnest(range(0, 2)) AS g) g,
+                 (SELECT unnest(range(1, 6)) AS b) b,
+                 (SELECT unnest(range(0, 8)) AS i) i
+        ), mixed AS (
+            SELECT bt.doc_id, bt.g, bt.i, bt.lo_pos, bt.hi_pos,
+                   COALESCE(vlo.x_micro, 0) AS a,
+                   COALESCE(vhi.x_micro, 0) AS bb
+            FROM butter bt
+            LEFT JOIN vals vlo ON vlo.doc_id = bt.doc_id
+                 AND vlo.g = bt.g AND vlo.line = bt.lo_pos
+            LEFT JOIN vals vhi ON vhi.doc_id = bt.doc_id
+                 AND vhi.g = bt.g AND vhi.line = bt.hi_pos
+        ), spectral AS (
+            SELECT m.doc_id, m.g, m.lo_pos AS line,
+                   {fd14_a} AS x
+            FROM mixed m CROSS JOIN t3
+            UNION ALL
+            SELECT m.doc_id, m.g, m.hi_pos AS line,
+                   {fd14_b} AS x
+            FROM mixed m CROSS JOIN t3
+            UNION ALL
+            -- positions no butterfly touches (<=9 or mod-18 in 8,9)
+            SELECT doc_id, g, line, x_micro AS x FROM vals
+            WHERE line <= 9 OR line % 18 IN (8, 9)
+        ), zacc AS (
+            SELECT s.doc_id, s.g, s.line // 18 AS sb, n.n,
+                   SUM(s.x * wq[n.n * 18 + (s.line % 18) + 1]) AS acc
+            FROM spectral s CROSS JOIN t3,
+                 (SELECT unnest(range(0, 36)) AS n) n
+            WHERE s.x <> 0
+            GROUP BY s.doc_id, s.g, s.line // 18, n.n
+        ), z AS (
+            SELECT doc_id, g, sb, n, {fd14_z} AS z FROM zacc
+        ), sgrid AS (
+            SELECT doc_id, g, sb, n,
+                   SUM(z) * (CASE WHEN sb % 2 = 1 AND n % 2 = 1
+                                  THEN -1 ELSE 1 END) AS s
+            FROM (
+                SELECT doc_id, g, sb, n, z FROM z WHERE n < 18
+                UNION ALL
+                SELECT doc_id, g + 1 AS g, sb, n - 18 AS n, z
+                FROM z WHERE n >= 18 AND g + 1 < 2
+            )
+            GROUP BY doc_id, g, sb, n
+        ), coef AS (
+            SELECT m.m, j.j, k.k,
+                   CAST(CASE WHEN m.m % 2 = 0
+                        THEN dq[(m.m // 2) * 64 + j.j + 1]
+                             * nq[j.j * 32 + k.k + 1]
+                        ELSE dq[(m.m // 2) * 64 + 32 + j.j + 1]
+                             * nq[(32 + j.j) * 32 + k.k + 1]
+                        END AS BIGINT) AS c
+            FROM t3,
+                 (SELECT unnest(range(0, 16)) AS m) m,
+                 (SELECT unnest(range(0, 32)) AS j) j,
+                 (SELECT unnest(range(0, 32)) AS k) k
+        ), acc36 AS (
+            SELECT s.doc_id, s.g * 18 + s.n + c.m AS og, c.j,
+                   CAST(SUM(c.c * s.s) AS BIGINT) AS a
+            FROM sgrid s JOIN coef c ON c.k = s.sb
+            WHERE s.s <> 0 AND s.g * 18 + s.n + c.m < 36
+            GROUP BY s.doc_id, s.g * 18 + s.n + c.m, c.j
+        ), pcm AS (
+            SELECT doc_id, {fd28} AS x FROM acc36
+        )
+        SELECT d.doc_id AS media_id, CAST(1 AS INT) AS n_frames,
+               CAST(1152 AS BIGINT) AS n_pcm,
+               CAST(COALESCE(SUM(p.x), 0) AS BIGINT)
+                   AS pcm_sum_micro,
+               CAST(COALESCE(SUM(abs(p.x)), 0) AS BIGINT)
+                   AS pcm_sum_abs_micro,
+               CAST(COALESCE(MAX(abs(p.x)), 0) AS BIGINT)
+                   AS pcm_peak_micro
+        FROM documents d LEFT JOIN pcm p ON p.doc_id = d.doc_id
+        GROUP BY d.doc_id ORDER BY media_id
+    """
+
+
+_MM_MP3_DECODE_SQL = _l3_oracle_sql()
 
 
 _CCINDEX_SQL = """
@@ -7380,6 +7554,7 @@ def oracle_sql() -> dict[str, str]:
         # prefix n per region, scfsi-effective scalefactors, grouped
         # and ungrouped codes (same modular generator), requant
         # (2c+1-n)/n on the power-of-two scale grid
+        "mm_mp3_decode": _MM_MP3_DECODE_SQL,
         "mm_mp2_decode": """
             WITH sbs AS (
                 SELECT doc_id, sb.sb, g.g, t.t,

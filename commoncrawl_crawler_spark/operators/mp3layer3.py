@@ -1,0 +1,439 @@
+"""MPEG-1 Layer III (MP3) sample decode -- ISO 11172-3 2.4.3.4.
+
+Completes the Layer III chain whose outer layers already exist in
+this package: framing walk + side info (`operators/container.py`)
+and the polyphase synthesis bank (`operators/mpegsynth.py`).  This
+module adds the middle: scalefactor read (2.4.2.7 slen pairs +
+scfsi sharing), Huffman decode of the count1 region, requantization
+(2.4.3.4.7.1), alias reduction (2.4.3.4.10.1 butterflies), the
+36-point IMDCT with the sine hybrid window (2.4.3.4.10.3, long
+blocks), overlap-add, and frequency inversion -- feeding the
+existing fixed-point polyphase bank to PCM.
+
+HUFFMAN BOUNDARY (documented, not faked): the count1 quadruple
+tables are carried in full -- table A is embedded and VERIFIED
+structurally (a complete prefix code: Kraft sum exactly 1, trie
+insertion proves prefix-freeness), table B is the spec's linear
+4-bit code (hcod = 15 - v).  The 32 big-value pair tables are
+empirically-designed code tables that cannot be re-derived from
+first principles, so big_values > 0 raises NotImplementedError
+naming the feature; every other stage of the decode is real and
+property-tested (the IMDCT/window satisfies the Princen-Bradley
+TDAC identity, checked against a closed-form forward MDCT in the
+tests).
+
+EXACTNESS CONTRACT (the decode_layer1/layer2 discipline carried one
+layer further): the gate path is exact int64 end-to-end.  Requantized
+spectral values are powers of two (|is| <= 1 makes the 4/3 power
+exact; the synthesizer pins global_gain = 210 mod 4 and even
+scalefactors so exponents are integers), quantized to micro ints;
+alias butterflies and the fused IMDCT-window matrix are Q14 integer
+literals applied with FLOOR division; overlap-add and frequency
+inversion are integer ops; the polyphase is mpegsynth's Q28 integer
+bank.  Overflow headroom: |x_micro| < 2^19 (exponent <= -2 enforced
+by the synthesizer), IMDCT sums 18 terms * 2^14 -> |subband micro| <
+2^23, within mpegsynth's documented 512-term int64 budget.
+
+At 100 TB: one Arrow-batched mapInPandas kernel per file; payloads
+never shuffle; per-file cost is a few small int64 matmuls.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .container import (
+    _BitReaderMSB,
+    _BitWriterMSB,
+    _BITRATE_V1,
+    _SAMPLE_RATE_V1,
+    encode_mp3_sideinfo_mono,
+    parse_mp3_sideinfo_mono,
+    parse_mpeg_audio_frames,
+)
+from .mpegsynth import LAYER1_PCM_STATS, synthesize_granules_q
+from .multimodal import _synthesize_media
+
+# ---------------------------------------------------------------
+# tables (ISO 11172-3)
+# ---------------------------------------------------------------
+
+# 2.4.2.7: scalefac_compress -> (slen1, slen2)
+SLEN1 = [0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4]
+SLEN2 = [0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3]
+
+# Table B.8 long-block scalefactor band boundaries, 44.1 kHz
+# (22 boundaries delimit sfb 0..20 plus the unscaled top region)
+SFB_LONG_44100 = [
+    0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134,
+    162, 196, 238, 288, 342, 418, 576,
+]
+_SFB_LONG = {44100: SFB_LONG_44100}
+
+# Table B.6 preemphasis
+PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3,
+          2, 0]
+
+# count1 region quadruple Huffman tables (Annex B.7).  Table A:
+# (hlen, hcod) per quadruple index (v<<3 | w<<2 | x<<1 | y); verified
+# complete + prefix-free in tests.  Table B is linear: 4 bits,
+# hcod = 15 - idx.
+COUNT1_A_LEN = [1, 4, 4, 5, 4, 6, 5, 6, 4, 5, 5, 6, 5, 6, 6, 6]
+COUNT1_A_COD = [1, 5, 4, 5, 6, 5, 4, 4, 7, 3, 6, 0, 7, 2, 3, 1]
+
+# alias-reduction coefficients (2.4.3.4.10.1): ci -> cs, ca
+ALIAS_CI = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
+            -0.0037]
+CS_Q14 = [
+    round((1.0 / math.sqrt(1.0 + c * c)) * (1 << 14)) for c in ALIAS_CI
+]
+CA_Q14 = [
+    round((c / math.sqrt(1.0 + c * c)) * (1 << 14)) for c in ALIAS_CI
+]
+
+
+def _imdct36_window_q14() -> np.ndarray:
+    """Fused IMDCT-36 x sine-window matrix for long blocks
+    (2.4.3.4.10.3 block_type 0), Q14 integers:
+    W[n][i] = round(cos(pi/72 (2n+1+18)(2i+1)) * sin(pi/36 (n+1/2))
+              * 2^14)."""
+    w = np.zeros((36, 18), dtype=np.int64)
+    for n in range(36):
+        win = math.sin(math.pi / 36.0 * (n + 0.5))
+        for i in range(18):
+            c = math.cos(
+                math.pi / 72.0 * (2 * n + 1 + 18) * (2 * i + 1)
+            )
+            w[n, i] = round(c * win * (1 << 14))
+    return w
+
+
+IMDCT_WIN_Q14 = _imdct36_window_q14()
+
+
+def imdct36_float(x: np.ndarray) -> np.ndarray:
+    """Float reference IMDCT-36 + sine window (the structural form
+    the Q14 matrix is generated from)."""
+    n = np.arange(36)
+    i = np.arange(18)
+    c = np.cos(
+        np.pi / 72.0 * np.outer(2 * n + 19, 2 * i + 1)
+    )
+    win = np.sin(np.pi / 36.0 * (n + 0.5))
+    return (c @ x) * win
+
+
+def mdct18_float(block: np.ndarray) -> np.ndarray:
+    """Forward windowed MDCT (36 time samples -> 18 coefficients),
+    the analysis twin used by the TDAC property test:
+    X[i] = sum_n z[n] win[n] cos(pi/72 (2n+1+18)(2i+1))."""
+    n = np.arange(36)
+    i = np.arange(18)
+    win = np.sin(np.pi / 36.0 * (n + 0.5))
+    c = np.cos(np.pi / 72.0 * np.outer(2 * n + 19, 2 * i + 1))
+    return (block * win) @ c
+
+
+def _count1_decode_tree(table_a: bool) -> dict:
+    """Binary trie for the selected count1 table; raises on any
+    prefix collision, so building it PROVES the code is valid."""
+    if table_a:
+        pairs = list(zip(COUNT1_A_LEN, COUNT1_A_COD))
+    else:
+        pairs = [(4, 15 - v) for v in range(16)]
+    tree: dict = {}
+    for v, (ln, code) in enumerate(pairs):
+        node = tree
+        for b in format(code, f"0{ln}b"):
+            if "leaf" in node:
+                raise ValueError(f"prefix collision at value {v}")
+            node = node.setdefault(b, {})
+        if node:
+            raise ValueError(f"code for {v} is a prefix of another")
+        node["leaf"] = v
+    return tree
+
+
+_TREES = {True: _count1_decode_tree(True),
+          False: _count1_decode_tree(False)}
+
+N_SFB_LONG = 21  # transmitted long-block scalefactors (sfb 0..20)
+_SCFSI_GROUPS = [(0, 6), (6, 11), (11, 16), (16, 21)]
+
+
+# ---------------------------------------------------------------
+# encoder (synthesizer side)
+# ---------------------------------------------------------------
+
+
+def encode_mpeg1_layer3_frame(
+    granule_specs: list[dict], scfsi: int = 0, sr_idx: int = 0
+) -> bytes:
+    """One mono MPEG-1 Layer III frame.  Each granule spec:
+    global_gain, scalefac_compress, scalefac_scale, preflag,
+    count1table_select, scalefacs (21 ints), quads (list of
+    (v,w,x,y,sv,sw,sx,sy) value/sign tuples, big_values = 0)."""
+    bw = _BitWriterMSB()
+    si = []
+    for g_i, g in enumerate(granule_specs):
+        bits_before = len(bw.bits)
+        slen1, slen2 = SLEN1[g["scalefac_compress"]], \
+            SLEN2[g["scalefac_compress"]]
+        for sfb in range(N_SFB_LONG):
+            if g_i == 1 and any(
+                (scfsi >> (3 - grp)) & 1 and lo <= sfb < hi
+                for grp, (lo, hi) in enumerate(_SCFSI_GROUPS)
+            ):
+                continue  # shared with granule 0, not transmitted
+            bw.write(g["scalefacs"][sfb], slen1 if sfb < 11 else slen2)
+        table_a = g["count1table_select"] == 0
+        for quad in g["quads"]:
+            v, w, x, y = quad[:4]
+            idx = (v << 3) | (w << 2) | (x << 1) | y
+            if table_a:
+                bw.write(COUNT1_A_COD[idx], COUNT1_A_LEN[idx])
+            else:
+                bw.write(15 - idx, 4)
+            for bit_i, val in enumerate((v, w, x, y)):
+                if val:
+                    bw.write(quad[4 + bit_i], 1)  # sign: 1 = negative
+        si.append(
+            {
+                "part2_3_length": len(bw.bits) - bits_before,
+                "big_values": 0,
+                "global_gain": g["global_gain"],
+                "scalefac_compress": g["scalefac_compress"],
+                "window_switching": 0,
+                "block_type": 0,
+                "mixed_block": 0,
+                "table_select": [0, 0, 0],
+                "subblock_gain": [0, 0, 0],
+                "region0_count": 0,
+                "region1_count": 0,
+                "preflag": g["preflag"],
+                "scalefac_scale": g["scalefac_scale"],
+                "count1table_select": g["count1table_select"],
+            }
+        )
+    sideinfo = encode_mp3_sideinfo_mono(0, scfsi, si)
+    main = bw.tobytes((len(bw.bits) + 7) // 8)
+    need = 4 + 17 + len(main)
+    sr = _SAMPLE_RATE_V1[sr_idx]
+    for br_idx in range(1, 15):
+        length = 144 * _BITRATE_V1[3][br_idx] * 1000 // sr
+        if length >= need:
+            break
+    else:
+        raise ValueError("main data exceeds the largest L3 frame")
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC4])
+    return hdr + sideinfo + main + bytes(length - need)
+
+
+# ---------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------
+
+
+def decode_mpeg1_layer3_frame(frame: bytes) -> np.ndarray:
+    """One mono Layer III frame -> (2, 576) int64 micro spectral
+    values (requantized, pre-alias).  main_data_begin must be 0 (no
+    bit reservoir across frames -- each frame self-contained, which
+    is how the synthesizer writes them and how seekable corpus
+    processing wants them)."""
+    if frame[0] != 0xFF or (frame[1] & 0xE0) != 0xE0:
+        raise ValueError("bad sync")
+    if ((frame[1] >> 1) & 0x3) != 0b01:
+        raise ValueError("not layer III")
+    sr = _SAMPLE_RATE_V1[(frame[2] >> 2) & 0x3]
+    if sr not in _SFB_LONG:
+        raise NotImplementedError(
+            f"Table B.8 row for {sr} Hz not embedded (44100 only)"
+        )
+    bounds = _SFB_LONG[sr]
+    si = parse_mp3_sideinfo_mono(frame[4:21])
+    if si["main_data_begin"] != 0:
+        raise NotImplementedError(
+            "bit reservoir (main_data_begin > 0) spans frames"
+        )
+    br = _BitReaderMSB(frame[21:])
+    out = np.zeros((2, 576), dtype=np.int64)
+    sf_prev = [0] * N_SFB_LONG
+    for g_i, g in enumerate(si["granules"]):
+        if g["window_switching"]:
+            raise NotImplementedError(
+                "short/mixed blocks (window_switching) not decoded"
+            )
+        if g["big_values"] != 0:
+            raise NotImplementedError(
+                "big-value Huffman tables are not re-derivable from "
+                "first principles; only the count1 region decodes"
+            )
+        start = br.pos
+        slen1 = SLEN1[g["scalefac_compress"]]
+        slen2 = SLEN2[g["scalefac_compress"]]
+        sf = [0] * N_SFB_LONG
+        for sfb in range(N_SFB_LONG):
+            shared = g_i == 1 and any(
+                (si["scfsi"] >> (3 - grp)) & 1 and lo <= sfb < hi
+                for grp, (lo, hi) in enumerate(_SCFSI_GROUPS)
+            )
+            if shared:
+                sf[sfb] = sf_prev[sfb]
+            else:
+                sf[sfb] = br.read(slen1 if sfb < 11 else slen2)
+        tree = _TREES[g["count1table_select"] == 0]
+        line = 0
+        while br.pos - start < g["part2_3_length"] and line <= 572:
+            node = tree
+            while "leaf" not in node:
+                node = node[str(br.read(1))]
+            idx = node["leaf"]
+            vals = [(idx >> 3) & 1, (idx >> 2) & 1,
+                    (idx >> 1) & 1, idx & 1]
+            for j, v in enumerate(vals):
+                if v and br.read(1):
+                    vals[j] = -1
+            for j, v in enumerate(vals):
+                if v == 0:
+                    line += 1
+                    continue
+                sfb = 0
+                while bounds[sfb + 1] <= line:
+                    sfb += 1
+                pre = PRETAB[sfb] if g["preflag"] else 0
+                sf_eff = sf[sfb] if sfb < N_SFB_LONG else 0
+                # requantization 2.4.3.4.7.1 with |is| <= 1 (so the
+                # 4/3 power is exact): xr = v * 2^e,
+                # e = (gg-210)/4 - ((ss+1)/2)*(sf + pre).  The
+                # exponent is carried DOUBLED so both scalefac_scale
+                # multipliers stay integral; the synthesizer
+                # guarantees ex2 even (exact micro), the odd case is
+                # the honest float fallback for foreign streams.
+                ex2 = (g["global_gain"] - 210) // 2 \
+                    - (g["scalefac_scale"] + 1) * (sf_eff + pre)
+                x = v * (2.0 ** (ex2 / 2.0) if ex2 % 2
+                         else 2.0 ** (ex2 // 2))
+                out[g_i, line] = math.floor(x * 1e6 + 0.5)
+                line += 1
+        sf_prev = sf
+    return out
+
+
+def hybrid_to_subbands_q(spectral_micro: np.ndarray) -> np.ndarray:
+    """(G, 576) micro spectral grid -> (G*18, 32) micro subband
+    samples: Q14 alias butterflies, fused Q14 IMDCT-window, 18-sample
+    overlap-add, frequency inversion.  Exact int64 (floor-division
+    fixed point) -- the SQL-replicable gate path."""
+    s = np.asarray(spectral_micro, dtype=np.int64)
+    g_total = s.shape[0]
+    xr = s.reshape(g_total, 32, 18).copy()
+    # alias reduction (2.4.3.4.10.1): butterflies across each
+    # subband boundary
+    cs = np.asarray(CS_Q14, dtype=np.int64)
+    ca = np.asarray(CA_Q14, dtype=np.int64)
+    for b in range(1, 32):
+        for i in range(8):
+            lo = xr[:, b - 1, 17 - i].copy()
+            hi = xr[:, b, i].copy()
+            xr[:, b - 1, 17 - i] = (cs[i] * lo - ca[i] * hi) >> 14
+            xr[:, b, i] = (cs[i] * hi + ca[i] * lo) >> 14
+    # fused IMDCT-36 + sine window, Q14
+    z = np.einsum("gsk,nk->gsn", xr, IMDCT_WIN_Q14) >> 14
+    # overlap-add: granule g head + granule g-1 tail
+    sub = np.zeros((g_total, 32, 18), dtype=np.int64)
+    sub += z[:, :, :18]
+    sub[1:] += z[:-1, :, 18:]
+    # frequency inversion: odd time samples of odd subbands negate
+    sub[:, 1::2, 1::2] *= -1
+    # (G, 32, 18) -> (G*18, 32) granule-major time steps
+    return sub.transpose(0, 2, 1).reshape(g_total * 18, 32)
+
+
+def decode_layer3_to_pcm_q(blob: bytes) -> tuple[int, np.ndarray]:
+    """Full chain: frame walk -> spectral micro -> hybrid -> Q28
+    polyphase.  Returns (n_frames, int64 micro PCM)."""
+    _, frames = parse_mpeg_audio_frames(blob)
+    spectra = []
+    for fr in frames:
+        if fr["layer"] != 3:
+            raise ValueError("not a layer III stream")
+        spectra.append(
+            decode_mpeg1_layer3_frame(
+                blob[fr["offset"] : fr["offset"] + fr["length"]]
+            )
+        )
+    grid = hybrid_to_subbands_q(np.concatenate(spectra, axis=0))
+    return len(frames), synthesize_granules_q(grid)
+
+
+# ---------------------------------------------------------------
+# synthesizer + gate
+# ---------------------------------------------------------------
+
+
+def _l3_granule_spec(mid: int, g: int) -> dict:
+    """Oracle-mirrored granule content: count1-only spectra with
+    power-of-two magnitudes (integral exponents by construction)."""
+    ss = (mid + g) % 2
+    preflag = ss * ((mid // 2 + g) % 2)  # only with multiplier 1.0
+    n_quads = 8 + (mid + 3 * g) % 12
+    quads = []
+    for q in range(n_quads):
+        vals = tuple(
+            (mid + 3 * g + 5 * q + 7 * j) % 2 for j in range(4)
+        )
+        signs = tuple((mid + q + j) % 2 for j in range(4))
+        quads.append(vals + signs)
+    return {
+        "global_gain": 210 - 4 * (2 + (mid + g) % 6),  # e in [-7,-2]
+        "scalefac_compress": 15,  # slen1=4, slen2=3
+        "scalefac_scale": ss,
+        "preflag": preflag,
+        "count1table_select": (mid + g) % 2,
+        "scalefacs": [2 * ((mid + g + sfb) % 4)
+                      for sfb in range(N_SFB_LONG)],
+        "quads": quads,
+    }
+
+
+def _l3_blob(mid: int) -> bytes:
+    return encode_mpeg1_layer3_frame(
+        [_l3_granule_spec(mid, 0), _l3_granule_spec(mid, 1)],
+        scfsi=mid % 16,
+        sr_idx=0,
+    )
+
+
+def synthesize_layer3(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _l3_blob)
+
+
+def layer3_pcm_stats(media: DataFrame) -> DataFrame:
+    """Layer III frames -> PCM accounting via the exact integer
+    pipeline (same stats row shape as the Layer I/II gates)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in LAYER1_PCM_STATS.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                n_frames, pcm = decode_layer3_to_pcm_q(bytes(blob))
+                rows["media_id"].append(int(mid))
+                rows["n_frames"].append(n_frames)
+                rows["n_pcm"].append(int(pcm.size))
+                rows["pcm_sum_micro"].append(int(pcm.sum()))
+                rows["pcm_sum_abs_micro"].append(
+                    int(np.abs(pcm).sum())
+                )
+                rows["pcm_peak_micro"].append(
+                    int(np.abs(pcm).max()) if pcm.size else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _decode, LAYER1_PCM_STATS
+    )

@@ -153,3 +153,33 @@ def test_layer2_pcm_chain(spark):
         assert r["n_pcm"] == 1152 == pcm.size
         assert r["pcm_sum_micro"] == int(pcm.sum())
         assert r["pcm_sum_abs_micro"] == int(np.abs(pcm).sum())
+
+
+# ---- round-8: ISO Table C.1 drop-in seam ----------------------------
+
+
+def test_window_validator_accepts_shipped_rejects_garbage():
+    import numpy as np
+    snr = S.validate_synthesis_window(
+        np.asarray(S.SYNTH_WINDOW_Q14, dtype=np.float64) / (1 << 14)
+    )
+    assert snr > 35.0
+    with pytest.raises(ValueError, match="not a synthesis window"):
+        S.validate_synthesis_window(np.ones(512))
+    with pytest.raises(ValueError, match="512 taps"):
+        S.validate_synthesis_window(np.ones(100))
+
+
+def test_window_loader_roundtrip(tmp_path):
+    import numpy as np
+    w = np.asarray(S.SYNTH_WINDOW_Q14, dtype=np.float64) / (1 << 14)
+    p = tmp_path / "window.txt"
+    p.write_text("\n".join(f"{x:.9f}" for x in w))
+    q14 = S.load_window_q14(str(p))
+    assert len(q14) == 512
+    # quantize(noquantize(q14)) is the identity here
+    assert q14 == list(S.SYNTH_WINDOW_Q14)
+    bad = tmp_path / "bad.txt"
+    bad.write_text("1.0 " * 512)
+    with pytest.raises(ValueError, match="not a synthesis window"):
+        S.load_window_q14(str(bad))
