@@ -1935,7 +1935,12 @@ def _archive_roundtrip(s: SparkSession, d: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("key"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    archive.write_archive(docs, tmp, rotate_bytes=1 << 20)
+    # parallel writers: the parquet scan arrives single-partition at
+    # small SF, which would serialize the render+gzip (sf1 spot-bench
+    # measured alpha~1.6 on the one-task write); spread by key
+    archive.write_archive(
+        docs.repartition(8, "key"), tmp, rotate_bytes=1 << 20
+    )
     rd = archive.read_archive(s, tmp)
     return rd.select(
         F.col("key").cast("long").alias("doc_id"),
@@ -1972,7 +1977,7 @@ def _arc_v1_roundtrip(s: SparkSession, d: str) -> DataFrame:
             F.struct(F.lit("lang").alias("key"), F.col("lang").alias("value")),
         ).alias("headers"),
     )
-    archive.write_arc_v1(docs, tmp)
+    archive.write_arc_v1(docs.repartition(8, "url"), tmp)
     rd = archive.read_arc_v1(s, tmp)
     xdoc = F.get(F.filter("headers", lambda h: h["key"] == F.lit("x-doc")), 0)
     lang = F.get(F.filter("headers", lambda h: h["key"] == F.lit("lang")), 0)
@@ -2016,7 +2021,7 @@ def _warc_roundtrip(s: SparkSession, d: str) -> DataFrame:
         F.lit("application/http; msgtype=response").alias("content_type"),
         F.encode("text", "UTF-8").alias("block"),
     )
-    archive.write_warc(docs, tmp)
+    archive.write_warc(docs.repartition(8, "record_id"), tmp)
     rd = archive.read_warc(s, tmp)
     return (
         rd.select(
@@ -2060,7 +2065,7 @@ def _cdx_index_gate(s: SparkSession, d: str) -> DataFrame:
         F.lit("application/http; msgtype=response").alias("content_type"),
         F.encode("text", "UTF-8").alias("block"),
     )
-    archive.write_warc(docs, tmp)
+    archive.write_warc(docs.repartition(8, "record_id"), tmp)
     idx = archive.cdx_index(archive.read_warc(s, tmp))
     return idx.select(
         "urlkey", "timestamp", "original", "mime", "digest"
@@ -2103,7 +2108,7 @@ def _warc_http_extract(s: SparkSession, d: str) -> DataFrame:
         F.lit("application/http; msgtype=response").alias("content_type"),
         http_block.alias("block"),
     )
-    archive.write_warc(docs, tmp)
+    archive.write_warc(docs.repartition(8, "record_id"), tmp)
     return (
         archive.warc_http_responses(archive.read_warc(s, tmp))
         .select(
@@ -3437,7 +3442,7 @@ def _warc_dechunk_gate(s: SparkSession, d: str) -> DataFrame:
         F.lit("application/http; msgtype=response").alias("content_type"),
         http_block.alias("block"),
     )
-    archive.write_warc(docs, tmp)
+    archive.write_warc(docs.repartition(8, "record_id"), tmp)
     out = archive.dechunk_http_bodies(
         archive.warc_http_responses(archive.read_warc(s, tmp))
     )

@@ -259,52 +259,85 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     documents: DataFrame, threshold: float = 0.4, length_band: int = 64
 ) -> DataFrame:
-    """Exact token-set Jaccard similarity join with length blocking.
+    """Exact token-set Jaccard similarity join with length blocking
+    and prefix filtering.
 
-    The non-sketch baseline: block by (lang, length band) so the
-    quadratic pairwise stays within small buckets, then compute exact
-    Jaccard with JVM array ops. At 100 TB you'd use minhash_lsh_pairs;
-    this is the oracle-friendly exact twin.
+    The non-sketch baseline.  Candidates come from an equi-join on
+    PREFIX tokens only -- each document's n - floor(t*n) + 1
+    globally-rarest tokens (one conservative token longer than the
+    exact n - ceil(t*n) + 1, so float thresholds can never shorten
+    the prefix below the theorem's bound) -- under the same (lang,
+    length-band) blocking as before; exact Jaccard is then verified
+    on the full token arrays, so the output is IDENTICAL to the
+    naive all-pairs join within blocks.
+
+    Why not the token-level intersect-count join this used to be:
+    joining on EVERY shared token is quadratic in a token's document
+    frequency, and corpus-frequent tokens make that blow up with
+    corpus size -- the round-8 sf1 spot-bench measured alpha = 2.19
+    (4.6 s -> 713 s at 10x data).  Prefix filtering sends only rare
+    tokens to the join (Chaudhuri et al. ICDE'06; Bayardo et al.
+    WWW'07): a stopword lands in a prefix only for documents made of
+    nothing but stopwords, so candidate volume tracks the true
+    near-duplicate density, not the Zipf head.
     """
     toks = documents.select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / length_band).alias("lb"),
         F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
-    ).withColumn("n", F.size("tokens"))
-    # intersect via token-level equi-join + count, not per-pair
-    # array_intersect: |a ∩ b| = #rows sharing (block, token). The
-    # shuffle is narrow (doc ids + one token) and combines map-side;
-    # per-pair hash-set builds (interpreted, ~30us each) disappear.
-    # Zero-overlap pairs drop out -- their jaccard is 0 < threshold.
-    # The size-ratio prune (jaccard <= min(n)/max(n)) is output-
-    # neutral and cuts pairs before the shuffle.
+    ).withColumn("n", F.size("tokens")).localCheckpoint(eager=True)
     tl = F.lit(float(threshold))
     tok_rows = toks.select(
         "doc_id", "lang", "lb", "n", F.explode("tokens").alias("tok")
-    ).localCheckpoint(eager=True)
-    a, b = tok_rows.alias("a"), tok_rows.alias("b")
-    inter_counts = (
+    )
+    freq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pre = (
+        tok_rows.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.floor(tl * F.col("n")) + F.lit(1)
+        )
+        .select("doc_id", "lang", "lb", "n", "tok")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.lb") == F.col("b.lb"))
             & (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio prune: jaccard <= min(n)/max(n) -- output-
+            # neutral, cuts candidates before the distinct
             & (F.col("a.n") >= tl * F.col("b.n"))
             & (F.col("b.n") >= tl * F.col("a.n")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .distinct()
     )
+    ta = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tokens").alias("toks_a"),
+        F.col("n").alias("n_a"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tokens").alias("toks_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.col("n_a") + F.col("n_b") - F.col("inter")
     return (
-        inter_counts.select(
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("inter", inter)
+        .select(
             "doc_a",
             "doc_b",
             F.round(F.col("inter") / union, 6).alias("jaccard"),
