@@ -171,13 +171,12 @@ _SCFSI_GROUPS = [(0, 6), (6, 11), (11, 16), (16, 21)]
 # ---------------------------------------------------------------
 
 
-def encode_mpeg1_layer3_frame(
-    granule_specs: list[dict], scfsi: int = 0, sr_idx: int = 0
-) -> bytes:
-    """One mono MPEG-1 Layer III frame.  Each granule spec:
-    global_gain, scalefac_compress, scalefac_scale, preflag,
-    count1table_select, scalefacs (21 ints), quads (list of
-    (v,w,x,y,sv,sw,sx,sy) value/sign tuples, big_values = 0)."""
+def _render_main_data(
+    granule_specs: list[dict], scfsi: int
+) -> tuple[list[dict], bytes]:
+    """Scalefactor + count1 Huffman bits for one frame's two
+    granules -> (side-info granule dicts with exact part2_3_length,
+    byte-aligned main-data bytes)."""
     bw = _BitWriterMSB()
     si = []
     for g_i, g in enumerate(granule_specs):
@@ -220,18 +219,90 @@ def encode_mpeg1_layer3_frame(
                 "count1table_select": g["count1table_select"],
             }
         )
-    sideinfo = encode_mp3_sideinfo_mono(0, scfsi, si)
-    main = bw.tobytes((len(bw.bits) + 7) // 8)
+    return si, bw.tobytes((len(bw.bits) + 7) // 8)
+
+
+def _l3_header_bytes(br_idx: int, sr_idx: int) -> bytes:
+    return bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC4])
+
+
+def _l3_frame_length(br_idx: int, sr_idx: int) -> int:
+    return 144 * _BITRATE_V1[3][br_idx] * 1000 // _SAMPLE_RATE_V1[sr_idx]
+
+
+def encode_mpeg1_layer3_frame(
+    granule_specs: list[dict], scfsi: int = 0, sr_idx: int = 0
+) -> bytes:
+    """One SELF-CONTAINED mono MPEG-1 Layer III frame
+    (main_data_begin = 0).  Each granule spec: global_gain,
+    scalefac_compress, scalefac_scale, preflag, count1table_select,
+    scalefacs (21 ints), quads (list of (v,w,x,y,sv,sw,sx,sy)
+    value/sign tuples, big_values = 0)."""
+    si, main = _render_main_data(granule_specs, scfsi)
     need = 4 + 17 + len(main)
-    sr = _SAMPLE_RATE_V1[sr_idx]
     for br_idx in range(1, 15):
-        length = 144 * _BITRATE_V1[3][br_idx] * 1000 // sr
-        if length >= need:
+        if _l3_frame_length(br_idx, sr_idx) >= need:
             break
     else:
         raise ValueError("main data exceeds the largest L3 frame")
-    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC4])
-    return hdr + sideinfo + main + bytes(length - need)
+    sideinfo = encode_mp3_sideinfo_mono(0, scfsi, si)
+    return (
+        _l3_header_bytes(br_idx, sr_idx)
+        + sideinfo
+        + main
+        + bytes(_l3_frame_length(br_idx, sr_idx) - need)
+    )
+
+
+def encode_layer3_stream_reservoir(
+    frames: list[tuple[list[dict], int]], sr_idx: int = 0
+) -> bytes:
+    """The SAME granule content as consecutive self-contained frames,
+    packed with the BIT RESERVOIR: the main-data pool is laid out
+    contiguously (frame f's data immediately after frame f-1's) and
+    each frame's side info points back into earlier frames' slack
+    via main_data_begin = seg_start - data_start (2.4.2.7).  One
+    fixed bitrate sized to the prefix-average so the reservoir
+    genuinely builds up (main_data_begin > 0 from frame 1 onward
+    whenever sizes vary).
+
+    `frames` is a list of (granule_specs, scfsi) pairs."""
+    rendered = [
+        (_render_main_data(specs, scfsi), scfsi)
+        for specs, scfsi in frames
+    ]
+    mains = [main for (_, main), _ in rendered]
+    # segment length: enough that every prefix of main data fits in
+    # the segments written so far (data may never arrive later than
+    # its own frame), and that main_data_begin stays within 9 bits
+    seg_len = 0
+    total = 0
+    for f, main in enumerate(mains, start=1):
+        total += len(main)
+        seg_len = max(seg_len, -(-total // f))  # ceil prefix average
+    need = 4 + 17 + seg_len
+    for br_idx in range(1, 15):
+        if _l3_frame_length(br_idx, sr_idx) >= need:
+            break
+    else:
+        raise ValueError("main data exceeds the largest L3 frame")
+    seg_len = _l3_frame_length(br_idx, sr_idx) - 21
+    pool = b"".join(mains)
+    pool += bytes(len(mains) * seg_len - len(pool))  # trailing stuffing
+    out = bytearray()
+    data_start = 0
+    for f, ((si, main), scfsi) in enumerate(rendered):
+        begin = f * seg_len - data_start
+        if not 0 <= begin <= 511:
+            raise ValueError(
+                f"main_data_begin {begin} out of 9-bit range at "
+                f"frame {f} -- vary content or bitrate"
+            )
+        out += _l3_header_bytes(br_idx, sr_idx)
+        out += encode_mp3_sideinfo_mono(begin, scfsi, si)
+        out += pool[f * seg_len : (f + 1) * seg_len]
+        data_start += len(main)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------
@@ -239,12 +310,9 @@ def encode_mpeg1_layer3_frame(
 # ---------------------------------------------------------------
 
 
-def decode_mpeg1_layer3_frame(frame: bytes) -> np.ndarray:
-    """One mono Layer III frame -> (2, 576) int64 micro spectral
-    values (requantized, pre-alias).  main_data_begin must be 0 (no
-    bit reservoir across frames -- each frame self-contained, which
-    is how the synthesizer writes them and how seekable corpus
-    processing wants them)."""
+def _check_l3_header(frame: bytes) -> list[int]:
+    """Header checks shared by the frame and stream decoders;
+    returns the sfb boundary table for the frame's sample rate."""
     if frame[0] != 0xFF or (frame[1] & 0xE0) != 0xE0:
         raise ValueError("bad sync")
     if ((frame[1] >> 1) & 0x3) != 0b01:
@@ -254,13 +322,30 @@ def decode_mpeg1_layer3_frame(frame: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"Table B.8 row for {sr} Hz not embedded (44100 only)"
         )
-    bounds = _SFB_LONG[sr]
+    return _SFB_LONG[sr]
+
+
+def decode_mpeg1_layer3_frame(frame: bytes) -> np.ndarray:
+    """One SELF-CONTAINED mono Layer III frame -> (2, 576) int64
+    micro spectral values (requantized, pre-alias).  main_data_begin
+    must be 0 here; reservoir streams go through
+    `decode_layer3_stream`, which feeds this same granule decoder
+    from the rolling main-data pool."""
+    bounds = _check_l3_header(frame)
     si = parse_mp3_sideinfo_mono(frame[4:21])
     if si["main_data_begin"] != 0:
-        raise NotImplementedError(
-            "bit reservoir (main_data_begin > 0) spans frames"
+        raise ValueError(
+            "frame is not self-contained (main_data_begin > 0); "
+            "use decode_layer3_stream for reservoir streams"
         )
-    br = _BitReaderMSB(frame[21:])
+    return _decode_granules(si, _BitReaderMSB(frame[21:]), bounds)
+
+
+def _decode_granules(
+    si: dict, br: "_BitReaderMSB", bounds: list[int]
+) -> np.ndarray:
+    """Both granules of one frame out of a positioned main-data
+    reader (scalefactors + count1 Huffman + requantization)."""
     out = np.zeros((2, 576), dtype=np.int64)
     sf_prev = [0] * N_SFB_LONG
     for g_i, g in enumerate(si["granules"]):
@@ -324,6 +409,43 @@ def decode_mpeg1_layer3_frame(frame: bytes) -> np.ndarray:
     return out
 
 
+def decode_layer3_stream(blob: bytes) -> np.ndarray:
+    """Frame walk with the BIT RESERVOIR (2.4.2.7 main_data_begin):
+    every frame's post-side-info bytes join a rolling main-data pool,
+    and frame f's granule data begins main_data_begin bytes BEFORE
+    f's own segment -- i.e. inside earlier frames' slack.  Returns
+    the (2F, 576) micro spectral grid.  A main_data_begin reaching
+    back past the accumulated pool is a loud error (a mid-stream
+    decoder would skip the frame; a corpus pass wants the failure
+    attributable)."""
+    _, frames = parse_mpeg_audio_frames(blob)
+    pool = bytearray()
+    plan: list[tuple[dict, int, list[int]]] = []
+    for fr in frames:
+        if fr["layer"] != 3:
+            raise ValueError("not a layer III stream")
+        frame = blob[fr["offset"] : fr["offset"] + fr["length"]]
+        bounds = _check_l3_header(frame)
+        si = parse_mp3_sideinfo_mono(frame[4:21])
+        seg_start = len(pool)
+        pool += frame[21:]
+        start = seg_start - si["main_data_begin"]
+        if start < 0:
+            raise ValueError(
+                f"main_data_begin {si['main_data_begin']} reaches "
+                f"past the reservoir ({seg_start} bytes pooled)"
+            )
+        plan.append((si, start, bounds))
+    reader = _BitReaderMSB(bytes(pool))
+    spectra = []
+    for si, start, bounds in plan:
+        reader.pos = start * 8
+        spectra.append(_decode_granules(si, reader, bounds))
+    if not spectra:
+        return np.zeros((0, 576), dtype=np.int64)
+    return np.concatenate(spectra, axis=0)
+
+
 def hybrid_to_subbands_q(spectral_micro: np.ndarray) -> np.ndarray:
     """(G, 576) micro spectral grid -> (G*18, 32) micro subband
     samples: Q14 alias butterflies, fused Q14 IMDCT-window, 18-sample
@@ -355,20 +477,11 @@ def hybrid_to_subbands_q(spectral_micro: np.ndarray) -> np.ndarray:
 
 
 def decode_layer3_to_pcm_q(blob: bytes) -> tuple[int, np.ndarray]:
-    """Full chain: frame walk -> spectral micro -> hybrid -> Q28
-    polyphase.  Returns (n_frames, int64 micro PCM)."""
-    _, frames = parse_mpeg_audio_frames(blob)
-    spectra = []
-    for fr in frames:
-        if fr["layer"] != 3:
-            raise ValueError("not a layer III stream")
-        spectra.append(
-            decode_mpeg1_layer3_frame(
-                blob[fr["offset"] : fr["offset"] + fr["length"]]
-            )
-        )
-    grid = hybrid_to_subbands_q(np.concatenate(spectra, axis=0))
-    return len(frames), synthesize_granules_q(grid)
+    """Full chain: reservoir-aware frame walk -> spectral micro ->
+    hybrid -> Q28 polyphase.  Returns (n_frames, int64 micro PCM)."""
+    spectra = decode_layer3_stream(blob)
+    grid = hybrid_to_subbands_q(spectra)
+    return spectra.shape[0] // 2, synthesize_granules_q(grid)
 
 
 # ---------------------------------------------------------------

@@ -166,3 +166,64 @@ def test_spark_gate_matches_driver(spark):
         assert r["pcm_sum_micro"] == int(pcm.sum())
         assert r["pcm_sum_abs_micro"] == int(np.abs(pcm).sum())
         assert r["pcm_peak_micro"] == int(np.abs(pcm).max())
+
+
+def test_bit_reservoir_differential_identical_pcm():
+    """The same granule content packed self-contained vs with the
+    bit reservoir (main_data_begin > 0, data spilled into earlier
+    frames' slack) must decode to IDENTICAL PCM -- the reservoir is
+    transport, not content."""
+    for mid in (0, 4, 9):
+        frames = [
+            (
+                [L3._l3_granule_spec(mid + f, 0),
+                 L3._l3_granule_spec(mid + f, 1)],
+                (mid + f) % 16,
+            )
+            for f in range(3)
+        ]
+        plain = b"".join(
+            L3.encode_mpeg1_layer3_frame(specs, scfsi)
+            for specs, scfsi in frames
+        )
+        res = L3.encode_layer3_stream_reservoir(frames)
+        # the reservoir must actually be exercised
+        _, frs = C.parse_mpeg_audio_frames(res)
+        begins = [
+            C.parse_mp3_sideinfo_mono(
+                res[fr["offset"] + 4 : fr["offset"] + 21]
+            )["main_data_begin"]
+            for fr in frs
+        ]
+        assert begins[0] == 0 and all(b > 0 for b in begins[1:])
+        n1, pcm1 = L3.decode_layer3_to_pcm_q(plain)
+        n2, pcm2 = L3.decode_layer3_to_pcm_q(res)
+        assert n1 == n2 == 3
+        assert np.array_equal(pcm1, pcm2)
+
+
+def test_reservoir_underflow_is_loud():
+    """A main_data_begin reaching past the accumulated pool is a
+    loud, attributable error."""
+    frames = [
+        ([L3._l3_granule_spec(1, 0), L3._l3_granule_spec(1, 1)], 0)
+    ]
+    blob = bytearray(L3.encode_layer3_stream_reservoir(frames))
+    si = C.parse_mp3_sideinfo_mono(bytes(blob[4:21]))
+    patched = bytes(blob[:4]) + C.encode_mp3_sideinfo_mono(
+        100, si["scfsi"], si["granules"]
+    ) + bytes(blob[21:])
+    with pytest.raises(ValueError, match="reservoir"):
+        L3.decode_layer3_stream(patched)
+
+
+def test_frame_decoder_requires_self_contained():
+    frames = [
+        ([L3._l3_granule_spec(2, 0), L3._l3_granule_spec(2, 1)], 0),
+        ([L3._l3_granule_spec(3, 0), L3._l3_granule_spec(3, 1)], 0),
+    ]
+    res = L3.encode_layer3_stream_reservoir(frames)
+    _, frs = C.parse_mpeg_audio_frames(res)
+    f1 = res[frs[1]["offset"] : frs[1]["offset"] + frs[1]["length"]]
+    with pytest.raises(ValueError, match="decode_layer3_stream"):
+        L3.decode_mpeg1_layer3_frame(f1)
