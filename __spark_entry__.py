@@ -4394,6 +4394,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_font_profile": lambda s, d: pdfdoc.font_profile(
             pdfdoc.synthesize_fonts(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # round-8: the same fonts WOFF-1.0-wrapped (the form web
+        # crawls actually see): 44-byte header, 20-byte directory,
+        # per-table zlib (both stored and deflated exercised), logical
+        # sfnt rebuilt so head/name decode is literally shared.
+        # WOFF2 = Brotli = documented NotImplementedError
+        "doc_woff_profile": lambda s, d: pdfdoc.woff_profile(
+            pdfdoc.synthesize_woff(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # consistent-hash ring (Karger 1997): the elastic upgrade of
         # the reference's modulo host-sharding; ring broadcast, one
         # min_by per distinct key
@@ -7903,6 +7911,19 @@ def oracle_sql() -> dict[str, str]:
             FROM texts ORDER BY media_id
         """,
         "doc_font_profile": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'cff'
+                        ELSE 'truetype' END AS flavor,
+                   CAST(4 AS INT) AS n_tables,
+                   CAST([1000,2048,1024,2000][doc_id % 4 + 1] AS INT)
+                       AS units_per_em,
+                   'Corpus Sans ' || CAST(doc_id % 29 AS VARCHAR)
+                       AS family
+            FROM documents ORDER BY media_id
+        """,
+        "doc_woff_profile": """
+            -- identical logical profile to doc_font_profile: the
+            -- WOFF wrapper is transport
             SELECT doc_id AS media_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'cff'
                         ELSE 'truetype' END AS flavor,

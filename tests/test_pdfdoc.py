@@ -266,3 +266,46 @@ def test_corrupt_xref_stream_is_loud():
     bad = blob.replace(b"/W [1 3 2] ", b"")
     with pytest.raises(ValueError, match="missing /W"):
         P.parse_pdf(bad)
+
+
+# ---- round-8: WOFF 1.0 ----------------------------------------------
+
+
+def test_woff_roundtrip_stored_and_deflated():
+    for mid in range(12):
+        flavor, upm, family = P._font_params(mid)
+        d = P.parse_woff(P._woff_blob(mid))
+        assert (d["flavor"], d["units_per_em"], d["family"]) == (
+            flavor, upm, family,
+        )
+        assert d["container"] == "woff"
+        assert d["tags"] == ["head", "hhea", "maxp", "name"]
+
+
+def test_woff_rejections():
+    blob = P._woff_blob(1)
+    with pytest.raises(ValueError, match="not a WOFF"):
+        P.parse_woff(b"XXXX" + blob[4:])
+    with pytest.raises(NotImplementedError, match="Brotli"):
+        P.parse_woff(b"wOF2" + blob[4:])
+    with pytest.raises(ValueError, match="length field"):
+        P.parse_woff(blob + b"\x00")
+    # corrupt a directory origLength so decompressed size mismatches
+    import struct
+    bad = bytearray(blob)
+    # first directory entry: offset 44, origLength at +12
+    orig = struct.unpack_from(">I", bad, 44 + 12)[0]
+    struct.pack_into(">I", bad, 44 + 12, orig + 1)
+    with pytest.raises(ValueError):
+        P.parse_woff(bytes(bad))
+
+
+def test_spark_woff_profile(spark):
+    docs = spark.range(6).selectExpr("id AS doc_id", "'x' AS text")
+    rows = P.woff_profile(P.synthesize_woff(docs)).collect()
+    assert len(rows) == 6
+    for r in rows:
+        f, upm, fam = P._font_params(r["media_id"])
+        assert (r["flavor"], r["units_per_em"], r["family"]) == (
+            f, upm, fam,
+        )
