@@ -4231,6 +4231,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SRT/WebVTT subtitle cues: timestamp grammar (comma AND dot
         # millis, optional hours), header/id/settings handling --
         # the alignment units a caption corpus trains on
+        # round-8: the WebVTT twin -- magic + header metadata block,
+        # named cue ids, cue settings after the end timestamp, short
+        # MM:SS.mmm timestamps; identical cue timing closed forms
+        "source_vtt_cues": lambda s, d: packfiles.subtitle_stats(
+            packfiles.synthesize_webvtt(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         "source_srt_cues": lambda s, d: packfiles.subtitle_stats(
             packfiles.synthesize_srt(_t(s, d, "documents"))
         ).orderBy("media_id"),
@@ -7179,6 +7185,26 @@ def oracle_sql() -> dict[str, str]:
         # cue k of media id runs 1500+((id+k)%5)*250 ms with 100 ms
         # gaps, starting at (id%7) seconds
         "source_srt_cues": """
+            WITH p AS (
+                SELECT doc_id AS media_id, 2 + doc_id % 4 AS n
+                FROM documents
+            )
+            SELECT media_id, CAST(n AS INT) AS n_cues,
+                   CAST(list_sum(
+                       [1500 + ((media_id + k) % 5) * 250
+                        FOR k IN range(0, n)]) AS BIGINT)
+                       AS total_cue_ms,
+                   CAST(list_sum(
+                       [1500 + ((media_id + k) % 5) * 250
+                        FOR k IN range(0, n)])
+                        + (n - 1) * 100 AS BIGINT) AS span_ms,
+                   'cue-' || CAST(media_id AS VARCHAR) || '-0'
+                       AS first_text
+            FROM p ORDER BY media_id
+        """,
+        "source_vtt_cues": """
+            -- identical timing closed forms to source_srt_cues: the
+            -- WebVTT grammar differs, the cue content does not
             WITH p AS (
                 SELECT doc_id AS media_id, 2 + doc_id % 4 AS n
                 FROM documents

@@ -676,6 +676,42 @@ def synthesize_srt(documents: DataFrame) -> DataFrame:
     )
 
 
+def _vtt_text(mid: int) -> str:
+    """WebVTT twin of _srt_text, exercising the VTT-specific grammar:
+    the WEBVTT magic + header metadata block, NAMED cue ids, cue
+    settings after the end timestamp, and the short MM:SS.mmm
+    timestamp form (hours omitted)."""
+    n = 2 + mid % 4
+    out = ["WEBVTT - corpus track", "Kind: captions",
+           f"Language: l{mid % 5}", ""]
+    t = (mid % 7) * 1000
+    for k in range(n):
+        dur = 1500 + ((mid + k) % 5) * 250
+
+        def _ts(ms: int) -> str:
+            if ms < 3600000:  # short form: MM:SS.mmm
+                return f"{ms//60000:02d}:{ms//1000%60:02d}.{ms%1000:03d}"
+            return (
+                f"{ms//3600000:02d}:{ms//60000%60:02d}:"
+                f"{ms//1000%60:02d}.{ms%1000:03d}"
+            )
+
+        out.append(f"cueid-{mid}-{k}")
+        out.append(
+            f"{_ts(t)} --> {_ts(t + dur)} align:start position:10%"
+        )
+        out.append(f"cue-{mid}-{k}")
+        out.append("")
+        t += dur + 100
+    return "\n".join(out)
+
+
+def synthesize_webvtt(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(
+        documents, lambda mid: _vtt_text(mid).encode("utf-8")
+    )
+
+
 SUBTITLE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -193,3 +193,32 @@ def test_attr_list_scan_edge_cases():
         "B": "unterminated,oops"
     }
     assert P._parse_attr_list("") == {}
+
+
+# ---- round-8: WebVTT twin -------------------------------------------
+
+
+def test_webvtt_grammar_branches():
+    """The VTT synthesizer exercises what SRT cannot: WEBVTT magic +
+    header metadata block, named cue ids, settings after the end
+    timestamp, and short MM:SS.mmm timestamps."""
+    text = P._vtt_text(3)
+    assert text.startswith("WEBVTT")
+    assert "Kind: captions" in text
+    assert "align:start" in text
+    cues = P.parse_subtitles(text)
+    srt_cues = P.parse_subtitles(P._srt_text(3))
+    # identical cue timing/content between the two grammars
+    assert cues == srt_cues
+
+
+def test_webvtt_hour_form_and_bad_cue():
+    import pytest as _pytest
+    cues = P.parse_subtitles(
+        "WEBVTT\n\n01:02:03.500 --> 01:02:04.000\nhello\n"
+    )
+    assert cues[0]["start_ms"] == 3723500
+    with _pytest.raises(ValueError, match="ends before"):
+        P.parse_subtitles(
+            "WEBVTT\n\n00:10.000 --> 00:05.000\nbackwards\n"
+        )
