@@ -4395,6 +4395,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pdf_xrefstream": lambda s, d: pdfdoc.pdf_profile(
             pdfdoc.synthesize_pdf_xrefstream(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # round-8: owner-locked PDFs (standard security handler
+        # 7.6.3, RC4 /V 1-2, EMPTY user password -- the form crawls
+        # actually see): authenticate via /U, per-object keys,
+        # streams decrypted before filters. AES (/V 4+) raises named
+        "doc_pdf_encrypted": lambda s, d: pdfdoc.pdf_profile(
+            pdfdoc.synthesize_pdf_encrypted(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # OpenType/TrueType sfnt table directory + head/name decode:
         # the web-font routing profile (flavor, unitsPerEm, family)
         "doc_font_profile": lambda s, d: pdfdoc.font_profile(
@@ -7905,6 +7912,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id AS media_id, '1.7' AS version,
                    CAST(2 * (1 + doc_id % 4) + 2 AS INT) AS n_objects,
+                   CAST(1 + doc_id % 4 AS INT) AS n_pages,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   substr(text, 1, 64) AS text_head
+            FROM texts ORDER BY media_id
+        """,
+        "doc_pdf_encrypted": """
+            WITH runs AS (
+                SELECT doc_id, p.p, r.r,
+                       'doc-' || CAST(doc_id AS VARCHAR) || ' page-'
+                       || CAST(p.p AS VARCHAR) || ' run-'
+                       || CAST(r.r AS VARCHAR) AS run
+                FROM documents,
+                     (SELECT unnest(range(0, 4)) AS p) p,
+                     (SELECT unnest(range(0, 3)) AS r) r
+                WHERE p.p < 1 + doc_id % 4 AND r.r < 1 + doc_id % 3
+            ), texts AS (
+                SELECT doc_id,
+                       string_agg(run, ' ' ORDER BY p, r) AS text
+                FROM runs GROUP BY doc_id
+            )
+            -- identical logical profile to doc_pdf_profile except:
+            -- version 1.4 (the RC4 handler era) and one extra object
+            -- (the /Encrypt dictionary)
+            SELECT doc_id AS media_id, '1.4' AS version,
+                   CAST(2 * (1 + doc_id % 4) + 3 AS INT) AS n_objects,
                    CAST(1 + doc_id % 4 AS INT) AS n_pages,
                    CAST(length(text) AS BIGINT) AS n_chars,
                    substr(text, 1, 64) AS text_head

@@ -337,6 +337,181 @@ def _stream_data(body: bytes) -> bytes | None:
     return _decode_stream(dict_bytes, raw)
 
 
+# --------------------------------------------------------------------
+# Standard security handler, RC4 tier (ISO 32000-1 7.6.2/7.6.3)
+# --------------------------------------------------------------------
+#
+# The common crawled "encrypted" PDF is owner-locked with an EMPTY
+# user password: fully readable by design, the /Encrypt dict only
+# gates editing.  A corpus pass must read these.  This implements the
+# standard security handler for /V 1 and 2 (RC4-40..128, revisions
+# 2/3): key derivation (Algorithm 2), /O and /U computation
+# (Algorithms 3-5), per-object keys, and transparent stream
+# decryption.  /V 4+ (AES) raises a named NotImplementedError.
+# RC4 itself is ~10 lines of public arithmetic; MD5 is hashlib.
+
+import hashlib as _hashlib
+
+# the spec's fixed 32-byte password padding string (7.6.3.3)
+_PDF_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + _PDF_PAD)[:32]
+
+
+def _owner_key(owner_pw: bytes, n: int, r: int) -> bytes:
+    h = _hashlib.md5(_pad_password(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = _hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def compute_o_value(owner_pw: bytes, user_pw: bytes, n: int, r: int) -> bytes:
+    """/O entry (Algorithm 3): the user password RC4-encrypted under
+    the owner-password key (19 XOR-variant rounds for R3)."""
+    key = _owner_key(owner_pw, n, r)
+    o = _rc4(key, _pad_password(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def compute_encryption_key(
+    user_pw: bytes, o_value: bytes, p: int, file_id: bytes,
+    n: int, r: int,
+) -> bytes:
+    """File encryption key (Algorithm 2)."""
+    m = _hashlib.md5()
+    m.update(_pad_password(user_pw))
+    m.update(o_value)
+    m.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    m.update(file_id)
+    h = m.digest()
+    if r >= 3:
+        for _ in range(50):
+            h = _hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def compute_u_value(key: bytes, file_id: bytes, r: int) -> bytes:
+    """/U entry (Algorithm 4 for R2, Algorithm 5 for R3)."""
+    if r == 2:
+        return _rc4(key, _PDF_PAD)
+    h = _hashlib.md5(_PDF_PAD + file_id).digest()
+    u = _rc4(key, h)
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u + bytes(16)  # R3 /U is 16 significant + 16 pad bytes
+
+
+def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    m = _hashlib.md5()
+    m.update(file_key)
+    m.update(num.to_bytes(3, "little"))
+    m.update(gen.to_bytes(2, "little"))
+    return m.digest()[: min(len(file_key) + 5, 16)]
+
+
+class _Decryptor:
+    """Per-object RC4 stream decryption under an authenticated
+    empty-user-password file key."""
+
+    def __init__(self, file_key: bytes):
+        self.file_key = file_key
+
+    def decrypt(self, num: int, data: bytes) -> bytes:
+        return _rc4(_object_key(self.file_key, num), data)
+
+
+def _hex_or_literal_id(trailer: bytes) -> bytes:
+    """First element of the trailer /ID array (hex or literal)."""
+    m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", trailer)
+    if m:
+        return bytes.fromhex(m.group(1).decode("ascii"))
+    m = re.search(rb"/ID\s*\[\s*\(", trailer)
+    if m:
+        return _literal_strings(trailer[m.end() - 1 :])[0]
+    return b""
+
+
+def open_standard_security(
+    enc_dict: bytes, trailer: bytes, user_pw: bytes = b""
+) -> "_Decryptor":
+    """Authenticate against the standard security handler and return
+    a decryptor, or raise: NotImplementedError for AES (/V >= 4) or
+    non-Standard filters, ValueError when the password is wrong."""
+    filt = _dict_name(enc_dict, b"Filter")
+    if filt != "Standard":
+        raise NotImplementedError(
+            f"PDF security handler /{filt} unsupported"
+        )
+    v = _dict_int(enc_dict, b"V") or 0
+    r = _dict_int(enc_dict, b"R") or 2
+    if v not in (1, 2):
+        raise NotImplementedError(
+            f"PDF encryption /V {v} (AES) needs the crypt layer"
+        )
+    n = (_dict_int(enc_dict, b"Length") or 40) // 8
+    pm = re.search(rb"/P\s+(-?\d+)", enc_dict)
+    p = int(pm.group(1)) if pm else -1
+    strings = _literal_strings(enc_dict)
+    hexes = [
+        bytes.fromhex(h.decode("ascii"))
+        for h in re.findall(rb"<([0-9A-Fa-f]+)>", enc_dict)
+    ]
+    blobs = strings + hexes
+    o_value = next((b for b in blobs if len(b) >= 32), None)
+    # /O and /U are both 32 bytes; bind them by key order in the dict
+    om = re.search(rb"/O\s*[(<]", enc_dict)
+    um = re.search(rb"/U\s*[(<]", enc_dict)
+    if not (om and um):
+        raise ValueError("encryption dict missing /O or /U")
+
+    def _value_at(pos: int) -> bytes:
+        if enc_dict[pos] == 0x28:  # (
+            return _literal_strings(enc_dict[pos:])[0]
+        m2 = re.match(rb"<([0-9A-Fa-f]+)>", enc_dict[pos:])
+        return bytes.fromhex(m2.group(1).decode("ascii"))
+
+    o_value = _value_at(om.end() - 1)
+    u_value = _value_at(um.end() - 1)
+    file_id = _hex_or_literal_id(trailer)
+    key = compute_encryption_key(user_pw, o_value, p, file_id, n, r)
+    want_u = compute_u_value(key, file_id, r)
+    got, want = u_value[:16], want_u[:16]
+    if r == 2:
+        got, want = u_value[:32], want_u[:32]
+    if got != want:
+        raise ValueError(
+            "user password does not authenticate (U mismatch)"
+        )
+    return _Decryptor(key)
+
+
 def parse_objstm(dict_bytes: bytes, data: bytes) -> dict[int, bytes]:
     """Unpack a /Type /ObjStm payload (7.5.7): /N integer pairs
     `objnum offset` relative to /First, each an embedded non-stream
@@ -546,38 +721,58 @@ def parse_pdf(blob: bytes) -> dict:
     xref_dicts: list[bytes] = []
     n_containers = 0
     objects: dict[int, _PdfObj] = {}
-    objstm_data: list[tuple[bytes, bytes]] = []
+    objstm_data: list[tuple[bytes, _PdfObj, int]] = []
     for num, obj in scanned.items():
         t = _dict_name(obj.dict, b"Type")
         if t == "ObjStm":
             n_containers += 1
-            objstm_data.append(
-                (obj.dict, _decode_stream(obj.dict, obj.raw_stream))
-            )
+            objstm_data.append((obj.dict, obj, num))
         elif t == "XRef":
             n_containers += 1
             xref_dicts.append(obj.dict)
             # decode eagerly so a corrupt xref stream (bad /W,
-            # truncated rows, broken predictor) is a loud error
+            # truncated rows, broken predictor) is a loud error;
+            # the XRef stream is NEVER encrypted (7.5.8.2)
             parse_xref_stream(
                 obj.dict, _decode_stream(obj.dict, obj.raw_stream)
             )
         objects[num] = obj
-    for d, data in objstm_data:
-        for objnum, body in parse_objstm(d, data).items():
-            # xref order of precedence: a direct (uncompressed)
-            # definition seen by the scanner wins over a compressed
-            # twin, matching incremental-update semantics well enough
-            # for a profile pass
-            objects.setdefault(objnum, _PdfObj(body, None, None))
     trailer_dicts: list[bytes] = []
     tr = blob.rfind(b"trailer")
     if tr >= 0:
         tend = blob.find(b">>", tr)
         trailer_dicts.append(blob[tr : tend + 2 if tend >= 0 else None])
     trailer_dicts.extend(xref_dicts)
+    # standard security handler: the common crawled case is an
+    # owner-locked file with an EMPTY user password -- readable by
+    # design, so open it (RC4 /V 1-2; AES raises named)
+    decryptor = None
     if any(b"/Encrypt" in t for t in trailer_dicts):
-        raise NotImplementedError("encrypted PDF needs the crypt layer")
+        enc_refs: list[int] = []
+        for t in trailer_dicts:
+            enc_refs.extend(_parse_dict_refs(t, b"Encrypt"))
+        enc_obj = next(
+            (objects[rf] for rf in enc_refs if rf in objects), None
+        )
+        if enc_obj is None:
+            raise NotImplementedError(
+                "encrypted PDF: /Encrypt dictionary unresolved"
+            )
+        decryptor = open_standard_security(
+            enc_obj.dict, b" ".join(trailer_dicts)
+        )
+    for d, obj, num in objstm_data:
+        raw = obj.raw_stream
+        if decryptor is not None and raw is not None:
+            raw = decryptor.decrypt(num, raw)
+        for objnum, body in parse_objstm(
+            d, _decode_stream(d, raw)
+        ).items():
+            # xref order of precedence: a direct (uncompressed)
+            # definition seen by the scanner wins over a compressed
+            # twin, matching incremental-update semantics well enough
+            # for a profile pass
+            objects.setdefault(objnum, _PdfObj(body, None, None))
     root_ids: list[int] = []
     for t in trailer_dicts:
         root_ids.extend(_parse_dict_refs(t, b"Root"))
@@ -608,9 +803,12 @@ def parse_pdf(blob: bytes) -> dict:
     for num in sorted(page_objs):
         for cnum in _parse_dict_refs(objects[num].dict, b"Contents"):
             if cnum in objects and objects[cnum].raw_stream is not None:
-                data = _decode_stream(
-                    objects[cnum].dict, objects[cnum].raw_stream
-                )
+                raw = objects[cnum].raw_stream
+                if decryptor is not None:
+                    # decryption precedes filters (7.6.2: the stream
+                    # is encrypted AFTER filtering at write time)
+                    raw = decryptor.decrypt(cnum, raw)
+                data = _decode_stream(objects[cnum].dict, raw)
                 text_runs.extend(extract_text_runs(data))
     return {
         "version": version,
@@ -685,6 +883,96 @@ def _content_stream_body(runs: list[str], compress: bool) -> bytes:
     return (
         b"<< /Length %d >>\nstream\n" % len(ops) + ops + b"\nendstream"
     )
+
+
+def build_pdf_encrypted(
+    pages: list[list[str]],
+    compress: bool = False,
+    r: int = 3,
+    key_bits: int = 128,
+    owner_pw: bytes = b"owner",
+    user_pw: bytes = b"",
+    version: str = "1.4",
+) -> bytes:
+    """The same logical document as `build_pdf`, protected by the
+    standard security handler (7.6.3): /V 1 (RC4-40, R2) or /V 2
+    (RC4-n, R3), stream payloads RC4-encrypted under per-object keys.
+    The default empty user password is the owner-locked form crawls
+    actually see."""
+    n = key_bits // 8 if r >= 3 else 5
+    v = 2 if r >= 3 else 1
+    p = -44  # permission bits: a typical owner-locked value
+    file_id = _hashlib.md5(
+        repr(pages).encode() + bytes([r, n])
+    ).digest()
+    o_val = compute_o_value(owner_pw, user_pw, n, r)
+    key = compute_encryption_key(user_pw, o_val, p, file_id, n, r)
+    u_val = compute_u_value(key, file_id, r)
+
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    content_ids = []
+    for runs in pages:
+        num = len(objs) + 1
+        body = _content_stream_body(runs, compress)
+        # split the built body and RC4 the payload (same length, so
+        # /Length stays correct)
+        i = body.index(b"stream\n") + 7
+        j = body.rindex(b"\nendstream")
+        enc = _rc4(_object_key(key, num), body[i:j])
+        content_ids.append(add(body[:i] + enc + body[j:]))
+    kids = []
+    pages_id = len(objs) + len(pages) + 2
+    for cid in content_ids:
+        kids.append(
+            add(
+                b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R "
+                b"/MediaBox [0 0 612 792] >>" % (pages_id, cid)
+            )
+        )
+    catalog_id = add(b"")
+    real_pages_id = add(
+        b"<< /Type /Pages /Kids ["
+        + b" ".join(b"%d 0 R" % k for k in kids)
+        + b"] /Count %d >>" % len(kids)
+    )
+    objs[catalog_id - 1] = (
+        b"<< /Type /Catalog /Pages %d 0 R >>" % real_pages_id
+    )
+    enc_id = add(
+        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+        b"/O <%s> /U <%s> >>"
+        % (
+            v, r, n * 8, p,
+            o_val.hex().encode("ascii"),
+            u_val.hex().encode("ascii"),
+        )
+    )
+    out = bytearray(b"%%PDF-%s\n" % version.encode("ascii"))
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R /Encrypt %d 0 R "
+        b"/ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (
+            len(objs) + 1, catalog_id, enc_id,
+            file_id.hex().encode("ascii"),
+            file_id.hex().encode("ascii"),
+            xref_at,
+        )
+    )
+    return bytes(out)
 
 
 def _png_predict_up(data: bytes, columns: int) -> bytes:
@@ -800,6 +1088,26 @@ def _pdf_blob(mid: int) -> bytes:
 
 def synthesize_pdf(documents: DataFrame) -> DataFrame:
     return _synthesize_media(documents, _pdf_blob)
+
+
+def _pdf_enc_blob(mid: int) -> bytes:
+    """The same logical document as `_pdf_blob(mid)`, owner-locked
+    with an empty user password (R2/RC4-40 and R3/RC4-128 mixed)."""
+    n_pages, rpp, comp = _pdf_params(mid)
+    pages = [
+        [f"doc-{mid} page-{p} run-{r}" for r in range(rpp)]
+        for p in range(n_pages)
+    ]
+    return build_pdf_encrypted(
+        pages,
+        compress=bool(comp),
+        r=2 if mid % 2 else 3,
+        key_bits=40 if mid % 2 else 128,
+    )
+
+
+def synthesize_pdf_encrypted(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _pdf_enc_blob)
 
 
 def _pdf_xs_blob(mid: int) -> bytes:

@@ -309,3 +309,65 @@ def test_spark_woff_profile(spark):
         assert (r["flavor"], r["units_per_em"], r["family"]) == (
             f, upm, fam,
         )
+
+
+# ---- round-8: standard security handler (RC4) -----------------------
+
+
+def test_encrypted_differential_with_plain():
+    """Owner-locked (empty user password) R2/RC4-40 and R3/RC4-128
+    builds must profile identically to the plain build except the
+    /Encrypt dictionary object itself."""
+    for mid in range(8):
+        n_pages, rpp, comp = P._pdf_params(mid)
+        pages = [
+            [f"doc-{mid} page-{p} run-{r}" for r in range(rpp)]
+            for p in range(n_pages)
+        ]
+        plain = P.parse_pdf(
+            P.build_pdf(pages, compress=bool(comp), version="1.4")
+        )
+        for r, bits in ((2, 40), (3, 128)):
+            enc = P.parse_pdf(
+                P.build_pdf_encrypted(
+                    pages, compress=bool(comp), r=r, key_bits=bits
+                )
+            )
+            assert enc["text"] == plain["text"]
+            assert enc["n_pages"] == plain["n_pages"]
+            assert enc["n_objects"] == plain["n_objects"] + 1
+
+
+def test_encryption_authentication_and_boundaries():
+    # a real (non-empty) user password must NOT authenticate empty
+    blob = P.build_pdf_encrypted([["x"]], user_pw=b"secret")
+    with pytest.raises(ValueError, match="does not authenticate"):
+        P.parse_pdf(blob)
+    # AES (/V 4) is the documented boundary
+    aes = P.build_pdf_encrypted([["x"]]).replace(b"/V 2", b"/V 4")
+    with pytest.raises(NotImplementedError, match="AES"):
+        P.parse_pdf(aes)
+    # unresolvable /Encrypt ref stays a loud encrypted-PDF error
+    plain = P.build_pdf([["x"]])
+    dangling = plain.replace(b"/Root", b"/Encrypt 99 0 R /Root")
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        P.parse_pdf(dangling)
+
+
+def test_rc4_and_key_derivation_shapes():
+    """RC4 is its own inverse; O/U values have the spec's widths; the
+    R3 50-fold MD5 iteration changes the key (i.e. actually runs)."""
+    key, data = b"k3y", b"payload bytes"
+    assert P._rc4(key, P._rc4(key, data)) == data
+    o2 = P.compute_o_value(b"ow", b"", 5, 2)
+    o3 = P.compute_o_value(b"ow", b"", 16, 3)
+    assert len(o2) == 32 and len(o3) == 32 and o2 != o3
+    fid = bytes(range(16))
+    k2 = P.compute_encryption_key(b"", o2, -44, fid, 5, 2)
+    k3 = P.compute_encryption_key(b"", o2, -44, fid, 5, 3)
+    assert len(k2) == 5 and len(k3) == 5 and k2 != k3
+    assert len(P.compute_u_value(k3, fid, 3)) == 32
+    # per-object keys differ by object number and cap at 16 bytes
+    fk = bytes(16)
+    assert P._object_key(fk, 1) != P._object_key(fk, 2)
+    assert len(P._object_key(fk, 1)) == 16
