@@ -5066,9 +5066,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_domain_rank",
         "graph_inverse_links",
         # ---- next in line for the round-9 driver window ---------
-        # (new / code-changed this round; swept in SELF_r08)
+        # (new / code-changed in round 8; swept in SELF_r08*):
+        # new gates: doc_pdf_xrefstream, doc_pdf_encrypted,
+        #   doc_woff_profile, mm_mp3_decode, mm_h264_slices,
+        #   mm_aac_elements, source_vtt_cues;
+        # code-changed: doc_pdf_profile (scanner rewrite),
+        #   dedup_ngram_jaccard (prefix filtering), the six archive
+        #   write gates (repartition), mm_h264_sps (NAL trim),
+        #   mm_mp2_decode (CRC skip), mm_mp1/mm_mp2 (window seam)
         "doc_pdf_xrefstream",
+        "doc_pdf_encrypted",
+        "doc_woff_profile",
+        "mm_mp3_decode",
+        "mm_h264_slices",
+        "mm_aac_elements",
+        "source_vtt_cues",
         "doc_pdf_profile",
+        "dedup_ngram_jaccard",
+        "source_arc_v1_roundtrip",
+        "source_warc_http_extract",
+        "source_cdx_index",
+        "source_warc_dechunk",
+        "source_archive_roundtrip",
+        "source_warc_roundtrip",
         "mm_h264_sps",
         "mm_mp2_decode",
         "mm_mp1_synthesis",

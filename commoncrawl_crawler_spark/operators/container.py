@@ -2059,38 +2059,65 @@ parse_ico_entries = _corrupt_guard("ico")(parse_ico_entries)
 # audio corpora.
 
 
-def build_id3v2(frames: list[tuple[str, str]], encoding: int = 3) -> bytes:
-    """ID3v2.3 tag with the given text frames (encoding 3 = UTF-8,
-    0 = ISO-8859-1)."""
+def _syncsafe32(size: int) -> bytes:
+    return bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+         (size >> 7) & 0x7F, size & 0x7F]
+    )
+
+
+def build_id3v2(
+    frames: list[tuple[str, str]], encoding: int = 3, version: int = 3
+) -> bytes:
+    """ID3v2.3 or v2.4 tag with the given text frames (encoding 3 =
+    UTF-8, 0 = ISO-8859-1).  The wire difference that matters: v2.4
+    frame sizes are SYNCSAFE (id3v2.4.0-structure 4), v2.3 sizes are
+    plain 32-bit."""
+    if version not in (3, 4):
+        raise ValueError(f"ID3v2.{version} not supported")
     body = bytearray()
     for fid, text in frames:
         payload = bytes([encoding]) + (
             text.encode("utf-8") if encoding == 3
             else text.encode("latin-1")
         )
-        body += fid.encode("ascii") + len(payload).to_bytes(4, "big")
+        body += fid.encode("ascii")
+        body += (
+            _syncsafe32(len(payload)) if version == 4
+            else len(payload).to_bytes(4, "big")
+        )
         body += b"\x00\x00" + payload
-    size = len(body)
-    syncsafe = bytes(
-        [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
-         (size >> 7) & 0x7F, size & 0x7F]
+    return (
+        b"ID3" + bytes([version, 0, 0])
+        + _syncsafe32(len(body)) + bytes(body)
     )
-    return b"ID3\x03\x00\x00" + syncsafe + bytes(body)
 
 
 def parse_id3v2_frames(blob: bytes) -> list[dict]:
-    """Text frames out of a leading ID3v2.3 tag: (frame_id, text).
+    """Text frames out of a leading ID3v2.3/v2.4 tag: (frame_id,\n    text).
     Non-text frames are skipped structurally; stops at padding."""
     total = _id3v2_size(blob)
     if total == 0:
         return []
+    version = blob[3]
+    if version not in (3, 4):
+        raise ValueError(f"ID3v2.{version} frame walk not supported")
     pos = 10
     out = []
     while pos + 10 <= total:
         fid = blob[pos : pos + 4]
         if fid == b"\x00\x00\x00\x00":
             break  # padding
-        size = int.from_bytes(blob[pos + 4 : pos + 8], "big")
+        raw_size = blob[pos + 4 : pos + 8]
+        if version == 4:  # syncsafe frame sizes (v2.4 structure 4)
+            if any(b & 0x80 for b in raw_size):
+                raise ValueError(f"non-syncsafe v2.4 frame size at {pos}")
+            size = (
+                (raw_size[0] << 21) | (raw_size[1] << 14)
+                | (raw_size[2] << 7) | raw_size[3]
+            )
+        else:
+            size = int.from_bytes(raw_size, "big")
         if pos + 10 + size > total:
             raise ValueError(f"ID3 frame overruns tag at {pos}")
         data = blob[pos + 10 : pos + 10 + size]
@@ -2127,7 +2154,13 @@ def _id3_params(mid: int) -> list[tuple[str, str]]:
 def _id3_mp3_blob(mid: int) -> bytes:
     """An MP3 whose ID3v2 tag carries real text frames (frame walk
     then proceeds over valid layer-III framing)."""
-    tag = build_id3v2(_id3_params(mid), encoding=3 if mid % 3 else 0)
+    tag = build_id3v2(
+        _id3_params(mid),
+        encoding=3 if mid % 3 else 0,
+        # mix v2.3 and v2.4 (syncsafe frame sizes) -- parsed frames
+        # are identical, so the oracle is version-independent
+        version=4 if mid % 5 == 0 else 3,
+    )
     body = _mp3_blob(mid)
     id3 = _id3v2_size(body)
     return tag + body[id3:]

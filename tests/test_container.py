@@ -598,3 +598,26 @@ def test_layer2_crc_protected_frame_skips_crc_bytes():
         + b"\xBE\xEF" + blob[4:]
     got = C.decode_mpeg1_layer2_frame(crc_frame)
     assert got == want
+
+
+def test_id3v24_syncsafe_frame_sizes_differential():
+    """v2.3 (plain 32-bit frame sizes) and v2.4 (syncsafe) tags with
+    identical frames parse identically -- incl. a frame long enough
+    (200 bytes) that the two size encodings differ on the wire."""
+    frames = [("TIT2", "t" * 200), ("TPE1", "artist"), ("TALB", "a")]
+    for enc in (0, 3):
+        a = C.parse_id3v2_frames(
+            C.build_id3v2(frames, encoding=enc, version=3)
+        )
+        b = C.parse_id3v2_frames(
+            C.build_id3v2(frames, encoding=enc, version=4)
+        )
+        assert a == b
+        assert [f["text"] for f in a][0] == "t" * 200
+    # v2.4 frame sizes with the high bit set are a loud error
+    bad = bytearray(C.build_id3v2([("TIT2", "x")], version=4))
+    bad[14] = 0x80  # first frame size byte
+    with pytest.raises(ValueError, match="non-syncsafe"):
+        C.parse_id3v2_frames(bytes(bad))
+    with pytest.raises(ValueError, match="not supported"):
+        C.build_id3v2([("TIT2", "x")], version=2)

@@ -371,3 +371,21 @@ def test_rc4_and_key_derivation_shapes():
     fk = bytes(16)
     assert P._object_key(fk, 1) != P._object_key(fk, 2)
     assert len(P._object_key(fk, 1)) == 16
+
+
+def test_incremental_update_latest_definition_wins():
+    """Incrementally-updated PDFs append replacement objects + a new
+    xref section; the scanner's last-definition-wins order must
+    surface the UPDATED content."""
+    blob = P.build_pdf([["original text"]])
+    # find the content stream object number (object 1 in build_pdf)
+    update = (
+        b"1 0 obj\n"
+        + P._content_stream_body(["updated text"], False)
+        + b"\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 3 0 R >>\n"
+    )
+    # splice the update AFTER the original %%EOF, as writers do
+    d = P.parse_pdf(blob + update)
+    assert d["text"] == "updated text"
+    assert d["n_pages"] == 1
