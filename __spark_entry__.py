@@ -4234,6 +4234,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8: the WebVTT twin -- magic + header metadata block,
         # named cue ids, cue settings after the end timestamp, short
         # MM:SS.mmm timestamps; identical cue timing closed forms
+        # round-8: Opus TOC census (RFC 6716 3.1) one layer below the
+        # Ogg pages: per-packet config/stereo/code decode, frame
+        # counts, exact tenth-ms durations, 120 ms legality check
+        "mm_opus_toc": lambda s, d: mediameta.opus_toc_stats(
+            mediameta.synthesize_opus(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         "source_vtt_cues": lambda s, d: packfiles.subtitle_stats(
             packfiles.synthesize_webvtt(_t(s, d, "documents"))
         ).orderBy("media_id"),
@@ -7228,6 +7234,44 @@ def oracle_sql() -> dict[str, str]:
                    'cue-' || CAST(media_id AS VARCHAR) || '-0'
                        AS first_text
             FROM p ORDER BY media_id
+        """,
+        "mm_opus_toc": """
+            -- closed forms of _opus_packet(mid, p), p < 3 + mid%5:
+            --   code = (mid+p)%4; stereo = (mid+p)%2;
+            --   code 3 -> config 18 (CELT 10 ms), 1+(mid+p)%5 frames,
+            --     vbr = p%2; else config (mid+p)%32, 1 or 2 frames,
+            --     vbr = (code = 2)
+            WITH pk AS (
+                SELECT doc_id, p.p,
+                       (doc_id + p.p) % 4 AS code,
+                       (doc_id + p.p) % 2 AS stereo,
+                       CASE WHEN (doc_id + p.p) % 4 = 3 THEN 18
+                            ELSE (doc_id + p.p) % 32 END AS config,
+                       CASE WHEN (doc_id + p.p) % 4 = 3
+                            THEN 1 + (doc_id + p.p) % 5
+                            WHEN (doc_id + p.p) % 4 = 0 THEN 1
+                            ELSE 2 END AS frames,
+                       CASE WHEN (doc_id + p.p) % 4 = 3 THEN p.p % 2
+                            WHEN (doc_id + p.p) % 4 = 2 THEN 1
+                            ELSE 0 END AS vbr
+                FROM documents, (SELECT unnest(range(0, 8)) AS p) p
+                WHERE p.p < 3 + doc_id % 5
+            ), d2 AS (
+                SELECT pk.*, CASE
+                    WHEN config < 12
+                        THEN [100,200,400,600][config % 4 + 1]
+                    WHEN config < 16 THEN [100,200][config % 2 + 1]
+                    ELSE [25,50,100,200][config % 4 + 1]
+                END AS dur FROM pk
+            )
+            SELECT doc_id AS media_id,
+                   CAST(COUNT(*) AS INT) AS n_packets,
+                   CAST(SUM(frames) AS BIGINT) AS n_frames,
+                   CAST(SUM(frames * dur) AS BIGINT) AS total_dur_x10,
+                   CAST(SUM(stereo) AS INT) AS n_stereo,
+                   CAST(SUM(vbr) AS INT) AS n_vbr,
+                   CAST(MAX(config) AS INT) AS max_config
+            FROM d2 GROUP BY doc_id ORDER BY media_id
         """,
         "source_vtt_cues": """
             -- identical timing closed forms to source_srt_cues: the

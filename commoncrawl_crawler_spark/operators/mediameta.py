@@ -280,6 +280,154 @@ def _ogg_params(mid: int) -> tuple[str, int, int, int]:
     return ("opus", 1 + (mid // 2) % 2, 48000, 2 + mid % 4)
 
 
+# Opus TOC (RFC 6716 3.1): config -> frame duration in tenths of ms.
+# configs 0-11 SILK (10/20/40/60 ms per 4), 12-15 hybrid (10/20 ms
+# per 2), 16-31 CELT (2.5/5/10/20 ms per 4)
+def _opus_frame_dur_x10(config: int) -> int:
+    if config < 12:
+        return [100, 200, 400, 600][config % 4]
+    if config < 16:
+        return [100, 200][config % 2]
+    return [25, 50, 100, 200][config % 4]
+
+
+def parse_opus_toc(packet: bytes) -> dict:
+    """RFC 6716 3.1 TOC byte (+ the code-3 frame-count byte):
+    config, stereo, frame count, per-frame and total duration in
+    tenths of a millisecond.  Rejects the spec's invalid cases
+    (empty packet, code-3 count 0, packet duration > 120 ms)."""
+    if not packet:
+        raise ValueError("empty Opus packet")
+    toc = packet[0]
+    config = toc >> 3
+    stereo = (toc >> 2) & 1
+    code = toc & 0x3
+    if code < 3:
+        n_frames = 1 if code == 0 else 2
+        vbr = code == 2
+        padded = 0
+    else:
+        if len(packet) < 2:
+            raise ValueError("code-3 packet missing frame-count byte")
+        fc = packet[1]
+        vbr = bool(fc & 0x80)
+        padded = (fc >> 6) & 1
+        n_frames = fc & 0x3F
+        if n_frames == 0:
+            raise ValueError("code-3 packet with zero frames")
+    dur = _opus_frame_dur_x10(config)
+    total = n_frames * dur
+    if total > 1200:
+        raise ValueError(
+            f"packet duration {total/10:.1f} ms exceeds the 120 ms "
+            "limit (RFC 6716 3.2.5 R5)"
+        )
+    return {
+        "config": config,
+        "stereo": stereo,
+        "code": code,
+        "vbr": int(vbr),
+        "padded": padded,
+        "n_frames": n_frames,
+        "frame_dur_x10": dur,
+        "total_dur_x10": total,
+    }
+
+
+def _opus_params(mid: int) -> int:
+    """n_packets, oracle-mirrored."""
+    return 3 + mid % 5
+
+
+def _opus_packet(mid: int, p: int) -> bytes:
+    code = (mid + p) % 4
+    stereo = (mid + p) % 2
+    if code == 3:
+        config = 18  # CELT 10 ms keeps any count <= 5 legal
+        count = 1 + (mid + p) % 5
+        toc = (config << 3) | (stereo << 2) | 3
+        fc = ((p % 2) << 7) | count  # vbr flag varies, no padding
+        body = bytes([toc, fc])
+    else:
+        config = (mid + p) % 32
+        toc = (config << 3) | (stereo << 2) | code
+        body = bytes([toc])
+    # opaque compressed frames after the TOC layer
+    return body + bytes((mid * 11 + p * 3 + j) % 256
+                        for j in range(10 + p))
+
+
+def _opus_blob(mid: int) -> bytes:
+    n_packets = _opus_params(mid)
+    serial = 0x2000 + mid
+    ident = b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+    ident += struct.pack("<I", 48000) + bytes(3)
+    out = bytearray(
+        build_ogg_page(serial, 0, 0, ident, header_type=2)
+    )
+    gran = 0
+    for p in range(n_packets):
+        pkt = _opus_packet(mid, p)
+        gran += parse_opus_toc(pkt)["total_dur_x10"] * 48  # 48 kHz
+        ht = 4 if p == n_packets - 1 else 0
+        out += build_ogg_page(serial, p + 1, gran // 10, pkt, ht)
+    return bytes(out)
+
+
+def synthesize_opus(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _opus_blob)
+
+
+OPUS_TOC_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_packets", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("total_dur_x10", LongType()),
+        StructField("n_stereo", IntegerType()),
+        StructField("n_vbr", IntegerType()),
+        StructField("max_config", IntegerType()),
+    ]
+)
+
+
+def opus_toc_stats(media: DataFrame) -> DataFrame:
+    """Per-file Opus packet census one layer below the Ogg pages:
+    frame counts and exact durations from the TOC layer -- the
+    alignment units a speech corpus segments by."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in OPUS_TOC_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                pages = parse_ogg_pages(bytes(blob))
+                head = parse_id_header(pages[0]["payload"])
+                if head is None or head["codec"] != "opus":
+                    raise ValueError("not an Ogg Opus stream")
+                n_pkt = n_fr = dur = n_st = n_vbr = 0
+                max_cfg = 0
+                for pg in pages[1:]:
+                    t = parse_opus_toc(pg["payload"])
+                    n_pkt += 1
+                    n_fr += t["n_frames"]
+                    dur += t["total_dur_x10"]
+                    n_st += t["stereo"]
+                    n_vbr += t["vbr"]
+                    max_cfg = max(max_cfg, t["config"])
+                rows["media_id"].append(int(mid))
+                rows["n_packets"].append(n_pkt)
+                rows["n_frames"].append(n_fr)
+                rows["total_dur_x10"].append(dur)
+                rows["n_stereo"].append(n_st)
+                rows["n_vbr"].append(n_vbr)
+                rows["max_config"].append(max_cfg)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _stats, OPUS_TOC_SCHEMA
+    )
+
+
 def _ogg_blob(mid: int) -> bytes:
     codec, ch, rate, npages = _ogg_params(mid)
     serial = 0x1000 + mid

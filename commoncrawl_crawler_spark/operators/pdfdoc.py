@@ -478,14 +478,7 @@ def open_standard_security(
     n = (_dict_int(enc_dict, b"Length") or 40) // 8
     pm = re.search(rb"/P\s+(-?\d+)", enc_dict)
     p = int(pm.group(1)) if pm else -1
-    strings = _literal_strings(enc_dict)
-    hexes = [
-        bytes.fromhex(h.decode("ascii"))
-        for h in re.findall(rb"<([0-9A-Fa-f]+)>", enc_dict)
-    ]
-    blobs = strings + hexes
-    o_value = next((b for b in blobs if len(b) >= 32), None)
-    # /O and /U are both 32 bytes; bind them by key order in the dict
+    # /O and /U are both 32 bytes; bind each by its own key position
     om = re.search(rb"/O\s*[(<]", enc_dict)
     um = re.search(rb"/U\s*[(<]", enc_dict)
     if not (om and um):

@@ -123,3 +123,59 @@ def test_heif_spark(spark):
     docs = spark.range(5).selectExpr("id AS doc_id", "'x' AS text")
     rows = M.heif_dimensions(M.synthesize_heif(docs)).collect()
     assert len(rows) == 5
+
+
+# ---- round-8: Opus TOC census ---------------------------------------
+
+
+def test_opus_toc_duration_table():
+    """RFC 6716 3.1 config -> frame duration (tenths of ms)."""
+    assert [M._opus_frame_dur_x10(c) for c in (0, 1, 2, 3)] == \
+        [100, 200, 400, 600]  # SILK NB
+    assert [M._opus_frame_dur_x10(c) for c in (12, 13, 14, 15)] == \
+        [100, 200, 100, 200]  # hybrid
+    assert [M._opus_frame_dur_x10(c) for c in (16, 17, 18, 19)] == \
+        [25, 50, 100, 200]  # CELT
+
+
+def test_opus_toc_codes_and_rejections():
+    import pytest as _pytest
+    # code 0: one frame
+    t = M.parse_opus_toc(bytes([(19 << 3) | (1 << 2) | 0]) + b"x")
+    assert (t["config"], t["stereo"], t["n_frames"]) == (19, 1, 1)
+    assert t["total_dur_x10"] == 200
+    # code 3 with vbr + count
+    t = M.parse_opus_toc(bytes([(18 << 3) | 3, 0x80 | 4]) + b"xy")
+    assert t["n_frames"] == 4 and t["vbr"] == 1
+    assert t["total_dur_x10"] == 400
+    with _pytest.raises(ValueError, match="empty"):
+        M.parse_opus_toc(b"")
+    with _pytest.raises(ValueError, match="zero frames"):
+        M.parse_opus_toc(bytes([(18 << 3) | 3, 0]))
+    with _pytest.raises(ValueError, match="120 ms"):
+        M.parse_opus_toc(bytes([(3 << 3) | 3, 3]))  # 3 x 60 ms
+
+
+def test_spark_opus_toc_stats(spark):
+    docs = spark.range(8).selectExpr("id AS doc_id", "'x' AS text")
+    got = {
+        r["media_id"]: r.asDict()
+        for r in M.opus_toc_stats(M.synthesize_opus(docs)).collect()
+    }
+    for mid in range(8):
+        n = M._opus_params(mid)
+        frames = dur = st = vbr = 0
+        max_cfg = 0
+        for p in range(n):
+            t = M.parse_opus_toc(M._opus_packet(mid, p))
+            frames += t["n_frames"]
+            dur += t["total_dur_x10"]
+            st += t["stereo"]
+            vbr += t["vbr"]
+            max_cfg = max(max_cfg, t["config"])
+        r = got[mid]
+        assert r["n_packets"] == n
+        assert r["n_frames"] == frames
+        assert r["total_dur_x10"] == dur
+        assert (r["n_stereo"], r["n_vbr"], r["max_config"]) == \
+            (st, vbr, max_cfg)
