@@ -4212,6 +4212,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp3_framewalk": lambda s, d: container.mp3_frame_stats(
             container.synthesize_mp3(_t(s, d, "documents"))
         ).orderBy("media_id"),
+        # round-8: MPEG-2 / MPEG-2.5 LSF framing -- half sample
+        # rates, the ISO 13818-3 V2 bitrate table, 72-slot layer-III
+        # frames, 576 samples/frame (one granule); the low-bitrate
+        # voice files real crawls carry
+        "mm_mpeg2_framewalk": lambda s, d: container.mp3_frame_stats(
+            container.synthesize_mpeg2(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         # pack-file sources: ustar member walk (checksum-validated --
         # the WebDataset shard manifest) and zip central-directory
         # extraction (stored + real zlib inflate, CRC-checked);
@@ -8468,6 +8475,40 @@ def oracle_sql() -> dict[str, str]:
         # MPEG-1 layer III: kbps index 9+(id+f)%5 -> 128+32*((id+f)%5);
         # frame length 144*kbps*1000 // sr + padding, padding (id+f)%2;
         # ID3v2 = 10-byte header + (id%13)-byte body
+        "mm_mpeg2_framewalk": """
+            -- closed forms of _mpeg2_params/_mpeg2_blob: version 2.5
+            -- when mid%5=0 else 2; 3+mid%4 LSF layer-III frames at
+            -- 72*kbps*1000//sr bytes, kbps = V2 table[2+(mid+f)%8]
+            WITH p AS (
+                SELECT doc_id,
+                       doc_id % 5 = 0 AS v25,
+                       doc_id % 3 AS sri,
+                       3 + doc_id % 4 AS nf
+                FROM documents
+            ), f AS (
+                SELECT p.doc_id, p.nf,
+                       CASE WHEN p.v25
+                            THEN [11025,12000,8000][p.sri + 1]
+                            ELSE [22050,24000,16000][p.sri + 1]
+                       END AS sr,
+                       [16,24,32,40,48,56,64,80]
+                           [(p.doc_id + g.g) % 8 + 1] AS kbps
+                FROM p, (SELECT unnest(range(0, 6)) AS g) g
+                WHERE g.g < p.nf
+            )
+            SELECT doc_id AS media_id,
+                   CAST(nf AS INT) AS frame_count,
+                   CAST(sr AS INT) AS sample_rate,
+                   CAST(576 * nf AS BIGINT) AS total_samples,
+                   CAST(SUM(72 * kbps * 1000 // sr) AS BIGINT)
+                       AS total_bytes,
+                   CAST(0 AS INT) AS id3_bytes,
+                   CAST(MIN(kbps) AS INT) AS kbps_min,
+                   CAST(MAX(kbps) AS INT) AS kbps_max,
+                   CAST(CASE WHEN MIN(kbps) <> MAX(kbps) THEN 1
+                             ELSE 0 END AS INT) AS is_vbr
+            FROM f GROUP BY doc_id, nf, sr ORDER BY media_id
+        """,
         "mm_mp3_framewalk": """
             WITH p AS (
                 SELECT doc_id AS media_id,

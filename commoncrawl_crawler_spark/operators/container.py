@@ -647,8 +647,24 @@ _BITRATE_V1 = {
     2: [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
     3: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
 }
+# MPEG-2 LSF bitrate tables (ISO 13818-3; layers II and III share one)
+_BITRATE_V2 = {
+    1: [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    2: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    3: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
 _SAMPLE_RATE_V1 = [44100, 48000, 32000]
+_SAMPLE_RATE_V2 = [22050, 24000, 16000]  # MPEG-2 LSF
+_SAMPLE_RATE_V25 = [11025, 12000, 8000]  # MPEG-2.5 (de-facto)
 _SAMPLES_PER_FRAME = {1: 384, 2: 1152, 3: 1152}  # MPEG-1, per layer
+
+
+def mpeg_samples_per_frame(version: int, layer: int) -> int:
+    """Decoded samples per frame: layer III halves to 576 under the
+    LSF extensions (one granule per frame); layers I/II unchanged."""
+    if layer == 3 and version != 1:
+        return 576
+    return _SAMPLES_PER_FRAME[layer]
 
 
 def _id3v2_size(blob: bytes) -> int:
@@ -691,8 +707,9 @@ def _walk_mpeg_frames(blob: bytes, pos: int, end: int) -> list[dict]:
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
             raise ValueError(f"lost frame sync at offset {pos}")
         version_bits = (b1 >> 3) & 0x3
-        if version_bits != 0b11:
-            raise NotImplementedError("only MPEG-1 framing supported")
+        version = {0b11: 1, 0b10: 2, 0b00: 25}.get(version_bits)
+        if version is None:
+            raise ValueError(f"reserved MPEG version bits at {pos}")
         layer = {0b11: 1, 0b10: 2, 0b01: 3}.get((b1 >> 1) & 0x3)
         if layer is None:
             raise ValueError(f"reserved layer bits at offset {pos}")
@@ -700,11 +717,18 @@ def _walk_mpeg_frames(blob: bytes, pos: int, end: int) -> list[dict]:
         sr_idx = (b2 >> 2) & 0x3
         if br_idx in (0, 15) or sr_idx == 3:
             raise ValueError(f"bad bitrate/samplerate index at {pos}")
-        kbps = _BITRATE_V1[layer][br_idx]
-        sr = _SAMPLE_RATE_V1[sr_idx]
+        kbps = (_BITRATE_V1 if version == 1 else _BITRATE_V2)[layer][
+            br_idx
+        ]
+        sr = {
+            1: _SAMPLE_RATE_V1, 2: _SAMPLE_RATE_V2, 25: _SAMPLE_RATE_V25,
+        }[version][sr_idx]
         padding = (b2 >> 1) & 0x1
         if layer == 1:
             length = (12 * kbps * 1000 // sr + padding) * 4
+        elif layer == 3 and version != 1:
+            # LSF layer III: one granule per frame -> half the slots
+            length = 72 * kbps * 1000 // sr + padding
         else:
             length = 144 * kbps * 1000 // sr + padding
         if pos + length > end:
@@ -712,6 +736,7 @@ def _walk_mpeg_frames(blob: bytes, pos: int, end: int) -> list[dict]:
         frames.append(
             {
                 "offset": pos,
+                "version": version,
                 "layer": layer,
                 "kbps": kbps,
                 "sample_rate": sr,
@@ -758,6 +783,43 @@ def _mp3_blob(mid: int) -> bytes:
     return bytes(out)
 
 
+def _mpeg2_params(mid: int) -> tuple[int, int, int]:
+    """(version 2|25, sr_idx, n_frames), oracle-mirrored."""
+    return (25 if mid % 5 == 0 else 2, mid % 3, 3 + mid % 4)
+
+
+def _mpeg2_blob(mid: int) -> bytes:
+    """MPEG-2 / MPEG-2.5 (LSF) layer-III streams: half sample rates,
+    the ISO 13818-3 V2 bitrate table, and the 72-slot frame length
+    (one granule per frame)."""
+    version, sr_idx, n_frames = _mpeg2_params(mid)
+    sr = (_SAMPLE_RATE_V2 if version == 2 else _SAMPLE_RATE_V25)[
+        sr_idx
+    ]
+    ver_bits = 0b10 if version == 2 else 0b00
+    out = bytearray()
+    for f in range(n_frames):
+        br_idx = 2 + (mid + f) % 8  # kbps in {16..80} (V2 L3 table)
+        kbps = _BITRATE_V2[3][br_idx]
+        length = 72 * kbps * 1000 // sr
+        hdr = bytes(
+            [
+                0xFF,
+                0xE0 | (ver_bits << 3) | (0b01 << 1) | 1,  # L3 no CRC
+                (br_idx << 4) | (sr_idx << 2),
+                0xC4,
+            ]
+        )
+        out += hdr + bytes(
+            (mid * 7 + f * 3 + j) % 253 for j in range(length - 4)
+        )
+    return bytes(out)
+
+
+def synthesize_mpeg2(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _mpeg2_blob)
+
+
 def synthesize_mp3(documents: DataFrame) -> DataFrame:
     """Valid MPEG-1 layer-III files (ID3v2 tag + VBR frame sequence)
     per doc_id; frame BODIES are deterministic filler -- the layer-III
@@ -802,7 +864,8 @@ def mp3_frame_stats(media: DataFrame) -> DataFrame:
                 rows["sample_rate"].append(sr)
                 rows["total_samples"].append(
                     sum(
-                        _SAMPLES_PER_FRAME[f["layer"]] for f in frames
+                        mpeg_samples_per_frame(f["version"], f["layer"])
+                        for f in frames
                     )
                 )
                 rows["total_bytes"].append(
@@ -1165,6 +1228,10 @@ def decode_mpeg1_layer2_frame(frame: bytes):
     b1 = frame[1]
     if frame[0] != 0xFF or (b1 & 0xE0) != 0xE0:
         raise ValueError("bad sync")
+    if ((b1 >> 3) & 0x3) != 0b11:
+        raise NotImplementedError(
+            "MPEG-2 (LSF) layer II uses different allocation tables"
+        )
     if ((b1 >> 1) & 0x3) != 0b10:
         raise ValueError("not layer II")
     # protection_bit (ISO 11172-3 2.4.2.3): 0 means a 16-bit CRC

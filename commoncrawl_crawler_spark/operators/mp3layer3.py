@@ -315,6 +315,12 @@ def _check_l3_header(frame: bytes) -> list[int]:
     returns the sfb boundary table for the frame's sample rate."""
     if frame[0] != 0xFF or (frame[1] & 0xE0) != 0xE0:
         raise ValueError("bad sync")
+    if ((frame[1] >> 3) & 0x3) != 0b11:
+        # LSF layer III has different side info (9 bytes mono, one
+        # granule) and its own scalefactor grammar
+        raise NotImplementedError(
+            "MPEG-2/2.5 (LSF) layer III sample decode not implemented"
+        )
     if ((frame[1] >> 1) & 0x3) != 0b01:
         raise ValueError("not layer III")
     sr = _SAMPLE_RATE_V1[(frame[2] >> 2) & 0x3]

@@ -621,3 +621,40 @@ def test_id3v24_syncsafe_frame_sizes_differential():
         C.parse_id3v2_frames(bytes(bad))
     with pytest.raises(ValueError, match="not supported"):
         C.build_id3v2([("TIT2", "x")], version=2)
+
+
+def test_mpeg2_lsf_framing():
+    """MPEG-2/2.5 LSF: half sample rates, the ISO 13818-3 V2 bitrate
+    table, 72-slot layer-III frames, 576 samples per frame."""
+    for mid in range(15):
+        version, sri, n = C._mpeg2_params(mid)
+        _, frames = C.parse_mpeg_audio_frames(C._mpeg2_blob(mid))
+        assert len(frames) == n
+        sr = (C._SAMPLE_RATE_V2 if version == 2
+              else C._SAMPLE_RATE_V25)[sri]
+        for f_i, fr in enumerate(frames):
+            assert fr["version"] == version
+            kbps = C._BITRATE_V2[3][2 + (mid + f_i) % 8]
+            assert fr["kbps"] == kbps
+            assert fr["length"] == 72 * kbps * 1000 // sr
+            assert C.mpeg_samples_per_frame(fr["version"], 3) == 576
+    # reserved version bits (01) are a loud error
+    blob = bytearray(C._mpeg2_blob(1))
+    blob[1] = (blob[1] & ~0x18) | 0x08
+    with pytest.raises(ValueError, match="reserved MPEG version"):
+        C.parse_mpeg_audio_frames(bytes(blob))
+
+
+def test_lsf_frames_rejected_by_mpeg1_decoders():
+    """The MPEG-1-only sample decoders must refuse LSF frames loudly
+    instead of requantizing with the wrong tables."""
+    blob = C._mpeg2_blob(1)  # layer III, version 2
+    _, frames = C.parse_mpeg_audio_frames(blob)
+    frame = blob[: frames[0]["length"]]
+    from commoncrawl_crawler_spark.operators import mp3layer3 as L3
+    with pytest.raises(NotImplementedError, match="LSF"):
+        L3.decode_mpeg1_layer3_frame(frame)
+    # layer II LSF: flip layer bits on a V2 header
+    l2 = bytes([frame[0], (frame[1] & ~0x06) | 0x04]) + frame[2:]
+    with pytest.raises(NotImplementedError, match="LSF"):
+        C.decode_mpeg1_layer2_frame(l2)
