@@ -5090,6 +5090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pdf_xrefstream",
         "doc_pdf_encrypted",
         "doc_woff_profile",
+        "mm_opus_toc",
+        "mm_mpeg2_framewalk",
+        "mm_mp3_framewalk",
+        "mm_id3_tags",
         "mm_mp3_decode",
         "mm_h264_slices",
         "mm_aac_elements",
