@@ -4244,6 +4244,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8: Opus TOC census (RFC 6716 3.1) one layer below the
         # Ogg pages: per-packet config/stereo/code decode, frame
         # counts, exact tenth-ms durations, 120 ms legality check
+        # round-8: FLAC frame-level census below the metadata blocks --
+        # CRC-8-validated sync scan (frames carry no length field, so
+        # scan+checksum IS the honest walk), coded block-size/rate/
+        # depth tables, extended-UTF-8 frame numbers
+        "mm_flac_frames": lambda s, d: mediameta.flac_frame_stats(
+            mediameta.synthesize_flac_frames(_t(s, d, "documents"))
+        ).orderBy("media_id"),
         "mm_opus_toc": lambda s, d: mediameta.opus_toc_stats(
             mediameta.synthesize_opus(_t(s, d, "documents"))
         ).orderBy("media_id"),
@@ -7245,6 +7252,24 @@ def oracle_sql() -> dict[str, str]:
                    'cue-' || CAST(media_id AS VARCHAR) || '-0'
                        AS first_text
             FROM p ORDER BY media_id
+        """,
+        "mm_flac_frames": """
+            -- closed forms of _flac_frames_params(mid):
+            --   n = 2 + mid%5 frames, block = 256 << (mid%8),
+            --   rate = [8000,16000,44100,48000][mid%4],
+            --   channels = 1 + mid%2, depth = [16,24,8][mid%3],
+            --   frame numbers 0..n-1
+            SELECT doc_id AS media_id,
+                   CAST(2 + doc_id % 5 AS INT) AS n_frames,
+                   CAST(256 * (1 << (doc_id % 8)) AS INT) AS block_size,
+                   CAST([8000,16000,44100,48000][doc_id % 4 + 1]
+                        AS INT) AS frame_rate_hz,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST([16,24,8][doc_id % 3 + 1] AS INT) AS bit_depth,
+                   CAST((2 + doc_id % 5) * 256 * (1 << (doc_id % 8))
+                        AS BIGINT) AS total_samples,
+                   CAST(1 + doc_id % 5 AS BIGINT) AS max_number
+            FROM documents ORDER BY media_id
         """,
         "mm_opus_toc": """
             -- closed forms of _opus_packet(mid, p), p < 3 + mid%5:

@@ -149,6 +149,89 @@ def synthesize_flac(documents: DataFrame) -> DataFrame:
     return _synthesize_media(documents, _flac_blob)
 
 
+def _flac_frames_params(mid: int) -> tuple[int, int, int, int]:
+    """(n_frames, bs_bits, sr_bits, channels), oracle-mirrored:
+    block size cycles the 256<<x tier, rate cycles 4 table rows."""
+    return (
+        2 + mid % 5,
+        0b1000 + mid % 8,
+        [0b0100, 0b0101, 0b1001, 0b1010][mid % 4],
+        1 + mid % 2,
+    )
+
+
+def _flac_frames_blob(mid: int) -> bytes:
+    n_frames, bs_bits, sr_bits, ch = _flac_frames_params(mid)
+    out = bytearray(_flac_blob(mid))
+    for f in range(n_frames):
+        out += build_flac_frame_header(
+            f, bs_bits, sr_bits, channels=ch,
+            depth_bits=[0b100, 0b110, 0b001][mid % 3],
+        )
+        # opaque subframe payload, 0xFF-free so the sync scan on the
+        # fixture is exact (real scanners bound false syncs via the
+        # CRC + parameter-consistency checks)
+        out += bytes(
+            (mid * 5 + f * 7 + j) % 255 for j in range(30 + 3 * f)
+        )
+    return bytes(out)
+
+
+def synthesize_flac_frames(documents: DataFrame) -> DataFrame:
+    return _synthesize_media(documents, _flac_frames_blob)
+
+
+FLAC_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("block_size", IntegerType()),
+        StructField("frame_rate_hz", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("total_samples", LongType()),
+        StructField("max_number", LongType()),
+    ]
+)
+
+
+def flac_frame_stats(media: DataFrame) -> DataFrame:
+    """Frame-level FLAC census below the metadata blocks: CRC-8
+    validated sync scan, per-frame coded parameters, sample totals --
+    duration accounting without subframe decode."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in FLAC_FRAMES_SCHEMA.fields}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                frames = scan_flac_frames(bytes(blob))
+                rows["media_id"].append(int(mid))
+                rows["n_frames"].append(len(frames))
+                rows["block_size"].append(
+                    frames[0]["block_size"] if frames else 0
+                )
+                rows["frame_rate_hz"].append(
+                    frames[0]["sample_rate"] if frames else 0
+                )
+                rows["channels"].append(
+                    frames[0]["channels"] if frames else 0
+                )
+                rows["bit_depth"].append(
+                    frames[0]["bit_depth"] if frames else 0
+                )
+                rows["total_samples"].append(
+                    sum(f["block_size"] for f in frames)
+                )
+                rows["max_number"].append(
+                    max((f["number"] for f in frames), default=0)
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _stats, FLAC_FRAMES_SCHEMA
+    )
+
+
 FLAC_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -278,6 +361,153 @@ def _ogg_params(mid: int) -> tuple[str, int, int, int]:
         return ("vorbis", 1 + mid % 2, [44100, 48000, 32000][mid % 3],
                 2 + mid % 4)
     return ("opus", 1 + (mid // 2) % 2, 48000, 2 + mid % 4)
+
+
+# --------------------------------------------------------------------
+# FLAC frame headers (RFC 9639 9.1) -- round 8
+# --------------------------------------------------------------------
+#
+# Below the metadata blocks: per-frame sync + coded parameters + a
+# CRC-8 over the header.  FLAC frames carry no length field -- their
+# extent is only knowable by decoding subframes -- so the honest
+# corpus-scan shape is what real stream scanners do: search sync
+# candidates and accept only those whose header CRC-8 validates.  The
+# synthesizer keeps payloads 0xFF-free so the scan is exact on gate
+# fixtures; on real data the CRC plus parameter-consistency checks
+# bound false positives.
+
+_FLAC_BLOCKSIZE = {
+    0b0001: 192, 0b0010: 576, 0b0011: 1152, 0b0100: 2304,
+    0b0101: 4608, 0b1000: 256, 0b1001: 512, 0b1010: 1024,
+    0b1011: 2048, 0b1100: 4096, 0b1101: 8192, 0b1110: 16384,
+    0b1111: 32768,
+}
+_FLAC_RATE = {
+    0b0100: 8000, 0b0101: 16000, 0b0110: 22050, 0b0111: 24000,
+    0b1000: 32000, 0b1001: 44100, 0b1010: 48000, 0b1011: 96000,
+}
+_FLAC_DEPTH = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20,
+               0b110: 24, 0b111: 32}
+
+
+def crc8_flac(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 -- the FLAC
+    frame-header checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+    return crc
+
+
+def flac_utf8_encode(value: int) -> bytes:
+    """FLAC's extended UTF-8 coded number (RFC 9639 9.1.5: the UTF-8
+    scheme extended to 36 bits / up to 7 bytes)."""
+    if value < 0x80:
+        return bytes([value])
+    for n_extra in range(1, 7):
+        if value < 1 << (6 * n_extra + (6 - n_extra)):
+            lead_bits = 6 - n_extra
+            lead = (0xFF << (lead_bits + 1)) & 0xFF
+            out = [lead | (value >> (6 * n_extra))]
+            for k in range(n_extra - 1, -1, -1):
+                out.append(0x80 | ((value >> (6 * k)) & 0x3F))
+            return bytes(out)
+    raise ValueError("value exceeds 36 bits")
+
+
+def flac_utf8_decode(data: bytes, pos: int) -> tuple[int, int]:
+    """(value, new_pos) for the coded number at `pos`."""
+    b0 = data[pos]
+    if b0 < 0x80:
+        return b0, pos + 1
+    n_extra = 0
+    mask = 0x40
+    while b0 & mask:
+        n_extra += 1
+        mask >>= 1
+    if n_extra < 1 or n_extra > 6:
+        raise ValueError(f"bad coded-number lead byte at {pos}")
+    value = b0 & (mask - 1)
+    for i in range(1, n_extra + 1):
+        c = data[pos + i]
+        if c & 0xC0 != 0x80:
+            raise ValueError(f"bad continuation byte at {pos + i}")
+        value = (value << 6) | (c & 0x3F)
+    return value, pos + n_extra + 1
+
+
+def build_flac_frame_header(
+    frame_number: int, bs_bits: int, sr_bits: int,
+    channels: int = 1, depth_bits: int = 0b100,
+    variable_blocksize: bool = False,
+) -> bytes:
+    hdr = bytearray()
+    hdr.append(0xFF)
+    hdr.append(0xF8 | (1 if variable_blocksize else 0))
+    hdr.append((bs_bits << 4) | sr_bits)
+    hdr.append(((channels - 1) << 4) | (depth_bits << 1))
+    hdr += flac_utf8_encode(frame_number)
+    hdr.append(crc8_flac(bytes(hdr)))
+    return bytes(hdr)
+
+
+def parse_flac_frame_header(blob: bytes, pos: int) -> dict | None:
+    """Validated frame header at `pos`, or None when the sync
+    candidate fails structure or CRC-8 (the scanner's accept test)."""
+    try:
+        if blob[pos] != 0xFF or (blob[pos + 1] & 0xFE) != 0xF8:
+            return None
+        variable = blob[pos + 1] & 1
+        bs_bits = blob[pos + 2] >> 4
+        sr_bits = blob[pos + 2] & 0xF
+        if bs_bits in (0, 6, 7) or sr_bits in (0, 12, 13, 14, 15):
+            return None  # streaminfo-deferred/literal forms not used
+        ch_bits = blob[pos + 3] >> 4
+        depth_bits = (blob[pos + 3] >> 1) & 0x7
+        if ch_bits > 9 or depth_bits not in _FLAC_DEPTH:
+            return None
+        number, end = flac_utf8_decode(blob, pos + 4)
+        if blob[end] != crc8_flac(blob[pos:end]):
+            return None
+        return {
+            "offset": pos,
+            "variable_blocksize": variable,
+            "block_size": _FLAC_BLOCKSIZE[bs_bits],
+            "sample_rate": _FLAC_RATE[sr_bits],
+            "channels": (ch_bits + 1) if ch_bits < 8 else 2,
+            "bit_depth": _FLAC_DEPTH[depth_bits],
+            "number": number,
+            "header_len": end + 1 - pos,
+        }
+    except (IndexError, ValueError):
+        return None
+
+
+def scan_flac_frames(blob: bytes) -> list[dict]:
+    """Sync-scan past the metadata blocks: every 0xFF F8/F9 candidate
+    whose header CRC-8 validates is a frame."""
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream: bad magic")
+    pos = 4
+    while True:  # skip metadata blocks
+        hdr = blob[pos]
+        length = int.from_bytes(blob[pos + 1 : pos + 4], "big")
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    frames = []
+    n = len(blob)
+    while pos < n - 5:
+        f = parse_flac_frame_header(blob, pos)
+        if f is not None:
+            frames.append(f)
+            pos += f["header_len"]
+        else:
+            pos += 1
+    return frames
 
 
 # Opus TOC (RFC 6716 3.1): config -> frame duration in tenths of ms.

@@ -179,3 +179,62 @@ def test_spark_opus_toc_stats(spark):
         assert r["total_dur_x10"] == dur
         assert (r["n_stereo"], r["n_vbr"], r["max_config"]) == \
             (st, vbr, max_cfg)
+
+
+# ---- round-8: FLAC frame headers ------------------------------------
+
+
+def test_flac_coded_numbers_agree_with_utf8():
+    """The extended coded number coincides with standard UTF-8 on
+    real code points -- an independent cross-check of the encoder --
+    and round-trips through 36 bits."""
+    for cp in (0x41, 0x3B1, 0x20AC, 0x10348):
+        assert M.flac_utf8_encode(cp) == chr(cp).encode("utf-8")
+    for v in (0, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 1 << 31,
+              (1 << 36) - 1):
+        enc = M.flac_utf8_encode(v)
+        dec, end = M.flac_utf8_decode(enc, 0)
+        assert (dec, end) == (v, len(enc))
+
+
+def test_flac_frame_header_crc_gates_acceptance():
+    hdr = M.build_flac_frame_header(77, 0b1100, 0b1001, channels=2)
+    f = M.parse_flac_frame_header(hdr, 0)
+    assert (f["block_size"], f["sample_rate"], f["number"]) == (
+        4096, 44100, 77,
+    )
+    # one flipped CRC bit -> candidate rejected, not mis-parsed
+    assert M.parse_flac_frame_header(
+        hdr[:-1] + bytes([hdr[-1] ^ 1]), 0
+    ) is None
+    # reserved blocksize code 0000 rejected
+    bad = bytearray(hdr)
+    bad[2] &= 0x0F
+    assert M.parse_flac_frame_header(bytes(bad), 0) is None
+
+
+def test_flac_frame_scan_closed_forms():
+    for mid in range(15):
+        n, bs_bits, sr_bits, ch = M._flac_frames_params(mid)
+        frames = M.scan_flac_frames(M._flac_frames_blob(mid))
+        assert len(frames) == n
+        assert [f["number"] for f in frames] == list(range(n))
+        assert frames[0]["block_size"] == M._FLAC_BLOCKSIZE[bs_bits]
+        assert frames[0]["sample_rate"] == M._FLAC_RATE[sr_bits]
+
+
+def test_spark_flac_frame_stats(spark):
+    docs = spark.range(6).selectExpr("id AS doc_id", "'x' AS text")
+    got = {
+        r["media_id"]: r.asDict()
+        for r in M.flac_frame_stats(
+            M.synthesize_flac_frames(docs)
+        ).collect()
+    }
+    for mid in range(6):
+        n, bs_bits, sr_bits, ch = M._flac_frames_params(mid)
+        r = got[mid]
+        assert r["n_frames"] == n
+        assert r["block_size"] == M._FLAC_BLOCKSIZE[bs_bits]
+        assert r["total_samples"] == n * M._FLAC_BLOCKSIZE[bs_bits]
+        assert r["max_number"] == n - 1
