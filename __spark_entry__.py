@@ -5097,6 +5097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pdf_xrefstream",
         "doc_pdf_encrypted",
         "doc_woff_profile",
+        "mm_flac_frames",
         "mm_opus_toc",
         "mm_mpeg2_framewalk",
         "mm_mp3_framewalk",
