@@ -5022,101 +5022,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pytest-covered, and is swept at sf0.01 + sf0.1 in the round's
     # CORRECTNESS_SELF_r06* records (tools/check_all_oracles.py).
     priority = [
-        # ---- ROUND-8 ROTATION ----------------------------------------
-        # The driver gates the FIRST 50 entries.  Round-7 verdict
-        # item 4: driver coverage closed at 269/269, so this round
-        # fronts the 50 gates with the OLDEST last-driver-green round
-        # (the full r2 cohort, 35 gates, plus the 15 oldest r3 gates)
-        # to keep the all-gates-driver-fresh window bounded.  Each was
-        # re-verified by the judge's independent 269/269 oracle sweep
-        # in round 7; code for all 50 is unchanged this round.
-        # Gates NEW or code-changed this round (doc_pdf_xrefstream,
-        # doc_pdf_profile's rewritten scanner, mm_h264_slices,
-        # mm_aac_elements, ...) sit immediately after the window --
-        # first in line for round 9 -- and are swept at sf0.01 +
-        # sf0.1 in CORRECTNESS_SELF_r08*.
-        "agg_group_count",
-        "agg_moving_daily_avg",
-        "agg_status_rollup",
-        "crawldb_blekko_merge",
-        "crawllist_generate",
-        "crawllist_wikipedia_partition",
-        "dedup_cross_source",
-        "dedup_embedding_cosine",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_normalized",
-        "dedup_simhash_clusters",
-        "dedup_simhash_lsh",
-        "filter_blocklist",
-        "filter_category",
-        "filter_classify",
-        "filter_projection_rekey",
-        "filter_range_predicate",
-        "filter_regex_scan",
-        "filter_text_grep",
-        "fn_url_canonicalize",
-        "join_point_lookup",
-        "setop_distinct",
-        "setop_except",
-        "setop_intersect",
-        "setop_union_tagged",
-        "skew_salted_count",
-        "skew_salted_join",
-        "text_quality_buckets",
-        "win_first_row_per_key",
-        "win_paginate",
-        "win_round_robin",
-        "win_secondary_sort_rank",
-        "win_segment_packing",
-        "win_topk_per_group",
-        "agg_pricing_summary",
-        "agg_stats_aggregation",
-        "agg_two_level",
-        "crawldb_incremental_merge",
-        "crawldb_merge",
-        "dedup_minhash_lsh",
-        "dedup_winnow_pairs",
-        "fn_extract_feeds",
-        "fn_ip_roundtrip",
-        "fn_json_props",
-        "fn_parse_headers",
-        "fn_url_root_domain",
-        "graph_degree_stats",
-        "graph_domain_rank",
-        "graph_inverse_links",
-        # ---- next in line for the round-9 driver window ---------
-        # (new / code-changed in round 8; swept in SELF_r08*):
-        # new gates: doc_pdf_xrefstream, doc_pdf_encrypted,
-        #   doc_woff_profile, mm_mp3_decode, mm_h264_slices,
-        #   mm_aac_elements, source_vtt_cues;
-        # code-changed: doc_pdf_profile (scanner rewrite),
-        #   dedup_ngram_jaccard (prefix filtering), the six archive
-        #   write gates (repartition), mm_h264_sps (NAL trim),
-        #   mm_mp2_decode (CRC skip), mm_mp1/mm_mp2 (window seam)
+        # ---- ROUND-9 ROTATION ----------------------------------------
+        # The driver gates the FIRST 50 entries.  Round-8 verdict
+        # item 1: the 10 round-8-new gates (judge-oracle-green but
+        # never driver-checked) occupy positions 1-10 so
+        # CORRECTNESS_r09 closes the last driver-validation gap.
+        # Positions 11-50 are the 40 stalest driver rows (the full
+        # remaining r3 cohort plus the oldest r4 gates), computed
+        # from the union of CORRECTNESS_r01-r08.  Gates NEW or
+        # code-changed THIS round sit immediately after the window --
+        # first in line for round 10 -- and are swept at sf0.01 +
+        # sf0.1 in CORRECTNESS_SELF_r09*.
+        "mm_mpeg2_framewalk",
+        "mm_flac_frames",
+        "mm_opus_toc",
+        "source_vtt_cues",
+        "mm_mp3_decode",
+        "mm_aac_elements",
+        "mm_h264_slices",
         "doc_pdf_xrefstream",
         "doc_pdf_encrypted",
         "doc_woff_profile",
-        "mm_flac_frames",
-        "mm_opus_toc",
-        "mm_mpeg2_framewalk",
-        "mm_mp3_framewalk",
-        "mm_id3_tags",
-        "mm_mp3_decode",
-        "mm_h264_slices",
-        "mm_aac_elements",
-        "source_vtt_cues",
-        "doc_pdf_profile",
-        "dedup_ngram_jaccard",
-        "source_arc_v1_roundtrip",
-        "source_warc_http_extract",
-        "source_cdx_index",
-        "source_warc_dechunk",
+        "graph_link_edges",
+        "graph_pagerank",
+        "graph_pagerank_rootavg",
+        "graph_super_domains",
+        "join_multiway",
+        "mm_content_stats",
+        "mm_frame_sample",
+        "query_domain_list",
+        "query_inverse_links",
+        "query_url_detail",
+        "sessionize_events",
+        "sim_brute_force_topk",
+        "sim_ivf_topk",
+        "sim_label_centroids",
         "source_archive_roundtrip",
-        "source_warc_roundtrip",
-        "mm_h264_sps",
-        "mm_mp2_decode",
-        "mm_mp1_synthesis",
+        "source_csv_import",
+        "source_multi_sink",
+        "source_timeseries_tail",
+        "source_xml_roundtrip",
+        "stream_distinct_pairs",
+        "stream_sessionize",
+        "stream_windowed_stats",
+        "text_document_profile",
+        "text_fingerprint",
+        "text_language_profile",
+        "text_quality_signals",
+        "text_regex_tokens",
+        "text_token_stats",
+        "text_training_manifest",
+        "text_winnow_fingerprint",
+        "agg_count_having",
+        "agg_latest_per_key",
+        "agg_time_window_rollup",
+        "agg_value_percentiles",
+        "bloom_frontier_filter",
+        "crawldb_merge_full",
+        "crawllist_filtered_generate",
+        "crawllist_politeness",
+        "dedup_cluster_representatives",
+        "graph_clustering_coeff",
+        # ---- next in line for the round-10 driver window ---------
+        # (new / code-changed in round 9; swept in SELF_r09*)
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -7258,18 +7226,24 @@ def oracle_sql() -> dict[str, str]:
             -- closed forms of _flac_frames_params(mid):
             --   n = 2 + mid%5 frames, block = 256 << (mid%8),
             --   rate = [8000,16000,44100,48000][mid%4],
-            --   channels = 1 + mid%2, depth = [16,24,8][mid%3],
+            --   ch_bits = [0,1,8,9,10][mid%5] (mono / indep stereo /
+            --     left-side / right-side / mid-side; decorrelated
+            --     modes 8-10 are 2-channel), depth = [16,24,8][mid%3],
             --   frame numbers 0..n-1
             SELECT doc_id AS media_id,
                    CAST(2 + doc_id % 5 AS INT) AS n_frames,
                    CAST(256 * (1 << (doc_id % 8)) AS INT) AS block_size,
                    CAST([8000,16000,44100,48000][doc_id % 4 + 1]
                         AS INT) AS frame_rate_hz,
-                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END
+                        AS INT) AS channels,
                    CAST([16,24,8][doc_id % 3 + 1] AS INT) AS bit_depth,
                    CAST((2 + doc_id % 5) * 256 * (1 << (doc_id % 8))
                         AS BIGINT) AS total_samples,
-                   CAST(1 + doc_id % 5 AS BIGINT) AS max_number
+                   CAST(1 + doc_id % 5 AS BIGINT) AS max_number,
+                   CAST(CASE WHEN doc_id % 5 >= 2
+                             THEN 2 + doc_id % 5 ELSE 0 END
+                        AS INT) AS n_decorr_frames
             FROM documents ORDER BY media_id
         """,
         "mm_opus_toc": """

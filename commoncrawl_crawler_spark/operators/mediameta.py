@@ -150,22 +150,24 @@ def synthesize_flac(documents: DataFrame) -> DataFrame:
 
 
 def _flac_frames_params(mid: int) -> tuple[int, int, int, int]:
-    """(n_frames, bs_bits, sr_bits, channels), oracle-mirrored:
-    block size cycles the 256<<x tier, rate cycles 4 table rows."""
+    """(n_frames, bs_bits, sr_bits, ch_bits), oracle-mirrored:
+    block size cycles the 256<<x tier, rate cycles 4 table rows, the
+    channel-assignment nibble cycles mono / independent stereo /
+    left-side / right-side / mid-side (RFC 9639 9.1.3)."""
     return (
         2 + mid % 5,
         0b1000 + mid % 8,
         [0b0100, 0b0101, 0b1001, 0b1010][mid % 4],
-        1 + mid % 2,
+        [0b0000, 0b0001, 0b1000, 0b1001, 0b1010][mid % 5],
     )
 
 
 def _flac_frames_blob(mid: int) -> bytes:
-    n_frames, bs_bits, sr_bits, ch = _flac_frames_params(mid)
+    n_frames, bs_bits, sr_bits, ch_bits = _flac_frames_params(mid)
     out = bytearray(_flac_blob(mid))
     for f in range(n_frames):
         out += build_flac_frame_header(
-            f, bs_bits, sr_bits, channels=ch,
+            f, bs_bits, sr_bits, ch_bits=ch_bits,
             depth_bits=[0b100, 0b110, 0b001][mid % 3],
         )
         # opaque subframe payload, 0xFF-free so the sync scan on the
@@ -191,6 +193,7 @@ FLAC_FRAMES_SCHEMA = StructType(
         StructField("bit_depth", IntegerType()),
         StructField("total_samples", LongType()),
         StructField("max_number", LongType()),
+        StructField("n_decorr_frames", IntegerType()),
     ]
 )
 
@@ -224,6 +227,9 @@ def flac_frame_stats(media: DataFrame) -> DataFrame:
                 )
                 rows["max_number"].append(
                     max((f["number"] for f in frames), default=0)
+                )
+                rows["n_decorr_frames"].append(
+                    sum(1 for f in frames if f["ch_bits"] >= 8)
                 )
             yield pd.DataFrame(rows)
 
@@ -442,13 +448,17 @@ def flac_utf8_decode(data: bytes, pos: int) -> tuple[int, int]:
 def build_flac_frame_header(
     frame_number: int, bs_bits: int, sr_bits: int,
     channels: int = 1, depth_bits: int = 0b100,
-    variable_blocksize: bool = False,
+    variable_blocksize: bool = False, ch_bits: int | None = None,
 ) -> bytes:
+    """`ch_bits`, when given, is the raw channel-assignment nibble
+    (0-7 independent n-channel, 8/9/10 the stereo decorrelation
+    modes); otherwise derived as channels-1 (independent)."""
     hdr = bytearray()
     hdr.append(0xFF)
     hdr.append(0xF8 | (1 if variable_blocksize else 0))
     hdr.append((bs_bits << 4) | sr_bits)
-    hdr.append(((channels - 1) << 4) | (depth_bits << 1))
+    assign = (channels - 1) if ch_bits is None else ch_bits
+    hdr.append((assign << 4) | (depth_bits << 1))
     hdr += flac_utf8_encode(frame_number)
     hdr.append(crc8_flac(bytes(hdr)))
     return bytes(hdr)
@@ -467,7 +477,10 @@ def parse_flac_frame_header(blob: bytes, pos: int) -> dict | None:
             return None  # streaminfo-deferred/literal forms not used
         ch_bits = blob[pos + 3] >> 4
         depth_bits = (blob[pos + 3] >> 1) & 0x7
-        if ch_bits > 9 or depth_bits not in _FLAC_DEPTH:
+        # 0-7: ch_bits+1 independent channels; 8/9/10: left-side /
+        # right-side / mid-side stereo decorrelation (libFLAC's
+        # default stereo output is dominated by these); 11-15 reserved
+        if ch_bits > 10 or depth_bits not in _FLAC_DEPTH:
             return None
         number, end = flac_utf8_decode(blob, pos + 4)
         if blob[end] != crc8_flac(blob[pos:end]):
@@ -478,6 +491,7 @@ def parse_flac_frame_header(blob: bytes, pos: int) -> dict | None:
             "block_size": _FLAC_BLOCKSIZE[bs_bits],
             "sample_rate": _FLAC_RATE[sr_bits],
             "channels": (ch_bits + 1) if ch_bits < 8 else 2,
+            "ch_bits": ch_bits,
             "bit_depth": _FLAC_DEPTH[depth_bits],
             "number": number,
             "header_len": end + 1 - pos,

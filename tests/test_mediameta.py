@@ -215,12 +215,35 @@ def test_flac_frame_header_crc_gates_acceptance():
 
 def test_flac_frame_scan_closed_forms():
     for mid in range(15):
-        n, bs_bits, sr_bits, ch = M._flac_frames_params(mid)
+        n, bs_bits, sr_bits, ch_bits = M._flac_frames_params(mid)
         frames = M.scan_flac_frames(M._flac_frames_blob(mid))
         assert len(frames) == n
         assert [f["number"] for f in frames] == list(range(n))
         assert frames[0]["block_size"] == M._FLAC_BLOCKSIZE[bs_bits]
         assert frames[0]["sample_rate"] == M._FLAC_RATE[sr_bits]
+        assert frames[0]["ch_bits"] == ch_bits
+        assert frames[0]["channels"] == (
+            ch_bits + 1 if ch_bits < 8 else 2
+        )
+
+
+def test_flac_stereo_decorrelation_headers_accepted():
+    # libFLAC stereo output is dominated by left-side / right-side /
+    # mid-side frames (ch_bits 8/9/10); all three must parse as
+    # 2-channel, and the reserved codes 11-15 must still reject
+    for ch_bits, name in ((8, "left-side"), (9, "right-side"),
+                          (10, "mid-side")):
+        hdr = M.build_flac_frame_header(
+            3, 0b1100, 0b1001, ch_bits=ch_bits
+        )
+        f = M.parse_flac_frame_header(hdr, 0)
+        assert f is not None, name
+        assert (f["channels"], f["ch_bits"]) == (2, ch_bits), name
+    for reserved in range(11, 16):
+        hdr = M.build_flac_frame_header(
+            3, 0b1100, 0b1001, ch_bits=reserved
+        )
+        assert M.parse_flac_frame_header(hdr, 0) is None
 
 
 def test_spark_flac_frame_stats(spark):
@@ -232,9 +255,11 @@ def test_spark_flac_frame_stats(spark):
         ).collect()
     }
     for mid in range(6):
-        n, bs_bits, sr_bits, ch = M._flac_frames_params(mid)
+        n, bs_bits, sr_bits, ch_bits = M._flac_frames_params(mid)
         r = got[mid]
         assert r["n_frames"] == n
         assert r["block_size"] == M._FLAC_BLOCKSIZE[bs_bits]
         assert r["total_samples"] == n * M._FLAC_BLOCKSIZE[bs_bits]
         assert r["max_number"] == n - 1
+        assert r["channels"] == (1 if ch_bits == 0 else 2)
+        assert r["n_decorr_frames"] == (n if ch_bits >= 8 else 0)

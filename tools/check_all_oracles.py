@@ -7,8 +7,13 @@ Usage: python tools/check_all_oracles.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import pathlib
 import sys
 import time
+
+# Make `python tools/check_all_oracles.py ...` work from anywhere:
+# __spark_entry__ lives at the repo root, one level above tools/.
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import duckdb
 import numpy as np

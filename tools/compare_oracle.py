@@ -10,6 +10,11 @@ the first differing cells. Usage:
 
 from __future__ import annotations
 
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import math
 import sys
 

@@ -53,6 +53,11 @@ Scope and caveats, stated precisely:
 
 from __future__ import annotations
 
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import json
 import re
 import sys
