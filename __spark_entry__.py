@@ -5132,8 +5132,11 @@ def _l3_oracle_sql() -> str:
                    [{dq}] AS dq, [{nq}] AS nq
         ), quads AS (
             -- _l3_granule_spec closed forms: 2 granules, 8..19
-            -- quadruples of |is|<=1 values at lines 4q+j
-            SELECT doc_id, g.g, 4*q.q + j.j AS line,
+            -- quadruples of |is|<=1 values at lines 2*n_bigs + 4q+j
+            -- (offset past the big-value region, n_bigs = 4+(mid+g)%6)
+            SELECT doc_id, g.g,
+                   2*(4 + (doc_id + g.g) % 6) + 4*q.q + j.j AS line,
+                   CAST(1 AS BIGINT) AS mag43,
                    CASE WHEN (doc_id + q.q + j.j) % 2 = 1
                         THEN -1 ELSE 1 END AS sgn
             FROM documents,
@@ -5142,13 +5145,38 @@ def _l3_oracle_sql() -> str:
                  (SELECT unnest(range(0, 4)) AS j) j
             WHERE q.q < 8 + (doc_id + 3*g.g) % 12
               AND (doc_id + 3*g.g + 5*q.q + 7*j.j) % 2 = 1
+        ), bigl AS (
+            -- big-value pairs: cube magnitudes {0,1,8,27} whose 4/3
+            -- powers are exactly {0,1,16,81}; x at even line (idx
+            -- (mid+2g+p)%4, sign (mid+g+p)%2), y at odd line (idx
+            -- (mid+g+3p)%4, sign (mid+p)%2); 27 only in region0
+            -- (pairs p<4, ESC table 24)
+            SELECT doc_id, g.g, 2*p.p + e.e AS line,
+                   CAST(CASE CASE WHEN e.e = 0
+                             THEN (doc_id + 2*g.g + p.p) % 4
+                             ELSE (doc_id + g.g + 3*p.p) % 4 END
+                        WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 16
+                        ELSE CASE WHEN p.p < 4 THEN 81 ELSE 1 END
+                        END AS BIGINT) AS mag43,
+                   CASE WHEN (CASE WHEN e.e = 0
+                              THEN (doc_id + g.g + p.p) % 2
+                              ELSE (doc_id + p.p) % 2 END) = 1
+                        THEN -1 ELSE 1 END AS sgn
+            FROM documents,
+                 (SELECT unnest(range(0, 2)) AS g) g,
+                 (SELECT unnest(range(0, 9)) AS p) p,
+                 (SELECT unnest(range(0, 2)) AS e) e
+            WHERE p.p < 4 + (doc_id + g.g) % 6
+        ), slines AS (
+            SELECT * FROM quads UNION ALL
+            SELECT * FROM bigl WHERE mag43 <> 0
         ), bands AS (
             SELECT b.i AS sfb, bounds[b.i+1] AS lo, bounds[b.i+2] AS hi
             FROM t3, (SELECT unnest(range(0, 22)) AS i) b
         ), vals AS (
             SELECT q.doc_id, q.g, q.line,
-                   CAST(floor(q.sgn * pow(2.0, CAST((
-                       ((210 - 4*(2 + (q.doc_id + q.g) % 6)) - 210)
+                   CAST(floor(q.sgn * q.mag43 * pow(2.0, CAST((
+                       ((210 - 4*(8 + (q.doc_id + q.g) % 4)) - 210)
                            // 2
                        - (((q.doc_id + q.g) % 2) + 1)
                          * (CASE WHEN q.g = 1
@@ -5167,7 +5195,7 @@ def _l3_oracle_sql() -> str:
                                    ELSE 0 END)
                    ) // 2 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
                        AS x_micro
-            FROM quads q
+            FROM slines q
             JOIN bands b ON q.line >= b.lo AND q.line < b.hi
             CROSS JOIN t3
         ), butter AS (

@@ -10,23 +10,24 @@ scfsi sharing), Huffman decode of the count1 region, requantization
 blocks), overlap-add, and frequency inversion -- feeding the
 existing fixed-point polyphase bank to PCM.
 
-HUFFMAN BOUNDARY (documented, not faked): the count1 quadruple
-tables are carried in full -- table A is embedded and VERIFIED
-structurally (a complete prefix code: Kraft sum exactly 1, trie
-insertion proves prefix-freeness), table B is the spec's linear
-4-bit code (hcod = 15 - v).  The 32 big-value pair tables are
-empirically-designed code tables that cannot be re-derived from
-first principles, so big_values > 0 raises NotImplementedError
-naming the feature; every other stage of the decode is real and
-property-tested (the IMDCT/window satisfies the Princen-Bradley
-TDAC identity, checked against a closed-form forward MDCT in the
-tests).
+HUFFMAN: the count1 quadruple tables are carried in full -- table A
+is embedded and VERIFIED structurally (a complete prefix code: Kraft
+sum exactly 1, trie insertion proves prefix-freeness), table B is
+the spec's linear 4-bit code (hcod = 15 - v).  The big-value PAIR
+tables (Annex B.7, ids 1-31 with the 16/24 ESC families and their
+linbits) live in `mp3tables.py` under the same structural proof,
+so big_values > 0 now decodes: region split by region0/1_count over
+the Table B.8 band boundaries, per-region table_select, ESC + linbits
+escape values, sign bits.  The IMDCT/window chain is property-tested
+(Princen-Bradley TDAC identity against a closed-form forward MDCT).
 
 EXACTNESS CONTRACT (the decode_layer1/layer2 discipline carried one
 layer further): the gate path is exact int64 end-to-end.  Requantized
-spectral values are powers of two (|is| <= 1 makes the 4/3 power
-exact; the synthesizer pins global_gain = 210 mod 4 and even
-scalefactors so exponents are integers), quantized to micro ints;
+spectral values are CUBES times powers of two (m = k^3 makes the 4/3
+power exactly k^4 -- the synthesizer emits magnitudes {0,1,8,27},
+pins global_gain = 210 mod 4 and even scalefactors so exponents are
+integers; arbitrary foreign magnitudes take the documented float
+fallback, micro-rounded), quantized to micro ints;
 alias butterflies and the fused IMDCT-window matrix are Q14 integer
 literals applied with FLOOR division; overlap-add and frequency
 inversion are integer ops; the polyphase is mpegsynth's Q28 integer
@@ -56,6 +57,12 @@ from .container import (
     parse_mp3_sideinfo_mono,
     parse_mpeg_audio_frames,
 )
+from .mp3tables import (
+    FORBIDDEN_TABLES,
+    LINBITS,
+    decode_tree,
+    table_codes,
+)
 from .mpegsynth import LAYER1_PCM_STATS, synthesize_granules_q
 from .multimodal import _synthesize_media
 
@@ -67,13 +74,38 @@ from .multimodal import _synthesize_media
 SLEN1 = [0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4]
 SLEN2 = [0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3]
 
-# Table B.8 long-block scalefactor band boundaries, 44.1 kHz
-# (22 boundaries delimit sfb 0..20 plus the unscaled top region)
+# Table B.8 long-block scalefactor band boundaries, all three MPEG-1
+# rates (22 boundaries delimit sfb 0..20 plus the unscaled top region)
 SFB_LONG_44100 = [
     0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134,
     162, 196, 238, 288, 342, 418, 576,
 ]
-_SFB_LONG = {44100: SFB_LONG_44100}
+SFB_LONG_48000 = [
+    0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106, 128,
+    156, 190, 230, 276, 330, 384, 576,
+]
+SFB_LONG_32000 = [
+    0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156,
+    194, 240, 296, 364, 448, 550, 576,
+]
+_SFB_LONG = {
+    44100: SFB_LONG_44100,
+    48000: SFB_LONG_48000,
+    32000: SFB_LONG_32000,
+}
+
+# Table B.8 short-block boundaries (per 192-line window), same rates
+SFB_SHORT_44100 = [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136,
+                   192]
+SFB_SHORT_48000 = [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126,
+                   192]
+SFB_SHORT_32000 = [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180,
+                   192]
+_SFB_SHORT = {
+    44100: SFB_SHORT_44100,
+    48000: SFB_SHORT_48000,
+    32000: SFB_SHORT_32000,
+}
 
 # Table B.6 preemphasis
 PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3,
@@ -171,12 +203,23 @@ _SCFSI_GROUPS = [(0, 6), (6, 11), (11, 16), (16, 21)]
 # ---------------------------------------------------------------
 
 
+def _write_bigvalue(bw: "_BitWriterMSB", tid: int, v: int,
+                    neg: int) -> None:
+    """linbits escape + sign for ONE big value (code word is written
+    by the caller, once per pair)."""
+    lb = LINBITS[tid]
+    if lb and v >= 15:
+        bw.write(v - 15, lb)
+    if v:
+        bw.write(1 if neg else 0, 1)
+
+
 def _render_main_data(
     granule_specs: list[dict], scfsi: int
 ) -> tuple[list[dict], bytes]:
-    """Scalefactor + count1 Huffman bits for one frame's two
-    granules -> (side-info granule dicts with exact part2_3_length,
-    byte-aligned main-data bytes)."""
+    """Scalefactor + big-value + count1 Huffman bits for one frame's
+    two granules -> (side-info granule dicts with exact
+    part2_3_length, byte-aligned main-data bytes)."""
     bw = _BitWriterMSB()
     si = []
     for g_i, g in enumerate(granule_specs):
@@ -190,6 +233,40 @@ def _render_main_data(
             ):
                 continue  # shared with granule 0, not transmitted
             bw.write(g["scalefacs"][sfb], slen1 if sfb < 11 else slen2)
+        # big-value pairs (2.4.3.4.6): pairs are (x, y, neg_x, neg_y)
+        # raw magnitudes; the REGION table is chosen by line position
+        # against the Table B.8 bounds, mirroring the decoder
+        bigs = g.get("bigs", [])
+        tsel = g.get("table_select", [0, 0, 0])
+        bounds = g.get("bounds", SFB_LONG_44100)
+        r1 = bounds[min(g.get("region0_count", 0) + 1,
+                        len(bounds) - 1)]
+        r2 = bounds[min(g.get("region0_count", 0)
+                        + g.get("region1_count", 0) + 2,
+                        len(bounds) - 1)]
+        for p, (x, y, nx, ny) in enumerate(bigs):
+            line = 2 * p
+            tid = tsel[0 if line < r1 else (1 if line < r2 else 2)]
+            if tid == 0:
+                if x or y:
+                    raise ValueError(
+                        "table 0 region cannot carry nonzero values"
+                    )
+                continue
+            xlen, lens, cods = table_codes(tid)
+            lb = LINBITS[tid]
+            xc = min(x, 15) if lb else x
+            yc = min(y, 15) if lb else y
+            if xc >= xlen or yc >= xlen or (lb and (
+                x - 15 >= (1 << lb) or y - 15 >= (1 << lb)
+            )):
+                raise ValueError(
+                    f"value pair ({x},{y}) does not fit table {tid}"
+                )
+            idx = xc * xlen + yc
+            bw.write(cods[idx], lens[idx])
+            _write_bigvalue(bw, tid, x, nx)
+            _write_bigvalue(bw, tid, y, ny)
         table_a = g["count1table_select"] == 0
         for quad in g["quads"]:
             v, w, x, y = quad[:4]
@@ -204,16 +281,16 @@ def _render_main_data(
         si.append(
             {
                 "part2_3_length": len(bw.bits) - bits_before,
-                "big_values": 0,
+                "big_values": len(g.get("bigs", [])),
                 "global_gain": g["global_gain"],
                 "scalefac_compress": g["scalefac_compress"],
                 "window_switching": 0,
                 "block_type": 0,
                 "mixed_block": 0,
-                "table_select": [0, 0, 0],
+                "table_select": list(g.get("table_select", [0, 0, 0])),
                 "subblock_gain": [0, 0, 0],
-                "region0_count": 0,
-                "region1_count": 0,
+                "region0_count": g.get("region0_count", 0),
+                "region1_count": g.get("region1_count", 0),
                 "preflag": g["preflag"],
                 "scalefac_scale": g["scalefac_scale"],
                 "count1table_select": g["count1table_select"],
@@ -237,7 +314,10 @@ def encode_mpeg1_layer3_frame(
     (main_data_begin = 0).  Each granule spec: global_gain,
     scalefac_compress, scalefac_scale, preflag, count1table_select,
     scalefacs (21 ints), quads (list of (v,w,x,y,sv,sw,sx,sy)
-    value/sign tuples, big_values = 0)."""
+    value/sign tuples), optionally bigs (list of (x, y, neg_x, neg_y)
+    raw-magnitude pairs), table_select, region0/1_count."""
+    bounds = _SFB_LONG[_SAMPLE_RATE_V1[sr_idx]]
+    granule_specs = [{**g, "bounds": bounds} for g in granule_specs]
     si, main = _render_main_data(granule_specs, scfsi)
     need = 4 + 17 + len(main)
     for br_idx in range(1, 15):
@@ -267,8 +347,11 @@ def encode_layer3_stream_reservoir(
     whenever sizes vary).
 
     `frames` is a list of (granule_specs, scfsi) pairs."""
+    bounds = _SFB_LONG[_SAMPLE_RATE_V1[sr_idx]]
     rendered = [
-        (_render_main_data(specs, scfsi), scfsi)
+        (_render_main_data(
+            [{**g, "bounds": bounds} for g in specs], scfsi
+        ), scfsi)
         for specs, scfsi in frames
     ]
     mains = [main for (_, main), _ in rendered]
@@ -323,12 +406,10 @@ def _check_l3_header(frame: bytes) -> list[int]:
         )
     if ((frame[1] >> 1) & 0x3) != 0b01:
         raise ValueError("not layer III")
-    sr = _SAMPLE_RATE_V1[(frame[2] >> 2) & 0x3]
-    if sr not in _SFB_LONG:
-        raise NotImplementedError(
-            f"Table B.8 row for {sr} Hz not embedded (44100 only)"
-        )
-    return _SFB_LONG[sr]
+    sr_idx = (frame[2] >> 2) & 0x3
+    if sr_idx == 3:
+        raise ValueError("reserved sample-rate index")
+    return _SFB_LONG[_SAMPLE_RATE_V1[sr_idx]]
 
 
 def decode_mpeg1_layer3_frame(frame: bytes) -> np.ndarray:
@@ -347,22 +428,34 @@ def decode_mpeg1_layer3_frame(frame: bytes) -> np.ndarray:
     return _decode_granules(si, _BitReaderMSB(frame[21:]), bounds)
 
 
+def _requant_micro(m: int, neg: bool, ex2: int) -> int:
+    """2.4.3.4.7.1 requantization to a micro int:
+    x = sign * m^(4/3) * 2^(ex2/2), floor(x*1e6 + 0.5) with the sign
+    INSIDE the floor.  Exact (and SQL-replicable) when m is a perfect
+    cube (m = k^3 -> m^(4/3) = k^4) and ex2 is even; any other
+    magnitude/exponent takes the documented float fallback."""
+    if m == 0:
+        return 0
+    k = round(m ** (1.0 / 3.0))
+    if k * k * k == m and ex2 % 2 == 0:
+        val = float(k ** 4) * (2.0 ** (ex2 // 2))
+    else:
+        val = (m ** (4.0 / 3.0)) * (2.0 ** (ex2 / 2.0))
+    return math.floor((-val if neg else val) * 1e6 + 0.5)
+
+
 def _decode_granules(
     si: dict, br: "_BitReaderMSB", bounds: list[int]
 ) -> np.ndarray:
     """Both granules of one frame out of a positioned main-data
-    reader (scalefactors + count1 Huffman + requantization)."""
+    reader (scalefactors + big-value/count1 Huffman +
+    requantization)."""
     out = np.zeros((2, 576), dtype=np.int64)
     sf_prev = [0] * N_SFB_LONG
     for g_i, g in enumerate(si["granules"]):
         if g["window_switching"]:
             raise NotImplementedError(
                 "short/mixed blocks (window_switching) not decoded"
-            )
-        if g["big_values"] != 0:
-            raise NotImplementedError(
-                "big-value Huffman tables are not re-derivable from "
-                "first principles; only the count1 region decodes"
             )
         start = br.pos
         slen1 = SLEN1[g["scalefac_compress"]]
@@ -377,39 +470,61 @@ def _decode_granules(
                 sf[sfb] = sf_prev[sfb]
             else:
                 sf[sfb] = br.read(slen1 if sfb < 11 else slen2)
-        tree = _TREES[g["count1table_select"] == 0]
+
+        def _store(line: int, m: int, neg: bool) -> None:
+            sfb = 0
+            while bounds[sfb + 1] <= line:
+                sfb += 1
+            pre = PRETAB[sfb] if g["preflag"] else 0
+            sf_eff = sf[sfb] if sfb < N_SFB_LONG else 0
+            # exponent carried DOUBLED so both scalefac_scale
+            # multipliers stay integral; the synthesizer guarantees
+            # ex2 even (exact micro), odd is the float fallback
+            ex2 = (g["global_gain"] - 210) // 2 \
+                - (g["scalefac_scale"] + 1) * (sf_eff + pre)
+            out[g_i, line] = _requant_micro(m, neg, ex2)
+
+        # ---- big-values region (2.4.3.4.6): pairs, per-region
+        # table_select over the Table B.8 boundaries, ESC + linbits
         line = 0
+        bv_lines = 2 * g["big_values"]
+        r1 = bounds[min(g["region0_count"] + 1, len(bounds) - 1)]
+        r2 = bounds[min(g["region0_count"] + g["region1_count"] + 2,
+                        len(bounds) - 1)]
+        while line < bv_lines:
+            tid = g["table_select"][
+                0 if line < r1 else (1 if line < r2 else 2)
+            ]
+            if tid in FORBIDDEN_TABLES:
+                raise ValueError(f"forbidden table_select {tid}")
+            if tid == 0:
+                line += 2
+                continue
+            xlen, _, _ = table_codes(tid)
+            node = decode_tree(tid)
+            while "leaf" not in node:
+                node = node[str(br.read(1))]
+            idx = node["leaf"]
+            lb = LINBITS[tid]
+            for m in (idx // xlen, idx % xlen):
+                if lb and m == 15:
+                    m += br.read(lb)
+                neg = bool(m) and br.read(1) == 1
+                _store(line, m, neg)
+                line += 1
+
+        # ---- count1 region: quadruples until part2_3_length runs out
+        tree = _TREES[g["count1table_select"] == 0]
         while br.pos - start < g["part2_3_length"] and line <= 572:
             node = tree
             while "leaf" not in node:
                 node = node[str(br.read(1))]
             idx = node["leaf"]
-            vals = [(idx >> 3) & 1, (idx >> 2) & 1,
-                    (idx >> 1) & 1, idx & 1]
-            for j, v in enumerate(vals):
-                if v and br.read(1):
-                    vals[j] = -1
-            for j, v in enumerate(vals):
-                if v == 0:
-                    line += 1
-                    continue
-                sfb = 0
-                while bounds[sfb + 1] <= line:
-                    sfb += 1
-                pre = PRETAB[sfb] if g["preflag"] else 0
-                sf_eff = sf[sfb] if sfb < N_SFB_LONG else 0
-                # requantization 2.4.3.4.7.1 with |is| <= 1 (so the
-                # 4/3 power is exact): xr = v * 2^e,
-                # e = (gg-210)/4 - ((ss+1)/2)*(sf + pre).  The
-                # exponent is carried DOUBLED so both scalefac_scale
-                # multipliers stay integral; the synthesizer
-                # guarantees ex2 even (exact micro), the odd case is
-                # the honest float fallback for foreign streams.
-                ex2 = (g["global_gain"] - 210) // 2 \
-                    - (g["scalefac_scale"] + 1) * (sf_eff + pre)
-                x = v * (2.0 ** (ex2 / 2.0) if ex2 % 2
-                         else 2.0 ** (ex2 // 2))
-                out[g_i, line] = math.floor(x * 1e6 + 0.5)
+            for j in range(4):
+                m = (idx >> (3 - j)) & 1
+                neg = bool(m) and br.read(1) == 1
+                if m:
+                    _store(line, m, neg)
                 line += 1
         sf_prev = sf
     return out
@@ -496,10 +611,24 @@ def decode_layer3_to_pcm_q(blob: bytes) -> tuple[int, np.ndarray]:
 
 
 def _l3_granule_spec(mid: int, g: int) -> dict:
-    """Oracle-mirrored granule content: count1-only spectra with
-    power-of-two magnitudes (integral exponents by construction)."""
+    """Oracle-mirrored granule content: big-value pairs with CUBE
+    magnitudes {0,1,8,27} (exact 4/3 powers {0,1,16,81}) through all
+    three regions -- table 24 with an ESC+linbits escape (27=15+12),
+    table 16 direct, table 13 direct -- followed by count1 quads.
+    global_gain is pinned to 210 mod 4 with e <= -8 so the largest
+    requantized value stays inside the 2^19 micro headroom."""
     ss = (mid + g) % 2
     preflag = ss * ((mid // 2 + g) % 2)  # only with multiplier 1.0
+    n_bigs = 4 + (mid + g) % 6  # 4..9 pairs = 8..18 lines
+    bigs = []
+    for p in range(n_bigs):
+        mags = [0, 1, 8, 27 if p < 4 else 1]
+        bigs.append((
+            mags[(mid + 2 * g + p) % 4],
+            mags[(mid + g + 3 * p) % 4],
+            (mid + g + p) % 2,
+            (mid + p) % 2,
+        ))
     n_quads = 8 + (mid + 3 * g) % 12
     quads = []
     for q in range(n_quads):
@@ -509,13 +638,20 @@ def _l3_granule_spec(mid: int, g: int) -> dict:
         signs = tuple((mid + q + j) % 2 for j in range(4))
         quads.append(vals + signs)
     return {
-        "global_gain": 210 - 4 * (2 + (mid + g) % 6),  # e in [-7,-2]
+        "global_gain": 210 - 4 * (8 + (mid + g) % 4),  # e in [-11,-8]
         "scalefac_compress": 15,  # slen1=4, slen2=3
         "scalefac_scale": ss,
         "preflag": preflag,
         "count1table_select": (mid + g) % 2,
         "scalefacs": [2 * ((mid + g + sfb) % 4)
                       for sfb in range(N_SFB_LONG)],
+        "bigs": bigs,
+        # region0 = lines [0,8) (bounds[2]), region1 = [8,12)
+        # (bounds[3]), region2 = rest -- identical boundaries at all
+        # three MPEG-1 rates' B.8 rows
+        "table_select": [24, 16, 13],
+        "region0_count": 1,
+        "region1_count": 0,
         "quads": quads,
     }
 

@@ -62,32 +62,43 @@ def test_spectral_decode_matches_sideinfo_and_content():
         scfsi = mid % 16
         for g in range(2):
             spec_g = L3._l3_granule_spec(mid, g)
+            n_bigs = len(spec_g["bigs"])
             n_quads = len(spec_g["quads"])
-            # beyond the count1 region everything is zero
-            assert not out[g, 4 * n_quads :].any()
+            # beyond big-values + count1 everything is zero
+            assert not out[g, 2 * n_bigs + 4 * n_quads :].any()
+
+            def _ex2(line: int) -> int:
+                sfb = 0
+                while L3.SFB_LONG_44100[sfb + 1] <= line:
+                    sfb += 1
+                shared = g == 1 and any(
+                    (scfsi >> (3 - grp)) & 1 and lo <= sfb < hi
+                    for grp, (lo, hi) in enumerate(L3._SCFSI_GROUPS)
+                )
+                src = L3._l3_granule_spec(mid, 0) if shared \
+                    else spec_g
+                sf = src["scalefacs"][sfb]
+                pre = L3.PRETAB[sfb] if spec_g["preflag"] else 0
+                ex2 = (spec_g["global_gain"] - 210) // 2 \
+                    - (spec_g["scalefac_scale"] + 1) * (sf + pre)
+                assert ex2 % 2 == 0
+                return ex2
+
+            for p, (bx, by, nx, ny) in enumerate(spec_g["bigs"]):
+                for line, m, neg in (
+                    (2 * p, bx, nx), (2 * p + 1, by, ny),
+                ):
+                    assert out[g, line] == L3._requant_micro(
+                        m, bool(neg), _ex2(line)
+                    ), (mid, g, line)
             for q, quad in enumerate(spec_g["quads"]):
                 for j in range(4):
-                    line = 4 * q + j
+                    line = 2 * n_bigs + 4 * q + j
                     v, sgn = quad[j], quad[4 + j]
                     if v == 0:
                         assert out[g, line] == 0
                         continue
-                    sfb = 0
-                    while L3.SFB_LONG_44100[sfb + 1] <= line:
-                        sfb += 1
-                    shared = g == 1 and any(
-                        (scfsi >> (3 - grp)) & 1 and lo <= sfb < hi
-                        for grp, (lo, hi) in
-                        enumerate(L3._SCFSI_GROUPS)
-                    )
-                    src = L3._l3_granule_spec(mid, 0) if shared \
-                        else spec_g
-                    sf = src["scalefacs"][sfb]
-                    pre = L3.PRETAB[sfb] if spec_g["preflag"] else 0
-                    ex2 = (spec_g["global_gain"] - 210) // 2 \
-                        - (spec_g["scalefac_scale"] + 1) * (sf + pre)
-                    assert ex2 % 2 == 0
-                    x = (-1 if sgn else 1) * 2.0 ** (ex2 // 2)
+                    x = (-1 if sgn else 1) * 2.0 ** (_ex2(line) // 2)
                     assert out[g, line] == math.floor(x * 1e6 + 0.5)
 
 
@@ -134,19 +145,32 @@ def test_rejection_boundaries_are_loud():
     l2 = bytes([blob[0], (blob[1] & ~0x06) | 0x04]) + bytes(blob[2:])
     with pytest.raises(ValueError, match="not layer III"):
         L3.decode_mpeg1_layer3_frame(l2)
-    # 48 kHz Table B.8 row not embedded
-    sr48 = bytes([blob[0], blob[1], (blob[2] & ~0x0C) | 0x04]) \
+    # reserved sample-rate index 3 rejected (B.8 rows now cover all
+    # three real MPEG-1 rates)
+    sr_res = bytes([blob[0], blob[1], blob[2] | 0x0C]) \
         + bytes(blob[3:])
-    with pytest.raises(NotImplementedError, match="44100"):
-        L3.decode_mpeg1_layer3_frame(sr48)
-    # big_values > 0 is the documented Huffman boundary
+    with pytest.raises(ValueError, match="reserved sample-rate"):
+        L3.decode_mpeg1_layer3_frame(sr_res)
+    # forbidden big-value table ids 4/14 are loud
     si = C.parse_mp3_sideinfo_mono(bytes(blob[4:21]))
     g = si["granules"][0]
     g["big_values"] = 4
+    g["table_select"] = [4, 0, 0]
     patched = bytes(blob[:4]) + C.encode_mp3_sideinfo_mono(
         0, si["scfsi"], si["granules"]
     ) + bytes(blob[21:])
-    with pytest.raises(NotImplementedError, match="big-value"):
+    with pytest.raises(ValueError, match="forbidden table"):
+        L3.decode_mpeg1_layer3_frame(patched)
+    # short/mixed blocks remain the documented boundary
+    g["big_values"] = 0
+    g["table_select"] = [0, 0, 0]
+    g2 = si["granules"][1]
+    g2["window_switching"] = 1
+    g2["block_type"] = 2
+    patched = bytes(blob[:4]) + C.encode_mp3_sideinfo_mono(
+        0, si["scfsi"], si["granules"]
+    ) + bytes(blob[21:])
+    with pytest.raises(NotImplementedError, match="window_switching"):
         L3.decode_mpeg1_layer3_frame(patched)
 
 
@@ -227,3 +251,182 @@ def test_frame_decoder_requires_self_contained():
     f1 = res[frs[1]["offset"] : frs[1]["offset"] + frs[1]["length"]]
     with pytest.raises(ValueError, match="decode_layer3_stream"):
         L3.decode_mpeg1_layer3_frame(f1)
+
+
+# ---------------------------------------------------------------
+# big-value region (Annex B.7 tables, mp3tables.py)
+# ---------------------------------------------------------------
+
+from commoncrawl_crawler_spark.operators import mp3tables as BT
+
+
+def test_all_bigvalue_tables_complete_prefix_codes():
+    for tid in sorted(BT._BASE_TABLES):
+        BT.validate_table(tid)
+    # ESC families alias their base codes with distinct linbits
+    for tid in range(16, 24):
+        assert BT.table_codes(tid) == BT.table_codes(16)
+    for tid in range(24, 32):
+        assert BT.table_codes(tid) == BT.table_codes(24)
+    assert [BT.LINBITS[t] for t in range(16, 24)] == \
+        [1, 2, 3, 4, 6, 8, 10, 13]
+    assert [BT.LINBITS[t] for t in range(24, 32)] == \
+        [4, 5, 6, 7, 8, 9, 11, 13]
+    for tid in (4, 14):
+        with pytest.raises(ValueError, match="forbidden"):
+            BT.table_codes(tid)
+
+
+def _bv_spec(bigs, table_select, r0=1, r1=0, gg=210 - 4 * 8):
+    return {
+        "global_gain": gg,
+        "scalefac_compress": 0,  # slen 0/0: zero scalefactor bits
+        "scalefac_scale": 0,
+        "preflag": 0,
+        "count1table_select": 1,
+        "scalefacs": [0] * L3.N_SFB_LONG,
+        "quads": [],
+        "bigs": bigs,
+        "table_select": table_select,
+        "region0_count": r0,
+        "region1_count": r1,
+    }
+
+
+def test_bigvalues_roundtrip_across_regions_and_esc():
+    # region0 (lines 0-7): table 24 (linbits 4) incl. ESC 27 = 15+12;
+    # region1 (lines 8-11): table 16 (linbits 1), direct 0..14;
+    # region2 (lines 12+): table 13 (no linbits)
+    bigs = [
+        (27, 8, 0, 1), (0, 1, 0, 0), (8, 27, 1, 1), (1, 0, 1, 0),
+        (8, 1, 0, 0), (1, 8, 1, 0),
+        (8, 8, 0, 1), (1, 1, 1, 1),
+    ]
+    spec = _bv_spec(bigs, [24, 16, 13])
+    frame = L3.encode_mpeg1_layer3_frame([spec, spec], scfsi=0)
+    si = C.parse_mp3_sideinfo_mono(frame[4:21])
+    assert si["granules"][0]["big_values"] == len(bigs)
+    assert si["granules"][0]["table_select"] == [24, 16, 13]
+    out = L3.decode_mpeg1_layer3_frame(frame)
+    ex2 = 2 * (-8)  # gg = 210-32, no scalefactors
+    expect = {}
+    for p, (x, y, nx, ny) in enumerate(bigs):
+        expect[2 * p] = L3._requant_micro(x, bool(nx), ex2)
+        expect[2 * p + 1] = L3._requant_micro(y, bool(ny), ex2)
+    for line in range(576):
+        for g in range(2):
+            assert out[g, line] == expect.get(line, 0), (g, line)
+    # exactness of the cube path: 27^(4/3) = 81, 8^(4/3) = 16
+    assert expect[0] == math.floor(81 * 2.0 ** -8 * 1e6 + 0.5)
+    assert expect[1] == -math.floor(16 * 2.0 ** -8 * 1e6 + 0.5) or \
+        expect[1] == math.floor(-16 * 2.0 ** -8 * 1e6 + 0.5)
+
+
+def test_bigvalues_escape_overflow_is_loud():
+    # 31 = 15 + 16 does not fit linbits-4 table 24
+    spec = _bv_spec([(31, 0, 0, 0)], [24, 0, 0])
+    with pytest.raises(ValueError, match="does not fit"):
+        L3.encode_mpeg1_layer3_frame([spec, spec], scfsi=0)
+    # value 3 does not fit table 1 (xlen 2, no linbits)
+    spec = _bv_spec([(3, 0, 0, 0)], [1, 0, 0])
+    with pytest.raises(ValueError, match="does not fit"):
+        L3.encode_mpeg1_layer3_frame([spec, spec], scfsi=0)
+
+
+def test_bigvalues_all_tables_roundtrip():
+    # one pair through every real table id (values within xlen)
+    for tid in list(range(1, 4)) + list(range(5, 14)) + [15] + \
+            list(range(16, 32)):
+        xlen, _, _ = BT.table_codes(tid)
+        x = min(xlen - 1, 2)
+        y = 1
+        spec = _bv_spec([(x, y, 1, 0)], [tid, 0, 0])
+        frame = L3.encode_mpeg1_layer3_frame([spec, spec], scfsi=0)
+        out = L3.decode_mpeg1_layer3_frame(frame)
+        ex2 = -16
+        assert out[0, 0] == L3._requant_micro(x, True, ex2), tid
+        assert out[0, 1] == L3._requant_micro(y, False, ex2), tid
+
+
+def test_bigvalues_multirate_bounds():
+    # same content at 44.1/48/32 kHz: band-dependent scalefactors make
+    # the requant exponent follow each rate's own B.8 row
+    bigs = [(8, 8, 0, 0)] * 20  # 40 lines: crosses sfb 8 boundary
+    spec = _bv_spec(bigs, [13, 13, 13], r0=3, r1=2)
+    spec["scalefac_compress"] = 15
+    spec["scalefacs"] = [2 * (i % 3) for i in range(L3.N_SFB_LONG)]
+    for sr_idx, rate in enumerate((44100, 48000, 32000)):
+        frame = L3.encode_mpeg1_layer3_frame(
+            [spec, spec], scfsi=0, sr_idx=sr_idx
+        )
+        out = L3.decode_mpeg1_layer3_frame(frame)
+        bounds = L3._SFB_LONG[rate]
+        for line in range(40):
+            sfb = 0
+            while bounds[sfb + 1] <= line:
+                sfb += 1
+            ex2 = -16 - 1 * (2 * (sfb % 3))
+            assert out[0, line] == L3._requant_micro(
+                8, False, ex2
+            ), (rate, line)
+
+
+def test_requant_micro_cube_exact_and_float_fallback():
+    # cubes with even exponents are exact integers scaled by 2^k
+    assert L3._requant_micro(8, False, -4) == \
+        math.floor(16 / 4 * 1e6 + 0.5)
+    assert L3._requant_micro(27, True, -8) == \
+        math.floor(-81 / 16 * 1e6 + 0.5)
+    assert L3._requant_micro(64, False, -10) == \
+        math.floor(256 / 32 * 1e6 + 0.5)
+    # non-cube falls back to the float 4/3 power, micro-rounded
+    got = L3._requant_micro(5, False, -4)
+    assert got == math.floor(5 ** (4.0 / 3.0) / 4 * 1e6 + 0.5)
+    assert L3._requant_micro(0, False, 0) == 0
+
+
+def test_bigvalues_differential_count1_only_path():
+    """The count1 region's DECODED CONTENT is independent of whether
+    a big-value region precedes it: decoding spec-with-bigs restricted
+    to the quad lines equals the bigs-free decode shifted by 2*n_bigs
+    (same scalefactors, same exponents at matching sfbs require the
+    quads to sit inside one scalefactor band span on both sides)."""
+    for mid in range(4):
+        with_bigs = L3._l3_granule_spec(mid, 0)
+        without = dict(with_bigs, bigs=[])
+        n_bigs = len(with_bigs["bigs"])
+        fa = L3.encode_mpeg1_layer3_frame([with_bigs, with_bigs],
+                                          scfsi=0)
+        fb = L3.encode_mpeg1_layer3_frame([without, without], scfsi=0)
+        oa = L3.decode_mpeg1_layer3_frame(fa)
+        ob = L3.decode_mpeg1_layer3_frame(fb)
+        # reservoir stream of the same two frames also decodes the
+        # same spectra (transport differential, now with big values)
+        stream = L3.encode_layer3_stream_reservoir(
+            [([with_bigs, with_bigs], 0), ([without, without], 0)]
+        )
+        os_ = L3.decode_layer3_stream(stream)
+        assert np.array_equal(os_[:2], oa)
+        assert np.array_equal(os_[2:], ob)
+        # per-line: every quad value appears in both decodes at its
+        # own offset with the exponent of ITS line's sfb
+        bounds = L3.SFB_LONG_44100
+        sf = with_bigs["scalefacs"]
+        ss, pf = with_bigs["scalefac_scale"], with_bigs["preflag"]
+        gg = with_bigs["global_gain"]
+        for q, quad in enumerate(with_bigs["quads"]):
+            for j in range(4):
+                v, sgn = quad[j], quad[4 + j]
+                for base, out in ((2 * n_bigs, oa), (0, ob)):
+                    line = base + 4 * q + j
+                    if v == 0:
+                        assert out[0, line] == 0
+                        continue
+                    sfb = 0
+                    while bounds[sfb + 1] <= line:
+                        sfb += 1
+                    pre = L3.PRETAB[sfb] if pf else 0
+                    ex2 = (gg - 210) // 2 - (ss + 1) * (sf[sfb] + pre)
+                    assert out[0, line] == L3._requant_micro(
+                        1, bool(sgn), ex2
+                    )
