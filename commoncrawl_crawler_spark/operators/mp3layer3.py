@@ -129,35 +129,91 @@ CA_Q14 = [
 ]
 
 
-def _imdct36_window_q14() -> np.ndarray:
-    """Fused IMDCT-36 x sine-window matrix for long blocks
-    (2.4.3.4.10.3 block_type 0), Q14 integers:
-    W[n][i] = round(cos(pi/72 (2n+1+18)(2i+1)) * sin(pi/36 (n+1/2))
-              * 2^14)."""
+def long_block_window(block_type: int) -> np.ndarray:
+    """2.4.3.4.10.3 window shapes over 36 samples: block_type 0
+    (normal sine), 1 (start: sine head, flat, short-sine decay,
+    zeros), 3 (stop: zeros, short-sine attack, flat, sine tail)."""
+    n = np.arange(36)
+    sine = np.sin(np.pi / 36.0 * (n + 0.5))
+    if block_type == 0:
+        return sine
+    short = np.sin(np.pi / 12.0 * (np.arange(12) + 0.5))
+    w = np.zeros(36)
+    if block_type == 1:
+        w[:18] = sine[:18]
+        w[18:24] = 1.0
+        w[24:30] = short[6:]
+    elif block_type == 3:
+        w[6:12] = short[:6]
+        w[12:18] = 1.0
+        w[18:] = sine[18:]
+    else:
+        raise ValueError("long window for block_type 0/1/3 only")
+    return w
+
+
+def _imdct36_window_q14(block_type: int = 0) -> np.ndarray:
+    """Fused IMDCT-36 x window matrix (2.4.3.4.10.3), Q14 integers:
+    W[n][i] = round(cos(pi/72 (2n+1+18)(2i+1)) * win_bt[n] * 2^14)."""
+    win = long_block_window(block_type)
     w = np.zeros((36, 18), dtype=np.int64)
     for n in range(36):
-        win = math.sin(math.pi / 36.0 * (n + 0.5))
         for i in range(18):
             c = math.cos(
                 math.pi / 72.0 * (2 * n + 1 + 18) * (2 * i + 1)
             )
-            w[n, i] = round(c * win * (1 << 14))
+            w[n, i] = round(c * win[n] * (1 << 14))
     return w
 
 
-IMDCT_WIN_Q14 = _imdct36_window_q14()
+def _imdct12_window_q14() -> np.ndarray:
+    """Fused IMDCT-12 x short-sine-window matrix (block_type 2),
+    Q14: W[n][k] = round(cos(pi/24 (2n+1+6)(2k+1))
+                   * sin(pi/12 (n+1/2)) * 2^14)."""
+    w = np.zeros((12, 6), dtype=np.int64)
+    for n in range(12):
+        win = math.sin(math.pi / 12.0 * (n + 0.5))
+        for k in range(6):
+            c = math.cos(math.pi / 24.0 * (2 * n + 1 + 6) * (2 * k + 1))
+            w[n, k] = round(c * win * (1 << 14))
+    return w
 
 
-def imdct36_float(x: np.ndarray) -> np.ndarray:
-    """Float reference IMDCT-36 + sine window (the structural form
-    the Q14 matrix is generated from)."""
+IMDCT_WIN_Q14 = _imdct36_window_q14(0)
+IMDCT_WIN_Q14_START = _imdct36_window_q14(1)
+IMDCT_WIN_Q14_STOP = _imdct36_window_q14(3)
+IMDCT12_WIN_Q14 = _imdct12_window_q14()
+
+
+def imdct36_float(x: np.ndarray, block_type: int = 0) -> np.ndarray:
+    """Float reference IMDCT-36 + block-type window (the structural
+    form the Q14 matrices are generated from)."""
     n = np.arange(36)
     i = np.arange(18)
     c = np.cos(
         np.pi / 72.0 * np.outer(2 * n + 19, 2 * i + 1)
     )
-    win = np.sin(np.pi / 36.0 * (n + 0.5))
+    return (c @ x) * long_block_window(block_type)
+
+
+def imdct12_float(x: np.ndarray) -> np.ndarray:
+    """Float reference IMDCT-12 + short sine window (one of the
+    three short-block windows)."""
+    n = np.arange(12)
+    k = np.arange(6)
+    c = np.cos(np.pi / 24.0 * np.outer(2 * n + 7, 2 * k + 1))
+    win = np.sin(np.pi / 12.0 * (n + 0.5))
     return (c @ x) * win
+
+
+def mdct6_float(block: np.ndarray) -> np.ndarray:
+    """Forward windowed MDCT twin of imdct12_float (12 time samples
+    -> 6 coefficients), for the short-window TDAC property test."""
+    n = np.arange(12)
+    k = np.arange(6)
+    win = np.sin(np.pi / 12.0 * (n + 0.5))
+    c = np.cos(np.pi / 24.0 * np.outer(2 * n + 7, 2 * k + 1))
+    return (block * win) @ c
 
 
 def mdct18_float(block: np.ndarray) -> np.ndarray:
@@ -224,26 +280,51 @@ def _render_main_data(
     si = []
     for g_i, g in enumerate(granule_specs):
         bits_before = len(bw.bits)
+        ws = g.get("window_switching", 0)
+        bt = g.get("block_type", 0) if ws else 0
+        mixed = g.get("mixed_block", 0) if ws else 0
+        short = ws and bt == 2
         slen1, slen2 = SLEN1[g["scalefac_compress"]], \
             SLEN2[g["scalefac_compress"]]
-        for sfb in range(N_SFB_LONG):
-            if g_i == 1 and any(
-                (scfsi >> (3 - grp)) & 1 and lo <= sfb < hi
-                for grp, (lo, hi) in enumerate(_SCFSI_GROUPS)
-            ):
-                continue  # shared with granule 0, not transmitted
-            bw.write(g["scalefacs"][sfb], slen1 if sfb < 11 else slen2)
+        if short:
+            if g_i == 1 and scfsi != 0:
+                raise ValueError(
+                    "scfsi sharing into a short-block granule is "
+                    "invalid"
+                )
+            sf_s = g["scalefacs_short"]  # [sfb][window], sfb 0..11
+            if mixed:
+                for sfb in range(8):
+                    bw.write(g["scalefacs"][sfb], slen1)
+            for sfb in range(3 if mixed else 0, 12):
+                for w in range(3):
+                    bw.write(sf_s[sfb][w],
+                             slen1 if sfb < 6 else slen2)
+        else:
+            for sfb in range(N_SFB_LONG):
+                if g_i == 1 and any(
+                    (scfsi >> (3 - grp)) & 1 and lo <= sfb < hi
+                    for grp, (lo, hi) in enumerate(_SCFSI_GROUPS)
+                ):
+                    continue  # shared with granule 0, not transmitted
+                bw.write(g["scalefacs"][sfb],
+                         slen1 if sfb < 11 else slen2)
         # big-value pairs (2.4.3.4.6): pairs are (x, y, neg_x, neg_y)
         # raw magnitudes; the REGION table is chosen by line position
-        # against the Table B.8 bounds, mirroring the decoder
+        # against the Table B.8 bounds, mirroring the decoder; with
+        # window switching the boundaries are implicit
         bigs = g.get("bigs", [])
         tsel = g.get("table_select", [0, 0, 0])
         bounds = g.get("bounds", SFB_LONG_44100)
-        r1 = bounds[min(g.get("region0_count", 0) + 1,
-                        len(bounds) - 1)]
-        r2 = bounds[min(g.get("region0_count", 0)
-                        + g.get("region1_count", 0) + 2,
-                        len(bounds) - 1)]
+        if ws:
+            r1 = 36 if (short and not mixed) else bounds[8]
+            r2 = 576
+        else:
+            r1 = bounds[min(g.get("region0_count", 0) + 1,
+                            len(bounds) - 1)]
+            r2 = bounds[min(g.get("region0_count", 0)
+                            + g.get("region1_count", 0) + 2,
+                            len(bounds) - 1)]
         for p, (x, y, nx, ny) in enumerate(bigs):
             line = 2 * p
             tid = tsel[0 if line < r1 else (1 if line < r2 else 2)]
@@ -284,11 +365,12 @@ def _render_main_data(
                 "big_values": len(g.get("bigs", [])),
                 "global_gain": g["global_gain"],
                 "scalefac_compress": g["scalefac_compress"],
-                "window_switching": 0,
-                "block_type": 0,
-                "mixed_block": 0,
+                "window_switching": ws,
+                "block_type": bt,
+                "mixed_block": mixed,
                 "table_select": list(g.get("table_select", [0, 0, 0])),
-                "subblock_gain": [0, 0, 0],
+                "subblock_gain": list(g.get("subblock_gain",
+                                            [0, 0, 0])),
                 "region0_count": g.get("region0_count", 0),
                 "region1_count": g.get("region1_count", 0),
                 "preflag": g["preflag"],
@@ -393,9 +475,9 @@ def encode_layer3_stream_reservoir(
 # ---------------------------------------------------------------
 
 
-def _check_l3_header(frame: bytes) -> list[int]:
+def _check_l3_header(frame: bytes) -> tuple[list[int], list[int]]:
     """Header checks shared by the frame and stream decoders;
-    returns the sfb boundary table for the frame's sample rate."""
+    returns (long, short) sfb boundary tables for the frame's rate."""
     if frame[0] != 0xFF or (frame[1] & 0xE0) != 0xE0:
         raise ValueError("bad sync")
     if ((frame[1] >> 3) & 0x3) != 0b11:
@@ -409,23 +491,27 @@ def _check_l3_header(frame: bytes) -> list[int]:
     sr_idx = (frame[2] >> 2) & 0x3
     if sr_idx == 3:
         raise ValueError("reserved sample-rate index")
-    return _SFB_LONG[_SAMPLE_RATE_V1[sr_idx]]
+    rate = _SAMPLE_RATE_V1[sr_idx]
+    return _SFB_LONG[rate], _SFB_SHORT[rate]
 
 
 def decode_mpeg1_layer3_frame(frame: bytes) -> np.ndarray:
     """One SELF-CONTAINED mono Layer III frame -> (2, 576) int64
-    micro spectral values (requantized, pre-alias).  main_data_begin
-    must be 0 here; reservoir streams go through
-    `decode_layer3_stream`, which feeds this same granule decoder
-    from the rolling main-data pool."""
-    bounds = _check_l3_header(frame)
+    micro spectral values (requantized + short-block reorder,
+    pre-alias).  main_data_begin must be 0 here; reservoir streams go
+    through `decode_layer3_stream`, which feeds this same granule
+    decoder from the rolling main-data pool."""
+    bounds, sbounds = _check_l3_header(frame)
     si = parse_mp3_sideinfo_mono(frame[4:21])
     if si["main_data_begin"] != 0:
         raise ValueError(
             "frame is not self-contained (main_data_begin > 0); "
             "use decode_layer3_stream for reservoir streams"
         )
-    return _decode_granules(si, _BitReaderMSB(frame[21:]), bounds)
+    out, _ = _decode_granules(
+        si, _BitReaderMSB(frame[21:]), bounds, sbounds
+    )
+    return out
 
 
 def _requant_micro(m: int, neg: bool, ex2: int) -> int:
@@ -445,52 +531,75 @@ def _requant_micro(m: int, neg: bool, ex2: int) -> int:
 
 
 def _decode_granules(
-    si: dict, br: "_BitReaderMSB", bounds: list[int]
-) -> np.ndarray:
+    si: dict, br: "_BitReaderMSB", bounds: list[int],
+    sbounds: list[int],
+) -> tuple[np.ndarray, list[dict]]:
     """Both granules of one frame out of a positioned main-data
-    reader (scalefactors + big-value/count1 Huffman +
-    requantization)."""
+    reader (scalefactors + big-value/count1 Huffman + requantization
+    + short-block reorder).  Returns (spectra (2,576) micro int64 in
+    NATURAL line order, per-granule block info for the hybrid)."""
     out = np.zeros((2, 576), dtype=np.int64)
+    binfo: list[dict] = []
     sf_prev = [0] * N_SFB_LONG
     for g_i, g in enumerate(si["granules"]):
-        if g["window_switching"]:
-            raise NotImplementedError(
-                "short/mixed blocks (window_switching) not decoded"
-            )
+        ws = g["window_switching"]
+        bt = g["block_type"] if ws else 0
+        mixed = g["mixed_block"] if ws else 0
+        short = ws and bt == 2
+        binfo.append({"block_type": bt, "mixed": mixed})
         start = br.pos
         slen1 = SLEN1[g["scalefac_compress"]]
         slen2 = SLEN2[g["scalefac_compress"]]
         sf = [0] * N_SFB_LONG
-        for sfb in range(N_SFB_LONG):
-            shared = g_i == 1 and any(
-                (si["scfsi"] >> (3 - grp)) & 1 and lo <= sfb < hi
-                for grp, (lo, hi) in enumerate(_SCFSI_GROUPS)
-            )
-            if shared:
-                sf[sfb] = sf_prev[sfb]
-            else:
-                sf[sfb] = br.read(slen1 if sfb < 11 else slen2)
+        sf_s = [[0] * 3 for _ in range(13)]  # short sfb 12 unscaled
+        if short:
+            if g_i == 1 and si["scfsi"] != 0:
+                raise ValueError(
+                    "scfsi sharing into a short-block granule is "
+                    "invalid (2.4.2.7: scfsi applies to long blocks)"
+                )
+            # 2.4.2.7 short grammar: mixed transmits long sfb 0..7
+            # then short sfb 3..11; pure short transmits sfb 0..11;
+            # sfb-major, window-minor; slen1 below short sfb 6
+            if mixed:
+                for sfb in range(8):
+                    sf[sfb] = br.read(slen1)
+            for sfb in range(3 if mixed else 0, 12):
+                for w in range(3):
+                    sf_s[sfb][w] = br.read(
+                        slen1 if sfb < 6 else slen2
+                    )
+        else:
+            for sfb in range(N_SFB_LONG):
+                shared = g_i == 1 and any(
+                    (si["scfsi"] >> (3 - grp)) & 1 and lo <= sfb < hi
+                    for grp, (lo, hi) in enumerate(_SCFSI_GROUPS)
+                )
+                if shared:
+                    sf[sfb] = sf_prev[sfb]
+                else:
+                    sf[sfb] = br.read(slen1 if sfb < 11 else slen2)
 
-        def _store(line: int, m: int, neg: bool) -> None:
-            sfb = 0
-            while bounds[sfb + 1] <= line:
-                sfb += 1
-            pre = PRETAB[sfb] if g["preflag"] else 0
-            sf_eff = sf[sfb] if sfb < N_SFB_LONG else 0
-            # exponent carried DOUBLED so both scalefac_scale
-            # multipliers stay integral; the synthesizer guarantees
-            # ex2 even (exact micro), odd is the float fallback
-            ex2 = (g["global_gain"] - 210) // 2 \
-                - (g["scalefac_scale"] + 1) * (sf_eff + pre)
-            out[g_i, line] = _requant_micro(m, neg, ex2)
+        # Huffman-decoded magnitudes in TRANSMITTED line order;
+        # requantization + (for short blocks) reorder happen after
+        mags = np.zeros(576, dtype=np.int64)
+        negs = np.zeros(576, dtype=bool)
 
         # ---- big-values region (2.4.3.4.6): pairs, per-region
-        # table_select over the Table B.8 boundaries, ESC + linbits
+        # table_select; with window switching the region boundaries
+        # are implicit (region0 = 36 lines pure-short, else the
+        # first 8 long bands; no region2)
         line = 0
         bv_lines = 2 * g["big_values"]
-        r1 = bounds[min(g["region0_count"] + 1, len(bounds) - 1)]
-        r2 = bounds[min(g["region0_count"] + g["region1_count"] + 2,
-                        len(bounds) - 1)]
+        if ws:
+            r1 = 36 if (short and not mixed) else bounds[8]
+            r2 = 576
+        else:
+            r1 = bounds[min(g["region0_count"] + 1, len(bounds) - 1)]
+            r2 = bounds[min(
+                g["region0_count"] + g["region1_count"] + 2,
+                len(bounds) - 1,
+            )]
         while line < bv_lines:
             tid = g["table_select"][
                 0 if line < r1 else (1 if line < r2 else 2)
@@ -509,8 +618,8 @@ def _decode_granules(
             for m in (idx // xlen, idx % xlen):
                 if lb and m == 15:
                     m += br.read(lb)
-                neg = bool(m) and br.read(1) == 1
-                _store(line, m, neg)
+                negs[line] = bool(m) and br.read(1) == 1
+                mags[line] = m
                 line += 1
 
         # ---- count1 region: quadruples until part2_3_length runs out
@@ -522,31 +631,75 @@ def _decode_granules(
             idx = node["leaf"]
             for j in range(4):
                 m = (idx >> (3 - j)) & 1
-                neg = bool(m) and br.read(1) == 1
-                if m:
-                    _store(line, m, neg)
+                negs[line] = bool(m) and br.read(1) == 1
+                mags[line] = m
                 line += 1
+
+        # ---- requantization (2.4.3.4.7.1).  Exponent carried
+        # DOUBLED so both scalefac_scale multipliers stay integral;
+        # the synthesizer guarantees ex2 even (exact micro), odd is
+        # the float fallback
+        gg2 = (g["global_gain"] - 210) // 2
+        ssm = g["scalefac_scale"] + 1
+
+        def _ex2_long(line: int) -> int:
+            sfb = 0
+            while bounds[sfb + 1] <= line:
+                sfb += 1
+            pre = PRETAB[sfb] if g["preflag"] else 0
+            sf_eff = sf[sfb] if sfb < N_SFB_LONG else 0
+            return gg2 - ssm * (sf_eff + pre)
+
+        long_top = (36 if mixed else 0) if short else 576
+        for ln in range(min(line, long_top)):
+            if mags[ln]:
+                out[g_i, ln] = _requant_micro(
+                    int(mags[ln]), bool(negs[ln]), _ex2_long(ln)
+                )
+        if short:
+            # short region: per (sfb, window) subblock_gain + short
+            # scalefactors, then REORDER src (band-major) -> dest
+            # (frequency-interleaved 3*freq + window)
+            s0 = 3 if mixed else 0
+            sbg = g["subblock_gain"]
+            for s in range(s0, 13):
+                lo3, hi3 = 3 * sbounds[s], 3 * sbounds[s + 1]
+                width = sbounds[s + 1] - sbounds[s]
+                for w in range(3):
+                    ex2 = gg2 - 4 * sbg[w] - ssm * sf_s[s][w]
+                    for f in range(width):
+                        src = lo3 + w * width + f
+                        if src >= line:
+                            continue
+                        if not mags[src]:
+                            continue
+                        dest = lo3 + 3 * f + w
+                        out[g_i, dest] = _requant_micro(
+                            int(mags[src]), bool(negs[src]), ex2
+                        )
         sf_prev = sf
-    return out
+    return out, binfo
 
 
-def decode_layer3_stream(blob: bytes) -> np.ndarray:
+def decode_layer3_stream_full(
+    blob: bytes,
+) -> tuple[np.ndarray, list[dict]]:
     """Frame walk with the BIT RESERVOIR (2.4.2.7 main_data_begin):
     every frame's post-side-info bytes join a rolling main-data pool,
     and frame f's granule data begins main_data_begin bytes BEFORE
     f's own segment -- i.e. inside earlier frames' slack.  Returns
-    the (2F, 576) micro spectral grid.  A main_data_begin reaching
-    back past the accumulated pool is a loud error (a mid-stream
-    decoder would skip the frame; a corpus pass wants the failure
-    attributable)."""
+    (the (2F, 576) micro spectral grid, per-granule block info for
+    the hybrid stage).  A main_data_begin reaching back past the
+    accumulated pool is a loud error (a mid-stream decoder would skip
+    the frame; a corpus pass wants the failure attributable)."""
     _, frames = parse_mpeg_audio_frames(blob)
     pool = bytearray()
-    plan: list[tuple[dict, int, list[int]]] = []
+    plan: list[tuple[dict, int, list[int], list[int]]] = []
     for fr in frames:
         if fr["layer"] != 3:
             raise ValueError("not a layer III stream")
         frame = blob[fr["offset"] : fr["offset"] + fr["length"]]
-        bounds = _check_l3_header(frame)
+        bounds, sbounds = _check_l3_header(frame)
         si = parse_mp3_sideinfo_mono(frame[4:21])
         seg_start = len(pool)
         pool += frame[21:]
@@ -556,37 +709,91 @@ def decode_layer3_stream(blob: bytes) -> np.ndarray:
                 f"main_data_begin {si['main_data_begin']} reaches "
                 f"past the reservoir ({seg_start} bytes pooled)"
             )
-        plan.append((si, start, bounds))
+        plan.append((si, start, bounds, sbounds))
     reader = _BitReaderMSB(bytes(pool))
     spectra = []
-    for si, start, bounds in plan:
+    binfo: list[dict] = []
+    for si, start, bounds, sbounds in plan:
         reader.pos = start * 8
-        spectra.append(_decode_granules(si, reader, bounds))
+        sp, bi = _decode_granules(si, reader, bounds, sbounds)
+        spectra.append(sp)
+        binfo.extend(bi)
     if not spectra:
-        return np.zeros((0, 576), dtype=np.int64)
-    return np.concatenate(spectra, axis=0)
+        return np.zeros((0, 576), dtype=np.int64), []
+    return np.concatenate(spectra, axis=0), binfo
 
 
-def hybrid_to_subbands_q(spectral_micro: np.ndarray) -> np.ndarray:
+def decode_layer3_stream(blob: bytes) -> np.ndarray:
+    """Spectra-only view of `decode_layer3_stream_full`."""
+    return decode_layer3_stream_full(blob)[0]
+
+
+def hybrid_to_subbands_q(
+    spectral_micro: np.ndarray, block_info: list[dict] | None = None
+) -> np.ndarray:
     """(G, 576) micro spectral grid -> (G*18, 32) micro subband
     samples: Q14 alias butterflies, fused Q14 IMDCT-window, 18-sample
     overlap-add, frequency inversion.  Exact int64 (floor-division
-    fixed point) -- the SQL-replicable gate path."""
+    fixed point) -- the SQL-replicable gate path.
+
+    `block_info` (per granule: block_type 0/1/2/3, mixed) switches
+    windows per 2.4.3.4.10: start/stop windows for types 1/3, three
+    6-offset IMDCT-12 short windows for type 2 (subbands 0-1 stay
+    long when mixed), and restricts alias butterflies to long
+    regions (none pure-short, boundary 1 only when mixed).  None
+    means all-long (the gate path, fully vectorized)."""
     s = np.asarray(spectral_micro, dtype=np.int64)
     g_total = s.shape[0]
     xr = s.reshape(g_total, 32, 18).copy()
-    # alias reduction (2.4.3.4.10.1): butterflies across each
-    # subband boundary
     cs = np.asarray(CS_Q14, dtype=np.int64)
     ca = np.asarray(CA_Q14, dtype=np.int64)
+    if block_info is None:
+        bts = np.zeros(g_total, dtype=np.int64)
+        mix = np.zeros(g_total, dtype=np.int64)
+        blim = np.full(g_total, 31, dtype=np.int64)
+    else:
+        if len(block_info) != g_total:
+            raise ValueError("block_info length != granule count")
+        bts = np.array([b["block_type"] for b in block_info],
+                       dtype=np.int64)
+        mix = np.array([b["mixed"] for b in block_info],
+                       dtype=np.int64)
+        blim = np.where(bts != 2, 31, np.where(mix == 1, 1, 0))
+    # alias reduction (2.4.3.4.10.1): butterflies across each LONG
+    # subband boundary (pure short: none; mixed: boundary 1 only)
     for b in range(1, 32):
+        sel = blim >= b
+        if not sel.any():
+            continue
         for i in range(8):
-            lo = xr[:, b - 1, 17 - i].copy()
-            hi = xr[:, b, i].copy()
-            xr[:, b - 1, 17 - i] = (cs[i] * lo - ca[i] * hi) >> 14
-            xr[:, b, i] = (cs[i] * hi + ca[i] * lo) >> 14
-    # fused IMDCT-36 + sine window, Q14
-    z = np.einsum("gsk,nk->gsn", xr, IMDCT_WIN_Q14) >> 14
+            lo = xr[sel, b - 1, 17 - i].copy()
+            hi = xr[sel, b, i].copy()
+            xr[sel, b - 1, 17 - i] = (cs[i] * lo - ca[i] * hi) >> 14
+            xr[sel, b, i] = (cs[i] * hi + ca[i] * lo) >> 14
+    # fused IMDCT + window, Q14, per block type
+    z = np.zeros((g_total, 32, 36), dtype=np.int64)
+    for bt, w_mat in ((0, IMDCT_WIN_Q14), (1, IMDCT_WIN_Q14_START),
+                      (3, IMDCT_WIN_Q14_STOP)):
+        m = bts == bt
+        if m.any():
+            z[m] = np.einsum("gsk,nk->gsn", xr[m], w_mat) >> 14
+    m2 = bts == 2
+    if m2.any():
+        # three 12-point IMDCTs per subband, windows at 6-sample
+        # offsets 6/12/18 in the 36 slot; reordered spectra
+        # interleave windows at 3k + w
+        xs = xr[m2].reshape(-1, 32, 6, 3)
+        tmp = np.einsum("gskw,nk->gswn", xs, IMDCT12_WIN_Q14) >> 14
+        zs = np.zeros((int(m2.sum()), 32, 36), dtype=np.int64)
+        for w in range(3):
+            zs[:, :, 6 + 6 * w : 18 + 6 * w] += tmp[:, :, w, :]
+        mixed_rows = mix[m2] == 1
+        if mixed_rows.any():
+            zs[mixed_rows, :2] = np.einsum(
+                "gsk,nk->gsn", xr[m2][mixed_rows][:, :2],
+                IMDCT_WIN_Q14,
+            ) >> 14
+        z[m2] = zs
     # overlap-add: granule g head + granule g-1 tail
     sub = np.zeros((g_total, 32, 18), dtype=np.int64)
     sub += z[:, :, :18]
@@ -599,9 +806,10 @@ def hybrid_to_subbands_q(spectral_micro: np.ndarray) -> np.ndarray:
 
 def decode_layer3_to_pcm_q(blob: bytes) -> tuple[int, np.ndarray]:
     """Full chain: reservoir-aware frame walk -> spectral micro ->
-    hybrid -> Q28 polyphase.  Returns (n_frames, int64 micro PCM)."""
-    spectra = decode_layer3_stream(blob)
-    grid = hybrid_to_subbands_q(spectra)
+    hybrid (block-type aware) -> Q28 polyphase.  Returns
+    (n_frames, int64 micro PCM)."""
+    spectra, binfo = decode_layer3_stream_full(blob)
+    grid = hybrid_to_subbands_q(spectra, binfo)
     return spectra.shape[0] // 2, synthesize_granules_q(grid)
 
 

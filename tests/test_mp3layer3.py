@@ -161,17 +161,10 @@ def test_rejection_boundaries_are_loud():
     ) + bytes(blob[21:])
     with pytest.raises(ValueError, match="forbidden table"):
         L3.decode_mpeg1_layer3_frame(patched)
-    # short/mixed blocks remain the documented boundary
-    g["big_values"] = 0
-    g["table_select"] = [0, 0, 0]
-    g2 = si["granules"][1]
-    g2["window_switching"] = 1
-    g2["block_type"] = 2
-    patched = bytes(blob[:4]) + C.encode_mp3_sideinfo_mono(
-        0, si["scfsi"], si["granules"]
-    ) + bytes(blob[21:])
-    with pytest.raises(NotImplementedError, match="window_switching"):
-        L3.decode_mpeg1_layer3_frame(patched)
+    # MPEG-2/2.5 LSF remains the documented boundary
+    lsf = bytes([blob[0], (blob[1] & ~0x18) | 0x10]) + bytes(blob[2:])
+    with pytest.raises(NotImplementedError, match="LSF"):
+        L3.decode_mpeg1_layer3_frame(lsf)
 
 
 def test_spark_gate_matches_driver(spark):
@@ -430,3 +423,226 @@ def test_bigvalues_differential_count1_only_path():
                     assert out[0, line] == L3._requant_micro(
                         1, bool(sgn), ex2
                     )
+
+
+# ---------------------------------------------------------------
+# short / mixed blocks (window switching)
+# ---------------------------------------------------------------
+
+
+def test_short_window_tdac_reconstruction():
+    """IMDCT-12 + short window satisfies Princen-Bradley TDAC:
+    50%-overlapped short blocks reconstruct the interior (scale
+    N/4 = 3)."""
+    rng = np.random.RandomState(11)
+    sig = rng.randn(6 * 8)
+    rec = np.zeros(6 * 9)
+    for b in range(7):
+        X = L3.mdct6_float(sig[b * 6 : b * 6 + 12])
+        rec[b * 6 : b * 6 + 12] += L3.imdct12_float(X)
+    interior = rec[6:42] / 3.0
+    assert np.max(np.abs(interior - sig[6:42])) < 1e-10
+
+
+def test_block_switch_window_sequence_tdac():
+    """The canonical long->start->short->stop->long sequence
+    reconstructs the signal exactly (Edler conditions on the spec's
+    window shapes): any wrong shape in block types 1/2/3 breaks
+    this."""
+    rng = np.random.RandomState(5)
+    sig = rng.randn(18 * 7)
+    bts = [0, 1, 2, 3, 0, 0]
+    rec = np.zeros(18 * 7)
+    for g, bt in enumerate(bts):
+        base = g * 18
+        seg = sig[base : base + 36]
+        if bt == 2:
+            for w in range(3):
+                lo = 6 + 6 * w
+                piece = seg[lo : lo + 12]
+                n = np.arange(12)
+                win = np.sin(np.pi / 12.0 * (n + 0.5))
+                c = np.cos(
+                    np.pi / 24.0 * np.outer(2 * n + 7, 2 * np.arange(6) + 1)
+                )
+                X = (piece * win) @ c
+                rec[base + lo : base + lo + 12] += \
+                    L3.imdct12_float(X) * 3.0  # scale 3 -> match 9
+        else:
+            n = np.arange(36)
+            c = np.cos(
+                np.pi / 72.0 * np.outer(2 * n + 19, 2 * np.arange(18) + 1)
+            )
+            X = (seg * L3.long_block_window(bt)) @ c
+            rec[base : base + 36] += L3.imdct36_float(X, bt)
+    interior = rec[18:108] / 9.0
+    assert np.max(np.abs(interior - sig[18:108])) < 1e-10
+
+
+def _short_spec(mixed: int, mid: int = 0):
+    """A short-block granule spec with bigs crossing the implicit
+    region boundary and per-window subblock gains."""
+    n_bigs = 24  # 48 lines: crosses r1 (36) into region1
+    bigs = []
+    for p in range(n_bigs):
+        mags = [0, 1, 8, 27 if 2 * p < 36 else 8]
+        bigs.append((
+            mags[(mid + p) % 4], mags[(mid + 3 * p + 1) % 4],
+            p % 2, (p + 1) % 2,
+        ))
+    quads = [(1, 0, 1, 0, 1, 0, 0, 0)] * 4
+    return {
+        "global_gain": 210 - 4 * 9,
+        "scalefac_compress": 15,  # slen 4 / 3
+        "scalefac_scale": 0,
+        "preflag": 0,
+        "count1table_select": 0,
+        "window_switching": 1,
+        "block_type": 2,
+        "mixed_block": mixed,
+        "subblock_gain": [0, 1, 2],
+        "scalefacs": [2 * ((mid + s) % 3) for s in range(21)],
+        "scalefacs_short": [
+            [(mid + s + w) % 4 for w in range(3)] for s in range(12)
+        ],
+        "bigs": bigs,
+        "table_select": [24, 16, 0],
+        "quads": quads,
+    }
+
+
+def _expected_short_spectra(spec, bounds, sbounds):
+    """Transmitted-order magnitudes -> requant + reorder, mirroring
+    2.4.3.4.7/8 independently of the decoder's implementation."""
+    out = np.zeros(576, dtype=np.int64)
+    mags = np.zeros(576, dtype=np.int64)
+    negs = np.zeros(576, dtype=bool)
+    line = 0
+    for x, y, nx, ny in spec["bigs"]:
+        mags[line], negs[line] = x, bool(x and nx)
+        mags[line + 1], negs[line + 1] = y, bool(y and ny)
+        line += 2
+    for quad in spec["quads"]:
+        for j in range(4):
+            mags[line], negs[line] = quad[j], bool(
+                quad[j] and quad[4 + j]
+            )
+            line += 1
+    gg2 = (spec["global_gain"] - 210) // 2
+    ssm = spec["scalefac_scale"] + 1
+    mixed = spec["mixed_block"]
+    long_top = 36 if mixed else 0
+    for ln in range(long_top):
+        if not mags[ln]:
+            continue
+        sfb = 0
+        while bounds[sfb + 1] <= ln:
+            sfb += 1
+        pre = L3.PRETAB[sfb] if spec["preflag"] else 0
+        ex2 = gg2 - ssm * (spec["scalefacs"][sfb] + pre)
+        out[ln] = L3._requant_micro(int(mags[ln]), bool(negs[ln]), ex2)
+    sf_s = spec["scalefacs_short"] + [[0, 0, 0]]
+    for s in range(3 if mixed else 0, 13):
+        lo3 = 3 * sbounds[s]
+        width = sbounds[s + 1] - sbounds[s]
+        for w in range(3):
+            ex2 = gg2 - 4 * spec["subblock_gain"][w] \
+                - ssm * sf_s[s][w]
+            for f in range(width):
+                src = lo3 + w * width + f
+                if src >= line or not mags[src]:
+                    continue
+                out[lo3 + 3 * f + w] = L3._requant_micro(
+                    int(mags[src]), bool(negs[src]), ex2
+                )
+    return out
+
+
+def test_short_block_roundtrip_pure_and_mixed():
+    for mixed in (0, 1):
+        for mid in range(3):
+            spec = _short_spec(mixed, mid)
+            long0 = L3._l3_granule_spec(mid, 0)
+            frame = L3.encode_mpeg1_layer3_frame(
+                [spec, long0], scfsi=0
+            )
+            si = C.parse_mp3_sideinfo_mono(frame[4:21])
+            assert si["granules"][0]["block_type"] == 2
+            assert si["granules"][0]["mixed_block"] == mixed
+            assert si["granules"][0]["subblock_gain"] == [0, 1, 2]
+            out = L3.decode_mpeg1_layer3_frame(frame)
+            expect = _expected_short_spectra(
+                spec, L3.SFB_LONG_44100, L3.SFB_SHORT_44100
+            )
+            assert np.array_equal(out[0], expect), (mixed, mid)
+
+
+def test_short_block_pcm_chain_runs_and_tracks_float():
+    """A stream with the full block-type sequence (long, start,
+    pure-short, mixed-short, stop, long) through the integer PCM
+    chain, cross-checked against an independent float hybrid."""
+    specs = [
+        (L3._l3_granule_spec(0, 0), _start_stop_spec(1)),
+        (_short_spec(0, 1), _short_spec(1, 2)),
+        (_start_stop_spec(3), L3._l3_granule_spec(1, 1)),
+    ]
+    frames = [(list(pair), 0) for pair in specs]
+    blob = b"".join(
+        L3.encode_mpeg1_layer3_frame(list(pair), scfsi=0)
+        for pair in specs
+    )
+    spectra, binfo = L3.decode_layer3_stream_full(blob)
+    assert [b["block_type"] for b in binfo] == [0, 1, 2, 2, 3, 0]
+    assert [b["mixed"] for b in binfo] == [0, 0, 0, 1, 0, 0]
+    n, pcm_q = L3.decode_layer3_to_pcm_q(blob)
+    assert n == 3 and pcm_q.size == 3 * 1152
+    # independent float hybrid
+    spec_f = spectra.astype(np.float64) / 1e6
+    xr = spec_f.reshape(-1, 32, 18).copy()
+    for g_ix, b in enumerate(binfo):
+        blim = 31 if b["block_type"] != 2 else (1 if b["mixed"] else 0)
+        for bb in range(1, blim + 1):
+            for i in range(8):
+                cs = 1.0 / math.sqrt(1 + L3.ALIAS_CI[i] ** 2)
+                ca = L3.ALIAS_CI[i] * cs
+                lo = xr[g_ix, bb - 1, 17 - i]
+                hi = xr[g_ix, bb, i]
+                xr[g_ix, bb - 1, 17 - i] = cs * lo - ca * hi
+                xr[g_ix, bb, i] = cs * hi + ca * lo
+    z = np.zeros((len(binfo), 32, 36))
+    for g_ix, b in enumerate(binfo):
+        bt, mixed = b["block_type"], b["mixed"]
+        for sb in range(32):
+            if bt != 2 or (mixed and sb < 2):
+                z[g_ix, sb] = L3.imdct36_float(
+                    xr[g_ix, sb], 0 if bt == 2 else bt
+                )
+            else:
+                for w in range(3):
+                    z[g_ix, sb, 6 + 6 * w : 18 + 6 * w] += \
+                        L3.imdct12_float(xr[g_ix, sb, w::3])
+    sub = z[:, :, :18].copy()
+    sub[1:] += z[:-1, :, 18:]
+    sub[:, 1::2, 1::2] *= -1
+    grid = sub.transpose(0, 2, 1).reshape(-1, 32)
+    pcm_f = MS.synthesis_filterbank(grid)
+    err = pcm_q / 1e6 - pcm_f
+    snr = 10 * math.log10(
+        float(np.sum(pcm_f**2)) / max(float(np.sum(err**2)), 1e-30)
+    )
+    assert snr > 55.0, snr
+
+
+def _start_stop_spec(bt: int):
+    """Block type 1 (start) / 3 (stop) granule: long grammar with the
+    implicit big-value regions."""
+    spec = L3._l3_granule_spec(2, 0)
+    spec = dict(
+        spec,
+        window_switching=1,
+        block_type=bt,
+        mixed_block=0,
+        subblock_gain=[0, 0, 0],
+        table_select=[24, 16, 0],
+    )
+    return spec
