@@ -344,13 +344,22 @@ def _stream_data(body: bytes) -> bytes | None:
 # The common crawled "encrypted" PDF is owner-locked with an EMPTY
 # user password: fully readable by design, the /Encrypt dict only
 # gates editing.  A corpus pass must read these.  This implements the
-# standard security handler for /V 1 and 2 (RC4-40..128, revisions
-# 2/3): key derivation (Algorithm 2), /O and /U computation
-# (Algorithms 3-5), per-object keys, and transparent stream
-# decryption.  /V 4+ (AES) raises a named NotImplementedError.
-# RC4 itself is ~10 lines of public arithmetic; MD5 is hashlib.
+# standard security handler, all four wire versions: /V 1-2
+# (RC4-40..128, R2/R3: Algorithm 2 key, Algorithms 3-5 /O /U), /V 4
+# (R4 crypt filters, /CFM /AESV2 = AES-128-CBC or /V2 = RC4), and
+# /V 5 (R5/R6, AES-256: SHA-256 family key derivation, Algorithm
+# 2.B hardened hash, /UE /OE key blobs, /Perms check).  RC4 is ~10
+# lines of public arithmetic; MD5/SHA are hashlib; AES is the
+# derived FIPS-197 implementation in `aescipher`.
 
 import hashlib as _hashlib
+
+from .aescipher import (
+    cbc_decrypt as _aes_cbc_decrypt,
+    cbc_encrypt as _aes_cbc_encrypt,
+    decrypt_block as _aes_decrypt_block,
+    encrypt_block as _aes_encrypt_block,
+)
 
 # the spec's fixed 32-byte password padding string (7.6.3.3)
 _PDF_PAD = bytes([
@@ -428,23 +437,55 @@ def compute_u_value(key: bytes, file_id: bytes, r: int) -> bytes:
     return u + bytes(16)  # R3 /U is 16 significant + 16 pad bytes
 
 
-def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+def _object_key(file_key: bytes, num: int, gen: int = 0,
+                aes: bool = False) -> bytes:
     m = _hashlib.md5()
     m.update(file_key)
     m.update(num.to_bytes(3, "little"))
     m.update(gen.to_bytes(2, "little"))
+    if aes:
+        m.update(b"sAlT")  # 7.6.2: AES appends 73 41 6C 54
     return m.digest()[: min(len(file_key) + 5, 16)]
 
 
-class _Decryptor:
-    """Per-object RC4 stream decryption under an authenticated
-    empty-user-password file key."""
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B hardened hash (R6): iterated
+    SHA-256/384/512 selected by an AES-128-CBC round, terminating
+    after >= 64 rounds when the last cipher byte <= rounds - 32."""
+    k = _hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_encrypt(k1, k[:16], k[16:32], pad=False)
+        digest = (_hashlib.sha256, _hashlib.sha384,
+                  _hashlib.sha512)[sum(e[:16]) % 3]
+        k = digest(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
-    def __init__(self, file_key: bytes):
+
+class _Decryptor:
+    """Per-object stream decryption under an authenticated
+    empty-user-password file key.  `mode` selects the wire form:
+    'rc4' (per-object MD5 key), 'aesv2' (per-object MD5+sAlT key,
+    IV-prefixed AES-128-CBC), 'aesv3' (the file key itself,
+    IV-prefixed AES-256-CBC)."""
+
+    def __init__(self, file_key: bytes, mode: str = "rc4"):
         self.file_key = file_key
+        self.mode = mode
 
     def decrypt(self, num: int, data: bytes) -> bytes:
-        return _rc4(_object_key(self.file_key, num), data)
+        if self.mode == "rc4":
+            return _rc4(_object_key(self.file_key, num), data)
+        if self.mode == "aesv2":
+            key = _object_key(self.file_key, num, aes=True)
+        else:
+            key = self.file_key
+        if len(data) < 16:
+            raise ValueError("AES stream shorter than its IV")
+        return _aes_cbc_decrypt(data[16:], key, data[:16])
 
 
 def _hex_or_literal_id(trailer: bytes) -> bytes:
@@ -462,8 +503,10 @@ def open_standard_security(
     enc_dict: bytes, trailer: bytes, user_pw: bytes = b""
 ) -> "_Decryptor":
     """Authenticate against the standard security handler and return
-    a decryptor, or raise: NotImplementedError for AES (/V >= 4) or
-    non-Standard filters, ValueError when the password is wrong."""
+    a decryptor, or raise: NotImplementedError for non-Standard
+    filters or an unknown /V, ValueError when the password is
+    wrong.  Covers /V 1-2 (RC4), /V 4 (/CFM /AESV2 or /V2) and
+    /V 5 (/CFM /AESV3, revisions 5 and 6)."""
     filt = _dict_name(enc_dict, b"Filter")
     if filt != "Standard":
         raise NotImplementedError(
@@ -471,27 +514,62 @@ def open_standard_security(
         )
     v = _dict_int(enc_dict, b"V") or 0
     r = _dict_int(enc_dict, b"R") or 2
-    if v not in (1, 2):
-        raise NotImplementedError(
-            f"PDF encryption /V {v} (AES) needs the crypt layer"
-        )
+    if v not in (1, 2, 4, 5):
+        raise NotImplementedError(f"PDF encryption /V {v} unknown")
     n = (_dict_int(enc_dict, b"Length") or 40) // 8
     pm = re.search(rb"/P\s+(-?\d+)", enc_dict)
     p = int(pm.group(1)) if pm else -1
-    # /O and /U are both 32 bytes; bind each by its own key position
-    om = re.search(rb"/O\s*[(<]", enc_dict)
-    um = re.search(rb"/U\s*[(<]", enc_dict)
-    if not (om and um):
-        raise ValueError("encryption dict missing /O or /U")
 
-    def _value_at(pos: int) -> bytes:
+    def _value_of(key: bytes) -> bytes:
+        m1 = re.search(rb"/" + key + rb"\s*[(<]", enc_dict)
+        if not m1:
+            raise ValueError(f"encryption dict missing /{key.decode()}")
+        pos = m1.end() - 1
         if enc_dict[pos] == 0x28:  # (
             return _literal_strings(enc_dict[pos:])[0]
         m2 = re.match(rb"<([0-9A-Fa-f]+)>", enc_dict[pos:])
         return bytes.fromhex(m2.group(1).decode("ascii"))
 
-    o_value = _value_at(om.end() - 1)
-    u_value = _value_at(um.end() - 1)
+    o_value = _value_of(b"O")
+    u_value = _value_of(b"U")
+    if v == 5:
+        # AES-256 (ISO 32000-2 7.6.4.4): /U is hash(32) + validation
+        # salt(8) + key salt(8); R6 hashes with Algorithm 2.B, the
+        # deprecated R5 with a single SHA-256
+        if r not in (5, 6):
+            raise ValueError(f"/V 5 with revision {r}")
+        hashed = (
+            hash_2b(user_pw, u_value[32:40]) if r == 6
+            else _hashlib.sha256(user_pw + u_value[32:40]).digest()
+        )
+        if hashed != u_value[:32]:
+            raise ValueError(
+                "user password does not authenticate (U mismatch)"
+            )
+        ue_value = _value_of(b"UE")
+        ikey = (
+            hash_2b(user_pw, u_value[40:48]) if r == 6
+            else _hashlib.sha256(user_pw + u_value[40:48]).digest()
+        )
+        file_key = _aes_cbc_decrypt(
+            ue_value, ikey, bytes(16), pad=False
+        )
+        try:
+            perms = _value_of(b"Perms")
+        except ValueError:
+            perms = None
+        if perms is not None:
+            blk = _aes_decrypt_block(perms[:16], file_key)
+            if blk[9:12] != b"adb":
+                raise ValueError(
+                    "/Perms does not verify under the file key"
+                )
+        return _Decryptor(file_key, "aesv3")
+    cfm = _dict_name(enc_dict, b"CFM") if v == 4 else None
+    if v == 4 and cfm not in ("AESV2", "V2"):
+        raise NotImplementedError(f"/V 4 crypt filter /CFM {cfm}")
+    if v == 4 and cfm == "AESV2":
+        n = 16
     file_id = _hex_or_literal_id(trailer)
     key = compute_encryption_key(user_pw, o_value, p, file_id, n, r)
     want_u = compute_u_value(key, file_id, r)
@@ -502,7 +580,7 @@ def open_standard_security(
         raise ValueError(
             "user password does not authenticate (U mismatch)"
         )
-    return _Decryptor(key)
+    return _Decryptor(key, "aesv2" if cfm == "AESV2" else "rc4")
 
 
 def parse_objstm(dict_bytes: bytes, data: bytes) -> dict[int, bytes]:
@@ -888,19 +966,51 @@ def build_pdf_encrypted(
     version: str = "1.4",
 ) -> bytes:
     """The same logical document as `build_pdf`, protected by the
-    standard security handler (7.6.3): /V 1 (RC4-40, R2) or /V 2
-    (RC4-n, R3), stream payloads RC4-encrypted under per-object keys.
-    The default empty user password is the owner-locked form crawls
+    standard security handler (7.6.3): revision selects the wire
+    form -- R2 = /V 1 (RC4-40), R3 = /V 2 (RC4-n), R4 = /V 4 with
+    the /AESV2 crypt filter (AES-128-CBC), R6 = /V 5 /AESV3
+    (AES-256, Algorithm 2.B key derivation, /UE /OE /Perms).  The
+    default empty user password is the owner-locked form crawls
     actually see."""
-    n = key_bits // 8 if r >= 3 else 5
-    v = 2 if r >= 3 else 1
     p = -44  # permission bits: a typical owner-locked value
     file_id = _hashlib.md5(
-        repr(pages).encode() + bytes([r, n])
+        repr(pages).encode() + bytes([r & 0xFF, key_bits & 0xFF])
     ).digest()
-    o_val = compute_o_value(owner_pw, user_pw, n, r)
-    key = compute_encryption_key(user_pw, o_val, p, file_id, n, r)
-    u_val = compute_u_value(key, file_id, r)
+    if r == 6:
+        v, n = 5, 32
+        # deterministic builds: salts and the file key derive from
+        # the document identity (randomness adds nothing to a
+        # synthesize->parse gate)
+        uvs = _hashlib.md5(file_id + b"uvs").digest()[:8]
+        uks = _hashlib.md5(file_id + b"uks").digest()[:8]
+        ovs = _hashlib.md5(file_id + b"ovs").digest()[:8]
+        oks = _hashlib.md5(file_id + b"oks").digest()[:8]
+        key = _hashlib.sha256(file_id + b"filekey").digest()
+        u_val = hash_2b(user_pw, uvs) + uvs + uks
+        ue_val = _aes_cbc_encrypt(
+            key, hash_2b(user_pw, uks), bytes(16), pad=False
+        )
+        o_val = hash_2b(owner_pw, ovs, u_val) + ovs + oks
+        oe_val = _aes_cbc_encrypt(
+            key, hash_2b(owner_pw, oks, u_val), bytes(16), pad=False
+        )
+        perms_val = _aes_encrypt_block(
+            (p & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xffTadb"
+            + file_id[:4],
+            key,
+        )
+    elif r == 4:
+        v, n = 4, 16
+        o_val = compute_o_value(owner_pw, user_pw, n, r)
+        key = compute_encryption_key(user_pw, o_val, p, file_id, n, r)
+        u_val = compute_u_value(key, file_id, r)
+    else:
+        n = key_bits // 8 if r >= 3 else 5
+        v = 2 if r >= 3 else 1
+        o_val = compute_o_value(owner_pw, user_pw, n, r)
+        key = compute_encryption_key(user_pw, o_val, p, file_id, n, r)
+        u_val = compute_u_value(key, file_id, r)
 
     objs: list[bytes] = []
 
@@ -908,16 +1018,29 @@ def build_pdf_encrypted(
         objs.append(body)
         return len(objs)
 
+    def _encrypt_payload(num: int, payload: bytes) -> bytes:
+        if r == 6:
+            iv = _hashlib.md5(file_id + b"iv%d" % num).digest()
+            return iv + _aes_cbc_encrypt(payload, key, iv)
+        if r == 4:
+            okey = _object_key(key, num, aes=True)
+            iv = _hashlib.md5(file_id + b"iv%d" % num).digest()
+            return iv + _aes_cbc_encrypt(payload, okey, iv)
+        return _rc4(_object_key(key, num), payload)
+
     content_ids = []
     for runs in pages:
         num = len(objs) + 1
         body = _content_stream_body(runs, compress)
-        # split the built body and RC4 the payload (same length, so
-        # /Length stays correct)
         i = body.index(b"stream\n") + 7
         j = body.rindex(b"\nendstream")
-        enc = _rc4(_object_key(key, num), body[i:j])
-        content_ids.append(add(body[:i] + enc + body[j:]))
+        enc = _encrypt_payload(num, body[i:j])
+        # AES grows the payload (IV + CBC padding): rewrite /Length
+        dict_part = body[:i]
+        dict_part = re.sub(
+            rb"/Length \d+", b"/Length %d" % len(enc), dict_part
+        )
+        content_ids.append(add(dict_part + enc + body[j:]))
     kids = []
     pages_id = len(objs) + len(pages) + 2
     for cid in content_ids:
@@ -936,15 +1059,43 @@ def build_pdf_encrypted(
     objs[catalog_id - 1] = (
         b"<< /Type /Catalog /Pages %d 0 R >>" % real_pages_id
     )
-    enc_id = add(
-        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
-        b"/O <%s> /U <%s> >>"
-        % (
-            v, r, n * 8, p,
-            o_val.hex().encode("ascii"),
-            u_val.hex().encode("ascii"),
+    if r == 6:
+        enc_id = add(
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d "
+            b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> "
+            b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+            b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF >>"
+            % (
+                p,
+                o_val.hex().encode("ascii"),
+                u_val.hex().encode("ascii"),
+                oe_val.hex().encode("ascii"),
+                ue_val.hex().encode("ascii"),
+                perms_val.hex().encode("ascii"),
+            )
         )
-    )
+    elif r == 4:
+        enc_id = add(
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d "
+            b"/O <%s> /U <%s> "
+            b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+            b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF >>"
+            % (
+                p,
+                o_val.hex().encode("ascii"),
+                u_val.hex().encode("ascii"),
+            )
+        )
+    else:
+        enc_id = add(
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+            b"/O <%s> /U <%s> >>"
+            % (
+                v, r, n * 8, p,
+                o_val.hex().encode("ascii"),
+                u_val.hex().encode("ascii"),
+            )
+        )
     out = bytearray(b"%%PDF-%s\n" % version.encode("ascii"))
     offsets = [0]
     for i, body in enumerate(objs, start=1):
@@ -1085,17 +1236,25 @@ def synthesize_pdf(documents: DataFrame) -> DataFrame:
 
 def _pdf_enc_blob(mid: int) -> bytes:
     """The same logical document as `_pdf_blob(mid)`, owner-locked
-    with an empty user password (R2/RC4-40 and R3/RC4-128 mixed)."""
+    with an empty user password, cycling R3/RC4-128, R2/RC4-40 and
+    R4/AESV2 (AES-128-CBC).  R6/AESV3 round-trips in pytest but is
+    kept out of the gate: ISO 32000-2 Algorithm 2.B burns thousands
+    of AES blocks per document BY DESIGN (anti-brute-force), which
+    would dominate the gate's wall time without adding oracle
+    signal.  The %PDF version header stays 1.4 so the profile oracle
+    is encryption-form-invariant (the header is cosmetic to the
+    security handler)."""
     n_pages, rpp, comp = _pdf_params(mid)
     pages = [
         [f"doc-{mid} page-{p} run-{r}" for r in range(rpp)]
         for p in range(n_pages)
     ]
+    r_form, bits = [(3, 128), (2, 40), (4, 128)][mid % 3]
     return build_pdf_encrypted(
         pages,
         compress=bool(comp),
-        r=2 if mid % 2 else 3,
-        key_bits=40 if mid % 2 else 128,
+        r=r_form,
+        key_bits=bits,
     )
 
 

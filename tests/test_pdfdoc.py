@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from commoncrawl_crawler_spark.operators import pdfdoc as P
@@ -327,15 +329,20 @@ def test_encrypted_differential_with_plain():
         plain = P.parse_pdf(
             P.build_pdf(pages, compress=bool(comp), version="1.4")
         )
-        for r, bits in ((2, 40), (3, 128)):
+        # R6/AESV3 only on the first two mids: Algorithm 2.B is
+        # deliberately expensive (~2 s per document)
+        forms = [(2, 40), (3, 128), (4, 128)] + (
+            [(6, 256)] if mid < 2 else []
+        )
+        for r, bits in forms:
             enc = P.parse_pdf(
                 P.build_pdf_encrypted(
                     pages, compress=bool(comp), r=r, key_bits=bits
                 )
             )
-            assert enc["text"] == plain["text"]
-            assert enc["n_pages"] == plain["n_pages"]
-            assert enc["n_objects"] == plain["n_objects"] + 1
+            assert enc["text"] == plain["text"], r
+            assert enc["n_pages"] == plain["n_pages"], r
+            assert enc["n_objects"] == plain["n_objects"] + 1, r
 
 
 def test_encryption_authentication_and_boundaries():
@@ -343,10 +350,23 @@ def test_encryption_authentication_and_boundaries():
     blob = P.build_pdf_encrypted([["x"]], user_pw=b"secret")
     with pytest.raises(ValueError, match="does not authenticate"):
         P.parse_pdf(blob)
-    # AES (/V 4) is the documented boundary
-    aes = P.build_pdf_encrypted([["x"]]).replace(b"/V 2", b"/V 4")
-    with pytest.raises(NotImplementedError, match="AES"):
-        P.parse_pdf(aes)
+    # V5 with a real user password is loud too
+    blob5 = P.build_pdf_encrypted([["x"]], r=6, user_pw=b"pw")
+    with pytest.raises(ValueError, match="does not authenticate"):
+        P.parse_pdf(blob5)
+    # unknown /V and unknown /V4 crypt filter stay named boundaries
+    bad_v = P.build_pdf_encrypted([["x"]]).replace(b"/V 2", b"/V 7")
+    with pytest.raises(NotImplementedError, match="/V 7 unknown"):
+        P.parse_pdf(bad_v)
+    aes4 = P.build_pdf_encrypted([["x"]], r=4)
+    with pytest.raises(NotImplementedError, match="crypt filter"):
+        P.parse_pdf(aes4.replace(b"/CFM /AESV2", b"/CFM /AESX9"))
+    # a tampered /Perms fails the file-key verification (R6)
+    blob6 = P.build_pdf_encrypted([["x"]], r=6)
+    m = re.search(rb"/Perms <([0-9a-f]{32})>", blob6)
+    flipped = format(int(m.group(1), 16) ^ 1, "032x").encode()
+    with pytest.raises(ValueError, match="Perms"):
+        P.parse_pdf(blob6[: m.start(1)] + flipped + blob6[m.end(1):])
     # unresolvable /Encrypt ref stays a loud encrypted-PDF error
     plain = P.build_pdf([["x"]])
     dangling = plain.replace(b"/Root", b"/Encrypt 99 0 R /Root")
@@ -389,3 +409,39 @@ def test_incremental_update_latest_definition_wins():
     d = P.parse_pdf(blob + update)
     assert d["text"] == "updated text"
     assert d["n_pages"] == 1
+
+
+def test_aes_fips197_known_answers():
+    """The derived AES implementation against FIPS-197 Appendix C:
+    any S-box/key-schedule/MixColumns derivation error fails here."""
+    from commoncrawl_crawler_spark.operators import aescipher as A
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    cases = [
+        (bytes(range(16)), "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        (bytes(range(24)), "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        (bytes(range(32)), "8ea2b7ca516745bfeafc49904b496089"),
+    ]
+    for key, want in cases:
+        ct = A.encrypt_block(pt, key)
+        assert ct.hex() == want
+        assert A.decrypt_block(ct, key) == pt
+    # CBC round trips with and without padding; bad padding is loud
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    for n in (0, 1, 15, 16, 17, 100):
+        data = bytes(range(256))[:n]
+        ct = A.cbc_encrypt(data, cases[2][0], iv)
+        assert A.cbc_decrypt(ct, cases[2][0], iv) == data
+    with pytest.raises(ValueError, match="padding"):
+        A.cbc_decrypt(bytes(16), cases[2][0], iv)
+
+
+def test_hash_2b_properties():
+    """Algorithm 2.B: deterministic, salt- and password-sensitive,
+    32-byte output, udata-sensitive (the /O path feeds U48)."""
+    h1 = P.hash_2b(b"", b"saltsalt")
+    assert len(h1) == 32
+    assert P.hash_2b(b"", b"saltsalt") == h1
+    assert P.hash_2b(b"x", b"saltsalt") != h1
+    assert P.hash_2b(b"", b"SALTSALT") != h1
+    assert P.hash_2b(b"", b"saltsalt", b"u" * 48) != h1
