@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpointing import ckpt_eager, ckpt_lazy, stable_checkpoint
 # a symbol is any run of word chars and/or the end-of-word marker
 _SYM_RE = r"\(([a-z0-9#]+)\)"
 _WORD_RE = "[a-z0-9]+"
@@ -180,7 +181,7 @@ def learn_merges(
     `stats`, when a dict is passed, receives {"rounds": int,
     "batch_sizes": [int, ...]} for round-count assertions.
     """
-    base = word_frequencies(documents).localCheckpoint(eager=True)
+    base = word_frequencies(documents).transform(ckpt_eager)
     merges: list[tuple[int, str, str, str, int]] = []
     # driver-side alphabet: every symbol ever present.  Seeded from the
     # single-char + end-marker symbols of the delimited words (one
@@ -228,7 +229,7 @@ def learn_merges(
             w = F.replace(w, F.lit(f"({l})({r})"), F.lit(f"({l}{r})"))
         # materialize the (vocab-sized) table so per-round plans stay
         # bounded no matter how many rounds the vocabulary takes
-        cur = cur.select(w.alias("w"), "cnt").localCheckpoint(eager=True)
+        cur = cur.select(w.alias("w"), "cnt").transform(ckpt_eager)
     if stats is not None:
         stats["rounds"] = rounds
         stats["batch_sizes"] = batch_sizes

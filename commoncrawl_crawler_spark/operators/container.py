@@ -59,6 +59,7 @@ from .multimodal import (
     parse_jpeg_gray,
 )
 
+from .parseguard import guard
 # --------------------------------------------------------------------
 # ISO BMFF (MP4) writer -- deterministic test-fixture muxer
 # --------------------------------------------------------------------
@@ -334,6 +335,7 @@ def _sample_locations(
     return locs
 
 
+@guard("mp4")
 def parse_mp4_tracks(blob: bytes) -> list[dict]:
     """Parse an ISO BMFF blob into per-track dicts with resolved
     sample locations. Raises on structurally invalid input."""
@@ -397,20 +399,35 @@ def parse_mp4_tracks(blob: bytes) -> list[dict]:
                 raise ValueError(f"stbl without {tag!r}")
             return blob[found[0] + 4 : found[1]]  # skip version/flags
 
+        def _check_count(n: int, entry: int, body: bytes, tag: str) -> None:
+            # a stomped 32-bit count must not drive allocation: every
+            # entry occupies `entry` bytes of the table body
+            if n * entry > len(body) - 4:
+                raise ValueError(f"{tag} count {n} overruns box body")
+
         stts_body = _full_body(b"stts")
         n_stts = struct.unpack(">I", stts_body[:4])[0]
+        _check_count(n_stts, 8, stts_body, "stts")
         stts = [
             struct.unpack(">II", stts_body[4 + 8 * i : 12 + 8 * i])
             for i in range(n_stts)
         ]
         stsc_body = _full_body(b"stsc")
         n_stsc = struct.unpack(">I", stsc_body[:4])[0]
+        _check_count(n_stsc, 12, stsc_body, "stsc")
         stsc = [
             struct.unpack(">III", stsc_body[4 + 12 * i : 16 + 12 * i])[:2]
             for i in range(n_stsc)
         ]
         stsz_body = _full_body(b"stsz")
         fixed, count = struct.unpack(">II", stsz_body[:8])
+        if fixed:
+            # fixed-size samples carry no per-entry table to bound the
+            # count with; every sample still occupies >= 1 byte of file
+            if count > len(blob):
+                raise ValueError(f"stsz sample count {count} implausible")
+        else:
+            _check_count(count, 4, stsz_body[4:], "stsz")
         sizes = (
             [fixed] * count
             if fixed
@@ -421,6 +438,7 @@ def parse_mp4_tracks(blob: bytes) -> list[dict]:
         )
         stco_body = _full_body(b"stco")
         n_stco = struct.unpack(">I", stco_body[:4])[0]
+        _check_count(n_stco, 4, stco_body, "stco")
         stco = [
             struct.unpack(">I", stco_body[4 + 4 * i : 8 + 4 * i])[0]
             for i in range(n_stco)
@@ -678,9 +696,12 @@ def _id3v2_size(blob: bytes) -> int:
         | (blob[8] & 0x7F) << 7
         | (blob[9] & 0x7F)
     )
-    return 10 + size
+    # a stomped size field must not send frame walks past the bytes
+    # that actually exist
+    return min(10 + size, len(blob))
 
 
+@guard("mpeg-audio")
 def parse_mpeg_audio_frames(blob: bytes) -> tuple[int, list[dict]]:
     """Walk MPEG-1 audio frames: returns (id3_bytes, frames) where
     each frame dict has layer/kbps/sample_rate/padding/length/offset.
@@ -978,6 +999,7 @@ def encode_mpeg1_layer1_frame(
     return hdr + bw.tobytes(length - 4)
 
 
+@guard("mpeg-layer1")
 def decode_mpeg1_layer1_frame(frame: bytes):
     """One Layer I frame -> list of (subband, granule, sample) scaled
     subband samples. Validates the header via the shared frame walk
@@ -1221,6 +1243,7 @@ def _l2_expand_scfsi(mode: int, transmitted: list[int]) -> list[int]:
     return [transmitted[0], transmitted[1], transmitted[1]]
 
 
+@guard("mpeg-layer2")
 def decode_mpeg1_layer2_frame(frame: bytes):
     """One mono Layer II frame -> list of (subband, granule 0..35,
     sample) requantized+rescaled subband samples, granule-major so the
@@ -1429,6 +1452,7 @@ def build_exif_tiff(
     return hdr + ifd0 + exif + tail
 
 
+@guard("exif-tiff")
 def parse_exif_tiff(tiff: bytes) -> dict:
     """Real TIFF IFD walk: both byte orders, SHORT/LONG/ASCII/
     RATIONAL values, inline vs out-of-line storage (values wider than
@@ -1741,6 +1765,7 @@ def encode_fmp4_bytes(
     return bytes(out)
 
 
+@guard("fmp4")
 def parse_fmp4_fragments(blob: bytes) -> dict:
     """Resolve a fragmented MP4: trex defaults from the init segment,
     then per-moof tfhd/tfdt/trun walk to absolute (offset, size)
@@ -1980,6 +2005,7 @@ extract_exif_from_jpeg = _corrupt_guard("jpeg-exif")(
 from .multimodal import encode_png_bytes, parse_png_bytes  # noqa: E402
 from .multimodal import encode_bmp_bytes, parse_bmp_bytes  # noqa: E402
 
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
@@ -2015,6 +2041,7 @@ def build_ico_bytes(entries: list[tuple[str, int, int, bytes]]) -> bytes:
     return bytes(out)
 
 
+@guard("ico")
 def parse_ico_entries(blob: bytes) -> list[dict]:
     """Directory walk + per-entry decode: PNG entries through the
     in-repo PNG kernel, DIB entries through the BMP kernel (height
@@ -2160,6 +2187,7 @@ def build_id3v2(
     )
 
 
+@guard("id3v2")
 def parse_id3v2_frames(blob: bytes) -> list[dict]:
     """Text frames out of a leading ID3v2.3/v2.4 tag: (frame_id,\n    text).
     Non-text frames are skipped structurally; stops at padding."""
@@ -2316,6 +2344,7 @@ def encode_mp3_sideinfo_mono(
     return out
 
 
+@guard("mp3-sideinfo")
 def parse_mp3_sideinfo_mono(body: bytes) -> dict:
     """Mono side info out of a frame BODY (first 17 bytes); raises
     on the spec's forbidden combinations (block_type 0 while window

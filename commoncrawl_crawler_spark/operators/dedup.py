@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions import hashing
 
 
+from ..checkpointing import ckpt_eager, ckpt_lazy, stable_checkpoint
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Exact-dup groups by content signature (MD5 over text --
     ParserMapper.java:828-832's signature, CrossDomainDupesReducer's
@@ -141,7 +142,7 @@ def simhash_candidate_pairs(
         .select("doc_id", "simhash", "band.pattern", "band.key")
         # materialize once: the self-join would otherwise run the
         # sketch UDF twice (Spark doesn't CSE across join branches)
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     bands = _cap_buckets(bands, ["pattern", "key"], max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
@@ -212,7 +213,7 @@ def minhash_lsh_pairs(
         )
         # materialize once: the self-join would otherwise run the
         # minhash UDF twice (no CSE across join branches)
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     banded = _cap_buckets(banded, ["bucket"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
@@ -228,7 +229,7 @@ def minhash_lsh_pairs(
     toks = documents.select(
         "doc_id",
         F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     # |a ∪ b| = |a| + |b| - |a ∩ b| exactly (distinct sets, integer
     # math) -- array_union would redo the intersection work per pair
     inter = F.size(F.array_intersect(F.col("tokens_a"), F.col("tokens_b")))
@@ -286,7 +287,7 @@ def ngram_jaccard_pairs(
         "lang",
         F.floor(F.col("n_chars") / length_band).alias("lb"),
         F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
-    ).withColumn("n", F.size("tokens")).localCheckpoint(eager=True)
+    ).withColumn("n", F.size("tokens")).transform(ckpt_eager)
     tl = F.lit(float(threshold))
     tok_rows = toks.select(
         "doc_id", "lang", "lb", "n", F.explode("tokens").alias("tok")
@@ -622,9 +623,7 @@ def md5_simhash_pairs(
         )
     # eager: the band self-join reads the sketch table twice in one job;
     # a lazy checkpoint would compute the 60-agg pipeline twice
-    sk = md5_simhash_sketches(documents, tokens=tokens).localCheckpoint(
-        eager=True
-    )
+    sk = md5_simhash_sketches(documents, tokens=tokens).transform(ckpt_eager)
     mask = (1 << band_bits) - 1
     band_arr = F.array(
         *[F.expr(f"(sketch >> {i * band_bits}) & {mask}") for i in range(bands)]
@@ -689,7 +688,7 @@ def winnow_candidate_pairs(
     )
     # checkpoint: Catalyst does not CSE across self-join branches --
     # without this the winnow UDF runs twice
-    fps = _cap_buckets(fps, ["fp"], max_bucket).localCheckpoint(eager=True)
+    fps = _cap_buckets(fps, ["fp"], max_bucket).transform(ckpt_eager)
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(
@@ -753,7 +752,7 @@ def md5_minhash_pairs(
     signatures) and only the banding/verify reruns."""
     if sig is None:
         sig = md5_minhash_signatures(documents, perms, tokens=tokens)
-    sig = sig.localCheckpoint(eager=True)
+    sig = sig.transform(ckpt_eager)
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -1002,9 +1001,7 @@ def setsim_prefix_pairs(
     place of hamming sketches.
     """
     num, den = threshold_num, threshold_den
-    toks = _ws_token_sets(documents, shingle=shingle).localCheckpoint(
-        eager=True
-    )
+    toks = _ws_token_sets(documents, shingle=shingle).transform(ckpt_eager)
     # prefix length: n - ceil(t*n) + 1, integer-exact
     plen = (
         F.col("n")
@@ -1088,9 +1085,7 @@ def containment_pairs(
     nb >= ceil(t*na) prunes impossible pairs before the join.
     """
     num, den = threshold_num, threshold_den
-    toks = _ws_token_sets(documents, shingle=shingle).localCheckpoint(
-        eager=True
-    )
+    toks = _ws_token_sets(documents, shingle=shingle).transform(ckpt_eager)
     plen = (
         F.col("n")
         - F.expr(f"CAST(({num} * n + {den} - 1) DIV {den} AS INT)")
@@ -1222,7 +1217,7 @@ def editdist_pairs(
         strings.select(F.col(name_col).alias("name"))
         .filter(F.col("name").isNotNull() & (F.length("name") > k))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
 
     def seg_len(n, i):
@@ -1341,9 +1336,7 @@ def minhash_quality_report(
     micro-units (exact division, engine-stable).
     """
     num, den = min_matching, perms
-    toks = (tokens if tokens is not None else _md5_tokens(documents)).localCheckpoint(
-        eager=True
-    )
+    toks = (tokens if tokens is not None else _md5_tokens(documents)).transform(ckpt_eager)
     sz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = toks.alias("a").join(
         sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"),

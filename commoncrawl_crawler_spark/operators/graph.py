@@ -11,8 +11,10 @@ Reference surface (SURVEY.md section 2.9):
   2332-2531): scatter rank/outdeg, gather with damping
   `0.15 + 0.85 * sum` (finalizePageRank :300-313) and optional
   per-root-domain source *averaging* (anti-nepotism, :2438-2500).
-  Here: an iterative DataFrame loop with localCheckpoint() to
-  truncate lineage -- the 6,619-LoC custom BSP engine collapses into
+  Here: an iterative DataFrame loop with stable_checkpoint() to
+  truncate lineage (reliable checkpoint when
+  SPARK_GRAFT_CHECKPOINT_DIR points at HDFS/S3, localCheckpoint
+  otherwise) -- the 6,619-LoC custom BSP engine collapses into
   joins + aggregations Catalyst plans per iteration.
 - SetUnionFinder (mapred/ec2/postprocess/deduper/DeduperUtils.java:
   728-917): connected components via union-find. Here: min-label
@@ -26,7 +28,7 @@ Reference surface (SURVEY.md section 2.9):
 
 Scale posture: edges/ranks shuffle on node id only; every iteration
 is one shuffle (join on src is co-partitioned with the prior
-iteration's output under AQE); localCheckpoint() bounds plan growth
+iteration's output under AQE); stable_checkpoint() bounds plan growth
 so iteration 20 plans as cheaply as iteration 1. The synthetic
 "root domain" of a node is `node % 97` (stand-in for
 rootDomainHash; the reference derives it from eTLD+1).
@@ -36,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpointing import ckpt_eager, ckpt_lazy, stable_checkpoint
 ROOT_MOD = 97  # synthetic rootDomainHash: node % ROOT_MOD
 PART_OFFSET = 1_000_000  # part node ids live in their own id space
 SAMPLE_CAP = 100  # CrawlDBMergingReducer.java:94 truncation cap
@@ -158,19 +161,20 @@ def pagerank(
     < out_cnt / RANK_SCALE, i.e. < 1e-3 even for 1000-outlink hubs.
 
     Scale: one join+agg per iteration; ranks are checkpointed each
-    iteration (plan/lineage truncation) -- at cluster scale swap
-    localCheckpoint for reliable checkpoint on HDFS/S3.
+    iteration (plan/lineage truncation) -- reliable on HDFS/S3 when
+    SPARK_GRAFT_CHECKPOINT_DIR is set (checkpointing.py), local
+    otherwise.
     """
     base_i = (damp_den - damp_num) * RANK_SCALE // damp_den  # 0.15
     # checkpoint the loop-invariant tables once: without this every
     # iteration replays the source scan + distinct + degree join
-    nodes = graph_nodes(edges).localCheckpoint(eager=False)
+    nodes = graph_nodes(edges).transform(ckpt_lazy)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
     # fuse static per-edge divisor once: contribution = rank(src)/out_cnt(src)
     edge_w = (
         edges.join(out_deg, "src")
         .select("src", "dst", "out_cnt")
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
 
     ranks = nodes.withColumn("rank_i", F.lit(RANK_SCALE).cast("long"))
@@ -189,7 +193,7 @@ def pagerank(
                     + F.expr(f"(coalesce(recv, 0) * {damp_num}) DIV {damp_den}")
                 ).alias("rank_i"),
             )
-            .localCheckpoint(eager=False)
+            .transform(ckpt_lazy)
         )
     return ranks.select(
         "node", F.round(F.col("rank_i") / RANK_SCALE, 6).alias("rank")
@@ -233,12 +237,12 @@ def pagerank_converged(
 
     eps_i = int(epsilon * RANK_SCALE)
     base_i = (damp_den - damp_num) * RANK_SCALE // damp_den
-    nodes = graph_nodes(edges).localCheckpoint(eager=False)
+    nodes = graph_nodes(edges).transform(ckpt_lazy)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
     edge_w = (
         edges.join(out_deg, "src")
         .select("src", "dst", "out_cnt")
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
 
     if max_iterations % steps_per_check:
@@ -277,7 +281,7 @@ def pagerank_converged(
                 ),
             )
             .select("node", "rank_i")
-            .localCheckpoint(eager=True)
+            .transform(ckpt_eager)
         )
         iterations += steps_per_check
         delta = obs.get["delta"]
@@ -312,7 +316,7 @@ def pagerank_root_averaged(
     discipline as `pagerank` (the average is a truncating sum/count).
     """
     base_i = (damp_den - damp_num) * RANK_SCALE // damp_den
-    nodes = graph_nodes(edges).localCheckpoint(eager=False)
+    nodes = graph_nodes(edges).transform(ckpt_lazy)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
     edge_w = edges.join(out_deg, "src").select(
         "src", "dst", "out_cnt", root_of(F.col("src")).alias("src_root")
@@ -327,7 +331,7 @@ def pagerank_root_averaged(
     else:
         edge_w = edge_w.withColumn("is_super", F.lit(False))
     # loop-invariant: materialize once, not once per iteration
-    edge_w = edge_w.localCheckpoint(eager=False)
+    edge_w = edge_w.transform(ckpt_lazy)
 
     ranks = nodes.withColumn("rank_i", F.lit(RANK_SCALE).cast("long"))
     for _ in range(iterations):
@@ -356,7 +360,7 @@ def pagerank_root_averaged(
                     + F.expr(f"(coalesce(recv, 0) * {damp_num}) DIV {damp_den}")
                 ).alias("rank_i"),
             )
-            .localCheckpoint(eager=False)
+            .transform(ckpt_lazy)
         )
     return ranks.select(
         "node", F.round(F.col("rank_i") / RANK_SCALE, 6).alias("rank")
@@ -434,7 +438,7 @@ def _star_contraction(
             & (F.col("src") != F.col("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
     prev_sig = None
     rounds = 0
@@ -449,7 +453,7 @@ def _star_contraction(
                 # hashes overflows), order-independent, exact
                 F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt_eager)
         )
         rounds += 1
         sig = (obs.get["n"], obs.get["h"])
@@ -794,7 +798,7 @@ def k_core(
         )
         .distinct()
         .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
     alive = sym
     prev_n = None
@@ -812,7 +816,7 @@ def k_core(
             .join(keep.withColumnRenamed("node", "nbr"), "nbr")
             .select("node", "nbr")
             .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=True)
+            .transform(ckpt_eager)
         )
         rounds += 1
         n = obs.get["n"]
@@ -854,11 +858,9 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
-    nodes = und.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=False
-    )
+    nodes = und.select(F.col("src").alias("node")).distinct().transform(ckpt_lazy)
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iterations):
         neigh = und.join(
@@ -880,7 +882,7 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
                 "node",
                 F.coalesce(new["label"], F.col("node")).alias("label"),
             )
-            .localCheckpoint(eager=False)
+            .transform(ckpt_lazy)
         )
     return labels.select(
         "node", F.col("label").alias("community")
@@ -920,13 +922,13 @@ def pagerank_personalized(
             "left",
         )
         .select("node", F.col("_s").isNotNull().alias("is_seed"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
     edge_w = (
         edges.join(out_deg, "src")
         .select("src", "dst", "out_cnt")
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     restart = F.when(F.col("is_seed"), F.lit(base_i)).otherwise(0).cast("long")
     ranks = nodes.withColumn(
@@ -951,7 +953,7 @@ def pagerank_personalized(
                     )
                 ).alias("rank_i"),
             )
-            .localCheckpoint(eager=False)
+            .transform(ckpt_lazy)
         )
     return ranks.select(
         "node",
@@ -992,7 +994,7 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
             & (F.col("src") != F.col("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
     r = e
     prev_n = None
@@ -1011,7 +1013,7 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
             r.unionByName(two_hop)
             .distinct()
             .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=True)
+            .transform(ckpt_eager)
         )
         rounds += 1
         n = obs.get["n"]
@@ -1172,12 +1174,12 @@ def condensation_levels(
         .select("csrc", "cdst")
         .filter(F.col("csrc") != F.col("cdst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
     comps = (
         scc.groupBy("scc_id")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
     levels = comps.select("scc_id", F.lit(0).cast("bigint").alias("level"))
     prev_sig = None
@@ -1205,7 +1207,7 @@ def condensation_levels(
                 obs,
                 F.sum(F.col("level").cast("decimal(38,0)")).alias("s"),
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt_eager)
         )
         sig = obs.get["s"]
         if sig == prev_sig:
@@ -1282,7 +1284,7 @@ def hyperball(
             & (F.col("src") != F.col("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -1328,7 +1330,7 @@ def hyperball(
             F.lit(0).cast("bigint").alias("_harm"),
         )
         .observe(obs0, F.sum("_est_prev").alias("e"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
     # neighborhood function N(t) = sum over nodes of the ball-size
     # estimate at radius t -- recorded for free by the Observations
@@ -1387,7 +1389,7 @@ def hyperball(
                 F.sum(reg_sum).alias("s"),
                 F.count(F.lit(1)).alias("n"),
                 F.sum("_est_prev").alias("e"),
-            ).localCheckpoint(eager=True)
+            ).transform(ckpt_eager)
             sig = (obs.get["n"], obs.get["s"])
             if sig == prev_sig:
                 break
@@ -1442,7 +1444,7 @@ def resolve_redirect_chains(
         base.filter(F.col("node") != F.col("to"))
         .groupBy("node")
         .agg(F.min("to").alias("to"))  # enforce functional: one pointer
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
     # node universe from the UNFILTERED input so a pure self-redirect
     # still reports (as a terminal)
@@ -1464,7 +1466,7 @@ def resolve_redirect_chains(
             .alias("hops"),
             F.col("to").isNull().alias("done"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
     for _ in range(max_rounds):
         # compose the walk with itself: look up state[cur]
@@ -1489,7 +1491,7 @@ def resolve_redirect_chains(
             (
                 F.col("a.done") | F.coalesce("_m_done", F.lit(True))
             ).alias("done"),
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt_eager)
     return state.select(
         "node",
         F.when(F.col("done"), F.col("cur")).alias("final_node"),
@@ -1572,12 +1574,12 @@ def opic(edges: DataFrame, iterations: int = 4) -> DataFrame:
 
     Output: (node, cash_micro, hist_micro).
     """
-    nodes = graph_nodes(edges).localCheckpoint(eager=False)
+    nodes = graph_nodes(edges).transform(ckpt_lazy)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
     edge_w = (
         edges.select("src", "dst")
         .join(out_deg, "src")
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
 
@@ -1610,7 +1612,7 @@ def opic(edges: DataFrame, iterations: int = 4) -> DataFrame:
                     "hist_micro"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt_eager)
         )
     return state.orderBy("node")
 
@@ -1697,7 +1699,7 @@ def random_walks(
         .distinct()
         .withColumn("_rank", F.row_number().over(w) - 1)
         .withColumn("_out", F.count(F.lit(1)).over(Window.partitionBy("src")))
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
     nodes = (
         ranked.select(F.col("src").alias("node"))
@@ -1715,7 +1717,7 @@ def random_walks(
         F.col("node").alias("start_node"),
         F.lit(0).alias("step"),
         F.col("node").alias("node"),
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt_eager)
     out = frontier
     for t in range(1, steps + 1):
         pick = F.expr(
@@ -1734,7 +1736,7 @@ def random_walks(
                 F.lit(t).alias("step"),
                 F.col("dst").alias("node"),
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt_eager)
         )
         out = out.unionByName(frontier)
     return out.orderBy("walk_id", "start_node", "step")

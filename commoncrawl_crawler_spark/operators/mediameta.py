@@ -48,6 +48,7 @@ from pyspark.sql.types import (
 
 from .multimodal import _synthesize_media
 
+from .parseguard import guard
 # --------------------------------------------------------------------
 # FLAC
 # --------------------------------------------------------------------
@@ -85,6 +86,7 @@ def build_flac_streaminfo(
     return bytes(out)
 
 
+@guard("flac-streaminfo")
 def parse_flac_streaminfo(blob: bytes) -> dict:
     """Metadata-block walk; returns STREAMINFO fields plus the block
     census.  Raises on bad magic, truncation, or missing STREAMINFO
@@ -304,6 +306,7 @@ def build_ogg_page(
     return hdr + payload
 
 
+@guard("ogg")
 def parse_ogg_pages(blob: bytes) -> list[dict]:
     """Page walk: offset, serial, seqno, granule, header_type,
     payload_len per page; raises on lost capture pattern or
@@ -341,6 +344,7 @@ def parse_ogg_pages(blob: bytes) -> list[dict]:
     return pages
 
 
+@guard("ogg-id-header")
 def parse_id_header(payload: bytes) -> dict | None:
     """Codec identification from a first-page payload: Vorbis or
     Opus; None if neither."""
@@ -500,6 +504,7 @@ def parse_flac_frame_header(blob: bytes, pos: int) -> dict | None:
         return None
 
 
+@guard("flac-frames")
 def scan_flac_frames(blob: bytes) -> list[dict]:
     """Sync-scan past the metadata blocks: every 0xFF F8/F9 candidate
     whose header CRC-8 validates is a frame."""
@@ -535,6 +540,7 @@ def _opus_frame_dur_x10(config: int) -> int:
     return [25, 50, 100, 200][config % 4]
 
 
+@guard("opus-toc")
 def parse_opus_toc(packet: bytes) -> dict:
     """RFC 6716 3.1 TOC byte (+ the code-3 frame-count byte):
     config, stereo, frame count, per-frame and total duration in
@@ -769,6 +775,7 @@ def build_webp(kind: str, width: int, height: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
+@guard("webp")
 def parse_webp(blob: bytes) -> dict:
     """RIFF walk + per-variant dimension decode."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
@@ -955,6 +962,7 @@ def build_webm_tracks(tracks: list[dict]) -> bytes:
     return ebml_hdr + segment
 
 
+@guard("webm")
 def parse_webm_tracks(blob: bytes) -> list[dict]:
     """EBML walk to the track census: one dict per TrackEntry."""
     top = list(_walk_ebml(blob, 0, len(blob)))
@@ -1087,6 +1095,7 @@ from .container import _box as _bmff_box
 from .container import walk_boxes as _bmff_walk
 
 
+
 def _fullbox(tag: bytes, body: bytes, version: int = 0) -> bytes:
     return _bmff_box(tag, bytes([version, 0, 0, 0]) + body)
 
@@ -1127,6 +1136,7 @@ def build_heif(
     return ftyp + meta
 
 
+@guard("heif")
 def parse_heif(blob: bytes) -> dict:
     """Brand + item census + spatial extents out of the meta box."""
     brand = None

@@ -66,6 +66,8 @@ from .mp3tables import (
 from .mpegsynth import LAYER1_PCM_STATS, synthesize_granules_q
 from .multimodal import _synthesize_media
 
+from .parseguard import guard
+
 # ---------------------------------------------------------------
 # tables (ISO 11172-3)
 # ---------------------------------------------------------------
@@ -495,6 +497,7 @@ def _check_l3_header(frame: bytes) -> tuple[list[int], list[int]]:
     return _SFB_LONG[rate], _SFB_SHORT[rate]
 
 
+@guard("mp3-layer3")
 def decode_mpeg1_layer3_frame(frame: bytes) -> np.ndarray:
     """One SELF-CONTAINED mono Layer III frame -> (2, 576) int64
     micro spectral values (requantized + short-block reorder,
@@ -681,6 +684,7 @@ def _decode_granules(
     return out, binfo
 
 
+@guard("mp3-layer3")
 def decode_layer3_stream_full(
     blob: bytes,
 ) -> tuple[np.ndarray, list[dict]]:
@@ -804,6 +808,7 @@ def hybrid_to_subbands_q(
     return sub.transpose(0, 2, 1).reshape(g_total * 18, 32)
 
 
+@guard("mp3-layer3")
 def decode_layer3_to_pcm_q(blob: bytes) -> tuple[int, np.ndarray]:
     """Full chain: reservoir-aware frame walk -> spectral micro ->
     hybrid (block-type aware) -> Q28 polyphase.  Returns

@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+
     ArrayType,
     BinaryType,
     DoubleType,
@@ -40,6 +41,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .parseguard import guard
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -289,6 +291,7 @@ def synthesize_wav(documents: DataFrame) -> DataFrame:
     return _synthesize_media(documents, _blob)
 
 
+@guard("wav")
 def parse_wav_bytes(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     """RIFF/WAVE container parse -> (rate, bits, channels, samples).
 
@@ -455,6 +458,7 @@ def encode_wav_adpcm(
     return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
 
 
+@guard("wav-adpcm")
 def parse_wav_adpcm(blob: bytes) -> tuple[int, np.ndarray]:
     """Mono IMA ADPCM WAV -> (rate, int64 16-bit samples). Chunk walk
     with word alignment; block structure from the fmt extension;
@@ -626,6 +630,7 @@ def synthesize_ppm(documents: DataFrame) -> DataFrame:
     return _synthesize_media(documents, _blob)
 
 
+@guard("ppm")
 def parse_ppm_bytes(blob: bytes) -> tuple[int, int, np.ndarray]:
     """netpbm P6 header parse -> (width, height, flat RGB array).
 
@@ -753,6 +758,7 @@ def encode_png_bytes(
     )
 
 
+@guard("png")
 def parse_png_bytes(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Stdlib-only PNG decode -> (width, height, flat RGB int64 array).
 
@@ -1259,6 +1265,7 @@ def _parse_jpeg_planes(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
     return w, h, out
 
 
+@guard("jpeg")
 def parse_jpeg_gray(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Grayscale baseline JPEG -> (width, height, flat gray array)."""
     w, h, planes = _parse_jpeg_planes(blob)
@@ -1279,6 +1286,7 @@ def _ycc_channel(num: np.ndarray) -> np.ndarray:
     return np.clip(num, 0, _YCC_MAX) >> 16
 
 
+@guard("jpeg")
 def parse_jpeg_color(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Color (or gray) baseline JPEG -> (width, height, flat RGB
     int64 array). YCbCr converts with the libjpeg 16-bit fixed-point
@@ -1417,6 +1425,10 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
     """GIF-variant LZW: variable code width starting at
     min_code_size+1, LSB-first bit packing, clear/end codes, dict caps
     at 12-bit codes until the next clear."""
+    if not 1 <= min_code_size <= 11:
+        # spec range is 2..8; codes cap at 12 bits, so anything past
+        # 11 cannot be a real stream and would size the table as 2^n
+        raise ValueError(f"bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
     code_size = min_code_size + 1
@@ -1542,6 +1554,7 @@ def encode_gif_bytes(
     return bytes(out)
 
 
+@guard("gif")
 def parse_gif_bytes(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Stdlib-only GIF decode -> (width, height, flat RGB int64
     array) of the FIRST image. Handles 87a/89a, global/local color
@@ -2486,6 +2499,7 @@ def _parse_jpeg_progressive_planes(
     return w, h, out
 
 
+@guard("jpeg-progressive")
 def parse_jpeg_gray_progressive(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Grayscale progressive JPEG -> (width, height, flat gray)."""
     w, h, planes = _parse_jpeg_progressive_planes(blob)
@@ -2496,6 +2510,7 @@ def parse_jpeg_gray_progressive(blob: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, planes[0].ravel()
 
 
+@guard("jpeg-progressive")
 def parse_jpeg_color_progressive(
     blob: bytes,
 ) -> tuple[int, int, np.ndarray]:
@@ -2633,6 +2648,7 @@ def encode_bmp_bytes(w: int, h: int, rgb: np.ndarray) -> bytes:
     return hdr + info + bytes(img)
 
 
+@guard("bmp")
 def parse_bmp_bytes(blob: bytes) -> tuple[int, int, np.ndarray]:
     """BI_RGB 24-bit BMP -> (width, height, flat RGB). Handles both
     bottom-up (positive height) and top-down (negative height) rows;

@@ -66,6 +66,7 @@ from pyspark.sql.types import (
 
 from .multimodal import _synthesize_media
 
+from .parseguard import guard
 _OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9#+.\-_]+)")
 _WS = b"\x00\t\n\x0c\r "
@@ -517,6 +518,9 @@ def open_standard_security(
     if v not in (1, 2, 4, 5):
         raise NotImplementedError(f"PDF encryption /V {v} unknown")
     n = (_dict_int(enc_dict, b"Length") or 40) // 8
+    if v in (1, 2, 4) and not 5 <= n <= 16:
+        # 7.6.3.2: /Length is 40..128 bits in 8-bit increments
+        raise ValueError(f"PDF encryption /Length {n * 8} out of range")
     pm = re.search(rb"/P\s+(-?\d+)", enc_dict)
     p = int(pm.group(1)) if pm else -1
 
@@ -528,7 +532,12 @@ def open_standard_security(
         if enc_dict[pos] == 0x28:  # (
             return _literal_strings(enc_dict[pos:])[0]
         m2 = re.match(rb"<([0-9A-Fa-f]+)>", enc_dict[pos:])
-        return bytes.fromhex(m2.group(1).decode("ascii"))
+        if not m2:
+            raise ValueError(f"malformed hex string for /{key.decode()}")
+        hexdigits = m2.group(1)
+        if len(hexdigits) % 2:  # spec 7.3.4.3: odd count implies a 0
+            hexdigits += b"0"
+        return bytes.fromhex(hexdigits.decode("ascii"))
 
     o_value = _value_of(b"O")
     u_value = _value_of(b"U")
@@ -583,6 +592,7 @@ def open_standard_security(
     return _Decryptor(key, "aesv2" if cfm == "AESV2" else "rc4")
 
 
+@guard("pdf-objstm")
 def parse_objstm(dict_bytes: bytes, data: bytes) -> dict[int, bytes]:
     """Unpack a /Type /ObjStm payload (7.5.7): /N integer pairs
     `objnum offset` relative to /First, each an embedded non-stream
@@ -591,6 +601,10 @@ def parse_objstm(dict_bytes: bytes, data: bytes) -> dict[int, bytes]:
     first = _dict_int(dict_bytes, b"First")
     if n is None or first is None:
         raise ValueError("ObjStm missing /N or /First")
+    if data is None:
+        raise ValueError("ObjStm stream data undecodable")
+    if n < 0 or first < 0:
+        raise ValueError(f"ObjStm negative /N {n} or /First {first}")
     nums = [int(x) for x in data[:first].split()]
     if len(nums) < 2 * n:
         raise ValueError("ObjStm header shorter than /N pairs")
@@ -604,6 +618,7 @@ def parse_objstm(dict_bytes: bytes, data: bytes) -> dict[int, bytes]:
     return out
 
 
+@guard("pdf-xref-stream")
 def parse_xref_stream(dict_bytes: bytes, data: bytes) -> dict[int, tuple]:
     """Decode a /Type /XRef stream (7.5.8): /W field widths over
     /Index subsections.  Returns {objnum: (type, f2, f3)} where type
@@ -611,6 +626,10 @@ def parse_xref_stream(dict_bytes: bytes, data: bytes) -> dict[int, tuple]:
     w = _dict_ints(dict_bytes, b"W")
     if not w:
         raise ValueError("XRef stream missing /W")
+    if data is None:
+        raise ValueError("XRef stream data undecodable")
+    if any(x < 0 for x in w) or sum(w) < 1:
+        raise ValueError(f"XRef stream bad /W {w}")
     size = _dict_int(dict_bytes, b"Size") or 0
     index = _dict_ints(dict_bytes, b"Index") or [0, size]
     rowlen = sum(w)
@@ -618,6 +637,8 @@ def parse_xref_stream(dict_bytes: bytes, data: bytes) -> dict[int, tuple]:
     pos = 0
     for s in range(0, len(index), 2):
         start, count = index[s], index[s + 1]
+        if count < 0 or count * rowlen > len(data) - pos:
+            raise ValueError("XRef /Index overruns stream data")
         for objnum in range(start, start + count):
             row = data[pos : pos + rowlen]
             if len(row) < rowlen:
@@ -774,6 +795,7 @@ def extract_text_runs(content: bytes) -> list[str]:
     return runs
 
 
+@guard("pdf")
 def parse_pdf(blob: bytes) -> dict:
     """Syntax-level document profile: version, object census, page
     count via the page tree, text runs from page content streams.
@@ -1376,6 +1398,7 @@ def build_name_table(family: str) -> bytes:
     return hdr + rec + s
 
 
+@guard("sfnt")
 def parse_sfnt(blob: bytes) -> dict:
     """Table census + head/name decode."""
     if len(blob) < 12:
@@ -1436,6 +1459,7 @@ def parse_sfnt(blob: bytes) -> dict:
 import zlib as _zlib
 
 
+
 def build_woff(
     tables: list[tuple[bytes, bytes]],
     flavor: bytes = b"\x00\x01\x00\x00",
@@ -1473,6 +1497,7 @@ def build_woff(
     return hdr + b"".join(entries) + b"".join(blobs)
 
 
+@guard("woff")
 def parse_woff(blob: bytes) -> dict:
     """WOFF 1.0 -> the same profile as parse_sfnt, by decompressing
     the tables and rebuilding the logical sfnt (so the head/name

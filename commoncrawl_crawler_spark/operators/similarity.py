@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+from ..checkpointing import ckpt_eager, ckpt_lazy, stable_checkpoint
 def _dot(x, y):
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
@@ -395,7 +396,7 @@ def kmeans_exact(
                 + F.lit(KMEANS_QUANT_OFFSET)
             ).alias("q"),
         )
-        .localCheckpoint(eager=False)  # loop-invariant
+        .transform(ckpt_lazy)  # loop-invariant
     )
     # deterministic seeds: the k lowest vec_ids ARE the initial
     # centroids (cluster id = seed rank)
@@ -411,7 +412,7 @@ def kmeans_exact(
     cents = (
         pts.join(F.broadcast(seeds), "vec_id")
         .select("cid", "dim", F.col("q").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt_eager)
     )
 
     assign = None
@@ -450,7 +451,7 @@ def kmeans_exact(
                 obs, F.max(F.abs(F.col("c") - F.col("_prev"))).alias("delta")
             )
             .select("cid", "dim", "c")
-            .localCheckpoint(eager=True)
+            .transform(ckpt_eager)
         )
         iterations += 1
         delta = obs.get["delta"]
@@ -541,7 +542,7 @@ def ivf_topk(
             "cell",
             F.col("embedding").cast("array<double>").alias("corpus_emb"),
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     # centroid table: tiny by construction (one row per cell); means
     # come from exact decimal sums so the table -- and therefore probe
@@ -729,8 +730,8 @@ def pq_topk(
 
         # loop-invariant: don't replay the explode+quantize lineage
         # once per Lloyd iteration
-        pts = pts.localCheckpoint(eager=False)
-        book = book.localCheckpoint(eager=True)
+        pts = pts.transform(ckpt_lazy)
+        book = book.transform(ckpt_eager)
         for _ in range(train_iterations):
             dists = (
                 pts.join(F.broadcast(book), ["sub", "dim"])
@@ -770,7 +771,7 @@ def pq_topk(
                     ),
                 )
                 .select("sub", "code", "dim", "cq")
-                .localCheckpoint(eager=True)
+                .transform(ckpt_eager)
             )
             delta = obs.get["delta"]
             if delta is None or delta <= eps:
@@ -952,9 +953,7 @@ def ivfpq_topk(
     """
     if cells is None:
         cells = kmeans_cells(embeddings, k=16)
-    pts = _pq_quantized_points(embeddings, m_subspaces).localCheckpoint(
-        eager=False
-    )
+    pts = _pq_quantized_points(embeddings, m_subspaces).transform(ckpt_lazy)
     seeds = (
         embeddings.select("vec_id")
         .orderBy("vec_id")

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions import text
 
 
+from ..checkpointing import ckpt_eager, ckpt_lazy, stable_checkpoint
 def document_profile(documents: DataFrame) -> DataFrame:
     """Per-document feature row: tokens, word chars, punctuation
     ratio, quality score. The cheap-filter tier every corpus pipeline
@@ -1465,7 +1466,7 @@ def corpus_zipf_profile(documents: DataFrame) -> DataFrame:
     freq = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     key = F.concat(
         F.lpad((F.lit(10**18) - F.col("cnt")).cast("string"), 19, "0"),

@@ -54,6 +54,8 @@ from pyspark.sql.types import (
 
 from .multimodal import _synthesize_media
 
+from .parseguard import guard
+
 # --------------------------------------------------------------------
 # ADTS (ISO 14496-3 1.A.2.2)
 # --------------------------------------------------------------------
@@ -89,6 +91,7 @@ def build_adts_frame(
     return bytes(h) + payload
 
 
+@guard("adts")
 def parse_adts_frames(blob: bytes) -> list[dict]:
     """Walk ADTS frames: returns per-frame dicts with offset, length,
     profile, sample_rate, channels, raw_blocks (1024 samples per
@@ -256,6 +259,7 @@ def build_audio_specific_config(
     return bytes(out)
 
 
+@guard("audio-specific-config")
 def parse_audio_specific_config(blob: bytes) -> dict:
     r = _BitReader(blob)
     aot = r.u(5)
@@ -319,6 +323,7 @@ def parse_pce(r: _BitReader, block_start_bit: int) -> dict:
     return out
 
 
+@guard("aac-elements")
 def parse_raw_data_block_elements(
     payload: bytes, block_start_bit: int = 0
 ) -> dict:
@@ -621,6 +626,7 @@ _HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139,
                   134, 135}
 
 
+@guard("h264-sps")
 def parse_sps(rbsp: bytes) -> dict:
     """Sequence parameter set (spec 7.3.2.1.1) through the picture
     size; scaling lists are skipped structurally (7.3.2.1.1.1)."""
@@ -742,6 +748,7 @@ def annexb_nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
     )
 
 
+@guard("h264-annexb")
 def parse_annexb(blob: bytes) -> list[dict]:
     """Annex-B start-code walk: (offset, nal_type, ref_idc,
     ebsp_length) per NAL unit.  Accepts both 3- and 4-byte start
@@ -886,6 +893,7 @@ def h264_stream_stats(media: DataFrame) -> DataFrame:
 # context.  Macroblock decode stays out of scope by construction.
 
 
+@guard("h264-pps")
 def parse_pps(rbsp: bytes) -> dict:
     """Picture parameter set through redundant_pic_cnt_present_flag
     (7.3.2.2); FMO slice-group maps are parsed structurally."""
@@ -961,6 +969,7 @@ def build_pps(
     return w.rbsp_trailing()
 
 
+@guard("h264-slice")
 def parse_slice_header(
     rbsp: bytes, sps: dict, nal_type: int
 ) -> dict:
@@ -1188,6 +1197,7 @@ def build_av1_sequence_header(
     return bytes(out)
 
 
+@guard("av1-seq")
 def parse_av1_sequence_header(payload: bytes) -> dict:
     """seq_profile / seq_level_idx / max frame size out of a
     sequence-header OBU payload (reduced_still_picture_header=0
@@ -1228,6 +1238,7 @@ def build_av1_obu(obu_type: int, payload: bytes) -> bytes:
     return hdr + leb128_encode(len(payload)) + payload
 
 
+@guard("av1-obu")
 def parse_av1_obus(blob: bytes) -> list[dict]:
     """OBU walk: (offset, obu_type, size) per unit; raises on the
     forbidden bit, a missing size field, or truncation."""

@@ -44,6 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+
     ArrayType,
     BinaryType,
     LongType,
@@ -52,6 +53,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..operators.parseguard import guard
+from ..checkpointing import ckpt_eager, ckpt_lazy, stable_checkpoint
 MAGIC = b"ccarc/1"
 DEFAULT_ROTATE_BYTES = 64 * 1024 * 1024  # size rotation like ArcFileWriter
 _WS_RE = re.compile(r"\s")
@@ -439,6 +442,7 @@ def write_arc_v1(
     )
 
 
+@guard("arc-member")
 def _parse_arc_member(data: bytes) -> tuple | None:
     """One decompressed ARC member -> (url, ip, ts14, epoch_ms, mime,
     record_length, headers, payload), or None for the filedesc member."""
@@ -660,6 +664,7 @@ def write_warc(
     )
 
 
+@guard("warc-member")
 def _parse_warc_member(data: bytes) -> tuple:
     """One decompressed WARC member -> (type, id, uri, date, ctype,
     clen, headers, block). Header names are case-insensitive per spec;
@@ -1038,7 +1043,7 @@ def write_cdx(idx: DataFrame, path: str, shards: int = 4) -> None:
             F.spark_partition_id().alias("pid"), line.alias("line"),
             "urlkey", "timestamp",
         )
-        .localCheckpoint(eager=True)  # one exchange feeds both writes
+        .transform(ckpt_eager)  # one exchange feeds both writes
     )
 
     def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -41,6 +41,7 @@ from pyspark.sql.types import (
 
 from ..operators.multimodal import _synthesize_media
 
+from ..operators.parseguard import guard
 # --------------------------------------------------------------------
 # tar (POSIX ustar)
 # --------------------------------------------------------------------
@@ -79,6 +80,7 @@ def build_tar_bytes(members: list[tuple[str, bytes]]) -> bytes:
     return bytes(out)
 
 
+@guard("tar")
 def parse_tar_members(blob: bytes) -> list[dict]:
     """Walk ustar headers; returns member dicts with validated
     checksums. Raises on a corrupt header or truncated archive."""
@@ -167,6 +169,7 @@ def build_zip_bytes(members: list[tuple[str, bytes, int]]) -> bytes:
     return bytes(out)
 
 
+@guard("zip")
 def parse_zip_members(blob: bytes) -> list[dict]:
     """EOCD scan from the tail, central-directory walk, extraction
     through the local header with CRC32 validation. STORED and
@@ -357,6 +360,7 @@ def _parse_attr_list(s: str) -> dict:
     return attrs
 
 
+@guard("m3u8")
 def parse_m3u8(text: str) -> dict:
     """RFC 8216 media-playlist parse: #EXTINF durations paired with
     their URI lines, #EXT-X-TARGETDURATION / -MEDIA-SEQUENCE /
@@ -613,6 +617,7 @@ def _parse_ts(ts: str) -> int:
     return ((h * 60 + m) * 60 + int(s)) * 1000 + int(ms.ljust(3, "0")[:3])
 
 
+@guard("subtitles")
 def parse_subtitles(text: str) -> list[dict]:
     """Cue list from an SRT or WebVTT document: (start_ms, end_ms,
     text). Handles the WEBVTT magic + header block, optional numeric
@@ -754,6 +759,7 @@ def subtitle_stats(media: DataFrame) -> DataFrame:
 
 
 from ..operators.container import _corrupt_guard  # noqa: E402
+
 
 parse_tar_members = _corrupt_guard("tar")(parse_tar_members)
 parse_zip_members = _corrupt_guard("zip")(parse_zip_members)
