@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from commoncrawl_crawler_spark.operators import (
+    aacdecode,
     aggregates,
     bpe,
     analytics,
@@ -4342,10 +4343,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8: one layer below ADTS framing -- raw_data_block
         # element walk (PCE channel map, DSE/FIL metadata census,
         # first audio element id) + derived AudioSpecificConfig.
-        # Audio-element SAMPLE decode is out of scope (the spectral
-        # huffman codebooks are not derivable from first principles)
         "mm_aac_elements": lambda s, d: videobits.aac_element_stats(
             videobits.synthesize_aac_elements(_t(s, d, "documents"))
+        ).orderBy("media_id"),
+        # round-9: full AAC-LC SCE decode -- 13818-7 syntax walk
+        # (sections, scalefactor DPCM, quad/pair spectral tuples,
+        # sign bits, book-11 escapes) + 4/3-power dequantizer.  The
+        # huffman CODEWORD patterns are engine-canonical over the
+        # spec alphabets (aacdecode.py module docstring: the spec's
+        # empirically-designed tables are not transcribable with
+        # confidence here), so external AAC stays behind the
+        # element-census boundary; everything else in the chain is
+        # spec grammar, and the dequantized spectra are integer-exact
+        # by construction for the oracle
+        "mm_aac_decode": lambda s, d: aacdecode.aac_lc_decode_stats(
+            aacdecode.synthesize_aac_lc(_t(s, d, "documents"))
         ).orderBy("media_id"),
         # H.264 Annex-B NAL walk + REAL SPS decode (Exp-Golomb,
         # emulation-prevention unescape, cropping arithmetic): the
@@ -5043,6 +5055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pdf_xrefstream",
         "doc_pdf_encrypted",
         "doc_woff_profile",
+        # round-9-new gate: driver row this round (position 11)
+        "mm_aac_decode",
         "graph_link_edges",
         "graph_pagerank",
         "graph_pagerank_rootavg",
@@ -5082,9 +5096,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawllist_filtered_generate",
         "crawllist_politeness",
         "dedup_cluster_representatives",
-        "graph_clustering_coeff",
         # ---- next in line for the round-10 driver window ---------
-        # (new / code-changed in round 9; swept in SELF_r09*)
+        # (new / code-changed in round 9; swept in SELF_r09*;
+        # graph_clustering_coeff ceded position 50 to the round-9-new
+        # mm_aac_decode and leads the round-10 stale cohort)
+        "graph_clustering_coeff",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -7927,6 +7943,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(180 + 2 * (doc_id % 450) AS INT) AS height,
                    CAST(SUM(fb) AS BIGINT) AS frame_bytes
             FROM f GROUP BY doc_id ORDER BY media_id
+        """,
+        "mm_aac_decode": """
+            -- closed forms of _aac_lc_frame_spec(mid, f): per
+            -- (frame f < 2+mid%3, band b < 8+mid%3) one line with
+            --   m = (mid+f+b)%4 -> cube magnitude [0,1,8,27][m],
+            --       |q|^(4/3) exactly [0,1,16,81][m]
+            --   k = (mid+2f+b)%4 -> scalefactor 100+4k, gain 2^k
+            --   sign = -1 iff (mid+2f+3b)%2 = 1
+            -- the Spark side recovers these through the full bit-
+            -- stream decode; this side replays the arithmetic
+            WITH p AS (
+                SELECT doc_id,
+                       2 + doc_id % 3 AS nf,
+                       8 + doc_id % 3 AS msfb
+                FROM documents
+            ), cells AS (
+                SELECT p.doc_id, p.nf, p.msfb,
+                       (p.doc_id + f.f + b.b) % 4 AS m,
+                       (p.doc_id + 2*f.f + b.b) % 4 AS k,
+                       CASE WHEN (p.doc_id + 2*f.f + 3*b.b) % 2 = 1
+                            THEN -1 ELSE 1 END AS sgn
+                FROM p
+                JOIN (SELECT unnest(range(0, 4)) AS f) f ON f.f < p.nf
+                JOIN (SELECT unnest(range(0, 10)) AS b) b
+                     ON b.b < p.msfb
+            ), v AS (
+                SELECT doc_id, nf, msfb, m, sgn,
+                       CAST((CASE m WHEN 0 THEN 0 WHEN 1 THEN 1
+                             WHEN 2 THEN 16 ELSE 81 END)
+                            * (CASE k WHEN 0 THEN 1 WHEN 1 THEN 2
+                               WHEN 2 THEN 4 ELSE 8 END)
+                            AS BIGINT) AS absval
+                FROM cells
+            )
+            SELECT doc_id AS media_id,
+                   CAST(nf AS INT) AS n_frames,
+                   CAST(msfb AS INT) AS max_sfb,
+                   CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END)
+                        AS INT) AS n_lines,
+                   CAST(SUM(CASE WHEN m = 3 THEN 1 ELSE 0 END)
+                        AS INT) AS n_escapes,
+                   CAST(SUM(sgn * absval) AS BIGINT) AS sum_spec,
+                   CAST(SUM(absval) AS BIGINT) AS sum_abs,
+                   CAST(MAX(absval) AS BIGINT) AS max_abs
+            FROM v
+            GROUP BY doc_id, nf, msfb
+            ORDER BY media_id
         """,
         "mm_aac_elements": """
             -- closed forms of _aac_elements_params(mid):

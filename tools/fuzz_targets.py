@@ -294,6 +294,21 @@ _target(
     vb.parse_adts_frames,
 )
 
+
+def _aac_lc_seeds():
+    from commoncrawl_crawler_spark.operators import aacdecode as aacd
+
+    return [aacd._aac_lc_blob(m) for m in (1, 2, 3)]
+
+
+def _aac_lc_parse(blob):
+    from commoncrawl_crawler_spark.operators import aacdecode as aacd
+
+    return aacd.decode_aac_lc_stream(blob)
+
+
+_target("aac_lc", _aac_lc_seeds, _aac_lc_parse)
+
 _target(
     "audio_specific_config",
     lambda: [vb.build_audio_specific_config(2, 4, 2)],
