@@ -32,6 +32,8 @@ from pyspark.sql.types import (
 
 from ..operators.multimodal import _synthesize_media
 
+from ..operators.parseguard import guard
+
 TYPE_A = 1
 TYPE_NS = 2
 TYPE_CNAME = 5
@@ -49,6 +51,7 @@ def encode_name(name: str) -> bytes:
     return bytes(out)
 
 
+@guard("dns-wire")
 def decode_name(msg: bytes, pos: int) -> tuple[str, int]:
     """Label walk with compression-pointer following (RFC 1035
     4.1.4). Returns (name, next_pos). A pointer loop or an
@@ -107,6 +110,7 @@ def build_response(
     return bytes(out)
 
 
+@guard("dns-wire")
 def parse_response(msg: bytes) -> dict:
     """Parse header + question + answers. A/CNAME/NS rdata decode;
     other types pass through as raw lengths."""

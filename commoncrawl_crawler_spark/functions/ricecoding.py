@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import struct
 
+from ..operators.parseguard import guard
+
 
 def rice_encode(values: list[int], m: int) -> bytes:
     """Encode positive integers; bit-compatible with
@@ -56,6 +58,7 @@ def rice_encode(values: list[int], m: int) -> bytes:
     return struct.pack("<BII", m, len(values), nbits) + bytes(bits)
 
 
+@guard("rice")
 def rice_decode(blob: bytes) -> list[int]:
     """Inverse of rice_encode; mirrors RiceCoding.getItems."""
     m, size, nbits = struct.unpack("<BII", blob[:9])

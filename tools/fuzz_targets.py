@@ -493,6 +493,38 @@ _target(
     ar._parse_warc_member,
 )
 
+def _dns_seeds():
+    from commoncrawl_crawler_spark.functions import dnswire
+
+    return [dnswire._dns_blob(m) for m in (1, 2, 3)]
+
+
+def _dns_parse(blob):
+    from commoncrawl_crawler_spark.functions import dnswire
+
+    return dnswire.parse_response(blob)
+
+
+_target("dns_wire", _dns_seeds, _dns_parse)
+
+
+def _rice_seeds():
+    from commoncrawl_crawler_spark.functions import ricecoding
+
+    return [
+        ricecoding.rice_encode([1, 5, 9, 200, 3], 3),
+        ricecoding.rice_encode(list(range(1, 41)), 6),
+    ]
+
+
+def _rice_parse(blob):
+    from commoncrawl_crawler_spark.functions import ricecoding
+
+    return ricecoding.rice_decode(blob)
+
+
+_target("rice", _rice_seeds, _rice_parse)
+
 _target(
     "http_dechunk",
     lambda: [
