@@ -7945,50 +7945,82 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY doc_id ORDER BY media_id
         """,
         "mm_aac_decode": """
-            -- closed forms of _aac_lc_frame_spec(mid, f): per
-            -- (frame f < 2+mid%3, band b < 8+mid%3) one line with
-            --   m = (mid+f+b)%4 -> cube magnitude [0,1,8,27][m],
-            --       |q|^(4/3) exactly [0,1,16,81][m]
-            --   k = (mid+2f+b)%4 -> scalefactor 100+4k, gain 2^k
-            --   sign = -1 iff (mid+2f+3b)%2 = 1
-            -- the Spark side recovers these through the full bit-
-            -- stream decode; this side replays the arithmetic
+            -- closed forms of _aac_lc_frame_spec / _aac_lc_short_
+            -- frame: 2+mid%3 long frames (band b < 8+mid%3, one
+            -- line per (f,b)) then one EIGHT_SHORT frame (grouping
+            -- pattern mid%4, band b < 4+mid%3, one line per window
+            -- of each (group g, b)).  Everywhere:
+            --   m -> cube magnitude [0,1,8,27], |q|^(4/3) exactly
+            --        [0,1,16,81]; k -> scalefactor 100+4k, gain 2^k
+            -- long: m=(mid+f+b)%4, k=(mid+2f+b)%4,
+            --       sign = -1 iff (mid+2f+3b)%2
+            -- short: m=(mid+g+b)%4, k=(mid+2g+b)%4, window j sign
+            --       = -1 iff (mid+g+b+j)%2, so the signed sum over
+            --       a group of even length cancels and an odd
+            --       length leaves the j=0 sign
             WITH p AS (
                 SELECT doc_id,
-                       2 + doc_id % 3 AS nf,
-                       8 + doc_id % 3 AS msfb
+                       2 + doc_id % 3 AS nfl,
+                       8 + doc_id % 3 AS msfb_l,
+                       4 + doc_id % 3 AS msfb_s,
+                       doc_id % 4 AS pat
                 FROM documents
-            ), cells AS (
-                SELECT p.doc_id, p.nf, p.msfb,
+            ), longcells AS (
+                SELECT p.doc_id,
                        (p.doc_id + f.f + b.b) % 4 AS m,
                        (p.doc_id + 2*f.f + b.b) % 4 AS k,
-                       CASE WHEN (p.doc_id + 2*f.f + 3*b.b) % 2 = 1
-                            THEN -1 ELSE 1 END AS sgn
+                       CAST(1 AS BIGINT) AS nwin,
+                       CAST(CASE WHEN (p.doc_id + 2*f.f + 3*b.b) % 2
+                                 = 1 THEN -1 ELSE 1 END
+                            AS BIGINT) AS ssum
                 FROM p
-                JOIN (SELECT unnest(range(0, 4)) AS f) f ON f.f < p.nf
+                JOIN (SELECT unnest(range(0, 4)) AS f) f
+                     ON f.f < p.nfl
                 JOIN (SELECT unnest(range(0, 10)) AS b) b
-                     ON b.b < p.msfb
+                     ON b.b < p.msfb_l
+            ), grp AS (
+                SELECT * FROM (VALUES
+                    (0,0,1),(0,1,1),(0,2,1),(0,3,1),
+                    (0,4,1),(0,5,1),(0,6,1),(0,7,1),
+                    (1,0,2),(1,1,2),(1,2,4),
+                    (2,0,4),(2,1,4),
+                    (3,0,8)
+                ) AS t(pat, g, glen)
+            ), shortcells AS (
+                SELECT p.doc_id,
+                       (p.doc_id + grp.g + b.b) % 4 AS m,
+                       (p.doc_id + 2*grp.g + b.b) % 4 AS k,
+                       CAST(grp.glen AS BIGINT) AS nwin,
+                       CAST(CASE WHEN grp.glen % 2 = 0 THEN 0
+                            WHEN (p.doc_id + grp.g + b.b) % 2 = 1
+                            THEN -1 ELSE 1 END AS BIGINT) AS ssum
+                FROM p
+                JOIN grp ON grp.pat = p.pat
+                JOIN (SELECT unnest(range(0, 6)) AS b) b
+                     ON b.b < p.msfb_s
             ), v AS (
-                SELECT doc_id, nf, msfb, m, sgn,
+                SELECT doc_id, m, nwin, ssum,
                        CAST((CASE m WHEN 0 THEN 0 WHEN 1 THEN 1
                              WHEN 2 THEN 16 ELSE 81 END)
                             * (CASE k WHEN 0 THEN 1 WHEN 1 THEN 2
                                WHEN 2 THEN 4 ELSE 8 END)
                             AS BIGINT) AS absval
-                FROM cells
+                FROM (SELECT * FROM longcells
+                      UNION ALL SELECT * FROM shortcells)
             )
-            SELECT doc_id AS media_id,
-                   CAST(nf AS INT) AS n_frames,
-                   CAST(msfb AS INT) AS max_sfb,
-                   CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END)
+            SELECT p.doc_id AS media_id,
+                   CAST(3 + p.doc_id % 3 AS INT) AS n_frames,
+                   CAST(p.msfb_s AS INT) AS max_sfb,
+                   CAST(SUM(CASE WHEN m > 0 THEN nwin ELSE 0 END)
                         AS INT) AS n_lines,
-                   CAST(SUM(CASE WHEN m = 3 THEN 1 ELSE 0 END)
+                   CAST(SUM(CASE WHEN m = 3 THEN nwin ELSE 0 END)
                         AS INT) AS n_escapes,
-                   CAST(SUM(sgn * absval) AS BIGINT) AS sum_spec,
-                   CAST(SUM(absval) AS BIGINT) AS sum_abs,
+                   CAST(SUM(ssum * absval) AS BIGINT) AS sum_spec,
+                   CAST(SUM(nwin * absval) AS BIGINT) AS sum_abs,
                    CAST(MAX(absval) AS BIGINT) AS max_abs
             FROM v
-            GROUP BY doc_id, nf, msfb
+            JOIN p ON p.doc_id = v.doc_id
+            GROUP BY p.doc_id, p.msfb_s
             ORDER BY media_id
         """,
         "mm_aac_elements": """

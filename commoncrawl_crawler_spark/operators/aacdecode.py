@@ -4,11 +4,14 @@ Completes the audio tier one layer below the raw_data_block element
 census (`videobits.parse_raw_data_block_elements`): a full LC
 single-channel-element decode chain --
 
-  ADTS frame -> SCE -> ics_info (long windows) -> section_data ->
-  scale_factor_data (DPCM from global_gain) -> spectral_data
-  (quads/pairs, sign bits, book-11 escape sequences) -> inverse
-  quantization |q|^(4/3) * 2^((sf-100)/4) -> 2048-point IMDCT,
-  sine window, overlap-add
+  ADTS frame -> SCE -> ics_info (all four window sequences:
+  ONLY_LONG / LONG_START / EIGHT_SHORT with 7-bit scalefactor
+  grouping / LONG_STOP) -> section_data -> scale_factor_data (DPCM
+  from global_gain, one chain across short-window groups) ->
+  spectral_data (quads/pairs, sign bits, book-11 escape sequences,
+  window-interleaved within short groups) -> inverse quantization
+  |q|^(4/3) * 2^((sf-100)/4) -> TDAC filterbank (2048/256-point
+  IMDCT, sine windows, START/STOP splicing, overlap-add)
 
 WHAT IS SPEC-FAITHFUL here (13818-7 sections 6.3, 7, 8.3, 9.3):
 every bit-field width and ordering in the syntax walk, the section
@@ -87,10 +90,29 @@ if SWB_OFFSET_LONG[-1] != 1024 or any(
 ):
     raise AssertionError("corrupt long-window band table")
 
+# Short-window band layout (128 lines per window, 44.1/48 kHz):
+# 14 bands, same provenance/validation posture as the long table.
+SWB_OFFSET_SHORT = [
+    0, 4, 8, 12, 16, 20, 28, 36, 44, 56, 68, 80, 96, 112, 128,
+]
+NUM_SWB_SHORT = len(SWB_OFFSET_SHORT) - 1  # 14
+
+if SWB_OFFSET_SHORT[-1] != 128 or any(
+    b % 4 or a >= b
+    for a, b in zip(SWB_OFFSET_SHORT, SWB_OFFSET_SHORT[1:])
+):
+    raise AssertionError("corrupt short-window band table")
+
 SF_OFFSET = 100  # 13818-7 9.3: gain = 2^(0.25 * (sf - SF_OFFSET))
 ZERO_HCB = 0
 ESC_HCB = 11
 _SECT_ESC = 31  # long-window sect_len escape unit (5 bits)
+_SECT_ESC_SHORT = 7  # short-window sect_len escape unit (3 bits)
+
+ONLY_LONG = 0
+LONG_START = 1
+EIGHT_SHORT = 2
+LONG_STOP = 3
 
 
 # --------------------------------------------------------------------
@@ -206,10 +228,16 @@ def encode_sce(
     band_sf: list[int],
     band_cb: list[int],
     max_sfb: int,
+    window_sequence: int = ONLY_LONG,
 ) -> bytes:
     """One raw_data_block: SCE + END, byte-aligned.  `spec_q` is the
     1024-line quantized spectrum; `band_sf`/`band_cb` give the
-    scalefactor and codebook per band (< max_sfb)."""
+    scalefactor and codebook per band (< max_sfb).  LONG_START /
+    LONG_STOP share the long spectral layout bit-for-bit (only the
+    filterbank window differs); EIGHT_SHORT uses
+    `encode_sce_short`."""
+    if window_sequence not in (ONLY_LONG, LONG_START, LONG_STOP):
+        raise ValueError("use encode_sce_short for EIGHT_SHORT")
     if max_sfb > NUM_SWB_LONG:
         raise ValueError(f"max_sfb {max_sfb} > {NUM_SWB_LONG}")
     w = _BitWriter()
@@ -221,9 +249,9 @@ def encode_sce(
         SF_OFFSET,
     )
     w.u(first_sf, 8)
-    # ics_info (LC, long windows)
+    # ics_info (LC, long-spectrum windows)
     w.u(0, 1)  # ics_reserved_bit
-    w.u(0, 2)  # window_sequence = ONLY_LONG_SEQUENCE
+    w.u(window_sequence, 2)
     w.u(0, 1)  # window_shape = sine
     w.u(max_sfb, 6)
     w.u(0, 1)  # predictor_data_present
@@ -258,35 +286,46 @@ def encode_sce(
         cb = band_cb[b]
         if cb == ZERO_HCB:
             continue
-        dims, lav, signed = hcb_shape(cb)
         lo, hi = SWB_OFFSET_LONG[b], SWB_OFFSET_LONG[b + 1]
-        for base in range(lo, hi, dims):
-            tup = tuple(spec_q[base : base + dims])
-            if signed:
-                if any(abs(v) > lav for v in tup):
-                    raise ValueError(f"value {tup} exceeds book {cb}")
-                _write_code(w, ENC_BOOKS[cb], tup)
-            else:
-                mags = tuple(min(abs(v), 16) if cb == ESC_HCB
-                             else abs(v) for v in tup)
-                if any(
-                    m > lav for m in mags
-                ):
-                    raise ValueError(f"value {tup} exceeds book {cb}")
-                _write_code(w, ENC_BOOKS[cb], mags)
+        _write_tuples(w, spec_q[lo:hi], cb)
+    return _finish_rdb(w)
+
+
+def _write_tuples(w: _BitWriter, vals: list, cb: int) -> None:
+    """Spectral tuples of one band: codeword (+ sign bits and
+    book-11 escape sequences for unsigned books)."""
+    dims, lav, signed = hcb_shape(cb)
+    for base in range(0, len(vals), dims):
+        tup = tuple(vals[base : base + dims])
+        if signed:
+            if any(abs(v) > lav for v in tup):
+                raise ValueError(f"value {tup} exceeds book {cb}")
+            _write_code(w, ENC_BOOKS[cb], tup)
+        else:
+            mags = tuple(
+                min(abs(v), 16) if cb == ESC_HCB else abs(v)
+                for v in tup
+            )
+            if any(m > lav for m in mags):
+                raise ValueError(f"value {tup} exceeds book {cb}")
+            _write_code(w, ENC_BOOKS[cb], mags)
+            for v in tup:
+                if v != 0:
+                    w.u(1 if v < 0 else 0, 1)
+            if cb == ESC_HCB:
                 for v in tup:
-                    if v != 0:
-                        w.u(1 if v < 0 else 0, 1)
-                if cb == ESC_HCB:
-                    for v in tup:
-                        m = abs(v)
-                        if m >= 16:
-                            n = 0
-                            while m >= (1 << (n + 5)):
-                                n += 1
-                            w.u((1 << n) - 1, n) if n else None
-                            w.u(0, 1)
-                            w.u(m - (1 << (n + 4)), n + 4)
+                    m = abs(v)
+                    if m >= 16:
+                        n = 0
+                        while m >= (1 << (n + 5)):
+                            n += 1
+                        if n:
+                            w.u((1 << n) - 1, n)
+                        w.u(0, 1)
+                        w.u(m - (1 << (n + 4)), n + 4)
+
+
+def _finish_rdb(w: _BitWriter) -> bytes:
     w.u(7, 3)  # id_syn_ele END
     while len(w.bits) % 8:
         w.bits.append(0)
@@ -297,6 +336,93 @@ def encode_sce(
             byte = (byte << 1) | bit
         out.append(byte)
     return bytes(out)
+
+
+def encode_sce_short(
+    spec_q: list[list[int]],
+    band_sf: list[list[int]],
+    band_cb: list[list[int]],
+    max_sfb: int,
+    groups: list[int],
+) -> bytes:
+    """EIGHT_SHORT_SEQUENCE raw_data_block: `spec_q` is 8 windows x
+    128 lines; `band_sf`/`band_cb` are per (group, band); `groups`
+    are the window-group lengths (sum 8).  Syntax per 13818-7
+    6.3.2/8.3.4: 4-bit max_sfb, 7-bit scale_factor_grouping, 3-bit
+    sect_len (escape 7) per group, one scalefactor chain across
+    groups, spectral tuples window-interleaved within each group's
+    band."""
+    if sum(groups) != 8 or any(g < 1 for g in groups):
+        raise ValueError(f"bad window grouping {groups}")
+    if max_sfb > NUM_SWB_SHORT:
+        raise ValueError(f"max_sfb {max_sfb} > {NUM_SWB_SHORT}")
+    ng = len(groups)
+    w = _BitWriter()
+    w.u(0, 3)  # SCE
+    w.u(0, 4)
+    first_sf = next(
+        (
+            band_sf[g][b]
+            for g in range(ng)
+            for b in range(max_sfb)
+            if band_cb[g][b] != ZERO_HCB
+        ),
+        SF_OFFSET,
+    )
+    w.u(first_sf, 8)
+    w.u(0, 1)  # ics_reserved_bit
+    w.u(EIGHT_SHORT, 2)
+    w.u(0, 1)  # window_shape
+    w.u(max_sfb, 4)
+    # scale_factor_grouping: bit w-1 set = window w grouped with w-1
+    grouping = 0
+    win = 0
+    for g in groups:
+        for j in range(g):
+            if win > 0:
+                grouping = (grouping << 1) | (1 if j > 0 else 0)
+            win += 1
+    w.u(grouping, 7)
+    # section_data per group (3-bit sect_len, escape 7)
+    for g in range(ng):
+        b = 0
+        while b < max_sfb:
+            e = b
+            while e < max_sfb and band_cb[g][e] == band_cb[g][b]:
+                e += 1
+            w.u(band_cb[g][b], 4)
+            run = e - b
+            while run >= _SECT_ESC_SHORT:
+                w.u(_SECT_ESC_SHORT, 3)
+                run -= _SECT_ESC_SHORT
+            w.u(run, 3)
+            b = e
+    # one DPCM scalefactor chain across groups
+    prev = first_sf
+    for g in range(ng):
+        for b in range(max_sfb):
+            if band_cb[g][b] == ZERO_HCB:
+                continue
+            delta = band_sf[g][b] - prev
+            if not -60 <= delta <= 60:
+                raise ValueError(f"scalefactor delta {delta}")
+            _write_code(w, ENC_BOOKS["sf"], delta)
+            prev = band_sf[g][b]
+    w.u(0, 1)  # pulse_data_present (forbidden for short anyway)
+    w.u(0, 1)  # tns_data_present
+    w.u(0, 1)  # gain_control_data_present
+    # spectral_data: group-major, band-major, window-interleaved
+    win0 = 0
+    for g, glen in enumerate(groups):
+        for b in range(max_sfb):
+            cb = band_cb[g][b]
+            if cb == ZERO_HCB:
+                continue
+            lo, hi = SWB_OFFSET_SHORT[b], SWB_OFFSET_SHORT[b + 1]
+            for j in range(glen):
+                _write_tuples(w, spec_q[win0 + j][lo:hi], cb)
+        win0 += glen
+    return _finish_rdb(w)
 
 
 # --------------------------------------------------------------------
@@ -315,81 +441,150 @@ def decode_sce(payload: bytes) -> dict:
     global_gain = r.u(8)
     if r.u(1):
         raise ValueError("ics_reserved_bit set")
-    if r.u(2) != 0:
-        raise NotImplementedError(
-            "window_sequence != ONLY_LONG_SEQUENCE (short/start/stop "
-            "windows not decoded)"
-        )
+    window_sequence = r.u(2)
     r.u(1)  # window_shape
+    if window_sequence == EIGHT_SHORT:
+        return _decode_sce_short(r, global_gain)
     max_sfb = r.u(6)
     if max_sfb > NUM_SWB_LONG:
         raise ValueError(f"max_sfb {max_sfb} > {NUM_SWB_LONG}")
     if r.u(1):
         raise NotImplementedError("MPEG-2 AAC predictor not in LC")
-    band_cb: list[int] = []
-    while len(band_cb) < max_sfb:
-        cb = r.u(4)
-        run = 0
-        while True:
-            inc = r.u(5)
-            run += inc
-            if inc != _SECT_ESC:
-                break
-        if len(band_cb) + run > max_sfb:
-            raise ValueError("section runs past max_sfb")
-        band_cb.extend([cb] * run)
+    band_cb = _read_sections(r, max_sfb, _SECT_ESC, 5)
     band_sf = [SF_OFFSET] * max_sfb
     prev = global_gain
     for b in range(max_sfb):
         if band_cb[b] == ZERO_HCB:
             continue
-        prev += _read_code(r, DEC_BOOKS["sf"])
-        if not 0 <= prev <= 255:
-            raise ValueError(f"scalefactor {prev} out of range")
+        prev = _next_sf(r, prev)
         band_sf[b] = prev
+    _check_tool_flags(r)
+    spec_q = [0] * 1024
+    for b in range(max_sfb):
+        cb = band_cb[b]
+        if cb == ZERO_HCB:
+            continue
+        lo, hi = SWB_OFFSET_LONG[b], SWB_OFFSET_LONG[b + 1]
+        spec_q[lo:hi] = _read_tuples(r, hi - lo, cb)
+    if r.u(3) != 7:
+        raise ValueError("raw_data_block not terminated by END")
+    return {
+        "window_sequence": window_sequence,
+        "global_gain": global_gain,
+        "max_sfb": max_sfb,
+        "band_cb": band_cb,
+        "band_sf": band_sf,
+        "spec_q": spec_q,
+    }
+
+
+def _read_sections(
+    r: _BitReader, max_sfb: int, esc: int, bits: int
+) -> list[int]:
+    band_cb: list[int] = []
+    while len(band_cb) < max_sfb:
+        cb = r.u(4)
+        run = 0
+        while True:
+            inc = r.u(bits)
+            run += inc
+            if inc != esc:
+                break
+        if len(band_cb) + run > max_sfb:
+            raise ValueError("section runs past max_sfb")
+        band_cb.extend([cb] * run)
+    return band_cb
+
+
+def _next_sf(r: _BitReader, prev: int) -> int:
+    sf = prev + _read_code(r, DEC_BOOKS["sf"])
+    if not 0 <= sf <= 255:
+        raise ValueError(f"scalefactor {sf} out of range")
+    return sf
+
+
+def _check_tool_flags(r: _BitReader) -> None:
     if r.u(1):
         raise NotImplementedError("pulse_data not decoded")
     if r.u(1):
         raise NotImplementedError("tns_data not decoded")
     if r.u(1):
         raise NotImplementedError("gain_control_data not in LC")
-    spec_q = [0] * 1024
-    for b in range(max_sfb):
-        cb = band_cb[b]
-        if cb == ZERO_HCB:
+
+
+def _read_tuples(r: _BitReader, n: int, cb: int) -> list[int]:
+    """Inverse of `_write_tuples` over an n-line band."""
+    dims, lav, signed = hcb_shape(cb)
+    vals: list[int] = []
+    for _ in range(0, n, dims):
+        tup = _read_code(r, DEC_BOOKS[cb])
+        if signed:
+            vals.extend(tup)
             continue
-        dims, lav, signed = hcb_shape(cb)
-        lo, hi = SWB_OFFSET_LONG[b], SWB_OFFSET_LONG[b + 1]
-        for base in range(lo, hi, dims):
-            tup = _read_code(r, DEC_BOOKS[cb])
-            if signed:
-                vals = list(tup)
-            else:
-                signs = [
-                    (-1 if r.u(1) else 1) if m != 0 else 1 for m in tup
-                ]
-                mags = list(tup)
-                if cb == ESC_HCB:
-                    for i, m in enumerate(mags):
-                        if m == 16:
-                            n = 0
-                            while r.u(1):
-                                n += 1
-                                if n > 24:
-                                    raise ValueError(
-                                        "runaway escape prefix"
-                                    )
-                            mags[i] = (1 << (n + 4)) + r.u(n + 4)
-                vals = [s * m for s, m in zip(signs, mags)]
-            spec_q[base : base + dims] = vals
+        signs = [(-1 if r.u(1) else 1) if m != 0 else 1 for m in tup]
+        mags = list(tup)
+        if cb == ESC_HCB:
+            for i, m in enumerate(mags):
+                if m == 16:
+                    esc_n = 0
+                    while r.u(1):
+                        esc_n += 1
+                        if esc_n > 24:
+                            raise ValueError("runaway escape prefix")
+                    mags[i] = (1 << (esc_n + 4)) + r.u(esc_n + 4)
+        vals.extend(s * m for s, m in zip(signs, mags))
+    return vals
+
+
+def _decode_sce_short(r: _BitReader, global_gain: int) -> dict:
+    """EIGHT_SHORT_SEQUENCE continuation of the ics_info walk."""
+    max_sfb = r.u(4)
+    if max_sfb > NUM_SWB_SHORT:
+        raise ValueError(f"max_sfb {max_sfb} > {NUM_SWB_SHORT}")
+    grouping = r.u(7)
+    groups: list[int] = [1]
+    for i in range(7):
+        if (grouping >> (6 - i)) & 1:
+            groups[-1] += 1
+        else:
+            groups.append(1)
+    ng = len(groups)
+    band_cb = [
+        _read_sections(r, max_sfb, _SECT_ESC_SHORT, 3)
+        for _ in range(ng)
+    ]
+    band_sf = [[SF_OFFSET] * max_sfb for _ in range(ng)]
+    prev = global_gain
+    for g in range(ng):
+        for b in range(max_sfb):
+            if band_cb[g][b] == ZERO_HCB:
+                continue
+            prev = _next_sf(r, prev)
+            band_sf[g][b] = prev
+    _check_tool_flags(r)
+    spec_q = [[0] * 128 for _ in range(8)]
+    win0 = 0
+    for g, glen in enumerate(groups):
+        for b in range(max_sfb):
+            cb = band_cb[g][b]
+            if cb == ZERO_HCB:
+                continue
+            lo, hi = SWB_OFFSET_SHORT[b], SWB_OFFSET_SHORT[b + 1]
+            for j in range(glen):
+                spec_q[win0 + j][lo:hi] = _read_tuples(
+                    r, hi - lo, cb
+                )
+        win0 += glen
     if r.u(3) != 7:
         raise ValueError("raw_data_block not terminated by END")
     return {
+        "window_sequence": EIGHT_SHORT,
         "global_gain": global_gain,
         "max_sfb": max_sfb,
+        "groups": groups,
         "band_cb": band_cb,
         "band_sf": band_sf,
-        "spec_q": spec_q,
+        "spec_q_short": spec_q,
     }
 
 
@@ -399,6 +594,19 @@ def decode_sce(payload: bytes) -> dict:
 # integral, float64 otherwise
 # --------------------------------------------------------------------
 
+def _iq(q: int, e4: int) -> float:
+    m = abs(q)
+    cube = round(m ** (1.0 / 3.0))
+    m43 = (
+        float(cube**4) if cube**3 == m else float(m) ** (4.0 / 3.0)
+    )
+    gain = (
+        float(1 << (e4 // 4)) if e4 % 4 == 0 and e4 >= 0
+        else 2.0 ** (e4 / 4.0)
+    )
+    return (1 if q > 0 else -1) * m43 * gain
+
+
 def dequantize(
     spec_q: list[int], band_sf: list[int], max_sfb: int
 ) -> np.ndarray:
@@ -407,21 +615,31 @@ def dequantize(
         e4 = band_sf[b] - SF_OFFSET  # gain = 2^(e4/4)
         lo, hi = SWB_OFFSET_LONG[b], SWB_OFFSET_LONG[b + 1]
         for i in range(lo, hi):
-            q = spec_q[i]
-            if q == 0:
-                continue
-            m = abs(q)
-            cube = round(m ** (1.0 / 3.0))
-            m43 = (
-                float(cube**4)
-                if cube**3 == m
-                else float(m) ** (4.0 / 3.0)
-            )
-            gain = (
-                float(1 << (e4 // 4)) if e4 % 4 == 0 and e4 >= 0
-                else 2.0 ** (e4 / 4.0)
-            )
-            out[i] = (1 if q > 0 else -1) * m43 * gain
+            if spec_q[i]:
+                out[i] = _iq(spec_q[i], e4)
+    return out
+
+
+def dequantize_short(
+    spec_q: list[list[int]],
+    band_sf: list[list[int]],
+    groups: list[int],
+    max_sfb: int,
+) -> np.ndarray:
+    """8x128 spectra; each group's scalefactor applies to every
+    window in the group (13818-7 8.3.4)."""
+    out = np.zeros((8, 128), dtype=np.float64)
+    win0 = 0
+    for g, glen in enumerate(groups):
+        for b in range(max_sfb):
+            e4 = band_sf[g][b] - SF_OFFSET
+            lo, hi = SWB_OFFSET_SHORT[b], SWB_OFFSET_SHORT[b + 1]
+            for j in range(glen):
+                for i in range(lo, hi):
+                    q = spec_q[win0 + j][i]
+                    if q:
+                        out[win0 + j][i] = _iq(q, e4)
+        win0 += glen
     return out
 
 
@@ -432,16 +650,16 @@ def dequantize(
 # --------------------------------------------------------------------
 
 _N_LONG = 2048
+_N_SHORT = 256
 
 
 def sine_window(n: int = _N_LONG) -> np.ndarray:
     return np.sin(np.pi / n * (np.arange(n) + 0.5))
 
 
-def imdct_long(X: np.ndarray) -> np.ndarray:
-    """N=2048 IMDCT: x[n] = (2/N) * sum_k X[k] cos(2pi/N (n + n0)
-    (k + 1/2)), n0 = (N/2 + 1) / 2."""
-    N = _N_LONG
+def _imdct(X: np.ndarray, N: int) -> np.ndarray:
+    """x[n] = (2/N) * sum_k X[k] cos(2pi/N (n + n0)(k + 1/2)),
+    n0 = (N/2 + 1) / 2."""
     n0 = (N / 2 + 1) / 2
     n = np.arange(N)[:, None]
     k = np.arange(N // 2)[None, :]
@@ -449,11 +667,10 @@ def imdct_long(X: np.ndarray) -> np.ndarray:
     return (2.0 / N) * (C @ np.asarray(X, dtype=np.float64))
 
 
-def mdct_long(x: np.ndarray) -> np.ndarray:
+def _mdct(x: np.ndarray, N: int) -> np.ndarray:
     """Forward transform, factor 2 per the spec convention -- the
     (2, 2/N) MDCT/IMDCT pair is what makes sine-windowed TDAC
     overlap-add reconstruct exactly."""
-    N = _N_LONG
     n0 = (N / 2 + 1) / 2
     n = np.arange(N)[None, :]
     k = np.arange(N // 2)[:, None]
@@ -461,14 +678,61 @@ def mdct_long(x: np.ndarray) -> np.ndarray:
     return 2.0 * (C @ np.asarray(x, dtype=np.float64))
 
 
-def synthesize_pcm(frames_spec: list[np.ndarray]) -> np.ndarray:
+def imdct_long(X: np.ndarray) -> np.ndarray:
+    return _imdct(X, _N_LONG)
+
+
+def mdct_long(x: np.ndarray) -> np.ndarray:
+    return _mdct(x, _N_LONG)
+
+
+def _window_for(ws: int) -> np.ndarray:
+    """Synthesis window of a 2048-sample frame for the long-spectrum
+    sequences (13818-7 8.3.3): START/STOP splice the short sine
+    half so the frame's edge matches its EIGHT_SHORT neighbour."""
+    wl = sine_window(_N_LONG)
+    wsh = sine_window(_N_SHORT)
+    if ws == ONLY_LONG:
+        return wl
+    if ws == LONG_START:
+        return np.concatenate(
+            [wl[:1024], np.ones(448), wsh[128:], np.zeros(448)]
+        )
+    if ws == LONG_STOP:
+        return np.concatenate(
+            [np.zeros(448), wsh[:128], np.ones(448), wl[1024:]]
+        )
+    raise ValueError(f"no long-frame window for sequence {ws}")
+
+
+def _short_frame_time(spec8: np.ndarray) -> np.ndarray:
+    """EIGHT_SHORT frame contribution: 8 windowed 256-point IMDCTs
+    overlap-added at offsets 448 + 128*j inside the 2048 frame."""
+    wsh = sine_window(_N_SHORT)
+    t = np.zeros(_N_LONG)
+    for j in range(8):
+        t[448 + 128 * j : 448 + 128 * j + 256] += (
+            _imdct(np.asarray(spec8)[j], _N_SHORT) * wsh
+        )
+    return t
+
+
+def synthesize_pcm(frames_spec: list) -> np.ndarray:
     """Windowed overlap-add across frames -> 1024 output samples per
-    frame (first frame's left half overlaps silence)."""
-    w = sine_window()
+    frame (first frame's left half overlaps silence).  Entries are
+    either a 1024-line array (ONLY_LONG) or a (window_sequence,
+    spectrum) pair, where EIGHT_SHORT takes an 8x128 matrix."""
     overlap = np.zeros(1024)
     out: list[np.ndarray] = []
-    for X in frames_spec:
-        t = imdct_long(X) * w
+    for entry in frames_spec:
+        if isinstance(entry, tuple):
+            ws, X = entry
+        else:
+            ws, X = ONLY_LONG, entry
+        if ws == EIGHT_SHORT:
+            t = _short_frame_time(X)
+        else:
+            t = imdct_long(X) * _window_for(ws)
         out.append(t[:1024] + overlap)
         overlap = t[1024:]
     return np.concatenate(out) if out else np.zeros(0)
@@ -501,9 +765,15 @@ def decode_aac_lc_stream(blob: bytes) -> list[dict]:
     for fr in frames:
         payload = blob[fr["offset"] + 7 : fr["offset"] + fr["length"]]
         d = decode_sce(payload)
-        d["spec"] = dequantize(
-            d["spec_q"], d["band_sf"], d["max_sfb"]
-        )
+        if d["window_sequence"] == EIGHT_SHORT:
+            d["spec"] = dequantize_short(
+                d["spec_q_short"], d["band_sf"], d["groups"],
+                d["max_sfb"],
+            )
+        else:
+            d["spec"] = dequantize(
+                d["spec_q"], d["band_sf"], d["max_sfb"]
+            )
         out.append(d)
     return out
 
@@ -543,11 +813,57 @@ def _aac_lc_frame_spec(
     return spec_q, band_sf, band_cb, max_sfb
 
 
+_SHORT_GROUPINGS = [[1] * 8, [2, 2, 4], [4, 4], [8]]
+
+
+def _aac_lc_short_frame(
+    mid: int,
+) -> tuple[list[list[int]], list[list[int]], list[list[int]], int,
+           list[int]]:
+    groups = _SHORT_GROUPINGS[mid % 4]
+    ng = len(groups)
+    msfb = 4 + mid % 3
+    spec = [[0] * 128 for _ in range(8)]
+    sfs = [[SF_OFFSET] * msfb for _ in range(ng)]
+    cbs = [[ZERO_HCB] * msfb for _ in range(ng)]
+    win0 = 0
+    for g, glen in enumerate(groups):
+        for b in range(msfb):
+            m = (mid + g + b) % 4
+            k = (mid + 2 * g + b) % 4
+            sfs[g][b] = SF_OFFSET + 4 * k
+            if m == 0:
+                continue
+            qmag = [0, 1, 8, 27][m]
+            if m == 1:
+                cbs[g][b] = 1 + (mid + b) % 4
+            elif m == 2:
+                cbs[g][b] = 9 + (mid + b) % 2
+            else:
+                cbs[g][b] = ESC_HCB
+            lo, hi = SWB_OFFSET_SHORT[b], SWB_OFFSET_SHORT[b + 1]
+            for j in range(glen):
+                line = lo + (mid + g + b + j) % (hi - lo)
+                sign = -1 if (mid + g + b + j) % 2 else 1
+                spec[win0 + j][line] = sign * qmag
+        win0 += glen
+    return spec, sfs, cbs, msfb, groups
+
+
 def _aac_lc_blob(mid: int) -> bytes:
-    n_frames = 2 + mid % 3
-    return encode_aac_lc_stream(
-        [_aac_lc_frame_spec(mid, f) for f in range(n_frames)]
+    """2 + mid%3 long frames, then one EIGHT_SHORT frame -- the
+    stream crosses the window-sequence switch every file."""
+    n_long = 2 + mid % 3
+    out = bytearray(
+        encode_aac_lc_stream(
+            [_aac_lc_frame_spec(mid, f) for f in range(n_long)]
+        )
     )
+    spec, sfs, cbs, msfb, groups = _aac_lc_short_frame(mid)
+    out += build_adts_frame(
+        encode_sce_short(spec, sfs, cbs, msfb, groups), 1, 4, 1
+    )
+    return bytes(out)
 
 
 def synthesize_aac_lc(documents: DataFrame) -> DataFrame:
@@ -587,15 +903,16 @@ def aac_lc_decode_stats(media: DataFrame) -> DataFrame:
                 msfb = 0
                 for d in frames:
                     msfb = d["max_sfb"]
-                    spec = d["spec"]
+                    spec = np.asarray(d["spec"]).ravel()
                     nz = np.flatnonzero(spec)
                     n_lines += len(nz)
+                    qflat = (
+                        [q for w in d["spec_q_short"] for q in w]
+                        if d["window_sequence"] == EIGHT_SHORT
+                        else d["spec_q"]
+                    )
                     n_esc += int(
-                        sum(
-                            1
-                            for q in d["spec_q"]
-                            if abs(q) >= 16
-                        )
+                        sum(1 for q in qflat if abs(q) >= 16)
                     )
                     ints = np.rint(spec[nz]).astype(np.int64)
                     s_spec += int(ints.sum())

@@ -55,8 +55,9 @@ def test_alphabet_shapes_match_spec_table():
 def test_blob_roundtrip_matches_closed_form():
     for mid in range(1, 24):
         frames = aac.decode_aac_lc_stream(aac._aac_lc_blob(mid))
-        assert len(frames) == 2 + mid % 3
-        for f, d in enumerate(frames):
+        n_long = 2 + mid % 3
+        assert len(frames) == n_long + 1
+        for f, d in enumerate(frames[:n_long]):
             spec, sf, cb, msfb = aac._aac_lc_frame_spec(mid, f)
             assert d["spec_q"] == spec
             assert d["band_cb"] == cb
@@ -66,6 +67,13 @@ def test_blob_roundtrip_matches_closed_form():
                     assert d["band_sf"][b] == sf[b]
             # dequant is integer-exact by construction
             assert np.array_equal(d["spec"], np.rint(d["spec"]))
+        last = frames[-1]
+        spec, sfs, cbs, msfb, groups = aac._aac_lc_short_frame(mid)
+        assert last["window_sequence"] == aac.EIGHT_SHORT
+        assert last["groups"] == groups
+        assert last["spec_q_short"] == spec
+        assert last["band_cb"] == cbs
+        assert np.array_equal(last["spec"], np.rint(last["spec"]))
 
 
 def test_escape_sequences_roundtrip():
@@ -134,14 +142,38 @@ def test_tdac_perfect_reconstruction():
 
 
 def test_named_boundaries():
-    # short windows: flip window_sequence bits in a valid payload
-    spec = [0] * 1024
-    payload = bytearray(aac.encode_sce(spec, [100], [0], 1))
-    # bits: 3 (SCE) + 4 (tag) + 8 (gain) + 1 (reserved) = 16, so
-    # window_sequence occupies bits 16..17 = the top 2 bits of byte 2
-    payload[2] |= 0xC0
-    with pytest.raises(NotImplementedError, match="ONLY_LONG"):
-        aac.decode_sce(bytes(payload))
+    """All four window sequences decode now; the remaining LC
+    boundaries (pulse/tns) raise by NAME."""
+
+    def _payload(pulse: int, tns: int) -> bytes:
+        w = _BitWriter()
+        w.u(0, 3)  # SCE
+        w.u(0, 4)
+        w.u(100, 8)  # global_gain
+        w.u(0, 1)  # reserved
+        w.u(aac.ONLY_LONG, 2)
+        w.u(0, 1)  # shape
+        w.u(0, 6)  # max_sfb = 0: no sections, no scalefactors
+        w.u(0, 1)  # predictor
+        w.u(pulse, 1)
+        w.u(tns, 1)
+        w.u(0, 1)  # gain control
+        w.u(7, 3)  # END
+        while len(w.bits) % 8:
+            w.bits.append(0)
+        out = bytearray()
+        for i in range(0, len(w.bits), 8):
+            b = 0
+            for bit in w.bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+    aac.decode_sce(_payload(0, 0))  # clean baseline decodes
+    with pytest.raises(NotImplementedError, match="pulse"):
+        aac.decode_sce(_payload(1, 0))
+    with pytest.raises(NotImplementedError, match="tns"):
+        aac.decode_sce(_payload(0, 1))
 
 
 def test_dequantize_cube_exact_and_float_path():
@@ -150,3 +182,104 @@ def test_dequantize_cube_exact_and_float_path():
     out = aac.dequantize(spec, [104], 1)  # gain 2^1
     assert out[0] == 32.0 and out[1] == 162.0
     assert abs(out[2] - (5 ** (4 / 3)) * 2) < 1e-9
+
+
+def test_short_window_roundtrip_grouped():
+    for groups in ([1] * 8, [2, 2, 4], [3, 5], [8]):
+        ng = len(groups)
+        msfb = 6
+        spec = [[0] * 128 for _ in range(8)]
+        sfs = [[100 + 4 * ((g + b) % 4) for b in range(msfb)]
+               for g in range(ng)]
+        cbs = [[(0 if (g + b) % 3 == 0 else [1, 5, 9, 11][(g + b) % 4])
+                for b in range(msfb)] for g in range(ng)]
+        win0 = 0
+        for g, glen in enumerate(groups):
+            for b in range(msfb):
+                if cbs[g][b] == 0:
+                    continue
+                mag = {1: 1, 5: 3, 9: 8, 11: 27}[cbs[g][b]]
+                for j in range(glen):
+                    line = aac.SWB_OFFSET_SHORT[b] + (g + b + j) % 4
+                    spec[win0 + j][line] = mag if (g + j) % 2 else -mag
+            win0 += glen
+        payload = aac.encode_sce_short(spec, sfs, cbs, msfb, groups)
+        d = aac.decode_sce(payload)
+        assert d["window_sequence"] == aac.EIGHT_SHORT
+        assert d["groups"] == groups
+        assert d["spec_q_short"] == spec
+        assert d["band_cb"] == cbs
+        for g in range(ng):
+            for b in range(msfb):
+                if cbs[g][b]:
+                    assert d["band_sf"][g][b] == sfs[g][b]
+
+
+def test_short_section_escape_runs():
+    """A 13-band single-codebook group section needs two 3-bit
+    sect_len words (escape 7)."""
+    msfb = 13
+    spec = [[0] * 128 for _ in range(8)]
+    for b in range(msfb):
+        spec[0][aac.SWB_OFFSET_SHORT[b]] = 1
+    payload = aac.encode_sce_short(
+        spec, [[100] * msfb], [[1] * msfb], msfb, [8]
+    )
+    d = aac.decode_sce(payload)
+    assert d["band_cb"] == [[1] * msfb]
+    assert d["spec_q_short"] == spec
+
+
+def test_start_stop_sequences_share_long_layout():
+    spec = [0] * 1024
+    spec[3] = 7
+    for ws in (aac.LONG_START, aac.LONG_STOP):
+        payload = aac.encode_sce(spec, [100], [9], 1, window_sequence=ws)
+        d = aac.decode_sce(payload)
+        assert d["window_sequence"] == ws
+        assert d["spec_q"][3] == 7
+
+
+def test_window_switching_perfect_reconstruction():
+    """LONG -> START -> EIGHT_SHORT -> STOP -> LONG with matched
+    analysis windows reconstructs the interior exactly (the
+    Princen-Bradley condition across every splice)."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(6 * 1024)
+    seqs = [aac.ONLY_LONG, aac.LONG_START, aac.EIGHT_SHORT,
+            aac.LONG_STOP, aac.ONLY_LONG]
+    frames = []
+    for i, ws in enumerate(seqs):
+        seg = x[i * 1024 : i * 1024 + 2048]
+        if ws == aac.EIGHT_SHORT:
+            wsh = aac.sine_window(256)
+            frames.append((ws, np.stack([
+                aac._mdct(seg[448 + 128 * j : 448 + 128 * j + 256] * wsh, 256)
+                for j in range(8)
+            ])))
+        else:
+            frames.append((ws, aac._mdct(seg * aac._window_for(ws), 2048)))
+    pcm = aac.synthesize_pcm(frames)
+    err = np.max(np.abs(pcm[1024:4096] - x[1024:4096]))
+    assert err < 1e-9, err
+
+
+def test_stream_with_short_frames_decodes():
+    spec = [[0] * 128 for _ in range(8)]
+    spec[0][0] = 8
+    spec[7][4] = -27
+    blob = aac.encode_aac_lc_stream([])  # empty ok
+    payload = aac.encode_sce_short(
+        spec, [[104, 100]], [[9, 11]], 2, [8]
+    )
+    from commoncrawl_crawler_spark.operators.videobits import (
+        build_adts_frame,
+    )
+
+    blob = build_adts_frame(payload, 1, 4, 1)
+    frames = aac.decode_aac_lc_stream(blob)
+    assert len(frames) == 1
+    d = frames[0]
+    assert d["spec"].shape == (8, 128)
+    assert d["spec"][0][0] == 16.0 * 2  # 8^(4/3)=16, gain 2^1
+    assert d["spec"][7][4] == -81.0  # 27^(4/3)=81, gain 2^0
