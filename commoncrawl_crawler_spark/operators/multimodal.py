@@ -1165,6 +1165,11 @@ def _parse_jpeg_planes(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
                 raise ValueError(
                     "only 8-bit 1- or 3-component baseline JPEG supported"
                 )
+            if (h // 8 + 1) * (w // 8 + 1) * ncomp > 16 * len(blob):
+                # every 8x8 block costs >= 1 coded bit, so dims whose
+                # block count exceeds ~2 blocks/bit of file cannot be
+                # real -- a stomped SOF must not size the plane arrays
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             for c in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
                 hi, vi = sampling >> 4, sampling & 15
@@ -2283,6 +2288,11 @@ def _parse_jpeg_progressive_planes(
                 raise ValueError(
                     "only 8-bit 1- or 3-component progressive supported"
                 )
+            if (h // 8 + 1) * (w // 8 + 1) * ncomp > 16 * len(blob):
+                # every 8x8 block costs >= 1 coded bit, so dims whose
+                # block count exceeds ~2 blocks/bit of file cannot be
+                # real -- a stomped SOF must not size the plane arrays
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             for c in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
                 hi, vi = sampling >> 4, sampling & 15
