@@ -122,3 +122,87 @@ def test_corruption_bounds_are_named_errors():
         # go through the public entry with a minimal corrupt file:
         # covered by the fuzz corpus; the direct check is the bound
         ct.parse_mp4_tracks(b"\x00\x00\x00\x08ftyp")
+
+
+def test_every_byte_parser_is_fuzz_covered():
+    """Registry completeness: every byte-level parse/decode/scan
+    entry point in the parser modules must be fuzzed -- directly, or
+    through a registered composite named here.  A new parser that is
+    neither fails this test until it joins tools/fuzz_targets.py."""
+    import re
+
+    MODULES = [
+        "operators/multimodal.py", "operators/container.py",
+        "operators/mediameta.py", "operators/videobits.py",
+        "operators/mp3layer3.py", "operators/pdfdoc.py",
+        "operators/aacdecode.py", "sources/packfiles.py",
+        "sources/archive.py", "functions/dnswire.py",
+        "functions/ricecoding.py",
+    ]
+    # parsers reached through a registered composite target (the
+    # composite's name on the right), or inner helpers whose public
+    # caller is registered
+    VIA_COMPOSITE = {
+        "decode_mpeg1_layer1_frame": "mpeg_layer12_decode",
+        "decode_mpeg1_layer2_frame": "mpeg_layer12_decode",
+        "parse_flac_frame_header": "flac_frames",
+        "parse_id_header": "ogg",
+        "parse_sps": "h264_stream",
+        "parse_pps": "h264_slices",
+        "parse_slice_header": "h264_slices",
+        "parse_av1_sequence_header": "av1",
+        "parse_raw_data_block_elements": "aac_elements",
+        "decode_mpeg1_layer3_frame": "mp3_layer3_decode",
+        "decode_layer3_stream_full": "mp3_layer3_decode",
+        "decode_layer3_stream": "mp3_layer3_decode",
+        "parse_objstm": "pdf",
+        "parse_xref_stream": "pdf",
+        "decode_sce": "aac_lc",
+        "decode_name": "dns_wire",
+    }
+    # direct registrations whose target name differs from the
+    # function name
+    DIRECT = {
+        "parse_wav_bytes": "wav", "parse_wav_adpcm": "wav_adpcm",
+        "parse_ppm_bytes": "ppm", "parse_png_bytes": "png",
+        "parse_jpeg_gray": "jpeg_gray",
+        "parse_jpeg_color": "jpeg_color",
+        "parse_jpeg_gray_progressive": "jpeg_gray_progressive",
+        "parse_jpeg_color_progressive": "jpeg_color_progressive",
+        "parse_gif_bytes": "gif", "parse_bmp_bytes": "bmp",
+        "parse_mp4_tracks": "mp4",
+        "parse_mpeg_audio_frames": "mpeg_audio_framing",
+        "parse_exif_tiff": "exif_tiff",
+        "parse_fmp4_fragments": "fmp4",
+        "parse_ico_entries": "ico", "parse_id3v2_frames": "id3v2",
+        "parse_mp3_sideinfo_mono": "mp3_sideinfo",
+        "parse_flac_streaminfo": "flac_streaminfo",
+        "parse_ogg_pages": "ogg", "scan_flac_frames": "flac_frames",
+        "parse_opus_toc": "opus_toc", "parse_webp": "webp",
+        "parse_webm_tracks": "webm", "parse_heif": "heif",
+        "parse_adts_frames": "adts",
+        "parse_audio_specific_config": "audio_specific_config",
+        "parse_annexb": "h264_stream",
+        "parse_av1_obus": "av1",
+        "decode_layer3_to_pcm_q": "mp3_layer3_decode",
+        "parse_pdf": "pdf", "parse_sfnt": "sfnt",
+        "parse_woff": "woff",
+        "decode_aac_lc_stream": "aac_lc",
+        "parse_tar_members": "tar", "parse_zip_members": "zip",
+        "parse_response": "dns_wire",
+    }
+    pat = re.compile(
+        r"^def ((?:parse|decode|scan)_\w+)\(\s*\w+\s*:\s*bytes", re.M
+    )
+    pkg = REPO / "commoncrawl_crawler_spark"
+    uncovered = []
+    for mod in MODULES:
+        text = (pkg / mod).read_text()
+        for fn in pat.findall(text):
+            target = DIRECT.get(fn) or VIA_COMPOSITE.get(fn)
+            if target is None or target not in TARGETS:
+                uncovered.append(f"{mod}:{fn} -> {target}")
+    assert not uncovered, (
+        "byte-level parsers without a fuzz target (register in "
+        f"tools/fuzz_targets.py): {uncovered}"
+    )
