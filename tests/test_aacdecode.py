@@ -283,3 +283,57 @@ def test_stream_with_short_frames_decodes():
     assert d["spec"].shape == (8, 128)
     assert d["spec"][0][0] == 16.0 * 2  # 8^(4/3)=16, gain 2^1
     assert d["spec"][7][4] == -81.0  # 27^(4/3)=81, gain 2^0
+
+
+def test_full_chain_codes_real_audio():
+    """A real signal through the ENTIRE codec: MDCT analysis,
+    per-band power-of-two scalefactors, 3/4-power quantization,
+    book-11 bitstream encode, full syntax decode, 4/3-power dequant,
+    IMDCT synthesis.  Reconstruction must track the unquantized
+    render within codec-quality error (>30 dB SNR)."""
+    rng = np.random.default_rng(3)
+    # band-limited-ish signal: sum of a few tones + noise floor
+    t = np.arange(5 * 1024)
+    x = (
+        np.sin(2 * np.pi * 0.013 * t)
+        + 0.5 * np.sin(2 * np.pi * 0.037 * t)
+        + 0.05 * rng.standard_normal(len(t))
+    )
+    w = aac.sine_window()
+    msfb = aac.NUM_SWB_LONG
+    frames_bits = []
+    frames_ref = []
+    for i in range(4):
+        X = aac.mdct_long(x[i * 1024 : i * 1024 + 2048] * w)
+        frames_ref.append(X)
+        spec_q = [0] * 1024
+        sfs = [aac.SF_OFFSET] * msfb
+        cbs = [aac.ZERO_HCB] * msfb
+        for b in range(msfb):
+            lo, hi = aac.SWB_OFFSET_LONG[b], aac.SWB_OFFSET_LONG[b + 1]
+            amax = float(np.max(np.abs(X[lo:hi])))
+            if amax < 1e-6:
+                continue
+            # gain 2^k with k chosen so the largest |q| lands ~400
+            k = int(np.floor(np.log2(amax) * 0.75)) - 6
+            gain = 2.0 ** k
+            q = [
+                int(np.sign(v) * round((abs(v) / gain) ** 0.75))
+                for v in X[lo:hi]
+            ]
+            if all(v == 0 for v in q):
+                continue
+            cbs[b] = aac.ESC_HCB
+            sfs[b] = aac.SF_OFFSET + 4 * k
+            spec_q[lo:hi] = q
+        frames_bits.append((spec_q, sfs, cbs, msfb))
+    blob = aac.encode_aac_lc_stream(frames_bits)
+    decoded = aac.decode_aac_lc_stream(blob)
+    pcm = aac.synthesize_pcm([d["spec"] for d in decoded])
+    ref = aac.synthesize_pcm(frames_ref)
+    seg = slice(1024, 4096)
+    err = pcm[seg] - ref[seg]
+    snr = 10 * np.log10(
+        float(np.sum(ref[seg] ** 2)) / float(np.sum(err**2))
+    )
+    assert snr > 30.0, f"SNR {snr:.1f} dB"
