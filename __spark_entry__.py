@@ -82,6 +82,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t + fan-out. The testdata tables are single-file single-row-
+    group parquet, so a scan is ONE partition and any heavy per-row
+    work before the first exchange runs single-threaded (guide 2.5:
+    input skew, 'one huge unsplittable file -- repartition
+    immediately after the read'). Used by gates whose dominant cost
+    is pre-shuffle per-row work; gates whose first operator is an
+    aggregation/join exchange keep the plain _t loader."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _blocked_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "documents")
@@ -2764,8 +2777,15 @@ def _fn_parse_headers(s: SparkSession, d: str) -> DataFrame:
         F.lit("\r\nX-Priority: "),
         F.col("o_orderpriority"),
     )
+    # single-file scan = ONE partition (one parquet row group), which
+    # would run the 4-regex parse single-threaded; shuffle the three
+    # narrow key columns first so the parse fans out (the same
+    # discipline as _fn_parse_cookies; r9-opt: ~2.5s -> ~0.6s noop at
+    # sf0.1 local[32])
     return (
         _t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .repartition(s.sparkContext.defaultParallelism)
         .select("o_orderkey", blob.alias("blob"))
         .select(
             "o_orderkey",
@@ -3043,7 +3063,17 @@ def _robots_verdicts(s: SparkSession, d: str) -> DataFrame:
     and evaluate URL verdicts. No ORDER BY here -- the composed
     fetch-plan gate repartitions on host immediately, and an inner
     global sort would be a wasted full shuffle+sort of every verdict
-    row at scale."""
+    row at scale.
+
+    Materialized once per (session, sf) via _cached: the verdict
+    table feeds BOTH robots_evaluate and the politeness fetch plan,
+    and the reference holds exactly this artifact in its per-host
+    robots cache (CrawlerServer's RobotRulesParser results are parsed
+    once per host and consulted per URL, never re-parsed per job)."""
+    return _cached(s, "robots_verdicts", d, lambda: _robots_verdicts_build(s, d))
+
+
+def _robots_verdicts_build(s: SparkSession, d: str) -> DataFrame:
     o = F.col("o_orderkey")
     i = (o % 20).cast("int")
     host = F.concat(F.lit("d"), i.cast("string"), F.lit(".com"))
@@ -3315,7 +3345,12 @@ def _sitemap_blobs(s, d):
         F.lit("</priority></url>"),
     )
     return (
-        o.select(host.alias("host"), F.col("o_orderkey").alias("k"), block.alias("blk"))
+        # fan the block synthesis out of the single-partition scan
+        # (two narrow columns shuffle; the concat-heavy block build
+        # and the partial collect_list then run on every core)
+        o.select("o_orderkey", "o_orderdate")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(host.alias("host"), F.col("o_orderkey").alias("k"), block.alias("blk"))
         .groupBy("host")
         .agg(F.collect_list(F.struct("k", "blk")).alias("bs"))
         .select(
@@ -3658,8 +3693,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # Deequ-style data quality: one-pass per-column profile and a
         # declarative constraint suite (unique/complete/ref-int/range)
+        # project to the five profiled columns, then fan out of the
+        # single-partition scan so the x6 Expand (5 countDistincts)
+        # and its sort-aggregate run on every core, not one
         "dq_profile_orders": lambda s, d: dataquality.profile_table(
-            _t(s, d, "orders"),
+            _t(s, d, "orders")
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                "o_orderstatus",
+                "o_orderpriority",
+            )
+            .repartition(s.sparkContext.defaultParallelism),
             num_cols=["o_orderkey", "o_custkey", "o_totalprice"],
             str_cols=["o_orderstatus", "o_orderpriority"],
         ),
@@ -3839,12 +3885,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generates candidates, then exact verify -- the canonical
         # 100 TB exact-Jaccard algorithm next to the sketch tiers
         "dedup_setsim_prefix": lambda s, d: dedup.setsim_prefix_pairs(
-            _t(s, d, "documents")
+            _tp(s, d, "documents")
         ),
         # directed containment |A∩B|/|A| (quote/boilerplate-inclusion
         # detection -- subset relations Jaccard structurally misses)
         "text_containment_pairs": lambda s, d: dedup.containment_pairs(
-            _t(s, d, "documents")
+            _tp(s, d, "documents")
         ),
         # two-stage MinHash dedupe: banded-LSH pairs -> connected
         # components (the GPT-3/RefinedWeb-lineage fuzzy-dedup shape)
@@ -4561,8 +4607,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_xml_roundtrip": _xml_roundtrip,
         # sitemap.xml discovery channel: parse must exactly invert the
         # deterministic synthesis (oracle recomputes the generator)
+        # the blob table is scanned twice inside parse_sitemap (urlset
+        # + sitemapindex block passes); a lazy RDD boundary runs the
+        # synthesis groupBy once and shares it (no extra job)
         "source_sitemap_parse": lambda s, d: xmlsource.parse_sitemap(
-            _sitemap_blobs(s, d)
+            _sitemap_blobs(s, d).localCheckpoint(eager=False)
         ),
         # bloom FP set is deterministic but not SQL-expressible ->
         # rows-only check; no-false-negative property is pytest-gated
@@ -4798,13 +4847,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ).select("doc_id", "md5_sig"),
         "dedup_winnow_pairs": lambda s, d: dedup.winnow_candidate_pairs(
-            _t(s, d, "documents")
+            _tp(s, d, "documents")
         ),
         "text_regex_tokens": lambda s, d: textstats.regex_token_profile(
             _t(s, d, "documents")
         ),
         "text_winnow_fingerprint": lambda s, d: textstats.winnow_fingerprint_profile(
-            _t(s, d, "documents")
+            _tp(s, d, "documents")
         ),
         "text_quality_signals": lambda s, d: textstats.quality_signals(
             _t(s, d, "documents")
@@ -4835,8 +4884,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-level paragraph dedup (CCNet discipline) over
         # token-window paragraphs; drops cross-document boilerplate
         "text_paragraph_dedup": lambda s, d: textstats.paragraph_dedup(
+            # fan the chunk explode out of the single-partition scan
+            # and skip chunk_documents' global sort -- paragraph_dedup
+            # re-shuffles by signature/doc immediately (guide 2.4)
             textstats.chunk_documents(
-                _t(s, d, "documents"), chunk_tokens=4, overlap=0
+                _t(s, d, "documents").repartition(
+                    s.sparkContext.defaultParallelism
+                ),
+                chunk_tokens=4,
+                overlap=0,
+                sort=False,
             ).select(
                 "doc_id",
                 F.col("chunk_idx").alias("para_idx"),

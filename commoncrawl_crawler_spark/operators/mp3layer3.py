@@ -764,16 +764,21 @@ def hybrid_to_subbands_q(
                        dtype=np.int64)
         blim = np.where(bts != 2, 31, np.where(mix == 1, 1, 0))
     # alias reduction (2.4.3.4.10.1): butterflies across each LONG
-    # subband boundary (pure short: none; mixed: boundary 1 only)
-    for b in range(1, 32):
-        sel = blim >= b
-        if not sel.any():
-            continue
-        for i in range(8):
-            lo = xr[sel, b - 1, 17 - i].copy()
-            hi = xr[sel, b, i].copy()
-            xr[sel, b - 1, 17 - i] = (cs[i] * lo - ca[i] * hi) >> 14
-            xr[sel, b, i] = (cs[i] * hi + ca[i] * lo) >> 14
+    # subband boundary (pure short: none; mixed: boundary 1 only).
+    # Boundary b touches xr[:, b-1, 17-i] (time 10..17) and
+    # xr[:, b, i] (time 0..7) -- disjoint slices for every b -- so
+    # all 31 boundaries vectorize in one step per tap; a (g, 31)
+    # mask leaves out-of-limit boundaries (short blocks) unchanged.
+    # (r9-opt: the 31x8 masked-index loop dominated per-blob decode
+    # at ~6ms of 9.4ms; this form is the same exact int64 math.)
+    bmask = np.arange(1, 32, dtype=np.int64)[None, :] <= blim[:, None]
+    for i in range(8):
+        lo = xr[:, :31, 17 - i]
+        hi = xr[:, 1:, i]
+        new_lo = (cs[i] * lo - ca[i] * hi) >> 14
+        new_hi = (cs[i] * hi + ca[i] * lo) >> 14
+        xr[:, :31, 17 - i] = np.where(bmask, new_lo, lo)
+        xr[:, 1:, i] = np.where(bmask, new_hi, hi)
     # fused IMDCT + window, Q14, per block type
     z = np.zeros((g_total, 32, 36), dtype=np.int64)
     for bt, w_mat in ((0, IMDCT_WIN_Q14), (1, IMDCT_WIN_Q14_START),

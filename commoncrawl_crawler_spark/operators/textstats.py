@@ -353,7 +353,10 @@ def contamination_check(
 
 
 def chunk_documents(
-    documents: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    sort: bool = True,
 ) -> DataFrame:
     """Fixed-size overlapping token windows per document -- the
     chunking step every RAG / embedding pipeline runs before encoding:
@@ -388,15 +391,18 @@ def chunk_documents(
     window = F.slice(
         F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
     )
-    return (
-        with_idx.select(
-            "doc_id",
-            "chunk_idx",
-            F.size(window).alias("n_tokens"),
-            F.array_join(window, " ").alias("chunk_text"),
-        )
-        .orderBy("doc_id", "chunk_idx")
+    out = with_idx.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(window).alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
     )
+    # sort=False for consumers that immediately re-shuffle (e.g. the
+    # paragraph-dedup groupBy): the global sort exists only to make
+    # the chunk table itself a deterministic result surface, and a
+    # range-exchange + sort of the exploded corpus is pure waste when
+    # the next operator destroys the order anyway (guide 2.4)
+    return out.orderBy("doc_id", "chunk_idx") if sort else out
 
 
 def paragraph_dedup(
