@@ -64,6 +64,7 @@ from commoncrawl_crawler_spark.plans import pipeline as plan_pipeline
 from commoncrawl_crawler_spark.plans import query_api
 from commoncrawl_crawler_spark.streaming import jobs as streaming_jobs
 from commoncrawl_crawler_spark.shipping import ensure_shipped
+from commoncrawl_crawler_spark.checkpointing import ckpt_lazy
 from commoncrawl_crawler_spark.operators import bloom
 from commoncrawl_crawler_spark.sources import (
     archive,
@@ -80,6 +81,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driving process was launched outside the repo directory
     ensure_shipped(spark)
     return load_table(spark, name, sf_dir)
+
+
+def _share_sort(df: DataFrame) -> DataFrame:
+    """Lazy checkpoint boundary below a RESULT-ORDERING orderBy.
+
+    A global sort's range partitioner runs a separate SAMPLING job
+    over the child plan before the exchange, so everything below the
+    Sort executes twice per action; shuffle map stages below are
+    reused across the two jobs, but the post-shuffle narrow segment
+    -- for the media/document gates, the entire Arrow synth+decode
+    chain -- is recomputed in full (guide 1.4/2.4). The lazy
+    localCheckpoint materializes the narrow feature rows on the
+    sampling pass and the sort reads them back (r9-opt wave 2:
+    mm_aac_decode 3.99 s -> 2.26 s noop at sf0.1 local[32]; applied
+    to every gate whose top-level Sort sits above a Python chain).
+    Routed through stable_checkpoint, so a cluster run with
+    SPARK_GRAFT_CHECKPOINT_DIR set gets executor-loss-safe reliable
+    checkpoints of these (small, per-media summary) tables."""
+    return ckpt_lazy(df)
 
 
 def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -168,6 +188,24 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: dedup.md5_simhash_pairs(
             _t(spark, sf_dir, "documents"),
             hamming_k=3,
+            tokens=_md5_tokens(spark, sf_dir),
+        ),
+    )
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the banded minhash LSH pair table feeds dedup_minhash_lsh, the
+    # edge input of dedup_minhash_clusters, and the sketch side of
+    # dedup_sketch_quality -- build it once per (session, sf); the
+    # exact discipline of _simhash_pairs above (r9-opt wave 2: the
+    # signature+banding+verify chain previously ran 3x per pass)
+    return _cached(
+        spark,
+        "minhash_pairs",
+        sf_dir,
+        lambda: dedup.md5_minhash_pairs(
+            _t(spark, sf_dir, "documents"),
+            min_matching=13,
             tokens=_md5_tokens(spark, sf_dir),
         ),
     )
@@ -1959,7 +1997,7 @@ def _archive_roundtrip(s: SparkSession, d: str) -> DataFrame:
     return rd.select(
         F.col("key").cast("long").alias("doc_id"),
         F.decode("payload", "UTF-8").alias("text"),
-    ).orderBy("doc_id")
+    ).transform(_share_sort).orderBy("doc_id")
 
 
 def _arc_v1_roundtrip(s: SparkSession, d: str) -> DataFrame:
@@ -2009,7 +2047,7 @@ def _arc_v1_roundtrip(s: SparkSession, d: str) -> DataFrame:
             F.ltrim(lang["value"]).alias("lang"),
             F.decode("payload", "UTF-8").alias("text"),
         )
-        .orderBy("doc_id")
+        .transform(_share_sort).orderBy("doc_id")
     )
 
 
@@ -2049,7 +2087,7 @@ def _warc_roundtrip(s: SparkSession, d: str) -> DataFrame:
             "content_length",
             F.decode("block", "UTF-8").alias("text"),
         )
-        .orderBy("doc_id")
+        .transform(_share_sort).orderBy("doc_id")
     )
 
 
@@ -2083,7 +2121,7 @@ def _cdx_index_gate(s: SparkSession, d: str) -> DataFrame:
     idx = archive.cdx_index(archive.read_warc(s, tmp))
     return idx.select(
         "urlkey", "timestamp", "original", "mime", "digest"
-    ).orderBy("urlkey", "timestamp")
+    ).transform(_share_sort).orderBy("urlkey", "timestamp")
 
 
 def _warc_http_extract(s: SparkSession, d: str) -> DataFrame:
@@ -2135,7 +2173,7 @@ def _warc_http_extract(s: SparkSession, d: str) -> DataFrame:
             "http_content_type",
             F.decode("body", "UTF-8").alias("text"),
         )
-        .orderBy("doc_id")
+        .transform(_share_sort).orderBy("doc_id")
     )
 
 
@@ -2236,7 +2274,7 @@ def _wet_extract(s: SparkSession, d: str) -> DataFrame:
             )["value"].alias("refers_to"),
             F.decode("block", "UTF-8").alias("text"),
         )
-        .orderBy("doc_id")
+        .transform(_share_sort).orderBy("doc_id")
     )
 
 
@@ -2285,7 +2323,7 @@ def _wat_metadata(s: SparkSession, d: str) -> DataFrame:
             meta["HTML-Metadata"]["Links"][0]["path"].alias("first_path"),
             meta["HTML-Metadata"]["Links"][0]["text"].alias("first_text"),
         )
-        .orderBy("doc_id")
+        .transform(_share_sort).orderBy("doc_id")
     )
 
 
@@ -2428,7 +2466,7 @@ def _warc_revisit_gate(s: SparkSession, d: str) -> DataFrame:
             F.regexp_extract(refers, "rv-(\\d+)", 1).cast("long"),
         ).alias("refers_doc"),
         F.length("block").cast("long").alias("block_len"),
-    ).orderBy("doc_id")
+    ).transform(_share_sort).orderBy("doc_id")
 
 
 def _pipeline_archive_linkgraph(s: SparkSession, d: str) -> DataFrame:
@@ -3304,7 +3342,7 @@ def _selective_extract_gate(s: SparkSession, d: str) -> DataFrame:
             .alias("status"),
             F.regexp_extract(txt, "<p>(.*?)</p>", 1).alias("body_text"),
         )
-        .orderBy("doc_id")
+        .transform(_share_sort).orderBy("doc_id")
     )
 
 
@@ -3489,7 +3527,7 @@ def _warc_dechunk_gate(s: SparkSession, d: str) -> DataFrame:
         "was_chunked",
         F.length("body").cast("long").alias("body_bytes"),
         F.md5("body").alias("body_md5"),
-    ).orderBy("doc_id")
+    ).transform(_share_sort).orderBy("doc_id")
 
 
 # tokenizer-gate fixture: 12 words chosen per doc_id, a WordPiece
@@ -3861,9 +3899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # but built on md5 so the full candidate set hash-matches a
         # DuckDB oracle
         "dedup_simhash_lsh": lambda s, d: _simhash_pairs(s, d),
-        "dedup_minhash_lsh": lambda s, d: dedup.md5_minhash_pairs(
-            _t(s, d, "documents"), min_matching=13, tokens=_md5_tokens(s, d)
-        ),
+        "dedup_minhash_lsh": lambda s, d: _minhash_pairs(s, d),
         "dedup_simhash_clusters": lambda s, d: _simhash_clusters(s, d),
         # the composed hygiene pipeline: clusters -> representatives ->
         # decontamination -> quality floor -> per-source manifest, as
@@ -3895,7 +3931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-stage MinHash dedupe: banded-LSH pairs -> connected
         # components (the GPT-3/RefinedWeb-lineage fuzzy-dedup shape)
         "dedup_minhash_clusters": lambda s, d: dedup.md5_minhash_clusters(
-            _t(s, d, "documents")
+            _t(s, d, "documents"), pairs=_minhash_pairs(s, d)
         ),
         # Heaps' law growth curve: docs/tokens/vocab accumulated at
         # ten closed-form doc-id-range checkpoints (no global sort)
@@ -3935,7 +3971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the banded minhash against the exact Jaccard join on the
         # shared shingle table ('measure, don't guess' for dedup)
         "dedup_sketch_quality": lambda s, d: dedup.minhash_quality_report(
-            _t(s, d, "documents"), tokens=_md5_tokens(s, d)
+            _t(s, d, "documents"),
+            tokens=_md5_tokens(s, d),
+            pairs=_minhash_pairs(s, d),
         ),
         # PassJoin edit-distance join over deterministically typo'd
         # hostnames (drop-first-char and substitute-first-char
@@ -4133,7 +4171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "mm_frame_sample": lambda s, d: multimodal.frame_sample(
             multimodal.media_from_documents(_t(s, d, "documents")), frame_bytes=64
-        ).select("media_id", "frame_idx", "frame_len").orderBy(
+        ).select("media_id", "frame_idx", "frame_len").transform(_share_sort).orderBy(
             "media_id", "frame_idx"
         ),
         # fake16 codec runs through the real mapInPandas decode; the
@@ -4155,6 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.round("bin_value", 6).alias("bin_value"),
                 "n_bytes",
             )
+            .transform(_share_sort)
             .orderBy("media_id", "bin_idx")
         ),
         # real container decoders: Spark parses actual RIFF/netpbm
@@ -4162,7 +4201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # synthesizer definition
         "mm_decode_wav": lambda s, d: multimodal.decode_wav(
             multimodal.synthesize_wav(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # frame -> feature: exact-integer windowed energy over the
         # real WAV decode
         "mm_audio_energy": lambda s, d: multimodal.audio_frame_energy(
@@ -4175,7 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "mm_decode_ppm": lambda s, d: multimodal.decode_ppm(
             multimodal.synthesize_ppm(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # perceptual dHash fingerprints + exact-duplicate groups over
         # the real PPM decode (image near-dup tier)
         "mm_image_dhash": lambda s, d: multimodal.image_dhash(
@@ -4191,24 +4230,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # independent spec model
         "mm_decode_adpcm": lambda s, d: multimodal.decode_adpcm(
             multimodal.synthesize_adpcm(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # real COMPRESSED-format decode: stdlib-zlib PNG (inflate +
         # scanline unfilter over all five filter types); same pixel
         # formula as the PPM twin so the oracle is shared closed-form
         "mm_decode_png": lambda s, d: multimodal.decode_png(
             multimodal.synthesize_png(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # real GIF decode: LZW (variable code width, LSB packing),
         # 256-gray palette, odd ids written interlaced (4-pass)
         "mm_decode_gif": lambda s, d: multimodal.decode_gif(
             multimodal.synthesize_gif(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # real baseline JPEG decode (T.81 grayscale subset: marker
         # walk, canonical Huffman, DC prediction, dequant, IDCT);
         # flat blocks make the lossy path bit-exact for the oracle
         "mm_decode_jpeg": lambda s, d: multimodal.decode_jpeg(
             multimodal.synthesize_jpeg(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # PROGRESSIVE (SOF2) grayscale JPEG: 6-scan Annex-G script
         # (spectral selection + DC/AC successive approximation,
         # EOBRUN, correction bits); non-multiple-of-8 widths so edge
@@ -4217,13 +4256,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_jpeg_progressive": lambda s, d:
         multimodal.decode_jpeg_progressive(
             multimodal.synthesize_jpeg_progressive(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # COLOR baseline JPEG: interleaved YCbCr 4:4:4 MCUs with
         # per-component DC prediction + libjpeg fixed-point YCbCr->RGB
         # (pure integer, so the oracle recomputes it exactly)
         "mm_decode_jpeg_color": lambda s, d: multimodal.decode_jpeg_color(
             multimodal.synthesize_jpeg_color(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # 4:2:0 chroma subsampling (the dominant real-world layout):
         # MCU = 4 luma + 1 Cb + 1 Cr blocks; chroma flat per 16x16
         # macroblock so downsample/upsample are exact
@@ -4236,36 +4275,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.synthesize_jpeg_progressive_color(
                 _t(s, d, "documents")
             )
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         "mm_decode_jpeg_420": lambda s, d: multimodal.decode_jpeg_color(
             multimodal.synthesize_jpeg_420(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # real ISO BMFF (MP4) demux: box walk + stsd/stts/stsc/stsz/
         # stco sample-table resolution -> track-metadata rows
         "mm_mp4_demux": lambda s, d: container.demux_mp4(
             container.synthesize_mp4(_t(s, d, "documents"))
-        ).orderBy("media_id", "track_id"),
+        ).transform(_share_sort).orderBy("media_id", "track_id"),
         # motion-JPEG video track: every frame decoded by the in-repo
         # T.81 baseline kernel -- real video-frame decode, no codecs
         "mm_mp4_frames": lambda s, d: container.decode_mp4_frames(
             container.synthesize_mp4(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # PCM ('twos') audio track: real 16-bit big-endian decode
         "mm_mp4_audio": lambda s, d: container.decode_mp4_audio(
             container.synthesize_mp4(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # MPEG-1 audio framing (ISO 11172-3): ID3v2 syncsafe skip +
         # bitrate/samplerate-table frame walk over a VBR stream
         "mm_mp3_framewalk": lambda s, d: container.mp3_frame_stats(
             container.synthesize_mp3(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # round-8: MPEG-2 / MPEG-2.5 LSF framing -- half sample
         # rates, the ISO 13818-3 V2 bitrate table, 72-slot layer-III
         # frames, 576 samples/frame (one granule); the low-bitrate
         # voice files real crawls carry
         "mm_mpeg2_framewalk": lambda s, d: container.mp3_frame_stats(
             container.synthesize_mpeg2(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # pack-file sources: ustar member walk (checksum-validated --
         # the WebDataset shard manifest) and zip central-directory
         # extraction (stored + real zlib inflate, CRC-checked);
@@ -4278,7 +4317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CNAME chains, A rdata as the integer iptohost join key
         "fn_dns_wire_parse": lambda s, d: dnswire.dns_resolutions(
             dnswire.synthesize_dns(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # streaming WebDataset manifest: write shards -> readStream
         # tail -> member walk -> parquet sink (batch-identical rows)
         "stream_tar_manifest": _stream_tar_manifest,
@@ -4297,27 +4336,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # depth tables, extended-UTF-8 frame numbers
         "mm_flac_frames": lambda s, d: mediameta.flac_frame_stats(
             mediameta.synthesize_flac_frames(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         "mm_opus_toc": lambda s, d: mediameta.opus_toc_stats(
             mediameta.synthesize_opus(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         "source_vtt_cues": lambda s, d: packfiles.subtitle_stats(
             packfiles.synthesize_webvtt(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         "source_srt_cues": lambda s, d: packfiles.subtitle_stats(
             packfiles.synthesize_srt(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # HLS playlists (RFC 8216): EXTINF/URI pairing, target
         # duration, media sequence, VOD flag, exact millisecond totals
         "source_hls_manifest": lambda s, d: packfiles.hls_manifest_stats(
             packfiles.synthesize_m3u8(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         "source_tar_members": lambda s, d: packfiles.tar_members(
             packfiles.synthesize_tar(_t(s, d, "documents"))
-        ).orderBy("media_id", "name"),
+        ).transform(_share_sort).orderBy("media_id", "name"),
         "source_zip_extract": lambda s, d: packfiles.zip_members(
             packfiles.synthesize_zip(_t(s, d, "documents"))
-        ).orderBy("media_id", "name"),
+        ).transform(_share_sort).orderBy("media_id", "name"),
         # real BMP decode (BI_RGB 24-bit DIB: BGR order, 4-byte row
         # padding, bottom-up rows) -- same pixel formula as the PPM
         # gate, so the decoders are differentially comparable
@@ -4329,32 +4368,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quirk) via the BMP kernel
         "mm_ico_entries": lambda s, d: container.ico_entries(
             container.synthesize_ico(_t(s, d, "documents"))
-        ).orderBy("media_id", "entry_idx"),
+        ).transform(_share_sort).orderBy("media_id", "entry_idx"),
         # fragmented MP4 (fMP4/CMAF, the DASH/HLS wire layout):
         # trex defaults + moof/tfhd/tfdt/trun resolution, every
         # trun-resolved sample decoded in-repo
         "mm_fmp4_fragments": lambda s, d: container.decode_fmp4(
             container.synthesize_fmp4(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # shot-boundary detection over the MJPEG track: every frame
         # decoded in-repo, cuts where mean-luma (x256, exact integer)
         # jumps > 16 gray levels -- the per-shot frame-sampling basis
         "mm_mp4_shot_detect": lambda s, d: container.detect_shots(
             container.synthesize_mp4(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # EXIF/TIFF metadata: APP1 marker walk + IFD parse (both byte
         # orders, nested Exif IFD, out-of-line ASCII/RATIONAL), with
         # the carrier JPEG decoded to prove the image stays intact
         "mm_exif_metadata": lambda s, d: container.exif_metadata(
             container.synthesize_exif_jpeg(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # REAL MPEG-1 Layer I subband decode (ISO 11172-3 2.4.3.3):
         # bit allocation, scalefactors, mid-tread dequantization --
         # the synthesis window (spec table C.1) is the only
         # remaining external piece of the MPEG audio stack
         "mm_mp3_layer1_decode": lambda s, d: container.decode_layer1(
             container.synthesize_layer1(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # Layer I decode carried through the REAL ISO polyphase
         # synthesis structure (operators/mpegsynth.py): subband micro
         # ints -> Q14 windowed MAC -> exact integer PCM accounting.
@@ -4364,13 +4403,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pluggable.
         "mm_mp1_synthesis": lambda s, d: mpegsynth.layer1_pcm_stats(
             container.synthesize_layer1(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # REAL MPEG-1 Layer II decode (ISO 11172-3 2.4.3.3.2, table
         # B.2a): allocation ladders, scfsi scalefactor sharing,
         # base-n degrouping, exact rational requantization
         "mm_mp2_decode": lambda s, d: container.decode_layer2(
             container.synthesize_layer2(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # round-8: FULL Layer III decode to PCM -- scalefactors
         # (slen/scfsi sharing), count1 Huffman (table A verified as a
         # complete prefix code; big-value tables are a documented
@@ -4379,19 +4418,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frequency inversion, Q28 polyphase -- all int64-exact
         "mm_mp3_decode": lambda s, d: mp3layer3.layer3_pcm_stats(
             mp3layer3.synthesize_layer3(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # AAC/ADTS transport walk (ISO 14496-3 1.A.2.2): real frame
         # headers, published sampling-frequency table, exact sample
         # accounting -- the audio-routing profile of a corpus scan
         "mm_adts_frames": lambda s, d: videobits.adts_frame_stats(
             videobits.synthesize_adts(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # round-8: one layer below ADTS framing -- raw_data_block
         # element walk (PCE channel map, DSE/FIL metadata census,
         # first audio element id) + derived AudioSpecificConfig.
         "mm_aac_elements": lambda s, d: videobits.aac_element_stats(
             videobits.synthesize_aac_elements(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # round-9: full AAC-LC SCE decode -- 13818-7 syntax walk
         # (sections, scalefactor DPCM, quad/pair spectral tuples,
         # sign bits, book-11 escapes) + 4/3-power dequantizer.  The
@@ -4404,67 +4443,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by construction for the oracle
         "mm_aac_decode": lambda s, d: aacdecode.aac_lc_decode_stats(
             aacdecode.synthesize_aac_lc(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # H.264 Annex-B NAL walk + REAL SPS decode (Exp-Golomb,
         # emulation-prevention unescape, cropping arithmetic): the
         # actual pixel resolution of every stream, no codec needed
         "mm_h264_sps": lambda s, d: videobits.h264_stream_stats(
             videobits.synthesize_h264(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # FLAC STREAMINFO (xiph spec): metadata-block walk, 20-bit
         # rate / 36-bit sample-count bit layout, exact duration basis
         "mm_flac_streaminfo": lambda s, d: mediameta.flac_streaminfo(
             mediameta.synthesize_flac(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # Ogg page walk (RFC 3533) + Vorbis/Opus identification
         # headers: codec routing, final-granule duration, EOS check
         "mm_ogg_packets": lambda s, d: mediameta.ogg_stream_stats(
             mediameta.synthesize_ogg(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # WebP RIFF walk: real dimension decode for all three
         # variants (VP8 lossy / VP8L lossless / VP8X extended)
         "mm_webp_dims": lambda s, d: mediameta.webp_dimensions(
             mediameta.synthesize_webp(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # Matroska/EBML vint walk (RFC 8794) to the WebM track
         # census: codec ids, pixel dims, audio rate/channels
         "mm_webm_tracks": lambda s, d: mediameta.webm_track_census(
             mediameta.synthesize_webm(_t(s, d, "documents"))
-        ).orderBy("media_id", "track_number"),
+        ).transform(_share_sort).orderBy("media_id", "track_number"),
         # HEIF/AVIF (ISO 23008-12 over BMFF): ftyp brand + the meta
         # box's pitm/iinf/iprp walk to the ispe pixel dimensions
         "mm_heif_dims": lambda s, d: mediameta.heif_dimensions(
             mediameta.synthesize_heif(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # ID3v2.3 text-frame walk inside valid MP3s: the
         # artist/title/album routing columns of an audio corpus
         "mm_id3_tags": lambda s, d: container.id3_text_frames(
             container.synthesize_id3_mp3(_t(s, d, "documents"))
-        ).orderBy("media_id", "frame_id"),
+        ).transform(_share_sort).orderBy("media_id", "frame_id"),
         # Layer III side-info walk (ISO 11172-3 2.4.1.7): bit-
         # reservoir pointers and per-granule Huffman parameters --
         # MP3 stream analytics with no Huffman tables needed
         "mm_mp3_sideinfo": lambda s, d: container.mp3_sideinfo(
             container.synthesize_mp3_sideinfo(_t(s, d, "documents"))
-        ).orderBy("media_id", "frame_idx", "granule"),
+        ).transform(_share_sort).orderBy("media_id", "frame_idx", "granule"),
         # AV1 OBU walk (AOM spec 5.3): leb128 sizes, header bit
         # layout, real sequence-header resolution decode
         "mm_av1_obus": lambda s, d: videobits.av1_stream_stats(
             videobits.synthesize_av1(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # round-8: REAL PPS + slice-header parses (spec 7.3.2.2/7.3.3)
         # -- picture/GOP census, IDR segmentation, I/P slice tally,
         # entropy mode: the frame-level profiling a video corpus
         # shards by, without macroblock decode
         "mm_h264_slices": lambda s, d: videobits.h264_slice_stats(
             videobits.synthesize_h264_slices(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # PDF syntax walk (ISO 32000): object census, page-tree count,
         # BT/ET text extraction incl. FlateDecode streams -- the
         # document-routing profile for the web's largest non-HTML class
         "doc_pdf_profile": lambda s, d: pdfdoc.pdf_profile(
             pdfdoc.synthesize_pdf(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # the same logical documents serialized the post-2006 way:
         # /Type /XRef cross-reference streams (7.5.8, /W widths + PNG
         # Up predictor) with catalog/page-tree nodes packed into a
@@ -4472,19 +4511,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # build except the version tag
         "doc_pdf_xrefstream": lambda s, d: pdfdoc.pdf_profile(
             pdfdoc.synthesize_pdf_xrefstream(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # round-8: owner-locked PDFs (standard security handler
         # 7.6.3, RC4 /V 1-2, EMPTY user password -- the form crawls
         # actually see): authenticate via /U, per-object keys,
         # streams decrypted before filters. AES (/V 4+) raises named
         "doc_pdf_encrypted": lambda s, d: pdfdoc.pdf_profile(
             pdfdoc.synthesize_pdf_encrypted(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # OpenType/TrueType sfnt table directory + head/name decode:
         # the web-font routing profile (flavor, unitsPerEm, family)
         "doc_font_profile": lambda s, d: pdfdoc.font_profile(
             pdfdoc.synthesize_fonts(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # round-8: the same fonts WOFF-1.0-wrapped (the form web
         # crawls actually see): 44-byte header, 20-byte directory,
         # per-table zlib (both stored and deflated exercised), logical
@@ -4492,7 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WOFF2 = Brotli = documented NotImplementedError
         "doc_woff_profile": lambda s, d: pdfdoc.woff_profile(
             pdfdoc.synthesize_woff(_t(s, d, "documents"))
-        ).orderBy("media_id"),
+        ).transform(_share_sort).orderBy("media_id"),
         # consistent-hash ring (Karger 1997): the elastic upgrade of
         # the reference's modulo host-sharding; ring broadcast, one
         # min_by per distinct key

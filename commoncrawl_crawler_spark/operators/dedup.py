@@ -1318,6 +1318,7 @@ def minhash_quality_report(
     perms: int = 16,
     min_matching: int = 13,
     tokens: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Sketch-vs-exact evaluation as a first-class query: score the
     banded MinHash join against the EXACT Jaccard join on the SAME
@@ -1363,8 +1364,14 @@ def minhash_quality_report(
     exact = inter.filter(
         F.col("i") * den >= (F.col("na") + F.col("nb") - F.col("i")) * num
     ).select("doc_a", "doc_b", F.lit(True).alias("in_exact"))
-    sketch = md5_minhash_pairs(
-        documents, perms=perms, min_matching=min_matching, tokens=toks
+    # pass `pairs` to score an externally shared LSH pair table (the
+    # per-session pair cache) instead of rebuilding sign+band+verify
+    sketch = (
+        pairs
+        if pairs is not None
+        else md5_minhash_pairs(
+            documents, perms=perms, min_matching=min_matching, tokens=toks
+        )
     ).select("doc_a", "doc_b", F.lit(True).alias("in_sketch"))
     joined = exact.join(sketch, ["doc_a", "doc_b"], "full_outer")
     tp = F.sum(

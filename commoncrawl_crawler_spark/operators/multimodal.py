@@ -42,6 +42,7 @@ from pyspark.sql.types import (
 )
 
 from .parseguard import guard
+from ..checkpointing import ckpt_lazy
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -135,7 +136,7 @@ def content_stats(media: DataFrame) -> DataFrame:
         "mime",
         "content_len",
         F.md5(F.col("content")).alias("content_md5"),
-    ).orderBy("media_id")
+    ).transform(ckpt_lazy).orderBy("media_id")
 
 
 def frame_sample(
@@ -611,6 +612,8 @@ def audio_frame_energy(media: DataFrame, frame: int = 256) -> DataFrame:
     return (
         media.select("media_id", "content")
         .mapInPandas(_frames, AUDIO_FRAME_FEATURES)
+        # lazy ckpt: the sort's sampling job would re-run the decode
+        .transform(ckpt_lazy)
         .orderBy("media_id", "frame_idx")
     )
 
@@ -1697,6 +1700,7 @@ def image_band_stats(media: DataFrame, band_h: int = 4) -> DataFrame:
     return (
         media.select("media_id", "content")
         .mapInPandas(_bands, IMAGE_BAND_FEATURES)
+        .transform(ckpt_lazy)
         .orderBy("media_id", "band", "channel")
     )
 
@@ -1835,6 +1839,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return (
         media.select("media_id", "content")
         .mapInPandas(_hash, DHASH_SCHEMA)
+        .transform(ckpt_lazy)
         .orderBy("media_id")
     )
 
@@ -1904,6 +1909,7 @@ def audio_fingerprint(media: DataFrame, frame: int = 64) -> DataFrame:
     return (
         media.select("media_id", "content")
         .mapInPandas(_fp, AUDIO_FP_SCHEMA)
+        .transform(ckpt_lazy)
         .orderBy("media_id")
     )
 # appended to multimodal.py
@@ -2710,4 +2716,4 @@ def synthesize_bmp(documents: DataFrame) -> DataFrame:
 
 def decode_bmp(media: DataFrame) -> DataFrame:
     """Real BMP decode -> per-image RGB stats (PPM_FEATURES rows)."""
-    return _decode_rgb_features(media, parse_bmp_bytes).orderBy("media_id")
+    return _decode_rgb_features(media, parse_bmp_bytes).transform(ckpt_lazy).orderBy("media_id")

@@ -1366,7 +1366,9 @@ def langid_ngram_confusion(
     # and shuffled exactly once instead of twice.
     tri_cnt = tris.groupBy("doc_id", "lang", "tri").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    # referenced by BOTH profile builds: without a boundary Catalyst
+    # replans the trigram explode + count per consumer (r9-opt)
+    ).transform(ckpt_lazy)
     lang_prof = (
         tri_cnt.groupBy("lang", "tri")
         .agg(F.sum("c").alias("c"))
@@ -1397,6 +1399,8 @@ def langid_ngram_confusion(
             .alias("rd"),
         )
         .filter(F.col("rd") <= k)
+        # consumed by doc_sizes AND the distance join (r9-opt)
+        .transform(ckpt_lazy)
     )
     doc_sizes = doc_prof.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("nd")
