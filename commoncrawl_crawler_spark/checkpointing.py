@@ -44,6 +44,12 @@ def stable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     Reliable checkpoints: `eager` maps straight through to
     `DataFrame.checkpoint(eager=...)`.
     """
+    if os.environ.get("SPARK_GRAFT_NO_CKPT"):
+        # plan-inspection escape: boundaries hide the algebraic plan
+        # behind a Scan ExistingRDD, so plan-shape tests and full-plan
+        # dumps set this to see (and assert on) the real subtree; the
+        # executed bench/driver path never sets it
+        return df
     target = _reliable_dir(df)
     if target is None:
         return df.localCheckpoint(eager=eager)

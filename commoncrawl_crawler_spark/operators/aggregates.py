@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from commoncrawl_crawler_spark.checkpointing import ckpt_lazy
 from commoncrawl_crawler_spark.functions.numeric import MONEY, PCT, dec, dsum, dsum_expr
 
 
@@ -679,9 +680,14 @@ def kmv_source_overlap(
     )
     # elements are word BIGRAMS: cross-source vocab overlap is near
     # total in web text, bigram overlap is discriminative
+    # words is consumed FOUR times (the hash/sketch chain, both sides
+    # of the exact-Jaccard semi-join, and the per-source sizes):
+    # without a boundary Catalyst re-plans -- and the runtime
+    # re-executes -- the bigram explode + distinct per reference
+    # (r9-opt: the multiply-referenced-subplan discipline)
     words = toks.select(
         "source", F.explode(bg_expr).alias("word")
-    ).distinct()
+    ).distinct().transform(ckpt_lazy)
     hashed = words.select(
         "source", F.md5("word").alias("h")
     )
@@ -696,9 +702,13 @@ def kmv_source_overlap(
     )
     # phase 2: final min-k over the bounded survivors
     w2 = Window.partitionBy("source").orderBy("h")
+    # the sketch feeds est, both union-sketch sides and both
+    # intersection semi-joins -- same sharing rationale as words
+    # (k rows per source: tiny to materialize)
     sketch = (
         partial.withColumn("_r", F.row_number().over(w2))
         .filter(F.col("_r") <= k)
+        .transform(ckpt_lazy)
     )
     # a sketch smaller than k IS the exact distinct set: estimate =
     # its size (the standard KMV small-side rule)

@@ -302,6 +302,10 @@ def ngram_jaccard_pairs(
             <= F.col("n") - F.floor(tl * F.col("n")) + F.lit(1)
         )
         .select("doc_id", "lang", "lb", "n", "tok")
+        # both sides of the candidate self-join read this prefix
+        # table; without a boundary the explode + df-join + window
+        # chain is planned and EXECUTED twice (r9-opt wave 3)
+        .transform(ckpt_lazy)
     )
     a, b = pre.alias("a"), pre.alias("b")
     cand = (
@@ -344,6 +348,10 @@ def ngram_jaccard_pairs(
             F.round(F.col("inter") / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+        # the result-ordering sort's range sampling would re-run the
+        # whole array_intersect verify (measured 2.2 s -> 4.4 s at
+        # sf0.1); materialize the small pair rows first (r9-opt)
+        .transform(ckpt_lazy)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -1257,17 +1265,20 @@ def editdist_pairs(
     probe_entries = []
     for n_off in range(kp1):  # target length n = m - n_off
         n_expr = m - n_off
+        n_ok = n_expr > k
         for i in range(kp1):
+            # hoist the per-(n, i) subtrees out of the shift loop:
+            # re-deriving them per probe entry made DataFrame
+            # CONSTRUCTION (pure py4j expression building) the
+            # dominant cost of the whole gate (r9-opt wave 3;
+            # expressions are unchanged, just shared)
             pl = seg_len(n_expr, i)
             pp = seg_pos(n_expr, i)
+            base_valid = n_ok & (pl > 0)
+            end_slack = pl - 1 - m  # q + end_slack <= 0 iff in-bounds
             for shift in range(-k, k + 1):
                 q = pp + shift
-                valid = (
-                    (n_expr > k)
-                    & (q >= 1)
-                    & (q + pl - 1 <= m)
-                    & (pl > 0)
-                )
+                valid = base_valid & (q >= 1) & (q + end_slack <= 0)
                 probe_entries.append(
                     F.when(
                         valid,
@@ -1309,6 +1320,9 @@ def editdist_pairs(
             F.expr(f"levenshtein(name_a, name_b, {k})").cast("long"),
         )
         .filter(F.col("distance") >= 0)
+        # the sort's range sampling would re-run the candidate join +
+        # verify; materialize the small pair rows first (r9-opt)
+        .transform(ckpt_lazy)
         .orderBy("name_a", "name_b")
     )
 

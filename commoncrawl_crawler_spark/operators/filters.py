@@ -184,26 +184,29 @@ def cidr_longest_prefix_match(
     before joining -- a repeated block must not multiply corpus rows.
     """
     ip = F.col(ip_col)
-    blocklist = blocklist.select("cidr_base", "prefix_len").distinct()
-    bad = (
-        blocklist.filter(
-            F.expr(
-                "pmod(cidr_base,"
-                " shiftleft(CAST(1 AS BIGINT), 32 - prefix_len)) != 0"
-            )
-        )
-        .limit(5)
-        .collect()
+    # The blocklist is broadcast-small by contract, so collect it ONCE
+    # and derive the alignment check, the distinct prefix lengths and
+    # the per-length join inputs driver-side: the old shape ran three
+    # separate Spark jobs (alignment probe, distinct-lengths collect,
+    # then a blocklist re-scan per broadcast build) before the corpus
+    # ever moved (guide 1.2: per-task work after algorithm -- these
+    # were pure fixed-overhead driver round-trips).
+    spark = df.sparkSession
+    rows = sorted(
+        {
+            (int(r[0]), int(r[1]))
+            for r in blocklist.select("cidr_base", "prefix_len").collect()
+        }
     )
+    bad = [
+        (base, ln) for base, ln in rows if base % (1 << (32 - ln)) != 0
+    ][:5]
     if bad:
         raise ValueError(
             "cidr_longest_prefix_match: blocklist rows are not "
-            f"prefix-aligned (host bits set): {[tuple(r) for r in bad]}"
+            f"prefix-aligned (host bits set): {bad}"
         )
-    lens = sorted(
-        (r[0] for r in blocklist.select("prefix_len").distinct().collect()),
-        reverse=True,
-    )
+    lens = sorted({ln for _, ln in rows}, reverse=True)
     if not lens:
         return df.select(
             "*",
@@ -212,10 +215,13 @@ def cidr_longest_prefix_match(
         )
     out = df
     for ln in lens:
-        bl = blocklist.filter(F.col("prefix_len") == ln).select(
-            F.shiftright(F.col("cidr_base"), 32 - ln).alias(f"_k{ln}"),
-            F.col("cidr_base").alias(f"_b{ln}"),
-            F.col("prefix_len").alias(f"_l{ln}"),
+        bl = spark.createDataFrame(
+            [
+                (base >> (32 - ln), base, ln)
+                for base, pl in rows
+                if pl == ln
+            ],
+            f"_k{ln} long, _b{ln} long, _l{ln} int",
         )
         out = out.join(
             F.broadcast(bl),

@@ -579,11 +579,16 @@ def hits_scores(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = edges.select("src", "dst").distinct()
+    # e is referenced 2x per iteration and nodes 2x per iteration plus
+    # once up front; without a boundary Catalyst re-plans (and the
+    # runtime re-executes) the scan+distinct per reference (r9-opt:
+    # the same multiply-referenced-subplan fix as triangle_counts)
+    e = edges.select("src", "dst").distinct().transform(ckpt_lazy)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .transform(ckpt_lazy)
     )
     hub = nodes.withColumn("hub", F.lit(1).cast("bigint"))
     auth = None

@@ -1833,6 +1833,9 @@ def dsir_importance_weights(
                 "dsir_score_micro"
             ),
         )
+        # result-ordering sort: sampling would re-run the scoring
+        # join; materialize the small per-doc rows first (r9-opt)
+        .transform(ckpt_lazy)
         .orderBy(F.desc("dsir_score_micro"), "doc_id")
     )
 
@@ -1980,6 +1983,8 @@ def stupid_backoff_scores(
                 "avg_surprisal_micro"
             ),
         )
+        # sort sampling would re-run the score join (r9-opt)
+        .transform(ckpt_lazy)
         .orderBy("doc_id")
     )
 
@@ -2210,7 +2215,10 @@ def kneser_ney_scores(
     )
     tri_c = tri_stream.groupBy("tri", "w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("c123")
-    )
+    # referenced by ctx12, mid_num, mid_den AND the score join:
+    # without a boundary the trigram explode + count re-executes per
+    # consumer (r9-opt: multiply-referenced-subplan discipline)
+    ).transform(ckpt_lazy)
     # continuation totals + distinct-continuation counts per context
     ctx12 = tri_c.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12"),
@@ -2230,6 +2238,8 @@ def kneser_ney_scores(
         .distinct()
         .select(F.split(F.col("bg"), " ", 2).alias("_p"))
         .select(F.col("_p")[0].alias("wp"), F.col("_p")[1].alias("w"))
+        # consumed by uni_cont and totals (r9-opt)
+        .transform(ckpt_lazy)
     )
     uni_cont = bg_types.groupBy("w").agg(
         F.count(F.lit(1)).alias("n1p_dotw")
@@ -2310,5 +2320,7 @@ def kneser_ney_scores(
                 "avg_surprisal_micro"
             ),
         )
+        # sort sampling would re-run the score join (r9-opt)
+        .transform(ckpt_lazy)
         .orderBy("doc_id")
     )

@@ -16,8 +16,20 @@ import __spark_entry__ as entrymod
 QUERIES = entrymod.queries()
 
 
-def _plan(spark, sf, name) -> str:
-    df = QUERIES[name](spark, sf)
+def _plan(spark, sf, name, see_through_ckpt: bool = False) -> str:
+    # checkpoint boundaries (r9-opt) truncate the visible plan to a
+    # Scan ExistingRDD; tests whose POSITIVE assertions live below a
+    # boundary pass see_through_ckpt=True to disable them for the
+    # plan build. Not the default: iterative gates RELY on boundaries
+    # to keep their plans bounded -- see-through there hangs analysis.
+    import os
+
+    if see_through_ckpt:
+        os.environ["SPARK_GRAFT_NO_CKPT"] = "1"
+    try:
+        df = QUERIES[name](spark, sf)
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_CKPT", None)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
@@ -88,7 +100,9 @@ def test_ngram_jaccard_intersects_via_partial_aggregation(spark, sf_smoke):
     """The token-level intersect count must run partial->final
     (map-side combine shrinks the (doc_a, doc_b) shuffle) and join
     tokens with an equi-join."""
-    plan = _plan(spark, sf_smoke, "dedup_ngram_jaccard")
+    plan = _plan(
+        spark, sf_smoke, "dedup_ngram_jaccard", see_through_ckpt=True
+    )
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
 
