@@ -2892,7 +2892,7 @@ def _fn_parse_cookies(s: SparkSession, d: str) -> DataFrame:
         "max_age",
         "secure",
         "httponly",
-    ).orderBy("key")
+    ).transform(_share_sort).orderBy("key")
 
 
 def _fn_extract_links(s: SparkSession, d: str) -> DataFrame:

@@ -1159,6 +1159,8 @@ def duplicate_span_trim(documents: DataFrame, min_len: int = 8) -> DataFrame:
             F.size("_kept").cast("bigint").alias("kept_tokens"),
             F.array_join("_kept", " ").alias("clean_text"),
         )
+        # sort sampling would re-run the span filter HOFs (r9-opt)
+        .transform(ckpt_lazy)
         .orderBy("doc_id")
     )
 

@@ -207,6 +207,8 @@ def parse_sitemap(
         " '(?s)<priority>\\\\s*(.*?)\\\\s*</priority>', 1) AS DOUBLE)"
     )
     priority_micro = F.floor(pr * 1e6 + F.lit(0.5)).cast("long")
+    from commoncrawl_crawler_spark.checkpointing import ckpt_lazy
+
     return (
         raw.select(
             "host",
@@ -217,5 +219,8 @@ def parse_sitemap(
             priority_micro.alias("priority_micro"),
         )
         .filter(F.col("loc").isNotNull())
+        # the result-ordering sort's range sampling would re-run both
+        # regex extraction passes over the blobs (r9-opt)
+        .transform(ckpt_lazy)
         .orderBy("host", "loc")
     )
