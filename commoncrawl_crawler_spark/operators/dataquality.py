@@ -45,10 +45,20 @@ def profile_table(
     for c in num_cols:
         aggs.append(F.min(_q(F.col(c))).alias(f"__min__{c}"))
         aggs.append(F.max(_q(F.col(c))).alias(f"__max__{c}"))
+    # string min/max go in a SEPARATE no-key aggregate: a string-typed
+    # aggregation buffer disqualifies HashAggregate, and when mixed
+    # into the multi-countDistinct aggregate it forced the whole
+    # Expand(x n_cols+1) pipeline through Sort + SortAggregate --
+    # measured 2.1 s vs 0.x s noop on a 150k-row table at sf0.1.
+    # Split out, the Expand path hash-aggregates (all-long buffers)
+    # and the string pass is one cheap ungrouped partial+final agg.
+    str_aggs = []
     for c in str_cols:
-        aggs.append(F.min(F.col(c)).alias(f"__smin__{c}"))
-        aggs.append(F.max(F.col(c)).alias(f"__smax__{c}"))
+        str_aggs.append(F.min(F.col(c)).alias(f"__smin__{c}"))
+        str_aggs.append(F.max(F.col(c)).alias(f"__smax__{c}"))
     row = df.agg(*aggs)
+    if str_aggs:
+        row = row.crossJoin(df.agg(*str_aggs))
     parts = []
     for c in num_cols:
         parts.append(

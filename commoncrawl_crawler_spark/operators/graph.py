@@ -170,27 +170,33 @@ def pagerank(
     # iteration replays the source scan + distinct + degree join
     nodes = graph_nodes(edges).transform(ckpt_lazy)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
-    # fuse static per-edge divisor once: contribution = rank(src)/out_cnt(src)
+    # fuse static per-edge divisor once: contribution = rank(src)/out_cnt(src).
+    # A zero-contribution self row per node (out_cnt = 2^62, so
+    # rank_i DIV out_cnt == 0 for any reachable rank) makes the
+    # per-step groupBy('dst') cover EVERY node, which removes the
+    # left join that only re-attached zero-in-degree nodes -- one
+    # join + its exchanges gone from every iteration, exact integer
+    # results unchanged (r9-opt wave 5, guide 2.4: remove shuffles
+    # outright; A/B 17.4 -> 9.5 s on the converged loop, ranks
+    # bit-identical).
     edge_w = (
         edges.join(out_deg, "src")
         .select("src", "dst", "out_cnt")
+        .unionByName(_self_rows(nodes))
         .transform(ckpt_lazy)
     )
 
     ranks = nodes.withColumn("rank_i", F.lit(RANK_SCALE).cast("long"))
     for _ in range(iterations):
-        contribs = (
+        ranks = (
             edge_w.join(ranks, edge_w["src"] == ranks["node"])
             .groupBy("dst")
             .agg(F.sum(F.expr("rank_i DIV out_cnt")).alias("recv"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
             .select(
-                "node",
+                F.col("dst").alias("node"),
                 (
                     F.lit(base_i).cast("long")
-                    + F.expr(f"(coalesce(recv, 0) * {damp_num}) DIV {damp_den}")
+                    + F.expr(f"(recv * {damp_num}) DIV {damp_den}")
                 ).alias("rank_i"),
             )
             .transform(ckpt_lazy)
@@ -198,6 +204,23 @@ def pagerank(
     return ranks.select(
         "node", F.round(F.col("rank_i") / RANK_SCALE, 6).alias("rank")
     ).orderBy("node")
+
+
+def _self_rows(nodes: DataFrame) -> DataFrame:
+    """One (node, node, 2^62) row per node: joins like an edge, but
+    `rank DIV 2^62` contributes exactly 0 for any fixed-point rank
+    (total mass is far below 2^62), so a groupBy over the augmented
+    edge table yields one row for EVERY node -- including zero-in-
+    degree nodes -- without a separate left join per iteration. The
+    self row also lets a step read the node's own previous state:
+    `max(when(src == dst, <state>))` (a real (n, n) data edge may
+    match too, but it carries the same node's state, so the max is
+    unchanged)."""
+    return nodes.select(
+        F.col("node").alias("src"),
+        F.col("node").alias("dst"),
+        F.lit(1 << 62).alias("out_cnt"),
+    )
 
 
 def pagerank_converged(
@@ -239,9 +262,13 @@ def pagerank_converged(
     base_i = (damp_den - damp_num) * RANK_SCALE // damp_den
     nodes = graph_nodes(edges).transform(ckpt_lazy)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
+    # self rows (see _self_rows): the groupBy covers every node and
+    # carries the node's own previous rank, removing the per-step
+    # left join (r9-opt wave 5; exact results unchanged)
     edge_w = (
         edges.join(out_deg, "src")
         .select("src", "dst", "out_cnt")
+        .unionByName(_self_rows(nodes))
         .transform(ckpt_lazy)
     )
 
@@ -249,18 +276,23 @@ def pagerank_converged(
         raise ValueError("max_iterations must be a steps_per_check multiple")
 
     def _step(r: DataFrame) -> DataFrame:
-        contribs = (
+        return (
             edge_w.join(r, edge_w["src"] == r["node"])
             .groupBy("dst")
-            .agg(F.sum(F.expr("rank_i DIV out_cnt")).alias("recv"))
-        )
-        return r.join(contribs, r["node"] == contribs["dst"], "left").select(
-            "node",
-            F.col("rank_i").alias("_prev_i"),
-            (
-                F.lit(base_i).cast("long")
-                + F.expr(f"(coalesce(recv, 0) * {damp_num}) DIV {damp_den}")
-            ).alias("rank_i"),
+            .agg(
+                F.sum(F.expr("rank_i DIV out_cnt")).alias("recv"),
+                F.max(
+                    F.when(F.col("src") == F.col("dst"), F.col("rank_i"))
+                ).alias("_prev"),
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.col("_prev").alias("_prev_i"),
+                (
+                    F.lit(base_i).cast("long")
+                    + F.expr(f"(recv * {damp_num}) DIV {damp_den}")
+                ).alias("rank_i"),
+            )
         )
 
     ranks = nodes.withColumn("rank_i", F.lit(RANK_SCALE).cast("long"))
@@ -330,15 +362,34 @@ def pagerank_root_averaged(
         ).withColumn("is_super", F.coalesce(F.col("is_super"), F.lit(False)))
     else:
         edge_w = edge_w.withColumn("is_super", F.lit(False))
-    # loop-invariant: materialize once, not once per iteration
-    edge_w = edge_w.transform(ckpt_lazy)
+    # self rows (see _self_rows) put every node in the per-step
+    # groupBys, removing the left join per iteration. `is_self` is a
+    # GROUPING key so a self row can never merge into (and change the
+    # averaging divisor of) a real (dst, src_root) group; its own
+    # group contributes ssum DIV cnt = 0 DIV 1 = 0 (r9-opt wave 5,
+    # exact results unchanged).
+    edge_w = (
+        edge_w.withColumn("is_self", F.lit(False))
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(1 << 62).alias("out_cnt"),
+                F.lit(None).cast("string").alias("src_root"),
+                F.lit(False).alias("is_super"),
+                F.lit(True).alias("is_self"),
+            )
+        )
+        # loop-invariant: materialize once, not once per iteration
+        .transform(ckpt_lazy)
+    )
 
     ranks = nodes.withColumn("rank_i", F.lit(RANK_SCALE).cast("long"))
     for _ in range(iterations):
         per_root = (
             edge_w.join(ranks, edge_w["src"] == ranks["node"])
             .withColumn("contrib", F.expr("rank_i DIV out_cnt"))
-            .groupBy("dst", "src_root", "is_super")
+            .groupBy("dst", "src_root", "is_super", "is_self")
             .agg(
                 F.sum("contrib").alias("ssum"),
                 F.count(F.lit(1)).alias("cnt"),
@@ -351,17 +402,13 @@ def pagerank_root_averaged(
                 )
             ).alias("recv")
         )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base_i).cast("long")
-                    + F.expr(f"(coalesce(recv, 0) * {damp_num}) DIV {damp_den}")
-                ).alias("rank_i"),
-            )
-            .transform(ckpt_lazy)
-        )
+        ranks = contribs.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(base_i).cast("long")
+                + F.expr(f"(recv * {damp_num}) DIV {damp_den}")
+            ).alias("rank_i"),
+        ).transform(ckpt_lazy)
     return ranks.select(
         "node", F.round(F.col("rank_i") / RANK_SCALE, 6).alias("rank")
     ).orderBy("node")
@@ -590,27 +637,36 @@ def hits_scores(
         .distinct()
         .transform(ckpt_lazy)
     )
+    # weight-0 self rows make each half-step's groupBy cover every
+    # node (sum(score * w) adds exactly 0 for them), removing the
+    # per-half-step left join that re-attached isolated-side nodes
+    # (r9-opt wave 5, same discipline as the pagerank self rows;
+    # exact integer results unchanged)
+    ew = (
+        e.withColumn("w", F.lit(1).cast("bigint"))
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(0).cast("bigint").alias("w"),
+            )
+        )
+        .transform(ckpt_lazy)
+    )
     hub = nodes.withColumn("hub", F.lit(1).cast("bigint"))
     auth = None
     for _ in range(iterations):
         auth = (
-            e.join(hub, e["src"] == hub["node"])
+            ew.join(hub, ew["src"] == hub["node"])
             .groupBy("dst")
-            .agg(F.sum("hub").alias("auth"))
-        )
-        auth = (
-            nodes.join(auth, nodes["node"] == auth["dst"], "left")
-            .select(
-                "node", F.coalesce("auth", F.lit(0)).cast("bigint").alias("auth")
-            )
+            .agg(F.sum(F.col("hub") * F.col("w")).alias("auth"))
+            .select(F.col("dst").alias("node"), "auth")
         )
         hub = (
-            e.join(auth, e["dst"] == auth["node"])
+            ew.join(auth, ew["dst"] == auth["node"])
             .groupBy("src")
-            .agg(F.sum("auth").alias("hub"))
-        )
-        hub = nodes.join(hub, nodes["node"] == hub["src"], "left").select(
-            "node", F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub")
+            .agg(F.sum(F.col("auth") * F.col("w")).alias("hub"))
+            .select(F.col("src").alias("node"), "hub")
         )
         if rescale_bits > 0:
             auth = auth.select(
@@ -895,14 +951,14 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
                 "label", F.struct(F.col("cnt"), (-F.col("label")))
             ).alias("label")
         )
-        labels = (
-            nodes.join(new, nodes["node"] == new["v"], "left")
-            .select(
-                "node",
-                F.coalesce(new["label"], F.col("node")).alias("label"),
-            )
-            .transform(ckpt_lazy)
-        )
+        # `new` covers the node set exactly: every node is a src of
+        # the symmetric, self-loop-free edge table, so each has >= 1
+        # neighbor row and one argmax group. The former left join
+        # against `nodes` only re-attached rows that cannot be
+        # missing -- dropped (r9-opt wave 5, results unchanged).
+        labels = new.select(
+            F.col("v").alias("node"), "label"
+        ).transform(ckpt_lazy)
     return labels.select(
         "node", F.col("label").alias("community")
     ).orderBy("node")
@@ -944,9 +1000,26 @@ def pagerank_personalized(
         .transform(ckpt_lazy)
     )
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
+    # self rows (see _self_rows), here additionally carrying the
+    # dst node's loop-invariant seed flag (real edge rows carry NULL,
+    # so max() reads it back per group): removes the per-step left
+    # join against the node table (r9-opt wave 5, results unchanged)
     edge_w = (
         edges.join(out_deg, "src")
-        .select("src", "dst", "out_cnt")
+        .select(
+            "src",
+            "dst",
+            "out_cnt",
+            F.lit(None).cast("boolean").alias("_seed_self"),
+        )
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(1 << 62).alias("out_cnt"),
+                F.col("is_seed").alias("_seed_self"),
+            )
+        )
         .transform(ckpt_lazy)
     )
     restart = F.when(F.col("is_seed"), F.lit(base_i)).otherwise(0).cast("long")
@@ -955,21 +1028,18 @@ def pagerank_personalized(
         F.when(F.col("is_seed"), F.lit(RANK_SCALE)).otherwise(0).cast("long"),
     )
     for _ in range(iterations):
-        contribs = (
+        ranks = (
             edge_w.join(ranks, edge_w["src"] == ranks["node"])
             .groupBy("dst")
-            .agg(F.sum(F.expr("rank_i DIV out_cnt")).alias("recv"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .agg(
+                F.sum(F.expr("rank_i DIV out_cnt")).alias("recv"),
+                F.max("_seed_self").alias("is_seed"),
+            )
             .select(
-                "node",
+                F.col("dst").alias("node"),
                 "is_seed",
                 (
-                    restart
-                    + F.expr(
-                        f"(coalesce(recv, 0) * {damp_num}) DIV {damp_den}"
-                    )
+                    restart + F.expr(f"(recv * {damp_num}) DIV {damp_den}")
                 ).alias("rank_i"),
             )
             .transform(ckpt_lazy)
@@ -1595,45 +1665,58 @@ def opic(edges: DataFrame, iterations: int = 4) -> DataFrame:
     """
     nodes = graph_nodes(edges).transform(ckpt_lazy)
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
+    # self rows (see _self_rows) carry each node's own previous
+    # (cash, hist) into the per-round groupBy, removing the per-round
+    # left join; the dangling-node test (no outgoing edges) is
+    # loop-invariant, so it becomes a `dang` flag carried in the
+    # state instead of a per-round anti join (r9-opt wave 5, exact
+    # results unchanged)
     edge_w = (
         edges.select("src", "dst")
         .join(out_deg, "src")
+        .select("src", "dst", "out_cnt")
+        .unionByName(_self_rows(nodes))
         .transform(ckpt_lazy)
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
 
-    state = nodes.select(
+    state = nodes.join(
+        out_deg, nodes["node"] == out_deg["src"], "left"
+    ).select(
         "node",
         F.lit(1_000_000).cast("bigint").alias("cash_micro"),
         F.lit(0).cast("bigint").alias("hist_micro"),
+        F.col("src").isNull().alias("dang"),
     )
+    is_self = F.col("src") == F.col("dst")
     for _ in range(iterations):
-        recv = (
-            edge_w.join(state, edge_w["src"] == state["node"])
-            .groupBy("dst")
-            .agg(F.sum(F.expr("cash_micro DIV out_cnt")).alias("_recv"))
-        )
-        dangling = (
-            state.join(out_deg, state["node"] == out_deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("cash_micro"), F.lit(0)).alias("_dang"))
+        dangling = state.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dang"), F.col("cash_micro"))), F.lit(0)
+            ).alias("_dang")
         )
         state = (
-            state.join(recv, state["node"] == recv["dst"], "left")
+            edge_w.join(state, edge_w["src"] == state["node"])
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr("cash_micro DIV out_cnt")).alias("_recv"),
+                F.max(F.when(is_self, F.col("cash_micro"))).alias("_cash"),
+                F.max(F.when(is_self, F.col("hist_micro"))).alias("_hist"),
+                F.max(F.when(is_self, F.col("dang"))).alias("_dang_f"),
+            )
             .crossJoin(F.broadcast(dangling))
             .crossJoin(F.broadcast(n_nodes))
             .select(
-                "node",
-                (
-                    F.coalesce("_recv", F.lit(0))
-                    + F.expr("_dang DIV _n")
-                ).cast("bigint").alias("cash_micro"),
-                (F.col("hist_micro") + F.col("cash_micro")).alias(
-                    "hist_micro"
-                ),
+                F.col("dst").alias("node"),
+                (F.col("_recv") + F.expr("_dang DIV _n"))
+                .cast("bigint")
+                .alias("cash_micro"),
+                (F.col("_hist") + F.col("_cash")).alias("hist_micro"),
+                F.col("_dang_f").alias("dang"),
             )
             .transform(ckpt_eager)
         )
-    return state.orderBy("node")
+    return state.select("node", "cash_micro", "hist_micro").orderBy("node")
 
 
 def hyperball_neighborhood(

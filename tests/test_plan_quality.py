@@ -307,6 +307,8 @@ def test_census_no_cartesians_bnlj_allowlisted(spark, sf_smoke):
         "graph_bowtie",  # 1-row core-scc-id broadcast
         "evt_funnel",  # 1-row step-0 count broadcast (conversion base)
         "layout_consistent_hash",  # 128-row ring broadcast (successor join)
+        "dq_profile_orders",  # 1-row string-min/max agg crossJoin (the
+        # split that keeps the countDistinct Expand hash-aggregable)
     }
     bnlj = {
         n for n, r in counted.items() if r["broadcast_nested_loop_joins"]
