@@ -211,6 +211,22 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the ExactSubstr maximal-duplicated-interval table feeds BOTH
+    # text_duplicate_spans and text_duplicate_trim; its shingle
+    # explode + corpus-frequency window dominates each gate -- build
+    # once per (session, sf) (r9-opt wave 6, the _minhash_pairs
+    # discipline; per-doc interval rows, small at any scale)
+    return _cached(
+        spark,
+        "dup_spans8",
+        sf_dir,
+        lambda: textstats.duplicate_spans_table(
+            _t(spark, sf_dir, "documents"), min_len=8
+        ),
+    )
+
+
 def _simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the iterative star-contraction over the LSH pair graph is the
     # single most expensive shared stage (multiple jobs); its label
@@ -4964,14 +4980,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         # ExactSubstr duplicated-span profile (Lee et al. 2022):
-        # maximal >=8-token runs occurring twice anywhere in the corpus
+        # maximal >=8-token runs occurring twice anywhere in the
+        # corpus. The span table (shingle explode + corpus window)
+        # dominates BOTH ExactSubstr gates and is identical between
+        # them -- built once per (session, sf) via the _cached idiom
+        # and passed through the spans= seam (r9-opt wave 6)
         "text_duplicate_spans": lambda s, d: textstats.duplicate_span_profile(
-            _t(s, d, "documents"), min_len=8
+            _t(s, d, "documents"), min_len=8, spans=_dup_spans(s, d)
         ),
         # the actionable half: remove every duplicated span, rebuild
         # the surviving text in order
         "text_duplicate_trim": lambda s, d: textstats.duplicate_span_trim(
-            _t(s, d, "documents"), min_len=8
+            _t(s, d, "documents"), min_len=8, spans=_dup_spans(s, d)
         ),
         # local clustering coefficients over the co-purchase graph
         "graph_clustering_coeff": lambda s, d: graph.clustering_coefficients(

@@ -1261,43 +1261,48 @@ def editdist_pairs(
         ).alias("sg"),
     ).select("name_r", "n", F.col("sg.segno"), F.col("sg.seg"))
 
-    m = F.length("name")
+    # The (k+1)^2 * (2k+1) probe entries are generated as ONE SQL
+    # string parsed JVM-side in a single call: building the same tree
+    # through py4j Column operators (~8 calls per entry, 45 entries
+    # at k=2) made DataFrame CONSTRUCTION the dominant cost of the
+    # whole gate even after wave-3's subtree hoisting (measured 4x
+    # cheaper as a parsed string on the 45-entry shape; r9-opt wave
+    # 6). The SQL mirrors seg_len/seg_pos exactly: `/` is double
+    # division then CAST(... AS INT) in both forms, so every value
+    # -- and the gate's output -- is unchanged.
+    m_sql = "length(name)"
     probe_entries = []
     for n_off in range(kp1):  # target length n = m - n_off
-        n_expr = m - n_off
-        n_ok = n_expr > k
+        n_sql = f"({m_sql} - {n_off})"
+        base_sql = f"CAST({n_sql}/{kp1} AS INT)"
+        mod_sql = f"({n_sql} % {kp1})"
         for i in range(kp1):
-            # hoist the per-(n, i) subtrees out of the shift loop:
-            # re-deriving them per probe entry made DataFrame
-            # CONSTRUCTION (pure py4j expression building) the
-            # dominant cost of the whole gate (r9-opt wave 3;
-            # expressions are unchanged, just shared)
-            pl = seg_len(n_expr, i)
-            pp = seg_pos(n_expr, i)
-            base_valid = n_ok & (pl > 0)
-            end_slack = pl - 1 - m  # q + end_slack <= 0 iff in-bounds
+            pl = (
+                f"({base_sql} + (CASE WHEN {i} >= {kp1} - {mod_sql} "
+                f"THEN 1 ELSE 0 END))"
+            )
+            pp = (
+                f"(1 + {i} * {base_sql} "
+                f"+ greatest(0, {i} - ({kp1} - {mod_sql})))"
+            )
+            base_valid = f"{n_sql} > {k} AND {pl} > 0"
+            end_slack = f"({pl} - 1 - {m_sql})"  # q + slack <= 0 iff ok
             for shift in range(-k, k + 1):
-                q = pp + shift
-                valid = base_valid & (q >= 1) & (q + end_slack <= 0)
+                q = f"({pp} + {shift})" if shift else pp
                 probe_entries.append(
-                    F.when(
-                        valid,
-                        F.struct(
-                            F.lit(i).alias("segno"),
-                            n_expr.alias("n"),
-                            F.substring(F.col("name"), q, pl).alias("sub"),
-                        ),
-                    )
+                    f"CASE WHEN {base_valid} AND {q} >= 1 "
+                    f"AND {q} + {end_slack} <= 0 "
+                    f"THEN struct({i} AS segno, {n_sql} AS n, "
+                    f"substring(name, {q}, {pl}) AS sub) END"
                 )
+    probe_sql = (
+        "array_distinct(filter(array("
+        + ",".join(probe_entries)
+        + "), x -> x IS NOT NULL))"
+    )
     probe = names.select(
         F.col("name").alias("name_s"),
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.array(*probe_entries), lambda x: x.isNotNull()
-                )
-            )
-        ).alias("pr"),
+        F.explode(F.expr(probe_sql)).alias("pr"),
     ).select("name_s", F.col("pr.segno"), F.col("pr.n"), F.col("pr.sub"))
 
     cand = (

@@ -1247,6 +1247,17 @@ def condensation_levels(
 
     clo = transitive_closure(edges) if closure is None else closure
     scc = strongly_connected_components(edges, closure=clo)
+    comps = (
+        scc.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .transform(ckpt_eager)
+    )
+    # weight-1 real condensation edges plus a weight-0 self row per
+    # SCC: max(plevel + w) over the group is then exactly
+    # greatest(own level, max(predecessor level) + 1), which removes
+    # the per-round left join that re-attached source components
+    # (r9-opt wave 6, the pagerank self-row discipline; results
+    # unchanged)
     cedges = (
         edges.join(
             scc.withColumnRenamed("node", "src").withColumnRenamed(
@@ -1263,18 +1274,21 @@ def condensation_levels(
         .select("csrc", "cdst")
         .filter(F.col("csrc") != F.col("cdst"))
         .distinct()
-        .transform(ckpt_eager)
-    )
-    comps = (
-        scc.groupBy("scc_id")
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select("csrc", "cdst", F.lit(1).cast("bigint").alias("w"))
+        .unionByName(
+            comps.select(
+                F.col("scc_id").alias("csrc"),
+                F.col("scc_id").alias("cdst"),
+                F.lit(0).cast("bigint").alias("w"),
+            )
+        )
         .transform(ckpt_eager)
     )
     levels = comps.select("scc_id", F.lit(0).cast("bigint").alias("level"))
     prev_sig = None
     for _ in range(max_rounds):
         obs = Observation()
-        bumped = (
+        levels = (
             cedges.join(
                 levels.withColumnRenamed("scc_id", "csrc").withColumnRenamed(
                     "level", "plevel"
@@ -1282,16 +1296,7 @@ def condensation_levels(
                 "csrc",
             )
             .groupBy(F.col("cdst").alias("scc_id"))
-            .agg((F.max("plevel") + 1).alias("blevel"))
-        )
-        levels = (
-            levels.join(bumped, "scc_id", "left")
-            .select(
-                "scc_id",
-                F.greatest(
-                    F.col("level"), F.coalesce("blevel", F.lit(0))
-                ).alias("level"),
-            )
+            .agg(F.max(F.col("plevel") + F.col("w")).alias("level"))
             .observe(
                 obs,
                 F.sum(F.col("level").cast("decimal(38,0)")).alias("s"),

@@ -993,7 +993,19 @@ def bm25_scores(
     )
 
 
-def duplicate_span_profile(documents: DataFrame, min_len: int = 8) -> DataFrame:
+def duplicate_spans_table(documents: DataFrame, min_len: int = 8) -> DataFrame:
+    """The maximal-duplicated-interval table (doc_id, _isl, _s, _e)
+    both ExactSubstr gates consume -- exposed so a caller can build
+    it ONCE per (session, corpus) and pass it to
+    duplicate_span_profile and duplicate_span_trim via `spans=` (the
+    dedup `pairs=` sharing idiom): the shingle explode + corpus
+    window is by far the dominant cost of both (r9-opt wave 6)."""
+    return _duplicate_span_tables(documents, min_len)[1]
+
+
+def duplicate_span_profile(
+    documents: DataFrame, min_len: int = 8, spans: DataFrame | None = None
+) -> DataFrame:
     """Exact duplicated-substring spans -- the ExactSubstr discipline
     of Lee et al. 2022 ("Deduplicating Training Data Makes Language
     Models Better"): any run of >= min_len tokens that occurs at least
@@ -1021,7 +1033,9 @@ def duplicate_span_profile(documents: DataFrame, min_len: int = 8) -> DataFrame:
     the fraction is integer micro-units via DIV, bit-identical on any
     engine and partitioning.
     """
-    base, spans = _duplicate_span_tables(documents, min_len)
+    base = _span_base(documents)
+    if spans is None:
+        spans = _duplicate_span_tables(documents, min_len)[1]
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("dup_spans"),
         F.sum(F.col("_e") - F.col("_s") + min_len)
@@ -1055,6 +1069,13 @@ def duplicate_span_profile(documents: DataFrame, min_len: int = 8) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _span_base(documents: DataFrame) -> DataFrame:
+    """(doc_id, _arr hoisted token array) -- the cheap, shuffle-free
+    projection both ExactSubstr consumers rebuild locally."""
+    arr = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    return documents.select("doc_id", arr.alias("_arr"))
+
+
 def _duplicate_span_tables(
     documents: DataFrame, min_len: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -1064,8 +1085,7 @@ def _duplicate_span_tables(
     START positions -- token coverage is [_s, _e + min_len - 1]."""
     from pyspark.sql import Window
 
-    arr = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
-    base = documents.select("doc_id", arr.alias("_arr"))
+    base = _span_base(documents)
     sigs = F.when(
         F.size("_arr") >= min_len,
         F.transform(
@@ -1109,7 +1129,9 @@ def _duplicate_span_tables(
     return base, spans
 
 
-def duplicate_span_trim(documents: DataFrame, min_len: int = 8) -> DataFrame:
+def duplicate_span_trim(
+    documents: DataFrame, min_len: int = 8, spans: DataFrame | None = None
+) -> DataFrame:
     """The actionable half of ExactSubstr dedup (Lee et al. 2022):
     REMOVE every maximal duplicated >= min_len-token span and
     reassemble the survivors in order -- the paper's drop-the-span
@@ -1125,7 +1147,9 @@ def duplicate_span_trim(documents: DataFrame, min_len: int = 8) -> DataFrame:
 
     Output: (doc_id, n_tokens, kept_tokens, clean_text).
     """
-    base, spans = _duplicate_span_tables(documents, min_len)
+    base = _span_base(documents)
+    if spans is None:
+        spans = _duplicate_span_tables(documents, min_len)[1]
     span_arr = spans.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("_s", "_e"))).alias("_spans")
     )
@@ -1778,10 +1802,13 @@ def dsir_importance_weights(
             % B
         ).alias("bucket"),
     )
-    # one full-volume reduction; everything below is bucket-grain
+    # one full-volume reduction; everything below is bucket-grain.
+    # Boundary: doc_feats feeds BOTH the lambda-table branch and the
+    # scoring join -- without it Catalyst re-analyzes and the runtime
+    # re-executes the explode+reduce per reference (r9-opt wave 6)
     doc_feats = feats.groupBy("doc_id", "lang", "bucket").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).transform(ckpt_lazy)
     # ONE aggregation carries both distributions (conditional sum for
     # the target) -- a raw/target split pair would let Catalyst push
     # the lang filter into a SEPARATE scan lineage and forfeit the

@@ -269,9 +269,14 @@ def ranks(host_edges: DataFrame, iterations: int = 3) -> DataFrame:
         F.col("rank").alias("pagerank"),
     )
     ids = dense_node_ids(host_edges, "src_host_rev", "dst_host_rev")
+    # referenced twice (ordinal key build + final join): boundary so
+    # the pagerank-output join is planned and executed once (r9-opt
+    # wave 6, the multiply-referenced-subplan discipline)
+    from commoncrawl_crawler_spark.checkpointing import ckpt_lazy
+
     scored = pr.join(
         ids.withColumnRenamed("name", "host_rev"), "host_rev"
-    )
+    ).transform(ckpt_lazy)
     # monotone encoding: bigger score -> lexicographically smaller
     # key; floor(x*1e6+0.5) recovers the fixed-point integer exactly
     # (bare cast of a double product can land one ulp low). 10^18
