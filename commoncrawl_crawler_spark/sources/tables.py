@@ -30,6 +30,19 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Plan memo: the UNEXECUTED DataFrame (logical plan) per
+# (applicationId, path). spark.read.parquet re-lists the path and
+# re-reads parquet footers for schema inference on EVERY call --
+# measured ~60-125 ms of driver-side work per call on this box -- and
+# a 280-query x 3-pass bench issues >1500 such calls for the same ten
+# immutable paths. Reusing the DataFrame object skips only that
+# driver-side re-inference; it caches NO data and NO results -- every
+# action on the returned frame still scans the parquet files
+# (r9-opt wave 7, guide 6: file-listing/planning cost is driver-side,
+# pay it once per session). Keyed by applicationId so a restarted
+# session never sees plans bound to a stopped SparkContext.
+_PLAN_MEMO: dict = {}
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one named parquet table from a scale-factor directory.
@@ -48,7 +61,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     - Legacy LTZ sessions: cast to NTZ (exact under UTC).
     """
     base = sf_dir or DEFAULT_SF_DIR
-    df = spark.read.parquet(f"{base}/{name}.parquet")
+    path = f"{base}/{name}.parquet"
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _PLAN_MEMO if k[0] != app]:
+        del _PLAN_MEMO[k]
+    key = (app, path)
+    hit = _PLAN_MEMO.get(key)
+    if hit is not None:
+        return hit
+    df = spark.read.parquet(path)
     for field in df.schema.fields:
         if field.name != "ts":
             continue
@@ -61,6 +82,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             # arithmetic (an LTZ->NTZ cast would render in the
             # caller's session timezone instead)
             df = df.withColumn("ts", ntz_from_epoch_micros(F.unix_micros("ts")))
+    _PLAN_MEMO[key] = df
     return df
 
 
