@@ -3682,6 +3682,10 @@ def _robots_rfc9309_gate(s: SparkSession, d: str) -> DataFrame:
     return (
         robots.robots_allowed_rfc9309(urls, rules)
         .select("doc_id", "host", "path", "allowed")
+        # pre-sort boundary: the range partitioner's sampling job was
+        # re-running the verdict join chain (r9-opt wave 7, the wave-2
+        # _share_sort discipline)
+        .transform(_share_sort)
         .orderBy("doc_id")
     )
 

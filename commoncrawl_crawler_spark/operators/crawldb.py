@@ -253,88 +253,74 @@ def full_status_records_from_events(events: DataFrame) -> DataFrame:
     else 200 (html or feed by %3). All derived fields are pure column
     arithmetic so a SQL oracle can replay them exactly.
     """
-    eid = F.col("event_id")
-    is_fail = eid % 11 == 0
-    http = (
-        F.when(is_fail, F.lit(None).cast("int"))
-        .when(eid % 7 == 0, F.lit(301))
-        .when(eid % 5 == 0, F.lit(404))
-        .otherwise(F.lit(200))
+    # The projection is generated as SQL text parsed JVM-side in two
+    # selectExpr calls instead of ~2k py4j Column round trips (r9-opt
+    # wave 7, guide 1.2 fixed per-query work; the wave-6 PassJoin
+    # precedent). Expressions mirror the original Column tree exactly.
+    base = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).selectExpr(
+        "user_id",
+        "event_id",
+        "event_id % 11 = 0 AS _fail",
+        "CASE WHEN event_id % 11 = 0 THEN CAST(NULL AS INT)"
+        " WHEN event_id % 7 = 0 THEN 301"
+        " WHEN event_id % 5 = 0 THEN 404 ELSE 200 END AS _http",
+    ).selectExpr(
+        "user_id",
+        "event_id",
+        "_fail",
+        "_http",
+        "(NOT _fail) AND _http >= 200 AND _http <= 299 AS _2xx",
+        "(NOT _fail) AND _http >= 300 AND _http <= 399 AS _3xx",
     )
-    attempt_time = (F.lit(1_700_000_000_000) + eid).alias("attempt_time")
-    is_2xx = ~is_fail & (http >= 200) & (http <= 299)
-    is_3xx = ~is_fail & (http >= 300) & (http <= 399)
-    parsed_as = F.when(
-        is_2xx, F.when(eid % 3 == 0, F.lit("feed")).otherwise(F.lit("html"))
-    )
-    return events.filter(F.col("event_type").isin("click", "purchase")).select(
-        F.col("user_id").alias("key"),
-        attempt_time,
-        F.when(is_fail, F.lit("FAILURE")).otherwise(F.lit("SUCCESS")).alias(
-            "disposition"
-        ),
-        http.alias("http_result"),
-        F.when(
-            ~is_fail,
-            F.concat_ws(
-                ".",
-                (eid % 223 + 1).cast("string"),
-                (eid % 256).cast("string"),
-                (eid * 7 % 256).cast("string"),
-                (eid * 13 % 256).cast("string"),
-            ),
-        ).alias("server_ip"),
-        F.when(is_2xx, (eid % 9973).cast("int")).alias("content_len"),
-        F.when(
-            is_2xx,
-            F.when(parsed_as == "feed", F.lit("application/atom+xml")).otherwise(
-                F.lit("text/html")
-            ),
-        ).alias("mime_type"),
-        F.when(is_2xx, F.md5(eid.cast("string"))).alias("md5"),
-        F.when(is_2xx, (eid % 100_000) * 2_654_435_761).alias("text_simhash"),
-        parsed_as.alias("parsed_as"),
-        F.when(is_2xx, F.concat(F.lit("title-"), eid.cast("string"))).alias(
-            "title"
-        ),
-        F.when(
-            is_3xx,
-            F.concat(F.lit("http://redirect.example.com/"), eid.cast("string")),
-        ).alias("target_url"),
-        F.when(is_fail, F.lit("IOException")).alias("failure_reason"),
-        F.when(
-            is_fail, F.concat(F.lit("detail-"), eid.cast("string"))
-        ).alias("failure_detail"),
-        F.when(~is_fail, F.lit(1_700_000_000_000) + eid - eid % 3600).alias(
-            "http_date"
-        ),
-        F.when(
-            ~is_fail, F.lit(1_700_000_000_000) + eid - eid % 3600 - eid % 86400
-        ).alias("http_last_modified"),
-        F.when(~is_fail, F.substring(F.md5(eid.cast("string")), 1, 8)).alias(
-            "etag"
-        ),
-        F.when(is_2xx & (parsed_as == "html"), (eid % 10).cast("int")).alias(
-            "intra_domain_links"
-        ),
-        F.when(is_2xx & (parsed_as == "html"), (eid % 7).cast("int")).alias(
-            "intra_root_links"
-        ),
-        F.when(is_2xx & (parsed_as == "html"), (eid % 13).cast("int")).alias(
-            "inter_domain_links"
-        ),
-        F.when(
-            is_2xx & (parsed_as == "html"),
-            F.transform(
-                F.sequence(F.lit(0), (eid % 4).cast("int")),
-                lambda i: F.concat(
-                    F.lit("http://ext"),
-                    ((eid + i) % 50).cast("string"),
-                    F.lit(".example.com/p"),
-                    i.cast("string"),
-                ),
-            ),
-        ).alias("ext_hrefs"),
+    return base.selectExpr(
+        "user_id AS key",
+        "1700000000000 + event_id AS attempt_time",
+        "CASE WHEN _fail THEN 'FAILURE' ELSE 'SUCCESS' END AS disposition",
+        "_http AS http_result",
+        "CASE WHEN NOT _fail THEN concat_ws('.',"
+        " CAST(event_id % 223 + 1 AS STRING),"
+        " CAST(event_id % 256 AS STRING),"
+        " CAST(event_id * 7 % 256 AS STRING),"
+        " CAST(event_id * 13 % 256 AS STRING)) END AS server_ip",
+        "CASE WHEN _2xx THEN CAST(event_id % 9973 AS INT) END AS content_len",
+        "CASE WHEN _2xx THEN CASE WHEN"
+        " (CASE WHEN _2xx THEN CASE WHEN event_id % 3 = 0 THEN 'feed'"
+        " ELSE 'html' END END) = 'feed'"
+        " THEN 'application/atom+xml' ELSE 'text/html' END END AS mime_type",
+        "CASE WHEN _2xx THEN md5(CAST(event_id AS STRING)) END AS md5",
+        "CASE WHEN _2xx THEN (event_id % 100000) * 2654435761 END"
+        " AS text_simhash",
+        "CASE WHEN _2xx THEN CASE WHEN event_id % 3 = 0 THEN 'feed'"
+        " ELSE 'html' END END AS parsed_as",
+        "CASE WHEN _2xx THEN concat('title-', CAST(event_id AS STRING)) END"
+        " AS title",
+        "CASE WHEN _3xx THEN concat('http://redirect.example.com/',"
+        " CAST(event_id AS STRING)) END AS target_url",
+        "CASE WHEN _fail THEN 'IOException' END AS failure_reason",
+        "CASE WHEN _fail THEN concat('detail-', CAST(event_id AS STRING)) END"
+        " AS failure_detail",
+        "CASE WHEN NOT _fail THEN 1700000000000 + event_id - event_id % 3600"
+        " END AS http_date",
+        "CASE WHEN NOT _fail THEN 1700000000000 + event_id - event_id % 3600"
+        " - event_id % 86400 END AS http_last_modified",
+        "CASE WHEN NOT _fail THEN substring(md5(CAST(event_id AS STRING)),"
+        " 1, 8) END AS etag",
+        "CASE WHEN _2xx AND (CASE WHEN _2xx THEN CASE WHEN event_id % 3 = 0"
+        " THEN 'feed' ELSE 'html' END END) = 'html'"
+        " THEN CAST(event_id % 10 AS INT) END AS intra_domain_links",
+        "CASE WHEN _2xx AND (CASE WHEN _2xx THEN CASE WHEN event_id % 3 = 0"
+        " THEN 'feed' ELSE 'html' END END) = 'html'"
+        " THEN CAST(event_id % 7 AS INT) END AS intra_root_links",
+        "CASE WHEN _2xx AND (CASE WHEN _2xx THEN CASE WHEN event_id % 3 = 0"
+        " THEN 'feed' ELSE 'html' END END) = 'html'"
+        " THEN CAST(event_id % 13 AS INT) END AS inter_domain_links",
+        "CASE WHEN _2xx AND (CASE WHEN _2xx THEN CASE WHEN event_id % 3 = 0"
+        " THEN 'feed' ELSE 'html' END END) = 'html'"
+        " THEN transform(sequence(0, CAST(event_id % 4 AS INT)),"
+        " i -> concat('http://ext', CAST((event_id + i) % 50 AS STRING),"
+        " '.example.com/p', CAST(i AS STRING))) END AS ext_hrefs",
     )
 
 
@@ -342,19 +328,13 @@ def full_link_records_from_events(events: DataFrame) -> DataFrame:
     """Synthesize incoming-link records (KEY_TYPE_HTML_LINK /
     KEY_TYPE_RSS_LINK input): per-link source locality, type:rel
     string, and source-header date."""
-    eid = F.col("event_id")
-    return events.filter(F.col("event_type").isin("view", "signup")).select(
-        F.col("user_id").alias("key"),
-        (eid % 3 == 0).alias("is_internal"),
-        F.when(
-            F.col("event_type") == "view",
-            F.when(eid % 2 == 0, F.lit("html:a:nofollow")).otherwise(
-                F.lit("html:a")
-            ),
-        )
-        .otherwise(F.lit("rss:link"))
-        .alias("type_and_rel"),
-        (F.lit(1_700_000_000_000) + eid - 500).alias("http_date"),
+    return events.filter(F.col("event_type").isin("view", "signup")).selectExpr(
+        "user_id AS key",
+        "event_id % 3 = 0 AS is_internal",
+        "CASE WHEN event_type = 'view' THEN CASE WHEN event_id % 2 = 0"
+        " THEN 'html:a:nofollow' ELSE 'html:a' END"
+        " ELSE 'rss:link' END AS type_and_rel",
+        "1700000000000 + event_id - 500 AS http_date",
     )
 
 
@@ -363,31 +343,32 @@ def _crawl_detail_struct():
     crawlDetailRecordFromCrawlStatusRecord (CrawlDBMergingReducer.java:
     791-876): attempt_time always; server_ip/http_result/date headers
     on SUCCESS; content fields on 2xx; redirect_url on 3xx;
-    fetch_failed + reason/detail on failure."""
-    fail = F.col("disposition") != "SUCCESS"
-    http = F.col("http_result")
-    is_2xx = ~fail & (http >= 200) & (http <= 299)
-    is_3xx = ~fail & (http >= 300) & (http <= 399)
-    return F.struct(
-        F.col("attempt_time"),
-        F.when(~fail, http).alias("http_result"),
-        F.when(~fail, F.col("server_ip")).alias("server_ip"),
-        F.when(~fail, F.col("http_date")).alias("date"),
-        F.when(~fail, F.col("http_last_modified")).alias("last_modified"),
-        F.when(~fail, F.col("etag")).alias("etag"),
-        F.when(is_2xx, F.col("content_len")).alias("content_len"),
-        F.when(is_2xx, F.col("mime_type")).alias("mime_type"),
-        F.when(is_2xx, F.col("md5")).alias("md5"),
-        F.when(is_2xx, F.col("text_simhash")).alias("text_simhash"),
-        F.when(is_2xx, F.col("parsed_as")).alias("parsed_as"),
-        F.when(is_2xx, F.col("title")).alias("title"),
-        F.when(is_2xx, F.col("intra_domain_links")).alias("intra_domain_links"),
-        F.when(is_2xx, F.col("intra_root_links")).alias("intra_root_links"),
-        F.when(is_2xx, F.col("inter_domain_links")).alias("inter_domain_links"),
-        F.when(is_3xx, F.col("target_url")).alias("redirect_url"),
-        F.when(fail, F.lit(True)).alias("fetch_failed"),
-        F.when(fail, F.col("failure_reason")).alias("failure_reason"),
-        F.when(fail, F.col("failure_detail")).alias("failure_detail"),
+    fetch_failed + reason/detail on failure.
+
+    Generated as one SQL string parsed JVM-side (r9-opt wave 7): the
+    _ok/_d2xx/_d3xx inputs are produced by the caller's selectExpr so
+    the per-field conditions stay single-reference."""
+    return F.expr(
+        "struct("
+        "attempt_time, "
+        "CASE WHEN _ok THEN http_result END AS http_result, "
+        "CASE WHEN _ok THEN server_ip END AS server_ip, "
+        "CASE WHEN _ok THEN http_date END AS `date`, "
+        "CASE WHEN _ok THEN http_last_modified END AS last_modified, "
+        "CASE WHEN _ok THEN etag END AS etag, "
+        "CASE WHEN _d2xx THEN content_len END AS content_len, "
+        "CASE WHEN _d2xx THEN mime_type END AS mime_type, "
+        "CASE WHEN _d2xx THEN md5 END AS md5, "
+        "CASE WHEN _d2xx THEN text_simhash END AS text_simhash, "
+        "CASE WHEN _d2xx THEN parsed_as END AS parsed_as, "
+        "CASE WHEN _d2xx THEN title END AS title, "
+        "CASE WHEN _d2xx THEN intra_domain_links END AS intra_domain_links, "
+        "CASE WHEN _d2xx THEN intra_root_links END AS intra_root_links, "
+        "CASE WHEN _d2xx THEN inter_domain_links END AS inter_domain_links, "
+        "CASE WHEN _d3xx THEN target_url END AS redirect_url, "
+        "CASE WHEN NOT _ok THEN TRUE END AS fetch_failed, "
+        "CASE WHEN NOT _ok THEN failure_reason END AS failure_reason, "
+        "CASE WHEN NOT _ok THEN failure_detail END AS failure_detail)"
     )
 
 
@@ -417,76 +398,72 @@ def merge_crawldb_full(
       array), sorted, capped at 100 with a truncation flag
       (flushCurrentRecord, :1055-1060)
     """
-    fail = F.col("disposition") != "SUCCESS"
-    http = F.col("http_result")
-    is_2xx = ~fail & (http >= 200) & (http <= 299)
-    is_3xx = ~fail & (http >= 300) & (http <= 399)
-    t = F.col("attempt_time")
-
-    detailed = status_records.withColumn("detail", _crawl_detail_struct())
+    # SQL-string expressions parsed JVM-side (r9-opt wave 7) -- the
+    # same aggregates the original Column tree expressed, with the
+    # shared _ok/_d2xx/_d3xx conditions computed once per row.
+    detailed = status_records.selectExpr(
+        "*",
+        "disposition = 'SUCCESS' AS _ok",
+        "disposition = 'SUCCESS' AND http_result >= 200"
+        " AND http_result <= 299 AS _d2xx",
+        "disposition = 'SUCCESS' AND http_result >= 300"
+        " AND http_result <= 399 AS _d3xx",
+    ).withColumn("detail", _crawl_detail_struct())
     summary = detailed.groupBy("key").agg(
-        F.count(F.lit(1)).alias("attempt_count"),
-        F.max(t).alias("latest_attempt"),
-        F.max_by(
-            F.when(~fail & http.isNotNull(), http),
-            F.when(~fail & http.isNotNull(), t),
+        F.expr("count(1)").alias("attempt_count"),
+        F.expr("max(attempt_time)").alias("latest_attempt"),
+        F.expr(
+            "max_by(CASE WHEN _ok AND http_result IS NOT NULL THEN http_result"
+            " END, CASE WHEN _ok AND http_result IS NOT NULL THEN attempt_time"
+            " END)"
         ).alias("http_result"),
-        F.max(F.when(is_2xx, t)).alias("latest_crawl"),
-        F.sum(is_2xx.cast("int")).alias("crawl_count"),
-        F.max_by(F.when(is_2xx, F.col("parsed_as")), F.when(is_2xx, t)).alias(
-            "parsed_as"
+        F.expr("max(CASE WHEN _d2xx THEN attempt_time END)").alias(
+            "latest_crawl"
         ),
-        F.max_by(F.when(is_3xx, F.col("target_url")), F.when(is_3xx, t)).alias(
-            "redirect_url"
-        ),
+        F.expr("sum(CAST(_d2xx AS INT))").alias("crawl_count"),
+        F.expr(
+            "max_by(CASE WHEN _d2xx THEN parsed_as END,"
+            " CASE WHEN _d2xx THEN attempt_time END)"
+        ).alias("parsed_as"),
+        F.expr(
+            "max_by(CASE WHEN _d3xx THEN target_url END,"
+            " CASE WHEN _d3xx THEN attempt_time END)"
+        ).alias("redirect_url"),
         # newest attempt that actually carried content links: feed /
         # linkless attempts do NOT clear extHrefs in the reference
         # (updateLinkStatsFromHTMLContent only clears when a links
         # array is present), so null-href attempts are skipped
-        F.max_by(
-            F.when(is_2xx & F.col("ext_hrefs").isNotNull(), F.col("ext_hrefs")),
-            F.when(is_2xx & F.col("ext_hrefs").isNotNull(), t),
+        F.expr(
+            "max_by(CASE WHEN _d2xx AND ext_hrefs IS NOT NULL THEN ext_hrefs"
+            " END, CASE WHEN _d2xx AND ext_hrefs IS NOT NULL THEN attempt_time"
+            " END)"
         ).alias("_ext_hrefs"),
-        F.sort_array(F.collect_list("detail")).alias("crawl_stats"),
+        F.expr("sort_array(collect_list(detail))").alias("crawl_stats"),
     )
-    ext_set = F.array_sort(F.array_distinct(F.coalesce("_ext_hrefs", F.array())))
-    summary = summary.select(
+    summary = summary.selectExpr(
         "key",
-        F.struct(
-            "attempt_count",
-            "latest_attempt",
-            "http_result",
-            "latest_crawl",
-            "crawl_count",
-            "parsed_as",
-            "redirect_url",
-            F.slice(ext_set, 1, MAX_EXT_URLS).alias("ext_urls"),
-            (F.size(ext_set) > MAX_EXT_URLS).alias("ext_urls_truncated"),
-            "crawl_stats",
-        ).alias("crawl_status"),
+        "struct(attempt_count, latest_attempt, http_result, latest_crawl,"
+        " crawl_count, parsed_as, redirect_url,"
+        f" slice(array_sort(array_distinct(coalesce(_ext_hrefs, array()))),"
+        f" 1, {MAX_EXT_URLS}) AS ext_urls,"
+        f" size(array_sort(array_distinct(coalesce(_ext_hrefs, array()))))"
+        f" > {MAX_EXT_URLS} AS ext_urls_truncated,"
+        " crawl_stats) AS crawl_status",
     )
 
-    linksum = (
-        link_records.groupBy("key")
-        .agg(
-            F.sum(F.col("is_internal").cast("int")).alias("int_src_count"),
-            F.sum((~F.col("is_internal")).cast("int")).alias("ext_src_count"),
-            F.min("http_date").alias("earliest_date"),
-            F.max("http_date").alias("latest_date"),
-            F.slice(
-                F.array_sort(F.collect_set("type_and_rel")), 1, MAX_TYPE_SAMPLES
-            ).alias("typeAndRels"),
-        )
-        .select(
-            "key",
-            F.struct(
-                "int_src_count",
-                "ext_src_count",
-                "earliest_date",
-                "latest_date",
-                "typeAndRels",
-            ).alias("link_status"),
-        )
+    linksum = link_records.groupBy("key").agg(
+        F.expr("sum(CAST(is_internal AS INT))").alias("int_src_count"),
+        F.expr("sum(CAST(NOT is_internal AS INT))").alias("ext_src_count"),
+        F.expr("min(http_date)").alias("earliest_date"),
+        F.expr("max(http_date)").alias("latest_date"),
+        F.expr(
+            "slice(array_sort(collect_set(type_and_rel)),"
+            f" 1, {MAX_TYPE_SAMPLES})"
+        ).alias("typeAndRels"),
+    ).selectExpr(
+        "key",
+        "struct(int_src_count, ext_src_count, earliest_date, latest_date,"
+        " typeAndRels) AS link_status",
     )
     return summary.join(linksum, "key", "full_outer").orderBy("key")
 
@@ -497,51 +474,48 @@ def merged_full_flat(merged: DataFrame) -> DataFrame:
     records keep a row with null attempt fields); arrays rendered as
     sorted CSV strings. Scalar-only output -- the harness canonicalizer
     cannot sort array columns."""
-    cs = F.col("crawl_status")
-    ls = F.col("link_status")
-    d = F.col("d")
     return (
-        merged.select(
+        merged.selectExpr(
             "key",
-            cs,
-            ls,
-            F.explode_outer(cs.getField("crawl_stats")).alias("d"),
+            "crawl_status",
+            "link_status",
+            "explode_outer(crawl_status.crawl_stats) AS d",
         )
-        .select(
+        .selectExpr(
             "key",
-            d.getField("attempt_time").alias("attempt_time"),
-            d.getField("http_result").alias("detail_http_result"),
-            d.getField("server_ip").alias("server_ip"),
-            d.getField("date").alias("http_date"),
-            d.getField("last_modified").alias("last_modified"),
-            d.getField("etag").alias("etag"),
-            d.getField("content_len").alias("content_len"),
-            d.getField("mime_type").alias("mime_type"),
-            d.getField("md5").alias("md5"),
-            d.getField("text_simhash").alias("text_simhash"),
-            d.getField("parsed_as").alias("detail_parsed_as"),
-            d.getField("title").alias("title"),
-            d.getField("intra_domain_links").alias("intra_domain_links"),
-            d.getField("intra_root_links").alias("intra_root_links"),
-            d.getField("inter_domain_links").alias("inter_domain_links"),
-            d.getField("redirect_url").alias("detail_redirect_url"),
-            d.getField("fetch_failed").alias("fetch_failed"),
-            d.getField("failure_reason").alias("failure_reason"),
-            d.getField("failure_detail").alias("failure_detail"),
-            cs.getField("attempt_count").alias("attempt_count"),
-            cs.getField("latest_attempt").alias("latest_attempt"),
-            cs.getField("http_result").alias("http_result"),
-            cs.getField("latest_crawl").alias("latest_crawl"),
-            cs.getField("crawl_count").alias("crawl_count"),
-            cs.getField("parsed_as").alias("parsed_as"),
-            cs.getField("redirect_url").alias("redirect_url"),
-            F.concat_ws(",", cs.getField("ext_urls")).alias("ext_urls"),
-            cs.getField("ext_urls_truncated").alias("ext_urls_truncated"),
-            ls.getField("int_src_count").alias("int_src_count"),
-            ls.getField("ext_src_count").alias("ext_src_count"),
-            ls.getField("earliest_date").alias("earliest_date"),
-            ls.getField("latest_date").alias("latest_date"),
-            F.concat_ws(",", ls.getField("typeAndRels")).alias("type_and_rels"),
+            "d.attempt_time AS attempt_time",
+            "d.http_result AS detail_http_result",
+            "d.server_ip AS server_ip",
+            "d.`date` AS http_date",
+            "d.last_modified AS last_modified",
+            "d.etag AS etag",
+            "d.content_len AS content_len",
+            "d.mime_type AS mime_type",
+            "d.md5 AS md5",
+            "d.text_simhash AS text_simhash",
+            "d.parsed_as AS detail_parsed_as",
+            "d.title AS title",
+            "d.intra_domain_links AS intra_domain_links",
+            "d.intra_root_links AS intra_root_links",
+            "d.inter_domain_links AS inter_domain_links",
+            "d.redirect_url AS detail_redirect_url",
+            "d.fetch_failed AS fetch_failed",
+            "d.failure_reason AS failure_reason",
+            "d.failure_detail AS failure_detail",
+            "crawl_status.attempt_count AS attempt_count",
+            "crawl_status.latest_attempt AS latest_attempt",
+            "crawl_status.http_result AS http_result",
+            "crawl_status.latest_crawl AS latest_crawl",
+            "crawl_status.crawl_count AS crawl_count",
+            "crawl_status.parsed_as AS parsed_as",
+            "crawl_status.redirect_url AS redirect_url",
+            "concat_ws(',', crawl_status.ext_urls) AS ext_urls",
+            "crawl_status.ext_urls_truncated AS ext_urls_truncated",
+            "link_status.int_src_count AS int_src_count",
+            "link_status.ext_src_count AS ext_src_count",
+            "link_status.earliest_date AS earliest_date",
+            "link_status.latest_date AS latest_date",
+            "concat_ws(',', link_status.typeAndRels) AS type_and_rels",
         )
         .orderBy("key", "attempt_time")
     )
