@@ -65,6 +65,7 @@ from commoncrawl_crawler_spark.plans import query_api
 from commoncrawl_crawler_spark.streaming import jobs as streaming_jobs
 from commoncrawl_crawler_spark.shipping import ensure_shipped
 from commoncrawl_crawler_spark.checkpointing import ckpt_lazy
+from commoncrawl_crawler_spark import loopscope
 from commoncrawl_crawler_spark.operators import bloom
 from commoncrawl_crawler_spark.sources import (
     archive,
@@ -153,7 +154,18 @@ def _cached(spark: SparkSession, tag: str, sf_dir: str, build) -> DataFrame:
             store = plan_pipeline.ArtifactStore(art_dir)
             _EDGE_CACHE[key] = store.get_or_build(spark, sub, build)
         else:
-            _EDGE_CACHE[key] = build().localCheckpoint(eager=True)
+            # observe the exact row count on the materialization job
+            # that runs anyway and stamp it on the shared DataFrame:
+            # iterative consumers size their loop-state shuffles from
+            # it (loopscope.small_state_scope) with ZERO extra jobs
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = build().observe(
+                obs, F.count(F.lit(1)).alias("n")
+            ).localCheckpoint(eager=True)
+            loopscope.stamp_rows(df, obs.get["n"])
+            _EDGE_CACHE[key] = df
     return _EDGE_CACHE[key]
 
 
@@ -4768,13 +4780,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _edges(s, d), epsilon=0.01, damp_num=50, damp_den=100,
             max_iterations=30,
         ),
-        # one shared, checkpointed edge table: super_domains and the
-        # rank loop otherwise each re-run the scan + union + distinct
+        # the shared eager `_edges` checkpoint feeds super_domains and
+        # the rank loop (the former extra lazy-checkpoint wrapper was
+        # redundant once _edges became a cached eager checkpoint, and
+        # it hid the row-count stamp the loop scope reads)
         "graph_pagerank_rootavg": lambda s, d: (
             lambda e: graph.pagerank_root_averaged(
                 e, super_roots=graph.super_domains(e, threshold=25), iterations=2
             )
-        )(_edges(s, d).localCheckpoint(eager=False)),
+        )(_edges(s, d)),
         "graph_connected_components": lambda s, d: _cc_labels(s, d),
         "graph_component_sizes": lambda s, d: graph.component_sizes(
             _cc_labels(s, d)

@@ -273,6 +273,15 @@ def full_status_records_from_events(events: DataFrame) -> DataFrame:
         "_http",
         "(NOT _fail) AND _http >= 200 AND _http <= 299 AS _2xx",
         "(NOT _fail) AND _http >= 300 AND _http <= 399 AS _3xx",
+    ).selectExpr(
+        "*",
+        # computed ONCE here (r10, per ADVICE.md): this CASE used to
+        # be duplicated verbatim inside five downstream column strings
+        # (mime_type, parsed_as, intra/inter link counts, ext_hrefs),
+        # where an edit to one copy would silently desynchronize the
+        # others; same expression, same results
+        "CASE WHEN _2xx THEN CASE WHEN event_id % 3 = 0 THEN 'feed'"
+        " ELSE 'html' END END AS _parsed",
     )
     return base.selectExpr(
         "user_id AS key",
@@ -285,15 +294,12 @@ def full_status_records_from_events(events: DataFrame) -> DataFrame:
         " CAST(event_id * 7 % 256 AS STRING),"
         " CAST(event_id * 13 % 256 AS STRING)) END AS server_ip",
         "CASE WHEN _2xx THEN CAST(event_id % 9973 AS INT) END AS content_len",
-        "CASE WHEN _2xx THEN CASE WHEN"
-        " (CASE WHEN _2xx THEN CASE WHEN event_id % 3 = 0 THEN 'feed'"
-        " ELSE 'html' END END) = 'feed'"
+        "CASE WHEN _2xx THEN CASE WHEN _parsed = 'feed'"
         " THEN 'application/atom+xml' ELSE 'text/html' END END AS mime_type",
         "CASE WHEN _2xx THEN md5(CAST(event_id AS STRING)) END AS md5",
         "CASE WHEN _2xx THEN (event_id % 100000) * 2654435761 END"
         " AS text_simhash",
-        "CASE WHEN _2xx THEN CASE WHEN event_id % 3 = 0 THEN 'feed'"
-        " ELSE 'html' END END AS parsed_as",
+        "_parsed AS parsed_as",
         "CASE WHEN _2xx THEN concat('title-', CAST(event_id AS STRING)) END"
         " AS title",
         "CASE WHEN _3xx THEN concat('http://redirect.example.com/',"
@@ -307,17 +313,13 @@ def full_status_records_from_events(events: DataFrame) -> DataFrame:
         " - event_id % 86400 END AS http_last_modified",
         "CASE WHEN NOT _fail THEN substring(md5(CAST(event_id AS STRING)),"
         " 1, 8) END AS etag",
-        "CASE WHEN _2xx AND (CASE WHEN _2xx THEN CASE WHEN event_id % 3 = 0"
-        " THEN 'feed' ELSE 'html' END END) = 'html'"
+        "CASE WHEN _2xx AND _parsed = 'html'"
         " THEN CAST(event_id % 10 AS INT) END AS intra_domain_links",
-        "CASE WHEN _2xx AND (CASE WHEN _2xx THEN CASE WHEN event_id % 3 = 0"
-        " THEN 'feed' ELSE 'html' END END) = 'html'"
+        "CASE WHEN _2xx AND _parsed = 'html'"
         " THEN CAST(event_id % 7 AS INT) END AS intra_root_links",
-        "CASE WHEN _2xx AND (CASE WHEN _2xx THEN CASE WHEN event_id % 3 = 0"
-        " THEN 'feed' ELSE 'html' END END) = 'html'"
+        "CASE WHEN _2xx AND _parsed = 'html'"
         " THEN CAST(event_id % 13 AS INT) END AS inter_domain_links",
-        "CASE WHEN _2xx AND (CASE WHEN _2xx THEN CASE WHEN event_id % 3 = 0"
-        " THEN 'feed' ELSE 'html' END END) = 'html'"
+        "CASE WHEN _2xx AND _parsed = 'html'"
         " THEN transform(sequence(0, CAST(event_id % 4 AS INT)),"
         " i -> concat('http://ext', CAST((event_id + i) % 50 AS STRING),"
         " '.example.com/p', CAST(i AS STRING))) END AS ext_hrefs",

@@ -862,8 +862,16 @@ def md5_simhash_clusters(
     both the pair and cluster queries amortizes the whole LSH join."""
     if pairs is None:
         pairs = md5_simhash_pairs(documents, hamming_k=hamming_k)
-    pairs = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    from ..loopscope import known_rows, stamp_rows
+
+    # a select() loses the row-count stamp a shared materialized pair
+    # table carries -- re-stamp so the star-contraction loop can size
+    # its shuffles (r10-opt; see loopscope)
+    pairs = stamp_rows(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        known_rows(pairs),
     )
     comp = connected_components(pairs, max_iterations=max_iterations).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster")
@@ -1169,8 +1177,15 @@ def md5_minhash_clusters(
         pairs = md5_minhash_pairs(
             documents, perms=perms, min_matching=min_matching
         )
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    from ..loopscope import known_rows, stamp_rows
+
+    # re-stamp the row count through the rename so the star-
+    # contraction loop can size its shuffles (r10-opt; see loopscope)
+    edges = stamp_rows(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        known_rows(pairs),
     )
     comp = connected_components(edges, max_iterations=max_iterations).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster")

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..checkpointing import ckpt_eager, ckpt_lazy, stable_checkpoint
+from ..loopscope import known_rows, small_state_scope
 ROOT_MOD = 97  # synthetic rootDomainHash: node % ROOT_MOD
 PART_OFFSET = 1_000_000  # part node ids live in their own id space
 SAMPLE_CAP = 100  # CrawlDBMergingReducer.java:94 truncation cap
@@ -166,41 +167,47 @@ def pagerank(
     otherwise.
     """
     base_i = (damp_den - damp_num) * RANK_SCALE // damp_den  # 0.15
-    # checkpoint the loop-invariant tables once: without this every
-    # iteration replays the source scan + distinct + degree join
-    nodes = graph_nodes(edges).transform(ckpt_lazy)
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
-    # fuse static per-edge divisor once: contribution = rank(src)/out_cnt(src).
-    # A zero-contribution self row per node (out_cnt = 2^62, so
-    # rank_i DIV out_cnt == 0 for any reachable rank) makes the
-    # per-step groupBy('dst') cover EVERY node, which removes the
-    # left join that only re-attached zero-in-degree nodes -- one
-    # join + its exchanges gone from every iteration, exact integer
-    # results unchanged (r9-opt wave 5, guide 2.4: remove shuffles
-    # outright; A/B 17.4 -> 9.5 s on the converged loop, ranks
-    # bit-identical).
-    edge_w = (
-        edges.join(out_deg, "src")
-        .select("src", "dst", "out_cnt")
-        .unionByName(_self_rows(nodes))
-        .transform(ckpt_lazy)
-    )
-
-    ranks = nodes.withColumn("rank_i", F.lit(RANK_SCALE).cast("long"))
-    for _ in range(iterations):
-        ranks = (
-            edge_w.join(ranks, edge_w["src"] == ranks["node"])
-            .groupBy("dst")
-            .agg(F.sum(F.expr("rank_i DIV out_cnt")).alias("recv"))
-            .select(
-                F.col("dst").alias("node"),
-                (
-                    F.lit(base_i).cast("long")
-                    + F.expr(f"(recv * {damp_num}) DIV {damp_den}")
-                ).alias("rank_i"),
-            )
+    # loop-state shuffles sized to the DATA, not the session's core
+    # count (r10-opt: lazy localCheckpoint compiles -- and captures
+    # the session conf of -- its physical plan at definition time, so
+    # the scope binds every iteration here; no-op when the edge count
+    # is unknown or large)
+    with small_state_scope(edges.sparkSession, known_rows(edges)):
+        # checkpoint the loop-invariant tables once: without this every
+        # iteration replays the source scan + distinct + degree join
+        nodes = graph_nodes(edges).transform(ckpt_lazy)
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
+        # fuse static per-edge divisor once: contribution = rank(src)/out_cnt(src).
+        # A zero-contribution self row per node (out_cnt = 2^62, so
+        # rank_i DIV out_cnt == 0 for any reachable rank) makes the
+        # per-step groupBy('dst') cover EVERY node, which removes the
+        # left join that only re-attached zero-in-degree nodes -- one
+        # join + its exchanges gone from every iteration, exact integer
+        # results unchanged (r9-opt wave 5, guide 2.4: remove shuffles
+        # outright; A/B 17.4 -> 9.5 s on the converged loop, ranks
+        # bit-identical).
+        edge_w = (
+            edges.join(out_deg, "src")
+            .select("src", "dst", "out_cnt")
+            .unionByName(_self_rows(nodes))
             .transform(ckpt_lazy)
         )
+
+        ranks = nodes.withColumn("rank_i", F.lit(RANK_SCALE).cast("long"))
+        for _ in range(iterations):
+            ranks = (
+                edge_w.join(ranks, edge_w["src"] == ranks["node"])
+                .groupBy("dst")
+                .agg(F.sum(F.expr("rank_i DIV out_cnt")).alias("recv"))
+                .select(
+                    F.col("dst").alias("node"),
+                    (
+                        F.lit(base_i).cast("long")
+                        + F.expr(f"(recv * {damp_num}) DIV {damp_den}")
+                    ).alias("rank_i"),
+                )
+                .transform(ckpt_lazy)
+            )
     return ranks.select(
         "node", F.round(F.col("rank_i") / RANK_SCALE, 6).alias("rank")
     ).orderBy("node")
@@ -260,66 +267,70 @@ def pagerank_converged(
 
     eps_i = int(epsilon * RANK_SCALE)
     base_i = (damp_den - damp_num) * RANK_SCALE // damp_den
-    nodes = graph_nodes(edges).transform(ckpt_lazy)
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
-    # self rows (see _self_rows): the groupBy covers every node and
-    # carries the node's own previous rank, removing the per-step
-    # left join (r9-opt wave 5; exact results unchanged)
-    edge_w = (
-        edges.join(out_deg, "src")
-        .select("src", "dst", "out_cnt")
-        .unionByName(_self_rows(nodes))
-        .transform(ckpt_lazy)
-    )
-
     if max_iterations % steps_per_check:
         raise ValueError("max_iterations must be a steps_per_check multiple")
-
-    def _step(r: DataFrame) -> DataFrame:
-        return (
-            edge_w.join(r, edge_w["src"] == r["node"])
-            .groupBy("dst")
-            .agg(
-                F.sum(F.expr("rank_i DIV out_cnt")).alias("recv"),
-                F.max(
-                    F.when(F.col("src") == F.col("dst"), F.col("rank_i"))
-                ).alias("_prev"),
-            )
-            .select(
-                F.col("dst").alias("node"),
-                F.col("_prev").alias("_prev_i"),
-                (
-                    F.lit(base_i).cast("long")
-                    + F.expr(f"(recv * {damp_num}) DIV {damp_den}")
-                ).alias("rank_i"),
-            )
+    # loop-state shuffles sized to the DATA (r10-opt): the
+    # per-batch eager-checkpoint jobs here are the round-9 driver's
+    # slowest gate, and their cost is per-stage scheduling + adaptive
+    # re-planning latency, not compute -- see loopscope docstring
+    with small_state_scope(edges.sparkSession, known_rows(edges)):
+        nodes = graph_nodes(edges).transform(ckpt_lazy)
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
+        # self rows (see _self_rows): the groupBy covers every node and
+        # carries the node's own previous rank, removing the per-step
+        # left join (r9-opt wave 5; exact results unchanged)
+        edge_w = (
+            edges.join(out_deg, "src")
+            .select("src", "dst", "out_cnt")
+            .unionByName(_self_rows(nodes))
+            .transform(ckpt_lazy)
         )
 
-    ranks = nodes.withColumn("rank_i", F.lit(RANK_SCALE).cast("long"))
-    iterations = 0
-    for _ in range(max_iterations // steps_per_check):
-        batch = ranks
-        for _s in range(steps_per_check):
-            batch = _step(batch.select("node", "rank_i"))
-        obs = Observation()
-        ranks = (
-            batch.observe(
-                obs,
-                # delta of the batch's LAST step only -- the stopping
-                # rule the oracle mirrors (first multiple of
-                # steps_per_check whose delta is <= eps)
-                F.max(F.abs(F.col("rank_i") - F.col("_prev_i"))).alias(
-                    "delta"
-                ),
+        def _step(r: DataFrame) -> DataFrame:
+            return (
+                edge_w.join(r, edge_w["src"] == r["node"])
+                .groupBy("dst")
+                .agg(
+                    F.sum(F.expr("rank_i DIV out_cnt")).alias("recv"),
+                    F.max(
+                        F.when(F.col("src") == F.col("dst"), F.col("rank_i"))
+                    ).alias("_prev"),
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    F.col("_prev").alias("_prev_i"),
+                    (
+                        F.lit(base_i).cast("long")
+                        + F.expr(f"(recv * {damp_num}) DIV {damp_den}")
+                    ).alias("rank_i"),
+                )
             )
-            .select("node", "rank_i")
-            .transform(ckpt_eager)
-        )
-        iterations += steps_per_check
-        delta = obs.get["delta"]
-        # None = empty node set (vacuously converged)
-        if delta is None or delta <= eps_i:
-            break
+
+        ranks = nodes.withColumn("rank_i", F.lit(RANK_SCALE).cast("long"))
+        iterations = 0
+        for _ in range(max_iterations // steps_per_check):
+            batch = ranks
+            for _s in range(steps_per_check):
+                batch = _step(batch.select("node", "rank_i"))
+            obs = Observation()
+            ranks = (
+                batch.observe(
+                    obs,
+                    # delta of the batch's LAST step only -- the stopping
+                    # rule the oracle mirrors (first multiple of
+                    # steps_per_check whose delta is <= eps)
+                    F.max(F.abs(F.col("rank_i") - F.col("_prev_i"))).alias(
+                        "delta"
+                    ),
+                )
+                .select("node", "rank_i")
+                .transform(ckpt_eager)
+            )
+            iterations += steps_per_check
+            delta = obs.get["delta"]
+            # None = empty node set (vacuously converged)
+            if delta is None or delta <= eps_i:
+                break
     pagerank_converged.last_iterations = iterations
     return (
         ranks.select(
@@ -348,67 +359,69 @@ def pagerank_root_averaged(
     discipline as `pagerank` (the average is a truncating sum/count).
     """
     base_i = (damp_den - damp_num) * RANK_SCALE // damp_den
-    nodes = graph_nodes(edges).transform(ckpt_lazy)
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
-    edge_w = edges.join(out_deg, "src").select(
-        "src", "dst", "out_cnt", root_of(F.col("src")).alias("src_root")
-    )
-    if super_roots is not None:
-        edge_w = edge_w.join(
-            F.broadcast(super_roots.select(F.col("root").alias("src_root"))
-                        .withColumn("is_super", F.lit(True))),
-            "src_root",
-            "left",
-        ).withColumn("is_super", F.coalesce(F.col("is_super"), F.lit(False)))
-    else:
-        edge_w = edge_w.withColumn("is_super", F.lit(False))
-    # self rows (see _self_rows) put every node in the per-step
-    # groupBys, removing the left join per iteration. `is_self` is a
-    # GROUPING key so a self row can never merge into (and change the
-    # averaging divisor of) a real (dst, src_root) group; its own
-    # group contributes ssum DIV cnt = 0 DIV 1 = 0 (r9-opt wave 5,
-    # exact results unchanged).
-    edge_w = (
-        edge_w.withColumn("is_self", F.lit(False))
-        .unionByName(
-            nodes.select(
-                F.col("node").alias("src"),
-                F.col("node").alias("dst"),
-                F.lit(1 << 62).alias("out_cnt"),
-                F.lit(None).cast("string").alias("src_root"),
-                F.lit(False).alias("is_super"),
-                F.lit(True).alias("is_self"),
-            )
+    # loop-state shuffles sized to the DATA (r10-opt; see loopscope)
+    with small_state_scope(edges.sparkSession, known_rows(edges)):
+        nodes = graph_nodes(edges).transform(ckpt_lazy)
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
+        edge_w = edges.join(out_deg, "src").select(
+            "src", "dst", "out_cnt", root_of(F.col("src")).alias("src_root")
         )
-        # loop-invariant: materialize once, not once per iteration
-        .transform(ckpt_lazy)
-    )
-
-    ranks = nodes.withColumn("rank_i", F.lit(RANK_SCALE).cast("long"))
-    for _ in range(iterations):
-        per_root = (
-            edge_w.join(ranks, edge_w["src"] == ranks["node"])
-            .withColumn("contrib", F.expr("rank_i DIV out_cnt"))
-            .groupBy("dst", "src_root", "is_super", "is_self")
-            .agg(
-                F.sum("contrib").alias("ssum"),
-                F.count(F.lit(1)).alias("cnt"),
-            )
-        )
-        contribs = per_root.groupBy("dst").agg(
-            F.sum(
-                F.when(F.col("is_super"), F.col("ssum")).otherwise(
-                    F.expr("ssum DIV cnt")
+        if super_roots is not None:
+            edge_w = edge_w.join(
+                F.broadcast(super_roots.select(F.col("root").alias("src_root"))
+                            .withColumn("is_super", F.lit(True))),
+                "src_root",
+                "left",
+            ).withColumn("is_super", F.coalesce(F.col("is_super"), F.lit(False)))
+        else:
+            edge_w = edge_w.withColumn("is_super", F.lit(False))
+        # self rows (see _self_rows) put every node in the per-step
+        # groupBys, removing the left join per iteration. `is_self` is a
+        # GROUPING key so a self row can never merge into (and change the
+        # averaging divisor of) a real (dst, src_root) group; its own
+        # group contributes ssum DIV cnt = 0 DIV 1 = 0 (r9-opt wave 5,
+        # exact results unchanged).
+        edge_w = (
+            edge_w.withColumn("is_self", F.lit(False))
+            .unionByName(
+                nodes.select(
+                    F.col("node").alias("src"),
+                    F.col("node").alias("dst"),
+                    F.lit(1 << 62).alias("out_cnt"),
+                    F.lit(None).cast("string").alias("src_root"),
+                    F.lit(False).alias("is_super"),
+                    F.lit(True).alias("is_self"),
                 )
-            ).alias("recv")
+            )
+            # loop-invariant: materialize once, not once per iteration
+            .transform(ckpt_lazy)
         )
-        ranks = contribs.select(
-            F.col("dst").alias("node"),
-            (
-                F.lit(base_i).cast("long")
-                + F.expr(f"(recv * {damp_num}) DIV {damp_den}")
-            ).alias("rank_i"),
-        ).transform(ckpt_lazy)
+
+        ranks = nodes.withColumn("rank_i", F.lit(RANK_SCALE).cast("long"))
+        for _ in range(iterations):
+            per_root = (
+                edge_w.join(ranks, edge_w["src"] == ranks["node"])
+                .withColumn("contrib", F.expr("rank_i DIV out_cnt"))
+                .groupBy("dst", "src_root", "is_super", "is_self")
+                .agg(
+                    F.sum("contrib").alias("ssum"),
+                    F.count(F.lit(1)).alias("cnt"),
+                )
+            )
+            contribs = per_root.groupBy("dst").agg(
+                F.sum(
+                    F.when(F.col("is_super"), F.col("ssum")).otherwise(
+                        F.expr("ssum DIV cnt")
+                    )
+                ).alias("recv")
+            )
+            ranks = contribs.select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(base_i).cast("long")
+                    + F.expr(f"(recv * {damp_num}) DIV {damp_den}")
+                ).alias("rank_i"),
+            ).transform(ckpt_lazy)
     return ranks.select(
         "node", F.round(F.col("rank_i") / RANK_SCALE, 6).alias("rank")
     ).orderBy("node")
@@ -474,39 +487,41 @@ def _star_contraction(
     """
     from pyspark.sql import Observation
 
-    e = (
-        edges.select(
-            F.greatest("src", "dst").alias("src"),
-            F.least("src", "dst").alias("dst"),
-        )
-        .filter(
-            F.col("src").isNotNull()
-            & F.col("dst").isNotNull()
-            & (F.col("src") != F.col("dst"))
-        )
-        .distinct()
-        .transform(ckpt_eager)
-    )
-    prev_sig = None
-    rounds = 0
-    for _ in range(max_iterations):
-        obs = Observation()
+    # loop-state shuffles sized to the DATA (r10-opt; see loopscope)
+    with small_state_scope(edges.sparkSession, known_rows(edges)):
         e = (
-            _small_star(_large_star(e))
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                # decimal(38,0) sum: ANSI-safe (a long sum of 64-bit
-                # hashes overflows), order-independent, exact
-                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+            edges.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
             )
+            .filter(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("src") != F.col("dst"))
+            )
+            .distinct()
             .transform(ckpt_eager)
         )
-        rounds += 1
-        sig = (obs.get["n"], obs.get["h"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+        prev_sig = None
+        rounds = 0
+        for _ in range(max_iterations):
+            obs = Observation()
+            e = (
+                _small_star(_large_star(e))
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    # decimal(38,0) sum: ANSI-safe (a long sum of 64-bit
+                    # hashes overflows), order-independent, exact
+                    F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+                )
+                .transform(ckpt_eager)
+            )
+            rounds += 1
+            sig = (obs.get["n"], obs.get["h"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
     return e, rounds
 
 
@@ -626,58 +641,60 @@ def hits_scores(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    # e is referenced 2x per iteration and nodes 2x per iteration plus
-    # once up front; without a boundary Catalyst re-plans (and the
-    # runtime re-executes) the scan+distinct per reference (r9-opt:
-    # the same multiply-referenced-subplan fix as triangle_counts)
-    e = edges.select("src", "dst").distinct().transform(ckpt_lazy)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .transform(ckpt_lazy)
-    )
-    # weight-0 self rows make each half-step's groupBy cover every
-    # node (sum(score * w) adds exactly 0 for them), removing the
-    # per-half-step left join that re-attached isolated-side nodes
-    # (r9-opt wave 5, same discipline as the pagerank self rows;
-    # exact integer results unchanged)
-    ew = (
-        e.withColumn("w", F.lit(1).cast("bigint"))
-        .unionByName(
-            nodes.select(
-                F.col("node").alias("src"),
-                F.col("node").alias("dst"),
-                F.lit(0).cast("bigint").alias("w"),
-            )
+    # loop-state shuffles sized to the DATA (r10-opt; see loopscope)
+    with small_state_scope(edges.sparkSession, known_rows(edges)):
+        # e is referenced 2x per iteration and nodes 2x per iteration plus
+        # once up front; without a boundary Catalyst re-plans (and the
+        # runtime re-executes) the scan+distinct per reference (r9-opt:
+        # the same multiply-referenced-subplan fix as triangle_counts)
+        e = edges.select("src", "dst").distinct().transform(ckpt_lazy)
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .transform(ckpt_lazy)
         )
-        .transform(ckpt_lazy)
-    )
-    hub = nodes.withColumn("hub", F.lit(1).cast("bigint"))
-    auth = None
-    for _ in range(iterations):
-        auth = (
-            ew.join(hub, ew["src"] == hub["node"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("hub") * F.col("w")).alias("auth"))
-            .select(F.col("dst").alias("node"), "auth")
-        )
-        hub = (
-            ew.join(auth, ew["dst"] == auth["node"])
-            .groupBy("src")
-            .agg(F.sum(F.col("auth") * F.col("w")).alias("hub"))
-            .select(F.col("src").alias("node"), "hub")
-        )
-        if rescale_bits > 0:
-            auth = auth.select(
-                "node", F.shiftright("auth", rescale_bits).alias("auth")
+        # weight-0 self rows make each half-step's groupBy cover every
+        # node (sum(score * w) adds exactly 0 for them), removing the
+        # per-half-step left join that re-attached isolated-side nodes
+        # (r9-opt wave 5, same discipline as the pagerank self rows;
+        # exact integer results unchanged)
+        ew = (
+            e.withColumn("w", F.lit(1).cast("bigint"))
+            .unionByName(
+                nodes.select(
+                    F.col("node").alias("src"),
+                    F.col("node").alias("dst"),
+                    F.lit(0).cast("bigint").alias("w"),
+                )
             )
-            hub = hub.select(
-                "node", F.shiftright("hub", rescale_bits).alias("hub")
+            .transform(ckpt_lazy)
+        )
+        hub = nodes.withColumn("hub", F.lit(1).cast("bigint"))
+        auth = None
+        for _ in range(iterations):
+            auth = (
+                ew.join(hub, ew["src"] == hub["node"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("hub") * F.col("w")).alias("auth"))
+                .select(F.col("dst").alias("node"), "auth")
             )
-    # auth and hub each already carry every node (left joins against
-    # the node set), so joining them directly avoids a redundant
-    # third join
+            hub = (
+                ew.join(auth, ew["dst"] == auth["node"])
+                .groupBy("src")
+                .agg(F.sum(F.col("auth") * F.col("w")).alias("hub"))
+                .select(F.col("src").alias("node"), "hub")
+            )
+            if rescale_bits > 0:
+                auth = auth.select(
+                    "node", F.shiftright("auth", rescale_bits).alias("auth")
+                )
+                hub = hub.select(
+                    "node", F.shiftright("hub", rescale_bits).alias("hub")
+                )
+    # auth and hub each already carry every node (the weight-0 self
+    # rows in ew put every node in each half-step's groupBy), so
+    # joining them directly avoids a redundant third join
     return auth.join(hub, "node").select("node", "auth", "hub").orderBy(
         "node"
     )
@@ -861,43 +878,45 @@ def k_core(
     """
     from pyspark.sql import Observation
 
-    fwd = edges.select("src", "dst")
-    sym = (
-        fwd.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .filter(
-            F.col("src").isNotNull()
-            & F.col("dst").isNotNull()
-            & (F.col("src") != F.col("dst"))
-        )
-        .distinct()
-        .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
-        .transform(ckpt_eager)
-    )
-    alive = sym
-    prev_n = None
-    rounds = 0
-    for _ in range(max_iterations):
-        keep = (
-            alive.groupBy("node")
-            .agg(F.count(F.lit(1)).alias("_deg"))
-            .filter(F.col("_deg") >= k)
-            .select("node")
-        )
-        obs = Observation()
-        alive = (
-            alive.join(keep, "node")
-            .join(keep.withColumnRenamed("node", "nbr"), "nbr")
-            .select("node", "nbr")
-            .observe(obs, F.count(F.lit(1)).alias("n"))
+    # loop-state shuffles sized to the DATA (r10-opt; see loopscope)
+    with small_state_scope(edges.sparkSession, known_rows(edges)):
+        fwd = edges.select("src", "dst")
+        sym = (
+            fwd.unionByName(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .filter(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("src") != F.col("dst"))
+            )
+            .distinct()
+            .select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
             .transform(ckpt_eager)
         )
-        rounds += 1
-        n = obs.get["n"]
-        if n == prev_n:
-            break
-        prev_n = n
+        alive = sym
+        prev_n = None
+        rounds = 0
+        for _ in range(max_iterations):
+            keep = (
+                alive.groupBy("node")
+                .agg(F.count(F.lit(1)).alias("_deg"))
+                .filter(F.col("_deg") >= k)
+                .select("node")
+            )
+            obs = Observation()
+            alive = (
+                alive.join(keep, "node")
+                .join(keep.withColumnRenamed("node", "nbr"), "nbr")
+                .select("node", "nbr")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .transform(ckpt_eager)
+            )
+            rounds += 1
+            n = obs.get["n"]
+            if n == prev_n:
+                break
+            prev_n = n
     k_core.last_rounds = rounds
     return (
         alive.groupBy("node")
@@ -928,37 +947,39 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
     pagerank loop. The symmetric edge table is loop-invariant and
     checkpointed once.
     """
-    und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .transform(ckpt_lazy)
-    )
-    nodes = und.select(F.col("src").alias("node")).distinct().transform(ckpt_lazy)
-    labels = nodes.select("node", F.col("node").alias("label"))
-    for _ in range(iterations):
-        neigh = und.join(
-            labels.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("v"), "label")
-        counts = neigh.groupBy("v", "label").agg(
-            F.count(F.lit(1)).alias("cnt")
+    # loop-state shuffles sized to the DATA (r10-opt; see loopscope)
+    with small_state_scope(edges.sparkSession, known_rows(edges)):
+        und = (
+            edges.select("src", "dst")
+            .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .transform(ckpt_lazy)
         )
-        # argmax (cnt desc, label asc): max of struct(cnt, -label);
-        # node ids are non-negative so -label cannot overflow
-        new = counts.groupBy("v").agg(
-            F.max_by(
-                "label", F.struct(F.col("cnt"), (-F.col("label")))
-            ).alias("label")
-        )
-        # `new` covers the node set exactly: every node is a src of
-        # the symmetric, self-loop-free edge table, so each has >= 1
-        # neighbor row and one argmax group. The former left join
-        # against `nodes` only re-attached rows that cannot be
-        # missing -- dropped (r9-opt wave 5, results unchanged).
-        labels = new.select(
-            F.col("v").alias("node"), "label"
-        ).transform(ckpt_lazy)
+        nodes = und.select(F.col("src").alias("node")).distinct().transform(ckpt_lazy)
+        labels = nodes.select("node", F.col("node").alias("label"))
+        for _ in range(iterations):
+            neigh = und.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("v"), "label")
+            counts = neigh.groupBy("v", "label").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            # argmax (cnt desc, label asc): max of struct(cnt, -label);
+            # node ids are non-negative so -label cannot overflow
+            new = counts.groupBy("v").agg(
+                F.max_by(
+                    "label", F.struct(F.col("cnt"), (-F.col("label")))
+                ).alias("label")
+            )
+            # `new` covers the node set exactly: every node is a src of
+            # the symmetric, self-loop-free edge table, so each has >= 1
+            # neighbor row and one argmax group. The former left join
+            # against `nodes` only re-attached rows that cannot be
+            # missing -- dropped (r9-opt wave 5, results unchanged).
+            labels = new.select(
+                F.col("v").alias("node"), "label"
+            ).transform(ckpt_lazy)
     return labels.select(
         "node", F.col("label").alias("community")
     ).orderBy("node")
@@ -989,61 +1010,63 @@ def pagerank_personalized(
     ignored.
     """
     base_i = (damp_den - damp_num) * RANK_SCALE // damp_den
-    nodes = (
-        graph_nodes(edges)
-        .join(
-            seeds.select(F.col("node").alias("_s")).distinct(),
-            F.col("node") == F.col("_s"),
-            "left",
-        )
-        .select("node", F.col("_s").isNotNull().alias("is_seed"))
-        .transform(ckpt_lazy)
-    )
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
-    # self rows (see _self_rows), here additionally carrying the
-    # dst node's loop-invariant seed flag (real edge rows carry NULL,
-    # so max() reads it back per group): removes the per-step left
-    # join against the node table (r9-opt wave 5, results unchanged)
-    edge_w = (
-        edges.join(out_deg, "src")
-        .select(
-            "src",
-            "dst",
-            "out_cnt",
-            F.lit(None).cast("boolean").alias("_seed_self"),
-        )
-        .unionByName(
-            nodes.select(
-                F.col("node").alias("src"),
-                F.col("node").alias("dst"),
-                F.lit(1 << 62).alias("out_cnt"),
-                F.col("is_seed").alias("_seed_self"),
+    # loop-state shuffles sized to the DATA (r10-opt; see loopscope)
+    with small_state_scope(edges.sparkSession, known_rows(edges)):
+        nodes = (
+            graph_nodes(edges)
+            .join(
+                seeds.select(F.col("node").alias("_s")).distinct(),
+                F.col("node") == F.col("_s"),
+                "left",
             )
+            .select("node", F.col("_s").isNotNull().alias("is_seed"))
+            .transform(ckpt_lazy)
         )
-        .transform(ckpt_lazy)
-    )
-    restart = F.when(F.col("is_seed"), F.lit(base_i)).otherwise(0).cast("long")
-    ranks = nodes.withColumn(
-        "rank_i",
-        F.when(F.col("is_seed"), F.lit(RANK_SCALE)).otherwise(0).cast("long"),
-    )
-    for _ in range(iterations):
-        ranks = (
-            edge_w.join(ranks, edge_w["src"] == ranks["node"])
-            .groupBy("dst")
-            .agg(
-                F.sum(F.expr("rank_i DIV out_cnt")).alias("recv"),
-                F.max("_seed_self").alias("is_seed"),
-            )
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
+        # self rows (see _self_rows), here additionally carrying the
+        # dst node's loop-invariant seed flag (real edge rows carry NULL,
+        # so max() reads it back per group): removes the per-step left
+        # join against the node table (r9-opt wave 5, results unchanged)
+        edge_w = (
+            edges.join(out_deg, "src")
             .select(
-                F.col("dst").alias("node"),
-                "is_seed",
-                (
-                    restart + F.expr(f"(recv * {damp_num}) DIV {damp_den}")
-                ).alias("rank_i"),
+                "src",
+                "dst",
+                "out_cnt",
+                F.lit(None).cast("boolean").alias("_seed_self"),
+            )
+            .unionByName(
+                nodes.select(
+                    F.col("node").alias("src"),
+                    F.col("node").alias("dst"),
+                    F.lit(1 << 62).alias("out_cnt"),
+                    F.col("is_seed").alias("_seed_self"),
+                )
             )
             .transform(ckpt_lazy)
         )
+        restart = F.when(F.col("is_seed"), F.lit(base_i)).otherwise(0).cast("long")
+        ranks = nodes.withColumn(
+            "rank_i",
+            F.when(F.col("is_seed"), F.lit(RANK_SCALE)).otherwise(0).cast("long"),
+        )
+        for _ in range(iterations):
+            ranks = (
+                edge_w.join(ranks, edge_w["src"] == ranks["node"])
+                .groupBy("dst")
+                .agg(
+                    F.sum(F.expr("rank_i DIV out_cnt")).alias("recv"),
+                    F.max("_seed_self").alias("is_seed"),
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    "is_seed",
+                    (
+                        restart + F.expr(f"(recv * {damp_num}) DIV {damp_den}")
+                    ).alias("rank_i"),
+                )
+                .transform(ckpt_lazy)
+            )
     return ranks.select(
         "node",
         "is_seed",
@@ -1075,40 +1098,42 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     """
     from pyspark.sql import Observation
 
-    e = (
-        edges.select("src", "dst")
-        .filter(
-            F.col("src").isNotNull()
-            & F.col("dst").isNotNull()
-            & (F.col("src") != F.col("dst"))
-        )
-        .distinct()
-        .transform(ckpt_eager)
-    )
-    r = e
-    prev_n = None
-    rounds = 0
-    for _ in range(max_rounds):
-        obs = Observation()
-        two_hop = (
-            r.alias("a")
-            .join(r.alias("b"), F.col("a.dst") == F.col("b.src"))
-            .select(
-                F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+    # loop-state shuffles sized to the DATA (r10-opt; see loopscope)
+    with small_state_scope(edges.sparkSession, known_rows(edges)):
+        e = (
+            edges.select("src", "dst")
+            .filter(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("src") != F.col("dst"))
             )
-            .filter(F.col("src") != F.col("dst"))
-        )
-        r = (
-            r.unionByName(two_hop)
             .distinct()
-            .observe(obs, F.count(F.lit(1)).alias("n"))
             .transform(ckpt_eager)
         )
-        rounds += 1
-        n = obs.get["n"]
-        if n == prev_n:
-            break
-        prev_n = n
+        r = e
+        prev_n = None
+        rounds = 0
+        for _ in range(max_rounds):
+            obs = Observation()
+            two_hop = (
+                r.alias("a")
+                .join(r.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .select(
+                    F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+                )
+                .filter(F.col("src") != F.col("dst"))
+            )
+            r = (
+                r.unionByName(two_hop)
+                .distinct()
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .transform(ckpt_eager)
+            )
+            rounds += 1
+            n = obs.get["n"]
+            if n == prev_n:
+                break
+            prev_n = n
     transitive_closure.last_rounds = rounds
     return r
 
@@ -1184,46 +1209,48 @@ def bowtie_classes(
 
     Returns (node, cls) with cls in {'core','in','out','other'}.
     """
-    clo = transitive_closure(edges) if closure is None else closure
-    scc = strongly_connected_components(edges, closure=clo)
-    core_row = (
-        scc.groupBy("scc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "scc_id")
-        .limit(1)
-        .select(F.col("scc_id").alias("core_id"))
-    )
-    labeled = scc.crossJoin(F.broadcast(core_row))
-    core = labeled.filter(F.col("scc_id") == F.col("core_id")).select("node")
-    reaches_core = (
-        clo.join(
-            core.select(F.col("node").alias("dst")), "dst", "left_semi"
+    # loop-state shuffles sized to the DATA (r10-opt; see loopscope)
+    with small_state_scope(edges.sparkSession, known_rows(edges)):
+        clo = transitive_closure(edges) if closure is None else closure
+        scc = strongly_connected_components(edges, closure=clo)
+        core_row = (
+            scc.groupBy("scc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "scc_id")
+            .limit(1)
+            .select(F.col("scc_id").alias("core_id"))
         )
-        .select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("_in", F.lit(True))
-    )
-    reached_by_core = (
-        clo.join(
-            core.select(F.col("node").alias("src")), "src", "left_semi"
+        labeled = scc.crossJoin(F.broadcast(core_row))
+        core = labeled.filter(F.col("scc_id") == F.col("core_id")).select("node")
+        reaches_core = (
+            clo.join(
+                core.select(F.col("node").alias("dst")), "dst", "left_semi"
+            )
+            .select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("_in", F.lit(True))
         )
-        .select(F.col("dst").alias("node"))
-        .distinct()
-        .withColumn("_out", F.lit(True))
-    )
-    return (
-        labeled.join(reaches_core, "node", "left")
-        .join(reached_by_core, "node", "left")
-        .select(
-            "node",
-            F.when(F.col("scc_id") == F.col("core_id"), F.lit("core"))
-            .when(F.col("_in"), F.lit("in"))
-            .when(F.col("_out"), F.lit("out"))
-            .otherwise(F.lit("other"))
-            .alias("cls"),
+        reached_by_core = (
+            clo.join(
+                core.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("_out", F.lit(True))
         )
-        .orderBy("node")
-    )
+        return (
+            labeled.join(reaches_core, "node", "left")
+            .join(reached_by_core, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("scc_id") == F.col("core_id"), F.lit("core"))
+                .when(F.col("_in"), F.lit("in"))
+                .when(F.col("_out"), F.lit("out"))
+                .otherwise(F.lit("other"))
+                .alias("cls"),
+            )
+            .orderBy("node")
+        )
 
 
 def condensation_levels(
@@ -1245,68 +1272,70 @@ def condensation_levels(
     """
     from pyspark.sql import Observation
 
-    clo = transitive_closure(edges) if closure is None else closure
-    scc = strongly_connected_components(edges, closure=clo)
-    comps = (
-        scc.groupBy("scc_id")
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
-        .transform(ckpt_eager)
-    )
-    # weight-1 real condensation edges plus a weight-0 self row per
-    # SCC: max(plevel + w) over the group is then exactly
-    # greatest(own level, max(predecessor level) + 1), which removes
-    # the per-round left join that re-attached source components
-    # (r9-opt wave 6, the pagerank self-row discipline; results
-    # unchanged)
-    cedges = (
-        edges.join(
-            scc.withColumnRenamed("node", "src").withColumnRenamed(
-                "scc_id", "csrc"
-            ),
-            "src",
+    # loop-state shuffles sized to the DATA (r10-opt; see loopscope)
+    with small_state_scope(edges.sparkSession, known_rows(edges)):
+        clo = transitive_closure(edges) if closure is None else closure
+        scc = strongly_connected_components(edges, closure=clo)
+        comps = (
+            scc.groupBy("scc_id")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .transform(ckpt_eager)
         )
-        .join(
-            scc.withColumnRenamed("node", "dst").withColumnRenamed(
-                "scc_id", "cdst"
-            ),
-            "dst",
-        )
-        .select("csrc", "cdst")
-        .filter(F.col("csrc") != F.col("cdst"))
-        .distinct()
-        .select("csrc", "cdst", F.lit(1).cast("bigint").alias("w"))
-        .unionByName(
-            comps.select(
-                F.col("scc_id").alias("csrc"),
-                F.col("scc_id").alias("cdst"),
-                F.lit(0).cast("bigint").alias("w"),
-            )
-        )
-        .transform(ckpt_eager)
-    )
-    levels = comps.select("scc_id", F.lit(0).cast("bigint").alias("level"))
-    prev_sig = None
-    for _ in range(max_rounds):
-        obs = Observation()
-        levels = (
-            cedges.join(
-                levels.withColumnRenamed("scc_id", "csrc").withColumnRenamed(
-                    "level", "plevel"
+        # weight-1 real condensation edges plus a weight-0 self row per
+        # SCC: max(plevel + w) over the group is then exactly
+        # greatest(own level, max(predecessor level) + 1), which removes
+        # the per-round left join that re-attached source components
+        # (r9-opt wave 6, the pagerank self-row discipline; results
+        # unchanged)
+        cedges = (
+            edges.join(
+                scc.withColumnRenamed("node", "src").withColumnRenamed(
+                    "scc_id", "csrc"
                 ),
-                "csrc",
+                "src",
             )
-            .groupBy(F.col("cdst").alias("scc_id"))
-            .agg(F.max(F.col("plevel") + F.col("w")).alias("level"))
-            .observe(
-                obs,
-                F.sum(F.col("level").cast("decimal(38,0)")).alias("s"),
+            .join(
+                scc.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "scc_id", "cdst"
+                ),
+                "dst",
+            )
+            .select("csrc", "cdst")
+            .filter(F.col("csrc") != F.col("cdst"))
+            .distinct()
+            .select("csrc", "cdst", F.lit(1).cast("bigint").alias("w"))
+            .unionByName(
+                comps.select(
+                    F.col("scc_id").alias("csrc"),
+                    F.col("scc_id").alias("cdst"),
+                    F.lit(0).cast("bigint").alias("w"),
+                )
             )
             .transform(ckpt_eager)
         )
-        sig = obs.get["s"]
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+        levels = comps.select("scc_id", F.lit(0).cast("bigint").alias("level"))
+        prev_sig = None
+        for _ in range(max_rounds):
+            obs = Observation()
+            levels = (
+                cedges.join(
+                    levels.withColumnRenamed("scc_id", "csrc").withColumnRenamed(
+                        "level", "plevel"
+                    ),
+                    "csrc",
+                )
+                .groupBy(F.col("cdst").alias("scc_id"))
+                .agg(F.max(F.col("plevel") + F.col("w")).alias("level"))
+                .observe(
+                    obs,
+                    F.sum(F.col("level").cast("decimal(38,0)")).alias("s"),
+                )
+                .transform(ckpt_eager)
+            )
+            sig = obs.get["s"]
+            if sig == prev_sig:
+                break
+            prev_sig = sig
     return (
         comps.join(levels, "scc_id")
         .select("scc_id", "level", "n_nodes")
@@ -1370,126 +1399,128 @@ def hyperball(
 
     numerator = HLL_ALPHA_E6 * m * m * unit
 
-    e = (
-        edges.select("src", "dst")
-        .filter(
-            F.col("src").isNotNull()
-            & F.col("dst").isNotNull()
-            & (F.col("src") != F.col("dst"))
-        )
-        .distinct()
-        .transform(ckpt_eager)
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    rcols = [f"_r{i}" for i in range(m)]
-    # singleton registers: bucket/rho of the node's own hash -- the
-    # identical md5 window math as aggregates._sketch_registers so the
-    # oracle reuses the agg_distinct_sketch SQL model verbatim
-    h = F.md5(F.col("node").cast("string"))
-    bucket = (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % m)
-    rho = F.lit(top) - F.expr(
-        "length(trim(LEADING '0' FROM bin("
-        "CAST(conv(substring(md5(CAST(node AS STRING)), 16, 15),"
-        " 16, 10) AS BIGINT) % 1099511627776)))"
-    )
-    # empty bucket = register 0 (contributes the full 2^41 unit)
-    state = nodes.select(
-        "node",
-        *[
-            F.when(bucket == i, rho).otherwise(F.lit(0)).cast("int").alias(c)
-            for i, c in enumerate(rcols)
-        ],
-    )
-    # denominator via an interpreted higher-order fold over the 64
-    # registers: for an iterative operator the per-round Catalyst
-    # analysis + Janino compile of a 64-term codegen sum costs more
-    # driver wall than interpreting the fold costs the executors
-    # (evaluated once per NODE row, not per corpus row)
-    est = F.expr(
-        f"CAST(CAST('{numerator}' AS DECIMAL(38,0)) DIV "
-        f"aggregate(array({','.join(rcols)}), CAST(0 AS BIGINT), "
-        f"(acc, x) -> acc + shiftright(CAST({unit} AS BIGINT), x)) "
-        "AS BIGINT)"
-    )
-    obs0 = Observation()
-    state = (
-        state.select(
-            "node",
-            *rcols,
-            est.alias("_est_prev"),
-            F.lit(0).cast("bigint").alias("_harm"),
-        )
-        .observe(obs0, F.sum("_est_prev").alias("e"))
-        .transform(ckpt_eager)
-    )
-    # neighborhood function N(t) = sum over nodes of the ball-size
-    # estimate at radius t -- recorded for free by the Observations
-    # that already ride each round's materialization (Boldi-Vigna's
-    # own diagnostic; effective diameter reads off this curve)
-    est_totals = [int(obs0.get["e"] or 0)]  # empty edge set -> NULL sum
-
-    reg_sum = sum(F.col(c) for c in rcols)
-    prev_sig = None
-    rounds = 0
-    # checkpoint every round: the 64-register projection is wide, so
-    # letting rounds chain lazily multiplies Catalyst's analysis cost
-    # per span; a shallow one-shuffle plan per round is cheaper in
-    # wall-clock AND is the shape a 1000-executor run wants (bounded
-    # lineage, one exchange per radius step)
-    checkpoint_every = 1
-    for t in range(1, max_rounds + 1):
-        # neighbor register vectors flow src <- dst; the accumulator
-        # columns ride as NULL so the max() aggregates below pick the
-        # node's OWN single non-null value
-        contrib = e.join(state, e["dst"] == state["node"]).select(
-            e["src"].alias("node"),
-            *rcols,
-            F.lit(None).cast("bigint").alias("_est_prev"),
-            F.lit(None).cast("bigint").alias("_harm"),
-        )
-        merged = (
-            state.unionByName(contrib)
-            .groupBy("node")
-            .agg(
-                *[F.max(c).alias(c) for c in rcols],
-                F.max("_est_prev").alias("_est_prev"),
-                F.max("_harm").alias("_harm"),
+    # loop-state shuffles sized to the DATA (r10-opt; see loopscope)
+    with small_state_scope(edges.sparkSession, known_rows(edges)):
+        e = (
+            edges.select("src", "dst")
+            .filter(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("src") != F.col("dst"))
             )
+            .distinct()
+            .transform(ckpt_eager)
         )
-        # truncating integer division by the radius: deltas are
-        # nonnegative (registers only grow), so DIV == floor.
-        # (A 1-row-broadcast radius column was tried to stabilize the
-        # generated code across rounds; the extra broadcast job cost
-        # more than the saved recompile at realistic round counts.)
-        scored = merged.select(
-            "node", *rcols, est.alias("_est_new"), "_est_prev", "_harm"
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
         )
-        state = scored.select(
+        rcols = [f"_r{i}" for i in range(m)]
+        # singleton registers: bucket/rho of the node's own hash -- the
+        # identical md5 window math as aggregates._sketch_registers so the
+        # oracle reuses the agg_distinct_sketch SQL model verbatim
+        h = F.md5(F.col("node").cast("string"))
+        bucket = (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % m)
+        rho = F.lit(top) - F.expr(
+            "length(trim(LEADING '0' FROM bin("
+            "CAST(conv(substring(md5(CAST(node AS STRING)), 16, 15),"
+            " 16, 10) AS BIGINT) % 1099511627776)))"
+        )
+        # empty bucket = register 0 (contributes the full 2^41 unit)
+        state = nodes.select(
             "node",
-            *rcols,
-            F.col("_est_new").alias("_est_prev"),
-            (
-                F.col("_harm") + F.expr(f"(_est_new - _est_prev) DIV {t}")
-            ).alias("_harm"),
+            *[
+                F.when(bucket == i, rho).otherwise(F.lit(0)).cast("int").alias(c)
+                for i, c in enumerate(rcols)
+            ],
         )
-        if t % checkpoint_every == 0 or t == max_rounds:
-            obs = Observation()
-            state = state.observe(
-                obs,
-                F.sum(reg_sum).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum("_est_prev").alias("e"),
-            ).transform(ckpt_eager)
-            sig = (obs.get["n"], obs.get["s"])
-            if sig == prev_sig:
-                break
-            prev_sig = sig
-            est_totals.append(int(obs.get["e"] or 0))
-        rounds = t
+        # denominator via an interpreted higher-order fold over the 64
+        # registers: for an iterative operator the per-round Catalyst
+        # analysis + Janino compile of a 64-term codegen sum costs more
+        # driver wall than interpreting the fold costs the executors
+        # (evaluated once per NODE row, not per corpus row)
+        est = F.expr(
+            f"CAST(CAST('{numerator}' AS DECIMAL(38,0)) DIV "
+            f"aggregate(array({','.join(rcols)}), CAST(0 AS BIGINT), "
+            f"(acc, x) -> acc + shiftright(CAST({unit} AS BIGINT), x)) "
+            "AS BIGINT)"
+        )
+        obs0 = Observation()
+        state = (
+            state.select(
+                "node",
+                *rcols,
+                est.alias("_est_prev"),
+                F.lit(0).cast("bigint").alias("_harm"),
+            )
+            .observe(obs0, F.sum("_est_prev").alias("e"))
+            .transform(ckpt_eager)
+        )
+        # neighborhood function N(t) = sum over nodes of the ball-size
+        # estimate at radius t -- recorded for free by the Observations
+        # that already ride each round's materialization (Boldi-Vigna's
+        # own diagnostic; effective diameter reads off this curve)
+        est_totals = [int(obs0.get["e"] or 0)]  # empty edge set -> NULL sum
+
+        reg_sum = sum(F.col(c) for c in rcols)
+        prev_sig = None
+        rounds = 0
+        # checkpoint every round: the 64-register projection is wide, so
+        # letting rounds chain lazily multiplies Catalyst's analysis cost
+        # per span; a shallow one-shuffle plan per round is cheaper in
+        # wall-clock AND is the shape a 1000-executor run wants (bounded
+        # lineage, one exchange per radius step)
+        checkpoint_every = 1
+        for t in range(1, max_rounds + 1):
+            # neighbor register vectors flow src <- dst; the accumulator
+            # columns ride as NULL so the max() aggregates below pick the
+            # node's OWN single non-null value
+            contrib = e.join(state, e["dst"] == state["node"]).select(
+                e["src"].alias("node"),
+                *rcols,
+                F.lit(None).cast("bigint").alias("_est_prev"),
+                F.lit(None).cast("bigint").alias("_harm"),
+            )
+            merged = (
+                state.unionByName(contrib)
+                .groupBy("node")
+                .agg(
+                    *[F.max(c).alias(c) for c in rcols],
+                    F.max("_est_prev").alias("_est_prev"),
+                    F.max("_harm").alias("_harm"),
+                )
+            )
+            # truncating integer division by the radius: deltas are
+            # nonnegative (registers only grow), so DIV == floor.
+            # (A 1-row-broadcast radius column was tried to stabilize the
+            # generated code across rounds; the extra broadcast job cost
+            # more than the saved recompile at realistic round counts.)
+            scored = merged.select(
+                "node", *rcols, est.alias("_est_new"), "_est_prev", "_harm"
+            )
+            state = scored.select(
+                "node",
+                *rcols,
+                F.col("_est_new").alias("_est_prev"),
+                (
+                    F.col("_harm") + F.expr(f"(_est_new - _est_prev) DIV {t}")
+                ).alias("_harm"),
+            )
+            if t % checkpoint_every == 0 or t == max_rounds:
+                obs = Observation()
+                state = state.observe(
+                    obs,
+                    F.sum(reg_sum).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("_est_prev").alias("e"),
+                ).transform(ckpt_eager)
+                sig = (obs.get["n"], obs.get["s"])
+                if sig == prev_sig:
+                    break
+                prev_sig = sig
+                est_totals.append(int(obs.get["e"] or 0))
+            rounds = t
     hyperball.last_rounds = rounds
     hyperball.last_est_totals = est_totals
     return state.select(
@@ -1531,61 +1562,63 @@ def resolve_redirect_chains(
     pattern for 100 TB host tables where a per-hop loop would take
     hundreds of rounds.
     """
-    base = redirects.select(
-        F.col("src").alias("node"), F.col("dst").alias("to")
-    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    ptr = (
-        base.filter(F.col("node") != F.col("to"))
-        .groupBy("node")
-        .agg(F.min("to").alias("to"))  # enforce functional: one pointer
-        .transform(ckpt_eager)
-    )
-    # node universe from the UNFILTERED input so a pure self-redirect
-    # still reports (as a terminal)
-    nodes = (
-        base.select("node")
-        .unionByName(base.select(F.col("to").alias("node")))
-        .distinct()
-    )
-    # state: cur = end of the walked prefix, hops = its length,
-    # done = cur is terminal
-    state = (
-        nodes.join(ptr, "node", "left")
-        .select(
-            "node",
-            F.coalesce("to", F.col("node")).alias("cur"),
-            F.when(F.col("to").isNull(), F.lit(0))
-            .otherwise(F.lit(1))
-            .cast("bigint")
-            .alias("hops"),
-            F.col("to").isNull().alias("done"),
+    # loop-state shuffles sized to the DATA (r10-opt; see loopscope)
+    with small_state_scope(redirects.sparkSession, known_rows(redirects)):
+        base = redirects.select(
+            F.col("src").alias("node"), F.col("dst").alias("to")
+        ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        ptr = (
+            base.filter(F.col("node") != F.col("to"))
+            .groupBy("node")
+            .agg(F.min("to").alias("to"))  # enforce functional: one pointer
+            .transform(ckpt_eager)
         )
-        .transform(ckpt_eager)
-    )
-    for _ in range(max_rounds):
-        # compose the walk with itself: look up state[cur]
-        nxt = state.alias("a").join(
-            state.select(
-                F.col("node").alias("_m_node"),
-                F.col("cur").alias("_m_cur"),
-                F.col("hops").alias("_m_hops"),
-                F.col("done").alias("_m_done"),
-            ),
-            F.col("a.cur") == F.col("_m_node"),
-            "left",
+        # node universe from the UNFILTERED input so a pure self-redirect
+        # still reports (as a terminal)
+        nodes = (
+            base.select("node")
+            .unionByName(base.select(F.col("to").alias("node")))
+            .distinct()
         )
-        state = nxt.select(
-            F.col("a.node").alias("node"),
-            F.when(F.col("a.done"), F.col("a.cur"))
-            .otherwise(F.coalesce("_m_cur", F.col("a.cur")))
-            .alias("cur"),
-            F.when(F.col("a.done"), F.col("a.hops"))
-            .otherwise(F.col("a.hops") + F.coalesce("_m_hops", F.lit(0)))
-            .alias("hops"),
-            (
-                F.col("a.done") | F.coalesce("_m_done", F.lit(True))
-            ).alias("done"),
-        ).transform(ckpt_eager)
+        # state: cur = end of the walked prefix, hops = its length,
+        # done = cur is terminal
+        state = (
+            nodes.join(ptr, "node", "left")
+            .select(
+                "node",
+                F.coalesce("to", F.col("node")).alias("cur"),
+                F.when(F.col("to").isNull(), F.lit(0))
+                .otherwise(F.lit(1))
+                .cast("bigint")
+                .alias("hops"),
+                F.col("to").isNull().alias("done"),
+            )
+            .transform(ckpt_eager)
+        )
+        for _ in range(max_rounds):
+            # compose the walk with itself: look up state[cur]
+            nxt = state.alias("a").join(
+                state.select(
+                    F.col("node").alias("_m_node"),
+                    F.col("cur").alias("_m_cur"),
+                    F.col("hops").alias("_m_hops"),
+                    F.col("done").alias("_m_done"),
+                ),
+                F.col("a.cur") == F.col("_m_node"),
+                "left",
+            )
+            state = nxt.select(
+                F.col("a.node").alias("node"),
+                F.when(F.col("a.done"), F.col("a.cur"))
+                .otherwise(F.coalesce("_m_cur", F.col("a.cur")))
+                .alias("cur"),
+                F.when(F.col("a.done"), F.col("a.hops"))
+                .otherwise(F.col("a.hops") + F.coalesce("_m_hops", F.lit(0)))
+                .alias("hops"),
+                (
+                    F.col("a.done") | F.coalesce("_m_done", F.lit(True))
+                ).alias("done"),
+            ).transform(ckpt_eager)
     return state.select(
         "node",
         F.when(F.col("done"), F.col("cur")).alias("final_node"),
@@ -1668,59 +1701,67 @@ def opic(edges: DataFrame, iterations: int = 4) -> DataFrame:
 
     Output: (node, cash_micro, hist_micro).
     """
-    nodes = graph_nodes(edges).transform(ckpt_lazy)
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
-    # self rows (see _self_rows) carry each node's own previous
-    # (cash, hist) into the per-round groupBy, removing the per-round
-    # left join; the dangling-node test (no outgoing edges) is
-    # loop-invariant, so it becomes a `dang` flag carried in the
-    # state instead of a per-round anti join (r9-opt wave 5, exact
-    # results unchanged)
-    edge_w = (
-        edges.select("src", "dst")
-        .join(out_deg, "src")
-        .select("src", "dst", "out_cnt")
-        .unionByName(_self_rows(nodes))
-        .transform(ckpt_lazy)
-    )
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    # loop-state shuffles sized to the DATA (r10-opt; see loopscope).
+    # Per-round checkpoints are LAZY since round 10: nothing in the
+    # round needs a driver-side decision (the dangling-cash scalar is
+    # a broadcast subplan of the next round's own plan), so the whole
+    # fixed-iteration chain executes inside the consumer's single
+    # action instead of one eager job per round -- the `pagerank`
+    # shape. Results are unchanged (same plans, same arithmetic).
+    with small_state_scope(edges.sparkSession, known_rows(edges)):
+        nodes = graph_nodes(edges).transform(ckpt_lazy)
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
+        # self rows (see _self_rows) carry each node's own previous
+        # (cash, hist) into the per-round groupBy, removing the per-round
+        # left join; the dangling-node test (no outgoing edges) is
+        # loop-invariant, so it becomes a `dang` flag carried in the
+        # state instead of a per-round anti join (r9-opt wave 5, exact
+        # results unchanged)
+        edge_w = (
+            edges.select("src", "dst")
+            .join(out_deg, "src")
+            .select("src", "dst", "out_cnt")
+            .unionByName(_self_rows(nodes))
+            .transform(ckpt_lazy)
+        )
+        n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
 
-    state = nodes.join(
-        out_deg, nodes["node"] == out_deg["src"], "left"
-    ).select(
-        "node",
-        F.lit(1_000_000).cast("bigint").alias("cash_micro"),
-        F.lit(0).cast("bigint").alias("hist_micro"),
-        F.col("src").isNull().alias("dang"),
-    )
-    is_self = F.col("src") == F.col("dst")
-    for _ in range(iterations):
-        dangling = state.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("dang"), F.col("cash_micro"))), F.lit(0)
-            ).alias("_dang")
+        state = nodes.join(
+            out_deg, nodes["node"] == out_deg["src"], "left"
+        ).select(
+            "node",
+            F.lit(1_000_000).cast("bigint").alias("cash_micro"),
+            F.lit(0).cast("bigint").alias("hist_micro"),
+            F.col("src").isNull().alias("dang"),
         )
-        state = (
-            edge_w.join(state, edge_w["src"] == state["node"])
-            .groupBy("dst")
-            .agg(
-                F.sum(F.expr("cash_micro DIV out_cnt")).alias("_recv"),
-                F.max(F.when(is_self, F.col("cash_micro"))).alias("_cash"),
-                F.max(F.when(is_self, F.col("hist_micro"))).alias("_hist"),
-                F.max(F.when(is_self, F.col("dang"))).alias("_dang_f"),
+        is_self = F.col("src") == F.col("dst")
+        for _ in range(iterations):
+            dangling = state.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("dang"), F.col("cash_micro"))), F.lit(0)
+                ).alias("_dang")
             )
-            .crossJoin(F.broadcast(dangling))
-            .crossJoin(F.broadcast(n_nodes))
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("_recv") + F.expr("_dang DIV _n"))
-                .cast("bigint")
-                .alias("cash_micro"),
-                (F.col("_hist") + F.col("_cash")).alias("hist_micro"),
-                F.col("_dang_f").alias("dang"),
+            state = (
+                edge_w.join(state, edge_w["src"] == state["node"])
+                .groupBy("dst")
+                .agg(
+                    F.sum(F.expr("cash_micro DIV out_cnt")).alias("_recv"),
+                    F.max(F.when(is_self, F.col("cash_micro"))).alias("_cash"),
+                    F.max(F.when(is_self, F.col("hist_micro"))).alias("_hist"),
+                    F.max(F.when(is_self, F.col("dang"))).alias("_dang_f"),
+                )
+                .crossJoin(F.broadcast(dangling))
+                .crossJoin(F.broadcast(n_nodes))
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("_recv") + F.expr("_dang DIV _n"))
+                    .cast("bigint")
+                    .alias("cash_micro"),
+                    (F.col("_hist") + F.col("_cash")).alias("hist_micro"),
+                    F.col("_dang_f").alias("dang"),
+                )
+                .transform(ckpt_lazy)
             )
-            .transform(ckpt_eager)
-        )
     return state.select("node", "cash_micro", "hist_micro").orderBy("node")
 
 
@@ -1795,55 +1836,57 @@ def random_walks(
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("src").orderBy("dst")
-    ranked = (
-        edges.select("src", "dst")
-        .filter(
-            F.col("src").isNotNull()
-            & F.col("dst").isNotNull()
-            & (F.col("src") != F.col("dst"))
-        )
-        .distinct()
-        .withColumn("_rank", F.row_number().over(w) - 1)
-        .withColumn("_out", F.count(F.lit(1)).over(Window.partitionBy("src")))
-        .transform(ckpt_eager)
-    )
-    nodes = (
-        ranked.select(F.col("src").alias("node"))
-        .unionByName(ranked.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    frontier = nodes.crossJoin(
-        F.broadcast(
-            nodes.sparkSession.range(walks_per_node).select(
-                F.col("id").cast("int").alias("walk_id")
+    # loop-state shuffles sized to the DATA (r10-opt; see loopscope)
+    with small_state_scope(edges.sparkSession, known_rows(edges)):
+        w = Window.partitionBy("src").orderBy("dst")
+        ranked = (
+            edges.select("src", "dst")
+            .filter(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("src") != F.col("dst"))
             )
-        )
-    ).select(
-        "walk_id",
-        F.col("node").alias("start_node"),
-        F.lit(0).alias("step"),
-        F.col("node").alias("node"),
-    ).transform(ckpt_eager)
-    out = frontier
-    for t in range(1, steps + 1):
-        pick = F.expr(
-            "CAST(conv(substring(md5(concat(walk_id, '#', node, '#', "
-            f"{t})), 1, 15), 16, 10) AS BIGINT)"
-        )
-        frontier = (
-            frontier.join(
-                ranked,
-                (frontier["node"] == ranked["src"])
-                & (pick % ranked["_out"] == ranked["_rank"]),
-            )
-            .select(
-                "walk_id",
-                "start_node",
-                F.lit(t).alias("step"),
-                F.col("dst").alias("node"),
-            )
+            .distinct()
+            .withColumn("_rank", F.row_number().over(w) - 1)
+            .withColumn("_out", F.count(F.lit(1)).over(Window.partitionBy("src")))
             .transform(ckpt_eager)
         )
-        out = out.unionByName(frontier)
+        nodes = (
+            ranked.select(F.col("src").alias("node"))
+            .unionByName(ranked.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        frontier = nodes.crossJoin(
+            F.broadcast(
+                nodes.sparkSession.range(walks_per_node).select(
+                    F.col("id").cast("int").alias("walk_id")
+                )
+            )
+        ).select(
+            "walk_id",
+            F.col("node").alias("start_node"),
+            F.lit(0).alias("step"),
+            F.col("node").alias("node"),
+        ).transform(ckpt_eager)
+        out = frontier
+        for t in range(1, steps + 1):
+            pick = F.expr(
+                "CAST(conv(substring(md5(concat(walk_id, '#', node, '#', "
+                f"{t})), 1, 15), 16, 10) AS BIGINT)"
+            )
+            frontier = (
+                frontier.join(
+                    ranked,
+                    (frontier["node"] == ranked["src"])
+                    & (pick % ranked["_out"] == ranked["_rank"]),
+                )
+                .select(
+                    "walk_id",
+                    "start_node",
+                    F.lit(t).alias("step"),
+                    F.col("dst").alias("node"),
+                )
+                .transform(ckpt_eager)
+            )
+            out = out.unionByName(frontier)
     return out.orderBy("walk_id", "start_node", "step")

@@ -86,6 +86,12 @@ def python_stage_parallelism(
     count is unknowable from footers -- non-parquet input, object
     stores, filters above the scan making the estimate an OVERcount
     -- falls back to (or errs toward) full parallelism, never below.
+
+    CAVEAT (per ADVICE.md): a row-MULTIPLYING plan above the scan
+    (explode, join) makes the footer count an UNDERcount and would
+    under-parallelize the stage. Only call this on raw scan
+    projections (the _synthesize_media shape); for derived inputs use
+    loopscope.known_rows / an observed count instead.
     """
     sc = df.sparkSession.sparkContext
     cap = sc.defaultParallelism

@@ -260,9 +260,16 @@ def ranks(host_edges: DataFrame, iterations: int = 3) -> DataFrame:
     """
     from commoncrawl_crawler_spark.operators import graph as g
 
-    edges = host_edges.select(
-        F.col("src_host_rev").alias("src"),
-        F.col("dst_host_rev").alias("dst"),
+    from commoncrawl_crawler_spark.loopscope import known_rows, stamp_rows
+
+    # re-stamp the row count through the projection so the pagerank
+    # loop can size its shuffles (r10-opt; see loopscope)
+    edges = stamp_rows(
+        host_edges.select(
+            F.col("src_host_rev").alias("src"),
+            F.col("dst_host_rev").alias("dst"),
+        ),
+        known_rows(host_edges),
     )
     pr = g.pagerank(edges, iterations=iterations).select(
         F.col("node").alias("host_rev"),

@@ -41,7 +41,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # (r9-opt wave 7, guide 6: file-listing/planning cost is driver-side,
 # pay it once per session). Keyed by applicationId so a restarted
 # session never sees plans bound to a stopped SparkContext.
+#
+# CONTRACT (r10, per ADVICE.md): the memo assumes the files under a
+# path are IMMUTABLE for the application's lifetime -- the testdata
+# contract, and the posture of the reference's versioned step outputs
+# (a new crawl generation gets a NEW path). A pipeline that rewrites
+# parquet under an existing path in-place must not route reads through
+# load_table (or must restart the session). The memo also binds each
+# plan to the SESSION that first read the path; sessions within one
+# application share confs that affect these scans here (the ts
+# normalization is session-independent by construction, documented
+# below). Mutation is guarded by a lock for multi-threaded drivers.
 _PLAN_MEMO: dict = {}
+_PLAN_MEMO_LOCK = __import__("threading").Lock()
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
@@ -63,10 +75,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     base = sf_dir or DEFAULT_SF_DIR
     path = f"{base}/{name}.parquet"
     app = spark.sparkContext.applicationId
-    for k in [k for k in _PLAN_MEMO if k[0] != app]:
-        del _PLAN_MEMO[k]
     key = (app, path)
-    hit = _PLAN_MEMO.get(key)
+    with _PLAN_MEMO_LOCK:
+        for k in [k for k in _PLAN_MEMO if k[0] != app]:
+            del _PLAN_MEMO[k]
+        hit = _PLAN_MEMO.get(key)
     if hit is not None:
         return hit
     df = spark.read.parquet(path)
@@ -82,7 +95,8 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             # arithmetic (an LTZ->NTZ cast would render in the
             # caller's session timezone instead)
             df = df.withColumn("ts", ntz_from_epoch_micros(F.unix_micros("ts")))
-    _PLAN_MEMO[key] = df
+    with _PLAN_MEMO_LOCK:
+        _PLAN_MEMO[key] = df
     return df
 
 
