@@ -1073,6 +1073,10 @@ def setsim_prefix_pairs(
                 "jaccard_micro"
             ),
         )
+        # result-ordering sort only: the range partitioner's sampling
+        # job otherwise re-runs the candidate join + exact verify
+        # (r10-opt, the _share_sort discipline of r9 wave 2)
+        .transform(ckpt_lazy)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -1150,6 +1154,8 @@ def containment_pairs(
                 "containment_micro"
             ),
         )
+        # result-ordering sort only (see setsim_prefix_pairs)
+        .transform(ckpt_lazy)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -37,6 +37,24 @@ def _record_batch_plan(name: str, q) -> None:
         pass  # census-only; a drained query may already be disposed
 
 
+# raw-schema memo for the batch peek each stream source needs: the
+# peek re-lists the path + re-reads footers per call (~0.1 s driver
+# work) for immutable inputs -- the sources.tables._PLAN_MEMO
+# discipline applied to the streaming tier (same immutable-input
+# contract; keyed by applicationId so a restarted session re-peeks)
+_SCHEMA_MEMO: dict = {}
+
+
+def _peek_schema(spark: SparkSession, path: str):
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _SCHEMA_MEMO if k[0] != app]:
+        del _SCHEMA_MEMO[k]
+    key = (app, path)
+    if key not in _SCHEMA_MEMO:
+        _SCHEMA_MEMO[key] = spark.read.parquet(path).schema
+    return _SCHEMA_MEMO[key]
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table as if its rows were arriving files.
 
@@ -46,7 +64,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     loader does, so streaming and batch agree row-for-row.
     """
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _peek_schema(spark, path)
     # the file-stream source requires a directory: stream the parent
     # with a glob filter (a real deployment tails a prefix of files)
     stream = (
@@ -71,7 +89,7 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the documents table as arriving files (same file-source
     pattern as read_events_stream; schema from a batch peek)."""
     path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _peek_schema(spark, path)
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
