@@ -396,82 +396,71 @@ def kmeans_exact(
                 + F.lit(KMEANS_QUANT_OFFSET)
             ).alias("q"),
         )
+        .transform(ckpt_lazy)  # loop-invariant (r10: an eager+scoped
+        # variant was tried and reverted -- see pq_topk's note)
     )
-    from ..loopscope import known_rows, observed_ckpt_eager, small_state_scope
-
-    # loop-invariant; the eager materialization observes the exact
-    # point count for free, sizing the Lloyd loop's shuffles to the
-    # data (r10-opt; see loopscope)
-    pts = observed_ckpt_eager(pts)
-    # the per-iteration distance join expands pts k-fold (every point
-    # row meets every centroid of its dimension), so the scope is
-    # sized to the EXPANDED row count, not the scan
-    n_pts = known_rows(pts)
     # deterministic seeds: the k lowest vec_ids ARE the initial
     # centroids (cluster id = seed rank)
-    with small_state_scope(
-        pts.sparkSession, n_pts * k if n_pts is not None else None
-    ):
-        seeds = (
-            embeddings.select("vec_id")
-            .orderBy("vec_id")
-            .limit(k)
-            .withColumn(
-                "cid",
-                F.row_number().over(Window.orderBy("vec_id")).cast("int") - 1,
+    seeds = (
+        embeddings.select("vec_id")
+        .orderBy("vec_id")
+        .limit(k)
+        .withColumn(
+            "cid",
+            F.row_number().over(Window.orderBy("vec_id")).cast("int") - 1,
+        )
+    )
+    cents = (
+        pts.join(F.broadcast(seeds), "vec_id")
+        .select("cid", "dim", F.col("q").alias("c"))
+        .transform(ckpt_eager)
+    )
+
+    assign = None
+    iterations = 0
+    for _ in range(max_iterations):
+        dists = (
+            pts.join(F.broadcast(cents), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))
+                ).alias("dist")
             )
         )
+        assign = (
+            dists.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cluster"))
+        )
+        new = (
+            assign.join(pts, "vec_id")
+            .groupBy(F.col("cluster").alias("cid"), F.col("dim"))
+            .agg(F.expr("sum(q) DIV count(1)").alias("cn"))
+        )
+        obs = Observation()
         cents = (
-            pts.join(F.broadcast(seeds), "vec_id")
-            .select("cid", "dim", F.col("q").alias("c"))
+            cents.join(new, ["cid", "dim"], "left")
+            .select(
+                "cid",
+                "dim",
+                F.col("c").alias("_prev"),
+                # empty cluster keeps its previous centroid
+                F.coalesce("cn", "c").alias("c"),
+            )
+            .observe(
+                obs, F.max(F.abs(F.col("c") - F.col("_prev"))).alias("delta")
+            )
+            .select("cid", "dim", "c")
             .transform(ckpt_eager)
         )
-
-        assign = None
-        iterations = 0
-        for _ in range(max_iterations):
-            dists = (
-                pts.join(F.broadcast(cents), "dim")
-                .groupBy("vec_id", "cid")
-                .agg(
-                    F.sum(
-                        (F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))
-                    ).alias("dist")
-                )
-            )
-            assign = (
-                dists.groupBy("vec_id")
-                .agg(F.min(F.struct("dist", "cid")).alias("m"))
-                .select("vec_id", F.col("m.cid").alias("cluster"))
-            )
-            new = (
-                assign.join(pts, "vec_id")
-                .groupBy(F.col("cluster").alias("cid"), F.col("dim"))
-                .agg(F.expr("sum(q) DIV count(1)").alias("cn"))
-            )
-            obs = Observation()
-            cents = (
-                cents.join(new, ["cid", "dim"], "left")
-                .select(
-                    "cid",
-                    "dim",
-                    F.col("c").alias("_prev"),
-                    # empty cluster keeps its previous centroid
-                    F.coalesce("cn", "c").alias("c"),
-                )
-                .observe(
-                    obs, F.max(F.abs(F.col("c") - F.col("_prev"))).alias("delta")
-                )
-                .select("cid", "dim", "c")
-                .transform(ckpt_eager)
-            )
-            iterations += 1
-            delta = obs.get["delta"]
-            # eps in micro-units: truncating integer means can oscillate
-            # by a unit or two around the fixpoint, so a small eps stops
-            # at "centroids moved by <= eps * 1e-6 in every coordinate"
-            if delta is None or delta <= eps:
-                break
+        iterations += 1
+        delta = obs.get["delta"]
+        # eps in micro-units: truncating integer means can oscillate
+        # by a unit or two around the fixpoint, so a small eps stops
+        # at "centroids moved by <= eps * 1e-6 in every coordinate"
+        if delta is None or delta <= eps:
+            break
     return (
         assign.select(
             "vec_id",
@@ -740,64 +729,61 @@ def pq_topk(
     if train_iterations > 0:
         from pyspark.sql import Observation
 
-        from ..loopscope import known_rows, observed_ckpt_eager, small_state_scope
-
         # loop-invariant: don't replay the explode+quantize lineage
-        # once per Lloyd iteration; the eager materialization also
-        # observes the exact point count for free, which sizes the
-        # Lloyd loop's shuffles to the data (r10-opt; see loopscope)
-        pts = observed_ckpt_eager(pts)
-        # the per-iteration assignment join expands pts n_codes-fold
-        # (every point row meets every codeword of its subspace), so
-        # the scope is sized to the EXPANDED row count, not the scan
-        n_pts = known_rows(pts)
-        loop_rows = n_pts * n_codes if n_pts is not None else None
-        with small_state_scope(pts.sparkSession, loop_rows):
-            book = book.transform(ckpt_eager)
-            for _ in range(train_iterations):
-                dists = (
-                    pts.join(F.broadcast(book), ["sub", "dim"])
-                    .groupBy("vec_id", "sub", "code")
-                    .agg(
-                        F.sum(
-                            (F.col("q") - F.col("cq"))
-                            * (F.col("q") - F.col("cq"))
-                        ).alias("dist")
-                    )
+        # once per Lloyd iteration. (r10 tried three restructures here
+        # and REVERTED all: eager pts + a row-sized small_state_scope
+        # was a wash that cost one extra materialization job, and
+        # batching 2 Lloyd steps per checkpoint job -- the round-9
+        # verdict's item-4 hypothesis -- measured WORSE, 7.3/8.5 s vs
+        # 6.0/6.9 min/med, because the doubled per-job plan's analysis
+        # and codegen cost more than the saved job overhead; books
+        # bit-identical in all arms. OPTIMIZATION_r10.md has the A/Bs.)
+        pts = pts.transform(ckpt_lazy)
+        book = book.transform(ckpt_eager)
+        for _ in range(train_iterations):
+            dists = (
+                pts.join(F.broadcast(book), ["sub", "dim"])
+                .groupBy("vec_id", "sub", "code")
+                .agg(
+                    F.sum(
+                        (F.col("q") - F.col("cq"))
+                        * (F.col("q") - F.col("cq"))
+                    ).alias("dist")
                 )
-                assign = (
-                    dists.groupBy("vec_id", "sub")
-                    .agg(F.min(F.struct("dist", "code")).alias("m"))
-                    .select("vec_id", "sub", F.col("m.code").alias("code"))
+            )
+            assign = (
+                dists.groupBy("vec_id", "sub")
+                .agg(F.min(F.struct("dist", "code")).alias("m"))
+                .select("vec_id", "sub", F.col("m.code").alias("code"))
+            )
+            new = (
+                assign.join(pts, ["vec_id", "sub"])
+                .groupBy("sub", "code", "dim")
+                .agg(F.expr("sum(q) DIV count(1)").alias("cn"))
+            )
+            obs = Observation()
+            book = (
+                book.join(new, ["sub", "code", "dim"], "left")
+                .select(
+                    "sub",
+                    "code",
+                    "dim",
+                    F.col("cq").alias("_prev"),
+                    # empty codeword keeps its previous centroid
+                    F.coalesce("cn", "cq").alias("cq"),
                 )
-                new = (
-                    assign.join(pts, ["vec_id", "sub"])
-                    .groupBy("sub", "code", "dim")
-                    .agg(F.expr("sum(q) DIV count(1)").alias("cn"))
+                .observe(
+                    obs,
+                    F.max(F.abs(F.col("cq") - F.col("_prev"))).alias(
+                        "delta"
+                    ),
                 )
-                obs = Observation()
-                book = (
-                    book.join(new, ["sub", "code", "dim"], "left")
-                    .select(
-                        "sub",
-                        "code",
-                        "dim",
-                        F.col("cq").alias("_prev"),
-                        # empty codeword keeps its previous centroid
-                        F.coalesce("cn", "cq").alias("cq"),
-                    )
-                    .observe(
-                        obs,
-                        F.max(F.abs(F.col("cq") - F.col("_prev"))).alias(
-                            "delta"
-                        ),
-                    )
-                    .select("sub", "code", "dim", "cq")
-                    .transform(ckpt_eager)
-                )
-                delta = obs.get["delta"]
-                if delta is None or delta <= eps:
-                    break
+                .select("sub", "code", "dim", "cq")
+                .transform(ckpt_eager)
+            )
+            delta = obs.get["delta"]
+            if delta is None or delta <= eps:
+                break
 
     def _nearest(points: DataFrame, id_col: str) -> DataFrame:
         """(id, sub, code, dist) for the argmin codeword per (id, sub),
