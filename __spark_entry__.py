@@ -5203,73 +5203,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pytest-covered, and is swept at sf0.01 + sf0.1 in the round's
     # CORRECTNESS_SELF_r06* records (tools/check_all_oracles.py).
     priority = [
-        # ---- ROUND-9 ROTATION ----------------------------------------
-        # The driver gates the FIRST 50 entries.  Round-8 verdict
-        # item 1: the 10 round-8-new gates (judge-oracle-green but
-        # never driver-checked) occupy positions 1-10 so
-        # CORRECTNESS_r09 closes the last driver-validation gap.
-        # Positions 11-50 are the 40 stalest driver rows (the full
-        # remaining r3 cohort plus the oldest r4 gates), computed
-        # from the union of CORRECTNESS_r01-r08.  Gates NEW or
-        # code-changed THIS round sit immediately after the window --
-        # first in line for round 10 -- and are swept at sf0.01 +
-        # sf0.1 in CORRECTNESS_SELF_r09*.
-        "mm_mpeg2_framewalk",
-        "mm_flac_frames",
-        "mm_opus_toc",
-        "source_vtt_cues",
-        "mm_mp3_decode",
-        "mm_aac_elements",
-        "mm_h264_slices",
-        "doc_pdf_xrefstream",
-        "doc_pdf_encrypted",
-        "doc_woff_profile",
-        # round-9-new gate: driver row this round (position 11)
-        "mm_aac_decode",
-        "graph_link_edges",
-        "graph_pagerank",
-        "graph_pagerank_rootavg",
-        "graph_super_domains",
-        "join_multiway",
-        "mm_content_stats",
-        "mm_frame_sample",
-        "query_domain_list",
-        "query_inverse_links",
-        "query_url_detail",
-        "sessionize_events",
-        "sim_brute_force_topk",
-        "sim_ivf_topk",
-        "sim_label_centroids",
-        "source_archive_roundtrip",
-        "source_csv_import",
-        "source_multi_sink",
-        "source_timeseries_tail",
-        "source_xml_roundtrip",
-        "stream_distinct_pairs",
-        "stream_sessionize",
-        "stream_windowed_stats",
-        "text_document_profile",
-        "text_fingerprint",
-        "text_language_profile",
-        "text_quality_signals",
-        "text_regex_tokens",
-        "text_token_stats",
-        "text_training_manifest",
-        "text_winnow_fingerprint",
-        "agg_count_having",
-        "agg_latest_per_key",
-        "agg_time_window_rollup",
-        "agg_value_percentiles",
-        "bloom_frontier_filter",
-        "crawldb_merge_full",
-        "crawllist_filtered_generate",
-        "crawllist_politeness",
-        "dedup_cluster_representatives",
-        # ---- next in line for the round-10 driver window ---------
-        # (new / code-changed in round 9; swept in SELF_r09*;
-        # graph_clustering_coeff ceded position 50 to the round-9-new
-        # mm_aac_decode and leads the round-10 stale cohort)
+        # ---- ROUND-10 ROTATION ---------------------------------------
+        # The driver gates the FIRST 50 entries. This round fronts the
+        # STALEST driver rows: all 37 gates whose last driver
+        # validation was round 4 (graph_clustering_coeff leads, as the
+        # round-9 rotation promised), plus 13 round-5-validated gates
+        # chosen because their code changed in this optimization round
+        # (the loop-scope graph tier, the dedup cluster loops, the
+        # setsim/containment pre-sort boundaries) or they sit in the
+        # round-9 regression watchlist. Computed from the union of
+        # CORRECTNESS_r01-r09; the full mapping is in ROTATION_r10.md.
+        # Everything outside the window is r6-r9 driver-green and is
+        # swept at sf0.01 + sf0.1 in CORRECTNESS_SELF_r10*.
         "graph_clustering_coeff",
+        "graph_component_sizes",
+        "graph_connected_components",
+        "graph_hits",
+        "graph_triangles",
+        "join_anti_blocklist",
+        "join_asof",
+        "join_broadcast_dim",
+        "join_range_bucketed",
+        "join_semi_whitelist",
+        "join_tagged_full_outer",
+        "mm_audio_energy",
+        "mm_decode_fake",
+        "mm_decode_ppm",
+        "mm_decode_wav",
+        "mm_image_bands",
+        "mm_resize_ppm",
+        "pipeline_corpus_build",
+        "query_domain_resort",
+        "query_snippets",
+        "robots_evaluate",
+        "sim_lsh_topk",
+        "stream_static_enrich",
+        "stream_stream_attribution",
+        "text_bm25_rank",
+        "text_chunking",
+        "text_contamination_check",
+        "text_mixture_plan",
+        "text_paragraph_dedup",
+        "text_pmi_pairs",
+        "text_redact_pii",
+        "text_repetition_signals",
+        "text_stratified_sample",
+        "text_tfidf_keywords",
+        "text_unigram_surprisal",
+        "text_vocabulary",
+        "text_weighted_sample",
+        "graph_pagerank_converged",
+        "graph_pagerank_personalized",
+        "graph_label_propagation",
+        "graph_condensation_levels",
+        "graph_kcore",
+        "graph_scc",
+        "graph_bowtie",
+        "sim_kmeans_exact",
+        "sim_pq_trained_topk",
+        "dedup_minhash_clusters",
+        "dedup_setsim_prefix",
+        "text_containment_pairs",
+        "dedup_sketch_quality",
     ]
     ordered = {k: base[k] for k in priority}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
